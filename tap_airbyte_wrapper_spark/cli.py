@@ -1,0 +1,97 @@
+"""CLI: flag parity with the reference tap (tap_airbyte/tap.py:211-311).
+
+``--config`` / ``--catalog`` / ``--state`` / ``--discover`` / ``--test`` /
+``--about`` / ``--version`` dispatch to the engine lifecycle.  ``ENV`` as a
+config value pulls from the environment like the reference's config
+collection (tap.py:256-270).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+__version__ = "0.1.0"
+
+
+def _load_config(paths: list[str]) -> dict[str, Any]:
+    cfg: dict[str, Any] = {}
+    for p in paths:
+        if p == "ENV":
+            prefix = "TAP_AIRBYTE_SPARK_"
+            for k, v in os.environ.items():
+                if k.startswith(prefix):
+                    cfg[k[len(prefix):].lower()] = v
+            continue
+        with open(p) as f:
+            cfg.update(json.load(f))
+    return cfg
+
+
+def build_spark(app: str = "tap-airbyte-wrapper-spark") -> SparkSession:
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tap-airbyte-wrapper-spark")
+    ap.add_argument("--version", action="store_true")
+    ap.add_argument("--about", action="store_true")
+    ap.add_argument("--discover", action="store_true")
+    ap.add_argument("--test", action="store_true")
+    ap.add_argument("--config", action="append", default=[])
+    ap.add_argument("--catalog", default=None)
+    ap.add_argument("--state", default=None)
+    args = ap.parse_args(argv)
+
+    if args.version:
+        print(f"tap-airbyte-wrapper-spark v{__version__}")
+        return 0
+
+    config = _load_config(args.config)
+    if args.state:
+        config["state_path"] = args.state
+
+    from .sources import get_source, list_sources
+    from .sync import Engine
+
+    if args.about and not config:
+        print(json.dumps({"sources": sorted(list_sources())}, indent=2))
+        return 0
+
+    spark = build_spark()
+    engine = Engine(spark, config)
+
+    if args.about:
+        print(json.dumps({"spec": engine.spec()}, indent=2, sort_keys=True))
+        return 0
+    if args.test:
+        ok = engine.check()
+        print(json.dumps({"connection": "succeeded" if ok else "failed"}))
+        return 0 if ok else 1
+    if args.discover:
+        print(json.dumps(engine.discover().to_dict(), indent=2, sort_keys=True))
+        return 0
+
+    if args.catalog:
+        with open(args.catalog) as f:
+            cat_doc = json.load(f)
+        config["streams"] = [
+            s["name"] for s in cat_doc.get("streams", []) if s.get("selected", True)
+        ]
+    engine.sync()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

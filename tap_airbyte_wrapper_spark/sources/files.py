@@ -1,0 +1,278 @@
+"""File-based sources: parquet / csv / json / jsonl directories.
+
+The reference's closest analogue is ``airbyte/source-file`` (exercised by
+tests/test_syncs.py:22-74 with a CSV), which infers a JSON Schema from the
+file and emits one stream.  Here the Spark readers do the inference and the
+scan is distributed + pushdown-capable from the start:
+
+* parquet: schema from footer, predicate + projection pushdown for free;
+* csv/json: one schema-inference pass (bounded via samplingRatio), then a
+  schema-pinned scan so the read is single-pass at scale.
+
+A ``dataset_dir`` source maps a directory of ``<table>.parquet`` files to a
+multi-stream catalog — the local stand-in for a multi-stream connector and
+the reader used for the driver's TPC-H-ish testdata.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+try:
+    import pyarrow.parquet as _pq
+except ImportError:  # pragma: no cover - pyarrow ships in this env
+    _pq = None
+
+from ..catalog import Catalog, StreamEntry, SyncMode
+from .base import Source, SourceError, register
+
+# Streams in the driver corpus that support incremental sync, with their
+# cursor columns (events is the designated incremental stream, FIXTURES.md §4).
+_DEFAULT_CURSORS = {"events": "ts"}
+_DEFAULT_PKS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def _nanos_columns(path: str) -> list[str]:
+    if _pq is None:
+        return []
+    probe = glob.glob(os.path.join(path, "*.parquet")) if os.path.isdir(path) else [path]
+    if not probe:
+        return []
+    try:
+        schema = _pq.read_schema(probe[0])
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def load_parquet(
+    spark: SparkSession,
+    path: str,
+    cursor_after: tuple[str, Any] | None = None,
+) -> DataFrame:
+    """Parquet scan tolerant of TIMESTAMP(NANOS) columns, with
+    pushdown-preserving cursor filtering.
+
+    Spark has no nanosecond timestamp type and rejects such files outright.
+    When the footer declares ``timestamp[ns]`` columns we read them as longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to microsecond
+    timestamps with an integer-division expression — JVM-side, no precision
+    loss (a double division WOULD lose precision at 1e18 ns).
+
+    ``cursor_after=(column, bookmark)`` applies the incremental predicate
+    *before* any conversion: for a nanos column the bookmark is converted to
+    an epoch-nanos long and compared against the raw physical column, so the
+    filter still reaches the parquet scan (row-group pruning at scale)
+    instead of sitting above a derived expression where Catalyst cannot
+    push it.
+    """
+    ns_cols = _nanos_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+
+    if cursor_after is not None:
+        col, bookmark = cursor_after
+        if bookmark is not None:
+            if col in ns_cols:
+                import pandas as pd
+
+                # Bookmarks are microsecond-truncated (Spark timestamp);
+                # raw values keep nanos.  Widen by 999 ns so every row whose
+                # truncated value == bookmark is treated as already synced.
+                nanos = int(pd.Timestamp(bookmark).value) + 999
+                df = df.filter(F.col(col) > F.lit(nanos))
+            else:
+                ctype = df.schema[col].dataType
+                df = df.filter(F.col(col) > F.lit(bookmark).cast(ctype))
+
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+@register
+class ParquetSource(Source):
+    """Single-stream parquet path source."""
+
+    name = "parquet"
+
+    @classmethod
+    def spec(cls) -> dict[str, Any]:
+        return {
+            "type": "object",
+            "properties": {
+                "path": {"type": "string", "description": "parquet path/glob"},
+                "stream_name": {"type": ["string", "null"]},
+                "cursor_field": {"type": ["string", "null"]},
+                "primary_keys": {"type": ["array", "null"], "items": {"type": "string"}},
+            },
+            "required": ["path"],
+        }
+
+    def _stream_name(self) -> str:
+        if self.config.get("stream_name"):
+            return self.config["stream_name"]
+        base = os.path.basename(self.config["path"].rstrip("/"))
+        return base.split(".")[0] or "stream"
+
+    def _load(self, spark: SparkSession) -> DataFrame:
+        return load_parquet(spark, self.config["path"])
+
+    def discover(self, spark: SparkSession) -> Catalog:
+        df = self._load(spark)
+        cursor = self.config.get("cursor_field")
+        modes = [SyncMode.FULL_REFRESH] + ([SyncMode.INCREMENTAL] if cursor else [])
+        return Catalog(
+            [
+                StreamEntry(
+                    name=self._stream_name(),
+                    schema=df.schema,
+                    primary_keys=list(self.config.get("primary_keys") or []),
+                    replication_key=cursor,
+                    supported_sync_modes=modes,
+                    source=self.name,
+                )
+            ]
+        )
+
+    def read(self, spark: SparkSession, stream: StreamEntry) -> DataFrame:
+        # Parquet carries its schema in the footer — re-derive via the same
+        # loader (identical output schema) and fail loudly on drift.
+        df = load_parquet(spark, self.config["path"])
+        if df.schema != stream.schema:
+            raise SourceError(
+                f"schema drift on stream {stream.name!r}: "
+                f"discovered {stream.schema.simpleString()}, "
+                f"now {df.schema.simpleString()}"
+            )
+        return df
+
+    def read_incremental(self, spark: SparkSession, stream: StreamEntry, bookmark: Any) -> DataFrame:
+        return load_parquet(
+            spark, self.config["path"],
+            cursor_after=(stream.replication_key, bookmark)
+            if stream.replication_key else None,
+        )
+
+
+@register
+class CsvSource(ParquetSource):
+    """Single-stream CSV source (header + inferred schema, like
+    airbyte/source-file's CSV mode)."""
+
+    name = "csv"
+
+    @classmethod
+    def spec(cls) -> dict[str, Any]:
+        s = super().spec()
+        s["properties"]["delimiter"] = {"type": ["string", "null"], "default": ","}
+        s["properties"]["header"] = {"type": ["boolean", "null"], "default": True}
+        return s
+
+    def _reader(self, spark: SparkSession):
+        return (
+            spark.read.option("header", str(self.config.get("header", True)).lower())
+            .option("delimiter", self.config.get("delimiter", ","))
+        )
+
+    def _load(self, spark: SparkSession) -> DataFrame:
+        return self._reader(spark).option("inferSchema", "true").csv(self.config["path"])
+
+    def read(self, spark: SparkSession, stream: StreamEntry) -> DataFrame:
+        return self._reader(spark).schema(stream.schema).csv(self.config["path"])
+
+
+@register
+class JsonSource(ParquetSource):
+    """Single-stream JSONL source."""
+
+    name = "json"
+
+    def _load(self, spark: SparkSession) -> DataFrame:
+        return spark.read.json(self.config["path"])
+
+    def read(self, spark: SparkSession, stream: StreamEntry) -> DataFrame:
+        return spark.read.schema(stream.schema).json(self.config["path"])
+
+
+@register
+class DatasetDirSource(Source):
+    """Multi-stream source over a directory of ``<table>.parquet`` files.
+
+    The local analogue of a multi-stream Airbyte connector; used for
+    /root/testdata/sf*/.  Cursor/PK metadata comes from config overrides,
+    falling back to the driver-corpus defaults.
+    """
+
+    name = "dataset_dir"
+
+    @classmethod
+    def spec(cls) -> dict[str, Any]:
+        return {
+            "type": "object",
+            "properties": {
+                "path": {"type": "string", "description": "directory of <table>.parquet"},
+                "cursors": {"type": ["object", "null"]},
+                "primary_keys": {"type": ["object", "null"]},
+            },
+            "required": ["path"],
+        }
+
+    def _tables(self) -> list[tuple[str, str]]:
+        root = self.config["path"]
+        hits = sorted(glob.glob(os.path.join(root, "*.parquet")))
+        if not hits:
+            raise SourceError(f"no *.parquet under {root!r}")
+        return [(os.path.basename(p).rsplit(".", 1)[0], p) for p in hits]
+
+    def discover(self, spark: SparkSession) -> Catalog:
+        cursors = {**_DEFAULT_CURSORS, **(self.config.get("cursors") or {})}
+        pks = {**_DEFAULT_PKS, **(self.config.get("primary_keys") or {})}
+        cat = Catalog()
+        for name, path in self._tables():
+            schema = load_parquet(spark, path).schema
+            cursor = cursors.get(name)
+            cat.add(
+                StreamEntry(
+                    name=name,
+                    schema=schema,
+                    primary_keys=list(pks.get(name, [])),
+                    replication_key=cursor if cursor in schema.names else None,
+                    supported_sync_modes=[SyncMode.FULL_REFRESH]
+                    + ([SyncMode.INCREMENTAL] if cursor in schema.names else []),
+                    source=self.name,
+                    options={"path": path},
+                )
+            )
+        return cat
+
+    def _path_for(self, stream: StreamEntry) -> str:
+        return stream.options.get("path") or os.path.join(
+            self.config["path"], f"{stream.name}.parquet"
+        )
+
+    def read(self, spark: SparkSession, stream: StreamEntry) -> DataFrame:
+        return load_parquet(spark, self._path_for(stream))
+
+    def read_incremental(self, spark: SparkSession, stream: StreamEntry, bookmark: Any) -> DataFrame:
+        return load_parquet(
+            spark, self._path_for(stream),
+            cursor_after=(stream.replication_key, bookmark)
+            if stream.replication_key else None,
+        )

@@ -1,0 +1,97 @@
+"""JDBC source: database-backed streams with partitioned parallel reads.
+
+The reference reaches databases through Airbyte connectors (e.g.
+source-postgres) as subprocesses; Spark's JDBC reader replaces that with a
+distributed scan.  Scale notes baked in:
+
+* reads are split across executors via ``partitionColumn`` /
+  ``numPartitions`` / ``lowerBound`` / ``upperBound`` when a numeric or
+  timestamp split column is available — a single-connection JDBC read is a
+  driver bottleneck at scale;
+* Catalyst pushes filters (incl. the incremental cursor predicate) and
+  projections into the generated SQL.
+
+No JDBC driver jar ships in this environment, so tests exercise
+config/plumbing only; the read path is standard ``spark.read.jdbc``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import Catalog, StreamEntry, SyncMode
+from .base import Source, SourceError, register
+
+
+@register
+class JdbcSource(Source):
+    name = "jdbc"
+
+    @classmethod
+    def spec(cls) -> dict[str, Any]:
+        return {
+            "type": "object",
+            "properties": {
+                "url": {"type": "string", "description": "jdbc:... URL"},
+                "tables": {
+                    "type": "array",
+                    "items": {"type": "string"},
+                    "description": "tables to expose as streams",
+                },
+                "user": {"type": ["string", "null"]},
+                "password": {"type": ["string", "null"], "airbyte_secret": True},
+                "driver": {"type": ["string", "null"]},
+                "partition_column": {"type": ["object", "null"],
+                                     "description": "table -> numeric split column"},
+                "num_partitions": {"type": ["integer", "null"], "default": 8},
+                "cursors": {"type": ["object", "null"]},
+            },
+            "required": ["url", "tables"],
+        }
+
+    def _options(self, table: str) -> dict[str, str]:
+        opts = {"url": self.config["url"], "dbtable": table}
+        for k in ("user", "password", "driver"):
+            if self.config.get(k):
+                opts[k] = self.config[k]
+        return opts
+
+    def _reader(self, spark: SparkSession, table: str):
+        r = spark.read.format("jdbc")
+        for k, v in self._options(table).items():
+            r = r.option(k, v)
+        part_col = (self.config.get("partition_column") or {}).get(table)
+        if part_col:
+            r = r.option("partitionColumn", part_col).option(
+                "numPartitions", str(self.config.get("num_partitions", 8))
+            )
+            for bound in ("lowerBound", "upperBound"):
+                if self.config.get(bound):
+                    r = r.option(bound, str(self.config[bound]))
+        return r
+
+    def discover(self, spark: SparkSession) -> Catalog:
+        cat = Catalog()
+        cursors = self.config.get("cursors") or {}
+        for table in self.config["tables"]:
+            try:
+                schema = self._reader(spark, table).load().schema
+            except Exception as e:  # pragma: no cover - needs live DB
+                raise SourceError(f"jdbc discover failed for {table}: {e}") from e
+            cursor = cursors.get(table)
+            cat.add(
+                StreamEntry(
+                    name=table,
+                    schema=schema,
+                    replication_key=cursor if cursor in schema.names else None,
+                    supported_sync_modes=[SyncMode.FULL_REFRESH]
+                    + ([SyncMode.INCREMENTAL] if cursor in schema.names else []),
+                    source=self.name,
+                )
+            )
+        return cat
+
+    def read(self, spark: SparkSession, stream: StreamEntry) -> DataFrame:
+        return self._reader(spark, stream.name).load()

@@ -1,0 +1,129 @@
+"""REST/API source: the analogue of HTTP-backed Airbyte connectors.
+
+The reference's test connector ``source-pokeapi`` (tests/test_syncs.py:83-89)
+is a REST fetcher run as a subprocess.  Spark-native shape:
+
+* the **page list** is planned driver-side (cheap, tiny);
+* the **fetches** run executor-side via ``mapInPandas`` over a DataFrame of
+  page URLs — N executors fetch N pages concurrently, so ingest scales with
+  the cluster instead of a single process's socket;
+* responses are parsed to JSON rows, schema pinned from discovery.
+
+Offline testability: ``records`` (inline fixtures) and ``file://`` URLs
+work without network; http(s) uses stdlib urllib (no extra deps).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+from urllib.request import urlopen
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..catalog import Catalog, StreamEntry, SyncMode
+from .base import Source, SourceError, register
+
+
+def _fetch(url: str, timeout: float) -> Any:
+    with urlopen(url, timeout=timeout) as resp:  # noqa: S310 - user-supplied source URL
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def _extract_records(payload: Any, records_key: str | None) -> list[dict[str, Any]]:
+    if records_key:
+        for part in records_key.split("."):
+            payload = payload.get(part, []) if isinstance(payload, dict) else []
+    if isinstance(payload, dict):
+        return [payload]
+    return [r for r in payload if isinstance(r, dict)]
+
+
+@register
+class RestSource(Source):
+    name = "rest"
+
+    @classmethod
+    def spec(cls) -> dict[str, Any]:
+        return {
+            "type": "object",
+            "properties": {
+                "stream_name": {"type": "string"},
+                "urls": {"type": ["array", "null"], "items": {"type": "string"},
+                         "description": "explicit page URLs (file:// ok)"},
+                "base_url": {"type": ["string", "null"]},
+                "pages": {"type": ["integer", "null"],
+                          "description": "page count; URLs = base_url.format(page=i)"},
+                "records_key": {"type": ["string", "null"],
+                                "description": "dotted path to the record array"},
+                "records": {"type": ["array", "null"],
+                            "description": "inline fixture records (offline mode)"},
+                "timeout": {"type": ["number", "null"], "default": 30},
+            },
+            "required": ["stream_name"],
+        }
+
+    def _urls(self) -> list[str]:
+        if self.config.get("urls"):
+            return list(self.config["urls"])
+        base = self.config.get("base_url")
+        if base and self.config.get("pages"):
+            return [base.format(page=i) for i in range(int(self.config["pages"]))]
+        return []
+
+    def _sample_records(self) -> list[dict[str, Any]]:
+        if self.config.get("records") is not None:
+            return list(self.config["records"])
+        urls = self._urls()
+        if not urls:
+            raise SourceError("rest source needs records, urls, or base_url+pages")
+        payload = _fetch(urls[0], float(self.config.get("timeout", 30)))
+        return _extract_records(payload, self.config.get("records_key"))
+
+    def discover(self, spark: SparkSession) -> Catalog:
+        sample = self._sample_records()
+        # Infer schema from the (first page's) records via the JSON reader —
+        # one tiny driver-side pass; the real scan is schema-pinned.
+        sdf = spark.read.json(
+            spark.sparkContext.parallelize([json.dumps(r) for r in sample or [{}]])
+        )
+        return Catalog(
+            [
+                StreamEntry(
+                    name=self.config["stream_name"],
+                    schema=sdf.schema,
+                    supported_sync_modes=[SyncMode.FULL_REFRESH],
+                    source=self.name,
+                )
+            ]
+        )
+
+    def read(self, spark: SparkSession, stream: StreamEntry) -> DataFrame:
+        if self.config.get("records") is not None:
+            rows = [json.dumps(r) for r in self.config["records"]]
+            return spark.read.schema(stream.schema).json(
+                spark.sparkContext.parallelize(rows)
+            )
+        urls = self._urls()
+        records_key = self.config.get("records_key")
+        timeout = float(self.config.get("timeout", 30))
+        schema = stream.schema
+
+        url_df = spark.createDataFrame([(u,) for u in urls], "url string").repartition(
+            max(1, min(len(urls), spark.sparkContext.defaultParallelism))
+        )
+
+        def fetch_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                lines = []
+                for u in pdf["url"]:
+                    for rec in _extract_records(_fetch(u, timeout), records_key):
+                        lines.append(json.dumps(rec))
+                yield pd.DataFrame({"line": lines})
+
+        raw = url_df.mapInPandas(fetch_pages, "line string")
+        return raw.select(
+            F.from_json(F.col("line"), schema).alias("r")
+        ).select("r.*")

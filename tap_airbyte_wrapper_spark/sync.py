@@ -1,0 +1,212 @@
+"""Sync orchestrator: discover -> select -> incremental -> transform -> sink.
+
+The Spark-native replacement for the reference's ``sync_all``
+(tap_airbyte/tap.py:781-902).  The reference's demux loop, per-stream
+queues, and consumer threads (tap.py:789-813, 967-999) exist to parallelize
+a single subprocess pipe — Spark's scheduler already parallelizes per
+partition, so the orchestrator is a straight plan-per-stream loop:
+
+for each selected stream:
+    DataFrame  = source.read(stream)                # distributed scan
+    += cursor predicate when incremental            # pushed into the scan
+    += stream maps / flattening                     # Catalyst expressions
+    sink write                                      # distributed or stdout
+    bookmark = max(cursor) observed in the SAME pass
+    commit state only after the write succeeded     # at-least-once, §4.3
+
+Also preserved: per-stream metrics ("Synced N streams in X seconds",
+tap.py:899-902) and fail-fast error propagation (tap.py:648-657).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from typing import Any, IO
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+from .catalog import Catalog, StreamEntry, SyncMode
+from .maps import StreamMapper
+from .singer_io import coerce_value, singer_message, write_singer_stdout, write_singer_files
+from .sources import get_source
+from .state import BookmarkStore
+
+logger = logging.getLogger("tap_airbyte_wrapper_spark")
+
+__all__ = ["Engine", "SyncResult"]
+
+
+class SyncResult:
+    def __init__(self) -> None:
+        self.stream_counts: dict[str, int] = {}
+        self.wall_seconds: float = 0.0
+
+    @property
+    def total_records(self) -> int:
+        return sum(self.stream_counts.values())
+
+
+class Engine:
+    """Top-level engine API: spec / check / discover / sync.
+
+    ``config`` shape::
+
+        {
+          "source": "dataset_dir",          # registry key
+          "source_config": {"path": ...},   # source-specific
+          "streams": ["events", ...],       # selection; omit = all
+          "replication_method": {"events": "INCREMENTAL"},
+          "stream_maps": {...}, "stream_map_config": {...},
+          "flattening_enabled": false, "flattening_max_depth": 10,
+          "state_path": "state.json",
+          "sink": {"type": "stdout" | "files" | "parquet" | "json",
+                   "path": ..., "mode": "append"}
+        }
+    """
+
+    def __init__(self, spark: SparkSession, config: dict[str, Any]):
+        self.spark = spark
+        self.config = config
+        self.source = get_source(config["source"], config.get("source_config"))
+        self.mapper = StreamMapper(
+            config.get("stream_maps"),
+            config.get("stream_map_config"),
+            config.get("flattening_enabled", False),
+            config.get("flattening_max_depth", 10),
+        )
+        self.state = BookmarkStore.load(config.get("state_path", ""))
+
+    # ------------------------------------------------------------ lifecycle
+
+    def spec(self) -> dict[str, Any]:
+        return type(self.source).spec()
+
+    def check(self) -> bool:
+        return self.source.check(self.spark)
+
+    def discover(self) -> Catalog:
+        cat = self.source.discover(self.spark)
+        selection = self.config.get("streams")
+        if selection:
+            cat.select(selection)
+        methods = self.config.get("replication_method") or {}
+        for entry in cat:
+            entry.negotiate(methods.get(entry.name))
+        return cat
+
+    # ---------------------------------------------------------- plan pieces
+
+    def stream_df(self, entry: StreamEntry) -> DataFrame:
+        """Scan one stream, incremental when negotiated — the reference's
+        state handoff (tap.py:592-611) becomes a cursor predicate the
+        source guarantees is pushed into the scan."""
+        if entry.sync_mode == SyncMode.INCREMENTAL and entry.replication_key:
+            bookmark = self.state.get_bookmark(entry.name, entry.replication_key)
+            if bookmark is not None:
+                return self.source.read_incremental(self.spark, entry, bookmark)
+        return self.source.read(self.spark, entry)
+
+    # ---------------------------------------------------------------- sync
+
+    def sync(self, out: IO[str] | None = None) -> SyncResult:
+        started = time.perf_counter()
+        result = SyncResult()
+        catalog = self.discover().configured()
+        sink = self.config.get("sink") or {"type": "stdout"}
+
+        for entry in catalog:
+            t0 = time.perf_counter()
+            base = self.stream_df(entry)
+            for out_name, df in self.mapper.apply(entry.name, base):
+                pks = self.mapper.key_properties_override(entry.name) or entry.primary_keys
+                n, cursor_max = self._write(df, out_name, entry, pks, sink, out)
+                result.stream_counts[out_name] = result.stream_counts.get(out_name, 0) + n
+                # Commit ordering: bookmark only after the sink accepted the
+                # batch (at-least-once; reference §4.3).
+                if entry.sync_mode == SyncMode.INCREMENTAL and entry.replication_key \
+                        and cursor_max is not None:
+                    self.state.set_bookmark(
+                        entry.name, entry.replication_key, coerce_value(cursor_max)
+                    )
+            if self.config.get("state_path"):
+                self.state.commit(self.config["state_path"])
+            logger.info(
+                "synced stream %s in %.2fs", entry.name, time.perf_counter() - t0
+            )
+
+        result.wall_seconds = time.perf_counter() - started
+        logger.info(
+            "Synced %d streams in %.2f seconds", len(result.stream_counts), result.wall_seconds
+        )
+        return result
+
+    def _write(
+        self,
+        df: DataFrame,
+        stream_name: str,
+        entry: StreamEntry,
+        pks: list[str],
+        sink: dict[str, Any],
+        out: IO[str] | None,
+    ) -> tuple[int, Any]:
+        """Write one stream; returns (record_count, max cursor value).
+
+        File sinks use the Observation API so count + max(cursor) come from
+        the SAME pass as the write — no second scan of the source.
+        """
+        kind = sink.get("type", "stdout")
+        cursor = entry.replication_key if entry.sync_mode == SyncMode.INCREMENTAL else None
+
+        if kind == "stdout":
+            # Driver-funnel Singer output (tap parity).  Track max cursor
+            # while iterating — single pass.
+            out = out or sys.stdout
+            stream = out
+            n = 0
+            cursor_max = None
+            from .schema import struct_to_json_schema
+            from .singer_io import _normalize_columns
+
+            stream.write(singer_message({
+                "type": "SCHEMA", "stream": stream_name,
+                "schema": struct_to_json_schema(df.schema),
+                "key_properties": pks or [],
+            }) + "\n")
+            for row in _normalize_columns(df).toLocalIterator():
+                d = row.asDict(recursive=True)
+                stream.write(singer_message(
+                    {"type": "RECORD", "stream": stream_name, "record": d}) + "\n")
+                n += 1
+                if cursor is not None and d.get(cursor) is not None:
+                    v = d[cursor]
+                    cursor_max = v if cursor_max is None or v > cursor_max else cursor_max
+            if cursor is not None and cursor_max is not None:
+                self.state.set_bookmark(entry.name, cursor, cursor_max)
+            stream.write(singer_message(
+                {"type": "STATE", "value": self.state.to_dict()}) + "\n")
+            stream.flush()
+            return n, cursor_max
+
+        observed = [F.count(F.lit(1)).alias("n")]
+        if cursor:
+            observed.append(F.max(F.col(cursor)).alias("cursor_max"))
+        obs = Observation()
+        df = df.observe(obs, *observed)
+
+        path = sink.get("path")
+        mode = sink.get("mode", "append")
+        if kind == "files":
+            write_singer_files(df, stream_name, f"{path}/{stream_name}", mode)
+        elif kind == "parquet":
+            w = df.write.mode(mode)
+            if sink.get("partition_by"):
+                w = w.partitionBy(*sink["partition_by"])
+            w.parquet(f"{path}/{stream_name}")
+        elif kind == "json":
+            df.write.mode(mode).json(f"{path}/{stream_name}")
+        else:
+            raise ValueError(f"unknown sink type {kind!r}")
+        got = obs.get
+        return int(got["n"]), got.get("cursor_max")

@@ -1,0 +1,157 @@
+"""End-to-end engine lifecycle against the driver testdata (sf0.001):
+discover / selection / sync to Singer stdout / incremental resume /
+distributed sinks."""
+
+import io
+import json
+
+from tap_airbyte_wrapper_spark.catalog import SyncMode
+from tap_airbyte_wrapper_spark.sources import get_source
+from tap_airbyte_wrapper_spark.sync import Engine
+
+
+def make_engine(spark, sf_dir, tmp_path=None, **over):
+    cfg = {
+        "source": "dataset_dir",
+        "source_config": {"path": sf_dir},
+        **over,
+    }
+    if tmp_path is not None:
+        cfg.setdefault("state_path", str(tmp_path / "state.json"))
+    return Engine(spark, cfg)
+
+
+def test_discover_catalog(spark, sf_dir):
+    eng = make_engine(spark, sf_dir)
+    cat = eng.discover()
+    names = {s.name for s in cat}
+    assert {"region", "nation", "customer", "orders", "lineitem", "events",
+            "documents", "embeddings"} <= names
+    ev = cat.get("events")
+    assert ev.replication_key == "ts"
+    assert SyncMode.INCREMENTAL in ev.supported_sync_modes
+    assert cat.get("lineitem").primary_keys == ["l_orderkey", "l_linenumber"]
+
+
+def test_selection_pruning(spark, sf_dir):
+    eng = make_engine(spark, sf_dir, streams=["region", "nation"])
+    conf = eng.discover().configured()
+    assert {s.name for s in conf} == {"region", "nation"}
+    assert all(s.sync_mode == SyncMode.FULL_REFRESH for s in conf)
+
+
+def test_sync_mode_negotiation(spark, sf_dir):
+    eng = make_engine(
+        spark, sf_dir,
+        replication_method={"events": "INCREMENTAL", "region": "INCREMENTAL"},
+    )
+    cat = eng.discover()
+    assert cat.get("events").sync_mode == SyncMode.INCREMENTAL
+    # region has no cursor -> falls back to first supported mode
+    assert cat.get("region").sync_mode == SyncMode.FULL_REFRESH
+
+
+def test_singer_stdout_golden_shape(spark, sf_dir, tmp_path):
+    eng = make_engine(spark, sf_dir, tmp_path, streams=["region"])
+    buf = io.StringIO()
+    res = eng.sync(out=buf)
+    lines = buf.getvalue().strip().split("\n")
+    msgs = [json.loads(l) for l in lines]
+    # SCHEMA + 5 RECORD + STATE, reference golden-file discipline
+    assert [m["type"] for m in msgs] == ["SCHEMA"] + ["RECORD"] * 5 + ["STATE"]
+    assert msgs[0]["stream"] == "region"
+    assert msgs[0]["key_properties"] == ["r_regionkey"]
+    assert {m["record"]["r_name"] for m in msgs[1:6]} == {
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"}
+    # deterministic serialization: sorted keys
+    assert lines[1] == json.dumps(json.loads(lines[1]), sort_keys=True,
+                                  separators=(",", ":"))
+    assert res.stream_counts == {"region": 5}
+
+
+def test_incremental_resume(spark, sf_dir, tmp_path):
+    cfg = dict(
+        streams=["events"],
+        replication_method={"events": "INCREMENTAL"},
+        sink={"type": "parquet", "path": str(tmp_path / "out"), "mode": "append"},
+    )
+    eng = make_engine(spark, sf_dir, tmp_path, **cfg)
+    res1 = eng.sync()
+    assert res1.stream_counts["events"] == 1000
+    state = json.load(open(tmp_path / "state.json"))
+    assert "events" in state["bookmarks"]
+    assert state["airbyte_state"][0]["type"] == "STREAM"
+
+    # resume: nothing new past the bookmark
+    eng2 = make_engine(spark, sf_dir, tmp_path, **cfg)
+    res2 = eng2.sync()
+    assert res2.stream_counts.get("events", 0) == 0
+
+
+def test_incremental_predicate_pushdown(spark, sf_dir, tmp_path):
+    eng = make_engine(
+        spark, sf_dir, tmp_path,
+        streams=["events"], replication_method={"events": "INCREMENTAL"},
+    )
+    eng.state.set_bookmark("events", "ts", "2024-01-15T00:00:00")
+    entry = eng.discover().configured().get("events")
+    df = eng.stream_df(entry)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "ts" in plan  # filter reached the scan
+    assert 0 < df.count() < 1000
+
+
+def test_parquet_sink_and_maps(spark, sf_dir, tmp_path):
+    eng = make_engine(
+        spark, sf_dir, tmp_path,
+        streams=["nation"],
+        stream_maps={"nation": {"n_name_lower": "lower(n_name)"}},
+        sink={"type": "parquet", "path": str(tmp_path / "out"), "mode": "overwrite"},
+    )
+    res = eng.sync()
+    assert res.stream_counts == {"nation": 25}
+    back = spark.read.parquet(str(tmp_path / "out" / "nation"))
+    assert "n_name_lower" in back.columns
+    assert back.count() == 25
+
+
+def test_singer_files_sink(spark, sf_dir, tmp_path):
+    eng = make_engine(
+        spark, sf_dir, tmp_path, streams=["region"],
+        sink={"type": "files", "path": str(tmp_path / "singer"), "mode": "overwrite"},
+    )
+    eng.sync()
+    lines = spark.read.text(str(tmp_path / "singer" / "region")).collect()
+    msgs = [json.loads(r.value) for r in lines]
+    assert len(msgs) == 5
+    assert all(m["type"] == "RECORD" and m["stream"] == "region" for m in msgs)
+
+
+def test_rest_source_inline_and_file(spark, tmp_path):
+    records = [{"id": 1, "name": "bulbasaur"}, {"id": 2, "name": "ivysaur"}]
+    src = get_source("rest", {"stream_name": "pokemon", "records": records})
+    cat = src.discover(spark)
+    entry = cat.get("pokemon")
+    df = src.read(spark, entry)
+    assert sorted(r.name for r in df.collect()) == ["bulbasaur", "ivysaur"]
+
+    # file:// page fetch through the distributed path
+    page = tmp_path / "page0.json"
+    page.write_text(json.dumps({"results": records}))
+    src2 = get_source("rest", {
+        "stream_name": "pokemon",
+        "urls": [f"file://{page}"],
+        "records_key": "results",
+    })
+    df2 = src2.read(spark, src2.discover(spark).get("pokemon"))
+    assert df2.count() == 2
+
+
+def test_check_and_spec(spark, sf_dir):
+    eng = make_engine(spark, sf_dir)
+    assert eng.check() is True
+    assert "path" in eng.spec()["properties"]
+
+    bad = Engine(spark, {"source": "dataset_dir",
+                         "source_config": {"path": "/nonexistent"}})
+    assert bad.check() is False
