@@ -1,0 +1,42 @@
+"""LLM-data-pipeline function layer: text analysis, dedup, similarity
+search, multimodal column plumbing."""
+
+from .text import (
+    bpe_token_estimate,
+    fingerprint,
+    language_id,
+    minhash_fingerprints,
+    quality_score,
+    token_count,
+)
+from .dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_near_dup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from .similarity import cosine, cosine_topk, cosine_topk_lsh, dot, l2_norm
+from .multimodal import (
+    MEDIA_SCHEMA,
+    as_media,
+    decode_image,
+    extract_features,
+    sample_frames,
+    with_media_metadata,
+)
+
+__all__ = [
+    "token_count", "bpe_token_estimate", "language_id", "quality_score",
+    "fingerprint", "minhash_fingerprints",
+    "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
+    "minhash_near_dup_pairs", "minhash_dedup", "simhash",
+    "simhash_near_dup_pairs", "ngram_jaccard_pairs", "shingles",
+    "dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_lsh",
+    "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
+    "extract_features", "sample_frames",
+]

@@ -1,0 +1,178 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — schemas, Arrow-batched ``mapInPandas``
+transforms, partition sizing — while the actual media codecs are STUBBED
+(no image/audio libraries in this container): ``decode_*`` raise
+``NotImplementedError`` unless ``fake=True``, in which case they produce
+deterministic byte-derived fakes so the pipeline shape (schemas, batch
+flow, fan-out cardinality) is fully testable.
+
+Design rules for 100 TB of media:
+* binary payloads ride a dedicated ``media`` column; never groupBy/join on
+  it — all bucketing happens on the md5 ``media_hash``;
+* media transforms are ``mapInPandas`` (Arrow batches) so bytes cross the
+  JVM<->Python boundary once per batch, not per row;
+* frame sampling fans out rows; keep ``spark.sql.files.maxPartitionBytes``
+  small enough that post-fanout partitions still fit executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "as_media",
+    "with_media_metadata",
+    "decode_image",
+    "extract_features",
+    "sample_frames",
+]
+
+#: Canonical multimodal column bundle: payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),       # image/png, audio/wav, ...
+        T.StructField("media_hash", T.StringType()),       # md5 hex of payload
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def as_media(payload: Column, media_type: Column | str) -> Column:
+    """Bundle a binary payload into the canonical media struct."""
+    mt = F.lit(media_type) if isinstance(media_type, str) else media_type
+    return F.struct(
+        payload.alias("media"),
+        mt.alias("media_type"),
+        F.md5(payload).alias("media_hash"),
+        F.length(payload).cast("long").alias("size_bytes"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+
+
+def with_media_metadata(df: DataFrame, binary_col: str, media_type: str,
+                        out_col: str = "media_bundle") -> DataFrame:
+    return df.withColumn(out_col, as_media(F.col(binary_col), media_type))
+
+
+_IMAGE_SCHEMA = (
+    "width int, height int, channels int, pixel_checksum bigint"
+)
+
+
+def decode_image(
+    df: DataFrame, media_col: str, fake: bool = False, batch_hint: int = 64
+) -> DataFrame:
+    """Decode images to (width, height, channels, pixel_checksum).
+
+    Real decode requires an image codec library (not in this container) —
+    ``fake=False`` raises NotImplementedError executor-side on first batch.
+    ``fake=True`` derives deterministic dimensions from the payload hash;
+    the Arrow batch path, schema, and row cardinality are the real thing.
+    """
+    passthrough = [f for f in df.schema.fields if f.name != media_col]
+    out_schema = T.StructType(passthrough + list(T.StructType.fromDDL(_IMAGE_SCHEMA)))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode needs a codec library (PIL/cv2) — not "
+                    "available in this environment; pass fake=True for the "
+                    "deterministic stub"
+                )
+            media = pdf[media_col]
+            digests = [
+                hashlib.md5(b["media"] if isinstance(b, dict) else bytes(b or b"")).digest()
+                for b in media
+            ]
+            out = pdf[[f.name for f in passthrough]].copy()
+            out["width"] = [16 + d[0] % 64 for d in digests]
+            out["height"] = [16 + d[1] % 64 for d in digests]
+            out["channels"] = [3 for _ in digests]
+            out["pixel_checksum"] = [
+                int.from_bytes(d[:8], "big", signed=True) for d in digests
+            ]
+            yield out
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def extract_features(
+    df: DataFrame, media_col: str, dim: int = 64, fake: bool = False
+) -> DataFrame:
+    """Media -> embedding (array<float>).  Deterministic md5-seeded fake
+    vectors when ``fake=True``; the Arrow/batch shape is production."""
+    passthrough = [f for f in df.schema.fields if f.name != media_col]
+    out_schema = T.StructType(
+        passthrough + [T.StructField("feature", T.ArrayType(T.FloatType()))]
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "feature extraction needs a model runtime — pass "
+                    "fake=True for the deterministic stub"
+                )
+            vecs = []
+            for b in pdf[media_col]:
+                payload = b["media"] if isinstance(b, dict) else bytes(b or b"")
+                seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
+                vecs.append(
+                    np.random.RandomState(seed).standard_normal(dim).astype("float32")
+                )
+            out = pdf[[f.name for f in passthrough]].copy()
+            out["feature"] = vecs
+            yield out
+
+    return df.mapInPandas(feats, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    media_col: str,
+    every_n: int = 10,
+    max_frames: int = 16,
+    fake: bool = False,
+) -> DataFrame:
+    """Video -> one row per sampled frame (frame_idx, frame binary).
+
+    Row fan-out is real (xN rows per video); frame bytes are a
+    deterministic slice of the payload in fake mode."""
+    passthrough = [f for f in df.schema.fields if f.name != media_col]
+    out_schema = T.StructType(
+        passthrough
+        + [T.StructField("frame_idx", T.IntegerType()),
+           T.StructField("frame", T.BinaryType())]
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video demux needs a codec — pass fake=True for the stub"
+                )
+            rows = []
+            for _, row in pdf.iterrows():
+                b = row[media_col]
+                payload = b["media"] if isinstance(b, dict) else bytes(b or b"")
+                n_frames = min(max_frames, max(1, len(payload) // max(every_n, 1)))
+                for i in range(n_frames):
+                    rec = {f.name: row[f.name] for f in passthrough}
+                    rec["frame_idx"] = i
+                    lo = i * every_n
+                    rec["frame"] = payload[lo:lo + every_n]
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(frames, out_schema)

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline; random-hyperplane LSH
+bucketing as the scale path (candidates only, exact rerank).  Both keep the
+linear algebra in Catalyst higher-order functions (``zip_with`` +
+``aggregate``) — JVM codegen, no Python in the row loop.
+
+Scale shape (1000-executor / 100 TB reading):
+* brute force: queries are broadcast (small side), corpus never shuffles —
+  cost is one full corpus scan per query batch, embarrassingly parallel;
+* LSH: corpus is hashed once into ``bands`` buckets (narrow), the join is
+  per-bucket — sublinear candidate generation at the cost of recall;
+  rerank is exact cosine on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..operators.windows import topk_per_group
+
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
+           "cosine_topk_lsh"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns (double precision accumulate)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, score JVM-side, keep k per query via window.
+
+    Output: (query_id, vec_id, cos_sim) — deterministic tie-break on
+    corpus id.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
+    if not include_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.withColumn(
+        "cos_sim", cosine(F.col(vec_col), F.col("__qvec"))
+    ).select(query_id_col, id_col, "cos_sim")
+    return topk_per_group(
+        scored, [query_id_col],
+        [F.col("cos_sim").desc(), F.col(id_col)], k,
+    ).drop("rk")
+
+
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]], bands: int = 4
+) -> Column:
+    """Random-hyperplane LSH signature packed into ``bands`` longs.
+
+    ``planes`` (bits x dim) is generated driver-side from a fixed seed and
+    inlined as literals — tiny (e.g. 64x64 doubles), so it rides the
+    closure, no broadcast needed.  Bit i = sign(dot(vec, plane_i)); bits
+    are chunked into ``bands`` packed longs for band-wise bucketing."""
+    bits_total = len(planes)
+    per_band = bits_total // bands
+    band_cols = []
+    for band in range(bands):
+        acc = F.lit(0).cast("long")
+        for j in range(per_band):
+            plane = planes[band * per_band + j]
+            d = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(p)) for p in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc.bitwiseOR(
+                F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+            )
+        band_cols.append(acc)
+    return F.array(*band_cols)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    dim: int = 64,
+    bits: int = 32,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: hyperplane-LSH band bucketing for
+    candidates, exact cosine rerank.  Recall < 1.0 by design; raise
+    ``bits``/``bands`` for recall, lower for speed."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((bits, dim)).tolist()
+
+    sig = hyperplane_signature(F.col(vec_col), planes, bands)
+    c = corpus.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
+    qs = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        sig.alias("__qsig"),
+    )
+
+    c_bands = c.select(
+        id_col, vec_col, F.posexplode("__sig").alias("band", "band_val")
+    )
+    q_bands = F.broadcast(qs.select(
+        query_id_col, "__qvec", F.posexplode("__qsig").alias("band", "band_val")
+    ))
+    cands = (
+        c_bands.join(q_bands, on=["band", "band_val"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, "__qvec", id_col, vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.withColumn(
+        "cos_sim", cosine(F.col(vec_col), F.col("__qvec"))
+    ).select(query_id_col, id_col, "cos_sim")
+    return topk_per_group(
+        scored, [query_id_col], [F.col("cos_sim").desc(), F.col(id_col)], k
+    ).drop("rk")

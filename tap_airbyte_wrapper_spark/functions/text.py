@@ -1,0 +1,137 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+None of these exist in the reference (its row-level surface stops at stream
+maps, SURVEY.md §2.2); they are the training-data extensions required of
+this engine.  Every function is a pure Catalyst expression builder — string
+in, Column out — so the hot path is JVM/codegen, never a Python UDF, and
+each composes with any DataFrame pipeline:
+
+    df.withColumn("tokens", token_count(F.col("text")))
+
+Determinism note: all formulas are reproducible in ANSI SQL (DuckDB oracle
+in ``__spark_entry__.py``) — md5 fingerprints, regex token counts, marker
+stopword language scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = [
+    "token_count",
+    "bpe_token_estimate",
+    "language_id",
+    "quality_score",
+    "fingerprint",
+    "minhash_fingerprints",
+]
+
+# Marker stopwords per language — tiny n-gram-free heuristic: count marker
+# hits, argmax with deterministic alphabetical tie-break.  Word-boundary
+# regexes keep it exactly reproducible in any regex engine.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "en": ["the", "and", "is", "of", "to"],
+    "es": ["el", "los", "que", "es", "y"],
+    "fr": ["le", "les", "et", "est", "que"],
+}
+
+
+def _marker_hits(col: Column, words: list[str]) -> Column:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), 1))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """BPE-ish token estimate: count word/number/symbol regex tokens plus a
+    length correction (long words split into multiple subword tokens,
+    ~4 chars each) — the standard cheap stand-in for a real tokenizer."""
+    pieces = F.size(
+        F.regexp_extract_all(col, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    )
+    # extra subword tokens for words longer than 4 chars
+    overflow = F.aggregate(
+        F.transform(
+            F.split(F.trim(col), r"\s+"),
+            lambda w: F.floor((F.length(w) - 1) / F.lit(5)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (pieces + overflow).cast("long")
+
+
+def language_id(col: Column) -> Column:
+    """Marker-stopword language classifier: argmax of per-language marker
+    hit counts, 'und' (undetermined) when nothing matches, alphabetical
+    tie-break for determinism."""
+    scores = [(lang, _marker_hits(col, words)) for lang, words in sorted(LANG_MARKERS.items())]
+    best_score = scores[0][1]
+    for _, s in scores[1:]:
+        best_score = F.greatest(best_score, s)
+    out = F.lit("und")
+    # reversed so earlier (alphabetical) languages win ties
+    for lang, s in reversed(scores):
+        out = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(col: Column) -> Column:
+    """Document quality in [0,1]: length band + alpha ratio + stopword
+    presence + word-length sanity.  The formula is the contract (tested +
+    oracle-matched); weights follow common web-corpus filters (Gopher-style
+    length/stopword gates).
+    """
+    n_chars = F.length(col)
+    n_tokens = token_count(col)
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    stop_hits = _marker_hits(col, LANG_MARKERS["en"])
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    mean_word = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+
+    len_score = F.when((n_tokens >= 50) & (n_tokens <= 100000), F.lit(1.0)) \
+        .when(n_tokens >= 10, F.lit(0.5)).otherwise(F.lit(0.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_score = F.least(stop_ratio * 5, F.lit(1.0))
+
+    return (
+        0.3 * len_score + 0.3 * alpha_ratio + 0.2 * stop_score + 0.2 * word_score
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Canonical document fingerprint: md5 of casefolded,
+    whitespace-collapsed text — the exact-dedup key."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
+def minhash_fingerprints(col: Column, num_hashes: int = 16, shingle_len: int = 3) -> Column:
+    """Array of ``num_hashes`` min-hashes over word shingles — a compact
+    document sketch for near-dup detection (rolling-hash fingerprinting).
+
+    Built entirely from higher-order array functions: shingle -> per-seed
+    md5 -> array_min.  md5-on-string min keeps it engine-portable; the
+    xxhash64 fast path lives in functions/dedup.py.
+    """
+    words = F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_len, F.lit(0)))
+    shingles = F.when(n >= shingle_len, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len))
+    )).otherwise(F.array(F.concat_ws(" ", words)))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(seed.cast("string"), F.lit("|"), s)))
+        ),
+    )

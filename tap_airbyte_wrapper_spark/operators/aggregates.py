@@ -1,0 +1,105 @@
+"""Aggregation operators: grouped/cube/rollup/grouping-sets + dedup.
+
+Absent from the reference (SURVEY.md §2.3 — no groupby/dedup code exists in
+tap_airbyte/); supplied here as thin, scale-annotated compositions of
+Catalyst primitives.  Design notes that matter at 100 TB:
+
+* ``groupBy().agg()`` already does map-side partial aggregation — never
+  pre-``repartition`` before a groupBy, that just adds a shuffle;
+* ``count_distinct`` is exact but needs a per-group shuffle of distinct
+  values; ``approx_count_distinct`` (HyperLogLog++) is one pass and
+  mergeable — expose both and let the caller pick the contract;
+* versioned dedup (latest row per key) is a window + filter, which AQE
+  handles skew for; ``dropDuplicates`` is reserved for exact-duplicate
+  removal where any survivor is acceptable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = [
+    "grouped_agg",
+    "cube_agg",
+    "rollup_agg",
+    "grouping_sets_agg",
+    "distinct_count",
+    "dedup_exact",
+    "dedup_latest",
+]
+
+
+def grouped_agg(
+    df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]
+) -> DataFrame:
+    """groupBy().agg() with named outputs: ``aggs`` maps alias -> agg
+    Column.  Partial (map-side) aggregation is automatic."""
+    return df.groupBy(*keys).agg(*[c.alias(a) for a, c in aggs.items()])
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
+    return df.cube(*keys).agg(*[c.alias(a) for a, c in aggs.items()])
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
+    return df.rollup(*keys).agg(*[c.alias(a) for a, c in aggs.items()])
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    aggs: dict[str, str],
+    view_name: str = "__gs_input",
+) -> DataFrame:
+    """GROUPING SETS via SQL (no DataFrame-API equivalent).
+
+    ``aggs`` maps alias -> SQL aggregate expression string.
+    """
+    spark = df.sparkSession
+    df.createOrReplaceTempView(view_name)
+    all_keys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in all_keys:
+                all_keys.append(k)
+    sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
+    agg_sql = ", ".join(f"{e} AS {a}" for a, e in aggs.items())
+    return spark.sql(
+        f"SELECT {', '.join(all_keys)}, {agg_sql} FROM {view_name} "
+        f"GROUP BY GROUPING SETS ({sets_sql})"
+    )
+
+
+def distinct_count(
+    df: DataFrame, keys: Sequence[str], col: str, exact: bool = True, rsd: float = 0.05
+) -> DataFrame:
+    """Distinct cardinality per group: exact shuffle-heavy vs HLL++ single
+    pass (mergeable at 1000-executor scale)."""
+    agg = F.count_distinct(F.col(col)) if exact else F.approx_count_distinct(col, rsd)
+    return df.groupBy(*keys).agg(agg.alias(f"{col}_distinct"))
+
+
+def dedup_exact(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Exact duplicate removal (hash groupBy under the hood); any survivor
+    acceptable.  ``cols=None`` = full-row dedup."""
+    return df.dropDuplicates(list(cols) if cols else None)
+
+
+def dedup_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Versioned dedup: keep the first row per key under ``order_by``
+    (e.g. cursor desc for latest) — the reference carries PKs as metadata
+    only (tap.py:934-943); this realizes them.  Deterministic when
+    ``order_by`` is a total order; include a PK tie-break to guarantee it.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,101 @@
+"""Window-function operators: rank / lag / lead / frames / per-group top-k.
+
+Absent from the reference (SURVEY.md §2.3).  Scale notes:
+
+* every window = one shuffle on its partition keys + per-partition sort;
+  reuse one Window spec across multiple measures so Catalyst computes them
+  in a single Window physical node;
+* per-group top-k via row_number + filter pushes the limit inside each
+  group — never ``orderBy().limit()`` per group driver-side;
+* an UNPARTITIONED window (global rank) funnels everything through one
+  task — ``global_topk`` instead does a per-partition ``limit`` then a
+  final merge, which is how you take top-k off 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+__all__ = ["ranked", "with_lag_lead", "running_agg", "topk_per_group", "global_topk"]
+
+
+def ranked(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    methods: Sequence[str] = ("row_number",),
+) -> DataFrame:
+    """Attach rank columns (``row_number`` / ``rank`` / ``dense_rank`` /
+    ``percent_rank`` / ``ntile:<n>``) over one shared window."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df
+    for m in methods:
+        if m.startswith("ntile:"):
+            out = out.withColumn(f"ntile_{m.split(':')[1]}",
+                                 F.ntile(int(m.split(":")[1])).over(w))
+        else:
+            out = out.withColumn(m, getattr(F, m)().over(w))
+    return out
+
+
+def with_lag_lead(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    col: str,
+    offsets: Sequence[int] = (1,),
+) -> DataFrame:
+    """lag/lead of ``col`` at each offset (positive = lag, negative = lead)
+    over one shared window spec -> single Window node."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df
+    for off in offsets:
+        if off >= 0:
+            out = out.withColumn(f"{col}_lag{off}", F.lag(col, off).over(w))
+        else:
+            out = out.withColumn(f"{col}_lead{-off}", F.lead(col, -off).over(w))
+    return out
+
+
+def running_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    aggs: dict[str, Column],
+    frame: tuple[int | None, int | None] = (None, 0),
+) -> DataFrame:
+    """Frame-bounded running aggregates.  ``frame=(None, 0)`` = unbounded
+    preceding to current row; integers = row offsets."""
+    lo = Window.unboundedPreceding if frame[0] is None else frame[0]
+    hi = Window.unboundedFollowing if frame[1] is None else frame[1]
+    w = Window.partitionBy(*partition_by).orderBy(*order_by).rowsBetween(lo, hi)
+    out = df
+    for alias, c in aggs.items():
+        out = out.withColumn(alias, c.over(w))
+    return out
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group: row_number + filter (deterministic when
+    order_by totally orders; include a tie-break key)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def global_topk(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k without a single-task global sort: Spark's
+    ``orderBy().limit()`` already plans TakeOrderedAndProject (per-partition
+    top-k + driver merge of k*partitions rows) — expose it as the blessed
+    path so callers don't reach for a global row_number window."""
+    return df.orderBy(*order_by).limit(k)

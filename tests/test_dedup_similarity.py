@@ -1,0 +1,106 @@
+"""Fuzzy dedup + similarity search: planted near-duplicates must be found,
+clean corpus must stay intact, LSH recall vs brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tap_airbyte_wrapper_spark.functions import (
+    cosine_topk,
+    cosine_topk_lsh,
+    exact_dedup,
+    minhash_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def planted(spark, docs):
+    """Corpus with planted dupes: 10000+i = near-copy of doc i (one word
+    changed), 20000+i = exact copy of doc i."""
+    base = docs.select("doc_id", "text").limit(20)
+    near = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.regexp_replace(F.col("text"), r"^\S+", "CHANGED")).alias("text"),
+    )
+    exact = base.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+    return base.unionAll(near).unionAll(exact)
+
+
+def test_exact_dedup(planted):
+    out = exact_dedup(planted, "text", "doc_id")
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert len(ids) == 40  # 20 originals + 20 near (exact copies dropped)
+    assert all(i < 20000 for i in ids)
+
+
+def test_minhash_finds_planted_pairs(planted):
+    pairs = minhash_near_dup_pairs(
+        planted, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every exact copy must pair with its original; near-copies of long docs too
+    exact_expected = {(i, i + 20000) for i in range(20)}
+    assert exact_expected <= got
+    near_hits = sum(1 for (a, b) in got if b == a + 10000)
+    assert near_hits >= 15  # one-word change: high jaccard for all but tiny docs
+
+
+def test_minhash_dedup_keeps_clean_docs(docs):
+    # the sf corpus is all-distinct word soup; near-dup removal at a high
+    # threshold must not nuke legitimate documents
+    clean = docs.select("doc_id", "text")
+    out = minhash_dedup(clean, "doc_id", "text",
+                        num_hashes=64, bands=8, threshold=0.9)
+    assert out.count() >= clean.count() * 0.95
+
+
+def test_simhash_pairs(planted):
+    pairs = simhash_near_dup_pairs(planted, "doc_id", "text", max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 20000) for i in range(20)} <= got
+    assert all(r.hamming == 0 for r in pairs.collect() if r.id_b >= 20000 and r.id_a == r.id_b - 20000)
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame([
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),          # identical -> jaccard 1.0
+        (3, "a b c d e f g x"),          # overlapping
+        (4, "z y x w v u t s"),          # disjoint shingles
+    ], "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_cosine_topk_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 3")
+    out = cosine_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.cos_sim)
+    for q, sims in per_q.items():
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_cosine_lsh_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=5)
+    approx = cosine_topk_lsh(emb, queries, k=5, dim=64, bits=64, bands=16)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall {recall} too low"

@@ -1,0 +1,64 @@
+"""Multimodal column plumbing: schemas, Arrow batch flow, fan-out
+cardinality (decode math is a documented deterministic stub)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tap_airbyte_wrapper_spark.functions import (
+    decode_image,
+    extract_features,
+    sample_frames,
+    with_media_metadata,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, bytes(range(i % 7, i % 7 + 60))) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    return with_media_metadata(df, "payload", "image/png")
+
+
+def test_media_bundle_schema(media):
+    row = media.first()
+    b = row.media_bundle
+    assert b.media_type == "image/png"
+    assert b.size_bytes == 60
+    assert len(b.media_hash) == 32
+    # payload rides along, hash is of the payload
+    assert bytes(b.media) == bytes(row.payload)
+
+
+def test_decode_image_fake(media):
+    out = decode_image(media.select("id", "media_bundle"), "media_bundle", fake=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert set(out.columns) == {"id", "width", "height", "channels", "pixel_checksum"}
+    assert all(16 <= r.width < 80 for r in rows)
+    # deterministic: same payload -> same decode
+    again = decode_image(media.select("id", "media_bundle"), "media_bundle", fake=True)
+    assert sorted((r.id, r.pixel_checksum) for r in rows) == \
+        sorted((r.id, r.pixel_checksum) for r in again.collect())
+
+
+def test_decode_image_real_raises(media):
+    out = decode_image(media.select("id", "media_bundle"), "media_bundle", fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        out.collect()
+
+
+def test_extract_features(media):
+    out = extract_features(media.select("id", "media_bundle"), "media_bundle",
+                           dim=16, fake=True)
+    rows = out.collect()
+    assert all(len(r.feature) == 16 for r in rows)
+
+
+def test_sample_frames_fanout(media):
+    out = sample_frames(media.select("id", "media_bundle"), "media_bundle",
+                        every_n=10, max_frames=4, fake=True)
+    rows = out.collect()
+    # 60-byte payload, every_n=10 -> min(4, 6) = 4 frames per video
+    assert len(rows) == 80
+    assert {r.frame_idx for r in rows} == {0, 1, 2, 3}
+    assert all(len(bytes(r.frame)) == 10 for r in rows)

@@ -1,0 +1,173 @@
+"""Relational operator layer: semantics + plan-shape assertions."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tap_airbyte_wrapper_spark import operators as ops
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_equi_join_broadcast_hint(orders, customer):
+    j = ops.equi_join(orders, customer.withColumnRenamed("c_custkey", "o_custkey"),
+                      on="o_custkey", broadcast_right=True)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert j.count() == orders.count()
+
+
+def test_semi_anti_partition(orders, customer):
+    with_orders = ops.semi_join(
+        customer, orders.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey")
+    without = ops.anti_join(
+        customer, orders.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey")
+    assert with_orders.count() + without.count() == customer.count()
+    assert with_orders.columns == customer.columns  # no right cols leak
+
+
+def test_asof_backward(spark):
+    quotes = spark.createDataFrame([
+        ("A", ts("2024-01-01T10:00:00"), 100.0),
+        ("A", ts("2024-01-01T10:05:00"), 101.0),
+        ("B", ts("2024-01-01T10:01:00"), 50.0),
+    ], "sym string, qts timestamp, price double")
+    trades = spark.createDataFrame([
+        ("A", ts("2024-01-01T10:03:00"), 10),
+        ("A", ts("2024-01-01T10:05:00"), 20),   # equal ts -> inclusive match
+        ("A", ts("2024-01-01T09:00:00"), 30),   # before any quote -> null
+        ("B", ts("2024-01-01T11:00:00"), 40),
+    ], "sym string, tts timestamp, qty int")
+    out = ops.asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+                        right_prefix="q_").collect()
+    by_qty = {r.qty: r for r in out}
+    assert by_qty[10].q_price == 100.0
+    assert by_qty[20].q_price == 101.0
+    assert by_qty[30].q_price is None
+    assert by_qty[40].q_price == 50.0
+    assert len(out) == 4  # exactly one row per left row
+
+
+def test_asof_forward_and_tolerance(spark):
+    right = spark.createDataFrame(
+        [("A", ts("2024-01-01T10:10:00"), 1.0)], "k string, rts timestamp, v double")
+    left = spark.createDataFrame(
+        [("A", ts("2024-01-01T10:00:00"), 1),
+         ("A", ts("2024-01-01T09:00:00"), 2)], "k string, lts timestamp, id int")
+    fwd = ops.asof_join(left, right, "k", "lts", "rts", direction="forward")
+    assert {r.id: r.v for r in fwd.collect()} == {1: 1.0, 2: 1.0}
+    tol = ops.asof_join(left, right, "k", "lts", "rts", direction="forward",
+                        tolerance=F.expr("INTERVAL 30 MINUTES"))
+    assert {r.id: r.v for r in tol.collect()} == {1: 1.0, 2: None}
+
+
+def test_range_join_binned(spark):
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 30.0)], "pid int, x double")
+    ivals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 10.0, 20.0), (30, 25.0, 40.0)],
+        "iid int, lo double, hi double")
+    out = ops.range_join(points, ivals, "x", "lo", "hi", bin_width=10.0)
+    assert {(r.pid, r.iid) for r in out.collect()} == {(1, 10), (2, 20), (3, 30)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan  # stayed an equi-join
+
+
+def test_range_join_requires_strategy(spark):
+    df = spark.range(1).withColumn("x", F.lit(1.0))
+    iv = spark.range(1).select(F.lit(0.0).alias("lo"), F.lit(2.0).alias("hi"))
+    with pytest.raises(ValueError, match="bin_width"):
+        ops.range_join(df, iv, "x", "lo", "hi")
+
+
+def test_grouping_flavors(orders):
+    aggs = {"n": F.count(F.lit(1)), "total": F.round(F.sum("o_totalprice"), 2)}
+    plain = ops.grouped_agg(orders, ["o_orderstatus"], aggs)
+    roll = ops.rollup_agg(orders, ["o_orderstatus", "o_orderpriority"], aggs)
+    cube = ops.cube_agg(orders, ["o_orderstatus", "o_orderpriority"], aggs)
+    np, nr, nc = plain.count(), roll.count(), cube.count()
+    assert nr > np  # rollup adds subtotals + grand total
+    assert nc >= nr  # cube adds the priority-only slices too
+    grand = roll.filter("o_orderstatus IS NULL AND o_orderpriority IS NULL")
+    assert grand.first().n == orders.count()
+
+
+def test_grouping_sets(orders):
+    gs = ops.grouping_sets_agg(
+        orders,
+        [["o_orderstatus"], ["o_orderpriority"]],
+        {"n": "count(*)"},
+    )
+    st = gs.filter("o_orderpriority IS NULL").count()
+    pr = gs.filter("o_orderstatus IS NULL").count()
+    assert st + pr == gs.count()
+
+
+def test_distinct_count(orders):
+    exact = ops.distinct_count(orders, ["o_orderstatus"], "o_custkey")
+    approx = ops.distinct_count(orders, ["o_orderstatus"], "o_custkey", exact=False)
+    e = {r.o_orderstatus: r.o_custkey_distinct for r in exact.collect()}
+    a = {r.o_orderstatus: r.o_custkey_distinct for r in approx.collect()}
+    for k in e:
+        assert abs(a[k] - e[k]) / e[k] < 0.15
+
+
+def test_dedup_exact_and_latest(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "a", 1), (1, "b", 2), (2, "c", 1)],
+        "k int, v string, ver int")
+    assert ops.dedup_exact(df).count() == 3
+    latest = ops.dedup_latest(df, ["k"], [F.col("ver").desc(), F.col("v")])
+    assert {(r.k, r.v) for r in latest.collect()} == {(1, "b"), (2, "c")}
+
+
+def test_ranked_and_lag(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 30.0), ("g", 3, 20.0)], "g string, i int, v double")
+    r = ops.ranked(df, ["g"], [F.col("v").desc()], ["row_number", "rank"])
+    assert {x.i: x.row_number for x in r.collect()} == {2: 1, 3: 2, 1: 3}
+    lag = ops.with_lag_lead(df, ["g"], [F.col("i")], "v", offsets=[1, -1])
+    row2 = lag.filter("i = 2").first()
+    assert row2.v_lag1 == 10.0 and row2.v_lead1 == 20.0
+
+
+def test_running_agg(spark):
+    df = spark.createDataFrame([("g", i, float(i)) for i in range(1, 5)],
+                               "g string, i int, v double")
+    out = ops.running_agg(df, ["g"], [F.col("i")], {"run_sum": F.sum("v")})
+    assert [r.run_sum for r in out.orderBy("i").collect()] == [1.0, 3.0, 6.0, 10.0]
+
+
+def test_topk(orders):
+    top = ops.topk_per_group(
+        orders, ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3)
+    sizes = top.groupBy("o_orderpriority").count().collect()
+    assert all(r["count"] == 3 for r in sizes)
+    g = ops.global_topk(orders, [F.col("o_totalprice").desc()], 5)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert g.count() == 5
+
+
+def test_setops(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "x int")
+    b = spark.createDataFrame([(1,), (3,)], "x int")
+    assert ops.intersect_rows(a, b).count() == 2
+    assert sorted(r.x for r in ops.except_rows(a, b).collect()) == [1, 2]
+    c = spark.createDataFrame([(4, "y")], "x int, extra string")
+    u = ops.union_by_name([a, c])
+    assert u.count() == 5 and set(u.columns) == {"x", "extra"}

@@ -1,0 +1,95 @@
+"""Text-analysis operators on the documents table + synthetic edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tap_airbyte_wrapper_spark.functions import (
+    bpe_token_estimate,
+    fingerprint,
+    language_id,
+    minhash_fingerprints,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def one(spark, text):
+    return spark.createDataFrame([(text,)], "text string")
+
+
+def test_token_count(spark):
+    rows = (
+        one(spark, "a b  c").unionAll(one(spark, "")).unionAll(one(spark, "   "))
+        .unionAll(one(spark, "single"))
+        .select(token_count(F.col("text")).alias("n")).collect()
+    )
+    assert [r.n for r in rows] == [3, 0, 0, 1]
+
+
+def test_token_count_matches_docs(docs):
+    # documents are single-space word soup: tokens = spaces + 1
+    bad = docs.select(
+        token_count(F.col("text")).alias("n"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1).alias("want"),
+    ).filter("n != want")
+    assert bad.count() == 0
+
+
+def test_bpe_estimate_monotone(spark):
+    df = one(spark, "short words here").unionAll(
+        one(spark, "supercalifragilisticexpialidocious antidisestablishmentarianism"))
+    got = df.select(bpe_token_estimate(F.col("text")).alias("n")).collect()
+    assert got[0].n == 3
+    assert got[1].n > 2  # long words split into subword overflow tokens
+
+
+def test_language_id(spark):
+    cases = {
+        "the cat and the dog is here": "en",
+        "der hund und die katze ist nicht da": "de",
+        "el perro y los gatos que es": "es",
+        "le chien et les chats est que": "fr",
+        "xyzzy qwerty": "und",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = {r.text: r.lang for r in
+           df.select("text", language_id(F.col("text")).alias("lang")).collect()}
+    assert got == cases
+
+
+def test_quality_score_bounds(docs):
+    stats = docs.select(quality_score(F.col("text")).alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")).first()
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_quality_ranks_garbage_below_prose(spark):
+    prose = " ".join(["the quick brown fox jumps over the lazy dog and runs"] * 10)
+    garbage = "!!!! #### 1234 @@@@ %%%% ^^^^"
+    df = spark.createDataFrame([("p", prose), ("g", garbage)], "k string, text string")
+    got = {r.k: r.q for r in df.select("k", quality_score(F.col("text")).alias("q")).collect()}
+    assert got["p"] > got["g"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("A  Dog ",), ("a dog",), ("a cat",)], "text string")
+    fps = [r.fp for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+    assert len(fps[0]) == 32  # md5 hex
+
+
+def test_minhash_fingerprints_shape(docs):
+    row = docs.limit(1).select(
+        minhash_fingerprints(F.col("text"), num_hashes=8).alias("mh")).first()
+    assert len(row.mh) == 8
+    assert all(len(h) == 32 for h in row.mh)
+    # deterministic across evaluations
+    again = docs.limit(1).select(
+        minhash_fingerprints(F.col("text"), num_hashes=8).alias("mh")).first()
+    assert row.mh == again.mh
