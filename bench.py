@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the engine's query fleet at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
+"sf"}.
+
+Each query executes via the noop sink (full computation, no driver
+collect, no filesystem write skew) after a warm-up of the session JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(cpus: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tap-airbyte-wrapper-spark-bench")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entry_mod
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # JVM/codegen warm-up on the smallest SF so per-query timings measure
+    # the plan, not first-call JIT.
+    try:
+        entry_mod.entry(spark).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+        except Exception as e:  # a failing query must not hide the rest
+            dt = time.perf_counter() - t0
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "fleet_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

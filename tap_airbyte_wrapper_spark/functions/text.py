@@ -129,9 +129,18 @@ def minhash_fingerprints(col: Column, num_hashes: int = 16, shingle_len: int = 3
     shingles = F.when(n >= shingle_len, F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len))
     )).otherwise(F.array(F.concat_ws(" ", words)))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(seed.cast("string"), F.lit("|"), s)))
+    # aggregate-over-shingles shape: shingle array evaluated once per row
+    # (see functions/dedup.py minhash_signature).  "g" sorts after every
+    # md5 hex digit, so it is a safe string +infinity.
+    return F.aggregate(
+        shingles,
+        F.array_repeat(F.lit("g"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda seed: F.md5(F.concat(seed.cast("string"), F.lit("|"), s)),
+            ),
+            lambda a, b: F.least(a, b),
         ),
     )

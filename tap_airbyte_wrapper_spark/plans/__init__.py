@@ -1,0 +1,5 @@
+"""Query plans: the engine's headline query fleet + DuckDB oracle SQL."""
+
+from .queries import ORACLES, QUERIES, flagship
+
+__all__ = ["QUERIES", "ORACLES", "flagship"]

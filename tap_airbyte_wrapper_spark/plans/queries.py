@@ -1,0 +1,801 @@
+"""The engine's query fleet: every operator exercised end-to-end, each with
+a DuckDB oracle for the driver's correctness gate.
+
+Conventions (driver contract, see repo ``__spark_entry__.py``):
+* each query is ``(spark, sf_dir) -> DataFrame``;
+* every computed column is aliased IDENTICALLY in the Spark plan and the
+  oracle SQL (the driver sorts columns by name before value-hashing);
+* floating aggregates are rounded in BOTH engines (2dp money, 4dp ratios)
+  so cross-engine summation-order noise cannot flip the value hash;
+* timestamps are emitted as ``unix_micros`` longs (``epoch_us`` in DuckDB)
+  — engine-neutral rendering;
+* queries marked in ``NO_ORACLE`` use xxhash64/LSH internals DuckDB cannot
+  reproduce; the driver records rows-only checks for those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import (
+    bpe_token_estimate,
+    cosine_topk,
+    cosine_topk_lsh,
+    decode_image,
+    exact_dedup,
+    language_id,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_near_dup_pairs,
+    token_count,
+    with_media_metadata,
+)
+from ..maps import StreamMapper, flatten
+from ..operators import (
+    anti_join,
+    asof_join,
+    cube_agg,
+    dedup_latest,
+    equi_join,
+    global_topk,
+    grouped_agg,
+    grouping_sets_agg,
+    range_join,
+    rollup_agg,
+    semi_join,
+    topk_per_group,
+)
+from ..sources.files import load_parquet
+
+# --------------------------------------------------------------------- utils
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table through the engine's nanos-tolerant reader."""
+    return load_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _us(col_name: str):
+    # parquet ms-timestamps surface as TIMESTAMP_NTZ in Spark 4; with the
+    # session pinned to UTC the cast is exact
+    return F.unix_micros(F.col(col_name).cast("timestamp"))
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+# =====================================================================
+# EL parity: scan / incremental / stream maps / flattening
+# =====================================================================
+
+
+def q_full_scan_events(spark, sf_dir):
+    """Full-refresh scan with output normalization (reference op #1/#11)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 4).alias("value_r"),
+        _us("ts").alias("ts_us"),
+    )
+
+
+def q_incremental_events(spark, sf_dir):
+    """Incremental sync past a bookmark (reference op #9/#10): the cursor
+    predicate the state store would inject, pushed into the scan."""
+    from ..catalog import StreamEntry, SyncMode
+    from ..sources import get_source
+
+    src = get_source("dataset_dir", {"path": sf_dir})
+    entry = StreamEntry(
+        name="events",
+        schema=_t(spark, sf_dir, "events").schema,
+        replication_key="ts",
+        supported_sync_modes=[SyncMode.FULL_REFRESH, SyncMode.INCREMENTAL],
+    )
+    df = src.read_incremental(spark, entry, "2024-01-15T00:00:00")
+    return df.select("event_id", "user_id", "event_type", _us("ts").alias("ts_us"))
+
+
+def q_stream_map_customer(spark, sf_dir):
+    """Stream maps (SDK §2.2): computed column, drop, row filter."""
+    mapper = StreamMapper(
+        stream_maps={
+            "customer": {
+                "__filter__": "c_acctbal > 0",
+                "name_hash": "md5(c_name)",
+                "c_nationkey": "__NULL__",
+            }
+        }
+    )
+    [(_, df)] = mapper.apply("customer", _t(spark, sf_dir, "customer"))
+    return df.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal_r"),
+        "c_mktsegment", "name_hash",
+    )
+
+
+def q_flatten_props(spark, sf_dir):
+    """Schema flattening (SDK §2.2): JSON props -> struct -> props__k."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.from_json("props", "k int").alias("props")
+    )
+    return flatten(ev).select("event_id", "props__k")
+
+
+# =====================================================================
+# Relational layer (SURVEY §2.3)
+# =====================================================================
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide aggregate, map-side partial agg, one shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return grouped_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.round(F.sum("l_quantity"), 2),
+            "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
+            "sum_disc_price": F.round(F.sum(F.expr(_REV)), 2),
+            "sum_charge": F.round(
+                F.sum(F.expr(f"{_REV} * (1 + l_tax)")), 2),
+            "avg_qty": F.round(F.avg("l_quantity"), 4),
+            "avg_price": F.round(F.avg("l_extendedprice"), 4),
+            "avg_disc": F.round(F.avg("l_discount"), 4),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, broadcast dims, top-10 without a global
+    sort (TakeOrderedAndProject)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-15")
+    j = equi_join(
+        orders, cust.select(F.col("c_custkey").alias("o_custkey")),
+        on="o_custkey", broadcast_right=True,
+    )
+    j = li.join(
+        j.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate",
+                 "o_orderpriority"),
+        on="l_orderkey",
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(F.expr(_REV)).alias("__rev")
+    )
+    top = global_topk(agg, [F.col("__rev").desc(), F.col("l_orderkey")], 10)
+    return top.select(
+        "l_orderkey", F.round("__rev", 2).alias("revenue"),
+        _us("o_orderdate").alias("o_orderdate_us"), "o_orderpriority",
+    )
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table snowflake join; all dims broadcast, only
+    lineitem/orders shuffle."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = equi_join(
+        _t(spark, sf_dir, "nation"),
+        region.select(F.col("r_regionkey").alias("n_regionkey")),
+        on="n_regionkey", broadcast_right=True,
+    )
+    cust = equi_join(
+        _t(spark, sf_dir, "customer"),
+        nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name"),
+        on="c_nationkey", broadcast_right=True,
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    oc = equi_join(
+        orders,
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey", "n_name"),
+        on="o_custkey", broadcast_right=True,
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    li = equi_join(
+        _t(spark, sf_dir, "lineitem"),
+        sup.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"),
+        on="l_suppkey", broadcast_right=True,
+    )
+    j = li.join(
+        oc.select(F.col("o_orderkey").alias("l_orderkey"), "c_nationkey", "n_name"),
+        on="l_orderkey",
+    ).filter(F.col("s_nationkey") == F.col("c_nationkey"))
+    return j.groupBy("n_name").agg(F.round(F.sum(F.expr(_REV)), 2).alias("revenue"))
+
+
+def q_brand_revenue(spark, sf_dir):
+    """Star join: fact x broadcast dim, aggregate by dim attribute."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand")
+    j = equi_join(li, part, on="l_partkey", broadcast_right=True)
+    return j.groupBy("p_brand").agg(
+        F.round(F.sum(F.expr(_REV)), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_customers_with_orders(spark, sf_dir):
+    """Left-semi join: 1997 buyers."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    return semi_join(
+        _t(spark, sf_dir, "customer"),
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+    ).select("c_custkey", "c_name")
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Left-anti join: never-ordered customers."""
+    return anti_join(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+    ).select("c_custkey", "c_name")
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Window top-k per group (row_number + filter)."""
+    return topk_per_group(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    ).select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price_r"), "rk")
+
+
+def q_running_revenue(spark, sf_dir):
+    """Frame-bounded running aggregate per customer."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("run_total"),
+    )
+
+
+def q_rollup_region_nation(spark, sf_dir):
+    """Rollup subtotals over the region -> nation hierarchy."""
+    cust = equi_join(
+        _t(spark, sf_dir, "customer"),
+        equi_join(
+            _t(spark, sf_dir, "nation"),
+            _t(spark, sf_dir, "region").select(
+                F.col("r_regionkey").alias("n_regionkey"), "r_name"),
+            on="n_regionkey", broadcast_right=True,
+        ).select(F.col("n_nationkey").alias("c_nationkey"), "n_name", "r_name"),
+        on="c_nationkey", broadcast_right=True,
+    )
+    orders = equi_join(
+        _t(spark, sf_dir, "orders"),
+        cust.select(F.col("c_custkey").alias("o_custkey"), "n_name", "r_name"),
+        on="o_custkey", broadcast_right=True,
+    )
+    return rollup_agg(
+        orders, ["r_name", "n_name"],
+        {"total": F.round(F.sum("o_totalprice"), 2),
+         "n_orders": F.count(F.lit(1))},
+    )
+
+
+def q_cube_event_day(spark, sf_dir):
+    """Cube over event_type x day-of-month."""
+    ev = _t(spark, sf_dir, "events").withColumn("d", F.dayofmonth("ts"))
+    return cube_agg(
+        ev, ["event_type", "d"],
+        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 2)},
+    )
+
+
+def q_grouping_sets_events(spark, sf_dir):
+    """GROUPING SETS: independent per-type and per-day slices in one pass."""
+    ev = _t(spark, sf_dir, "events").withColumn("d", F.dayofmonth("ts"))
+    return grouping_sets_agg(
+        ev, [["event_type"], ["d"]], {"n": "count(*)"},
+    )
+
+
+def q_distinct_users(spark, sf_dir):
+    """Exact distinct aggregation."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
+def q_clickers_not_purchasers(spark, sf_dir):
+    """Set difference (EXCEPT DISTINCT)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.subtract(buys)
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """Versioned dedup: latest event per user (PK realization)."""
+    return dedup_latest(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("user_id", "event_id", "event_type", _us("ts").alias("ts_us"))
+
+
+def q_asof_purchase_view(spark, sf_dir):
+    """As-of join: for each purchase, the user's most recent view at or
+    before it.  Right side deduped per (user, ts) for determinism."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id")
+    views = dedup_latest(
+        ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id"),
+        ["user_id", "ts"], [F.col("event_id").desc()],
+    )
+    out = asof_join(purchases, views, on="user_id", left_ts="ts",
+                    right_prefix="view_")
+    return out.select(
+        "event_id", "user_id", _us("ts").alias("ts_us"),
+        F.col("view_event_id"),
+    )
+
+
+def q_error_click_window(spark, sf_dir):
+    """Range join: clicks within 60s before each error, binned equi-join."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"),
+        (F.col("ts") - F.expr("INTERVAL 60 SECONDS")).alias("lo"),
+        F.col("ts").alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts")
+    matched = range_join(clicks, errors, "ts", "lo", "hi",
+                         on="user_id", bin_width=60.0)
+    counts = matched.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    return (
+        errors.select("err_id").join(counts, "err_id", "left")
+        .select("err_id", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"))
+    )
+
+
+def q_top3_parts_per_brand(spark, sf_dir):
+    """Join + grouped top-k: highest-revenue parts per brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand")
+    rev = equi_join(li, part, on="l_partkey", broadcast_right=True).groupBy(
+        "p_brand", "l_partkey"
+    ).agg(F.sum(F.expr(_REV)).alias("__rev"))
+    top = topk_per_group(
+        rev, ["p_brand"], [F.col("__rev").desc(), F.col("l_partkey")], 3)
+    return top.select(
+        "p_brand", "l_partkey", F.round("__rev", 2).alias("revenue"), "rk")
+
+
+def q_top10_orders(spark, sf_dir):
+    """Global top-k without global sort."""
+    return global_topk(
+        _t(spark, sf_dir, "orders"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10,
+    ).select("o_orderkey", F.round("o_totalprice", 2).alias("price_r"))
+
+
+def q_sessionization(spark, sf_dir):
+    """Batch sessionization: 30-min-gap sessions per user via lag +
+    cumulative flag sum (the batch analogue of session_window)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").withColumn("prev_ts", F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+
+
+# =====================================================================
+# LLM-data-pipeline layer
+# =====================================================================
+
+
+def q_token_stats(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_token_estimate(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_language_id(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+def q_quality_scores(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("q"))
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    return exact_dedup(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select("doc_id", "lang", "source")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard pairs, blocked by (lang, source)."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.2, blocking_cols=["lang", "source"],
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"))
+
+
+def q_decode_image_meta(spark, sf_dir):
+    """Multimodal plumbing: text bytes as fake image payloads -> decode."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    media = with_media_metadata(docs, "payload", "image/png").select(
+        "doc_id", "media_bundle")
+    return decode_image(media, "media_bundle", fake=True).select(
+        "doc_id", "width", "height", "channels")
+
+
+# -- no-oracle (xxhash64/LSH internals not reproducible in SQL) --------
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=64, bands=16, threshold=0.5,
+    ).select("id_a", "id_b", F.round("jaccard_est", 4).alias("jaccard_r"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    ).select("id_a", "id_b", "hamming")
+
+
+def q_knn_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(emb, queries, k=5, dim=64, bits=64, bands=16).select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"))
+
+
+# =====================================================================
+# registry + oracles
+# =====================================================================
+
+QUERIES = {
+    "full_scan_events": q_full_scan_events,
+    "incremental_events": q_incremental_events,
+    "stream_map_customer": q_stream_map_customer,
+    "flatten_props": q_flatten_props,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "brand_revenue": q_brand_revenue,
+    "customers_with_orders": q_customers_with_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "running_revenue": q_running_revenue,
+    "rollup_region_nation": q_rollup_region_nation,
+    "cube_event_day": q_cube_event_day,
+    "grouping_sets_events": q_grouping_sets_events,
+    "distinct_users": q_distinct_users,
+    "clickers_not_purchasers": q_clickers_not_purchasers,
+    "latest_event_per_user": q_latest_event_per_user,
+    "asof_purchase_view": q_asof_purchase_view,
+    "error_click_window": q_error_click_window,
+    "top3_parts_per_brand": q_top3_parts_per_brand,
+    "top10_orders": q_top10_orders,
+    "sessionization": q_sessionization,
+    "token_stats": q_token_stats,
+    "language_id": q_language_id,
+    "quality_scores": q_quality_scores,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "knn_bruteforce": q_knn_bruteforce,
+    "decode_image_meta": q_decode_image_meta,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "knn_lsh": q_knn_lsh,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q1_pricing_summary(spark, sf_dir)
+
+
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+# Shared SQL fragments for the text oracles (must mirror functions/text.py
+# exactly).
+_NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_WORDS = "regexp_extract_all(trim(text), '\\S+')"
+
+
+def _marker_sql(words: str) -> str:
+    return (
+        "len(regexp_extract_all(lower(text), '\\b(" + "|".join(words) + ")\\b'))"
+    )
+
+
+_LANG_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+    {_marker_sql(['der', 'die', 'und', 'ist', 'nicht'])} AS de_h,
+    {_marker_sql(['the', 'and', 'is', 'of', 'to'])} AS en_h,
+    {_marker_sql(['el', 'los', 'que', 'es', 'y'])} AS es_h,
+    {_marker_sql(['le', 'les', 'et', 'est', 'que'])} AS fr_h
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'und'
+    WHEN de_h = greatest(de_h, en_h, es_h, fr_h) THEN 'de'
+    WHEN en_h = greatest(de_h, en_h, es_h, fr_h) THEN 'en'
+    WHEN es_h = greatest(de_h, en_h, es_h, fr_h) THEN 'es'
+    ELSE 'fr'
+  END AS lang_pred
+FROM scored
+"""
+
+_QUALITY_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len({_WORDS}) END AS n_tokens,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+    {_marker_sql(['the', 'and', 'is', 'of', 'to'])} AS stop_hits
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 1.0
+         WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END AS len_score,
+    CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+    least(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END * 5,
+          1.0) AS stop_score,
+    CASE WHEN n_tokens > 0 AND n_chars / n_tokens >= 3
+              AND n_chars / n_tokens <= 12 THEN 1.0 ELSE 0.0 END AS word_score
+  FROM c
+)
+SELECT doc_id,
+  round(0.3 * len_score + 0.3 * alpha_ratio + 0.2 * stop_score
+        + 0.2 * word_score, 4) AS q
+FROM r
+"""
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, lang, source,
+    list_distinct(
+      CASE WHEN len(w) >= 3 THEN
+        list_transform(generate_series(1, len(w) - 2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [array_to_string(w, ' ')] END) AS sh
+  FROM (SELECT doc_id, lang, source,
+               regexp_extract_all({_NORM_TEXT}, '\\S+') AS w
+        FROM documents)
+"""
+
+ORACLES = {
+    "full_scan_events": """
+        SELECT event_id, user_id, event_type, round(value, 4) AS value_r,
+               epoch_us(ts) AS ts_us FROM events""",
+    "incremental_events": """
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'""",
+    "stream_map_customer": """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal_r, c_mktsegment,
+               md5(c_name) AS name_hash
+        FROM customer WHERE c_acctbal > 0""",
+    "flatten_props": """
+        SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS props__k
+        FROM events""",
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum({_REV_SQL}), 2) AS sum_disc_price,
+               round(sum({_REV_SQL} * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey, round(sum({_REV_SQL}), 2) AS revenue,
+               epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY sum({_REV_SQL}) DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier_volume": f"""
+        SELECT n_name, round(sum({_REV_SQL}), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name""",
+    "brand_revenue": f"""
+        SELECT p_brand, round(sum({_REV_SQL}), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""",
+    "customers_with_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')""",
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price_r,
+               CAST(rk AS INTEGER) AS rk
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders)
+        WHERE rk <= 3""",
+    "running_revenue": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS run_total
+        FROM orders""",
+    "rollup_region_nation": """
+        SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)""",
+    "cube_event_day": """
+        SELECT event_type, CAST(day(ts) AS INTEGER) AS d, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY CUBE (event_type, day(ts))""",
+    "grouping_sets_events": """
+        SELECT event_type, CAST(day(ts) AS INTEGER) AS d, count(*) AS n
+        FROM events GROUP BY GROUPING SETS ((event_type), (day(ts)))""",
+    "distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type""",
+    "clickers_not_purchasers": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""",
+    "latest_event_per_user": """
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1""",
+    "asof_purchase_view": """
+        WITH views AS (
+          SELECT user_id, ts, event_id FROM (
+            SELECT user_id, ts, event_id, row_number() OVER (
+              PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view') WHERE rn = 1
+        ), purchases AS (
+          SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id AS event_id, p.user_id AS user_id,
+               epoch_us(p.ts) AS ts_us, v.event_id AS view_event_id
+        FROM purchases p
+        ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "error_click_window": """
+        SELECT e.event_id AS err_id, count(c.event_id) AS n_clicks
+        FROM events e
+        LEFT JOIN events c
+          ON c.user_id = e.user_id AND c.event_type = 'click'
+         AND c.ts >= e.ts - INTERVAL 60 SECOND AND c.ts <= e.ts
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id""",
+    "top3_parts_per_brand": f"""
+        SELECT p_brand, l_partkey, round(rev, 2) AS revenue,
+               CAST(rk AS INTEGER) AS rk
+        FROM (SELECT p_brand, l_partkey, rev, row_number() OVER (
+                PARTITION BY p_brand ORDER BY rev DESC, l_partkey) AS rk
+              FROM (SELECT p_brand, l_partkey, sum({_REV_SQL}) AS rev
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    GROUP BY p_brand, l_partkey))
+        WHERE rk <= 3""",
+    "top10_orders": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price_r
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "sessionization": """
+        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+        FROM (SELECT user_id,
+                CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                     ELSE 0 END AS new_sess
+              FROM (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_ts
+                    FROM events))
+        GROUP BY user_id""",
+    "token_stats": f"""
+        SELECT doc_id,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_WORDS}) END AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               + coalesce(list_sum(list_transform({_WORDS},
+                   w -> (length(w) - 1) // 5)), 0) AS BIGINT) AS bpe_tokens
+        FROM documents""",
+    "language_id": _LANG_SQL,
+    "quality_scores": _QUALITY_SQL,
+    "exact_dedup_docs": f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id IN (
+          SELECT min(doc_id) FROM documents
+          GROUP BY md5({_NORM_TEXT}))""",
+    "jaccard_pairs": f"""
+        WITH sh AS ({_SHINGLES_SQL})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh))), 4) AS jaccard_r
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              >= 0.2""",
+    "knn_bruteforce": """
+        SELECT query_id, vec_id, round(cos_sim, 4) AS cos_r
+        FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[]))
+                     AS cos_sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                         CAST(c.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
+              FROM embeddings c
+              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+              WHERE c.vec_id != q.vec_id)
+        WHERE rk <= 5""",
+    "decode_image_meta": """
+        SELECT doc_id,
+               CAST(16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER)
+                    % 64 AS INTEGER) AS width,
+               CAST(16 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER)
+                    % 64 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels
+        FROM documents""",
+}

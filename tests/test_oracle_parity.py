@@ -1,0 +1,82 @@
+"""Local replica of the driver's correctness gate: every queries() entry
+with an oracle must match DuckDB on row count, column names, and
+order-insensitive values at sf0.001 (fast) — the driver runs sf0.01.
+
+Run the heavier sf0.01 pass manually:
+    SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(val):
+    if val is None:
+        return "∅"
+    if isinstance(val, bool):
+        return str(val)
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "nan"
+        # driver-style: normalize -0.0 and float noise post-round
+        return format(val + 0.0, ".6g") if val == int(val) else repr(round(val, 6))
+    return str(val)
+
+
+def rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+QUERY_NAMES = sorted(set(entry_mod.queries()) & set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, sf_dir, ddb, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count spark={len(srows)} duckdb={len(drows)}")
+    sset, dset = rowset(scols, srows), rowset(dcols, drows)
+    if sset != dset:
+        diff_s = [r for r in sset if r not in dset][:5]
+        diff_d = [r for r in dset if r not in sset][:5]
+        raise AssertionError(
+            f"{name}: value mismatch\n spark-only={diff_s}\n duck-only={diff_d}")
+
+
+def test_no_oracle_queries_run(spark, sf_dir):
+    missing = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
+    assert missing == {"minhash_pairs", "simhash_pairs", "knn_lsh"}
+    for name in missing:
+        df = entry_mod.queries()[name](spark, sf_dir)
+        assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "sum_disc_price" in df.columns
