@@ -62,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.state:
         config["state_path"] = args.state
 
-    from .sources import get_source, list_sources
+    from .sources import SourceError, list_sources
     from .sync import Engine
 
     if args.about and not config:
@@ -70,7 +70,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = build_spark()
-    engine = Engine(spark, config)
+    try:
+        engine = Engine(spark, config)
+    except SourceError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
     if args.about:
         print(json.dumps({"spec": engine.spec()}, indent=2, sort_keys=True))

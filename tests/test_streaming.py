@@ -1,0 +1,91 @@
+"""Structured Streaming incremental sync: availableNow drain, checkpoint
+resume (no reprocessing), watermarked windows, session windows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tap_airbyte_wrapper_spark.sources.files import load_parquet
+from tap_airbyte_wrapper_spark.streaming import (
+    incremental_sync,
+    resume_info,
+    run_available_now,
+    sessionized,
+    stream_source,
+    windowed_counts,
+)
+
+
+@pytest.fixture()
+def event_batches(spark, sf_dir, tmp_path):
+    """events split into two arrival batches, landed as separate files."""
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    src = tmp_path / "landing"
+    b1 = ev.filter("event_id % 2 = 0")
+    b2 = ev.filter("event_id % 2 = 1")
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    return ev, b1, b2, str(src)
+
+
+def test_available_now_drain_and_resume(spark, event_batches, tmp_path):
+    ev, b1, b2, src = event_batches
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = stream_source(spark, src, ev.schema)
+    assert stream.isStreaming
+
+    q = incremental_sync(stream, sink, ckpt)
+    run_available_now(q)
+    assert spark.read.parquet(sink).count() == b1.count()
+
+    # second batch lands; a new run drains ONLY the new files
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = incremental_sync(stream_source(spark, src, ev.schema), sink, ckpt)
+    run_available_now(q2)
+    out = spark.read.parquet(sink)
+    assert out.count() == ev.count()  # no duplicates: checkpoint = bookmark
+    assert out.select("event_id").distinct().count() == ev.count()
+
+    info = resume_info(ckpt)
+    assert len(info["batches"]) >= 2
+
+
+def test_windowed_counts_streaming(spark, event_batches, tmp_path):
+    ev, b1, _, src = event_batches
+    stream = stream_source(spark, src, ev.schema)
+    agg = windowed_counts(stream, "ts", ["event_type"], "6 hours",
+                          watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-finalized windows; with availableNow
+    # the final watermark closes all but the last window
+    got = spark.sql("SELECT * FROM win_counts")
+    assert {"window_start", "window_end", "event_type", "n", "sum_value"} == set(got.columns)
+    batch = (
+        b1.groupBy(F.window("ts", "6 hours"), "event_type")
+        .count().count()
+    )
+    assert 0 < got.count() <= batch
+
+
+def test_sessionized_streaming(spark, event_batches, tmp_path):
+    ev, b1, _, src = event_batches
+    stream = stream_source(spark, src, ev.schema)
+    sess = sessionized(stream, "ts", "user_id", gap="30 minutes")
+    q = (
+        sess.writeStream.format("memory").queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions")
+    assert got.count() > 0
+    r = got.first()
+    assert r.session_end >= r.session_start
+    assert r.n_events >= 1
