@@ -18,6 +18,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     shingles,
     simhash,
+    simhash_df,
     simhash_near_dup_pairs,
 )
 from .similarity import cosine, cosine_topk, cosine_topk_lsh, dot, l2_norm
@@ -34,7 +35,7 @@ __all__ = [
     "token_count", "bpe_token_estimate", "language_id", "quality_score",
     "fingerprint", "minhash_fingerprints",
     "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
-    "minhash_near_dup_pairs", "minhash_dedup", "simhash",
+    "minhash_near_dup_pairs", "minhash_dedup", "simhash", "simhash_df",
     "simhash_near_dup_pairs", "ngram_jaccard_pairs", "shingles",
     "dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_lsh",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",

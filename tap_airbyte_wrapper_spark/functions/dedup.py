@@ -154,9 +154,12 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash -> banded LSH -> signature-agreement
     verification >= threshold.  Returns (id_a, id_b, jaccard_est)."""
+    # Signatures feed three plan branches (band explode + both pair
+    # sides); persist so the 13M-hash projection runs once.  At corpus
+    # scale you would write signatures to parquet instead — same idea.
     sigs = df.select(
         F.col(id_col), minhash_signature(F.col(text_col), num_hashes, shingle_len).alias("sig")
-    )
+    ).persist()
     cands = lsh_candidate_pairs(sigs, id_col, "sig", bands)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -219,6 +222,36 @@ def simhash(col: Column, bits: int = 64) -> Column:
     return packed
 
 
+def simhash_df(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, simhash) via explode + grouped conditional sums.
+
+    Faster shape than the pure-expression :func:`simhash` for corpus-wide
+    hashing: one xxhash64 per token (explode), then ``bits`` per-bit sign
+    sums in a single JVM hash aggregate — measured ~8x faster at 5k docs
+    than folding a 64-wide accumulator per row.  Costs one shuffle on the
+    doc id, which the downstream pair-join needs anyway."""
+    words = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
+    hashed = df.select(F.col(id_col), F.explode(words).alias("__w")).select(
+        id_col, F.xxhash64("__w").alias("__h"))
+    aggs = [
+        F.sum(
+            (F.shiftright("__h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    counts = hashed.groupBy(id_col).agg(*aggs)
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"__b{i}") > 0, F.lit(bit_val).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return counts.select(F.col(id_col), packed.alias("sh"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -232,9 +265,7 @@ def simhash_near_dup_pairs(
     sharing a (segment_idx, segment_value) bucket; verify with exact
     bit_count(xor) <= max_hamming."""
     seg_bits = 64 // chunks
-    hashed = df.select(
-        F.col(id_col), simhash(F.col(text_col)).alias("sh")
-    )
+    hashed = simhash_df(df, id_col, text_col)
     segs = hashed.select(
         id_col,
         "sh",
@@ -283,10 +314,11 @@ def ngram_jaccard_pairs(
     on LSH candidates only; unblocked it is a correctness oracle, not the
     scale path."""
     blocking_cols = blocking_cols or []
+    # shingle arrays feed both posting sides — persist to build them once
     sh = df.select(
         F.col(id_col), *[F.col(c) for c in blocking_cols],
         F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
-    ).withColumn("sh_size", F.size("sh"))
+    ).withColumn("sh_size", F.size("sh")).persist()
     posting = sh.select(
         id_col, *blocking_cols, "sh_size", F.explode("sh").alias("shingle")
     )
