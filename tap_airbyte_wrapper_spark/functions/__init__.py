@@ -21,7 +21,14 @@ from .dedup import (
     simhash_df,
     simhash_near_dup_pairs,
 )
-from .similarity import cosine, cosine_topk, cosine_topk_lsh, dot, l2_norm
+from .similarity import (
+    cosine,
+    cosine_topk,
+    cosine_topk_lsh,
+    dot,
+    embedding_near_dup_pairs,
+    l2_norm,
+)
 from .multimodal import (
     MEDIA_SCHEMA,
     as_media,
@@ -38,6 +45,7 @@ __all__ = [
     "minhash_near_dup_pairs", "minhash_dedup", "simhash", "simhash_df",
     "simhash_near_dup_pairs", "ngram_jaccard_pairs", "shingles",
     "dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_lsh",
+    "embedding_near_dup_pairs",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
     "extract_features", "sample_frames",
 ]

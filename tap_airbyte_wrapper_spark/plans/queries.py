@@ -22,6 +22,7 @@ from ..functions import (
     cosine_topk,
     cosine_topk_lsh,
     decode_image,
+    embedding_near_dup_pairs,
     exact_dedup,
     language_id,
     minhash_near_dup_pairs,
@@ -447,6 +448,15 @@ def q_knn_bruteforce(spark, sf_dir):
         "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"))
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact baseline (oracle-checked);
+    the LSH-banded variant (method="lsh") is the 100 TB path, unit-tested
+    with planted near-identical vectors."""
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4,
+    ).select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_r"))
+
+
 def q_decode_image_meta(spark, sf_dir):
     """Multimodal plumbing: text bytes as fake image payloads -> decode."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -514,6 +524,7 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "jaccard_pairs": q_jaccard_pairs,
     "knn_bruteforce": q_knn_bruteforce,
+    "embedding_near_dup": q_embedding_near_dup,
     "decode_image_meta": q_decode_image_meta,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -790,6 +801,14 @@ ORACLES = {
               CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
               WHERE c.vec_id != q.vec_id)
         WHERE rk <= 5""",
+    "embedding_near_dup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4)
+               AS cos_r
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4""",
     "decode_image_meta": """
         SELECT doc_id,
                CAST(16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER)

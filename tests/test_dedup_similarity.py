@@ -104,3 +104,42 @@ def test_cosine_lsh_recall(spark, sf_dir):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"LSH recall {recall} too low"
+
+
+def test_embedding_near_dup_exact(spark, sf_dir):
+    from tap_airbyte_wrapper_spark.functions import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    rows = exact.collect()
+    assert all(r.id_a < r.id_b and r.cos_sim >= 0.4 for r in rows)
+    # re-running with a lower threshold is a superset
+    wider = {(r.id_a, r.id_b)
+             for r in embedding_near_dup_pairs(
+                 emb, "vec_id", "embedding", threshold=0.35).collect()}
+    assert {(r.id_a, r.id_b) for r in rows} <= wider
+
+
+def test_embedding_near_dup_lsh_planted(spark, sf_dir):
+    """LSH path must find planted true near-dups (cos ~ 1): vec_id+10000 is
+    a scaled copy of vec_id (cosine exactly 1 with its original)."""
+    from tap_airbyte_wrapper_spark.functions import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    copies = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+    )
+    planted = emb.select("vec_id", "embedding").unionAll(copies)
+    got = {(r.id_a, r.id_b)
+           for r in embedding_near_dup_pairs(
+               planted, "vec_id", "embedding", threshold=0.95,
+               method="lsh").collect()}
+    expected = {(r.vec_id, r.vec_id + 10000) for r in emb.collect()}
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.9, f"planted near-dup recall {recall} too low"
+    # and nothing below threshold leaks through (verification step works)
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_near_dup_pairs(
+                 planted, "vec_id", "embedding", threshold=0.95).collect()}
+    assert got <= exact
