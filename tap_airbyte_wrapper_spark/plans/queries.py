@@ -207,6 +207,61 @@ def q5_local_supplier_volume(spark, sf_dir):
     return j.groupBy("n_name").agg(F.round(F.sum(F.expr(_REV)), 2).alias("revenue"))
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS subquery as a left-semi join with an extra
+    non-equi predicate (late shipment), count by priority.  The semi join
+    shuffles on the equi key only; the inequality rides along as the join
+    residual — no nested-loop plan."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + global aggregate — every predicate
+    must reach the parquet scan (PushedFilters), zero joins, one partial+
+    final agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg quantity)
+    decorrelated into a grouped agg + broadcast join back to the fact —
+    two map-side-combined shuffles instead of a per-row subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.4).alias("__qty_cap"))
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand")
+    j = (
+        li.join(F.broadcast(part_avg), on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("__qty_cap"))
+        .join(F.broadcast(part), on="l_partkey")
+    )
+    return j.groupBy("p_brand").agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_brand_revenue(spark, sf_dir):
     """Star join: fact x broadcast dim, aggregate by dim attribute."""
     li = _t(spark, sf_dir, "lineitem")
@@ -502,6 +557,9 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "brand_revenue": q_brand_revenue,
     "customers_with_orders": q_customers_with_orders,
     "customers_without_orders": q_customers_without_orders,
@@ -657,6 +715,33 @@ ORACLES = {
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n_name""",
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority""",
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24""",
+    "q17_small_quantity_revenue": """
+        SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN (SELECT l_partkey AS ap_partkey,
+                     0.4 * avg(l_quantity) AS qty_cap
+              FROM lineitem GROUP BY l_partkey) ON ap_partkey = l_partkey
+        WHERE l_quantity < qty_cap
+        GROUP BY p_brand""",
     "brand_revenue": f"""
         SELECT p_brand, round(sum({_REV_SQL}), 2) AS revenue,
                count(*) AS n_items
