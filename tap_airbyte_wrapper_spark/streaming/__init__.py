@@ -1,5 +1,5 @@
 """Structured Streaming layer: checkpoint-bookmarked incremental sync,
-watermarked windows, session windows."""
+watermarked windows, session windows, custom stateful operators."""
 
 from .incremental import (
     incremental_sync,
@@ -9,6 +9,7 @@ from .incremental import (
     stream_source,
     windowed_counts,
 )
+from .stateful import stateful_max_cursor, stateful_running_stats
 
 __all__ = [
     "stream_source",
@@ -17,4 +18,6 @@ __all__ = [
     "sessionized",
     "run_available_now",
     "resume_info",
+    "stateful_running_stats",
+    "stateful_max_cursor",
 ]

@@ -89,3 +89,64 @@ def test_sessionized_streaming(spark, event_batches, tmp_path):
     r = got.first()
     assert r.session_end >= r.session_start
     assert r.n_events >= 1
+
+
+def test_stateful_running_stats_accumulates_across_runs(spark, event_batches, tmp_path):
+    """applyInPandasWithState: per-user lifetime stats; the checkpoint
+    carries state so run 2 ACCUMULATES onto run 1 instead of restarting."""
+    from tap_airbyte_wrapper_spark.streaming import stateful_running_stats
+
+    ev, b1, b2, src = event_batches
+    ckpt = str(tmp_path / "ckpt_state")
+
+    def drain(run_sink):
+        def sink_batch(batch_df, _batch_id):
+            for r in batch_df.collect():
+                run_sink[r.user_id] = r.n_events
+        q = (
+            stateful_running_stats(stream_source(spark, src, ev.schema))
+            .writeStream.foreachBatch(sink_batch)
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run1: dict = {}
+    drain(run1)
+    b1_counts = {r.user_id: r.cnt for r in
+                 b1.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert run1 == b1_counts
+
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run2: dict = {}
+    drain(run2)
+    total = {r.user_id: r.cnt for r in
+             ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    # every user touched by batch 2 must show LIFETIME totals (b1 + b2)
+    for uid in run2:
+        assert run2[uid] == total[uid], uid
+    assert run2  # batch 2 is non-empty
+
+
+def test_stateful_max_cursor_bookmarks(spark, event_batches, tmp_path):
+    from tap_airbyte_wrapper_spark.streaming import stateful_max_cursor
+
+    ev, b1, _, src = event_batches
+    recs = stream_source(spark, src, ev.schema).select(
+        F.col("event_type").alias("stream"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("cursor"),
+    )
+    q = (
+        stateful_max_cursor(recs)
+        .writeStream.format("memory").queryName("bookmarks")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bm"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.stream: (r.bookmark, r.n_records)
+           for r in spark.sql("SELECT * FROM bookmarks").collect()}
+    want = {r.event_type: (r.bm, r.n) for r in b1.groupBy("event_type").agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("bm"),
+        F.count("*").alias("n")).collect()}
+    assert got == want
