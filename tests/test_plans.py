@@ -1,0 +1,122 @@
+"""Physical-plan assertions: the fleet must not only be correct, it must
+produce the plans a 100 TB cluster needs — filters pushed to the parquet
+scan, columns pruned, small dims broadcast, top-k without a global sort,
+no accidental cartesian products, whole-stage codegen in the hot paths.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from tap_airbyte_wrapper_spark.plans import QUERIES
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    cache = {}
+
+    def get(name):
+        if name not in cache:
+            cache[name] = plan_of(QUERIES[name](spark, sf_dir))
+        return cache[name]
+
+    return get
+
+
+def test_q1_filter_pushed_and_columns_pruned(plans):
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # only the 7 needed columns reach the scan — not all 11
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" not in read and "l_suppkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_q6_all_predicates_pushed(plans):
+    p = plans("q6_forecast_revenue")
+    for pushed in ["GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                   "GreaterThanOrEqual(l_discount,0.05)",
+                   "LessThan(l_quantity,24.0)"]:
+        assert pushed in p, f"missing pushdown {pushed}\n{p}"
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" not in read and "l_orderkey" not in read
+
+
+def test_q3_broadcasts_dims(plans):
+    p = plans("q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-10 without global sort
+    assert "CartesianProduct" not in p
+
+
+def test_q5_snowflake_all_dims_broadcast(plans):
+    p = plans("q5_local_supplier_volume")
+    # every dim join is broadcast; the only shuffle join is fact-fact
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q17_decorrelated_with_broadcast(plans):
+    p = plans("q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_top10_uses_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans("top10_orders")
+
+
+def test_incremental_cursor_pushed_to_scan(plans):
+    p = plans("incremental_events")
+    assert "PushedFilters" in p and "GreaterThan(ts" in p
+
+
+def test_whole_stage_codegen_in_agg_path(spark, sf_dir, plans):
+    # AQE defers codegen planning to runtime; flip it off to see the spans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("codegen")
+        m = buf.getvalue().splitlines()[0]
+        assert "WholeStageCodegen subtrees" in m
+        assert not m.startswith("Found 0"), m
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "HashAggregate" in plans("q1_pricing_summary")
+
+
+def test_exact_distinct_partial_agg(plans):
+    p = plans("distinct_users")
+    # two-phase distinct: partial_count(distinct ...) shape, no explode
+    assert "HashAggregate" in p
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+    # cross-join-by-design queries (brute-force/LSH knn score a broadcast
+    # query set against the corpus) are exempt; everything else must have
+    # a real join key
+    exempt = {"knn_bruteforce", "knn_lsh", "embedding_near_dup"}
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in exempt:
+            continue
+        p = plan_of(fn(spark, sf_dir))
+        if "CartesianProduct" in p:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_semi_anti_join_shapes(plans):
+    assert "LeftSemi" in plans("customers_with_orders")
+    assert "LeftAnti" in plans("customers_without_orders")
