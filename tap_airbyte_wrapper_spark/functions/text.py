@@ -73,8 +73,19 @@ def bpe_token_estimate(col: Column) -> Column:
 def language_id(col: Column) -> Column:
     """Marker-stopword language classifier: argmax of per-language marker
     hit counts, 'und' (undetermined) when nothing matches, alphabetical
-    tie-break for determinism."""
-    scores = [(lang, _marker_hits(col, words)) for lang, words in sorted(LANG_MARKERS.items())]
+    tie-break for determinism.
+
+    One combined regex scan extracts every marker occurrence (each match
+    is a whole \\b-delimited marker word, so per-language counts via set
+    membership on the small match array are exactly the counts of four
+    separate scans — at a quarter of the regex cost, which dominates)."""
+    all_words = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    pattern = r"\b(" + "|".join(all_words) + r")\b"
+    matches = F.regexp_extract_all(F.lower(col), F.lit(pattern), 1)
+    scores = [
+        (lang, F.size(F.filter(matches, lambda m: m.isin(words))))
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
     best_score = scores[0][1]
     for _, s in scores[1:]:
         best_score = F.greatest(best_score, s)
