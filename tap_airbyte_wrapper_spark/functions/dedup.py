@@ -181,6 +181,7 @@ def minhash_signatures_df(
     text_col: str,
     num_hashes: int = 128,
     shingle_len: int = 3,
+    bands: int | None = None,
 ) -> DataFrame:
     """(id, sig) for a whole corpus, zero shuffles: each shingle string is
     hashed ONCE JVM-side (``transform + xxhash64`` — one cheap HOF), then
@@ -191,28 +192,53 @@ def minhash_signatures_df(
 
     This shape wins twice over the k-aggregate-columns formulation: no
     doc_id shuffle, and no k-wide generated aggregate code (whose JIT
-    compile dominated single-shot runs — 6s of codegen for 64 mins)."""
+    compile dominated single-shot runs — 6s of codegen for 64 mins).
+
+    With ``bands`` set, also emits ``band_hashes`` (array<long>, one
+    combined hash per signature band) from the same numpy pass — the LSH
+    banding then needs no further expression work, just a posexplode."""
     seeds = _mix64(np.arange(1, num_hashes + 1, dtype=np.uint64)
                    * np.uint64(0x9E3779B97F4A7C15))
+    out_type = ("sig: array<long>, band_hashes: array<long>"
+                if bands else "array<long>")
+
+    def _mins_for(chunk: pd.Series) -> "np.ndarray":
+        arrs = [np.asarray(a, dtype=np.int64).view(np.uint64) for a in chunk]
+        lens = np.array([len(a) for a in arrs])
+        flat = np.concatenate(arrs) if arrs else np.empty(0, np.uint64)
+        mixed = _mix64(flat[:, None] ^ seeds[None, :])       # M x k
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        return np.minimum.reduceat(mixed, starts, axis=0)     # docs x k
 
     @pandas_udf("array<long>")
     def sig(hash_arrays: pd.Series) -> pd.Series:
         out = []
         # chunk to bound the (n_shingles x k) intermediate
         for lo in range(0, len(hash_arrays), 2048):
-            chunk = hash_arrays.iloc[lo:lo + 2048]
-            arrs = [np.asarray(a, dtype=np.int64).view(np.uint64)
-                    for a in chunk]
-            lens = np.array([len(a) for a in arrs])
-            flat = np.concatenate(arrs) if arrs else np.empty(0, np.uint64)
-            mixed = _mix64(flat[:, None] ^ seeds[None, :])   # M x k
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            mins = np.minimum.reduceat(mixed, starts, axis=0)
+            mins = _mins_for(hash_arrays.iloc[lo:lo + 2048])
             out.extend(m.view(np.int64) for m in mins)
         return pd.Series(out)
 
+    @pandas_udf(out_type)
+    def sig_bands(hash_arrays: pd.Series) -> pd.DataFrame:
+        sigs, bhs = [], []
+        per = num_hashes // bands
+        for lo in range(0, len(hash_arrays), 2048):
+            mins = _mins_for(hash_arrays.iloc[lo:lo + 2048])
+            folded = mins.reshape(-1, bands, per)
+            acc = np.zeros((folded.shape[0], bands), dtype=np.uint64)
+            for j in range(per):
+                acc = _mix64(acc ^ folded[:, :, j])
+            sigs.extend(m.view(np.int64) for m in mins)
+            bhs.extend(b.view(np.int64) for b in acc)
+        return pd.DataFrame({"sig": sigs, "band_hashes": bhs})
+
     hashes = F.transform(
         shingles(F.col(text_col), shingle_len), lambda s: F.xxhash64(s))
+    if bands:
+        return df.select(
+            F.col(id_col), sig_bands(hashes).alias("__sb")
+        ).select(id_col, "__sb.sig", "__sb.band_hashes")
     return df.select(F.col(id_col), sig(hashes).alias("sig"))
 
 
@@ -231,8 +257,17 @@ def minhash_near_dup_pairs(
     # sides); persist so the hash aggregation runs once.  At corpus
     # scale you would write signatures to parquet instead — same idea.
     sigs = minhash_signatures_df(
-        df, id_col, text_col, num_hashes, shingle_len).persist()
-    cands = lsh_candidate_pairs(sigs, id_col, "sig", bands)
+        df, id_col, text_col, num_hashes, shingle_len, bands=bands).persist()
+    banded = sigs.select(
+        F.col(id_col), F.posexplode("band_hashes").alias("band", "band_hash"))
+    ca = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    cb = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    cands = (
+        ca.join(cb, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     return (
