@@ -50,6 +50,21 @@ def main() -> int:
         entry_mod.entry(spark).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
+    # Python/Arrow worker warm-up: the first pandas-UDF query otherwise
+    # pays ~2-4s of daemon spawn + Arrow init that belongs to the session,
+    # not the query.
+    try:
+        import pandas as _pd
+        from pyspark.sql.functions import col, pandas_udf
+
+        @pandas_udf("long")
+        def _warm(x: _pd.Series) -> _pd.Series:
+            return x
+
+        spark.range(int(cpus) * 4).repartition(int(cpus)).select(
+            _warm(col("id"))).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     total = 0.0
