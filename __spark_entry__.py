@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query.  Keys absent here
-    (minhash_pairs, simhash_pairs, knn_lsh) use xxhash64/LSH internals that
-    SQL cannot reproduce -> driver records rows-only checks."""
+    (minhash_pairs, simhash_pairs, knn_lsh, knn_ivf) use xxhash64/LSH/
+    k-means internals that SQL cannot reproduce -> driver records
+    rows-only checks."""
     return dict(ORACLES)

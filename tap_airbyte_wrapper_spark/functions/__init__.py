@@ -10,6 +10,7 @@ from .text import (
     token_count,
 )
 from .dedup import (
+    connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_dedup,
@@ -24,6 +25,7 @@ from .dedup import (
 from .similarity import (
     cosine,
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     dot,
     embedding_near_dup_pairs,
@@ -42,9 +44,11 @@ __all__ = [
     "token_count", "bpe_token_estimate", "language_id", "quality_score",
     "fingerprint", "minhash_fingerprints",
     "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
-    "minhash_near_dup_pairs", "minhash_dedup", "simhash", "simhash_df",
+    "minhash_near_dup_pairs", "minhash_dedup", "connected_components",
+    "simhash", "simhash_df",
     "simhash_near_dup_pairs", "ngram_jaccard_pairs", "shingles",
     "dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_lsh",
+    "cosine_topk_ivf",
     "embedding_near_dup_pairs",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
     "extract_features", "sample_frames",

@@ -16,10 +16,9 @@ generation genuinely requires a shuffle:
   jaccard:  shingle explode -> hashed-shingle postings self-join (exact;
             use on LSH candidates or behind blocking keys at scale)
 
-Greedy canonicalization (keep lowest doc id of each near-dup pair) rather
-than full connected components: transitive closure needs an iterative
-algorithm (see ``dedup_connected_components`` note) and is rarely worth it
-for corpus dedup where clusters are tiny.
+Canonicalization is greedy by default (keep lowest doc id of each pair);
+``minhash_dedup(transitive=True)`` upgrades to full transitive closure
+via :func:`connected_components` (iterative min-label propagation).
 """
 
 from __future__ import annotations
@@ -40,6 +39,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_near_dup_pairs",
     "minhash_dedup",
+    "connected_components",
     "simhash",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
@@ -278,19 +278,80 @@ def minhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in the pair graph: iterative
+    min-label propagation (each round every node takes the minimum label
+    in its closed neighborhood) until fixpoint.
+
+    One shuffle join + one grouped min per round; lineage is cut with
+    ``localCheckpoint`` every round so the plan stays O(1) deep.  Rounds
+    needed = graph diameter — near-dup graphs are shallow clusters, so
+    convergence is typically 2-4 rounds; ``max_iter`` bounds adversarial
+    chains (a chain of length L needs L rounds).  At 100 TB scale swap
+    the convergence counter for an ``observe()`` accumulator; the loop
+    itself (driver-side while, distributed body) is the standard
+    iterative-algorithm shape Spark supports without a custom engine.
+    """
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+        .distinct().persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "comp", F.col("node"))
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), on="dst")
+            .groupBy("src").agg(F.min("comp").alias("nb_comp"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(nb_min, on="node", how="left")
+            .select("node",
+                    F.least("comp", F.coalesce("nb_comp", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), on="node")
+            .filter(F.col("comp") != F.col("old")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    transitive: bool = False,
     **kwargs,
 ) -> DataFrame:
-    """Greedy near-dup removal: drop any doc that is the higher-id member
-    of a near-dup pair.  (Greedy, not transitive closure — a doc chain
-    A~B~C with A<B<C drops B and C even if A!~C, which is the standard
-    corpus-dedup tradeoff; full clustering would need iterative
-    label propagation.)"""
+    """Near-dup removal.
+
+    ``transitive=False`` (default): greedy — drop any doc that is the
+    higher-id member of a near-dup pair.  Cheap, over-deletes bridge docs
+    whose only pair partner was itself dropped.
+
+    ``transitive=True``: full transitive closure via
+    :func:`connected_components` — exactly one survivor (the min id) per
+    near-dup cluster."""
     pairs = minhash_near_dup_pairs(df, id_col, text_col, **kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        comps = connected_components(pairs)
+        losers = comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col))
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
 

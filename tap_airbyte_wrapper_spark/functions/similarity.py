@@ -24,7 +24,7 @@ from pyspark.sql.functions import pandas_udf
 from ..operators.windows import topk_per_group
 
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
-           "cosine_topk_lsh", "embedding_near_dup_pairs"]
+           "cosine_topk_lsh", "cosine_topk_ivf", "embedding_near_dup_pairs"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -194,6 +194,87 @@ def embedding_near_dup_pairs(
 def _planes(bits: int, dim: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((bits, dim))
+
+
+def _kmeans_centroids(mat: "np.ndarray", k: int, iters: int, seed: int):
+    """Plain Lloyd's k-means on a (sampled) matrix — centroids are tiny
+    (k x dim), so training is a driver-side numpy loop by design."""
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 100_000,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k: k-means coarse
+    quantizer -> each corpus vector assigned to its nearest centroid
+    cell -> each query probes its ``n_probe`` nearest cells -> exact
+    cosine rerank inside probed cells.
+
+    Scale shape: centroids are trained driver-side on a bounded sample
+    (k-means on k x dim is tiny by construction) and ride the closure to
+    executors; cell assignment is one numpy matmul per Arrow batch; the
+    query->cell fan-out is ``n_probe`` rows per query (queries are the
+    small side, broadcast), so the search join touches ~n_probe/n_clusters
+    of the corpus instead of all of it.  Recall < 1.0 by design; raise
+    ``n_probe`` toward ``n_clusters`` to trade speed back for recall."""
+    sample = corpus.select(vec_col).limit(train_sample).toPandas()
+    mat = np.stack(sample[vec_col].to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = _kmeans_centroids(mat, n_clusters, kmeans_iters, seed)
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probes_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ cent.T), axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), cell_of(F.col(vec_col)).alias("__cell"))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        probes_of(F.col(vec_col)).alias("__probes"),
+    )
+    q_cells = F.broadcast(
+        q.select(query_id_col, "__qvec",
+                 F.explode("__probes").alias("__cell")))
+    scored = (
+        c.join(q_cells, on="__cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos_sim", cosine(F.col(vec_col), F.col("__qvec")))
+        .select(query_id_col, id_col, "cos_sim")
+    )
+    return topk_per_group(
+        scored, [query_id_col], [F.col("cos_sim").desc(), F.col(id_col)], k
+    ).drop("rk")
 
 
 def cosine_topk_lsh(

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions import (
     bpe_token_estimate,
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     decode_image,
     embedding_near_dup_pairs,
@@ -545,6 +546,14 @@ def q_knn_lsh(spark, sf_dir):
         "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"))
 
 
+def q_knn_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(
+        emb, queries, k=5, n_clusters=16, n_probe=4).select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"))
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -587,6 +596,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
 }
 
 

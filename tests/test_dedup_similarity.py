@@ -143,3 +143,52 @@ def test_embedding_near_dup_lsh_planted(spark, sf_dir):
              for r in embedding_near_dup_pairs(
                  planted, "vec_id", "embedding", threshold=0.95).collect()}
     assert got <= exact
+
+
+def test_connected_components_transitive_clusters(spark):
+    from tap_airbyte_wrapper_spark.functions import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3, pair 10-11, triangle-ish 20-21, 21-22, plus a
+        # bridge shape where 7's only partner (8) also pairs with 9
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (8, 9), (7, 8)],
+        ["id_a", "id_b"],
+    )
+    comps = {r.node: r.component
+             for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                     20: 20, 21: 20, 22: 20, 7: 7, 8: 7, 9: 7}
+
+
+def test_minhash_dedup_transitive(planted):
+    from tap_airbyte_wrapper_spark.functions import connected_components
+
+    kwargs = dict(num_hashes=64, bands=16, threshold=0.5)
+    out = minhash_dedup(planted, "doc_id", "text", transitive=True, **kwargs)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # survivors must be EXACTLY: un-paired docs + the min id per cluster
+    pairs = minhash_near_dup_pairs(planted, "doc_id", "text", **kwargs)
+    comps = connected_components(pairs).collect()
+    clustered = {r.node for r in comps}
+    mins = {r.component for r in comps}
+    all_ids = {r.doc_id for r in planted.select("doc_id").collect()}
+    assert ids == (all_ids - clustered) | mins
+    # exact copies (20000+i) can never be a cluster min -> all dropped
+    assert all(i < 20000 for i in ids)
+
+
+def test_cosine_ivf_recall(spark, sf_dir):
+    from tap_airbyte_wrapper_spark.functions import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=5)
+    approx = cosine_topk_ivf(emb, queries, k=5, n_clusters=8, n_probe=3)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    # probing ALL cells must reproduce brute force exactly
+    full = cosine_topk_ivf(emb, queries, k=5, n_clusters=8, n_probe=8)
+    f = {(r.query_id, r.vec_id) for r in full.collect()}
+    assert f == e
