@@ -3,7 +3,14 @@ streams.  See SURVEY.md §2.3: the reference has none of these (its row-level
 ops stop at stream maps); Spark built-ins supply them, these modules pin the
 scale-correct composition."""
 
-from .joins import anti_join, asof_join, equi_join, range_join, semi_join
+from .joins import (
+    anti_join,
+    asof_join,
+    equi_join,
+    range_join,
+    salted_join,
+    semi_join,
+)
 from .aggregates import (
     cube_agg,
     dedup_exact,
@@ -18,6 +25,7 @@ from .setops import except_rows, intersect_rows, union_by_name
 
 __all__ = [
     "equi_join", "semi_join", "anti_join", "asof_join", "range_join",
+    "salted_join",
     "grouped_agg", "cube_agg", "rollup_agg", "grouping_sets_agg",
     "distinct_count", "dedup_exact", "dedup_latest",
     "ranked", "with_lag_lead", "running_agg", "topk_per_group", "global_topk",

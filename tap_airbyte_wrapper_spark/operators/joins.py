@@ -22,7 +22,8 @@ from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["equi_join", "semi_join", "anti_join", "asof_join", "range_join"]
+__all__ = ["equi_join", "semi_join", "anti_join", "asof_join", "range_join",
+           "salted_join"]
 
 # Rough per-row cost used by the caller-supplied hint; Spark's own AQE
 # broadcast threshold still applies underneath.
@@ -61,6 +62,45 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, on=list(on) if not isinstance(on, str) else on,
                      how="left_anti")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-tolerant equi-join: rows of the ``skewed`` side get a uniform
+    salt in ``[0, salt_buckets)``; the ``other`` side is replicated once
+    per salt value; the join runs on ``(keys..., salt)``.  A hot key's
+    rows then spread across ``salt_buckets`` reducers instead of one.
+
+    Result is row-identical to the unsalted join for ``inner`` and
+    ``left`` (each skewed row matches exactly the one replica carrying
+    its salt); ``right``/``outer`` would duplicate unmatched ``other``
+    rows, so they are rejected.
+
+    When to reach for this over AQE's skew-join handling: AQE splits
+    oversized SHUFFLE PARTITIONS of sort-merge joins, but a genuinely hot
+    key inside a shuffled-hash/build side, or skew surfacing only through
+    a chain of operators, still funnels one task.  Salting restructures
+    the key space itself, so it works in every join strategy — at the
+    cost of replicating the small side x``salt_buckets`` (keep that side
+    dimension-sized)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left, got {how!r} "
+            "(right/outer would duplicate unmatched rows of the "
+            "replicated side)")
+    keys = [on] if isinstance(on, str) else list(on)
+    salted = skewed.withColumn(
+        "__salt", (F.rand(seed) * salt_buckets).cast("int"))
+    replicated = other.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+    return salted.join(replicated, on=keys + ["__salt"], how=how).drop("__salt")
 
 
 def asof_join(

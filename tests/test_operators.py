@@ -171,3 +171,29 @@ def test_setops(spark):
     c = spark.createDataFrame([(4, "y")], "x int, extra string")
     u = ops.union_by_name([a, c])
     assert u.count() == 5 and set(u.columns) == {"x", "extra"}
+
+
+def test_salted_join_matches_unsalted(spark):
+    from tap_airbyte_wrapper_spark.operators import salted_join
+
+    # heavy skew: 90% of rows share key 1
+    import pyspark.sql.functions as F
+    skewed = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id"))
+        .alias("k"), F.col("id").alias("v"))
+    dim = spark.createDataFrame(
+        [(1, "hot"), (17, "cold"), (99999, "unmatched")], ["k", "name"])
+
+    plain = skewed.join(dim, "k", "inner")
+    salted = salted_join(skewed, dim, "k", salt_buckets=8)
+    assert salted.count() == plain.count()
+    assert sorted(salted.collect(), key=lambda r: (r.k, r.v)) == \
+           sorted(plain.collect(), key=lambda r: (r.k, r.v))
+
+    plain_l = skewed.join(dim, "k", "left")
+    salted_l = salted_join(skewed, dim, "k", how="left", salt_buckets=8)
+    assert salted_l.count() == plain_l.count() == skewed.count()
+
+    import pytest
+    with pytest.raises(ValueError):
+        salted_join(skewed, dim, "k", how="outer")
