@@ -4,5 +4,7 @@ from .base import Source, SourceError, get_source, list_sources, register
 from . import files as _files  # noqa: F401 - registration side effect
 from . import jdbc as _jdbc    # noqa: F401
 from . import rest as _rest    # noqa: F401
+from .datasource import HttpJsonDataSource, register_http_json
 
-__all__ = ["Source", "SourceError", "get_source", "list_sources", "register"]
+__all__ = ["Source", "SourceError", "get_source", "list_sources", "register",
+           "HttpJsonDataSource", "register_http_json"]
