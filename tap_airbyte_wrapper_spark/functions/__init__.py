@@ -34,6 +34,7 @@ from .similarity import (
 from .multimodal import (
     MEDIA_SCHEMA,
     as_media,
+    decode_audio,
     decode_image,
     extract_features,
     sample_frames,
@@ -51,5 +52,6 @@ __all__ = [
     "cosine_topk_ivf",
     "embedding_near_dup_pairs",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
+    "decode_audio",
     "extract_features", "sample_frames",
 ]

@@ -31,6 +31,7 @@ __all__ = [
     "as_media",
     "with_media_metadata",
     "decode_image",
+    "decode_audio",
     "extract_features",
     "sample_frames",
 ]
@@ -102,6 +103,54 @@ def decode_image(
             out["pixel_checksum"] = [
                 int.from_bytes(d[:8], "big", signed=True) for d in digests
             ]
+            yield out
+
+    return df.mapInPandas(decode, out_schema)
+
+
+_AUDIO_SCHEMA = "sample_rate int, n_samples bigint, duration_s double, rms double"
+
+
+def decode_audio(
+    df: DataFrame, media_col: str, fake: bool = False
+) -> DataFrame:
+    """Decode audio to (sample_rate, n_samples, duration_s, rms).
+
+    Same contract as :func:`decode_image`: ``fake=False`` raises
+    executor-side (no audio codec in this container); ``fake=True``
+    derives deterministic byte-based stand-ins while the Arrow batch
+    path, schema, and cardinality are production-shaped."""
+    passthrough = [f for f in df.schema.fields if f.name != media_col]
+    out_schema = T.StructType(
+        passthrough + list(T.StructType.fromDDL(_AUDIO_SCHEMA)))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode needs a codec library (soundfile/ffmpeg) — "
+                    "not available in this environment; pass fake=True for "
+                    "the deterministic stub"
+                )
+            rates = (8000, 16000, 22050, 44100, 48000)
+            out = pdf[[f.name for f in passthrough]].copy()
+            sr, ns, dur, rms = [], [], [], []
+            for b in pdf[media_col]:
+                payload = b["media"] if isinstance(b, dict) else bytes(b or b"")
+                d = hashlib.md5(payload).digest()
+                rate = rates[d[0] % len(rates)]
+                n = max(1, len(payload)) * 4
+                sr.append(rate)
+                ns.append(n)
+                dur.append(n / rate)
+                # deterministic pseudo-RMS from payload bytes
+                arr = np.frombuffer(payload[:4096].ljust(4, b"\0"),
+                                    dtype=np.uint8).astype(np.float64)
+                rms.append(float(np.sqrt(np.mean((arr - 127.5) ** 2)) / 127.5))
+            out["sample_rate"] = sr
+            out["n_samples"] = ns
+            out["duration_s"] = dur
+            out["rms"] = rms
             yield out
 
     return df.mapInPandas(decode, out_schema)

@@ -62,3 +62,38 @@ def test_sample_frames_fanout(media):
     assert len(rows) == 80
     assert {r.frame_idx for r in rows} == {0, 1, 2, 3}
     assert all(len(bytes(r.frame)) == 10 for r in rows)
+
+
+def test_decode_audio_fake(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from tap_airbyte_wrapper_spark.functions import decode_audio, with_media_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    media = with_media_metadata(docs, "payload", "audio/wav").select(
+        "doc_id", "media_bundle")
+    out = decode_audio(media, "media_bundle", fake=True)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert r.sample_rate in (8000, 16000, 22050, 44100, 48000)
+        assert r.n_samples > 0
+        assert abs(r.duration_s - r.n_samples / r.sample_rate) < 1e-9
+        assert 0.0 <= r.rms <= 1.0
+    # deterministic across runs
+    again = decode_audio(media, "media_bundle", fake=True).collect()
+    assert sorted((r.doc_id, r.n_samples) for r in rows) == \
+           sorted((r.doc_id, r.n_samples) for r in again)
+
+
+def test_decode_audio_real_path_raises(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+    from tap_airbyte_wrapper_spark.functions import decode_audio, with_media_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    media = with_media_metadata(docs, "payload", "audio/wav").select(
+        "doc_id", "media_bundle")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_audio(media, "media_bundle", fake=False).collect()
