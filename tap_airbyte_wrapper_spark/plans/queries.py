@@ -459,6 +459,36 @@ def q_sessionization(spark, sf_dir):
     return flagged.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
 
 
+def q_event_value_percentiles(spark, sf_dir):
+    """Exact percentiles per group (sort-based `percentile`, one shuffle).
+    At 100 TB prefer approx_percentile (t-digest, mergeable map-side);
+    exact here because the oracle must match bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+def q_pivot_event_type(spark, sf_dir):
+    """Pivot: one row per user, one summed-value column per event type.
+    Pivot values are pinned (not discovered) so the plan is a single
+    agg — no extra distinct-values job, which at 100 TB is the
+    difference between one pass and two."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.sum("value"))
+    )
+    return piv.select(
+        "user_id",
+        *[F.round(F.coalesce(c, F.lit(0.0)), 4).alias(f"{c}_value")
+          for c in ["click", "view", "purchase", "error"]],
+    )
+
+
 # =====================================================================
 # LLM-data-pipeline layer
 # =====================================================================
@@ -585,6 +615,8 @@ QUERIES = {
     "top3_parts_per_brand": q_top3_parts_per_brand,
     "top10_orders": q_top10_orders,
     "sessionization": q_sessionization,
+    "event_value_percentiles": q_event_value_percentiles,
+    "pivot_event_type": q_pivot_event_type,
     "token_stats": q_token_stats,
     "language_id": q_language_id,
     "quality_scores": q_quality_scores,
@@ -854,6 +886,23 @@ ORACLES = {
                                     ORDER BY ts, event_id) AS prev_ts
                     FROM events))
         GROUP BY user_id""",
+    "event_value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95,
+               round(max(value), 4) AS vmax
+        FROM events GROUP BY event_type""",
+    "pivot_event_type": """
+        SELECT user_id,
+               round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 4)
+                 AS click_value,
+               round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 4)
+                 AS view_value,
+               round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 4)
+                 AS purchase_value,
+               round(coalesce(sum(value) FILTER (event_type = 'error'), 0), 4)
+                 AS error_value
+        FROM events GROUP BY user_id""",
     "token_stats": f"""
         SELECT doc_id,
           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
