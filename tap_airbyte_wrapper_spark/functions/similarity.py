@@ -50,6 +50,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_pairs(a: Column, b: Column) -> Column:
+    """Row-wise cosine of two array columns, one numpy pass per Arrow
+    batch — the rerank workhorse for candidate pairs (the expression
+    :func:`cosine` is kept for oracle-checked paths: JVM sequential
+    summation matches DuckDB bit-for-bit at the rounding boundary).
+    The UDF is built lazily: ``pandas_udf`` needs an active session."""
+
+    @pandas_udf("double")
+    def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        ma = np.stack(xs.to_numpy()).astype("float64")
+        mb = np.stack(ys.to_numpy()).astype("float64")
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    return _cos(a, b)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -159,7 +177,8 @@ def embedding_near_dup_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
         return (
-            cands.withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+            cands.withColumn(
+                "cos_sim", cosine_pairs(F.col("__va"), F.col("__vb")))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim")
         )
@@ -269,7 +288,7 @@ def cosine_topk_ivf(
     scored = (
         c.join(q_cells, on="__cell")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cos_sim", cosine(F.col(vec_col), F.col("__qvec")))
+        .withColumn("cos_sim", cosine_pairs(F.col(vec_col), F.col("__qvec")))
         .select(query_id_col, id_col, "cos_sim")
     )
     return topk_per_group(
@@ -317,7 +336,7 @@ def cosine_topk_lsh(
         .dropDuplicates([query_id_col, id_col])
     )
     scored = cands.withColumn(
-        "cos_sim", cosine(F.col(vec_col), F.col("__qvec"))
+        "cos_sim", cosine_pairs(F.col(vec_col), F.col("__qvec"))
     ).select(query_id_col, id_col, "cos_sim")
     return topk_per_group(
         scored, [query_id_col], [F.col("cos_sim").desc(), F.col(id_col)], k
