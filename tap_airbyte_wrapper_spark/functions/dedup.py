@@ -34,6 +34,7 @@ from ..operators.windows import topk_per_group
 __all__ = [
     "shingles",
     "exact_dedup",
+    "paragraph_dedup",
     "minhash_signature",
     "minhash_signatures_df",
     "lsh_candidate_pairs",
@@ -275,6 +276,49 @@ def minhash_near_dup_pairs(
         .withColumn("jaccard_est", _sig_agreement(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup (C4/RefinedWeb-style): split each
+    doc on ``sep``, keep only the FIRST occurrence of every distinct
+    paragraph across the whole corpus (first = lowest (doc id, position)),
+    and reassemble docs from their surviving paragraphs in order.  Docs
+    whose paragraphs all lose vanish.
+
+    Plan shape: posexplode -> xxhash64 paragraph key -> min_by over a
+    single hash aggregate picks winners -> semi-join back -> groupBy doc
+    reassembly via sorted collect_list.  Two shuffles (winner agg + doc
+    reassembly), both on narrow keys; paragraph text itself never
+    shuffles twice (the winner join carries only hashes + positions).
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__pos", "__p"),
+    ).filter(F.trim("__p") != "")
+    keyed = paras.withColumn("__h", F.xxhash64("__p"))
+    winners = keyed.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__w"))
+    kept = keyed.join(
+        winners,
+        (keyed["__h"] == winners["__h"])
+        & (keyed[id_col] == winners["__w"][id_col])
+        & (keyed["__pos"] == winners["__w"]["__pos"]),
+        "left_semi",
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__p"))).alias("__ps"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(sep, F.transform("__ps", lambda s: s["__p"]))
+            .alias(text_col),
+        )
     )
 
 

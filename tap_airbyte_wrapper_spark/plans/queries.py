@@ -28,6 +28,7 @@ from ..functions import (
     language_id,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     quality_score,
     simhash_near_dup_pairs,
     token_count,
@@ -518,6 +519,14 @@ def q_exact_dedup_docs(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide first-occurrence unit dedup (C4-style paragraph dedup;
+    the synthetic docs have no paragraph breaks, so the unit here is the
+    word — same plan: explode -> global winner agg -> reassemble)."""
+    return paragraph_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", sep=" ")
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard pairs, blocked by (lang, source)."""
     return ngram_jaccard_pairs(
@@ -621,6 +630,7 @@ QUERIES = {
     "language_id": q_language_id,
     "quality_scores": q_quality_scores,
     "exact_dedup_docs": q_exact_dedup_docs,
+    "paragraph_dedup_docs": q_paragraph_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_near_dup": q_embedding_near_dup,
@@ -919,6 +929,19 @@ ORACLES = {
         WHERE doc_id IN (
           SELECT min(doc_id) FROM documents
           GROUP BY md5({_NORM_TEXT}))""",
+    "paragraph_dedup_docs": """
+        WITH p AS (
+          SELECT doc_id, i AS pos, w[i] AS para
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+               UNNEST(generate_series(1, len(w))) AS t(i)
+          WHERE trim(w[i]) != ''
+        ), kept AS (
+          SELECT doc_id, pos, para, row_number() OVER (
+            PARTITION BY para ORDER BY doc_id, pos) AS rn
+          FROM p
+        )
+        SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
+        FROM kept WHERE rn = 1 GROUP BY doc_id""",
     "jaccard_pairs": f"""
         WITH sh AS ({_SHINGLES_SQL})
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,

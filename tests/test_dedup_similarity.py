@@ -192,3 +192,20 @@ def test_cosine_ivf_recall(spark, sf_dir):
     full = cosine_topk_ivf(emb, queries, k=5, n_clusters=8, n_probe=8)
     f = {(r.query_id, r.vec_id) for r in full.collect()}
     assert f == e
+
+
+def test_paragraph_dedup_planted(spark):
+    from tap_airbyte_wrapper_spark.functions import paragraph_dedup
+
+    docs = spark.createDataFrame([
+        (1, "alpha beta\n\ncommon boiler plate\n\ngamma delta"),
+        (2, "common boiler plate\n\nunique two"),
+        (3, "common boiler plate"),          # nothing unique -> vanishes
+        (4, "eps\n\n\n\nzeta"),              # empty paragraph dropped
+    ], "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in paragraph_dedup(docs, "doc_id", "text").collect()}
+    assert out[1] == "alpha beta\n\ncommon boiler plate\n\ngamma delta"
+    assert out[2] == "unique two"            # shared boilerplate removed
+    assert 3 not in out
+    assert out[4] == "eps\n\nzeta"
