@@ -519,6 +519,24 @@ def q_exact_dedup_docs(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The composed training-data curation pipeline — quality gate +
+    language gate -> exact dedup -> token accounting — as ONE lazy plan:
+    predicates evaluate in the scan stage, dedup is the only shuffle, and
+    nothing materializes in between (what a 100 TB curation run needs)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.round(quality_score(F.col("text")), 4).alias("q"),
+        language_id(F.col("text")).alias("lang_pred"),
+    )
+    kept = docs.filter((F.col("q") >= 0.7) & (F.col("lang_pred") == "en"))
+    deduped = exact_dedup(kept, "text", "doc_id")
+    return deduped.select(
+        "doc_id", "q",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Corpus-wide first-occurrence unit dedup (C4-style paragraph dedup;
     the synthetic docs have no paragraph breaks, so the unit here is the
@@ -630,6 +648,7 @@ QUERIES = {
     "language_id": q_language_id,
     "quality_scores": q_quality_scores,
     "exact_dedup_docs": q_exact_dedup_docs,
+    "corpus_curation": q_corpus_curation,
     "paragraph_dedup_docs": q_paragraph_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "knn_bruteforce": q_knn_bruteforce,
@@ -929,6 +948,25 @@ ORACLES = {
         WHERE doc_id IN (
           SELECT min(doc_id) FROM documents
           GROUP BY md5({_NORM_TEXT}))""",
+    "corpus_curation": f"""
+        WITH ql AS ({_QUALITY_SQL}),
+        lg AS ({_LANG_SQL}),
+        kept AS (
+          SELECT d.doc_id, d.text, ql.q
+          FROM documents d
+          JOIN ql ON d.doc_id = ql.doc_id
+          JOIN lg ON d.doc_id = lg.doc_id
+          WHERE ql.q >= 0.7 AND lg.lang_pred = 'en'
+        ),
+        ded AS (
+          SELECT min(doc_id) AS doc_id FROM kept
+          GROUP BY md5({_NORM_TEXT})
+        )
+        SELECT k.doc_id, k.q,
+               CAST(CASE WHEN length(trim(k.text)) = 0 THEN 0
+                    ELSE len(regexp_extract_all(trim(k.text), '\\S+'))
+                    END AS BIGINT) AS n_tokens
+        FROM kept k JOIN ded ON k.doc_id = ded.doc_id""",
     "paragraph_dedup_docs": """
         WITH p AS (
           SELECT doc_id, i AS pos, w[i] AS para
