@@ -320,6 +320,21 @@ def q_running_revenue(spark, sf_dir):
     )
 
 
+def q_trailing_week_revenue(spark, sf_dir):
+    """RANGE frame over event time: per customer, each order's trailing
+    7-day revenue (value-based frame — peers by time distance, not row
+    count; the complement of the ROWS frame in running_revenue)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-7, 0)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trail_7d"),
+    )
+
+
 def q_rollup_region_nation(spark, sf_dir):
     """Rollup subtotals over the region -> nation hierarchy."""
     cust = equi_join(
@@ -631,6 +646,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "top_orders_per_customer": q_top_orders_per_customer,
     "running_revenue": q_running_revenue,
+    "trailing_week_revenue": q_trailing_week_revenue,
     "rollup_region_nation": q_rollup_region_nation,
     "cube_event_day": q_cube_event_day,
     "grouping_sets_events": q_grouping_sets_events,
@@ -841,6 +857,14 @@ ORACLES = {
                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                AS run_total
+        FROM orders""",
+    "trailing_week_revenue": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY date_diff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE))
+                 RANGE BETWEEN 7 PRECEDING AND CURRENT ROW), 2) AS trail_7d
         FROM orders""",
     "rollup_region_nation": """
         SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total,
