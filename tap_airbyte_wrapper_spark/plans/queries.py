@@ -116,6 +116,36 @@ def q_stream_map_customer(spark, sf_dir):
     )
 
 
+def q_incremental_mapped(spark, sf_dir):
+    """EL composition: incremental cursor predicate + stream map (filter,
+    computed column, drop) + flattening in ONE plan — both predicates
+    reach the scan stage."""
+    from ..catalog import StreamEntry, SyncMode
+    from ..sources import get_source
+
+    src = get_source("dataset_dir", {"path": sf_dir})
+    entry = StreamEntry(
+        name="events",
+        schema=_t(spark, sf_dir, "events").schema,
+        replication_key="ts",
+        supported_sync_modes=[SyncMode.FULL_REFRESH, SyncMode.INCREMENTAL],
+    )
+    df = src.read_incremental(spark, entry, "2024-01-15T00:00:00")
+    mapper = StreamMapper(
+        stream_maps={
+            "events": {
+                "__filter__": "event_type != 'error'",
+                "uid_hash": "md5(cast(user_id as string))",
+                "props": "__NULL__",
+            }
+        }
+    )
+    [(_, mapped)] = mapper.apply("events", df)
+    return mapped.select(
+        "event_id", "user_id", "event_type", "uid_hash",
+        _us("ts").alias("ts_us"))
+
+
 def q_flatten_props(spark, sf_dir):
     """Schema flattening (SDK §2.2): JSON props -> struct -> props__k."""
     ev = _t(spark, sf_dir, "events").select(
@@ -317,6 +347,18 @@ def q_running_revenue(spark, sf_dir):
     return _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("run_total"),
+    )
+
+
+def q_order_price_deciles(spark, sf_dir):
+    """Distribution ranks in one window pass: ntile decile, percent_rank,
+    cume_dist over order price."""
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
@@ -634,6 +676,7 @@ QUERIES = {
     "full_scan_events": q_full_scan_events,
     "incremental_events": q_incremental_events,
     "stream_map_customer": q_stream_map_customer,
+    "incremental_mapped": q_incremental_mapped,
     "flatten_props": q_flatten_props,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -646,6 +689,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "top_orders_per_customer": q_top_orders_per_customer,
     "running_revenue": q_running_revenue,
+    "order_price_deciles": q_order_price_deciles,
     "trailing_week_revenue": q_trailing_week_revenue,
     "rollup_region_nation": q_rollup_region_nation,
     "cube_event_day": q_cube_event_day,
@@ -764,6 +808,13 @@ ORACLES = {
         SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal_r, c_mktsegment,
                md5(c_name) AS name_hash
         FROM customer WHERE c_acctbal > 0""",
+    "incremental_mapped": """
+        SELECT event_id, user_id, event_type,
+               md5(CAST(user_id AS VARCHAR)) AS uid_hash,
+               epoch_us(ts) AS ts_us
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+          AND event_type != 'error'""",
     "flatten_props": """
         SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS props__k
         FROM events""",
@@ -858,6 +909,13 @@ ORACLES = {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                AS run_total
         FROM orders""",
+    "order_price_deciles": """
+        SELECT o_orderkey,
+               CAST(ntile(10) OVER w AS INTEGER) AS decile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""",
     "trailing_week_revenue": """
         SELECT o_custkey, o_orderkey,
                round(sum(o_totalprice) OVER (

@@ -2,6 +2,7 @@
 watermarked windows, session windows, custom stateful operators."""
 
 from .incremental import (
+    deduped_stream,
     incremental_sync,
     resume_info,
     run_available_now,
@@ -20,4 +21,5 @@ __all__ = [
     "resume_info",
     "stateful_running_stats",
     "stateful_max_cursor",
+    "deduped_stream",
 ]

@@ -121,6 +121,27 @@ def sessionized(
     )
 
 
+def deduped_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once-per-key delivery from an at-least-once source: drop
+    duplicate keys across micro-batches.
+
+    With ``ts_col`` the state is bounded by the watermark
+    (``dropDuplicatesWithinWatermark`` — a key older than the watermark
+    can be forgotten, so state does not grow with the stream); without it
+    the dedup state is unbounded (only for finite backfills).  This is
+    the streaming analogue of the reference's PK metadata finally doing
+    something (reference tap.py:934-943 carries PKs but never dedups)."""
+    if ts_col:
+        return events.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def run_available_now(query: StreamingQuery, timeout_sec: float = 120.0) -> None:
     """Block until an availableNow query drains and stops."""
     query.awaitTermination(timeout_sec)

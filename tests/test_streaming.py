@@ -150,3 +150,27 @@ def test_stateful_max_cursor_bookmarks(spark, event_batches, tmp_path):
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("bm"),
         F.count("*").alias("n")).collect()}
     assert got == want
+
+
+def test_deduped_stream_within_watermark(spark, event_batches, tmp_path):
+    """At-least-once source -> exactly-once sink: replaying the same file
+    twice must not duplicate event_ids."""
+    from tap_airbyte_wrapper_spark.streaming import deduped_stream
+
+    ev, b1, _, src = event_batches
+    # land batch 1 AGAIN: same rows, new file -> duplicate delivery
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_source(spark, src, ev.schema)
+    dedup = deduped_stream(stream, ["event_id"], ts_col="ts",
+                           watermark="10 minutes")
+    q = (
+        dedup.writeStream.format("memory").queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_sink")
+    assert got.count() == b1.count()            # duplicates dropped
+    assert got.distinct().count() == b1.count()
