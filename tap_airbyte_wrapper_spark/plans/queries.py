@@ -570,6 +570,21 @@ def q_quality_scores(spark, sf_dir):
         "doc_id", F.round(quality_score(F.col("text")), 4).alias("q"))
 
 
+def q_doc_word_stats(spark, sf_dir):
+    """Higher-order array functions end-to-end (transform/filter/
+    aggregate/array_distinct) — the scalar-function surface of §2.3 in
+    one narrow, shuffle-free projection."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    word_lens = F.transform(words, lambda w: F.length(w))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long_words"),
+        F.aggregate(word_lens, F.lit(0), lambda a, x: a + x).alias("sum_word_len"),
+        F.array_max(word_lens).alias("max_word_len"),
+    )
+
+
 def q_exact_dedup_docs(spark, sf_dir):
     return exact_dedup(
         _t(spark, sf_dir, "documents"), "text", "doc_id"
@@ -707,6 +722,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "language_id": q_language_id,
     "quality_scores": q_quality_scores,
+    "doc_word_stats": q_doc_word_stats,
     "exact_dedup_docs": q_exact_dedup_docs,
     "corpus_curation": q_corpus_curation,
     "paragraph_dedup_docs": q_paragraph_dedup,
@@ -1025,6 +1041,18 @@ ORACLES = {
         FROM documents""",
     "language_id": _LANG_SQL,
     "quality_scores": _QUALITY_SQL,
+    "doc_word_stats": """
+        SELECT doc_id,
+          CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_words,
+          CAST(len(list_filter(w, x -> length(x) > 4)) AS INTEGER)
+            AS n_long_words,
+          CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+               AS INTEGER) AS sum_word_len,
+          CAST(list_max(list_transform(w, x -> length(x))) AS INTEGER)
+            AS max_word_len
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+              FROM documents)""",
     "exact_dedup_docs": f"""
         SELECT doc_id, lang, source FROM documents
         WHERE doc_id IN (
