@@ -120,3 +120,10 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
 def test_semi_anti_join_shapes(plans):
     assert "LeftSemi" in plans("customers_with_orders")
     assert "LeftAnti" in plans("customers_without_orders")
+
+
+def test_incremental_mapped_pushes_both_predicates(plans):
+    """Cursor predicate AND stream-map filter both reach the parquet scan."""
+    p = plans("incremental_mapped")
+    assert "GreaterThan(ts" in p
+    assert "Not(EqualTo(event_type,error))" in p
