@@ -40,7 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query.  Keys absent here
-    (minhash_pairs, simhash_pairs, knn_lsh, knn_ivf) use xxhash64/LSH/
-    k-means internals that SQL cannot reproduce -> driver records
+    (minhash_pairs, simhash_pairs, knn_lsh, knn_ivf,
+    approx_distinct_users) use xxhash64/LSH/k-means/HLL internals that
+    SQL cannot reproduce -> driver records
     rows-only checks."""
     return dict(ORACLES)

@@ -46,6 +46,7 @@ from ..operators import (
     grouping_sets_agg,
     range_join,
     rollup_agg,
+    salted_join,
     semi_join,
     topk_per_group,
 )
@@ -303,6 +304,38 @@ def q_brand_revenue(spark, sf_dir):
     return j.groupBy("p_brand").agg(
         F.round(F.sum(F.expr(_REV)), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_salted_brand_revenue(spark, sf_dir):
+    """brand_revenue through the skew-tolerant salted join: result must be
+    IDENTICAL to the unsalted plan (same oracle) — the fleet's proof that
+    salting is a pure plan transformation, not a semantic one."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand")
+    j = salted_join(li, part, on="l_partkey", salt_buckets=8)
+    return j.groupBy("p_brand").agg(
+        F.round(F.sum(F.expr(_REV)), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """HLL sketch distinct (approx_count_distinct): mergeable map-side
+    state, the 100 TB path for cardinality; rows-only check (sketch
+    estimates are engine-specific)."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"))
+
+
+def q_orders_sorted(spark, sf_dir):
+    """Global total-order sort: range-partitioned exchange + per-partition
+    sort (the scalable total order — no single-reducer funnel)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price_r"))
     )
 
 
@@ -700,6 +733,9 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "brand_revenue": q_brand_revenue,
+    "salted_brand_revenue": q_salted_brand_revenue,
+    "approx_distinct_users": q_approx_distinct_users,
+    "orders_sorted": q_orders_sorted,
     "customers_with_orders": q_customers_with_orders,
     "customers_without_orders": q_customers_without_orders,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -901,6 +937,13 @@ ORACLES = {
                count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand""",
+    "salted_brand_revenue": f"""
+        SELECT p_brand, round(sum({_REV_SQL}), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""",
+    "orders_sorted": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price_r FROM orders""",
     "customers_with_orders": """
         SELECT c_custkey, c_name FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
