@@ -16,6 +16,7 @@ from .dedup import (
     minhash_dedup,
     minhash_near_dup_pairs,
     minhash_signature,
+    minhash_signatures_df,
     ngram_jaccard_pairs,
     paragraph_dedup,
     shingles,
@@ -45,7 +46,8 @@ from .multimodal import (
 __all__ = [
     "token_count", "bpe_token_estimate", "language_id", "quality_score",
     "fingerprint", "minhash_fingerprints",
-    "exact_dedup", "paragraph_dedup", "minhash_signature", "lsh_candidate_pairs",
+    "exact_dedup", "paragraph_dedup", "minhash_signature",
+    "minhash_signatures_df", "lsh_candidate_pairs",
     "minhash_near_dup_pairs", "minhash_dedup", "connected_components",
     "simhash", "simhash_df",
     "simhash_near_dup_pairs", "ngram_jaccard_pairs", "shingles",

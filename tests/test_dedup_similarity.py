@@ -209,3 +209,32 @@ def test_paragraph_dedup_planted(spark):
     assert out[2] == "unique two"            # shared boilerplate removed
     assert 3 not in out
     assert out[4] == "eps\n\nzeta"
+
+
+def test_simhash_expression_matches_vectorized(spark, docs):
+    """The per-row Column expression and the Arrow-vectorized corpus path
+    are two implementations of ONE definition — they must agree bit-for-bit."""
+    from tap_airbyte_wrapper_spark.functions import simhash, simhash_df
+
+    sample = docs.select("doc_id", "text").limit(50)
+    expr = {r.doc_id: r.sh for r in sample.select(
+        "doc_id", simhash(F.col("text")).alias("sh")).collect()}
+    vect = {r.doc_id: r.sh for r in
+            simhash_df(sample, "doc_id", "text").collect()}
+    assert expr == vect
+
+
+def test_lsh_candidate_pairs_api(spark, docs):
+    """Standalone banded-LSH candidate generation over precomputed
+    signatures (the public API alternative to minhash_near_dup_pairs)."""
+    from tap_airbyte_wrapper_spark.functions import (
+        lsh_candidate_pairs, minhash_signatures_df)
+
+    base = docs.select("doc_id", "text").limit(30)
+    dup = base.select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    sigs = minhash_signatures_df(base.unionAll(dup), "doc_id", "text",
+                                 num_hashes=32)
+    cands = {(r.id_a, r.id_b)
+             for r in lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8).collect()}
+    # identical signatures share every band -> every dup pair is a candidate
+    assert {(r.doc_id, r.doc_id + 5000) for r in base.collect()} <= cands
