@@ -93,3 +93,21 @@ def test_minhash_fingerprints_shape(docs):
     again = docs.limit(1).select(
         minhash_fingerprints(F.col("text"), num_hashes=8).alias("mh")).first()
     assert row.mh == again.mh
+
+
+def test_sentence_splitter_udtf(spark):
+    from tap_airbyte_wrapper_spark.functions.udtf import split_sentences
+
+    docs = spark.createDataFrame([
+        (1, "One sentence. Two sentences! Three? "),
+        (2, "No terminator here"),
+        (3, ""),
+    ], "doc_id long, text string")
+    rows = {(r.doc_id, r.idx): r.sentence
+            for r in split_sentences(docs, "doc_id", "text").collect()}
+    assert rows == {
+        (1, 0): "One sentence.",
+        (1, 1): "Two sentences!",
+        (1, 2): "Three?",
+        (2, 0): "No terminator here",
+    }
