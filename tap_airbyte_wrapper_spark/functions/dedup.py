@@ -469,8 +469,10 @@ def simhash_df(
             pos += n
         return pd.Series(out)
 
+    # null text -> empty string, so the UDF always sees an array
     hashes = F.transform(
-        _norm_words(F.col(text_col)), lambda w: F.xxhash64(w))
+        _norm_words(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda w: F.xxhash64(w))
     return df.select(F.col(id_col), sh(hashes).alias("sh"))
 
 

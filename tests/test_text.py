@@ -111,3 +111,30 @@ def test_sentence_splitter_udtf(spark):
         (1, 2): "Three?",
         (2, 0): "No terminator here",
     }
+
+
+def test_text_functions_null_empty_unicode(spark):
+    """Real corpora contain nulls, blanks, and non-ASCII — nothing crashes
+    and results are deterministic."""
+    from pyspark.sql import functions as F
+    from tap_airbyte_wrapper_spark.functions import (
+        language_id, minhash_signatures_df, quality_score, simhash_df,
+        token_count)
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "héllo wörld 你好 мир"),
+         (5, "a.b\tc\nd")],
+        "doc_id long, text string")
+    rows = df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("t"),
+        language_id(F.col("text")).alias("l"),
+        F.round(quality_score(F.col("text")), 4).alias("q"),
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[2].t == 0 and by_id[3].t == 0
+    assert by_id[4].t == 4
+    assert by_id[2].l == "und"
+    assert all(r.q is None or 0.0 <= r.q <= 1.0 for r in rows)
+    assert simhash_df(df, "doc_id", "text").count() == 5
+    assert minhash_signatures_df(df, "doc_id", "text", 8).count() == 5
