@@ -127,3 +127,47 @@ def test_incremental_mapped_pushes_both_predicates(plans):
     p = plans("incremental_mapped")
     assert "GreaterThan(ts" in p
     assert "Not(EqualTo(event_type,error))" in p
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Hive-style partition layout: an equality filter on the partition
+    column must become a PartitionFilter (directories skipped at planning
+    time), not a data filter."""
+    from pyspark.sql import functions as F
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet").drop("ts")
+    d = str(tmp_path / "events_part")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(d)
+    p = plan_of(spark.read.parquet(d).filter(F.col("event_type") == "click"))
+    assert "PartitionFilters: [isnotnull(event_type" in p
+    assert "(event_type" in p.split("PartitionFilters:")[1].splitlines()[0]
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate join keys at WRITE time: the join plans
+    as a SortMergeJoin with ZERO Exchange operators — the bucketing story
+    for repeated 100 TB fact-fact joins."""
+    from pyspark.sql import functions as F
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_parquet(spark, f"{sf_dir}/orders.parquet").drop("o_orderdate")
+        li = load_parquet(spark, f"{sf_dir}/lineitem.parquet").drop("l_shipdate")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey") \
+            .mode("overwrite").saveAsTable("tb_orders")
+        li.write.bucketBy(8, "l_orderkey").mode("overwrite") \
+            .saveAsTable("tb_lineitem")
+        j = spark.table("tb_orders").join(
+            spark.table("tb_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"))
+        p = plan_of(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p       # co-located: no shuffle at all
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS tb_orders")
+        spark.sql("DROP TABLE IF EXISTS tb_lineitem")
