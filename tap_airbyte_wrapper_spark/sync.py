@@ -77,6 +77,9 @@ class Engine:
             config.get("flattening_max_depth", 10),
         )
         self.state = BookmarkStore.load(config.get("state_path", ""))
+        import threading
+
+        self._state_lock = threading.Lock()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -115,32 +118,64 @@ class Engine:
         result = SyncResult()
         catalog = self.discover().configured()
         sink = self.config.get("sink") or {"type": "stdout"}
+        entries = list(catalog)
 
-        for entry in catalog:
-            t0 = time.perf_counter()
-            base = self.stream_df(entry)
-            for out_name, df in self.mapper.apply(entry.name, base):
-                pks = self.mapper.key_properties_override(entry.name) or entry.primary_keys
-                n, cursor_max = self._write(df, out_name, entry, pks, sink, out)
-                result.stream_counts[out_name] = result.stream_counts.get(out_name, 0) + n
-                # Commit ordering: bookmark only after the sink accepted the
-                # batch (at-least-once; reference §4.3).
-                if entry.sync_mode == SyncMode.INCREMENTAL and entry.replication_key \
-                        and cursor_max is not None:
-                    self.state.set_bookmark(
-                        entry.name, entry.replication_key, coerce_value(cursor_max)
-                    )
-            if self.config.get("state_path"):
-                self.state.commit(self.config["state_path"])
-            logger.info(
-                "synced stream %s in %.2fs", entry.name, time.perf_counter() - t0
-            )
+        # The reference runs one consumer thread per stream (tap.py:789-791)
+        # to overlap I/O on a single pipe; here driver threads submit
+        # CONCURRENT SPARK JOBS, which the scheduler interleaves across
+        # executor slots.  stdout sinks stay serial — Singer output must be
+        # one ordered message stream.
+        workers = int(self.config.get("parallelism", 1))
+        if workers > 1 and sink.get("type", "stdout") != "stdout":
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                for counts in pool.map(
+                    lambda e: self._sync_entry(e, sink, None), entries
+                ):
+                    for name, n in counts.items():
+                        result.stream_counts[name] = (
+                            result.stream_counts.get(name, 0) + n)
+        else:
+            for entry in entries:
+                for name, n in self._sync_entry(entry, sink, out).items():
+                    result.stream_counts[name] = (
+                        result.stream_counts.get(name, 0) + n)
 
         result.wall_seconds = time.perf_counter() - started
         logger.info(
             "Synced %d streams in %.2f seconds", len(result.stream_counts), result.wall_seconds
         )
         return result
+
+    def _sync_entry(
+        self, entry: StreamEntry, sink: dict[str, Any], out: IO[str] | None
+    ) -> dict[str, int]:
+        """Sync one stream end-to-end; returns per-output record counts.
+        State mutation + commit are serialized under a lock (bookmark
+        upserts from concurrent streams must not interleave mid-commit)."""
+        t0 = time.perf_counter()
+        counts: dict[str, int] = {}
+        base = self.stream_df(entry)
+        for out_name, df in self.mapper.apply(entry.name, base):
+            pks = self.mapper.key_properties_override(entry.name) or entry.primary_keys
+            n, cursor_max = self._write(df, out_name, entry, pks, sink, out)
+            counts[out_name] = counts.get(out_name, 0) + n
+            # Commit ordering: bookmark only after the sink accepted the
+            # batch (at-least-once; reference §4.3).
+            with self._state_lock:
+                if entry.sync_mode == SyncMode.INCREMENTAL and entry.replication_key \
+                        and cursor_max is not None:
+                    self.state.set_bookmark(
+                        entry.name, entry.replication_key, coerce_value(cursor_max)
+                    )
+        with self._state_lock:
+            if self.config.get("state_path"):
+                self.state.commit(self.config["state_path"])
+        logger.info(
+            "synced stream %s in %.2fs", entry.name, time.perf_counter() - t0
+        )
+        return counts
 
     def _write(
         self,
