@@ -61,6 +61,7 @@ class Engine:
           "stream_maps": {...}, "stream_map_config": {...},
           "flattening_enabled": false, "flattening_max_depth": 10,
           "state_path": "state.json",
+          "parallelism": 4,                 # concurrent stream jobs (file sinks)
           "sink": {"type": "stdout" | "files" | "parquet" | "json",
                    "path": ..., "mode": "append"}
         }
