@@ -29,8 +29,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..operators.windows import topk_per_group
-
 __all__ = [
     "shingles",
     "exact_dedup",

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["ranked", "with_lag_lead", "running_agg", "topk_per_group", "global_topk"]
 

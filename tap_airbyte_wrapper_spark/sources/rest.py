@@ -26,7 +26,7 @@ from urllib.request import urlopen
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import Catalog, StreamEntry, SyncMode
 from .base import Source, SourceError, register

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .catalog import Catalog, StreamEntry, SyncMode
 from .maps import StreamMapper
-from .singer_io import coerce_value, singer_message, write_singer_stdout, write_singer_files
+from .singer_io import coerce_value, singer_message, write_singer_files
 from .sources import get_source
 from .state import BookmarkStore
 
