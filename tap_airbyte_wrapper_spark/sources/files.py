@@ -48,14 +48,25 @@ _DEFAULT_PKS = {
 
 
 def _nanos_columns(path: str) -> list[str]:
+    """Columns stored as parquet INT64 TIMESTAMP(NANOS) — the one shape
+    Spark rejects.  Checked at the PARQUET schema level: pyarrow's arrow
+    view also reports INT96 (Spark's own legacy timestamp) as
+    ``timestamp[ns]``, but Spark reads INT96 natively and must NOT get
+    the div-1000 conversion."""
     if _pq is None:
         return []
     probe = glob.glob(os.path.join(path, "*.parquet")) if os.path.isdir(path) else [path]
     if not probe:
         return []
     try:
-        schema = _pq.read_schema(probe[0])
-        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+        pqschema = _pq.ParquetFile(probe[0]).schema
+        out = []
+        for i in range(len(pqschema)):
+            col = pqschema.column(i)
+            if (col.physical_type == "INT64"
+                    and "nanos" in str(col.logical_type).lower()):
+                out.append(col.name)
+        return out
     except Exception:
         return []
 

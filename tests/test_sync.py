@@ -182,3 +182,20 @@ def test_parallel_stream_sync(spark, sf_dir, tmp_path):
     s1 = json.load(open(tmp_path / "serial" / "state.json"))
     s2 = json.load(open(tmp_path / "par" / "state.json"))
     assert s1["bookmarks"] == s2["bookmarks"]
+
+
+def test_load_parquet_handles_int96_and_nanos(spark, sf_dir, tmp_path):
+    """load_parquet must convert ONLY genuine INT64 TIMESTAMP(NANOS)
+    columns; Spark-written INT96/micros timestamps pass through untouched
+    (regression: re-reading our own written output used to fail)."""
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")   # genuine nanos
+    d = str(tmp_path / "rewritten")
+    ev.write.mode("overwrite").parquet(d)                  # Spark-native ts
+    back = load_parquet(spark, d)
+    assert dict(back.dtypes)["ts"].startswith("timestamp")
+    assert back.count() == ev.count()
+    a = sorted((r.event_id, r.ts) for r in ev.select("event_id", "ts").collect())
+    b = sorted((r.event_id, r.ts) for r in back.select("event_id", "ts").collect())
+    assert a == b
