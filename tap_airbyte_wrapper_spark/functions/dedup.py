@@ -527,48 +527,105 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     blocking_cols: list[str] | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs via shingle postings.
 
-    explode(distinct shingles) -> self-join on shingle (+ blocking keys)
-    -> |A ∩ B| counts -> jaccard = common / (|A| + |B| - common).
+    Default: explode(distinct shingle hashes) -> self-join on the 64-bit
+    hash (+ blocking keys) -> |A ∩ B| counts -> jaccard.  Joining on the
+    hash instead of the string is the same pair set (collisions inflate
+    |A∩B| with p~2^-64) at ~4x narrower shuffle.
 
-    Exact and shuffle-heavy: O(sum of posting-list^2) pairs.  At 100 TB
-    scale use ``blocking_cols`` (e.g. language + length bucket) or run it
-    on LSH candidates only; unblocked it is a correctness oracle, not the
-    scale path."""
+    ``prefix_filter=True``: PPJoin-style prefix filtering (Bayardo et
+    al., "Scaling Up All Pairs Similarity Search", WWW'07) — with
+    shingle hashes in a canonical (ascending) order, any pair with
+    jaccard >= t must share its SMALLEST common element inside both
+    docs' first ``|X| - ceil(t*|X|) + 1`` elements, so only that prefix
+    is posted; a size-ratio filter (``t*|A| <= |B| <= |A|/t``) prunes
+    further, and candidates are verified with an exact
+    ``array_intersect`` on the full hash arrays.  Still exact: same
+    result set as the default path (equivalence-tested).
+
+    When to flip it on: HIGH thresholds (prefix length ~ (1-t)|X|) over
+    corpora whose shingles are mostly rare (web-scale text), where the
+    grouped-count join's posting lists explode but candidates are few.
+    Measured on the driver's dense word-soup corpus the default grouped
+    count wins at every t (its cost is candidate-bounded, and the
+    verify join-back pays two array-carrying shuffles) — so the default
+    stays off."""
     blocking_cols = blocking_cols or []
-    # shingle arrays feed both posting sides — persist to build them once
+    # canonical-order hash arrays feed every stage — persist, built once
     sh = df.select(
         F.col(id_col), *[F.col(c) for c in blocking_cols],
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
-    ).withColumn("sh_size", F.size("sh")).persist()
-    # join on the 64-bit shingle hash, not the string — same pairs
-    # (collisions only inflate |A∩B| with p~2^-64), an ~4x narrower shuffle
+        F.array_sort(
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), n),
+                            lambda s: F.xxhash64(s)))
+        ).alias("hs"),
+    ).withColumn("sh_size", F.size("hs")).persist()
+
+    if not prefix_filter:
+        posting = sh.select(
+            id_col, *blocking_cols, "sh_size", F.explode("hs").alias("shingle"))
+        a = posting.select(
+            *[F.col(c) for c in blocking_cols],
+            F.col(id_col).alias("id_a"), F.col("sh_size").alias("size_a"),
+            "shingle")
+        b = posting.select(
+            *[F.col(c) for c in blocking_cols],
+            F.col(id_col).alias("id_b"), F.col("sh_size").alias("size_b"),
+            "shingle")
+        common = (
+            a.join(b, on=blocking_cols + ["shingle"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "size_a", "size_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        return (
+            common.withColumn(
+                "jaccard",
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    prefix_len = (
+        F.col("sh_size") - F.ceil(F.col("sh_size") * F.lit(threshold)) + 1
+    ).cast("int")
     posting = sh.select(
-        id_col, *blocking_cols, "sh_size", F.explode("sh").alias("__sg")
-    ).select(
-        id_col, *blocking_cols, "sh_size", F.xxhash64("__sg").alias("shingle")
-    )
+        id_col, *blocking_cols, "sh_size",
+        F.explode(F.slice("hs", F.lit(1), prefix_len)).alias("shingle"))
     a = posting.select(
         *[F.col(c) for c in blocking_cols],
-        F.col(id_col).alias("id_a"), F.col("sh_size").alias("size_a"), "shingle",
-    )
+        F.col(id_col).alias("id_a"), F.col("sh_size").alias("size_a"),
+        "shingle")
     b = posting.select(
         *[F.col(c) for c in blocking_cols],
-        F.col(id_col).alias("id_b"), F.col("sh_size").alias("size_b"), "shingle",
-    )
-    common = (
+        F.col(id_col).alias("id_b"), F.col("sh_size").alias("size_b"),
+        "shingle")
+    cands = (
         a.join(b, on=blocking_cols + ["shingle"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        # size-ratio bound: jaccard >= t forces t*|A| <= |B| <= |A|/t
+        .filter((F.col("size_b") >= F.col("size_a") * threshold)
+                & (F.col("size_a") >= F.col("size_b") * threshold))
+        .select("id_a", "id_b")
+        .distinct()
     )
+    ha = sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"),
+                   F.col("sh_size").alias("size_a"))
+    hb = sh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"),
+                   F.col("sh_size").alias("size_b"))
     return (
-        common.withColumn(
+        cands.join(ha, "id_a").join(hb, "id_b")
+        .withColumn("__common",
+                    F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
             "jaccard",
-            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
-        )
+            F.col("__common")
+            / (F.col("size_a") + F.col("size_b") - F.col("__common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

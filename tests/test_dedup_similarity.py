@@ -238,3 +238,20 @@ def test_lsh_candidate_pairs_api(spark, docs):
              for r in lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8).collect()}
     # identical signatures share every band -> every dup pair is a candidate
     assert {(r.doc_id, r.doc_id + 5000) for r in base.collect()} <= cands
+
+
+def test_jaccard_prefix_filter_exactness(spark, docs, planted):
+    """Prefix filtering is an OPTIMIZATION, not an approximation: result
+    sets and jaccard values identical to the full postings join."""
+    def pairs(df, **kw):
+        return {(r.id_a, r.id_b): round(r.jaccard, 6)
+                for r in ngram_jaccard_pairs(df, "doc_id", "text", **kw).collect()}
+
+    full = pairs(planted, n=3, threshold=0.5)
+    pref = pairs(planted, n=3, threshold=0.5, prefix_filter=True)
+    assert full == pref and len(full) > 0
+
+    corpus = docs.limit(200)
+    full2 = pairs(corpus, n=3, threshold=0.2)
+    pref2 = pairs(corpus, n=3, threshold=0.2, prefix_filter=True)
+    assert full2 == pref2
