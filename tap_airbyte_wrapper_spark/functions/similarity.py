@@ -160,6 +160,7 @@ def embedding_near_dup_pairs(
     agrees w.p. ~0.9 -> ~80% recall); for low thresholds like 0.4 the
     collision probability collapses and you want the exact path instead.
     """
+    df = df.filter(F.col(vec_col).isNotNull())
     if method == "lsh":
         sig = hyperplane_signature(vec_col, _planes(bits, dim, seed), bands)
         h = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
@@ -257,6 +258,8 @@ def cosine_topk_ivf(
     small side, broadcast), so the search join touches ~n_probe/n_clusters
     of the corpus instead of all of it.  Recall < 1.0 by design; raise
     ``n_probe`` toward ``n_clusters`` to trade speed back for recall."""
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     sample = corpus.select(vec_col).limit(train_sample).toPandas()
     mat = np.stack(sample[vec_col].to_numpy()).astype("float64")
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -314,6 +317,8 @@ def cosine_topk_lsh(
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((bits, dim))
 
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     c = corpus.select(
         F.col(id_col), F.col(vec_col),
         hyperplane_signature(vec_col, planes, bands).alias("__sig"))

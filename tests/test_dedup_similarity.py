@@ -255,3 +255,20 @@ def test_jaccard_prefix_filter_exactness(spark, docs, planted):
     full2 = pairs(corpus, n=3, threshold=0.2)
     pref2 = pairs(corpus, n=3, threshold=0.2, prefix_filter=True)
     assert full2 == pref2
+
+
+def test_similarity_null_vectors_dropped(spark):
+    """Null embeddings must not crash the Arrow/numpy paths — they are
+    dropped (a null vector can never match)."""
+    from tap_airbyte_wrapper_spark.functions import (
+        cosine_topk_ivf, cosine_topk_lsh, embedding_near_dup_pairs)
+
+    rows = [(i, [float(i % 7 + j) for j in range(8)]) for i in range(40)]
+    rows += [(100, None), (101, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 3")
+    assert embedding_near_dup_pairs(emb, threshold=0.99).count() >= 0
+    assert embedding_near_dup_pairs(emb, threshold=0.99, method="lsh",
+                                    dim=8).count() >= 0
+    assert cosine_topk_lsh(emb, q, k=3, dim=8, bits=16, bands=4).count() >= 0
+    assert cosine_topk_ivf(emb, q, k=3, n_clusters=4, n_probe=2).count() >= 0
