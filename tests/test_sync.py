@@ -77,7 +77,9 @@ def test_incremental_resume(spark, sf_dir, tmp_path):
     )
     eng = make_engine(spark, sf_dir, tmp_path, **cfg)
     res1 = eng.sync()
-    assert res1.stream_counts["events"] == 1000
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+    total = load_parquet(spark, f"{sf_dir}/events.parquet").count()
+    assert res1.stream_counts["events"] == total
     state = json.load(open(tmp_path / "state.json"))
     assert "events" in state["bookmarks"]
     assert state["airbyte_state"][0]["type"] == "STREAM"
@@ -98,7 +100,9 @@ def test_incremental_predicate_pushdown(spark, sf_dir, tmp_path):
     df = eng.stream_df(entry)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "ts" in plan  # filter reached the scan
-    assert 0 < df.count() < 1000
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+    total = load_parquet(spark, f"{sf_dir}/events.parquet").count()
+    assert 0 < df.count() < total
 
 
 def test_parquet_sink_and_maps(spark, sf_dir, tmp_path):
