@@ -295,6 +295,103 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
 
 
+def q7_nation_trade(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade flows — two
+    broadcast dim joins + a non-equi pair predicate, grouped by year."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = equi_join(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        nation.select(F.col("n_nationkey").alias("c_nationkey"),
+                      F.col("n_name").alias("cust_nation")),
+        on="c_nationkey", broadcast_right=True,
+    )
+    supp = equi_join(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+        nation.select(F.col("n_nationkey").alias("s_nationkey"),
+                      F.col("n_name").alias("supp_nation")),
+        on="s_nationkey", broadcast_right=True,
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    j = (
+        li.join(F.broadcast(supp.select(F.col("s_suppkey").alias("l_suppkey"),
+                                        "supp_nation")), on="l_suppkey")
+        .join(orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+              on="l_orderkey")
+        .join(F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"),
+                                      "cust_nation")), on="o_custkey")
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2")
+                & F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.round(F.sum(F.expr(_REV)), 2).alias("revenue"))
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-lineitem revenue per customer, top 20 —
+    join + agg + TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01"))
+    j = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+        on="l_orderkey",
+    ).join(
+        F.broadcast(_t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_name")),
+        on="o_custkey",
+    )
+    agg = j.groupBy("o_custkey", "c_name").agg(
+        F.sum(F.expr(_REV)).alias("__rev"))
+    top = global_topk(agg, [F.col("__rev").desc(), F.col("o_custkey")], 20)
+    return top.select(
+        F.col("o_custkey").alias("c_custkey"), "c_name",
+        F.round("__rev", 2).alias("revenue"))
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation ratio (promo share of
+    revenue) over one month, broadcast part dim."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01"))
+    j = li.join(
+        F.broadcast(_t(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("l_partkey"), "p_type")),
+        on="l_partkey",
+    )
+    rev = F.expr(_REV)
+    return j.agg(
+        F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev), 4).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate across fact and dim columns
+    — the planner must still push the common conjuncts and broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size")
+    j = li.join(F.broadcast(part), on="l_partkey")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.expr(_REV)), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_brand_revenue(spark, sf_dir):
     """Star join: fact x broadcast dim, aggregate by dim attribute."""
     li = _t(spark, sf_dir, "lineitem")
@@ -729,6 +826,10 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q7_nation_trade": q7_nation_trade,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_disjunctive_filter": q19_disjunctive_filter,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -905,6 +1006,50 @@ ORACLES = {
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n_name""",
+    "q7_nation_trade": f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               round(sum({_REV_SQL}), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND sn.n_name != cn.n_name
+          AND sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+        GROUP BY sn.n_name, cn.n_name, year(l_shipdate)""",
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, round(rev, 2) AS revenue
+        FROM (SELECT c_custkey, c_name, sum({_REV_SQL}) AS rev
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+              GROUP BY c_custkey, c_name)
+        ORDER BY rev DESC, c_custkey LIMIT 20""",
+    "q14_promo_revenue": f"""
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN {_REV_SQL} ELSE 0.0 END)
+                     / sum({_REV_SQL}), 4) AS promo_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""",
+    "q19_disjunctive_filter": f"""
+        SELECT round(sum({_REV_SQL}), 2) AS revenue, count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 10
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size <= 20
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size <= 30
+               AND l_quantity BETWEEN 20 AND 40)""",
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
