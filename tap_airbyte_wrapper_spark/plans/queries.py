@@ -392,6 +392,49 @@ def q19_disjunctive_filter(spark, sf_dir):
     )
 
 
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue view + scalar-subquery max — the max is a
+    1-row broadcast cross join, so 'revenue = (SELECT max(...))' never
+    shuffles the view twice."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.expr(_REV)).alias("total_rev")).persist()
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_rev") == F.col("__mx"))
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    return top.join(F.broadcast(sup), on="l_suppkey").select(
+        F.col("l_suppkey").alias("s_suppkey"), "s_name",
+        F.round("total_rev", 2).alias("total_rev_r"))
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING on a grouped sum -> semi-join back to the
+    fact -> customer join, top 20."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("sum_qty")).filter(F.col("sum_qty") > 150)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), "o_custkey", "o_totalprice", "o_orderdate")
+    j = orders.join(
+        big.select(F.col("l_orderkey").alias("o_orderkey"), "sum_qty"),
+        on="o_orderkey",
+    ).join(
+        F.broadcast(_t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_name")),
+        on="o_custkey",
+    )
+    top = global_topk(
+        j, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 20)
+    return top.select(
+        "c_name", F.col("o_custkey").alias("c_custkey"), "o_orderkey",
+        _us("o_orderdate").alias("o_orderdate_us"),
+        F.round("o_totalprice", 2).alias("price_r"),
+        F.round("sum_qty", 2).alias("sum_qty_r"))
+
+
 def q_brand_revenue(spark, sf_dir):
     """Star join: fact x broadcast dim, aggregate by dim attribute."""
     li = _t(spark, sf_dir, "lineitem")
@@ -830,6 +873,8 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_disjunctive_filter": q19_disjunctive_filter,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_orders": q18_large_orders,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -1050,6 +1095,27 @@ ORACLES = {
                AND l_quantity BETWEEN 10 AND 30)
            OR (p_brand = 'Brand#3' AND p_size <= 30
                AND l_quantity BETWEEN 20 AND 40)""",
+    "q15_top_supplier": f"""
+        WITH rev AS (
+          SELECT l_suppkey, sum({_REV_SQL}) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, round(total_rev, 2) AS total_rev_r
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+    "q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey, epoch_us(o_orderdate)
+                 AS o_orderdate_us,
+               round(o_totalprice, 2) AS price_r,
+               round(sum_qty, 2) AS sum_qty_r
+        FROM orders
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 150) ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
