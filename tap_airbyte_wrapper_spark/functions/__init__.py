@@ -33,6 +33,7 @@ from .similarity import (
     embedding_near_dup_pairs,
     l2_norm,
 )
+from .sampling import hash_bucket, hash_split, stratified_sample
 from .multimodal import (
     MEDIA_SCHEMA,
     as_media,
@@ -54,6 +55,7 @@ __all__ = [
     "dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_lsh",
     "cosine_topk_ivf",
     "embedding_near_dup_pairs",
+    "hash_bucket", "hash_split", "stratified_sample",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
     "decode_audio",
     "extract_features", "sample_frames",

@@ -25,6 +25,7 @@ from ..functions import (
     decode_image,
     embedding_near_dup_pairs,
     exact_dedup,
+    hash_split,
     language_id,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
@@ -743,6 +744,16 @@ def q_quality_scores(spark, sf_dir):
         "doc_id", F.round(quality_score(F.col("text")), 4).alias("q"))
 
 
+def q_train_test_split(spark, sf_dir):
+    """Deterministic hash-bucketed train/test split: membership is a pure
+    function of doc_id (order/partitioning/seed-independent), so the
+    split is reproducible on any cluster and any engine."""
+    out = hash_split(_t(spark, sf_dir, "documents"), "doc_id", train_pct=80)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"))
+
+
 def q_doc_word_stats(spark, sf_dir):
     """Higher-order array functions end-to-end (transform/filter/
     aggregate/array_distinct) — the scalar-function surface of §2.3 in
@@ -904,6 +915,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "language_id": q_language_id,
     "quality_scores": q_quality_scores,
+    "train_test_split": q_train_test_split,
     "doc_word_stats": q_doc_word_stats,
     "exact_dedup_docs": q_exact_dedup_docs,
     "corpus_curation": q_corpus_curation,
@@ -1295,6 +1307,12 @@ ORACLES = {
         FROM documents""",
     "language_id": _LANG_SQL,
     "quality_scores": _QUALITY_SQL,
+    "train_test_split": """
+        SELECT CASE WHEN CAST(concat('0x',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                 % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+               count(*) AS n_docs, min(doc_id) AS min_id
+        FROM documents GROUP BY 1""",
     "doc_word_stats": """
         SELECT doc_id,
           CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_words,

@@ -138,3 +138,27 @@ def test_text_functions_null_empty_unicode(spark):
     assert all(r.q is None or 0.0 <= r.q <= 1.0 for r in rows)
     assert simhash_df(df, "doc_id", "text").count() == 5
     assert minhash_signatures_df(df, "doc_id", "text", 8).count() == 5
+
+
+def test_hash_split_deterministic_and_stratified(spark, sf_dir):
+    from tap_airbyte_wrapper_spark.functions import hash_split, stratified_sample
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    # repartitioning must NOT change membership
+    s2 = {r.doc_id: r.split
+          for r in hash_split(docs.repartition(7), "doc_id").collect()}
+    assert s1 == s2
+    frac = sum(1 for v in s1.values() if v == "train") / len(s1)
+    assert 0.6 < frac < 0.95
+    # a different salt re-deals
+    s3 = {r.doc_id: r.split
+          for r in hash_split(docs, "doc_id", salt="v2").collect()}
+    assert s3 != s1
+    # stratified sampling: down-weight one language deterministically
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    fr = {lg: (0.1 if i == 0 else 1.0) for i, lg in enumerate(sorted(langs))}
+    samp = stratified_sample(docs, "lang", fr, seed=7)
+    again = stratified_sample(docs, "lang", fr, seed=7)
+    assert samp.count() == again.count() < docs.count()
