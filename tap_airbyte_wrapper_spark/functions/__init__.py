@@ -40,6 +40,7 @@ from .multimodal import (
     decode_audio,
     decode_image,
     extract_features,
+    resize_image,
     sample_frames,
     with_media_metadata,
 )
@@ -58,5 +59,5 @@ __all__ = [
     "hash_bucket", "hash_split", "stratified_sample",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
     "decode_audio",
-    "extract_features", "sample_frames",
+    "extract_features", "resize_image", "sample_frames",
 ]

@@ -32,6 +32,7 @@ __all__ = [
     "with_media_metadata",
     "decode_image",
     "decode_audio",
+    "resize_image",
     "extract_features",
     "sample_frames",
 ]
@@ -106,6 +107,52 @@ def decode_image(
             yield out
 
     return df.mapInPandas(decode, out_schema)
+
+
+def resize_image(
+    df: DataFrame,
+    media_col: str,
+    width: int,
+    height: int,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize images to (width, height): media bundle in, media bundle out
+    (payload replaced, metadata updated with target dims).
+
+    Real resampling needs a codec (``fake=False`` raises executor-side);
+    ``fake=True`` emits a deterministic byte-stub of plausible size
+    (w*h*3 capped) so downstream batch shape, hashing, and size
+    accounting are exercised for real."""
+    passthrough = [f for f in df.schema.fields if f.name != media_col]
+    out_schema = T.StructType(
+        passthrough + [T.StructField(media_col, MEDIA_SCHEMA)])
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize needs a codec library (PIL/cv2) — pass "
+                    "fake=True for the deterministic stub"
+                )
+            bundles = []
+            for b in pdf[media_col]:
+                payload = b["media"] if isinstance(b, dict) else bytes(b or b"")
+                seed = hashlib.md5(payload).digest()
+                size = min(width * height * 3, 4096)
+                fake_pixels = (seed * (size // len(seed) + 1))[:size]
+                bundles.append({
+                    "media": fake_pixels,
+                    "media_type": (b.get("media_type", "image/raw")
+                                   if isinstance(b, dict) else "image/raw"),
+                    "media_hash": hashlib.md5(fake_pixels).hexdigest(),
+                    "size_bytes": len(fake_pixels),
+                    "meta": {"width": str(width), "height": str(height)},
+                })
+            out = pdf[[f.name for f in passthrough]].copy()
+            out[media_col] = bundles
+            yield out
+
+    return df.mapInPandas(resize, out_schema)
 
 
 _AUDIO_SCHEMA = "sample_rate int, n_samples bigint, duration_s double, rms double"

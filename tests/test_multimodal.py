@@ -97,3 +97,24 @@ def test_decode_audio_real_path_raises(spark, sf_dir):
         "doc_id", "media_bundle")
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_audio(media, "media_bundle", fake=False).collect()
+
+
+def test_resize_image_fake(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from tap_airbyte_wrapper_spark.functions import resize_image, with_media_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    media = with_media_metadata(docs, "payload", "image/png").select(
+        "doc_id", "media_bundle")
+    out = resize_image(media, "media_bundle", width=32, height=32, fake=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        b = r.media_bundle
+        assert b.meta["width"] == "32" and b.meta["height"] == "32"
+        assert b.size_bytes == len(b.media) > 0
+    # deterministic: same payload -> same resized hash
+    again = {r.doc_id: r.media_bundle.media_hash
+             for r in resize_image(media, "media_bundle", 32, 32, fake=True).collect()}
+    assert again == {r.doc_id: r.media_bundle.media_hash for r in rows}
