@@ -171,3 +171,46 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS tb_orders")
         spark.sql("DROP TABLE IF EXISTS tb_lineitem")
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """AQE's runtime skew splitter is the first line of defense before
+    manual salting: a hot key's oversized shuffle partition is split into
+    multiple tasks, visible as SortMergeJoin(skew=true) in the FINAL
+    adaptive plan (thresholds lowered to trigger at test scale)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        skewed = spark.range(100000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(1)).otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("v"))
+        other = spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = skewed.join(other, "k")
+        assert len(j.collect()) == 99002
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
