@@ -149,17 +149,23 @@ def apply_stream_map(
 
     keep_only = stream_map.get("__else__") == NULL_SENTINEL
     explicit: list[str] = []
+    dropped: list[str] = []
+    # SDK semantics: every expression evaluates against the ORIGINAL
+    # record — a computed column may reference a column that the same map
+    # also drops.  So: compute first, drop after.
     for name, value in stream_map.items():
         if name.startswith("__") and name.endswith("__"):
             continue
         if value == NULL_SENTINEL:
-            out = out.drop(name)
+            dropped.append(name)
             continue
         if value is None:
             explicit.append(name)  # passthrough mention
             continue
         out = out.withColumn(name, F.expr(compile_map_expression(str(value), config)))
         explicit.append(name)
+    for name in dropped:
+        out = out.drop(name)
 
     if keep_only:
         out = out.select(*[c for c in out.columns if c in explicit])

@@ -13,6 +13,14 @@ import string
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import types as T
 
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
+
+
 from tap_airbyte_wrapper_spark.schema import (
     json_schema_to_struct,
     struct_to_json_schema,
@@ -143,3 +151,41 @@ def test_global_replaces_stream_state(stream_msgs, global_msg):
     gname = global_msg["global"]["stream_states"][0][
         "stream_descriptor"]["name"]
     assert set(store.bookmarks) == {gname}
+
+
+# ------------------------------------------------------------- stream maps
+
+_cols = ["a", "b", "c", "d"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sets(st.sampled_from(_cols), max_size=3),            # dropped
+    st.sets(st.sampled_from(["x", "y"]), max_size=2),       # computed
+    st.integers(min_value=-5, max_value=5),                 # filter cutoff
+)
+def test_stream_map_random_specs(spark_global, dropped, computed, cutoff):
+    """Any combination of drop/computed/filter directives produces exactly
+    the declared columns and exactly the rows passing the filter."""
+    from tap_airbyte_wrapper_spark.maps import StreamMapper
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(i, i * 2, i - 3, f"s{i}") for i in range(10)],
+        "a long, b long, c long, d string")
+    spec = {c: "__NULL__" for c in dropped}
+    for name in computed:
+        spec[name] = "a + b"
+    spec["__filter__"] = f"a > {cutoff}"
+    mapper = StreamMapper(stream_maps={"t": spec})
+    [(_, out)] = mapper.apply("t", df)
+
+    expected_cols = [c for c in _cols if c not in dropped] + sorted(computed)
+    assert sorted(out.columns) == sorted(expected_cols)
+    rows = out.collect()
+    assert len(rows) == sum(1 for i in range(10) if i > cutoff)
+    if computed:
+        for r in rows:
+            for name in computed:
+                # a + b == 3a for this frame
+                assert getattr(r, name) % 3 == 0
