@@ -150,9 +150,12 @@ def apply_stream_map(
     keep_only = stream_map.get("__else__") == NULL_SENTINEL
     explicit: list[str] = []
     dropped: list[str] = []
+    computed: dict[str, Column] = {}
     # SDK semantics: every expression evaluates against the ORIGINAL
-    # record — a computed column may reference a column that the same map
-    # also drops.  So: compute first, drop after.
+    # record — a computed column may reference a column the same map drops
+    # or overwrites.  So all expressions are compiled against the pre-map
+    # DataFrame and applied in ONE select (sequential withColumn would let
+    # {"b": "b + 1", "a": "b * 2"} see the mapped b, dict-order dependent).
     for name, value in stream_map.items():
         if name.startswith("__") and name.endswith("__"):
             continue
@@ -162,10 +165,18 @@ def apply_stream_map(
         if value is None:
             explicit.append(name)  # passthrough mention
             continue
-        out = out.withColumn(name, F.expr(compile_map_expression(str(value), config)))
+        computed[name] = F.expr(compile_map_expression(str(value), config))
         explicit.append(name)
-    for name in dropped:
-        out = out.drop(name)
+    if computed or dropped:
+        cols: list[Column] = []
+        for c in out.columns:
+            if c in dropped:
+                continue
+            cols.append(computed.pop(c).alias(c) if c in computed else F.col(c))
+        # New columns (not overwriting an existing one) append in map order,
+        # matching withColumn's placement.
+        cols.extend(expr.alias(name) for name, expr in computed.items())
+        out = out.select(*cols)
 
     if keep_only:
         out = out.select(*[c for c in out.columns if c in explicit])

@@ -231,6 +231,13 @@ def range_join(
             cond = cond & c
         return points.join(intervals, cond & between, how)
 
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join's binned path supports inner/left, got {how!r} "
+            "(the residual BETWEEN filter cannot preserve unmatched rows "
+            "of the intervals side)"
+        )
+
     def to_bin(col: Column) -> Column:
         return F.floor(col.cast("double") / F.lit(bin_width)).cast("long")
 
@@ -241,7 +248,24 @@ def range_join(
     ).withColumn("__bin", F.explode("__bins")).drop("__bins")
 
     join_keys = keys + ["__bin"]
-    out = p.join(i, on=join_keys, how=how).filter(
+    matched = p.join(i, on=join_keys, how="inner").filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    ).drop("__bin")
+    if how == "inner":
+        return matched
+    # left: an outer binned join + residual filter would silently drop
+    # unmatched points (null lo/hi fails BETWEEN) — i.e. degenerate to
+    # inner.  Instead, add back points whose key set has no residual
+    # match, with null interval columns, via an anti-join on the full
+    # (keys + point) identity.  Points duplicated in the input stay
+    # duplicated (each copy is unmatched), matching a true left join.
+    ident = keys + [point_col]
+    unmatched = points.join(
+        matched.select(*ident).distinct(), on=ident, how="left_anti"
     )
-    return out.drop("__bin")
+    icols = [c for c in intervals.columns if c not in keys]
+    unmatched = unmatched.select(
+        *points.columns,
+        *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in icols],
+    )
+    return matched.select(*points.columns, *icols).unionByName(unmatched)

@@ -97,7 +97,13 @@ def record_json_expr(df: DataFrame, stream: str):
     """Column producing the full Singer RECORD envelope as one JSON string,
     computed executor-side (``to_json(struct(...))``)."""
     ndf = _normalize_columns(df)
-    rec = F.to_json(F.struct(*[F.col(f.name) for f in ndf.schema.fields]))
+    # ignoreNullFields=false: the stdout path (json.dumps of row.asDict) and the
+    # reference's orjson output both serialize null-valued fields; to_json's
+    # default would drop them, making the two sinks disagree on the same row.
+    rec = F.to_json(
+        F.struct(*[F.col(f.name) for f in ndf.schema.fields]),
+        {"ignoreNullFields": "false"},
+    )
     line = F.concat(
         F.lit('{"record":'),
         rec,

@@ -94,8 +94,23 @@ def load_parquet(
     """
     ns_cols = _nanos_columns(path)
     if ns_cols:
+        # Scope the legacy conf to this read: the parquet→catalyst schema
+        # conversion happens eagerly inside spark.read.parquet, so the
+        # session conf can be restored immediately (verified: actions on
+        # the returned DataFrame still succeed).  Leaking it true would
+        # make a later file whose probe failed read nanos as raw longs
+        # with no div-1000 conversion.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    else:
+        df = spark.read.parquet(path)
 
     if cursor_after is not None:
         col, bookmark = cursor_after

@@ -99,3 +99,36 @@ def test_key_properties_override(df):
     m = StreamMapper({"users": {"__key_properties__": ["id"]}})
     assert m.key_properties_override("users") == ["id"]
     assert m.key_properties_override("other") is None
+
+
+def test_computed_sees_original_record(df):
+    # Singer SDK semantics: every map expression evaluates against the
+    # ORIGINAL record.  An overwrite of one column must not leak into a
+    # later expression referencing it (and the result must not depend on
+    # dict order).
+    out = apply_stream_map(
+        df, {"amount": "amount + 1", "doubled": "amount * 2"}
+    )
+    r = out.filter("id = 1").first()
+    assert r.amount == 11.0
+    assert r.doubled == 20.0  # 10 * 2, not 11 * 2
+    # Reverse declaration order: same result.
+    out2 = apply_stream_map(
+        df, {"doubled": "amount * 2", "amount": "amount + 1"}
+    )
+    r2 = out2.filter("id = 1").first()
+    assert (r2.amount, r2.doubled) == (11.0, 20.0)
+
+
+def test_computed_overwrite_keeps_column_position(df):
+    out = apply_stream_map(df, {"name": "upper(name)", "extra": "id * 10"})
+    assert out.columns == ["id", "name", "amount", "extra"]
+    assert out.filter("id = 2").first().name == "BOB"
+
+
+def test_computed_referencing_dropped_column(df):
+    # Compute-first-drop-after: a computed column may reference a column
+    # the same map drops.
+    out = apply_stream_map(df, {"amount": "__NULL__", "cents": "amount * 100"})
+    assert "amount" not in out.columns
+    assert out.filter("id = 3").first().cents == 3000.0

@@ -197,3 +197,26 @@ def test_salted_join_matches_unsalted(spark):
     import pytest
     with pytest.raises(ValueError):
         salted_join(skewed, dim, "k", how="outer")
+
+
+def test_range_join_binned_left(spark):
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 99.0), (4, 99.0)], "pid int, x double")
+    ivals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 10.0, 20.0)], "iid int, lo double, hi double")
+    out = ops.range_join(points, ivals, "x", "lo", "hi",
+                         bin_width=10.0, how="left")
+    rows = {(r.pid, r.iid) for r in out.collect()}
+    # Unmatched points survive with null interval columns — including
+    # duplicated unmatched points (one output row per input row).
+    assert rows == {(1, 10), (2, 20), (3, None), (4, None)}
+    assert out.count() == 4
+
+
+def test_range_join_binned_rejects_outer(spark):
+    points = spark.createDataFrame([(1, 5.0)], "pid int, x double")
+    ivals = spark.createDataFrame([(10, 0.0, 10.0)],
+                                  "iid int, lo double, hi double")
+    with pytest.raises(ValueError, match="inner/left"):
+        ops.range_join(points, ivals, "x", "lo", "hi",
+                       bin_width=10.0, how="full")

@@ -203,3 +203,43 @@ def test_load_parquet_handles_int96_and_nanos(spark, sf_dir, tmp_path):
     a = sorted((r.event_id, r.ts) for r in ev.select("event_id", "ts").collect())
     b = sorted((r.event_id, r.ts) for r in back.select("event_id", "ts").collect())
     assert a == b
+
+
+def test_singer_files_stdout_null_parity(spark, tmp_path):
+    """The distributed files sink and the driver stdout sink must emit the
+    SAME record payload for null-bearing rows (to_json defaults to dropping
+    null fields; the reference's orjson output keeps them)."""
+    from tap_airbyte_wrapper_spark.singer_io import (
+        write_singer_files, write_singer_stdout)
+
+    df = spark.createDataFrame(
+        [(1, None, 1.5), (2, "bob", None)],
+        "id long, name string, amount double")
+    buf = io.StringIO()
+    write_singer_stdout(df, "s", out=buf)
+    stdout_recs = sorted(
+        (json.loads(l)["record"] for l in buf.getvalue().splitlines()
+         if json.loads(l)["type"] == "RECORD"),
+        key=lambda r: r["id"])
+
+    write_singer_files(df, "s", str(tmp_path / "singer_nulls"), mode="overwrite")
+    lines = spark.read.text(str(tmp_path / "singer_nulls")).collect()
+    file_recs = sorted((json.loads(r.value)["record"] for r in lines),
+                       key=lambda r: r["id"])
+    assert file_recs == stdout_recs
+    assert set(file_recs[0]) == {"id", "name", "amount"}  # nulls serialized
+    assert file_recs[0]["name"] is None
+
+
+def test_load_parquet_restores_nanos_conf(spark, sf_dir):
+    """load_parquet must not leak spark.sql.legacy.parquet.nanosAsLong into
+    the session (a later probe-failing read would get raw longs)."""
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    df = load_parquet(spark, f"{sf_dir}/events.parquet")
+    assert spark.conf.get(key, None) == before
+    # and the returned DataFrame still executes with converted timestamps
+    assert df.count() > 0
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
