@@ -272,3 +272,17 @@ def test_similarity_null_vectors_dropped(spark):
                                     dim=8).count() >= 0
     assert cosine_topk_lsh(emb, q, k=3, dim=8, bits=16, bands=4).count() >= 0
     assert cosine_topk_ivf(emb, q, k=3, n_clusters=4, n_probe=2).count() >= 0
+
+
+def test_embedding_near_dup_exact_guard(spark, sf_dir):
+    from tap_airbyte_wrapper_spark.functions import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="lsh"):
+        embedding_near_dup_pairs(emb, max_exact_cells=10).count()
+    # auto routes to the LSH path instead of raising
+    out = embedding_near_dup_pairs(
+        emb, threshold=0.9, method="auto", max_exact_cells=10)
+    assert out.count() >= 0
+    with pytest.raises(ValueError, match="exact|lsh|auto"):
+        embedding_near_dup_pairs(emb, method="bogus")
