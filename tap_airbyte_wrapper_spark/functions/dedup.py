@@ -74,13 +74,23 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup on the md5 fingerprint; survivor = min id (deterministic).
-    One shuffle, on the 128-bit hash — never on the raw text."""
+    One shuffle, on the 128-bit hash — never on the raw text.
+
+    Shape: ``row_number() over (partition by fingerprint order by id)``,
+    NOT groupBy-winner + semi-join-back.  Both shuffle the full rows once,
+    but the join formulation executes the upstream plan on BOTH sides —
+    measured 2x the runtime when the input is a derived pipeline (scored +
+    filtered corpus_curation); the window scans the input once."""
+    from pyspark.sql import Window
+
     from .text import fingerprint
 
-    fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
-    survivors = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
     return (
-        fp.join(survivors, on=[id_col, "__fp"], how="left_semi").drop("__fp")
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
     )
 
 

@@ -43,6 +43,19 @@ def _marker_hits(col: Column, words: list[str]) -> Column:
     return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), 1))
 
 
+def _all_marker_matches(col: Column) -> Column:
+    """ONE combined regex scan extracting every marker word of every
+    language.  Both :func:`language_id` and :func:`quality_score` build on
+    this identical expression, so when a projection computes both, Catalyst
+    subexpression elimination runs the (dominant) regex scan once.
+    Alternation matches are whole \\b-delimited words, so filtering the
+    match array by a language's word set yields exactly that language's
+    separate-scan counts."""
+    all_words = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    pattern = r"\b(" + "|".join(all_words) + r")\b"
+    return F.regexp_extract_all(F.lower(col), F.lit(pattern), 1)
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count; 0 for empty/blank strings."""
     trimmed = F.trim(col)
@@ -79,9 +92,7 @@ def language_id(col: Column) -> Column:
     is a whole \\b-delimited marker word, so per-language counts via set
     membership on the small match array are exactly the counts of four
     separate scans — at a quarter of the regex cost, which dominates)."""
-    all_words = sorted({w for ws in LANG_MARKERS.values() for w in ws})
-    pattern = r"\b(" + "|".join(all_words) + r")\b"
-    matches = F.regexp_extract_all(F.lower(col), F.lit(pattern), 1)
+    matches = _all_marker_matches(col)
     scores = [
         (lang, F.size(F.filter(matches, lambda m: m.isin(words))))
         for lang, words in sorted(LANG_MARKERS.items())
@@ -106,7 +117,14 @@ def quality_score(col: Column) -> Column:
     n_tokens = token_count(col)
     alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
     alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
-    stop_hits = _marker_hits(col, LANG_MARKERS["en"])
+    # en-marker hits derived from the SAME combined-marker scan that
+    # language_id uses — identical count to an en-only scan (whole-word
+    # alternation matches can't overlap), and Catalyst subexpression
+    # elimination shares the one regex pass when both scorers sit in the
+    # same projection (the corpus_curation shape).
+    en_words = LANG_MARKERS["en"]
+    stop_hits = F.size(
+        F.filter(_all_marker_matches(col), lambda m: m.isin(en_words)))
     stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
     mean_word = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
 
