@@ -1,10 +1,15 @@
 """Benchmark harness: runs the engine's query fleet at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
-"sf"}.
+"sf", "reps", "samples": {name: [sec, ...]}}.
 
 Each query executes via the noop sink (full computation, no driver
 collect, no filesystem write skew) after a warm-up of the session JVM.
+Each query is timed $SPARK_GRAFT_BENCH_REPS times (default 3) and the
+per-query number reported in "queries" is the MEDIAN of those samples;
+the raw samples are kept in "samples" so run-to-run noise (JIT compile,
+Python worker churn, system load) is visible instead of aliasing into
+the single reported figure.
 """
 
 from __future__ import annotations
@@ -12,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -66,18 +72,25 @@ def main() -> int:
     except Exception:
         pass
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     total = 0.0
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-        except Exception as e:  # a failing query must not hide the rest
-            dt = time.perf_counter() - t0
-            print(f"# bench error {name}: {e}", file=sys.stderr)
-        timings[name] = round(dt, 3)
-        total += dt
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            except Exception as e:  # a failing query must not hide the rest
+                runs.append(time.perf_counter() - t0)
+                print(f"# bench error {name}: {e}", file=sys.stderr)
+                break
+        med = statistics.median(runs)
+        samples[name] = [round(r, 3) for r in runs]
+        timings[name] = round(med, 3)
+        total += med
 
     print(
         json.dumps(
@@ -87,6 +100,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "samples": samples,
             }
         )
     )
