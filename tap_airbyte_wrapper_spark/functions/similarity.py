@@ -196,23 +196,29 @@ def embedding_near_dup_pairs(
             method = "exact"
 
     if method == "lsh":
+        # Candidate generation is id-only: the band self-join and the pair
+        # dedup shuffle two ids + two longs per row, never the vectors —
+        # at 100x scale the old shape (2 x dim doubles riding every
+        # candidate through dropDuplicates) was the dominant shuffle.
+        # Vectors rejoin AFTER dedup via pruned-column scans of ``df``.
         sig = hyperplane_signature(vec_col, _planes(bits, dim, seed), bands)
-        h = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
+        h = df.select(F.col(id_col), sig.alias("__sig"))
         expl = h.select(
-            id_col, vec_col, F.posexplode("__sig").alias("band", "band_val"))
-        a = expl.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-            "band", "band_val")
-        b = expl.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-            "band", "band_val")
-        cands = (
+            id_col, F.posexplode("__sig").alias("band", "band_val"))
+        a = expl.select(F.col(id_col).alias("id_a"), "band", "band_val")
+        b = expl.select(F.col(id_col).alias("id_b"), "band", "band_val")
+        pairs = (
             a.join(b, on=["band", "band_val"])
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
+        va = df.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        vb = df.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         return (
-            cands.withColumn(
+            pairs.join(va, on="id_a").join(vb, on="id_b")
+            .withColumn(
                 "cos_sim", cosine_pairs(F.col("__va"), F.col("__vb")))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim")
@@ -376,42 +382,51 @@ def cosine_topk_lsh(
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
     c = corpus.select(
-        F.col(id_col), F.col(vec_col),
-        hyperplane_signature(vec_col, planes, bands).alias("__sig"))
+        F.col(id_col), hyperplane_signature(vec_col, planes, bands)
+        .alias("__sig"))
 
     qpdf = queries.select(id_col, vec_col).toPandas()
     qmat = np.stack(qpdf[vec_col].to_numpy()).astype("float64")
     qsigs = _pack_signatures(qmat, np.asarray(planes, dtype="float64"), bands)
     spark = corpus.sparkSession
-    q_rows = [
-        (qpdf[id_col].iloc[i].item()
-         if hasattr(qpdf[id_col].iloc[i], "item") else qpdf[id_col].iloc[i],
-         [float(x) for x in qpdf[vec_col].iloc[i]],
-         band, int(val))
-        for i in range(len(qpdf))
-        for band, val in enumerate(qsigs[i])
-    ]
+
+    def _pyid(i):
+        v = qpdf[id_col].iloc[i]
+        return v.item() if hasattr(v, "item") else v
+
     qid_type = queries.schema[id_col].dataType.simpleString()
     qvec_type = queries.schema[vec_col].dataType.simpleString()
+    # Band postings carry only (query_id, band, band_val); the query
+    # vectors live in a separate broadcast joined AFTER candidate dedup,
+    # so no vector payload rides the band join or the dedup shuffle.
     q_bands = F.broadcast(spark.createDataFrame(
-        q_rows,
-        f"{query_id_col} {qid_type}, __qvec {qvec_type}, band int, "
-        "band_val long",
+        [(_pyid(i), band, int(val))
+         for i in range(len(qpdf))
+         for band, val in enumerate(qsigs[i])],
+        f"{query_id_col} {qid_type}, band int, band_val long",
+    ))
+    q_vecs = F.broadcast(spark.createDataFrame(
+        [(_pyid(i), [float(x) for x in qpdf[vec_col].iloc[i]])
+         for i in range(len(qpdf))],
+        f"{query_id_col} {qid_type}, __qvec {qvec_type}",
     ))
 
     c_bands = c.select(
-        id_col, vec_col, F.posexplode("__sig").alias("band", "band_val")
+        id_col, F.posexplode("__sig").alias("band", "band_val")
     )
     cands = (
         c_bands.join(q_bands, on=["band", "band_val"])
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, "__qvec", id_col, vec_col)
+        .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
     score_fn = cosine if rerank == "expr" else cosine_pairs
-    scored = cands.withColumn(
-        "cos_sim", score_fn(F.col(vec_col), F.col("__qvec"))
-    ).select(query_id_col, id_col, "cos_sim")
+    scored = (
+        cands.join(corpus.select(id_col, vec_col), on=id_col)
+        .join(q_vecs, on=query_id_col)
+        .withColumn("cos_sim", score_fn(F.col(vec_col), F.col("__qvec")))
+        .select(query_id_col, id_col, "cos_sim")
+    )
     return topk_per_group(
         scored, [query_id_col], [F.col("cos_sim").desc(), F.col(id_col)], k
     ).drop("rk")
