@@ -58,18 +58,42 @@ class JdbcSource(Source):
                 opts[k] = self.config[k]
         return opts
 
+    def _bounds(self, spark: SparkSession, table: str, part_col: str):
+        """Push MIN/MAX of the split column into the database as a one-row
+        subquery scan, so partition bounds never require a full-table read
+        driver-side.  Identifier quoting comes from Spark's own JDBC
+        dialect registry, matching whatever quoting the main read uses."""
+        dialect = spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(
+            self.config["url"])
+        q = dialect.quoteIdentifier(part_col)
+        sub = f"(SELECT MIN({q}) AS lo, MAX({q}) AS hi FROM {table}) AS bounds"
+        r = spark.read.format("jdbc")
+        for k, v in self._options(sub).items():
+            r = r.option(k, v)
+        row = r.load().first()
+        return (row[0], row[1]) if row else (None, None)
+
     def _reader(self, spark: SparkSession, table: str):
         r = spark.read.format("jdbc")
         for k, v in self._options(table).items():
             r = r.option(k, v)
         part_col = (self.config.get("partition_column") or {}).get(table)
         if part_col:
-            r = r.option("partitionColumn", part_col).option(
-                "numPartitions", str(self.config.get("num_partitions", 8))
-            )
-            for bound in ("lowerBound", "upperBound"):
-                if self.config.get(bound):
-                    r = r.option(bound, str(self.config[bound]))
+            # Spark requires all-or-none of partitionColumn/bounds/
+            # numPartitions; derive missing bounds from the database
+            # (0 is a valid bound — test ``is None``, not truthiness).
+            lo = self.config.get("lowerBound")
+            hi = self.config.get("upperBound")
+            if lo is None or hi is None:
+                dlo, dhi = self._bounds(spark, table, part_col)
+                lo = dlo if lo is None else lo
+                hi = dhi if hi is None else hi
+            if lo is not None and hi is not None:
+                r = (r.option("partitionColumn", part_col)
+                      .option("numPartitions",
+                              str(self.config.get("num_partitions", 8)))
+                      .option("lowerBound", str(lo))
+                      .option("upperBound", str(hi)))
         return r
 
     def discover(self, spark: SparkSession) -> Catalog:
