@@ -1,0 +1,201 @@
+"""Pluggable media codec registry for the multimodal operators.
+
+The reference treats connector media payloads as opaque bytes; our
+multimodal layer decodes them executor-side.  Codecs register per
+media-type so environments pick the best available implementation:
+
+* pure-Python codecs for PCM WAV (stdlib ``wave``) and non-interlaced
+  8-bit PNG (``zlib`` + numpy unfiltering) are ALWAYS registered — real
+  decode with zero third-party dependencies;
+* a PIL-backed generic image codec registers itself under ``image/*``
+  when Pillow is importable (not in this container — covered by a
+  skippable test);
+* anything without a codec falls back to the deterministic fake stubs in
+  :mod:`.multimodal` when ``fake=True``, else raises executor-side.
+
+Decoders run inside Arrow ``mapInPandas`` batches, so registration must
+happen at import time (executors re-import this module); runtime
+``register_*`` calls affect the driver only unless the workers share the
+process (local mode) — document custom codecs as module-level.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+from typing import Callable
+
+import numpy as np
+
+__all__ = [
+    "register_image_codec",
+    "register_audio_codec",
+    "image_codec_for",
+    "audio_codec_for",
+    "decode_png",
+    "encode_png",
+    "decode_wav",
+    "nearest_resize",
+]
+
+#: media_type -> fn(payload: bytes) -> (width, height, ndarray[h, w, c] uint8)
+_IMAGE_CODECS: dict[str, Callable[[bytes], tuple[int, int, np.ndarray]]] = {}
+#: media_type -> fn(payload: bytes) -> (sample_rate, n_samples, mono float64)
+_AUDIO_CODECS: dict[str, Callable[[bytes], tuple[int, int, np.ndarray]]] = {}
+
+
+def register_image_codec(media_type: str, decode) -> None:
+    """Register an image decoder for an exact type or ``image/*``."""
+    _IMAGE_CODECS[media_type] = decode
+
+
+def register_audio_codec(media_type: str, decode) -> None:
+    _AUDIO_CODECS[media_type] = decode
+
+
+def _lookup(registry: dict, media_type: str):
+    if media_type in registry:
+        return registry[media_type]
+    family = media_type.split("/", 1)[0] + "/*"
+    return registry.get(family)
+
+
+def image_codec_for(media_type: str):
+    return _lookup(_IMAGE_CODECS, media_type or "")
+
+
+def audio_codec_for(media_type: str):
+    return _lookup(_AUDIO_CODECS, media_type or "")
+
+
+# --------------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a non-interlaced 8-bit-depth PNG (gray / gray+alpha / RGB /
+    RGBA) with stdlib zlib + numpy unfiltering.  Filter 0/2 rows (what
+    :func:`encode_png` and most encoders' fast paths emit) unfilter as
+    whole-row numpy ops; Sub/Average/Paeth rows fall back to a per-pixel
+    loop — correct, and cheap at thumbnail sizes."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color} "
+            f"interlace={interlace}); register a PIL codec for full support")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f, line = rows[y, 0], rows[y, 1:]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = line + prev  # uint8 wraparound == mod-256 per spec
+        else:  # Sub / Average / Paeth need the in-progress row
+            rec = out[y]
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                rec[x] = (int(line[x]) + pred) & 0xFF
+    return w, h, out.reshape(h, w, ch)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, c) uint8 array as a filter-0 PNG."""
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def nearest_resize(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample via numpy fancy indexing."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return pixels[ys][:, xs]
+
+
+# --------------------------------------------------------------------- WAV
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode PCM WAV with stdlib ``wave``; returns mono float64 in
+    [-1, 1] (multi-channel averaged)."""
+    with wave.open(io.BytesIO(payload)) as f:
+        sr, nch, sw = f.getframerate(), f.getnchannels(), f.getsampwidth()
+        n = f.getnframes()
+        frames = f.readframes(n)
+    if sw == 1:
+        arr = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+        arr = (arr - 128.0) / 128.0
+    elif sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        arr = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        arr = arr.reshape(-1, nch).mean(axis=1)
+    return sr, n, arr
+
+
+register_image_codec("image/png", decode_png)
+register_audio_codec("audio/wav", decode_wav)
+register_audio_codec("audio/x-wav", decode_wav)
+
+try:  # PIL upgrade path: generic decoder for every image family
+    from PIL import Image as _PILImage
+
+    def _decode_pil(payload: bytes) -> tuple[int, int, np.ndarray]:
+        img = _PILImage.open(io.BytesIO(payload))
+        arr = np.asarray(img.convert("RGB") if img.mode == "P" else img,
+                         dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return img.width, img.height, arr
+
+    register_image_codec("image/*", _decode_pil)
+except ImportError:  # pragma: no cover - PIL absent in this container
+    pass

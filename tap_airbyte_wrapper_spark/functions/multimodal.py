@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, Arrow-batched ``mapInPandas``
-transforms, partition sizing — while the actual media codecs are STUBBED
-(no image/audio libraries in this container): ``decode_*`` raise
-``NotImplementedError`` unless ``fake=True``, in which case they produce
-deterministic byte-derived fakes so the pipeline shape (schemas, batch
-flow, fan-out cardinality) is fully testable.
+transforms, partition sizing — and decode goes through the pluggable
+codec registry in :mod:`.codecs`: PCM WAV and 8-bit PNG decode for real
+with stdlib-only codecs; PIL registers a generic ``image/*`` decoder
+when importable; media types with no registered codec raise
+``NotImplementedError`` executor-side unless ``fake=True``, which
+substitutes deterministic byte-derived stubs so the pipeline shape
+(schemas, batch flow, fan-out cardinality) stays testable for any type.
 
 Design rules for 100 TB of media:
 * binary payloads ride a dedicated ``media`` column; never groupBy/join on
@@ -25,6 +27,15 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from . import codecs as _codecs
+
+
+def _payload_and_type(b) -> tuple[bytes, str]:
+    """Unpack a media-struct dict or raw binary cell."""
+    if isinstance(b, dict):
+        return bytes(b.get("media") or b""), b.get("media_type") or ""
+    return bytes(b or b""), ""
 
 __all__ = [
     "MEDIA_SCHEMA",
@@ -76,34 +87,47 @@ def decode_image(
 ) -> DataFrame:
     """Decode images to (width, height, channels, pixel_checksum).
 
-    Real decode requires an image codec library (not in this container) —
-    ``fake=False`` raises NotImplementedError executor-side on first batch.
-    ``fake=True`` derives deterministic dimensions from the payload hash;
-    the Arrow batch path, schema, and row cardinality are the real thing.
+    Decode is real for any media_type with a registered codec (PNG via
+    the stdlib codec; every image family once PIL is importable) —
+    ``pixel_checksum`` is the md5-derived checksum of the DECODED pixel
+    buffer.  Types with no codec raise NotImplementedError executor-side
+    on first batch; ``fake=True`` instead derives deterministic
+    dimensions from the payload hash, keeping the Arrow batch path,
+    schema, and row cardinality production-shaped.
     """
     passthrough = [f for f in df.schema.fields if f.name != media_col]
     out_schema = T.StructType(passthrough + list(T.StructType.fromDDL(_IMAGE_SCHEMA)))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode needs a codec library (PIL/cv2) — not "
-                    "available in this environment; pass fake=True for the "
-                    "deterministic stub"
-                )
-            media = pdf[media_col]
-            digests = [
-                hashlib.md5(b["media"] if isinstance(b, dict) else bytes(b or b"")).digest()
-                for b in media
-            ]
             out = pdf[[f.name for f in passthrough]].copy()
-            out["width"] = [16 + d[0] % 64 for d in digests]
-            out["height"] = [16 + d[1] % 64 for d in digests]
-            out["channels"] = [3 for _ in digests]
-            out["pixel_checksum"] = [
-                int.from_bytes(d[:8], "big", signed=True) for d in digests
-            ]
+            ws, hs, chs, cks = [], [], [], []
+            for b in pdf[media_col]:
+                payload, mtype = _payload_and_type(b)
+                codec = _codecs.image_codec_for(mtype)
+                if codec is not None and not fake:
+                    w, h, pixels = codec(payload)
+                    ws.append(w)
+                    hs.append(h)
+                    chs.append(pixels.shape[2])
+                    d = hashlib.md5(pixels.tobytes()).digest()
+                elif fake:
+                    d = hashlib.md5(payload).digest()
+                    ws.append(16 + d[0] % 64)
+                    hs.append(16 + d[1] % 64)
+                    chs.append(3)
+                else:
+                    raise NotImplementedError(
+                        f"no image codec registered for {mtype!r} (stdlib "
+                        "codec covers image/png; install PIL for other "
+                        "formats, or pass fake=True for the deterministic "
+                        "stub)"
+                    )
+                cks.append(int.from_bytes(d[:8], "big", signed=True))
+            out["width"] = ws
+            out["height"] = hs
+            out["channels"] = chs
+            out["pixel_checksum"] = cks
             yield out
 
     return df.mapInPandas(decode, out_schema)
@@ -119,33 +143,42 @@ def resize_image(
     """Resize images to (width, height): media bundle in, media bundle out
     (payload replaced, metadata updated with target dims).
 
-    Real resampling needs a codec (``fake=False`` raises executor-side);
-    ``fake=True`` emits a deterministic byte-stub of plausible size
-    (w*h*3 capped) so downstream batch shape, hashing, and size
-    accounting are exercised for real."""
+    With a registered codec the pipeline is real: decode ->
+    nearest-neighbor resample (numpy fancy indexing) -> re-encode as
+    PNG.  Codec-less types raise executor-side unless ``fake=True``,
+    which emits a deterministic byte-stub of plausible size (w*h*3
+    capped) so downstream batch shape, hashing, and size accounting are
+    still exercised."""
     passthrough = [f for f in df.schema.fields if f.name != media_col]
     out_schema = T.StructType(
         passthrough + [T.StructField(media_col, MEDIA_SCHEMA)])
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize needs a codec library (PIL/cv2) — pass "
-                    "fake=True for the deterministic stub"
-                )
             bundles = []
             for b in pdf[media_col]:
-                payload = b["media"] if isinstance(b, dict) else bytes(b or b"")
-                seed = hashlib.md5(payload).digest()
-                size = min(width * height * 3, 4096)
-                fake_pixels = (seed * (size // len(seed) + 1))[:size]
+                payload, mtype = _payload_and_type(b)
+                codec = _codecs.image_codec_for(mtype)
+                if codec is not None and not fake:
+                    _, _, pixels = codec(payload)
+                    resized = _codecs.encode_png(
+                        _codecs.nearest_resize(pixels, width, height))
+                    out_type = "image/png"
+                elif fake:
+                    seed = hashlib.md5(payload).digest()
+                    size = min(width * height * 3, 4096)
+                    resized = (seed * (size // len(seed) + 1))[:size]
+                    out_type = mtype or "image/raw"
+                else:
+                    raise NotImplementedError(
+                        f"no image codec registered for {mtype!r} — install "
+                        "PIL or pass fake=True for the deterministic stub"
+                    )
                 bundles.append({
-                    "media": fake_pixels,
-                    "media_type": (b.get("media_type", "image/raw")
-                                   if isinstance(b, dict) else "image/raw"),
-                    "media_hash": hashlib.md5(fake_pixels).hexdigest(),
-                    "size_bytes": len(fake_pixels),
+                    "media": resized,
+                    "media_type": out_type,
+                    "media_hash": hashlib.md5(resized).hexdigest(),
+                    "size_bytes": len(resized),
                     "meta": {"width": str(width), "height": str(height)},
                 })
             out = pdf[[f.name for f in passthrough]].copy()
@@ -163,37 +196,48 @@ def decode_audio(
 ) -> DataFrame:
     """Decode audio to (sample_rate, n_samples, duration_s, rms).
 
-    Same contract as :func:`decode_image`: ``fake=False`` raises
-    executor-side (no audio codec in this container); ``fake=True``
-    derives deterministic byte-based stand-ins while the Arrow batch
-    path, schema, and cardinality are production-shaped."""
+    Same contract as :func:`decode_image`: PCM WAV decodes for real via
+    the stdlib codec (rms over actual normalized samples); codec-less
+    types raise executor-side unless ``fake=True``, which derives
+    deterministic byte-based stand-ins while the Arrow batch path,
+    schema, and cardinality stay production-shaped."""
     passthrough = [f for f in df.schema.fields if f.name != media_col]
     out_schema = T.StructType(
         passthrough + list(T.StructType.fromDDL(_AUDIO_SCHEMA)))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decode needs a codec library (soundfile/ffmpeg) — "
-                    "not available in this environment; pass fake=True for "
-                    "the deterministic stub"
-                )
             rates = (8000, 16000, 22050, 44100, 48000)
             out = pdf[[f.name for f in passthrough]].copy()
             sr, ns, dur, rms = [], [], [], []
             for b in pdf[media_col]:
-                payload = b["media"] if isinstance(b, dict) else bytes(b or b"")
-                d = hashlib.md5(payload).digest()
-                rate = rates[d[0] % len(rates)]
-                n = max(1, len(payload)) * 4
-                sr.append(rate)
-                ns.append(n)
-                dur.append(n / rate)
-                # deterministic pseudo-RMS from payload bytes
-                arr = np.frombuffer(payload[:4096].ljust(4, b"\0"),
-                                    dtype=np.uint8).astype(np.float64)
-                rms.append(float(np.sqrt(np.mean((arr - 127.5) ** 2)) / 127.5))
+                payload, mtype = _payload_and_type(b)
+                codec = _codecs.audio_codec_for(mtype)
+                if codec is not None and not fake:
+                    rate, n, samples = codec(payload)
+                    sr.append(rate)
+                    ns.append(n)
+                    dur.append(n / rate if rate else 0.0)
+                    rms.append(float(np.sqrt(np.mean(samples ** 2)))
+                               if len(samples) else 0.0)
+                elif fake:
+                    d = hashlib.md5(payload).digest()
+                    rate = rates[d[0] % len(rates)]
+                    n = max(1, len(payload)) * 4
+                    sr.append(rate)
+                    ns.append(n)
+                    dur.append(n / rate)
+                    # deterministic pseudo-RMS from payload bytes
+                    arr = np.frombuffer(payload[:4096].ljust(4, b"\0"),
+                                        dtype=np.uint8).astype(np.float64)
+                    rms.append(
+                        float(np.sqrt(np.mean((arr - 127.5) ** 2)) / 127.5))
+                else:
+                    raise NotImplementedError(
+                        f"no audio codec registered for {mtype!r} (stdlib "
+                        "codec covers audio/wav; register soundfile/ffmpeg "
+                        "codecs for other formats, or pass fake=True)"
+                    )
             out["sample_rate"] = sr
             out["n_samples"] = ns
             out["duration_s"] = dur

@@ -41,9 +41,24 @@ def test_decode_image_fake(media):
         sorted((r.id, r.pixel_checksum) for r in again.collect())
 
 
-def test_decode_image_real_raises(media):
+def test_decode_image_bad_payload_raises(media):
+    """image/png routes to the real stdlib codec, which rejects
+    non-PNG bytes."""
     out = decode_image(media.select("id", "media_bundle"), "media_bundle", fake=False)
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="not a PNG payload"):
+        out.collect()
+
+
+def test_decode_image_unregistered_type_raises(spark):
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL registers a generic image codec")
+    except ImportError:
+        pass
+    df = spark.createDataFrame([(1, b"\x00" * 32)], "id long, payload binary")
+    media = with_media_metadata(df, "payload", "image/tiff")
+    out = decode_image(media.select("id", "media_bundle"), "media_bundle", fake=False)
+    with pytest.raises(Exception, match="no image codec registered"):
         out.collect()
 
 
@@ -95,7 +110,8 @@ def test_decode_audio_real_path_raises(spark, sf_dir):
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
     media = with_media_metadata(docs, "payload", "audio/wav").select(
         "doc_id", "media_bundle")
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    # audio/wav routes to the real stdlib codec; text bytes are not RIFF
+    with pytest.raises(Exception, match="RIFF|not a WAVE"):
         decode_audio(media, "media_bundle", fake=False).collect()
 
 
@@ -118,3 +134,154 @@ def test_resize_image_fake(spark, sf_dir):
     again = {r.doc_id: r.media_bundle.media_hash
              for r in resize_image(media, "media_bundle", 32, 32, fake=True).collect()}
     assert again == {r.doc_id: r.media_bundle.media_hash for r in rows}
+
+
+# ---------------------------------------------------------- real codecs
+
+def _png_with_filters(pixels):
+    """Encode (h, w, c) uint8 pixels as a PNG whose rows cycle through
+    filter types 0-4 (forward-filtered by hand), to exercise every
+    unfilter branch of the stdlib decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = pixels.reshape(h, w * ch).astype(np.int16)
+    out = []
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros_like(cur)
+        line = np.empty_like(cur)
+        for x in range(len(cur)):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line[x] = (int(cur[x]) - pred) & 0xFF
+        out.append(bytes([f]) + line.astype(np.uint8).tobytes())
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(out)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_codec_roundtrip_all_filters():
+    import numpy as np
+
+    from tap_airbyte_wrapper_spark.functions.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        pixels = rng.randint(0, 256, size=(11, 9, ch), dtype=np.uint8)
+        w, h, got = decode_png(encode_png(pixels))
+        assert (w, h) == (9, 11)
+        assert np.array_equal(got, pixels)
+        # hand-filtered PNG exercising Sub/Up/Average/Paeth rows
+        w2, h2, got2 = decode_png(_png_with_filters(pixels))
+        assert (w2, h2) == (9, 11)
+        assert np.array_equal(got2, pixels)
+
+
+def test_decode_image_real_png(spark):
+    import hashlib
+
+    import numpy as np
+
+    from tap_airbyte_wrapper_spark.functions.codecs import encode_png
+
+    rng = np.random.RandomState(11)
+    imgs = [rng.randint(0, 256, size=(8 + i, 6 + i, 3), dtype=np.uint8)
+            for i in range(5)]
+    rows = [(i, encode_png(img)) for i, img in enumerate(imgs)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    media = with_media_metadata(df, "payload", "image/png")
+    out = {r.id: r for r in decode_image(
+        media.select("id", "media_bundle"), "media_bundle").collect()}
+    for i, img in enumerate(imgs):
+        r = out[i]
+        assert (r.width, r.height, r.channels) == (6 + i, 8 + i, 3)
+        want = int.from_bytes(
+            hashlib.md5(img.tobytes()).digest()[:8], "big", signed=True)
+        assert r.pixel_checksum == want
+
+
+def test_resize_image_real_png(spark):
+    import numpy as np
+
+    from tap_airbyte_wrapper_spark.functions import resize_image
+    from tap_airbyte_wrapper_spark.functions.codecs import decode_png, encode_png
+
+    pixels = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    df = spark.createDataFrame([(1, encode_png(pixels))], "id long, payload binary")
+    media = with_media_metadata(df, "payload", "image/png")
+    b = resize_image(media.select("id", "media_bundle"), "media_bundle",
+                     width=4, height=4).first().media_bundle
+    assert b.media_type == "image/png"
+    w, h, got = decode_png(bytes(b.media))
+    assert (w, h) == (4, 4)
+    # nearest-neighbor: every output pixel exists in the source
+    assert np.array_equal(got, pixels[::4][:, ::4])
+
+
+def test_decode_audio_real_wav(spark):
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    sr, secs = 16000, 0.25
+    t = np.arange(int(sr * secs)) / sr
+    signal = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(signal.tobytes())
+
+    from tap_airbyte_wrapper_spark.functions import decode_audio
+
+    df = spark.createDataFrame([(1, buf.getvalue())], "id long, payload binary")
+    media = with_media_metadata(df, "payload", "audio/wav")
+    r = decode_audio(media.select("id", "media_bundle"), "media_bundle").first()
+    assert r.sample_rate == sr
+    assert r.n_samples == len(signal)
+    assert abs(r.duration_s - secs) < 1e-9
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2)
+    assert abs(r.rms - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_decode_image_pil_codec(spark):
+    PIL = pytest.importorskip("PIL")  # noqa: F841  (absent in container)
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.zeros((10, 12, 3), dtype=np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(arr).save(buf, format="BMP")
+    df = spark.createDataFrame([(1, buf.getvalue())], "id long, payload binary")
+    media = with_media_metadata(df, "payload", "image/bmp")
+    r = decode_image(media.select("id", "media_bundle"), "media_bundle").first()
+    assert (r.width, r.height, r.channels) == (12, 10, 3)
