@@ -436,6 +436,104 @@ def q18_large_orders(spark, sf_dir):
         F.round("sum_qty", 2).alias("sum_qty_r"))
 
 
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join + per-customer order count +
+    count-of-counts distribution (reference parity: tap-level SQL the
+    wrapped Singer targets run downstream).  Spark-first decorrelation:
+    orders pre-aggregate to (custkey, n) BEFORE touching customer, so the
+    left join carries one row per buying customer instead of one per
+    order — the shuffle shrinks from |orders| to |distinct custkeys|, and
+    ``coalesce(n, 0)`` preserves zero-order customers.  (o_orderpriority
+    stands in for the o_comment NOT LIKE filter; testdata has no
+    comment column.)"""
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(~F.col("o_orderpriority").like("%URGENT%"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    counts = (
+        _t(spark, sf_dir, "customer").select("c_custkey")
+        .join(per_cust, on="c_custkey", how="left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order — EXISTS(other supplier in the order)
+    AND NOT EXISTS(other LATE supplier).  Spark-first decorrelation: both
+    correlated subqueries collapse into ONE per-order aggregate
+    (distinct suppliers, distinct late suppliers) joined back to the late
+    (order, supplier) pairs — one map-side-combined shuffle instead of
+    two lineitem self-joins; the oracle keeps EXISTS/NOT EXISTS form.
+    Late = shipped >60 days after order date (testdata carries no
+    receipt/commit dates)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, on="l_orderkey")
+        .withColumn(
+            "__late",
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("__late"), F.col("l_suppkey"))).alias("__n_late"),
+    )
+    late_pairs = (
+        li.filter("__late").select("l_orderkey", "l_suppkey").distinct())
+    waiting = late_pairs.join(per_order, on="l_orderkey").filter(
+        (F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    counted = (
+        waiting.join(F.broadcast(supp), on="l_suppkey")
+        .groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return global_topk(
+        counted, [F.col("numwait").desc(), F.col("s_name")], 100)
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (avg positive balance) + NOT IN
+    urgent orders + group by country code.  Spark-first: the scalar
+    aggregate is a 1-row broadcast nested-loop join (no per-row
+    subquery), and NOT IN is a left-anti join on the non-null custkey
+    (scoped to URGENT orders — every sf0.01 customer has SOME order, so
+    the classic no-orders predicate would be vacuous).  The avg is
+    rounded to 2dp in BOTH engines so a summation-order ulp can't flip a
+    boundary customer.  Country code stood in by the last 2 digits of
+    c_name (testdata has no c_phone)."""
+    codes = ["13", "31", "23", "29", "30", "18", "17"]
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal",
+                F.substring("c_name", 17, 2).alias("cntrycode"))
+        .filter(F.col("cntrycode").isin(codes))
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("__avg_bal"))
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg_bal"))
+    no_orders = anti_join(
+        rich,
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+    )
+    return no_orders.groupBy("cntrycode").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+
+
 def q_brand_revenue(spark, sf_dir):
     """Star join: fact x broadcast dim, aggregate by dim attribute."""
     li = _t(spark, sf_dir, "lineitem")
@@ -889,9 +987,11 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "brand_revenue": q_brand_revenue,
     "salted_brand_revenue": q_salted_brand_revenue,
-    "orders_sorted": q_orders_sorted,
     "customers_with_orders": q_customers_with_orders,
     "top_orders_per_customer": q_top_orders_per_customer,
     "running_revenue": q_running_revenue,
@@ -900,13 +1000,11 @@ QUERIES = {
     "rollup_region_nation": q_rollup_region_nation,
     "cube_event_day": q_cube_event_day,
     "grouping_sets_events": q_grouping_sets_events,
-    "distinct_users": q_distinct_users,
     "clickers_not_purchasers": q_clickers_not_purchasers,
     "latest_event_per_user": q_latest_event_per_user,
     "asof_purchase_view": q_asof_purchase_view,
     "error_click_window": q_error_click_window,
     "top3_parts_per_brand": q_top3_parts_per_brand,
-    "top10_orders": q_top10_orders,
     "sessionization": q_sessionization,
     "event_value_percentiles": q_event_value_percentiles,
     "pivot_event_type": q_pivot_event_type,
@@ -924,8 +1022,12 @@ QUERIES = {
     "decode_image_meta": q_decode_image_meta,
     # -- entries below are outside the driver's QUERIES[:50] correctness
     # -- window: no DuckDB oracle (approx_distinct_users) or covered by
-    # -- pytest (trivial shapes); driver records rows for the first 50 only.
+    # -- pytest (trivial shapes, still oracle-checked in
+    # -- tests/test_oracle_parity.py); driver records the first 50 only.
     "approx_distinct_users": q_approx_distinct_users,
+    "orders_sorted": q_orders_sorted,
+    "top10_orders": q_top10_orders,
+    "distinct_users": q_distinct_users,
     "customers_without_orders": q_customers_without_orders,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -1054,6 +1156,51 @@ ORACLES = {
           AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY sum({_REV_SQL}) DESC, l_orderkey LIMIT 10""",
+    "q13_customer_distribution": """
+        WITH per AS (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON o.o_custkey = c.c_custkey
+           AND o.o_orderpriority NOT LIKE '%URGENT%'
+          GROUP BY c.c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM per GROUP BY c_count""",
+    "q21_waiting_suppliers": """
+        WITH li AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderstatus = 'F'),
+        l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+        SELECT s.s_name AS s_name, count(*) AS numwait
+        FROM l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name LIMIT 100""",
+    "q22_global_sales_opportunity": """
+        WITH cust AS (
+          SELECT c_custkey, c_acctbal,
+                 substring(c_name, 17, 2) AS cntrycode
+          FROM customer
+          WHERE substring(c_name, 17, 2)
+                IN ('13','31','23','29','30','18','17'))
+        SELECT cntrycode, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM cust
+        WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2)
+                           FROM cust WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = cust.c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY cntrycode""",
     "q5_local_supplier_volume": f"""
         SELECT n_name, round(sum({_REV_SQL}), 2) AS revenue
         FROM customer
