@@ -34,6 +34,7 @@ from .similarity import (
     l2_norm,
 )
 from .sampling import hash_bucket, hash_split, stratified_sample
+from .udtf import SentenceSplitter, split_sentences
 from .multimodal import (
     MEDIA_SCHEMA,
     as_media,
@@ -57,6 +58,7 @@ __all__ = [
     "cosine_topk_ivf",
     "embedding_near_dup_pairs",
     "hash_bucket", "hash_split", "stratified_sample",
+    "SentenceSplitter", "split_sentences",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
     "decode_audio",
     "extract_features", "resize_image", "sample_frames",

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import (
     bpe_token_estimate,
+    connected_components,
+    split_sentences,
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
@@ -924,6 +926,29 @@ def q_embedding_near_dup(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_r"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: connected components (iterative
+    min-label propagation, one shuffle join + grouped min per round,
+    lineage cut each round) over the embedding near-dup pair graph.
+    The oracle recomputes the same closure with a recursive CTE."""
+    pairs = embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.4)
+    return connected_components(pairs)
+
+
+def q_split_sentences(spark, sf_dir):
+    """Python UDTF row fan-out via LATERAL join (Spark 4 table-valued
+    function).  The corpus is unpunctuated, so terminators are injected
+    first (' the ' -> '. ') identically in both engines; the oracle
+    emulates the lookbehind split with a marker-char rewrite (DuckDB's
+    RE2 has no lookbehind)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " the ", ". ").alias("t2"))
+    return split_sentences(docs, "doc_id", "t2").select(
+        "doc_id", "idx", "sentence")
+
+
 def q_decode_image_meta(spark, sf_dir):
     """Multimodal plumbing: text bytes as fake image payloads -> decode."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -992,7 +1017,6 @@ QUERIES = {
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "brand_revenue": q_brand_revenue,
     "salted_brand_revenue": q_salted_brand_revenue,
-    "customers_with_orders": q_customers_with_orders,
     "top_orders_per_customer": q_top_orders_per_customer,
     "running_revenue": q_running_revenue,
     "order_price_deciles": q_order_price_deciles,
@@ -1004,7 +1028,6 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "asof_purchase_view": q_asof_purchase_view,
     "error_click_window": q_error_click_window,
-    "top3_parts_per_brand": q_top3_parts_per_brand,
     "sessionization": q_sessionization,
     "event_value_percentiles": q_event_value_percentiles,
     "pivot_event_type": q_pivot_event_type,
@@ -1019,12 +1042,16 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_near_dup": q_embedding_near_dup,
+    "dedup_clusters": q_dedup_clusters,
+    "split_sentences_docs": q_split_sentences,
     "decode_image_meta": q_decode_image_meta,
     # -- entries below are outside the driver's QUERIES[:50] correctness
     # -- window: no DuckDB oracle (approx_distinct_users) or covered by
     # -- pytest (trivial shapes, still oracle-checked in
     # -- tests/test_oracle_parity.py); driver records the first 50 only.
     "approx_distinct_users": q_approx_distinct_users,
+    "customers_with_orders": q_customers_with_orders,
+    "top3_parts_per_brand": q_top3_parts_per_brand,
     "orders_sorted": q_orders_sorted,
     "top10_orders": q_top10_orders,
     "distinct_users": q_distinct_users,
@@ -1546,6 +1573,36 @@ ORACLES = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+    "dedup_clusters": """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[]))
+                >= 0.4),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.lab)
+        SELECT node, min(lab) AS component FROM reach GROUP BY node""",
+    "split_sentences_docs": """
+        WITH parts AS (
+          SELECT doc_id,
+                 string_split(
+                   regexp_replace(
+                     trim(regexp_replace(text, ' the ', '. ', 'g')),
+                     '([.!?])\\s+', '\\1' || chr(1), 'g'),
+                   chr(1)) AS ps
+          FROM documents
+        ), flat AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(ps))) - 1 AS idx,
+                 trim(unnest(ps)) AS sentence
+          FROM parts)
+        SELECT doc_id, CAST(idx AS INTEGER) AS idx, sentence
+        FROM flat WHERE sentence <> ''""",
     "decode_image_meta": """
         SELECT doc_id,
                CAST(16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER)
