@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
 __all__ = [
@@ -335,20 +335,64 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    max_driver_pairs: int | None = 2_000_000,
 ) -> DataFrame:
-    """(node, component) for every node in the pair graph: iterative
-    min-label propagation (each round every node takes the minimum label
-    in its closed neighborhood) until fixpoint.
+    """(node, component) for every node in the pair graph, where the
+    component label is the minimum node id in the component.
 
-    One shuffle join + one grouped min per round; lineage is cut with
-    ``localCheckpoint`` every round so the plan stays O(1) deep.  Rounds
-    needed = graph diameter — near-dup graphs are shallow clusters, so
-    convergence is typically 2-4 rounds; ``max_iter`` bounds adversarial
-    chains (a chain of length L needs L rounds).  At 100 TB scale swap
-    the convergence counter for an ``observe()`` accumulator; the loop
-    itself (driver-side while, distributed body) is the standard
-    iterative-algorithm shape Spark supports without a custom engine.
+    Two execution paths, auto-selected like the exact/LSH routing in
+    :func:`~..similarity.embedding_near_dup_pairs`:
+
+    * pair graphs at or under ``max_driver_pairs`` edges collect the ID
+      PAIRS ONLY (two scalars per row — the expensive part, pair
+      *generation*, stays fully distributed) and run union-find with
+      path compression driver-side.  Near-dup graphs are tiny relative
+      to their corpus (edges ≪ documents after LSH banding), so this is
+      the common case and replaces ~diameter × 2 Spark jobs with one
+      collect.
+    * larger graphs (or ``max_driver_pairs=None``) run distributed
+      iterative min-label propagation: one shuffle join + one grouped
+      min per round, lineage cut with ``localCheckpoint`` so the plan
+      stays O(1) deep.  Rounds needed = graph diameter; ``max_iter``
+      bounds adversarial chains.
     """
+    if max_driver_pairs is not None:
+        # +1 sentinel: detect overflow without a full count
+        head = pairs.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).limit(max_driver_pairs + 1).collect()
+        if len(head) <= max_driver_pairs:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in head:
+                a, b = r["src"], r["dst"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+            comp_min: dict = {}
+            for n in parent:
+                root = find(n)
+                m = comp_min.get(root)
+                if m is None or n < m:
+                    comp_min[root] = n
+            node_type = pairs.schema[src_col].dataType
+            out_schema = T.StructType([
+                T.StructField("node", node_type),
+                T.StructField("component", node_type),
+            ])
+            return pairs.sparkSession.createDataFrame(
+                [(n, comp_min[find(n)]) for n in parent], out_schema)
+
     edges = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     edges = (

@@ -154,10 +154,21 @@ def test_connected_components_transitive_clusters(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (8, 9), (7, 8)],
         ["id_a", "id_b"],
     )
-    comps = {r.node: r.component
-             for r in connected_components(pairs).collect()}
-    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
-                     20: 20, 21: 20, 22: 20, 7: 7, 8: 7, 9: 7}
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+            20: 20, 21: 20, 22: 20, 7: 7, 8: 7, 9: 7}
+    # driver union-find fast path and distributed min-label propagation
+    # must agree exactly
+    fast = {r.node: r.component
+            for r in connected_components(pairs).collect()}
+    dist = {r.node: r.component
+            for r in connected_components(
+                pairs, max_driver_pairs=None).collect()}
+    assert fast == want
+    assert dist == want
+    # graphs over the driver guard fall through to the distributed path
+    over = {r.node: r.component
+            for r in connected_components(pairs, max_driver_pairs=3).collect()}
+    assert over == want
 
 
 def test_minhash_dedup_transitive(planted):
