@@ -263,24 +263,28 @@ def minhash_near_dup_pairs(
     """Near-duplicate pairs: MinHash -> banded LSH -> signature-agreement
     verification >= threshold.  Returns (id_a, id_b, jaccard_est)."""
     # Signatures feed both pair sides; persist so the hash aggregation
-    # runs once.  The sig rides THROUGH the band join (~0.5 KB/row on a
-    # candidate-sized shuffle) so verification needs no join back —
-    # two joins fewer than the bands->pairs->sig-lookup formulation.
-    # At corpus scale you would write signatures to parquet instead.
+    # runs once.  The band self-join and the candidate dedup are ID-ONLY:
+    # the banded explode is x``bands`` rows per doc, so carrying the
+    # ~1 KB signature through it shuffles bands x |corpus| x sig bytes —
+    # measured 65 s vs 13 s at 50k replica-heavy docs.  Signatures rejoin
+    # AFTER the (id_a, id_b) dedup, costing 2 corpus-sized sig shuffles
+    # instead of a bands-times-corpus one.
     sigs = minhash_signatures_df(
         df, id_col, text_col, num_hashes, shingle_len, bands=bands).persist()
     banded = sigs.select(
-        F.col(id_col), "sig",
-        F.posexplode("band_hashes").alias("band", "band_hash"))
-    a = banded.select(F.col(id_col).alias("id_a"),
-                      F.col("sig").alias("sig_a"), "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"),
-                      F.col("sig").alias("sig_b"), "band", "band_hash")
-    return (
+        F.col(id_col), F.posexplode("band_hashes").alias("band", "band_hash"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    pairs = (
         a.join(b, on=["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, on="id_a").join(sb, on="id_b")
         .withColumn("jaccard_est", _sig_agreement(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
