@@ -536,6 +536,163 @@ def q22_global_sales_opportunity(spark, sf_dir):
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
 
 
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — 6-table join with a
+    conditional aggregate (share = national revenue / total revenue) by
+    year.  All dims broadcast; the only shuffles are lineitem->orders and
+    the final year rollup."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name",
+                                                "n_regionkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation.select(
+            F.col("n_nationkey").alias("c_nationkey"), "n_regionkey")),
+            on="c_nationkey")
+        .join(F.broadcast(region.select(
+            F.col("r_regionkey").alias("n_regionkey"))), on="n_regionkey")
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation.select(
+            F.col("n_nationkey").alias("s_nationkey"),
+            F.col("n_name").alias("supp_nation"))), on="s_nationkey")
+        .select(F.col("s_suppkey").alias("l_suppkey"), "supp_nation")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO").select(
+        F.col("p_partkey").alias("l_partkey"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey",
+             F.year("o_orderdate").alias("o_year"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.expr(_REV).alias("__rev"))
+    j = (
+        li.join(F.broadcast(part), on="l_partkey")
+        .join(F.broadcast(supp), on="l_suppkey")
+        .join(orders, on="l_orderkey")
+        .join(cust.select(F.col("c_custkey").alias("o_custkey")),
+              on="o_custkey", how="left_semi")
+    )
+    return j.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                         F.col("__rev")).otherwise(0.0))
+            / F.sum("__rev"), 4).alias("mkt_share"))
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by (supplier nation, year) over a
+    name-filtered part set.  ps_supplycost doesn't exist in the testdata,
+    so cost stands in as 0.5 * p_retailprice * l_quantity — the join/agg
+    shape (5-way join, expression aggregate, two-key rollup) is the
+    point."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select(
+        F.col("p_partkey").alias("l_partkey"), "p_retailprice")
+    supp = (
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(_t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nationkey"),
+            F.col("n_name").alias("nation"))), on="s_nationkey")
+        .select(F.col("s_suppkey").alias("l_suppkey"), "nation")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.year("o_orderdate").alias("o_year"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        F.expr(_REV).alias("__rev"))
+    j = (
+        li.join(F.broadcast(part), on="l_partkey")
+        .join(F.broadcast(supp), on="l_suppkey")
+        .join(orders, on="l_orderkey")
+    )
+    return j.groupBy("nation", "o_year").agg(
+        F.round(F.sum(
+            F.col("__rev")
+            - 0.5 * F.col("p_retailprice") * F.col("l_quantity")), 2)
+        .alias("sum_profit"))
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: grouped value with a HAVING against a scalar
+    fraction of the GLOBAL total — the global aggregate is a 1-row
+    broadcast, not a rescan.  partsupp doesn't exist, so per-part value
+    comes from lineitem of suppliers in a 5-nation group."""
+    supp = (
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .filter(F.col("s_nationkey") < 5)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp), on="l_suppkey", how="left_semi")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+        .alias("__value"))
+    total = val.agg(
+        (F.sum("__value") * 0.001).alias("__cutoff"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("__value") > F.col("__cutoff"))
+        .select("l_partkey", F.round("__value", 2).alias("part_value"))
+    )
+
+
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute with
+    a NOT IN supplier exclusion.  partsupp stands in as the DISTINCT
+    (l_partkey, l_suppkey) projection of lineitem; 'complaint' suppliers
+    stand in as s_acctbal < 0.  The exclusion is a broadcast anti-join
+    BEFORE the distinct-count shuffle."""
+    ps = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin([1, 4, 9, 14, 19, 23, 36, 45])
+    ).select(F.col("p_partkey").alias("l_partkey"),
+             "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey"))
+    j = (
+        ps.join(F.broadcast(part), on="l_partkey")
+        .join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt"))
+
+
+def q20_promotable_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN-subquery chain (suppliers having a
+    part whose 1997 shipped quantity exceeds a threshold) flattened into
+    aggregate -> filter -> two semi joins; no correlated execution."""
+    small = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL").select(
+        F.col("p_partkey").alias("l_partkey"))
+    qty = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1997-01-01")
+                & (F.col("l_shipdate") < "1998-01-01"))
+        .join(F.broadcast(small), on="l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 10)
+        .join(qty, on="s_suppkey", how="left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 def q_brand_revenue(spark, sf_dir):
     """Star join: fact x broadcast dim, aggregate by dim attribute."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1056,6 +1213,11 @@ QUERIES = {
     "top10_orders": q_top10_orders,
     "distinct_users": q_distinct_users,
     "customers_without_orders": q_customers_without_orders,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q20_promotable_suppliers": q20_promotable_suppliers,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "knn_lsh": q_knn_lsh,
@@ -1183,6 +1345,67 @@ ORACLES = {
           AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY sum({_REV_SQL}) DESC, l_orderkey LIMIT 10""",
+    "q8_market_share": f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN {_REV_SQL} ELSE 0 END)
+                     / sum({_REV_SQL}), 4) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY year(o_orderdate)""",
+    "q9_product_profit": f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum({_REV_SQL}
+                         - 0.5 * p_retailprice * l_quantity), 2)
+               AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY n_name, year(o_orderdate)""",
+    "q11_important_parts": """
+        WITH val AS (
+          SELECT l_partkey,
+                 sum(l_extendedprice * l_quantity) AS v
+          FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                              WHERE s_nationkey < 5)
+          GROUP BY l_partkey)
+        SELECT l_partkey, round(v, 2) AS part_value
+        FROM val
+        WHERE v > (SELECT sum(v) * 0.001 FROM val)""",
+    "q16_supplier_cnt": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON ps.l_partkey = p_partkey
+        WHERE p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size""",
+    "q20_promotable_suppliers": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey < 10
+          AND s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_partkey, l_suppkey
+            HAVING sum(l_quantity) > 50)""",
     "q13_customer_distribution": """
         WITH per AS (
           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
