@@ -83,10 +83,28 @@ def topk_per_group(
     order_by: Sequence[Column],
     k: int,
     rank_col: str = "rk",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Top-k rows per group: row_number + filter (deterministic when
-    order_by totally orders; include a tie-break key)."""
+    order_by totally orders; include a tie-break key).
+
+    When the group-key cardinality is far below the cluster's
+    parallelism (e.g. top-3 parts for ~25 brands over 100 TB of
+    lineitem), a single window funnels each group through one task.
+    ``salt_buckets=N`` runs two phases: a pre-window over
+    ``(group, salt)`` — N-way parallel per group — keeps only N*k
+    candidate rows per group, then the exact window runs on that
+    k*N-sized remnant.  Same result, bounded skew."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    if salt_buckets and salt_buckets > 1:
+        salt = F.spark_partition_id() % salt_buckets
+        pre = Window.partitionBy(*partition_by, "__salt").orderBy(*order_by)
+        df = (
+            df.withColumn("__salt", salt)
+            .withColumn("__prk", F.row_number().over(pre))
+            .filter(F.col("__prk") <= k)
+            .drop("__salt", "__prk")
+        )
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)

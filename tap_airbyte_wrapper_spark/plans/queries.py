@@ -536,6 +536,45 @@ def q22_global_sales_opportunity(spark, sf_dir):
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated MIN subquery (cheapest supplier per
+    part within a region) decorrelated into per-(part,supplier) cost ->
+    per-part min -> join back on (part, cost).  partsupp cost stands in
+    as min(l_extendedprice) from lineitem of EUROPE suppliers — a MIN of
+    stored values involves no arithmetic, so the equality join-back is
+    float-deterministic across engines."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation.select(
+            F.col("n_nationkey").alias("s_nationkey"), "n_regionkey")),
+            on="s_nationkey")
+        .join(F.broadcast(region.select(
+            F.col("r_regionkey").alias("n_regionkey"))), on="n_regionkey")
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    )
+    cost = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp.select("l_suppkey")), on="l_suppkey",
+              how="left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("__cost"))
+    )
+    min_cost = cost.groupBy("l_partkey").agg(
+        F.min("__cost").alias("__min_cost"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 20).select(
+        F.col("p_partkey").alias("l_partkey"))
+    return (
+        cost.join(min_cost, on="l_partkey")
+        .filter(F.col("__cost") == F.col("__min_cost"))
+        .join(F.broadcast(part), on="l_partkey")
+        .join(F.broadcast(supp), on="l_suppkey")
+        .select(F.col("l_partkey").alias("p_partkey"), "s_name",
+                F.round("__cost", 2).alias("cost"))
+    )
+
+
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: national market share — 6-table join with a
     conditional aggregate (share = national revenue / total revenue) by
@@ -918,8 +957,11 @@ def q_top3_parts_per_brand(spark, sf_dir):
     rev = equi_join(li, part, on="l_partkey", broadcast_right=True).groupBy(
         "p_brand", "l_partkey"
     ).agg(F.sum(F.expr(_REV)).alias("__rev"))
+    # ~25 brands would otherwise funnel the window through ~25 tasks;
+    # the salted two-phase prunes to 3*16 candidates per brand first
     top = topk_per_group(
-        rev, ["p_brand"], [F.col("__rev").desc(), F.col("l_partkey")], 3)
+        rev, ["p_brand"], [F.col("__rev").desc(), F.col("l_partkey")], 3,
+        salt_buckets=16)
     return top.select(
         "p_brand", "l_partkey", F.round("__rev", 2).alias("revenue"), "rk")
 
@@ -1213,6 +1255,7 @@ QUERIES = {
     "top10_orders": q_top10_orders,
     "distinct_users": q_distinct_users,
     "customers_without_orders": q_customers_without_orders,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
     "q11_important_parts": q11_important_parts,
@@ -1345,6 +1388,24 @@ ORACLES = {
           AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY sum({_REV_SQL}) DESC, l_orderkey LIMIT 10""",
+    "q2_min_cost_supplier": """
+        WITH eu AS (
+          SELECT s_suppkey, s_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        cost AS (
+          SELECT l_partkey, l_suppkey, min(l_extendedprice) AS c
+          FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM eu)
+          GROUP BY l_partkey, l_suppkey)
+        SELECT c.l_partkey AS p_partkey, eu.s_name AS s_name,
+               round(c.c, 2) AS cost
+        FROM cost c
+        JOIN part ON c.l_partkey = p_partkey AND p_size < 20
+        JOIN eu ON c.l_suppkey = eu.s_suppkey
+        WHERE c.c = (SELECT min(c2.c) FROM cost c2
+                     WHERE c2.l_partkey = c.l_partkey)""",
     "q8_market_share": f"""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
                round(sum(CASE WHEN sn.n_name = 'NATION_3'

@@ -157,6 +157,15 @@ def test_topk(orders):
         [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3)
     sizes = top.groupBy("o_orderpriority").count().collect()
     assert all(r["count"] == 3 for r in sizes)
+    # two-phase salted variant prunes per (group, salt) first; with a
+    # total order the result must be IDENTICAL to the plain window
+    want = sorted(map(tuple, top.collect()))
+    for n in (2, 8, 64):  # incl. more buckets than partitions
+        salted = ops.topk_per_group(
+            orders.repartition(7), ["o_orderpriority"],
+            [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3,
+            salt_buckets=n)
+        assert sorted(map(tuple, salted.collect())) == want
     g = ops.global_topk(orders, [F.col("o_totalprice").desc()], 5)
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
