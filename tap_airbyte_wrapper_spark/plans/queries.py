@@ -561,12 +561,15 @@ def q2_min_cost_supplier(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("__cost"))
     )
-    min_cost = cost.groupBy("l_partkey").agg(
-        F.min("__cost").alias("__min_cost"))
+    # per-part min via a window over the SAME l_partkey shuffle the
+    # grouped agg just produced — single lineitem scan, no self-join
+    # (the naive cost-join-min_cost decorrelation scans+aggregates the
+    # fact twice)
+    min_w = Window.partitionBy("l_partkey")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 20).select(
         F.col("p_partkey").alias("l_partkey"))
     return (
-        cost.join(min_cost, on="l_partkey")
+        cost.withColumn("__min_cost", F.min("__cost").over(min_w))
         .filter(F.col("__cost") == F.col("__min_cost"))
         .join(F.broadcast(part), on="l_partkey")
         .join(F.broadcast(supp), on="l_suppkey")
