@@ -8,6 +8,7 @@ from .text import (
     minhash_fingerprints,
     quality_score,
     token_count,
+    winnow_fingerprints,
 )
 from .dedup import (
     connected_components,
@@ -48,7 +49,7 @@ from .multimodal import (
 
 __all__ = [
     "token_count", "bpe_token_estimate", "language_id", "quality_score",
-    "fingerprint", "minhash_fingerprints",
+    "fingerprint", "minhash_fingerprints", "winnow_fingerprints",
     "exact_dedup", "paragraph_dedup", "minhash_signature",
     "minhash_signatures_df", "lsh_candidate_pairs",
     "minhash_near_dup_pairs", "minhash_dedup", "connected_components",

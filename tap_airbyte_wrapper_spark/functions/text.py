@@ -16,7 +16,14 @@ stopword language scores.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+import hashlib
+import re as _re
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "token_count",
@@ -25,6 +32,7 @@ __all__ = [
     "quality_score",
     "fingerprint",
     "minhash_fingerprints",
+    "winnow_fingerprints",
 ]
 
 # Marker stopwords per language — tiny n-gram-free heuristic: count marker
@@ -173,3 +181,45 @@ def minhash_fingerprints(col: Column, num_hashes: int = 16, shingle_len: int = 3
             lambda a, b: F.least(a, b),
         ),
     )
+
+
+def winnow_fingerprints(
+    df: "DataFrame", text_col: str, out_col: str = "fps",
+    gram_len: int = 8, window: int = 4
+) -> "DataFrame":
+    """Winnowing (MOSS-style rolling-hash) fingerprints: hash every
+    ``gram_len``-char gram of the normalized text, take the minimum hash
+    in each sliding window of ``window`` consecutive grams, and dedupe.
+    Any substring shared between two documents of length >=
+    ``gram_len + window - 1`` is guaranteed to contribute a shared
+    fingerprint — the localizable near-dup/plagiarism sketch.
+
+    Implemented as an Arrow pandas UDF on purpose: the per-gram hash is
+    inherently per-element work, which Catalyst higher-order functions
+    run INTERPRETED — and CollapseProject inlines captured expressions
+    into HOF lambdas, so a staged-column formulation still re-ran the
+    normalization regexp once per gram (measured: minutes vs ~1 s for
+    500 docs).  The window minima are w-1 vectorized numpy ops.  md5-hex
+    minima keep the result engine-portable (DuckDB oracle mirrors the
+    normalization exactly)."""
+
+    @pandas_udf("array<string>")
+    def _fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = _re.sub(r"\s+", " ", (t or "")).strip().lower()
+            n = len(t)
+            n_grams = max(n - gram_len + 1, 1)
+            # object dtype: np.minimum has no unicode loop (numpy 1.x)
+            grams = np.array(
+                [hashlib.md5(t[i:i + gram_len].encode()).hexdigest()
+                 for i in range(n_grams)], dtype=object)
+            m = len(grams)
+            span = max(m - window + 1, 1)
+            mins = grams[:span].copy()
+            for off in range(1, min(window, m)):
+                np.minimum(mins, grams[off:off + span], out=mins)
+            out.append(sorted(set(mins.tolist())))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _fps(F.col(text_col)))

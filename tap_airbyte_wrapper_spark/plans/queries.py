@@ -1128,6 +1128,15 @@ def q_embedding_near_dup(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_r"))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash (winnowing/MOSS) fingerprints per document, exploded
+    to (doc_id, fp) — the localizable near-dup sketch."""
+    from ..functions import winnow_fingerprints
+
+    docs = winnow_fingerprints(_t(spark, sf_dir, "documents"), "text")
+    return docs.select("doc_id", F.explode("fps").alias("fp"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive near-dup clustering: connected components (iterative
     min-label propagation, one shuffle join + grouped min per round,
@@ -1259,6 +1268,7 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "customers_without_orders": q_customers_without_orders,
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "winnow_fingerprints_docs": q_winnow_fingerprints,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
     "q11_important_parts": q11_important_parts,
@@ -1391,6 +1401,22 @@ ORACLES = {
           AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY sum({_REV_SQL}) DESC, l_orderkey LIMIT 10""",
+    "winnow_fingerprints_docs": f"""
+        WITH s AS (
+          SELECT doc_id, {_NORM_TEXT} AS t FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(length(t) - 8 + 1, 1)),
+                   i -> md5(substring(t, i, 8))) AS hs
+          FROM s),
+        w AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(list_transform(
+                   generate_series(1, greatest(len(hs) - 4 + 1, 1)),
+                   j -> list_min(hs[j:j+3])))) AS fps
+          FROM g)
+        SELECT doc_id, unnest(fps) AS fp FROM w""",
     "q2_min_cost_supplier": """
         WITH eu AS (
           SELECT s_suppkey, s_name

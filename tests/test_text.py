@@ -162,3 +162,37 @@ def test_hash_split_deterministic_and_stratified(spark, sf_dir):
     samp = stratified_sample(docs, "lang", fr, seed=7)
     again = stratified_sample(docs, "lang", fr, seed=7)
     assert samp.count() == again.count() < docs.count()
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    from tap_airbyte_wrapper_spark.functions import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "aaaa bbbb " + shared + " cccc dddd"),
+        (2, "xxxx yyyy " + shared + " zzzz wwww"),
+        (3, "completely different content with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: set(r.fps)
+           for r in winnow_fingerprints(df, "text").collect()}
+    # winnowing guarantee: a shared substring of length >= k + w - 1
+    # (here far longer) must yield at least one shared fingerprint
+    assert out[1] & out[2]
+    assert not (out[1] & out[3] and out[2] & out[3])
+    # deterministic across runs
+    again = {r.doc_id: set(r.fps)
+             for r in winnow_fingerprints(df, "text").collect()}
+    assert again == out
+
+
+def test_winnow_fingerprints_short_and_empty(spark):
+    from tap_airbyte_wrapper_spark.functions import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "abc"), (3, None)], "doc_id int, text string")
+    rows = {r.doc_id: r.fps for r in winnow_fingerprints(df, "text").collect()}
+    # shorter-than-gram texts produce exactly one fingerprint
+    assert len(rows[1]) == 1 and len(rows[2]) == 1 and len(rows[3]) == 1
+    import hashlib
+    assert rows[2] == [hashlib.md5(b"abc").hexdigest()]
