@@ -20,7 +20,8 @@ from .aggregates import (
     grouping_sets_agg,
     rollup_agg,
 )
-from .windows import global_topk, ranked, running_agg, topk_per_group, with_lag_lead
+from .windows import (global_distribution_ranks, global_topk, ranked,
+                      running_agg, topk_per_group, with_lag_lead)
 from .setops import except_rows, intersect_rows, union_by_name
 
 __all__ = [
@@ -29,5 +30,6 @@ __all__ = [
     "grouped_agg", "cube_agg", "rollup_agg", "grouping_sets_agg",
     "distinct_count", "dedup_exact", "dedup_latest",
     "ranked", "with_lag_lead", "running_agg", "topk_per_group", "global_topk",
+    "global_distribution_ranks",
     "union_by_name", "intersect_rows", "except_rows",
 ]

@@ -18,7 +18,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ranked", "with_lag_lead", "running_agg", "topk_per_group", "global_topk"]
+__all__ = ["ranked", "with_lag_lead", "running_agg", "topk_per_group",
+           "global_topk", "global_distribution_ranks"]
 
 
 def ranked(
@@ -108,6 +109,64 @@ def topk_per_group(
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
+    )
+
+
+def global_distribution_ranks(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    n_tiles: int = 10,
+    rank_col: str = "rank",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Global rank + percent_rank + cume_dist + ntile WITHOUT the
+    single-task unpartitioned window (``Window.orderBy`` with no
+    partitionBy funnels the whole dataset through one task — the global
+    total-order anti-pattern at scale).
+
+    Plan: range-repartition on the order keys, rank locally inside each
+    range partition, then add each partition's cumulative row offset
+    (one collect of <= num_ranges tiny (pid, count) rows — the same
+    guarded-driver-metadata shape as IVF centroid training).  Because
+    the rank is then GLOBAL, percent_rank/cume_dist/ntile follow
+    arithmetically, matching Spark's window semantics exactly when
+    ``order_by`` is a total order (include a tie-break key).
+
+    The range exchange is pinned with ``localCheckpoint`` because the
+    RangePartitioner re-SAMPLES boundaries per job — without pinning,
+    the counting job and the ranking job see different partition
+    layouts and the offsets are garbage (observed, not hypothetical).
+    One materialization replaces one unscalable single-task sort."""
+    spark = df.sparkSession
+    num_ranges = num_ranges or spark.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(num_ranges, *order_by).withColumn(
+        "__pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    counts = {r["__pid"]: r["count"]
+              for r in parts.groupBy("__pid").count().collect()}
+    n = sum(counts.values())
+    offsets, acc = [], 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+    local_w = Window.partitionBy("__pid").orderBy(*order_by)
+    offset = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), F.col("__pid") + 1)
+    rank = (F.row_number().over(local_w) + offset).cast("long")
+    size, rem = divmod(n, n_tiles)
+    thresh = rem * (size + 1)
+    ntile = F.when(
+        rank <= thresh, ((rank - 1) / (size + 1)).cast("int") + 1
+    ).otherwise(
+        (F.lit(rem) + ((rank - 1 - thresh) / max(size, 1)).cast("int") + 1)
+        .cast("int"))
+    pct = (F.lit(0.0) if n <= 1
+           else (rank - 1) / F.lit(float(n - 1)))
+    return (
+        parts.withColumn(rank_col, rank)
+        .withColumn("ntile", ntile)
+        .withColumn("percent_rank", pct)
+        .withColumn("cume_dist", rank / F.lit(float(max(n, 1))))
+        .drop("__pid")
     )
 
 

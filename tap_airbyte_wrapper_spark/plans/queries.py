@@ -44,6 +44,7 @@ from ..operators import (
     cube_agg,
     dedup_latest,
     equi_join,
+    global_distribution_ranks,
     global_topk,
     grouped_agg,
     grouping_sets_agg,
@@ -824,14 +825,19 @@ def q_running_revenue(spark, sf_dir):
 
 
 def q_order_price_deciles(spark, sf_dir):
-    """Distribution ranks in one window pass: ntile decile, percent_rank,
-    cume_dist over order price."""
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    return _t(spark, sf_dir, "orders").select(
+    """Distribution ranks over order price — via the distributed
+    global-rank operator (range repartition + local ranks + cumulative
+    offsets), NOT an unpartitioned window: ``Window.orderBy`` without
+    partitionBy funnels the whole table through one task.  The oracle
+    keeps the window formulation, proving the rank arithmetic exact."""
+    ranked = global_distribution_ranks(
+        _t(spark, sf_dir, "orders"),
+        [F.col("o_totalprice"), F.col("o_orderkey")], n_tiles=10)
+    return ranked.select(
         "o_orderkey",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.col("ntile").alias("decile"),
+        F.round("percent_rank", 6).alias("pct_rank"),
+        F.round("cume_dist", 6).alias("cume"),
     )
 
 

@@ -229,3 +229,26 @@ def test_range_join_binned_rejects_outer(spark):
     with pytest.raises(ValueError, match="inner/left"):
         ops.range_join(points, ivals, "x", "lo", "hi",
                        bin_width=10.0, how="full")
+
+
+def test_global_distribution_ranks_matches_window(orders):
+    from pyspark.sql import Window
+
+    order_by = [F.col("o_totalprice"), F.col("o_orderkey")]
+    got = ops.global_distribution_ranks(orders, order_by, n_tiles=10)
+    w = Window.orderBy(*order_by)
+    want = orders.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("rank"),
+        F.ntile(10).over(w).alias("ntile"),
+        F.percent_rank().over(w).alias("percent_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+    g = {r.o_orderkey: (r.rank, r.ntile, round(r.percent_rank, 9),
+                        round(r.cume_dist, 9)) for r in got.collect()}
+    x = {r.o_orderkey: (r.rank, r.ntile, round(r.percent_rank, 9),
+                        round(r.cume_dist, 9)) for r in want.collect()}
+    assert g == x
+    # plan: the distributed version must have NO unpartitioned window
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in plan or "__pid" in plan
