@@ -252,3 +252,27 @@ def test_global_distribution_ranks_matches_window(orders):
     # plan: the distributed version must have NO unpartitioned window
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Window [" not in plan or "__pid" in plan
+
+
+def test_global_distribution_ranks_small_n(spark):
+    from pyspark.sql import Window
+
+    # n < n_tiles exercises the zero-size-bucket branch of the ntile
+    # arithmetic; a single row exercises the percent_rank n<=1 guard
+    for rows in ([(1, 5.0)], [(1, 5.0), (2, 1.0), (3, 9.0)]):
+        df = spark.createDataFrame(rows, "id int, v double")
+        order_by = [F.col("v"), F.col("id")]
+        got = {r.id: (r.rank, r.ntile, round(r.percent_rank, 9),
+                      round(r.cume_dist, 9))
+               for r in ops.global_distribution_ranks(
+                   df, order_by, n_tiles=10).collect()}
+        w = Window.orderBy(*order_by)
+        want = {r.id: (r.rank, r.ntile, round(r.percent_rank, 9),
+                       round(r.cume_dist, 9))
+                for r in df.select(
+                    "id",
+                    F.row_number().over(w).alias("rank"),
+                    F.ntile(10).over(w).alias("ntile"),
+                    F.percent_rank().over(w).alias("percent_rank"),
+                    F.cume_dist().over(w).alias("cume_dist")).collect()}
+        assert got == want
