@@ -26,12 +26,16 @@ from .dedup import (
     simhash_near_dup_pairs,
 )
 from .similarity import (
+    IvfIndex,
     cosine,
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
     dot,
     embedding_near_dup_pairs,
+    ivf_build,
+    ivf_load,
+    ivf_search,
     l2_norm,
 )
 from .sampling import hash_bucket, hash_split, stratified_sample
@@ -58,6 +62,7 @@ __all__ = [
     "dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_lsh",
     "cosine_topk_ivf",
     "embedding_near_dup_pairs",
+    "IvfIndex", "ivf_build", "ivf_load", "ivf_search",
     "hash_bucket", "hash_split", "stratified_sample",
     "SentenceSplitter", "split_sentences",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",

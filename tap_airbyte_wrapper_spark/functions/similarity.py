@@ -24,7 +24,8 @@ from pyspark.sql.functions import pandas_udf
 from ..operators.windows import topk_per_group
 
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
-           "cosine_topk_lsh", "cosine_topk_ivf", "embedding_near_dup_pairs"]
+           "cosine_topk_lsh", "cosine_topk_ivf", "embedding_near_dup_pairs",
+           "IvfIndex", "ivf_build", "ivf_load", "ivf_search"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -273,6 +274,123 @@ def _kmeans_centroids(mat: "np.ndarray", k: int, iters: int, seed: int):
     return cent
 
 
+class IvfIndex:
+    """A built IVF index: driver-side centroids + the cell-assigned
+    corpus.  Build once with :func:`ivf_build` (optionally persisting),
+    search many times with :func:`ivf_search` — the production ANN
+    shape, instead of re-training the quantizer per query batch.
+
+    When persisted, vectors are written partitioned BY CELL, so a later
+    loaded search scans only the probed cells' files (dynamic partition
+    pruning through the broadcast probe join) — ``n_probe/n_clusters``
+    of the corpus in I/O, not just in compute."""
+
+    def __init__(self, centroids: "np.ndarray", assigned: DataFrame,
+                 id_col: str, vec_col: str):
+        self.centroids = centroids
+        self.assigned = assigned          # columns: id, vec, __cell
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+
+def _cell_udf(cent: "np.ndarray"):
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype("int32"))
+
+    return cell_of
+
+
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    train_sample: int = 100_000,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    path: str | None = None,
+) -> IvfIndex:
+    """Train the coarse quantizer (driver-side k-means on a bounded
+    sample — k x dim is tiny by construction) and assign every corpus
+    vector to its nearest cell (one numpy matmul per Arrow batch).
+    With ``path``, persist centroids + cell-partitioned vectors."""
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    sample = corpus.select(vec_col).limit(train_sample).toPandas()
+    mat = np.stack(sample[vec_col].to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = _kmeans_centroids(mat, n_clusters, kmeans_iters, seed)
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        _cell_udf(cent)(F.col(vec_col)).alias("__cell"))
+    if path:
+        spark = corpus.sparkSession
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        assigned.write.mode("overwrite").partitionBy("__cell").parquet(
+            f"{path}/vectors")
+        assigned = corpus.sparkSession.read.parquet(f"{path}/vectors")
+    return IvfIndex(cent, assigned, id_col, vec_col)
+
+
+def ivf_load(spark, path: str, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> IvfIndex:
+    """Reopen a persisted IVF index; searches partition-prune to the
+    probed cells."""
+    rows = sorted(
+        (r["cell"], r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect())
+    cent = np.array([c for _, c in rows], dtype="float64")
+    return IvfIndex(cent, spark.read.parquet(f"{path}/vectors"),
+                    id_col, vec_col)
+
+
+def ivf_search(
+    index: IvfIndex,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe each query's ``n_probe`` nearest cells, exact-cosine rerank
+    inside them.  Queries are the broadcast-small side; the probe join
+    touches ~n_probe/n_clusters of the corpus (and, for a persisted
+    index, of the FILES — __cell is the partition column)."""
+    cent = index.centroids
+    n_probe = min(n_probe, len(cent))
+
+    @pandas_udf("array<int>")
+    def probes_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ cent.T), axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    id_col, vec_col = index.id_col, index.vec_col
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        probes_of(F.col(vec_col)).alias("__probes"),
+    )
+    q_cells = F.broadcast(
+        q.select(query_id_col, "__qvec",
+                 F.explode("__probes").alias("__cell")))
+    scored = (
+        index.assigned.join(q_cells, on="__cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos_sim", cosine_pairs(F.col(vec_col), F.col("__qvec")))
+        .select(query_id_col, id_col, "cos_sim")
+    )
+    return topk_per_group(
+        scored, [query_id_col], [F.col("cos_sim").desc(), F.col(id_col)], k
+    ).drop("rk")
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -286,10 +404,9 @@ def cosine_topk_ivf(
     kmeans_iters: int = 10,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate cosine top-k: k-means coarse
-    quantizer -> each corpus vector assigned to its nearest centroid
-    cell -> each query probes its ``n_probe`` nearest cells -> exact
-    cosine rerank inside probed cells.
+    """IVF (inverted-file) approximate cosine top-k: one-shot
+    build-then-search (see :func:`ivf_build` / :func:`ivf_search` for
+    the build-once-search-many production path).
 
     Scale shape: centroids are trained driver-side on a bounded sample
     (k-means on k x dim is tiny by construction) and ride the closure to
@@ -298,45 +415,11 @@ def cosine_topk_ivf(
     small side, broadcast), so the search join touches ~n_probe/n_clusters
     of the corpus instead of all of it.  Recall < 1.0 by design; raise
     ``n_probe`` toward ``n_clusters`` to trade speed back for recall."""
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
-    sample = corpus.select(vec_col).limit(train_sample).toPandas()
-    mat = np.stack(sample[vec_col].to_numpy()).astype("float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    cent = _kmeans_centroids(mat, n_clusters, kmeans_iters, seed)
-
-    @pandas_udf("int")
-    def cell_of(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype("float64")
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        return pd.Series(np.argmax(m @ cent.T, axis=1).astype("int32"))
-
-    @pandas_udf("array<int>")
-    def probes_of(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype("float64")
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        order = np.argsort(-(m @ cent.T), axis=1)[:, :n_probe].astype("int32")
-        return pd.Series(list(order))
-
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col), cell_of(F.col(vec_col)).alias("__cell"))
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        probes_of(F.col(vec_col)).alias("__probes"),
-    )
-    q_cells = F.broadcast(
-        q.select(query_id_col, "__qvec",
-                 F.explode("__probes").alias("__cell")))
-    scored = (
-        c.join(q_cells, on="__cell")
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cos_sim", cosine_pairs(F.col(vec_col), F.col("__qvec")))
-        .select(query_id_col, id_col, "cos_sim")
-    )
-    return topk_per_group(
-        scored, [query_id_col], [F.col("cos_sim").desc(), F.col(id_col)], k
-    ).drop("rk")
+    index = ivf_build(corpus, id_col, vec_col, n_clusters=n_clusters,
+                      train_sample=train_sample, kmeans_iters=kmeans_iters,
+                      seed=seed)
+    return ivf_search(index, queries, query_id_col=query_id_col, k=k,
+                      n_probe=n_probe)
 
 
 def cosine_topk_lsh(

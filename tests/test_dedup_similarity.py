@@ -297,3 +297,32 @@ def test_embedding_near_dup_exact_guard(spark, sf_dir):
     assert out.count() >= 0
     with pytest.raises(ValueError, match="exact|lsh|auto"):
         embedding_near_dup_pairs(emb, method="bogus")
+
+
+def test_ivf_index_build_persist_load_search(spark, sf_dir, tmp_path):
+    from tap_airbyte_wrapper_spark.functions import (
+        cosine_topk_ivf, ivf_build, ivf_load, ivf_search)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    params = dict(n_clusters=8, train_sample=1000, kmeans_iters=5, seed=42)
+
+    oneshot = {(r.query_id, r.vec_id) for r in cosine_topk_ivf(
+        emb, queries, k=5, n_probe=3, **params).collect()}
+
+    path = str(tmp_path / "ivf")
+    ivf_build(emb, path=path, **params)
+    loaded = ivf_load(spark, path)
+    via_index = {(r.query_id, r.vec_id) for r in ivf_search(
+        loaded, queries, k=5, n_probe=3).collect()}
+    # same quantizer seed + same probes -> identical results
+    assert via_index == oneshot
+
+    # persisted layout is partitioned by cell: one directory per cell,
+    # so probed searches can prune to n_probe/n_clusters of the files
+    import os
+    cells = [d for d in os.listdir(f"{path}/vectors")
+             if d.startswith("__cell=")]
+    assert 1 < len(cells) <= 8
+    # every corpus vector survives the round trip
+    assert loaded.assigned.count() == emb.count()
