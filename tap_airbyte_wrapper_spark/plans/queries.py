@@ -439,6 +439,29 @@ def q18_large_orders(spark, sf_dir):
         F.round("sum_qty", 2).alias("sum_qty_r"))
 
 
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: orders-lineitem join, group by ship mode,
+    conditional counts of high- vs low-priority orders.  The testdata
+    has no l_shipmode/commit/receipt dates, so mode stands in as
+    l_returnflag and the receipt-window predicate as shipped 30-60 days
+    after order date — the join + CASE-count aggregation is the
+    operator shape under test."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate",
+        "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate")
+    j = li.join(orders, on="l_orderkey").filter(
+        (F.col("l_shipdate")
+         > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        & (F.col("l_shipdate")
+           <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+
+
 def q13_customer_distribution(spark, sf_dir):
     """TPC-H Q13 shape: left outer join + per-customer order count +
     count-of-counts distribution (reference parity: tap-level SQL the
@@ -1274,6 +1297,7 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "customers_without_orders": q_customers_without_orders,
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q12_shipmode_priority": q12_shipmode_priority,
     "winnow_fingerprints_docs": q_winnow_fingerprints,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -1502,6 +1526,19 @@ ORACLES = {
               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
             GROUP BY l_partkey, l_suppkey
             HAVING sum(l_quantity) > 50)""",
+    "q12_shipmode_priority": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+               AS low_line_count
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+          AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_returnflag""",
     "q13_customer_distribution": """
         WITH per AS (
           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
