@@ -38,6 +38,15 @@ from .similarity import (
     ivf_search,
     l2_norm,
 )
+from .corpus import (
+    ngram_contamination,
+    pack_token_budget,
+    repetition_signals,
+    vocab_topk,
+    word_ngrams,
+    words,
+)
+from .pii import PII_PATTERNS, pii_counts, redact_pii
 from .sampling import hash_bucket, hash_split, stratified_sample
 from .udtf import SentenceSplitter, split_sentences
 from .multimodal import (

@@ -1,0 +1,189 @@
+"""Corpus-level analytics for training-data curation: vocabulary
+statistics, repetition (quality) signals, per-source token-budget
+packing, and benchmark-contamination detection.
+
+None of these exist in the reference (its row-level surface stops at
+stream maps, SURVEY.md §2.2); they extend the LLM-pipeline layer next to
+``functions/text.py`` and ``functions/dedup.py``.  Everything stays in
+Catalyst expressions / built-in DataFrame ops — no Python UDFs — so the
+hot path is JVM codegen and every aggregation gets map-side partial
+combine for free.
+
+Scale notes (100 TB):
+- ``vocab_topk`` is explode → partial-agg → global top-k; the shuffle
+  carries one row per *distinct* (partition, token), not per occurrence,
+  and the final top-k is a ``TakeOrderedAndProject`` (no global sort).
+- ``repetition_signals`` is purely per-row: cost bounded by document
+  length, embarrassingly parallel, zero shuffle.
+- ``pack_token_budget`` shuffles once on the mixture key (source/domain).
+  A cumulative sum is inherently sequential *within* a key, so a single
+  giant domain serializes; for the degenerate few-domain case use the
+  two-phase global-ranks pattern (``operators/windows.py``
+  ``global_distribution_ranks``) keyed on (domain, range-bucket).
+- ``ngram_contamination`` broadcasts the (small) benchmark gram set when
+  it fits, else falls back to a shuffled semi-join on the gram hash;
+  corpus grams are deduped per doc *before* the join so the join input
+  is one row per distinct (doc, gram).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "words",
+    "word_ngrams",
+    "vocab_topk",
+    "repetition_signals",
+    "pack_token_budget",
+    "ngram_contamination",
+]
+
+
+def words(col: Column) -> Column:
+    """Lower-cased whitespace tokens (empty text → empty array).
+
+    Mirrors the DuckDB oracle expression
+    ``regexp_extract_all(lower(trim(text)), '\\S+')`` exactly.
+    """
+    return F.regexp_extract_all(F.lower(F.trim(col)), F.lit(r"\S+"), 0)
+
+
+def word_ngrams(ws: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams of a token array; fewer than ``n``
+    tokens → empty array.  Built with ``sequence``/``transform``/``slice``
+    so generation is codegen'd per row — no explode until the caller asks
+    for one."""
+    return F.when(F.size(ws) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        )
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: top-``k`` tokens by total occurrences with
+    document frequency; ties broken by token for determinism.
+
+    Plan shape: explode → ``groupBy(token)`` with map-side partial
+    aggregation (occurrences) + two-phase distinct (doc_freq) →
+    ``orderBy().limit(k)`` which Spark executes as
+    ``TakeOrderedAndProject`` — per-partition heaps, no global sort.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("token")
+    )
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    return agg.orderBy(F.desc("occurrences"), F.asc("token")).limit(k)
+
+
+def repetition_signals(col: Column) -> Column:
+    """Gopher-style repetition quality signals as a struct:
+    ``n_tokens``, ``distinct_ratio`` (distinct/total words) and
+    ``top_word_ratio`` (most frequent word's share).
+
+    Whole computation is per-row array algebra (``array_distinct`` +
+    nested ``transform``/``filter``): O(distinct × total) per document —
+    bounded by document length, zero shuffle, trivially parallel.  Empty
+    text → (0, null, null).
+    """
+    ws = words(col)
+    distinct = F.array_distinct(ws)
+    top_freq = F.array_max(
+        F.transform(
+            distinct,
+            lambda x: F.size(F.filter(ws, lambda y: y == x)),
+        )
+    )
+    n = F.size(ws)
+    return F.struct(
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, F.round(F.size(distinct) / n, 6)).alias("distinct_ratio"),
+        F.when(n > 0, F.round(top_freq / n, 6)).alias("top_word_ratio"),
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy per-group token-budget packing for mixture construction:
+    within each ``group_col`` take documents in ``order_col``-descending
+    (quality) order until the running token total would exceed
+    ``budget``.  Returns the kept rows with their running total
+    ``cum_tokens``.
+
+    One shuffle on the mixture key; the running sum is a ROWS-frame
+    window *inside* each group, so parallelism = number of groups.  For
+    corpora with few, huge domains switch to the two-phase
+    range-partitioned cumulative pattern of
+    ``global_distribution_ranks`` before trusting this at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(words(F.col(text_col))).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc(order_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, group_col, "n_tokens", "cum_tokens")
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination detection: flag corpus documents sharing
+    at least one exact (normalized) word ``n``-gram with any benchmark
+    document.  Returns ``(id_col, n_hit_grams)`` — the count of
+    *distinct* contaminated grams per document.
+
+    Both sides dedupe grams before the join (benchmark globally,
+    corpus per document), so join input is one row per distinct
+    (doc, gram) — never per occurrence.  The benchmark side of a
+    contamination check is small by definition (an eval set), so it is
+    broadcast by default; pass ``broadcast_benchmark=False`` to fall
+    back to a shuffled semi-join when it is not.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(words(F.col(text_col)), n)).alias("gram")
+        )
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(words(F.col(text_col)), n))).alias(
+            "gram"
+        ),
+    )
+    return (
+        corpus_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )

@@ -1,0 +1,56 @@
+"""PII detection / redaction for training-data pipelines: scrub emails,
+phone numbers, IPv4 addresses and long digit runs (account/card-style
+identifiers) from a text column, and count what was scrubbed.
+
+Not in the reference (its transform surface is stream maps, SURVEY.md
+§2.2); this is part of the LLM-curation layer.  Pure Catalyst
+``regexp_replace`` / ``regexp_extract_all`` chains — JVM regex, no
+Python UDF, zero shuffle, so the cost is one linear scan per pattern
+per row and the operator composes into any projection.
+
+Pattern order matters and is fixed: emails first (so the user@host
+digits cannot be half-eaten by the phone pattern), then IPv4 (dotted
+digits would otherwise match the id-run pattern), then phones, then
+bare digit runs.  The same four patterns in the same order reproduce
+in any PCRE-ish engine, which keeps the operator oracle-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = ["PII_PATTERNS", "redact_pii", "pii_counts"]
+
+# name → (regex, replacement token). Insertion order = application order.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "phone": (
+        r"(?<![\d.])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3}[ .-]\d{3,4}(?:[ .-]\d{2,4})?(?![\d.])",
+        "<PHONE>",
+    ),
+    "id_number": (r"(?<![\d.])\d{8,}(?![\d.])", "<ID>"),
+}
+
+
+def redact_pii(col: Column) -> Column:
+    """Text with every PII match replaced by its type token."""
+    out = col
+    for pattern, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-type match counts (``n_email``, ``n_ipv4``,
+    ``n_phone``, ``n_id_number``) counted under the same sequential
+    masking as :func:`redact_pii`, so the two always agree: a digit run
+    inside an already-redacted email is not double-counted as an id."""
+    fields = []
+    cur = col
+    for name, (pattern, token) in PII_PATTERNS.items():
+        fields.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pattern), 0)).alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pattern, token)
+    return F.struct(*fields)

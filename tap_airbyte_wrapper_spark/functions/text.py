@@ -185,7 +185,7 @@ def minhash_fingerprints(col: Column, num_hashes: int = 16, shingle_len: int = 3
 
 def winnow_fingerprints(
     df: "DataFrame", text_col: str, out_col: str = "fps",
-    gram_len: int = 8, window: int = 4
+    gram_len: int = 8, window: int = 4, min_parallelism: int | None = None,
 ) -> "DataFrame":
     """Winnowing (MOSS-style rolling-hash) fingerprints: hash every
     ``gram_len``-char gram of the normalized text, take the minimum hash
@@ -201,7 +201,15 @@ def winnow_fingerprints(
     normalization regexp once per gram (measured: minutes vs ~1 s for
     500 docs).  The window minima are w-1 vectorized numpy ops.  md5-hex
     minima keep the result engine-portable (DuckDB oracle mirrors the
-    normalization exactly)."""
+    normalization exactly).
+
+    Text bytes are tiny relative to the per-gram CPU, so file-split
+    granularity (``maxPartitionBytes``) under-parallelizes this operator
+    badly: one 0.5 MB parquet file = one task hashing every gram on one
+    core.  Unless the input already has at least ``min_parallelism``
+    partitions (default: the session's ``defaultParallelism``), it is
+    round-robin repartitioned first — the extra shuffle moves only the
+    raw text once and buys full-cluster fan-out of the hash work."""
 
     @pandas_udf("array<string>")
     def _fps(texts: pd.Series) -> pd.Series:
@@ -224,4 +232,9 @@ def winnow_fingerprints(
             out.append(sorted(set(mins.tolist())))
         return pd.Series(out)
 
+    target = min_parallelism
+    if target is None:
+        target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return df.withColumn(out_col, _fps(F.col(text_col)))

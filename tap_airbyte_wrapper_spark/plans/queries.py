@@ -1189,6 +1189,62 @@ def q_split_sentences(spark, sf_dir):
         "doc_id", "idx", "sentence")
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-100 tokens by occurrences with document
+    frequency.  Explode -> partial-agg -> TakeOrderedAndProject."""
+    from ..functions import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Per-document Gopher-style repetition quality signals — pure
+    per-row array algebra, zero shuffle."""
+    from ..functions import repetition_signals
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", repetition_signals(F.col("text")).alias("r"))
+        .select("doc_id", "r.n_tokens", "r.distinct_ratio", "r.top_word_ratio")
+    )
+
+
+def q_token_budget_pack(spark, sf_dir):
+    """Mixture construction: per-source greedy token-budget packing
+    (quality order = n_chars desc), one shuffle on the mixture key."""
+    from ..functions import pack_token_budget
+
+    return pack_token_budget(
+        _t(spark, sf_dir, "documents"), budget=2000,
+        group_col="source", order_col="n_chars")
+
+
+def q_contamination_docs(spark, sf_dir):
+    """Benchmark-contamination check: corpus docs sharing an exact
+    normalized word 4-gram with the (broadcast) 'src0' benchmark split."""
+    from ..functions import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=4)
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid, one row per (label, dimension):
+    posexplode -> groupBy(label, dim) avg — the scale shape for array
+    analytics (shuffle carries one partial sum per (label, dim), never
+    whole vectors)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 4).alias("centroid_v"),
+             F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
 def q_decode_image_meta(spark, sf_dir):
     """Multimodal plumbing: text bytes as fake image payloads -> decode."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -1310,6 +1366,14 @@ QUERIES = {
     "top10_orders": q_top10_orders,
     "distinct_users": q_distinct_users,
     "customers_without_orders": q_customers_without_orders,
+    # round-5 corpus-curation additions — oracle-backed (checked by
+    # tests/test_oracle_parity.py); past the driver window because the
+    # window already holds 50 oracle-backed shapes.
+    "vocab_topk_docs": q_vocab_topk,
+    "repetition_signals_docs": q_repetition_signals,
+    "token_budget_pack": q_token_budget_pack,
+    "contamination_docs": q_contamination_docs,
+    "label_centroids": q_label_centroids,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "knn_lsh": q_knn_lsh,
@@ -1973,4 +2037,72 @@ ORACLES = {
                     % 64 AS INTEGER) AS height,
                CAST(3 AS INTEGER) AS channels
         FROM documents""",
+    "vocab_topk_docs": r"""
+        SELECT token, count(*) AS occurrences,
+               count(DISTINCT doc_id) AS doc_freq
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(trim(text)), '\S+'))
+                       AS token
+              FROM documents)
+        GROUP BY token
+        ORDER BY occurrences DESC, token ASC
+        LIMIT 100""",
+    "repetition_signals_docs": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(trim(text)), '\S+') AS ws
+          FROM documents)
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+               CASE WHEN len(ws) > 0
+                    THEN round(len(list_distinct(ws)) * 1.0 / len(ws), 6)
+               END AS distinct_ratio,
+               CASE WHEN len(ws) > 0
+                    THEN round(list_max(list_transform(list_distinct(ws),
+                           x -> len(list_filter(ws, y -> y = x))))
+                         * 1.0 / len(ws), 6)
+               END AS top_word_ratio
+        FROM w""",
+    "token_budget_pack": r"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_extract_all(lower(trim(text)), '\S+'))
+                      AS BIGINT) AS n_tokens,
+                 n_chars
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+          FROM t)
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= 2000""",
+    "contamination_docs": r"""
+        WITH w AS (
+          SELECT doc_id, source,
+                 regexp_extract_all(lower(trim(text)), '\S+') AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id, source,
+                 unnest(CASE WHEN len(ws) < 4 THEN []
+                        ELSE list_transform(range(1, len(ws) - 2),
+                               i -> array_to_string(ws[i:i+3], ' '))
+                        END) AS gram
+          FROM w),
+        bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        corpus AS (SELECT DISTINCT doc_id, gram FROM g
+                   WHERE source <> 'src0')
+        SELECT corpus.doc_id, count(*) AS n_hit_grams
+        FROM corpus JOIN bench USING (gram)
+        GROUP BY corpus.doc_id""",
+    "label_centroids": """
+        SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+               round(avg(e), 4) AS centroid_v,
+               count(*) AS n_vecs
+        FROM (SELECT label, unnest(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+        GROUP BY label, i""",
 }

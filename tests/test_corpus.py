@@ -1,0 +1,132 @@
+"""Unit tests for functions/corpus.py (vocabulary, repetition,
+token-budget packing, contamination) and functions/pii.py (redaction).
+
+The corpus fleet queries additionally run against the DuckDB oracles in
+tests/test_oracle_parity.py; these tests pin the semantics on small
+hand-built inputs where the expected values are obvious.
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tap_airbyte_wrapper_spark.functions import (
+    ngram_contamination,
+    pack_token_budget,
+    pii_counts,
+    redact_pii,
+    repetition_signals,
+    vocab_topk,
+    word_ngrams,
+    words,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows)
+
+
+def test_vocab_topk_counts_and_order(spark):
+    df = _docs(spark, [
+        Row(doc_id=1, text="a b a c"),
+        Row(doc_id=2, text="b a"),
+        Row(doc_id=3, text=" C  c "),
+    ])
+    out = vocab_topk(df, k=2).collect()
+    # a: 3 occurrences / 2 docs; c: 3 occurrences / 2 docs (lowercased);
+    # tie broken by token asc -> a before c; b (2 occ) cut by k=2.
+    assert [(r.token, r.occurrences, r.doc_freq) for r in out] == [
+        ("a", 3, 2), ("c", 3, 2)]
+
+
+def test_word_ngrams_short_text_empty(spark):
+    df = spark.createDataFrame([Row(text="one two three"), Row(text="one two")])
+    out = df.select(word_ngrams(words(F.col("text")), 3).alias("g")).collect()
+    assert out[0].g == ["one two three"]
+    assert out[1].g == []
+
+
+def test_repetition_signals_values(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="x x x y"),
+        Row(doc_id=2, text="   "),
+    ])
+    out = {r.doc_id: r.r.asDict() for r in df.select(
+        "doc_id", repetition_signals(F.col("text")).alias("r")).collect()}
+    assert out[1] == {"n_tokens": 4, "distinct_ratio": 0.5,
+                      "top_word_ratio": 0.75}
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["distinct_ratio"] is None
+    assert out[2]["top_word_ratio"] is None
+
+
+def test_pack_token_budget_greedy_per_group(spark):
+    # quality = n_chars desc; budget 5 tokens per source.
+    df = spark.createDataFrame([
+        Row(doc_id=1, source="s1", n_chars=30, text="w w w"),      # 3 tok
+        Row(doc_id=2, source="s1", n_chars=20, text="w w"),        # cum 5
+        Row(doc_id=3, source="s1", n_chars=10, text="w"),          # cum 6 > 5
+        Row(doc_id=4, source="s2", n_chars=99, text="w w w w w w"),  # 6 > 5
+        Row(doc_id=5, source="s2", n_chars=1, text="w"),           # skipped:
+        # greedy prefix, not knapsack — doc4 overflows and blocks the rest
+    ])
+    kept = {(r.doc_id, r.cum_tokens) for r in
+            pack_token_budget(df, budget=5).collect()}
+    assert kept == {(1, 3), (2, 5)}
+
+
+def test_ngram_contamination_planted_overlap(spark):
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+        Row(doc_id=2, text="nothing shared here at all"),
+    ])
+    bench = spark.createDataFrame([
+        Row(doc_id=100, text="x alpha beta gamma delta y"),
+    ])
+    out = {r.doc_id: r.n_hit_grams for r in
+           ngram_contamination(corpus, bench, n=4).collect()}
+    # doc1 shares exactly one distinct 4-gram: "alpha beta gamma delta"
+    assert out == {1: 1}
+
+
+def test_ngram_contamination_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+    bench = spark.createDataFrame([Row(doc_id=2, text="a b c d")])
+    plan = ngram_contamination(corpus, bench, n=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------- PII
+
+
+PII_DOC = ("contact jane.doe+spam@example.co.uk or call 555-867-5309, "
+           "server 10.0.255.1, account 123456789012, order #1234567")
+
+
+def test_redact_pii_all_types(spark):
+    df = spark.createDataFrame([Row(text=PII_DOC)])
+    red = df.select(redact_pii(F.col("text")).alias("t")).first().t
+    assert "<EMAIL>" in red and "jane.doe" not in red
+    assert "<PHONE>" in red and "867-5309" not in red
+    assert "<IP>" in red and "10.0.255.1" not in red
+    assert "<ID>" in red and "123456789012" not in red
+    # 7-digit order number is below the 8-digit id threshold and no
+    # phone separator pattern -> untouched
+    assert "#1234567" in red
+
+
+def test_pii_counts_agree_with_redaction(spark):
+    df = spark.createDataFrame([Row(text=PII_DOC), Row(text="clean text")])
+    rows = df.select(pii_counts(F.col("text")).alias("c")).collect()
+    assert rows[0].c.asDict() == {
+        "n_email": 1, "n_ipv4": 1, "n_phone": 1, "n_id_number": 1}
+    assert rows[1].c.asDict() == {
+        "n_email": 0, "n_ipv4": 0, "n_phone": 0, "n_id_number": 0}
+
+
+def test_pii_email_digits_not_double_counted(spark):
+    # digits inside an email must not also count as an id-number
+    df = spark.createDataFrame([Row(text="mail 12345678901@example.com now")])
+    c = df.select(pii_counts(F.col("text")).alias("c")).first().c
+    assert c.asDict() == {
+        "n_email": 1, "n_ipv4": 0, "n_phone": 0, "n_id_number": 0}
