@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 __all__ = ["equi_join", "semi_join", "anti_join", "asof_join", "range_join",
            "salted_join"]
@@ -238,13 +239,22 @@ def range_join(
             "of the intervals side)"
         )
 
-    def to_bin(col: Column) -> Column:
-        return F.floor(col.cast("double") / F.lit(bin_width)).cast("long")
+    def to_bin(df: DataFrame, name: str) -> Column:
+        # TIMESTAMP_NTZ cannot cast straight to double; hop through
+        # TIMESTAMP first (a no-op for plain TIMESTAMP, identity shift
+        # for NTZ — bins shift uniformly on both sides, and the residual
+        # BETWEEN filter uses the original values, so results are
+        # unaffected).
+        c = F.col(name)
+        if isinstance(df.schema[name].dataType,
+                      (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            c = c.cast("timestamp")
+        return F.floor(c.cast("double") / F.lit(bin_width)).cast("long")
 
-    p = points.withColumn("__bin", to_bin(F.col(point_col)))
+    p = points.withColumn("__bin", to_bin(points, point_col))
     i = intervals.withColumn(
         "__bins",
-        F.sequence(to_bin(F.col(lo_col)), to_bin(F.col(hi_col))),
+        F.sequence(to_bin(intervals, lo_col), to_bin(intervals, hi_col)),
     ).withColumn("__bin", F.explode("__bins")).drop("__bins")
 
     join_keys = keys + ["__bin"]

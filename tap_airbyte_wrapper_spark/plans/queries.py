@@ -1015,7 +1015,8 @@ def q_sessionization(spark, sf_dir):
         "new_sess",
         F.when(
             F.col("prev_ts").isNull()
-            | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800),
+            | (F.col("ts").cast("timestamp").cast("double")
+               - F.col("prev_ts").cast("timestamp").cast("double") > 1800),
             1,
         ).otherwise(0),
     )

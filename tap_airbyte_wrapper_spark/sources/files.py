@@ -93,24 +93,34 @@ def load_parquet(
     push it.
     """
     ns_cols = _nanos_columns(path)
+    # Scope session confs to this read: the parquet→catalyst schema
+    # conversion happens eagerly inside spark.read.parquet, so the confs
+    # can be restored immediately (verified: actions on the returned
+    # DataFrame still succeed).
+    # - nanosAsLong (only when the footer declares nanos): leaking it true
+    #   would make a later file whose probe failed read nanos as raw longs
+    #   with no div-1000 conversion.
+    # - inferTimestampNTZ=false (always): naive parquet timestamps
+    #   (isAdjustedToUTC=false) otherwise surface as TIMESTAMP_NTZ, which
+    #   Spark bars from event-time watermarks and numeric casts.  Reading
+    #   them as session-tz TIMESTAMP (the session is pinned to UTC
+    #   throughout the engine) keeps one uniform timestamp dtype, and the
+    #   conversion happens at schema inference so cursor filters still
+    #   reach the scan.
+    confs = {"spark.sql.parquet.inferTimestampNTZ.enabled": "false"}
     if ns_cols:
-        # Scope the legacy conf to this read: the parquet→catalyst schema
-        # conversion happens eagerly inside spark.read.parquet, so the
-        # session conf can be restored immediately (verified: actions on
-        # the returned DataFrame still succeed).  Leaking it true would
-        # make a later file whose probe failed read nanos as raw longs
-        # with no div-1000 conversion.
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            df = spark.read.parquet(path)
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    else:
+        confs["spark.sql.legacy.parquet.nanosAsLong"] = "true"
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
         df = spark.read.parquet(path)
+    finally:
+        for k, was in prev.items():
+            if was is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, was)
 
     if cursor_after is not None:
         col, bookmark = cursor_after

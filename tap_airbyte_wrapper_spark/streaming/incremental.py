@@ -72,6 +72,15 @@ def incremental_sync(
     return writer.start()
 
 
+def _with_event_time(events: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; tolerate TIMESTAMP_NTZ event-time
+    columns (naive parquet under Spark 4's NTZ inference) by casting —
+    identity under the engine's pinned-UTC session."""
+    if isinstance(events.schema[ts_col].dataType, T.TimestampNTZType):
+        return events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events
+
+
 def windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -85,6 +94,7 @@ def windowed_counts(
     The watermark bounds state: rows later than ``watermark`` behind the
     max seen event time are dropped and their windows finalized."""
     keys = keys or []
+    events = _with_event_time(events, ts_col)
     w = F.window(F.col(ts_col), window_duration, slide) if slide else F.window(
         F.col(ts_col), window_duration)
     return (
@@ -109,6 +119,7 @@ def sessionized(
 ) -> DataFrame:
     """Session windows (gap-based) with watermark — the streaming analogue
     of the batch lag+cumsum sessionization query."""
+    events = _with_event_time(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
@@ -137,7 +148,8 @@ def deduped_stream(
     the streaming analogue of the reference's PK metadata finally doing
     something (reference tap.py:934-943 carries PKs but never dedups)."""
     if ts_col:
-        return events.withWatermark(ts_col, watermark) \
+        return _with_event_time(events, ts_col) \
+            .withWatermark(ts_col, watermark) \
             .dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
 
