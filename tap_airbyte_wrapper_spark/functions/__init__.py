@@ -13,17 +13,20 @@ from .text import (
 from .dedup import (
     connected_components,
     exact_dedup,
+    exact_jaccard_on_pairs,
     lsh_candidate_pairs,
     minhash_dedup,
     minhash_near_dup_pairs,
     minhash_signature,
     minhash_signatures_df,
+    minhash_verified_pairs,
     ngram_jaccard_pairs,
     paragraph_dedup,
     shingles,
     simhash,
     simhash_df,
     simhash_near_dup_pairs,
+    simhash_verified_pairs,
 )
 from .similarity import (
     IvfIndex,

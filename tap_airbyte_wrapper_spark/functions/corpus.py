@@ -51,15 +51,22 @@ def words(col: Column) -> Column:
 
 def word_ngrams(ws: Column, n: int) -> Column:
     """Space-joined word ``n``-grams of a token array; fewer than ``n``
-    tokens → empty array.  Built with ``sequence``/``transform``/``slice``
-    so generation is codegen'd per row — no explode until the caller asks
-    for one."""
-    return F.when(F.size(ws) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(ws, i, n), " "),
-        )
-    )
+    tokens → empty array.
+
+    Built by zipping the token array with its own shifted slices
+    (``zip_with(acc, ws[k:], concat_ws)``) — O(words) with cheap
+    per-element ops.  The transform-over-indices + per-gram ``slice``
+    formulation re-slices O(n) per element inside an interpreted HOF;
+    same lesson as :func:`..dedup.shingles` (~5x measured there)."""
+    cnt = F.size(ws)
+    acc = ws
+    for k in range(1, n):
+        shifted = F.slice(ws, k + 1, F.greatest(cnt - k, F.lit(0)))
+        # zip_with pads with null; concat_ws skips nulls, so trailing
+        # partial grams survive until the final slice drops them
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.slice(acc, 1, cnt - F.lit(n - 1)))
 
 
 def vocab_topk(
@@ -163,14 +170,20 @@ def ngram_contamination(
 
     Both sides dedupe grams before the join (benchmark globally,
     corpus per document), so join input is one row per distinct
-    (doc, gram) — never per occurrence.  The benchmark side of a
-    contamination check is small by definition (an eval set), so it is
-    broadcast by default; pass ``broadcast_benchmark=False`` to fall
-    back to a shuffled semi-join when it is not.
+    (doc, gram) — never per occurrence, and both sides join on the
+    64-bit xxhash64 of the gram instead of the string: the broadcast
+    ships 8 bytes/gram instead of ~n words, and the probe is a long
+    compare (collision p ~ |corpus grams| x |bench grams| / 2^64 —
+    vanishing, and only ever inflates a hit count by 1).  The benchmark
+    side of a contamination check is small by definition (an eval set),
+    so it is broadcast by default; pass ``broadcast_benchmark=False``
+    to fall back to a shuffled semi-join when it is not.
     """
     bench_grams = (
         benchmark.select(
-            F.explode(word_ngrams(words(F.col(text_col)), n)).alias("gram")
+            F.explode(
+                F.transform(word_ngrams(words(F.col(text_col)), n),
+                            lambda g: F.xxhash64(g))).alias("gram_h")
         )
         .distinct()
     )
@@ -178,12 +191,13 @@ def ngram_contamination(
         bench_grams = F.broadcast(bench_grams)
     corpus_grams = corpus.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(words(F.col(text_col)), n))).alias(
-            "gram"
-        ),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams(words(F.col(text_col)), n),
+                            lambda g: F.xxhash64(g)))).alias("gram_h"),
     )
     return (
-        corpus_grams.join(bench_grams, "gram")
+        corpus_grams.join(bench_grams, "gram_h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
     )

@@ -42,6 +42,9 @@ __all__ = [
     "simhash",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "exact_jaccard_on_pairs",
+    "minhash_verified_pairs",
+    "simhash_verified_pairs",
 ]
 
 
@@ -687,3 +690,119 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def exact_jaccard_on_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard, computed only for the given candidate pairs.
+
+    The verification half of the sketch-for-recall / exact-for-precision
+    pattern: ``pairs`` (id_a, id_b) comes from any candidate generator
+    (MinHash LSH bands, SimHash pigeonhole buckets, blocking keys);
+    each candidate joins its two distinct-shingle hash arrays and gets
+    ``|A ∩ B| / |A ∪ B|`` exactly.  Joining hash arrays instead of
+    shingle strings is the same pair set (collision p~2^-64) at ~4x
+    narrower shuffle, and the arrays travel only for candidates — never
+    through the banded explode (the id-only-candidates discipline of
+    :func:`minhash_near_dup_pairs`).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), n),
+                        lambda s: F.xxhash64(s))).alias("__hs"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__hs_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hs_b"))
+    inter = F.size(F.array_intersect("__hs_a", "__hs_b"))
+    return (
+        pairs.select("id_a", "id_b").distinct()
+        .join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            inter.cast("double")
+            / (F.size("__hs_a") + F.size("__hs_b") - inter))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_len: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs with MinHash LSH recall and EXACT Jaccard precision.
+
+    :func:`minhash_near_dup_pairs` emits the signature-agreement
+    *estimate* — fast, but not oracle-reproducible.  This variant runs
+    the same banded LSH candidate generation, then verifies each
+    candidate with :func:`exact_jaccard_on_pairs`, so the output is
+    exactly the >= ``threshold`` pair set whenever every true pair
+    surfaces as a candidate.  Miss probability per pair is
+    ``(1 - j^r)^b`` with r = num_hashes/bands rows per band: at the
+    defaults (r=4, b=32) a j=0.8 pair is missed with p ~= 5e-8, j=0.9
+    with ~5e-15 — deterministic in practice on corpora whose near-dups
+    are actual near-copies (the driver corpus' true pairs all sit at
+    j >= 0.8; the nearest non-pair is j <= 0.14).
+
+    Scale shape: signatures narrow (no shuffle), band join id-only,
+    exact verification only on candidates — the 100 TB cost is the band
+    bucket join, same as the estimate path.
+    """
+    sigs = minhash_signatures_df(
+        df, id_col, text_col, num_hashes, shingle_len, bands=bands)
+    banded = sigs.select(
+        F.col(id_col), F.posexplode("band_hashes").alias("band", "band_hash"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    cands = (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return exact_jaccard_on_pairs(
+        df, cands, id_col, text_col, shingle_len, threshold)
+
+
+def simhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 15,
+    chunks: int = 16,
+    shingle_len: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs with SimHash pigeonhole recall and EXACT Jaccard
+    precision.
+
+    Candidates come from :func:`simhash_near_dup_pairs` — with
+    ``max_hamming < chunks`` the pigeonhole guarantee makes candidate
+    recall EXACT for any pair within ``max_hamming`` simhash bits; the
+    defaults (hamming <= 15 over 16 4-bit segments) cover every true
+    pair of the driver corpus with 1.7-3x headroom (measured: j >= 0.8
+    pairs sit at hamming 0-9).  Exact Jaccard verification then removes
+    the hamming-near-but-text-far false candidates, so the output is
+    the exact >= ``threshold`` pair set whenever true pairs stay within
+    ``max_hamming`` — the one empirical assumption, traded against the
+    wider pigeonhole blocking (4-bit segments bucket ~n/16 docs, so the
+    segment join is the dominant cost; cheap bit_count prunes before
+    any array travels).
+    """
+    cands = simhash_near_dup_pairs(
+        df, id_col, text_col, max_hamming=max_hamming, chunks=chunks
+    ).select("id_a", "id_b")
+    return exact_jaccard_on_pairs(
+        df, cands, id_col, text_col, shingle_len, threshold)

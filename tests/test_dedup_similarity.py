@@ -326,3 +326,61 @@ def test_ivf_index_build_persist_load_search(spark, sf_dir, tmp_path):
     assert 1 < len(cells) <= 8
     # every corpus vector survives the round trip
     assert loaded.assigned.count() == emb.count()
+
+
+def test_minhash_verified_pairs_exact_jaccard(planted):
+    """Verified mode: every emitted pair carries the EXACT jaccard (must
+    equal ngram_jaccard_pairs on the same corpus), and the planted
+    near/exact copies all surface (LSH recall at j~1 is certain)."""
+    from tap_airbyte_wrapper_spark.functions import minhash_verified_pairs
+
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_verified_pairs(
+               planted, "doc_id", "text", threshold=0.5).collect()}
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(
+                 planted, "doc_id", "text", n=3, threshold=0.5).collect()}
+    assert got == exact
+    assert all((i, i + 20000) in got for i in range(20))
+    assert all(got[(i, i + 20000)] == 1.0 for i in range(20))
+
+
+def test_simhash_verified_pairs_exact_jaccard(planted):
+    """SimHash candidates (pigeonhole recall) + exact-jaccard precision
+    must also reproduce the exact pair set on planted dupes."""
+    from tap_airbyte_wrapper_spark.functions import simhash_verified_pairs
+
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in simhash_verified_pairs(
+               planted, "doc_id", "text", threshold=0.5).collect()}
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(
+                 planted, "doc_id", "text", n=3, threshold=0.5).collect()}
+    assert got == exact
+
+
+def test_exact_jaccard_on_pairs_respects_candidates(spark):
+    """Only candidate pairs are scored — a true near-dup absent from the
+    candidate set must NOT appear (the caller owns recall)."""
+    from tap_airbyte_wrapper_spark.functions import exact_jaccard_on_pairs
+
+    df = spark.createDataFrame([
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),
+        (3, "a b c d e f g h"),
+    ], "doc_id long, text string")
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b) for r in
+           exact_jaccard_on_pairs(df, cands, "doc_id", "text").collect()}
+    assert got == {(1, 2)}
+
+
+def test_knn_lsh_verified_config_matches_bruteforce(spark, sf_dir):
+    """bands=32 over 64 bits: candidate recall total on the synthetic
+    embeddings, so LSH top-k == brute-force top-k exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.vec_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    lsh = {(r.query_id, r.vec_id) for r in cosine_topk_lsh(
+        emb, queries, k=5, dim=64, bits=64, bands=32).collect()}
+    assert lsh == bf
