@@ -45,12 +45,13 @@ from .corpus import (
     ngram_contamination,
     pack_token_budget,
     repetition_signals,
+    tfidf_top_terms,
     vocab_topk,
     word_ngrams,
     words,
 )
 from .pii import PII_PATTERNS, pii_counts, redact_pii
-from .sampling import hash_bucket, hash_split, stratified_sample
+from .sampling import hash_bucket, hash_split, mixture_sample, stratified_sample
 from .udtf import SentenceSplitter, split_sentences
 from .multimodal import (
     MEDIA_SCHEMA,
@@ -75,7 +76,7 @@ __all__ = [
     "cosine_topk_ivf",
     "embedding_near_dup_pairs",
     "IvfIndex", "ivf_build", "ivf_load", "ivf_search",
-    "hash_bucket", "hash_split", "stratified_sample",
+    "hash_bucket", "hash_split", "mixture_sample", "stratified_sample",
     "SentenceSplitter", "split_sentences",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
     "decode_audio",

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "words",
     "word_ngrams",
+    "tfidf_top_terms",
     "vocab_topk",
     "repetition_signals",
     "pack_token_budget",
@@ -211,4 +212,54 @@ def ngram_contamination(
         corpus_grams.join(bench_grams, "gram_h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per group by tf-idf.
+
+    tf = term occurrences within the group; idf = ln(n_groups /
+    groups-containing-term), so terms every group shares score 0 and
+    group-specific vocabulary rises.  Returns (group, term, tf, tfidf
+    rounded, rank).
+
+    Scale shape: one explode, then every aggregate is partial-agg
+    friendly — (group, term) counts shuffle once; the per-term group
+    frequency reuses those counts (second shuffle on term, rows =
+    distinct terms, not occurrences); n_groups arrives as a broadcast
+    one-row cross join (never a driver collect); final top-k is a
+    window over the (group, term) rows — bounded by vocabulary size,
+    not corpus size.
+    """
+    from pyspark.sql import Window
+
+    tokens = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(words(F.col(text_col))).alias("term"),
+    )
+    tf = tokens.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    gf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_groups_with"))
+    n_groups = df.select(
+        F.countDistinct(F.col(group_col)).alias("n_groups"))
+    scored = (
+        tf.join(gf, "term")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_groups") / F.col("n_groups_with")), 6),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "tf", "tfidf", "rank")
     )

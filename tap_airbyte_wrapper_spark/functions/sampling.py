@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_bucket", "hash_split", "stratified_sample"]
+__all__ = ["hash_bucket", "hash_split", "mixture_sample", "stratified_sample"]
 
 
 def hash_bucket(col: Column, buckets: int = 100, salt: str = "") -> Column:
@@ -47,3 +47,35 @@ def stratified_sample(
     fixed (data, seed, partitioning) triple — use for down-weighting
     over-represented sources/languages in a training mix."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic source-weighted sampling for mixture construction:
+    keep each row of group g with probability ``rates[g]``, decided by
+    the row's md5 hash bucket — never by a session seed or partitioning.
+
+    This is how a 100 TB training mix downweights over-represented
+    sources reproducibly: membership is a pure row-id function, so the
+    same document survives (or not) on any cluster size, any run, and
+    an auditing engine (the DuckDB oracle) recomputes the exact kept
+    set.  Unlike ``stratified_sample`` (Bernoulli ``sampleBy``, seed-
+    and-partitioning dependent) this is restart-stable — the property
+    that matters when a 1000-executor job retries tasks.
+
+    ``rates`` maps group value -> keep fraction in [0, 1], resolved in
+    10_000ths (md5 bucket < rate * 10_000); unlisted groups fall back
+    to ``default_rate``.
+    """
+    bucket = hash_bucket(F.col(id_col), 10_000, salt)
+    thresh = F.lit(int(default_rate * 10_000))
+    for g, r in rates.items():
+        thresh = F.when(F.col(group_col) == g, F.lit(int(r * 10_000))) \
+            .otherwise(thresh)
+    return df.filter(bucket < thresh)

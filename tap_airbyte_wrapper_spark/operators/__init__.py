@@ -22,6 +22,7 @@ from .aggregates import (
 )
 from .windows import (global_distribution_ranks, global_topk, ranked,
                       running_agg, topk_per_group, with_lag_lead)
+from .merge import merge_upsert
 from .setops import except_rows, intersect_rows, union_by_name
 
 __all__ = [
@@ -32,4 +33,5 @@ __all__ = [
     "ranked", "with_lag_lead", "running_agg", "topk_per_group", "global_topk",
     "global_distribution_ranks",
     "union_by_name", "intersect_rows", "except_rows",
+    "merge_upsert",
 ]

@@ -1,0 +1,73 @@
+"""Batch merge / upsert (CDC apply) — the maintenance half of an EL
+engine.
+
+The reference emits Singer RECORDs and leaves key-based upsert to the
+downstream target (its streams carry primary_keys for exactly this,
+reference tap.py:934-943, but never apply them).  A Spark-native engine
+can close the loop: apply a changeset onto a base table with
+latest-wins-per-key semantics, entirely as one declarative plan.
+
+Scale shape: ``unionByName`` is a zero-cost plan node; the winner pick
+is ONE hash shuffle on the primary key + a per-key ``row_number`` —
+identical cost to the exact-dedup window, no join, both inputs scanned
+once.  At 100 TB the shuffle is the unavoidable minimum for key-based
+merge; AQE handles skewed keys.  Deletes ride the same window: a
+tombstone that wins its key removes the key in the same pass (no
+separate anti-join).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["merge_upsert"]
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    pk_cols: str | Sequence[str],
+    order_col: str | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Latest-wins merge of ``changes`` onto ``base`` by primary key.
+
+    * ``order_col``: recency column (cursor/version); higher wins.  Ties
+      — and the ``order_col=None`` case — resolve in favor of the
+      changes side, then deterministically by the key itself.
+    * ``delete_col``: optional boolean column on ``changes`` marking
+      tombstones; a winning tombstone drops its key from the output
+      (column is removed from the result).  ``base`` rows are treated
+      as non-deletes.
+
+    Output columns = ``base``'s columns; extra change-side columns are
+    dropped, missing ones error (a changeset must cover the schema).
+    """
+    keys = [pk_cols] if isinstance(pk_cols, str) else list(pk_cols)
+    missing = [c for c in base.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes missing base columns: {missing}")
+
+    del_flag = (
+        F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        if delete_col else F.lit(False)
+    )
+    b = base.select(*base.columns,
+                    F.lit(0).alias("__src"),
+                    F.lit(False).alias("__del"))
+    c = changes.select(*base.columns,
+                       F.lit(1).alias("__src"),
+                       del_flag.alias("__del"))
+    ordering = []
+    if order_col is not None:
+        ordering.append(F.col(order_col).desc_nulls_last())
+    ordering += [F.col("__src").desc()] + [F.col(k) for k in keys]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        b.unionByName(c)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & ~F.col("__del"))
+        .select(*base.columns)
+    )

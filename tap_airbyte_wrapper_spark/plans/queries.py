@@ -50,6 +50,7 @@ from ..operators import (
     global_topk,
     grouped_agg,
     grouping_sets_agg,
+    merge_upsert,
     range_join,
     rollup_agg,
     salted_join,
@@ -1258,6 +1259,77 @@ def q_decode_image_meta(spark, sf_dir):
         "doc_id", "width", "height", "channels")
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-source characteristic vocabulary by tf-idf: explode ->
+    (group, term) partial-agg -> term-level group-frequency reuse ->
+    broadcast scalar n_groups -> bounded window top-k."""
+    from ..functions import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "source", "text", k=5)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic source-weighted mixture sampling: per-source keep
+    rates decided by md5 row-hash buckets — restart-stable, cluster-
+    size-independent, recomputable by the SQL oracle (unlike seeded
+    Bernoulli sampling)."""
+    from ..functions import mixture_sample
+
+    kept = mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        group_col="source", id_col="doc_id", default_rate=0.1)
+    return kept.select("doc_id", "source")
+
+
+def q_merge_upsert_orders(spark, sf_dir):
+    """CDC apply: upsert a synthesized changeset (doubled price for a
+    deterministic 1-in-7 slice, tombstones for a 1-in-50 slice) onto
+    orders — latest-wins per key in ONE pk shuffle, deletes riding the
+    same window.  (The update is *2, exact in binary — a 1.1 multiplier
+    lands on .xx5 half-ulp boundaries where Spark's HALF_UP and
+    DuckDB's double rounding disagree by a cent.)"""
+    orders = _t(spark, sf_dir, "orders")
+    changes = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("__deleted", F.col("o_orderkey") % 50 == 0)
+    )
+    merged = merge_upsert(
+        orders, changes, "o_orderkey", order_col=None, delete_col="__deleted")
+    return merged.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price_r"),
+        "o_orderpriority")
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel: users with a view, then a click strictly after
+    their first view, then a purchase strictly after that first click.
+    Three filtered scans chained by per-user min-ts joins — each stage
+    reuses the previous stage's (small) per-user frontier, broadcast-
+    joined against the next filtered scan."""
+    ev = _t(spark, sf_dir, "events")
+    fv = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    fc = (ev.filter(F.col("event_type") == "click")
+          .join(F.broadcast(fv), "user_id")
+          .filter(F.col("ts") > F.col("v_ts"))
+          .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    fp = (ev.filter(F.col("event_type") == "purchase")
+          .join(F.broadcast(fc), "user_id")
+          .filter(F.col("ts") > F.col("c_ts"))
+          .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    return (
+        fv.join(fc, "user_id", "left").join(fp, "user_id", "left")
+        .agg(
+            F.count("v_ts").alias("n_view"),
+            F.count("c_ts").alias("n_view_click"),
+            F.count("p_ts").alias("n_view_click_purchase"),
+        )
+    )
+
+
 # -- verified approximate family: sketch for recall, exact for ---------
 # -- precision, so the output is deterministic and oracle-checkable ----
 
@@ -1442,6 +1514,11 @@ QUERIES = {
     "top10_orders": q_top10_orders,
     "distinct_users": q_distinct_users,
     "customers_without_orders": q_customers_without_orders,
+    # round-4 additions (oracle-backed, past the full window)
+    "tfidf_terms_per_source": q_tfidf_terms,
+    "mixture_sample_docs": q_mixture_sample,
+    "merge_upsert_orders": q_merge_upsert_orders,
+    "funnel_conversion": q_funnel_conversion,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "knn_lsh": q_knn_lsh,
@@ -2059,6 +2136,62 @@ ORACLES = {
               CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
               WHERE c.vec_id != q.vec_id)
         WHERE rk <= 5""",
+    "tfidf_terms_per_source": """
+        WITH tok AS (
+          SELECT source AS grp,
+                 unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS term
+          FROM documents),
+        tf AS (SELECT grp, term, count(*) AS tf FROM tok GROUP BY grp, term),
+        gf AS (SELECT term, count(*) AS n_groups_with FROM tf GROUP BY term),
+        ng AS (SELECT count(DISTINCT source) AS n_groups FROM documents),
+        scored AS (
+          SELECT grp, tf.term, tf.tf,
+                 round(tf.tf * ln(ng.n_groups / gf.n_groups_with), 6) AS tfidf
+          FROM tf JOIN gf ON tf.term = gf.term CROSS JOIN ng),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY grp ORDER BY tfidf DESC, term) AS rank
+              FROM scored)
+        SELECT grp AS source, term, tf, tfidf, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 5""",
+    "mixture_sample_docs": """
+        SELECT doc_id, source FROM documents
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS INTEGER) % 10000
+              < CASE source WHEN 'src0' THEN 10000
+                            WHEN 'src1' THEN 5000
+                            WHEN 'src2' THEN 2500
+                            ELSE 1000 END""",
+    "merge_upsert_orders": """
+        WITH changes AS (
+          SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+                 o_orderpriority, (o_orderkey % 50 = 0) AS deleted
+          FROM orders WHERE o_orderkey % 7 = 0)
+        SELECT o.o_orderkey,
+               round(coalesce(c.o_totalprice, o.o_totalprice), 2) AS price_r,
+               o.o_orderpriority
+        FROM orders o
+        LEFT JOIN changes c ON o.o_orderkey = c.o_orderkey
+        WHERE NOT coalesce(c.deleted, FALSE)""",
+    "funnel_conversion": """
+        WITH fv AS (
+          SELECT user_id, min(ts) AS v_ts FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        fc AS (
+          SELECT e.user_id, min(e.ts) AS c_ts
+          FROM events e JOIN fv ON e.user_id = fv.user_id
+          WHERE e.event_type = 'click' AND e.ts > fv.v_ts
+          GROUP BY e.user_id),
+        fp AS (
+          SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN fc ON e.user_id = fc.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > fc.c_ts
+          GROUP BY e.user_id)
+        SELECT count(fv.v_ts) AS n_view,
+               count(fc.c_ts) AS n_view_click,
+               count(fp.p_ts) AS n_view_click_purchase
+        FROM fv
+        LEFT JOIN fc ON fv.user_id = fc.user_id
+        LEFT JOIN fp ON fv.user_id = fp.user_id""",
     # the verified approximate entries share the EXACT ground-truth
     # oracles: all-pairs n-gram Jaccard (no blocking) for the text
     # sketches, brute-force top-k for the vector sketches.  A green row

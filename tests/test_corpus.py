@@ -130,3 +130,37 @@ def test_pii_email_digits_not_double_counted(spark):
     c = df.select(pii_counts(F.col("text")).alias("c")).first().c
     assert c.asDict() == {
         "n_email": 1, "n_ipv4": 0, "n_phone": 0, "n_id_number": 0}
+
+
+def test_tfidf_shared_terms_score_zero(spark):
+    from tap_airbyte_wrapper_spark.functions import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [("s1", "common alpha alpha"), ("s2", "common beta")],
+        "source string, text string")
+    rows = tfidf_top_terms(df, "source", "text", k=10).collect()
+    scores = {(r.source, r.term): r.tfidf for r in rows}
+    # 'common' appears in every group -> idf ln(1) = 0
+    assert scores[("s1", "common")] == 0.0
+    assert scores[("s2", "common")] == 0.0
+    # group-specific terms outrank shared ones; tf multiplies in
+    assert scores[("s1", "alpha")] > scores[("s1", "common")]
+    assert scores[("s1", "alpha")] == round(2 * __import__("math").log(2), 6)
+
+
+def test_mixture_sample_deterministic_and_rate(spark, sf_dir):
+    from tap_airbyte_wrapper_spark.functions import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept1 = {r.doc_id for r in mixture_sample(
+        docs, {"src0": 1.0}, default_rate=0.25).select("doc_id").collect()}
+    kept2 = {r.doc_id for r in mixture_sample(
+        docs.repartition(13), {"src0": 1.0},
+        default_rate=0.25).select("doc_id").collect()}
+    assert kept1 == kept2, "membership must not depend on partitioning"
+    n_src0 = docs.filter("source = 'src0'").count()
+    assert len([1 for r in docs.select("doc_id", "source").collect()
+                if r.source == "src0" and r.doc_id in kept1]) == n_src0
+    other = docs.filter("source != 'src0'").count()
+    frac = (len(kept1) - n_src0) / other
+    assert 0.1 < frac < 0.45, f"default rate 0.25 sampled {frac}"

@@ -276,3 +276,55 @@ def test_global_distribution_ranks_small_n(spark):
                     F.percent_rank().over(w).alias("percent_rank"),
                     F.cume_dist().over(w).alias("cume_dist")).collect()}
         assert got == want
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    from tap_airbyte_wrapper_spark.operators import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "pk long, name string, v long")
+    changes = spark.createDataFrame(
+        [(2, "b2", 21, False),    # update
+         (4, "d", 40, False),     # insert
+         (3, "c", 30, True)],     # delete
+        "pk long, name string, v long, del boolean")
+    got = {r.pk: (r.name, r.v) for r in merge_upsert(
+        base, changes, "pk", delete_col="del").collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 21), 4: ("d", 40)}
+
+
+def test_merge_upsert_order_col_latest_wins(spark):
+    from tap_airbyte_wrapper_spark.operators import merge_upsert
+
+    base = spark.createDataFrame([(1, 5, "old")], "pk long, ver long, s string")
+    stale = spark.createDataFrame([(1, 3, "stale")], "pk long, ver long, s string")
+    # a STALE change (lower version) must NOT overwrite a newer base row
+    got = merge_upsert(base, stale, "pk", order_col="ver").collect()
+    assert [(r.pk, r.ver, r.s) for r in got] == [(1, 5, "old")]
+    newer = spark.createDataFrame([(1, 9, "new")], "pk long, ver long, s string")
+    got = merge_upsert(base, newer, "pk", order_col="ver").collect()
+    assert [(r.pk, r.ver, r.s) for r in got] == [(1, 9, "new")]
+
+
+def test_merge_upsert_missing_columns_rejected(spark):
+    import pytest as _pytest
+
+    from tap_airbyte_wrapper_spark.operators import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], "pk long, name string")
+    narrow = spark.createDataFrame([(1,)], "pk long")
+    with _pytest.raises(ValueError, match="missing base columns"):
+        merge_upsert(base, narrow, "pk")
+
+
+def test_merge_upsert_single_shuffle_plan(spark):
+    """The merge must be union + one window — no join in the plan."""
+    from tap_airbyte_wrapper_spark.operators import merge_upsert
+
+    base = spark.range(100).withColumnRenamed("id", "pk")
+    changes = spark.range(50).withColumnRenamed("id", "pk")
+    plan = merge_upsert(
+        base, changes, "pk")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
