@@ -7,6 +7,7 @@ from .incremental import (
     resume_info,
     run_available_now,
     sessionized,
+    stream_interval_join,
     stream_source,
     windowed_counts,
 )
@@ -22,4 +23,5 @@ __all__ = [
     "stateful_running_stats",
     "stateful_max_cursor",
     "deduped_stream",
+    "stream_interval_join",
 ]

@@ -184,3 +184,54 @@ def resume_info(checkpoint_path: str) -> dict[str, Any]:
             except Exception:
                 out["last_offset"] = lines[-1]
     return out
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream equi+interval join: pair left rows with right rows
+    of the same key whose event time falls in
+    ``[left_ts + lower, left_ts + upper]`` — the streaming analogue of
+    the batch binned range join (``operators/joins.py`` range_join).
+
+    Both sides carry watermarks and the join condition bounds the time
+    range in BOTH directions, which is what lets Spark expire join
+    state: a buffered left row can be dropped once the right watermark
+    passes ``left_ts + upper``.  Without the range bound, stream-stream
+    join state grows forever — the 100 TB/day failure mode.
+
+    Right-side columns (except the keys) are prefixed with
+    ``right_prefix`` so both sides' payloads survive the join.
+    """
+    l_ = _with_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r_ = _with_event_time(right, right_ts).withWatermark(right_ts, watermark)
+    r_ = r_.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"{right_prefix}{c}")
+          for c in right.columns if c not in keys],
+    )
+    rts = f"{right_prefix}{right_ts}"
+    cond = None
+    for k in keys:
+        c = l_[k] == r_[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (F.col(rts) >= F.expr(f"{left_ts} + INTERVAL {lower}"))
+        & (F.col(rts) <= F.expr(f"{left_ts} + INTERVAL {upper}"))
+    )
+    joined = l_.join(r_, cond)
+    # drop the duplicated key columns from the right side
+    return joined.select(
+        *[l_[c] for c in left.columns],
+        *[F.col(c) for c in joined.columns
+          if c.startswith(right_prefix)],
+    )

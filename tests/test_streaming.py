@@ -174,3 +174,44 @@ def test_deduped_stream_within_watermark(spark, event_batches, tmp_path):
     got = spark.sql("SELECT event_id FROM dedup_sink")
     assert got.count() == b1.count()            # duplicates dropped
     assert got.distinct().count() == b1.count()
+
+
+def test_stream_interval_join_matches_batch(spark, event_batches, tmp_path):
+    """Stream-stream interval join (clicks x errors within 30 min per
+    user) must equal the batch range-join answer over the same data."""
+    from tap_airbyte_wrapper_spark.streaming import stream_interval_join
+
+    ev, b1, b2, src = event_batches
+    b2.coalesce(1).write.mode("append").parquet(src)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+
+    cstream = stream_source(spark, src, ev.schema).filter(
+        F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    estream = stream_source(spark, src, ev.schema).filter(
+        F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    joined = stream_interval_join(
+        cstream, estream, keys=["user_id"],
+        lower="0 seconds", upper="30 minutes", watermark="10 days")
+    q = (joined.writeStream.format("memory").queryName("sj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.event_id, r.r_event_id)
+           for r in spark.sql("SELECT * FROM sj").collect()}
+
+    expected = {
+        (r.event_id, r.r_event_id)
+        for r in clicks.alias("c").join(
+            errors.select(
+                F.col("user_id"),
+                F.col("event_id").alias("r_event_id"),
+                F.col("ts").alias("r_ts")),
+            on="user_id")
+        .filter((F.col("r_ts") >= F.col("ts"))
+                & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 30 minutes")))
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
