@@ -40,6 +40,8 @@ from .similarity import (
     ivf_load,
     ivf_search,
     l2_norm,
+    nearest_centroid_assign,
+    quantize_embeddings,
 )
 from .corpus import (
     ngram_contamination,
@@ -75,7 +77,7 @@ __all__ = [
     "dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_lsh",
     "cosine_topk_ivf",
     "embedding_near_dup_pairs",
-    "IvfIndex", "ivf_build", "ivf_load", "ivf_search",
+    "IvfIndex", "ivf_build", "ivf_load", "ivf_search", "quantize_embeddings", "nearest_centroid_assign",
     "hash_bucket", "hash_split", "mixture_sample", "stratified_sample",
     "SentenceSplitter", "split_sentences",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",

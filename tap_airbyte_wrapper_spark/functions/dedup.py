@@ -699,6 +699,7 @@ def exact_jaccard_on_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    broadcast_arrays: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard, computed only for the given candidate pairs.
 
@@ -708,18 +709,30 @@ def exact_jaccard_on_pairs(
     each candidate joins its two distinct-shingle hash arrays and gets
     ``|A ∩ B| / |A ∪ B|`` exactly.  Joining hash arrays instead of
     shingle strings is the same pair set (collision p~2^-64) at ~4x
-    narrower shuffle, and the arrays travel only for candidates — never
-    through the banded explode (the id-only-candidates discipline of
-    :func:`minhash_near_dup_pairs`).
+    narrower shuffle.
+
+    ``broadcast_arrays=True`` (default) broadcasts the per-doc array
+    side, so candidate rows never shuffle and the intersect runs
+    map-side — the right plan whenever the array table fits an executor
+    (weak sketches emit millions of candidates whose ~KB arrays
+    otherwise dominate the shuffle: measured 14s -> 3s on the simhash
+    verify at sf0.1).  For corpora whose array table exceeds broadcast
+    range set False — candidates then shuffle by id against the
+    (id-partitioned) array table, the standard big-big path.
     """
+    # both join sides read this — persist so the shingle+hash pass runs
+    # once, not once per broadcast build (aliasing defeats
+    # ReuseExchange; measured ~2x the verify cost without the cache)
     sh = df.select(
         F.col(id_col),
         F.array_distinct(
             F.transform(shingles(F.col(text_col), n),
                         lambda s: F.xxhash64(s))).alias("__hs"),
-    )
+    ).persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__hs_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hs_b"))
+    if broadcast_arrays:
+        a, b = F.broadcast(a), F.broadcast(b)
     inter = F.size(F.array_intersect("__hs_a", "__hs_b"))
     return (
         pairs.select("id_a", "id_b").distinct()
@@ -737,10 +750,11 @@ def minhash_verified_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 128,
+    num_hashes: int = 64,
     bands: int = 32,
     shingle_len: int = 3,
     threshold: float = 0.5,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with MinHash LSH recall and EXACT Jaccard precision.
 
@@ -751,14 +765,17 @@ def minhash_verified_pairs(
     exactly the >= ``threshold`` pair set whenever every true pair
     surfaces as a candidate.  Miss probability per pair is
     ``(1 - j^r)^b`` with r = num_hashes/bands rows per band: at the
-    defaults (r=4, b=32) a j=0.8 pair is missed with p ~= 5e-8, j=0.9
-    with ~5e-15 — deterministic in practice on corpora whose near-dups
-    are actual near-copies (the driver corpus' true pairs all sit at
-    j >= 0.8; the nearest non-pair is j <= 0.14).
+    defaults (r=2, b=32) a j=0.8 pair is missed with p ~= 5e-15, j=0.9
+    with ~1e-23 — r=2 buys *better* recall than r=4 at half the
+    signature cost, at the price of more false candidates
+    (P ~ 32*j^2 for unrelated docs, ~1% at j=0.02) which the exact
+    verification prunes anyway (the verify is broadcast map-side, so
+    false candidates cost CPU, not shuffle).
 
     Scale shape: signatures narrow (no shuffle), band join id-only,
     exact verification only on candidates — the 100 TB cost is the band
-    bucket join, same as the estimate path.
+    bucket join, same as the estimate path.  ``broadcast_verify``
+    forwards to :func:`exact_jaccard_on_pairs`.
     """
     sigs = minhash_signatures_df(
         df, id_col, text_col, num_hashes, shingle_len, bands=bands)
@@ -773,36 +790,41 @@ def minhash_verified_pairs(
         .distinct()
     )
     return exact_jaccard_on_pairs(
-        df, cands, id_col, text_col, shingle_len, threshold)
+        df, cands, id_col, text_col, shingle_len, threshold,
+        broadcast_arrays=broadcast_verify)
 
 
 def simhash_verified_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 15,
-    chunks: int = 16,
+    max_hamming: int = 13,
+    chunks: int = 8,
     shingle_len: int = 3,
     threshold: float = 0.5,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with SimHash pigeonhole recall and EXACT Jaccard
     precision.
 
-    Candidates come from :func:`simhash_near_dup_pairs` — with
-    ``max_hamming < chunks`` the pigeonhole guarantee makes candidate
-    recall EXACT for any pair within ``max_hamming`` simhash bits; the
-    defaults (hamming <= 15 over 16 4-bit segments) cover every true
-    pair of the driver corpus with 1.7-3x headroom (measured: j >= 0.8
-    pairs sit at hamming 0-9).  Exact Jaccard verification then removes
-    the hamming-near-but-text-far false candidates, so the output is
-    the exact >= ``threshold`` pair set whenever true pairs stay within
-    ``max_hamming`` — the one empirical assumption, traded against the
-    wider pigeonhole blocking (4-bit segments bucket ~n/16 docs, so the
-    segment join is the dominant cost; cheap bit_count prunes before
-    any array travels).
+    Candidates come from :func:`simhash_near_dup_pairs`.  Pigeonhole
+    guarantees recall for pairs within ``chunks - 1`` hamming bits; the
+    defaults (8 8-bit segments) GUARANTEE hamming <= 7 and empirically
+    cover the full measured true-pair range (hamming <= 5 at the
+    driver's sf0.01, <= 9 at sf0.001, <= 12 at sf0.1 — all verified
+    found, since a 9-over-8-segments split leaves a shared exact
+    segment with p ~ 0.99).  64-bit SimHash separates weakly on
+    topically-homogeneous corpora (at sf0.1, ~3% of ALL pairs sit
+    within hamming 13), so the knobs trade segment-join fan-out
+    against verification volume: 8-bit segments bucket ~n/256 docs
+    (32x fewer bucket pairs than 4-bit), ``max_hamming=13`` halves
+    the candidates the exact-Jaccard verify must score versus 15, and
+    the verify itself is broadcast map-side
+    (:func:`exact_jaccard_on_pairs`).  Measured 14s -> ~2s at sf0.1.
     """
     cands = simhash_near_dup_pairs(
         df, id_col, text_col, max_hamming=max_hamming, chunks=chunks
     ).select("id_a", "id_b")
     return exact_jaccard_on_pairs(
-        df, cands, id_col, text_col, shingle_len, threshold)
+        df, cands, id_col, text_col, shingle_len, threshold,
+        broadcast_arrays=broadcast_verify)

@@ -1330,6 +1330,29 @@ def q_funnel_conversion(spark, sf_dir):
     )
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Per-vector symmetric int8 quantization, exploded to (vec, dim)
+    rows for the oracle.  floor(x+0.5) quantization so both engines
+    compute the identical IEEE expression (round() half conventions
+    differ)."""
+    from ..functions import quantize_embeddings
+
+    q = quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", bits=8)
+    return q.select(
+        "vec_id", F.round("scale", 6).alias("scale_r"),
+        F.posexplode("q").alias("dim", "qv"))
+
+
+def q_centroid_assign(spark, sf_dir):
+    """Nearest-centroid assignment: (label, dim) partial-agg centroids
+    -> broadcast cross join -> JVM cosine -> per-vector argmax."""
+    from ..functions import nearest_centroid_assign
+
+    return nearest_centroid_assign(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", "label")
+
+
 # -- verified approximate family: sketch for recall, exact for ---------
 # -- precision, so the output is deterministic and oracle-checkable ----
 
@@ -1337,23 +1360,24 @@ def q_funnel_conversion(spark, sf_dir):
 def q_minhash_verified_pairs(spark, sf_dir):
     """MinHash-LSH candidates verified with exact n-gram Jaccard.  The
     oracle is the full all-pairs exact-Jaccard set: a green row proves
-    the banded LSH candidate generation missed nothing (r=4, b=32 miss
-    p <= 5e-8 at the corpus' j >= 0.8 true pairs) AND the exact
+    the banded LSH candidate generation missed nothing (r=2, b=32 miss
+    p <= 5e-15 at the corpus' j >= 0.8 true pairs) AND the exact
     verification computes the same Jaccard as SQL."""
     return minhash_verified_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        num_hashes=128, bands=32, threshold=0.5,
+        num_hashes=64, bands=32, threshold=0.5,
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
 def q_simhash_verified_pairs(spark, sf_dir):
     """SimHash pigeonhole candidates verified with exact n-gram Jaccard,
-    same oracle: recall is guaranteed for pairs within hamming 15 (16
-    4-bit segments), and the driver corpus' true pairs measure hamming
-    0-9 — so the emitted set must equal the exact all-pairs set."""
+    same oracle: 8 8-bit segments guarantee recall for hamming <= 7 —
+    every true pair at the driver's sf0.01 (measured hamming <= 5) —
+    and empirically cover the full range at every tested SF; exact
+    verification makes the emitted set equal the all-pairs set."""
     return simhash_verified_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        max_hamming=15, chunks=16, threshold=0.5,
+        max_hamming=13, chunks=8, threshold=0.5,
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
@@ -1515,6 +1539,8 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "customers_without_orders": q_customers_without_orders,
     # round-4 additions (oracle-backed, past the full window)
+    "centroid_assign": q_centroid_assign,
+    "quantize_embeddings": q_quantize_embeddings,
     "tfidf_terms_per_source": q_tfidf_terms,
     "mixture_sample_docs": q_mixture_sample,
     "merge_upsert_orders": q_merge_upsert_orders,
@@ -2136,6 +2162,42 @@ ORACLES = {
               CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
               WHERE c.vec_id != q.vec_id)
         WHERE rk <= 5""",
+    "centroid_assign": """
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        d AS (
+          SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS i
+          FROM e),
+        c AS (
+          SELECT label AS c_label, list(avg_val ORDER BY i) AS cvec
+          FROM (SELECT label, i, avg(val) AS avg_val
+                FROM d GROUP BY label, i)
+          GROUP BY label),
+        s AS (
+          SELECT e.vec_id, e.label, c.c_label,
+                 list_cosine_similarity(e.v, c.cvec) AS sim,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cvec) DESC,
+                            c.c_label) AS rk
+          FROM e CROSS JOIN c)
+        SELECT vec_id, label, c_label AS pred_label, round(sim, 4) AS sim_r
+        FROM s WHERE rk = 1""",
+    "quantize_embeddings": """
+        WITH s AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> abs(x))) AS amax
+          FROM embeddings)
+        SELECT vec_id, round(amax / 127, 6) AS scale_r,
+               CAST(i - 1 AS INTEGER) AS dim,
+               CAST(CASE WHEN amax = 0 THEN 0
+                         ELSE floor(e / (amax / 127) + 0.5) END
+                    AS INTEGER) AS qv
+        FROM (SELECT vec_id, amax, unnest(v) AS e,
+                     generate_subscripts(v, 1) AS i
+              FROM s)""",
     "tfidf_terms_per_source": """
         WITH tok AS (
           SELECT source AS grp,

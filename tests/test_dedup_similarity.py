@@ -384,3 +384,29 @@ def test_knn_lsh_verified_config_matches_bruteforce(spark, sf_dir):
     lsh = {(r.query_id, r.vec_id) for r in cosine_topk_lsh(
         emb, queries, k=5, dim=64, bits=64, bands=32).collect()}
     assert lsh == bf
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized values must be within scale/2 of the originals, and
+    quantized magnitudes within the int8 range."""
+    from tap_airbyte_wrapper_spark.functions import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    q = quantize_embeddings(emb, "embedding", "vec_id")
+    joined = emb.join(q, "vec_id").select("vec_id", "embedding", "scale", "q")
+    for r in joined.collect():
+        assert len(r.q) == len(r.embedding)
+        for orig, qv in zip(r.embedding, r.q):
+            assert -128 <= qv <= 127
+            assert abs(qv * r.scale - orig) <= r.scale / 2 + 1e-9
+
+
+def test_quantize_embeddings_zero_vector(spark):
+    from tap_airbyte_wrapper_spark.functions import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -2.0])],
+        "vec_id long, embedding array<float>")
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert rows[1].scale == 0.0 and rows[1].q == [0, 0]
+    assert rows[2].q == [64, -127]
