@@ -777,8 +777,11 @@ def minhash_verified_pairs(
     bucket join, same as the estimate path.  ``broadcast_verify``
     forwards to :func:`exact_jaccard_on_pairs`.
     """
+    # both band-join sides read the signatures — persist or the pandas-UDF
+    # signature pass runs twice (same discipline as
+    # minhash_near_dup_pairs; measured 5s -> 2s for the candidate stage)
     sigs = minhash_signatures_df(
-        df, id_col, text_col, num_hashes, shingle_len, bands=bands)
+        df, id_col, text_col, num_hashes, shingle_len, bands=bands).persist()
     banded = sigs.select(
         F.col(id_col), F.posexplode("band_hashes").alias("band", "band_hash"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
