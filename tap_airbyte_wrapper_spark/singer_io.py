@@ -19,7 +19,9 @@ DataFrames:
   ordering, tap.py:895-898).
 
 Type coercions mirror tap.py:48-59: timestamps/dates -> ISO-8601 strings,
-decimals -> float, bytes -> UTF-8 text, everything unknown -> str.
+decimals -> float, bytes -> base64 (deliberate divergence from the
+reference's lossy UTF-8 decode — media payloads must round-trip),
+everything unknown -> str.
 """
 
 from __future__ import annotations
@@ -55,7 +57,13 @@ def coerce_value(obj: Any) -> Any:
     if isinstance(obj, uuid.UUID):
         return str(obj)
     if isinstance(obj, (bytes, bytearray)):
-        return bytes(obj).decode("utf-8", errors="replace")
+        # schema.py declares binary fields as base64 strings
+        # (contentEncoding) — divergence from the reference's lossy
+        # UTF-8 decode (tap.py:55-56), deliberate: media payloads from
+        # the binary_files source must round-trip.
+        import base64
+
+        return base64.b64encode(bytes(obj)).decode("ascii")
     if isinstance(obj, enum.Enum):
         return obj.value
     if isinstance(obj, dict):
@@ -86,7 +94,9 @@ def _normalize_columns(df: DataFrame) -> DataFrame:
         elif isinstance(f_.dataType, T.DecimalType):
             c = c.cast("double").alias(f_.name)
         elif isinstance(f_.dataType, T.BinaryType):
-            c = c.cast("string").alias(f_.name)
+            # base64, matching the declared contentEncoding (a bare
+            # string cast would UTF-8-mangle media bytes)
+            c = F.base64(c).alias(f_.name)
         else:
             c = c.alias(f_.name)
         exprs.append(c)

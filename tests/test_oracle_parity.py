@@ -81,3 +81,14 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert "sum_disc_price" in df.columns
+
+
+def test_driver_window_fully_oracle_backed():
+    """The driver records correctness rows for QUERIES[:50] only — every
+    entry in that window must carry a DuckDB oracle, or a slot is wasted
+    on a rows-only check (the round-3 verdict's standing gate item)."""
+    names = list(entry_mod.queries())
+    oracles = entry_mod.oracle_sql()
+    missing = [n for n in names[:50] if n not in oracles]
+    assert missing == [], f"in-window queries without oracle: {missing}"
+    assert len(names) >= 50

@@ -243,3 +243,18 @@ def test_load_parquet_restores_nanos_conf(spark, sf_dir):
     # and the returned DataFrame still executes with converted timestamps
     assert df.count() > 0
     assert df.schema["ts"].dataType.typeName() == "timestamp"
+
+
+def test_binary_columns_serialize_as_base64(spark):
+    """Binary fields must emit base64 (matching the declared
+    contentEncoding), not a lossy UTF-8 decode."""
+    import base64
+    import json
+
+    from tap_airbyte_wrapper_spark.singer_io import _normalize_columns
+
+    payload = bytes(range(256))
+    df = spark.createDataFrame([(1, payload)], "id long, content binary")
+    row = _normalize_columns(df).collect()[0]
+    assert base64.b64decode(row.content) == payload
+    json.dumps(row.asDict())  # must be JSON-clean
