@@ -42,6 +42,7 @@ from .similarity import (
     l2_norm,
     nearest_centroid_assign,
     quantize_embeddings,
+    semantic_dedup,
 )
 from .corpus import (
     ngram_contamination,
@@ -77,7 +78,7 @@ __all__ = [
     "dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_lsh",
     "cosine_topk_ivf",
     "embedding_near_dup_pairs",
-    "IvfIndex", "ivf_build", "ivf_load", "ivf_search", "quantize_embeddings", "nearest_centroid_assign",
+    "IvfIndex", "ivf_build", "ivf_load", "ivf_search", "quantize_embeddings", "nearest_centroid_assign", "semantic_dedup",
     "hash_bucket", "hash_split", "mixture_sample", "stratified_sample",
     "SentenceSplitter", "split_sentences",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",

@@ -26,7 +26,7 @@ from ..operators.windows import topk_per_group
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
            "cosine_topk_lsh", "cosine_topk_ivf", "embedding_near_dup_pairs",
            "IvfIndex", "ivf_build", "ivf_load", "ivf_search",
-           "quantize_embeddings", "nearest_centroid_assign"]
+           "quantize_embeddings", "nearest_centroid_assign", "semantic_dedup"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -590,3 +590,34 @@ def nearest_centroid_assign(
                 F.col("c_label").alias("pred_label"),
                 F.round("sim", 4).alias("sim_r"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    **near_dup_kwargs,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embedding-cosine near-dup
+    pairs -> transitive components -> keep ONE representative (min id)
+    per component, plus every row with no near-duplicate.
+
+    The output is ``df`` minus the rows whose component label is some
+    other row — i.e. the curated corpus after semantic collapse.  The
+    pair stage routes exact/LSH via
+    :func:`embedding_near_dup_pairs`'s ``method`` (forwardable through
+    ``near_dup_kwargs``); the component stage is
+    :func:`~.dedup.connected_components` (min-label propagation, id
+    pairs only); the removal is a single anti-join on the id — at
+    100 TB the corpus shuffles once, by id, carrying vectors only in
+    the (bounded) pair stage.
+    """
+    from .dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        df, id_col, vec_col, threshold=threshold, **near_dup_kwargs)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -1353,6 +1353,42 @@ def q_centroid_assign(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", "label")
 
 
+def q_weekly_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-activity week; for each
+    (cohort_week, weeks_since) the distinct users still active.  Two
+    shuffles — per-user min (map-side combined) and the cohort/offset
+    distinct count; the user->cohort join broadcasts the (small)
+    per-user frontier."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .withColumn(
+            "weeks_since",
+            F.floor(
+                (F.col("wk").cast("timestamp").cast("double")
+                 - F.col("cohort_wk").cast("timestamp").cast("double"))
+                / (7 * 86400)).cast("int"))
+        .groupBy("cohort_wk", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.unix_micros(F.col("cohort_wk").cast("timestamp"))
+            .alias("cohort_us"),
+            "weeks_since", "n_users")
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup composition: near-dup graph -> components -> keep min-id
+    representative per component; survivors returned (id + label)."""
+    from ..functions import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.4).select("vec_id", "label")
+
+
 # -- verified approximate family: sketch for recall, exact for ---------
 # -- precision, so the output is deterministic and oracle-checkable ----
 
@@ -1545,6 +1581,8 @@ QUERIES = {
     "mixture_sample_docs": q_mixture_sample,
     "merge_upsert_orders": q_merge_upsert_orders,
     "funnel_conversion": q_funnel_conversion,
+    "weekly_retention": q_weekly_retention,
+    "semantic_dedup_keep": q_semantic_dedup,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "knn_lsh": q_knn_lsh,
@@ -2162,6 +2200,35 @@ ORACLES = {
               CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
               WHERE c.vec_id != q.vec_id)
         WHERE rk <= 5""",
+    "semantic_dedup_keep": """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[]))
+                >= 0.4),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.lab),
+        comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+        SELECT e.vec_id, e.label
+        FROM embeddings e
+        LEFT JOIN comp ON e.vec_id = comp.node
+        WHERE comp.node IS NULL OR comp.component = e.vec_id""",
+    "weekly_retention": """
+        WITH ev AS (
+          SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        c AS (
+          SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+        SELECT epoch_us(CAST(c.cohort_wk AS TIMESTAMP)) AS cohort_us,
+               CAST(floor((epoch(ev.wk) - epoch(c.cohort_wk)) / 604800)
+                    AS INTEGER) AS weeks_since,
+               count(DISTINCT ev.user_id) AS n_users
+        FROM ev JOIN c ON ev.user_id = c.user_id
+        GROUP BY c.cohort_wk, weeks_since""",
     "centroid_assign": """
         WITH e AS (
           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -410,3 +410,20 @@ def test_quantize_embeddings_zero_vector(spark):
     rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
     assert rows[1].scale == 0.0 and rows[1].q == [0, 0]
     assert rows[2].q == [64, -127]
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark, sf_dir):
+    """Planted near-identical copies must collapse to the original;
+    untouched vectors must all survive."""
+    from tap_airbyte_wrapper_spark.functions import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.limit(10)
+    copies = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    planted = base.unionByName(copies)
+    kept = {r.vec_id for r in semantic_dedup(
+        planted, "vec_id", "embedding", threshold=0.99).collect()}
+    # every pair (i, i+10000) collapses to min id = i
+    assert all(i in kept for r in base.collect() for i in [r.vec_id])
+    assert not any(r.vec_id + 10000 in kept for r in base.collect())
