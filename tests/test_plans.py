@@ -214,3 +214,35 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_funnel_joins_all_broadcast(plans):
+    """Per-user frontiers are explicitly broadcast — a shuffled join on
+    the frontier would resort the full event scan three times."""
+    p = plans("funnel_conversion")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_merge_upsert_no_join_one_exchange(plans):
+    """CDC apply must stay union + one pk-shuffle window — a join
+    formulation executes the base scan twice.  Each union leg writes
+    its own map-side Exchange into the single shuffle read, so <= 2
+    Exchange nodes = one logical shuffle."""
+    p = plans("merge_upsert_orders")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("Exchange") <= 2
+    assert "Union" in p and p.count("Window") == 1
+
+
+def test_tfidf_scalar_count_is_broadcast(plans):
+    """n_groups arrives as a one-row broadcast, never a driver collect;
+    the vocabulary join broadcasts the (small) group-frequency side."""
+    p = plans("tfidf_terms_per_source")
+    assert "BroadcastNestedLoopJoin" in p        # 1-row n_groups
+    assert "CollectLimit" not in p
+
+
+def test_retention_cohort_broadcast(plans):
+    p = plans("weekly_retention")
+    assert "BroadcastHashJoin" in p
