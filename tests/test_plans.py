@@ -232,7 +232,9 @@ def test_merge_upsert_no_join_one_exchange(plans):
     p = plans("merge_upsert_orders")
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert p.count("Exchange") <= 2
-    assert "Union" in p and p.count("Window") == 1
+    assert "Union" in p and p.count("Window (") == 1
+    # rank-limit pushdown: map-side top-1 per key BEFORE the shuffle
+    assert "WindowGroupLimit" in p
 
 
 def test_tfidf_scalar_count_is_broadcast(plans):
