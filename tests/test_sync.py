@@ -258,3 +258,30 @@ def test_binary_columns_serialize_as_base64(spark):
     row = _normalize_columns(df).collect()[0]
     assert base64.b64decode(row.content) == payload
     json.dumps(row.asDict())  # must be JSON-clean
+
+
+def test_sync_binary_files_source_end_to_end(spark, tmp_path):
+    """Full tap run over the binary_files source: SCHEMA declares base64
+    contentEncoding, RECORD payloads round-trip through base64."""
+    import base64
+    import io
+    import json
+
+    from tap_airbyte_wrapper_spark.sync import Engine
+
+    payload = bytes(range(256))
+    (tmp_path / "x.bin").write_bytes(payload)
+    eng = Engine(spark, {
+        "source": "binary_files",
+        "source_config": {"path": str(tmp_path), "stream_name": "media"},
+        "sink": {"type": "stdout"},
+    })
+    buf = io.StringIO()
+    res = eng.sync(out=buf)
+    assert res.stream_counts == {"media": 1}
+    msgs = [json.loads(line) for line in buf.getvalue().splitlines()]
+    schema = next(m for m in msgs if m["type"] == "SCHEMA")
+    assert schema["schema"]["properties"]["content"]["contentEncoding"] == "base64"
+    rec = next(m for m in msgs if m["type"] == "RECORD")
+    assert base64.b64decode(rec["record"]["content"]) == payload
+    assert rec["record"]["media_type"] == "application/octet-stream"
