@@ -1574,7 +1574,11 @@ QUERIES = {
     "top10_orders": q_top10_orders,
     "distinct_users": q_distinct_users,
     "customers_without_orders": q_customers_without_orders,
-    # round-4 additions (oracle-backed, past the full window)
+    # round-4 additions (oracle-backed, past the full window).  NEXT
+    # ROTATION: once CORRECTNESS_r04 lands green rows for the round-4
+    # in-window entries, move these nine inside the window in exchange
+    # for nine of those (same policy as this round: prior-green shapes
+    # with unchanged code rotate out, stay pytest-checked).
     "centroid_assign": q_centroid_assign,
     "quantize_embeddings": q_quantize_embeddings,
     "tfidf_terms_per_source": q_tfidf_terms,
