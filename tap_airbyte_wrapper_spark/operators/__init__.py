@@ -24,6 +24,7 @@ from .windows import (global_distribution_ranks, global_topk, ranked,
                       running_agg, topk_per_group, with_lag_lead)
 from .merge import merge_upsert
 from .setops import except_rows, intersect_rows, union_by_name
+from .timeseries import gap_fill, resample, time_bucket
 
 __all__ = [
     "equi_join", "semi_join", "anti_join", "asof_join", "range_join",
@@ -34,4 +35,5 @@ __all__ = [
     "global_distribution_ranks",
     "union_by_name", "intersect_rows", "except_rows",
     "merge_upsert",
+    "time_bucket", "resample", "gap_fill",
 ]

@@ -1389,6 +1389,35 @@ def q_semantic_dedup(spark, sf_dir):
         threshold=0.4).select("vec_id", "label")
 
 
+def q_resample_events(spark, sf_dir):
+    """Hypertable-style resample: per-user 6-hour buckets with count +
+    value sum — one (key, bucket) shuffle, map-side combined."""
+    from ..operators import resample
+
+    out = resample(
+        _t(spark, sf_dir, "events"), "ts", 6 * 3600, keys="user_id",
+        aggs={"n": F.count(F.lit(1)),
+              "sum_v": F.round(F.sum("value"), 4)})
+    return out.select(
+        "user_id", F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        "n", "sum_v")
+
+
+def q_gap_fill_events(spark, sf_dir):
+    """Resample + LOCF gap fill: per-user daily event-value sums on a
+    dense per-user grid, missing days carried forward.  Grid explode and
+    both fills share ONE (user, bucket) shuffle."""
+    from ..operators import gap_fill, resample
+
+    daily = resample(
+        _t(spark, sf_dir, "events"), "ts", 86400, keys="user_id",
+        aggs={"v": F.round(F.sum("value"), 4)})
+    filled = gap_fill(daily, "user_id", "bucket", "v", 86400, how="locf")
+    return filled.select(
+        "user_id", F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        F.round("v", 4).alias("v_r"))
+
+
 # -- verified approximate family: sketch for recall, exact for ---------
 # -- precision, so the output is deterministic and oracle-checkable ----
 
@@ -1587,6 +1616,8 @@ QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "weekly_retention": q_weekly_retention,
     "semantic_dedup_keep": q_semantic_dedup,
+    "resample_events": q_resample_events,
+    "gap_fill_events": q_gap_fill_events,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "knn_lsh": q_knn_lsh,
@@ -2204,6 +2235,35 @@ ORACLES = {
               CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
               WHERE c.vec_id != q.vec_id)
         WHERE rk <= 5""",
+    "resample_events": """
+        SELECT user_id,
+               epoch_us(to_timestamp(epoch(ts)::BIGINT
+                                     - epoch(ts)::BIGINT % 21600))
+               AS bucket_us,
+               count(*) AS n, round(sum(value), 4) AS sum_v
+        FROM events GROUP BY user_id, bucket_us""",
+    "gap_fill_events": """
+        WITH daily AS (
+          SELECT user_id,
+                 epoch(ts)::BIGINT - epoch(ts)::BIGINT % 86400 AS b,
+                 round(sum(value), 4) AS v
+          FROM events GROUP BY user_id, b),
+        span AS (
+          SELECT user_id, min(b) AS lo, max(b) AS hi
+          FROM daily GROUP BY user_id),
+        grid AS (
+          SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS b
+          FROM span),
+        joined AS (
+          SELECT g.user_id, g.b, d.v
+          FROM grid g LEFT JOIN daily d
+            ON g.user_id = d.user_id AND g.b = d.b)
+        SELECT user_id, b * 1000000 AS bucket_us,
+               round(last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS v_r
+        FROM joined""",
     "semantic_dedup_keep": """
         WITH RECURSIVE pairs AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b

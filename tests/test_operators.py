@@ -328,3 +328,47 @@ def test_merge_upsert_single_shuffle_plan(spark):
         base, changes, "pk")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_gap_fill_modes(spark):
+    from tap_airbyte_wrapper_spark.operators import gap_fill
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0, 10.0),
+            ("a", t0 + dt.timedelta(seconds=40), 50.0),
+            ("b", t0, 7.0)]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+
+    def vals(how):
+        out = gap_fill(df, "k", "bucket", "v", 10, how=how)
+        return {(r.k, r.bucket.second): r.v for r in out.collect()}
+
+    null_fill = vals("null")
+    assert null_fill[("a", 10)] is None and null_fill[("a", 0)] == 10.0
+    assert len([k for k in null_fill if k[0] == "a"]) == 5  # dense grid
+    assert len([k for k in null_fill if k[0] == "b"]) == 1
+
+    locf = vals("locf")
+    assert locf[("a", 10)] == 10.0 and locf[("a", 30)] == 10.0
+    assert locf[("a", 40)] == 50.0
+
+    lin = vals("linear")
+    assert lin[("a", 10)] == 20.0 and lin[("a", 20)] == 30.0
+    assert lin[("a", 30)] == 40.0 and lin[("a", 40)] == 50.0
+
+
+def test_gap_fill_single_shuffle(spark):
+    """Grid explode + fill reuse one (key, bucket) partitioning: the
+    plan must contain no join-driven exchanges beyond the span agg and
+    the window sort."""
+    from tap_airbyte_wrapper_spark.operators import gap_fill
+
+    df = (spark.range(100)
+          .selectExpr("id % 5 AS k",
+                      "timestamp_seconds(id * 20) AS bucket",
+                      "CAST(id AS DOUBLE) AS v"))
+    plan = gap_fill(df, "k", "bucket", "v", 10, how="locf") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
