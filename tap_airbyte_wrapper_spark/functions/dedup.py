@@ -692,6 +692,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """PPJoin prefix-filter candidate pairs with DETERMINISTIC total
+    recall: every pair with n-gram ``jaccard >= threshold`` appears
+    (Bayardo et al., WWW'07 — a qualifying pair must share an element
+    inside both canonical prefixes of length ``|X| - ceil(t*|X|) + 1``).
+    Candidate-only variant of :func:`ngram_jaccard_pairs`'s
+    ``prefix_filter`` path, for composing with sketch-based generators
+    whose recall is probabilistic.  Output: (id_a, id_b), id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), n),
+                            lambda s: F.xxhash64(s)))
+        ).alias("hs"),
+    ).withColumn("sh_size", F.size("hs"))
+    prefix_len = (
+        F.col("sh_size") - F.ceil(F.col("sh_size") * F.lit(threshold)) + 1
+    ).cast("int")
+    posting = sh.select(
+        id_col, "sh_size",
+        F.explode(F.slice("hs", F.lit(1), prefix_len)).alias("shingle"))
+    a = posting.select(F.col(id_col).alias("id_a"),
+                       F.col("sh_size").alias("size_a"), "shingle")
+    b = posting.select(F.col(id_col).alias("id_b"),
+                       F.col("sh_size").alias("size_b"), "shingle")
+    return (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("size_b") >= F.col("size_a") * threshold)
+                & (F.col("size_a") >= F.col("size_b") * threshold))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def exact_jaccard_on_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -813,30 +856,45 @@ def simhash_verified_pairs(
     shingle_len: int = 3,
     threshold: float = 0.5,
     broadcast_verify: bool = True,
+    guarantee_recall: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with SimHash pigeonhole recall and EXACT Jaccard
     precision.
 
     Candidates come from :func:`simhash_near_dup_pairs`.  Pigeonhole
-    guarantees recall for pairs within ``chunks - 1`` hamming bits; the
-    defaults (8 8-bit segments) GUARANTEE hamming <= 7 and empirically
-    cover the full measured true-pair range (hamming <= 5 at the
-    driver's sf0.01, <= 9 at sf0.001, <= 12 at sf0.1 — all verified
-    found, since a 9-over-8-segments split leaves a shared exact
-    segment with p ~ 0.99).  64-bit SimHash separates weakly on
-    topically-homogeneous corpora (at sf0.1, ~3% of ALL pairs sit
-    within hamming 13), so the knobs trade segment-join fan-out
-    against verification volume: 8-bit segments bucket ~n/256 docs
-    (32x fewer bucket pairs than 4-bit), ``max_hamming=13`` halves
-    the candidates the exact-Jaccard verify must score versus 15, and
-    the verify itself is broadcast map-side
-    (:func:`exact_jaccard_on_pairs`).  Measured 14s -> ~2s at sf0.1.
+    guarantees candidate recall only for pairs within ``chunks - 1``
+    hamming bits (8 8-bit segments => hamming <= 7); pairs at hamming
+    8..``max_hamming`` surface with high probability (a 9-over-8-
+    segments split leaves a shared exact segment with p ~ 0.99) and
+    pairs beyond ``max_hamming`` not at all — and SimHash hamming
+    bounds Jaccard only probabilistically in the first place.  Since
+    the *verified* family's contract is "emit exactly the >= threshold
+    Jaccard set", ``guarantee_recall=True`` (default) unions the
+    pigeonhole candidates with :func:`prefix_filter_candidates`
+    (PPJoin), whose recall is deterministic — making the OUTPUT exact
+    by construction on any corpus, not just the measured ones, while
+    the simhash buckets still supply the bulk of candidates cheaply.
+    Set it False to benchmark the pure-sketch recall path.
+
+    Scale/perf knobs: 8-bit segments bucket ~n/256 docs (32x fewer
+    bucket pairs than 4-bit), ``max_hamming=13`` halves the candidates
+    the exact-Jaccard verify must score versus 15, and the verify is
+    broadcast map-side (:func:`exact_jaccard_on_pairs`).  Measured
+    14s -> ~2s at sf0.1; the PPJoin union adds one prefix-posting
+    join over the (replica-collapsed) reps.
     """
-    return _collapse_expand_verified(
-        df, id_col, text_col,
-        lambda reps: simhash_near_dup_pairs(
+    def cands_of(reps: DataFrame) -> DataFrame:
+        sketch = simhash_near_dup_pairs(
             reps, id_col, text_col,
-            max_hamming=max_hamming, chunks=chunks).select("id_a", "id_b"),
+            max_hamming=max_hamming, chunks=chunks).select("id_a", "id_b")
+        if not guarantee_recall:
+            return sketch
+        exact = prefix_filter_candidates(
+            reps, id_col, text_col, n=shingle_len, threshold=threshold)
+        return sketch.unionByName(exact).distinct()
+
+    return _collapse_expand_verified(
+        df, id_col, text_col, cands_of,
         shingle_len, threshold, broadcast_verify)
 
 

@@ -36,7 +36,11 @@ def merge_upsert(
 
     * ``order_col``: recency column (cursor/version); higher wins.  Ties
       — and the ``order_col=None`` case — resolve in favor of the
-      changes side, then deterministically by the key itself.
+      changes side, then by an ``xxhash64`` over all non-key columns, so
+      two change rows with the same key and equal (or null) cursor still
+      pick the same winner on every run / restart.  (Rows that tie on
+      the hash are content-identical up to hash collision, so the pick
+      is immaterial; the delete flag participates in the hash.)
     * ``delete_col``: optional boolean column on ``changes`` marking
       tombstones; a winning tombstone drops its key from the output
       (column is removed from the result).  ``base`` rows are treated
@@ -60,10 +64,16 @@ def merge_upsert(
     c = changes.select(*base.columns,
                        F.lit(1).alias("__src"),
                        del_flag.alias("__del"))
+    non_keys = [c for c in base.columns if c not in keys]
     ordering = []
     if order_col is not None:
         ordering.append(F.col(order_col).desc_nulls_last())
-    ordering += [F.col("__src").desc()] + [F.col(k) for k in keys]
+    ordering += [
+        F.col("__src").desc(),
+        # deterministic tiebreaker: same-key rows with equal (or null)
+        # cursor would otherwise get a partition-order-dependent winner
+        F.xxhash64(*[F.col(c) for c in non_keys], F.col("__del")).asc(),
+    ]
     w = Window.partitionBy(*keys).orderBy(*ordering)
     return (
         b.unionByName(c)

@@ -1436,13 +1436,14 @@ def q_minhash_verified_pairs(spark, sf_dir):
 
 def q_simhash_verified_pairs(spark, sf_dir):
     """SimHash pigeonhole candidates verified with exact n-gram Jaccard,
-    same oracle: 8 8-bit segments guarantee recall for hamming <= 7 —
-    every true pair at the driver's sf0.01 (measured hamming <= 5) —
-    and empirically cover the full range at every tested SF; exact
-    verification makes the emitted set equal the all-pairs set."""
+    same oracle.  ``guarantee_recall=True`` unions the sketch buckets
+    with PPJoin prefix-filter candidates, so the emitted set equals the
+    all-pairs >= 0.5 Jaccard set DETERMINISTICALLY on any corpus — the
+    pigeonhole guarantee alone covers hamming <= 7 and is only
+    probabilistic beyond (round-4 advice)."""
     return simhash_verified_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        max_hamming=13, chunks=8, threshold=0.5,
+        max_hamming=13, chunks=8, threshold=0.5, guarantee_recall=True,
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
@@ -2237,15 +2238,16 @@ ORACLES = {
         WHERE rk <= 5""",
     "resample_events": """
         SELECT user_id,
-               epoch_us(to_timestamp(epoch(ts)::BIGINT
-                                     - epoch(ts)::BIGINT % 21600))
+               epoch_us(to_timestamp(floor(epoch(ts))::BIGINT
+                                     - floor(epoch(ts))::BIGINT % 21600))
                AS bucket_us,
                count(*) AS n, round(sum(value), 4) AS sum_v
         FROM events GROUP BY user_id, bucket_us""",
     "gap_fill_events": """
         WITH daily AS (
           SELECT user_id,
-                 epoch(ts)::BIGINT - epoch(ts)::BIGINT % 86400 AS b,
+                 floor(epoch(ts))::BIGINT
+                   - floor(epoch(ts))::BIGINT % 86400 AS b,
                  round(sum(value), 4) AS v
           FROM events GROUP BY user_id, b),
         span AS (

@@ -213,6 +213,11 @@ def stream_interval_join(
     """
     l_ = _with_event_time(left, left_ts).withWatermark(left_ts, watermark)
     r_ = _with_event_time(right, right_ts).withWatermark(right_ts, watermark)
+    # exact prefixed output names — selecting by startswith(right_prefix)
+    # over joined.columns would double-select a LEFT column that happens
+    # to start with the prefix (and raise on ambiguity if right shares
+    # the unprefixed name)
+    prefixed = [f"{right_prefix}{c}" for c in right.columns if c not in keys]
     r_ = r_.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"{right_prefix}{c}")
@@ -232,6 +237,5 @@ def stream_interval_join(
     # drop the duplicated key columns from the right side
     return joined.select(
         *[l_[c] for c in left.columns],
-        *[F.col(c) for c in joined.columns
-          if c.startswith(right_prefix)],
+        *[r_[c] for c in prefixed],
     )

@@ -307,6 +307,31 @@ def test_merge_upsert_order_col_latest_wins(spark):
     assert [(r.pk, r.ver, r.s) for r in got] == [(1, 9, "new")]
 
 
+def test_merge_upsert_intra_batch_tie_is_deterministic(spark):
+    """Two change rows with the same pk and equal (null) order_col must
+    pick the same winner on every run — the winner is fixed by an
+    xxhash64 over the non-key payload, not partition order (round-4
+    advice)."""
+    from pyspark.sql import functions as F
+
+    from tap_airbyte_wrapper_spark.operators import merge_upsert
+
+    base = spark.createDataFrame([(1, "base")], "pk long, s string")
+    dupes = [(1, "aaa"), (1, "zzz")]
+    expected = None
+    for ordering in (dupes, dupes[::-1]):
+        changes = spark.createDataFrame(
+            ordering, "pk long, s string").repartition(4)
+        got = merge_upsert(base, changes, "pk").collect()
+        assert len(got) == 1
+        expected = expected or got[0].s
+        assert got[0].s == expected
+    # the pick matches the documented rule: min xxhash64 over non-keys
+    h = {r.s: r.h for r in spark.createDataFrame(dupes, "pk long, s string")
+         .select("s", F.xxhash64("s", F.lit(False)).alias("h")).collect()}
+    assert expected == min(h, key=h.get)
+
+
 def test_merge_upsert_missing_columns_rejected(spark):
     import pytest as _pytest
 

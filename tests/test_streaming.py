@@ -215,3 +215,33 @@ def test_stream_interval_join_matches_batch(spark, event_batches, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_interval_join_left_prefix_collision(spark, event_batches):
+    """A LEFT column whose name already starts with right_prefix (here
+    'r_tag' vs prefix 'r_') must appear exactly once, and a right column
+    named 'tag' must still come through as 'r_tag'-prefixed without an
+    ambiguous-column error (round-4 advice: the projection used to match
+    joined.columns by startswith)."""
+    from tap_airbyte_wrapper_spark.streaming import stream_interval_join
+
+    ev, _, _, src = event_batches
+    left = stream_source(spark, src, ev.schema).select(
+        "event_id", "user_id", "ts",
+        F.lit("L").alias("r_tag"))
+    right = stream_source(spark, src, ev.schema).select(
+        "event_id", "user_id", "ts",
+        F.lit("R").alias("tag"))
+    joined = stream_interval_join(
+        left, right, keys=["user_id"],
+        lower="0 seconds", upper="5 minutes", watermark="10 days")
+    # left cols + prefixed right payload, each exactly once
+    assert joined.columns == [
+        "event_id", "user_id", "ts", "r_tag", "r_event_id", "r_ts", "r_tag"]
+    # the two r_tag outputs are DIFFERENT attributes (left's literal vs
+    # right's prefixed 'tag'); materialize to prove no ambiguity raise
+    q = (joined.writeStream.format("memory").queryName("sj_pfx")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sj_pfx").limit(5).collect()
+    assert all(r[3] == "L" and r[6] == "R" for r in rows)
