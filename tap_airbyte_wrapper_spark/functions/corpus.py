@@ -138,6 +138,8 @@ def pack_token_budget(
     order_col: str = "n_chars",
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "auto",
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Greedy per-group token-budget packing for mixture construction:
     within each ``group_col`` take documents in ``order_col``-descending
@@ -145,25 +147,87 @@ def pack_token_budget(
     ``budget``.  Returns the kept rows with their running total
     ``cum_tokens``.
 
-    One shuffle on the mixture key; the running sum is a ROWS-frame
-    window *inside* each group, so parallelism = number of groups.  For
-    corpora with few, huge domains switch to the two-phase
-    range-partitioned cumulative pattern of
-    ``global_distribution_ranks`` before trusting this at 100 TB.
+    Two physical strategies, same answer (equivalence-tested):
+
+    * ``window``: one shuffle on the mixture key, running sum as a
+      ROWS-frame window inside each group.  Parallelism = number of
+      groups — fine for many groups, serial for a 100 TB corpus with 5
+      domains (5 tasks carry everything).
+    * ``two_phase``: the ``global_distribution_ranks`` pattern
+      (operators/windows.py) generalized to per-group cumulative sums.
+      Range-repartition on (group, order desc, id) — pinned with
+      ``localCheckpoint`` because the RangePartitioner re-samples
+      boundaries per job — then (1) per-(partition, group) token sums,
+      a metadata-sized aggregate, get prefix-summed into offsets with a
+      tiny window and (2) each partition computes its LOCAL running sum
+      and adds its group's offset via broadcast join.  Parallelism =
+      ``num_ranges`` regardless of group count, and no driver collect
+      (the offsets stay distributed, unlike the rank variant's
+      guarded (pid, count) collect).
+    * ``auto`` (default): probe ``approx_count_distinct(group_col)``
+      (one column-pruned scan) and take ``two_phase`` when groups <
+      default parallelism.
+
+    Token counting and the range exchange both run on a pruned
+    (id, group, order, n_tokens) projection — the text column never
+    shuffles or checkpoints.
     """
     from pyspark.sql.window import Window
 
     n_tok = F.size(words(F.col(text_col))).cast("long")
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.desc(order_col), F.asc(id_col))
+    slim_cols = list(dict.fromkeys([id_col, group_col, order_col]))
+    slim = df.select(*slim_cols, n_tok.alias("n_tokens"))
+    out_cols = [id_col, group_col, "n_tokens", "cum_tokens"]
+    order = [F.desc(order_col), F.asc(id_col)]
+
+    if mode == "auto":
+        n_groups = slim.agg(
+            F.approx_count_distinct(group_col)).collect()[0][0]
+        mode = (
+            "two_phase"
+            if n_groups < df.sparkSession.sparkContext.defaultParallelism
+            else "window")
+
+    if mode == "window":
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            slim.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= budget)
+            .select(*out_cols)
+        )
+    if mode != "two_phase":
+        raise ValueError(f"unknown mode: {mode!r}")
+
+    spark = df.sparkSession
+    num_ranges = num_ranges or spark.sparkContext.defaultParallelism
+    parts = (
+        slim.repartitionByRange(num_ranges, F.col(group_col), *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    psums = parts.groupBy("__pid", group_col).agg(
+        F.sum("n_tokens").alias("__psum"))
+    off_w = Window.partitionBy(group_col).orderBy("__pid")
+    offsets = psums.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__psum").over(off_w) - F.col("__psum"), F.lit(0)),
+    ).select("__pid", group_col, "__offset")
+    local_w = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("n_tokens", n_tok)
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        parts.join(F.broadcast(offsets), on=["__pid", group_col])
+        .withColumn(
+            "cum_tokens", F.sum("n_tokens").over(local_w) + F.col("__offset"))
         .filter(F.col("cum_tokens") <= budget)
-        .select(id_col, group_col, "n_tokens", "cum_tokens")
+        .select(*out_cols)
     )
 
 

@@ -317,9 +317,25 @@ def ivf_build(
     """Train the coarse quantizer (driver-side k-means on a bounded
     sample — k x dim is tiny by construction) and assign every corpus
     vector to its nearest cell (one numpy matmul per Arrow batch).
-    With ``path``, persist centroids + cell-partitioned vectors."""
+    With ``path``, persist centroids + cell-partitioned vectors.
+
+    The training sample is the ``train_sample`` rows with the smallest
+    ``xxhash64(id, seed)`` — a bare ``limit()`` pulls whole partitions
+    in layout order, which at 100 TB means one source/time-range trains
+    every centroid (round-4 advice).  Hash order is uniform over the
+    corpus regardless of partition layout, deterministic across
+    restarts (content-keyed, same discipline as sampling.py's
+    md5-bucket splits), and plans as TakeOrderedAndProject
+    (per-partition top-k + driver merge), not a global sort."""
     corpus = corpus.filter(F.col(vec_col).isNotNull())
-    sample = corpus.select(vec_col).limit(train_sample).toPandas()
+    sample = (
+        corpus.select(F.col(vec_col),
+                      F.xxhash64(F.col(id_col), F.lit(seed)).alias("__hk"))
+        .orderBy("__hk")
+        .limit(train_sample)
+        .select(vec_col)
+        .toPandas()
+    )
     mat = np.stack(sample[vec_col].to_numpy()).astype("float64")
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     cent = _kmeans_centroids(mat, n_clusters, kmeans_iters, seed)

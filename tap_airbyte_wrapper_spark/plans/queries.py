@@ -1512,11 +1512,88 @@ def q_knn_ivf(spark, sf_dir):
 # =====================================================================
 
 QUERIES = {
+    # ROUND-5 ROTATION (the round-4 verdict's #1 ask): the driver
+    # records correctness for QUERIES[:50] only, so the 38 entries that
+    # sat below the window through round 4 (pytest-oracle-checked but
+    # never driver-verified, or driver-green only in the rounds-1-3
+    # windows) move into positions 1-38.  Positions 39-50 keep: the two
+    # scan canaries (full_scan/incremental — they catch driver testdata
+    # regeneration, see round-4's TIMESTAMP_NTZ flip), every entry whose
+    # CODE changed this round (simhash_verified_pairs guarantee-recall,
+    # token_budget_pack two-phase, knn_ivf_verified sampling), their
+    # verified-family siblings, the flagship, and the three hardest
+    # composite ops.  Everything rotated out stays oracle-checked in
+    # tests/test_oracle_parity.py every pytest run.
+    # -- never driver-checked (round-4 additions) --------------------
+    "merge_upsert_orders": q_merge_upsert_orders,
+    "resample_events": q_resample_events,
+    "gap_fill_events": q_gap_fill_events,
+    "funnel_conversion": q_funnel_conversion,
+    "weekly_retention": q_weekly_retention,
+    "semantic_dedup_keep": q_semantic_dedup,
+    "centroid_assign": q_centroid_assign,
+    "quantize_embeddings": q_quantize_embeddings,
+    "tfidf_terms_per_source": q_tfidf_terms,
+    "mixture_sample_docs": q_mixture_sample,
+    # -- driver-green last in rounds 1-3, unchecked since ------------
+    "salted_brand_revenue": q_salted_brand_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "running_revenue": q_running_revenue,
+    "order_price_deciles": q_order_price_deciles,
+    "clickers_not_purchasers": q_clickers_not_purchasers,
+    "pivot_event_type": q_pivot_event_type,
+    "doc_word_stats": q_doc_word_stats,
+    "jaccard_pairs": q_jaccard_pairs,
+    "knn_bruteforce": q_knn_bruteforce,
+    "brand_revenue": q_brand_revenue,
+    "cube_event_day": q_cube_event_day,
+    "rollup_region_nation": q_rollup_region_nation,
+    "trailing_week_revenue": q_trailing_week_revenue,
+    "latest_event_per_user": q_latest_event_per_user,
+    "incremental_mapped": q_incremental_mapped,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "token_stats": q_token_stats,
+    "customers_with_orders": q_customers_with_orders,
+    "top3_parts_per_brand": q_top3_parts_per_brand,
+    "orders_sorted": q_orders_sorted,
+    "top10_orders": q_top10_orders,
+    "distinct_users": q_distinct_users,
+    "customers_without_orders": q_customers_without_orders,
+    # -- keepers (17 incl. the two canaries): code changed this round,
+    # -- verified-family twins, flagship, hardest composites, and five
+    # -- r04-first-green shapes seen by the driver only once ---------
     "full_scan_events": q_full_scan_events,
     "incremental_events": q_incremental_events,
+    "q1_pricing_summary": q1_pricing_summary,
+    "token_budget_pack": q_token_budget_pack,
+    "minhash_verified_pairs": q_minhash_verified_pairs,
+    "simhash_verified_pairs": q_simhash_verified_pairs,
+    "knn_lsh_verified": q_knn_lsh_verified,
+    "knn_ivf_verified": q_knn_ivf_verified,
+    "corpus_curation": q_corpus_curation,
+    "embedding_near_dup": q_embedding_near_dup,
+    "dedup_clusters": q_dedup_clusters,
+    "decode_image_meta": q_decode_image_meta,
+    "asof_purchase_view": q_asof_purchase_view,
+    "sessionization": q_sessionization,
+    "paragraph_dedup_docs": q_paragraph_dedup,
+    "contamination_docs": q_contamination_docs,
+    "label_centroids": q_label_centroids,
+    # -- entries below are outside the driver's QUERIES[:50] window:
+    # -- (a) rows-only checks with no SQL-expressible oracle
+    # -- (xxhash64 / hyperplane-LSH / k-means / HLL internals — each
+    # -- has an oracle-backed *_verified twin kept in-window above;
+    # -- the in-window-means-oracle-backed gate is
+    # -- test_driver_window_fully_oracle_backed), and (b) rows
+    # -- driver-green in round 4 with code unchanged since.  All of
+    # -- (b) stay oracle-checked in tests/test_oracle_parity.py ------
+    "approx_distinct_users": q_approx_distinct_users,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "stream_map_customer": q_stream_map_customer,
     "flatten_props": q_flatten_props,
-    "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q7_nation_trade": q7_nation_trade,
@@ -1538,91 +1615,16 @@ QUERIES = {
     "q16_supplier_cnt": q16_supplier_cnt,
     "q20_promotable_suppliers": q20_promotable_suppliers,
     "grouping_sets_events": q_grouping_sets_events,
-    "asof_purchase_view": q_asof_purchase_view,
     "error_click_window": q_error_click_window,
-    "sessionization": q_sessionization,
     "event_value_percentiles": q_event_value_percentiles,
     "language_id": q_language_id,
     "quality_scores": q_quality_scores,
     "train_test_split": q_train_test_split,
     "exact_dedup_docs": q_exact_dedup_docs,
-    "corpus_curation": q_corpus_curation,
-    "paragraph_dedup_docs": q_paragraph_dedup,
     "winnow_fingerprints_docs": q_winnow_fingerprints,
-    "embedding_near_dup": q_embedding_near_dup,
-    "dedup_clusters": q_dedup_clusters,
     "split_sentences_docs": q_split_sentences,
-    "decode_image_meta": q_decode_image_meta,
-    # round-5 corpus-curation shapes, first driver check this round
     "vocab_topk_docs": q_vocab_topk,
     "repetition_signals_docs": q_repetition_signals,
-    "token_budget_pack": q_token_budget_pack,
-    "contamination_docs": q_contamination_docs,
-    "label_centroids": q_label_centroids,
-    # verified approximate family (sketch recall + exact verification):
-    # first driver-checkable rows for the MinHash/SimHash/LSH/IVF paths
-    "minhash_verified_pairs": q_minhash_verified_pairs,
-    "simhash_verified_pairs": q_simhash_verified_pairs,
-    "knn_lsh_verified": q_knn_lsh_verified,
-    "knn_ivf_verified": q_knn_ivf_verified,
-    # -- entries below are outside the driver's QUERIES[:50] correctness
-    # -- window: no DuckDB oracle (approx_distinct_users, the estimate-
-    # -- output LSH/IVF variants — their machinery is now driver-checked
-    # -- via the *_verified entries above) or near-duplicates of an
-    # -- in-window shape that already earned green driver rows in rounds
-    # -- 1-3 with code unchanged since (brand_revenue/salted_brand ~ one
-    # -- shape, cube/rollup ~ grouping_sets, trailing_week/running ~
-    # -- frames, latest_event/top_orders/top3 ~ row_number, pivot ~
-    # -- grouping family, incremental_mapped = incremental_events +
-    # -- stream_map_customer, token_stats/doc_word_stats siblings of
-    # -- language_id/quality_scores, jaccard_pairs subsumed by
-    # -- minhash_verified_pairs' oracle, knn_bruteforce subsumed by the
-    # -- stricter knn_*_verified entries sharing its oracle).
-    # -- All remain oracle-checked in tests/test_oracle_parity.py; the
-    # -- driver records the first 50 only.
-    "salted_brand_revenue": q_salted_brand_revenue,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "running_revenue": q_running_revenue,
-    "order_price_deciles": q_order_price_deciles,
-    "clickers_not_purchasers": q_clickers_not_purchasers,
-    "pivot_event_type": q_pivot_event_type,
-    "doc_word_stats": q_doc_word_stats,
-    "jaccard_pairs": q_jaccard_pairs,
-    "knn_bruteforce": q_knn_bruteforce,
-    "brand_revenue": q_brand_revenue,
-    "cube_event_day": q_cube_event_day,
-    "rollup_region_nation": q_rollup_region_nation,
-    "trailing_week_revenue": q_trailing_week_revenue,
-    "latest_event_per_user": q_latest_event_per_user,
-    "incremental_mapped": q_incremental_mapped,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "token_stats": q_token_stats,
-    "approx_distinct_users": q_approx_distinct_users,
-    "customers_with_orders": q_customers_with_orders,
-    "top3_parts_per_brand": q_top3_parts_per_brand,
-    "orders_sorted": q_orders_sorted,
-    "top10_orders": q_top10_orders,
-    "distinct_users": q_distinct_users,
-    "customers_without_orders": q_customers_without_orders,
-    # round-4 additions (oracle-backed, past the full window).  NEXT
-    # ROTATION: once CORRECTNESS_r04 lands green rows for the round-4
-    # in-window entries, move these nine inside the window in exchange
-    # for nine of those (same policy as this round: prior-green shapes
-    # with unchanged code rotate out, stay pytest-checked).
-    "centroid_assign": q_centroid_assign,
-    "quantize_embeddings": q_quantize_embeddings,
-    "tfidf_terms_per_source": q_tfidf_terms,
-    "mixture_sample_docs": q_mixture_sample,
-    "merge_upsert_orders": q_merge_upsert_orders,
-    "funnel_conversion": q_funnel_conversion,
-    "weekly_retention": q_weekly_retention,
-    "semantic_dedup_keep": q_semantic_dedup,
-    "resample_events": q_resample_events,
-    "gap_fill_events": q_gap_fill_events,
-    "minhash_pairs": q_minhash_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "knn_lsh": q_knn_lsh,
-    "knn_ivf": q_knn_ivf,
 }
 
 

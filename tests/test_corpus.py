@@ -74,6 +74,51 @@ def test_pack_token_budget_greedy_per_group(spark):
     assert kept == {(1, 3), (2, 5)}
 
 
+def test_pack_token_budget_two_phase_equals_window(spark, sf_dir):
+    """The range-partitioned two-phase cumulative sum must produce the
+    exact row set + running totals of the per-group window — on real
+    documents with its 2 sources (the few-huge-domains case the
+    two-phase path exists for) and at several budgets."""
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    for budget in (0, 500, 50_000):
+        w = {(r.doc_id, r.cum_tokens) for r in pack_token_budget(
+            docs, budget=budget, mode="window").collect()}
+        t = {(r.doc_id, r.cum_tokens) for r in pack_token_budget(
+            docs, budget=budget, mode="two_phase", num_ranges=7).collect()}
+        assert t == w, f"budget={budget}: two_phase != window"
+
+
+def test_pack_token_budget_two_phase_parallelism(spark):
+    """Two-phase must spread ONE giant group over num_ranges range
+    partitions — the whole point — and still chain the running sum
+    across them correctly (every prefix row kept, exact totals)."""
+    rows = [Row(doc_id=i, source="only", n_chars=10_000 - i,
+                text="w " * (i % 7 + 1)) for i in range(1, 401)]
+    df = spark.createDataFrame(rows).repartition(13)
+    got = pack_token_budget(
+        df, budget=10**9, mode="two_phase", num_ranges=8).collect()
+    assert len(got) == 400
+    # recompute expected running totals in plain python
+    exp, cum = {}, 0
+    for r in sorted(rows, key=lambda r: (-r.n_chars, r.doc_id)):
+        cum += r.doc_id % 7 + 1
+        exp[r.doc_id] = cum
+    assert {r.doc_id: r.cum_tokens for r in got} == exp
+
+
+def test_pack_token_budget_auto_routes_and_rejects(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, source="s", n_chars=1, text="w")])
+    # auto on a 1-group frame routes two_phase and still answers
+    assert pack_token_budget(df, budget=5, mode="auto").count() == 1
+    with _pytest.raises(ValueError, match="unknown mode"):
+        pack_token_budget(df, budget=5, mode="bogus")
+
+
 def test_ngram_contamination_planted_overlap(spark):
     corpus = spark.createDataFrame([
         Row(doc_id=1, text="alpha beta gamma delta epsilon"),

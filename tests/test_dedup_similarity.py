@@ -328,6 +328,33 @@ def test_ivf_index_build_persist_load_search(spark, sf_dir, tmp_path):
     assert loaded.assigned.count() == emb.count()
 
 
+def test_ivf_training_sample_unbiased_on_skewed_layout(spark):
+    """Centroid training must not read whole partitions in layout order
+    (round-4 advice): on a corpus where partition 0 holds ONLY cluster A
+    and later partitions only cluster B, a train_sample smaller than
+    cluster A must still produce centroids covering BOTH planted
+    clusters — limit()-based training put every centroid in A."""
+    import numpy as np
+
+    from tap_airbyte_wrapper_spark.functions import ivf_build
+
+    rng = np.random.default_rng(7)
+    a = [(i, (rng.normal(0, 0.01, 8) + np.array([1.0] + [0.0] * 7)).tolist())
+         for i in range(300)]
+    b = [(i, (rng.normal(0, 0.01, 8) + np.array([0.0] * 7 + [1.0])).tolist())
+         for i in range(300, 600)]
+    # repartitionByRange on vec_id puts all of A physically before B
+    emb = (spark.createDataFrame(a + b, "vec_id long, embedding array<double>")
+           .repartitionByRange(6, "vec_id"))
+    idx = ivf_build(emb, n_clusters=2, train_sample=200, kmeans_iters=10)
+    # each planted direction must own a centroid (cosine > 0.9)
+    cent = idx.centroids / np.linalg.norm(idx.centroids, axis=1, keepdims=True)
+    dir_a = np.array([1.0] + [0.0] * 7)
+    dir_b = np.array([0.0] * 7 + [1.0])
+    assert (cent @ dir_a).max() > 0.9
+    assert (cent @ dir_b).max() > 0.9
+
+
 def test_minhash_verified_pairs_exact_jaccard(planted):
     """Verified mode: every emitted pair carries the EXACT jaccard (must
     equal ngram_jaccard_pairs on the same corpus), and the planted
