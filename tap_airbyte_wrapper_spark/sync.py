@@ -233,6 +233,20 @@ class Engine:
 
         path = sink.get("path")
         mode = sink.get("mode", "append")
+        if kind == "merge":
+            # CDC apply: upsert the batch onto a versioned parquet
+            # snapshot (sinks.py).  Default recency = the stream cursor,
+            # so replayed at-least-once batches stay idempotent.
+            from .sinks import merge_snapshot_write
+
+            merge_snapshot_write(
+                df, stream_name, path, pks,
+                order_col=sink.get("order_col", cursor),
+                delete_col=sink.get("delete_col"),
+                keep_versions=int(sink.get("keep_versions", 2)),
+            )
+            got = obs.get
+            return int(got["n"]), got.get("cursor_max")
         if kind == "files":
             write_singer_files(df, stream_name, f"{path}/{stream_name}", mode)
         elif kind == "parquet":

@@ -1,0 +1,160 @@
+"""ChangelogSource (CDC / LOG_BASED) + merge sink, end to end.
+
+The reference maps LOG_BASED -> INCREMENTAL and delegates CDC to the
+connector (tap.py:98-105); these tests pin the engine's file-based
+changelog contract: snapshot-as-inserts at cursor 0, op-typed changes
+past it, cursor bookmark resume, and the merge sink maintaining a
+versioned snapshot (insert/update/delete applied keyed + idempotent).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from tap_airbyte_wrapper_spark.sinks import read_merge_snapshot
+from tap_airbyte_wrapper_spark.sources import SourceError, get_source
+from tap_airbyte_wrapper_spark.sync import Engine
+
+
+def _write_jsonl(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def cdc_dir(spark, tmp_path):
+    """base: items {1: apple/1.0, 2: banana/2.0}; change batch 1:
+    update item 1, delete item 2, insert item 3."""
+    root = str(tmp_path / "cdc")
+    spark.createDataFrame(
+        [Row(item_id=1, name="apple", price=1.0),
+         Row(item_id=2, name="banana", price=2.0)],
+    ).coalesce(1).write.parquet(f"{root}/base/items.parquet")
+    _write_jsonl(f"{root}/changes/items/batch1.jsonl", [
+        {"item_id": 1, "name": "apple", "price": 1.5,
+         "_op": "update", "_cursor": 101},
+        {"item_id": 2, "name": None, "price": None,
+         "_op": "delete", "_cursor": 102},
+        {"item_id": 3, "name": "cherry", "price": 3.0,
+         "_op": "insert", "_cursor": 103},
+    ])
+    return root
+
+
+def _engine(spark, root, tmp_path, **extra):
+    cfg = {
+        "source": "changelog",
+        "source_config": {"path": root,
+                          "primary_keys": {"items": ["item_id"]}},
+        "replication_method": {"items": "LOG_BASED"},
+        "state_path": str(tmp_path / "state.json"),
+        "sink": {"type": "merge", "path": str(tmp_path / "sink")},
+        **extra,
+    }
+    return Engine(spark, cfg)
+
+
+def test_discover_shapes_stream(spark, cdc_dir):
+    src = get_source("changelog",
+                     {"path": cdc_dir, "primary_keys": {"items": ["item_id"]}})
+    cat = src.discover(spark)
+    entry = {e.name: e for e in cat}["items"]
+    assert entry.primary_keys == ["item_id"]
+    assert entry.replication_key == "_cursor"
+    assert {"_op", "_cursor", "_deleted"} <= set(entry.schema.names)
+    entry.negotiate("LOG_BASED")
+    assert entry.sync_mode == "incremental"
+
+
+def test_read_emits_snapshot_then_changes(spark, cdc_dir):
+    src = get_source("changelog",
+                     {"path": cdc_dir, "primary_keys": {"items": ["item_id"]}})
+    entry = {e.name: e for e in src.discover(spark)}["items"]
+    rows = {(r.item_id, r._op, r._cursor)
+            for r in src.read(spark, entry).collect()}
+    assert rows == {
+        (1, "insert", 0), (2, "insert", 0),          # snapshot
+        (1, "update", 101), (2, "delete", 102), (3, "insert", 103)}
+    # cursor predicate replays only the tail, with the snapshot skipped
+    inc = {(r.item_id, r._cursor)
+           for r in src.read_incremental(spark, entry, 101).collect()}
+    assert inc == {(2, 102), (3, 103)}
+
+
+def test_e2e_merge_sink_and_bookmark_resume(spark, cdc_dir, tmp_path):
+    eng = _engine(spark, cdc_dir, tmp_path)
+    res = eng.sync()
+    assert res.stream_counts == {"items": 5}        # 2 snapshot + 3 changes
+    snap = {(r.item_id, r.name, r.price)
+            for r in read_merge_snapshot(
+                spark, str(tmp_path / "sink"), "items").collect()}
+    assert snap == {(1, "apple", 1.5), (3, "cherry", 3.0)}  # 2 deleted
+    state = json.load(open(tmp_path / "state.json"))
+    assert json.dumps(state).count("103")            # bookmark = max cursor
+
+    # second batch lands: re-insert item 2, bump item 3's price
+    _write_jsonl(f"{cdc_dir}/changes/items/batch2.jsonl", [
+        {"item_id": 2, "name": "banana", "price": 2.5,
+         "_op": "insert", "_cursor": 104},
+        {"item_id": 3, "name": "cherry", "price": 3.5,
+         "_op": "update", "_cursor": 105},
+    ])
+    res2 = _engine(spark, cdc_dir, tmp_path).sync()
+    assert res2.stream_counts == {"items": 2}        # ONLY the new tail
+    snap2 = {(r.item_id, r.name, r.price)
+             for r in read_merge_snapshot(
+                 spark, str(tmp_path / "sink"), "items").collect()}
+    assert snap2 == {(1, "apple", 1.5), (2, "banana", 2.5),
+                     (3, "cherry", 3.5)}
+
+
+def test_e2e_replay_is_idempotent(spark, cdc_dir, tmp_path):
+    """At-least-once delivery: syncing the same batch twice (state wiped
+    between runs) must leave the snapshot unchanged — keyed merge with
+    cursor recency absorbs the replay."""
+    _engine(spark, cdc_dir, tmp_path).sync()
+    first = {(r.item_id, r.name, r.price)
+             for r in read_merge_snapshot(
+                 spark, str(tmp_path / "sink"), "items").collect()}
+    os.remove(tmp_path / "state.json")               # forget the bookmark
+    _engine(spark, cdc_dir, tmp_path).sync()         # full replay
+    again = {(r.item_id, r.name, r.price)
+             for r in read_merge_snapshot(
+                 spark, str(tmp_path / "sink"), "items").collect()}
+    assert again == first
+
+
+def test_debezium_op_aliases(spark, tmp_path):
+    root = str(tmp_path / "dbz")
+    _write_jsonl(f"{root}/changes/t/log.jsonl", [
+        {"k": 1, "v": "x", "_op": "c", "_cursor": 1},
+        {"k": 1, "v": "y", "_op": "u", "_cursor": 2},
+        {"k": 1, "v": None, "_op": "d", "_cursor": 3},
+    ])
+    src = get_source("changelog", {"path": root, "primary_keys": {"t": ["k"]}})
+    entry = {e.name: e for e in src.discover(spark)}["t"]
+    got = {(r._op, r._deleted) for r in src.read(spark, entry).collect()}
+    assert got == {("insert", False), ("update", False), ("delete", True)}
+
+
+def test_config_errors(spark, tmp_path):
+    root = str(tmp_path / "bad")
+    _write_jsonl(f"{root}/changes/t/log.jsonl", [{"k": 1, "_cursor": 1}])
+    src = get_source("changelog", {"path": root, "primary_keys": {"t": ["k"]}})
+    with pytest.raises(SourceError, match="missing '_op'"):
+        src.discover(spark)
+    _write_jsonl(f"{root}/changes/u/log.jsonl",
+                 [{"k": 1, "_op": "c", "_cursor": 1}])
+    src2 = get_source("changelog", {"path": root,
+                                    "primary_keys": {"t": ["k"]},
+                                    "streams": ["u"]})
+    with pytest.raises(SourceError, match="primary_keys"):
+        src2.discover(spark)
+    with pytest.raises(SourceError, match="no changelog streams"):
+        get_source("changelog",
+                   {"path": str(tmp_path / "nope"),
+                    "primary_keys": {}}).discover(spark)
