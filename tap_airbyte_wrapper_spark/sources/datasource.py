@@ -16,7 +16,11 @@ funnel and no subprocess.
 
 Options: ``urls`` (comma-separated; file:// works offline) or
 ``base_url`` + ``pages`` (``base_url.format(page=i)``); ``records_key``
-dotted path; ``timeout`` seconds.  Schema must be pinned by the caller
+dotted path; ``timeout`` seconds; auth via ``auth_type`` =
+``bearer`` (+``auth_token``) / ``basic`` (+``auth_username``,
+``auth_password``) / ``header`` (+``auth_header``, ``auth_value``);
+``max_retries`` / ``backoff_base`` for 429/5xx backoff (all handled by
+``sources/http.py``, per fetch task).  Schema must be pinned by the caller
 (pair with ``RestSource.discover`` for inference) — a scan with a
 user-supplied schema is exactly the discovery/read split the Airbyte
 protocol prescribes.
@@ -24,17 +28,23 @@ protocol prescribes.
 
 from __future__ import annotations
 
-import json
 from typing import Any, Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 
-def _fetch_json(url: str, timeout: float) -> Any:
-    from urllib.request import urlopen
-
-    with urlopen(url, timeout=timeout) as resp:  # noqa: S310 - user URL
-        return json.loads(resp.read().decode("utf-8"))
+def _auth_of(options) -> dict | None:
+    kind = options.get("auth_type")
+    if not kind:
+        return None
+    return {
+        "type": kind,
+        "token": options.get("auth_token"),
+        "username": options.get("auth_username"),
+        "password": options.get("auth_password"),
+        "header": options.get("auth_header"),
+        "value": options.get("auth_value"),
+    }
 
 
 def _records_of(payload: Any, records_key: str | None) -> list[dict]:
@@ -72,10 +82,17 @@ class HttpJsonReader(DataSourceReader):
         return [_PagePartition(u) for u in self._urls()]
 
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
-        timeout = float(self.options.get("timeout", 30))
+        from .http import fetch_json
+
         records_key = self.options.get("records_key")
         fields = [f.name for f in self.schema.fields]
-        payload = _fetch_json(partition.url, timeout)
+        payload = fetch_json(
+            partition.url,
+            timeout=float(self.options.get("timeout", 30)),
+            auth=_auth_of(self.options),
+            max_retries=int(self.options.get("max_retries", 3)),
+            backoff_base=float(self.options.get("backoff_base", 0.5)),
+        )
         for rec in _records_of(payload, records_key):
             yield tuple(rec.get(name) for name in fields)
 

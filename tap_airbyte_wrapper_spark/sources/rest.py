@@ -11,6 +11,8 @@ is a REST fetcher run as a subprocess.  Spark-native shape:
 
 Offline testability: ``records`` (inline fixtures) and ``file://`` URLs
 work without network; http(s) uses stdlib urllib (no extra deps).
+Auth (bearer/basic/header) and 429/5xx retry-with-backoff live in
+``sources/http.py`` and apply per fetch — also executor-side.
 
 See also ``sources/datasource.py`` for the Spark 4 Python Data Source
 form of the same capability (``spark.read.format("http_json")``) where
@@ -22,7 +24,6 @@ from __future__ import annotations
 
 import json
 from typing import Any, Iterator
-from urllib.request import urlopen
 
 import pandas as pd
 
@@ -30,11 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import Catalog, StreamEntry, SyncMode
 from .base import Source, SourceError, register
-
-
-def _fetch(url: str, timeout: float) -> Any:
-    with urlopen(url, timeout=timeout) as resp:  # noqa: S310 - user-supplied source URL
-        return json.loads(resp.read().decode("utf-8"))
+from .http import fetch_json
 
 
 def _extract_records(payload: Any, records_key: str | None) -> list[dict[str, Any]]:
@@ -66,8 +63,23 @@ class RestSource(Source):
                 "records": {"type": ["array", "null"],
                             "description": "inline fixture records (offline mode)"},
                 "timeout": {"type": ["number", "null"], "default": 30},
+                "auth": {"type": ["object", "null"],
+                         "description": "{type: bearer|basic|header, ...}"},
+                "headers": {"type": ["object", "null"],
+                            "description": "extra request headers"},
+                "max_retries": {"type": ["integer", "null"], "default": 3},
+                "backoff_base": {"type": ["number", "null"], "default": 0.5},
             },
             "required": ["stream_name"],
+        }
+
+    def _http_kwargs(self) -> dict[str, Any]:
+        return {
+            "timeout": float(self.config.get("timeout", 30)),
+            "auth": self.config.get("auth"),
+            "headers": self.config.get("headers"),
+            "max_retries": int(self.config.get("max_retries", 3)),
+            "backoff_base": float(self.config.get("backoff_base", 0.5)),
         }
 
     def _urls(self) -> list[str]:
@@ -84,7 +96,7 @@ class RestSource(Source):
         urls = self._urls()
         if not urls:
             raise SourceError("rest source needs records, urls, or base_url+pages")
-        payload = _fetch(urls[0], float(self.config.get("timeout", 30)))
+        payload = fetch_json(urls[0], **self._http_kwargs())
         return _extract_records(payload, self.config.get("records_key"))
 
     def discover(self, spark: SparkSession) -> Catalog:
@@ -113,7 +125,7 @@ class RestSource(Source):
             )
         urls = self._urls()
         records_key = self.config.get("records_key")
-        timeout = float(self.config.get("timeout", 30))
+        http_kwargs = self._http_kwargs()
         schema = stream.schema
 
         url_df = spark.createDataFrame([(u,) for u in urls], "url string").repartition(
@@ -124,7 +136,8 @@ class RestSource(Source):
             for pdf in batches:
                 lines = []
                 for u in pdf["url"]:
-                    for rec in _extract_records(_fetch(u, timeout), records_key):
+                    payload = fetch_json(u, **http_kwargs)
+                    for rec in _extract_records(payload, records_key):
                         lines.append(json.dumps(rec))
                 yield pd.DataFrame({"line": lines})
 
