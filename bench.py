@@ -1,7 +1,13 @@
 """Benchmark harness: runs the engine's query fleet at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
-"sf", "reps", "samples": {name: [sec, ...]}}.
+JSON line: {"samples": {name: [sec, ...]}, "queries": {name: sec}, "sf",
+"reps", "metric", "value" (total sec), "unit"}.
+
+Key order is deliberate: the headline (metric/value) keys sit at the END
+of the line, so any fixed-size TAIL capture of the output (the driver
+keeps the last ~2000 chars) always retains the fleet total even though
+the full per-query detail exceeds it.  Per-query progress goes to
+stderr, never stdout — stdout is exactly one JSON line.
 
 Each query executes via the noop sink (full computation, no driver
 collect, no filesystem write skew) after a warm-up of the session JVM.
@@ -91,17 +97,19 @@ def main() -> int:
         samples[name] = [round(r, 3) for r in runs]
         timings[name] = round(med, 3)
         total += med
+        print(f"# {name}: {timings[name]}s {samples[name]}", file=sys.stderr)
 
     print(
         json.dumps(
             {
-                "metric": "fleet_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
+                # detail first, headline LAST — see module docstring
+                "samples": samples,
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
-                "samples": samples,
+                "metric": "fleet_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
             }
         )
     )

@@ -43,6 +43,37 @@ def build_spark(app: str = "tap-airbyte-wrapper-spark") -> SparkSession:
     )
 
 
+def print_spec_as_config(spec: dict[str, Any]) -> None:
+    """Render a source spec as guided setup instructions — a commented
+    config skeleton with ``fixme`` placeholders (parity with the
+    reference's ``print_spec_as_config``, tap.py:498-522: descriptions
+    become comments; object-typed properties expand one level, with
+    ``oneOf`` variants listed as numbered options)."""
+
+    def emit(props: dict[str, Any], indent: str) -> None:
+        for prop, schema in props.items():
+            typ = schema.get("type", "string")
+            types = typ if isinstance(typ, list) else [typ]
+            if "description" in schema:
+                print(f"{indent}# {schema['description']}")
+            if "object" in types:
+                print(f"{indent}{prop}:")
+                if "oneOf" in schema:
+                    for i, one in enumerate(schema["oneOf"]):
+                        print(f"{indent}  # Option {i + 1}")
+                        emit(one.get("properties", {}), indent + "  ")
+                else:
+                    emit(schema.get("properties", {}), indent + "  ")
+            else:
+                default = schema.get("default")
+                val = "fixme" if default is None else json.dumps(default)
+                print(f"{indent}{prop}: {val}")
+
+    print("\nSetup Instructions:\n")
+    print("source_config:")
+    emit(spec.get("properties", {}), "  ")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="tap-airbyte-wrapper-spark")
     ap.add_argument("--version", action="store_true")
@@ -78,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.about:
         print(json.dumps({"spec": engine.spec()}, indent=2, sort_keys=True))
+        print_spec_as_config(engine.spec())
         return 0
     if args.test:
         ok = engine.check()

@@ -136,7 +136,13 @@ def global_distribution_ranks(
     RangePartitioner re-SAMPLES boundaries per job — without pinning,
     the counting job and the ranking job see different partition
     layouts and the offsets are garbage (observed, not hypothetical).
-    One materialization replaces one unscalable single-task sort."""
+    One materialization replaces one unscalable single-task sort.
+
+    NOTE the checkpoint is also a column-pruning barrier: Catalyst
+    cannot push a downstream projection through it, so ``df`` is
+    materialized with EVERY column it carries.  Callers should select
+    the columns they need before calling (measured 20% on a 9-column
+    table ranked on 2)."""
     spark = df.sparkSession
     num_ranges = num_ranges or spark.sparkContext.defaultParallelism
     parts = df.repartitionByRange(num_ranges, *order_by).withColumn(

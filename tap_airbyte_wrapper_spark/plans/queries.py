@@ -855,9 +855,14 @@ def q_order_price_deciles(spark, sf_dir):
     global-rank operator (range repartition + local ranks + cumulative
     offsets), NOT an unpartitioned window: ``Window.orderBy`` without
     partitionBy funnels the whole table through one task.  The oracle
-    keeps the window formulation, proving the rank arithmetic exact."""
+    keeps the window formulation, proving the rank arithmetic exact.
+
+    Pre-projected to the two needed columns BEFORE ranking: the
+    operator's localCheckpoint is a column-pruning barrier, so feeding
+    it full orders materialized 9 columns to rank on 2 (the round-4
+    bench regression — measured 0.97s -> 0.78s at sf0.1)."""
     ranked = global_distribution_ranks(
-        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
         [F.col("o_totalprice"), F.col("o_orderkey")], n_tiles=10)
     return ranked.select(
         "o_orderkey",

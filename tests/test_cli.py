@@ -1,0 +1,54 @@
+"""CLI flag parity tests (reference tap.py:211-311, 498-522)."""
+
+import json
+
+from tap_airbyte_wrapper_spark.cli import main, print_spec_as_config
+
+
+def test_version(capsys):
+    assert main(["--version"]) == 0
+    assert capsys.readouterr().out.startswith("tap-airbyte-wrapper-spark v")
+
+
+def test_about_without_config_lists_sources(capsys):
+    assert main(["--about"]) == 0
+    listed = json.loads(capsys.readouterr().out)["sources"]
+    assert {"changelog", "dataset_dir", "rest", "jdbc"} <= set(listed)
+
+
+def test_about_renders_guided_setup(spark, sf_dir, tmp_path, capsys):
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps(
+        {"source": "dataset_dir", "source_config": {"path": sf_dir}}))
+    assert main(["--config", str(cfg), "--about"]) == 0
+    out = capsys.readouterr().out
+    # JSON spec first, then the reference-style commented skeleton
+    assert '"spec"' in out
+    assert "Setup Instructions:" in out
+    assert "source_config:" in out
+    assert "# directory of <table>.parquet" in out
+    assert "path: fixme" in out
+
+
+def test_print_spec_as_config_oneof_and_defaults(capsys):
+    print_spec_as_config({
+        "type": "object",
+        "properties": {
+            "plain": {"type": "string", "description": "a plain prop"},
+            "with_default": {"type": "integer", "default": 3},
+            "nested": {
+                "type": "object",
+                "oneOf": [
+                    {"properties": {"a": {"type": "string"}}},
+                    {"properties": {"b": {"type": "string",
+                                          "description": "inner b"}}},
+                ],
+            },
+        },
+    })
+    out = capsys.readouterr().out
+    assert "# a plain prop" in out
+    assert "with_default: 3" in out          # default beats fixme
+    assert "# Option 1" in out and "# Option 2" in out
+    assert "# inner b" in out
+    assert out.index("# Option 1") < out.index("a: fixme")
