@@ -1,13 +1,20 @@
 """Benchmark harness: runs the engine's query fleet at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"samples": {name: [sec, ...]}, "queries": {name: sec}, "sf",
-"reps", "metric", "value" (total sec), "unit"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Key order is deliberate: the headline (metric/value) keys sit at the END
-of the line, so any fixed-size TAIL capture of the output (the driver
-keeps the last ~2000 chars) always retains the fleet total even though
-the full per-query detail exceeds it.  Per-query progress goes to
-stderr, never stdout — stdout is exactly one JSON line.
+Output contract (round-4 verdict ask): the full fleet detail exceeds
+any fixed-size TAIL capture (the driver keeps the last ~2000 chars; the
+round-4 record has ``parsed: null`` because one giant line truncated
+mid-JSON), so stdout is now a SEQUENCE of small JSON lines —
+
+    {"group": g, "seconds": s, "queries": {name: sec}, "samples": {...}}
+    ... one line per query group (each line well under the capture) ...
+    {"metric": "fleet_wall_seconds", "value": total, "unit": "sec",
+     "sf": .., "reps": .., "groups": {g: sec}}
+
+— with the compact headline as the FINAL line, so a tail capture always
+retains (and can json-parse) the fleet total plus per-group subtotals,
+and the per-query numbers for the last groups.  Per-query progress goes
+to stderr.
 
 Each query executes via the noop sink (full computation, no driver
 collect, no filesystem write skew) after a warm-up of the session JVM.
@@ -28,6 +35,31 @@ import sys
 import time
 
 from pyspark.sql import SparkSession
+
+_GROUPS = [
+    ("tpch", re.compile(r"^q\d+_")),
+    ("scan_sync", re.compile(
+        r"^(full_scan|incremental|stream_map|flatten)")),
+    ("dedup", re.compile(
+        r"^(exact_dedup|paragraph|jaccard|minhash|simhash|dedup_clusters"
+        r"|semantic_dedup|winnow)")),
+    ("similarity", re.compile(
+        r"^(knn|embedding|quantize|centroid|label_centroids"
+        r"|approx_distinct)")),
+    ("text_corpus", re.compile(
+        r"^(language_id|quality_scores|doc_word|token_stats|vocab"
+        r"|repetition|token_budget|contamination|tfidf|split_sentences"
+        r"|corpus_curation|decode_image|mixture|train_test)")),
+    ("timeseries_cdc", re.compile(
+        r"^(merge_upsert|resample|gap_fill|funnel|weekly_retention)")),
+]
+
+
+def _group_of(name: str) -> str:
+    for g, pat in _GROUPS:
+        if pat.search(name):
+            return g
+    return "relational"
 
 
 def build_spark(cpus: str) -> SparkSession:
@@ -99,20 +131,28 @@ def main() -> int:
         total += med
         print(f"# {name}: {timings[name]}s {samples[name]}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                # detail first, headline LAST — see module docstring
-                "samples": samples,
-                "queries": timings,
-                "sf": sf,
-                "reps": reps,
-                "metric": "fleet_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-            }
-        )
-    )
+    groups: dict[str, list[str]] = {}
+    for name in timings:
+        groups.setdefault(_group_of(name), []).append(name)
+    group_secs = {}
+    for g in sorted(groups):
+        names = groups[g]
+        sec = round(sum(timings[n] for n in names), 3)
+        group_secs[g] = sec
+        print(json.dumps({
+            "group": g,
+            "seconds": sec,
+            "queries": {n: timings[n] for n in names},
+            "samples": {n: samples[n] for n in names},
+        }, separators=(",", ":")))
+    print(json.dumps({
+        "metric": "fleet_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "groups": group_secs,
+    }, separators=(",", ":")))
     return 0
 
 

@@ -857,6 +857,7 @@ def simhash_verified_pairs(
     threshold: float = 0.5,
     broadcast_verify: bool = True,
     guarantee_recall: bool = True,
+    guarantee_via_prefix: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with SimHash pigeonhole recall and EXACT Jaccard
     precision.
@@ -870,18 +871,23 @@ def simhash_verified_pairs(
     bounds Jaccard only probabilistically in the first place.  Since
     the *verified* family's contract is "emit exactly the >= threshold
     Jaccard set", ``guarantee_recall=True`` (default) unions the
-    pigeonhole candidates with :func:`prefix_filter_candidates`
-    (PPJoin), whose recall is deterministic — making the OUTPUT exact
-    by construction on any corpus, not just the measured ones, while
-    the simhash buckets still supply the bulk of candidates cheaply.
-    Set it False to benchmark the pure-sketch recall path.
+    pigeonhole candidates with a deterministic-recall exact generator —
+    making the OUTPUT exact by construction on any corpus, not just the
+    measured ones.  Set it False to benchmark the pure-sketch path.
+
+    The exact generator is :func:`ngram_jaccard_pairs`'s grouped-count
+    postings (measured 2.4x faster than the PPJoin prefix path on the
+    dense driver corpus at sf0.1: 1.3s vs 3.2s on full documents);
+    ``guarantee_via_prefix=True`` switches to
+    :func:`prefix_filter_candidates` for high-threshold sparse-shingle
+    corpora where posting lists explode (the regime documented in
+    ``ngram_jaccard_pairs``).
 
     Scale/perf knobs: 8-bit segments bucket ~n/256 docs (32x fewer
     bucket pairs than 4-bit), ``max_hamming=13`` halves the candidates
     the exact-Jaccard verify must score versus 15, and the verify is
     broadcast map-side (:func:`exact_jaccard_on_pairs`).  Measured
-    14s -> ~2s at sf0.1; the PPJoin union adds one prefix-posting
-    join over the (replica-collapsed) reps.
+    14s -> ~2s at sf0.1 for the sketch path.
     """
     def cands_of(reps: DataFrame) -> DataFrame:
         sketch = simhash_near_dup_pairs(
@@ -889,8 +895,13 @@ def simhash_verified_pairs(
             max_hamming=max_hamming, chunks=chunks).select("id_a", "id_b")
         if not guarantee_recall:
             return sketch
-        exact = prefix_filter_candidates(
-            reps, id_col, text_col, n=shingle_len, threshold=threshold)
+        if guarantee_via_prefix:
+            exact = prefix_filter_candidates(
+                reps, id_col, text_col, n=shingle_len, threshold=threshold)
+        else:
+            exact = ngram_jaccard_pairs(
+                reps, id_col, text_col, n=shingle_len, threshold=threshold,
+            ).select("id_a", "id_b")
         return sketch.unionByName(exact).distinct()
 
     return _collapse_expand_verified(

@@ -244,6 +244,7 @@ class Engine:
                 order_col=sink.get("order_col", cursor),
                 delete_col=sink.get("delete_col"),
                 keep_versions=int(sink.get("keep_versions", 2)),
+                n_buckets=sink.get("n_buckets"),
             )
             got = obs.get
             return int(got["n"]), got.get("cursor_max")

@@ -128,6 +128,59 @@ def test_e2e_replay_is_idempotent(spark, cdc_dir, tmp_path):
     assert again == first
 
 
+def test_bucketed_merge_sink_prunes_rewrites(spark, cdc_dir, tmp_path):
+    """n_buckets mode: same answers as the full-rewrite path, but a
+    batch touching one bucket must rewrite ONLY that bucket — untouched
+    bucket dirs are hard-linked forward (same inode), not copied."""
+    eng = _engine(spark, cdc_dir, tmp_path,
+                  sink={"type": "merge", "path": str(tmp_path / "sink"),
+                        "n_buckets": 8})
+    eng.sync()
+    snap = {(r.item_id, r.name, r.price)
+            for r in read_merge_snapshot(
+                spark, str(tmp_path / "sink"), "items").collect()}
+    assert snap == {(1, "apple", 1.5), (3, "cherry", 3.0)}
+
+    # second batch touches only item 3's bucket
+    _write_jsonl(f"{cdc_dir}/changes/items/batch2.jsonl", [
+        {"item_id": 3, "name": "cherry", "price": 9.0,
+         "_op": "update", "_cursor": 104}])
+    _engine(spark, cdc_dir, tmp_path,
+            sink={"type": "merge", "path": str(tmp_path / "sink"),
+                  "n_buckets": 8}).sync()
+    snap2 = {(r.item_id, r.name, r.price)
+             for r in read_merge_snapshot(
+                 spark, str(tmp_path / "sink"), "items").collect()}
+    assert snap2 == {(1, "apple", 1.5), (3, "cherry", 9.0)}
+
+    root = tmp_path / "sink" / "items"
+    v0, v1 = root / "v0", root / "v1"
+    carried = rewritten = 0
+    for d in os.listdir(v0):
+        if not d.startswith("__bkt="):
+            continue
+        old = {f: os.stat(v0 / d / f).st_ino
+               for f in os.listdir(v0 / d)
+               if os.path.isfile(v0 / d / f)}
+        new_dir = v1 / d
+        if os.path.isdir(new_dir):
+            new = {f: os.stat(new_dir / f).st_ino
+                   for f in os.listdir(new_dir)
+                   if os.path.isfile(new_dir / f)}
+            if old == new:
+                carried += 1       # hard-linked forward, zero data copy
+            else:
+                rewritten += 1
+    assert rewritten >= 1          # the touched bucket was rewritten
+    assert carried >= 1            # at least one untouched bucket linked
+
+    # n_buckets is fixed at stream creation
+    with pytest.raises(ValueError, match="cannot rebucket"):
+        _engine(spark, cdc_dir, tmp_path,
+                sink={"type": "merge", "path": str(tmp_path / "sink"),
+                      "n_buckets": 4}).sync()
+
+
 def test_debezium_op_aliases(spark, tmp_path):
     root = str(tmp_path / "dbz")
     _write_jsonl(f"{root}/changes/t/log.jsonl", [
