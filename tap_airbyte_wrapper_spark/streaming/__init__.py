@@ -11,9 +11,11 @@ from .incremental import (
     stream_source,
     windowed_counts,
 )
+from .cdc import stream_changelog_apply
 from .stateful import stateful_max_cursor, stateful_running_stats
 
 __all__ = [
+    "stream_changelog_apply",
     "stream_source",
     "incremental_sync",
     "windowed_counts",

@@ -194,6 +194,50 @@ def test_debezium_op_aliases(spark, tmp_path):
     assert got == {("insert", False), ("update", False), ("delete", True)}
 
 
+def test_streaming_cdc_apply(spark, cdc_dir, tmp_path):
+    """Continuous CDC: a streaming query over the changes dir applies
+    each micro-batch through the same merge sink.  The checkpoint is
+    the bookmark — a second run after new files land processes ONLY
+    the new files, and the snapshot converges to the batch answer."""
+    from tap_airbyte_wrapper_spark.sources import get_source
+    from tap_airbyte_wrapper_spark.streaming import stream_changelog_apply
+
+    src = get_source("changelog",
+                     {"path": cdc_dir, "primary_keys": {"items": ["item_id"]}})
+    entry = {e.name: e for e in src.discover(spark)}["items"]
+    # change-record schema = unified schema minus the derived _deleted
+    schema = (src._load_changes(spark, "items").drop("_deleted")).schema
+
+    kw = dict(
+        changes_dir=f"{cdc_dir}/changes/items",
+        schema=schema, stream="items",
+        sink_path=str(tmp_path / "snap"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        pks=["item_id"], n_buckets=4)
+    q = stream_changelog_apply(spark, **kw)
+    q.awaitTermination(120)
+    # no base snapshot feeds the stream: only the 3 change ops applied
+    snap = {(r.item_id, r.price)
+            for r in read_merge_snapshot(
+                spark, str(tmp_path / "snap"), "items").collect()}
+    assert snap == {(1, 1.5), (3, 3.0)}
+
+    _write_jsonl(f"{cdc_dir}/changes/items/batch2.jsonl", [
+        {"item_id": 3, "name": "cherry", "price": 7.0,
+         "_op": "u", "_cursor": 104}])
+    q2 = stream_changelog_apply(spark, **kw)
+    q2.awaitTermination(120)
+    snap2 = {(r.item_id, r.price)
+             for r in read_merge_snapshot(
+                 spark, str(tmp_path / "snap"), "items").collect()}
+    assert snap2 == {(1, 1.5), (3, 7.0)}
+    # checkpoint bookkeeping: exactly 2 committed micro-batches, and the
+    # second run did NOT reprocess batch1 (version count = 2 writes)
+    import os as _os
+    commits = _os.listdir(tmp_path / "ckpt" / "commits")
+    assert sorted(c for c in commits if c.isdigit()) == ["0", "1"]
+
+
 def test_config_errors(spark, tmp_path):
     root = str(tmp_path / "bad")
     _write_jsonl(f"{root}/changes/t/log.jsonl", [{"k": 1, "_cursor": 1}])
