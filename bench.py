@@ -42,16 +42,17 @@ _GROUPS = [
         r"^(full_scan|incremental|stream_map|flatten)")),
     ("dedup", re.compile(
         r"^(exact_dedup|paragraph|jaccard|minhash|simhash|dedup_clusters"
-        r"|semantic_dedup|winnow)")),
+        r"|semantic_dedup|winnow|boilerplate|dup_span)")),
     ("similarity", re.compile(
         r"^(knn|embedding|quantize|centroid|label_centroids"
         r"|approx_distinct)")),
     ("text_corpus", re.compile(
         r"^(language_id|quality_scores|doc_word|token_stats|vocab"
         r"|repetition|token_budget|contamination|tfidf|split_sentences"
-        r"|corpus_curation|decode_image|mixture|train_test)")),
+        r"|corpus_curation|decode_image|mixture|train_test|shard_stats)")),
     ("timeseries_cdc", re.compile(
-        r"^(merge_upsert|resample|gap_fill|funnel|weekly_retention)")),
+        r"^(merge_upsert|resample|gap_fill|funnel|weekly_retention"
+        r"|anomaly)")),
 ]
 
 

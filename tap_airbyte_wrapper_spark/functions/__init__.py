@@ -45,6 +45,7 @@ from .similarity import (
     semantic_dedup,
 )
 from .corpus import (
+    dup_span_stats,
     ngram_contamination,
     pack_token_budget,
     repetition_signals,
@@ -53,8 +54,16 @@ from .corpus import (
     word_ngrams,
     words,
 )
+from .dedup import boilerplate_removal
 from .pii import PII_PATTERNS, pii_counts, redact_pii
-from .sampling import hash_bucket, hash_split, mixture_sample, stratified_sample
+from .sampling import (
+    assign_shards,
+    hash_bucket,
+    hash_split,
+    mixture_sample,
+    stratified_sample,
+    write_training_shards,
+)
 from .udtf import SentenceSplitter, split_sentences
 from .multimodal import (
     MEDIA_SCHEMA,
@@ -80,6 +89,8 @@ __all__ = [
     "embedding_near_dup_pairs",
     "IvfIndex", "ivf_build", "ivf_load", "ivf_search", "quantize_embeddings", "nearest_centroid_assign", "semantic_dedup",
     "hash_bucket", "hash_split", "mixture_sample", "stratified_sample",
+    "assign_shards", "write_training_shards",
+    "boilerplate_removal", "dup_span_stats",
     "SentenceSplitter", "split_sentences",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
     "decode_audio",

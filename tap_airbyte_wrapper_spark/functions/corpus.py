@@ -38,6 +38,7 @@ __all__ = [
     "repetition_signals",
     "pack_token_budget",
     "ngram_contamination",
+    "dup_span_stats",
 ]
 
 
@@ -276,6 +277,68 @@ def ngram_contamination(
         corpus_grams.join(bench_grams, "gram_h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-span coverage (the measurement side of
+    exact substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better"): for each doc, the fraction of its
+    DISTINCT word ``n``-grams that also occur in at least one OTHER
+    document.  High coverage = the doc is largely stitched from text
+    that exists elsewhere (mirrors, quotes, template farms) even when
+    no whole-doc or paragraph duplicate exists.
+
+    Returns ``(id, n_grams, n_dup_grams, dup_frac)``; docs shorter than
+    ``n`` words keep a row with ``n_grams = 0`` and null ``dup_frac``.
+
+    Plan shape: one explode to distinct (doc, gram-hash) pairs — grams
+    travel as 8-byte xxhash64 values, never strings — then the gram
+    doc-frequency is a count over that already-distinct set (map-side
+    partial agg; rows = distinct grams).  A gram is "duplicated" when
+    its doc-count >= 2, and the per-doc rollup joins hash-to-hash.  No
+    all-pairs comparison anywhere: cost is linear in corpus token
+    count, the heaviest shuffle carries (doc_id, gram_h) longs.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams(words(F.col(text_col)), n),
+                            lambda g: F.xxhash64(g)))).alias("gram_h"),
+    )
+    gram_df = grams.groupBy("gram_h").agg(
+        F.count(F.lit(1)).alias("__df"))
+    dup_per_doc = (
+        grams.join(gram_df.filter(F.col("__df") >= 2), "gram_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(
+            F.array_distinct(
+                F.transform(word_ngrams(words(F.col(text_col)), n),
+                            lambda g: F.xxhash64(g)))).cast("long")
+        .alias("n_grams"),
+    )
+    return (
+        totals.join(dup_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"), 6),
+            ).alias("dup_frac"),
+        )
     )
 
 

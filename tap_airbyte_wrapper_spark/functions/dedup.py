@@ -33,6 +33,7 @@ __all__ = [
     "shingles",
     "exact_dedup",
     "paragraph_dedup",
+    "boilerplate_removal",
     "minhash_signature",
     "minhash_signatures_df",
     "lsh_candidate_pairs",
@@ -332,6 +333,68 @@ def paragraph_dedup(
         .select(
             F.col(id_col),
             F.concat_ws(sep, F.transform("__ps", lambda s: s["__p"]))
+            .alias(text_col),
+        )
+    )
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_docs: int | None = None,
+    min_doc_frac: float | None = None,
+    broadcast_bad: bool = True,
+) -> DataFrame:
+    """Corpus-wide boilerplate removal (CCNet/RefinedWeb line-dedup):
+    split each doc on ``sep`` into units (lines), drop EVERY occurrence
+    of any unit appearing in at least ``min_docs`` distinct documents
+    (or ``min_doc_frac`` of the corpus — scale-invariant), and
+    reassemble the survivors in order.  Docs whose units all lose
+    vanish (C4 behaviour).
+
+    Differs from :func:`paragraph_dedup` (keep FIRST occurrence): a
+    nav menu on a million pages must not survive even once — frequency
+    past the threshold marks the unit itself as template noise.
+
+    Plan shape: posexplode -> xxhash64 unit key -> doc-frequency agg on
+    the hash (map-side partial, rows = distinct units) -> the
+    over-threshold "bad" set is bounded by (total units / threshold),
+    so for fractional thresholds it BROADCASTS into a left-anti probe —
+    the unit text itself never joins or reshuffles — then one
+    reassembly shuffle per doc.  With ``min_doc_frac`` the corpus doc
+    count arrives as a broadcast one-row cross join, never a driver
+    collect.  A LOW absolute ``min_docs`` (say 10) on a web-scale
+    corpus makes the bad set corpus-sized — pass
+    ``broadcast_bad=False`` there and the anti-join shuffles on the
+    8-byte hash instead.
+    """
+    if (min_docs is None) == (min_doc_frac is None):
+        raise ValueError("pass exactly one of min_docs / min_doc_frac")
+    units = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__pos", "__u"),
+    ).filter(F.trim("__u") != "")
+    keyed = units.withColumn("__h", F.xxhash64("__u"))
+    freq = keyed.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__df"))
+    if min_docs is not None:
+        bad = freq.filter(F.col("__df") >= min_docs)
+    else:
+        n_docs = df.select(
+            F.count_distinct(F.col(id_col)).alias("__n"))
+        bad = freq.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("__df") >= F.col("__n") * min_doc_frac)
+    bad = bad.select("__h")
+    kept = keyed.join(
+        F.broadcast(bad) if broadcast_bad else bad, "__h", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__u"))).alias("__us"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(sep, F.transform("__us", lambda s: s["__u"]))
             .alias(text_col),
         )
     )

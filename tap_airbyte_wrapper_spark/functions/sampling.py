@@ -12,7 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_bucket", "hash_split", "mixture_sample", "stratified_sample"]
+__all__ = ["hash_bucket", "hash_split", "mixture_sample",
+           "stratified_sample", "assign_shards", "write_training_shards"]
 
 
 def hash_bucket(col: Column, buckets: int = 100, salt: str = "") -> Column:
@@ -79,3 +80,50 @@ def mixture_sample(
         thresh = F.when(F.col(group_col) == g, F.lit(int(r * 10_000))) \
             .otherwise(thresh)
     return df.filter(bucket < thresh)
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment: ``shard = md5-bucket(id)
+    % num_shards``.  Same reproducibility contract as the splits above —
+    a pure row-id function, independent of row order, partitioning,
+    cluster size and session seed, so a resumed/retried 1000-executor
+    write produces byte-identical shard membership and any engine can
+    recompute it.  md5 balances shards to within sampling noise
+    (each shard ~ n/num_shards docs) with no coordination.
+    """
+    return df.withColumn(
+        shard_col,
+        hash_bucket(F.col(id_col), 2 ** 15, salt) % num_shards)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    num_shards: int = 256,
+    salt: str = "",
+    fmt: str = "parquet",
+) -> None:
+    """Write the frame as hash-sharded training output:
+    ``{path}/shard=K/part-*.{fmt}`` via ``partitionBy`` after ONE
+    repartition on the shard column, so each shard is written by the
+    task that owns it (no small-file spray: tasks x shards files
+    otherwise).  Shard membership comes from :func:`assign_shards` —
+    deterministic, so a re-run overwrites each shard with identical
+    content.  Within a shard, rows are sorted by id for stable diffs.
+    """
+    sharded = assign_shards(df, id_col, num_shards, salt)
+    (
+        sharded.repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )

@@ -24,7 +24,13 @@ from .windows import (global_distribution_ranks, global_topk, ranked,
                       running_agg, topk_per_group, with_lag_lead)
 from .merge import merge_upsert
 from .setops import except_rows, intersect_rows, union_by_name
-from .timeseries import gap_fill, resample, time_bucket
+from .timeseries import (
+    detect_anomalies,
+    gap_fill,
+    resample,
+    rolling_stats,
+    time_bucket,
+)
 
 __all__ = [
     "equi_join", "semi_join", "anti_join", "asof_join", "range_join",
@@ -35,5 +41,6 @@ __all__ = [
     "global_distribution_ranks",
     "union_by_name", "intersect_rows", "except_rows",
     "merge_upsert",
-    "time_bucket", "resample", "gap_fill",
+    "time_bucket", "resample", "gap_fill", "rolling_stats",
+    "detect_anomalies",
 ]

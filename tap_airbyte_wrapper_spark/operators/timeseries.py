@@ -27,7 +27,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["time_bucket", "resample", "gap_fill"]
+__all__ = ["time_bucket", "resample", "gap_fill", "rolling_stats",
+           "detect_anomalies"]
 
 
 def time_bucket(ts: Column, step_seconds: int) -> Column:
@@ -129,4 +130,82 @@ def gap_fill(
         F.col(key_col),
         F.timestamp_seconds(F.col("__bucket_s")).alias(bucket_col),
         filled.alias(value_col),
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 20,
+    include_current: bool = False,
+) -> DataFrame:
+    """Trailing ``window_rows``-row rolling mean / sample-stddev / count
+    of ``value_col`` per key, ordered by ``order_cols`` (pass a
+    tiebreaker column — e.g. the event id — after the timestamp so the
+    frame is deterministic under ties).
+
+    ``include_current=False`` (default) excludes the current row from
+    its own statistics — the form anomaly detection needs, so an
+    outlier can't launder itself into its own baseline.
+
+    One shuffle on the key; both aggregates share the single sliding
+    ROWS frame (Spark evaluates them in one pass over each frame).
+    Parallelism = key cardinality — right for high-cardinality keys
+    (users, devices, series ids).  A FEW giant keys serialize; route
+    those through :func:`resample` first (bucketing collapses row
+    count) or sub-key by time range.
+    """
+    # frame holds exactly window_rows rows: [cur-N+1, cur] including the
+    # current row, [cur-N, cur-1] excluding it
+    hi = 0 if include_current else -1
+    lo = -window_rows + 1 if include_current else -window_rows
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(lo, hi)
+    )
+    v = F.col(value_col)
+    return df.select(
+        "*",
+        F.avg(v).over(w).alias("roll_mean"),
+        F.stddev_samp(v).over(w).alias("roll_std"),
+        F.count(v).over(w).alias("roll_n"),
+    )
+
+
+def detect_anomalies(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 20,
+    threshold: float = 3.0,
+    min_baseline: int = 5,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: flag rows whose value sits
+    more than ``threshold`` sample standard deviations from the mean of
+    the TRAILING ``window_rows`` observations of the same key (current
+    row excluded from its own baseline).  Rows with fewer than
+    ``min_baseline`` trailing observations, or a degenerate (null /
+    zero) baseline stddev, are never flagged — a cold-start series
+    must not alarm on its second point.
+
+    Returns only the anomalous rows, with ``roll_mean``, ``roll_std``
+    and the ``zscore`` (rounded to 6) attached.  Same single-shuffle
+    scale shape as :func:`rolling_stats`.
+    """
+    stats = rolling_stats(
+        df, key_col, order_cols, value_col,
+        window_rows=window_rows, include_current=False)
+    z = (F.col(value_col) - F.col("roll_mean")) / F.col("roll_std")
+    return (
+        stats.withColumn("zscore", F.round(z, 6))
+        .filter(
+            (F.col("roll_n") >= min_baseline)
+            & F.col("roll_std").isNotNull()
+            & (F.col("roll_std") > 0)
+            & (F.abs(F.col("zscore")) > threshold)
+        )
     )

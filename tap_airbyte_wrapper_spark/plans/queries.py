@@ -1517,6 +1517,62 @@ def q_knn_ivf(spark, sf_dir):
         "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"))
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    """CCNet/RefinedWeb-style boilerplate removal: drop EVERY occurrence
+    of a unit appearing in >= 50% of the corpus (the synthetic docs have
+    no newlines, so the unit is the word — same plan: explode ->
+    doc-frequency agg on the hash -> broadcast anti-join -> reassemble).
+    Fractional threshold keeps the semantics scale-invariant."""
+    from ..functions import boilerplate_removal
+
+    return boilerplate_removal(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        sep=" ", min_doc_frac=0.5)
+
+
+def q_dup_span_docs(spark, sf_dir):
+    """Per-doc duplicated-span coverage (Lee et al. exact-substring
+    measurement): fraction of each doc's distinct word 8-grams that also
+    occur in another document.  Grams travel as xxhash64 longs; the
+    oracle recomputes with literal gram strings."""
+    from ..functions import dup_span_stats
+
+    return dup_span_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=8)
+
+
+def q_anomaly_events(spark, sf_dir):
+    """Rolling z-score anomaly detection per user: value more than 2
+    sample stddevs from the mean of the 5 TRAILING events (current row
+    excluded from its own baseline; cold-start rows with < 3 trailing
+    observations never flag).  One shuffle on user_id — key cardinality
+    = parallelism."""
+    from ..operators import detect_anomalies
+
+    out = detect_anomalies(
+        _t(spark, sf_dir, "events"), "user_id", ["ts", "event_id"],
+        "value", window_rows=5, threshold=2.0, min_baseline=3)
+    return out.select(
+        "user_id", "event_id", _us("ts").alias("ts_us"),
+        F.round("value", 4).alias("value_r"),
+        F.round("zscore", 4).alias("z_r"))
+
+
+def q_shard_stats(spark, sf_dir):
+    """Deterministic training-shard assignment (md5-bucketed, order- and
+    partitioning-independent) rolled up to per-shard balance stats — the
+    audit query a sharded 100 TB training write needs."""
+    from ..functions import assign_shards
+
+    sharded = assign_shards(
+        _t(spark, sf_dir, "documents"), "doc_id", num_shards=32)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -1534,6 +1590,11 @@ QUERIES = {
     # verified-family siblings, the flagship, and the three hardest
     # composite ops.  Everything rotated out stays oracle-checked in
     # tests/test_oracle_parity.py every pytest run.
+    # -- never driver-checked (round-5 additions) --------------------
+    "boilerplate_removal_docs": q_boilerplate_removal,
+    "dup_span_docs": q_dup_span_docs,
+    "anomaly_events": q_anomaly_events,
+    "shard_stats": q_shard_stats,
     # -- never driver-checked (round-4 additions) --------------------
     "merge_upsert_orders": q_merge_upsert_orders,
     "resample_events": q_resample_events,
@@ -1584,12 +1645,16 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "dedup_clusters": q_dedup_clusters,
     "decode_image_meta": q_decode_image_meta,
+    "paragraph_dedup_docs": q_paragraph_dedup,
+    # -- entries below are outside the driver's QUERIES[:50] window:
+    # -- (round 5 rotated out to make room for the four new ops:
+    # -- asof_purchase_view / sessionization / contamination_docs /
+    # -- label_centroids — all r04-green with code unchanged since,
+    # -- still oracle-checked every pytest run) ----------------------
     "asof_purchase_view": q_asof_purchase_view,
     "sessionization": q_sessionization,
-    "paragraph_dedup_docs": q_paragraph_dedup,
     "contamination_docs": q_contamination_docs,
     "label_centroids": q_label_centroids,
-    # -- entries below are outside the driver's QUERIES[:50] window:
     # -- (a) rows-only checks with no SQL-expressible oracle
     # -- (xxhash64 / hyperplane-LSH / k-means / HLL internals — each
     # -- has an oracle-backed *_verified twin kept in-window above;
@@ -2368,6 +2433,67 @@ ORACLES = {
                             WHEN 'src1' THEN 5000
                             WHEN 'src2' THEN 2500
                             ELSE 1000 END""",
+    "boilerplate_removal_docs": """
+        WITH p AS (
+          SELECT doc_id, i AS pos, w[i] AS u
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+               UNNEST(generate_series(1, len(w))) AS t(i)
+          WHERE trim(w[i]) != ''
+        ), bad AS (
+          SELECT u FROM p GROUP BY u
+          HAVING count(DISTINCT doc_id)
+                 >= 0.5 * (SELECT count(DISTINCT doc_id) FROM documents)
+        )
+        SELECT doc_id, string_agg(u, ' ' ORDER BY pos) AS text
+        FROM p WHERE u NOT IN (SELECT u FROM bad)
+        GROUP BY doc_id""",
+    "dup_span_docs": """
+        WITH ws AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(trim(text)), '\\S+') AS w
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+          FROM ws, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+          WHERE len(w) >= 8),
+        freq AS (SELECT gram, count(*) AS d FROM g GROUP BY gram),
+        dup AS (
+          SELECT g.doc_id, count(*) AS n_dup
+          FROM g JOIN freq USING (gram) WHERE d >= 2 GROUP BY g.doc_id),
+        tot AS (
+          SELECT ws.doc_id,
+                 (SELECT count(DISTINCT gram) FROM g
+                  WHERE g.doc_id = ws.doc_id) AS n_grams
+          FROM ws)
+        SELECT tot.doc_id, n_grams,
+               coalesce(n_dup, 0) AS n_dup_grams,
+               CASE WHEN n_grams > 0 THEN
+                 round(coalesce(n_dup, 0)::DOUBLE / n_grams, 6)
+               END AS dup_frac
+        FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id""",
+    "anomaly_events": """
+        WITH s AS (
+          SELECT event_id, user_id, ts, value,
+                 avg(value) OVER w AS m,
+                 stddev_samp(value) OVER w AS sd,
+                 count(value) OVER w AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               round(value, 4) AS value_r,
+               round(round((value - m) / sd, 6), 4) AS z_r
+        FROM s
+        WHERE n >= 3 AND sd IS NOT NULL AND sd > 0
+          AND abs(round((value - m) / sd, 6)) > 2.0""",
+    "shard_stats": """
+        SELECT CAST(concat('0x',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % 32768 % 32 AS shard,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_id
+        FROM documents GROUP BY 1""",
     "merge_upsert_orders": """
         WITH changes AS (
           SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,

@@ -1,0 +1,228 @@
+"""Unit tests for the round-5 operators: boilerplate line removal,
+duplicated-span coverage, rolling-window anomaly detection, and
+deterministic training-shard assignment/writing.
+
+Fleet/oracle coverage lives in tests/test_oracle_parity.py
+(boilerplate_removal_docs, dup_span_docs, anomaly_events, shard_stats);
+these tests pin the semantics on small hand-built inputs where the
+expected values are obvious.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tap_airbyte_wrapper_spark.functions import (
+    assign_shards,
+    boilerplate_removal,
+    dup_span_stats,
+    write_training_shards,
+)
+from tap_airbyte_wrapper_spark.operators import (
+    detect_anomalies,
+    rolling_stats,
+)
+
+
+# ------------------------------------------------------------ boilerplate
+
+
+def test_boilerplate_removes_every_occurrence(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="menu\nunique one\nfooter"),
+        Row(doc_id=2, text="menu\nunique two\nfooter"),
+        Row(doc_id=3, text="menu\nunique three"),
+    ])
+    out = {r.doc_id: r.text for r in boilerplate_removal(
+        df, "doc_id", "text", sep="\n", min_docs=2).collect()}
+    # "menu" (3 docs) and "footer" (2 docs) are template noise -> gone
+    # everywhere, including their first occurrences.
+    assert out == {1: "unique one", 2: "unique two", 3: "unique three"}
+
+
+def test_boilerplate_doc_fully_template_vanishes(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="menu\nfooter"),
+        Row(doc_id=2, text="menu\nkept\nfooter"),
+        Row(doc_id=3, text="menu\nfooter"),
+    ])
+    out = boilerplate_removal(
+        df, "doc_id", "text", sep="\n", min_docs=2).collect()
+    assert {r.doc_id for r in out} == {2}
+    assert out[0].text == "kept"
+
+
+def test_boilerplate_frac_threshold_and_order(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="z common a"),
+        Row(doc_id=2, text="common b"),
+        Row(doc_id=3, text="c common"),
+        Row(doc_id=4, text="d only"),
+    ])
+    out = {r.doc_id: r.text for r in boilerplate_removal(
+        df, "doc_id", "text", sep=" ", min_doc_frac=0.75).collect()}
+    # "common" sits in 3/4 docs = 0.75 >= threshold; unit order survives.
+    assert out == {1: "z a", 2: "b", 3: "c", 4: "d only"}
+
+
+def test_boilerplate_requires_exactly_one_threshold(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError):
+        boilerplate_removal(df, "doc_id", "text")
+    with pytest.raises(ValueError):
+        boilerplate_removal(
+            df, "doc_id", "text", min_docs=2, min_doc_frac=0.5)
+
+
+def test_boilerplate_shuffled_anti_join_same_answer(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=i, text="menu\nbody %d" % i) for i in range(6)
+    ])
+    a = boilerplate_removal(
+        df, "doc_id", "text", sep="\n", min_docs=3).collect()
+    b = boilerplate_removal(
+        df, "doc_id", "text", sep="\n", min_docs=3,
+        broadcast_bad=False).collect()
+    assert sorted((r.doc_id, r.text) for r in a) == \
+        sorted((r.doc_id, r.text) for r in b)
+
+
+# ------------------------------------------------------------ dup spans
+
+
+def test_dup_span_coverage_planted_overlap(spark):
+    shared = "one two three four five six seven eight"   # one 8-gram
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=shared + " alpha"),            # 2 grams, 1 shared
+        Row(doc_id=2, text=shared + " beta"),             # 2 grams, 1 shared
+        Row(doc_id=3, text="totally different words here x y z q"),  # 1 gram
+        Row(doc_id=4, text="short doc"),                  # 0 grams
+    ])
+    out = {r.doc_id: r for r in dup_span_stats(
+        df, "doc_id", "text", n=8).collect()}
+    assert out[1].n_grams == 2 and out[1].n_dup_grams == 1
+    assert out[1].dup_frac == 0.5
+    assert out[2].n_grams == 2 and out[2].n_dup_grams == 1
+    assert out[3].n_grams == 1 and out[3].n_dup_grams == 0
+    assert out[3].dup_frac == 0.0
+    assert out[4].n_grams == 0 and out[4].dup_frac is None
+
+
+def test_dup_span_distinct_grams_within_doc(spark):
+    # a doc repeating its own gram does NOT count as duplicated unless
+    # another doc has it: coverage is a cross-document signal.
+    rep = "a b c d e f g h " * 2   # grams repeat internally
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=rep.strip()),
+        Row(doc_id=2, text="totally unrelated text with no overlap at all ok"),
+    ])
+    out = {r.doc_id: r for r in dup_span_stats(
+        df, "doc_id", "text", n=8).collect()}
+    assert out[1].n_dup_grams == 0
+
+
+# ------------------------------------------------------------ anomalies
+
+
+def _events(spark, vals, key=1):
+    base = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame([
+        Row(user_id=key, event_id=i,
+            ts=base + datetime.timedelta(minutes=i), value=float(v))
+        for i, v in enumerate(vals)
+    ])
+
+
+def test_rolling_stats_trailing_frame_excludes_current(spark):
+    df = _events(spark, [1.0, 2.0, 3.0, 4.0])
+    out = sorted(
+        rolling_stats(df, "user_id", ["ts", "event_id"], "value",
+                      window_rows=2).collect(),
+        key=lambda r: r.event_id)
+    assert out[0].roll_n == 0 and out[0].roll_mean is None
+    assert out[1].roll_mean == 1.0
+    assert out[2].roll_mean == 1.5          # mean(1, 2)
+    assert out[3].roll_mean == 2.5          # mean(2, 3) — current excluded
+
+
+def test_detect_anomalies_flags_spike_not_baseline(spark):
+    vals = [10.0, 10.1, 9.9, 10.0, 10.05, 50.0, 10.0]
+    out = detect_anomalies(
+        _events(spark, vals), "user_id", ["ts", "event_id"], "value",
+        window_rows=5, threshold=3.0, min_baseline=3).collect()
+    assert [r.event_id for r in out] == [5]
+    assert out[0].zscore > 3
+
+
+def test_detect_anomalies_cold_start_never_flags(spark):
+    # second point wildly off but only 1 trailing observation
+    out = detect_anomalies(
+        _events(spark, [10.0, 1000.0]), "user_id", ["ts", "event_id"],
+        "value", window_rows=5, threshold=2.0, min_baseline=3).collect()
+    assert out == []
+
+
+def test_detect_anomalies_constant_baseline_no_div_zero(spark):
+    out = detect_anomalies(
+        _events(spark, [5.0, 5.0, 5.0, 5.0, 99.0]), "user_id",
+        ["ts", "event_id"], "value",
+        window_rows=5, threshold=2.0, min_baseline=3).collect()
+    # stddev of constant baseline is 0 -> guarded, not flagged/crashed
+    assert out == []
+
+
+def test_detect_anomalies_per_key_isolation(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for key, scale in [(1, 1.0), (2, 100.0)]:
+        for i, v in enumerate([1.0, 1.1, 0.9, 1.0, 8.0]):
+            rows.append(Row(
+                user_id=key, event_id=key * 100 + i,
+                ts=base + datetime.timedelta(minutes=i),
+                value=v * scale))
+    out = detect_anomalies(
+        spark.createDataFrame(rows), "user_id", ["ts", "event_id"],
+        "value", window_rows=5, threshold=3.0, min_baseline=3).collect()
+    # the same relative spike flags in BOTH keys: baselines don't leak
+    assert sorted(r.event_id for r in out) == [104, 204]
+
+
+# ------------------------------------------------------------ shards
+
+
+def test_assign_shards_deterministic_and_total(spark):
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    a = assign_shards(df, "doc_id", 16).collect()
+    b = assign_shards(df.repartition(7), "doc_id", 16).collect()
+    assert sorted((r.doc_id, r.shard) for r in a) == \
+        sorted((r.doc_id, r.shard) for r in b)
+    shards = {r.shard for r in a}
+    assert shards <= set(range(16))
+    # md5 balance: every shard populated at n=500, none dominant
+    counts = [sum(1 for r in a if r.shard == s) for s in sorted(shards)]
+    assert len(shards) == 16 and max(counts) < 3 * min(counts)
+
+
+def test_assign_shards_salt_redeals(spark):
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    a = {r.doc_id: r.shard for r in assign_shards(df, "doc_id", 16).collect()}
+    b = {r.doc_id: r.shard for r in assign_shards(
+        df, "doc_id", 16, salt="v2").collect()}
+    assert any(a[i] != b[i] for i in a)
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(100)])
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, id_col="doc_id", num_shards=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert {r.shard for r in back.select("shard").distinct().collect()} \
+        <= set(range(8))
+    # membership matches assign_shards exactly (restart-stable write)
+    expect = {r.doc_id: r.shard for r in assign_shards(
+        df, "doc_id", 8).collect()}
+    got = {r.doc_id: int(r.shard) for r in back.collect()}
+    assert got == expect
