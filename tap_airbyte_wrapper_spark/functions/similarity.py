@@ -326,13 +326,26 @@ def ivf_build(
     corpus regardless of partition layout, deterministic across
     restarts (content-keyed, same discipline as sampling.py's
     md5-bucket splits), and plans as TakeOrderedAndProject
-    (per-partition top-k + driver merge), not a global sort."""
+    (per-partition top-k + driver merge), not a global sort.  The
+    top-k runs over (id, hash) ONLY — carrying the vector through the
+    per-partition heaps copies dim floats per comparison (measured
+    ~3x ivf_build wall at sf0.1); the winners' vectors come back via a
+    broadcast semi-join on the sampled ids instead."""
     corpus = corpus.filter(F.col(vec_col).isNotNull())
-    sample = (
-        corpus.select(F.col(vec_col),
+    sampled_ids = (
+        corpus.select(F.col(id_col),
                       F.xxhash64(F.col(id_col), F.lit(seed)).alias("__hk"))
         .orderBy("__hk")
         .limit(train_sample)
+        .select(id_col)
+    )
+    sample = (
+        corpus.join(F.broadcast(sampled_ids), on=id_col, how="left_semi")
+        .select(F.col(vec_col),
+                F.xxhash64(F.col(id_col), F.lit(seed)).alias("__hk"))
+        # k-means init reads rows by position: re-sort the (small)
+        # sample so training is row-order deterministic across layouts
+        .orderBy("__hk")
         .select(vec_col)
         .toPandas()
     )

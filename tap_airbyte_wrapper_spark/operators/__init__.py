@@ -31,6 +31,7 @@ from .timeseries import (
     rolling_stats,
     time_bucket,
 )
+from .quality import Expectation, profile_table, validate_expectations
 
 __all__ = [
     "equi_join", "semi_join", "anti_join", "asof_join", "range_join",
@@ -43,4 +44,5 @@ __all__ = [
     "merge_upsert",
     "time_bucket", "resample", "gap_fill", "rolling_stats",
     "detect_anomalies",
+    "profile_table", "Expectation", "validate_expectations",
 ]

@@ -1,0 +1,183 @@
+"""Data-quality layer: one-pass table profiling and declarative
+expectation validation.
+
+The reference ships records downstream unexamined (its only quality
+surface is JSON-schema typing at discovery, reference tap.py:509-522);
+an EL engine feeding a lakehouse needs to answer "what landed?" and
+"is it sane?" without N separate scans.  Both operators here compile to
+a SINGLE aggregation over the table — every statistic/expectation is a
+conditional aggregate in one `agg(...)` call, so Spark evaluates all of
+them in one pass with map-side partial aggregation, regardless of how
+many columns/rules are declared.  At 100 TB that is one full scan, full
+stop — never a scan per column.
+
+* :func:`profile_table` — per-column null count, approx distinct, and
+  type-appropriate min/max; long output (one row per column) so new
+  columns never change the schema shape.
+* :func:`validate_expectations` — Great-Expectations-style rules
+  (not_null / unique / in_range / in_set / matches_regex) evaluated to
+  violation counts in the same one-pass form; uniqueness is the one
+  rule that genuinely needs its own shuffle (count vs distinct count),
+  and it rides the same job as a second tiny aggregate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["profile_table", "Expectation", "validate_expectations"]
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    approx_distinct_rsd: float = 0.05,
+    distinct_mode: str = "approx",
+) -> DataFrame:
+    """Profile ``columns`` (default: all) in ONE aggregation pass.
+
+    Output is long-form — one row per column:
+    ``(column, n_rows, n_nulls, null_frac, n_distinct, min_repr,
+    max_repr)`` with min/max rendered as strings so heterogeneous
+    column types share one result schema.
+
+    Every statistic is an aggregate expression in a single ``agg``:
+    the plan is one partial-agg + one 1-row final agg — no shuffle of
+    data rows at all (aggregation is global), no per-column scans.
+    ``distinct_mode="approx"`` (the 100 TB default) estimates
+    distincts with HyperLogLog++ (``approx_count_distinct``) at
+    ``approx_distinct_rsd`` relative error — sketches merge in the
+    same partial-agg pass.  ``"exact"`` swaps in true
+    ``count_distinct`` per column (Spark plans the multi-distinct via
+    expand: rows multiply by column count before the shuffle — fine
+    for audits, wrong as the default at scale).
+    """
+    if distinct_mode not in ("approx", "exact"):
+        raise ValueError(f"unknown distinct_mode {distinct_mode!r}")
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"__nulls_{c}"))
+        aggs.append(
+            (F.count_distinct(col) if distinct_mode == "exact"
+             else F.approx_count_distinct(c, rsd=approx_distinct_rsd))
+            .alias(f"__dist_{c}"))
+        aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
+    row = df.agg(*aggs)
+    # pivot the 1-row wide result to long form driver-side-free: a
+    # stack() over literal column references — still one job.
+    stacked = row.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            "stack({n}, {args}) as (column, n_nulls, n_distinct, "
+            "min_repr, max_repr)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', `__nulls_{c}`, `__dist_{c}`, "
+                    f"`__min_{c}`, `__max_{c}`" for c in cols),
+            )
+        ),
+    )
+    return stacked.select(
+        "column", "n_rows", "n_nulls",
+        F.when(F.col("n_rows") > 0,
+               F.round(F.col("n_nulls") / F.col("n_rows"), 6))
+        .alias("null_frac"),
+        "n_distinct", "min_repr", "max_repr",
+    )
+
+
+@dataclass
+class Expectation:
+    """One declarative rule; ``kind`` picks the check:
+
+    * ``not_null``           — value must not be null
+    * ``unique``             — no value may occur twice (nulls ignored)
+    * ``in_range(lo, hi)``   — lo <= value <= hi (nulls pass; combine
+      with not_null to forbid)
+    * ``in_set(values)``     — value in the allow-list (nulls pass)
+    * ``matches_regex(pat)`` — full-match against ``pat`` (nulls pass)
+    """
+
+    column: str
+    kind: str
+    lo: object | None = None
+    hi: object | None = None
+    values: Sequence[object] | None = field(default=None)
+    pattern: str | None = None
+
+    @property
+    def name(self) -> str:
+        return f"{self.column}:{self.kind}"
+
+    def violation(self) -> Column | None:
+        """Row-level violation predicate; None for set-level rules
+        (``unique``) that can't be expressed per-row."""
+        col = F.col(self.column)
+        if self.kind == "not_null":
+            return col.isNull()
+        if self.kind == "in_range":
+            return col.isNotNull() & ~col.between(
+                F.lit(self.lo), F.lit(self.hi))
+        if self.kind == "in_set":
+            return col.isNotNull() & ~col.isin(list(self.values))
+        if self.kind == "matches_regex":
+            return col.isNotNull() & ~col.rlike(f"^(?:{self.pattern})$")
+        if self.kind == "unique":
+            return None
+        raise ValueError(f"unknown expectation kind {self.kind!r}")
+
+
+def validate_expectations(
+    df: DataFrame,
+    expectations: Sequence[Expectation],
+) -> DataFrame:
+    """Evaluate all ``expectations`` and return one row per rule:
+    ``(expectation, column, kind, n_violations, passed)``.
+
+    All row-level rules compile into ONE aggregation pass (a
+    conditional count each).  Uniqueness must be exact to be an
+    expectation (an approximate distinct would mis-pass small
+    violation counts), so each ``unique`` rule contributes
+    ``count(col) - count_distinct(col)`` to the same ``agg`` call;
+    Spark plans the distincts via expand + one shuffle, still a single
+    job.  Output is tiny (one row per rule) — the 100 TB cost is the
+    one scan.
+    """
+    row_rules = [e for e in expectations if e.kind != "unique"]
+    uniq_rules = [e for e in expectations if e.kind == "unique"]
+    aggs: list[Column] = []
+    for e in row_rules:
+        aggs.append(
+            F.count(F.when(e.violation(), 1)).alias(f"__v_{e.name}"))
+    for e in uniq_rules:
+        aggs.append(
+            (F.count(F.col(e.column))
+             - F.count_distinct(F.col(e.column)))
+            .alias(f"__v_{e.name}"))
+    if not aggs:
+        raise ValueError("no expectations given")
+    wide = df.agg(*aggs)
+    all_rules = row_rules + uniq_rules
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) as (expectation, n_violations)".format(
+                n=len(all_rules),
+                args=", ".join(
+                    f"'{e.name}', `__v_{e.name}`" for e in all_rules),
+            )
+        )
+    )
+    kinds = F.split(F.col("expectation"), ":")
+    return stacked.select(
+        "expectation",
+        kinds.getItem(0).alias("column"),
+        kinds.getItem(1).alias("kind"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -1573,6 +1573,36 @@ def q_shard_stats(spark, sf_dir):
     )
 
 
+def q_profile_orders(spark, sf_dir):
+    """One-pass table profiler over orders (bigint + varchar columns;
+    exact distincts here so the oracle can reproduce — ``approx`` HLL
+    sketches are the 100 TB default)."""
+    from ..operators import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"],
+        distinct_mode="exact")
+
+
+def q_validate_orders(spark, sf_dir):
+    """Declarative expectation validation over orders — five rules, one
+    scan: PK not-null + unique, FK not-null, status allow-list, price
+    range, priority format."""
+    from ..operators import Expectation, validate_expectations
+
+    return validate_expectations(_t(spark, sf_dir, "orders"), [
+        Expectation("o_orderkey", "not_null"),
+        Expectation("o_orderkey", "unique"),
+        Expectation("o_custkey", "not_null"),
+        Expectation("o_orderstatus", "in_set", values=["O", "F", "P"]),
+        Expectation("o_totalprice", "in_range", lo=0.0, hi=1_000_000.0),
+        Expectation("o_orderpriority", "matches_regex",
+                    pattern="[1-5]-[A-Z ]+"),
+    ])
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -1595,6 +1625,8 @@ QUERIES = {
     "dup_span_docs": q_dup_span_docs,
     "anomaly_events": q_anomaly_events,
     "shard_stats": q_shard_stats,
+    "profile_orders": q_profile_orders,
+    "validate_orders": q_validate_orders,
     # -- never driver-checked (round-4 additions) --------------------
     "merge_upsert_orders": q_merge_upsert_orders,
     "resample_events": q_resample_events,
@@ -1642,15 +1674,16 @@ QUERIES = {
     "knn_lsh_verified": q_knn_lsh_verified,
     "knn_ivf_verified": q_knn_ivf_verified,
     "corpus_curation": q_corpus_curation,
-    "embedding_near_dup": q_embedding_near_dup,
     "dedup_clusters": q_dedup_clusters,
-    "decode_image_meta": q_decode_image_meta,
     "paragraph_dedup_docs": q_paragraph_dedup,
     # -- entries below are outside the driver's QUERIES[:50] window:
-    # -- (round 5 rotated out to make room for the four new ops:
+    # -- (round 5 rotated out to make room for the six new ops:
     # -- asof_purchase_view / sessionization / contamination_docs /
-    # -- label_centroids — all r04-green with code unchanged since,
-    # -- still oracle-checked every pytest run) ----------------------
+    # -- label_centroids / embedding_near_dup / decode_image_meta —
+    # -- all r04-green with code unchanged since, still oracle-checked
+    # -- every pytest run) -------------------------------------------
+    "embedding_near_dup": q_embedding_near_dup,
+    "decode_image_meta": q_decode_image_meta,
     "asof_purchase_view": q_asof_purchase_view,
     "sessionization": q_sessionization,
     "contamination_docs": q_contamination_docs,
@@ -2494,6 +2527,69 @@ ORACLES = {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                min(doc_id) AS min_id
         FROM documents GROUP BY 1""",
+    "profile_orders": """
+        WITH stats AS (
+          SELECT count(*) AS n,
+            count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS nk,
+            count(DISTINCT o_orderkey) AS dk,
+            CAST(min(o_orderkey) AS VARCHAR) AS mink,
+            CAST(max(o_orderkey) AS VARCHAR) AS maxk,
+            count(CASE WHEN o_custkey IS NULL THEN 1 END) AS nc,
+            count(DISTINCT o_custkey) AS dc,
+            CAST(min(o_custkey) AS VARCHAR) AS minc,
+            CAST(max(o_custkey) AS VARCHAR) AS maxc,
+            count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS ns,
+            count(DISTINCT o_orderstatus) AS ds,
+            CAST(min(o_orderstatus) AS VARCHAR) AS mins,
+            CAST(max(o_orderstatus) AS VARCHAR) AS maxs,
+            count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS np,
+            count(DISTINCT o_orderpriority) AS dp,
+            CAST(min(o_orderpriority) AS VARCHAR) AS minp,
+            CAST(max(o_orderpriority) AS VARCHAR) AS maxp
+          FROM orders)
+        SELECT 'o_orderkey' AS "column", n AS n_rows, nk AS n_nulls,
+               round(nk::DOUBLE / n, 6) AS null_frac, dk AS n_distinct,
+               mink AS min_repr, maxk AS max_repr FROM stats
+        UNION ALL
+        SELECT 'o_custkey', n, nc, round(nc::DOUBLE / n, 6), dc,
+               minc, maxc FROM stats
+        UNION ALL
+        SELECT 'o_orderstatus', n, ns, round(ns::DOUBLE / n, 6), ds,
+               mins, maxs FROM stats
+        UNION ALL
+        SELECT 'o_orderpriority', n, np, round(np::DOUBLE / n, 6), dp,
+               minp, maxp FROM stats""",
+    "validate_orders": """
+        WITH v AS (
+          SELECT
+            count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS k_null,
+            count(o_orderkey) - count(DISTINCT o_orderkey) AS k_dup,
+            count(CASE WHEN o_custkey IS NULL THEN 1 END) AS c_null,
+            count(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 END) AS s_set,
+            count(CASE WHEN o_totalprice IS NOT NULL
+                        AND o_totalprice NOT BETWEEN 0 AND 1000000
+                       THEN 1 END) AS p_rng,
+            count(CASE WHEN o_orderpriority IS NOT NULL
+                        AND NOT regexp_full_match(o_orderpriority,
+                                                  '[1-5]-[A-Z ]+')
+                       THEN 1 END) AS pr_re
+          FROM orders)
+        SELECT 'o_orderkey:not_null' AS expectation,
+               'o_orderkey' AS "column", 'not_null' AS kind,
+               k_null AS n_violations, k_null = 0 AS passed FROM v
+        UNION ALL SELECT 'o_orderkey:unique', 'o_orderkey', 'unique',
+               k_dup, k_dup = 0 FROM v
+        UNION ALL SELECT 'o_custkey:not_null', 'o_custkey', 'not_null',
+               c_null, c_null = 0 FROM v
+        UNION ALL SELECT 'o_orderstatus:in_set', 'o_orderstatus',
+               'in_set', s_set, s_set = 0 FROM v
+        UNION ALL SELECT 'o_totalprice:in_range', 'o_totalprice',
+               'in_range', p_rng, p_rng = 0 FROM v
+        UNION ALL SELECT 'o_orderpriority:matches_regex',
+               'o_orderpriority', 'matches_regex', pr_re, pr_re = 0
+        FROM v""",
     "merge_upsert_orders": """
         WITH changes AS (
           SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,

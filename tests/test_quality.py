@@ -1,0 +1,96 @@
+"""Unit tests for operators/quality.py (one-pass profiler + expectation
+validation) on hand-built inputs; fleet/oracle coverage is
+profile_orders / validate_orders in tests/test_oracle_parity.py."""
+
+import pytest
+from pyspark.sql import Row
+
+from tap_airbyte_wrapper_spark.operators import (
+    Expectation,
+    profile_table,
+    validate_expectations,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame([
+        Row(id=1, name="a", score=1.0),
+        Row(id=2, name=None, score=5.0),
+        Row(id=3, name="c", score=None),
+        Row(id=3, name="a", score=-2.0),
+    ])
+
+
+def test_profile_counts_nulls_distincts_minmax(spark):
+    out = {r.column: r for r in profile_table(
+        _df(spark), distinct_mode="exact").collect()}
+    assert set(out) == {"id", "name", "score"}
+    assert all(r.n_rows == 4 for r in out.values())
+    assert out["id"].n_nulls == 0 and out["id"].n_distinct == 3
+    assert out["name"].n_nulls == 1 and out["name"].n_distinct == 2
+    assert out["name"].null_frac == 0.25
+    assert out["score"].min_repr == "-2.0" and out["score"].max_repr == "5.0"
+    assert out["id"].min_repr == "1" and out["id"].max_repr == "3"
+
+
+def test_profile_column_subset_and_single_job(spark):
+    df = _df(spark)
+    out = profile_table(df, columns=["id"], distinct_mode="exact")
+    rows = out.collect()
+    assert [r.column for r in rows] == ["id"]
+    # one-pass shape: the source is scanned exactly once no matter how
+    # many statistics are declared (AQE prints final + initial plan —
+    # count scans in the executed section only)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1
+
+
+def test_profile_approx_close_to_exact(spark):
+    df = spark.range(1000).withColumnRenamed("id", "x")
+    [r] = profile_table(df, columns=["x"]).collect()
+    assert abs(r.n_distinct - 1000) < 100
+
+
+def test_profile_rejects_bad_mode(spark):
+    with pytest.raises(ValueError):
+        profile_table(_df(spark), distinct_mode="sketchy")
+
+
+def test_validate_all_kinds(spark):
+    out = {r.expectation: r for r in validate_expectations(_df(spark), [
+        Expectation("id", "not_null"),
+        Expectation("id", "unique"),
+        Expectation("name", "not_null"),
+        Expectation("score", "in_range", lo=0.0, hi=10.0),
+        Expectation("name", "in_set", values=["a", "b"]),
+        Expectation("name", "matches_regex", pattern="[ab]"),
+    ]).collect()}
+    assert out["id:not_null"].n_violations == 0
+    assert out["id:not_null"].passed is True
+    assert out["id:unique"].n_violations == 1      # id=3 twice
+    assert out["id:unique"].passed is False
+    assert out["name:not_null"].n_violations == 1
+    assert out["score:in_range"].n_violations == 1   # -2.0; null passes
+    assert out["name:in_set"].n_violations == 1      # "c"; null passes
+    assert out["name:matches_regex"].n_violations == 1
+    assert out["id:unique"].column == "id" and out["id:unique"].kind == "unique"
+
+
+def test_validate_regex_is_full_match(spark):
+    df = spark.createDataFrame([Row(v="ab"), Row(v="a"), Row(v="xaby")])
+    out = validate_expectations(
+        df, [Expectation("v", "matches_regex", pattern="a.")]).collect()
+    # "ab" matches fully; "a" and "xaby" do not (no partial matches)
+    assert out[0].n_violations == 2
+
+
+def test_validate_empty_rules_rejected(spark):
+    with pytest.raises(ValueError):
+        validate_expectations(_df(spark), [])
+
+
+def test_validate_unknown_kind_rejected(spark):
+    with pytest.raises(ValueError):
+        validate_expectations(
+            _df(spark), [Expectation("id", "positive")]).collect()
