@@ -35,7 +35,7 @@ def test_profile_counts_nulls_distincts_minmax(spark):
 
 def test_profile_column_subset_and_single_job(spark):
     df = _df(spark)
-    out = profile_table(df, columns=["id"], distinct_mode="exact")
+    out = profile_table(df, columns=["id"])   # approx = the scale default
     rows = out.collect()
     assert [r.column for r in rows] == ["id"]
     # one-pass shape: the source is scanned exactly once no matter how
@@ -44,6 +44,22 @@ def test_profile_column_subset_and_single_job(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan ExistingRDD") == 1
+    # exact mode trades that for a second melt pass but the distinct
+    # stages must stay on hash aggregation — the 3-level KEYED
+    # SortAggregate multi-distinct rewrite is the anti-pattern this
+    # formulation avoids.  (The zero-key base agg may legitimately
+    # plan as SortAggregate: string min/max buffers aren't
+    # hash-mutable, and with no grouping keys there is nothing to
+    # sort.)
+    exact = profile_table(df, columns=["id", "name"], distinct_mode="exact")
+    exact.collect()
+    eplan = exact._jdf.queryExecution().executedPlan().toString()
+    import re
+    keyed_sorts = [
+        m for m in re.findall(r"SortAggregate\(key=\[[^\]]+\]",
+                              eplan.split("== Initial Plan ==")[0])
+    ]
+    assert keyed_sorts == []
 
 
 def test_profile_approx_close_to_exact(spark):
