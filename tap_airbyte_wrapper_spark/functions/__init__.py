@@ -54,7 +54,11 @@ from .corpus import (
     word_ngrams,
     words,
 )
-from .dedup import boilerplate_removal
+from .dedup import (
+    boilerplate_removal,
+    minhash_dedup_delta,
+    minhash_index_write,
+)
 from .pii import PII_PATTERNS, pii_counts, redact_pii
 from .sampling import (
     assign_shards,
@@ -91,6 +95,7 @@ __all__ = [
     "hash_bucket", "hash_split", "mixture_sample", "stratified_sample",
     "assign_shards", "write_training_shards",
     "boilerplate_removal", "dup_span_stats",
+    "minhash_index_write", "minhash_dedup_delta",
     "SentenceSplitter", "split_sentences",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
     "decode_audio",

@@ -46,6 +46,8 @@ __all__ = [
     "exact_jaccard_on_pairs",
     "minhash_verified_pairs",
     "simhash_verified_pairs",
+    "minhash_index_write",
+    "minhash_dedup_delta",
 ]
 
 
@@ -1036,3 +1038,151 @@ def _collapse_expand_verified(
             "jaccard")
     )
     return inter.unionByName(intra)
+
+
+def _posting_key() -> Column:
+    """Single 64-bit posting key for an LSH band bucket: the band index
+    mixed into the band hash, so one column carries the (band, value)
+    identity and joins/bucketing need exactly one key."""
+    return F.xxhash64(F.col("band"), F.col("band_hash"))
+
+
+def minhash_index_write(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_name: str,
+    path: str,
+    num_hashes: int = 128,
+    shingle_len: int = 3,
+    bands: int = 32,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the corpus MinHash-LSH index as BUCKETED tables so later
+    delta batches dedup against the corpus without ever reshuffling it:
+
+    * ``{table_name}_postings`` (bkey, id) — bucketed+sorted by the
+      band-bucket key.  A delta's postings (small) shuffle into the
+      same bucketing; the corpus side sort-merge-joins shuffle-free.
+    * ``{table_name}_sigs`` (id, sig) — bucketed by id, so candidate
+      verification fetches corpus signatures without a corpus shuffle
+      either.
+    * ``{path}/_index_meta.json`` — the sketch parameters, read back by
+      :func:`minhash_dedup_delta` so delta signatures are computed with
+      the exact same (num_hashes, shingle_len, bands).
+
+    This is the 100 TB production shape: the O(corpus) signature +
+    bucketing cost is paid ONCE at index build (or maintained
+    incrementally by appending new postings), and each daily delta costs
+    O(delta) + a co-located join — not a fresh corpus-wide pair
+    generation per batch.
+    """
+    import json as _json
+    import os as _os
+
+    spark = df.sparkSession
+    sigs = minhash_signatures_df(
+        df, id_col, text_col, num_hashes, shingle_len, bands=bands).persist()
+    postings = (
+        sigs.select(
+            F.col(id_col),
+            F.posexplode("band_hashes").alias("band", "band_hash"))
+        .select(F.col(id_col), _posting_key().alias("bkey"))
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}_postings")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}_sigs")
+    (postings.write.bucketBy(n_buckets, "bkey").sortBy("bkey")
+        .option("path", _os.path.join(path, "postings"))
+        .mode("overwrite").saveAsTable(f"{table_name}_postings"))
+    (sigs.select(id_col, "sig")
+        .write.bucketBy(n_buckets, id_col).sortBy(id_col)
+        .option("path", _os.path.join(path, "sigs"))
+        .mode("overwrite").saveAsTable(f"{table_name}_sigs"))
+    sigs.unpersist()
+    with open(_os.path.join(path, "_index_meta.json"), "w") as f:
+        _json.dump({
+            "id_col": id_col, "num_hashes": num_hashes,
+            "shingle_len": shingle_len, "bands": bands,
+            "n_buckets": n_buckets,
+        }, f)
+
+
+def minhash_dedup_delta(
+    delta: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup a DELTA batch against a persisted corpus index (and
+    within itself) — the incremental form of :func:`minhash_near_dup_pairs`.
+
+    Returns ``(id_a, id_b, jaccard_est, kind)`` where ``kind`` is
+    ``'corpus'`` (delta doc id_a duplicates existing corpus doc id_b)
+    or ``'delta'`` (two new docs duplicate each other, id_a < id_b).
+
+    Scale shape (delta << corpus, the production contract):
+    delta signatures are one Arrow pass over the delta; the
+    corpus-candidate join shuffles ONLY delta postings into the index's
+    bucketing (the corpus postings scan is bucket-co-located, zero
+    corpus shuffle — plan-asserted in tests); verification joins
+    corpus signatures bucketed by id (again corpus-shuffle-free) with
+    the delta's own signatures broadcast.  Nothing anywhere costs
+    O(corpus) compute or shuffle.
+    """
+    import json as _json
+    import os as _os
+
+    spark = delta.sparkSession
+    with open(_os.path.join(path, "_index_meta.json")) as f:
+        meta = _json.load(f)
+
+    dsigs = minhash_signatures_df(
+        delta, id_col, text_col, meta["num_hashes"], meta["shingle_len"],
+        bands=meta["bands"]).persist()
+    dpost = (
+        dsigs.select(
+            F.col(id_col).alias("__did"),
+            F.posexplode("band_hashes").alias("band", "band_hash"))
+        .select(F.col("__did"), _posting_key().alias("bkey"))
+    )
+
+    cpost = spark.table(f"{table_name}_postings") \
+        .withColumnRenamed(meta["id_col"], "__cid")
+    cand_x = (
+        dpost.join(cpost, on="bkey")
+        .select("__did", "__cid").distinct()
+    )
+    a = dpost.select(F.col("__did").alias("id_a"), "bkey")
+    b = dpost.select(F.col("__did").alias("id_b"), "bkey")
+    cand_d = (
+        a.join(b, on="bkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+    d_sig = F.broadcast(
+        dsigs.select(F.col(id_col).alias("__did"), F.col("sig").alias("__dsig")))
+    csigs = spark.table(f"{table_name}_sigs").select(
+        F.col(meta["id_col"]).alias("__cid"), F.col("sig").alias("__csig"))
+    est_x = (
+        cand_x.join(csigs, on="__cid")
+        .join(d_sig, on="__did")
+        .withColumn("jaccard_est",
+                    _sig_agreement(F.col("__dsig"), F.col("__csig")))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select(F.col("__did").alias("id_a"), F.col("__cid").alias("id_b"),
+                "jaccard_est", F.lit("corpus").alias("kind"))
+    )
+    da = dsigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
+    db = dsigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sb"))
+    est_d = (
+        cand_d.join(F.broadcast(da), on="id_a")
+        .join(F.broadcast(db), on="id_b")
+        .withColumn("jaccard_est",
+                    _sig_agreement(F.col("__sa"), F.col("__sb")))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est", F.lit("delta").alias("kind"))
+    )
+    return est_x.unionByName(est_d)

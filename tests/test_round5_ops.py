@@ -226,3 +226,119 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
         df, "doc_id", 8).collect()}
     got = {r.doc_id: int(r.shard) for r in back.collect()}
     assert got == expect
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+@pytest.fixture(scope="module")
+def mh_index(spark, tmp_path_factory):
+    """A small corpus indexed to bucketed tables + a delta batch with
+    planted corpus-dups, delta-dups, and clean docs."""
+    from tap_airbyte_wrapper_spark.functions import minhash_index_write
+
+    corpus = spark.createDataFrame([
+        Row(doc_id=i,
+            text=("the quick brown fox jumps over the lazy dog %d " % i) * 5)
+        for i in range(40)
+    ])
+    path = str(tmp_path_factory.mktemp("mh_index"))
+    minhash_index_write(
+        corpus, "doc_id", "text", "mh_t", path,
+        num_hashes=64, bands=16, n_buckets=4)
+    yield spark, corpus, path
+    spark.sql("DROP TABLE IF EXISTS mh_t_postings")
+    spark.sql("DROP TABLE IF EXISTS mh_t_sigs")
+
+
+def test_minhash_delta_finds_corpus_and_delta_dups(mh_index):
+    from tap_airbyte_wrapper_spark.functions import minhash_dedup_delta
+
+    spark, corpus, path = mh_index
+    delta = spark.createDataFrame([
+        # near-dup of corpus doc 7 (one word changed)
+        Row(doc_id=1007,
+            text=("the quick brown fox jumps over the lazy dog 7 " * 5)
+            .replace("jumps", "leaps", 1)),
+        # two delta docs duplicating each other, unseen in corpus
+        Row(doc_id=1008, text="completely novel payload alpha beta gamma "
+                              "delta epsilon zeta eta theta " * 3),
+        Row(doc_id=1009, text="completely novel payload alpha beta gamma "
+                              "delta epsilon zeta eta theta " * 3),
+        # clean
+        Row(doc_id=1010, text="unrelated text about spark partitions and "
+                              "shuffle boundaries nothing else"),
+    ])
+    out = minhash_dedup_delta(
+        delta, "mh_t", path, "doc_id", "text", threshold=0.5).collect()
+    kinds = {(r.id_a, r.id_b): r.kind for r in out}
+    assert (1007, 7) in kinds and kinds[(1007, 7)] == "corpus"
+    assert (1008, 1009) in kinds and kinds[(1008, 1009)] == "delta"
+    ids = {r.id_a for r in out} | {r.id_b for r in out}
+    assert 1010 not in ids
+
+
+def test_minhash_delta_corpus_side_never_shuffles(mh_index):
+    from tap_airbyte_wrapper_spark.functions import minhash_dedup_delta
+
+    spark, corpus, path = mh_index
+    delta = spark.createDataFrame(
+        [Row(doc_id=2000, text="some delta content here ok fine")])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = minhash_dedup_delta(
+            delta, "mh_t", path, "doc_id", "text")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # bucketed corpus scans are read bucket-pruned/co-located: no
+    # Exchange may repartition the postings or sigs table output
+    assert "SelectedBucketsCount" in plan
+    assert "Exchange hashpartitioning(bkey" in plan       # delta side only
+    # exactly the delta-side exchanges: dpost->bkey (x2: corpus join +
+    # self join), candidates->id joins; corpus tables contribute none.
+    # conservative upper bound that still fails if a corpus shuffle
+    # appears (each corpus shuffle adds an Exchange on id/bkey of the
+    # corpus relation)
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 6, plan
+
+
+def test_minhash_delta_agrees_with_batch_operator(spark, mh_index):
+    """Index+delta path finds the same >=t estimated pairs as running
+    the batch pair generator over corpus+delta combined (restricted to
+    pairs touching the delta)."""
+    from tap_airbyte_wrapper_spark.functions import (
+        minhash_dedup_delta,
+        minhash_near_dup_pairs,
+    )
+
+    _, corpus, path = mh_index
+    delta = corpus.sparkSession.createDataFrame([
+        Row(doc_id=1007,
+            text=("the quick brown fox jumps over the lazy dog 7 " * 5)
+            .replace("jumps", "leaps", 1)),
+        Row(doc_id=1008, text="completely novel payload alpha beta gamma "
+                              "delta epsilon zeta eta theta " * 3),
+        Row(doc_id=1009, text="completely novel payload alpha beta gamma "
+                              "delta epsilon zeta eta theta " * 3),
+    ])
+    inc = {(r.id_a, r.id_b) for r in minhash_dedup_delta(
+        delta, "mh_t", path, "doc_id", "text", threshold=0.5).collect()}
+    both = corpus.unionByName(delta)
+    batch = minhash_near_dup_pairs(
+        both, "doc_id", "text", num_hashes=64, bands=16,
+        threshold=0.5).collect()
+    delta_ids = {1007, 1008, 1009}
+    batch_pairs = set()
+    for r in batch:
+        if r.id_a in delta_ids or r.id_b in delta_ids:
+            # normalize to (delta_id, other) like the incremental output
+            d = r.id_a if r.id_a in delta_ids else r.id_b
+            o = r.id_b if d == r.id_a else r.id_a
+            if o in delta_ids:
+                batch_pairs.add((min(d, o), max(d, o)))
+            else:
+                batch_pairs.add((d, o))
+    assert inc == batch_pairs
