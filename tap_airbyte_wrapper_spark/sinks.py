@@ -46,7 +46,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators.merge import merge_upsert
 
-__all__ = ["merge_snapshot_write", "read_merge_snapshot"]
+__all__ = ["merge_snapshot_write", "read_merge_snapshot",
+           "write_pruned_layout"]
 
 _SINK_META = ("_op", "_deleted")   # never stored in the snapshot
 _BKT = "__bkt"
@@ -178,3 +179,61 @@ def merge_snapshot_write(
             if int(name[1:]) <= nxt - max(keep_versions, 1):
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     return nxt
+
+
+def write_pruned_layout(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    partition_cols: Sequence[str] | None = None,
+    target_files: int | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write parquet laid out for data skipping: range-repartition on
+    ``sort_cols`` and sort within each file, so every parquet row group
+    covers a DISJOINT ``sort_cols`` range and its footer min/max
+    statistics prune reads.
+
+    The concrete payoff (proven in tests via footer statistics): an
+    incremental sync's cursor predicate ``ts > bookmark``, or any range
+    filter on the sort key, skips whole row groups / files instead of
+    scanning the table — at 100 TB the difference between reading one
+    day and reading three years.  Combine with ``partition_cols``
+    (coarse, directory-level pruning: dates, sources) for two skipping
+    tiers; the sort handles the fine grain inside each partition.
+
+    ``repartitionByRange`` samples the sort key for balanced output
+    files (``target_files``, default = session parallelism);
+    ``max_records_per_file`` optionally caps file size to bound
+    row-group width for remote readers.
+
+    Timestamps are forced to TIMESTAMP_MICROS for the write: Spark's
+    default parquet timestamp encoding is INT96, which carries NO
+    min/max footer statistics — a time-sorted layout would then prune
+    nothing on exactly the cursor predicates it exists for (verified in
+    tests by reading the footers back).
+    """
+    from pyspark.sql import functions as _F
+
+    spark = df.sparkSession
+    n = target_files or spark.sparkContext.defaultParallelism
+    keys = [_F.col(c) for c in sort_cols]
+    out = (
+        df.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*sort_cols)
+    )
+    writer = out.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_cols:
+        writer = writer.partitionBy(*list(partition_cols))
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        writer.parquet(path)
+    finally:
+        if old is not None:
+            spark.conf.set(conf_key, old)
+        else:
+            spark.conf.unset(conf_key)

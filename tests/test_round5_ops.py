@@ -342,3 +342,76 @@ def test_minhash_delta_agrees_with_batch_operator(spark, mh_index):
             else:
                 batch_pairs.add((d, o))
     assert inc == batch_pairs
+
+
+# ------------------------------------------------------- pruned layout
+
+
+def test_write_pruned_layout_disjoint_row_groups(spark, sf_dir, tmp_path):
+    """Files written by write_pruned_layout carry DISJOINT sort-key
+    ranges in their parquet footers — the min/max statistics a reader
+    uses to skip row groups — while a naive write overlaps."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tap_airbyte_wrapper_spark.sinks import write_pruned_layout
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    laid = str(tmp_path / "laid")
+    write_pruned_layout(ev, laid, ["ts"], target_files=4)
+
+    def ranges(root):
+        out = []
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "ts")
+                st = col.statistics
+                out.append((st.min, st.max))
+        return sorted(out)
+
+    rs = ranges(laid)
+    assert len(rs) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(rs, rs[1:]):
+        assert hi1 <= lo2, (hi1, lo2)   # disjoint, ordered
+
+    # naive layout (hash-partitioned arrival order) overlaps — written
+    # with MICROS too, else INT96 carries no stats to compare at all
+    naive = str(tmp_path / "naive")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        ev.repartition(4).write.parquet(naive)
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    ns = ranges(naive)
+    overlaps = sum(1 for (l1, h1), (l2, h2) in zip(ns, ns[1:]) if h1 > l2)
+    assert overlaps > 0
+
+    # and the engine's cursor predicate reaches the scan as a pushed
+    # filter over the sorted layout
+    back = spark.read.parquet(laid).filter("ts > timestamp'2024-01-15'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), GreaterThan(ts" in plan
+    assert back.count() == ev.filter("ts > timestamp'2024-01-15'").count()
+
+
+def test_write_pruned_layout_with_partitions(spark, sf_dir, tmp_path):
+    from tap_airbyte_wrapper_spark.sinks import write_pruned_layout
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "by_type")
+    write_pruned_layout(
+        ev, path, ["ts"], partition_cols=["event_type"], target_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    one = back.filter("event_type = 'click'")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # directory-level pruning: only the click partition is read
+    assert "PartitionFilters: [isnotnull(event_type" in plan
