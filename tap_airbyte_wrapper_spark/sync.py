@@ -229,6 +229,7 @@ class Engine:
         if cursor:
             observed.append(F.max(F.col(cursor)).alias("cursor_max"))
         obs = Observation()
+        plain = df
         df = df.observe(obs, *observed)
 
         path = sink.get("path")
@@ -251,10 +252,47 @@ class Engine:
         if kind == "files":
             write_singer_files(df, stream_name, f"{path}/{stream_name}", mode)
         elif kind == "parquet":
-            w = df.write.mode(mode)
-            if sink.get("partition_by"):
-                w = w.partitionBy(*sink["partition_by"])
-            w.parquet(f"{path}/{stream_name}")
+            out_df, ts_conf, sort_obs = df, None, None
+            sort_by = sink.get("sort_by")
+            if sort_by == "cursor":
+                sort_by = [cursor] if cursor else None
+            if sort_by:
+                # cursor/range-sorted layout: disjoint row-group ranges
+                # so the NEXT incremental read's bookmark predicate
+                # prunes files instead of scanning them (sinks.py
+                # write_pruned_layout rationale; INT96 timestamps carry
+                # no footer stats, hence MICROS for the write).  The
+                # observation attaches ABOVE the range exchange: the
+                # partitioner's boundary-sampling pass re-executes the
+                # subtree BELOW it, and an observe placed there counts
+                # every row twice.
+                spark = df.sparkSession
+                n = spark.sparkContext.defaultParallelism
+                sort_obs = Observation()
+                out_df = plain.repartitionByRange(
+                    n, *[F.col(c) for c in sort_by]
+                ).sortWithinPartitions(*sort_by).observe(sort_obs, *observed)
+                ts_conf = spark.conf.get(
+                    "spark.sql.parquet.outputTimestampType", None)
+                spark.conf.set(
+                    "spark.sql.parquet.outputTimestampType",
+                    "TIMESTAMP_MICROS")
+            try:
+                w = out_df.write.mode(mode)
+                if sink.get("partition_by"):
+                    w = w.partitionBy(*sink["partition_by"])
+                w.parquet(f"{path}/{stream_name}")
+            finally:
+                if sort_by:
+                    if ts_conf is not None:
+                        df.sparkSession.conf.set(
+                            "spark.sql.parquet.outputTimestampType", ts_conf)
+                    else:
+                        df.sparkSession.conf.unset(
+                            "spark.sql.parquet.outputTimestampType")
+            if sort_obs is not None:
+                got = sort_obs.get
+                return int(got["n"]), got.get("cursor_max")
         elif kind == "json":
             df.write.mode(mode).json(f"{path}/{stream_name}")
         else:

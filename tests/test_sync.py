@@ -285,3 +285,39 @@ def test_sync_binary_files_source_end_to_end(spark, tmp_path):
     rec = next(m for m in msgs if m["type"] == "RECORD")
     assert base64.b64decode(rec["record"]["content"]) == payload
     assert rec["record"]["media_type"] == "application/octet-stream"
+
+
+def test_parquet_sink_sorted_layout(spark, sf_dir, tmp_path):
+    """sink sort_by='cursor' lays the synced stream out range-sorted on
+    its replication key with MICROS timestamps, so the next incremental
+    read's bookmark predicate prunes on footer statistics."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    eng = make_engine(
+        spark, sf_dir, tmp_path,
+        streams=["events"], replication_method={"events": "INCREMENTAL"},
+        sink={"type": "parquet", "path": str(tmp_path / "out"),
+              "mode": "overwrite", "sort_by": "cursor"},
+    )
+    res = eng.sync()
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+    total = load_parquet(spark, f"{sf_dir}/events.parquet").count()
+    assert res.stream_counts["events"] == total
+
+    rgs = []
+    for f in glob.glob(str(tmp_path / "out" / "events" / "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            col = next(rg.column(j) for j in range(rg.num_columns)
+                       if rg.column(j).path_in_schema == "ts")
+            assert col.physical_type != "INT96"
+            assert col.statistics is not None
+            rgs.append((col.statistics.min, col.statistics.max))
+    rgs.sort()
+    assert len(rgs) >= 2
+    for (_, hi), (lo, _) in zip(rgs, rgs[1:]):
+        assert hi <= lo
+    assert spark.read.parquet(str(tmp_path / "out" / "events")).count() == total
