@@ -31,6 +31,7 @@ from .dedup import (
 from .similarity import (
     IvfIndex,
     cosine,
+    embedding_dedup_delta,
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
@@ -95,7 +96,7 @@ __all__ = [
     "hash_bucket", "hash_split", "mixture_sample", "stratified_sample",
     "assign_shards", "write_training_shards",
     "boilerplate_removal", "dup_span_stats",
-    "minhash_index_write", "minhash_dedup_delta",
+    "minhash_index_write", "minhash_dedup_delta", "embedding_dedup_delta",
     "SentenceSplitter", "split_sentences",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
     "decode_audio",

@@ -26,6 +26,7 @@ from ..operators.windows import topk_per_group
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
            "cosine_topk_lsh", "cosine_topk_ivf", "embedding_near_dup_pairs",
            "IvfIndex", "ivf_build", "ivf_load", "ivf_search",
+           "embedding_dedup_delta",
            "quantize_embeddings", "nearest_centroid_assign", "semantic_dedup"]
 
 
@@ -650,3 +651,51 @@ def semantic_dedup(
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def embedding_dedup_delta(
+    index: IvfIndex,
+    delta: DataFrame,
+    threshold: float = 0.9,
+    n_probe: int = 4,
+    k: int = 20,
+    method: str = "exact",
+) -> DataFrame:
+    """Near-dup a DELTA batch of embeddings against a persisted/built IVF
+    index (and within itself) — the ANN analogue of
+    ``dedup.minhash_dedup_delta`` and the production shape for embedding
+    dedup at corpus scale: the O(corpus) work (k-means + cell
+    assignment + cell-partitioned layout) was paid once at
+    :func:`ivf_build`; each delta costs one probe join touching
+    ~n_probe/n_clusters of the corpus (and of the FILES when the index
+    is persisted — __cell is the partition column).
+
+    Returns ``(id_a, id_b, cos_sim, kind)``: ``kind='corpus'`` rows pair
+    a delta id with an existing corpus id; ``kind='delta'`` rows pair
+    two new embeddings (id_a < id_b), found via
+    :func:`embedding_near_dup_pairs` over the (small) delta with
+    ``method`` (exact broadcast-matmul by default — the delta is small
+    by contract).
+
+    ``k`` caps corpus matches returned per delta vector (top-k by
+    cosine); raise it if a delta vector may legitimately near-dup more
+    than ``k`` corpus rows above the threshold.
+    """
+    hits = ivf_search(index, delta, query_id_col="__qid",
+                      k=k, n_probe=n_probe)
+    corpus_pairs = (
+        hits.filter((F.col("cos_sim") >= threshold)
+                    & (F.col("__qid") != F.col(index.id_col)))
+        .select(F.col("__qid").alias("id_a"),
+                F.col(index.id_col).alias("id_b"),
+                F.round("cos_sim", 6).alias("cos_sim"),
+                F.lit("corpus").alias("kind"))
+    )
+    delta_pairs = (
+        embedding_near_dup_pairs(
+            delta, index.id_col, index.vec_col,
+            threshold=threshold, method=method)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"),
+                F.lit("delta").alias("kind"))
+    )
+    return corpus_pairs.unionByName(delta_pairs)

@@ -454,3 +454,47 @@ def test_semantic_dedup_keeps_one_per_cluster(spark, sf_dir):
     # every pair (i, i+10000) collapses to min id = i
     assert all(i in kept for r in base.collect() for i in [r.vec_id])
     assert not any(r.vec_id + 10000 in kept for r in base.collect())
+
+
+def test_embedding_dedup_delta_corpus_and_delta(spark, tmp_path):
+    """ANN delta dedup vs a built IVF index: planted corpus near-dup and
+    delta-internal dup found, clean vector silent; corpus hits agree
+    with brute force."""
+    import numpy as np
+
+    from tap_airbyte_wrapper_spark.functions import (
+        cosine_topk,
+        embedding_dedup_delta,
+        ivf_build,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((60, 16)).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>")
+    index = ivf_build(corpus, n_clusters=4, train_sample=60)
+
+    near7 = base[7] + rng.standard_normal(16).astype("float32") * 0.01
+    novel = rng.standard_normal(16).astype("float32")
+    delta = spark.createDataFrame(
+        [(1007, [float(x) for x in near7]),
+         (1008, [float(x) for x in novel]),
+         (1009, [float(x) for x in novel * 2.0]),     # same direction
+         (1010, [float(x) for x in rng.standard_normal(16)])],
+        "vec_id long, embedding array<float>")
+
+    out = embedding_dedup_delta(index, delta, threshold=0.95,
+                                n_probe=4).collect()
+    kinds = {(r.id_a, r.id_b): r.kind for r in out}
+    assert kinds.get((1007, 7)) == "corpus"
+    assert kinds.get((1008, 1009)) == "delta"
+    flagged = {r.id_a for r in out} | {r.id_b for r in out}
+    assert 1010 not in flagged
+
+    # corpus hits match exact brute force at the same threshold
+    brute = cosine_topk(corpus, delta, k=60).filter("cos_sim >= 0.95")
+    brute_pairs = {(r.query_id, r.vec_id) for r in brute.collect()
+                   if r.vec_id < 1000}
+    assert {(a, b) for (a, b), k in kinds.items()
+            if k == "corpus"} == brute_pairs
