@@ -71,10 +71,29 @@ def _nanos_columns(path: str) -> list[str]:
         return []
 
 
+def conform_to_schema(df: DataFrame, schema) -> DataFrame:
+    """Project ``df`` onto ``schema`` (a StructType): present columns are
+    cast to the declared type, missing columns materialize as typed
+    nulls, surplus columns are dropped.  This is the Airbyte/Singer
+    contract under schema evolution — the configured catalog is the
+    interface; upstream drift must not break a running sync, and NEW
+    columns appear only after a re-discover updates the catalog."""
+    cols = []
+    have = set(df.columns)
+    for field in schema.fields:
+        if field.name in have:
+            cols.append(F.col(field.name).cast(field.dataType)
+                        .alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
 def load_parquet(
     spark: SparkSession,
     path: str,
     cursor_after: tuple[str, Any] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Parquet scan tolerant of TIMESTAMP(NANOS) columns, with
     pushdown-preserving cursor filtering.
@@ -114,7 +133,13 @@ def load_parquet(
     for k, v in confs.items():
         spark.conf.set(k, v)
     try:
-        df = spark.read.parquet(path)
+        reader = spark.read
+        if merge_schema:
+            # union the footer schemas across all files (an evolving
+            # directory where later files added columns); default reads
+            # one file's schema and silently drops the rest
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(path)
     finally:
         for k, was in prev.items():
             if was is None:
@@ -157,6 +182,15 @@ class ParquetSource(Source):
                 "stream_name": {"type": ["string", "null"]},
                 "cursor_field": {"type": ["string", "null"]},
                 "primary_keys": {"type": ["array", "null"], "items": {"type": "string"}},
+                "on_schema_drift": {
+                    "type": ["string", "null"],
+                    "enum": ["fail", "merge", None],
+                    "description": "fail (default): error when files no "
+                    "longer match the configured catalog; merge: read with "
+                    "union-of-footers schema and conform output to the "
+                    "catalog (missing columns null, new columns dropped "
+                    "until re-discover)",
+                },
             },
             "required": ["path"],
         }
@@ -167,8 +201,12 @@ class ParquetSource(Source):
         base = os.path.basename(self.config["path"].rstrip("/"))
         return base.split(".")[0] or "stream"
 
+    def _merge(self) -> bool:
+        return self.config.get("on_schema_drift") == "merge"
+
     def _load(self, spark: SparkSession) -> DataFrame:
-        return load_parquet(spark, self.config["path"])
+        return load_parquet(
+            spark, self.config["path"], merge_schema=self._merge())
 
     def discover(self, spark: SparkSession) -> Catalog:
         df = self._load(spark)
@@ -189,9 +227,15 @@ class ParquetSource(Source):
 
     def read(self, spark: SparkSession, stream: StreamEntry) -> DataFrame:
         # Parquet carries its schema in the footer — re-derive via the same
-        # loader (identical output schema) and fail loudly on drift.
-        df = load_parquet(spark, self.config["path"])
+        # loader (identical output schema).  Default: fail loudly on drift
+        # (the configured catalog is a contract).  on_schema_drift="merge":
+        # conform to the catalog instead — missing columns null, new
+        # columns dropped until a re-discover widens the catalog.
+        df = load_parquet(
+            spark, self.config["path"], merge_schema=self._merge())
         if df.schema != stream.schema:
+            if self._merge():
+                return conform_to_schema(df, stream.schema)
             raise SourceError(
                 f"schema drift on stream {stream.name!r}: "
                 f"discovered {stream.schema.simpleString()}, "
@@ -200,11 +244,15 @@ class ParquetSource(Source):
         return df
 
     def read_incremental(self, spark: SparkSession, stream: StreamEntry, bookmark: Any) -> DataFrame:
-        return load_parquet(
+        df = load_parquet(
             spark, self.config["path"],
             cursor_after=(stream.replication_key, bookmark)
             if stream.replication_key else None,
+            merge_schema=self._merge(),
         )
+        if self._merge() and df.schema != stream.schema:
+            df = conform_to_schema(df, stream.schema)
+        return df
 
 
 @register

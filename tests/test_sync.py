@@ -321,3 +321,46 @@ def test_parquet_sink_sorted_layout(spark, sf_dir, tmp_path):
     for (_, hi), (lo, _) in zip(rgs, rgs[1:]):
         assert hi <= lo
     assert spark.read.parquet(str(tmp_path / "out" / "events")).count() == total
+
+
+def test_schema_drift_merge_policy(spark, tmp_path):
+    """on_schema_drift='merge': an upstream that ADDED a column after
+    discovery keeps syncing against the configured catalog (new column
+    dropped, catalog columns intact); the default still fails loudly."""
+    import pytest
+
+    from tap_airbyte_wrapper_spark.sources.base import SourceError
+
+    src_dir = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string").write.parquet(src_dir)
+
+    def make(policy=None):
+        cfg = {"path": src_dir, "stream_name": "s"}
+        if policy:
+            cfg["on_schema_drift"] = policy
+        return get_source("parquet", cfg)
+
+    strict = make()
+    entry = strict.discover(spark).streams[0]
+
+    # upstream evolves: a second file lands with an extra column
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(src_dir)
+
+    with pytest.raises(SourceError):
+        # default file-schema read may pick either footer; the contract
+        # check must flag the drift
+        make().read(spark, entry).columns and None
+    tolerant = make("merge")
+    out = tolerant.read(spark, entry)
+    assert out.columns == ["id", "name"]
+    assert out.count() == 2
+
+    # re-discover with merge widens the catalog; old rows carry nulls
+    entry2 = tolerant.discover(spark).streams[0]
+    assert "score" in [f.name for f in entry2.schema.fields]
+    out2 = tolerant.read(spark, entry2)
+    rows = {r.id: r.score for r in out2.collect()}
+    assert rows == {1: None, 2: 9.5}
