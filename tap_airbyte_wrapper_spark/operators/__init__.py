@@ -7,6 +7,7 @@ from .joins import (
     anti_join,
     asof_join,
     equi_join,
+    fuzzy_self_join,
     range_join,
     salted_join,
     semi_join,
@@ -35,7 +36,7 @@ from .quality import Expectation, profile_table, validate_expectations
 
 __all__ = [
     "equi_join", "semi_join", "anti_join", "asof_join", "range_join",
-    "salted_join",
+    "salted_join", "fuzzy_self_join",
     "grouped_agg", "cube_agg", "rollup_agg", "grouping_sets_agg",
     "distinct_count", "dedup_exact", "dedup_latest",
     "ranked", "with_lag_lead", "running_agg", "topk_per_group", "global_topk",

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["equi_join", "semi_join", "anti_join", "asof_join", "range_join",
-           "salted_join"]
+           "salted_join", "fuzzy_self_join"]
 
 # Rough per-row cost used by the caller-supplied hint; Spark's own AQE
 # broadcast threshold still applies underneath.
@@ -279,3 +279,105 @@ def range_join(
         *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in icols],
     )
     return matched.select(*points.columns, *icols).unionByName(unmatched)
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """EXACT edit-distance self-join: all ``(id_a, id_b, dist)`` with
+    ``id_a < id_b`` and ``levenshtein(str_a, str_b) <= max_dist`` —
+    entity-resolution / misspelling detection without an all-pairs scan.
+
+    Plan (dedup-then-expand + q-gram blocking, both exact):
+
+    1. Collapse to DISTINCT strings — duplicate values are the norm in
+       real name/address columns, and every downstream stage then costs
+       |vocabulary|, not |rows|.
+    2. Candidate string pairs = pairs sharing at least one ``q``-gram.
+       Guarantee: one edit operation destroys at most ``q`` of a
+       string's ``len - q + 1`` grams, so two strings with
+       ``max(len) >= q * (max_dist + 1)`` within ``max_dist`` edits
+       MUST still share a gram.  Shorter strings (a bounded, tiny set —
+       and an edit-distance match forces its partner within
+       ``max_dist`` of the same length) fall back to a broadcast
+       all-pairs block among themselves.
+    3. Prune candidates with the length filter
+       (``|len_a - len_b| <= max_dist`` — a necessary condition), then
+       verify with the JVM ``levenshtein`` expression.
+    4. Expand verified STRING pairs back to id pairs by two equi-joins
+       on the string value (output-bounded, the same expansion the
+       answer itself requires).
+
+    Shuffles: gram postings join (on the gram), pair distinct (on the
+    string pair), two expansion joins.  Nothing is ever quadratic in
+    row count; the only quadratic term is the short-string fallback
+    block, bounded by the alphabet (strings under ``q*(max_dist+1)``
+    characters).  Equal strings are NOT emitted (``__sa < __sb``):
+    this reports NEAR matches; exact duplicates are exact_dedup's job.
+    """
+    strs = (
+        df.select(F.col(str_col).alias("__s"))
+        .filter(F.col("__s").isNotNull())
+        .distinct()
+        .withColumn("__len", F.length("__s"))
+    )
+    min_guaranteed = q * (max_dist + 1)
+
+    grams = strs.filter(F.col("__len") >= q).select(
+        "__s", "__len",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"transform(sequence(1, __len - {q} + 1), "
+                       f"i -> substring(__s, i, {q}))"))).alias("__g"),
+    )
+    a = grams.select(F.col("__s").alias("__sa"), F.col("__len").alias("__la"),
+                     "__g")
+    b = grams.select(F.col("__s").alias("__sb"), F.col("__len").alias("__lb"),
+                     "__g")
+    cand = (
+        a.join(b, on="__g")
+        .filter(F.col("__sa") < F.col("__sb"))
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .select("__sa", "__sb")
+        .distinct()
+    )
+
+    shortish = strs.filter(F.col("__len") <= min_guaranteed - 1 + max_dist)
+    sa = shortish.select(F.col("__s").alias("__sa"),
+                         F.col("__len").alias("__la"))
+    sb = shortish.select(F.col("__s").alias("__sb"),
+                         F.col("__len").alias("__lb"))
+    short_cand = (
+        sa.crossJoin(F.broadcast(sb))
+        .filter(F.col("__sa") < F.col("__sb"))
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        # only pairs where a side sits below the gram guarantee need
+        # this path; the rest came from postings
+        .filter((F.least("__la", "__lb") <= min_guaranteed - 1)
+                | (F.col("__la") < q) | (F.col("__lb") < q))
+        .select("__sa", "__sb")
+    )
+
+    verified = (
+        cand.unionByName(short_cand).distinct()
+        .withColumn("__dist", F.levenshtein("__sa", "__sb"))
+        .filter(F.col("__dist") <= max_dist)
+    )
+
+    ids_a = df.select(F.col(id_col).alias("id_a"),
+                      F.col(str_col).alias("__sa"))
+    ids_b = df.select(F.col(id_col).alias("id_b"),
+                      F.col(str_col).alias("__sb"))
+    return (
+        verified.join(ids_a, on="__sa").join(ids_b, on="__sb")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.col("__dist").alias("dist"),
+        )
+        .distinct()
+    )

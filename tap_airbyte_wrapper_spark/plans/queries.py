@@ -1573,6 +1573,18 @@ def q_shard_stats(spark, sf_dir):
     )
 
 
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Exact edit-distance-1 self-join on part names (q-gram blocking +
+    dedup-then-expand + levenshtein verify) — entity resolution without
+    an all-pairs scan; the oracle brute-forces the quadratic."""
+    from ..operators import fuzzy_self_join
+
+    return fuzzy_self_join(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_name"),
+        "p_partkey", "p_name", max_dist=1,
+    ).select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
 def q_profile_orders(spark, sf_dir):
     """One-pass table profiler over orders (bigint + varchar columns;
     exact distincts here so the oracle can reproduce — ``approx`` HLL
@@ -1627,6 +1639,7 @@ QUERIES = {
     "shard_stats": q_shard_stats,
     "profile_orders": q_profile_orders,
     "validate_orders": q_validate_orders,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     # -- never driver-checked (round-4 additions) --------------------
     "merge_upsert_orders": q_merge_upsert_orders,
     "resample_events": q_resample_events,
@@ -1674,14 +1687,14 @@ QUERIES = {
     "knn_lsh_verified": q_knn_lsh_verified,
     "knn_ivf_verified": q_knn_ivf_verified,
     "corpus_curation": q_corpus_curation,
-    "dedup_clusters": q_dedup_clusters,
     "paragraph_dedup_docs": q_paragraph_dedup,
     # -- entries below are outside the driver's QUERIES[:50] window:
-    # -- (round 5 rotated out to make room for the six new ops:
+    # -- (round 5 rotated out to make room for the seven new ops:
     # -- asof_purchase_view / sessionization / contamination_docs /
-    # -- label_centroids / embedding_near_dup / decode_image_meta —
-    # -- all r04-green with code unchanged since, still oracle-checked
-    # -- every pytest run) -------------------------------------------
+    # -- label_centroids / embedding_near_dup / decode_image_meta /
+    # -- dedup_clusters — all r04-green with code unchanged since,
+    # -- still oracle-checked every pytest run) ----------------------
+    "dedup_clusters": q_dedup_clusters,
     "embedding_near_dup": q_embedding_near_dup,
     "decode_image_meta": q_decode_image_meta,
     "asof_purchase_view": q_asof_purchase_view,
@@ -2527,6 +2540,13 @@ ORACLES = {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                min(doc_id) AS min_id
         FROM documents GROUP BY 1""",
+    "fuzzy_name_pairs": """
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        WHERE a.p_name != b.p_name
+          AND abs(length(a.p_name) - length(b.p_name)) <= 1
+          AND levenshtein(a.p_name, b.p_name) <= 1""",
     "profile_orders": """
         WITH stats AS (
           SELECT count(*) AS n,

@@ -397,3 +397,70 @@ def test_gap_fill_single_shuffle(spark):
     plan = gap_fill(df, "k", "bucket", "v", 10, how="locf") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------ fuzzy join
+
+
+def test_fuzzy_self_join_basic(spark):
+    from pyspark.sql import Row
+
+    from tap_airbyte_wrapper_spark.operators import fuzzy_self_join
+
+    df = spark.createDataFrame([
+        Row(id=1, name="red widget"),
+        Row(id=2, name="red widgets"),      # dist 1 (insert)
+        Row(id=3, name="red wadget"),       # dist 1 from #1 (sub)
+        Row(id=4, name="blue bolt"),        # far from all
+        Row(id=5, name="red widget"),       # exact dup of #1 -> NOT emitted
+    ])
+    out = {(r.id_a, r.id_b): r.dist for r in fuzzy_self_join(
+        df, "id", "name", max_dist=1).collect()}
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 1
+    assert (2, 5) in out and out[(2, 5)] == 1   # dup expands to all ids
+    assert (3, 5) in out
+    assert (1, 5) not in out                     # equal strings excluded
+    assert not any(4 in p for p in out)
+
+
+def test_fuzzy_self_join_short_string_fallback(spark):
+    """Strings too short for the q-gram guarantee (no shared bigram at
+    all) still pair via the broadcast fallback block."""
+    from pyspark.sql import Row
+
+    from tap_airbyte_wrapper_spark.operators import fuzzy_self_join
+
+    df = spark.createDataFrame([
+        Row(id=1, name="ab"),
+        Row(id=2, name="cb"),     # dist 1, shares NO bigram with "ab"
+        Row(id=3, name="a"),      # dist 1 from "ab" (delete)
+        Row(id=4, name="zz"),
+    ])
+    out = {(r.id_a, r.id_b): r.dist for r in fuzzy_self_join(
+        df, "id", "name", max_dist=1).collect()}
+    assert (1, 2) in out and (1, 3) in out
+    assert not any(4 in p for p in out)
+
+
+def test_fuzzy_self_join_matches_brute_force(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tap_airbyte_wrapper_spark.operators import fuzzy_self_join
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+
+    part = load_parquet(spark, f"{sf_dir}/part.parquet") \
+        .select("p_partkey", "p_name")
+    fast = {(r.id_a, r.id_b, r.dist) for r in fuzzy_self_join(
+        part, "p_partkey", "p_name", max_dist=2).collect()}
+    a = part.select(F.col("p_partkey").alias("id_a"),
+                    F.col("p_name").alias("na"))
+    b = part.select(F.col("p_partkey").alias("id_b"),
+                    F.col("p_name").alias("nb"))
+    brute = {
+        (r.id_a, r.id_b, r.dist)
+        for r in a.crossJoin(b)
+        .filter("id_a < id_b AND na != nb")
+        .withColumn("dist", F.levenshtein("na", "nb"))
+        .filter("dist <= 2").collect()
+    }
+    assert fast == brute and len(fast) > 0
