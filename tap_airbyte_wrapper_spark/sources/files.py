@@ -226,13 +226,17 @@ class ParquetSource(Source):
         )
 
     def read(self, spark: SparkSession, stream: StreamEntry) -> DataFrame:
-        # Parquet carries its schema in the footer — re-derive via the same
-        # loader (identical output schema).  Default: fail loudly on drift
-        # (the configured catalog is a contract).  on_schema_drift="merge":
-        # conform to the catalog instead — missing columns null, new
-        # columns dropped until a re-discover widens the catalog.
-        df = load_parquet(
-            spark, self.config["path"], merge_schema=self._merge())
+        # Parquet carries its schema in the footer.  The drift check must
+        # probe with the UNION of all footers (mergeSchema): a plain read
+        # infers from one arbitrary file, so a column added by newer
+        # files is visible or invisible depending on listing order — a
+        # contract check cannot be file-order-dependent.  (The probe is
+        # a footer-metadata pass, parallelized by Spark; no data read.)
+        # Default: fail loudly on drift (the configured catalog is a
+        # contract).  on_schema_drift="merge": conform to the catalog —
+        # missing columns null, new columns dropped until a re-discover
+        # widens the catalog.
+        df = load_parquet(spark, self.config["path"], merge_schema=True)
         if df.schema != stream.schema:
             if self._merge():
                 return conform_to_schema(df, stream.schema)
