@@ -32,7 +32,13 @@ from .timeseries import (
     rolling_stats,
     time_bucket,
 )
-from .quality import Expectation, profile_table, validate_expectations
+from .quality import (
+    Expectation,
+    column_correlations,
+    numeric_histogram,
+    profile_table,
+    validate_expectations,
+)
 
 __all__ = [
     "equi_join", "semi_join", "anti_join", "asof_join", "range_join",
@@ -46,4 +52,5 @@ __all__ = [
     "time_bucket", "resample", "gap_fill", "rolling_stats",
     "detect_anomalies",
     "profile_table", "Expectation", "validate_expectations",
+    "numeric_histogram", "column_correlations",
 ]

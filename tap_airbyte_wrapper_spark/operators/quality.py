@@ -28,7 +28,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["profile_table", "Expectation", "validate_expectations"]
+__all__ = ["profile_table", "Expectation", "validate_expectations",
+           "numeric_histogram", "column_correlations"]
 
 
 def profile_table(
@@ -206,3 +207,89 @@ def validate_expectations(
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: ``(bin, lo, hi, n)``
+    with ``bins`` equal buckets over [lo, hi); values at/above ``hi``
+    land in the last bucket, nulls are dropped.
+
+    When bounds are not given they come from one min/max aggregate
+    (first pass), then the bucketing pass is a single ``width_bucket``
+    groupBy with map-side partial aggregation — two scans worst case,
+    one when the caller knows the bounds.  Output = ``bins`` rows;
+    empty buckets are materialized via a sequence join so downstream
+    charting never interpolates gaps.
+    """
+    c = F.col(col).cast("double")
+    if lo is None or hi is None:
+        got = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+        lo = float(got["lo"]) if lo is None else lo
+        hi = float(got["hi"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+    bucket = F.least(
+        F.greatest(
+            F.floor((c - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    counts = (
+        df.filter(c.isNotNull())
+        .groupBy(bucket.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6)
+            .alias("hi"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+def column_correlations(
+    df: DataFrame,
+    columns: Sequence[str],
+) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE
+    aggregation pass: every pair's ``corr`` is an aggregate expression
+    in a single ``agg`` (K*(K-1)/2 aggregates, one scan, map-side
+    partial), stacked to long form ``(col_a, col_b, corr)``.
+
+    The profiler's companion for feature-drift checks: a correlation
+    that moves between snapshots flags an upstream relationship change
+    no per-column profile can see.
+    """
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [
+        F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
+        .alias(f"__c_{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) as (col_a, col_b, corr)".format(
+                n=len(pairs),
+                args=", ".join(
+                    f"'{a}', '{b}', round(`__c_{i}`, 6)"
+                    for i, (a, b) in enumerate(pairs)),
+            )
+        )
+    )
+    return stacked

@@ -1573,6 +1573,29 @@ def q_shard_stats(spark, sf_dir):
     )
 
 
+def q_histogram_order_price(spark, sf_dir):
+    """Fixed-width histogram of order totals (fixed bounds so the
+    bucketing expression is bit-identical across engines); empty
+    buckets materialized."""
+    from ..operators import numeric_histogram
+
+    return numeric_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice",
+        bins=12, lo=0.0, hi=600_000.0)
+
+
+def q_corr_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlations of lineitem numerics in one
+    aggregation pass (drift companion to the profiler)."""
+    from ..operators import column_correlations
+
+    out = column_correlations(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select(
+        "col_a", "col_b", F.round("corr", 4).alias("corr_r"))
+
+
 def q_fuzzy_name_pairs(spark, sf_dir):
     """Exact edit-distance-1 self-join on part names (q-gram blocking +
     dedup-then-expand + levenshtein verify) — entity resolution without
@@ -1640,6 +1663,8 @@ QUERIES = {
     "profile_orders": q_profile_orders,
     "validate_orders": q_validate_orders,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "histogram_order_price": q_histogram_order_price,
+    "corr_lineitem": q_corr_lineitem,
     # -- never driver-checked (round-4 additions) --------------------
     "merge_upsert_orders": q_merge_upsert_orders,
     "resample_events": q_resample_events,
@@ -1684,17 +1709,18 @@ QUERIES = {
     "token_budget_pack": q_token_budget_pack,
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "simhash_verified_pairs": q_simhash_verified_pairs,
-    "knn_lsh_verified": q_knn_lsh_verified,
     "knn_ivf_verified": q_knn_ivf_verified,
     "corpus_curation": q_corpus_curation,
-    "paragraph_dedup_docs": q_paragraph_dedup,
     # -- entries below are outside the driver's QUERIES[:50] window:
-    # -- (round 5 rotated out to make room for the seven new ops:
+    # -- (round 5 rotated out to make room for the nine new ops:
     # -- asof_purchase_view / sessionization / contamination_docs /
     # -- label_centroids / embedding_near_dup / decode_image_meta /
-    # -- dedup_clusters — all r04-green with code unchanged since,
-    # -- still oracle-checked every pytest run) ----------------------
+    # -- dedup_clusters / paragraph_dedup_docs / knn_lsh_verified —
+    # -- all r04-green with code unchanged since, still oracle-checked
+    # -- every pytest run) -------------------------------------------
+    "paragraph_dedup_docs": q_paragraph_dedup,
     "dedup_clusters": q_dedup_clusters,
+    "knn_lsh_verified": q_knn_lsh_verified,
     "embedding_near_dup": q_embedding_near_dup,
     "decode_image_meta": q_decode_image_meta,
     "asof_purchase_view": q_asof_purchase_view,
@@ -2540,6 +2566,32 @@ ORACLES = {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                min(doc_id) AS min_id
         FROM documents GROUP BY 1""",
+    "histogram_order_price": """
+        WITH b AS (
+          SELECT least(greatest(
+                   CAST(floor((o_totalprice - 0.0) / 50000.0) AS INTEGER),
+                   0), 11) AS bin
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+        g AS (SELECT CAST(unnest(generate_series(0, 11)) AS INTEGER) AS bin)
+        SELECT g.bin,
+               round(CAST(g.bin * 50000.0 AS DOUBLE), 6) AS lo,
+               round(CAST((g.bin + 1) * 50000.0 AS DOUBLE), 6) AS hi,
+               coalesce(n, 0) AS n
+        FROM g LEFT JOIN c ON g.bin = c.bin""",
+    "corr_lineitem": """
+        SELECT * FROM (
+          SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                 round(round(corr(l_quantity, l_extendedprice), 6), 4)
+                 AS corr_r FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity', 'l_discount',
+                 round(round(corr(l_quantity, l_discount), 6), 4)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', 'l_discount',
+                 round(round(corr(l_extendedprice, l_discount), 6), 4)
+          FROM lineitem)""",
     "fuzzy_name_pairs": """
         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
                CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist

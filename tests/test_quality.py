@@ -7,6 +7,8 @@ from pyspark.sql import Row
 
 from tap_airbyte_wrapper_spark.operators import (
     Expectation,
+    column_correlations,
+    numeric_histogram,
     profile_table,
     validate_expectations,
 )
@@ -110,3 +112,34 @@ def test_validate_unknown_kind_rejected(spark):
     with pytest.raises(ValueError):
         validate_expectations(
             _df(spark), [Expectation("id", "positive")]).collect()
+
+
+def test_numeric_histogram_buckets_and_gaps(spark):
+    df = spark.createDataFrame(
+        [Row(v=float(x)) for x in [0.0, 1.0, 1.5, 9.9, 10.0, 25.0]]
+        + [Row(v=None)])
+    out = {r.bin: r for r in numeric_histogram(
+        df, "v", bins=5, lo=0.0, hi=25.0).collect()}
+    assert len(out) == 5                       # empty buckets materialized
+    # width = 5: [0,5)=3 values, [5,10)=1 (9.9), [10,15)=1 (10.0),
+    # [15,20)=0, [20,25)->last bucket catches hi: 25.0 clamps to bin 4
+    assert [out[i].n for i in range(5)] == [3, 1, 1, 0, 1]
+    assert out[1].lo == 5.0 and out[1].hi == 10.0
+
+
+def test_numeric_histogram_auto_bounds(spark):
+    df = spark.createDataFrame([Row(v=float(x)) for x in range(100)])
+    out = numeric_histogram(df, "v", bins=4).collect()
+    assert sum(r.n for r in out) == 100
+    assert len(out) == 4
+
+
+def test_column_correlations_signs(spark):
+    rows = [Row(a=float(i), b=float(2 * i), c=float(-i)) for i in range(50)]
+    out = {(r.col_a, r.col_b): r.corr for r in column_correlations(
+        spark.createDataFrame(rows), ["a", "b", "c"]).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert out[("b", "c")] == -1.0
+    with pytest.raises(ValueError):
+        column_correlations(spark.createDataFrame(rows), ["a"])
