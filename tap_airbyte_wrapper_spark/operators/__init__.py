@@ -19,6 +19,8 @@ from .aggregates import (
     distinct_count,
     grouped_agg,
     grouping_sets_agg,
+    hll_rollup,
+    hll_sketch_table,
     rollup_agg,
 )
 from .windows import (global_distribution_ranks, global_topk, ranked,
@@ -45,6 +47,7 @@ __all__ = [
     "salted_join", "fuzzy_self_join",
     "grouped_agg", "cube_agg", "rollup_agg", "grouping_sets_agg",
     "distinct_count", "dedup_exact", "dedup_latest",
+    "hll_sketch_table", "hll_rollup",
     "ranked", "with_lag_lead", "running_agg", "topk_per_group", "global_topk",
     "global_distribution_ranks",
     "union_by_name", "intersect_rows", "except_rows",

@@ -28,6 +28,8 @@ __all__ = [
     "distinct_count",
     "dedup_exact",
     "dedup_latest",
+    "hll_sketch_table",
+    "hll_rollup",
 ]
 
 
@@ -103,3 +105,42 @@ def dedup_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def hll_sketch_table(
+    df: "DataFrame",
+    value_col: str,
+    keys: "str | Sequence[str]",
+    lg_k: int = 12,
+) -> "DataFrame":
+    """Per-key mergeable HLL sketches of ``value_col`` distincts:
+    ``(keys..., sk)`` with ``sk`` a Datasketches HLL binary.
+
+    This is incremental-analytics STATE: persist one sketch row per
+    (day, dimension) as each batch lands, and any later rollup —
+    rolling 7-day uniques, per-region uniques, all-time uniques — is a
+    union of the relevant sketches (:func:`hll_rollup`), never a
+    re-scan of raw events.  At 100 TB the daily raw scan happens once;
+    every distinct-count question after that reads kilobytes.
+    Standard error ~ 1.04/sqrt(2^lg_k) (~1.6% at the default).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sk"))
+
+
+def hll_rollup(
+    sketches: "DataFrame",
+    group_keys: "Sequence[str] | None" = None,
+    sketch_col: str = "sk",
+    out_col: str = "n_distinct_est",
+) -> "DataFrame":
+    """Merge persisted sketches and estimate: group by ``group_keys``
+    (None = one global row), union the sketches, estimate distincts.
+    Input size = number of sketch rows (metadata-scale), so arbitrary
+    re-slicing of a year of daily sketches costs milliseconds."""
+    est = F.hll_sketch_estimate(
+        F.hll_union_agg(F.col(sketch_col))).alias(out_col)
+    if group_keys:
+        return sketches.groupBy(*list(group_keys)).agg(est)
+    return sketches.agg(est)

@@ -464,3 +464,51 @@ def test_fuzzy_self_join_matches_brute_force(spark, sf_dir):
         .filter("dist <= 2").collect()
     }
     assert fast == brute and len(fast) > 0
+
+
+# ------------------------------------------------------------ HLL state
+
+
+def test_hll_sketch_table_incremental_rollup(spark, sf_dir, tmp_path):
+    """Daily per-type sketches persisted incrementally, then every
+    rollup (global, per-type, a 3-day window) comes from the sketch
+    table alone — no raw re-scan — within HLL error of exact."""
+    from pyspark.sql import functions as F
+
+    from tap_airbyte_wrapper_spark.operators import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet") \
+        .withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "sketches")
+    # land sketches in two batches, as an incremental pipeline would
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    for batch in (ev.filter(F.col("day") <= F.lit(cut)),
+                  ev.filter(F.col("day") > F.lit(cut))):
+        hll_sketch_table(batch, "user_id", ["day", "event_type"]) \
+            .write.mode("append").parquet(path)
+
+    sk = spark.read.parquet(path)
+
+    def close(est, exact):
+        return abs(est - exact) <= max(2, 0.05 * exact)
+
+    exact_global = ev.select("user_id").distinct().count()
+    est_global = hll_rollup(sk).first()["n_distinct_est"]
+    assert close(est_global, exact_global)
+
+    exact_type = {r.event_type: r.n for r in ev.groupBy("event_type")
+                  .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for r in hll_rollup(sk, ["event_type"]).collect():
+        assert close(r.n_distinct_est, exact_type[r.event_type])
+
+    last3 = days[-3:]
+    exact_win = ev.filter(F.col("day").isin(last3)) \
+        .select("user_id").distinct().count()
+    est_win = hll_rollup(
+        sk.filter(F.col("day").isin(last3))).first()["n_distinct_est"]
+    assert close(est_win, exact_win)
