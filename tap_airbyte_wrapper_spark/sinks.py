@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .operators.merge import merge_upsert
 
 __all__ = ["merge_snapshot_write", "read_merge_snapshot",
-           "write_pruned_layout"]
+           "list_merge_versions", "write_pruned_layout"]
 
 _SINK_META = ("_op", "_deleted")   # never stored in the snapshot
 _BKT = "__bkt"
@@ -73,14 +73,41 @@ def _bucket_expr(pks: Sequence[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in pks]), F.lit(n_buckets))
 
 
-def read_merge_snapshot(spark: SparkSession, path: str, stream: str) -> DataFrame:
-    """Open the current snapshot of a merge-sink stream."""
+def read_merge_snapshot(
+    spark: SparkSession,
+    path: str,
+    stream: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Open a snapshot of a merge-sink stream: the current one by
+    default, or time-travel to an explicit retained ``version`` —
+    snapshots are immutable, so any version still on disk (see
+    ``keep_versions``) reads exactly as it was committed."""
     root = os.path.join(path, stream)
-    v = _current_version(root)
-    if v is None:
+    cur = _current_version(root)
+    if cur is None:
         raise FileNotFoundError(f"no committed snapshot under {root!r}")
-    df = spark.read.parquet(os.path.join(root, f"v{v}"))
+    v = cur if version is None else version
+    vdir = os.path.join(root, f"v{v}")
+    if version is not None and not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {version} of {stream!r} is not retained "
+            f"(current={cur}; raise keep_versions to time-travel further)")
+    df = spark.read.parquet(vdir)
     return df.drop(_BKT) if _BKT in df.columns else df
+
+
+def list_merge_versions(path: str, stream: str) -> list[int]:
+    """Retained snapshot versions of a stream, ascending (the last one
+    is current unless a crash left an orphan — _CURRENT decides)."""
+    root = os.path.join(path, stream)
+    out = []
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith("v") and name[1:].isdigit() \
+                    and os.path.isdir(os.path.join(root, name)):
+                out.append(int(name[1:]))
+    return sorted(out)
 
 
 def _link_forward(src_dir: str, dst_dir: str) -> None:

@@ -255,3 +255,41 @@ def test_config_errors(spark, tmp_path):
         get_source("changelog",
                    {"path": str(tmp_path / "nope"),
                     "primary_keys": {}}).discover(spark)
+
+
+def test_merge_snapshot_time_travel(spark, tmp_path):
+    """Retained versions read back exactly as committed; pruned
+    versions raise with a clear message."""
+    import pytest
+    from pyspark.sql import Row
+
+    from tap_airbyte_wrapper_spark.sinks import (
+        list_merge_versions,
+        merge_snapshot_write,
+        read_merge_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    b1 = spark.createDataFrame([Row(pk=1, v="a", cur=1), Row(pk=2, v="b", cur=1)])
+    b2 = spark.createDataFrame([Row(pk=1, v="a2", cur=2)])
+    b3 = spark.createDataFrame([Row(pk=3, v="c", cur=3)])
+    for b in (b1, b2, b3):
+        merge_snapshot_write(b, "s", path, ["pk"], order_col="cur",
+                             keep_versions=3)
+    assert list_merge_versions(path, "s") == [0, 1, 2]
+
+    cur = {r.pk: r.v for r in read_merge_snapshot(spark, path, "s").collect()}
+    assert cur == {1: "a2", 2: "b", 3: "c"}
+    v0 = {r.pk: r.v for r in read_merge_snapshot(
+        spark, path, "s", version=0).collect()}
+    assert v0 == {1: "a", 2: "b"}
+    v1 = {r.pk: r.v for r in read_merge_snapshot(
+        spark, path, "s", version=1).collect()}
+    assert v1 == {1: "a2", 2: "b"}
+
+    # a fourth batch prunes v0 (keep_versions=2 now)
+    merge_snapshot_write(
+        spark.createDataFrame([Row(pk=4, v="d", cur=4)]),
+        "s", path, ["pk"], order_col="cur", keep_versions=2)
+    with pytest.raises(FileNotFoundError):
+        read_merge_snapshot(spark, path, "s", version=0)
