@@ -38,6 +38,7 @@ from .quality import (
     Expectation,
     column_correlations,
     numeric_histogram,
+    partition_skew_report,
     profile_table,
     validate_expectations,
 )
@@ -55,5 +56,5 @@ __all__ = [
     "time_bucket", "resample", "gap_fill", "rolling_stats",
     "detect_anomalies",
     "profile_table", "Expectation", "validate_expectations",
-    "numeric_histogram", "column_correlations",
+    "numeric_histogram", "column_correlations", "partition_skew_report",
 ]

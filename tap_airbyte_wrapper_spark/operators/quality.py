@@ -29,7 +29,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["profile_table", "Expectation", "validate_expectations",
-           "numeric_histogram", "column_correlations"]
+           "numeric_histogram", "column_correlations",
+           "partition_skew_report"]
 
 
 def profile_table(
@@ -293,3 +294,29 @@ def column_correlations(
         )
     )
     return stacked
+
+
+def partition_skew_report(df: DataFrame) -> DataFrame:
+    """Physical-layout diagnosis: one row per Spark partition with its
+    row count, plus share-of-max — the quick answer to "is this frame
+    skewed before my join/window?".  Uses ``spark_partition_id`` +
+    partial-agg counts (one pass, no data movement beyond the tiny
+    count rows).  A healthy frame shows counts within ~2x of each
+    other; one partition holding half the rows explains the straggler
+    task better than any timeline UI.
+    """
+    counts = df.groupBy(
+        F.spark_partition_id().alias("partition")).agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.max("n_rows").alias("__mx"), F.sum("n_rows").alias("__tot"))
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "partition", "n_rows",
+            F.round(F.col("n_rows") / F.col("__mx"), 4)
+            .alias("share_of_max"),
+            F.round(F.col("n_rows") / F.col("__tot"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"))
+    )

@@ -1,5 +1,5 @@
 """Query plans: the engine's headline query fleet + DuckDB oracle SQL."""
 
-from .queries import ORACLES, QUERIES, flagship
+from .queries import ORACLES, QUERIES, flagship, register_corpus_views
 
 __all__ = ["QUERIES", "ORACLES", "flagship"]

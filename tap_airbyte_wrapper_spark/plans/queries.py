@@ -2863,3 +2863,21 @@ ORACLES = {
               FROM embeddings)
         GROUP BY label, i""",
 }
+
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def register_corpus_views(spark: SparkSession, sf_dir: str,
+                          suffix: str = "") -> list[str]:
+    """Register every corpus table as a temp view (``name + suffix``)
+    through the engine's nanos/NTZ-tolerant reader, so users run plain
+    ``spark.sql`` over the same data the DataFrame fleet reads — the
+    SQL surface of the engine.  Returns the view names."""
+    names = []
+    for t in TABLES:
+        name = f"{t}{suffix}"
+        _t(spark, sf_dir, t).createOrReplaceTempView(name)
+        names.append(name)
+    return names

@@ -143,3 +143,24 @@ def test_column_correlations_signs(spark):
     assert out[("b", "c")] == -1.0
     with pytest.raises(ValueError):
         column_correlations(spark.createDataFrame(rows), ["a"])
+
+
+def test_partition_skew_report(spark):
+    from tap_airbyte_wrapper_spark.operators import partition_skew_report
+
+    df = spark.range(1000).repartition(8)
+    out = partition_skew_report(df).collect()
+    assert sum(r.n_rows for r in out) == 1000
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-6
+    assert out[0].share_of_max == 1.0          # sorted desc, max first
+
+
+def test_register_corpus_views_sql_surface(spark, sf_dir):
+    from tap_airbyte_wrapper_spark.plans import register_corpus_views
+
+    names = register_corpus_views(spark, sf_dir, suffix="_v")
+    assert "lineitem_v" in names
+    got = spark.sql(
+        "SELECT round(sum(l_extendedprice * l_discount), 2) AS rev "
+        "FROM lineitem_v WHERE l_quantity < 24").first()
+    assert got["rev"] is not None and got["rev"] > 0
