@@ -69,6 +69,7 @@ from .sampling import (
     stratified_sample,
     write_training_shards,
 )
+from .bpe import bpe_segment, train_bpe
 from .udtf import SentenceSplitter, split_sentences
 from .multimodal import (
     MEDIA_SCHEMA,
@@ -98,6 +99,7 @@ __all__ = [
     "boilerplate_removal", "dup_span_stats",
     "minhash_index_write", "minhash_dedup_delta", "embedding_dedup_delta",
     "SentenceSplitter", "split_sentences",
+    "train_bpe", "bpe_segment",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
     "decode_audio",
     "extract_features", "resize_image", "sample_frames",
