@@ -77,6 +77,7 @@ from .multimodal import (
     decode_audio,
     decode_image,
     extract_features,
+    header_dimensions,
     resize_image,
     sample_frames,
     with_media_metadata,
@@ -101,6 +102,6 @@ __all__ = [
     "SentenceSplitter", "split_sentences",
     "train_bpe", "bpe_segment",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
-    "decode_audio",
+    "decode_audio", "header_dimensions",
     "extract_features", "resize_image", "sample_frames",
 ]

@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
 
 from . import codecs as _codecs
 
@@ -43,6 +44,7 @@ __all__ = [
     "with_media_metadata",
     "decode_image",
     "decode_audio",
+    "header_dimensions",
     "resize_image",
     "extract_features",
     "sample_frames",
@@ -316,3 +318,26 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(frames, out_schema)
+
+
+def header_dimensions(col: Column) -> Column:
+    """(width, height) struct from HEADER BYTES of a binary image column
+    (PNG/JPEG/GIF; null when unrecognized) — no pixel decode.
+
+    The pre-decode gate for multimodal curation at scale: filter
+    ``header_dimensions(media).width >= 64`` reads a few dozen bytes
+    per asset, and only survivors pay :func:`decode_image`.  Arrow
+    pandas UDF (per-element byte parsing has no Catalyst expression),
+    one pass, zero shuffle.
+    """
+
+    @pandas_udf("struct<width:int, height:int>")
+    def dims(payloads: pd.Series) -> pd.DataFrame:
+        ws, hs = [], []
+        for p in payloads:
+            got = _codecs.image_dimensions(bytes(p) if p is not None else None)
+            ws.append(got[0] if got else None)
+            hs.append(got[1] if got else None)
+        return pd.DataFrame({"width": ws, "height": hs})
+
+    return dims(col)

@@ -285,3 +285,37 @@ def test_decode_image_pil_codec(spark):
     media = with_media_metadata(df, "payload", "image/bmp")
     r = decode_image(media.select("id", "media_bundle"), "media_bundle").first()
     assert (r.width, r.height, r.channels) == (12, 10, 3)
+
+
+def test_header_dimensions_no_decode(spark):
+    """Resolution gate from header bytes alone: PNG/JPEG/GIF parsed,
+    junk null — the pre-decode filter for 100 TB media curation."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql import Row, functions as F
+
+    from tap_airbyte_wrapper_spark.functions import header_dimensions
+    from tap_airbyte_wrapper_spark.functions.codecs import encode_png
+
+    png = encode_png(np.zeros((7, 5, 3), dtype=np.uint8))
+    jpeg = (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 33, 44) + b"\x03" + b"\x00" * 10)
+    gif = b"GIF89a" + struct.pack("<HH", 12, 9)
+    df = spark.createDataFrame([
+        Row(id=1, media=bytearray(png)),
+        Row(id=2, media=bytearray(jpeg)),
+        Row(id=3, media=bytearray(gif)),
+        Row(id=4, media=bytearray(b"not an image at all")),
+    ])
+    out = {r.id: (r.d.width, r.d.height) for r in df.select(
+        "id", header_dimensions(F.col("media")).alias("d")).collect()}
+    assert out[1] == (5, 7)
+    assert out[2] == (44, 33)
+    assert out[3] == (12, 9)
+    assert out[4] == (None, None)
+    kept = df.filter(
+        header_dimensions(F.col("media")).width >= 16).count()
+    assert kept == 1   # only the 44-wide jpeg passes a >=16 gate
