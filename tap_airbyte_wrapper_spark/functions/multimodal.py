@@ -45,6 +45,8 @@ __all__ = [
     "decode_image",
     "decode_audio",
     "header_dimensions",
+    "image_ahash",
+    "image_near_dup_pairs",
     "resize_image",
     "extract_features",
     "sample_frames",
@@ -341,3 +343,87 @@ def header_dimensions(col: Column) -> Column:
         return pd.DataFrame({"width": ws, "height": hs})
 
     return dims(col)
+
+
+def image_ahash(col: Column, media_type: str = "image/png") -> Column:
+    """Perceptual average-hash of a binary image column as a 64-bit
+    long: decode -> grayscale -> 8x8 nearest resample -> bit i = pixel
+    above the 64-pixel mean.  Visually similar images (recompression,
+    mild noise, small edits) land within a few hamming bits, so
+    near-dup detection reuses the TEXT sketch machinery unchanged:
+    :func:`..dedup.simhash_near_dup_pairs`'s pigeonhole bucketing works
+    on any 64-bit hamming space, this column included.
+
+    Arrow pandas UDF over payload bytes (decode is per-element work);
+    unsupported/corrupt payloads hash to null and drop out of pairing.
+    """
+
+    @pandas_udf("long")
+    def ahash(payloads: pd.Series) -> pd.Series:
+        codec = _codecs.image_codec_for(media_type)
+        out = []
+        for p in payloads:
+            try:
+                _, _, pixels = codec(bytes(p))
+            except Exception:
+                out.append(None)
+                continue
+            gray = pixels[..., :3].astype("float64").mean(axis=2) \
+                if pixels.ndim == 3 else pixels.astype("float64")
+            small = _codecs.nearest_resize(
+                gray[..., None].astype("uint8"), 8, 8)[..., 0]
+            bits = (small.astype("float64") > small.mean()).flatten()
+            v = np.uint64(0)
+            for i, bit in enumerate(bits):
+                if bit:
+                    v |= np.uint64(1) << np.uint64(i)
+            iv = int(v)
+            out.append(iv if iv < (1 << 63) else iv - (1 << 64))
+        return pd.Series(out, dtype="object").astype("Int64")
+
+    return ahash(col)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    media_col: str,
+    max_hamming: int = 6,
+    media_type: str = "image/png",
+) -> DataFrame:
+    """Visual near-duplicate pairs ``(id_a, id_b, hamming)``: average-
+    hash each image, then pigeonhole-bucket the 64-bit hashes exactly
+    like SimHash text dedup (``chunks`` segments guarantee recall for
+    hamming < chunks) and verify with ``bit_count(xor)``.
+
+    Scale shape is inherited: decode cost is one pass over payloads
+    (the expensive part, embarrassingly parallel); pairing shuffles
+    8-byte hashes + ids only — the images themselves never shuffle.
+    """
+    chunks = max_hamming + 1 if max_hamming < 15 else 16
+    hashed = df.select(
+        F.col(id_col), image_ahash(F.col(media_col), media_type).alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    seg_bits = 64 // chunks
+    segs = hashed.select(
+        id_col, "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("sh"), i * seg_bits).bitwiseAND(
+                    F.lit((1 << seg_bits) - 1))
+                for i in range(chunks)
+            ])).alias("seg_idx", "seg_val"),
+    )
+    a = segs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+                    "seg_idx", "seg_val")
+    b = segs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+                    "seg_idx", "seg_val")
+    return (
+        a.join(b, on=["seg_idx", "seg_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

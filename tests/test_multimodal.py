@@ -319,3 +319,42 @@ def test_header_dimensions_no_decode(spark):
     kept = df.filter(
         header_dimensions(F.col("media")).width >= 16).count()
     assert kept == 1   # only the 44-wide jpeg passes a >=16 gate
+
+
+def test_image_ahash_and_visual_near_dup(spark):
+    """Same image + mild noise lands within a few hamming bits; a
+    different image does not; corrupt payloads hash null and never
+    pair."""
+    import numpy as np
+    from pyspark.sql import Row, functions as F
+
+    from tap_airbyte_wrapper_spark.functions import (
+        image_ahash,
+        image_near_dup_pairs,
+    )
+    from tap_airbyte_wrapper_spark.functions.codecs import encode_png
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 255, (32, 32, 3)).astype("uint8")
+    noisy = np.clip(
+        base.astype(int) + rng.randint(-6, 7, base.shape), 0, 255
+    ).astype("uint8")
+    other = rng.randint(0, 255, (32, 32, 3)).astype("uint8")
+    df = spark.createDataFrame([
+        Row(id=1, media=bytearray(encode_png(base))),
+        Row(id=2, media=bytearray(encode_png(noisy))),
+        Row(id=3, media=bytearray(encode_png(other))),
+        Row(id=4, media=bytearray(b"corrupt")),
+    ])
+    hashes = {r.id: r.h for r in df.select(
+        "id", image_ahash(F.col("media")).alias("h")).collect()}
+    assert hashes[4] is None
+    assert hashes[1] is not None and hashes[1] != hashes[3]
+    ham12 = bin((hashes[1] ^ hashes[2]) & ((1 << 64) - 1)).count("1")
+    assert ham12 <= 6
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in image_near_dup_pairs(
+        df, "id", "media", max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert not any(4 in p for p in pairs)
