@@ -78,6 +78,8 @@ from .multimodal import (
     decode_image,
     extract_features,
     header_dimensions,
+    audio_ahash,
+    hamming_near_dup_pairs,
     image_ahash,
     image_near_dup_pairs,
     resize_image,
@@ -104,6 +106,6 @@ __all__ = [
     "SentenceSplitter", "split_sentences",
     "train_bpe", "bpe_segment",
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
-    "decode_audio", "header_dimensions", "image_ahash", "image_near_dup_pairs",
+    "decode_audio", "header_dimensions", "image_ahash", "image_near_dup_pairs", "audio_ahash", "hamming_near_dup_pairs",
     "extract_features", "resize_image", "sample_frames",
 ]

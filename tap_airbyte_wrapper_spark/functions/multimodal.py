@@ -47,6 +47,8 @@ __all__ = [
     "header_dimensions",
     "image_ahash",
     "image_near_dup_pairs",
+    "audio_ahash",
+    "hamming_near_dup_pairs",
     "resize_image",
     "extract_features",
     "sample_frames",
@@ -384,25 +386,20 @@ def image_ahash(col: Column, media_type: str = "image/png") -> Column:
     return ahash(col)
 
 
-def image_near_dup_pairs(
-    df: DataFrame,
+def hamming_near_dup_pairs(
+    hashed: DataFrame,
     id_col: str,
-    media_col: str,
+    hash_col: str = "sh",
     max_hamming: int = 6,
-    media_type: str = "image/png",
 ) -> DataFrame:
-    """Visual near-duplicate pairs ``(id_a, id_b, hamming)``: average-
-    hash each image, then pigeonhole-bucket the 64-bit hashes exactly
-    like SimHash text dedup (``chunks`` segments guarantee recall for
-    hamming < chunks) and verify with ``bit_count(xor)``.
-
-    Scale shape is inherited: decode cost is one pass over payloads
-    (the expensive part, embarrassingly parallel); pairing shuffles
-    8-byte hashes + ids only — the images themselves never shuffle.
-    """
+    """Near-dup pairs over ANY 64-bit hamming space (text simhash,
+    image/audio perceptual hashes): pigeonhole the hash into ``chunks``
+    segments (recall guaranteed for hamming < chunks), bucket-join, and
+    verify with ``bit_count(xor)``.  Shuffles 8-byte hashes + ids
+    only — the payloads that produced the hashes never move."""
     chunks = max_hamming + 1 if max_hamming < 15 else 16
-    hashed = df.select(
-        F.col(id_col), image_ahash(F.col(media_col), media_type).alias("sh")
+    hashed = hashed.select(
+        F.col(id_col), F.col(hash_col).alias("sh")
     ).filter(F.col("sh").isNotNull())
     seg_bits = 64 // chunks
     segs = hashed.select(
@@ -427,3 +424,55 @@ def image_near_dup_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    media_col: str,
+    max_hamming: int = 6,
+    media_type: str = "image/png",
+) -> DataFrame:
+    """Visual near-duplicate pairs ``(id_a, id_b, hamming)``: average-
+    hash each image (one parallel decode pass — the expensive part),
+    then :func:`hamming_near_dup_pairs` on the 64-bit hashes."""
+    hashed = df.select(
+        F.col(id_col), image_ahash(F.col(media_col), media_type).alias("sh"))
+    return hamming_near_dup_pairs(hashed, id_col, "sh", max_hamming)
+
+
+def audio_ahash(col: Column, media_type: str = "audio/wav",
+                n_windows: int = 64) -> Column:
+    """Perceptual hash of a binary audio column as a 64-bit long:
+    decode to mono -> ``n_windows`` equal windows -> bit i = window RMS
+    energy above the median window energy.  Gain changes barely move
+    the bits (median threshold scales with the signal); silence
+    padding, mild noise and re-encoding flip only a few — so
+    :func:`hamming_near_dup_pairs` finds re-uploads and trims the same
+    way it finds near-identical images.  Undecodable payloads -> null.
+    """
+
+    @pandas_udf("long")
+    def ahash(payloads: pd.Series) -> pd.Series:
+        codec = _codecs.audio_codec_for(media_type)
+        out = []
+        for p in payloads:
+            try:
+                _, _, samples = codec(bytes(p))
+                if len(samples) < n_windows:
+                    samples = np.pad(samples, (0, n_windows - len(samples)))
+            except Exception:
+                out.append(None)
+                continue
+            cut = (len(samples) // n_windows) * n_windows
+            win = samples[:cut].reshape(n_windows, -1)
+            energy = np.sqrt((win.astype("float64") ** 2).mean(axis=1))
+            bits = energy > np.median(energy)
+            v = 0
+            for i, bit in enumerate(bits):
+                if bit:
+                    v |= 1 << i
+            out.append(v if v < (1 << 63) else v - (1 << 64))
+        return pd.Series(out, dtype="object").astype("Int64")
+
+    return ahash(col)

@@ -358,3 +358,49 @@ def test_image_ahash_and_visual_near_dup(spark):
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_audio_ahash_near_dup(spark):
+    """Same tone sequence with mild noise/gain pairs; different
+    sequence does not — the shared hamming machinery covers audio."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+    from pyspark.sql import Row, functions as F
+
+    from tap_airbyte_wrapper_spark.functions import (
+        audio_ahash,
+        hamming_near_dup_pairs,
+    )
+
+    def wav_bytes(sig):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(8000)
+            pcm = (np.clip(sig, -1, 1) * 32767).astype("<i2")
+            f.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    rng = np.random.RandomState(5)
+    t = np.arange(8000) / 8000.0
+    # bursts of tone separated by silence -> distinctive energy profile
+    base = np.sin(2 * np.pi * 440 * t) * (np.sin(2 * np.pi * 3 * t) > 0)
+    noisy = base * 0.8 + rng.standard_normal(len(t)) * 0.01
+    other = np.sin(2 * np.pi * 440 * t) * (np.cos(2 * np.pi * 5 * t) > 0.3)
+    df = spark.createDataFrame([
+        Row(id=1, media=bytearray(wav_bytes(base))),
+        Row(id=2, media=bytearray(wav_bytes(noisy))),
+        Row(id=3, media=bytearray(wav_bytes(other))),
+        Row(id=4, media=bytearray(b"not audio")),
+    ])
+    hashed = df.select("id", audio_ahash(F.col("media")).alias("sh"))
+    got = {r.id: r.sh for r in hashed.collect()}
+    assert got[4] is None and got[1] is not None
+    pairs = {(r.id_a, r.id_b) for r in hamming_near_dup_pairs(
+        hashed, "id", max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
