@@ -287,6 +287,7 @@ def fuzzy_self_join(
     str_col: str,
     max_dist: int = 1,
     q: int = 2,
+    expand_ids: bool = True,
 ) -> DataFrame:
     """EXACT edit-distance self-join: all ``(id_a, id_b, dist)`` with
     ``id_a < id_b`` and ``levenshtein(str_a, str_b) <= max_dist`` —
@@ -318,6 +319,14 @@ def fuzzy_self_join(
     block, bounded by the alphabet (strings under ``q*(max_dist+1)``
     characters).  Equal strings are NOT emitted (``__sa < __sb``):
     this reports NEAR matches; exact duplicates are exact_dedup's job.
+
+    ``expand_ids=False`` returns STRING-level pairs
+    ``(str_a, str_b, dist, n_ids_a, n_ids_b)`` instead: on columns
+    where values repeat heavily (names/addresses at web scale) the id
+    expansion is |ids_a| x |ids_b| PER string pair — the measured x10
+    replication study produced ~29M id pairs from ~300 string pairs,
+    output-driven cost that the string form avoids entirely (the
+    member-id sets remain recoverable by two equi-joins when needed).
     """
     strs = (
         df.select(F.col(str_col).alias("__s"))
@@ -367,6 +376,21 @@ def fuzzy_self_join(
         .withColumn("__dist", F.levenshtein("__sa", "__sb"))
         .filter(F.col("__dist") <= max_dist)
     )
+
+    if not expand_ids:
+        counts = df.groupBy(F.col(str_col).alias("__s")).agg(
+            F.count(F.lit(1)).alias("__n"))
+        ca = counts.select(F.col("__s").alias("__sa"),
+                           F.col("__n").alias("n_ids_a"))
+        cb = counts.select(F.col("__s").alias("__sb"),
+                           F.col("__n").alias("n_ids_b"))
+        return (
+            verified.join(ca, on="__sa")
+            .join(cb, on="__sb")
+            .select(
+                F.col("__sa").alias("str_a"), F.col("__sb").alias("str_b"),
+                F.col("__dist").alias("dist"), "n_ids_a", "n_ids_b")
+        )
 
     ids_a = df.select(F.col(id_col).alias("id_a"),
                       F.col(str_col).alias("__sa"))

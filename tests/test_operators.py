@@ -512,3 +512,24 @@ def test_hll_sketch_table_incremental_rollup(spark, sf_dir, tmp_path):
     est_win = hll_rollup(
         sk.filter(F.col("day").isin(last3))).first()["n_distinct_est"]
     assert close(est_win, exact_win)
+
+
+def test_fuzzy_self_join_string_level_form(spark):
+    from pyspark.sql import Row
+
+    from tap_airbyte_wrapper_spark.operators import fuzzy_self_join
+
+    df = spark.createDataFrame(
+        [Row(id=i, name="red widget") for i in range(5)]
+        + [Row(id=10 + i, name="red widgets") for i in range(3)]
+        + [Row(id=99, name="blue bolt")])
+    out = fuzzy_self_join(
+        df, "id", "name", max_dist=1, expand_ids=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert {r.str_a, r.str_b} == {"red widget", "red widgets"}
+    assert r.dist == 1
+    assert {r.n_ids_a, r.n_ids_b} == {5, 3}
+    # the id form of the same input expands to 5*3 pairs
+    ids = fuzzy_self_join(df, "id", "name", max_dist=1).count()
+    assert ids == 15
