@@ -248,3 +248,27 @@ def test_tfidf_scalar_count_is_broadcast(plans):
 def test_retention_cohort_broadcast(plans):
     p = plans("weekly_retention")
     assert "BroadcastHashJoin" in p
+
+
+def test_round5_window_entry_plan_shapes(plans):
+    """Plan locks for the round-5 driver-window entries."""
+    # boilerplate: the bad-unit set broadcasts into a LEFT ANTI probe
+    p = plans("boilerplate_removal_docs")
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+    # anomaly detection: ONE shuffle, on the window key (formatted plans
+    # print the partitioning in the Arguments section)
+    p = plans("anomaly_events")
+    assert p.count("hashpartitioning(user_id") == 1
+    # shard audit: pure hash-agg rollup, no wide shuffle beyond the agg
+    p = plans("shard_stats")
+    assert "HashAggregate" in p and "SortMergeJoin" not in p
+    # fuzzy join: verify stage uses the JVM levenshtein, and candidates
+    # never come from an unblocked cartesian
+    p = plans("fuzzy_name_pairs")
+    assert "levenshtein" in p and "CartesianProduct" not in p
+    # histogram: the bin grid joins broadcast (bins rows), counts hash-agg
+    p = plans("histogram_order_price")
+    assert "BroadcastHashJoin" in p and "HashAggregate" in p
+    # correlations: one aggregation pass, no join at all
+    p = plans("corr_lineitem")
+    assert "Join" not in p
