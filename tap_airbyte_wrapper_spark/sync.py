@@ -295,6 +295,23 @@ class Engine:
                 return int(got["n"]), got.get("cursor_max")
         elif kind == "json":
             df.write.mode(mode).json(f"{path}/{stream_name}")
+        elif kind == "jdbc":
+            # EL "load" parity: land the stream in a database through
+            # Spark's JDBC writer (per-partition batched inserts —
+            # distributed, no driver funnel).  Incremental syncs compose
+            # naturally: the cursor predicate trims the batch BEFORE the
+            # write, so mode="append" receives only new rows.
+            w = (df.write.format("jdbc")
+                 .option("url", sink["url"])
+                 .option("dbtable",
+                         f"{sink.get('table_prefix', '')}{stream_name}")
+                 .mode(mode))
+            if sink.get("driver"):
+                w = w.option("driver", sink["driver"])
+            for k in ("user", "password", "batchsize", "isolationLevel"):
+                if sink.get(k) is not None:
+                    w = w.option(k, str(sink[k]))
+            w.save()
         else:
             raise ValueError(f"unknown sink type {kind!r}")
         got = obs.get

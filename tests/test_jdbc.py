@@ -137,3 +137,38 @@ def test_engine_sync_and_resume(spark, derby_url, tmp_path):
     Engine(spark, cfg).sync(out=out2)
     msgs2 = [json.loads(l) for l in out2.getvalue().splitlines()]
     assert [m for m in msgs2 if m["type"] == "RECORD"] == []
+
+
+def test_jdbc_sink_engine_load_and_incremental(spark, derby_url, sf_dir, tmp_path):
+    """EL load side: Engine syncs a stream INTO Derby via the jdbc sink;
+    an incremental re-run appends only post-bookmark rows."""
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+
+    state = tmp_path / "state.json"
+    cfg = {
+        "source": "dataset_dir",
+        "source_config": {"path": sf_dir},
+        "streams": ["events"],
+        "replication_method": {"events": "INCREMENTAL"},
+        "state_path": str(state),
+        "sink": {"type": "jdbc", "url": derby_url,
+                 "driver": DERBY_DRIVER, "table_prefix": "sunk_",
+                 "mode": "append"},
+    }
+    eng = Engine(spark, cfg)
+    res = eng.sync()
+    total = load_parquet(spark, f"{sf_dir}/events.parquet").count()
+    assert res.stream_counts["events"] == total
+
+    back = (spark.read.format("jdbc")
+            .option("url", derby_url).option("driver", DERBY_DRIVER)
+            .option("dbtable", "sunk_events").load())
+    assert back.count() == total
+    assert set(back.columns) >= {"event_id", "user_id", "value"}
+
+    # resume: bookmark committed -> nothing new -> no duplicate rows
+    res2 = Engine(spark, cfg).sync()
+    assert res2.stream_counts.get("events", 0) == 0
+    assert (spark.read.format("jdbc")
+            .option("url", derby_url).option("driver", DERBY_DRIVER)
+            .option("dbtable", "sunk_events").load().count()) == total
