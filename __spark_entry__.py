@@ -41,7 +41,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query.  Keys absent here
     (minhash_pairs, simhash_pairs, knn_lsh, knn_ivf,
-    approx_distinct_users) use xxhash64/LSH/k-means/HLL internals that
-    SQL cannot reproduce -> driver records
-    rows-only checks."""
+    approx_distinct_users, pca_project_embeddings) use
+    xxhash64/LSH/k-means/HLL/eigendecomposition internals that SQL
+    cannot reproduce -> driver records rows-only checks; each has an
+    oracle-backed verified twin (e.g. embedding_covariance for PCA)."""
     return dict(ORACLES)

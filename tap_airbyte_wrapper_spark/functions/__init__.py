@@ -47,6 +47,7 @@ from .similarity import (
 )
 from .corpus import (
     dup_span_stats,
+    heavy_hitters,
     ngram_contamination,
     pack_token_budget,
     repetition_signals,
@@ -55,6 +56,7 @@ from .corpus import (
     word_ngrams,
     words,
 )
+from .projection import PcaModel, covariance_long, fit_pca, pca_project
 from .dedup import (
     boilerplate_removal,
     minhash_dedup_delta,
@@ -108,4 +110,6 @@ __all__ = [
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
     "decode_audio", "header_dimensions", "image_ahash", "image_near_dup_pairs", "audio_ahash", "hamming_near_dup_pairs",
     "extract_features", "resize_image", "sample_frames",
+    "heavy_hitters",
+    "PcaModel", "fit_pca", "pca_project", "covariance_long",
 ]

@@ -35,6 +35,7 @@ __all__ = [
     "word_ngrams",
     "tfidf_top_terms",
     "vocab_topk",
+    "heavy_hitters",
     "repetition_signals",
     "pack_token_budget",
     "ngram_contamination",
@@ -93,6 +94,86 @@ def vocab_topk(
         F.countDistinct(id_col).alias("doc_freq"),
     )
     return agg.orderBy(F.desc("occurrences"), F.asc("token")).limit(k)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    min_fraction: float = 0.0,
+    capacity: int = 65536,
+) -> DataFrame:
+    """Exact frequent tokens — ``(word, cnt)`` for every token whose
+    global count reaches ``max(min_count, ceil(min_fraction * N))`` —
+    WITHOUT ever shuffling the full vocabulary.
+
+    Two passes (the classic Misra-Gries + exact-recount scheme):
+
+    1. one ``mapInPandas`` scan reduces each task to at most
+       ``capacity`` candidate tokens (MG summary) plus its token total.
+       Union-of-candidates guarantee: a token absent from every summary
+       has per-task count <= N_task/capacity, hence global count
+       <= N/capacity — so the candidate set contains every token at or
+       above the threshold whenever ``threshold > N/capacity`` (always
+       true for the fraction form when ``capacity > 1/min_fraction``,
+       *independent of corpus size* — the right knob at 100 TB).
+    2. one JVM explode scan recounts ONLY the candidates (broadcast
+       left-semi on the <= tasks*capacity candidate words) — the shuffle
+       carries candidate words only, with map-side combine.
+
+    Everything stays lazy (the threshold joins in as a broadcast 1-row
+    aggregate, no driver collect).  Versus :func:`vocab_topk` (which
+    shuffles one row per distinct (task, token)): this bounds the
+    shuffle by the candidate budget even on heavy-tailed web-scale
+    vocabularies.  Pass-1 tokenizes in Python (``\\S+`` on
+    lower/strip), pass-2 in JVM regexp — both mirror the oracle; the
+    *counts* always come from the JVM pass.
+    """
+    import re as _re
+
+    def _mg(batches):
+        import pandas as pd
+
+        d: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            for t in pdf[text_col]:
+                if t is None:
+                    continue
+                toks = _re.findall(r"\S+", str(t).strip().lower())
+                n += len(toks)
+                for tok in toks:
+                    if tok in d:
+                        d[tok] += 1
+                    elif len(d) < capacity:
+                        d[tok] = 1
+                    else:  # decrement-all; drop zeros (amortized O(1)/token)
+                        dead = []
+                        for k in d:
+                            d[k] -= 1
+                            if d[k] == 0:
+                                dead.append(k)
+                        for k in dead:
+                            del d[k]
+        yield pd.DataFrame({"word": list(d.keys()) + [None],
+                            "n": list(d.values()) + [n]})
+
+    partials = df.select(text_col).mapInPandas(_mg, schema="word string, n long")
+    cand = partials.filter(F.col("word").isNotNull()).select("word").distinct()
+    total = partials.filter(F.col("word").isNull()).agg(
+        F.sum("n").alias("n_total"))
+    counts = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .join(F.broadcast(cand), "word", "left_semi")
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.greatest(
+            F.lit(min_count).cast("long"),
+            F.ceil(F.lit(float(min_fraction)) * F.col("n_total"))))
+        .select("word", "cnt")
+    )
 
 
 def repetition_signals(col: Column) -> Column:

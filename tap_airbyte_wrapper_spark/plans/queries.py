@@ -1254,6 +1254,41 @@ def q_label_centroids(spark, sf_dir):
     )
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Upper-triangle covariance of the embedding corpus — the
+    SQL-checkable input to :func:`fit_pca`'s driver eigendecomposition
+    (the oracle twin of ``pca_project_embeddings``)."""
+    from ..functions import covariance_long
+
+    return covariance_long(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
+def q_pca_project_embeddings(spark, sf_dir):
+    """Distributed PCA: one-scan numpy-partial Gram fit (shuffle =
+    d^2+d+1 rows per task), driver eigh over the d x d covariance,
+    broadcast matmul projection.  Eigenvectors are not SQL-expressible
+    -> rows-only driver check; correctness is pinned by the
+    ``embedding_covariance`` oracle twin plus the numpy equivalence in
+    tests/test_projection.py."""
+    from ..functions import fit_pca, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, "embedding", k=8)
+    return pca_project(emb, model, "embedding", "vec_id")
+
+
+def q_heavy_hitter_words(spark, sf_dir):
+    """Exact frequent tokens without a full-vocabulary shuffle:
+    Misra-Gries candidate pass -> broadcast-semi exact recount (see
+    :func:`~..functions.corpus.heavy_hitters`).  Guarantee holds:
+    threshold = max(10, 0.2% of tokens) >> N/capacity at every SF."""
+    from ..functions import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "documents"), "text",
+        min_count=10, min_fraction=0.002, capacity=65536)
+
+
 def q_decode_image_meta(spark, sf_dir):
     """Multimodal plumbing: text bytes as fake image payloads -> decode."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -1727,6 +1762,10 @@ QUERIES = {
     "sessionization": q_sessionization,
     "contamination_docs": q_contamination_docs,
     "label_centroids": q_label_centroids,
+    # -- round-5 session-2 additions (oracle-backed, below the window
+    # -- this round; rotation candidates for round 6) ----------------
+    "embedding_covariance": q_embedding_covariance,
+    "heavy_hitter_words": q_heavy_hitter_words,
     # -- (a) rows-only checks with no SQL-expressible oracle
     # -- (xxhash64 / hyperplane-LSH / k-means / HLL internals — each
     # -- has an oracle-backed *_verified twin kept in-window above;
@@ -1735,6 +1774,7 @@ QUERIES = {
     # -- driver-green in round 4 with code unchanged since.  All of
     # -- (b) stay oracle-checked in tests/test_oracle_parity.py ------
     "approx_distinct_users": q_approx_distinct_users,
+    "pca_project_embeddings": q_pca_project_embeddings,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "knn_lsh": q_knn_lsh,
@@ -2862,6 +2902,30 @@ ORACLES = {
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings)
         GROUP BY label, i""",
+    "embedding_covariance": """
+        WITH ex AS (
+          SELECT vec_id,
+                 CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings
+        )
+        SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+               round((sum(a.x * b.x) - sum(a.x) * sum(b.x) / count(*))
+                     / (count(*) - 1), 6) AS cov
+        FROM ex a JOIN ex b USING (vec_id)
+        WHERE b.i >= a.i
+        GROUP BY a.i, b.i""",
+    "heavy_hitter_words": """
+        WITH w AS (
+          SELECT unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS word
+          FROM documents
+        ),
+        t AS (SELECT count(*) AS n FROM w)
+        SELECT word, count(*) AS cnt
+        FROM w
+        GROUP BY word
+        HAVING count(*) >= greatest(
+            10, CAST(ceil(0.002 * (SELECT n FROM t)) AS BIGINT))""",
 }
 
 

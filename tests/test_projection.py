@@ -1,0 +1,113 @@
+"""Distributed PCA (functions/projection.py) vs single-node numpy, plus
+the Misra-Gries heavy-hitter guarantee (functions/corpus.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tap_airbyte_wrapper_spark.functions import (
+    covariance_long,
+    fit_pca,
+    heavy_hitters,
+    pca_project,
+)
+from tap_airbyte_wrapper_spark.sources.files import load_parquet
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_parquet(spark, f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.array(r["embedding"], dtype="float64") for r in rows])
+    return ids, mat
+
+
+def test_fit_pca_matches_numpy(emb, emb_np):
+    _, mat = emb_np
+    model = fit_pca(emb, "embedding", k=6)
+    assert model.n_rows == mat.shape[0]
+    assert model.dim == mat.shape[1]
+    np.testing.assert_allclose(model.mean, mat.mean(axis=0), atol=1e-9)
+
+    cov = np.cov(mat, rowvar=False)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:6]
+    np.testing.assert_allclose(model.explained_variance, evals, rtol=1e-8)
+    # components are orthonormal rows and eigenvectors of cov
+    np.testing.assert_allclose(
+        model.components @ model.components.T, np.eye(6), atol=1e-8)
+    for comp, lam in zip(model.components, model.explained_variance):
+        np.testing.assert_allclose(cov @ comp, lam * comp, atol=1e-6)
+
+
+def test_pca_project_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    model = fit_pca(emb, "embedding", k=4)
+    got = {r["vec_id"]: np.array(r["proj"])
+           for r in pca_project(emb, model).collect()}
+    want = (mat - model.mean) @ model.components.T
+    for vid, row in zip(ids, want):
+        np.testing.assert_allclose(got[vid], row, atol=1e-8)
+
+
+def test_pca_projection_decorrelates(emb, emb_np):
+    """Projected coordinates have variance = eigenvalues and ~zero
+    cross-covariance — the defining property of PCA."""
+    model = fit_pca(emb, "embedding", k=3)
+    proj = np.stack([np.array(r["proj"])
+                     for r in pca_project(emb, model).collect()])
+    pcov = np.cov(proj, rowvar=False)
+    np.testing.assert_allclose(
+        np.diag(pcov), model.explained_variance, rtol=1e-8)
+    off = pcov - np.diag(np.diag(pcov))
+    assert np.abs(off).max() < 1e-8
+
+
+def test_covariance_long_matches_numpy(emb, emb_np):
+    _, mat = emb_np
+    cov = np.cov(mat, rowvar=False)
+    rows = covariance_long(emb, "embedding").collect()
+    d = mat.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        assert r["cov"] == pytest.approx(cov[r["i"], r["j"]], abs=2e-6)
+
+
+def test_fit_pca_k_clamped(emb):
+    model = fit_pca(emb, "embedding", k=10_000)
+    assert model.k == model.dim
+
+
+def _hh_df(spark, rows):
+    return spark.createDataFrame([(t,) for t in rows], "text string")
+
+
+def test_heavy_hitters_exact_counts(spark):
+    df = _hh_df(spark, ["a a a b", "b c", "A  a", None, "  "])
+    got = {r["word"]: r["cnt"]
+           for r in heavy_hitters(df, min_count=2).collect()}
+    assert got == {"a": 5, "b": 2}
+
+
+def test_heavy_hitters_guarantee_survives_tiny_capacity(spark):
+    """threshold > N/capacity ==> no true heavy hitter is lost, even
+    when the MG summary is far smaller than the vocabulary."""
+    rows = [f"hot{i % 3}" for i in range(300)] + [f"rare{i}" for i in range(200)]
+    df = _hh_df(spark, rows).repartition(4)
+    # N = 500, capacity 25 -> N/cap = 20 < threshold 50
+    got = {r["word"]: r["cnt"]
+           for r in heavy_hitters(df, min_count=50, capacity=25).collect()}
+    assert got == {"hot0": 100, "hot1": 100, "hot2": 100}
+
+
+def test_heavy_hitters_fraction_threshold(spark):
+    rows = ["x"] * 60 + ["y"] * 30 + [f"z{i}" for i in range(10)]
+    df = _hh_df(spark, rows)
+    # N = 100; 40% threshold keeps only x
+    got = {r["word"]: r["cnt"]
+           for r in heavy_hitters(df, min_fraction=0.4).collect()}
+    assert got == {"x": 60}
