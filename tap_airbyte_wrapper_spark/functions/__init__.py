@@ -6,6 +6,7 @@ from .text import (
     fingerprint,
     language_id,
     minhash_fingerprints,
+    normalize_text,
     quality_score,
     token_count,
     winnow_fingerprints,
@@ -46,6 +47,7 @@ from .similarity import (
     semantic_dedup,
 )
 from .corpus import (
+    chunk_documents,
     dup_span_stats,
     heavy_hitters,
     ngram_contamination,
@@ -68,6 +70,7 @@ from .sampling import (
     hash_bucket,
     hash_split,
     mixture_sample,
+    sample_per_group,
     stratified_sample,
     write_training_shards,
 )
@@ -110,6 +113,7 @@ __all__ = [
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
     "decode_audio", "header_dimensions", "image_ahash", "image_near_dup_pairs", "audio_ahash", "hamming_near_dup_pairs",
     "extract_features", "resize_image", "sample_frames",
-    "heavy_hitters",
+    "heavy_hitters", "normalize_text", "chunk_documents",
+    "sample_per_group",
     "PcaModel", "fit_pca", "pca_project", "covariance_long",
 ]

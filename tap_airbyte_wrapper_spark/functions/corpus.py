@@ -36,6 +36,7 @@ __all__ = [
     "tfidf_top_terms",
     "vocab_topk",
     "heavy_hitters",
+    "chunk_documents",
     "repetition_signals",
     "pack_token_budget",
     "ngram_contamination",
@@ -173,6 +174,51 @@ def heavy_hitters(
             F.lit(min_count).cast("long"),
             F.ceil(F.lit(float(min_fraction)) * F.col("n_total"))))
         .select("word", "cnt")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows —
+    ``(id, chunk_id, chunk_text, n_tokens)`` — the context-window
+    chunking step of a training/RAG pipeline.
+
+    Windows start every ``chunk_tokens - overlap`` tokens; the last
+    window starts at the final stride position whose tail is not fully
+    covered by the previous window (``start <= n - overlap - 1``), so
+    every token appears in at least one chunk, short docs yield exactly
+    one chunk, and empty docs yield none.
+
+    Pure Catalyst array algebra (tokenize once per row, ``posexplode``
+    over the start sequence, per-chunk ``slice``): per-row cost, zero
+    shuffle, fully reproducible in the SQL oracle (``generate_series``
+    + ``list_slice``).  Output rows ~= tokens/stride — the explosion IS
+    the product, not an intermediate.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    ws = F.regexp_extract_all(F.trim(F.col(text_col)), F.lit(r"\S+"), 0)
+    n = F.size(ws)
+    starts = F.when(n > 0, F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col), ws.alias("__ws"), n.alias("__n"),
+                  F.posexplode(starts).alias("chunk_id", "__start"))
+        .select(
+            id_col, "chunk_id",
+            F.concat_ws(" ", F.slice(
+                F.col("__ws"), F.col("__start") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens),
+                    F.col("__n") - F.col("__start")).alias("n_tokens"),
+        )
     )
 
 

@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["hash_bucket", "hash_split", "mixture_sample",
-           "stratified_sample", "assign_shards", "write_training_shards"]
+           "stratified_sample", "sample_per_group",
+           "assign_shards", "write_training_shards"]
 
 
 def hash_bucket(col: Column, buckets: int = 100, salt: str = "") -> Column:
@@ -80,6 +81,38 @@ def mixture_sample(
         thresh = F.when(F.col(group_col) == g, F.lit(int(r * 10_000))) \
             .otherwise(thresh)
     return df.filter(bucket < thresh)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``k`` rows per group (fewer if the group is smaller),
+    chosen deterministically: rank rows inside each group by the md5 of
+    their id and keep the first ``k`` — a reservoir-sample equivalent
+    that is a pure function of (id, salt), so the same rows survive on
+    any cluster size or retry, and a SQL oracle recomputes the exact
+    set.  Changing ``salt`` re-deals the sample.
+
+    The fraction-based samplers above cannot promise a count; this is
+    the "give me 1000 eval docs per language" primitive.  One shuffle
+    on ``group_col``; the rank window is per-group (bounded memory —
+    never a global sort).  Heavily skewed groups pay that group's
+    partition; for pathological single-group corpora use the two-phase
+    global-ranks pattern (``operators/windows.py``).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
 def assign_shards(

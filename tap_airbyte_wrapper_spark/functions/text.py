@@ -33,6 +33,7 @@ __all__ = [
     "fingerprint",
     "minhash_fingerprints",
     "winnow_fingerprints",
+    "normalize_text",
 ]
 
 # Marker stopwords per language — tiny n-gram-free heuristic: count marker
@@ -238,3 +239,51 @@ def winnow_fingerprints(
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     return df.withColumn(out_col, _fps(F.col(text_col)))
+
+
+def normalize_text(
+    col: Column,
+    form: str = "NFC",
+    strip_accents: bool = False,
+    collapse_whitespace: bool = False,
+) -> Column:
+    """Unicode canonicalization — the prerequisite to any hash-based
+    dedup over a multilingual corpus: 'café' (NFC) and 'café' (NFD)
+    are byte-distinct, so unnormalized exact/MinHash dedup silently
+    misses equal documents.  CCNet-style pipelines normalize before
+    fingerprinting for exactly this reason.
+
+    ``form`` is any of NFC/NFD/NFKC/NFKD; ``strip_accents`` removes
+    combining marks then recomposes (NFC(NFD minus Mn)) — matching
+    DuckDB's ``strip_accents`` including Hangul recomposition, which a
+    naive decompose-and-drop misses; ``collapse_whitespace`` trims and
+    squeezes runs of whitespace to one space.
+
+    Spark has no built-in Unicode normalizer, so this is the documented
+    exception to the functions-layer "JVM expressions only" rule: an
+    Arrow-batched pandas UDF (one ``str`` pass per batch, no per-row
+    Python fallback).  Per-row, zero shuffle, embarrassingly parallel.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(xs: pd.Series) -> pd.Series:
+        def one(s):
+            if s is None:
+                return None
+            out = unicodedata.normalize(form, s)
+            if strip_accents:
+                out = unicodedata.normalize(
+                    "NFC",
+                    "".join(c for c in unicodedata.normalize("NFD", out)
+                            if unicodedata.category(c) != "Mn"))
+            if collapse_whitespace:
+                out = _re.sub(r"\s+", " ", out).strip()
+            return out
+
+        return xs.map(one)
+
+    return _norm(col)

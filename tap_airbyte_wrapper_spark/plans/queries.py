@@ -1289,6 +1289,39 @@ def q_heavy_hitter_words(spark, sf_dir):
         min_count=10, min_fraction=0.002, capacity=65536)
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Fixed-window document chunking (128 tokens, 16 overlap): pure
+    array algebra, zero shuffle; the explosion is the product."""
+    from ..functions import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           chunk_tokens=128, overlap=16)
+
+
+def q_sample_per_language(spark, sf_dir):
+    """Deterministic exact-k per-group sampling (md5-rank reservoir
+    equivalent): 25 docs per language, restart-stable and
+    oracle-recomputable."""
+    from ..functions import sample_per_group
+
+    return sample_per_group(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", k=25)
+
+
+def q_normalize_docs(spark, sf_dir):
+    """Unicode canonicalization (NFC + accent strip + whitespace
+    collapse) — the pre-fingerprint normalization pass.  Arrow-batched
+    UDF, per-row, zero shuffle; oracle = DuckDB
+    strip_accents(nfc_normalize(...))."""
+    from ..functions import normalize_text
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        normalize_text(F.col("text"), form="NFC", strip_accents=True,
+                       collapse_whitespace=True).alias("norm_text"))
+
+
 def q_decode_image_meta(spark, sf_dir):
     """Multimodal plumbing: text bytes as fake image payloads -> decode."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -1766,6 +1799,9 @@ QUERIES = {
     # -- this round; rotation candidates for round 6) ----------------
     "embedding_covariance": q_embedding_covariance,
     "heavy_hitter_words": q_heavy_hitter_words,
+    "normalize_docs": q_normalize_docs,
+    "chunk_docs": q_chunk_docs,
+    "sample_per_language": q_sample_per_language,
     # -- (a) rows-only checks with no SQL-expressible oracle
     # -- (xxhash64 / hyperplane-LSH / k-means / HLL internals — each
     # -- has an oracle-backed *_verified twin kept in-window above;
@@ -2915,6 +2951,38 @@ ORACLES = {
         FROM ex a JOIN ex b USING (vec_id)
         WHERE b.i >= a.i
         GROUP BY a.i, b.i""",
+    "chunk_docs": """
+        WITH d AS (
+          SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS ws
+          FROM documents
+        ),
+        s AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) > 0),
+        c AS (
+          SELECT doc_id, ws, n,
+                 unnest(generate_series(0, greatest(n - 17, 0), 112)) AS st
+          FROM s
+        )
+        SELECT doc_id, CAST(st // 112 AS INTEGER) AS chunk_id,
+               array_to_string(list_slice(ws, st + 1, st + 128), ' ')
+                 AS chunk_text,
+               CAST(least(128, n - st) AS INTEGER) AS n_tokens
+        FROM c""",
+    "sample_per_language": """
+        SELECT doc_id, lang
+        FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents
+        )
+        WHERE rk <= 25""",
+    "normalize_docs": """
+        SELECT doc_id,
+               trim(regexp_replace(
+                   strip_accents(nfc_normalize(text)), '\\s+', ' ', 'g'))
+               AS norm_text
+        FROM documents""",
     "heavy_hitter_words": """
         WITH w AS (
           SELECT unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS word

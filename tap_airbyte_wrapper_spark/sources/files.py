@@ -300,6 +300,36 @@ class JsonSource(ParquetSource):
 
 
 @register
+class OrcSource(ParquetSource):
+    """Single-stream ORC source.  Same columnar pushdown story as
+    parquet (Spark's native ORC reader does predicate pushdown + column
+    pruning via file/stripe statistics); schema comes from the ORC
+    footer, so discovery needs no inference pass.  Incremental reads use
+    the base cursor-filter path (``Source.read_incremental``) — the
+    predicate lands in ``PushedFilters`` of the ORC scan."""
+
+    name = "orc"
+
+    def _load(self, spark: SparkSession) -> DataFrame:
+        return spark.read.orc(self.config["path"])
+
+    def read(self, spark: SparkSession, stream: StreamEntry) -> DataFrame:
+        df = self._load(spark)
+        if df.schema != stream.schema:
+            if self._merge():
+                return conform_to_schema(df, stream.schema)
+            raise SourceError(
+                f"schema drift on stream {stream.name!r}: "
+                f"discovered {stream.schema.simpleString()}, "
+                f"now {df.schema.simpleString()}")
+        return df
+
+    def read_incremental(self, spark: SparkSession, stream: StreamEntry,
+                         bookmark: Any) -> DataFrame:
+        return Source.read_incremental(self, spark, stream, bookmark)
+
+
+@register
 class DatasetDirSource(Source):
     """Multi-stream source over a directory of ``<table>.parquet`` files.
 

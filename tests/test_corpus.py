@@ -209,3 +209,57 @@ def test_mixture_sample_deterministic_and_rate(spark, sf_dir):
     other = docs.filter("source != 'src0'").count()
     frac = (len(kept1) - n_src0) / other
     assert 0.1 < frac < 0.45, f"default rate 0.25 sampled {frac}"
+
+
+def test_chunk_documents_windows(spark):
+    from tap_airbyte_wrapper_spark.functions import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(300))),
+         (2, "short doc"), (3, ""), (4, None)],
+        "doc_id int, text string")
+    out = chunk_documents(df, chunk_tokens=128, overlap=16)
+    rows = sorted((r["doc_id"], r["chunk_id"], r["n_tokens"])
+                  for r in out.collect())
+    # 300 tokens, stride 112 -> starts 0,112,224 (283 > 300-17=283? no: <=283)
+    assert [r for r in rows if r[0] == 1] == [(1, 0, 128), (1, 1, 128), (1, 2, 76)]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 2)]
+    assert not [r for r in rows if r[0] in (3, 4)]
+    # every token covered, overlap reproduced
+    chunks = {r["chunk_id"]: r["chunk_text"].split()
+              for r in out.filter("doc_id = 1").collect()}
+    assert chunks[0][-16:] == chunks[1][:16]
+    assert [w for c in (0, 1, 2) for w in chunks[c][(16 if c else 0):]] \
+        == [f"w{i}" for i in range(300)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+    from tap_airbyte_wrapper_spark.functions import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_sample_per_group_exact_k_and_stable(spark):
+    from tap_airbyte_wrapper_spark.functions import sample_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "tiny") for i in range(100)],
+        "doc_id int, g string")
+    out = sample_per_group(df, "g", "doc_id", k=10)
+    got = {r["g"]: r["doc_id"] for r in out.collect()}  # last wins, count below
+    counts = {g: 0 for g in ("big", "tiny")}
+    ids = set()
+    for r in out.collect():
+        counts[r["g"]] += 1
+        ids.add(r["doc_id"])
+    assert counts == {"big": 10, "tiny": 10}
+    # deterministic under reshuffling and salt-sensitive
+    again = {r["doc_id"] for r in
+             sample_per_group(df.repartition(7), "g", "doc_id", k=10).collect()}
+    assert again == ids
+    other = {r["doc_id"] for r in
+             sample_per_group(df, "g", "doc_id", k=10, salt="x").collect()}
+    assert other != ids

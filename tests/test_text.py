@@ -196,3 +196,45 @@ def test_winnow_fingerprints_short_and_empty(spark):
     assert len(rows[1]) == 1 and len(rows[2]) == 1 and len(rows[3]) == 1
     import hashlib
     assert rows[2] == [hashlib.md5(b"abc").hexdigest()]
+
+
+def test_normalize_text_matches_duckdb_semantics(spark):
+    """Engine normalize_text must equal DuckDB's
+    strip_accents(nfc_normalize(...)) on the hard cases (NFD input,
+    Hangul recomposition, ligatures, stacked combining marks) — the
+    exact expression the normalize_docs oracle runs."""
+    import duckdb
+    from tap_airbyte_wrapper_spark.functions import normalize_text
+    from pyspark.sql import functions as F
+
+    cases = ["café", "café", "ñoño", "straße", "ﬁle",
+             "Ａｂｃ１２３", "한국어", "नमस्ते", "é̂x",
+             "plain ascii", "", None]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i int, s string")
+    got = {r["i"]: r["n"] for r in df.select(
+        "i", normalize_text(F.col("s"), strip_accents=True).alias("n")
+    ).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(cases):
+        want = None if s is None else con.execute(
+            "SELECT strip_accents(nfc_normalize(?))", [s]).fetchone()[0]
+        assert got[i] == want, (i, s, got[i], want)
+
+
+def test_normalize_text_forms_and_whitespace(spark):
+    from tap_airbyte_wrapper_spark.functions import normalize_text
+    from pyspark.sql import functions as F
+    import unicodedata
+
+    df = spark.createDataFrame([("  a  b\n\tc  ",), ("ﬁle",)],
+                               "s string")
+    rows = df.select(
+        normalize_text(F.col("s"), collapse_whitespace=True).alias("ws"),
+        normalize_text(F.col("s"), form="NFKC").alias("nfkc"),
+    ).collect()
+    assert rows[0]["ws"] == "a b c"
+    assert rows[1]["nfkc"] == unicodedata.normalize("NFKC", "ﬁle") == "file"
+
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_text(F.col("s"), form="NFX")
