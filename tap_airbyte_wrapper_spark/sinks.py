@@ -48,7 +48,7 @@ from .operators.merge import merge_upsert
 
 __all__ = ["merge_snapshot_write", "read_merge_snapshot",
            "list_merge_versions", "write_pruned_layout",
-           "zorder_value", "write_zorder_layout"]
+           "zorder_value", "write_zorder_layout", "compact_parquet"]
 
 _SINK_META = ("_op", "_deleted")   # never stored in the snapshot
 _BKT = "__bkt"
@@ -354,3 +354,57 @@ def write_zorder_layout(
             spark.conf.set(conf_key, old)
         else:
             spark.conf.unset(conf_key)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    sort_cols: Sequence[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_mb)`` right-sized files.  Streaming
+    sinks and per-batch merge writes spray small files; at 100 TB the
+    resulting open/seek overhead and footer churn dominate read cost
+    (the classic small-files problem), and a periodic compaction pass
+    is the standard fix.
+
+    Without ``sort_cols`` the rewrite is a ``coalesce`` — a NARROW
+    dependency: no shuffle, each output task concatenates input files.
+    With ``sort_cols`` it range-repartitions + sorts (one shuffle),
+    restoring a stats-pruned layout (:func:`write_pruned_layout`) at
+    the same time — compaction and re-clustering in one pass.
+
+    Returns ``{"files_in", "files_out", "bytes"}``.  ``dst`` must
+    differ from ``src``: the write is to a fresh directory so a crash
+    mid-compaction never corrupts the source (callers swap atomically,
+    e.g. the merge sink's ``_CURRENT`` pointer pattern).
+    """
+    if os.path.abspath(src) == os.path.abspath(dst):
+        raise ValueError("compact_parquet writes to a NEW directory")
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, -(-total // (target_mb << 20)))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        out = df.repartitionByRange(n, *[F.col(c) for c in sort_cols]) \
+                .sortWithinPartitions(*sort_cols)
+    else:
+        out = df.coalesce(n)
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        out.write.mode("overwrite").parquet(dst)
+    finally:
+        if old is not None:
+            spark.conf.set(conf_key, old)
+        else:
+            spark.conf.unset(conf_key)
+    files_out = sum(
+        1 for r, _, fs in os.walk(dst) for f in fs if f.endswith(".parquet"))
+    return {"files_in": len(files), "files_out": files_out, "bytes": total}

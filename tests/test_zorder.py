@@ -107,3 +107,36 @@ def test_zorder_equal_depth_handles_skew(tmp_path, spark):
     ranges = _file_ranges(zdir, "u")
     # the uniform dimension still prunes: a narrow slab misses >= 1/4 of files
     assert _overlapping(ranges, 100, 200) <= len(ranges) * 3 // 4
+
+
+def test_compact_parquet_coalesces_small_files(tmp_path, spark):
+    from tap_airbyte_wrapper_spark.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "spray"), str(tmp_path / "tight")
+    df = spark.range(0, 50_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"))
+    df.repartition(64).write.parquet(src)
+    stats = compact_parquet(spark, src, dst, target_mb=1)
+    assert stats["files_in"] == 64
+    assert stats["files_out"] < 64 / 4
+    back = spark.read.parquet(dst)
+    assert back.count() == 50_000
+    assert back.agg(F.sum("id")).collect()[0][0] == \
+        df.agg(F.sum("id")).collect()[0][0]
+
+
+def test_compact_parquet_with_sort_restores_pruning(tmp_path, spark):
+    from tap_airbyte_wrapper_spark.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "s2"), str(tmp_path / "d2")
+    spark.range(0, 300_000).select(
+        (F.abs(F.xxhash64("id")) % 1_000_000).alias("v"),
+        F.md5(F.col("id").cast("string")).alias("pad"),
+    ).repartition(32).write.parquet(src)
+    compact_parquet(spark, src, dst, target_mb=1, sort_cols=["v"])
+    ranges = _file_ranges(dst, "v")
+    assert len(ranges) > 1
+    # disjoint sorted ranges: a narrow predicate touches few files
+    assert _overlapping(ranges, 100_000, 150_000) <= max(1, len(ranges) // 3)
+    with pytest.raises(ValueError, match="NEW directory"):
+        compact_parquet(spark, src, src)
