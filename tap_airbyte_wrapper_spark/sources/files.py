@@ -288,15 +288,64 @@ class CsvSource(ParquetSource):
 
 @register
 class JsonSource(ParquetSource):
-    """Single-stream JSONL source."""
+    """Single-stream JSONL source.
+
+    ``quarantine_path`` config (optional): malformed lines are diverted
+    there instead of silently becoming all-null rows (the reference's
+    world handles per-record connector errors the same way — bad
+    records must neither kill the sync nor corrupt the stream).  The
+    read becomes text-scan + ``from_json``: a line the parser cannot
+    turn into the stream schema (``from_json`` -> NULL struct) is
+    written verbatim to the quarantine directory (one eager job), and
+    ``read`` returns only the good, typed rows.  Costs one extra parse
+    of the input versus the plain path — only when quarantine is on.
+    """
 
     name = "json"
 
+    @classmethod
+    def spec(cls) -> dict[str, Any]:
+        s = super().spec()
+        s["properties"]["quarantine_path"] = {
+            "type": ["string", "null"],
+            "description": "divert malformed lines here instead of "
+                           "failing or null-filling",
+        }
+        return s
+
     def _load(self, spark: SparkSession) -> DataFrame:
-        return spark.read.json(self.config["path"])
+        df = spark.read.json(self.config["path"])
+        # malformed lines during discovery must not leak the inference
+        # engine's corrupt-record column into the stream contract
+        junk = spark.conf.get(
+            "spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+        return df.drop(junk) if junk in df.columns else df
 
     def read(self, spark: SparkSession, stream: StreamEntry) -> DataFrame:
-        return spark.read.schema(stream.schema).json(self.config["path"])
+        q = self.config.get("quarantine_path")
+        if not q:
+            return spark.read.schema(stream.schema).json(self.config["path"])
+        from pyspark.sql.types import StructField, StringType
+
+        # PERMISSIVE from_json yields an all-null struct for a malformed
+        # line (indistinguishable from a legitimately-null record), so
+        # parse with an explicit corrupt-record field: the parser fills
+        # it with the raw line exactly when parsing failed.
+        marked = type(stream.schema)(
+            list(stream.schema.fields)
+            + [StructField("_corrupt_record", StringType())])
+        raw = spark.read.text(self.config["path"]).filter(
+            F.trim(F.col("value")) != "")
+        parsed = raw.select("value", F.from_json(
+            F.col("value"), marked,
+            {"columnNameOfCorruptRecord": "_corrupt_record"}).alias("__rec"))
+        bad = parsed.filter(
+            F.col("__rec._corrupt_record").isNotNull()).select("value")
+        bad.write.mode("overwrite").text(q)
+        return (
+            parsed.filter(F.col("__rec._corrupt_record").isNull())
+            .select("__rec.*").drop("_corrupt_record")
+        )
 
 
 @register

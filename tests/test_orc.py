@@ -61,3 +61,42 @@ def test_orc_schema_drift_fails_then_conforms(spark, orc_orders):
         "on_schema_drift": "merge"})
     out = merging.read(spark, old)
     assert out.columns == [f.name for f in old.schema.fields]
+
+
+def test_json_quarantine_diverts_malformed(spark, tmp_path):
+    import glob as _glob
+    import json as _json
+
+    src = tmp_path / "in.jsonl"
+    lines = [_json.dumps({"id": i, "name": f"n{i}"}) for i in range(5)]
+    lines.insert(2, '{"id": 99, "name": broken')   # malformed
+    lines.insert(4, "not json at all")
+    lines.append("")                               # blank: skipped, not quarantined
+    src.write_text("\n".join(lines) + "\n")
+
+    qdir = str(tmp_path / "quarantine")
+    js = get_source("json", {"path": str(src), "stream_name": "s",
+                             "quarantine_path": qdir})
+    (stream,) = js.discover(spark).streams
+    good = js.read(spark, stream)
+    assert good.count() == 5
+    assert sorted(r["id"] for r in good.collect()) == [0, 1, 2, 3, 4]
+
+    bad_lines = []
+    for f in sorted(set(_glob.glob(qdir + "/*.txt")
+                        + _glob.glob(qdir + "/part-*"))):
+        with open(f) as fh:
+            bad_lines += [l.rstrip("\n") for l in fh if l.strip()]
+    assert sorted(bad_lines) == sorted(
+        ['{"id": 99, "name": broken', "not json at all"])
+
+
+def test_json_without_quarantine_unchanged(spark, tmp_path):
+    import json as _json
+
+    src = tmp_path / "ok.jsonl"
+    src.write_text("\n".join(
+        _json.dumps({"id": i}) for i in range(3)) + "\n")
+    js = get_source("json", {"path": str(src), "stream_name": "s"})
+    (stream,) = js.discover(spark).streams
+    assert js.read(spark, stream).count() == 3
