@@ -1796,7 +1796,10 @@ QUERIES = {
     "contamination_docs": q_contamination_docs,
     "label_centroids": q_label_centroids,
     # -- round-5 session-2 additions (oracle-backed, below the window
-    # -- this round; rotation candidates for round 6) ----------------
+    # -- this round).  ROUND-6 ROTATION NOTE: these five have never
+    # -- been driver-checked — move them, plus the r05-window survivors
+    # -- worth re-verifying, into positions 1-50 next round and rotate
+    # -- out r05-green entries whose code did not change. ------------
     "embedding_covariance": q_embedding_covariance,
     "heavy_hitter_words": q_heavy_hitter_words,
     "normalize_docs": q_normalize_docs,

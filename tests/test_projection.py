@@ -111,3 +111,35 @@ def test_heavy_hitters_fraction_threshold(spark):
     got = {r["word"]: r["cnt"]
            for r in heavy_hitters(df, min_fraction=0.4).collect()}
     assert got == {"x": 60}
+
+
+def test_pca_then_ivf_composition(spark, emb):
+    """Pipeline composition: PCA-reduce the corpus, then run IVF ANN in
+    the reduced space — full-probe IVF over projected vectors must agree
+    exactly with brute force over the same projected vectors, and the
+    reduced space must preserve neighborhoods well (recall@10 vs the
+    full-space ground truth)."""
+    from pyspark.sql import functions as F
+    from tap_airbyte_wrapper_spark.functions import cosine_topk, cosine_topk_ivf
+
+    model = fit_pca(emb, "embedding", k=16)
+    proj = pca_project(emb, model).select(
+        "vec_id", F.col("proj").cast("array<float>").alias("embedding"))
+    queries = proj.filter(F.col("vec_id") < 5)
+
+    brute = cosine_topk(proj, queries, k=5)
+    ivf = cosine_topk_ivf(proj, queries, k=5, n_clusters=8, n_probe=8)
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    v = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    assert b == v
+
+    # neighborhood preservation: projected top-5 inside the full-space
+    # top-20 far above chance.  The synthetic embeddings are uniform
+    # 64-d (no low-rank structure — PCA's worst case), so demand a
+    # 10x-over-chance signal, not perfection: chance is 20/500 = 4%.
+    full = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=20)
+    f = {}
+    for r in full.collect():
+        f.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(1 for (q, n) in b if n in f[q])
+    assert hits >= len(b) * 0.4, f"recall {hits}/{len(b)}"
