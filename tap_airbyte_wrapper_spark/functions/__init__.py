@@ -58,7 +58,14 @@ from .corpus import (
     word_ngrams,
     words,
 )
-from .projection import PcaModel, covariance_long, fit_pca, pca_project
+from .projection import (
+    PcaModel,
+    covariance_long,
+    fit_pca,
+    load_pca,
+    pca_project,
+    save_pca,
+)
 from .dedup import (
     boilerplate_removal,
     minhash_dedup_delta,
@@ -116,4 +123,5 @@ __all__ = [
     "heavy_hitters", "normalize_text", "chunk_documents",
     "sample_per_group",
     "PcaModel", "fit_pca", "pca_project", "covariance_long",
+    "save_pca", "load_pca",
 ]

@@ -37,7 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["PcaModel", "fit_pca", "pca_project", "covariance_long"]
+__all__ = ["PcaModel", "fit_pca", "pca_project", "covariance_long",
+           "save_pca", "load_pca"]
 
 
 @dataclass
@@ -172,3 +173,26 @@ def covariance_long(
             ).alias("cov"),
         )
     )
+
+
+def save_pca(model: PcaModel, spark, path: str) -> None:
+    """Persist a fitted model as a one-row parquet (mean, row-major
+    components, explained variance, shape) — an engine-portable
+    artifact like the IVF index: fit once on the 100 TB corpus, reuse
+    across every downstream projection job."""
+    k, d = model.components.shape
+    spark.createDataFrame(
+        [(model.mean.tolist(), model.components.ravel().tolist(),
+          model.explained_variance.tolist(), model.n_rows, k, d)],
+        "mean array<double>, components array<double>, "
+        "explained_variance array<double>, n_rows long, k int, d int",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pca(spark, path: str) -> PcaModel:
+    row = spark.read.parquet(path).collect()[0]
+    comps = np.array(row["components"]).reshape(row["k"], row["d"])
+    return PcaModel(
+        mean=np.array(row["mean"]), components=comps,
+        explained_variance=np.array(row["explained_variance"]),
+        n_rows=row["n_rows"])

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["profile_table", "Expectation", "validate_expectations",
            "numeric_histogram", "column_correlations",
-           "partition_skew_report"]
+           "partition_skew_report", "parquet_file_stats"]
 
 
 def profile_table(
@@ -320,3 +320,74 @@ def partition_skew_report(df: DataFrame) -> DataFrame:
         )
         .orderBy(F.desc("n_rows"))
     )
+
+
+def parquet_file_stats(
+    spark,
+    path: str,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Footer statistics of every parquet file under ``path`` as a
+    DataFrame — ``(file, column, rows, size_bytes, min_val, max_val,
+    null_count)``, min/max stringified for a uniform schema.
+
+    This is the audit/pruning-index view of a layout: verify that a
+    :func:`~..sinks.write_pruned_layout` / ``write_zorder_layout``
+    actually produced disjoint ranges, estimate how many files a
+    predicate will touch BEFORE running it, or feed an external engine
+    a skipping manifest.  Footer reads are distributed — the file list
+    becomes a DataFrame and each task opens its own footers with
+    pyarrow (metadata-only, no row groups decoded), so a million-file
+    100 TB table indexes at cluster parallelism, not driver speed.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pandas as _pd
+
+    files = sorted(
+        f for f in _glob.glob(_os.path.join(path, "**", "*.parquet"),
+                              recursive=True)
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+
+    want = list(columns) if columns else None
+
+    def footers(batches):
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                md = _pq.ParquetFile(f).metadata
+                size = _os.path.getsize(f)
+                names = md.schema.names
+                for idx, name in enumerate(names):
+                    if want and name not in want:
+                        continue
+                    lo = hi = None
+                    nulls = 0
+                    have = False
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        have = True
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                        nulls += st.null_count or 0
+                    rows.append((f, name, md.num_rows, size,
+                                 str(lo) if have else None,
+                                 str(hi) if have else None,
+                                 nulls if have else None))
+            yield _pd.DataFrame(rows, columns=[
+                "file", "column", "rows", "size_bytes",
+                "min_val", "max_val", "null_count"])
+
+    fdf = spark.createDataFrame([(f,) for f in files], "file string")
+    n = min(len(files), spark.sparkContext.defaultParallelism)
+    return fdf.repartition(n).mapInPandas(
+        footers,
+        schema="file string, column string, rows long, size_bytes long, "
+               "min_val string, max_val string, null_count long")

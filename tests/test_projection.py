@@ -143,3 +143,21 @@ def test_pca_then_ivf_composition(spark, emb):
         f.setdefault(r["query_id"], set()).add(r["vec_id"])
     hits = sum(1 for (q, n) in b if n in f[q])
     assert hits >= len(b) * 0.4, f"recall {hits}/{len(b)}"
+
+
+def test_pca_save_load_roundtrip(tmp_path, spark, emb):
+    import numpy as np
+    from tap_airbyte_wrapper_spark.functions import load_pca, save_pca
+
+    model = fit_pca(emb, "embedding", k=5)
+    save_pca(model, spark, str(tmp_path / "pca"))
+    back = load_pca(spark, str(tmp_path / "pca"))
+    np.testing.assert_array_equal(back.mean, model.mean)
+    np.testing.assert_array_equal(back.components, model.components)
+    np.testing.assert_array_equal(
+        back.explained_variance, model.explained_variance)
+    assert back.n_rows == model.n_rows
+    # the reloaded model projects identically
+    a = pca_project(emb, model).orderBy("vec_id").collect()
+    b = pca_project(emb, back).orderBy("vec_id").collect()
+    assert [r["proj"] for r in a] == [r["proj"] for r in b]

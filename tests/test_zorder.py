@@ -140,3 +140,33 @@ def test_compact_parquet_with_sort_restores_pruning(tmp_path, spark):
     assert _overlapping(ranges, 100_000, 150_000) <= max(1, len(ranges) // 3)
     with pytest.raises(ValueError, match="NEW directory"):
         compact_parquet(spark, src, src)
+
+
+def test_parquet_file_stats_index(tmp_path, spark, two_dim):
+    from tap_airbyte_wrapper_spark.operators.quality import parquet_file_stats
+    from tap_airbyte_wrapper_spark.sinks import write_pruned_layout
+
+    path = str(tmp_path / "idx")
+    write_pruned_layout(two_dim, path, ["a"], target_files=8)
+    stats = parquet_file_stats(spark, path, columns=["a", "b"])
+    rows = stats.collect()
+    files = {r["file"] for r in rows}
+    assert len(files) >= 6
+    assert {r["column"] for r in rows} == {"a", "b"}
+    assert all(r["rows"] > 0 and r["size_bytes"] > 0 for r in rows)
+    # the index reproduces the pruning decision: files whose [min,max]
+    # on the sort key miss a predicate range are exactly the skippable set
+    a_rows = [r for r in rows if r["column"] == "a"]
+    lo, hi = 400_000, 480_000
+    skippable = {r["file"] for r in a_rows
+                 if int(r["max_val"]) < lo or int(r["min_val"]) > hi}
+    assert 0 < len(skippable) < len(files)
+    # reading only the surviving files still yields every matching row
+    keep = sorted(files - skippable)
+    got = spark.read.parquet(*keep).filter(
+        (F.col("a") >= lo) & (F.col("a") <= hi)).count()
+    want = two_dim.filter((F.col("a") >= lo) & (F.col("a") <= hi)).count()
+    assert got == want
+
+    with pytest.raises(FileNotFoundError):
+        parquet_file_stats(spark, str(tmp_path / "nope"))
