@@ -189,3 +189,93 @@ def test_stream_map_random_specs(spark_global, dropped, computed, cutoff):
             for name in computed:
                 # a + b == 3a for this frame
                 assert getattr(r, name) % 3 == 0
+
+
+# ------------------------------------------------- round-5 corpus ops
+
+_ascii_word = st.text(string.ascii_lowercase, min_size=1, max_size=5)
+_ascii_text = st.lists(_ascii_word, max_size=30).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_ascii_text, min_size=1, max_size=6),
+       st.integers(min_value=2, max_value=10),
+       st.integers(min_value=0, max_value=8))
+def test_chunk_documents_reconstruction_property(
+        spark_global, texts, chunk_tokens, overlap):
+    """For ANY corpus and window config: stitching chunk 0 plus each
+    later chunk minus its overlap reproduces the token stream exactly,
+    chunk sizes never exceed the window, and empty docs emit nothing."""
+    import re
+    from tap_airbyte_wrapper_spark.functions import chunk_documents
+
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"].split()
+        assert r["n_tokens"] <= chunk_tokens
+    for i, t in enumerate(texts):
+        toks = re.findall(r"\S+", t.strip())
+        if not toks:
+            assert i not in got
+            continue
+        chunks = got[i]
+        assert sorted(chunks) == list(range(len(chunks)))
+        stitched = list(chunks[0])
+        for c in range(1, len(chunks)):
+            assert chunks[c - 1][-overlap:] == chunks[c][:overlap] \
+                or overlap == 0
+            stitched += chunks[c][overlap:]
+        assert stitched == toks
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_ascii_text, min_size=1, max_size=8),
+       st.integers(min_value=2, max_value=6))
+def test_heavy_hitters_always_exact_above_guarantee(
+        spark_global, texts, capacity):
+    """Whenever threshold > N/capacity, the two-pass result equals the
+    exact filtered counts — for ANY corpus and ANY (tiny) capacity."""
+    from collections import Counter
+    from tap_airbyte_wrapper_spark.functions import heavy_hitters
+
+    all_toks = [w for t in texts for w in t.strip().split()]
+    n = len(all_toks)
+    min_count = n // capacity + 1
+    df = spark_global.createDataFrame(
+        [(t,) for t in texts], "text string").repartition(3)
+    got = {r["word"]: r["cnt"]
+           for r in heavy_hitters(df, min_count=min_count,
+                                  capacity=capacity).collect()}
+    want = {w: c for w, c in Counter(all_toks).items() if c >= min_count}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(
+    st.characters(blacklist_categories=("Cs",)), max_size=30),
+    min_size=1, max_size=5))
+def test_normalize_text_idempotent_and_clean(spark_global, texts):
+    """normalize(normalize(x)) == normalize(x) for arbitrary unicode,
+    and collapse_whitespace output never has doubled/leading spaces."""
+    from pyspark.sql import functions as F
+    from tap_airbyte_wrapper_spark.functions import normalize_text
+
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, s string")
+    once = df.select(
+        "i", normalize_text(
+            F.col("s"), strip_accents=True,
+            collapse_whitespace=True).alias("n1"))
+    twice = once.select(
+        "i", "n1", normalize_text(
+            F.col("n1"), strip_accents=True,
+            collapse_whitespace=True).alias("n2"))
+    for r in twice.collect():
+        assert r["n1"] == r["n2"]
+        assert "  " not in r["n1"]
+        assert r["n1"] == r["n1"].strip()
