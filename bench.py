@@ -45,11 +45,12 @@ _GROUPS = [
         r"|semantic_dedup|winnow|boilerplate|dup_span)")),
     ("similarity", re.compile(
         r"^(knn|embedding|quantize|centroid|label_centroids"
-        r"|approx_distinct)")),
+        r"|approx_distinct|pca_)")),
     ("text_corpus", re.compile(
         r"^(language_id|quality_scores|doc_word|token_stats|vocab"
         r"|repetition|token_budget|contamination|tfidf|split_sentences"
-        r"|corpus_curation|decode_image|mixture|train_test|shard_stats)")),
+        r"|corpus_curation|decode_image|mixture|train_test|shard_stats"
+        r"|heavy_hitter|normalize|chunk_docs|sample_per_)")),
     ("timeseries_cdc", re.compile(
         r"^(merge_upsert|resample|gap_fill|funnel|weekly_retention"
         r"|anomaly)")),

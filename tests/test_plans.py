@@ -272,3 +272,34 @@ def test_round5_window_entry_plan_shapes(plans):
     # correlations: one aggregation pass, no join at all
     p = plans("corr_lineitem")
     assert "Join" not in p
+
+
+def test_normalize_and_chunk_zero_shuffle(plans):
+    """Per-row ops must not introduce an Exchange: the scan partitioning
+    carries straight through to the (noop) write."""
+    for name in ("normalize_docs", "chunk_docs"):
+        p = plans(name)
+        assert "Exchange" not in p, f"{name} shuffles:\n{p}"
+
+
+def test_heavy_hitters_broadcast_semi_recount(plans):
+    """Pass 2 recounts ONLY candidates: broadcast left-semi on the
+    candidate words, never a full-vocabulary shuffle of raw tokens."""
+    p = plans("heavy_hitter_words")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_covariance_partial_agg(plans):
+    """(i, j) sums come from two-phase HashAggregate (map-side combine),
+    so the shuffle carries one partial row per (task, i, j)."""
+    p = plans("embedding_covariance")
+    assert "HashAggregate" in p
+    assert "partial" in p.lower() or "Exchange hashpartitioning(i" in p
+
+
+def test_sample_per_group_partitioned_window(plans):
+    """The md5-rank window partitions by the group column — bounded
+    per-group state, never a single global sort partition."""
+    p = plans("sample_per_language")
+    assert "hashpartitioning(lang" in p
