@@ -109,3 +109,113 @@ class HttpJsonDataSource(DataSource):
 def register_http_json(spark) -> None:
     """Register the format on a session (idempotent)."""
     spark.dataSource.register(HttpJsonDataSource)
+
+
+# ---------------------------------------------------------------------
+# Singer JSONL *writer* — the write half of the Python Data Source API
+# ---------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@_dataclass
+class _SingerCommit(WriterCommitMessage):
+    tmp_file: str
+    records: int
+
+
+class SingerJsonlWriter(DataSourceWriter):
+    """Distributed Singer RECORD sink with an ATOMIC commit protocol —
+    what the plain text-sink emitter (``singer_io.write_singer_files``)
+    cannot give: each task writes to a hidden temp file and reports it
+    in its commit message; only when EVERY task succeeded does the
+    driver rename the temp files to ``part-N.jsonl``, write the SCHEMA
+    message and a ``_SUCCESS`` manifest (file -> record counts).  A
+    failed job leaves no visible partial output (``abort`` deletes the
+    temps), so downstream loaders can key off ``_SUCCESS`` exactly as
+    they do for parquet.
+
+    Local/shared-filesystem paths (the Data Source API runs this Python
+    code on executors; rename-on-commit assumes a posix-rename target —
+    on object storage the commit step would copy instead).
+    """
+
+    def __init__(self, schema, options, overwrite: bool):
+        self.schema = schema
+        self.path = options.get("path")
+        self.stream = options.get("stream", "stream")
+        kp = options.get("key_properties", "")
+        self.key_properties = [k for k in kp.split(",") if k]
+        self.overwrite = overwrite
+        if not self.path:
+            raise ValueError("singer_jsonl writer needs option 'path'")
+
+    def write(self, iterator) -> _SingerCommit:
+        import os
+        import uuid as _uuid
+
+        from ..singer_io import singer_message
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"._tmp-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(singer_message({
+                    "type": "RECORD", "stream": self.stream,
+                    "record": row.asDict(recursive=True)}) + "\n")
+                n += 1
+        return _SingerCommit(tmp_file=tmp, records=n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        from ..schema import struct_to_json_schema
+        from ..singer_io import singer_message
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") or name in (
+                        "_SUCCESS", "schema.singer"):
+                    os.remove(os.path.join(self.path, name))
+        manifest = {}
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            dst = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_file, dst)
+            manifest[os.path.basename(dst)] = m.records
+        with open(os.path.join(self.path, "schema.singer"), "w") as f:
+            f.write(singer_message({
+                "type": "SCHEMA", "stream": self.stream,
+                "schema": struct_to_json_schema(self.schema),
+                "key_properties": self.key_properties}) + "\n")
+        tmp = os.path.join(self.path, "._success")
+        with open(tmp, "w") as f:
+            _json.dump({"records": sum(manifest.values()),
+                        "files": manifest}, f, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "_SUCCESS"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)
+
+
+class SingerJsonlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "singer_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> SingerJsonlWriter:
+        return SingerJsonlWriter(schema, self.options, overwrite)
+
+
+def register_singer_jsonl(spark) -> None:
+    """Register the writer format on a session (idempotent)."""
+    spark.dataSource.register(SingerJsonlDataSource)

@@ -74,3 +74,55 @@ def test_binary_file_source_feeds_real_png_decode(spark, tmp_path):
         "path", "media_bundle")
     out = decode_image(media, "media_bundle").collect()
     assert [(r.width, r.height, r.channels) for r in out] == [(3, 4, 3)]
+
+
+def test_singer_jsonl_writer_atomic_commit(spark, tmp_path):
+    """df.write.format('singer_jsonl'): RECORD part files + SCHEMA +
+    _SUCCESS manifest appear only after a successful job, and the
+    messages parse as Singer with the engine's coercions."""
+    from tap_airbyte_wrapper_spark.sources import register_singer_jsonl
+
+    register_singer_jsonl(spark)
+    out = str(tmp_path / "singer_out")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)],
+        "id long, name string, score double").repartition(3)
+    (df.write.format("singer_jsonl")
+       .option("path", out).option("stream", "items")
+       .option("key_properties", "id").mode("append").save())
+
+    manifest = json.load(open(out + "/_SUCCESS"))
+    assert manifest["records"] == 3
+    parts = sorted(glob.glob(out + "/part-*.jsonl"))
+    assert parts and not glob.glob(out + "/._tmp-*")
+    recs = []
+    for p in parts:
+        for line in open(p):
+            m = json.loads(line)
+            assert m["type"] == "RECORD" and m["stream"] == "items"
+            recs.append(m["record"])
+    assert sorted(r["id"] for r in recs) == [1, 2, 3]
+    assert sum(manifest["files"].values()) == 3
+
+    schema_msg = json.loads(open(out + "/schema.singer").read())
+    assert schema_msg["type"] == "SCHEMA"
+    assert schema_msg["key_properties"] == ["id"]
+    assert set(schema_msg["schema"]["properties"]) == {"id", "name", "score"}
+
+
+def test_singer_jsonl_writer_overwrite(spark, tmp_path):
+    from tap_airbyte_wrapper_spark.sources import register_singer_jsonl
+
+    register_singer_jsonl(spark)
+    out = str(tmp_path / "s2")
+    df1 = spark.createDataFrame([(1,)], "id long")
+    df1.write.format("singer_jsonl").option("path", out) \
+       .option("stream", "t").mode("append").save()
+    df2 = spark.createDataFrame([(7,), (8,)], "id long").repartition(2)
+    df2.write.format("singer_jsonl").option("path", out) \
+       .option("stream", "t").mode("overwrite").save()
+    manifest = json.load(open(out + "/_SUCCESS"))
+    assert manifest["records"] == 2
+    ids = [json.loads(l)["record"]["id"]
+           for p in glob.glob(out + "/part-*.jsonl") for l in open(p)]
+    assert sorted(ids) == [7, 8]
