@@ -215,7 +215,76 @@ class SingerJsonlDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> SingerJsonlWriter:
         return SingerJsonlWriter(schema, self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return SingerJsonlStreamWriter(schema, self.options)
+
 
 def register_singer_jsonl(spark) -> None:
     """Register the writer format on a session (idempotent)."""
     spark.dataSource.register(SingerJsonlDataSource)
+
+
+from pyspark.sql.datasource import DataSourceStreamWriter
+
+
+class SingerJsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming micro-batch Singer sink with EXACTLY-ONCE output files.
+
+    Part names are deterministic in (batchId, task index): a replayed
+    micro-batch (restart between sink write and checkpoint commit —
+    Structured Streaming's at-least-once window) overwrites the same
+    ``part-b{batch}-{task}.jsonl`` files instead of appending
+    duplicates, so the visible output converges to exactly-once.  Each
+    batch's commit also rewrites ``batch-{id}._manifest`` with the
+    file -> record counts; temps from failed batches are removed by
+    ``abort`` and never visible.
+    """
+
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.path = options.get("path")
+        self.stream = options.get("stream", "stream")
+        if not self.path:
+            raise ValueError("singer_jsonl stream writer needs option 'path'")
+
+    def write(self, iterator) -> _SingerCommit:
+        import os
+        import uuid as _uuid
+
+        from ..singer_io import singer_message
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"._tmp-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(singer_message({
+                    "type": "RECORD", "stream": self.stream,
+                    "record": row.asDict(recursive=True)}) + "\n")
+                n += 1
+        return _SingerCommit(tmp_file=tmp, records=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os
+
+        manifest = {}
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            dst = os.path.join(self.path, f"part-b{batchId}-{i:05d}.jsonl")
+            os.replace(m.tmp_file, dst)
+            manifest[os.path.basename(dst)] = m.records
+        tmp = os.path.join(self.path, f"._manifest-{batchId}")
+        with open(tmp, "w") as f:
+            _json.dump({"batch": batchId,
+                        "records": sum(manifest.values()),
+                        "files": manifest}, f, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, f"batch-{batchId}._manifest"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)

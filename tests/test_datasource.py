@@ -126,3 +126,48 @@ def test_singer_jsonl_writer_overwrite(spark, tmp_path):
     ids = [json.loads(l)["record"]["id"]
            for p in glob.glob(out + "/part-*.jsonl") for l in open(p)]
     assert sorted(ids) == [7, 8]
+
+
+def test_singer_jsonl_stream_writer_exactly_once_names(spark, tmp_path):
+    """Streaming micro-batches land as deterministic part-b{batch}-{task}
+    files with per-batch manifests; a second drain of new data appends a
+    new batch without touching the first batch's files."""
+    import os
+
+    from tap_airbyte_wrapper_spark.sources import register_singer_jsonl
+    from tap_airbyte_wrapper_spark.streaming import (
+        run_available_now,
+        stream_source,
+    )
+
+    register_singer_jsonl(spark)
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "singer_stream")
+    ckpt = str(tmp_path / "ckpt")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df1.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = stream_source(spark, src, df1.schema)
+        q = (stream.writeStream.format("singer_jsonl")
+             .option("path", out).option("stream", "t")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        run_available_now(q)
+
+    drain()
+    first = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert first and all(f.startswith("part-b0-") for f in first)
+    m0 = json.load(open(out + "/batch-0._manifest"))
+    assert m0["records"] == 2
+
+    spark.createDataFrame([(3, "c")], "id long, v string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    names = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert [f for f in names if f.startswith("part-b0-")] == first
+    assert any(f.startswith("part-b1-") for f in names)
+    recs = [json.loads(l)["record"]["id"]
+            for f in names for l in open(os.path.join(out, f))]
+    assert sorted(recs) == [1, 2, 3]
+    assert not [f for f in os.listdir(out) if f.startswith("._tmp")]
