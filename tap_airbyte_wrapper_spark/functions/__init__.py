@@ -49,6 +49,7 @@ from .similarity import (
 from .corpus import (
     chunk_documents,
     dup_span_stats,
+    heavy_hitter_values,
     heavy_hitters,
     ngram_contamination,
     pack_token_budget,
@@ -120,7 +121,8 @@ __all__ = [
     "MEDIA_SCHEMA", "as_media", "with_media_metadata", "decode_image",
     "decode_audio", "header_dimensions", "image_ahash", "image_near_dup_pairs", "audio_ahash", "hamming_near_dup_pairs",
     "extract_features", "resize_image", "sample_frames",
-    "heavy_hitters", "normalize_text", "chunk_documents",
+    "heavy_hitters", "heavy_hitter_values", "normalize_text",
+    "chunk_documents",
     "sample_per_group",
     "PcaModel", "fit_pca", "pca_project", "covariance_long",
     "save_pca", "load_pca",

@@ -36,6 +36,7 @@ __all__ = [
     "tfidf_top_terms",
     "vocab_topk",
     "heavy_hitters",
+    "heavy_hitter_values",
     "chunk_documents",
     "repetition_signals",
     "pack_token_budget",
@@ -174,6 +175,75 @@ def heavy_hitters(
             F.lit(min_count).cast("long"),
             F.ceil(F.lit(float(min_fraction)) * F.col("n_total"))))
         .select("word", "cnt")
+    )
+
+
+def heavy_hitter_values(
+    df: DataFrame,
+    value_col: str,
+    min_count: int = 1,
+    min_fraction: float = 0.0,
+    capacity: int = 65536,
+) -> DataFrame:
+    """:func:`heavy_hitters` over a COLUMN's values instead of text
+    tokens — hot-key detection: which user/tenant/join-key exceeds a
+    count (or traffic-fraction) threshold.  At 100 TB this is the skew
+    probe you run BEFORE a big join or groupBy — its output is exactly
+    the key list to salt (``operators/joins.py`` ``salted_join``) or to
+    route through AQE skew handling.
+
+    Same two-pass scheme and guarantee (``threshold > N/capacity``;
+    fraction thresholds need only ``capacity > 1/min_fraction``, corpus-
+    size-independent): Misra-Gries candidates per task, then an exact
+    broadcast-semi recount of candidates only — the shuffle is bounded
+    by the candidate budget, never by the key cardinality.  Values
+    compare as strings (``(value, cnt)`` output) so one output schema
+    serves any key type; nulls are ignored.
+    """
+
+    def _mg(batches):
+        import pandas as pd
+
+        d: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                key = str(v)
+                n += 1
+                if key in d:
+                    d[key] += 1
+                elif len(d) < capacity:
+                    d[key] = 1
+                else:
+                    dead = []
+                    for k in d:
+                        d[k] -= 1
+                        if d[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del d[k]
+        yield pd.DataFrame({"value": list(d.keys()) + [None],
+                            "n": list(d.values()) + [n]})
+
+    partials = df.select(value_col).mapInPandas(
+        _mg, schema="value string, n long")
+    cand = partials.filter(F.col("value").isNotNull()).select("value").distinct()
+    total = partials.filter(F.col("value").isNull()).agg(
+        F.sum("n").alias("n_total"))
+    counts = (
+        df.select(F.col(value_col).cast("string").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .join(F.broadcast(cand), "value", "left_semi")
+        .groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.greatest(
+            F.lit(min_count).cast("long"),
+            F.ceil(F.lit(float(min_fraction)) * F.col("n_total"))))
+        .select("value", "cnt")
     )
 
 

@@ -1309,6 +1309,16 @@ def q_sample_per_language(spark, sf_dir):
         "lang", "doc_id", k=25)
 
 
+def q_heavy_hitter_users(spark, sf_dir):
+    """Hot-key probe on the events stream: users above 0.7% of traffic
+    — the key list you'd salt before a skewed join.  Same MG + exact
+    recount machinery as heavy_hitter_words, over column values."""
+    from ..functions import heavy_hitter_values
+
+    return heavy_hitter_values(
+        _t(spark, sf_dir, "events"), "user_id", min_fraction=0.007)
+
+
 def q_normalize_docs(spark, sf_dir):
     """Unicode canonicalization (NFC + accent strip + whitespace
     collapse) — the pre-fingerprint normalization pass.  Arrow-batched
@@ -1802,6 +1812,7 @@ QUERIES = {
     # -- out r05-green entries whose code did not change. ------------
     "embedding_covariance": q_embedding_covariance,
     "heavy_hitter_words": q_heavy_hitter_words,
+    "heavy_hitter_users": q_heavy_hitter_users,
     "normalize_docs": q_normalize_docs,
     "chunk_docs": q_chunk_docs,
     "sample_per_language": q_sample_per_language,
@@ -2980,6 +2991,15 @@ ORACLES = {
           FROM documents
         )
         WHERE rk <= 25""",
+    "heavy_hitter_users": """
+        WITH t AS (SELECT count(*) AS n FROM events
+                   WHERE user_id IS NOT NULL)
+        SELECT CAST(user_id AS VARCHAR) AS value, count(*) AS cnt
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id
+        HAVING count(*) >= greatest(
+            1, CAST(ceil(0.007 * (SELECT n FROM t)) AS BIGINT))""",
     "normalize_docs": """
         SELECT doc_id,
                trim(regexp_replace(

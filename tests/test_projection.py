@@ -161,3 +161,19 @@ def test_pca_save_load_roundtrip(tmp_path, spark, emb):
     a = pca_project(emb, model).orderBy("vec_id").collect()
     b = pca_project(emb, back).orderBy("vec_id").collect()
     assert [r["proj"] for r in a] == [r["proj"] for r in b]
+
+
+def test_heavy_hitter_values_hot_keys(spark):
+    from tap_airbyte_wrapper_spark.functions import heavy_hitter_values
+
+    rows = [(i, 7) for i in range(80)] + [(i, i) for i in range(80, 120)] \
+        + [(200, None)]
+    df = spark.createDataFrame(rows, "i long, user long").repartition(4)
+    got = {r["value"]: r["cnt"]
+           for r in heavy_hitter_values(df, "user",
+                                        min_fraction=0.5).collect()}
+    assert got == {"7": 80}   # 80/120 non-null = 67% > 50%; nulls ignored
+    tiny = {r["value"]: r["cnt"]
+            for r in heavy_hitter_values(df, "user", min_count=60,
+                                         capacity=3).collect()}
+    assert tiny == {"7": 80}  # guarantee: 60 > 120/3
