@@ -25,7 +25,7 @@ from .aggregates import (
 )
 from .windows import (global_distribution_ranks, global_topk, ranked,
                       running_agg, topk_per_group, with_lag_lead)
-from .merge import merge_upsert
+from .merge import merge_upsert, scd2_history
 from .setops import except_rows, intersect_rows, union_by_name
 from .timeseries import (
     detect_anomalies,
@@ -53,6 +53,7 @@ __all__ = [
     "global_distribution_ranks",
     "union_by_name", "intersect_rows", "except_rows",
     "merge_upsert",
+    "scd2_history",
     "time_bucket", "resample", "gap_fill", "rolling_stats",
     "detect_anomalies",
     "profile_table", "Expectation", "validate_expectations",

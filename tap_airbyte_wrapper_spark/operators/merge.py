@@ -22,7 +22,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["merge_upsert"]
+__all__ = ["merge_upsert", "scd2_history"]
 
 
 def merge_upsert(
@@ -81,3 +81,41 @@ def merge_upsert(
         .filter((F.col("__rn") == 1) & ~F.col("__del"))
         .select(*base.columns)
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    pk_cols: str | Sequence[str],
+    cursor_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension type 2: turn an op-typed change stream
+    into validity-interval history rows — every version of every key
+    with ``valid_from`` / ``valid_to`` (null = still current) and
+    ``is_current``.  The warehouse-side complement of
+    :func:`merge_upsert` (which keeps only the latest): auditors and
+    as-of joins need WHEN each value held, not just what holds now.
+
+    One hash shuffle on the key + two ``lead`` windows over the same
+    sort — identical plan cost to the merge window.  A delete tombstone
+    closes the previous interval and emits no row of its own; a key
+    whose LAST change is a delete therefore has no current row.
+    Deterministic for unique ``(key, cursor)`` (the changelog contract:
+    the cursor is a log position).
+    """
+    pks = [pk_cols] if isinstance(pk_cols, str) else list(pk_cols)
+    w = Window.partitionBy(*pks).orderBy(F.col(cursor_col).asc())
+    deleted = (
+        F.col(delete_col).cast("boolean") if delete_col is not None
+        else F.lit(False)
+    )
+    nxt_cursor = F.lead(F.col(cursor_col)).over(w)
+    out = (
+        changes.withColumn("__del", F.coalesce(deleted, F.lit(False)))
+        .withColumn("valid_from", F.col(cursor_col))
+        .withColumn("valid_to", nxt_cursor)
+        .filter(~F.col("__del"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__del")
+    )
+    return out

@@ -1309,6 +1309,20 @@ def q_sample_per_language(spark, sf_dir):
         "lang", "doc_id", k=25)
 
 
+def q_scd2_customer_orders(spark, sf_dir):
+    """SCD2 validity intervals over orders-as-changes (key o_custkey,
+    cursor o_orderkey): every version of every customer's order value
+    with valid_from/valid_to/is_current — one key shuffle, lead
+    windows; the audit complement of merge_upsert."""
+    from ..operators import scd2_history
+
+    ch = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice")
+    return scd2_history(ch, "o_custkey", "o_orderkey").select(
+        "o_custkey", "valid_from", "valid_to", "is_current",
+        F.round("o_totalprice", 2).alias("price_r"))
+
+
 def q_heavy_hitter_users(spark, sf_dir):
     """Hot-key probe on the events stream: users above 0.7% of traffic
     — the key list you'd salt before a skewed join.  Same MG + exact
@@ -1813,6 +1827,7 @@ QUERIES = {
     "embedding_covariance": q_embedding_covariance,
     "heavy_hitter_words": q_heavy_hitter_words,
     "heavy_hitter_users": q_heavy_hitter_users,
+    "scd2_customer_orders": q_scd2_customer_orders,
     "normalize_docs": q_normalize_docs,
     "chunk_docs": q_chunk_docs,
     "sample_per_language": q_sample_per_language,
@@ -2991,6 +3006,14 @@ ORACLES = {
           FROM documents
         )
         WHERE rk <= 25""",
+    "scd2_customer_orders": """
+        SELECT o_custkey,
+               o_orderkey AS valid_from,
+               lead(o_orderkey) OVER w AS valid_to,
+               (lead(o_orderkey) OVER w) IS NULL AS is_current,
+               round(o_totalprice, 2) AS price_r
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""",
     "heavy_hitter_users": """
         WITH t AS (SELECT count(*) AS n FROM events
                    WHERE user_id IS NOT NULL)

@@ -533,3 +533,27 @@ def test_fuzzy_self_join_string_level_form(spark):
     # the id form of the same input expands to 5*3 pairs
     ids = fuzzy_self_join(df, "id", "name", max_dist=1).count()
     assert ids == 15
+
+
+def test_scd2_history_intervals_and_tombstones(spark):
+    from tap_airbyte_wrapper_spark.operators import scd2_history
+
+    changes = spark.createDataFrame(
+        [("A", 1, "v1", False), ("A", 5, "v2", False),
+         ("A", 9, None, True), ("A", 12, "v3", False),
+         ("B", 2, "w1", False), ("B", 7, None, True),
+         ("C", 3, "x1", False)],
+        "k string, cur long, val string, del boolean").repartition(3)
+    out = scd2_history(changes, "k", "cur", delete_col="del")
+    rows = sorted((r["k"], r["valid_from"], r["valid_to"],
+                   r["is_current"], r["val"]) for r in out.collect())
+    assert rows == [
+        ("A", 1, 5, False, "v1"),
+        ("A", 5, 9, False, "v2"),      # closed by the tombstone
+        ("A", 12, None, True, "v3"),   # re-insert after delete
+        ("B", 2, 7, False, "w1"),      # last change was delete: no current
+        ("C", 3, None, True, "x1"),
+    ]
+    # exactly one current row per live key
+    cur = out.filter("is_current").groupBy("k").count().collect()
+    assert {r["k"]: r["count"] for r in cur} == {"A": 1, "C": 1}
