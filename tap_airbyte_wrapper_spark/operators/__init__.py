@@ -8,6 +8,7 @@ from .joins import (
     asof_join,
     equi_join,
     fuzzy_self_join,
+    point_in_time_join,
     range_join,
     salted_join,
     semi_join,
@@ -45,7 +46,7 @@ from .quality import (
 
 __all__ = [
     "equi_join", "semi_join", "anti_join", "asof_join", "range_join",
-    "salted_join", "fuzzy_self_join",
+    "salted_join", "fuzzy_self_join", "point_in_time_join",
     "grouped_agg", "cube_agg", "rollup_agg", "grouping_sets_agg",
     "distinct_count", "dedup_exact", "dedup_latest",
     "hll_sketch_table", "hll_rollup",

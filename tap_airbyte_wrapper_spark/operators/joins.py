@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["equi_join", "semi_join", "anti_join", "asof_join", "range_join",
-           "salted_join", "fuzzy_self_join"]
+           "salted_join", "fuzzy_self_join", "point_in_time_join"]
 
 # Rough per-row cost used by the caller-supplied hint; Spark's own AQE
 # broadcast threshold still applies underneath.
@@ -405,3 +405,40 @@ def fuzzy_self_join(
         )
         .distinct()
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    on: str | Sequence[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    right_prefix: str = "h_",
+) -> DataFrame:
+    """Join each fact to the dimension version IN EFFECT at the fact's
+    timestamp — the feature-store "point-in-time correct" join over
+    :func:`~..operators.merge.scd2_history` output.  Using the CURRENT
+    version instead (a plain equi-join) leaks future state into
+    training examples; this is the leakage-safe form.
+
+    Plan: :func:`asof_join` on ``valid_from`` (one key shuffle,
+    ``last(ignorenulls)`` carry — no interval explosion), then one
+    vectorized invalidation pass: a matched version whose ``valid_to``
+    is at or before the fact timestamp was already superseded or
+    deleted, so its columns are nulled (left row kept).  Cost identical
+    to the as-of join; at 100 TB the shuffle on the key is the floor
+    for any keyed temporal join.
+    """
+    j = asof_join(facts, history, on, left_ts=fact_ts,
+                  right_ts=valid_from, right_prefix=right_prefix)
+    vt = F.col(f"{right_prefix}{valid_to}")
+    valid = vt.isNull() | (vt > F.col(fact_ts))
+    hist_cols = [c for c in j.columns
+                 if c.startswith(right_prefix)
+                 and (c[len(right_prefix):] in history.columns
+                      or c == f"{right_prefix}__asof_ts")]
+    out = j
+    for c in hist_cols:
+        out = out.withColumn(c, F.when(valid, F.col(c)))
+    return out

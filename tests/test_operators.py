@@ -557,3 +557,33 @@ def test_scd2_history_intervals_and_tombstones(spark):
     # exactly one current row per live key
     cur = out.filter("is_current").groupBy("k").count().collect()
     assert {r["k"]: r["count"] for r in cur} == {"A": 1, "C": 1}
+
+
+def test_point_in_time_join_leakage_safe(spark):
+    """Facts get the dimension version in effect at their timestamp;
+    versions superseded or tombstoned before the fact are nulled, and
+    pre-history facts match nothing."""
+    from tap_airbyte_wrapper_spark.operators import (
+        point_in_time_join,
+        scd2_history,
+    )
+
+    changes = spark.createDataFrame(
+        [("A", 10, "v1", False), ("A", 20, "v2", False),
+         ("B", 10, "w1", False), ("B", 30, None, True)],
+        "k string, cur long, val string, del boolean")
+    hist = scd2_history(changes, "k", "cur", delete_col="del")
+    facts = spark.createDataFrame(
+        [(1, "A", 5), (2, "A", 15), (3, "A", 25),
+         (4, "B", 15), (5, "B", 35)],
+        "fid long, k string, at long")
+    out = point_in_time_join(facts, hist, "k", "at")
+    got = {r["fid"]: r["h_val"] for r in out.collect()}
+    assert got == {
+        1: None,   # before any version existed
+        2: "v1",   # v2 (cur=20) is the future — must NOT leak
+        3: "v2",
+        4: "w1",
+        5: None,   # B tombstoned at 30: no version in effect at 35
+    }
+    assert out.count() == 5  # left rows always kept
