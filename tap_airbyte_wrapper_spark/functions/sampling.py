@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["hash_bucket", "hash_split", "mixture_sample",
-           "stratified_sample", "sample_per_group",
+           "stratified_sample", "sample_per_group", "weighted_sample",
            "assign_shards", "write_training_shards"]
 
 
@@ -112,6 +112,37 @@ def sample_per_group(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis): keep the ``k`` rows with the largest ``u^(1/w)`` where
+    ``u`` is the row's md5-derived uniform — inclusion probability is
+    proportional to ``w`` (sample documents by quality score, tokens,
+    ...), and membership is a pure function of (id, salt): restart-
+    stable, partitioning-independent, SQL-recomputable like every
+    sampler here (a seeded ``rand()`` would be none of those).
+
+    Keys are order-preserved under any positive rescaling of the
+    weights (``u^(1/cw)`` is a monotone transform), so only RELATIVE
+    weights matter.  Rows with null/non-positive weight are excluded.
+    Plan: per-row key expression + ``TakeOrderedAndProject`` — per-
+    partition heaps, no global sort, no shuffle of non-winners.
+    """
+    b = hash_bucket(F.col(id_col), 65536, salt)
+    u = (b.cast("double") + F.lit(0.5)) / F.lit(65536.0)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .orderBy(key.desc(), F.col(id_col))
+        .limit(k)
     )
 
 

@@ -1309,6 +1309,17 @@ def q_sample_per_language(spark, sf_dir):
         "lang", "doc_id", k=25)
 
 
+def q_weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted sampling (Efraimidis-Spirakis keys on
+    md5-derived uniforms): 50 docs with inclusion probability
+    proportional to length — TakeOrderedAndProject, no global sort."""
+    from ..functions import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", "doc_id", k=50)
+
+
 def q_scd2_customer_orders(spark, sf_dir):
     """SCD2 validity intervals over orders-as-changes (key o_custkey,
     cursor o_orderkey): every version of every customer's order value
@@ -1828,6 +1839,7 @@ QUERIES = {
     "heavy_hitter_words": q_heavy_hitter_words,
     "heavy_hitter_users": q_heavy_hitter_users,
     "scd2_customer_orders": q_scd2_customer_orders,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "normalize_docs": q_normalize_docs,
     "chunk_docs": q_chunk_docs,
     "sample_per_language": q_sample_per_language,
@@ -3006,6 +3018,19 @@ ORACLES = {
           FROM documents
         )
         WHERE rk <= 25""",
+    "weighted_sample_docs": """
+        SELECT doc_id, n_chars FROM (
+          SELECT doc_id, n_chars,
+                 pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 4)) AS INTEGER)
+                      % 65536 + CAST(0.5 AS DOUBLE))
+                     / CAST(65536.0 AS DOUBLE),
+                     CAST(1.0 AS DOUBLE) / n_chars) AS key
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        ORDER BY key DESC, doc_id
+        LIMIT 50""",
     "scd2_customer_orders": """
         SELECT o_custkey,
                o_orderkey AS valid_from,

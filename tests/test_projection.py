@@ -177,3 +177,29 @@ def test_heavy_hitter_values_hot_keys(spark):
             for r in heavy_hitter_values(df, "user", min_count=60,
                                          capacity=3).collect()}
     assert tiny == {"7": 80}  # guarantee: 60 > 120/3
+
+
+def test_weighted_sample_properties(spark):
+    from pyspark.sql import functions as F
+    from tap_airbyte_wrapper_spark.functions import weighted_sample
+
+    rows = [(i, 100 if i < 50 else 1) for i in range(1000)] \
+        + [(2000, 0), (2001, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, "w", "doc_id", k=50)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert len(ids) == 50
+    assert not ids & {2000, 2001}         # non-positive/null excluded
+    # 50 heavy rows (w=100) among 950 light (w=1): heavy dominate
+    assert len([i for i in ids if i < 50]) >= 35
+    # deterministic under repartition; order-preserved under rescaling
+    again = {r["doc_id"] for r in
+             weighted_sample(df.repartition(7), "w", "doc_id", 50).collect()}
+    assert again == ids
+    scaled = {r["doc_id"] for r in weighted_sample(
+        df.withColumn("w", F.col("w") * 1000), "w", "doc_id", 50).collect()}
+    assert scaled == ids
+    # salt re-deals
+    other = {r["doc_id"] for r in
+             weighted_sample(df, "w", "doc_id", 50, salt="x").collect()}
+    assert other != ids
