@@ -1831,10 +1831,10 @@ QUERIES = {
     "contamination_docs": q_contamination_docs,
     "label_centroids": q_label_centroids,
     # -- round-5 session-2 additions (oracle-backed, below the window
-    # -- this round).  ROUND-6 ROTATION NOTE: these five have never
-    # -- been driver-checked — move them, plus the r05-window survivors
-    # -- worth re-verifying, into positions 1-50 next round and rotate
-    # -- out r05-green entries whose code did not change. ------------
+    # -- this round).  ROUND-6 ROTATION NOTE: every entry in this block
+    # -- has never been driver-checked — move them, plus the r05-window
+    # -- survivors worth re-verifying, into positions 1-50 next round
+    # -- and rotate out r05-green entries whose code did not change. --
     "embedding_covariance": q_embedding_covariance,
     "heavy_hitter_words": q_heavy_hitter_words,
     "heavy_hitter_users": q_heavy_hitter_users,

@@ -14,6 +14,7 @@ from .incremental import (
 from .cdc import stream_changelog_apply
 from .stateful import (
     stateful_anomalies,
+    stateful_heavy_hitters,
     stateful_max_cursor,
     stateful_running_stats,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "resume_info",
     "stateful_running_stats",
     "stateful_max_cursor",
+    "stateful_heavy_hitters",
     "stateful_anomalies",
     "deduped_stream",
     "stream_interval_join",

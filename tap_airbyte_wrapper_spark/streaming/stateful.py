@@ -176,3 +176,68 @@ def stateful_anomalies(
         update, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_heavy_hitters(
+    events: DataFrame,
+    value_col: str,
+    n_buckets: int = 64,
+    capacity_per_bucket: int = 1024,
+) -> DataFrame:
+    """Streaming frequent-elements sketch with BOUNDED state: the
+    streaming twin of ``functions.corpus.heavy_hitter_values``.
+
+    A naive streaming ``groupBy(value).count()`` keeps one state row
+    per distinct value — unbounded on web-scale key domains.  Here
+    values hash into ``n_buckets`` groups and each group maintains a
+    Misra-Gries summary capped at ``capacity_per_bucket`` entries in
+    the state store, so total state is ``n_buckets x capacity`` rows
+    NO MATTER the cardinality.  Each micro-batch re-emits the bucket's
+    surviving candidates with their lower-bound counts plus the
+    bucket's total, carrying the MG guarantee across the whole stream:
+    a value whose true count exceeds ``bucket_total / capacity`` is
+    always present, and ``lb <= true count <= lb + bucket_total /
+    capacity``.  Output mode ``update``.
+    """
+    from pyspark.sql import functions as F
+
+    out_schema = "bucket int, value string, count_lb long, bucket_total long"
+    state_schema = "vals array<string>, counts array<long>, total long"
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            vals, counts, total = state.get
+            d = dict(zip(vals, counts))
+        else:
+            d, total = {}, 0
+        for pdf in pdfs:
+            for v in pdf["__val"]:
+                if v is None:
+                    continue
+                total += 1
+                if v in d:
+                    d[v] += 1
+                elif len(d) < capacity_per_bucket:
+                    d[v] = 1
+                else:
+                    dead = []
+                    for k2 in d:
+                        d[k2] -= 1
+                        if d[k2] == 0:
+                            dead.append(k2)
+                    for k2 in dead:
+                        del d[k2]
+        state.update((list(d.keys()), [int(c) for c in d.values()],
+                      int(total)))
+        yield pd.DataFrame({
+            "bucket": key[0], "value": list(d.keys()),
+            "count_lb": [int(c) for c in d.values()],
+            "bucket_total": int(total)})
+
+    bucketed = events.select(
+        F.col(value_col).cast("string").alias("__val"),
+        F.pmod(F.xxhash64(F.col(value_col).cast("string")),
+               F.lit(n_buckets)).cast("int").alias("bucket"))
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)

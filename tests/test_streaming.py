@@ -293,3 +293,55 @@ def test_stateful_anomalies_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == expect
     assert 0 < n_after_b1 < len(got)   # both runs contributed
+
+
+def test_stateful_heavy_hitters_bounded_state(spark, tmp_path):
+    """MG sketch state across micro-batches: hot values survive two
+    drains with the lower-bound/guarantee contract; cold values can be
+    evicted but state never exceeds the capacity budget."""
+    from collections import Counter
+
+    from tap_airbyte_wrapper_spark.streaming import (
+        stateful_heavy_hitters,
+        stream_source,
+    )
+
+    src = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame(
+        [("hot",)] * 60 + [(f"cold{i}",) for i in range(40)], "v string")
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        out: dict = {}
+
+        def sink_batch(batch_df, _bid):
+            for r in batch_df.collect():
+                out[r["value"]] = (r["count_lb"], r["bucket_total"])
+
+        stream = stream_source(spark, src, b1.schema)
+        hh = stateful_heavy_hitters(
+            stream, "v", n_buckets=2, capacity_per_bucket=8)
+        q = (hh.writeStream.foreachBatch(sink_batch)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return out
+
+    got1 = drain()
+    assert "hot" in got1
+    lb, tot = got1["hot"]
+    assert lb <= 60 <= lb + tot // 8
+
+    # batch 2: more hot + new cold — state carries across the restart
+    b2 = spark.createDataFrame(
+        [("hot",)] * 30 + [(f"c2_{i}",) for i in range(30)], "v string")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    got2 = drain()
+    true = Counter(["hot"] * 90)
+    lb2, tot2 = got2["hot"]
+    assert lb2 <= true["hot"] <= lb2 + tot2 // 8
+    assert lb2 > lb  # the sketch kept counting across runs
+    # bounded state: no bucket can report more than capacity candidates
+    assert len(got2) <= 2 * 8  # bounded: <= n_buckets x capacity candidates
