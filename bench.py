@@ -50,10 +50,11 @@ _GROUPS = [
         r"^(language_id|quality_scores|doc_word|token_stats|vocab"
         r"|repetition|token_budget|contamination|tfidf|split_sentences"
         r"|corpus_curation|decode_image|mixture|train_test|shard_stats"
-        r"|heavy_hitter|normalize|chunk_docs|sample_per_)")),
+        r"|heavy_hitter|normalize|chunk_docs|sample_per_"
+        r"|weighted_sample)")),
     ("timeseries_cdc", re.compile(
         r"^(merge_upsert|resample|gap_fill|funnel|weekly_retention"
-        r"|anomaly)")),
+        r"|anomaly|scd2)")),
 ]
 
 

@@ -127,11 +127,12 @@ def heavy_hitters(
     aggregate, no driver collect).  Versus :func:`vocab_topk` (which
     shuffles one row per distinct (task, token)): this bounds the
     shuffle by the candidate budget even on heavy-tailed web-scale
-    vocabularies.  Pass-1 tokenizes in Python (``\\S+`` on
-    lower/strip), pass-2 in JVM regexp — both mirror the oracle; the
-    *counts* always come from the JVM pass.
+    vocabularies.  BOTH passes tokenize with the same JVM
+    :func:`words` expression — a Python ``\\S+`` in pass 1 is
+    Unicode-aware where the JVM/oracle regex is ASCII, and a token
+    containing e.g. a no-break space would then never become a
+    candidate and be silently dropped from the exact result.
     """
-    import re as _re
 
     def _mg(batches):
         import pandas as pd
@@ -139,28 +140,28 @@ def heavy_hitters(
         d: dict[str, int] = {}
         n = 0
         for pdf in batches:
-            for t in pdf[text_col]:
-                if t is None:
+            for tok in pdf["word"]:
+                if tok is None:
                     continue
-                toks = _re.findall(r"\S+", str(t).strip().lower())
-                n += len(toks)
-                for tok in toks:
-                    if tok in d:
-                        d[tok] += 1
-                    elif len(d) < capacity:
-                        d[tok] = 1
-                    else:  # decrement-all; drop zeros (amortized O(1)/token)
-                        dead = []
-                        for k in d:
-                            d[k] -= 1
-                            if d[k] == 0:
-                                dead.append(k)
-                        for k in dead:
-                            del d[k]
+                n += 1
+                if tok in d:
+                    d[tok] += 1
+                elif len(d) < capacity:
+                    d[tok] = 1
+                else:  # decrement-all; drop zeros (amortized O(1)/token)
+                    dead = []
+                    for k in d:
+                        d[k] -= 1
+                        if d[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del d[k]
         yield pd.DataFrame({"word": list(d.keys()) + [None],
                             "n": list(d.values()) + [n]})
 
-    partials = df.select(text_col).mapInPandas(_mg, schema="word string, n long")
+    partials = df.select(
+        F.explode(words(F.col(text_col))).alias("word")
+    ).mapInPandas(_mg, schema="word string, n long")
     cand = partials.filter(F.col("word").isNotNull()).select("word").distinct()
     total = partials.filter(F.col("word").isNull()).agg(
         F.sum("n").alias("n_total"))
@@ -198,7 +199,10 @@ def heavy_hitter_values(
     broadcast-semi recount of candidates only — the shuffle is bounded
     by the candidate budget, never by the key cardinality.  Values
     compare as strings (``(value, cnt)`` output) so one output schema
-    serves any key type; nulls are ignored.
+    serves any key type; nulls are ignored.  The string rendering is
+    Spark's ``cast('string')`` in BOTH passes — a Python ``str()`` in
+    pass 1 would render booleans/binary/timestamps differently and the
+    recount semi-join would silently match nothing.
     """
 
     def _mg(batches):
@@ -207,10 +211,9 @@ def heavy_hitter_values(
         d: dict[str, int] = {}
         n = 0
         for pdf in batches:
-            for v in pdf[value_col]:
-                if v is None:
+            for key in pdf["value"]:
+                if key is None:
                     continue
-                key = str(v)
                 n += 1
                 if key in d:
                     d[key] += 1
@@ -227,8 +230,9 @@ def heavy_hitter_values(
         yield pd.DataFrame({"value": list(d.keys()) + [None],
                             "n": list(d.values()) + [n]})
 
-    partials = df.select(value_col).mapInPandas(
-        _mg, schema="value string, n long")
+    partials = df.select(
+        F.col(value_col).cast("string").alias("value")
+    ).mapInPandas(_mg, schema="value string, n long")
     cand = partials.filter(F.col("value").isNotNull()).select("value").distinct()
     total = partials.filter(F.col("value").isNull()).agg(
         F.sum("n").alias("n_total"))

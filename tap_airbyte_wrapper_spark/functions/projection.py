@@ -98,6 +98,8 @@ def fit_pca(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PcaModel:
         .collect()  # d^2 + d + 1 rows — dimension-bounded, not corpus-bounded
     )
     vals = {r["idx"]: r["v"] for r in rows}
+    if not vals:  # empty input: no partials at all
+        raise ValueError("fit_pca needs at least 2 rows")
     # len(vals) = 1 + d + d^2  ->  d = (-1 + sqrt(4*len - 3)) / 2
     d = int(round((-1 + (4 * len(vals) - 3) ** 0.5) / 2))
     n = int(vals[0])

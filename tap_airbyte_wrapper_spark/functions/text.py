@@ -257,7 +257,11 @@ def normalize_text(
     combining marks then recomposes (NFC(NFD minus Mn)) — matching
     DuckDB's ``strip_accents`` including Hangul recomposition, which a
     naive decompose-and-drop misses; ``collapse_whitespace`` trims and
-    squeezes runs of whitespace to one space.
+    squeezes runs of ASCII whitespace to one space — ASCII on purpose:
+    Python's Unicode-aware ``\\s`` diverges from the RE2/JVM ``\\s``
+    the SQL oracle and the rest of the engine use, and NFKC already
+    folds the common Unicode spaces (NBSP etc.) to U+0020 upstream of
+    the collapse when that behavior is wanted.
 
     Spark has no built-in Unicode normalizer, so this is the documented
     exception to the functions-layer "JVM expressions only" rule: an
@@ -281,7 +285,8 @@ def normalize_text(
                     "".join(c for c in unicodedata.normalize("NFD", out)
                             if unicodedata.category(c) != "Mn"))
             if collapse_whitespace:
-                out = _re.sub(r"\s+", " ", out).strip()
+                out = _re.sub(r"[ \t\n\r\f\v]+", " ", out)
+                out = out.strip(" \t\n\r\f\v")
             return out
 
         return xs.map(one)

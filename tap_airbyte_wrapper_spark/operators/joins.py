@@ -433,12 +433,16 @@ def point_in_time_join(
     j = asof_join(facts, history, on, left_ts=fact_ts,
                   right_ts=valid_from, right_prefix=right_prefix)
     vt = F.col(f"{right_prefix}{valid_to}")
+    # ONE select with the predicate evaluated against the ORIGINAL
+    # columns: a sequential withColumn loop would null valid_to first
+    # and then re-evaluate vt.isNull() as true for every later column,
+    # leaking exactly the stale version this function must suppress.
     valid = vt.isNull() | (vt > F.col(fact_ts))
-    hist_cols = [c for c in j.columns
+    hist_cols = {c for c in j.columns
                  if c.startswith(right_prefix)
                  and (c[len(right_prefix):] in history.columns
-                      or c == f"{right_prefix}__asof_ts")]
-    out = j
-    for c in hist_cols:
-        out = out.withColumn(c, F.when(valid, F.col(c)))
-    return out
+                      or c == f"{right_prefix}__asof_ts")}
+    return j.select(*[
+        F.when(valid, F.col(c)).alias(c) if c in hist_cols else F.col(c)
+        for c in j.columns
+    ])

@@ -131,8 +131,10 @@ class SingerJsonlWriter(DataSourceWriter):
     what the plain text-sink emitter (``singer_io.write_singer_files``)
     cannot give: each task writes to a hidden temp file and reports it
     in its commit message; only when EVERY task succeeded does the
-    driver rename the temp files to ``part-N.jsonl``, write the SCHEMA
-    message and a ``_SUCCESS`` manifest (file -> record counts).  A
+    driver rename the temp files to ``part-{job}-{N}.jsonl`` (the job
+    token keeps append jobs from clobbering earlier output; append
+    also merges the prior manifest), write the SCHEMA message and a
+    ``_SUCCESS`` manifest (file -> record counts).  A
     failed job leaves no visible partial output (``abort`` deletes the
     temps), so downstream loaders can key off ``_SUCCESS`` exactly as
     they do for parquet.
@@ -143,12 +145,18 @@ class SingerJsonlWriter(DataSourceWriter):
     """
 
     def __init__(self, schema, options, overwrite: bool):
+        import uuid as _uuid
+
         self.schema = schema
         self.path = options.get("path")
         self.stream = options.get("stream", "stream")
         kp = options.get("key_properties", "")
         self.key_properties = [k for k in kp.split(",") if k]
         self.overwrite = overwrite
+        # job-unique token in the part names: append jobs must not
+        # clobber a previous job's part-00000 (silent data loss), and
+        # the manifest must accumulate across appends
+        self.job = _uuid.uuid4().hex[:12]
         if not self.path:
             raise ValueError("singer_jsonl writer needs option 'path'")
 
@@ -176,16 +184,22 @@ class SingerJsonlWriter(DataSourceWriter):
         from ..schema import struct_to_json_schema
         from ..singer_io import singer_message
 
+        manifest = {}
         if self.overwrite:
             for name in os.listdir(self.path):
                 if name.startswith("part-") or name in (
                         "_SUCCESS", "schema.singer"):
                     os.remove(os.path.join(self.path, name))
-        manifest = {}
+        else:  # append: carry the previous jobs' manifest forward
+            prev = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(prev):
+                with open(prev) as f:
+                    manifest = _json.load(f).get("files", {})
         for i, m in enumerate(messages):
             if m is None:
                 continue
-            dst = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            dst = os.path.join(
+                self.path, f"part-{self.job}-{i:05d}.jsonl")
             os.replace(m.tmp_file, dst)
             manifest[os.path.basename(dst)] = m.records
         with open(os.path.join(self.path, "schema.singer"), "w") as f:

@@ -285,6 +285,12 @@ class CsvSource(ParquetSource):
     def read(self, spark: SparkSession, stream: StreamEntry) -> DataFrame:
         return self._reader(spark).schema(stream.schema).csv(self.config["path"])
 
+    def read_incremental(self, spark: SparkSession, stream: StreamEntry,
+                         bookmark: Any) -> DataFrame:
+        # ParquetSource's override reads the path as parquet; csv must
+        # take the base cursor-filter path over its own read()
+        return Source.read_incremental(self, spark, stream, bookmark)
+
 
 @register
 class JsonSource(ParquetSource):
@@ -346,6 +352,13 @@ class JsonSource(ParquetSource):
             parsed.filter(F.col("__rec._corrupt_record").isNull())
             .select("__rec.*").drop("_corrupt_record")
         )
+
+    def read_incremental(self, spark: SparkSession, stream: StreamEntry,
+                         bookmark: Any) -> DataFrame:
+        # base cursor-filter over read() — keeps the quarantine path in
+        # force for incremental syncs too (ParquetSource's override
+        # would read the JSONL path as parquet and crash)
+        return Source.read_incremental(self, spark, stream, bookmark)
 
 
 @register

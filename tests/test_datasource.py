@@ -171,3 +171,21 @@ def test_singer_jsonl_stream_writer_exactly_once_names(spark, tmp_path):
             for f in names for l in open(os.path.join(out, f))]
     assert sorted(recs) == [1, 2, 3]
     assert not [f for f in os.listdir(out) if f.startswith("._tmp")]
+
+
+def test_singer_jsonl_writer_append_accumulates(spark, tmp_path):
+    """Two append jobs must coexist: job-unique part names, manifest
+    merged — the reviewer-found clobbering regression."""
+    from tap_airbyte_wrapper_spark.sources import register_singer_jsonl
+
+    register_singer_jsonl(spark)
+    out = str(tmp_path / "s3")
+    for vals in ([(1,), (2,)], [(3,), (4,)]):
+        spark.createDataFrame(vals, "id long") \
+            .write.format("singer_jsonl").option("path", out) \
+            .option("stream", "t").mode("append").save()
+    manifest = json.load(open(out + "/_SUCCESS"))
+    assert manifest["records"] == 4
+    ids = [json.loads(l)["record"]["id"]
+           for p in glob.glob(out + "/part-*.jsonl") for l in open(p)]
+    assert sorted(ids) == [1, 2, 3, 4]

@@ -577,8 +577,18 @@ def test_point_in_time_join_leakage_safe(spark):
         [(1, "A", 5), (2, "A", 15), (3, "A", 25),
          (4, "B", 15), (5, "B", 35)],
         "fid long, k string, at long")
+    # history projected with valid_to FIRST: a sequential null-out would
+    # null it before evaluating the other columns' predicates and leak
+    # the stale version (the exact regression the reviewer repro found)
+    hist = hist.select("k", "valid_to", "valid_from", "val", "is_current")
     out = point_in_time_join(facts, hist, "k", "at")
-    got = {r["fid"]: r["h_val"] for r in out.collect()}
+    rows = {r["fid"]: r for r in out.collect()}
+    got = {fid: r["h_val"] for fid, r in rows.items()}
+    # every history column of an invalidated match is null, not stale
+    for fid in (1, 5):
+        assert rows[fid]["h_val"] is None
+        assert rows[fid]["h_valid_to"] is None
+        assert rows[fid]["h_is_current"] is None
     assert got == {
         1: None,   # before any version existed
         2: "v1",   # v2 (cur=20) is the future — must NOT leak

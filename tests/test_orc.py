@@ -100,3 +100,22 @@ def test_json_without_quarantine_unchanged(spark, tmp_path):
     js = get_source("json", {"path": str(src), "stream_name": "s"})
     (stream,) = js.discover(spark).streams
     assert js.read(spark, stream).count() == 3
+
+
+def test_json_incremental_uses_json_reader_and_quarantine(spark, tmp_path):
+    """Incremental JSON syncs must go through the JSON read path (the
+    inherited parquet-path override crashed) and keep quarantine on."""
+    import json as _json
+
+    src = tmp_path / "inc.jsonl"
+    lines = [_json.dumps({"id": i, "ts": i * 10}) for i in range(6)]
+    lines.insert(3, "broken {")
+    src.write_text("\n".join(lines) + "\n")
+    qdir = str(tmp_path / "q")
+    js = get_source("json", {"path": str(src), "stream_name": "s",
+                             "cursor_field": "ts", "quarantine_path": qdir})
+    (stream,) = js.discover(spark).streams
+    inc = js.read_incremental(spark, stream, 20)
+    assert sorted(r["id"] for r in inc.collect()) == [3, 4, 5]
+    import glob as _glob
+    assert _glob.glob(qdir + "/part-*")  # quarantine still active

@@ -203,3 +203,34 @@ def test_weighted_sample_properties(spark):
     other = {r["doc_id"] for r in
              weighted_sample(df, "w", "doc_id", 50, salt="x").collect()}
     assert other != ids
+
+
+def test_heavy_hitter_values_non_string_types(spark):
+    """Pass-1 candidates must use Spark's string rendering: a boolean
+    column ('true', not Python's 'True') still yields its hot keys."""
+    from tap_airbyte_wrapper_spark.functions import heavy_hitter_values
+
+    df = spark.createDataFrame(
+        [(i, i % 10 != 0) for i in range(100)], "i long, flag boolean")
+    got = {r["value"]: r["cnt"]
+           for r in heavy_hitter_values(df, "flag",
+                                        min_fraction=0.5).collect()}
+    assert got == {"true": 90}
+
+
+def test_heavy_hitters_unicode_whitespace_tokens(spark):
+    """Both passes tokenize JVM-side: a token containing a no-break
+    space (not whitespace to the ASCII tokenizer) survives as one
+    token instead of being silently dropped."""
+    from tap_airbyte_wrapper_spark.functions import heavy_hitters
+
+    df = _hh_df(spark, ["a b"] * 10)
+    got = {r["word"]: r["cnt"]
+           for r in heavy_hitters(df, min_count=5).collect()}
+    assert got == {"a b": 10}
+
+
+def test_fit_pca_empty_input_clear_error(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="at least 2 rows"):
+        fit_pca(df, "embedding")

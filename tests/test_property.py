@@ -278,4 +278,5 @@ def test_normalize_text_idempotent_and_clean(spark_global, texts):
     for r in twice.collect():
         assert r["n1"] == r["n2"]
         assert "  " not in r["n1"]
-        assert r["n1"] == r["n1"].strip()
+        # collapse/trim is ASCII-whitespace by contract (oracle parity)
+        assert r["n1"] == r["n1"].strip(" \t\n\r\f\v")

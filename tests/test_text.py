@@ -227,14 +227,19 @@ def test_normalize_text_forms_and_whitespace(spark):
     from pyspark.sql import functions as F
     import unicodedata
 
-    df = spark.createDataFrame([("  a  b\n\tc  ",), ("ﬁle",)],
-                               "s string")
+    df = spark.createDataFrame(
+        [("  a  b\n\tc  ",), ("\ufb01le",), ("x\u00a0y",)], "s string")
     rows = df.select(
         normalize_text(F.col("s"), collapse_whitespace=True).alias("ws"),
-        normalize_text(F.col("s"), form="NFKC").alias("nfkc"),
+        normalize_text(F.col("s"), form="NFKC",
+                       collapse_whitespace=True).alias("nfkc_ws"),
     ).collect()
     assert rows[0]["ws"] == "a b c"
-    assert rows[1]["nfkc"] == unicodedata.normalize("NFKC", "ﬁle") == "file"
+    assert rows[1]["nfkc_ws"] == unicodedata.normalize("NFKC", "\ufb01le") == "file"
+    # collapse is ASCII-whitespace (matches the RE2/JVM oracle); NBSP
+    # survives NFC but folds to a regular space under NFKC
+    assert rows[2]["ws"] == "x\u00a0y"
+    assert rows[2]["nfkc_ws"] == "x y"
 
     with pytest.raises(ValueError, match="normalization form"):
         normalize_text(F.col("s"), form="NFX")
