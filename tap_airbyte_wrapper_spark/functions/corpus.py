@@ -98,6 +98,41 @@ def vocab_topk(
     return agg.orderBy(F.desc("occurrences"), F.asc("token")).limit(k)
 
 
+def _mg_summary(col_name: str, capacity: int):
+    """``mapInPandas`` generator: reduce a partition's values to a
+    Misra-Gries summary (<= ``capacity`` candidates with surviving
+    counts) plus a NULL-keyed row carrying the partition's total.
+
+    Batch-merge formulation (Agarwal et al.'s mergeable-summaries MG):
+    add the batch's vectorized ``value_counts`` into the summary, and
+    when it exceeds ``capacity``, subtract the (capacity+1)-th largest
+    count from everything and drop the non-positives.  Per eviction at
+    least ``capacity+1`` entries absorb the subtraction, so the total
+    undercount of any key stays <= N/capacity — the same guarantee as
+    the one-token-at-a-time loop at a fraction of the Python cost (one
+    ``value_counts`` + one sort per Arrow batch instead of a dict op
+    per token).
+    """
+
+    def gen(batches):
+        import pandas as pd
+
+        d: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf[col_name].dropna().value_counts()
+            n += int(vc.sum())
+            for val, c in vc.items():
+                d[val] = d.get(val, 0) + int(c)
+            if len(d) > capacity:
+                sub = sorted(d.values(), reverse=True)[capacity]
+                d = {k: v - sub for k, v in d.items() if v > sub}
+        yield pd.DataFrame({col_name: list(d.keys()) + [None],
+                            "n": list(d.values()) + [n]})
+
+    return gen
+
+
 def heavy_hitters(
     df: DataFrame,
     text_col: str = "text",
@@ -134,34 +169,10 @@ def heavy_hitters(
     candidate and be silently dropped from the exact result.
     """
 
-    def _mg(batches):
-        import pandas as pd
-
-        d: dict[str, int] = {}
-        n = 0
-        for pdf in batches:
-            for tok in pdf["word"]:
-                if tok is None:
-                    continue
-                n += 1
-                if tok in d:
-                    d[tok] += 1
-                elif len(d) < capacity:
-                    d[tok] = 1
-                else:  # decrement-all; drop zeros (amortized O(1)/token)
-                    dead = []
-                    for k in d:
-                        d[k] -= 1
-                        if d[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del d[k]
-        yield pd.DataFrame({"word": list(d.keys()) + [None],
-                            "n": list(d.values()) + [n]})
-
     partials = df.select(
         F.explode(words(F.col(text_col))).alias("word")
-    ).mapInPandas(_mg, schema="word string, n long")
+    ).mapInPandas(_mg_summary("word", capacity),
+                  schema="word string, n long")
     cand = partials.filter(F.col("word").isNotNull()).select("word").distinct()
     total = partials.filter(F.col("word").isNull()).agg(
         F.sum("n").alias("n_total"))
@@ -205,34 +216,10 @@ def heavy_hitter_values(
     recount semi-join would silently match nothing.
     """
 
-    def _mg(batches):
-        import pandas as pd
-
-        d: dict[str, int] = {}
-        n = 0
-        for pdf in batches:
-            for key in pdf["value"]:
-                if key is None:
-                    continue
-                n += 1
-                if key in d:
-                    d[key] += 1
-                elif len(d) < capacity:
-                    d[key] = 1
-                else:
-                    dead = []
-                    for k in d:
-                        d[k] -= 1
-                        if d[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del d[k]
-        yield pd.DataFrame({"value": list(d.keys()) + [None],
-                            "n": list(d.values()) + [n]})
-
     partials = df.select(
         F.col(value_col).cast("string").alias("value")
-    ).mapInPandas(_mg, schema="value string, n long")
+    ).mapInPandas(_mg_summary("value", capacity),
+                  schema="value string, n long")
     cand = partials.filter(F.col("value").isNotNull()).select("value").distinct()
     total = partials.filter(F.col("value").isNull()).agg(
         F.sum("n").alias("n_total"))
