@@ -210,23 +210,17 @@ def stateful_heavy_hitters(
             d = dict(zip(vals, counts))
         else:
             d, total = {}, 0
+        # batch-merge MG (same bound as the per-token loop — see
+        # functions/corpus._mg_summary): vectorized value_counts per
+        # Arrow batch, subtract-the-(cap+1)th eviction on overflow
         for pdf in pdfs:
-            for v in pdf["__val"]:
-                if v is None:
-                    continue
-                total += 1
-                if v in d:
-                    d[v] += 1
-                elif len(d) < capacity_per_bucket:
-                    d[v] = 1
-                else:
-                    dead = []
-                    for k2 in d:
-                        d[k2] -= 1
-                        if d[k2] == 0:
-                            dead.append(k2)
-                    for k2 in dead:
-                        del d[k2]
+            vc = pdf["__val"].dropna().value_counts()
+            total += int(vc.sum())
+            for v, c in vc.items():
+                d[v] = d.get(v, 0) + int(c)
+            if len(d) > capacity_per_bucket:
+                sub = sorted(d.values(), reverse=True)[capacity_per_bucket]
+                d = {k2: v2 - sub for k2, v2 in d.items() if v2 > sub}
         state.update((list(d.keys()), [int(c) for c in d.values()],
                       int(total)))
         yield pd.DataFrame({
