@@ -39,10 +39,10 @@ from pyspark.sql import SparkSession
 _GROUPS = [
     ("tpch", re.compile(r"^q\d+_")),
     ("scan_sync", re.compile(
-        r"^(full_scan|incremental|stream_map|flatten)")),
+        r"^(full_scan|incremental_events|incremental_mapped|stream_map|flatten)")),
     ("dedup", re.compile(
         r"^(exact_dedup|paragraph|jaccard|minhash|simhash|dedup_clusters"
-        r"|semantic_dedup|winnow|boilerplate|dup_span)")),
+        r"|semantic_dedup|winnow|boilerplate|dup_span|remove_dup)")),
     ("similarity", re.compile(
         r"^(knn|embedding|quantize|centroid|label_centroids"
         r"|approx_distinct|pca_)")),
@@ -51,10 +51,10 @@ _GROUPS = [
         r"|repetition|token_budget|contamination|tfidf|split_sentences"
         r"|corpus_curation|decode_image|mixture|train_test|shard_stats"
         r"|heavy_hitter|normalize|chunk_docs|sample_per_"
-        r"|weighted_sample)")),
+        r"|weighted_sample|lm_perplexity|pseudonymize|strip_html|canonical_url)")),
     ("timeseries_cdc", re.compile(
         r"^(merge_upsert|resample|gap_fill|funnel|weekly_retention"
-        r"|anomaly|scd2)")),
+        r"|anomaly|scd2|incremental_agg|snapshot_diff)")),
 ]
 
 

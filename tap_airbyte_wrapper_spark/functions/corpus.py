@@ -525,6 +525,98 @@ def dup_span_stats(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (the rewrite side of
+    :func:`dup_span_stats`, Lee et al. 2022): drop every token covered
+    by a word ``n``-gram occurring in at least ``min_docs`` distinct
+    documents, and reassemble the survivors in order.  Unlike
+    whole-doc or paragraph dedup this erases the duplicated span from
+    EVERY copy — memorization pressure comes from the repeated
+    substring itself, not from which document carries it.
+
+    Returns ``(id, n_tok, n_removed, text)`` — ``text`` is the kept
+    tokens space-joined (docs shorter than ``n`` words pass through
+    untouched; a fully-covered doc keeps its row with empty text, so
+    the caller decides whether to drop empties).
+
+    Plan shape: the corpus-frequency side is ONE tokenize+hash pass —
+    distinct (doc, gram-xxhash64) pairs, doc-frequency via a count
+    window on the hash (identical shuffle to :func:`dup_span_stats`) —
+    reduced to a per-doc array of its OWN duplicated gram start-able
+    hashes, joined back on the id.  The rewrite is then pure Catalyst
+    array algebra per row: token i survives unless some gram starting
+    in ``[i-n+1, i]`` is in the doc's dup set.  Membership tests are
+    linear in the per-doc dup-set size — bounded by doc length, never
+    corpus size; nothing all-pairs, both shuffles carry 8-byte hashes
+    plus ids.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col), words(F.col(text_col)).alias("__ws")
+    ).withColumn(
+        "__gh",
+        F.transform(word_ngrams(F.col("__ws"), n), lambda g: F.xxhash64(g)),
+    )
+    pairs = base.select(
+        F.col(id_col), F.explode(F.array_distinct("__gh")).alias("__h"))
+    dup_sets = (
+        pairs.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("__h")))
+        .filter(F.col("__df") >= min_docs)
+        .groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__dup"))
+    )
+    joined = base.join(dup_sets, id_col, "left").select(
+        F.col(id_col), F.col("__ws"), F.col("__gh"),
+        F.coalesce(F.col("__dup"), F.array().cast("array<bigint>"))
+        .alias("__dup"),
+    )
+    n_tok = F.size("__ws")
+    n_grams = F.size("__gh")
+    # gram starts are 0-based here; token i is covered iff a dup gram
+    # starts in [max(i-n+1, 0), min(i, n_grams-1)] — the bounds are
+    # always ordered for i in [0, n_tok) when n_grams > 0
+    covered = F.transform(
+        F.sequence(F.lit(0), n_tok - 1),
+        lambda i: F.exists(
+            F.sequence(F.greatest(i - (n - 1), F.lit(0)),
+                       F.least(i, n_grams - 1)),
+            lambda j: F.array_contains(
+                F.col("__dup"), F.element_at("__gh", j + 1)),
+        ),
+    )
+    marked = joined.withColumn(
+        "__cov",
+        F.when((n_tok == 0) | (n_grams <= 0) | (F.size("__dup") == 0),
+               F.array().cast("array<boolean>")).otherwise(covered),
+    )
+    kept = F.when(
+        F.size("__cov") == 0, F.col("__ws")
+    ).otherwise(
+        F.transform(
+            F.filter(
+                F.arrays_zip(F.col("__ws").alias("w"),
+                             F.col("__cov").alias("c")),
+                lambda s: ~s["c"],
+            ),
+            lambda s: s["w"],
+        )
+    )
+    return marked.select(
+        F.col(id_col),
+        n_tok.alias("n_tok"),
+        (n_tok - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias(text_col),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     group_col: str = "source",

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["PII_PATTERNS", "redact_pii", "pii_counts"]
+__all__ = ["PII_PATTERNS", "redact_pii", "pii_counts", "pseudonymize"]
 
 # name → (regex, replacement token). Insertion order = application order.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
@@ -54,3 +54,24 @@ def pii_counts(col: Column) -> Column:
         )
         cur = F.regexp_replace(cur, pattern, token)
     return F.struct(*fields)
+
+
+def pseudonymize(col: Column, salt: str, keep_len: int = 16) -> Column:
+    """Deterministic keyed pseudonym for an identifier column: the
+    first ``keep_len`` hex chars of ``md5(salt || value)``.
+
+    Redaction (:func:`redact_pii`) destroys joinability; pipelines that
+    must keep user-level grouping (dedup by author, per-user rate
+    stats) while removing the raw identifier need a consistent token
+    instead.  Same value + same salt → same token across every table
+    and every run, so keys still join; without the salt the token is
+    not reversible by rainbow lookup of the bare value.  Nulls stay
+    null.  Pure JVM expression — zero shuffle, oracle-reproducible
+    (``md5`` is everywhere); rotate the salt per release to break
+    cross-release linkage.
+    """
+    return F.when(
+        col.isNotNull(),
+        F.substring(
+            F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, keep_len),
+    )

@@ -34,6 +34,8 @@ __all__ = [
     "minhash_fingerprints",
     "winnow_fingerprints",
     "normalize_text",
+    "strip_html",
+    "canonical_url",
 ]
 
 # Marker stopwords per language — tiny n-gram-free heuristic: count marker
@@ -292,3 +294,72 @@ def normalize_text(
         return xs.map(one)
 
     return _norm(col)
+
+
+def strip_html(col: Column) -> Column:
+    """Visible text from raw HTML/markup: drop script/style blocks and
+    comments, replace every remaining tag with a space, decode the six
+    ubiquitous entities, collapse whitespace.
+
+    The extraction gate a web-crawl corpus runs before ANY text
+    statistic (quality scores, language ID, dedup fingerprints all
+    mis-fire on markup).  Regex-only on purpose: a DOM parser is a
+    per-row Python cost and an extra dependency, while the regex chain
+    is JVM ``regexp_replace`` — zero shuffle, linear per row, and
+    reproducible in any RE2/PCRE engine (no backreferences used, so
+    the DuckDB oracle runs the identical patterns).
+    """
+    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"<[^>]+>", " ")
+    for ent, rep in [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")]:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL for URL-level dedup: lowercase scheme
+    and host, strip the scheme's default port and any fragment, drop
+    tracking parameters (``utm_*``/``fbclid``/``gclid``/``msclkid``)
+    and SORT the survivors, drop a trailing slash on non-root paths.
+
+    Crawl frontiers and web corpora dedup on the canonical URL before
+    any content fingerprint — it is free (zero shuffle, pure JVM
+    expressions) and collapses the bulk of mirror noise
+    (``HTTP://X.com/a?utm_source=y`` == ``http://x.com/a``).  Query
+    values are compared byte-wise, not percent-decoded: decoding can
+    merge genuinely different resources, the one direction URL dedup
+    must never err.  Non-URL strings (no ``scheme://host``) pass
+    through trimmed, so the column is safe to run over dirty data.
+    """
+    u = F.regexp_replace(F.trim(col), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.substring(host, 1, F.length(host) - 3),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.substring(host, 1, F.length(host) - 4),
+    ).otherwise(host)
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike(r"(?i)^(utm_[^=]*|fbclid|gclid|msclkid)="),
+    )
+    q = F.concat_ws("&", F.array_sort(params))
+    rebuilt = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(F.length(q) > 0, F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when(F.length(scheme) > 0, rebuilt).otherwise(F.trim(col))

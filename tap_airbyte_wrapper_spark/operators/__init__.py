@@ -20,13 +20,16 @@ from .aggregates import (
     distinct_count,
     grouped_agg,
     grouping_sets_agg,
+    histogram_quantiles,
+    histogram_rollup,
+    histogram_sketch_table,
     hll_rollup,
     hll_sketch_table,
     rollup_agg,
 )
 from .windows import (global_distribution_ranks, global_topk, ranked,
                       running_agg, topk_per_group, with_lag_lead)
-from .merge import merge_upsert, scd2_history
+from .merge import maintain_agg_snapshot, merge_upsert, scd2_history
 from .setops import except_rows, intersect_rows, union_by_name
 from .timeseries import (
     detect_anomalies,
@@ -41,6 +44,7 @@ from .quality import (
     numeric_histogram,
     partition_skew_report,
     profile_table,
+    snapshot_diff,
     validate_expectations,
 )
 
@@ -50,13 +54,16 @@ __all__ = [
     "grouped_agg", "cube_agg", "rollup_agg", "grouping_sets_agg",
     "distinct_count", "dedup_exact", "dedup_latest",
     "hll_sketch_table", "hll_rollup",
+    "histogram_sketch_table", "histogram_rollup", "histogram_quantiles",
     "ranked", "with_lag_lead", "running_agg", "topk_per_group", "global_topk",
     "global_distribution_ranks",
     "union_by_name", "intersect_rows", "except_rows",
     "merge_upsert",
     "scd2_history",
+    "maintain_agg_snapshot",
     "time_bucket", "resample", "gap_fill", "rolling_stats",
     "detect_anomalies",
     "profile_table", "Expectation", "validate_expectations",
+    "snapshot_diff",
     "numeric_histogram", "column_correlations", "partition_skew_report",
 ]

@@ -29,6 +29,9 @@ __all__ = [
     "dedup_exact",
     "dedup_latest",
     "hll_sketch_table",
+    "histogram_sketch_table",
+    "histogram_rollup",
+    "histogram_quantiles",
     "hll_rollup",
 ]
 
@@ -144,3 +147,91 @@ def hll_rollup(
     if group_keys:
         return sketches.groupBy(*list(group_keys)).agg(est)
     return sketches.agg(est)
+
+
+def histogram_sketch_table(
+    df: "DataFrame",
+    value_col: str,
+    keys: "str | Sequence[str]",
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> "DataFrame":
+    """Per-key mergeable fixed-bin histograms of ``value_col``:
+    ``(keys..., bin, n)`` — the quantile-flavored sibling of
+    :func:`hll_sketch_table`.
+
+    With FIXED bounds the bin assignment is deterministic, so two
+    histogram tables (two days, two sources) merge by summing counts —
+    exactly mergeable, unlike percentile digests whose merge is
+    approximate and order-dependent.  Values below ``lo`` clamp to bin
+    0, at/above ``hi`` to ``bins - 1`` (the overflow bins double as
+    out-of-range monitors); nulls are skipped.  Persist one histogram
+    per (day, dimension) as batches land and any later quantile/
+    distribution question is a metadata-scale rollup
+    (:func:`histogram_rollup`), never a raw re-scan.
+
+    One groupBy = map-side partial combine; the shuffle carries at most
+    ``|keys| * bins`` rows per map partition.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / bins
+    raw = F.floor((v - lo) / F.lit(width)).cast("int")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, b.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def histogram_rollup(
+    hists: "DataFrame",
+    group_keys: "Sequence[str] | None" = None,
+) -> "DataFrame":
+    """Merge persisted histogram sketches: group by ``group_keys``
+    (None = one global histogram) summing per-bin counts.  Input is
+    sketch rows, so re-slicing a year of daily histograms costs
+    milliseconds."""
+    gk = list(group_keys) if group_keys else []
+    return hists.groupBy(*gk, "bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantiles(
+    hists: "DataFrame",
+    probs: "Sequence[float]",
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    group_keys: "Sequence[str] | None" = None,
+) -> "DataFrame":
+    """Quantile estimates from (rolled-up) histogram rows: for each
+    probability, the UPPER EDGE of the first bin where the cumulative
+    count reaches ``p * total`` — deterministic, merge-order-free, and
+    exact to bin resolution ((hi-lo)/bins).
+
+    Output: ``(group_keys..., p, q)``.  Runs entirely on sketch rows:
+    one window for the cumulative counts, one tiny aggregate per
+    probability — no raw data anywhere.
+    """
+    from pyspark.sql import Window
+
+    gk = list(group_keys) if group_keys else []
+    width = (hi - lo) / bins
+    w = (Window.partitionBy(*gk) if gk else Window.partitionBy()
+         ).orderBy("bin")
+    cum = hists.withColumn("__cum", F.sum("n").over(w)).withColumn(
+        "__tot", F.sum("n").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+    out = None
+    for p in probs:
+        hit = cum.filter(
+            F.col("__cum") >= F.lit(float(p)) * F.col("__tot"))
+        q = hit.groupBy(*gk).agg(F.min("bin").alias("__b")).select(
+            *gk, F.lit(float(p)).alias("p"),
+            F.round(F.lit(lo) + (F.col("__b") + 1) * F.lit(width), 6)
+            .alias("q"),
+        )
+        out = q if out is None else out.unionByName(q)
+    return out

@@ -22,7 +22,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["merge_upsert", "scd2_history"]
+__all__ = ["merge_upsert", "scd2_history", "maintain_agg_snapshot"]
 
 
 def merge_upsert(
@@ -119,3 +119,59 @@ def scd2_history(
         .drop("__del")
     )
     return out
+
+
+def maintain_agg_snapshot(
+    snapshot: DataFrame | None,
+    delta: DataFrame,
+    keys: str | Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh):
+    fold an INSERT-ONLY ``delta`` into a grouped-aggregate ``snapshot``
+    without rescanning the history.
+
+    The snapshot schema is self-describing partials —
+    ``keys + [count_col] + sum_<c> + min_<c> + max_<c>`` — all of which
+    are MERGEABLE: refreshing unions the old snapshot with the delta's
+    partials and re-aggregates by key.  Averages and rates derive from
+    sum/count at read time; pass ``snapshot=None`` to bootstrap.
+    (Deletes/updates are intentionally out of scope: min/max are not
+    maintainable under retraction — route CDC streams through
+    :func:`merge_upsert` and recompute, or keep retraction-safe
+    sums/counts only.)
+
+    Scale shape: the delta aggregates map-side first (partial combine),
+    so the single key-shuffle carries one row per distinct key per map
+    partition of the DELTA — daily refresh cost is bounded by the
+    delta's key cardinality, not the snapshot's; the snapshot itself
+    re-shuffles only its (already one-row-per-key) rows.  Persist the
+    snapshot bucketed by the keys and the union re-agg needs no
+    snapshot-side exchange at all (see ``sinks.py`` bucketed writers).
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+
+    def partials(df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("bigint").alias(count_col)]
+        aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+        aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+        aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+        return df.groupBy(*ks).agg(*aggs)
+
+    fresh = partials(delta)
+    if snapshot is None:
+        return fresh
+    missing = [c for c in fresh.columns if c not in snapshot.columns]
+    if missing:
+        raise ValueError(f"snapshot missing partial columns: {missing}")
+    merged_aggs = [F.sum(count_col).cast("bigint").alias(count_col)]
+    merged_aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+    merged_aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols]
+    merged_aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
+    return (
+        snapshot.select(fresh.columns).unionByName(fresh)
+        .groupBy(*ks).agg(*merged_aggs)
+    )

@@ -30,7 +30,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["profile_table", "Expectation", "validate_expectations",
            "numeric_histogram", "column_correlations",
-           "partition_skew_report", "parquet_file_stats"]
+           "partition_skew_report", "parquet_file_stats",
+           "snapshot_diff"]
 
 
 def profile_table(
@@ -391,3 +392,56 @@ def parquet_file_stats(
         footers,
         schema="file string, column string, rows long, size_bytes long, "
                "min_val string, max_val string, null_count long")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Key-based diff of two table versions: one row per key that was
+    ``added``, ``removed``, or ``changed`` between ``old`` and ``new``.
+
+    The audit/regression primitive the merge-snapshot sink
+    (``sinks.py`` time travel) makes cheap to ask for: "what did
+    yesterday's sync actually do?".  Unchanged keys produce no output,
+    so the result is delta-sized, not table-sized.
+
+    ``compare_cols`` defaults to all shared non-key columns.  Change
+    detection compares an ``md5`` over the compared columns cast to
+    strings with a non-printing separator (null → empty — the same
+    oracle-reproducible form the deterministic samplers use), never a
+    column-by-column OR chain, so the comparison cost is independent
+    of column count once the hash is computed map-side.
+
+    Scale shape: ONE full outer join on the key — both sides hash-
+    shuffle once; with both snapshots bucketed by key (the merge sink's
+    layout) the exchange disappears entirely.  The hash is computed
+    before the join, so the join carries keys + 32-byte digests, not
+    whole rows.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c in set(old.columns) and c not in ks]
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        digest = F.md5(F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                      for c in compare_cols]))
+        return df.select(*ks, digest.alias(alias))
+
+    o = hashed(old, "__h_old")
+    n = hashed(new, "__h_new")
+    joined = o.join(n, ks, "full_outer")
+    change = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*ks, "change_type")
+    )

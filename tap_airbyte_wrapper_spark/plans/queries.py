@@ -1741,6 +1741,143 @@ def q_validate_orders(spark, sf_dir):
     ])
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality gate: interpolated bigram LM trained on
+    the corpus itself, every doc scored by average negative
+    log-likelihood.  Probabilities round to 8 decimals before the ln
+    so the transcendental sees identical inputs engine-side and
+    oracle-side."""
+    from ..functions import score_perplexity, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs)
+    return score_perplexity(docs, lm)
+
+
+def q_remove_dup_spans(spark, sf_dir):
+    """Exact-substring dedup removal (Lee et al.): every token covered
+    by a cross-doc duplicated word 8-gram is erased from EVERY copy;
+    the oracle recomputes with literal gram strings."""
+    from ..functions import remove_dup_spans
+
+    return remove_dup_spans(_t(spark, sf_dir, "documents"),
+                            "doc_id", "text", n=8)
+
+
+def q_incremental_agg_orders(spark, sf_dir):
+    """Incremental materialized-view maintenance: the per-status order
+    stats snapshot built from pre-cutoff orders is refreshed with the
+    post-cutoff delta WITHOUT rescanning history; the oracle is the
+    from-scratch aggregate over everything — mergeable partials must
+    make the two identical (sums compare at 2 decimals: refresh
+    changes double association order)."""
+    from ..operators import maintain_agg_snapshot
+
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = "1997-01-01"
+    snap = maintain_agg_snapshot(
+        None, orders.filter(F.col("o_orderdate") < cutoff),
+        keys="o_orderstatus", sum_cols=["o_totalprice"],
+        min_cols=["o_orderdate"], max_cols=["o_orderdate"])
+    out = maintain_agg_snapshot(
+        snap, orders.filter(F.col("o_orderdate") >= cutoff),
+        keys="o_orderstatus", sum_cols=["o_totalprice"],
+        min_cols=["o_orderdate"], max_cols=["o_orderdate"])
+    return out.select(
+        "o_orderstatus", "n_rows",
+        F.round("sum_o_totalprice", 2).alias("sum_price"),
+        _us("min_o_orderdate").alias("min_date_us"),
+        _us("max_o_orderdate").alias("max_date_us"),
+    )
+
+
+def q_snapshot_diff_orders(spark, sf_dir):
+    """Key-based snapshot diff: yesterday's orders vs today's (keys
+    divisible by 7 dropped, totals bumped where divisible by 3, keys
+    divisible by 5 newly arrived) — one full-outer join on pre-hashed
+    digests, output is delta-sized."""
+    from ..operators import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.filter(k % 5 != 0)
+    new = orders.filter(k % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 3 == 0, F.round(F.col("o_totalprice") * 1.1, 2))
+        .otherwise(F.col("o_totalprice")))
+    return snapshot_diff(old, new, "o_orderkey")
+
+
+def q_histogram_quantile_events(spark, sf_dir):
+    """Mergeable histogram sketches: per-event-type fixed-bin
+    histograms of event value rolled up to ONE global histogram, then
+    p50/p90/p99 read off the cumulative bins — the raw table is
+    scanned once ever; every later quantile question is metadata-
+    scale."""
+    from ..operators import (histogram_quantiles, histogram_rollup,
+                             histogram_sketch_table)
+
+    ev = _t(spark, sf_dir, "events")
+    sk = histogram_sketch_table(ev, "value", "event_type",
+                                lo=0.0, hi=500.0, bins=50)
+    merged = histogram_rollup(sk, group_keys=None)
+    return histogram_quantiles(
+        merged, [0.5, 0.9, 0.99], lo=0.0, hi=500.0, bins=50)
+
+
+def q_pseudonymize_events(spark, sf_dir):
+    """Keyed pseudonymization: user ids replaced by salted-md5 tokens
+    that stay joinable (per-token event counts prove grouping
+    survives) while the raw id disappears."""
+    from ..functions.pii import pseudonymize
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        pseudonymize(F.col("user_id"), salt="r5", keep_len=16)
+        .alias("user_token"),
+        "event_type",
+    ).groupBy("user_token").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .alias("n_purchases"),
+    )
+
+
+def q_strip_html_docs(spark, sf_dir):
+    """HTML-to-text extraction gate: docs wrapped in markup (tags,
+    script, comment, entities) come back out as clean text — the
+    pre-statistics step every web-crawl corpus runs; regex chain
+    reproduces under RE2 and Java regex alike."""
+    from ..functions import strip_html
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p{color:red}</style></head><body>"
+              "<!-- nav --><p class=\"c\">"),
+        F.col("text"),
+        F.lit("</p><script>var x=1;</script>&amp;done</body></html>"))
+    return docs.select("doc_id", strip_html(html).alias("text"))
+
+
+def q_canonical_url_docs(spark, sf_dir):
+    """URL canonicalization for URL-level dedup: scheme/host case,
+    default ports, fragments, tracking params and param order all
+    collapse; the doc id modulo picks which noise each synthetic URL
+    carries."""
+    from ..functions import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://Example.COM:80/"), F.col("source"), F.lit("/p/"),
+        d.cast("string"),
+        F.when(d % 3 == 0, F.lit("/?utm_source=feed&b=2&a=1#frag"))
+        .when(d % 3 == 1, F.lit("?a=1&b=2&gclid=zzz"))
+        .otherwise(F.lit("/")))
+    return docs.select(
+        "doc_id", canonical_url(url).alias("url"))
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -1835,6 +1972,14 @@ QUERIES = {
     # -- has never been driver-checked — move them, plus the r05-window
     # -- survivors worth re-verifying, into positions 1-50 next round
     # -- and rotate out r05-green entries whose code did not change. --
+    "lm_perplexity_docs": q_lm_perplexity,
+    "remove_dup_spans_docs": q_remove_dup_spans,
+    "incremental_agg_orders": q_incremental_agg_orders,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
+    "histogram_quantile_events": q_histogram_quantile_events,
+    "pseudonymize_events": q_pseudonymize_events,
+    "strip_html_docs": q_strip_html_docs,
+    "canonical_url_docs": q_canonical_url_docs,
     "embedding_covariance": q_embedding_covariance,
     "heavy_hitter_words": q_heavy_hitter_words,
     "heavy_hitter_users": q_heavy_hitter_users,
@@ -2979,6 +3124,134 @@ ORACLES = {
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings)
         GROUP BY label, i""",
+    "lm_perplexity_docs": r"""
+        WITH ws AS (
+          SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
+          FROM documents),
+        occ AS (SELECT unnest(w) AS tok FROM ws),
+        uni AS (SELECT tok, count(*)::DOUBLE AS c_uni FROM occ GROUP BY tok),
+        tot AS (SELECT sum(c_uni) AS t, count(*)::DOUBLE AS v FROM uni),
+        big AS (
+          SELECT w[i] AS w1, w[i+1] AS w2, count(*)::DOUBLE AS c_big
+          FROM ws, unnest(generate_series(1, len(w)-1)) AS s(i)
+          GROUP BY 1, 2),
+        pos AS (
+          SELECT doc_id, CASE WHEN i > 1 THEN w[i-1] END AS w1, w[i] AS w2
+          FROM ws, unnest(generate_series(1, len(w))) AS s(i)),
+        p AS (
+          SELECT pos.doc_id,
+            CASE WHEN pos.w1 IS NULL
+              THEN (coalesce(u2.c_uni,0)+0.1)/(tot.t+0.1*(tot.v+1))
+              ELSE 0.9*((coalesce(b.c_big,0)+0.1)
+                        /(coalesce(u1.c_uni,0)+0.1*(tot.v+1)))
+                 + 0.1*((coalesce(u2.c_uni,0)+0.1)/(tot.t+0.1*(tot.v+1)))
+            END AS prob
+          FROM pos
+          LEFT JOIN uni u2 ON pos.w2 = u2.tok
+          LEFT JOIN uni u1 ON pos.w1 = u1.tok
+          LEFT JOIN big b ON pos.w1 = b.w1 AND pos.w2 = b.w2
+          CROSS JOIN tot),
+        d AS (
+          SELECT doc_id, count(*) AS n_tok,
+                 round(avg(round(-ln(round(prob, 8)), 6)), 4) AS avg_nll
+          FROM p GROUP BY doc_id)
+        SELECT ws.doc_id, coalesce(n_tok, 0) AS n_tok, avg_nll
+        FROM ws LEFT JOIN d USING (doc_id)""",
+    "remove_dup_spans_docs": r"""
+        WITH ws AS (
+          SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
+          FROM ws, unnest(generate_series(1, len(w)-7)) AS t(i)
+          WHERE len(w) >= 8),
+        freq AS (
+          SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+          GROUP BY gram HAVING count(*) >= 2),
+        pos AS (
+          SELECT g.doc_id, list(DISTINCT i) AS starts
+          FROM g JOIN freq USING (gram) GROUP BY g.doc_id)
+        SELECT ws.doc_id, len(w) AS n_tok,
+               len(w) - len(kept) AS n_removed,
+               coalesce(array_to_string(kept, ' '), '') AS text
+        FROM ws LEFT JOIN pos USING (doc_id),
+        LATERAL (SELECT list_transform(
+                   list_filter(generate_series(1, len(w)),
+                     i -> len(list_filter(coalesce(starts, []),
+                              s -> i >= s AND i <= s + 7)) = 0),
+                   i -> w[i]) AS kept) t""",
+    "incremental_agg_orders": """
+        SELECT o_orderstatus, count(*) AS n_rows,
+               round(sum(o_totalprice), 2) AS sum_price,
+               epoch_us(min(o_orderdate)) AS min_date_us,
+               epoch_us(max(o_orderdate)) AS max_date_us
+        FROM orders GROUP BY o_orderstatus""",
+    "snapshot_diff_orders": """
+        WITH o AS (
+          SELECT o_orderkey FROM orders WHERE o_orderkey % 5 != 0),
+        n AS (
+          SELECT o_orderkey, (o_orderkey % 3 = 0) AS bumped
+          FROM orders WHERE o_orderkey % 7 != 0)
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN bumped THEN 'changed' END AS change_type
+        FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey
+        WHERE (o.o_orderkey IS NULL) OR (n.o_orderkey IS NULL) OR bumped""",
+    "histogram_quantile_events": """
+        WITH b AS (
+          SELECT least(greatest(CAST(floor((value - 0.0) / 10.0) AS INTEGER),
+                                0), 49) AS bin,
+                 count(*)::BIGINT AS n
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+        c AS (
+          SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum,
+                 sum(n) OVER () AS tot
+          FROM b),
+        probs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p)
+        SELECT p, round(0.0 + (min(bin) + 1) * 10.0::DOUBLE, 6) AS q
+        FROM c CROSS JOIN probs
+        WHERE cum >= p * tot GROUP BY p""",
+    "pseudonymize_events": """
+        SELECT substr(md5('r5' || CAST(user_id AS VARCHAR)), 1, 16)
+                 AS user_token,
+               count(*) AS n_events,
+               count(*) FILTER (WHERE event_type = 'purchase')
+                 AS n_purchases
+        FROM events GROUP BY 1""",
+    "strip_html_docs": r"""
+        WITH h AS (
+          SELECT doc_id,
+            '<html><head><style>p{color:red}</style></head><body>'
+            || '<!-- nav --><p class="c">' || text
+            || '</p><script>var x=1;</script>&amp;done</body></html>' AS x
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(x, '(?is)<script[^>]*>.*?</script>',
+                                 ' ', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]+>', ' ', 'g') AS x
+          FROM h),
+        e AS (
+          SELECT doc_id,
+            replace(replace(replace(replace(replace(replace(
+              x, '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+              '&gt;', '>'), '&quot;', '"'), '&#39;', '''') AS x
+          FROM s)
+        SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS text
+        FROM e""",
+    "canonical_url_docs": """
+        SELECT doc_id,
+               'http://example.com/' || source || '/p/'
+               || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 2 THEN '' ELSE '?a=1&b=2' END
+                 AS url
+        FROM documents""",
     "embedding_covariance": """
         WITH ex AS (
           SELECT vec_id,

@@ -1,0 +1,335 @@
+"""Round-5 third-session operators: bigram-LM perplexity gates,
+exact-substring removal, incremental aggregate maintenance, snapshot
+diff, mergeable histogram sketches, pseudonymization, HTML stripping,
+URL canonicalization.  Driver-window oracles live in
+tests/test_oracle_parity.py; these pin semantics, edge cases, and the
+plan shapes the oracles can't see."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tap_airbyte_wrapper_spark.functions import (
+    canonical_url,
+    perplexity_filter,
+    remove_dup_spans,
+    score_perplexity,
+    strip_html,
+    train_bigram_lm,
+)
+from tap_airbyte_wrapper_spark.functions.pii import pseudonymize
+from tap_airbyte_wrapper_spark.operators import (
+    histogram_quantiles,
+    histogram_rollup,
+    histogram_sketch_table,
+    maintain_agg_snapshot,
+    snapshot_diff,
+)
+
+
+# ---------------------------------------------------------------- LM
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(rows)])
+
+
+def test_lm_fluent_text_scores_lower_than_shuffled(spark):
+    # 30 copies of the same sentence teach the bigrams; a doc in that
+    # word order must out-score (lower nll) the same words reversed
+    corpus = _docs(spark, ["the cat sat on the mat"] * 30
+                   + ["mat the on sat cat the"])
+    lm = train_bigram_lm(corpus)
+    s = {r["doc_id"]: r["avg_nll"]
+         for r in score_perplexity(corpus, lm).collect()}
+    assert s[0] < s[30]
+
+
+def test_lm_empty_doc_keeps_row_with_null_score(spark):
+    corpus = _docs(spark, ["a b a b", "   "])
+    lm = train_bigram_lm(corpus)
+    rows = {r["doc_id"]: r for r in score_perplexity(corpus, lm).collect()}
+    assert rows[1]["n_tok"] == 0 and rows[1]["avg_nll"] is None
+    assert rows[0]["n_tok"] == 4
+
+
+def test_lm_oov_scoring_well_defined(spark):
+    train = _docs(spark, ["a b c a b c"] * 5)
+    lm = train_bigram_lm(train)
+    test = _docs(spark, ["z z z z"])
+    row = score_perplexity(test, lm).collect()[0]
+    assert row["avg_nll"] is not None and row["avg_nll"] > 0
+
+
+def test_lm_capped_model_broadcasts(spark):
+    corpus = _docs(spark, ["a b c d e f g h"] * 4)
+    lm = train_bigram_lm(corpus, max_vocab=4, max_bigrams=4)
+    assert lm.capped
+    plan = score_perplexity(corpus, lm)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # cap keeps the most frequent tokens; totals stay uncapped
+    assert lm.unigrams.count() == 4
+    assert lm.vocab_size == 8
+
+
+def test_lm_cap_changes_scores_not_totals(spark):
+    corpus = _docs(spark, ["x y x y x y", "q r q r"])
+    full = train_bigram_lm(corpus)
+    capped = train_bigram_lm(corpus, max_vocab=2)
+    assert full.total_tokens == capped.total_tokens
+    assert full.vocab_size == capped.vocab_size
+    # x/y survive the cap, q/r fall to the smoothed floor => doc 1
+    # must score strictly worse under the capped model
+    s_full = {r["doc_id"]: r["avg_nll"]
+              for r in score_perplexity(corpus, full).collect()}
+    s_cap = {r["doc_id"]: r["avg_nll"]
+             for r in score_perplexity(corpus, capped).collect()}
+    assert s_cap[1] > s_full[1]
+    assert s_cap[0] == pytest.approx(s_full[0], abs=1e-3)
+
+
+def test_perplexity_filter_band_and_max(spark):
+    corpus = _docs(spark, ["the cat sat on the mat"] * 30
+                   + ["mat the on sat cat the"])
+    lm = train_bigram_lm(corpus)
+    scores = sorted(r["avg_nll"]
+                    for r in score_perplexity(corpus, lm).collect())
+    mid = (scores[0] + scores[-1]) / 2
+    kept = perplexity_filter(corpus, lm, max_avg_nll=mid)
+    assert kept.count() == 30
+    assert set(kept.columns) >= {"doc_id", "text", "n_tok", "avg_nll"}
+    band = perplexity_filter(corpus, lm, band=(mid, 1e9))
+    assert band.count() == 1
+
+
+# ------------------------------------------------- remove_dup_spans
+
+
+def test_remove_dup_spans_erases_all_copies(spark):
+    span = "one two three four five six seven eight"
+    df = _docs(spark, [f"alpha {span} beta", f"gamma {span} delta",
+                       "unrelated words only here nothing shared at all"])
+    out = {r["doc_id"]: r for r in
+           remove_dup_spans(df, "doc_id", "text", n=8).collect()}
+    # the 8-token span is removed from BOTH carriers (not kept-first)
+    assert out[0]["text"] == "alpha beta"
+    assert out[1]["text"] == "gamma delta"
+    assert out[0]["n_removed"] == 8
+    assert out[2]["n_removed"] == 0
+    assert out[2]["text"] == "unrelated words only here nothing shared at all"
+
+
+def test_remove_dup_spans_short_docs_pass_through(spark):
+    df = _docs(spark, ["a b c", "a b c"])
+    out = remove_dup_spans(df, "doc_id", "text", n=8).collect()
+    assert all(r["n_removed"] == 0 and r["text"] == "a b c" for r in out)
+
+
+def test_remove_dup_spans_within_doc_repeat_not_dup(spark):
+    # the gram repeats inside ONE doc only => doc frequency 1 => kept
+    span = "one two three four five six seven eight"
+    df = _docs(spark, [f"{span} {span}",
+                       "totally different text with no shared grams at x"])
+    out = {r["doc_id"]: r for r in
+           remove_dup_spans(df, "doc_id", "text", n=8).collect()}
+    assert out[0]["n_removed"] == 0
+
+
+def test_remove_dup_spans_fully_covered_doc_empties(spark):
+    span = "one two three four five six seven eight"
+    df = _docs(spark, [span, span, "other doc unrelated"])
+    out = {r["doc_id"]: r for r in
+           remove_dup_spans(df, "doc_id", "text", n=8).collect()}
+    assert out[0]["text"] == "" and out[0]["n_removed"] == 8
+    assert out[1]["text"] == ""
+
+
+# ------------------------------------------- maintain_agg_snapshot
+
+
+def test_incremental_agg_equals_recompute(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cut = "1997-01-01"
+    snap = maintain_agg_snapshot(
+        None, orders.filter(F.col("o_orderdate") < cut),
+        keys="o_orderstatus", sum_cols=["o_totalprice"],
+        min_cols=["o_orderdate"], max_cols=["o_orderdate"])
+    out = maintain_agg_snapshot(
+        snap, orders.filter(F.col("o_orderdate") >= cut),
+        keys="o_orderstatus", sum_cols=["o_totalprice"],
+        min_cols=["o_orderdate"], max_cols=["o_orderdate"])
+    direct = maintain_agg_snapshot(
+        None, orders, keys="o_orderstatus", sum_cols=["o_totalprice"],
+        min_cols=["o_orderdate"], max_cols=["o_orderdate"])
+
+    def norm(df):
+        return {r["o_orderstatus"]:
+                (r["n_rows"], round(r["sum_o_totalprice"], 2),
+                 r["min_o_orderdate"], r["max_o_orderdate"])
+                for r in df.collect()}
+
+    assert norm(out) == norm(direct)
+
+
+def test_incremental_agg_empty_delta_is_identity(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    snap = maintain_agg_snapshot(
+        None, orders, keys="o_orderstatus", sum_cols=["o_totalprice"])
+    refreshed = maintain_agg_snapshot(
+        snap, orders.limit(0), keys="o_orderstatus",
+        sum_cols=["o_totalprice"])
+    a = {r["o_orderstatus"]: (r["n_rows"], round(r["sum_o_totalprice"], 2))
+         for r in snap.collect()}
+    b = {r["o_orderstatus"]: (r["n_rows"], round(r["sum_o_totalprice"], 2))
+         for r in refreshed.collect()}
+    assert a == b
+
+
+def test_incremental_agg_new_key_in_delta(spark):
+    base = spark.createDataFrame([Row(k="a", v=1.0), Row(k="a", v=2.0)])
+    delta = spark.createDataFrame([Row(k="b", v=5.0)])
+    snap = maintain_agg_snapshot(None, base, keys="k", sum_cols=["v"])
+    out = {r["k"]: (r["n_rows"], r["sum_v"]) for r in
+           maintain_agg_snapshot(snap, delta, keys="k",
+                                 sum_cols=["v"]).collect()}
+    assert out == {"a": (2, 3.0), "b": (1, 5.0)}
+
+
+def test_incremental_agg_missing_partial_errors(spark):
+    base = spark.createDataFrame([Row(k="a", v=1.0)])
+    snap = maintain_agg_snapshot(None, base, keys="k", sum_cols=["v"])
+    with pytest.raises(ValueError, match="missing partial"):
+        maintain_agg_snapshot(snap.drop("sum_v"),
+                              base, keys="k", sum_cols=["v"])
+
+
+# --------------------------------------------------- snapshot_diff
+
+
+def test_snapshot_diff_classifies(spark):
+    old = spark.createDataFrame(
+        [Row(k=1, a="x", b=1.0), Row(k=2, a="y", b=2.0),
+         Row(k=3, a="z", b=3.0)])
+    new = spark.createDataFrame(
+        [Row(k=1, a="x", b=1.0), Row(k=2, a="y", b=9.0),
+         Row(k=4, a="w", b=4.0)])
+    out = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, "k").collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_vs_empty_distinct(spark):
+    # null and '' hash differently (null -> '' only inside the digest,
+    # but separator keeps positions): a null->'x' flip is a change
+    old = spark.createDataFrame([Row(k=1, a=None, b="q")],
+                                schema="k int, a string, b string")
+    new = spark.createDataFrame([Row(k=1, a="x", b="q")],
+                                schema="k int, a string, b string")
+    assert snapshot_diff(old, new, "k").collect()[0]["change_type"] == "changed"
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    old = spark.createDataFrame([Row(k=1, a="x", noise="p")])
+    new = spark.createDataFrame([Row(k=1, a="x", noise="q")])
+    assert snapshot_diff(old, new, "k").count() == 1
+    assert snapshot_diff(old, new, "k", compare_cols=["a"]).count() == 0
+
+
+# ------------------------------------------------ histogram sketch
+
+
+def test_histogram_sketch_merge_equals_direct(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_type = histogram_sketch_table(
+        ev, "value", "event_type", lo=0.0, hi=500.0, bins=50)
+    merged = histogram_rollup(per_type, group_keys=None)
+    direct = histogram_sketch_table(
+        ev.withColumn("g", F.lit(1)), "value", "g",
+        lo=0.0, hi=500.0, bins=50).drop("g")
+    a = {r["bin"]: r["n"] for r in merged.collect()}
+    b = {r["bin"]: r["n"] for r in direct.collect()}
+    assert a == b
+
+
+def test_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [Row(g=1, v=-5.0), Row(g=1, v=999.0), Row(g=1, v=None)])
+    out = {r["bin"]: r["n"] for r in histogram_sketch_table(
+        df, "v", "g", lo=0.0, hi=10.0, bins=10).collect()}
+    assert out == {0: 1, 9: 1}  # null skipped
+
+
+def test_histogram_quantiles_exact_to_bin_edge(spark):
+    # 100 values 0..99 in 10 bins of width 10: p50 -> bin 4 edge 50
+    df = spark.createDataFrame([Row(g=1, v=float(i)) for i in range(100)])
+    sk = histogram_sketch_table(df, "v", "g", lo=0.0, hi=100.0, bins=10)
+    q = {r["p"]: r["q"] for r in histogram_quantiles(
+        histogram_rollup(sk), [0.5, 1.0], lo=0.0, hi=100.0,
+        bins=10).collect()}
+    assert q == {0.5: 50.0, 1.0: 100.0}
+
+
+def test_histogram_quantiles_grouped(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(i)) for i in range(10)]
+        + [Row(g="b", v=90.0 + i) for i in range(10)])
+    sk = histogram_sketch_table(df, "v", "g", lo=0.0, hi=100.0, bins=10)
+    q = {(r["g"], r["p"]): r["q"] for r in histogram_quantiles(
+        sk, [1.0], lo=0.0, hi=100.0, bins=10,
+        group_keys=["g"]).collect()}
+    assert q == {("a", 1.0): 10.0, ("b", 1.0): 100.0}
+
+
+# -------------------------------------------- pseudonymize / text
+
+
+def test_pseudonymize_consistent_and_salted(spark):
+    df = spark.createDataFrame([Row(u=7), Row(u=7), Row(u=8), Row(u=None)])
+    out = df.select(
+        pseudonymize(F.col("u"), "s1").alias("a"),
+        pseudonymize(F.col("u"), "s1").alias("b"),
+        pseudonymize(F.col("u"), "s2").alias("c")).collect()
+    assert out[0]["a"] == out[1]["a"]          # same value+salt joins
+    assert out[0]["a"] == out[0]["b"]
+    assert out[0]["a"] != out[0]["c"]          # salt rotation breaks link
+    assert out[0]["a"] != out[2]["a"]
+    assert out[3]["a"] is None                  # null stays null
+    assert len(out[0]["a"]) == 16
+
+
+def test_strip_html_tags_script_entities(spark):
+    df = spark.createDataFrame([Row(x=(
+        '<html><style>p{}</style><body><!-- c --><p a="b">Hello'
+        '<br/>world</p><script>if(1<2){x()}</script>'
+        '&lt;tag&gt; &amp; &quot;q&quot;&nbsp;&#39;s&#39;</body></html>'))])
+    out = df.select(strip_html(F.col("x")).alias("t")).collect()[0]["t"]
+    assert out == 'Hello world <tag> & "q" \'s\''
+
+
+def test_strip_html_plain_text_unchanged(spark):
+    df = spark.createDataFrame([Row(x="  just   words  ")])
+    assert df.select(strip_html(F.col("x")).alias("t")
+                     ).collect()[0]["t"] == "just words"
+
+
+def test_canonical_url_collapses_mirror_noise(spark):
+    urls = [
+        "HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#frag",
+        "http://example.com/a?a=1&b=2",
+        "https://Example.com:443/a",
+        "https://example.com:8443/a",       # non-default port kept
+        "not a url at all  ",
+    ]
+    df = spark.createDataFrame([Row(u=u) for u in urls])
+    out = [r["c"] for r in
+           df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert out[0] == out[1] == "http://example.com/a?a=1&b=2"
+    assert out[2] == "https://example.com/a"
+    assert out[3] == "https://example.com:8443/a"
+    assert out[4] == "not a url at all"
+
+
+def test_canonical_url_root_slash_kept(spark):
+    df = spark.createDataFrame([Row(u="http://x.com/")])
+    assert df.select(canonical_url(F.col("u")).alias("c")
+                     ).collect()[0]["c"] == "http://x.com/"
