@@ -124,29 +124,53 @@ def global_distribution_ranks(
     partitionBy funnels the whole dataset through one task — the global
     total-order anti-pattern at scale).
 
-    Plan: range-repartition on the order keys, rank locally inside each
-    range partition, then add each partition's cumulative row offset
-    (one collect of <= num_ranges tiny (pid, count) rows — the same
-    guarded-driver-metadata shape as IVF centroid training).  Because
-    the rank is then GLOBAL, percent_rank/cume_dist/ntile follow
-    arithmetically, matching Spark's window semantics exactly when
-    ``order_by`` is a total order (include a tie-break key).
+    Plan: VALUE-based range buckets — boundaries come from one
+    ``approxQuantile`` pass over the FIRST order key, every row's
+    bucket is then a pure expression of its own values (count of
+    boundaries <= key), local ranks run inside each bucket, and each
+    bucket's cumulative row offset arrives as a broadcast literal
+    (one collect of <= num_ranges tiny (bucket, count) rows — the
+    same guarded-driver-metadata shape as IVF centroid training).
+    Because the rank is then GLOBAL,
+    percent_rank/cume_dist/ntile follow arithmetically, matching
+    Spark's window semantics exactly when ``order_by`` is a total
+    order (include a tie-break key).
 
-    The range exchange is pinned with ``localCheckpoint`` because the
-    RangePartitioner re-SAMPLES boundaries per job — without pinning,
-    the counting job and the ranking job see different partition
-    layouts and the offsets are garbage (observed, not hypothetical).
-    One materialization replaces one unscalable single-task sort.
+    Why values and not ``repartitionByRange`` + partition ids: the
+    RangePartitioner re-SAMPLES boundaries per job, so physical
+    partition ids are only stable under an eager ``localCheckpoint``
+    — which materializes the whole input to executor-local storage
+    and acts as a column-pruning barrier (the round-4 bench
+    regression).  A value-derived bucket is identical in the counting
+    job and the ranking job by construction: three column-pruned
+    scans, zero materialization, nothing pinned.  Boundary skew
+    (a heavy tie on one first-key value) lands that value's rows in
+    one bucket, same as the range partitioner would.
 
-    NOTE the checkpoint is also a column-pruning barrier: Catalyst
-    cannot push a downstream projection through it, so ``df`` is
-    materialized with EVERY column it carries.  Callers should select
-    the columns they need before calling (measured 20% on a 9-column
-    table ranked on 2)."""
+    Falls back to the checkpoint-pinned physical path when the first
+    order key is non-numeric (approxQuantile needs a numeric)."""
+    from pyspark.sql.types import NumericType
+
     spark = df.sparkSession
     num_ranges = num_ranges or spark.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(num_ranges, *order_by).withColumn(
-        "__pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    keyed = df.withColumn("__k0", order_by[0])
+    if isinstance(keyed.schema["__k0"].dataType, NumericType):
+        probs = [i / num_ranges for i in range(1, num_ranges)]
+        bounds = sorted(set(
+            keyed.approxQuantile("__k0", probs, 0.001))) if probs else []
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = (
+            F.aggregate(
+                barr, F.lit(0),
+                lambda acc, b: acc + F.when(
+                    F.col("__k0").cast("double") >= b, 1).otherwise(0))
+            if bounds else F.lit(0))
+        parts = keyed.withColumn("__pid", bucket)
+    else:
+        # physical-partition fallback: ids are pid-stable only under an
+        # eager checkpoint (RangePartitioner re-samples per job)
+        parts = keyed.repartitionByRange(num_ranges, *order_by).withColumn(
+            "__pid", F.spark_partition_id()).localCheckpoint(eager=True)
     counts = {r["__pid"]: r["count"]
               for r in parts.groupBy("__pid").count().collect()}
     n = sum(counts.values())
@@ -172,7 +196,7 @@ def global_distribution_ranks(
         .withColumn("ntile", ntile)
         .withColumn("percent_rank", pct)
         .withColumn("cume_dist", rank / F.lit(float(max(n, 1))))
-        .drop("__pid")
+        .drop("__pid", "__k0")
     )
 
 

@@ -857,10 +857,14 @@ def q_order_price_deciles(spark, sf_dir):
     partitionBy funnels the whole table through one task.  The oracle
     keeps the window formulation, proving the rank arithmetic exact.
 
-    Pre-projected to the two needed columns BEFORE ranking: the
-    operator's localCheckpoint is a column-pruning barrier, so feeding
-    it full orders materialized 9 columns to rank on 2 (the round-4
-    bench regression — measured 0.97s -> 0.78s at sf0.1)."""
+    Pre-projected to the two needed columns BEFORE ranking (the
+    round-4 bench regression: a materialization barrier saw all 9
+    columns).  Round 5 removed the barrier entirely: buckets are now
+    VALUE-derived (approxQuantile boundaries), so no localCheckpoint,
+    no executor-local copy of the input — three column-pruned scans
+    (boundaries, counts, ranks), measured 2.0s -> 1.4s at sf0.1 in
+    fleet context; the residual is three scheduled jobs, the exact-
+    global-rank minimum without a single-task sort."""
     ranked = global_distribution_ranks(
         _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
         [F.col("o_totalprice"), F.col("o_orderkey")], n_tiles=10)
