@@ -42,6 +42,8 @@ __all__ = [
     "pack_token_budget",
     "ngram_contamination",
     "dup_span_stats",
+    "remove_dup_spans",
+    "pack_sequences",
 ]
 
 
@@ -664,4 +666,49 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "term", "tf", "tfidf", "rank")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (the GPT-style training
+    layout): documents concatenated in ``id_col`` order and cut into
+    fixed ``seq_len``-token training sequences; each doc's row reports
+    its global token offset and which sequences it lands in.
+
+    Returns ``(id, n_tok, tok_start, seq_start, seq_end)`` —
+    ``tok_start`` is the doc's 0-based offset in the concatenated
+    token stream, ``seq_start``/``seq_end`` the first/last sequence
+    index it touches (equal when the doc fits inside one sequence;
+    empty docs report ``seq_end < seq_start`` — they occupy nothing).
+    Downstream sharded writers group by ``seq_start`` bucket to land
+    co-sequence docs together.
+
+    The global running sum over 100 TB of token counts is the whole
+    problem: a naive ``Window.orderBy(id)`` is a single-task funnel.
+    This uses :func:`~..operators.windows.global_cumsum` — value-
+    bucketed two-phase cumulative sum, parallelism = ``num_ranges``,
+    no materialization — and everything after the cumsum is per-row
+    arithmetic.  Token counting itself is per-row, zero shuffle.
+    """
+    from ..operators.windows import global_cumsum
+    from .text import token_count
+
+    with_tok = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("n_tok"))
+    cum = global_cumsum(with_tok, id_col, "n_tok", out_col="__cum",
+                        num_ranges=num_ranges)
+    tok_start = (F.col("__cum") - F.col("n_tok")).cast("bigint")
+    return cum.select(
+        F.col(id_col),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        tok_start.alias("tok_start"),
+        F.floor(tok_start / seq_len).cast("bigint").alias("seq_start"),
+        F.floor((tok_start + F.col("n_tok") - 1) / seq_len)
+        .cast("bigint").alias("seq_end"),
     )

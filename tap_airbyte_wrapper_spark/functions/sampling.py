@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["hash_bucket", "hash_split", "mixture_sample",
            "stratified_sample", "sample_per_group", "weighted_sample",
-           "assign_shards", "write_training_shards"]
+           "assign_shards", "write_training_shards", "temperature_weights"]
 
 
 def hash_bucket(col: Column, buckets: int = 100, salt: str = "") -> Column:
@@ -191,3 +191,42 @@ def write_training_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+    budget_frac: float = 1.0,
+) -> DataFrame:
+    """Temperature-flattened mixture rates: per-group keep fractions
+    making each group's share of the output proportional to
+    ``count^alpha`` (multilingual/multi-source LM training's standard
+    rebalance — alpha<1 upsamples the tail relative to the head;
+    alpha=1 keeps natural proportions, alpha=0 equalizes groups).
+
+    Returns ``(group, n_rows, weight)`` where ``weight`` is the
+    per-ROW keep probability: target share p_g = n_g^alpha / sum, and
+    weight_g = budget * p_g / n_g (capped at 1 — a tail group whose
+    target exceeds its size keeps everything; upsampling-by-repeat is
+    a separate choice).  ``budget_frac`` scales the total kept volume
+    as a fraction of the corpus.  Feed the weights straight into
+    :func:`mixture_sample` for the deterministic membership pick.
+
+    One groupBy over the grouping column; the normalization constant
+    rides a broadcast one-row cross join, never a driver collect, so
+    the plan composes lazily into the sampling job.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("n_rows").cast("double"), F.lit(alpha)))
+        .alias("__z"),
+        F.sum("n_rows").alias("__total"),
+    )
+    share = F.pow(F.col("n_rows").cast("double"), F.lit(alpha)) / F.col("__z")
+    weight = F.least(
+        F.lit(1.0),
+        F.lit(budget_frac) * F.col("__total") * share / F.col("n_rows"),
+    )
+    return counts.crossJoin(F.broadcast(z)).select(
+        group_col, "n_rows", F.round(weight, 6).alias("weight"))

@@ -27,8 +27,9 @@ from .aggregates import (
     hll_sketch_table,
     rollup_agg,
 )
-from .windows import (global_distribution_ranks, global_topk, ranked,
-                      running_agg, topk_per_group, with_lag_lead)
+from .windows import (global_cumsum, global_distribution_ranks,
+                      global_topk, ranked, running_agg, topk_per_group,
+                      with_lag_lead)
 from .merge import maintain_agg_snapshot, merge_upsert, scd2_history
 from .setops import except_rows, intersect_rows, union_by_name
 from .timeseries import (
@@ -57,6 +58,7 @@ __all__ = [
     "histogram_sketch_table", "histogram_rollup", "histogram_quantiles",
     "ranked", "with_lag_lead", "running_agg", "topk_per_group", "global_topk",
     "global_distribution_ranks",
+    "global_cumsum",
     "union_by_name", "intersect_rows", "except_rows",
     "merge_upsert",
     "scd2_history",

@@ -19,7 +19,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["ranked", "with_lag_lead", "running_agg", "topk_per_group",
-           "global_topk", "global_distribution_ranks"]
+           "global_topk", "global_distribution_ranks", "global_cumsum"]
 
 
 def ranked(
@@ -206,3 +206,65 @@ def global_topk(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     top-k + driver merge of k*partitions rows) — expose it as the blessed
     path so callers don't reach for a global row_number window."""
     return df.orderBy(*order_by).limit(k)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: Column | str,
+    value_col: Column | str,
+    out_col: str = "cum",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Globally-ordered inclusive running sum of ``value_col`` along
+    ``order_col`` WITHOUT an unpartitioned window (the single-task
+    funnel) and without materializing the input.
+
+    Same value-derived two-phase shape as
+    :func:`global_distribution_ranks`: one ``approxQuantile`` boundary
+    pass over the (numeric, total-order) key, bucket = pure row
+    expression, within-bucket window cumsum, plus each bucket's
+    cumulative value offset collected as <= ``num_ranges`` tiny rows.
+    Parallelism = ``num_ranges`` regardless of any grouping in the
+    data — this is the engine behind sequence packing and the
+    few-domain token-budget path.
+
+    ``order_col`` must be a total order (unique) for the result to be
+    well-defined; ties make the within-tie order — and therefore the
+    running sum at the tied rows — partition-dependent.
+    """
+    from pyspark.sql.types import NumericType
+
+    spark = df.sparkSession
+    num_ranges = num_ranges or spark.sparkContext.defaultParallelism
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    keyed = df.withColumn("__k0", oc).withColumn("__v0", vc)
+    if not isinstance(keyed.schema["__k0"].dataType, NumericType):
+        raise TypeError("global_cumsum needs a numeric order column")
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    bounds = sorted(set(
+        keyed.approxQuantile("__k0", probs, 0.001))) if probs else []
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucket = (
+        F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(
+                F.col("__k0").cast("double") >= b, 1).otherwise(0))
+        if bounds else F.lit(0))
+    parts = keyed.withColumn("__pid", bucket)
+    sums = {r["__pid"]: r["s"] or 0
+            for r in parts.groupBy("__pid")
+            .agg(F.sum("__v0").alias("s")).collect()}
+    offsets, acc = [], 0
+    for pid in range(max(sums) + 1 if sums else 0):
+        offsets.append(acc)
+        acc += sums.get(pid, 0)
+    local_w = (
+        Window.partitionBy("__pid").orderBy("__k0")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offset = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), F.col("__pid") + 1)
+    return (
+        parts.withColumn(out_col, F.sum("__v0").over(local_w) + offset)
+        .drop("__pid", "__k0", "__v0")
+    )

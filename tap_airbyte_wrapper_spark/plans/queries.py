@@ -1882,6 +1882,28 @@ def q_canonical_url_docs(spark, sf_dir):
         "doc_id", canonical_url(url).alias("url"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing over the corpus: global token
+    offsets via the value-bucketed two-phase cumulative sum (no
+    unpartitioned window, no materialization), then pure per-row
+    sequence-index arithmetic.  The oracle recomputes the running sum
+    with a window."""
+    from ..functions import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"),
+                          "doc_id", "text", seq_len=256)
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-flattened (alpha=0.5) per-source mixture rates: the
+    standard multilingual/multi-source rebalance; weights feed
+    mixture_sample for the deterministic membership pick."""
+    from ..functions import temperature_weights
+
+    return temperature_weights(
+        _t(spark, sf_dir, "documents"), "source", alpha=0.5)
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -1976,6 +1998,8 @@ QUERIES = {
     # -- has never been driver-checked — move them, plus the r05-window
     # -- survivors worth re-verifying, into positions 1-50 next round
     # -- and rotate out r05-green entries whose code did not change. --
+    "pack_sequences_docs": q_pack_sequences,
+    "temperature_mixture_docs": q_temperature_mixture,
     "lm_perplexity_docs": q_lm_perplexity,
     "remove_dup_spans_docs": q_remove_dup_spans,
     "incremental_agg_orders": q_incremental_agg_orders,
@@ -3128,6 +3152,33 @@ ORACLES = {
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings)
         GROUP BY label, i""",
+    "pack_sequences_docs": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(trim(text), '\S+')) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tok,
+                 sum(n_tok) OVER (ORDER BY doc_id) AS cum
+          FROM t)
+        SELECT doc_id, n_tok::BIGINT AS n_tok,
+               (cum - n_tok)::BIGINT AS tok_start,
+               CAST(floor((cum - n_tok)::DOUBLE / 256) AS BIGINT)
+                 AS seq_start,
+               CAST(floor((cum - 1)::DOUBLE / 256) AS BIGINT) AS seq_end
+        FROM c""",
+    "temperature_mixture_docs": """
+        WITH c AS (
+          SELECT source, count(*) AS n_rows FROM documents GROUP BY source),
+        z AS (
+          SELECT sum(pow(CAST(n_rows AS DOUBLE), 0.5)) AS z,
+                 sum(n_rows) AS total
+          FROM c)
+        SELECT source, n_rows,
+               round(least(1.0::DOUBLE,
+                 ((1.0 * total) * (pow(CAST(n_rows AS DOUBLE), 0.5) / z))
+                 / n_rows), 6) AS weight
+        FROM c CROSS JOIN z""",
     "lm_perplexity_docs": r"""
         WITH ws AS (
           SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w

@@ -333,3 +333,198 @@ def test_canonical_url_root_slash_kept(spark):
     df = spark.createDataFrame([Row(u="http://x.com/")])
     assert df.select(canonical_url(F.col("u")).alias("c")
                      ).collect()[0]["c"] == "http://x.com/"
+
+
+# ------------------------------- global_cumsum / pack_sequences
+
+
+def test_global_cumsum_matches_window(spark, sf_dir):
+    from tap_airbyte_wrapper_spark.operators import global_cumsum
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice")
+    got = {r["o_orderkey"]: round(r["cum"], 2) for r in global_cumsum(
+        orders, "o_orderkey", "o_totalprice", num_ranges=8).collect()}
+    w = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    want = {r["o_orderkey"]: round(r["cum"], 2) for r in orders.withColumn(
+        "cum", F.sum("o_totalprice").over(w)).collect()}
+    assert got == want
+
+
+def test_global_cumsum_rejects_non_numeric(spark):
+    from tap_airbyte_wrapper_spark.operators import global_cumsum
+
+    df = spark.createDataFrame([Row(k="a", v=1)])
+    with pytest.raises(TypeError, match="numeric"):
+        global_cumsum(df, "k", "v")
+
+
+def test_pack_sequences_invariants(spark):
+    from tap_airbyte_wrapper_spark.functions import pack_sequences
+
+    df = _docs(spark, ["a b c", "d e", "", "f g h i j", "k"])
+    rows = sorted(pack_sequences(df, "doc_id", "text", seq_len=4).collect(),
+                  key=lambda r: r["doc_id"])
+    # offsets: 0,3,5,5,10 — contiguous concatenation in id order
+    assert [r["tok_start"] for r in rows] == [0, 3, 5, 5, 10]
+    # doc 1 (tokens 3-4) stays in seq 0; doc 3 (tokens 5-9) spans 1-2
+    assert (rows[1]["seq_start"], rows[1]["seq_end"]) == (0, 1)
+    assert (rows[3]["seq_start"], rows[3]["seq_end"]) == (1, 2)
+    # empty doc occupies nothing
+    assert rows[2]["seq_end"] < rows[2]["seq_start"] or rows[2]["n_tok"] == 0
+
+
+def test_temperature_weights_extremes(spark):
+    from tap_airbyte_wrapper_spark.functions import temperature_weights
+
+    df = spark.createDataFrame(
+        [Row(source="big", doc_id=i) for i in range(90)]
+        + [Row(source="small", doc_id=100 + i) for i in range(10)])
+    # alpha=1: natural proportions => every group keeps everything
+    nat = {r["source"]: r["weight"] for r in
+           temperature_weights(df, "source", alpha=1.0).collect()}
+    assert nat == {"big": 1.0, "small": 1.0}
+    # alpha=0: equal target shares => tail capped at 1, head downsampled
+    flat = {r["source"]: r["weight"] for r in
+            temperature_weights(df, "source", alpha=0.0).collect()}
+    assert flat["small"] == 1.0
+    assert flat["big"] == pytest.approx(50 / 90, abs=1e-4)
+    # budget scales linearly below the cap
+    half = {r["source"]: r["weight"] for r in
+            temperature_weights(df, "source", alpha=1.0,
+                                budget_frac=0.5).collect()}
+    assert half == {"big": 0.5, "small": 0.5}
+
+
+# ------------------------- streaming histogram sketch maintenance
+
+
+def test_streaming_histogram_sketch_maintenance(spark, sf_dir, tmp_path):
+    """foreachBatch appends per-batch histogram sketch rows; the rollup
+    over the sketch table equals the batch histogram over all data —
+    quantile state maintained incrementally, raw data scanned once per
+    arrival."""
+    from tap_airbyte_wrapper_spark.sources.files import load_parquet
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    src = tmp_path / "landing"
+    sketch_dir = str(tmp_path / "sketches")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain():
+        def sink(batch_df, batch_id):
+            sk = histogram_sketch_table(
+                batch_df.withColumn("g", F.lit(1)), "value", "g",
+                lo=0.0, hi=500.0, bins=50).drop("g")
+            sk.withColumn("batch_id", F.lit(batch_id)) \
+                .write.mode("append").parquet(sketch_dir)
+
+        q = (spark.readStream.schema(ev.schema).parquet(str(src))
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+
+    rolled = histogram_rollup(
+        spark.read.parquet(sketch_dir).drop("batch_id"), group_keys=None)
+    direct = histogram_sketch_table(
+        ev.withColumn("g", F.lit(1)), "value", "g",
+        lo=0.0, hi=500.0, bins=50).drop("g")
+    a = {r["bin"]: r["n"] for r in rolled.collect()}
+    b = {r["bin"]: r["n"] for r in direct.collect()}
+    assert a == b
+
+
+# ---------------------------------------- text quality classifier
+
+
+def _toy_corpus(spark):
+    good = ["the quick brown fox jumps over the lazy dog",
+            "a well formed english sentence with meaning",
+            "another fluent and useful document about science"]
+    bad = ["buy cheap pills xxx click now win win",
+           "zzz spam spam casino jackpot free free free",
+           "lorem click subscribe now cheap cheap xxx"]
+    rows = [Row(doc_id=i, text=t, y=1) for i, t in enumerate(good)]
+    rows += [Row(doc_id=100 + i, text=t, y=0) for i, t in enumerate(bad)]
+    return spark.createDataFrame(rows)
+
+
+def test_classifier_matches_numpy_reference(spark):
+    """Distributed full-batch GD must equal the sequential numpy run of
+    the identical recipe (same hashing, iterations, lr, l2)."""
+    import numpy as np
+    from tap_airbyte_wrapper_spark.functions import (
+        fit_text_classifier, hashed_token_indices)
+
+    df = _toy_corpus(spark)
+    dim, n_iter, lr, l2 = 64, 10, 1.0, 1e-3
+    model = fit_text_classifier(df, "y", dim=dim, n_iter=n_iter,
+                                lr=lr, l2=l2)
+
+    # same hashed indices, computed by the same JVM expression
+    rows = df.select(
+        "y", hashed_token_indices(F.col("text"), dim).alias("idxs")
+    ).collect()
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(n_iter):
+        gw = np.zeros(dim)
+        gb = 0.0
+        for r in rows:
+            idx = np.array(r["idxs"])
+            m = w[idx].sum() / len(idx) + b
+            p = 1 / (1 + np.exp(-m))
+            np.add.at(gw, idx, (p - r["y"]) / len(idx))
+            gb += p - r["y"]
+        n = len(rows)
+        w -= lr * (gw / n + l2 * w)
+        b -= lr * gb / n
+    assert np.allclose(model.weights, w, atol=1e-9)
+    assert abs(model.bias - b) < 1e-9
+
+
+def test_classifier_separates_and_scores_declaratively(spark):
+    import numpy as np
+    from tap_airbyte_wrapper_spark.functions import (
+        classify, fit_text_classifier)
+
+    df = _toy_corpus(spark)
+    model = fit_text_classifier(df, "y", dim=256, n_iter=60, lr=2.0)
+    scored = classify(df, model)
+    probs = {r["doc_id"]: r["quality_prob"] for r in scored.collect()}
+    assert all(probs[i] > 0.5 for i in (0, 1, 2))
+    assert all(probs[100 + i] < 0.5 for i in (0, 1, 2))
+    # the declarative scorer broadcasts the model table
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # empty doc scores sigmoid(bias)
+    empty = spark.createDataFrame([Row(doc_id=7, text="  ")])
+    p = classify(empty, model).collect()[0]
+    assert p["n_tok"] == 0
+    assert p["quality_prob"] == pytest.approx(
+        1 / (1 + np.exp(-model.bias)), abs=1e-9)
+
+
+def test_classifier_save_load_roundtrip(spark, tmp_path):
+    import numpy as np
+    from tap_airbyte_wrapper_spark.functions import (
+        classify, fit_text_classifier, load_text_classifier,
+        save_text_classifier)
+
+    df = _toy_corpus(spark)
+    model = fit_text_classifier(df, "y", dim=64, n_iter=5)
+    save_text_classifier(model, spark, str(tmp_path / "clf"))
+    loaded = load_text_classifier(spark, str(tmp_path / "clf"))
+    assert np.array_equal(model.weights, loaded.weights)
+    assert (model.bias, model.dim, model.salt) == (
+        loaded.bias, loaded.dim, loaded.salt)
+    a = {r["doc_id"]: r["quality_prob"] for r in classify(df, model).collect()}
+    b = {r["doc_id"]: r["quality_prob"] for r in classify(df, loaded).collect()}
+    assert a == b
