@@ -1904,6 +1904,25 @@ def q_temperature_mixture(spark, sf_dir):
         _t(spark, sf_dir, "documents"), "source", alpha=0.5)
 
 
+def q_clean_holdout(spark, sf_dir):
+    """Decontaminated eval holdout: deterministic 80/20 split, then
+    every test doc sharing ANY word 8-gram with the train split is
+    dropped — the leakage guarantee an eval set needs.  The train side
+    is corpus-sized, so the gram join runs as a shuffled semi-join on
+    8-byte hashes (``broadcast_benchmark=False``), never a broadcast
+    of 80% of the corpus."""
+    from ..functions import hash_split, ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", train_pct=80)
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    hits = ngram_contamination(test, train, n=8,
+                               broadcast_benchmark=False)
+    return test.join(hits, "doc_id", "left_anti").select(
+        "doc_id", "source", "lang")
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -1999,6 +2018,7 @@ QUERIES = {
     # -- survivors worth re-verifying, into positions 1-50 next round
     # -- and rotate out r05-green entries whose code did not change. --
     "pack_sequences_docs": q_pack_sequences,
+    "clean_holdout_docs": q_clean_holdout,
     "temperature_mixture_docs": q_temperature_mixture,
     "lm_perplexity_docs": q_lm_perplexity,
     "remove_dup_spans_docs": q_remove_dup_spans,
@@ -3152,6 +3172,30 @@ ORACLES = {
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings)
         GROUP BY label, i""",
+    "clean_holdout_docs": r"""
+        WITH s AS (
+          SELECT doc_id, source, lang, text,
+                 (CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                  % 100 < 80) AS is_train
+          FROM documents),
+        tg AS (
+          SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+          FROM (SELECT regexp_extract_all(lower(trim(text)), '\S+') AS w
+                FROM s WHERE is_train) t,
+               unnest(generate_series(1, len(w)-7)) u(i)
+          WHERE len(w) >= 8),
+        te AS (
+          SELECT doc_id, source, lang,
+                 regexp_extract_all(lower(trim(text)), '\S+') AS w
+          FROM s WHERE NOT is_train),
+        hitg AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+          FROM te, unnest(generate_series(1, len(w)-7)) u(i)
+          WHERE len(w) >= 8),
+        hit AS (SELECT DISTINCT doc_id FROM hitg JOIN tg USING (gram))
+        SELECT doc_id, source, lang FROM te
+        WHERE doc_id NOT IN (SELECT doc_id FROM hit)""",
     "pack_sequences_docs": r"""
         WITH t AS (
           SELECT doc_id,

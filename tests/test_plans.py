@@ -303,3 +303,36 @@ def test_sample_per_group_partitioned_window(plans):
     per-group state, never a single global sort partition."""
     p = plans("sample_per_language")
     assert "hashpartitioning(lang" in p
+
+
+def test_round5_batch45_plan_shapes(plans):
+    """Plan locks for the fourth/fifth-batch registry entries."""
+    # strip_html / canonical_url / pseudonymize: per-row expressions —
+    # the only Exchange allowed is a rollup's aggregate shuffle
+    for name in ("strip_html_docs", "canonical_url_docs"):
+        p = plans(name)
+        assert "Exchange" not in p, f"{name} shuffles:\n{p}"
+    # snapshot diff: digests computed BELOW the join (the join carries
+    # keys + md5, never payload columns), exactly one full-outer join
+    p = plans("snapshot_diff_orders")
+    assert "FullOuter" in p and "md5" in p
+    # payload columns are hashed away below the join: the join's output
+    # section mentions only the key and digest columns
+    assert "o_orderpriority" not in p.split("SortMergeJoin")[-1]
+    assert "CartesianProduct" not in p
+    # histogram quantiles: sketch rollup is hash-agg; the only window
+    # runs on sketch rows (bins), after the aggregate
+    p = plans("histogram_quantile_events")
+    assert "HashAggregate" in p
+    # sequence packing: every Window node is partitioned (the two-phase
+    # cumsum's __pid window) — no single-task global window anywhere
+    p = plans("pack_sequences_docs")
+    assert "Window" in p
+    assert "hashpartitioning(__pid" in p or "__pid" in p
+    # incremental agg: two-phase HashAggregate with partial combine
+    p = plans("incremental_agg_orders")
+    assert "HashAggregate" in p and "CartesianProduct" not in p
+    # temperature weights: normalization joins as a broadcast 1-row
+    # aggregate, not a driver collect
+    p = plans("temperature_mixture_docs")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
