@@ -280,3 +280,92 @@ def test_normalize_text_idempotent_and_clean(spark_global, texts):
         assert "  " not in r["n1"]
         # collapse/trim is ASCII-whitespace by contract (oracle parity)
         assert r["n1"] == r["n1"].strip(" \t\n\r\f\v")
+
+
+_url_host = st.text(string.ascii_letters + string.digits + "-.",
+                    min_size=1, max_size=12).filter(
+    lambda s: not s.startswith(".") and ".." not in s)
+_url_path = st.text(string.ascii_letters + string.digits + "/_-.",
+                    max_size=16)
+_url_params = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "utm_source", "utm_x", "gclid", "q"]),
+        st.text(string.ascii_lowercase + string.digits, max_size=5)),
+    max_size=4)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(
+    st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    _url_host, _url_path, _url_params,
+    st.sampled_from(["", "#frag", "#a/b?c=1"])), min_size=1, max_size=12))
+def test_canonical_url_idempotent(spark_global, parts):
+    """canonical(canonical(u)) == canonical(u): the collapse must be a
+    fixed point, or URL-dedup keys drift when a canonicalized corpus is
+    re-ingested and re-canonicalized."""
+    from pyspark.sql import functions as F
+    from tap_airbyte_wrapper_spark.functions import canonical_url
+
+    urls = []
+    for scheme, host, path, params, frag in parts:
+        q = "&".join(f"{k}={v}" for k, v in params)
+        urls.append(f"{scheme}://{host}/{path}"
+                    + (f"?{q}" if q else "") + frag)
+    df = spark_global.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, u string")
+    once = df.select("i", canonical_url(F.col("u")).alias("c1"))
+    twice = once.select(
+        "i", "c1", canonical_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r["c1"] == r["c2"], r
+        assert "#" not in r["c1"]
+        assert "utm_" not in r["c1"] and "gclid" not in r["c1"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=10),
+       st.lists(st.text(max_size=40), min_size=1, max_size=10))
+def test_snapshot_diff_vs_python_reference(spark_global, olds, news):
+    """Diff classification agrees with a direct Python computation for
+    arbitrary (possibly colliding/empty/unicode) payload strings."""
+    from tap_airbyte_wrapper_spark.operators import snapshot_diff
+
+    old_rows = [(i, v) for i, v in enumerate(olds)]
+    new_rows = [(i, v) for i, v in enumerate(news)]
+    old = spark_global.createDataFrame(old_rows, "k long, v string")
+    new = spark_global.createDataFrame(new_rows, "k long, v string")
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, "k").collect()}
+    want = {}
+    od, nd = dict(old_rows), dict(new_rows)
+    for k in set(od) | set(nd):
+        if k not in od:
+            want[k] = "added"
+        elif k not in nd:
+            want[k] = "removed"
+        elif od[k] != nd[k]:
+            want[k] = "changed"
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text("ab ", min_size=0, max_size=30),
+                min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=7))
+def test_pack_sequences_partition_property(spark_global, texts, seq_len):
+    """Offsets tile the concatenated token stream exactly: contiguous,
+    gap-free, in id order; every doc's sequence span covers its own
+    token interval."""
+    from tap_airbyte_wrapper_spark.functions import pack_sequences
+
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = sorted(pack_sequences(df, "doc_id", "text", seq_len=seq_len)
+                  .collect(), key=lambda r: r["doc_id"])
+    expect_start = 0
+    for r in rows:
+        assert r["tok_start"] == expect_start
+        expect_start += r["n_tok"]
+        if r["n_tok"] > 0:
+            assert r["seq_start"] == r["tok_start"] // seq_len
+            assert r["seq_end"] == (r["tok_start"] + r["n_tok"] - 1) // seq_len
