@@ -3,7 +3,10 @@
 ``--config`` / ``--catalog`` / ``--state`` / ``--discover`` / ``--test`` /
 ``--about`` / ``--version`` dispatch to the engine lifecycle.  ``ENV`` as a
 config value pulls from the environment like the reference's config
-collection (tap.py:256-270).
+collection (tap.py:256-270).  ``--explain NAME`` (beyond-reference: the
+reference has no query surface at all) prints the formatted physical
+plan of any registry query — the plan-audit loop ("is the filter
+pushed? did the dim broadcast?") as a first-class command.
 """
 
 from __future__ import annotations
@@ -83,10 +86,30 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--config", action="append", default=[])
     ap.add_argument("--catalog", default=None)
     ap.add_argument("--state", default=None)
+    ap.add_argument("--explain", default=None, metavar="QUERY",
+                    help="print the formatted physical plan of a registry "
+                         "query (list names with --explain list)")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="data directory for --explain")
     args = ap.parse_args(argv)
 
     if args.version:
         print(f"tap-airbyte-wrapper-spark v{__version__}")
+        return 0
+
+    if args.explain:
+        import __spark_entry__ as entry_mod
+
+        qs = entry_mod.queries()
+        if args.explain == "list":
+            print("\n".join(sorted(qs)))
+            return 0
+        if args.explain not in qs:
+            print(f"error: unknown query {args.explain!r}; "
+                  "use --explain list", file=sys.stderr)
+            return 1
+        df = qs[args.explain](build_spark(), args.sf_dir)
+        df.explain(mode="formatted")
         return 0
 
     config = _load_config(args.config)

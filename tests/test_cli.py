@@ -52,3 +52,20 @@ def test_print_spec_as_config_oneof_and_defaults(capsys):
     assert "# Option 1" in out and "# Option 2" in out
     assert "# inner b" in out
     assert out.index("# Option 1") < out.index("a: fixme")
+
+
+def test_cli_explain_prints_plan(capsys):
+    from tap_airbyte_wrapper_spark.cli import main
+
+    assert main(["--explain", "q1_pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out
+
+
+def test_cli_explain_list_and_unknown(capsys):
+    from tap_airbyte_wrapper_spark.cli import main
+
+    assert main(["--explain", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out
+    assert main(["--explain", "no_such_query"]) == 1
