@@ -42,7 +42,7 @@ _GROUPS = [
         r"^(full_scan|incremental_events|incremental_mapped|stream_map|flatten)")),
     ("dedup", re.compile(
         r"^(exact_dedup|paragraph|jaccard|minhash|simhash|dedup_clusters"
-        r"|semantic_dedup|winnow|boilerplate|dup_span|remove_dup)")),
+        r"|semantic_dedup|winnow|boilerplate|dup_span|remove_dup|dedup_cluster)")),
     ("similarity", re.compile(
         r"^(knn|embedding|quantize|centroid|label_centroids"
         r"|approx_distinct|pca_)")),

@@ -1904,6 +1904,24 @@ def q_temperature_mixture(spark, sf_dir):
         _t(spark, sf_dir, "documents"), "source", alpha=0.5)
 
 
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Cluster-size distribution of the near-dup graph — the audit a
+    dedup pass reports ("how much of the corpus is cliques of what
+    size?"): components rolled up to (size, n_clusters).  One extra
+    metadata-scale aggregate on top of the clustering; sizes also bound
+    the dedup win (keep-one leaves sum(size-1) removable docs)."""
+    pairs = embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.4)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
 def q_clean_holdout(spark, sf_dir):
     """Decontaminated eval holdout: deterministic 80/20 split, then
     every test doc sharing ANY word 8-gram with the train split is
@@ -2012,13 +2030,20 @@ QUERIES = {
     "sessionization": q_sessionization,
     "contamination_docs": q_contamination_docs,
     "label_centroids": q_label_centroids,
-    # -- round-5 session-2 additions (oracle-backed, below the window
-    # -- this round).  ROUND-6 ROTATION NOTE: every entry in this block
-    # -- has never been driver-checked — move them, plus the r05-window
-    # -- survivors worth re-verifying, into positions 1-50 next round
-    # -- and rotate out r05-green entries whose code did not change. --
+    # -- round-5 session-2..4 additions (oracle-backed, below the
+    # -- window this round).  ROUND-6 ROTATION NOTE: every entry from
+    # -- here through sample_per_language has never been driver-checked
+    # -- (21 entries: pack_sequences / clean_holdout / temperature /
+    # -- lm_perplexity / remove_dup_spans / incremental_agg /
+    # -- snapshot_diff / histogram_quantile / pseudonymize / strip_html
+    # -- / canonical_url / covariance / heavy hitters / scd2 /
+    # -- weighted_sample / normalize / chunk / sample_per_language) —
+    # -- move them, plus the r05-window survivors worth re-verifying,
+    # -- into positions 1-50 next round and rotate out r05-green
+    # -- entries whose code did not change. -------------------------
     "pack_sequences_docs": q_pack_sequences,
     "clean_holdout_docs": q_clean_holdout,
+    "dedup_cluster_stats": q_dedup_cluster_stats,
     "temperature_mixture_docs": q_temperature_mixture,
     "lm_perplexity_docs": q_lm_perplexity,
     "remove_dup_spans_docs": q_remove_dup_spans,
@@ -3172,6 +3197,23 @@ ORACLES = {
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings)
         GROUP BY label, i""",
+    "dedup_cluster_stats": """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[]))
+                >= 0.4),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.lab),
+        comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+        sizes AS (SELECT component, count(*) AS size FROM comp
+                  GROUP BY component)
+        SELECT size, count(*) AS n_clusters FROM sizes GROUP BY size""",
     "clean_holdout_docs": r"""
         WITH s AS (
           SELECT doc_id, source, lang, text,
