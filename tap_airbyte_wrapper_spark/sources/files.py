@@ -537,3 +537,74 @@ class BinaryFileSource(Source):
                 F.col("modificationTime")
                 > F.lit(bookmark).cast("timestamp"))
         return df
+
+
+@register
+class TextLinesSource(Source):
+    """Raw-text corpus source over ``spark.read.text``: one row per
+    line — ``(value, source_file)`` — the ingestion front door for
+    line-delimited corpora (one document per line, the common
+    web-corpus interchange) that are not yet typed JSONL/CSV.
+
+    The reference reads such data only through a connector
+    (source-file); here it is a first-class stream whose rows feed the
+    curation layer (``functions/text.py``/``corpus.py``) directly.
+    ``wholetext=true`` flips to one row per FILE (document-per-file
+    corpora) — same schema, the whole file body in ``value``.
+
+    Scale shape: the text reader splits large files by
+    ``maxPartitionBytes`` like any file scan (except in wholetext
+    mode, where a file is one record by definition); ``source_file``
+    is the metadata column, not a Python addition.  No incremental
+    cursor — raw text has none; pair with ``exact_dedup`` or land via
+    the merge sink keyed on content fingerprint for effective
+    idempotence.
+    """
+
+    name = "text_lines"
+
+    @classmethod
+    def spec(cls) -> dict[str, Any]:
+        return {
+            "type": "object",
+            "properties": {
+                "path": {"type": "string",
+                         "description": "file/dir/glob of text files"},
+                "wholetext": {"type": ["boolean", "null"],
+                              "description": "one row per file"},
+                "line_sep": {"type": ["string", "null"]},
+                "stream_name": {"type": ["string", "null"]},
+            },
+            "required": ["path"],
+        }
+
+    def _stream_name(self) -> str:
+        return (self.config.get("stream_name")
+                or os.path.basename(self.config["path"].rstrip("/"))
+                or "text")
+
+    def _load(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read.format("text")
+        if self.config.get("wholetext"):
+            reader = reader.option("wholetext", "true")
+        if self.config.get("line_sep"):
+            reader = reader.option("lineSep", self.config["line_sep"])
+        return reader.load(self.config["path"]).select(
+            F.col("value"),
+            F.input_file_name().alias("source_file"),
+        )
+
+    def discover(self, spark: SparkSession) -> Catalog:
+        return Catalog([
+            StreamEntry(
+                name=self._stream_name(),
+                schema=self._load(spark).schema,
+                primary_keys=[],
+                replication_key=None,
+                supported_sync_modes=[SyncMode.FULL_REFRESH],
+                source=self.name,
+            )
+        ])
+
+    def read(self, spark: SparkSession, stream: StreamEntry) -> DataFrame:
+        return self._load(spark)

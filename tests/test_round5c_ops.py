@@ -528,3 +528,45 @@ def test_classifier_save_load_roundtrip(spark, tmp_path):
     a = {r["doc_id"]: r["quality_prob"] for r in classify(df, model).collect()}
     b = {r["doc_id"]: r["quality_prob"] for r in classify(df, loaded).collect()}
     assert a == b
+
+
+# ----------------------------------------------- text_lines source
+
+
+def test_text_lines_source_lines_and_wholetext(spark, tmp_path):
+    from tap_airbyte_wrapper_spark.sources import get_source
+
+    (tmp_path / "a.txt").write_text("doc one\ndoc two\n")
+    (tmp_path / "b.txt").write_text("doc three\n")
+    src = get_source("text_lines", {"path": str(tmp_path)})
+    cat = src.discover(spark)
+    entry = list(cat)[0]
+    assert entry.schema.fieldNames() == ["value", "source_file"]
+    rows = src.read(spark, entry).collect()
+    assert sorted(r["value"] for r in rows) == [
+        "doc one", "doc three", "doc two"]
+    assert all(r["source_file"].endswith(".txt") for r in rows)
+
+    whole = get_source("text_lines",
+                       {"path": str(tmp_path), "wholetext": True})
+    wrows = whole.read(spark, list(whole.discover(spark))[0]).collect()
+    assert sorted(r["value"] for r in wrows) == [
+        "doc one\ndoc two\n", "doc three\n"]
+
+
+def test_text_lines_feeds_curation_layer(spark, tmp_path):
+    """The raw-line stream runs the curation gates unmodified."""
+    from tap_airbyte_wrapper_spark.functions import strip_html
+    from tap_airbyte_wrapper_spark.functions.text import quality_score
+    from tap_airbyte_wrapper_spark.sources import get_source
+
+    (tmp_path / "c.txt").write_text(
+        "<p>hello world</p>\nplain text line\n")
+    src = get_source("text_lines", {"path": str(tmp_path)})
+    df = src.read(spark, list(src.discover(spark))[0])
+    out = df.select(
+        strip_html(F.col("value")).alias("text")
+    ).withColumn("q", quality_score(F.col("text"))).collect()
+    assert sorted(r["text"] for r in out) == ["hello world",
+                                              "plain text line"]
+    assert all(r["q"] is not None for r in out)
