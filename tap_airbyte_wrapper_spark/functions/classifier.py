@@ -115,9 +115,10 @@ def fit_text_classifier(
     salt: str = "",
 ) -> TextClassifierModel:
     """Train the hashed-BoW logistic model on ``(text, 0/1 label)``
-    rows.  The token-index projection is computed once, JVM-side, and
-    the iteration loop scans it ``n_iter`` times — persist the input
-    (or train on a sample) when it is not a small labeled set.
+    rows.  The token-index projection is computed once, JVM-side,
+    persisted for the duration of training (unpersisted on return),
+    and scanned ``n_iter`` times — train on a labeled sample, not the
+    full corpus, when the set is large.
 
     Deterministic: fixed iteration count and step size, partials
     summed in partition-id order, no randomness anywhere (w0 = 0).
@@ -125,7 +126,7 @@ def fit_text_classifier(
     prepped = df.select(
         F.col(label_col).cast("double").alias("y"),
         hashed_token_indices(F.col(text_col), dim, salt).alias("idxs"),
-    )
+    ).persist()
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0
     for _ in range(n_iter):
@@ -144,6 +145,7 @@ def fit_text_classifier(
             gb += r["gb"]
         w -= lr * (gw / n + l2 * w)
         b -= lr * (gb / n)
+    prepped.unpersist()
     return TextClassifierModel(w, float(b), dim, salt)
 
 

@@ -212,8 +212,11 @@ def histogram_quantiles(
     exact to bin resolution ((hi-lo)/bins).
 
     Output: ``(group_keys..., p, q)``.  Runs entirely on sketch rows:
-    one window for the cumulative counts, one tiny aggregate per
-    probability — no raw data anywhere.
+    one window for the cumulative counts, then ALL probabilities
+    resolve in one aggregate — each bin row fans out over the probs
+    it satisfies (literal-array filter + explode), min-bin per
+    (group, p) — a single job however many quantiles are asked for,
+    no raw data anywhere.
     """
     from pyspark.sql import Window
 
@@ -224,14 +227,15 @@ def histogram_quantiles(
     cum = hists.withColumn("__cum", F.sum("n").over(w)).withColumn(
         "__tot", F.sum("n").over(w.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing)))
-    out = None
-    for p in probs:
-        hit = cum.filter(
-            F.col("__cum") >= F.lit(float(p)) * F.col("__tot"))
-        q = hit.groupBy(*gk).agg(F.min("bin").alias("__b")).select(
-            *gk, F.lit(float(p)).alias("p"),
-            F.round(F.lit(lo) + (F.col("__b") + 1) * F.lit(width), 6)
-            .alias("q"),
-        )
-        out = q if out is None else out.unionByName(q)
-    return out
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    hit = cum.select(
+        *gk, "bin",
+        F.explode(
+            F.filter(parr, lambda p: F.col("__cum") >= p * F.col("__tot"))
+        ).alias("p"),
+    )
+    return hit.groupBy(*gk, "p").agg(F.min("bin").alias("__b")).select(
+        *gk, "p",
+        F.round(F.lit(lo) + (F.col("__b") + 1) * F.lit(width), 6)
+        .alias("q"),
+    )
