@@ -132,3 +132,76 @@ def test_cdc_to_shards_pipeline(spark, tmp_path, corpus_cdc):
                .select("chunk_key", "shard").collect())
     assert a == b
     assert glob.glob(shards_dir + "/shard=*/part-*.parquet")
+
+
+def test_raw_text_to_packed_sequences_pipeline(spark, tmp_path):
+    """Round-5 curation DAG, composed end to end:
+
+        text_lines (raw HTML-ish lines)
+          -> strip_html -> LM perplexity gate -> classifier gate
+          -> remove_dup_spans -> pack_sequences -> training shards
+
+    Each operator is tested alone elsewhere; this pins the handoffs
+    (id continuity through the gates, rewritten text into packing,
+    packed spans into shard assignment)."""
+    from tap_airbyte_wrapper_spark.functions import (
+        assign_shards,
+        classify,
+        fit_text_classifier,
+        pack_sequences,
+        perplexity_filter,
+        remove_dup_spans,
+        strip_html,
+        train_bigram_lm,
+    )
+    from tap_airbyte_wrapper_spark.sources import get_source
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    lines = (
+        [f"<p>good clean document number {i} with words {span}</p>"
+         for i in range(8)]
+        + ["<script>x()</script><p>spam spam spam spam buy now</p>"] * 2
+    )
+    src_dir = tmp_path / "raw"
+    src_dir.mkdir()
+    (src_dir / "crawl.txt").write_text("\n".join(lines) + "\n")
+
+    src = get_source("text_lines", {"path": str(src_dir)})
+    raw = src.read(spark, list(src.discover(spark))[0])
+    docs = raw.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        strip_html(F.col("value")).alias("text"),
+    ).persist()
+    assert docs.count() == 10
+    assert docs.filter(F.col("text").contains("<")).count() == 0
+
+    # LM gate: spam lines are repetitive but rare -> worse avg_nll
+    lm = train_bigram_lm(docs)
+    labeled = docs.withColumn(
+        "y", (~F.col("text").contains("spam")).cast("int"))
+    model = fit_text_classifier(labeled, "y", dim=128, n_iter=40)
+    gated = perplexity_filter(docs, lm, max_avg_nll=1e9)  # keep-all band
+    gated = gated.join(
+        classify(gated.select("doc_id", "text"), model)
+        .filter(F.col("quality_prob") > 0.5).select("doc_id"),
+        "doc_id",
+    )
+    kept_texts = [r["text"] for r in gated.collect()]
+    assert len(kept_texts) == 8 and not any("spam" in t for t in kept_texts)
+
+    rewritten = remove_dup_spans(gated, "doc_id", "text", n=8)
+    # the shared 8-token span is erased from every survivor
+    assert all(span not in r["text"]
+               for r in rewritten.collect())
+
+    packed = pack_sequences(rewritten, "doc_id", "text", seq_len=16)
+    rows = sorted(packed.collect(), key=lambda r: r["doc_id"])
+    total = sum(r["n_tok"] for r in rows)
+    assert rows[-1]["tok_start"] + rows[-1]["n_tok"] == total
+
+    sharded = assign_shards(
+        rewritten.join(packed.select("doc_id", "seq_start"), "doc_id"),
+        "doc_id", num_shards=4)
+    assert sharded.count() == 8
+    assert sharded.select("shard").distinct().count() <= 4
+    docs.unpersist()
