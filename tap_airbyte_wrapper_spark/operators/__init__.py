@@ -31,7 +31,7 @@ from .windows import (global_cumsum, global_distribution_ranks,
                       global_topk, ranked, running_agg, topk_per_group,
                       with_lag_lead)
 from .merge import maintain_agg_snapshot, merge_upsert, scd2_history
-from .setops import except_rows, intersect_rows, union_by_name
+from .setops import except_rows, intersect_rows, melt, union_by_name
 from .timeseries import (
     detect_anomalies,
     gap_fill,
@@ -59,7 +59,7 @@ __all__ = [
     "ranked", "with_lag_lead", "running_agg", "topk_per_group", "global_topk",
     "global_distribution_ranks",
     "global_cumsum",
-    "union_by_name", "intersect_rows", "except_rows",
+    "union_by_name", "intersect_rows", "except_rows", "melt",
     "merge_upsert",
     "scd2_history",
     "maintain_agg_snapshot",

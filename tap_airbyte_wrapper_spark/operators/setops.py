@@ -10,9 +10,9 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["union_by_name", "intersect_rows", "except_rows"]
+__all__ = ["union_by_name", "intersect_rows", "except_rows", "melt"]
 
 
 def union_by_name(
@@ -35,3 +35,24 @@ def except_rows(a: DataFrame, b: DataFrame, keep_duplicates: bool = True) -> Dat
     """Multiset difference by default (exceptAll) — bag semantics match the
     record-stream model where duplicates are real rows."""
     return a.exceptAll(b) if keep_duplicates else a.subtract(b)
+
+
+def melt(
+    df: DataFrame,
+    id_cols: "Sequence[str]",
+    value_cols: "Sequence[str]",
+    var_col: str = "metric",
+    val_col: str = "value",
+) -> DataFrame:
+    """UNPIVOT (wide -> long), the reshape twin of the pivot query:
+    one output row per (id, value column).  Thin blessing of Spark's
+    native ``DataFrame.unpivot`` — a zero-shuffle projection (the
+    stack expands rows map-side; no Exchange), which is why the
+    one-pass profiler/validator in ``operators/quality.py`` are built
+    on the same shape.  Value columns must share a least common type
+    (Spark resolves it; cast beforehand to control it)."""
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_col, val_col,
+    )

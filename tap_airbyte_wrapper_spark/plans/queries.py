@@ -1922,6 +1922,25 @@ def q_dedup_cluster_stats(spark, sf_dir):
     )
 
 
+def q_melt_lineitem_metrics(spark, sf_dir):
+    """UNPIVOT (the pivot query's reshape twin): lineitem's four
+    numeric measures go long — zero-shuffle stack — then roll up per
+    metric; the oracle is the UNION ALL formulation."""
+    from ..operators import melt
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+    long = melt(
+        li, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_v"),
+        F.round(F.avg("value"), 4).alias("avg_v"),
+    )
+
+
 def q_clean_holdout(spark, sf_dir):
     """Decontaminated eval holdout: deterministic 80/20 split, then
     every test doc sharing ANY word 8-gram with the train split is
@@ -2044,6 +2063,7 @@ QUERIES = {
     "pack_sequences_docs": q_pack_sequences,
     "clean_holdout_docs": q_clean_holdout,
     "dedup_cluster_stats": q_dedup_cluster_stats,
+    "melt_lineitem_metrics": q_melt_lineitem_metrics,
     "temperature_mixture_docs": q_temperature_mixture,
     "lm_perplexity_docs": q_lm_perplexity,
     "remove_dup_spans_docs": q_remove_dup_spans,
@@ -3197,6 +3217,19 @@ ORACLES = {
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings)
         GROUP BY label, i""",
+    "melt_lineitem_metrics": """
+        WITH long AS (
+          SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', l_discount FROM lineitem
+          UNION ALL
+          SELECT 'l_tax', l_tax FROM lineitem)
+        SELECT metric, count(*) AS n,
+               round(sum(value), 2) AS sum_v,
+               round(avg(value), 4) AS avg_v
+        FROM long GROUP BY metric""",
     "dedup_cluster_stats": """
         WITH RECURSIVE pairs AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b
