@@ -47,6 +47,7 @@ __all__ = [
     "minhash_verified_pairs",
     "simhash_verified_pairs",
     "minhash_index_write",
+    "minhash_index_append",
     "minhash_dedup_delta",
 ]
 
@@ -1105,6 +1106,51 @@ def minhash_index_write(
             "shingle_len": shingle_len, "bands": bands,
             "n_buckets": n_buckets,
         }, f)
+
+
+def minhash_index_append(
+    delta: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Fold a delta batch INTO the persisted index — the maintenance
+    half the index-build docstring promises: signatures/postings are
+    computed with the index's own recorded parameters and APPENDED to
+    the bucketed tables (same bucket spec, so the zero-corpus-shuffle
+    join property of :func:`minhash_dedup_delta` survives; appends add
+    files per bucket, so run ``compact_parquet`` on the index dirs
+    when batch count grows).  Cost is O(delta) — the corpus is never
+    read.  Caller contract: ids must be new (dedup the delta against
+    the index FIRST; appending an id twice double-counts its postings).
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_index_meta.json")) as f:
+        meta = _json.load(f)
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"index was built on id column {meta['id_col']!r}, got {id_col!r}")
+    sigs = minhash_signatures_df(
+        delta, id_col, text_col, meta["num_hashes"], meta["shingle_len"],
+        bands=meta["bands"]).persist()
+    postings = (
+        sigs.select(
+            F.col(id_col),
+            F.posexplode("band_hashes").alias("band", "band_hash"))
+        .select(F.col(id_col), _posting_key().alias("bkey"))
+    )
+    n_buckets = meta["n_buckets"]
+    (postings.write.bucketBy(n_buckets, "bkey").sortBy("bkey")
+        .option("path", _os.path.join(path, "postings"))
+        .mode("append").saveAsTable(f"{table_name}_postings"))
+    (sigs.select(id_col, "sig")
+        .write.bucketBy(n_buckets, id_col).sortBy(id_col)
+        .option("path", _os.path.join(path, "sigs"))
+        .mode("append").saveAsTable(f"{table_name}_sigs"))
+    sigs.unpersist()
 
 
 def minhash_dedup_delta(

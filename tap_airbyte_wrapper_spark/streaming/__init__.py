@@ -12,6 +12,7 @@ from .incremental import (
     windowed_counts,
 )
 from .cdc import stream_changelog_apply
+from .dedup import stream_near_dup_gate
 from .stateful import (
     stateful_anomalies,
     stateful_heavy_hitters,
@@ -20,6 +21,7 @@ from .stateful import (
 )
 
 __all__ = [
+    "stream_near_dup_gate",
     "stream_changelog_apply",
     "stream_source",
     "incremental_sync",

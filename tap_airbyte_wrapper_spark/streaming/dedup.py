@@ -1,0 +1,91 @@
+"""Streaming near-duplicate gate: every arriving micro-batch dedups
+against EVERYTHING seen so far at O(batch) cost.
+
+The batch-side machinery already exists — a persisted bucketed
+MinHash-LSH index (``functions.dedup.minhash_index_write``) and the
+delta prober (``minhash_dedup_delta``).  This module closes the loop
+for continuous arrival: ``foreachBatch`` probes the batch against the
+index, keeps the survivors, lands them, and folds them INTO the index
+(``minhash_index_append``), so the next batch dedups against them too.
+
+Replay safety (a crashed micro-batch re-runs under Structured
+Streaming's at-least-once foreachBatch contract):
+
+* a replayed doc is already in the index and matches ITSELF — corpus
+  hits with ``id_a == id_b`` are therefore excluded from the drop
+  set, so the replay keeps exactly the docs the first run kept;
+* output lands per-batch in ``{out}/batch={id}`` with overwrite, so a
+  re-run overwrites its own directory instead of duplicating rows;
+* the index append is guarded by a ``_batch_<id>`` marker so replayed
+  postings are not appended twice.
+
+Cost per batch: O(batch) signatures + a bucket-co-located join against
+the index (zero corpus shuffle, same plan the batch delta-dedup tests
+assert) + an O(batch) append.  The stream never pays O(corpus).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.dedup import minhash_dedup_delta, minhash_index_append
+
+__all__ = ["stream_near_dup_gate"]
+
+
+def stream_near_dup_gate(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_table: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Start the gate on a streaming DataFrame; returns the query.
+
+    Requires the index to exist (bootstrap with
+    ``minhash_index_write`` — on an empty corpus DataFrame is fine).
+    Survivor rows land under ``{out_path}/batch=<id>/``; read the
+    clean corpus back with ``spark.read.parquet(out_path)``.
+    """
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            dupes = minhash_dedup_delta(
+                batch, index_table, index_path, id_col, text_col,
+                threshold=threshold)
+            drop = (
+                dupes.filter(
+                    (F.col("kind") == "corpus")
+                    & (F.col("id_a") != F.col("id_b"))
+                ).select(F.col("id_a").alias(id_col))
+                .unionByName(
+                    # within-batch: id_a < id_b, keep the min id
+                    dupes.filter(F.col("kind") == "delta")
+                    .select(F.col("id_b").alias(id_col)))
+                .distinct()
+            )
+            clean = batch.join(drop, id_col, "left_anti").persist()
+            clean.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={batch_id}"))
+            marker = os.path.join(index_path, f"_batch_{batch_id}")
+            if not os.path.exists(marker):
+                minhash_index_append(
+                    clean, index_table, index_path, id_col, text_col)
+                with open(marker, "w") as f:
+                    f.write("done")
+            clean.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -345,3 +345,75 @@ def test_stateful_heavy_hitters_bounded_state(spark, tmp_path):
     assert lb2 > lb  # the sketch kept counting across runs
     # bounded state: no bucket can report more than capacity candidates
     assert len(got2) <= 2 * 8  # bounded: <= n_buckets x capacity candidates
+
+
+def test_stream_near_dup_gate_across_batches(spark, tmp_path):
+    """Arriving batches dedup against everything already landed:
+    within-batch dups keep the min id, cross-batch dups are dropped,
+    unique docs always survive — and a re-run of the drained stream
+    (new checkpoint, same index) keeps the output stable instead of
+    re-flagging survivors as duplicates of themselves."""
+    from pyspark.sql import Row
+    from tap_airbyte_wrapper_spark.functions import minhash_index_write
+    from tap_airbyte_wrapper_spark.streaming import stream_near_dup_gate
+
+    long_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    long_b = " ".join(f"delta{i} epsi{i} zeta{i}" for i in range(12))
+    long_c = " ".join(f"etaa{i} thet{i} iota{i}" for i in range(12))
+    src = tmp_path / "landing"
+    src.mkdir()
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "clean")
+
+    schema = "doc_id long, text string"
+    # bootstrap an empty index with the sketch parameters
+    minhash_index_write(
+        spark.createDataFrame([], schema), "doc_id", "text", "sngd", idx,
+        num_hashes=64, shingle_len=3, bands=16, n_buckets=4)
+
+    b1 = spark.createDataFrame(
+        [Row(doc_id=1, text=long_a),
+         Row(doc_id=2, text=long_a),          # within-batch dup of 1
+         Row(doc_id=3, text=long_b)], schema)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain(ckpt):
+        q = stream_near_dup_gate(
+            spark.readStream.schema(b1.schema).parquet(str(src)),
+            "doc_id", "text", "sngd", idx, out,
+            checkpoint=str(tmp_path / ckpt), threshold=0.6)
+        q.awaitTermination(120)
+
+    drain("ck1")
+    kept1 = sorted(r["doc_id"]
+                   for r in spark.read.parquet(out).collect())
+    assert kept1 == [1, 3]
+
+    b2 = spark.createDataFrame(
+        [Row(doc_id=4, text=long_b),          # cross-batch dup of 3
+         Row(doc_id=5, text=long_c)], schema)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    drain("ck1")
+    kept2 = sorted(r["doc_id"]
+                   for r in spark.read.parquet(out).collect())
+    assert kept2 == [1, 3, 5]
+
+    # same-checkpoint re-drain with no new data is a no-op
+    drain("ck1")
+    kept3 = sorted(r["doc_id"]
+                   for r in spark.read.parquet(out).collect())
+    assert kept3 == [1, 3, 5]
+
+    # crash-replay property at the probe level: a batch whose
+    # survivors are ALREADY in the index matches itself with
+    # id_a == id_b — the self-hit the gate excludes — while its real
+    # duplicate (4 ~ 3) still reports, so a replayed batch keeps
+    # exactly the docs the first run kept
+    from tap_airbyte_wrapper_spark.functions import minhash_dedup_delta
+
+    reprobe = minhash_dedup_delta(
+        b2, "sngd", idx, "doc_id", "text", threshold=0.6)
+    hits = {(r["id_a"], r["id_b"]) for r in reprobe.collect()
+            if r["kind"] == "corpus"}
+    assert (5, 5) in hits            # self-match, excluded by the gate
+    assert (4, 3) in hits            # the real dup, still dropped
