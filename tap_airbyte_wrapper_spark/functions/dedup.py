@@ -1184,9 +1184,14 @@ def minhash_dedup_delta(
     with open(_os.path.join(path, "_index_meta.json")) as f:
         meta = _json.load(f)
 
+    # eager localCheckpoint, not persist(): the signature pass feeds
+    # two branches (postings + broadcast sigs) so it must materialize,
+    # but a persist() with no unpersist() leaks cache across calls —
+    # fatal for per-micro-batch callers (streaming/dedup.py).  The
+    # checkpoint's blocks are reclaimed when the reference drops.
     dsigs = minhash_signatures_df(
         delta, id_col, text_col, meta["num_hashes"], meta["shingle_len"],
-        bands=meta["bands"]).persist()
+        bands=meta["bands"]).localCheckpoint(eager=True)
     dpost = (
         dsigs.select(
             F.col(id_col).alias("__did"),

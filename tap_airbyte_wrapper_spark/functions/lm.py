@@ -31,11 +31,14 @@ The ``+ 1`` in the denominator reserves one smoothed slot for unseen
 tokens, so OOV scoring is well-defined when the model is vocab-capped.
 
 Oracle determinism: probabilities are pure +,*,/ over doubles (IEEE
-correctly-rounded, bit-identical across engines) and are rounded to 8
-decimals BEFORE the ln, so the transcendental sees identical inputs in
-Spark and DuckDB; each token's nll is rounded to 6 before the per-doc
-sum, making association-order error irrelevant at the reported
-4-decimal average.
+correctly-rounded, so bit-identical across engines — the ``ln`` input
+is the same everywhere); only the transcendental itself may differ by
+1 ulp between libm implementations, which the 6-decimal per-token
+round absorbs except within ~5e-7 of a rounding boundary.  No
+pre-``ln`` rounding: truncating tiny probabilities would turn the
+smoothed OOV floor into log(0) -> NULL on corpora past ~2e7 tokens
+and silently drop exactly the gibberish tokens the gate exists to
+punish.
 
 The reference has no analytics surface at all (SURVEY.md §2.3) — this
 extends the curation layer next to ``functions/corpus.py``.
@@ -59,9 +62,11 @@ class BigramLM:
 
     ``unigrams``: (tok, c_uni); ``bigrams``: (w1, w2, c_big);
     ``total_tokens``/``vocab_size`` are computed once at train time
-    (two scalars — the only driver-side values).  ``capped`` records
-    whether vocab/bigram caps were applied, which decides the join
-    strategy at scoring time (capped model => broadcast).
+    (two scalars — the only driver-side values).  ``uni_capped`` /
+    ``big_capped`` record PER TABLE whether a cap bounded it — each
+    decides that table's join strategy at scoring time (a capped
+    table broadcasts; an uncapped one must not: ``max_bigrams`` alone
+    leaves the unigram table corpus-vocabulary-sized).
     """
 
     unigrams: DataFrame
@@ -69,7 +74,12 @@ class BigramLM:
     total_tokens: int
     vocab_size: int
     add_k: float
-    capped: bool
+    uni_capped: bool
+    big_capped: bool
+
+    @property
+    def capped(self) -> bool:
+        return self.uni_capped or self.big_capped
 
 
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -113,8 +123,12 @@ def train_bigram_lm(
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
 
-    capped = False
-    if max_vocab is not None:
+    uni_capped = max_vocab is not None
+    # a vocab cap alone does NOT bound the bigram table tightly enough
+    # to promise a broadcast (seen pairs within the top-V tokens can
+    # still be huge); only an explicit max_bigrams does
+    big_capped = max_bigrams is not None
+    if uni_capped:
         uni = uni.orderBy(F.desc("c_uni"), F.asc("tok")).limit(max_vocab)
         # a bigram whose history word fell out of the capped vocab
         # would score (c_big + a) / (0 + a*(V+1)) — a "probability"
@@ -123,17 +137,17 @@ def train_bigram_lm(
         big = big.join(
             uni.select(F.col("tok").alias("w1")), "w1", "semi"
         ).join(uni.select(F.col("tok").alias("w2")), "w2", "semi")
-        capped = True
     if max_bigrams is not None:
         big = big.orderBy(
             F.desc("c_big"), F.asc("w1"), F.asc("w2")).limit(max_bigrams)
-        capped = True
-    if capped:
-        # the capped tables are small by construction; materialize them
-        # once so repeated scoring jobs don't re-run the train scan
+    # a capped table is small by construction; materialize it once so
+    # repeated scoring jobs don't re-run the train scan
+    if uni_capped:
         uni = uni.localCheckpoint(eager=False)
+    if big_capped:
         big = big.localCheckpoint(eager=False)
-    return BigramLM(uni, big, total_tokens, vocab_size, float(add_k), capped)
+    return BigramLM(uni, big, total_tokens, vocab_size, float(add_k),
+                    uni_capped, big_capped)
 
 
 def score_perplexity(
@@ -178,8 +192,10 @@ def score_perplexity(
     ).filter(F.col("w2").isNotNull())  # zip-pad row of an empty doc
 
     uni, big = lm.unigrams, lm.bigrams
-    if lm.capped:
-        uni, big = F.broadcast(uni), F.broadcast(big)
+    if lm.uni_capped:
+        uni = F.broadcast(uni)
+    if lm.big_capped:
+        big = F.broadcast(big)
     # three LEFT joins, all against model tables: c(w2) for the
     # unigram term, c(w1) for the conditional's denominator (an unseen
     # or capped-out history reads 0 => pure smoothed floor), c(w1 w2)
@@ -200,7 +216,7 @@ def score_perplexity(
     p_tok = F.when(
         F.col("w1").isNull(), p_uni
     ).otherwise(F.lit(lam) * p_big + F.lit(1.0 - lam) * p_uni)
-    nll = F.round(-F.log(F.round(p_tok, 8)), 6)
+    nll = F.round(-F.log(p_tok), 6)
 
     per_doc = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tok"),

@@ -313,8 +313,10 @@ def strip_html(col: Column) -> Column:
     out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
     out = F.regexp_replace(out, r"<[^>]+>", " ")
-    for ent, rep in [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")]:
+    # &amp; decodes LAST: running it first would double-decode escaped
+    # entities ('&amp;lt;' means the literal text '&lt;', not '<')
+    for ent, rep in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
@@ -351,11 +353,14 @@ def canonical_url(col: Column) -> Column:
         (F.length(path) > 1) & path.endswith("/"),
         F.substring(path, 1, F.length(path) - 1),
     ).otherwise(path)
+    # bare host and root slash are the same resource: canonical = '/'
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     params = F.filter(
         F.split(query, "&"),
         lambda p: (F.length(p) > 0)
-        & ~p.rlike(r"(?i)^(utm_[^=]*|fbclid|gclid|msclkid)="),
+        # (=.*)? also drops the value-less form '?gclid'
+        & ~p.rlike(r"(?i)^(utm_[^=&]*|fbclid|gclid|msclkid)(=.*)?$"),
     )
     q = F.concat_ws("&", F.array_sort(params))
     rebuilt = F.concat(

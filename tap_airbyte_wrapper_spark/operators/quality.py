@@ -409,11 +409,12 @@ def snapshot_diff(
     so the result is delta-sized, not table-sized.
 
     ``compare_cols`` defaults to all shared non-key columns.  Change
-    detection compares an ``md5`` over the compared columns cast to
-    strings with a non-printing separator (null → empty — the same
-    oracle-reproducible form the deterministic samplers use), never a
-    column-by-column OR chain, so the comparison cost is independent
-    of column count once the hash is computed map-side.
+    detection compares an ``md5`` over PER-COLUMN md5 digests (nulls
+    become a marker outside the hex alphabet), never a column-by-column
+    OR chain — so the join cost is independent of column count, NULL
+    and empty string stay distinct, and a separator byte inside a
+    value cannot shift content across column boundaries (a false
+    "unchanged" then requires an md5 collision).
 
     Scale shape: ONE full outer join on the key — both sides hash-
     shuffle once; with both snapshots bucketed by key (the merge sink's
@@ -427,10 +428,10 @@ def snapshot_diff(
             c for c in new.columns if c in set(old.columns) and c not in ks]
 
     def hashed(df: DataFrame, alias: str) -> DataFrame:
-        digest = F.md5(F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
-                      for c in compare_cols]))
-        return df.select(*ks, digest.alias(alias))
+        per_col = [
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("\u2205"))
+            for c in compare_cols]
+        return df.select(*ks, F.md5(F.concat_ws("|", *per_col)).alias(alias))
 
     o = hashed(old, "__h_old")
     n = hashed(new, "__h_new")

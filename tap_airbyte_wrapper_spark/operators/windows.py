@@ -112,6 +112,37 @@ def topk_per_group(
     )
 
 
+def _is_sort_order(c: Column) -> bool:
+    """True when the Column wraps a SortOrder (``.asc()``/``.desc()``)
+    rather than a plain expression — such a column cannot be projected
+    with ``withColumn`` and carries a direction the ascending
+    value-bucket formula does not honor."""
+    r = str(c)
+    return " ASC " in r or " DESC " in r or r.endswith("ASC'>") \
+        or r.endswith("DESC'>")
+
+
+def _value_buckets(keyed: DataFrame, num_ranges: int) -> DataFrame:
+    """Attach ``__pid`` — an ASCENDING range-bucket of the numeric
+    ``__k0`` column derived purely from row VALUES: boundaries from one
+    ``approxQuantile`` pass, bucket = count of boundaries <= key.
+    Identical in every job that evaluates it (unlike physical partition
+    ids, which the RangePartitioner re-samples per job), so two-phase
+    offset algorithms need no checkpoint.  Shared by
+    :func:`global_distribution_ranks` and :func:`global_cumsum`."""
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    bounds = sorted(set(
+        keyed.approxQuantile("__k0", probs, 0.001))) if probs else []
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucket = (
+        F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(
+                F.col("__k0").cast("double") >= b, 1).otherwise(0))
+        if bounds else F.lit(0))
+    return keyed.withColumn("__pid", bucket)
+
+
 def global_distribution_ranks(
     df: DataFrame,
     order_by: Sequence[Column],
@@ -148,28 +179,24 @@ def global_distribution_ranks(
     one bucket, same as the range partitioner would.
 
     Falls back to the checkpoint-pinned physical path when the first
-    order key is non-numeric (approxQuantile needs a numeric)."""
+    order key is non-numeric (approxQuantile needs a numeric) or is a
+    SortOrder (``.desc()``/``.asc()`` — the ascending bucket formula
+    does not honor a direction; ``repartitionByRange`` does)."""
     from pyspark.sql.types import NumericType
 
     spark = df.sparkSession
     num_ranges = num_ranges or spark.sparkContext.defaultParallelism
-    keyed = df.withColumn("__k0", order_by[0])
-    if isinstance(keyed.schema["__k0"].dataType, NumericType):
-        probs = [i / num_ranges for i in range(1, num_ranges)]
-        bounds = sorted(set(
-            keyed.approxQuantile("__k0", probs, 0.001))) if probs else []
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = (
-            F.aggregate(
-                barr, F.lit(0),
-                lambda acc, b: acc + F.when(
-                    F.col("__k0").cast("double") >= b, 1).otherwise(0))
-            if bounds else F.lit(0))
-        parts = keyed.withColumn("__pid", bucket)
+    value_path = not _is_sort_order(order_by[0])
+    if value_path:
+        keyed = df.withColumn("__k0", order_by[0])
+        value_path = isinstance(keyed.schema["__k0"].dataType, NumericType)
+    if value_path:
+        parts = _value_buckets(keyed, num_ranges)
     else:
         # physical-partition fallback: ids are pid-stable only under an
         # eager checkpoint (RangePartitioner re-samples per job)
-        parts = keyed.repartitionByRange(num_ranges, *order_by).withColumn(
+        parts = df.withColumn("__k0", F.lit(0)) \
+            .repartitionByRange(num_ranges, *order_by).withColumn(
             "__pid", F.spark_partition_id()).localCheckpoint(eager=True)
     counts = {r["__pid"]: r["count"]
               for r in parts.groupBy("__pid").count().collect()}
@@ -238,20 +265,13 @@ def global_cumsum(
     num_ranges = num_ranges or spark.sparkContext.defaultParallelism
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
     vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    if _is_sort_order(oc):
+        raise TypeError("global_cumsum takes a plain ascending numeric "
+                        "order column, not a SortOrder")
     keyed = df.withColumn("__k0", oc).withColumn("__v0", vc)
     if not isinstance(keyed.schema["__k0"].dataType, NumericType):
         raise TypeError("global_cumsum needs a numeric order column")
-    probs = [i / num_ranges for i in range(1, num_ranges)]
-    bounds = sorted(set(
-        keyed.approxQuantile("__k0", probs, 0.001))) if probs else []
-    barr = F.array(*[F.lit(float(b)) for b in bounds])
-    bucket = (
-        F.aggregate(
-            barr, F.lit(0),
-            lambda acc, b: acc + F.when(
-                F.col("__k0").cast("double") >= b, 1).otherwise(0))
-        if bounds else F.lit(0))
-    parts = keyed.withColumn("__pid", bucket)
+    parts = _value_buckets(keyed, num_ranges)
     sums = {r["__pid"]: r["s"] or 0
             for r in parts.groupBy("__pid")
             .agg(F.sum("__v0").alias("s")).collect()}

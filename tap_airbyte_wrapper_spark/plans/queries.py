@@ -3327,7 +3327,7 @@ ORACLES = {
           CROSS JOIN tot),
         d AS (
           SELECT doc_id, count(*) AS n_tok,
-                 round(avg(round(-ln(round(prob, 8)), 6)), 4) AS avg_nll
+                 round(avg(round(-ln(prob), 6)), 4) AS avg_nll
           FROM p GROUP BY doc_id)
         SELECT ws.doc_id, coalesce(n_tok, 0) AS n_tok, avg_nll
         FROM ws LEFT JOIN d USING (doc_id)""",
@@ -3414,8 +3414,8 @@ ORACLES = {
         e AS (
           SELECT doc_id,
             replace(replace(replace(replace(replace(replace(
-              x, '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
-              '&gt;', '>'), '&quot;', '"'), '&#39;', '''') AS x
+              x, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+              '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS x
           FROM s)
         SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS text
         FROM e""",

@@ -16,8 +16,15 @@ Streaming's at-least-once foreachBatch contract):
   set, so the replay keeps exactly the docs the first run kept;
 * output lands per-batch in ``{out}/batch={id}`` with overwrite, so a
   re-run overwrites its own directory instead of duplicating rows;
-* the index append is guarded by a ``_batch_<id>`` marker so replayed
-  postings are not appended twice.
+* the index append is guarded by a ``_batch_<id>`` marker written
+  AFTER the append.  The marker is an optimization, not a correctness
+  gate: a crash between append and marker re-appends on replay, which
+  only inflates the index (candidate pairs are ``distinct``-ed and
+  the drop set is ``distinct``-ed, so duplicated postings/signatures
+  never change the gate's output — run ``compact_parquet`` on the
+  index periodically anyway).  The marker check uses local-FS
+  ``os.path``, so on an object store it simply never skips — same
+  correctness, more index growth on replay.
 
 Cost per batch: O(batch) signatures + a bucket-co-located join against
 the index (zero corpus shuffle, same plan the batch delta-dedup tests

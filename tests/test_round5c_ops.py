@@ -219,13 +219,21 @@ def test_snapshot_diff_classifies(spark):
 
 
 def test_snapshot_diff_null_vs_empty_distinct(spark):
-    # null and '' hash differently (null -> '' only inside the digest,
-    # but separator keeps positions): a null->'x' flip is a change
-    old = spark.createDataFrame([Row(k=1, a=None, b="q")],
-                                schema="k int, a string, b string")
-    new = spark.createDataFrame([Row(k=1, a="x", b="q")],
-                                schema="k int, a string, b string")
-    assert snapshot_diff(old, new, "k").collect()[0]["change_type"] == "changed"
+    # per-column digests: NULL and '' are different states, and a
+    # separator byte inside a value cannot shift content across
+    # column boundaries
+    old = spark.createDataFrame(
+        [Row(k=1, a=None, b="q"), Row(k=2, a=None, b="q"),
+         Row(k=3, a="a|b", b=""), Row(k=4, a="a\x1fb", b="")],
+        schema="k int, a string, b string")
+    new = spark.createDataFrame(
+        [Row(k=1, a="x", b="q"), Row(k=2, a="", b="q"),
+         Row(k=3, a="a", b="|b"), Row(k=4, a="a", b="\x1fb")],
+        schema="k int, a string, b string")
+    out = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, "k").collect()}
+    assert out == {1: "changed", 2: "changed",
+                   3: "changed", 4: "changed"}
 
 
 def test_snapshot_diff_compare_cols_subset(spark):
@@ -330,9 +338,14 @@ def test_canonical_url_collapses_mirror_noise(spark):
 
 
 def test_canonical_url_root_slash_kept(spark):
-    df = spark.createDataFrame([Row(u="http://x.com/")])
-    assert df.select(canonical_url(F.col("u")).alias("c")
-                     ).collect()[0]["c"] == "http://x.com/"
+    df = spark.createDataFrame(
+        [Row(u="http://x.com/"), Row(u="http://x.com"),
+         Row(u="HTTP://X.com:80"), Row(u="http://x.com/?gclid")])
+    out = [r["c"] for r in
+           df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    # bare host, root slash, default port, and a value-less tracking
+    # param all collapse to ONE canonical form
+    assert out == ["http://x.com/"] * 4
 
 
 # ------------------------------- global_cumsum / pack_sequences
