@@ -54,7 +54,7 @@ _GROUPS = [
         r"|weighted_sample|lm_perplexity|pseudonymize|strip_html|pack_sequences|temperature|clean_holdout|canonical_url)")),
     ("timeseries_cdc", re.compile(
         r"^(merge_upsert|resample|gap_fill|funnel|weekly_retention"
-        r"|anomaly|scd2|incremental_agg|snapshot_diff)")),
+        r"|anomaly|scd2|incremental_agg|snapshot_diff|fk_violations)")),
 ]
 
 

@@ -130,6 +130,10 @@ class Expectation:
       with not_null to forbid)
     * ``in_set(values)``     — value in the allow-list (nulls pass)
     * ``matches_regex(pat)`` — full-match against ``pat`` (nulls pass)
+    * ``foreign_key(ref, ref_col)`` — value exists in the reference
+      table's column (nulls pass; combine with not_null to forbid) —
+      the referential-integrity check an EL landing zone runs before
+      exposing a batch
     """
 
     column: str
@@ -138,6 +142,8 @@ class Expectation:
     hi: object | None = None
     values: Sequence[object] | None = field(default=None)
     pattern: str | None = None
+    ref: "DataFrame | None" = None
+    ref_col: str | None = None
 
     @property
     def name(self) -> str:
@@ -156,7 +162,7 @@ class Expectation:
             return col.isNotNull() & ~col.isin(list(self.values))
         if self.kind == "matches_regex":
             return col.isNotNull() & ~col.rlike(f"^(?:{self.pattern})$")
-        if self.kind == "unique":
+        if self.kind in ("unique", "foreign_key"):
             return None
         raise ValueError(f"unknown expectation kind {self.kind!r}")
 
@@ -174,11 +180,21 @@ def validate_expectations(
     violation counts), so each ``unique`` rule contributes
     ``count(col) - count_distinct(col)`` to the same ``agg`` call;
     Spark plans the distincts via expand + one shuffle, still a single
-    job.  Output is tiny (one row per rule) — the 100 TB cost is the
-    one scan.
+    job.  ``foreign_key`` rules are the one genuinely multi-table
+    check: each contributes a key-projected LEFT ANTI join against the
+    reference (distinct ref keys; AQE broadcasts a dim-sized side),
+    unioned into the same result — extra scans of the KEY COLUMNS
+    only, never a second full-width pass.  Output is tiny (one row
+    per rule).
     """
-    row_rules = [e for e in expectations if e.kind != "unique"]
+    row_rules = [e for e in expectations
+                 if e.kind not in ("unique", "foreign_key")]
     uniq_rules = [e for e in expectations if e.kind == "unique"]
+    fk_rules = [e for e in expectations if e.kind == "foreign_key"]
+    for e in fk_rules:
+        if e.ref is None or e.ref_col is None:
+            raise ValueError(
+                f"foreign_key expectation on {e.column!r} needs ref/ref_col")
     aggs: list[Column] = []
     for e in row_rules:
         aggs.append(
@@ -188,19 +204,34 @@ def validate_expectations(
             (F.count(F.col(e.column))
              - F.count_distinct(F.col(e.column)))
             .alias(f"__v_{e.name}"))
-    if not aggs:
+    if not aggs and not fk_rules:
         raise ValueError("no expectations given")
-    wide = df.agg(*aggs)
     all_rules = row_rules + uniq_rules
-    stacked = wide.select(
-        F.expr(
-            "stack({n}, {args}) as (expectation, n_violations)".format(
-                n=len(all_rules),
-                args=", ".join(
-                    f"'{e.name}', `__v_{e.name}`" for e in all_rules),
+    if aggs:
+        wide = df.agg(*aggs)
+        stacked = wide.select(
+            F.expr(
+                "stack({n}, {args}) as (expectation, n_violations)".format(
+                    n=len(all_rules),
+                    args=", ".join(
+                        f"'{e.name}', `__v_{e.name}`" for e in all_rules),
+                )
             )
         )
-    )
+    else:
+        stacked = df.sparkSession.createDataFrame(
+            [], "expectation string, n_violations long")
+    for e in fk_rules:
+        viol = (
+            df.select(F.col(e.column).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .join(e.ref.select(F.col(e.ref_col).alias("__k")).distinct(),
+                  "__k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(F.lit(e.name).alias("expectation"),
+                    F.col("n_violations"))
+        )
+        stacked = stacked.unionByName(viol)
     kinds = F.split(F.col("expectation"), ":")
     return stacked.select(
         "expectation",

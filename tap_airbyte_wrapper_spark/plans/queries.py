@@ -1941,6 +1941,23 @@ def q_melt_lineitem_metrics(spark, sf_dir):
     )
 
 
+def q_fk_violations(spark, sf_dir):
+    """Referential-integrity expectation: orders whose customer is
+    missing from a hole-punched dimension (every 7th customer dropped)
+    — key-projected anti-join per FK rule, unioned with the one-scan
+    row rules."""
+    from ..operators import Expectation, validate_expectations
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 != 0)
+    return validate_expectations(orders, [
+        Expectation("o_orderkey", "not_null"),
+        Expectation("o_custkey", "foreign_key",
+                    ref=customer, ref_col="c_custkey"),
+    ])
+
+
 def q_clean_holdout(spark, sf_dir):
     """Decontaminated eval holdout: deterministic 80/20 split, then
     every test doc sharing ANY word 8-gram with the train split is
@@ -2064,6 +2081,7 @@ QUERIES = {
     "clean_holdout_docs": q_clean_holdout,
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "melt_lineitem_metrics": q_melt_lineitem_metrics,
+    "fk_violations_orders": q_fk_violations,
     "temperature_mixture_docs": q_temperature_mixture,
     "lm_perplexity_docs": q_lm_perplexity,
     "remove_dup_spans_docs": q_remove_dup_spans,
@@ -3217,6 +3235,21 @@ ORACLES = {
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings)
         GROUP BY label, i""",
+    "fk_violations_orders": """
+        WITH fk AS (
+          SELECT count(*) AS n FROM orders
+          WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (
+              SELECT c_custkey FROM customer WHERE c_custkey % 7 != 0))
+        SELECT 'o_orderkey:not_null' AS expectation,
+               'o_orderkey' AS "column", 'not_null' AS kind,
+               (SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
+                 AS n_violations,
+               (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) = 0
+                 AS passed
+        UNION ALL
+        SELECT 'o_custkey:foreign_key', 'o_custkey', 'foreign_key',
+               n, n = 0 FROM fk""",
     "melt_lineitem_metrics": """
         WITH long AS (
           SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem

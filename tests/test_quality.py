@@ -164,3 +164,38 @@ def test_register_corpus_views_sql_surface(spark, sf_dir):
         "SELECT round(sum(l_extendedprice * l_discount), 2) AS rev "
         "FROM lineitem_v WHERE l_quantity < 24").first()
     assert got["rev"] is not None and got["rev"] > 0
+
+
+def test_foreign_key_expectation(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from tap_airbyte_wrapper_spark.operators import (
+        Expectation, validate_expectations)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # intact referential integrity passes
+    ok = validate_expectations(orders, [
+        Expectation("o_custkey", "foreign_key",
+                    ref=customer, ref_col="c_custkey")]).collect()
+    assert ok[0]["kind"] == "foreign_key" and ok[0]["passed"]
+    # removing a slice of the dimension surfaces exactly those orders
+    broken = validate_expectations(orders, [
+        Expectation("o_orderkey", "not_null"),
+        Expectation("o_custkey", "foreign_key",
+                    ref=customer.filter(F.col("c_custkey") % 7 != 0),
+                    ref_col="c_custkey")]).collect()
+    by = {r["expectation"]: r for r in broken}
+    want = orders.filter(F.col("o_custkey") % 7 == 0).count()
+    assert by["o_custkey:foreign_key"]["n_violations"] == want
+    assert not by["o_custkey:foreign_key"]["passed"]
+    assert by["o_orderkey:not_null"]["passed"]
+
+
+def test_foreign_key_expectation_requires_ref(spark, sf_dir):
+    from tap_airbyte_wrapper_spark.operators import (
+        Expectation, validate_expectations)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError, match="ref"):
+        validate_expectations(orders, [
+            Expectation("o_custkey", "foreign_key")])
