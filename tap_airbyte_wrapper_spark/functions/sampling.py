@@ -14,7 +14,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["hash_bucket", "hash_split", "mixture_sample",
            "stratified_sample", "sample_per_group", "weighted_sample",
-           "assign_shards", "write_training_shards", "temperature_weights"]
+           "assign_shards", "write_training_shards", "temperature_weights",
+           "upsample_repeat"]
 
 
 def hash_bucket(col: Column, buckets: int = 100, salt: str = "") -> Column:
@@ -230,3 +231,46 @@ def temperature_weights(
     )
     return counts.crossJoin(F.broadcast(z)).select(
         group_col, "n_rows", F.round(weight, 6).alias("weight"))
+
+
+def upsample_repeat(
+    df: DataFrame,
+    epochs: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_epochs: float = 1.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Fractional-epoch repetition — the UPSAMPLING half of mixture
+    construction (:func:`temperature_weights` computes keep-rates
+    capped at 1; training mixes also say "2.3 epochs of books"):
+    every row of group g appears ``floor(e_g)`` or ``ceil(e_g)``
+    times so that the group's total multiplicity is e_g exactly in
+    expectation, decided per row by the md5-bucket of its id —
+    deterministic, order/partition/seed-independent, and
+    SQL-recomputable like every sampler here.  ``e < 1`` degrades
+    gracefully to plain downsampling (``floor = 0`` + fractional
+    keep), so one epochs map drives the whole mix.
+
+    Output rows carry ``copy_col`` (0-based duplicate index) so
+    downstream shuffles/shard writers can spread the copies (feed
+    ``concat(id, '#', copy)`` to :func:`assign_shards` — copies land
+    in different shards instead of back-to-back in one file).
+
+    Zero shuffle: the repeat is a per-row ``explode(sequence())``.
+    """
+    whole = F.lit(int(default_epochs))
+    frac_b = F.lit(int((default_epochs % 1.0) * 10_000))
+    for g, e in epochs.items():
+        is_g = F.col(group_col) == g
+        whole = F.when(is_g, F.lit(int(e))).otherwise(whole)
+        frac_b = F.when(is_g, F.lit(int((e % 1.0) * 10_000))).otherwise(frac_b)
+    k = whole + (hash_bucket(F.col(id_col), 10_000, salt) < frac_b).cast("int")
+    return (
+        df.withColumn("__k", k)
+        .filter(F.col("__k") > 0)
+        .withColumn(copy_col,
+                    F.explode(F.sequence(F.lit(0), F.col("__k") - 1)))
+        .drop("__k")
+    )

@@ -1941,6 +1941,23 @@ def q_melt_lineitem_metrics(spark, sf_dir):
     )
 
 
+def q_upsample_mixture(spark, sf_dir):
+    """Fractional-epoch mixture: 2.5 epochs of src0, 0.4 of src1,
+    1 epoch elsewhere — per-copy rows rolled up per source; the
+    membership/repeat decision is a pure md5 function of the id, so
+    the oracle recomputes the exact multiset."""
+    from ..functions import upsample_repeat
+
+    out = upsample_repeat(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 2.5, "src1": 0.4}, "source", "doc_id")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("copy").alias("sum_copy"),
+    )
+
+
 def q_fk_violations(spark, sf_dir):
     """Referential-integrity expectation: orders whose customer is
     missing from a hole-punched dimension (every 7th customer dropped)
@@ -2082,6 +2099,7 @@ QUERIES = {
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "melt_lineitem_metrics": q_melt_lineitem_metrics,
     "fk_violations_orders": q_fk_violations,
+    "upsample_mixture_docs": q_upsample_mixture,
     "temperature_mixture_docs": q_temperature_mixture,
     "lm_perplexity_docs": q_lm_perplexity,
     "remove_dup_spans_docs": q_remove_dup_spans,
@@ -3235,6 +3253,25 @@ ORACLES = {
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings)
         GROUP BY label, i""",
+    "upsample_mixture_docs": """
+        WITH k AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                             ELSE 1 END
+                 + CASE WHEN CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS BIGINT) % 10000
+                      < CASE source WHEN 'src0' THEN 5000
+                                    WHEN 'src1' THEN 4000 ELSE 0 END
+                   THEN 1 ELSE 0 END AS n
+          FROM documents),
+        rep AS (
+          SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS copy
+          FROM k WHERE n > 0)
+        SELECT source, count(*) AS n_rows,
+               count(DISTINCT doc_id) AS n_docs,
+               sum(copy) AS sum_copy
+        FROM rep GROUP BY source""",
     "fk_violations_orders": """
         WITH fk AS (
           SELECT count(*) AS n FROM orders

@@ -583,3 +583,36 @@ def test_text_lines_feeds_curation_layer(spark, tmp_path):
     assert sorted(r["text"] for r in out) == ["hello world",
                                               "plain text line"]
     assert all(r["q"] is not None for r in out)
+
+
+def test_upsample_repeat_multiplicities(spark):
+    from tap_airbyte_wrapper_spark.functions import upsample_repeat
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="a") for i in range(200)]
+        + [Row(doc_id=1000 + i, source="b") for i in range(200)]
+        + [Row(doc_id=2000 + i, source="c") for i in range(50)])
+    out = upsample_repeat(df, {"a": 2.5, "b": 0.4}, "source", "doc_id")
+    rows = out.groupBy("source").count().collect()
+    n = {r["source"]: r["count"] for r in rows}
+    # expectation 2.5x / 0.4x / 1.0x with md5-bucket concentration
+    assert 400 <= n["a"] <= 600 and abs(n["a"] - 500) < 80
+    assert 40 <= n["b"] <= 140
+    assert n["c"] == 50
+    # per-row multiplicity is floor/ceil of the epoch only
+    per = out.filter("source = 'a'").groupBy("doc_id").count().collect()
+    assert set(r["count"] for r in per) <= {2, 3}
+    # deterministic: same call twice -> identical multiset
+    again = upsample_repeat(df, {"a": 2.5, "b": 0.4}, "source", "doc_id")
+    a = sorted((r["doc_id"], r["copy"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["copy"]) for r in again.collect())
+    assert a == b
+
+
+def test_upsample_repeat_zero_shuffle(spark):
+    from tap_airbyte_wrapper_spark.functions import upsample_repeat
+
+    df = spark.createDataFrame([Row(doc_id=1, source="a")])
+    plan = upsample_repeat(df, {"a": 3.0}, "source", "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
