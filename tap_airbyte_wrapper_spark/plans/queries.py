@@ -1941,6 +1941,30 @@ def q_melt_lineitem_metrics(spark, sf_dir):
     )
 
 
+def q_source_quality_report(spark, sf_dir):
+    """Per-source curation dashboard in ONE scan: volume, detected-
+    language mix, quality-score distribution, token mass — the report a
+    100 TB ingest reviews before deciding mixture weights.  Every
+    signal is a per-row JVM expression feeding a single groupBy
+    (map-side combine); the oracle recomposes the language/quality SQL
+    fragments the standalone queries already pin."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        "source",
+        language_id(F.col("text")).alias("__lang"),
+        F.round(quality_score(F.col("text")), 4).alias("__q"),
+        token_count(F.col("text")).alias("__tok"),
+    )
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("__lang") == "en", 1)).alias("n_en"),
+        F.count(F.when(F.col("__lang") == "und", 1)).alias("n_und"),
+        F.round(F.avg("__q"), 4).alias("avg_q"),
+        F.round(F.min("__q"), 4).alias("min_q"),
+        F.sum("__tok").alias("sum_tokens"),
+    )
+
+
 def q_upsample_mixture(spark, sf_dir):
     """Fractional-epoch mixture: 2.5 epochs of src0, 0.4 of src1,
     1 epoch elsewhere — per-copy rows rolled up per source; the
@@ -2100,6 +2124,7 @@ QUERIES = {
     "melt_lineitem_metrics": q_melt_lineitem_metrics,
     "fk_violations_orders": q_fk_violations,
     "upsample_mixture_docs": q_upsample_mixture,
+    "source_quality_report": q_source_quality_report,
     "temperature_mixture_docs": q_temperature_mixture,
     "lm_perplexity_docs": q_lm_perplexity,
     "remove_dup_spans_docs": q_remove_dup_spans,
@@ -3253,6 +3278,25 @@ ORACLES = {
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings)
         GROUP BY label, i""",
+    "source_quality_report": f"""
+        WITH lang AS ({_LANG_SQL}),
+        q AS ({_QUALITY_SQL}),
+        tok AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len({_WORDS}) END AS BIGINT) AS n_tok
+          FROM documents)
+        SELECT d.source, count(*) AS n_docs,
+               count(*) FILTER (WHERE lang.lang_pred = 'en') AS n_en,
+               count(*) FILTER (WHERE lang.lang_pred = 'und') AS n_und,
+               round(avg(q.q), 4) AS avg_q,
+               round(min(q.q), 4) AS min_q,
+               sum(tok.n_tok) AS sum_tokens
+        FROM documents d
+        JOIN lang ON d.doc_id = lang.doc_id
+        JOIN q ON d.doc_id = q.doc_id
+        JOIN tok ON d.doc_id = tok.doc_id
+        GROUP BY d.source""",
     "upsample_mixture_docs": """
         WITH k AS (
           SELECT doc_id, source,
