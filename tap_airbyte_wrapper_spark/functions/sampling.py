@@ -260,13 +260,24 @@ def upsample_repeat(
 
     Zero shuffle: the repeat is a per-row ``explode(sequence())``.
     """
-    whole = F.lit(int(default_epochs))
-    frac_b = F.lit(int((default_epochs % 1.0) * 10_000))
+    def parts(e: float) -> tuple[int, int]:
+        # round, not int(): 2.3 % 1.0 is 0.29999...977 in binary — a
+        # truncating cast would lose a bucket and make the expected
+        # multiplicity 2.2999 instead of the documented e_g
+        return int(e), int(round((e % 1.0) * 10_000))
+
+    whole, frac_b = (F.lit(v) for v in parts(default_epochs))
     for g, e in epochs.items():
         is_g = F.col(group_col) == g
-        whole = F.when(is_g, F.lit(int(e))).otherwise(whole)
-        frac_b = F.when(is_g, F.lit(int((e % 1.0) * 10_000))).otherwise(frac_b)
-    k = whole + (hash_bucket(F.col(id_col), 10_000, salt) < frac_b).cast("int")
+        w_g, f_g = parts(e)
+        whole = F.when(is_g, F.lit(w_g)).otherwise(whole)
+        frac_b = F.when(is_g, F.lit(f_g)).otherwise(frac_b)
+    # a NULL id cannot take the fractional decision; coalesce to False
+    # so it still gets the guaranteed floor(e) copies instead of
+    # silently vanishing from the mix
+    extra = F.coalesce(
+        hash_bucket(F.col(id_col), 10_000, salt) < frac_b, F.lit(False))
+    k = whole + extra.cast("int")
     return (
         df.withColumn("__k", k)
         .filter(F.col("__k") > 0)

@@ -142,7 +142,10 @@ class Expectation:
     hi: object | None = None
     values: Sequence[object] | None = field(default=None)
     pattern: str | None = None
-    ref: "DataFrame | None" = None
+    # compare/repr excluded: DataFrame.__eq__ builds a Column, which
+    # would make the generated dataclass __eq__ raise on bool()
+    ref: "DataFrame | None" = field(default=None, compare=False,
+                                    repr=False)
     ref_col: str | None = None
 
     @property
@@ -441,9 +444,11 @@ def snapshot_diff(
 
     ``compare_cols`` defaults to all shared non-key columns.  Change
     detection compares one 64-bit ``xxhash64`` over PER-COLUMN
-    ``xxhash64`` digests (each null-coalesced to a marker BEFORE the
-    positional combine — Spark's multi-arg hash skips nulls, which
-    would make (null, 'x') collide with ('x', null)), never a
+    ``xxhash64`` digests (a NULL hashes to the seed constant, a fixed
+    marker, and the per-column longs are never null so the combining
+    hash is strictly positional — Spark's multi-arg hash over raw
+    columns would skip nulls and collide (null,'x') with ('x',null)),
+    never a
     column-by-column OR chain: join cost independent of column count,
     NULL distinct from empty string, no separator ambiguity.  A false
     "unchanged" needs a 64-bit hash collision (~5e-20 per key) —
@@ -463,10 +468,17 @@ def snapshot_diff(
             c for c in new.columns if c in set(old.columns) and c not in ks]
 
     def hashed(df: DataFrame, alias: str) -> DataFrame:
-        per_col = [
-            F.coalesce(F.xxhash64(F.col(c).cast("string")), F.lit(-1))
-            for c in compare_cols]
-        return df.select(*ks, F.xxhash64(*per_col).alias(alias))
+        # xxhash64(NULL) returns the seed (42), a fixed marker distinct
+        # from any value's hash short of a 2^-64 collision — so NULL,
+        # '' and real values all digest differently, and the combine
+        # over the (always non-null) per-column longs is positional
+        per_col = [F.xxhash64(F.col(c).cast("string"))
+                   for c in compare_cols]
+        digest = (F.xxhash64(*per_col) if per_col
+                  # key-only table: no payload to compare — matched
+                  # keys are never 'changed', only added/removed exist
+                  else F.lit(0).cast("bigint"))
+        return df.select(*ks, digest.alias(alias))
 
     o = hashed(old, "__h_old")
     n = hashed(new, "__h_new")

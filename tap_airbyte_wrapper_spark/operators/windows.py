@@ -116,10 +116,12 @@ def _is_sort_order(c: Column) -> bool:
     """True when the Column wraps a SortOrder (``.asc()``/``.desc()``)
     rather than a plain expression — such a column cannot be projected
     with ``withColumn`` and carries a direction the ascending
-    value-bucket formula does not honor."""
+    value-bucket formula does not honor.  A SortOrder always prints
+    with a NULLS FIRST/LAST suffix, which a plain column named e.g.
+    ``PRICE_DESC`` does not — matching on that suffix avoids
+    misrouting ordinary columns to the materializing fallback."""
     r = str(c)
-    return " ASC " in r or " DESC " in r or r.endswith("ASC'>") \
-        or r.endswith("DESC'>")
+    return r.endswith("NULLS FIRST'>") or r.endswith("NULLS LAST'>")
 
 
 def _value_buckets(keyed: DataFrame, num_ranges: int) -> DataFrame:

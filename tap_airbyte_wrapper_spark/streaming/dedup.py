@@ -22,9 +22,11 @@ Streaming's at-least-once foreachBatch contract):
   only inflates the index (candidate pairs are ``distinct``-ed and
   the drop set is ``distinct``-ed, so duplicated postings/signatures
   never change the gate's output — run ``compact_parquet`` on the
-  index periodically anyway).  The marker check uses local-FS
-  ``os.path``, so on an object store it simply never skips — same
-  correctness, more index growth on replay.
+  index periodically anyway).  The marker IO uses local-FS ``os.path``
+  and is best-effort: on an object-store ``index_path`` the existence
+  check never fires and the write failure is swallowed, so every
+  replay re-appends (more index growth, same gate output) instead of
+  skipping.
 
 Cost per batch: O(batch) signatures + a bucket-co-located join against
 the index (zero corpus shuffle, same plan the batch delta-dedup tests
@@ -85,8 +87,13 @@ def stream_near_dup_gate(
             if not os.path.exists(marker):
                 minhash_index_append(
                     clean, index_table, index_path, id_col, text_col)
-                with open(marker, "w") as f:
-                    f.write("done")
+                try:
+                    with open(marker, "w") as f:
+                        f.write("done")
+                except OSError:
+                    # non-local index_path: the marker optimization
+                    # cannot write — skip it, never kill the stream
+                    pass
             clean.unpersist()
         finally:
             batch.unpersist()

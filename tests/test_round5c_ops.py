@@ -616,3 +616,43 @@ def test_upsample_repeat_zero_shuffle(spark):
     plan = upsample_repeat(df, {"a": 3.0}, "source", "doc_id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_snapshot_diff_key_only_table(spark):
+    old = spark.createDataFrame([Row(k=1), Row(k=2)])
+    new = spark.createDataFrame([Row(k=2), Row(k=3)])
+    out = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, "k").collect()}
+    assert out == {1: "removed", 3: "added"}
+
+
+def test_expectation_dataclass_comparable(spark):
+    from tap_airbyte_wrapper_spark.operators import Expectation
+
+    df = spark.createDataFrame([Row(k=1)])
+    a = Expectation("c", "foreign_key", ref=df, ref_col="k")
+    b = Expectation("c", "foreign_key", ref=df, ref_col="k")
+    assert a == b and a in [b]
+
+
+def test_upsample_repeat_null_id_keeps_floor(spark):
+    from tap_airbyte_wrapper_spark.functions import upsample_repeat
+
+    df = spark.createDataFrame(
+        [Row(doc_id=None, source="a"), Row(doc_id=7, source="a")],
+        schema="doc_id long, source string")
+    out = upsample_repeat(df, {"a": 2.5}, "source", "doc_id")
+    per = {r["doc_id"]: 0 for r in out.collect()}
+    for r in out.collect():
+        per[r["doc_id"]] += 1
+    assert per.get(None) == 2          # guaranteed floor, not dropped
+    assert per[7] in (2, 3)
+
+
+def test_value_bucket_plain_column_named_desc(spark):
+    from tap_airbyte_wrapper_spark.operators import global_cumsum
+
+    df = spark.createDataFrame(
+        [Row(PRICE_DESC=float(i), v=1) for i in range(10)])
+    out = global_cumsum(df, "PRICE_DESC", "v", num_ranges=4)
+    assert sorted(r["cum"] for r in out.collect()) == list(range(1, 11))
