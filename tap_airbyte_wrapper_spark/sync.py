@@ -63,8 +63,19 @@ class Engine:
           "state_path": "state.json",
           "parallelism": 4,                 # concurrent stream jobs (file sinks)
           "sink": {"type": "stdout" | "files" | "parquet" | "json",
-                   "path": ..., "mode": "append"}
-        }
+                   "path": ..., "mode": "append"},
+          # declarative data-quality gate, evaluated BEFORE the write:
+          "expectations": {"events": [
+              {"column": "event_id", "kind": "not_null"},
+              {"column": "event_id", "kind": "unique"},
+              {"column": "user_id", "kind": "foreign_key",
+               "ref_stream": "users", "ref_col": "user_id"}]},
+          "expectations_mode": "warn"       # or "fail": violating batch
+        }                                   # never reaches the sink
+
+    Beyond-reference: the reference ships records downstream unexamined
+    (quality = JSON-schema typing only); here the quality layer
+    (``operators/quality.py``) plugs into the sync path as config.
     """
 
     def __init__(self, spark: SparkSession, config: dict[str, Any]):
@@ -120,6 +131,7 @@ class Engine:
         catalog = self.discover().configured()
         sink = self.config.get("sink") or {"type": "stdout"}
         entries = list(catalog)
+        self._expectations = self._build_expectations()
 
         # The reference runs one consumer thread per stream (tap.py:789-791)
         # to overlap I/O on a single pipe; here driver threads submit
@@ -160,6 +172,7 @@ class Engine:
         base = self.stream_df(entry)
         for out_name, df in self.mapper.apply(entry.name, base):
             pks = self.mapper.key_properties_override(entry.name) or entry.primary_keys
+            self._check_expectations(entry.name, df)
             n, cursor_max = self._write(df, out_name, entry, pks, sink, out)
             counts[out_name] = counts.get(out_name, 0) + n
             # Commit ordering: bookmark only after the sink accepted the
@@ -177,6 +190,53 @@ class Engine:
             "synced stream %s in %.2fs", entry.name, time.perf_counter() - t0
         )
         return counts
+
+    def _build_expectations(self) -> "dict[str, list]":
+        """Compile config-declared quality rules per stream; a
+        ``foreign_key`` rule's ``ref_stream`` resolves to a read of
+        that stream from the same source (key columns only reach the
+        join, so the gate's extra cost is key-projected scans)."""
+        from .operators.quality import Expectation
+
+        spec = self.config.get("expectations") or {}
+        compiled: dict[str, list] = {}
+        for stream, rules in spec.items():
+            exps = []
+            for rule in rules:
+                kw = dict(rule)
+                column = kw.pop("column")
+                kind = kw.pop("kind")
+                ref_stream = kw.pop("ref_stream", None)
+                if ref_stream is not None:
+                    ref_entry = self.discover().get(ref_stream)
+                    kw["ref"] = self.source.read(self.spark, ref_entry)
+                exps.append(Expectation(column, kind, **kw))
+            compiled[stream] = exps
+        return compiled
+
+    def _check_expectations(self, stream: str, df: DataFrame) -> None:
+        """Evaluate the stream's declared rules BEFORE the write — in
+        ``fail`` mode a violating batch never reaches the sink (and the
+        bookmark never advances, so the fixed source re-syncs cleanly);
+        ``warn`` (default) logs and proceeds.  Cost: one extra
+        aggregate job per synced stream that declares rules."""
+        from .operators.quality import validate_expectations
+        from .sources import SourceError
+
+        exps = getattr(self, "_expectations", {}).get(stream)
+        if not exps:
+            return
+        rows = validate_expectations(df, exps).collect()
+        bad = [r for r in rows if not r["passed"]]
+        for r in bad:
+            logger.warning(
+                "expectation %s failed on stream %s: %d violations",
+                r["expectation"], stream, r["n_violations"])
+        if bad and self.config.get("expectations_mode", "warn") == "fail":
+            raise SourceError(
+                f"stream {stream!r} failed expectations: "
+                + ", ".join(f"{r['expectation']}({r['n_violations']})"
+                            for r in bad))
 
     def _write(
         self,

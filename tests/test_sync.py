@@ -5,6 +5,8 @@ distributed sinks."""
 import io
 import json
 
+import pytest
+
 from tap_airbyte_wrapper_spark.catalog import SyncMode
 from tap_airbyte_wrapper_spark.sources import get_source
 from tap_airbyte_wrapper_spark.sync import Engine
@@ -364,3 +366,62 @@ def test_schema_drift_merge_policy(spark, tmp_path):
     out2 = tolerant.read(spark, entry2)
     rows = {r.id: r.score for r in out2.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_sync_expectations_warn_and_fail(spark, sf_dir, tmp_path, caplog):
+    """Config-declared quality rules gate the sync: warn mode logs and
+    lands the batch; fail mode blocks the write AND the bookmark."""
+    import logging
+
+    from tap_airbyte_wrapper_spark.sources import SourceError
+    from tap_airbyte_wrapper_spark.sync import Engine
+
+    base_cfg = {
+        "source": "dataset_dir",
+        "source_config": {"path": sf_dir},
+        "streams": ["events"],
+        "sink": {"type": "parquet", "path": str(tmp_path / "out"),
+                 "mode": "overwrite"},
+        "expectations": {"events": [
+            {"column": "event_id", "kind": "not_null"},
+            {"column": "value", "kind": "in_range",
+             "lo": 0.0, "hi": 1.0},          # violated: values go to ~490
+        ]},
+    }
+    with caplog.at_level(logging.WARNING,
+                         logger="tap_airbyte_wrapper_spark"):
+        res = Engine(spark, dict(base_cfg)).sync()
+    assert res.stream_counts.get("events", 0) > 0   # warn mode lands
+    assert any("value:in_range" in r.message for r in caplog.records)
+
+    failing = dict(base_cfg)
+    failing["expectations_mode"] = "fail"
+    failing["sink"] = {"type": "parquet",
+                       "path": str(tmp_path / "out2"), "mode": "overwrite"}
+    failing["state_path"] = str(tmp_path / "state.json")
+    failing["replication_method"] = {"events": "INCREMENTAL"}
+    with pytest.raises(SourceError, match="value:in_range"):
+        Engine(spark, failing).sync()
+    import os
+    assert not os.path.exists(str(tmp_path / "out2" / "events"))
+    assert not os.path.exists(str(tmp_path / "state.json"))
+
+
+def test_sync_expectations_foreign_key_ref_stream(spark, sf_dir, tmp_path):
+    from tap_airbyte_wrapper_spark.sync import Engine
+
+    cfg = {
+        "source": "dataset_dir",
+        "source_config": {"path": sf_dir},
+        "streams": ["orders"],
+        "sink": {"type": "parquet", "path": str(tmp_path / "out"),
+                 "mode": "overwrite"},
+        "expectations_mode": "fail",
+        "expectations": {"orders": [
+            {"column": "o_custkey", "kind": "foreign_key",
+             "ref_stream": "customer", "ref_col": "c_custkey"},
+        ]},
+    }
+    # intact referential integrity: the fail gate passes the batch
+    res = Engine(spark, cfg).sync()
+    assert res.stream_counts.get("orders", 0) > 0
