@@ -2107,17 +2107,19 @@ QUERIES = {
     "sessionization": q_sessionization,
     "contamination_docs": q_contamination_docs,
     "label_centroids": q_label_centroids,
-    # -- round-5 session-2..4 additions (oracle-backed, below the
+    # -- round-5 session-2..5 additions (oracle-backed, below the
     # -- window this round).  ROUND-6 ROTATION NOTE: every entry from
     # -- here through sample_per_language has never been driver-checked
-    # -- (21 entries: pack_sequences / clean_holdout / temperature /
-    # -- lm_perplexity / remove_dup_spans / incremental_agg /
-    # -- snapshot_diff / histogram_quantile / pseudonymize / strip_html
-    # -- / canonical_url / covariance / heavy hitters / scd2 /
-    # -- weighted_sample / normalize / chunk / sample_per_language) —
-    # -- move them, plus the r05-window survivors worth re-verifying,
-    # -- into positions 1-50 next round and rotate out r05-green
-    # -- entries whose code did not change. -------------------------
+    # -- (26 entries: pack_sequences / clean_holdout / dedup_cluster
+    # -- stats / melt / fk_violations / upsample / source_quality /
+    # -- temperature / lm_perplexity / remove_dup_spans /
+    # -- incremental_agg / snapshot_diff / histogram_quantile /
+    # -- pseudonymize / strip_html / canonical_url / covariance /
+    # -- heavy hitters / scd2 / weighted_sample / normalize / chunk /
+    # -- sample_per_language) — move them, plus the r05-window
+    # -- survivors worth re-verifying, into positions 1-50 next round
+    # -- and rotate out r05-green entries whose code did not
+    # -- change. ----------------------------------------------------
     "pack_sequences_docs": q_pack_sequences,
     "clean_holdout_docs": q_clean_holdout,
     "dedup_cluster_stats": q_dedup_cluster_stats,

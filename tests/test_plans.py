@@ -313,9 +313,10 @@ def test_round5_batch45_plan_shapes(plans):
         p = plans(name)
         assert "Exchange" not in p, f"{name} shuffles:\n{p}"
     # snapshot diff: digests computed BELOW the join (the join carries
-    # keys + md5, never payload columns), exactly one full-outer join
+    # keys + 8-byte xxhash64 digests, never payload columns), exactly
+    # one full-outer join
     p = plans("snapshot_diff_orders")
-    assert "FullOuter" in p and "md5" in p
+    assert "FullOuter" in p and "xxhash64" in p
     # payload columns are hashed away below the join: the join's output
     # section mentions only the key and digest columns
     assert "o_orderpriority" not in p.split("SortMergeJoin")[-1]
