@@ -123,6 +123,53 @@ class Engine:
                 return self.source.read_incremental(self.spark, entry, bookmark)
         return self.source.read(self.spark, entry)
 
+    # ------------------------------------------------------------ backfill
+
+    def backfill(
+        self,
+        stream: str,
+        lo: Any,
+        hi: Any,
+        sink: dict[str, Any] | None = None,
+    ) -> int:
+        """Re-sync ONE historical cursor window ``[lo, hi)`` of a
+        stream WITHOUT touching the forward bookmark — the ops move
+        after a bad upstream day: patch the window, leave the
+        continuously-running incremental sync's state alone.
+
+        The range lands as a filter on the raw cursor column, so both
+        bounds push into the scan (footer/row-group pruning on a
+        cursor-sorted layout skips everything outside the window).
+        Stream maps apply exactly as in a normal sync; with a key-less
+        append sink the caller should expect the window's rows
+        duplicated (route backfills at a merge sink — keyed upsert
+        makes the patch idempotent).  Returns the record count.
+
+        Beyond-reference: the reference can only replay from a doctored
+        state file, which MOVES the real bookmark (tap.py:819-884).
+        """
+        entry = self.discover().configured().get(stream)
+        if not entry.replication_key:
+            raise ValueError(
+                f"stream {stream!r} has no cursor column to backfill by")
+        cur = F.col(entry.replication_key)
+        window = self.source.read(self.spark, entry).filter(
+            (cur >= F.lit(lo)) & (cur < F.lit(hi)))
+        sink = sink or self.config.get("sink") or {"type": "stdout"}
+        total = 0
+        self._expectations = self._build_expectations()
+        for out_name, df in self.mapper.apply(entry.name, window):
+            pks = (self.mapper.key_properties_override(entry.name)
+                   or entry.primary_keys)
+            self._check_expectations(entry.name, df)
+            # _write computes the max cursor in-pass, but backfill
+            # intentionally drops it: the forward bookmark must not move
+            n, _ = self._write(df, out_name, entry, pks, sink, None)
+            total += n
+        logger.info("backfilled %d records of %s in [%s, %s)",
+                    total, stream, lo, hi)
+        return total
+
     # ---------------------------------------------------------------- sync
 
     def sync(self, out: IO[str] | None = None) -> SyncResult:

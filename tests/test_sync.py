@@ -425,3 +425,56 @@ def test_sync_expectations_foreign_key_ref_stream(spark, sf_dir, tmp_path):
     # intact referential integrity: the fail gate passes the batch
     res = Engine(spark, cfg).sync()
     assert res.stream_counts.get("orders", 0) > 0
+
+
+def test_backfill_window_without_moving_bookmark(spark, sf_dir, tmp_path):
+    """Backfill patches one historical cursor window; the forward
+    bookmark is untouched, so the next incremental sync still resumes
+    from where the LAST FULL SYNC left off."""
+    import json as _json
+
+    from tap_airbyte_wrapper_spark.sync import Engine
+
+    state = str(tmp_path / "state.json")
+    cfg = {
+        "source": "dataset_dir",
+        "source_config": {"path": sf_dir},
+        "streams": ["events"],
+        "replication_method": {"events": "INCREMENTAL"},
+        "state_path": state,
+        "sink": {"type": "parquet", "path": str(tmp_path / "out"),
+                 "mode": "overwrite"},
+    }
+    eng = Engine(spark, cfg)
+    eng.sync()
+    committed = open(state).read()
+
+    # patch one mid-January day into its own directory
+    n = eng.backfill(
+        "events", "2024-01-05 00:00:00", "2024-01-06 00:00:00",
+        sink={"type": "parquet", "path": str(tmp_path / "patch"),
+              "mode": "overwrite"})
+    got = spark.read.parquet(str(tmp_path / "patch" / "events"))
+    assert got.count() == n > 0
+    ts = [r["ts"] for r in got.select("ts").collect()]
+    import datetime
+    assert min(ts) >= datetime.datetime(2024, 1, 5)
+    assert max(ts) < datetime.datetime(2024, 1, 6)
+    # the committed state file did not move
+    assert open(state).read() == committed
+    # and a fresh incremental sync sees no new records
+    res = Engine(spark, cfg).sync()
+    assert res.stream_counts.get("events", 0) == 0
+
+
+def test_backfill_requires_cursor(spark, sf_dir, tmp_path):
+    from tap_airbyte_wrapper_spark.sync import Engine
+
+    cfg = {
+        "source": "dataset_dir",
+        "source_config": {"path": sf_dir},
+        "streams": ["region"],
+        "sink": {"type": "parquet", "path": str(tmp_path / "o")},
+    }
+    with pytest.raises(ValueError, match="cursor"):
+        Engine(spark, cfg).backfill("region", 0, 1)
