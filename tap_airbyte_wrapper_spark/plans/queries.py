@@ -2969,13 +2969,25 @@ ORACLES = {
                  count(value) OVER w AS n
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+        -- Spark's round() goes through the double's SHORTEST DECIMAL
+        -- representation (BigDecimal.valueOf) with HALF_UP; DuckDB's
+        -- rounds the raw binary, so z = 6.07144999323216 lands on
+        -- opposite sides of the .XXXX45 boundary (seen at sf0.1).
+        -- Routing through VARCHAR -> DECIMAL replicates the
+        -- shortest-repr decimal chain exactly; cast back to DOUBLE
+        -- for schema parity.
+        z AS (
+          SELECT user_id, event_id, ts, value, sd, n,
+                 round(CAST(CAST((value - m) / sd AS VARCHAR)
+                            AS DECIMAL(30, 15)), 6) AS z6
+          FROM s)
         SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                round(value, 4) AS value_r,
-               round(round((value - m) / sd, 6), 4) AS z_r
-        FROM s
+               CAST(round(z6, 4) AS DOUBLE) AS z_r
+        FROM z
         WHERE n >= 3 AND sd IS NOT NULL AND sd > 0
-          AND abs(round((value - m) / sd, 6)) > 2.0""",
+          AND abs(z6) > 2.0""",
     "shard_stats": """
         SELECT CAST(concat('0x',
                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
