@@ -86,6 +86,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--config", action="append", default=[])
     ap.add_argument("--catalog", default=None)
     ap.add_argument("--state", default=None)
+    ap.add_argument("--backfill", default=None, metavar="STREAM",
+                    help="re-sync one historical cursor window of STREAM "
+                         "without moving the forward bookmark "
+                         "(requires --backfill-range)")
+    ap.add_argument("--backfill-range", nargs=2, default=None,
+                    metavar=("LO", "HI"),
+                    help="half-open cursor window [LO, HI) for --backfill")
     ap.add_argument("--explain", default=None, metavar="QUERY",
                     help="print the formatted physical plan of a registry "
                          "query (list names with --explain list)")
@@ -140,6 +147,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0 if ok else 1
     if args.discover:
         print(json.dumps(engine.discover().to_dict(), indent=2, sort_keys=True))
+        return 0
+    if args.backfill:
+        if not args.backfill_range:
+            print("error: --backfill needs --backfill-range LO HI",
+                  file=sys.stderr)
+            return 2
+        lo, hi = args.backfill_range
+        n = engine.backfill(args.backfill, lo, hi)
+        print(json.dumps({"backfilled": n, "stream": args.backfill,
+                          "range": [lo, hi]}))
         return 0
 
     if args.catalog:

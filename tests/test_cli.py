@@ -69,3 +69,26 @@ def test_cli_explain_list_and_unknown(capsys):
     out = capsys.readouterr().out
     assert "q1_pricing_summary" in out
     assert main(["--explain", "no_such_query"]) == 1
+
+
+def test_cli_backfill(tmp_path, capsys):
+    import json
+
+    from tap_airbyte_wrapper_spark.cli import main
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "source": "dataset_dir",
+        "source_config": {"path": "/root/testdata/sf0.001"},
+        "streams": ["events"],
+        "replication_method": {"events": "INCREMENTAL"},
+        "sink": {"type": "parquet", "path": str(tmp_path / "out"),
+                 "mode": "overwrite"},
+    }))
+    rc = main(["--config", str(cfg), "--backfill", "events",
+               "--backfill-range", "2024-01-05 00:00:00",
+               "2024-01-06 00:00:00"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stream"] == "events" and out["backfilled"] > 0
+    assert main(["--config", str(cfg), "--backfill", "events"]) == 2
