@@ -53,7 +53,8 @@ from pyspark.sql import DataFrame, functions as F
 from .corpus import words
 
 __all__ = ["BigramLM", "train_bigram_lm", "score_perplexity",
-           "perplexity_filter"]
+           "perplexity_filter", "merge_bigram_lm", "save_bigram_lm",
+           "load_bigram_lm"]
 
 
 @dataclass
@@ -256,3 +257,63 @@ def perplexity_filter(
         lo, hi = band
         out = out.filter(F.col("avg_nll").between(lo, hi))
     return out
+
+
+def merge_bigram_lm(a: BigramLM, b: BigramLM) -> BigramLM:
+    """Merge two LMs trained on DISJOINT corpora into the LM of their
+    union — count tables are mergeable partials (union + sum), totals
+    add.  This is the incremental-analytics shape the HLL/histogram
+    sketch tables use: train per-day models as batches land, merge for
+    any window, never re-scan history.  Merging capped models is
+    refused: a top-k cut is not distributive (a token can clear the
+    cap in the union while missing both per-part caps), so cap once,
+    after the final merge.
+    """
+    if a.capped or b.capped:
+        raise ValueError(
+            "merge uncapped models, then cap: top-k cuts are not "
+            "distributive over the merge")
+    if a.add_k != b.add_k:
+        raise ValueError(f"add_k mismatch: {a.add_k} vs {b.add_k}")
+    uni = (
+        a.unigrams.unionByName(b.unigrams)
+        .groupBy("tok").agg(F.sum("c_uni").alias("c_uni"))
+    )
+    big = (
+        a.bigrams.unionByName(b.bigrams)
+        .groupBy("w1", "w2").agg(F.sum("c_big").alias("c_big"))
+    )
+    # vocab_size is NOT a sum (shared tokens); recount from the merged
+    # table — one tiny agg over model rows, never the corpora
+    v = int(uni.agg(F.count(F.lit(1)).alias("v")).collect()[0]["v"] or 0)
+    return BigramLM(uni, big, a.total_tokens + b.total_tokens, v,
+                    a.add_k, False, False)
+
+
+def save_bigram_lm(lm: BigramLM, path: str) -> None:
+    """Persist the model as parquet tables + a meta file (the same
+    one-artifact shape as ``save_pca``/``save_text_classifier``)."""
+    import json as _json
+    import os as _os
+
+    lm.unigrams.write.mode("overwrite").parquet(_os.path.join(path, "uni"))
+    lm.bigrams.write.mode("overwrite").parquet(_os.path.join(path, "big"))
+    with open(_os.path.join(path, "_lm_meta.json"), "w") as f:
+        _json.dump({
+            "total_tokens": lm.total_tokens, "vocab_size": lm.vocab_size,
+            "add_k": lm.add_k, "uni_capped": lm.uni_capped,
+            "big_capped": lm.big_capped,
+        }, f)
+
+
+def load_bigram_lm(spark, path: str) -> BigramLM:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_lm_meta.json")) as f:
+        meta = _json.load(f)
+    return BigramLM(
+        spark.read.parquet(_os.path.join(path, "uni")),
+        spark.read.parquet(_os.path.join(path, "big")),
+        meta["total_tokens"], meta["vocab_size"], meta["add_k"],
+        meta["uni_capped"], meta["big_capped"])

@@ -656,3 +656,59 @@ def test_value_bucket_plain_column_named_desc(spark):
         [Row(PRICE_DESC=float(i), v=1) for i in range(10)])
     out = global_cumsum(df, "PRICE_DESC", "v", num_ranges=4)
     assert sorted(r["cum"] for r in out.collect()) == list(range(1, 11))
+
+
+def test_lm_merge_equals_union_train(spark):
+    from tap_airbyte_wrapper_spark.functions import (
+        merge_bigram_lm, train_bigram_lm)
+
+    day1 = _docs(spark, ["the cat sat on the mat"] * 5)
+    day2 = spark.createDataFrame(
+        [Row(doc_id=100 + i, text="a dog ran in the park")
+         for i in range(5)])
+    both = day1.unionByName(day2)
+    merged = merge_bigram_lm(train_bigram_lm(day1), train_bigram_lm(day2))
+    direct = train_bigram_lm(both)
+    assert merged.total_tokens == direct.total_tokens
+    assert merged.vocab_size == direct.vocab_size
+    mu = {r["tok"]: r["c_uni"] for r in merged.unigrams.collect()}
+    du = {r["tok"]: r["c_uni"] for r in direct.unigrams.collect()}
+    assert mu == du
+    mb = {(r["w1"], r["w2"]): r["c_big"] for r in merged.bigrams.collect()}
+    db = {(r["w1"], r["w2"]): r["c_big"] for r in direct.bigrams.collect()}
+    assert mb == db
+    # scoring under merged == scoring under direct
+    s_m = {r["doc_id"]: r["avg_nll"]
+           for r in score_perplexity(both, merged).collect()}
+    s_d = {r["doc_id"]: r["avg_nll"]
+           for r in score_perplexity(both, direct).collect()}
+    assert s_m == s_d
+
+
+def test_lm_merge_refuses_capped(spark):
+    from tap_airbyte_wrapper_spark.functions import (
+        merge_bigram_lm, train_bigram_lm)
+
+    a = train_bigram_lm(_docs(spark, ["x y"]), max_vocab=1)
+    b = train_bigram_lm(_docs(spark, ["x y"]))
+    with pytest.raises(ValueError, match="cap"):
+        merge_bigram_lm(a, b)
+
+
+def test_lm_save_load_roundtrip(spark, tmp_path):
+    from tap_airbyte_wrapper_spark.functions import (
+        load_bigram_lm, save_bigram_lm, train_bigram_lm)
+
+    docs = _docs(spark, ["the cat sat on the mat"] * 3)
+    lm = train_bigram_lm(docs, max_vocab=4, max_bigrams=4)
+    save_bigram_lm(lm, str(tmp_path / "lm"))
+    loaded = load_bigram_lm(spark, str(tmp_path / "lm"))
+    assert (loaded.total_tokens, loaded.vocab_size, loaded.add_k,
+            loaded.uni_capped, loaded.big_capped) == (
+        lm.total_tokens, lm.vocab_size, lm.add_k,
+        lm.uni_capped, lm.big_capped)
+    a = {r["doc_id"]: r["avg_nll"]
+         for r in score_perplexity(docs, lm).collect()}
+    b = {r["doc_id"]: r["avg_nll"]
+         for r in score_perplexity(docs, loaded).collect()}
+    assert a == b
