@@ -148,23 +148,27 @@ def main(argv: list[str] | None = None) -> int:
     if args.discover:
         print(json.dumps(engine.discover().to_dict(), indent=2, sort_keys=True))
         return 0
-    if args.backfill:
-        if not args.backfill_range:
-            print("error: --backfill needs --backfill-range LO HI",
-                  file=sys.stderr)
-            return 2
-        lo, hi = args.backfill_range
-        n = engine.backfill(args.backfill, lo, hi)
-        print(json.dumps({"backfilled": n, "stream": args.backfill,
-                          "range": [lo, hi]}))
-        return 0
-
     if args.catalog:
         with open(args.catalog) as f:
             cat_doc = json.load(f)
         config["streams"] = [
             s["name"] for s in cat_doc.get("streams", []) if s.get("selected", True)
         ]
+    if args.backfill:
+        if not args.backfill_range:
+            print("error: --backfill needs --backfill-range LO HI",
+                  file=sys.stderr)
+            return 2
+        lo, hi = args.backfill_range
+        try:
+            n = engine.backfill(args.backfill, lo, hi)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(json.dumps({"backfilled": n, "stream": args.backfill,
+                          "range": [lo, hi]}))
+        return 0
+
     engine.sync()
     return 0
 

@@ -275,16 +275,21 @@ def merge_bigram_lm(a: BigramLM, b: BigramLM) -> BigramLM:
             "distributive over the merge")
     if a.add_k != b.add_k:
         raise ValueError(f"add_k mismatch: {a.add_k} vs {b.add_k}")
+    # materialize the merged tables: the inputs are LAZY plans rooted
+    # at their training corpora (only capped tables checkpoint at
+    # train time, and capped models don't reach here), so without this
+    # the vocab recount below — and EVERY later scoring job, and every
+    # chained daily merge — would re-scan all the source corpora
     uni = (
         a.unigrams.unionByName(b.unigrams)
         .groupBy("tok").agg(F.sum("c_uni").alias("c_uni"))
-    )
+    ).localCheckpoint(eager=True)
     big = (
         a.bigrams.unionByName(b.bigrams)
         .groupBy("w1", "w2").agg(F.sum("c_big").alias("c_big"))
-    )
-    # vocab_size is NOT a sum (shared tokens); recount from the merged
-    # table — one tiny agg over model rows, never the corpora
+    ).localCheckpoint(eager=True)
+    # vocab_size is NOT a sum (shared tokens); recount from the
+    # materialized merged table — model rows, never the corpora
     v = int(uni.agg(F.count(F.lit(1)).alias("v")).collect()[0]["v"] or 0)
     return BigramLM(uni, big, a.total_tokens + b.total_tokens, v,
                     a.add_k, False, False)
@@ -296,8 +301,13 @@ def save_bigram_lm(lm: BigramLM, path: str) -> None:
     import json as _json
     import os as _os
 
-    lm.unigrams.write.mode("overwrite").parquet(_os.path.join(path, "uni"))
-    lm.bigrams.write.mode("overwrite").parquet(_os.path.join(path, "big"))
+    # sever the lineage before overwriting: a loaded (or loaded-and-
+    # merged) model's plan still READS path/uni — writing over it
+    # without materializing first is read-write-same-path corruption
+    uni = lm.unigrams.localCheckpoint(eager=True)
+    big = lm.bigrams.localCheckpoint(eager=True)
+    uni.write.mode("overwrite").parquet(_os.path.join(path, "uni"))
+    big.write.mode("overwrite").parquet(_os.path.join(path, "big"))
     with open(_os.path.join(path, "_lm_meta.json"), "w") as f:
         _json.dump({
             "total_tokens": lm.total_tokens, "vocab_size": lm.vocab_size,

@@ -2004,34 +2004,23 @@ def q_clean_holdout(spark, sf_dir):
     every test doc sharing ANY word 8-gram with the train split is
     dropped — the leakage guarantee an eval set needs.
 
-    Both splits come from the SAME corpus, so unlike the generic
-    ``ngram_contamination`` (separate benchmark input, tokenizes each
-    side), this tokenizes ONCE: one (doc, split, gram-hash) table
-    feeds both sides of a shuffled self-semi-join on the 8-byte hash
-    — never a broadcast of 80% of the corpus.  (At sf0.1 the gain is
-    modest — ~2.2s vs 2.3s, the semi-join shuffle dominates — but at
-    100 TB the avoided second shingling pass is a full corpus scan.)"""
-    from ..functions import hash_split
-    from ..functions.corpus import word_ngrams, words
+    The train side is corpus-sized, so the gram join runs as a
+    shuffled semi-join on 8-byte hashes
+    (``broadcast_benchmark=False``), never a broadcast of 80% of the
+    corpus.  Each side shingles only its own split — the filters sit
+    below the gram Generate in the plan — so the total tokenization
+    work already equals one corpus pass; an earlier inline
+    "tokenize-once" rewrite duplicated the operator's pipeline for a
+    measured ~0 gain and was reverted in favor of reuse."""
+    from ..functions import hash_split, ngram_contamination
 
     docs = _t(spark, sf_dir, "documents")
     split = hash_split(docs, "doc_id", train_pct=80)
-    grams = split.select(
-        "doc_id", "split",
-        F.explode(
-            F.array_distinct(
-                F.transform(word_ngrams(words(F.col("text")), 8),
-                            lambda g: F.xxhash64(g)))).alias("gram_h"),
-    )
-    train_grams = grams.filter(
-        F.col("split") == "train").select("gram_h").distinct()
-    hit_ids = (
-        grams.filter(F.col("split") == "test")
-        .join(train_grams, "gram_h", "semi")
-        .select("doc_id").distinct()
-    )
+    train = split.filter(F.col("split") == "train")
     test = split.filter(F.col("split") == "test")
-    return test.join(hit_ids, "doc_id", "left_anti").select(
+    hits = ngram_contamination(test, train, n=8,
+                               broadcast_benchmark=False)
+    return test.join(hits, "doc_id", "left_anti").select(
         "doc_id", "source", "lang")
 
 

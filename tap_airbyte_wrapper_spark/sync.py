@@ -148,7 +148,14 @@ class Engine:
         Beyond-reference: the reference can only replay from a doctored
         state file, which MOVES the real bookmark (tap.py:819-884).
         """
-        entry = self.discover().configured().get(stream)
+        from dataclasses import replace as _dc_replace
+
+        catalog = self.discover().configured()
+        if stream not in catalog:
+            raise ValueError(
+                f"stream {stream!r} not in the configured catalog "
+                f"(selected: {[e.name for e in catalog]})")
+        entry = catalog.get(stream)
         if not entry.replication_key:
             raise ValueError(
                 f"stream {stream!r} has no cursor column to backfill by")
@@ -158,13 +165,18 @@ class Engine:
         sink = sink or self.config.get("sink") or {"type": "stdout"}
         total = 0
         self._expectations = self._build_expectations()
-        for out_name, df in self.mapper.apply(entry.name, window):
+        # the write must NEVER track state for a backfill — the stdout
+        # sink in particular would REPLACE (and so regress) the forward
+        # bookmark and emit it as a Singer STATE message; demoting the
+        # entry to FULL_REFRESH for the write turns every cursor/state
+        # path off without touching the real catalog entry
+        w_entry = _dc_replace(entry, sync_mode=SyncMode.FULL_REFRESH)
+        base = window
+        self._check_expectations(entry.name, base)
+        for out_name, df in self.mapper.apply(entry.name, base):
             pks = (self.mapper.key_properties_override(entry.name)
                    or entry.primary_keys)
-            self._check_expectations(entry.name, df)
-            # _write computes the max cursor in-pass, but backfill
-            # intentionally drops it: the forward bookmark must not move
-            n, _ = self._write(df, out_name, entry, pks, sink, None)
+            n, _ = self._write(df, out_name, w_entry, pks, sink, None)
             total += n
         logger.info("backfilled %d records of %s in [%s, %s)",
                     total, stream, lo, hi)
@@ -217,9 +229,12 @@ class Engine:
         t0 = time.perf_counter()
         counts: dict[str, int] = {}
         base = self.stream_df(entry)
+        # expectations speak SOURCE column names, so they gate the
+        # pre-map frame (a stream map may rename/drop the column); one
+        # evaluation per stream, not per mapped output
+        self._check_expectations(entry.name, base)
         for out_name, df in self.mapper.apply(entry.name, base):
             pks = self.mapper.key_properties_override(entry.name) or entry.primary_keys
-            self._check_expectations(entry.name, df)
             n, cursor_max = self._write(df, out_name, entry, pks, sink, out)
             counts[out_name] = counts.get(out_name, 0) + n
             # Commit ordering: bookmark only after the sink accepted the
@@ -247,6 +262,7 @@ class Engine:
 
         spec = self.config.get("expectations") or {}
         compiled: dict[str, list] = {}
+        catalog = None
         for stream, rules in spec.items():
             exps = []
             for rule in rules:
@@ -255,14 +271,17 @@ class Engine:
                 kind = kw.pop("kind")
                 ref_stream = kw.pop("ref_stream", None)
                 if ref_stream is not None:
-                    ref_entry = self.discover().get(ref_stream)
+                    if catalog is None:   # one discovery for ALL rules
+                        catalog = self.discover()
+                    ref_entry = catalog.get(ref_stream)
                     kw["ref"] = self.source.read(self.spark, ref_entry)
                 exps.append(Expectation(column, kind, **kw))
             compiled[stream] = exps
         return compiled
 
     def _check_expectations(self, stream: str, df: DataFrame) -> None:
-        """Evaluate the stream's declared rules BEFORE the write — in
+        """Evaluate the stream's declared rules on the PRE-MAP frame
+        (rules reference SOURCE column names) BEFORE any write — in
         ``fail`` mode a violating batch never reaches the sink (and the
         bookmark never advances, so the fixed source re-syncs cleanly);
         ``warn`` (default) logs and proceeds.  Cost: one extra

@@ -478,3 +478,80 @@ def test_backfill_requires_cursor(spark, sf_dir, tmp_path):
     }
     with pytest.raises(ValueError, match="cursor"):
         Engine(spark, cfg).backfill("region", 0, 1)
+
+
+def test_backfill_stdout_sink_never_emits_or_moves_state(spark, sf_dir,
+                                                         tmp_path):
+    """The default stdout sink tracks state during a normal sync; a
+    backfill through it must neither regress the in-memory bookmark
+    nor emit a Singer STATE carrying the window's cursor."""
+    import io
+
+    from tap_airbyte_wrapper_spark.sync import Engine
+
+    state = str(tmp_path / "state.json")
+    cfg = {
+        "source": "dataset_dir",
+        "source_config": {"path": sf_dir},
+        "streams": ["events"],
+        "replication_method": {"events": "INCREMENTAL"},
+        "state_path": state,
+        "sink": {"type": "parquet", "path": str(tmp_path / "out"),
+                 "mode": "overwrite"},
+    }
+    eng = Engine(spark, cfg)
+    eng.sync()
+    before = eng.state.get_bookmark("events", "ts")
+
+    # backfill with NO sink argument and no config stdout override
+    # still must not touch state even on the stdout path
+    buf = io.StringIO()
+    import contextlib
+    with contextlib.redirect_stdout(buf):
+        eng.backfill("events", "2024-01-05 00:00:00",
+                     "2024-01-06 00:00:00", sink={"type": "stdout"})
+    assert eng.state.get_bookmark("events", "ts") == before
+    out = buf.getvalue()
+    assert '"type":"RECORD"' in out
+    # any STATE line must still carry the ORIGINAL bookmark, not the
+    # backfill window's max
+    for line in out.splitlines():
+        if '"type":"STATE"' in line:
+            assert "2024-01-05" not in line
+
+
+def test_sync_expectations_survive_stream_map_rename(spark, sf_dir,
+                                                     tmp_path, caplog):
+    """Rules reference SOURCE columns; a map that renames the column
+    must not break the gate (it runs pre-map)."""
+    import logging
+
+    from tap_airbyte_wrapper_spark.sync import Engine
+
+    cfg = {
+        "source": "dataset_dir",
+        "source_config": {"path": sf_dir},
+        "streams": ["events"],
+        "stream_maps": {"events": {"eid": "event_id",
+                                   "event_id": "__NULL__"}},
+        "sink": {"type": "parquet", "path": str(tmp_path / "out"),
+                 "mode": "overwrite"},
+        "expectations": {"events": [
+            {"column": "event_id", "kind": "not_null"},
+            {"column": "value", "kind": "in_range", "lo": 0.0, "hi": 1.0},
+        ]},
+    }
+    with caplog.at_level(logging.WARNING,
+                         logger="tap_airbyte_wrapper_spark"):
+        res = Engine(spark, cfg).sync()
+    assert res.stream_counts.get("events", 0) > 0
+    assert any("value:in_range" in r.message for r in caplog.records)
+
+
+def test_backfill_unknown_stream_friendly_error(spark, sf_dir):
+    from tap_airbyte_wrapper_spark.sync import Engine
+
+    cfg = {"source": "dataset_dir", "source_config": {"path": sf_dir},
+           "streams": ["events"]}
+    with pytest.raises(ValueError, match="not in the configured"):
+        Engine(spark, cfg).backfill("nope", 0, 1)
