@@ -712,3 +712,31 @@ def test_lm_save_load_roundtrip(spark, tmp_path):
     b = {r["doc_id"]: r["avg_nll"]
          for r in score_perplexity(docs, loaded).collect()}
     assert a == b
+
+
+def test_quality_weighted_sample_composition(spark):
+    """Classifier probability drives Efraimidis-Spirakis sampling: the
+    trained gate's scores feed weighted_sample directly, and the kept
+    set concentrates on the high-quality class — the curation
+    composition 'score, then sample by score'."""
+    from tap_airbyte_wrapper_spark.functions import (
+        classify, fit_text_classifier, weighted_sample)
+
+    good = [Row(doc_id=i, text="a well formed useful sentence about "
+                               f"science topic {i}", y=1)
+            for i in range(30)]
+    bad = [Row(doc_id=100 + i, text=f"spam spam buy now xxx {i}", y=0)
+           for i in range(30)]
+    df = spark.createDataFrame(good + bad)
+    model = fit_text_classifier(df, "y", dim=256, n_iter=60, lr=2.0)
+    scored = df.join(classify(df, model).select(
+        "doc_id", "quality_prob"), "doc_id")
+    kept = weighted_sample(scored, "quality_prob", "doc_id", k=20)
+    ids = [r["doc_id"] for r in kept.collect()]
+    assert len(ids) == 20
+    n_good = sum(1 for i in ids if i < 100)
+    assert n_good >= 15          # high-prob class dominates the sample
+    # deterministic composition: rerun -> identical keep set
+    again = [r["doc_id"] for r in weighted_sample(
+        scored, "quality_prob", "doc_id", k=20).collect()]
+    assert sorted(ids) == sorted(again)
