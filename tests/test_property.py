@@ -369,3 +369,28 @@ def test_pack_sequences_partition_property(spark_global, texts, seq_len):
         if r["n_tok"] > 0:
             assert r["seq_start"] == r["tok_start"] // seq_len
             assert r["seq_end"] == (r["tok_start"] + r["n_tok"] - 1) // seq_len
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.floats(min_value=0.1, max_value=3.9).map(lambda x: round(x, 1)))
+def test_upsample_repeat_threshold_exact_for_decimal_epochs(
+        spark_global, e):
+    """For any one-decimal epoch e, per-row multiplicity is exactly
+    floor(e) or ceil(e), and the md5-bucket threshold is the exact
+    decimal fraction (int() truncation of binary fractions like
+    2.3 % 1.0 once lost a bucket)."""
+    from tap_airbyte_wrapper_spark.functions import upsample_repeat
+
+    df = spark_global.createDataFrame(
+        [(i, "g") for i in range(500)], "doc_id long, source string")
+    out = upsample_repeat(df, {"g": e}, "source", "doc_id")
+    per = {}
+    for r in out.collect():
+        per[r["doc_id"]] = per.get(r["doc_id"], 0) + 1
+    import math
+    lo, hi = math.floor(e), math.ceil(e)
+    assert set(per.values()) <= {x for x in (lo, hi) if x > 0}
+    # empirical mean multiplicity tracks e (md5 buckets are near-
+    # uniform over 500 ids; generous tolerance)
+    total = sum(per.values())
+    assert abs(total / 500 - e) < 0.15
