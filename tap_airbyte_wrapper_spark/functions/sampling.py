@@ -18,11 +18,33 @@ __all__ = ["hash_bucket", "hash_split", "mixture_sample",
            "upsample_repeat"]
 
 
-def hash_bucket(col: Column, buckets: int = 100, salt: str = "") -> Column:
-    """Stable bucket in [0, buckets): md5 the id (+ salt), take the first
-    4 hex chars as an integer, mod buckets.  Engine-portable."""
+#: Width (hex chars) of the md5 prefix the samplers key on.  12 hex
+#: chars = 48 bits, so ``2**48 % buckets`` leaves a mod-bias below
+#: ``buckets / 2**48`` (< 4e-11 for the 10^4-bucket samplers here) —
+#: the earlier 16-bit prefix made 65536 % 10000 = 5536 buckets carry
+#: 7/65536 probability vs 6/65536 for the rest (~17% relative skew),
+#: so a 0.5 threshold actually kept ~53.4%.  48 bits also fit a double
+#: exactly (53-bit mantissa), keeping the uniforms below loss-free.
+HASH_HEX_CHARS = 12
+_HASH_SPACE = float(2 ** (4 * HASH_HEX_CHARS))  # 2^48
+
+
+def _hash_long(col: Column, salt: str = "") -> Column:
+    """First 48 bits of md5(id || salt) as a long — the shared key
+    every sampler derives buckets/uniforms from.  md5 (not xxhash64)
+    so any engine recomputes membership bit-for-bit: the DuckDB twin is
+    ``CAST(concat('0x', substr(md5(CAST(id AS VARCHAR) || salt), 1, 12))
+    AS BIGINT)``."""
     h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
-    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % buckets)
+    return F.conv(F.substring(h, 1, HASH_HEX_CHARS), 16, 10).cast("long")
+
+
+def hash_bucket(col: Column, buckets: int = 100, salt: str = "") -> Column:
+    """Stable bucket in [0, buckets): md5 the id (+ salt), take the
+    first 12 hex chars (48 bits) as an integer, mod buckets.  Engine-
+    portable; uniform to within ``buckets / 2**48`` (see
+    :data:`HASH_HEX_CHARS`)."""
+    return _hash_long(col, salt) % buckets
 
 
 def hash_split(
@@ -136,9 +158,16 @@ def weighted_sample(
     weights matter.  Rows with null/non-positive weight are excluded.
     Plan: per-row key expression + ``TakeOrderedAndProject`` — per-
     partition heaps, no global sort, no shuffle of non-winners.
+
+    The uniform takes all 48 hash bits (not a 16-bit bucket): at
+    billions of rows a 65536-value ``u`` would collide equal-weight
+    rows en masse and the id tie-break would systematically favor low
+    ids inside each colliding bucket; 48 bits push the first expected
+    collision out to ~2^24 rows per distinct weight and stay exactly
+    representable in a double.
     """
-    b = hash_bucket(F.col(id_col), 65536, salt)
-    u = (b.cast("double") + F.lit(0.5)) / F.lit(65536.0)
+    u = (_hash_long(F.col(id_col), salt).cast("double") + F.lit(0.5)) \
+        / F.lit(_HASH_SPACE)
     key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
@@ -246,8 +275,10 @@ def upsample_repeat(
     construction (:func:`temperature_weights` computes keep-rates
     capped at 1; training mixes also say "2.3 epochs of books"):
     every row of group g appears ``floor(e_g)`` or ``ceil(e_g)``
-    times so that the group's total multiplicity is e_g exactly in
-    expectation, decided per row by the md5-bucket of its id —
+    times so that the group's total multiplicity is e_g in expectation
+    (exact to the 48-bit bucket's < 4e-11 mod-bias; the earlier 16-bit
+    bucket skewed a 0.5 threshold to ~0.534), decided per row by the
+    md5-bucket of its id —
     deterministic, order/partition/seed-independent, and
     SQL-recomputable like every sampler here.  ``e < 1`` degrades
     gracefully to plain downsampling (``floor = 0`` + fractional

@@ -2730,7 +2730,7 @@ ORACLES = {
     "quality_scores": _QUALITY_SQL,
     "train_test_split": """
         SELECT CASE WHEN CAST(concat('0x',
-                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
                  % 100 < 80 THEN 'train' ELSE 'test' END AS split,
                count(*) AS n_docs, min(doc_id) AS min_id
         FROM documents GROUP BY 1""",
@@ -2923,8 +2923,8 @@ ORACLES = {
         FROM r WHERE rank <= 5""",
     "mixture_sample_docs": """
         SELECT doc_id, source FROM documents
-        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-                   AS INTEGER) % 10000
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                   AS BIGINT) % 10000
               < CASE source WHEN 'src0' THEN 10000
                             WHEN 'src1' THEN 5000
                             WHEN 'src2' THEN 2500
@@ -2996,7 +2996,7 @@ ORACLES = {
           AND abs(z6) > 2.0""",
     "shard_stats": """
         SELECT CAST(concat('0x',
-                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
                % 32768 % 32 AS shard,
                count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -3323,7 +3323,7 @@ ORACLES = {
                  CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
                              ELSE 1 END
                  + CASE WHEN CAST(concat('0x',
-                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
                         AS BIGINT) % 10000
                       < CASE source WHEN 'src0' THEN 5000
                                     WHEN 'src1' THEN 4000 ELSE 0 END
@@ -3385,7 +3385,7 @@ ORACLES = {
         WITH s AS (
           SELECT doc_id, source, lang, text,
                  (CAST(concat('0x',
-                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
                   % 100 < 80) AS is_train
           FROM documents),
         tg AS (
@@ -3603,9 +3603,9 @@ ORACLES = {
         SELECT doc_id, n_chars FROM (
           SELECT doc_id, n_chars,
                  pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
-                                               1, 4)) AS INTEGER)
-                      % 65536 + CAST(0.5 AS DOUBLE))
-                     / CAST(65536.0 AS DOUBLE),
+                                               1, 12)) AS BIGINT)
+                      + CAST(0.5 AS DOUBLE))
+                     / CAST(281474976710656.0 AS DOUBLE),
                      CAST(1.0 AS DOUBLE) / n_chars) AS key
           FROM documents
           WHERE n_chars IS NOT NULL AND n_chars > 0
