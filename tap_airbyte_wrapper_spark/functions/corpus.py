@@ -135,6 +135,42 @@ def _mg_summary(col_name: str, capacity: int):
     return gen
 
 
+def _hh_threshold_filter(counts: DataFrame, total: DataFrame,
+                         min_count: int, min_fraction: float,
+                         capacity: int, fn_name: str) -> DataFrame:
+    """Shared exact-recount tail: threshold filter PLUS a runtime
+    completeness guard.  The two-pass scheme is exact only when
+    ``threshold > N/capacity`` (equivalently ``threshold * capacity >
+    N`` — integer-exact); below that a token can evade every per-task
+    summary and the "exact" result silently under-reports.  The fleet's
+    own parameters honor the bound, but a caller passing e.g.
+    ``min_count=1`` on a corpus larger than ``capacity`` would not —
+    so the guarantee is enforced lazily via ``assert_true`` riding the
+    broadcast 1-row total (no driver collect, raises at execution with
+    the capacity to pass instead).
+    """
+    thresh = F.greatest(
+        F.lit(min_count).cast("long"),
+        F.ceil(F.lit(float(min_fraction)) * F.col("n_total")))
+    guard = F.assert_true(
+        thresh * F.lit(capacity) > F.col("n_total"),
+        F.concat(
+            F.lit(f"{fn_name}: completeness guarantee violated — "
+                  f"threshold "),
+            thresh.cast("string"),
+            F.lit(f" <= N/capacity with N="), F.col("n_total").cast("string"),
+            F.lit(f", capacity={capacity}; raise capacity above "),
+            F.ceil(F.col("n_total") / thresh).cast("string"),
+            F.lit(" or raise min_count/min_fraction")))
+    out_cols = [c for c in counts.columns if c != "cnt"] + ["cnt"]
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(guard.isNull())
+        .filter(F.col("cnt") >= thresh)
+        .select(*out_cols)
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     text_col: str = "text",
@@ -155,7 +191,10 @@ def heavy_hitters(
        <= N/capacity — so the candidate set contains every token at or
        above the threshold whenever ``threshold > N/capacity`` (always
        true for the fraction form when ``capacity > 1/min_fraction``,
-       *independent of corpus size* — the right knob at 100 TB).
+       *independent of corpus size* — the right knob at 100 TB).  The
+       condition is ENFORCED at execution time: a parameterization
+       that cannot guarantee completeness raises instead of silently
+       under-reporting (see :func:`_hh_threshold_filter`).
     2. one JVM explode scan recounts ONLY the candidates (broadcast
        left-semi on the <= tasks*capacity candidate words) — the shuffle
        carries candidate words only, with map-side combine.
@@ -183,13 +222,8 @@ def heavy_hitters(
         .join(F.broadcast(cand), "word", "left_semi")
         .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.greatest(
-            F.lit(min_count).cast("long"),
-            F.ceil(F.lit(float(min_fraction)) * F.col("n_total"))))
-        .select("word", "cnt")
-    )
+    return _hh_threshold_filter(counts, total, min_count, min_fraction,
+                                capacity, "heavy_hitters")
 
 
 def heavy_hitter_values(
@@ -231,13 +265,8 @@ def heavy_hitter_values(
         .join(F.broadcast(cand), "value", "left_semi")
         .groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.greatest(
-            F.lit(min_count).cast("long"),
-            F.ceil(F.lit(float(min_fraction)) * F.col("n_total"))))
-        .select("value", "cnt")
-    )
+    return _hh_threshold_filter(counts, total, min_count, min_fraction,
+                                capacity, "heavy_hitter_values")
 
 
 def chunk_documents(

@@ -70,3 +70,40 @@ def test_weighted_sample_equal_weights_not_low_id_biased(spark):
     # uniform-draw mean ~ n/2 with sd ~ n/sqrt(12k) ≈ 289 here
     sd = n / math.sqrt(12 * k)
     assert abs(mean_id - n / 2) < 4 * sd
+
+
+# ---------------------------------------------------------------------
+# heavy-hitters completeness guard (round-5 verdict wrong #3)
+# ---------------------------------------------------------------------
+
+def test_heavy_hitters_unsatisfiable_threshold_raises(spark):
+    """min_count=1 with N >= capacity cannot guarantee completeness;
+    the guard must raise instead of silently under-reporting."""
+    rows = [(f"w{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "text string")
+    from tap_airbyte_wrapper_spark.functions import heavy_hitters
+
+    out = heavy_hitters(df, min_count=1, capacity=50)
+    with pytest.raises(Exception, match="completeness guarantee"):
+        out.collect()
+
+
+def test_heavy_hitter_values_unsatisfiable_threshold_raises(spark):
+    from tap_airbyte_wrapper_spark.functions import heavy_hitter_values
+
+    df = spark.range(300).select(F.col("id").alias("k"))
+    out = heavy_hitter_values(df, "k", min_count=2, capacity=100)
+    with pytest.raises(Exception, match="completeness guarantee"):
+        out.collect()
+
+
+def test_heavy_hitters_guard_passes_at_boundary(spark):
+    """threshold * capacity > N strictly: N=100, min_count=3,
+    capacity=50 gives 150 > 100 — must not raise."""
+    from tap_airbyte_wrapper_spark.functions import heavy_hitters
+
+    rows = [("x",)] * 90 + [(f"y{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "text string")
+    got = {r["word"]: r["cnt"]
+           for r in heavy_hitters(df, min_count=3, capacity=50).collect()}
+    assert got == {"x": 90}
