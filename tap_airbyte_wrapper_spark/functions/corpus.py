@@ -724,6 +724,11 @@ def pack_sequences(
     bucketed two-phase cumulative sum, parallelism = ``num_ranges``,
     no materialization — and everything after the cumsum is per-row
     arithmetic.  Token counting itself is per-row, zero shuffle.
+
+    String doc-ids are supported directly: the concat order becomes
+    ``(xxhash64(id), id)`` — deterministic and partitioning-
+    independent, which is all a packing layout needs (and hash order
+    doubles as a free document shuffle for training).
     """
     from ..operators.windows import global_cumsum
     from .text import token_count

@@ -116,10 +116,20 @@ def _is_sort_order(c: Column) -> bool:
     """True when the Column wraps a SortOrder (``.asc()``/``.desc()``)
     rather than a plain expression — such a column cannot be projected
     with ``withColumn`` and carries a direction the ascending
-    value-bucket formula does not honor.  A SortOrder always prints
-    with a NULLS FIRST/LAST suffix, which a plain column named e.g.
-    ``PRICE_DESC`` does not — matching on that suffix avoids
-    misrouting ordinary columns to the materializing fallback."""
+    value-bucket formula does not honor.
+
+    Primary detection inspects the underlying Catalyst expression
+    class (exact, immune to repr-format drift and to a plain column
+    literally named ``'x NULLS FIRST'``).  The repr-suffix match is
+    kept only as a last-resort fallback for clients without a JVM
+    column handle (e.g. Spark Connect), where a SortOrder still
+    prints with a NULLS FIRST/LAST suffix."""
+    for accessor in ("node", "expr"):  # Spark 4 ColumnNode / Spark 3 expr
+        try:
+            node = getattr(c._jc, accessor)()
+            return node.getClass().getSimpleName() == "SortOrder"
+        except Exception:
+            continue
     r = str(c)
     return r.endswith("NULLS FIRST'>") or r.endswith("NULLS LAST'>")
 
@@ -260,6 +270,17 @@ def global_cumsum(
     ``order_col`` must be a total order (unique) for the result to be
     well-defined; ties make the within-tie order — and therefore the
     running sum at the tied rows — partition-dependent.
+
+    A NON-numeric order key (string doc-ids — the common case in web
+    corpora) is handled by re-keying on ``xxhash64(key)`` with the raw
+    key as tie-break: still a deterministic, partitioning-independent
+    total order (what sequence packing needs), just hash order rather
+    than lexicographic.  The approxQuantile boundary pass runs on the
+    uniform 64-bit hash, so bucket balance is ideal regardless of id
+    shape; hash collisions stay inside one bucket (the bucket is a
+    pure function of the hash value) and the raw-key tie-break keeps
+    the order total.  Callers that need LEXICOGRAPHIC string order
+    must pre-map the key to a numeric rank themselves.
     """
     from pyspark.sql.types import NumericType
 
@@ -268,11 +289,14 @@ def global_cumsum(
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
     vc = F.col(value_col) if isinstance(value_col, str) else value_col
     if _is_sort_order(oc):
-        raise TypeError("global_cumsum takes a plain ascending numeric "
+        raise TypeError("global_cumsum takes a plain ascending "
                         "order column, not a SortOrder")
     keyed = df.withColumn("__k0", oc).withColumn("__v0", vc)
+    order_cols = ["__k0"]
     if not isinstance(keyed.schema["__k0"].dataType, NumericType):
-        raise TypeError("global_cumsum needs a numeric order column")
+        keyed = keyed.withColumn("__kraw", F.col("__k0")) \
+            .withColumn("__k0", F.xxhash64(F.col("__k0")))
+        order_cols = ["__k0", "__kraw"]
     parts = _value_buckets(keyed, num_ranges)
     sums = {r["__pid"]: r["s"] or 0
             for r in parts.groupBy("__pid")
@@ -282,11 +306,11 @@ def global_cumsum(
         offsets.append(acc)
         acc += sums.get(pid, 0)
     local_w = (
-        Window.partitionBy("__pid").orderBy("__k0")
+        Window.partitionBy("__pid").orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     offset = F.element_at(
         F.array(*[F.lit(o) for o in offsets]), F.col("__pid") + 1)
     return (
         parts.withColumn(out_col, F.sum("__v0").over(local_w) + offset)
-        .drop("__pid", "__k0", "__v0")
+        .drop("__pid", "__v0", *order_cols)
     )

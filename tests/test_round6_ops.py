@@ -107,3 +107,61 @@ def test_heavy_hitters_guard_passes_at_boundary(spark):
     got = {r["word"]: r["cnt"]
            for r in heavy_hitters(df, min_count=3, capacity=50).collect()}
     assert got == {"x": 90}
+
+
+# ---------------------------------------------------------------------
+# string-key global_cumsum / pack_sequences (round-5 verdict missing #3)
+# ---------------------------------------------------------------------
+
+def test_global_cumsum_string_key_matches_single_partition_window(spark):
+    """String keys re-key on (xxhash64(id), id); the two-phase result
+    must equal a plain single-partition window over the same order."""
+    from pyspark.sql import Window
+    from tap_airbyte_wrapper_spark.operators.windows import global_cumsum
+
+    df = spark.createDataFrame(
+        [(f"doc-{i:04d}", i % 7 + 1) for i in range(400)],
+        "doc_id string, v long").repartition(8)
+    got = {r["doc_id"]: r["cum"]
+           for r in global_cumsum(df, "doc_id", "v", num_ranges=6).collect()}
+    w = (Window.orderBy(F.xxhash64("doc_id"), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r["doc_id"]: r["cum"]
+            for r in df.coalesce(1)
+            .withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_global_cumsum_string_key_partitioning_independent(spark):
+    from tap_airbyte_wrapper_spark.operators.windows import global_cumsum
+
+    rows = [(f"id{i}", 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, v long")
+    a = {r["doc_id"]: r["cum"]
+         for r in global_cumsum(df, "doc_id", "v", num_ranges=4).collect()}
+    b = {r["doc_id"]: r["cum"]
+         for r in global_cumsum(df.repartition(11), "doc_id", "v",
+                                num_ranges=9).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 301))
+
+
+def test_pack_sequences_string_ids_relabel_consistent(spark):
+    """pack_sequences over string ids: total layout is a valid packing
+    (tok_starts form the cumsum of n_tok in SOME total order) and is
+    stable under repartitioning."""
+    from tap_airbyte_wrapper_spark.functions import pack_sequences
+
+    rows = [(f"d{i}", " ".join(["w"] * (i % 9 + 1))) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = pack_sequences(df, seq_len=16, num_ranges=5).collect()
+    by_start = sorted(out, key=lambda r: r["tok_start"])
+    acc = 0
+    for r in by_start:
+        assert r["tok_start"] == acc
+        assert r["seq_start"] == r["tok_start"] // 16
+        acc += r["n_tok"]
+    again = {r["doc_id"]: r["tok_start"]
+             for r in pack_sequences(df.repartition(13), seq_len=16,
+                                     num_ranges=3).collect()}
+    assert again == {r["doc_id"]: r["tok_start"] for r in out}
