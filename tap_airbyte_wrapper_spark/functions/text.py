@@ -186,25 +186,50 @@ def minhash_fingerprints(col: Column, num_hashes: int = 16, shingle_len: int = 3
     )
 
 
+#: Rolling-hash parameters for the winnowing fast path.  The hash of a
+#: gram g is ``sum(ord(g[k]) * B^(len(g)-1-k)) mod 2^32`` — a plain
+#: polynomial hash.  B and the 2^32 modulus are chosen so EVERY term
+#: stays below 2^53 (codepoint <= 0x10FFFF times a < 2^32 power), i.e.
+#: exactly representable in BIGINT and DOUBLE alike — which is what
+#: keeps the fast path ENGINE-PORTABLE: a DuckDB oracle recomputes the
+#: identical fingerprints with unicode()+list_sum and no wraparound
+#: semantics (mod-2^64 arithmetic would overflow-error there).  32-bit
+#: collisions only ever ADD a shared fingerprint between unrelated
+#: docs (winnowing's guarantee is about recall, not precision).
+WINNOW_HASH_BASE = 1_000_003
+WINNOW_HASH_MOD = 1 << 32
+
+
 def winnow_fingerprints(
     df: "DataFrame", text_col: str, out_col: str = "fps",
     gram_len: int = 8, window: int = 4, min_parallelism: int | None = None,
+    hash_fn: str = "rolling",
 ) -> "DataFrame":
     """Winnowing (MOSS-style rolling-hash) fingerprints: hash every
     ``gram_len``-char gram of the normalized text, take the minimum hash
     in each sliding window of ``window`` consecutive grams, and dedupe.
     Any substring shared between two documents of length >=
     ``gram_len + window - 1`` is guaranteed to contribute a shared
-    fingerprint — the localizable near-dup/plagiarism sketch.
+    fingerprint — the localizable near-dup/plagiarism sketch.  The
+    guarantee holds for EITHER hash (it depends only on the window
+    minimum being deterministic per gram):
+
+    * ``rolling`` (default, the production path): vectorized polynomial
+      hash — ``gram_len`` numpy multiply-adds over the whole codepoint
+      array per doc instead of a Python hashlib call per gram (the
+      round-5 fleet's most expensive query was ~10^14 md5 calls at
+      100 TB; this removes the per-gram Python loop entirely).  Output
+      ``array<bigint>``; exactly recomputable by the DuckDB oracle
+      (see :data:`WINNOW_HASH_BASE`).
+    * ``md5``: the engine-portable hex path kept for oracles/tools that
+      can only compute md5.  Output ``array<string>``.
 
     Implemented as an Arrow pandas UDF on purpose: the per-gram hash is
     inherently per-element work, which Catalyst higher-order functions
     run INTERPRETED — and CollapseProject inlines captured expressions
     into HOF lambdas, so a staged-column formulation still re-ran the
     normalization regexp once per gram (measured: minutes vs ~1 s for
-    500 docs).  The window minima are w-1 vectorized numpy ops.  md5-hex
-    minima keep the result engine-portable (DuckDB oracle mirrors the
-    normalization exactly).
+    500 docs).  The window minima are w-1 vectorized numpy ops.
 
     Text bytes are tiny relative to the per-gram CPU, so file-split
     granularity (``maxPartitionBytes``) under-parallelizes this operator
@@ -214,8 +239,16 @@ def winnow_fingerprints(
     round-robin repartitioned first — the extra shuffle moves only the
     raw text once and buys full-cluster fan-out of the hash work."""
 
+    def _window_min_dedup(grams, window):
+        m = len(grams)
+        span = max(m - window + 1, 1)
+        mins = grams[:span].copy()
+        for off in range(1, min(window, m)):
+            np.minimum(mins, grams[off:off + span], out=mins)
+        return sorted(set(mins.tolist()))
+
     @pandas_udf("array<string>")
-    def _fps(texts: pd.Series) -> pd.Series:
+    def _fps_md5(texts: pd.Series) -> pd.Series:
         # hashlib.md5 is ~0.5 µs/gram — hashing every gram beats any
         # dedup-first scheme (np.unique on object arrays costs 2x the
         # hashing it saves, measured on this corpus)
@@ -227,20 +260,48 @@ def winnow_fingerprints(
             grams = np.array(
                 [hashlib.md5(t[i:i + gram_len].encode()).hexdigest()
                  for i in range(n_grams)], dtype=object)
-            m = len(grams)
-            span = max(m - window + 1, 1)
-            mins = grams[:span].copy()
-            for off in range(1, min(window, m)):
-                np.minimum(mins, grams[off:off + span], out=mins)
-            out.append(sorted(set(mins.tolist())))
+            out.append(_window_min_dedup(grams, window))
         return pd.Series(out)
 
+    @pandas_udf("array<bigint>")
+    def _fps_rolling(texts: pd.Series) -> pd.Series:
+        B, MOD = WINNOW_HASH_BASE, WINNOW_HASH_MOD
+        pows = [pow(B, gram_len - 1 - k, MOD) for k in range(gram_len)]
+        out = []
+        for t in texts:
+            t = _re.sub(r"\s+", " ", (t or "")).strip().lower()
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            n = len(codes)
+            if n < gram_len:
+                # one gram = the whole (short) text, hashed over its
+                # actual length (mirrors the md5 path's t[0:L] slice)
+                h = 0
+                for k in range(n):
+                    h = (h + int(codes[k]) * pow(B, n - 1 - k, MOD)) % MOD
+                out.append([h])
+                continue
+            n_grams = n - gram_len + 1
+            acc = np.zeros(n_grams, dtype=np.int64)
+            for k in range(gram_len):
+                # term < 2^53: codepoint (<= 0x10FFFF) * pow (< 2^32)
+                acc += codes[k:k + n_grams] * pows[k]
+                acc %= MOD
+            out.append(_window_min_dedup(acc, window))
+        return pd.Series(out)
+
+    if hash_fn == "rolling":
+        fps = _fps_rolling
+    elif hash_fn == "md5":
+        fps = _fps_md5
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     target = min_parallelism
     if target is None:
         target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
-    return df.withColumn(out_col, _fps(F.col(text_col)))
+    return df.withColumn(out_col, fps(F.col(text_col)))
 
 
 def normalize_text(

@@ -2319,6 +2319,11 @@ ORACLES = {
           AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY sum({_REV_SQL}) DESC, l_orderkey LIMIT 10""",
+    # rolling-hash winnowing: the polynomial hash is chosen so every
+    # term fits BIGINT exactly (functions/text.py WINNOW_HASH_BASE) —
+    # P = [B^0..B^7 mod 2^32]; a gram g hashes to
+    # sum(unicode(g[k]) * P[len(g)-k]) mod 2^32, identical to the
+    # numpy fast path bit-for-bit.
     "winnow_fingerprints_docs": f"""
         WITH s AS (
           SELECT doc_id, {_NORM_TEXT} AS t FROM documents),
@@ -2326,7 +2331,14 @@ ORACLES = {
           SELECT doc_id,
                  list_transform(
                    generate_series(1, greatest(length(t) - 8 + 1, 1)),
-                   i -> md5(substring(t, i, 8))) AS hs
+                   i -> CAST(list_sum(list_transform(
+                          generate_series(1, length(substring(t, i, 8))),
+                          k -> unicode(substring(t, i + k - 1, 1))
+                               * ([1, 1000003, 3573587337, 583896283,
+                                   1525764945, 3865227315, 272515929,
+                                   1071616587]
+                                  [length(substring(t, i, 8)) - k + 1])))
+                        % 4294967296 AS BIGINT)) AS hs
           FROM s),
         w AS (
           SELECT doc_id,

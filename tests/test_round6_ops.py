@@ -220,3 +220,39 @@ def test_pack_token_budget_stat_hints_skip_probe(spark):
                                n_rows=10_000_000_000, n_groups=3)
     plan = hinted._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+# ---------------------------------------------------------------------
+# winnowing rolling-hash fast path (round-5 verdict perf ask #3)
+# ---------------------------------------------------------------------
+
+def test_winnow_rolling_and_md5_share_guarantee(spark):
+    """Both hash paths honor the winnowing guarantee: a shared
+    substring of length >= gram_len + window - 1 yields at least one
+    shared fingerprint; unrelated docs share none."""
+    from tap_airbyte_wrapper_spark.functions import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over"
+    df = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"),
+         (2, "cccc dddd " + shared + " eeee"),
+         (3, "zzzz completely unrelated words qqqq xxxx yyyy wwww")],
+        "doc_id int, text string")
+    for hash_fn in ("rolling", "md5"):
+        rows = {r.doc_id: set(r.fps) for r in winnow_fingerprints(
+            df, "text", hash_fn=hash_fn).collect()}
+        assert rows[1] & rows[2], hash_fn
+        assert not (rows[1] & rows[3]), hash_fn
+
+
+def test_winnow_rolling_deterministic_under_repartition(spark):
+    from tap_airbyte_wrapper_spark.functions import winnow_fingerprints
+
+    rows = [(i, f"document number {i} with some repeated filler text "
+                f"and trailing content {i * 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = {r.doc_id: r.fps for r in winnow_fingerprints(df, "text").collect()}
+    b = {r.doc_id: r.fps for r in winnow_fingerprints(
+        df.repartition(9), "text").collect()}
+    assert a == b
+    assert all(isinstance(v, int) for fps in a.values() for v in fps)

@@ -194,8 +194,14 @@ def test_winnow_fingerprints_short_and_empty(spark):
     rows = {r.doc_id: r.fps for r in winnow_fingerprints(df, "text").collect()}
     # shorter-than-gram texts produce exactly one fingerprint
     assert len(rows[1]) == 1 and len(rows[2]) == 1 and len(rows[3]) == 1
+    B, MOD = 1_000_003, 1 << 32
+    expect = sum(ord(c) * pow(B, 2 - k, MOD)
+                 for k, c in enumerate("abc")) % MOD
+    assert rows[2] == [expect]
+    md5_rows = {r.doc_id: r.fps for r in winnow_fingerprints(
+        df, "text", hash_fn="md5").collect()}
     import hashlib
-    assert rows[2] == [hashlib.md5(b"abc").hexdigest()]
+    assert md5_rows[2] == [hashlib.md5(b"abc").hexdigest()]
 
 
 def test_normalize_text_matches_duckdb_semantics(spark):
