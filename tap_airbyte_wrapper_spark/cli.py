@@ -151,9 +151,36 @@ def main(argv: list[str] | None = None) -> int:
     if args.catalog:
         with open(args.catalog) as f:
             cat_doc = json.load(f)
-        config["streams"] = [
-            s["name"] for s in cat_doc.get("streams", []) if s.get("selected", True)
-        ]
+        # Full configured-catalog parity (reference tap.py:749-774 via
+        # singer_sdk metadata): per-stream selection AND replication
+        # method both come from the catalog document.  `selected` and
+        # `replication-method` live either at the stream level or in
+        # the root-breadcrumb metadata entry; a `forced-replication-
+        # method` wins over a plain one.  Catalog-declared methods
+        # override the config's replication_method map per stream.
+        selected: list[str] = []
+        methods = dict(config.get("replication_method") or {})
+        for s in cat_doc.get("streams", []):
+            name = (s.get("name") or s.get("tap_stream_id")
+                    or s.get("stream"))
+            if not name:
+                continue
+            root_md = next(
+                (m.get("metadata", {}) for m in s.get("metadata", [])
+                 if not m.get("breadcrumb")), {})
+            if s.get("selected", root_md.get("selected", True)) is False:
+                continue
+            selected.append(name)
+            method = (root_md.get("forced-replication-method")
+                      or root_md.get("replication-method")
+                      or s.get("forced-replication-method")
+                      or s.get("replication-method")
+                      or s.get("replication_method"))
+            if method:
+                methods[name] = method
+        config["streams"] = selected
+        if methods:
+            config["replication_method"] = methods
     if args.backfill:
         if not args.backfill_range:
             print("error: --backfill needs --backfill-range LO HI",
@@ -162,7 +189,7 @@ def main(argv: list[str] | None = None) -> int:
         lo, hi = args.backfill_range
         try:
             n = engine.backfill(args.backfill, lo, hi)
-        except ValueError as e:
+        except (ValueError, SourceError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
         print(json.dumps({"backfilled": n, "stream": args.backfill,

@@ -273,6 +273,12 @@ class Engine:
                 if ref_stream is not None:
                     if catalog is None:   # one discovery for ALL rules
                         catalog = self.discover()
+                    if ref_stream not in catalog:
+                        raise ValueError(
+                            f"expectations[{stream!r}]: foreign_key "
+                            f"ref_stream {ref_stream!r} is not a stream "
+                            f"of this source (available: "
+                            f"{sorted(e.name for e in catalog)})")
                     ref_entry = catalog.get(ref_stream)
                     kw["ref"] = self.source.read(self.spark, ref_entry)
                 exps.append(Expectation(column, kind, **kw))

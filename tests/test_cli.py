@@ -92,3 +92,69 @@ def test_cli_backfill(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["stream"] == "events" and out["backfilled"] > 0
     assert main(["--config", str(cfg), "--backfill", "events"]) == 2
+
+
+def test_cli_catalog_drives_replication_method(tmp_path, capsys):
+    """A configured catalog document ALONE (no config replication_method)
+    drives per-stream selection AND sync mode — reference parity with
+    tap.py's forced-replication-method metadata handling."""
+    import json
+
+    from tap_airbyte_wrapper_spark.cli import main
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "source": "dataset_dir",
+        "source_config": {"path": "/root/testdata/sf0.001"},
+    }))
+    catalog = tmp_path / "catalog.json"
+    catalog.write_text(json.dumps({"streams": [
+        {"name": "events", "metadata": [
+            {"breadcrumb": [],
+             "metadata": {"selected": True,
+                          "forced-replication-method": "INCREMENTAL"}}]},
+        {"name": "region",
+         "metadata": [{"breadcrumb": [],
+                       "metadata": {"selected": False}}]},
+    ]}))
+    state = tmp_path / "state.json"
+    rc = main(["--config", str(cfg), "--catalog", str(catalog),
+               "--state", str(state)])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    streams = {m.get("stream") for m in lines if m.get("type") == "RECORD"}
+    assert streams == {"events"}          # region deselected via metadata
+    # INCREMENTAL came from the catalog: the final STATE message carries
+    # an events bookmark
+    states = [m for m in lines if m.get("type") == "STATE"]
+    assert states, "expected STATE messages"
+    bm = states[-1]["value"]["bookmarks"]["events"]
+    assert bm.get("ts")  # cursor bookmark exists => INCREMENTAL took
+
+
+def test_cli_backfill_unknown_ref_stream_is_friendly(tmp_path, capsys):
+    """A foreign_key rule naming a nonexistent ref_stream must exit via
+    the CLI error contract, not a raw KeyError traceback."""
+    import json
+
+    from tap_airbyte_wrapper_spark.cli import main
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "source": "dataset_dir",
+        "source_config": {"path": "/root/testdata/sf0.001"},
+        "streams": ["events"],
+        "replication_method": {"events": "INCREMENTAL"},
+        "expectations": {"events": [
+            {"column": "user_id", "kind": "foreign_key",
+             "ref_stream": "no_such_stream", "ref_column": "id"}]},
+        "sink": {"type": "parquet", "path": str(tmp_path / "out"),
+                 "mode": "overwrite"},
+    }))
+    rc = main(["--config", str(cfg), "--backfill", "events",
+               "--backfill-range", "2024-01-05 00:00:00",
+               "2024-01-06 00:00:00"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "no_such_stream" in err and "Traceback" not in err
