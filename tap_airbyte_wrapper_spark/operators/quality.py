@@ -459,8 +459,8 @@ def snapshot_diff(
     Scale shape: ONE full outer join on the key — both sides hash-
     shuffle once; with both snapshots bucketed by key (the merge sink's
     layout) the exchange disappears entirely.  The hash is computed
-    before the join, so the join carries keys + 32-byte digests, not
-    whole rows.
+    before the join, so the join carries keys + 8-byte xxhash64
+    digests, not whole rows.
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     if compare_cols is None:

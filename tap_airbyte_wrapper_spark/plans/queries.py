@@ -1748,9 +1748,10 @@ def q_validate_orders(spark, sf_dir):
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality gate: interpolated bigram LM trained on
     the corpus itself, every doc scored by average negative
-    log-likelihood.  Probabilities round to 8 decimals before the ln
-    so the transcendental sees identical inputs engine-side and
-    oracle-side."""
+    log-likelihood.  Per-token NLLs round to 6 decimals AFTER the ln
+    (never before — truncating tiny probabilities would log(0) on a
+    large corpus; functions/lm.py's design note) so the averaged
+    values agree engine-side and oracle-side."""
     from ..functions import score_perplexity, train_bigram_lm
 
     docs = _t(spark, sf_dir, "documents")
