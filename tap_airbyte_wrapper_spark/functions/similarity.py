@@ -26,7 +26,7 @@ from ..operators.windows import topk_per_group
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
            "cosine_topk_lsh", "cosine_topk_ivf", "embedding_near_dup_pairs",
            "IvfIndex", "ivf_build", "ivf_load", "ivf_search",
-           "embedding_dedup_delta",
+           "ivf_append", "ivf_staleness", "embedding_dedup_delta",
            "quantize_embeddings", "nearest_centroid_assign", "semantic_dedup"]
 
 
@@ -365,6 +365,12 @@ def ivf_build(
         assigned.write.mode("overwrite").partitionBy("__cell").parquet(
             f"{path}/vectors")
         assigned = corpus.sparkSession.read.parquet(f"{path}/vectors")
+        # training-time corpus size, the baseline ivf_staleness compares
+        # appends against (parquet metadata count — no data scan)
+        built_rows = assigned.count()
+        spark.createDataFrame(
+            [(built_rows,)], "built_rows long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     return IvfIndex(cent, assigned, id_col, vec_col)
 
 
@@ -378,6 +384,67 @@ def ivf_load(spark, path: str, id_col: str = "vec_id",
     cent = np.array([c for _, c in rows], dtype="float64")
     return IvfIndex(cent, spark.read.parquet(f"{path}/vectors"),
                     id_col, vec_col)
+
+
+def ivf_append(
+    spark,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Fold a DELTA batch of vectors into a persisted IVF index WITHOUT
+    retraining: assign each new vector to its nearest existing cell
+    (one numpy matmul per Arrow batch, centroids ride the closure) and
+    append into the cell-partitioned parquet layout — O(delta) work,
+    the missing half of the continuously-arriving embedding loop that
+    ``minhash_index_append`` already provides on the MinHash side.
+
+    The quantizer is NOT retrained, by design: retraining would move
+    cell boundaries and strand previously-assigned vectors in stale
+    cells, silently breaking probe recall for the whole corpus.
+    Searches over an appended index remain CORRECT for every vector
+    (assignment always uses the index's own centroids) — what degrades
+    under distribution drift is cell BALANCE, and with it probe
+    recall/latency.  The retrain policy is therefore explicit and
+    caller-driven: watch :func:`ivf_staleness` and rebuild with
+    :func:`ivf_build` over the full landed corpus when
+    ``needs_retrain`` trips (appended rows exceed ``retrain_factor``
+    x the rows the centroids were trained against).
+
+    Returns the reopened index including the appended vectors."""
+    cent_rows = sorted(
+        (r["cell"], r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect())
+    cent = np.array([c for _, c in cent_rows], dtype="float64")
+    assigned = delta.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col),
+        _cell_udf(cent)(F.col(vec_col)).alias("__cell"))
+    assigned.write.mode("append").partitionBy("__cell").parquet(
+        f"{path}/vectors")
+    return IvfIndex(cent, spark.read.parquet(f"{path}/vectors"),
+                    id_col, vec_col)
+
+
+def ivf_staleness(spark, path: str, retrain_factor: float = 1.0) -> dict:
+    """Centroid-staleness probe for a persisted IVF index:
+    ``built_rows`` (corpus size when the quantizer was trained, from
+    the index's meta), ``total_rows`` (parquet metadata count — no
+    data scan), ``appended_rows``, ``append_ratio`` and
+    ``needs_retrain`` (ratio > ``retrain_factor``).  Pair with
+    :func:`ivf_append`'s documented policy: append freely, rebuild the
+    quantizer offline once the index has grown past the factor."""
+    built = spark.read.parquet(f"{path}/meta").collect()[0]["built_rows"]
+    total = spark.read.parquet(f"{path}/vectors").count()
+    appended = total - built
+    ratio = appended / built if built else float("inf")
+    return {
+        "built_rows": built,
+        "total_rows": total,
+        "appended_rows": appended,
+        "append_ratio": ratio,
+        "needs_retrain": ratio > retrain_factor,
+    }
 
 
 def ivf_search(

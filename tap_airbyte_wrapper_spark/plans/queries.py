@@ -1593,6 +1593,29 @@ def q_knn_ivf_verified(spark, sf_dir):
         "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"))
 
 
+def q_knn_ivf_append_verified(spark, sf_dir):
+    """Persisted-IVF lifecycle under the exactness oracle: build the
+    index on half the corpus (even vec_ids), ``ivf_append`` the odd
+    half into the cell-partitioned layout, reload, full-probe search —
+    the result must equal brute-force cosine top-k over the WHOLE
+    corpus.  Full probing (n_probe = n_clusters) makes the
+    half-trained centroids irrelevant to correctness by construction,
+    so a green row pins the append's cell assignment, partitioned
+    parquet layout, meta bookkeeping and reload end-to-end."""
+    import tempfile
+
+    from ..functions import ivf_append, ivf_build, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="spark_ivf_append_")
+    ivf_build(emb.filter(F.col("vec_id") % 2 == 0),
+              n_clusters=16, path=path)
+    index = ivf_append(spark, path, emb.filter(F.col("vec_id") % 2 == 1))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_search(index, queries, k=5, n_probe=16).select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"))
+
+
 # -- no-oracle (xxhash64/LSH internals not reproducible in SQL) --------
 
 
@@ -2097,6 +2120,7 @@ QUERIES = {
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "simhash_verified_pairs": q_simhash_verified_pairs,
     "knn_ivf_verified": q_knn_ivf_verified,
+    "knn_ivf_append_verified": q_knn_ivf_append_verified,
     "corpus_curation": q_corpus_curation,
     # -- entries below are outside the driver's QUERIES[:50] window:
     # -- (round 5 rotated out to make room for the nine new ops:
@@ -3168,6 +3192,23 @@ ORACLES = {
               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
               >= 0.5""",
     "knn_lsh_verified": """
+        SELECT query_id, vec_id, round(cos_sim, 4) AS cos_r
+        FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[]))
+                     AS cos_sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                         CAST(c.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
+              FROM embeddings c
+              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+              WHERE c.vec_id != q.vec_id)
+        WHERE rk <= 5""",
+    # build-half + append-half + full probe = brute force over all
+    # (same oracle as knn_ivf_verified by construction)
+    "knn_ivf_append_verified": """
         SELECT query_id, vec_id, round(cos_sim, 4) AS cos_r
         FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                      list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),

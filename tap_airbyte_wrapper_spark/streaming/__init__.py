@@ -13,6 +13,7 @@ from .incremental import (
 )
 from .cdc import stream_changelog_apply
 from .dedup import stream_near_dup_gate
+from .similarity import stream_embedding_gate
 from .stateful import (
     stateful_anomalies,
     stateful_heavy_hitters,
@@ -22,6 +23,7 @@ from .stateful import (
 
 __all__ = [
     "stream_near_dup_gate",
+    "stream_embedding_gate",
     "stream_changelog_apply",
     "stream_source",
     "incremental_sync",

@@ -1,0 +1,122 @@
+"""Streaming embedding near-duplicate gate: every arriving micro-batch
+of vectors dedups against EVERYTHING seen so far at O(batch) cost — the
+ANN mirror of :mod:`.dedup`'s MinHash gate, closing the round-5 gap
+(the embedding side could build/probe a persisted IVF index but not
+fold survivors back in).
+
+Loop per batch: probe the batch against the persisted IVF index
+(:func:`~..functions.similarity.embedding_dedup_delta` — the probe join
+touches ~n_probe/n_clusters of the corpus FILES, __cell is the
+partition column), drop corpus-duplicates and within-batch losers, land
+the survivors, then :func:`~..functions.similarity.ivf_append` them so
+the next batch dedups against them too.
+
+Replay safety (at-least-once ``foreachBatch``): identical reasoning to
+the MinHash gate — a replayed vector is already in the index and
+matches ITSELF, and ``ivf_search`` excludes ``id == query_id`` pairs,
+so corpus hits only ever name OTHER vectors; batch-mates that lost the
+within-batch tie on the first run were never appended, so on replay
+they lose again via a corpus hit against the appended winner.  Output
+lands per-batch in ``{out}/batch=<id>`` with overwrite; the index
+append is guarded by a best-effort ``_batch_<id>`` marker (a re-append
+after a crash between append and marker only duplicates rows in the
+index — the drop set is ``distinct``-ed, so the gate's output never
+changes; compact the index periodically).
+
+Centroid staleness: the quantizer is NEVER retrained inside the stream
+(moving cell boundaries would strand the already-assigned corpus — see
+``ivf_append``).  Each batch checks :func:`ivf_staleness` and logs a
+warning once appended rows exceed ``retrain_factor`` x the training
+corpus; the operator then rebuilds offline with ``ivf_build`` over
+``spark.read.parquet(out_path)`` and swaps the index path.
+
+Cost per batch: O(batch) cell assignments + a probe join pruned to the
+probed cells + an O(batch) append.  The stream never pays O(corpus).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.similarity import embedding_dedup_delta, ivf_append, \
+    ivf_load, ivf_staleness
+
+__all__ = ["stream_embedding_gate"]
+
+logger = logging.getLogger(__name__)
+
+
+def stream_embedding_gate(
+    stream: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+    n_probe: int = 4,
+    k: int = 20,
+    retrain_factor: float = 1.0,
+    available_now: bool = True,
+):
+    """Start the gate on a streaming DataFrame; returns the query.
+
+    Requires the index to exist (bootstrap with ``ivf_build(path=...)``
+    over an initial corpus — the quantizer needs training vectors, so
+    unlike the MinHash gate an EMPTY bootstrap is not possible; train
+    on the first batch if there is no backfill corpus).  Survivor rows
+    land under ``{out_path}/batch=<id>/``; read the clean corpus back
+    with ``spark.read.parquet(out_path)``.
+    """
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            index = ivf_load(spark, index_path, id_col, vec_col)
+            dupes = embedding_dedup_delta(
+                index, batch, threshold=threshold, n_probe=n_probe, k=k)
+            drop = (
+                dupes.filter(
+                    (F.col("kind") == "corpus")
+                    & (F.col("id_a") != F.col("id_b"))
+                ).select(F.col("id_a").alias(id_col))
+                .unionByName(
+                    # within-batch: id_a < id_b, keep the min id
+                    dupes.filter(F.col("kind") == "delta")
+                    .select(F.col("id_b").alias(id_col)))
+                .distinct()
+            )
+            clean = batch.join(drop, id_col, "left_anti").persist()
+            clean.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={batch_id}"))
+            marker = os.path.join(index_path, f"_batch_{batch_id}")
+            if not os.path.exists(marker):
+                ivf_append(spark, index_path, clean, id_col, vec_col)
+                try:
+                    with open(marker, "w") as f:
+                        f.write("done")
+                except OSError:
+                    # non-local index_path: the marker optimization
+                    # cannot write — skip it, never kill the stream
+                    pass
+            stale = ivf_staleness(spark, index_path, retrain_factor)
+            if stale["needs_retrain"]:
+                logger.warning(
+                    "IVF index at %s has grown %.1fx past its training "
+                    "corpus (%d appended vs %d built) — rebuild the "
+                    "quantizer offline with ivf_build over the landed "
+                    "corpus", index_path, stale["append_ratio"],
+                    stale["appended_rows"], stale["built_rows"])
+            clean.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
