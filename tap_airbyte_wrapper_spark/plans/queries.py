@@ -2053,104 +2053,19 @@ def q_clean_holdout(spark, sf_dir):
 # =====================================================================
 
 QUERIES = {
-    # ROUND-5 ROTATION (the round-4 verdict's #1 ask): the driver
-    # records correctness for QUERIES[:50] only, so the 38 entries that
-    # sat below the window through round 4 (pytest-oracle-checked but
-    # never driver-verified, or driver-green only in the rounds-1-3
-    # windows) move into positions 1-38.  Positions 39-50 keep: the two
-    # scan canaries (full_scan/incremental — they catch driver testdata
-    # regeneration, see round-4's TIMESTAMP_NTZ flip), every entry whose
-    # CODE changed this round (simhash_verified_pairs guarantee-recall,
-    # token_budget_pack two-phase, knn_ivf_verified sampling), their
-    # verified-family siblings, the flagship, and the three hardest
-    # composite ops.  Everything rotated out stays oracle-checked in
+    # ROUND-6 ROTATION (the round-5 verdict's #1 ask): the driver
+    # records correctness for QUERIES[:50] only.  Window composition:
+    # positions 1-25 are the entries that had NEVER been driver-checked
+    # through round 5 (the 24 oracle-backed round-5 session additions
+    # plus the new knn_ivf_append_verified); 26-30 are entries whose
+    # CODE changed this round (winnowing rolling-hash rewrite, the
+    # size-aware token-budget router, and the three sampler oracles
+    # re-keyed by the 48-bit hash fix); 31-33 the two scan canaries
+    # (they catch driver testdata regeneration — round-4's
+    # TIMESTAMP_NTZ flip) and the flagship; 34-50 the stalest
+    # single-check entries (driver-green only in round 4, code
+    # unchanged since).  Everything rotated out stays oracle-checked in
     # tests/test_oracle_parity.py every pytest run.
-    # -- never driver-checked (round-5 additions) --------------------
-    "boilerplate_removal_docs": q_boilerplate_removal,
-    "dup_span_docs": q_dup_span_docs,
-    "anomaly_events": q_anomaly_events,
-    "shard_stats": q_shard_stats,
-    "profile_orders": q_profile_orders,
-    "validate_orders": q_validate_orders,
-    "fuzzy_name_pairs": q_fuzzy_name_pairs,
-    "histogram_order_price": q_histogram_order_price,
-    "corr_lineitem": q_corr_lineitem,
-    # -- never driver-checked (round-4 additions) --------------------
-    "merge_upsert_orders": q_merge_upsert_orders,
-    "resample_events": q_resample_events,
-    "gap_fill_events": q_gap_fill_events,
-    "funnel_conversion": q_funnel_conversion,
-    "weekly_retention": q_weekly_retention,
-    "semantic_dedup_keep": q_semantic_dedup,
-    "centroid_assign": q_centroid_assign,
-    "quantize_embeddings": q_quantize_embeddings,
-    "tfidf_terms_per_source": q_tfidf_terms,
-    "mixture_sample_docs": q_mixture_sample,
-    # -- driver-green last in rounds 1-3, unchecked since ------------
-    "salted_brand_revenue": q_salted_brand_revenue,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "running_revenue": q_running_revenue,
-    "order_price_deciles": q_order_price_deciles,
-    "clickers_not_purchasers": q_clickers_not_purchasers,
-    "pivot_event_type": q_pivot_event_type,
-    "doc_word_stats": q_doc_word_stats,
-    "jaccard_pairs": q_jaccard_pairs,
-    "knn_bruteforce": q_knn_bruteforce,
-    "brand_revenue": q_brand_revenue,
-    "cube_event_day": q_cube_event_day,
-    "rollup_region_nation": q_rollup_region_nation,
-    "trailing_week_revenue": q_trailing_week_revenue,
-    "latest_event_per_user": q_latest_event_per_user,
-    "incremental_mapped": q_incremental_mapped,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "token_stats": q_token_stats,
-    "customers_with_orders": q_customers_with_orders,
-    "top3_parts_per_brand": q_top3_parts_per_brand,
-    "orders_sorted": q_orders_sorted,
-    "top10_orders": q_top10_orders,
-    "distinct_users": q_distinct_users,
-    "customers_without_orders": q_customers_without_orders,
-    # -- keepers (17 incl. the two canaries): code changed this round,
-    # -- verified-family twins, flagship, hardest composites, and five
-    # -- r04-first-green shapes seen by the driver only once ---------
-    "full_scan_events": q_full_scan_events,
-    "incremental_events": q_incremental_events,
-    "q1_pricing_summary": q1_pricing_summary,
-    "token_budget_pack": q_token_budget_pack,
-    "minhash_verified_pairs": q_minhash_verified_pairs,
-    "simhash_verified_pairs": q_simhash_verified_pairs,
-    "knn_ivf_verified": q_knn_ivf_verified,
-    "knn_ivf_append_verified": q_knn_ivf_append_verified,
-    "corpus_curation": q_corpus_curation,
-    # -- entries below are outside the driver's QUERIES[:50] window:
-    # -- (round 5 rotated out to make room for the nine new ops:
-    # -- asof_purchase_view / sessionization / contamination_docs /
-    # -- label_centroids / embedding_near_dup / decode_image_meta /
-    # -- dedup_clusters / paragraph_dedup_docs / knn_lsh_verified —
-    # -- all r04-green with code unchanged since, still oracle-checked
-    # -- every pytest run) -------------------------------------------
-    "paragraph_dedup_docs": q_paragraph_dedup,
-    "dedup_clusters": q_dedup_clusters,
-    "knn_lsh_verified": q_knn_lsh_verified,
-    "embedding_near_dup": q_embedding_near_dup,
-    "decode_image_meta": q_decode_image_meta,
-    "asof_purchase_view": q_asof_purchase_view,
-    "sessionization": q_sessionization,
-    "contamination_docs": q_contamination_docs,
-    "label_centroids": q_label_centroids,
-    # -- round-5 session-2..5 additions (oracle-backed, below the
-    # -- window this round).  ROUND-6 ROTATION NOTE: every entry from
-    # -- here through sample_per_language has never been driver-checked
-    # -- (26 entries: pack_sequences / clean_holdout / dedup_cluster
-    # -- stats / melt / fk_violations / upsample / source_quality /
-    # -- temperature / lm_perplexity / remove_dup_spans /
-    # -- incremental_agg / snapshot_diff / histogram_quantile /
-    # -- pseudonymize / strip_html / canonical_url / covariance /
-    # -- heavy hitters / scd2 / weighted_sample / normalize / chunk /
-    # -- sample_per_language) — move them, plus the r05-window
-    # -- survivors worth re-verifying, into positions 1-50 next round
-    # -- and rotate out r05-green entries whose code did not
-    # -- change. ----------------------------------------------------
     "pack_sequences_docs": q_pack_sequences,
     "clean_holdout_docs": q_clean_holdout,
     "dedup_cluster_stats": q_dedup_cluster_stats,
@@ -2175,13 +2090,87 @@ QUERIES = {
     "normalize_docs": q_normalize_docs,
     "chunk_docs": q_chunk_docs,
     "sample_per_language": q_sample_per_language,
-    # -- (a) rows-only checks with no SQL-expressible oracle
-    # -- (xxhash64 / hyperplane-LSH / k-means / HLL internals — each
-    # -- has an oracle-backed *_verified twin kept in-window above;
-    # -- the in-window-means-oracle-backed gate is
-    # -- test_driver_window_fully_oracle_backed), and (b) rows
-    # -- driver-green in round 4 with code unchanged since.  All of
-    # -- (b) stay oracle-checked in tests/test_oracle_parity.py ------
+    "knn_ivf_append_verified": q_knn_ivf_append_verified,
+    "winnow_fingerprints_docs": q_winnow_fingerprints,
+    "token_budget_pack": q_token_budget_pack,
+    "mixture_sample_docs": q_mixture_sample,
+    "train_test_split": q_train_test_split,
+    "shard_stats": q_shard_stats,
+    "full_scan_events": q_full_scan_events,
+    "incremental_events": q_incremental_events,
+    "q1_pricing_summary": q1_pricing_summary,
+    "dedup_clusters": q_dedup_clusters,
+    "knn_lsh_verified": q_knn_lsh_verified,
+    "embedding_near_dup": q_embedding_near_dup,
+    "decode_image_meta": q_decode_image_meta,
+    "contamination_docs": q_contamination_docs,
+    "label_centroids": q_label_centroids,
+    "split_sentences_docs": q_split_sentences,
+    "vocab_topk_docs": q_vocab_topk,
+    "repetition_signals_docs": q_repetition_signals,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    # -- entries below are outside the driver's QUERIES[:50] window:
+    # -- every one is driver-green in at least one earlier round (or is
+    # -- a no-oracle internals entry whose oracle-backed *_verified
+    # -- twin is covered), and all oracle-backed rows re-verify against
+    # -- DuckDB in every pytest run.  Never-windowed-yet remainder for
+    # -- the round-7 rotation: q16_supplier_cnt, q20_promotable_
+    # -- suppliers and the five no-oracle internals entries
+    # -- (approx_distinct/pca/minhash/simhash/knn_lsh/knn_ivf raw). ---
+    "boilerplate_removal_docs": q_boilerplate_removal,
+    "dup_span_docs": q_dup_span_docs,
+    "anomaly_events": q_anomaly_events,
+    "profile_orders": q_profile_orders,
+    "validate_orders": q_validate_orders,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "histogram_order_price": q_histogram_order_price,
+    "corr_lineitem": q_corr_lineitem,
+    "merge_upsert_orders": q_merge_upsert_orders,
+    "resample_events": q_resample_events,
+    "gap_fill_events": q_gap_fill_events,
+    "funnel_conversion": q_funnel_conversion,
+    "weekly_retention": q_weekly_retention,
+    "semantic_dedup_keep": q_semantic_dedup,
+    "centroid_assign": q_centroid_assign,
+    "quantize_embeddings": q_quantize_embeddings,
+    "tfidf_terms_per_source": q_tfidf_terms,
+    "salted_brand_revenue": q_salted_brand_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "running_revenue": q_running_revenue,
+    "order_price_deciles": q_order_price_deciles,
+    "clickers_not_purchasers": q_clickers_not_purchasers,
+    "pivot_event_type": q_pivot_event_type,
+    "doc_word_stats": q_doc_word_stats,
+    "jaccard_pairs": q_jaccard_pairs,
+    "knn_bruteforce": q_knn_bruteforce,
+    "brand_revenue": q_brand_revenue,
+    "cube_event_day": q_cube_event_day,
+    "rollup_region_nation": q_rollup_region_nation,
+    "trailing_week_revenue": q_trailing_week_revenue,
+    "latest_event_per_user": q_latest_event_per_user,
+    "incremental_mapped": q_incremental_mapped,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "token_stats": q_token_stats,
+    "customers_with_orders": q_customers_with_orders,
+    "top3_parts_per_brand": q_top3_parts_per_brand,
+    "orders_sorted": q_orders_sorted,
+    "top10_orders": q_top10_orders,
+    "distinct_users": q_distinct_users,
+    "customers_without_orders": q_customers_without_orders,
+    "minhash_verified_pairs": q_minhash_verified_pairs,
+    "simhash_verified_pairs": q_simhash_verified_pairs,
+    "knn_ivf_verified": q_knn_ivf_verified,
+    "corpus_curation": q_corpus_curation,
+    "paragraph_dedup_docs": q_paragraph_dedup,
+    "asof_purchase_view": q_asof_purchase_view,
+    "sessionization": q_sessionization,
     "approx_distinct_users": q_approx_distinct_users,
     "pca_project_embeddings": q_pca_project_embeddings,
     "minhash_pairs": q_minhash_pairs,
@@ -2200,14 +2189,6 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q4_order_priority": q4_order_priority,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "q22_global_sales_opportunity": q22_global_sales_opportunity,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q8_market_share": q8_market_share,
-    "q9_product_profit": q9_product_profit,
-    "q11_important_parts": q11_important_parts,
-    "q12_shipmode_priority": q12_shipmode_priority,
     "q16_supplier_cnt": q16_supplier_cnt,
     "q20_promotable_suppliers": q20_promotable_suppliers,
     "grouping_sets_events": q_grouping_sets_events,
@@ -2215,12 +2196,7 @@ QUERIES = {
     "event_value_percentiles": q_event_value_percentiles,
     "language_id": q_language_id,
     "quality_scores": q_quality_scores,
-    "train_test_split": q_train_test_split,
     "exact_dedup_docs": q_exact_dedup_docs,
-    "winnow_fingerprints_docs": q_winnow_fingerprints,
-    "split_sentences_docs": q_split_sentences,
-    "vocab_topk_docs": q_vocab_topk,
-    "repetition_signals_docs": q_repetition_signals,
 }
 
 
