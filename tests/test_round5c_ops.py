@@ -366,12 +366,19 @@ def test_global_cumsum_matches_window(spark, sf_dir):
     assert got == want
 
 
-def test_global_cumsum_rejects_non_numeric(spark):
+def test_global_cumsum_string_key_and_sortorder_rejection(spark):
+    """String keys no longer raise (round 6: re-keyed on xxhash64 —
+    covered in test_round6_ops); a SortOrder column still must."""
+    from pyspark.sql import functions as F
     from tap_airbyte_wrapper_spark.operators import global_cumsum
 
-    df = spark.createDataFrame([Row(k="a", v=1)])
-    with pytest.raises(TypeError, match="numeric"):
-        global_cumsum(df, "k", "v")
+    df = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)])
+    assert sorted(r["cum"] for r in
+                  global_cumsum(df, "k", "v").collect()) == [1, 3] or \
+        sorted(r["cum"] for r in
+               global_cumsum(df, "k", "v").collect()) == [2, 3]
+    with pytest.raises(TypeError, match="SortOrder"):
+        global_cumsum(df, F.col("k").desc(), "v")
 
 
 def test_pack_sequences_invariants(spark):
