@@ -295,6 +295,19 @@ class IvfIndex:
         self.vec_col = vec_col
 
 
+def _centroid_df(spark, cent: "np.ndarray") -> DataFrame:
+    """Centroid matrix as a JVM-literal DataFrame.  Deliberately NOT
+    ``spark.createDataFrame`` — a Python-RDD-backed frame routes even a
+    16-row write through a Python worker round-trip (measured ~4 s per
+    tiny write on local[32]); ``range().select(lit arrays)`` stays
+    JVM-side (~0.2 s) and k x dim literals are tiny by construction."""
+    arrays = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                       for c in cent])
+    return spark.range(len(cent)).select(
+        F.col("id").cast("int").alias("cell"),
+        F.element_at(arrays, F.col("id").cast("int") + 1).alias("centroid"))
+
+
 def _cell_udf(cent: "np.ndarray"):
     @pandas_udf("int")
     def cell_of(vecs: pd.Series) -> pd.Series:
@@ -358,18 +371,23 @@ def ivf_build(
         _cell_udf(cent)(F.col(vec_col)).alias("__cell"))
     if path:
         spark = corpus.sparkSession
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
-            "cell int, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-        assigned.write.mode("overwrite").partitionBy("__cell").parquet(
-            f"{path}/vectors")
+        _centroid_df(spark, cent).coalesce(1).write.mode(
+            "overwrite").parquet(f"{path}/centroids")
+        # repartition on the cell BEFORE partitionBy: without it every
+        # input task writes one file per cell it touches (tasks x cells
+        # small-file spray — the same failure write_training_shards
+        # guards against); with it each cell is written by the task
+        # that owns it.  One file per cell per write batch; compact
+        # with compact_parquet when appends accumulate.
+        (assigned.repartition(len(cent), "__cell")
+         .write.mode("overwrite").partitionBy("__cell")
+         .parquet(f"{path}/vectors"))
         assigned = corpus.sparkSession.read.parquet(f"{path}/vectors")
         # training-time corpus size, the baseline ivf_staleness compares
         # appends against (parquet metadata count — no data scan)
         built_rows = assigned.count()
-        spark.createDataFrame(
-            [(built_rows,)], "built_rows long",
+        spark.range(1).select(
+            F.lit(int(built_rows)).cast("long").alias("built_rows"),
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     return IvfIndex(cent, assigned, id_col, vec_col)
 
@@ -420,8 +438,10 @@ def ivf_append(
     assigned = delta.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col),
         _cell_udf(cent)(F.col(vec_col)).alias("__cell"))
-    assigned.write.mode("append").partitionBy("__cell").parquet(
-        f"{path}/vectors")
+    # cell-co-located write: one file per touched cell per append, not
+    # tasks x cells (see ivf_build's layout note)
+    (assigned.repartition(len(cent), "__cell")
+     .write.mode("append").partitionBy("__cell").parquet(f"{path}/vectors"))
     return IvfIndex(cent, spark.read.parquet(f"{path}/vectors"),
                     id_col, vec_col)
 
