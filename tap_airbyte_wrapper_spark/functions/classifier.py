@@ -189,10 +189,13 @@ def classify(
 
 
 def save_text_classifier(model: TextClassifierModel, spark, path: str) -> None:
-    """One-row parquet artifact (same shape as ``save_pca``)."""
-    spark.createDataFrame(
-        [(model.weights.tolist(), model.bias, model.dim, model.salt)],
-        schema="weights array<double>, bias double, dim int, salt string",
+    """One-row parquet artifact (same shape as ``save_pca``) — built
+    JVM-literal for the same tiny-write reason as ``save_pca``."""
+    spark.range(1).select(
+        F.array(*[F.lit(float(w)) for w in model.weights]).alias("weights"),
+        F.lit(float(model.bias)).alias("bias"),
+        F.lit(int(model.dim)).cast("int").alias("dim"),
+        F.lit(model.salt).alias("salt"),
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 

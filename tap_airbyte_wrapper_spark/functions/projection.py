@@ -182,12 +182,23 @@ def save_pca(model: PcaModel, spark, path: str) -> None:
     components, explained variance, shape) — an engine-portable
     artifact like the IVF index: fit once on the 100 TB corpus, reuse
     across every downstream projection job."""
+    from pyspark.sql import functions as F
+
     k, d = model.components.shape
-    spark.createDataFrame(
-        [(model.mean.tolist(), model.components.ravel().tolist(),
-          model.explained_variance.tolist(), model.n_rows, k, d)],
-        "mean array<double>, components array<double>, "
-        "explained_variance array<double>, n_rows long, k int, d int",
+
+    def arr(v):
+        # JVM-literal arrays: a Python-RDD-backed 1-row frame pays a
+        # python-worker round-trip per default-parallelism slice on
+        # write (~4 s on local[32]); lit() stays JVM-side
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    spark.range(1).select(
+        arr(model.mean).alias("mean"),
+        arr(model.components.ravel()).alias("components"),
+        arr(model.explained_variance).alias("explained_variance"),
+        F.lit(int(model.n_rows)).cast("long").alias("n_rows"),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(d).cast("int").alias("d"),
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
