@@ -1601,7 +1601,13 @@ def q_knn_ivf_append_verified(spark, sf_dir):
     corpus.  Full probing (n_probe = n_clusters) makes the
     half-trained centroids irrelevant to correctness by construction,
     so a green row pins the append's cell assignment, partitioned
-    parquet layout, meta bookkeeping and reload end-to-end."""
+    parquet layout, meta bookkeeping and reload end-to-end.
+
+    Bench note: this is the fleet's only LIFECYCLE entry — its wall
+    time is ~6 jobs + 4 parquet writes of fixed overhead (sample,
+    centroid/meta/vector writes, append, reload, search), not scan
+    cost; at 100 TB the build/append amortize over many searches and
+    the probe join is the only per-query term."""
     import tempfile
 
     from ..functions import ivf_append, ivf_build, ivf_search
