@@ -14,6 +14,7 @@ from .incremental import (
 from .cdc import stream_changelog_apply
 from .dedup import stream_near_dup_gate
 from .similarity import stream_embedding_gate
+from .stats import append_gate_stats, read_gate_stats
 from .stateful import (
     stateful_anomalies,
     stateful_heavy_hitters,
@@ -24,6 +25,8 @@ from .stateful import (
 __all__ = [
     "stream_near_dup_gate",
     "stream_embedding_gate",
+    "append_gate_stats",
+    "read_gate_stats",
     "stream_changelog_apply",
     "stream_source",
     "incremental_sync",

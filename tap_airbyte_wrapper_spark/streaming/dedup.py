@@ -31,6 +31,10 @@ Streaming's at-least-once foreachBatch contract):
 Cost per batch: O(batch) signatures + a bucket-co-located join against
 the index (zero corpus shuffle, same plan the batch delta-dedup tests
 assert) + an O(batch) append.  The stream never pays O(corpus).
+
+Each drained batch appends a ``(batch_id, n_in, n_kept, n_dropped,
+wall_seconds)`` row under ``{out}/_gate_stats`` (best-effort, see
+:mod:`.stats`) — the drop-rate audit trail.
 """
 
 from __future__ import annotations
@@ -40,6 +44,7 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.dedup import minhash_dedup_delta, minhash_index_append
+from .stats import append_gate_stats
 
 __all__ = ["stream_near_dup_gate"]
 
@@ -64,6 +69,9 @@ def stream_near_dup_gate(
     """
 
     def gate(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        started = _time.time()
         batch = batch.persist()
         try:
             dupes = minhash_dedup_delta(
@@ -94,6 +102,8 @@ def stream_near_dup_gate(
                     # non-local index_path: the marker optimization
                     # cannot write — skip it, never kill the stream
                     pass
+            append_gate_stats(batch.sparkSession, out_path, batch_id,
+                              batch.count(), clean.count(), started)
             clean.unpersist()
         finally:
             batch.unpersist()

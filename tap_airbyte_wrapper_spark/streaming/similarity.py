@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.similarity import embedding_dedup_delta, ivf_append, \
     ivf_load, ivf_staleness
+from .stats import append_gate_stats
 
 __all__ = ["stream_embedding_gate"]
 
@@ -73,6 +74,9 @@ def stream_embedding_gate(
     """
 
     def gate(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        started = _time.time()
         spark = batch.sparkSession
         batch = batch.persist()
         try:
@@ -111,6 +115,8 @@ def stream_embedding_gate(
                     "quantizer offline with ivf_build over the landed "
                     "corpus", index_path, stale["append_ratio"],
                     stale["appended_rows"], stale["built_rows"])
+            append_gate_stats(spark, out_path, batch_id,
+                              batch.count(), clean.count(), started)
             clean.unpersist()
         finally:
             batch.unpersist()

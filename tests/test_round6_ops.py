@@ -373,3 +373,37 @@ def test_stream_embedding_gate_across_batches(spark, tmp_path):
                    for r in brute.collect() if r["cos_sim"] >= 0.9
                    and r["query_id"] != r["vec_id"]}
     assert hits == brute_pairs
+
+
+def test_gate_stats_recorded_per_batch(spark, tmp_path):
+    """Both gates append (batch_id, n_in, n_kept, n_dropped) rows under
+    {out}/_gate_stats; the underscore prefix keeps them invisible to
+    corpus reads of out_path."""
+    from pyspark.sql import Row
+    from tap_airbyte_wrapper_spark.functions import ivf_build
+    from tap_airbyte_wrapper_spark.streaming import (
+        read_gate_stats, stream_embedding_gate)
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    idx = str(tmp_path / "ivf")
+    out = str(tmp_path / "clean")
+    schema = "vec_id long, embedding array<float>"
+    boot = spark.createDataFrame([(100, _vec(0)), (101, _vec(1))], schema)
+    ivf_build(boot, n_clusters=2, path=idx)
+    b1 = spark.createDataFrame(
+        [Row(vec_id=1, embedding=_vec(0, eps=0.02)),
+         Row(vec_id=2, embedding=_vec(3))], schema)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_embedding_gate(
+        spark.readStream.schema(b1.schema).parquet(str(src)),
+        "vec_id", "embedding", idx, out,
+        checkpoint=str(tmp_path / "ck"), threshold=0.9, n_probe=2)
+    q.awaitTermination(120)
+
+    stats = read_gate_stats(spark, out).collect()
+    assert len(stats) == 1
+    row = stats[0]
+    assert (row["n_in"], row["n_kept"], row["n_dropped"]) == (2, 1, 1)
+    # _gate_stats must NOT leak into corpus reads
+    assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {2}
