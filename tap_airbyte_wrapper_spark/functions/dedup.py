@@ -49,6 +49,7 @@ __all__ = [
     "minhash_index_write",
     "minhash_index_append",
     "minhash_dedup_delta",
+    "minhash_index_compact",
 ]
 
 
@@ -1120,7 +1121,8 @@ def minhash_index_append(
     computed with the index's own recorded parameters and APPENDED to
     the bucketed tables (same bucket spec, so the zero-corpus-shuffle
     join property of :func:`minhash_dedup_delta` survives; appends add
-    files per bucket, so run ``compact_parquet`` on the index dirs
+    files per bucket, so run :func:`minhash_index_compact` — NOT the
+    flat ``compact_parquet``, which would drop the bucket metadata —
     when batch count grows).  Cost is O(delta) — the corpus is never
     read.  Caller contract: ids must be new (dedup the delta against
     the index FIRST; appending an id twice double-counts its postings).
@@ -1151,6 +1153,70 @@ def minhash_index_append(
         .option("path", _os.path.join(path, "sigs"))
         .mode("append").saveAsTable(f"{table_name}_sigs"))
     sigs.unpersist()
+
+
+def minhash_index_compact(
+    spark,
+    table_name: str,
+    path: str,
+    dst_table: str,
+    dst_path: str,
+) -> dict:
+    """LAYOUT-PRESERVING compaction of a persisted MinHash index: each
+    :func:`minhash_index_append` adds one file per touched bucket, so a
+    long-running streaming gate accumulates files and the co-located
+    delta join pays per-file open/footer cost.  A plain
+    ``compact_parquet`` rewrite would FIX the file count but DESTROY
+    the bucket metadata (the rewrite is not ``bucketBy``), silently
+    re-introducing the corpus-side shuffle the index exists to avoid —
+    so this compactor re-reads the postings/sigs TABLES with the
+    BUCKETED scan forced on (``autoBucketedScan`` off: the planner
+    otherwise reads file splits while still reporting the bucket
+    partitioning, which both misaligns the write and lets it drop an
+    explicit repartition as "redundant") and rewrites with the SAME
+    bucket spec.  One task per bucket in, one file per bucket out,
+    and — because scan partitioning equals write partitioning — ZERO
+    shuffle: compaction is a narrow per-bucket concatenation.  Same
+    crash-safety contract as ``compact_parquet``: the write goes to a
+    NEW table/path; callers swap by probing the new name afterwards.
+
+    Returns ``{"files_in", "files_out"}`` (parquet data files across
+    both tables)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.abspath(path) == _os.path.abspath(dst_path):
+        raise ValueError("minhash_index_compact writes to a NEW path")
+    with open(_os.path.join(path, "_index_meta.json")) as f:
+        meta = _json.load(f)
+    n_buckets, id_col = meta["n_buckets"], meta["id_col"]
+
+    def _nfiles(p):
+        return sum(1 for r, _, fs in _os.walk(p)
+                   for x in fs if x.endswith(".parquet"))
+
+    files_in = _nfiles(path)
+    _os.makedirs(dst_path, exist_ok=True)
+    spark.sql(f"DROP TABLE IF EXISTS {dst_table}_postings")
+    spark.sql(f"DROP TABLE IF EXISTS {dst_table}_sigs")
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        (spark.table(f"{table_name}_postings")
+            .write.bucketBy(n_buckets, "bkey").sortBy("bkey")
+            .option("path", _os.path.join(dst_path, "postings"))
+            .mode("overwrite").saveAsTable(f"{dst_table}_postings"))
+        (spark.table(f"{table_name}_sigs")
+            .write.bucketBy(n_buckets, id_col).sortBy(id_col)
+            .option("path", _os.path.join(dst_path, "sigs"))
+            .mode("overwrite").saveAsTable(f"{dst_table}_sigs"))
+    finally:
+        spark.conf.set(conf_key, old)
+    _shutil.copyfile(_os.path.join(path, "_index_meta.json"),
+                     _os.path.join(dst_path, "_index_meta.json"))
+    return {"files_in": files_in, "files_out": _nfiles(dst_path)}
 
 
 def minhash_dedup_delta(

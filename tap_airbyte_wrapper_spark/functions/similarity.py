@@ -26,7 +26,7 @@ from ..operators.windows import topk_per_group
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
            "cosine_topk_lsh", "cosine_topk_ivf", "embedding_near_dup_pairs",
            "IvfIndex", "ivf_build", "ivf_load", "ivf_search",
-           "ivf_append", "ivf_staleness", "embedding_dedup_delta",
+           "ivf_append", "ivf_staleness", "ivf_compact", "embedding_dedup_delta",
            "quantize_embeddings", "nearest_centroid_assign", "semantic_dedup"]
 
 
@@ -378,7 +378,7 @@ def ivf_build(
         # small-file spray — the same failure write_training_shards
         # guards against); with it each cell is written by the task
         # that owns it.  One file per cell per write batch; compact
-        # with compact_parquet when appends accumulate.
+        # with ivf_compact (layout-preserving) when appends accumulate.
         (assigned.repartition(len(cent), "__cell")
          .write.mode("overwrite").partitionBy("__cell")
          .parquet(f"{path}/vectors"))
@@ -444,6 +444,40 @@ def ivf_append(
      .write.mode("append").partitionBy("__cell").parquet(f"{path}/vectors"))
     return IvfIndex(cent, spark.read.parquet(f"{path}/vectors"),
                     id_col, vec_col)
+
+
+def ivf_compact(spark, src_path: str, dst_path: str) -> dict:
+    """LAYOUT-PRESERVING compaction of a persisted IVF index: each
+    :func:`ivf_append` adds one file per touched cell, so a streaming
+    embedding gate accumulates files per cell.  A flat
+    ``compact_parquet`` rewrite would drop the ``__cell`` partition
+    directories and with them the probe join's file-level pruning —
+    this compactor rewrites the vectors WITH the cell partitioning
+    (one file per cell afterwards) and copies centroids + meta
+    unchanged.  Same crash-safety contract as ``compact_parquet``:
+    writes to a NEW index directory; callers swap by loading the new
+    path.  Returns ``{"files_in", "files_out"}``."""
+    import os as _os
+
+    if _os.path.abspath(src_path) == _os.path.abspath(dst_path):
+        raise ValueError("ivf_compact writes to a NEW path")
+
+    def _nfiles(p):
+        return sum(1 for r, _, fs in _os.walk(p)
+                   for x in fs if x.endswith(".parquet"))
+
+    files_in = _nfiles(f"{src_path}/vectors")
+    cent = spark.read.parquet(f"{src_path}/centroids")
+    n_cells = cent.count()
+    cent.coalesce(1).write.mode("overwrite").parquet(
+        f"{dst_path}/centroids")
+    (spark.read.parquet(f"{src_path}/vectors")
+        .repartition(n_cells, "__cell")
+        .write.mode("overwrite").partitionBy("__cell")
+        .parquet(f"{dst_path}/vectors"))
+    spark.read.parquet(f"{src_path}/meta").coalesce(1).write.mode(
+        "overwrite").parquet(f"{dst_path}/meta")
+    return {"files_in": files_in, "files_out": _nfiles(f"{dst_path}/vectors")}
 
 
 def ivf_staleness(spark, path: str, retrain_factor: float = 1.0) -> dict:

@@ -21,8 +21,9 @@ Streaming's at-least-once foreachBatch contract):
   gate: a crash between append and marker re-appends on replay, which
   only inflates the index (candidate pairs are ``distinct``-ed and
   the drop set is ``distinct``-ed, so duplicated postings/signatures
-  never change the gate's output — run ``compact_parquet`` on the
-  index periodically anyway).  The marker IO uses local-FS ``os.path``
+  never change the gate's output — run ``minhash_index_compact``
+  on the index periodically anyway; the flat ``compact_parquet``
+  would drop the bucket metadata).  The marker IO uses local-FS ``os.path``
   and is best-effort: on an object-store ``index_path`` the existence
   check never fires and the write failure is swallowed, so every
   replay re-appends (more index growth, same gate output) instead of

@@ -21,7 +21,8 @@ lands per-batch in ``{out}/batch=<id>`` with overwrite; the index
 append is guarded by a best-effort ``_batch_<id>`` marker (a re-append
 after a crash between append and marker only duplicates rows in the
 index — the drop set is ``distinct``-ed, so the gate's output never
-changes; compact the index periodically).
+changes; compact the index periodically with ``ivf_compact`` —
+layout-preserving, unlike the flat ``compact_parquet``).
 
 Centroid staleness: the quantizer is NEVER retrained inside the stream
 (moving cell boundaries would strand the already-assigned corpus — see

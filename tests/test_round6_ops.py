@@ -407,3 +407,97 @@ def test_gate_stats_recorded_per_batch(spark, tmp_path):
     assert (row["n_in"], row["n_kept"], row["n_dropped"]) == (2, 1, 1)
     # _gate_stats must NOT leak into corpus reads
     assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {2}
+
+
+# ---------------------------------------------------------------------
+# layout-preserving index compaction
+# ---------------------------------------------------------------------
+
+def test_minhash_index_compact_preserves_bucketed_join(spark, tmp_path):
+    """Appends accumulate files per bucket; compaction shrinks to one
+    file per bucket while keeping the bucket metadata, so the delta
+    probe still runs with zero corpus-side Exchange and identical
+    output."""
+    import os
+
+    from pyspark.sql import Row
+    from tap_airbyte_wrapper_spark.functions import (
+        minhash_dedup_delta, minhash_index_append, minhash_index_compact,
+        minhash_index_write)
+
+    long_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    long_b = " ".join(f"delta{i} epsi{i} zeta{i}" for i in range(12))
+    idx = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=long_a)], "doc_id long, text string")
+    minhash_index_write(corpus, "doc_id", "text", "mhc6", idx,
+                        num_hashes=64, shingle_len=3, bands=16, n_buckets=4)
+    for i in range(3):
+        minhash_index_append(
+            spark.createDataFrame(
+                [Row(doc_id=10 + i, text=f"{long_b} extra{i}")],
+                "doc_id long, text string"),
+            "mhc6", idx, "doc_id", "text")
+
+    dst = str(tmp_path / "idx_c")
+    stats = minhash_index_compact(spark, "mhc6", idx, "mhc6c", dst)
+    assert stats["files_out"] < stats["files_in"]
+    # at most one file per NON-EMPTY bucket per table
+    assert stats["files_out"] <= 2 * 4
+    assert os.path.exists(os.path.join(dst, "_index_meta.json"))
+
+    probe = spark.createDataFrame(
+        [Row(doc_id=2000, text=long_a + " tail")], "doc_id long, text string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        before = minhash_dedup_delta(
+            probe, "mhc6", idx, "doc_id", "text", threshold=0.5)
+        want = {(r["id_a"], r["id_b"], r["kind"]) for r in before.collect()}
+        plan_before = before._jdf.queryExecution() \
+            .executedPlan().toString()
+        out = minhash_dedup_delta(
+            probe, "mhc6c", dst, "doc_id", "text", threshold=0.5)
+        got = {(r["id_a"], r["id_b"], r["kind"]) for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want and got
+    assert "SelectedBucketsCount" in plan          # bucketing survived
+    # compaction must not ADD shuffles: same exchange count as the
+    # probe against the uncompacted index
+    assert (plan.count("Exchange hashpartitioning")
+            == plan_before.count("Exchange hashpartitioning"))
+
+
+def test_ivf_compact_preserves_cells_and_search(spark, tmp_path):
+    import os
+
+    from tap_airbyte_wrapper_spark.functions import (
+        ivf_append, ivf_build, ivf_compact, ivf_load, ivf_search)
+
+    src = str(tmp_path / "ivf")
+    corpus = spark.createDataFrame(
+        [(i, _vec(i % 8)) for i in range(16)],
+        "vec_id long, embedding array<float>")
+    ivf_build(corpus, n_clusters=4, path=src)
+    for j in range(3):
+        ivf_append(spark, src, spark.createDataFrame(
+            [(100 + 10 * j + d, _vec(d % 8, eps=0.01 * (j + 1)))
+             for d in range(4)], "vec_id long, embedding array<float>"))
+
+    dst = str(tmp_path / "ivf_c")
+    stats = ivf_compact(spark, src, dst)
+    assert stats["files_out"] < stats["files_in"]
+    # cell partition dirs survive (file-level pruning intact)
+    vdirs = [d for d in os.listdir(f"{dst}/vectors")
+             if d.startswith("__cell=")]
+    assert vdirs
+
+    q = spark.createDataFrame([(999, _vec(2, eps=0.005))],
+                              "vec_id long, embedding array<float>")
+    want = {(r["vec_id"]) for r in ivf_search(
+        ivf_load(spark, src), q, k=3, n_probe=4).collect()}
+    got = {(r["vec_id"]) for r in ivf_search(
+        ivf_load(spark, dst), q, k=3, n_probe=4).collect()}
+    assert got == want and got
