@@ -430,6 +430,11 @@ def ivf_append(
     ``needs_retrain`` trips (appended rows exceed ``retrain_factor``
     x the rows the centroids were trained against).
 
+    Caller contract (same as ``minhash_index_append``): ids must be
+    NEW — dedup the delta against the index first (the streaming gate
+    does); appending an id twice lists it in two rows and every probe
+    reports it twice.
+
     Returns the reopened index including the appended vectors."""
     cent_rows = sorted(
         (r["cell"], r["centroid"])
