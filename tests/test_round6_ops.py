@@ -501,3 +501,65 @@ def test_ivf_compact_preserves_cells_and_search(spark, tmp_path):
     got = {(r["vec_id"]) for r in ivf_search(
         ivf_load(spark, dst), q, k=3, n_probe=4).collect()}
     assert got == want and got
+
+
+# ---------------------------------------------------------------------
+# cross-engine hash parity on adversarial inputs (the fleet corpus is
+# ASCII — these pin the unicode edges the oracles can't reach)
+# ---------------------------------------------------------------------
+
+def test_hash_long_matches_duckdb_on_tricky_ids(spark):
+    import duckdb
+    from tap_airbyte_wrapper_spark.functions.sampling import _hash_long
+
+    ids = ["", "0", "héllo", "naïve-café", "日本語テキスト", "🎉🎊",
+           "tab\tsep", "quote'id", 'double"q', "a" * 300]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    got = {r["doc_id"]: r["h"] for r in df.select(
+        "doc_id", _hash_long(F.col("doc_id"), "s4lt").alias("h")).collect()}
+    for i in ids:
+        want = duckdb.sql(
+            "SELECT CAST(concat('0x', substr(md5(? || 's4lt'), 1, 12)) "
+            "AS BIGINT)", params=[i]).fetchone()[0]
+        assert got[i] == want, i
+
+
+def test_winnow_rolling_matches_duckdb_on_unicode(spark):
+    """The rolling-hash oracle formula (unicode() codepoints x powers
+    mod 2^32) must agree with the numpy utf-32 path on non-ASCII text,
+    including astral-plane codepoints."""
+    import duckdb
+    from tap_airbyte_wrapper_spark.functions import winnow_fingerprints
+
+    texts = ["héllo wörld çafé naïve résumé ünïcödé",
+             "日本語のテキストです これはテストです さらに続きます",
+             "emoji 🎉 inside 🎊 the 🎈 stream 🎁 of 🎀 text here",
+             "mixed ascii és unicode szöveg averages out fine"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    got = {r["doc_id"]: sorted(r["fps"]) for r in winnow_fingerprints(
+        df, "text").collect()}
+    P = [1, 1000003, 3573587337, 583896283, 1525764945, 3865227315,
+         272515929, 1071616587]
+    sql = """
+      WITH s AS (SELECT lower(trim(regexp_replace(?, '\\s+', ' ', 'g'))) AS t),
+      g AS (
+        SELECT list_transform(
+          generate_series(1, greatest(length(t) - 8 + 1, 1)),
+          i -> CAST(list_sum(list_transform(
+                 generate_series(1, length(substring(t, i, 8))),
+                 k -> unicode(substring(t, i + k - 1, 1))
+                      * ([1, 1000003, 3573587337, 583896283, 1525764945,
+                          3865227315, 272515929, 1071616587]
+                         [length(substring(t, i, 8)) - k + 1])))
+               % 4294967296 AS BIGINT)) AS hs
+        FROM s),
+      w AS (
+        SELECT list_sort(list_distinct(list_transform(
+          generate_series(1, greatest(len(hs) - 4 + 1, 1)),
+          j -> list_min(hs[j:j+3])))) AS fps
+        FROM g)
+      SELECT fps FROM w"""
+    for i, t in enumerate(texts):
+        want = duckdb.sql(sql, params=[t]).fetchone()[0]
+        assert got[i] == sorted(want), t
