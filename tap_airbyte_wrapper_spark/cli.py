@@ -168,12 +168,20 @@ def main(argv: list[str] | None = None) -> int:
             root_md = next(
                 (m.get("metadata", {}) for m in s.get("metadata", [])
                  if not m.get("breadcrumb")), {})
-            if s.get("selected", root_md.get("selected", True)) is False:
+            # Explicit JSON null at the stream level is "unset", not
+            # "selected" — fall through to the metadata entry.
+            sel = s.get("selected")
+            if sel is None:
+                sel = root_md.get("selected")
+            if sel is False:
                 continue
             selected.append(name)
+            # Forced (either location) outranks plain (either location):
+            # forced is the SOURCE's capability declaration, plain is a
+            # user preference.
             method = (root_md.get("forced-replication-method")
-                      or root_md.get("replication-method")
                       or s.get("forced-replication-method")
+                      or root_md.get("replication-method")
                       or s.get("replication-method")
                       or s.get("replication_method"))
             if method:

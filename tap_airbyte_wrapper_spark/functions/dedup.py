@@ -1188,13 +1188,16 @@ def minhash_index_compact(
 
     if _os.path.abspath(path) == _os.path.abspath(dst_path):
         raise ValueError("minhash_index_compact writes to a NEW path")
+    if dst_table == table_name:
+        # The DROPs below would destroy the live index's catalog
+        # entries before the source tables are even read.
+        raise ValueError("minhash_index_compact writes to a NEW table "
+                         "name (dst_table must differ from table_name)")
     with open(_os.path.join(path, "_index_meta.json")) as f:
         meta = _json.load(f)
     n_buckets, id_col = meta["n_buckets"], meta["id_col"]
 
-    def _nfiles(p):
-        return sum(1 for r, _, fs in _os.walk(p)
-                   for x in fs if x.endswith(".parquet"))
+    from ..fsutil import count_parquet_files as _nfiles
 
     files_in = _nfiles(path)
     _os.makedirs(dst_path, exist_ok=True)

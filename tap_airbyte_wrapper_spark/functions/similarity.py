@@ -410,6 +410,7 @@ def ivf_append(
     delta: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> IvfIndex:
     """Fold a DELTA batch of vectors into a persisted IVF index WITHOUT
     retraining: assign each new vector to its nearest existing cell
@@ -435,11 +436,20 @@ def ivf_append(
     does); appending an id twice lists it in two rows and every probe
     reports it twice.
 
-    Returns the reopened index including the appended vectors."""
-    cent_rows = sorted(
-        (r["cell"], r["centroid"])
-        for r in spark.read.parquet(f"{path}/centroids").collect())
-    cent = np.array([c for _, c in cent_rows], dtype="float64")
+    Returns the reopened index including the appended vectors.
+
+    ``centroids``: the index's own centroid array if the caller already
+    holds it (e.g. a streaming gate appending every batch) — skips the
+    per-call centroid read+collect.  Passing centroids from a DIFFERENT
+    index would mis-assign cells; only ever pass what ``ivf_load`` of
+    the same ``path`` returned."""
+    if centroids is not None:
+        cent = centroids
+    else:
+        cent_rows = sorted(
+            (r["cell"], r["centroid"])
+            for r in spark.read.parquet(f"{path}/centroids").collect())
+        cent = np.array([c for _, c in cent_rows], dtype="float64")
     assigned = delta.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col),
         _cell_udf(cent)(F.col(vec_col)).alias("__cell"))
@@ -467,9 +477,7 @@ def ivf_compact(spark, src_path: str, dst_path: str) -> dict:
     if _os.path.abspath(src_path) == _os.path.abspath(dst_path):
         raise ValueError("ivf_compact writes to a NEW path")
 
-    def _nfiles(p):
-        return sum(1 for r, _, fs in _os.walk(p)
-                   for x in fs if x.endswith(".parquet"))
+    from ..fsutil import count_parquet_files as _nfiles
 
     files_in = _nfiles(f"{src_path}/vectors")
     cent = spark.read.parquet(f"{src_path}/centroids")
@@ -485,15 +493,21 @@ def ivf_compact(spark, src_path: str, dst_path: str) -> dict:
     return {"files_in": files_in, "files_out": _nfiles(f"{dst_path}/vectors")}
 
 
-def ivf_staleness(spark, path: str, retrain_factor: float = 1.0) -> dict:
+def ivf_staleness(spark, path: str, retrain_factor: float = 1.0,
+                  built_rows: int | None = None) -> dict:
     """Centroid-staleness probe for a persisted IVF index:
     ``built_rows`` (corpus size when the quantizer was trained, from
     the index's meta), ``total_rows`` (parquet metadata count — no
     data scan), ``appended_rows``, ``append_ratio`` and
     ``needs_retrain`` (ratio > ``retrain_factor``).  Pair with
     :func:`ivf_append`'s documented policy: append freely, rebuild the
-    quantizer offline once the index has grown past the factor."""
-    built = spark.read.parquet(f"{path}/meta").collect()[0]["built_rows"]
+    quantizer offline once the index has grown past the factor.
+
+    ``built_rows``: pass the meta value if already known (it is fixed
+    at build time, so repeat callers — the streaming gate — read it
+    once and skip the per-call meta read)."""
+    built = (built_rows if built_rows is not None else
+             spark.read.parquet(f"{path}/meta").collect()[0]["built_rows"])
     total = spark.read.parquet(f"{path}/vectors").count()
     appended = total - built
     ratio = appended / built if built else float("inf")

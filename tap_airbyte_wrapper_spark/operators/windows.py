@@ -271,18 +271,22 @@ def global_cumsum(
     well-defined; ties make the within-tie order — and therefore the
     running sum at the tied rows — partition-dependent.
 
-    A NON-numeric order key (string doc-ids — the common case in web
-    corpora) is handled by re-keying on ``xxhash64(key)`` with the raw
-    key as tie-break: still a deterministic, partitioning-independent
-    total order (what sequence packing needs), just hash order rather
-    than lexicographic.  The approxQuantile boundary pass runs on the
+    A STRING order key (doc-ids — the common case in web corpora) is
+    handled by re-keying on ``xxhash64(key)`` with the raw key as
+    tie-break: still a deterministic, partitioning-independent total
+    order (what sequence packing needs), just hash order rather than
+    lexicographic.  The approxQuantile boundary pass runs on the
     uniform 64-bit hash, so bucket balance is ideal regardless of id
     shape; hash collisions stay inside one bucket (the bucket is a
     pure function of the hash value) and the raw-key tie-break keeps
     the order total.  Callers that need LEXICOGRAPHIC string order
-    must pre-map the key to a numeric rank themselves.
+    must pre-map the key to a numeric rank themselves.  Any OTHER
+    non-numeric type (timestamp, date, boolean, struct) still raises:
+    hash order would silently scramble a cursor the caller almost
+    certainly meant as a real ordering — cast to unix epoch/long to
+    opt in.
     """
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import NumericType, StringType
 
     spark = df.sparkSession
     num_ranges = num_ranges or spark.sparkContext.defaultParallelism
@@ -293,10 +297,16 @@ def global_cumsum(
                         "order column, not a SortOrder")
     keyed = df.withColumn("__k0", oc).withColumn("__v0", vc)
     order_cols = ["__k0"]
-    if not isinstance(keyed.schema["__k0"].dataType, NumericType):
+    key_type = keyed.schema["__k0"].dataType
+    if isinstance(key_type, StringType):
         keyed = keyed.withColumn("__kraw", F.col("__k0")) \
             .withColumn("__k0", F.xxhash64(F.col("__k0")))
         order_cols = ["__k0", "__kraw"]
+    elif not isinstance(key_type, NumericType):
+        raise TypeError(
+            f"global_cumsum needs a numeric or string order column; got "
+            f"{key_type.simpleString()} — cast temporal keys to a unix "
+            f"epoch (the hash re-key is only meaningful for opaque ids)")
     parts = _value_buckets(keyed, num_ranges)
     sums = {r["__pid"]: r["s"] or 0
             for r in parts.groupBy("__pid")

@@ -1608,12 +1608,21 @@ def q_knn_ivf_append_verified(spark, sf_dir):
     centroid/meta/vector writes, append, reload, search), not scan
     cost; at 100 TB the build/append amortize over many searches and
     the probe join is the only per-query term."""
+    import os
+    import shutil
     import tempfile
 
     from ..functions import ivf_append, ivf_build, ivf_search
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="spark_ivf_append_")
+    # Stable path per SF, cleared on entry: the returned DataFrame reads
+    # the index lazily so the dir can't be removed here, but reusing one
+    # location keeps repeated bench/correctness runs from accumulating
+    # leaked index dirs (mkdtemp leaked one per invocation).
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_ivf_append_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(path, ignore_errors=True)
     ivf_build(emb.filter(F.col("vec_id") % 2 == 0),
               n_clusters=16, path=path)
     index = ivf_append(spark, path, emb.filter(F.col("vec_id") % 2 == 1))
@@ -2338,13 +2347,13 @@ ORACLES = {
           SELECT doc_id,
                  list_transform(
                    generate_series(1, greatest(length(t) - 8 + 1, 1)),
-                   i -> CAST(list_sum(list_transform(
+                   i -> CAST(coalesce(list_sum(list_transform(
                           generate_series(1, length(substring(t, i, 8))),
                           k -> unicode(substring(t, i + k - 1, 1))
                                * ([1, 1000003, 3573587337, 583896283,
                                    1525764945, 3865227315, 272515929,
                                    1071616587]
-                                  [length(substring(t, i, 8)) - k + 1])))
+                                  [length(substring(t, i, 8)) - k + 1]))), 0)
                         % 4294967296 AS BIGINT)) AS hs
           FROM s),
         w AS (

@@ -381,12 +381,11 @@ def compact_parquet(
     mid-compaction never corrupts the source (callers swap atomically,
     e.g. the merge sink's ``_CURRENT`` pointer pattern).
     """
+    from .fsutil import count_parquet_files, list_parquet_files
+
     if os.path.abspath(src) == os.path.abspath(dst):
         raise ValueError("compact_parquet writes to a NEW directory")
-    files = [
-        os.path.join(r, f)
-        for r, _, fs in os.walk(src) for f in fs if f.endswith(".parquet")
-    ]
+    files = list_parquet_files(src)
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, -(-total // (target_mb << 20)))
     df = spark.read.parquet(src)
@@ -405,6 +404,5 @@ def compact_parquet(
             spark.conf.set(conf_key, old)
         else:
             spark.conf.unset(conf_key)
-    files_out = sum(
-        1 for r, _, fs in os.walk(dst) for f in fs if f.endswith(".parquet"))
-    return {"files_in": len(files), "files_out": files_out, "bytes": total}
+    return {"files_in": len(files), "files_out": count_parquet_files(dst),
+            "bytes": total}

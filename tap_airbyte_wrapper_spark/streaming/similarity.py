@@ -42,8 +42,8 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.similarity import embedding_dedup_delta, ivf_append, \
-    ivf_load, ivf_staleness
+from ..functions.similarity import IvfIndex, embedding_dedup_delta, \
+    ivf_append, ivf_load, ivf_staleness
 from .stats import append_gate_stats
 
 __all__ = ["stream_embedding_gate"]
@@ -74,6 +74,12 @@ def stream_embedding_gate(
     with ``spark.read.parquet(out_path)``.
     """
 
+    # The quantizer is never retrained inside the stream (see module
+    # docstring), so centroids and the meta's built_rows are IMMUTABLE
+    # for the life of the query: load them on the first batch and reuse
+    # — only the vectors read (appended every batch) must be fresh.
+    cached: dict = {}
+
     def gate(batch: DataFrame, batch_id: int) -> None:
         import time as _time
 
@@ -81,7 +87,15 @@ def stream_embedding_gate(
         spark = batch.sparkSession
         batch = batch.persist()
         try:
-            index = ivf_load(spark, index_path, id_col, vec_col)
+            if "index" not in cached:
+                cached["index"] = ivf_load(spark, index_path, id_col,
+                                           vec_col)
+                cached["built"] = spark.read.parquet(
+                    f"{index_path}/meta").collect()[0]["built_rows"]
+            index = IvfIndex(
+                cached["index"].centroids,
+                spark.read.parquet(f"{index_path}/vectors"),
+                id_col, vec_col)
             dupes = embedding_dedup_delta(
                 index, batch, threshold=threshold, n_probe=n_probe, k=k)
             drop = (
@@ -100,7 +114,8 @@ def stream_embedding_gate(
                 os.path.join(out_path, f"batch={batch_id}"))
             marker = os.path.join(index_path, f"_batch_{batch_id}")
             if not os.path.exists(marker):
-                ivf_append(spark, index_path, clean, id_col, vec_col)
+                ivf_append(spark, index_path, clean, id_col, vec_col,
+                           centroids=cached["index"].centroids)
                 try:
                     with open(marker, "w") as f:
                         f.write("done")
@@ -108,7 +123,8 @@ def stream_embedding_gate(
                     # non-local index_path: the marker optimization
                     # cannot write — skip it, never kill the stream
                     pass
-            stale = ivf_staleness(spark, index_path, retrain_factor)
+            stale = ivf_staleness(spark, index_path, retrain_factor,
+                                  built_rows=cached["built"])
             if stale["needs_retrain"]:
                 logger.warning(
                     "IVF index at %s has grown %.1fx past its training "

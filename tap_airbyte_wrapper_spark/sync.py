@@ -104,7 +104,10 @@ class Engine:
     def discover(self) -> Catalog:
         cat = self.source.discover(self.spark)
         selection = self.config.get("streams")
-        if selection:
+        # [] is a real instruction ("select nothing" — e.g. a catalog
+        # file that deselects every stream); only a missing/None key
+        # means "all streams".
+        if selection is not None:
             cat.select(selection)
         methods = self.config.get("replication_method") or {}
         for entry in cat:

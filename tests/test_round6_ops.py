@@ -534,7 +534,10 @@ def test_winnow_rolling_matches_duckdb_on_unicode(spark):
     texts = ["héllo wörld çafé naïve résumé ünïcödé",
              "日本語のテキストです これはテストです さらに続きます",
              "emoji 🎉 inside 🎊 the 🎈 stream 🎁 of 🎀 text here",
-             "mixed ascii és unicode szöveg averages out fine"]
+             "mixed ascii és unicode szöveg averages out fine",
+             "",            # empty: both sides must yield [0], not NULL
+             "   \t\n  ",   # whitespace-only normalizes to empty
+             "short"]       # < gram_len: hashed over actual length
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
     got = {r["doc_id"]: sorted(r["fps"]) for r in winnow_fingerprints(
@@ -546,12 +549,12 @@ def test_winnow_rolling_matches_duckdb_on_unicode(spark):
       g AS (
         SELECT list_transform(
           generate_series(1, greatest(length(t) - 8 + 1, 1)),
-          i -> CAST(list_sum(list_transform(
+          i -> CAST(coalesce(list_sum(list_transform(
                  generate_series(1, length(substring(t, i, 8))),
                  k -> unicode(substring(t, i + k - 1, 1))
                       * ([1, 1000003, 3573587337, 583896283, 1525764945,
                           3865227315, 272515929, 1071616587]
-                         [length(substring(t, i, 8)) - k + 1])))
+                         [length(substring(t, i, 8)) - k + 1]))), 0)
                % 4294967296 AS BIGINT)) AS hs
         FROM s),
       w AS (
