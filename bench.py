@@ -42,7 +42,8 @@ _GROUPS = [
         r"^(full_scan|incremental_events|incremental_mapped|stream_map|flatten)")),
     ("dedup", re.compile(
         r"^(exact_dedup|paragraph|jaccard|minhash|simhash|dedup_clusters"
-        r"|semantic_dedup|winnow|boilerplate|dup_span|remove_dup|dedup_cluster)")),
+        r"|semantic_dedup|winnow|boilerplate|dup_span|remove_dup"
+        r"|dedup_cluster|containment)")),
     ("similarity", re.compile(
         r"^(knn|embedding|quantize|centroid|label_centroids"
         r"|approx_distinct|pca_)")),
@@ -51,7 +52,7 @@ _GROUPS = [
         r"|repetition|token_budget|contamination|tfidf|split_sentences"
         r"|corpus_curation|decode_image|mixture|train_test|shard_stats"
         r"|heavy_hitter|normalize|chunk_docs|sample_per_"
-        r"|weighted_sample|lm_perplexity|pseudonymize|strip_html|pack_sequences|temperature|clean_holdout|upsample|source_quality|canonical_url)")),
+        r"|weighted_sample|lm_perplexity|pseudonymize|strip_html|pack_sequences|temperature|clean_holdout|upsample|source_quality|canonical_url|bm25)")),
     ("timeseries_cdc", re.compile(
         r"^(merge_upsert|resample|gap_fill|funnel|weekly_retention"
         r"|anomaly|scd2|incremental_agg|snapshot_diff|fk_violations)")),

@@ -43,6 +43,7 @@ __all__ = [
     "simhash",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "exact_jaccard_on_pairs",
     "minhash_verified_pairs",
     "simhash_verified_pairs",
@@ -799,6 +800,67 @@ def prefix_filter_candidates(
                 & (F.col("size_a") >= F.col("size_b") * threshold))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    blocking_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT directed n-gram CONTAINMENT pairs: how much of doc A's
+    shingle set lives inside doc B (``|A ∩ B| / |A|``) and vice versa,
+    keeping pairs where either direction reaches ``threshold``.
+
+    Jaccard is symmetric and misses the asymmetric duplication web
+    corpora are full of — a tweet quoted inside an article, a doc page
+    embedded in a scrape, a subset re-crawl: |A| << |B| caps jaccard at
+    |A|/|B| no matter how completely A is contained, while
+    ``containment(A in B) = 1.0``.  Near-dup curation pipelines
+    (supersets of Lee et al.'s exact-substring work) want both signals.
+
+    Plan shape (same candidate machinery as :func:`ngram_jaccard_pairs`
+    — shared-shingle postings, never all-pairs): explode distinct
+    64-bit shingle hashes -> self-join on hash (+ blocking keys) ->
+    per-pair common counts -> both containment ratios from the one
+    count.  A pair with EITHER containment >= t shares >= t*min(|A|,|B|)
+    shingles, so every qualifying pair co-occurs in at least one
+    posting list and recall is total.  Output: (id_a, id_b,
+    cont_a_in_b, cont_b_in_a), id_a < id_b.
+    """
+    blocking_cols = blocking_cols or []
+    sh = df.select(
+        F.col(id_col), *[F.col(c) for c in blocking_cols],
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), n),
+                        lambda s: F.xxhash64(s))).alias("hs"),
+    ).withColumn("sh_size", F.size("hs"))
+    posting = sh.select(
+        id_col, *blocking_cols, "sh_size", F.explode("hs").alias("shingle"))
+    a = posting.select(
+        *[F.col(c) for c in blocking_cols],
+        F.col(id_col).alias("id_a"), F.col("sh_size").alias("size_a"),
+        "shingle")
+    b = posting.select(
+        *[F.col(c) for c in blocking_cols],
+        F.col(id_col).alias("id_b"), F.col("sh_size").alias("size_b"),
+        "shingle")
+    common = (
+        a.join(b, on=blocking_cols + ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.withColumn(
+            "cont_a_in_b", F.col("common") / F.col("size_a"))
+        .withColumn("cont_b_in_a", F.col("common") / F.col("size_b"))
+        .filter((F.col("cont_a_in_b") >= threshold)
+                | (F.col("cont_b_in_a") >= threshold))
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
     )
 
 

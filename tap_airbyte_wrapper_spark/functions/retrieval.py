@@ -1,0 +1,111 @@
+"""BM25 lexical retrieval over a document corpus.
+
+The curation stack's retrieval gap: tf-idf (`corpus.tfidf_top_terms`)
+characterizes GROUPS, but pipelines also need per-QUERY ranked document
+retrieval — benchmark-decontamination sweeps ("which training docs
+score high against this eval question"), targeted quality audits, and
+RAG-corpus preparation all reduce to BM25 top-k.  Scoring follows the
+Lucene/Okapi formulation:
+
+    idf(t)  = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+    s(q, d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Scale shape: the query set is small by definition and broadcasts
+everywhere; corpus-side work is one tokenize+explode pass into a
+(doc, term) count table, a doc-length aggregate, then an EARLY
+broadcast semi-join to query terms, so document frequencies and the
+scoring join only ever touch postings whose term appears in some query
+— never the full vocabulary.  Nothing all-pairs; the final top-k is a
+per-query window over candidate docs.  On a standing 100 TB corpus the
+(doc, term) tf table and the doc-length table are exactly the pieces a
+deployment would precompute once and reuse across query batches — the
+function takes them as optional precomputed inputs for that reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .corpus import words
+
+__all__ = ["bm25_topk", "doc_term_freq"]
+
+
+def doc_term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) counts — the precomputable corpus half of BM25.
+
+    One tokenize+explode pass, one partial-agg-friendly shuffle on
+    (id, term).  Persist this (and its ``groupBy(id).sum`` doc-length
+    rollup) for a standing corpus; both are linear in corpus tokens.
+    """
+    return (
+        df.select(F.col(id_col), F.explode(words(F.col(text_col)))
+                  .alias("term"))
+        .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    tf_table: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``queries`` is a small (query_id, query_text) frame — it is
+    broadcast; never pass a corpus-scale frame here (per-doc-vs-doc
+    similarity is the dedup family's job, not retrieval's).
+    ``tf_table``: optional precomputed :func:`doc_term_freq` output for
+    a standing corpus (skips the tokenize pass).
+
+    Returns (query_id, id, bm25, rank), rank 1..k per query.  Ranking
+    orders by ``round(bm25, 6)`` then doc id, so the order — and with
+    it the returned row set — is reproducible across engines and runs
+    (raw float sums are partition-order-dependent in the last ulp).
+    """
+    tf = tf_table if tf_table is not None else \
+        doc_term_freq(df, id_col, text_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("dl").alias("avgdl"))
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(words(F.col(query_text_col))))
+        .alias("term"))
+    # document frequency for QUERY terms only: the semi-join prunes the
+    # vocabulary-sized aggregate down to |query terms| rows
+    dfreq = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf",
+            F.log(1 + (F.col("n_docs") - F.col("dft") + 0.5)
+                  / (F.col("dft") + 0.5)))
+        .withColumn(
+            "contrib",
+            F.col("idf") * F.col("tf") * (k1 + 1)
+            / (F.col("tf")
+               + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "bm25", "rank")
+    )

@@ -1153,6 +1153,36 @@ def q_jaccard_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Directed n-gram containment pairs (|A∩B|/|A| and /|B|), blocked
+    by (lang, source) — the asymmetric-duplication signal jaccard's
+    symmetric denominator hides (a short doc fully quoted inside a long
+    one caps jaccard at |A|/|B| but has containment 1.0)."""
+    from ..functions import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.5, blocking_cols=["lang", "source"],
+    ).select("id_a", "id_b",
+             F.round("cont_a_in_b", 4).alias("cont_ab_r"),
+             F.round("cont_b_in_a", 4).alias("cont_ba_r"))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 docs per query (Lucene idf) — the retrieval half of
+    benchmark decontamination: rank training docs against eval-style
+    queries, corpus side pruned to query-term postings via broadcast
+    semi-join before any aggregation."""
+    from ..functions import bm25_topk
+
+    queries = spark.createDataFrame(
+        [(0, "spark window merge"), (1, "customer filter join"),
+         (2, "slow batch stream hash")],
+        "query_id int, query_text string")
+    return bm25_topk(_t(spark, sf_dir, "documents"), queries,
+                     id_col="doc_id", text_col="text", k=10)
+
+
 def q_knn_bruteforce(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -2212,6 +2242,11 @@ QUERIES = {
     "language_id": q_language_id,
     "quality_scores": q_quality_scores,
     "exact_dedup_docs": q_exact_dedup_docs,
+    # round-6 session additions — deliberately BELOW the first-50
+    # driver window (which this round dedicates to never-checked
+    # entries); both are oracle-parity-tested on every pytest run
+    "containment_pairs_docs": q_containment_pairs,
+    "bm25_topk_docs": q_bm25_topk,
 }
 
 
@@ -2822,6 +2857,56 @@ ORACLES = {
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
               >= 0.2""",
+    "containment_pairs_docs": f"""
+        WITH sh AS ({_SHINGLES_SQL})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(a.sh), 4) AS cont_ab_r,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(b.sh), 4) AS cont_ba_r
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(a.sh) >= 0.5
+           OR CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(b.sh) >= 0.5""",
+    "bm25_topk_docs": """
+        WITH q(query_id, query_text) AS (
+          VALUES (0, 'spark window merge'), (1, 'customer filter join'),
+                 (2, 'slow batch stream hash')),
+        tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(trim(text)), '\\S+'))
+                 AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        qt AS (SELECT DISTINCT query_id,
+                      unnest(regexp_extract_all(lower(trim(query_text)),
+                                                '\\S+')) AS term
+               FROM q),
+        dfr AS (SELECT term, count(*) AS dft FROM tf
+                WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        sc AS (
+          SELECT qt.query_id, tf.doc_id,
+                 round(sum(ln(1 + (tot.n_docs - dfr.dft + 0.5)
+                                  / (dfr.dft + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                                    / tot.avgdl))), 6)
+                 AS bm25
+          FROM tf
+          JOIN qt USING (term) JOIN dfr USING (term)
+          JOIN dl USING (doc_id) CROSS JOIN tot
+          GROUP BY qt.query_id, tf.doc_id),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY bm25 DESC, doc_id) AS rank
+              FROM sc)
+        SELECT query_id, doc_id, bm25, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 10""",
     "knn_bruteforce": """
         SELECT query_id, vec_id, round(cos_sim, 4) AS cos_r
         FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -566,3 +566,103 @@ def test_winnow_rolling_matches_duckdb_on_unicode(spark):
     for i, t in enumerate(texts):
         want = duckdb.sql(sql, params=[t]).fetchone()[0]
         assert got[i] == sorted(want), t
+
+
+# ---------------------------------------------------------------------
+# containment_pairs (round-6 session addition)
+# ---------------------------------------------------------------------
+
+def test_containment_catches_asymmetric_duplication(spark):
+    """A short doc fully quoted inside a long one: jaccard is capped at
+    |A|/|B| (below any useful threshold) but containment(A in B) = 1.0
+    — the case the operator exists for."""
+    from tap_airbyte_wrapper_spark.functions import (
+        containment_pairs, ngram_jaccard_pairs)
+
+    quoted = "alpha beta gamma delta epsilon zeta"
+    host = quoted + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quoted), (2, host), (3, "totally different words here now")],
+        "doc_id int, text string")
+
+    pairs = {(r["id_a"], r["id_b"]): r for r in containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["cont_a_in_b"] == pytest.approx(1.0)
+    assert pairs[(1, 2)]["cont_b_in_a"] < 0.5
+    assert not any(3 in k for k in pairs)
+
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    assert jac.filter((F.col("id_a") == 1) & (F.col("id_b") == 2)).count() == 0
+
+
+def test_containment_threshold_on_either_direction(spark):
+    """Pairs qualify when EITHER direction reaches the threshold, and
+    both ratios are reported from the same common count."""
+    from tap_airbyte_wrapper_spark.functions import containment_pairs
+
+    a = "one two three four five six seven eight"
+    b = "one two three four five nine ten eleven"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id int, text string")
+    # n=3: A has 6 shingles, B has 6, common = 3 -> 0.5 each way
+    out = containment_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    row = out.collect()[0]
+    assert row["cont_a_in_b"] == pytest.approx(0.5)
+    assert row["cont_b_in_a"] == pytest.approx(0.5)
+    assert containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.51).count() == 0
+
+
+# ---------------------------------------------------------------------
+# bm25_topk (round-6 session addition)
+# ---------------------------------------------------------------------
+
+def test_bm25_ranks_rare_term_matches_first(spark):
+    """The doc holding the query's RARE term outranks docs that only
+    match its ubiquitous term (idf weighting), and only matching docs
+    appear at all."""
+    from tap_airbyte_wrapper_spark.functions import bm25_topk
+
+    docs = [(1, "needle common common filler filler"),
+            (2, "common filler filler filler other"),
+            (3, "common filler other other other"),
+            (4, "nothing relevant at all here")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    q = spark.createDataFrame([(0, "needle common")],
+                              "query_id int, query_text string")
+    out = bm25_topk(df, q, id_col="doc_id", text_col="text", k=10).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1
+    assert set(ranked) == {1, 2, 3}  # doc 4 matches no query term
+
+
+def test_bm25_precomputed_tf_table_equivalent(spark, sf_dir):
+    """The standing-corpus path (precomputed doc_term_freq) returns the
+    identical rows as tokenizing in-line."""
+    from tap_airbyte_wrapper_spark.functions import bm25_topk, doc_term_freq
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = spark.createDataFrame(
+        [(0, "spark window merge"), (1, "customer filter join")],
+        "query_id int, query_text string")
+    direct = bm25_topk(df, q, id_col="doc_id", text_col="text", k=7)
+    tf = doc_term_freq(df, "doc_id", "text")
+    pre = bm25_topk(df, q, id_col="doc_id", text_col="text", k=7,
+                    tf_table=tf)
+    assert sorted(map(tuple, direct.collect())) == \
+        sorted(map(tuple, pre.collect()))
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, shorter doc scores higher (b > 0 length penalty)."""
+    from tap_airbyte_wrapper_spark.functions import bm25_topk
+
+    docs = [(1, "term short"),
+            (2, "term " + " ".join(f"pad{i}" for i in range(30)))]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    q = spark.createDataFrame([(0, "term")],
+                              "query_id int, query_text string")
+    out = {r["doc_id"]: r for r in bm25_topk(
+        df, q, id_col="doc_id", text_col="text", k=5).collect()}
+    assert out[1]["bm25"] > out[2]["bm25"]
+    assert out[1]["rank"] == 1
