@@ -832,12 +832,15 @@ def containment_pairs(
     cont_a_in_b, cont_b_in_a), id_a < id_b.
     """
     blocking_cols = blocking_cols or []
+    # persisted: the self-join reads this subtree twice, and shingling
+    # (the interpreted zip_with chain) dominates its cost — same
+    # convention as ngram_jaccard_pairs
     sh = df.select(
         F.col(id_col), *[F.col(c) for c in blocking_cols],
         F.array_distinct(
             F.transform(shingles(F.col(text_col), n),
                         lambda s: F.xxhash64(s))).alias("hs"),
-    ).withColumn("sh_size", F.size("hs"))
+    ).withColumn("sh_size", F.size("hs")).persist()
     posting = sh.select(
         id_col, *blocking_cols, "sh_size", F.explode("hs").alias("shingle"))
     a = posting.select(

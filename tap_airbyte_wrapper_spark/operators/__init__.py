@@ -31,6 +31,7 @@ from .windows import (global_cumsum, global_distribution_ranks,
                       global_topk, ranked, running_agg, topk_per_group,
                       with_lag_lead)
 from .merge import maintain_agg_snapshot, merge_upsert, scd2_history
+from .graph import degrees, pagerank
 from .setops import except_rows, intersect_rows, melt, union_by_name
 from .timeseries import (
     detect_anomalies,
@@ -68,4 +69,5 @@ __all__ = [
     "profile_table", "Expectation", "validate_expectations",
     "snapshot_diff",
     "numeric_histogram", "column_correlations", "partition_skew_report",
+    "pagerank", "degrees",
 ]

@@ -666,3 +666,66 @@ def test_bm25_length_normalization(spark):
         df, q, id_col="doc_id", text_col="text", k=5).collect()}
     assert out[1]["bm25"] > out[2]["bm25"]
     assert out[1]["rank"] == 1
+
+
+# ---------------------------------------------------------------------
+# pagerank (round-6 session addition)
+# ---------------------------------------------------------------------
+
+def _numpy_pagerank(edges, d=0.85, n_iter=10):
+    """Dense reference implementation of the operator's exact semantics."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    dedup = sorted(set(edges))
+    outdeg = {u: sum(1 for s, _ in dedup if s == u) for u, _ in dedup}
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[idx[v]] for v in nodes if v not in outdeg)
+        nxt += d * dangling / n
+        for u, v in dedup:
+            nxt[idx[v]] += d * r[idx[u]] / outdeg[u]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_dense_reference(spark):
+    from tap_airbyte_wrapper_spark.operators import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c"), ("a", "b")]  # duplicate edge counts once
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, "src", "dst", n_iter=10).collect()}
+    want = _numpy_pagerank(edges, n_iter=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_conserves_mass_with_dangling(spark):
+    """Nodes with no out-edges leak no mass: total rank stays 1.0 —
+    this fails if the dangling redistribution is dropped."""
+    from tap_airbyte_wrapper_spark.operators import pagerank
+
+    # b and d are dangling
+    df = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("c", "b")], "src string, dst string")
+    for n_iter in (1, 7):  # 7 crosses the checkpoint boundary
+        ranks = pagerank(df, "src", "dst", n_iter=n_iter)
+        total = ranks.agg(F.sum("rank")).collect()[0][0]
+        assert total == pytest.approx(1.0, abs=1e-12)
+
+
+def test_degrees(spark):
+    from tap_airbyte_wrapper_spark.operators import degrees
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")],
+        "src string, dst string")
+    got = {r["node"]: (r["out_deg"], r["in_deg"])
+           for r in degrees(df, "src", "dst").collect()}
+    assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
