@@ -1209,6 +1209,22 @@ def q_pagerank_suppliers(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank_r"))
 
 
+def q_degrees_suppliers(spark, sf_dir):
+    """In/out degrees of the purchase graph — the cheap graph-shape
+    profile (degree skew is what decides salting/partitioning for the
+    heavier graph ops)."""
+    from ..operators import degrees
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.join(orders,
+                    li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+    return degrees(edges, "src", "dst")
+
+
 def _pagerank_oracle_sql(n_iter: int = 3, d: float = 0.85) -> str:
     """Unrolled-iteration DuckDB twin of q_pagerank_suppliers: PageRank
     is a fixed-point loop no single SQL query expresses, but a FIXED
@@ -2314,6 +2330,7 @@ QUERIES = {
     "containment_pairs_docs": q_containment_pairs,
     "bm25_topk_docs": q_bm25_topk,
     "pagerank_suppliers": q_pagerank_suppliers,
+    "degrees_suppliers": q_degrees_suppliers,
 }
 
 
@@ -2975,6 +2992,18 @@ ORACLES = {
         SELECT query_id, doc_id, bm25, CAST(rank AS INTEGER) AS rank
         FROM r WHERE rank <= 10""",
     "pagerank_suppliers": _pagerank_oracle_sql(),
+    "degrees_suppliers": """
+        WITH e AS (
+          SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderdate BETWEEN DATE '1995-01-01'
+                                AND DATE '1995-12-31'),
+        o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src),
+        i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY dst)
+        SELECT coalesce(o.node, i.node) AS node,
+               coalesce(out_deg, 0) AS out_deg,
+               coalesce(in_deg, 0) AS in_deg
+        FROM o FULL JOIN i ON o.node = i.node""",
     "knn_bruteforce": """
         SELECT query_id, vec_id, round(cos_sim, 4) AS cos_r
         FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
