@@ -160,14 +160,18 @@ def main(argv: list[str] | None = None) -> int:
         # override the config's replication_method map per stream.
         selected: list[str] = []
         methods = dict(config.get("replication_method") or {})
-        for s in cat_doc.get("streams", []):
+        for s in (cat_doc.get("streams") or []):
             name = (s.get("name") or s.get("tap_stream_id")
                     or s.get("stream"))
             if not name:
                 continue
+            # `or` instead of .get defaults: tools emit explicit JSON
+            # null for empty metadata, and a present-but-null key
+            # bypasses a .get(default)
             root_md = next(
-                (m.get("metadata", {}) for m in s.get("metadata", [])
-                 if not m.get("breadcrumb")), {})
+                ((m.get("metadata") or {})
+                 for m in (s.get("metadata") or [])
+                 if isinstance(m, dict) and not m.get("breadcrumb")), {})
             # Explicit JSON null at the stream level is "unset", not
             # "selected" — fall through to the metadata entry.
             sel = s.get("selected")

@@ -1253,9 +1253,10 @@ def minhash_index_compact(
 
     if _os.path.abspath(path) == _os.path.abspath(dst_path):
         raise ValueError("minhash_index_compact writes to a NEW path")
-    if dst_table == table_name:
+    if dst_table.casefold() == table_name.casefold():
         # The DROPs below would destroy the live index's catalog
-        # entries before the source tables are even read.
+        # entries before the source tables are even read.  Spark SQL
+        # resolves table names case-insensitively, so compare folded.
         raise ValueError("minhash_index_compact writes to a NEW table "
                          "name (dst_table must differ from table_name)")
     with open(_os.path.join(path, "_index_meta.json")) as f:

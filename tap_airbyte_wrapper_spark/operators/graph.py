@@ -86,43 +86,55 @@ def pagerank(
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().persist())
-    n = nodes.count()  # metadata-scale action (one long per partition)
-    # rank frames are node-count-sized; without an explicit coalesce
-    # the per-iteration checkpoint inherits the join's full shuffle
-    # partitioning (task overhead dominates on small-to-medium graphs;
-    # measured 1.2 s -> ~0.3 s per iteration at sf0.1)
-    rank_parts = max(1, min(edges.sparkSession.sparkContext
-                            .defaultParallelism, -(-n // 250_000)))
+    try:
+        n = nodes.count()  # metadata-scale action (one long/partition)
+        if n == 0:
+            # empty graph: empty (node, rank) frame, no 1/0 teleport
+            return nodes.withColumn("rank", F.lit(0.0))
+        # rank frames are node-count-sized; without an explicit
+        # coalesce the per-iteration checkpoint inherits the join's
+        # full shuffle partitioning (task overhead dominates on
+        # small-to-medium graphs; measured 1.2 s -> ~0.3 s per
+        # iteration at sf0.1)
+        rank_parts = max(1, min(edges.sparkSession.sparkContext
+                                .defaultParallelism, -(-n // 250_000)))
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(n_iter):
-        contrib = (
-            ej.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_mass")))
-        # dangling mass: rank sitting on nodes with no out-edges — a
-        # one-ROW aggregate, so collecting it to the driver is
-        # metadata-scale at any corpus size; re-injected as a literal
-        # it saves the broadcast-exchange stage a crossJoin would add
-        # to every iteration.  The expression below keeps the oracle's
-        # exact operation order (float + is non-associative).
-        dangling = (
-            ranks.join(outdeg.withColumnRenamed("src", "node"),
-                       "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0])
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit((1.0 - damping) / n)
-                 + F.lit(damping)
-                 * (F.coalesce("in_mass", F.lit(0.0))
-                    + F.lit(dangling) / n)).alias("rank"))
-            .coalesce(rank_parts)
-            # eager cut EVERY iteration: ranks feeds three subtrees of
-            # the next one — see the module docstring's 3^k note
-            .localCheckpoint(eager=True))
-    e.unpersist()
-    outdeg.unpersist()
-    nodes.unpersist()
-    return ranks
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        for _ in range(n_iter):
+            contrib = (
+                ej.join(ranks.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("deg"))
+                     .alias("in_mass")))
+            # dangling mass: rank sitting on nodes with no out-edges —
+            # a one-ROW aggregate, so collecting it to the driver is
+            # metadata-scale at any corpus size; re-injected as a
+            # literal it saves the broadcast-exchange stage a crossJoin
+            # would add to every iteration.  The expression below keeps
+            # the oracle's exact operation order (float + is
+            # non-associative).
+            dangling = (
+                ranks.join(outdeg.withColumnRenamed("src", "node"),
+                           "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0])
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (F.lit((1.0 - damping) / n)
+                     + F.lit(damping)
+                     * (F.coalesce("in_mass", F.lit(0.0))
+                        + F.lit(dangling) / n)).alias("rank"))
+                .coalesce(rank_parts)
+                # eager cut EVERY iteration: ranks feeds three subtrees
+                # of the next one — see the module docstring's 3^k note
+                .localCheckpoint(eager=True))
+        return ranks
+    finally:
+        # the returned frame is checkpointed (or derives from nothing),
+        # so the scratch caches can always be released — including on
+        # error paths
+        e.unpersist()
+        outdeg.unpersist()
+        nodes.unpersist()

@@ -1727,14 +1727,23 @@ def q_knn_ivf_append_verified(spark, sf_dir):
     from ..functions import ivf_append, ivf_build, ivf_search
 
     emb = _t(spark, sf_dir, "embeddings")
-    # Stable path per SF, cleared on entry: the returned DataFrame reads
-    # the index lazily so the dir can't be removed here, but reusing one
-    # location keeps repeated bench/correctness runs from accumulating
-    # leaked index dirs (mkdtemp leaked one per invocation).
+    # Stable path per (process, SF-dir), cleared on entry and removed at
+    # process exit: the returned DataFrame reads the index lazily so
+    # the dir can't be removed here, but reusing one location keeps
+    # repeated runs in a process from accumulating dirs (mkdtemp leaked
+    # one per invocation), the pid + path-hash keep concurrent runs and
+    # same-basename datasets from clobbering each other's live index,
+    # and atexit bounds the cross-process leak to zero.
+    import atexit
+    import hashlib
+
+    sf_tag = hashlib.md5(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_ivf_append_{os.path.basename(os.path.normpath(sf_dir))}")
+        f"spark_ivf_append_{sf_tag}_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     ivf_build(emb.filter(F.col("vec_id") % 2 == 0),
               n_clusters=16, path=path)
     index = ivf_append(spark, path, emb.filter(F.col("vec_id") % 2 == 1))

@@ -87,13 +87,16 @@ def stream_embedding_gate(
         spark = batch.sparkSession
         batch = batch.persist()
         try:
-            if "index" not in cached:
-                cached["index"] = ivf_load(spark, index_path, id_col,
-                                           vec_col)
+            if "cent" not in cached:
+                # only the centroid array and built_rows are immutable
+                # — caching a full ivf_load would pin a vectors frame
+                # that goes stale on the first append
+                cached["cent"] = ivf_load(
+                    spark, index_path, id_col, vec_col).centroids
                 cached["built"] = spark.read.parquet(
                     f"{index_path}/meta").collect()[0]["built_rows"]
             index = IvfIndex(
-                cached["index"].centroids,
+                cached["cent"],
                 spark.read.parquet(f"{index_path}/vectors"),
                 id_col, vec_col)
             dupes = embedding_dedup_delta(
@@ -115,7 +118,7 @@ def stream_embedding_gate(
             marker = os.path.join(index_path, f"_batch_{batch_id}")
             if not os.path.exists(marker):
                 ivf_append(spark, index_path, clean, id_col, vec_col,
-                           centroids=cached["index"].centroids)
+                           centroids=cached["cent"])
                 try:
                     with open(marker, "w") as f:
                         f.write("done")

@@ -729,3 +729,59 @@ def test_degrees(spark):
     got = {r["node"]: (r["out_deg"], r["in_deg"])
            for r in degrees(df, "src", "dst").collect()}
     assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
+# ---------------------------------------------------------------------
+# fifth-review regression fixes
+# ---------------------------------------------------------------------
+
+def test_pagerank_empty_graph(spark):
+    """Zero edges: empty (node, rank) frame, not ZeroDivisionError."""
+    from tap_airbyte_wrapper_spark.operators import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(empty, "src", "dst", n_iter=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
+def test_minhash_compact_table_guard_case_insensitive(spark, tmp_path):
+    """Spark SQL resolves table names case-insensitively, so a
+    dst_table differing only in case would still DROP the live index's
+    catalog tables — the guard must compare folded."""
+    from tap_airbyte_wrapper_spark.functions import minhash_index_compact
+
+    with pytest.raises(ValueError, match="NEW table"):
+        minhash_index_compact(spark, "someidx", str(tmp_path / "a"),
+                              "SOMEIDX", str(tmp_path / "b"))
+
+
+def test_cli_catalog_tolerates_json_nulls(tmp_path, capsys):
+    """Catalog emitters write explicit nulls for empty fields; a
+    present-but-null metadata/selected must parse, not crash."""
+    import json
+
+    from tap_airbyte_wrapper_spark.cli import main
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "source": "dataset_dir",
+        "source_config": {"path": "/root/testdata/sf0.001"},
+    }))
+    catalog = tmp_path / "catalog.json"
+    catalog.write_text(json.dumps({"streams": [
+        {"name": "region", "metadata": None, "selected": None},
+        {"name": "nation", "metadata": [
+            {"breadcrumb": [], "metadata": None}]},
+        {"name": "events", "metadata": [
+            {"breadcrumb": [],
+             "metadata": {"selected": False}}]},
+    ]}))
+    rc = main(["--config", str(cfg), "--catalog", str(catalog)])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    streams = {m.get("stream") for m in lines if m.get("type") == "RECORD"}
+    # null selection metadata means selected; events' explicit False
+    # deselects
+    assert streams == {"region", "nation"}
