@@ -12,7 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_bucket", "hash_split", "mixture_sample",
+__all__ = ["hash_bucket", "hash_split", "leakage_safe_split",
+           "mixture_sample",
            "stratified_sample", "sample_per_group", "weighted_sample",
            "assign_shards", "write_training_shards", "temperature_weights",
            "upsample_repeat"]
@@ -315,4 +316,53 @@ def upsample_repeat(
         .withColumn(copy_col,
                     F.explode(F.sequence(F.lit(0), F.col("__k") - 1)))
         .drop("__k")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/test split: every document splits by its
+    CONNECTED-COMPONENT representative's hash over the near-dup pair
+    graph, so a document and its near-duplicates can never straddle
+    the train/test boundary.
+
+    A plain :func:`hash_split` leaks: a doc in train and its 0.95-
+    jaccard twin in test inflates eval (the memorization-vs-
+    generalization confound benchmark-decontamination work exists to
+    prevent) — splitting must treat a near-dup CLUSTER as one unit.
+    ``pairs`` is any (id_a, id_b) near-dup pair frame — the exact
+    generators (:func:`~.dedup.ngram_jaccard_pairs`,
+    :func:`~.dedup.containment_pairs`) give SQL-recomputable splits;
+    sketch generators (MinHash/SimHash) work too but their pair sets
+    are not oracle-reproducible.
+
+    Scale shape: pair graphs are tiny relative to their corpus (edges
+    << documents after blocking/banding), so
+    :func:`~.dedup.connected_components` resolves them at bounded cost
+    (guarded driver union-find, distributed label-prop fallback); the
+    corpus-side work is one broadcast-friendly left join + the same
+    pure-function-of-id hash as every sampler — restart-stable,
+    partitioning-independent, engine-recomputable.
+
+    Unpaired documents are their own component (rep = own id), so the
+    overall train fraction stays ~``train_pct`` (cluster mass moves in
+    units, but clusters are few).  Returns ``df`` + ``split_col``.
+    """
+    from .dedup import connected_components
+
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias(id_col), F.col("component"))
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    b = hash_bucket(rep, 100, salt)
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn(split_col, F.when(b < train_pct, F.lit("train"))
+                    .otherwise(F.lit("test")))
+        .drop("component")
     )

@@ -43,6 +43,7 @@ from .timeseries import (
 from .quality import (
     Expectation,
     column_correlations,
+    distribution_drift,
     numeric_histogram,
     partition_skew_report,
     profile_table,
@@ -69,5 +70,5 @@ __all__ = [
     "profile_table", "Expectation", "validate_expectations",
     "snapshot_diff",
     "numeric_histogram", "column_correlations", "partition_skew_report",
-    "pagerank", "degrees",
+    "pagerank", "degrees", "distribution_drift",
 ]

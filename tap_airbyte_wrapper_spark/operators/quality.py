@@ -26,12 +26,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["profile_table", "Expectation", "validate_expectations",
            "numeric_histogram", "column_correlations",
            "partition_skew_report", "parquet_file_stats",
-           "snapshot_diff"]
+           "snapshot_diff", "distribution_drift"]
 
 
 def profile_table(
@@ -492,4 +492,101 @@ def snapshot_diff(
         joined.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
         .select(*ks, "change_type")
+    )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: Sequence[str],
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-Stability-Index drift between a REFERENCE snapshot
+    and a CURRENT batch, per numeric column:
+
+        PSI = sum_bins (p_i - q_i) * ln(p_i / q_i)
+
+    with p/q the eps-clamped bin proportions (clamping keeps empty
+    bins finite — the standard PSI convention).  Rule of thumb:
+    < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 action.  This is
+    the monitoring half of the sync quality gate: expectations catch
+    per-row violations, drift catches DISTRIBUTIONAL change (a feed
+    that silently switched units passes every not_null/in_range check
+    while its histogram walks away).
+
+    Bin bounds come from the reference's min/max (one aggregate over
+    all columns in a single scan) so both sides bucket identically;
+    values outside the reference range clamp into the edge bins —
+    mass piling up in an edge bin IS the drift signal for
+    out-of-range shift.  Each side then pays ONE scan: per-column
+    bucket expressions are exploded into (column, bin) rows and
+    aggregated together (map-side combined), so the cost is
+    2 scans + a bins*columns-sized join, independent of column count.
+
+    Returns (column, psi, n_ref, n_cur) — one row per column.
+    """
+    doubles = {c: F.col(c).cast("double") for c in cols}
+    b = ref.agg(*[f for c in cols for f in
+                  (F.min(doubles[c]).alias(f"__lo_{c}"),
+                   F.max(doubles[c]).alias(f"__hi_{c}"))]).first()
+    bounds: dict[str, tuple[float, float]] = {}
+    for c in cols:
+        lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
+        lo = float(lo) if lo is not None else 0.0
+        hi = float(hi) if hi is not None else lo + 1.0
+        if hi <= lo:
+            hi = lo + 1.0
+        bounds[c] = (lo, (hi - lo) / bins)
+
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(c).alias("column"),
+                F.when(
+                    doubles[c].isNotNull(),
+                    F.least(
+                        F.greatest(
+                            F.floor((doubles[c] - F.lit(lo))
+                                    / F.lit(width)).cast("int"),
+                            F.lit(0)),
+                        F.lit(bins - 1)),
+                ).alias("bin"))
+            for c, (lo, width) in bounds.items()
+        ]
+        return (
+            df.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.column", "s.bin")
+            .filter(F.col("bin").isNotNull())
+            .groupBy("column", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    spark = ref.sparkSession
+    # dense (column, bin) grid, JVM-literal (no Python-RDD round-trip)
+    grid = (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(c) for c in cols]))
+                .alias("column"))
+        .crossJoin(spark.range(bins).select(
+            F.col("id").cast("int").alias("bin")))
+    )
+    joined = (
+        grid.join(bucket_counts(ref).withColumnRenamed("n", "n_ref"),
+                  ["column", "bin"], "left")
+        .join(bucket_counts(cur).withColumnRenamed("n", "n_cur"),
+              ["column", "bin"], "left")
+        .select("column", "bin",
+                F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+    )
+    tot = Window.partitionBy("column")
+    p = F.greatest(F.col("n_ref") / F.sum("n_ref").over(tot), F.lit(eps))
+    q = F.greatest(F.col("n_cur") / F.sum("n_cur").over(tot), F.lit(eps))
+    return (
+        joined.withColumn("__term", (p - q) * F.log(p / q))
+        .groupBy("column")
+        .agg(F.sum("__term").alias("psi"),
+             F.sum("n_ref").alias("n_ref"),
+             F.sum("n_cur").alias("n_cur"))
     )

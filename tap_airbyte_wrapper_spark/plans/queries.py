@@ -1225,6 +1225,36 @@ def q_degrees_suppliers(spark, sf_dir):
     return degrees(edges, "src", "dst")
 
 
+def q_drift_events(spark, sf_dir):
+    """PSI distribution drift of the second half of January vs the
+    first, over event value and user-id — the monitoring twin of the
+    expectations gate (a feed that silently changed units passes every
+    range check while its histogram walks away)."""
+    from ..operators import distribution_drift
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("ts") < "2024-01-15")
+    cur = ev.filter(F.col("ts") >= "2024-01-15")
+    return distribution_drift(ref, cur, ["value", "user_id"], bins=10) \
+        .select(F.col("column").alias("col_name"),
+                F.round("psi", 6).alias("psi_r"), "n_ref", "n_cur")
+
+
+def q_leakage_split_docs(spark, sf_dir):
+    """Near-dup-aware train/test split: exact jaccard pairs (SQL-
+    recomputable) -> connected components -> every doc splits by its
+    component representative's hash, so near-duplicates never straddle
+    the eval boundary."""
+    from ..functions import leakage_safe_split, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        blocking_cols=["lang", "source"])
+    return leakage_safe_split(docs, pairs, "doc_id", train_pct=80) \
+        .select("doc_id", "split")
+
+
 def _pagerank_oracle_sql(n_iter: int = 3, d: float = 0.85) -> str:
     """Unrolled-iteration DuckDB twin of q_pagerank_suppliers: PageRank
     is a fixed-point loop no single SQL query expresses, but a FIXED
@@ -2340,6 +2370,8 @@ QUERIES = {
     "bm25_topk_docs": q_bm25_topk,
     "pagerank_suppliers": q_pagerank_suppliers,
     "degrees_suppliers": q_degrees_suppliers,
+    "drift_events": q_drift_events,
+    "leakage_split_docs": q_leakage_split_docs,
 }
 
 
@@ -3001,6 +3033,88 @@ ORACLES = {
         SELECT query_id, doc_id, bm25, CAST(rank AS INTEGER) AS rank
         FROM r WHERE rank <= 10""",
     "pagerank_suppliers": _pagerank_oracle_sql(),
+    "drift_events": """
+        WITH ref AS (SELECT * FROM events
+                     WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+        cur AS (SELECT * FROM events
+                WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+        b AS (SELECT min(CAST(value AS DOUBLE)) lo_v,
+                     (max(CAST(value AS DOUBLE))
+                      - min(CAST(value AS DOUBLE))) / 10 w_v,
+                     min(CAST(user_id AS DOUBLE)) lo_u,
+                     (max(CAST(user_id AS DOUBLE))
+                      - min(CAST(user_id AS DOUBLE))) / 10 w_u
+              FROM ref),
+        rc AS (
+          SELECT 'value' AS col_name,
+                 least(greatest(CAST(floor((CAST(value AS DOUBLE) - b.lo_v)
+                                           / b.w_v) AS INT), 0), 9) AS bin,
+                 count(*) AS n
+          FROM ref, b WHERE value IS NOT NULL GROUP BY 1, 2
+          UNION ALL
+          SELECT 'user_id',
+                 least(greatest(CAST(floor((CAST(user_id AS DOUBLE) - b.lo_u)
+                                           / b.w_u) AS INT), 0), 9),
+                 count(*)
+          FROM ref, b WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        cc AS (
+          SELECT 'value' AS col_name,
+                 least(greatest(CAST(floor((CAST(value AS DOUBLE) - b.lo_v)
+                                           / b.w_v) AS INT), 0), 9) AS bin,
+                 count(*) AS n
+          FROM cur, b WHERE value IS NOT NULL GROUP BY 1, 2
+          UNION ALL
+          SELECT 'user_id',
+                 least(greatest(CAST(floor((CAST(user_id AS DOUBLE) - b.lo_u)
+                                           / b.w_u) AS INT), 0), 9),
+                 count(*)
+          FROM cur, b WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        grid AS (
+          SELECT col_name, bin
+          FROM (VALUES ('value'), ('user_id')) g(col_name),
+               generate_series(0, 9) s(bin)),
+        j AS (
+          SELECT grid.col_name, grid.bin,
+                 coalesce(rc.n, 0) AS n_ref, coalesce(cc.n, 0) AS n_cur
+          FROM grid
+          LEFT JOIN rc ON rc.col_name = grid.col_name
+                      AND rc.bin = grid.bin
+          LEFT JOIN cc ON cc.col_name = grid.col_name
+                      AND cc.bin = grid.bin),
+        t AS (
+          SELECT col_name, bin, n_ref, n_cur,
+                 greatest(n_ref / CAST(sum(n_ref) OVER
+                          (PARTITION BY col_name) AS DOUBLE), 1e-6) AS p,
+                 greatest(n_cur / CAST(sum(n_cur) OVER
+                          (PARTITION BY col_name) AS DOUBLE), 1e-6) AS q
+          FROM j)
+        SELECT col_name, round(sum((p - q) * ln(p / q)), 6) AS psi_r,
+               sum(n_ref) AS n_ref, sum(n_cur) AS n_cur
+        FROM t GROUP BY col_name""",
+    "leakage_split_docs": f"""
+        WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.lab)
+        , comp AS (SELECT node, min(lab) AS component
+                   FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               CASE WHEN CAST(concat('0x', substr(md5(CAST(
+                          coalesce(c.component, d.doc_id) AS VARCHAR)),
+                          1, 12)) AS BIGINT) % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""",
     "degrees_suppliers": """
         WITH e AS (
           SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

@@ -785,3 +785,77 @@ def test_cli_catalog_tolerates_json_nulls(tmp_path, capsys):
     # null selection metadata means selected; events' explicit False
     # deselects
     assert streams == {"region", "nation"}
+
+
+# ---------------------------------------------------------------------
+# distribution_drift + leakage_safe_split (round-6 session additions)
+# ---------------------------------------------------------------------
+
+def test_drift_zero_for_identical_distributions(spark):
+    from tap_airbyte_wrapper_spark.operators import distribution_drift
+
+    df = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v"))
+    out = {r["column"]: r for r in
+           distribution_drift(df, df, ["v"], bins=10).collect()}
+    assert out["v"]["psi"] == pytest.approx(0.0, abs=1e-12)
+    assert out["v"]["n_ref"] == out["v"]["n_cur"] == 1000
+
+
+def test_drift_detects_shift_and_clamps_out_of_range(spark):
+    """A shifted current batch scores high PSI; values beyond the
+    reference range clamp into the edge bin (the pile-up IS the
+    signal), and a stable second column stays low."""
+    from tap_airbyte_wrapper_spark.operators import distribution_drift
+
+    ref = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v"),
+        (F.col("id") % 7).cast("double").alias("stable"))
+    cur = spark.range(1000).select(
+        ((F.col("id") % 100) + 500).cast("double").alias("v"),
+        (F.col("id") % 7).cast("double").alias("stable"))
+    out = {r["column"]: r for r in distribution_drift(
+        ref, cur, ["v", "stable"], bins=10).collect()}
+    assert out["v"]["psi"] > 1.0          # everything lands in bin 9
+    assert out["stable"]["psi"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_drift_ignores_nulls_per_column(spark):
+    from tap_airbyte_wrapper_spark.operators import distribution_drift
+
+    ref = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,)], "v double")
+    cur = spark.createDataFrame(
+        [(1.0,), (None,), (None,)], "v double")
+    row = distribution_drift(ref, cur, ["v"], bins=4).collect()[0]
+    assert row["n_ref"] == 2 and row["n_cur"] == 1
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup pair lands in ONE split; a plain hash_split on
+    the same corpus demonstrably separates at least one pair (that's
+    the leak the operator exists to close)."""
+    from tap_airbyte_wrapper_spark.functions import (
+        hash_split, leakage_safe_split)
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    # chain pairs (0,1)(2,3)... plus a 4-doc cluster {100..103}
+    pairs = [(i, i + 1) for i in range(0, 60, 2)]
+    pairs += [(100, 101), (101, 102), (102, 103)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    out = leakage_safe_split(docs, pdf, "doc_id")
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split_of) == 200
+    for a, b in pairs:
+        assert split_of[a] == split_of[b], (a, b)
+    # transitivity: the 4-doc cluster is one unit
+    assert len({split_of[i] for i in (100, 101, 102, 103)}) == 1
+    # both splits exist and the fraction is in a sane band
+    train = sum(1 for s in split_of.values() if s == "train")
+    assert 120 <= train <= 190
+
+    naive = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, "doc_id").collect()}
+    assert any(naive[a] != naive[b] for a, b in pairs), \
+        "corpus too small to demonstrate the leak"
