@@ -15,6 +15,7 @@ from .cdc import stream_changelog_apply
 from .dedup import stream_near_dup_gate
 from .similarity import stream_embedding_gate
 from .stats import append_gate_stats, read_gate_stats
+from .drift import reference_profile, stream_drift_monitor
 from .stateful import (
     stateful_anomalies,
     stateful_heavy_hitters,
@@ -27,6 +28,8 @@ __all__ = [
     "stream_embedding_gate",
     "append_gate_stats",
     "read_gate_stats",
+    "reference_profile",
+    "stream_drift_monitor",
     "stream_changelog_apply",
     "stream_source",
     "incremental_sync",

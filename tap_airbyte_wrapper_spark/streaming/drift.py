@@ -1,0 +1,141 @@
+"""Streaming distribution-drift monitor: score every arriving
+micro-batch's PSI against a FROZEN reference profile, appending one
+audit row per (batch, column) — the continuous twin of
+:func:`~..operators.quality.distribution_drift`, for the failure mode
+batch monitoring catches too late: a feed that silently changes units
+mid-stream passes every per-row expectation while its histogram walks
+away.
+
+The reference is profiled ONCE at stream start (bounds + bin
+proportions, a driver-side dict of ``bins`` floats per column —
+metadata-scale) and rides the closure; each micro-batch then pays one
+conditional-aggregate pass (no shuffle beyond the batch's own
+aggregation, no reference re-scan ever).  Rows land under
+``{out_path}/_drift`` via the same best-effort JVM-literal append as
+the gate stats; ``alert_threshold`` marks rows and logs a warning —
+the caller wires real paging.
+
+Replay safety: scoring is read-only over the batch and the frozen
+profile, so a replayed batch appends an identical row; readers take
+the last row per (batch_id, column) like :func:`read_gate_stats`.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["reference_profile", "stream_drift_monitor"]
+
+logger = logging.getLogger(__name__)
+
+
+def reference_profile(ref: DataFrame, cols: list[str],
+                      bins: int = 10) -> dict:
+    """Freeze a reference's per-column bounds + bin proportions.
+
+    Two scans (bounds, then counts), both all-columns-at-once; the
+    result is a plain dict — json-serializable, broadcastable, tiny:
+    ``{col: {"lo": .., "width": .., "p": [bins floats], "n": int}}``.
+    """
+    doubles = {c: F.col(c).cast("double") for c in cols}
+    b = ref.agg(*[f for c in cols for f in
+                  (F.min(doubles[c]).alias(f"__lo_{c}"),
+                   F.max(doubles[c]).alias(f"__hi_{c}"))]).first()
+    prof: dict = {}
+    aggs = []
+    for c in cols:
+        lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
+        lo = float(lo) if lo is not None else 0.0
+        hi = float(hi) if hi is not None else lo + 1.0
+        if hi <= lo:
+            hi = lo + 1.0
+        width = (hi - lo) / bins
+        prof[c] = {"lo": lo, "width": width}
+        bucket = F.least(
+            F.greatest(F.floor((doubles[c] - F.lit(lo)) / F.lit(width))
+                       .cast("int"), F.lit(0)), F.lit(bins - 1))
+        for i in range(bins):
+            aggs.append(F.count(F.when(bucket == i, 1))
+                        .alias(f"__c_{c}_{i}"))
+    got = ref.agg(*aggs).first()
+    for c in cols:
+        counts = [got[f"__c_{c}_{i}"] for i in range(bins)]
+        total = sum(counts)
+        prof[c]["n"] = total
+        prof[c]["p"] = [(n / total if total else 0.0) for n in counts]
+    return prof
+
+
+def stream_drift_monitor(
+    stream: DataFrame,
+    profile: dict,
+    out_path: str,
+    checkpoint: str,
+    eps: float = 1e-6,
+    alert_threshold: float = 0.25,
+    available_now: bool = True,
+):
+    """Start the monitor; returns the streaming query.
+
+    ``profile`` comes from :func:`reference_profile`.  Appends one
+    ``(batch_id, column, psi, n_batch, alert)`` row per column per
+    micro-batch under ``{out_path}/_drift``.
+    """
+    cols = list(profile)
+    bins = len(next(iter(profile.values()))["p"])
+
+    def monitor(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        aggs = []
+        for c in cols:
+            lo, width = profile[c]["lo"], profile[c]["width"]
+            v = F.col(c).cast("double")
+            bucket = F.least(
+                F.greatest(F.floor((v - F.lit(lo)) / F.lit(width))
+                           .cast("int"), F.lit(0)), F.lit(bins - 1))
+            for i in range(bins):
+                aggs.append(F.count(F.when(bucket == i, 1))
+                            .alias(f"__c_{c}_{i}"))
+        got = batch.agg(*aggs).first()
+        rows = []
+        for c in cols:
+            counts = [got[f"__c_{c}_{i}"] for i in range(bins)]
+            total = sum(counts)
+            psi = 0.0
+            for i in range(bins):
+                p = max(profile[c]["p"][i], eps)
+                q = max((counts[i] / total if total else 0.0), eps)
+                psi += (p - q) * math.log(p / q)
+            alert = psi > alert_threshold
+            if alert:
+                logger.warning(
+                    "drift alert: column %s PSI %.4f > %.2f in batch %d",
+                    c, psi, alert_threshold, batch_id)
+            rows.append((c, round(psi, 6), total, alert))
+        try:
+            frames = [
+                spark.range(1).select(
+                    F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                    F.lit(c).alias("column"),
+                    F.lit(psi).alias("psi"),
+                    F.lit(int(total)).cast("long").alias("n_batch"),
+                    F.lit(bool(alert)).alias("alert"))
+                for c, psi, total, alert in rows
+            ]
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            out.coalesce(1).write.mode("append").parquet(
+                f"{out_path}/_drift")
+        except Exception:
+            logger.warning("drift stats append failed for batch %d "
+                           "(stream continues)", batch_id, exc_info=True)
+
+    writer = stream.writeStream.foreachBatch(monitor).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -859,3 +859,53 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
              for r in hash_split(docs, "doc_id").collect()}
     assert any(naive[a] != naive[b] for a, b in pairs), \
         "corpus too small to demonstrate the leak"
+
+
+# ---------------------------------------------------------------------
+# stream_drift_monitor (round-6 session addition)
+# ---------------------------------------------------------------------
+
+def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    """A batch drawn from the reference distribution scores ~0 PSI; a
+    unit-shifted batch trips the alert.  Also pins batch-equivalence:
+    the streamed PSI equals the batch operator's on the same data."""
+    from tap_airbyte_wrapper_spark.operators import distribution_drift
+    from tap_airbyte_wrapper_spark.streaming import (
+        reference_profile, stream_drift_monitor)
+
+    ref = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("v"))
+    prof = reference_profile(ref, ["v"], bins=10)
+    assert prof["v"]["n"] == 2000
+    assert sum(prof["v"]["p"]) == pytest.approx(1.0)
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    # batch 0: same distribution; batch 1: x100 unit shift
+    b1 = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v"))
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain(ckpt):
+        q = stream_drift_monitor(
+            spark.readStream.schema("v double").parquet(str(src)),
+            prof, out, checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    drain("ck")
+    b2 = spark.range(1000).select(
+        ((F.col("id") % 100) * 100.0).alias("v"))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    drain("ck")
+
+    rows = {r["batch_id"]: r for r in
+            spark.read.parquet(f"{out}/_drift").collect()}
+    assert rows[0]["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert rows[0]["alert"] is False
+    assert rows[1]["psi"] > 0.25 and rows[1]["alert"] is True
+
+    batch_psi = {r["column"]: r["psi"] for r in distribution_drift(
+        ref, b2, ["v"], bins=10).collect()}
+    # same bounds (reference-derived) and same clamped-PSI formula;
+    # the monitor rounds to 6 decimals before landing the row
+    assert rows[1]["psi"] == pytest.approx(batch_psi["v"], abs=1e-6)
