@@ -337,3 +337,30 @@ def test_round5_batch45_plan_shapes(plans):
     # aggregate, not a driver collect
     p = plans("temperature_mixture_docs")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_round6_batch_plan_shapes(plans):
+    """The retrieval/graph/drift batch keeps its 100 TB claims in the
+    physical plan."""
+    # bm25: the query side broadcasts everywhere — no sort-merge join
+    # may appear (corpus-side work must stay pruned to query-term
+    # postings, never a corpus-x-corpus shuffle join)
+    p = plans("bm25_topk_docs")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # drift: scans are independent of column count — exactly two
+    # events scan NODES (ref + cur) in the scoring plan, bounds having
+    # been collected at build time (formatted mode prints each node
+    # twice: tree line + detail header, so count the headers)
+    import re
+
+    p = plans("drift_events")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+    # leakage split: the corpus-side split assignment is one left join
+    # against the node-sized component map — no cartesian, and the
+    # split decision compiles to pure expressions (no UDF/python eval)
+    p = plans("leakage_split_docs")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # containment: blocked posting self-join, id-keyed all the way
+    p = plans("containment_pairs_docs")
+    assert "CartesianProduct" not in p
