@@ -73,19 +73,25 @@ def pagerank(
     make the result depend on float-comparison order, which no
     cross-engine check could pin).
     """
-    # e is read by FOUR consumers (outdeg, the contribution join, and
-    # nodes twice) — uncached, the upstream edge derivation would run
-    # once per consumer
+    # e is read by THREE consumers (the degree table and the
+    # contribution join twice-removed) — uncached, the upstream edge
+    # derivation would run once per consumer
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst")).distinct().persist()
-    # node-sized, read by the dangling aggregate every iteration
-    outdeg = e.groupBy("src").agg(
-        F.count(F.lit(1)).alias("deg")).persist()
+    # ONE shuffle yields both the node set and the out-degrees (a
+    # separate union-distinct for nodes would be a second node-sized
+    # shuffle over the same rows); read every iteration by the
+    # dangling aggregate and the update join
+    degs = (e.select(F.col("src").alias("node"), F.lit(1).alias("__o"))
+            .unionByName(
+                e.select(F.col("dst").alias("node"), F.lit(0).alias("__o")))
+            .groupBy("node").agg(F.sum("__o").alias("out_deg"))
+            .persist())
+    nodes = degs.select("node")
+    outdeg = degs.filter(F.col("out_deg") > 0).select(
+        F.col("node").alias("src"), F.col("out_deg").alias("deg"))
     # the per-iteration join side: (src, dst, deg); both inputs cached
     ej = e.join(outdeg, "src")
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct().persist())
     try:
         n = nodes.count()  # metadata-scale action (one long/partition)
         if n == 0:
@@ -114,8 +120,8 @@ def pagerank(
             # the oracle's exact operation order (float + is
             # non-associative).
             dangling = (
-                ranks.join(outdeg.withColumnRenamed("src", "node"),
-                           "node", "left_anti")
+                ranks.join(degs.filter(F.col("out_deg") == 0)
+                           .select("node"), "node")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                 .collect()[0][0])
             ranks = (
@@ -136,5 +142,4 @@ def pagerank(
         # so the scratch caches can always be released — including on
         # error paths
         e.unpersist()
-        outdeg.unpersist()
-        nodes.unpersist()
+        degs.unpersist()
