@@ -39,6 +39,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_near_dup_pairs",
     "minhash_dedup",
+    "dedup_keep_best",
     "connected_components",
     "simhash",
     "simhash_near_dup_pairs",
@@ -524,6 +525,43 @@ def minhash_dedup(
     else:
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Near-dup removal keeping the BEST-scoring copy per cluster.
+
+    The min-id survivor rule (:func:`minhash_dedup`,
+    ``transitive=True``) is arbitrary about WHICH copy survives; real
+    curation wants the best one — the longest crawl of a page, the
+    highest quality-classifier score, the latest snapshot.  Transitive
+    clusters come from any (id_a, id_b) pair frame; within each cluster
+    the max-``score_col`` row survives (ties break on min id, so the
+    survivor set is deterministic and engine-recomputable).
+
+    Scale shape: component resolution on the pair graph (edges <<
+    corpus), one broadcast-friendly left join to attach cluster labels,
+    one window over cluster members only — unclustered docs (the vast
+    majority) take the ``component IS NULL`` fast path with no window
+    at all, so the shuffle is bounded by clustered rows, not corpus
+    rows.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias(id_col), "component")
+    labeled = df.join(comp, id_col, "left")
+    clustered = labeled.filter(F.col("component").isNotNull())
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col))
+    best = (clustered.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1).drop("__rk"))
+    return (labeled.filter(F.col("component").isNull())
+            .unionByName(best).drop("component"))
 
 
 def simhash(col: Column, bits: int = 64) -> Column:

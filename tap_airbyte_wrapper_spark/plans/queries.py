@@ -1255,6 +1255,20 @@ def q_leakage_split_docs(spark, sf_dir):
         .select("doc_id", "split")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup survivor selection: within each exact-
+    jaccard cluster keep the LONGEST doc (min-id survivors are
+    arbitrary; real curation keeps the most complete copy)."""
+    from ..functions import dedup_keep_best, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        blocking_cols=["lang", "source"])
+    return dedup_keep_best(docs, pairs, "doc_id", "n_chars") \
+        .select("doc_id", "n_chars")
+
+
 def _pagerank_oracle_sql(n_iter: int = 3, d: float = 0.85) -> str:
     """Unrolled-iteration DuckDB twin of q_pagerank_suppliers: PageRank
     is a fixed-point loop no single SQL query expresses, but a FIXED
@@ -2372,6 +2386,7 @@ QUERIES = {
     "degrees_suppliers": q_degrees_suppliers,
     "drift_events": q_drift_events,
     "leakage_split_docs": q_leakage_split_docs,
+    "dedup_keep_best_docs": q_dedup_keep_best,
 }
 
 
@@ -3091,6 +3106,33 @@ ORACLES = {
         SELECT col_name, round(sum((p - q) * ln(p / q)), 6) AS psi_r,
                sum(n_ref) AS n_ref, sum(n_cur) AS n_cur
         FROM t GROUP BY col_name""",
+    "dedup_keep_best_docs": f"""
+        WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.lab)
+        , comp AS (SELECT node, min(lab) AS component
+                   FROM reach GROUP BY node),
+        lab AS (SELECT d.doc_id, d.n_chars, c.component
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        SELECT doc_id, n_chars FROM lab WHERE component IS NULL
+        UNION ALL
+        SELECT doc_id, n_chars FROM (
+          SELECT doc_id, n_chars,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY n_chars DESC, doc_id) AS rk
+          FROM lab WHERE component IS NOT NULL) WHERE rk = 1""",
     "leakage_split_docs": f"""
         WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
         pairs AS (

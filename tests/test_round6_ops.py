@@ -909,3 +909,20 @@ def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path):
     # same bounds (reference-derived) and same clamped-PSI formula;
     # the monitor rounds to 6 decimals before landing the row
     assert rows[1]["psi"] == pytest.approx(batch_psi["v"], abs=1e-6)
+
+
+def test_dedup_keep_best_keeps_highest_score(spark):
+    """One survivor per transitive cluster — the max-score one, ties to
+    min id; unclustered docs pass through untouched."""
+    from tap_airbyte_wrapper_spark.functions import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20),    # cluster via (1,2),(2,3)
+         (4, 5), (5, 5),               # tied cluster -> min id 4
+         (9, 99)],                     # unclustered
+        "doc_id long, score long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in
+                  dedup_keep_best(docs, pairs, "doc_id", "score").collect())
+    assert kept == [2, 4, 9]
