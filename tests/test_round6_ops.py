@@ -910,6 +910,12 @@ def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path):
     # the monitor rounds to 6 decimals before landing the row
     assert rows[1]["psi"] == pytest.approx(batch_psi["v"], abs=1e-6)
 
+    # no-op re-drain: checkpoint already covers both batches, so a
+    # third drain appends nothing (same discipline as the dedup gates)
+    n_rows = spark.read.parquet(f"{out}/_drift").count()
+    drain("ck")
+    assert spark.read.parquet(f"{out}/_drift").count() == n_rows
+
 
 def test_dedup_keep_best_keeps_highest_score(spark):
     """One survivor per transitive cluster — the max-score one, ties to
