@@ -43,7 +43,8 @@ _GROUPS = [
     ("dedup", re.compile(
         r"^(exact_dedup|paragraph|jaccard|minhash|simhash|dedup_clusters"
         r"|semantic_dedup|winnow|boilerplate|dup_span|remove_dup"
-        r"|dedup_cluster|containment)")),
+        r"|dedup_cluster|dedup_keep|containment)")),
+    ("graph", re.compile(r"^(pagerank|degrees)")),
     ("similarity", re.compile(
         r"^(knn|embedding|quantize|centroid|label_centroids"
         r"|approx_distinct|pca_)")),
@@ -52,7 +53,7 @@ _GROUPS = [
         r"|repetition|token_budget|contamination|tfidf|split_sentences"
         r"|corpus_curation|decode_image|mixture|train_test|shard_stats"
         r"|heavy_hitter|normalize|chunk_docs|sample_per_"
-        r"|weighted_sample|lm_perplexity|pseudonymize|strip_html|pack_sequences|temperature|clean_holdout|upsample|source_quality|canonical_url|bm25)")),
+        r"|weighted_sample|lm_perplexity|pseudonymize|strip_html|pack_sequences|temperature|clean_holdout|upsample|source_quality|canonical_url|bm25|leakage_split)")),
     ("timeseries_cdc", re.compile(
         r"^(merge_upsert|resample|gap_fill|funnel|weekly_retention"
         r"|anomaly|scd2|incremental_agg|snapshot_diff|fk_violations)")),
