@@ -36,6 +36,8 @@ __all__ = [
     "normalize_text",
     "strip_html",
     "canonical_url",
+    "gopher_rules",
+    "c4_clean",
 ]
 
 # Marker stopwords per language — tiny n-gram-free heuristic: count marker
@@ -429,3 +431,140 @@ def canonical_url(col: Column) -> Column:
         F.when(F.length(q) > 0, F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
     return F.when(F.length(scheme) > 0, rebuilt).otherwise(F.trim(col))
+
+
+# The eight Gopher "stop words" (Rae et al. 2021, appendix A1.1) — the
+# rule asks for at least two DISTINCT members present, which is NOT the
+# language_id marker set above (that one scores hit counts, not presence).
+GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def _nonblank_lines(col: Column) -> Column:
+    """Trimmed, non-blank lines of a document.  Blank lines carry no
+    signal for the per-line ratio rules and their count differs between
+    engines on trailing newlines, so they are excluded up front."""
+    return F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def gopher_rules(col: Column) -> Column:
+    """The seven Gopher quality-filter rules (Rae et al. 2021, "Scaling
+    Language Models", appendix A1.1) as a struct of per-rule booleans
+    plus the conjunction — the standard repetition-independent web-corpus
+    gate, and the per-rule breakdown a pipeline needs to AUDIT a filter
+    (what fraction of the corpus fails which rule) rather than just
+    apply it.  :func:`quality_score` is a soft [0,1] blend; this is the
+    published hard gate.
+
+    Rules (document passes when ALL hold):
+
+    - ``words_ok``      50 <= word count <= 100,000
+    - ``mean_word_ok``  3 <= mean word length <= 10
+    - ``symbol_ok``     (# + ellipsis) to word ratio <= 0.1
+    - ``bullet_ok``     < 90% of non-blank lines start with a bullet
+    - ``ellipsis_ok``   < 30% of non-blank lines end with an ellipsis
+    - ``alpha_ok``      >= 80% of words contain an alphabetic character
+    - ``stopword_ok``   >= 2 distinct Gopher stop words present
+
+    Empty documents fail the word-dependent rules and pass the
+    line-ratio rules (no lines → no offending lines) — deterministic on
+    both engines.  Pure Catalyst expressions (regex + higher-order array
+    functions): per-row, zero shuffle, whole-stage codegen, and exactly
+    reproducible in ANSI SQL for the DuckDB oracle.  At 100 TB this is a
+    map-only pass — the audit aggregation over the struct is a plain
+    partial-agg count.
+    """
+    ws = F.regexp_extract_all(F.trim(col), F.lit(r"\S+"), 0)
+    n_words = F.size(ws)
+    sum_word_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    mean_word = F.when(n_words > 0, sum_word_len / n_words).otherwise(F.lit(0.0))
+
+    hash_cnt = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    ell_cnt = (F.length(col)
+               - F.length(F.replace(col, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0, (hash_cnt + ell_cnt) / n_words).otherwise(F.lit(0.0))
+
+    lines = _nonblank_lines(col)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]")))
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    bullet_frac = F.when(n_lines > 0, bullet_lines / n_lines).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0, ellipsis_lines / n_lines).otherwise(F.lit(0.0))
+
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+
+    stop_pat = r"\b(" + "|".join(GOPHER_STOPWORDS) + r")\b"
+    n_stop = F.size(F.array_distinct(
+        F.regexp_extract_all(F.lower(col), F.lit(stop_pat), 1)))
+
+    words_ok = (n_words >= 50) & (n_words <= 100000)
+    mean_word_ok = (n_words > 0) & (mean_word >= 3) & (mean_word <= 10)
+    symbol_ok = symbol_ratio <= 0.1
+    bullet_ok = bullet_frac < 0.9
+    ellipsis_ok = ellipsis_frac < 0.3
+    alpha_ok = (n_words > 0) & (alpha_frac >= 0.8)
+    stopword_ok = n_stop >= 2
+
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(mean_word, 4).alias("mean_word_len"),
+        words_ok.alias("words_ok"),
+        mean_word_ok.alias("mean_word_ok"),
+        symbol_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (words_ok & mean_word_ok & symbol_ok & bullet_ok & ellipsis_ok
+         & alpha_ok & stopword_ok).alias("pass"),
+    )
+
+
+def c4_clean(col: Column, min_line_words: int = 3,
+             min_sentences: int = 5) -> Column:
+    """C4-style line-level cleanup (Raffel et al. 2020, §2.2) as a
+    struct ``(clean_text, n_lines_kept, n_sentences, dropped)``:
+
+    - keep only trimmed lines that end in a terminal punctuation mark
+      (``. ! ? "``), carry at least ``min_line_words`` whitespace words,
+      and do not mention ``javascript`` (case-insensitive);
+    - drop the whole document when the ORIGINAL text contains ``{`` or
+      ``lorem ipsum`` (case-insensitive), or when fewer than
+      ``min_sentences`` sentence-final marks (``. ! ?``) survive in the
+      kept text.
+
+    ``clean_text`` joins the surviving lines with a newline; callers
+    filter on ``~dropped`` and project ``clean_text``.  Unlike
+    :func:`gopher_rules` (a pure gate), this REWRITES the document —
+    the two compose: C4-clean first, Gopher-gate the cleaned text.
+
+    Pure Catalyst (split / transform / filter / array_join + regex):
+    per-row, zero shuffle, reproducible in ANSI SQL.
+    """
+    kept = F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        lambda l: l.rlike(r'[.!?"]$')
+        & (F.size(F.regexp_extract_all(l, F.lit(r"\S+"), 0)) >= min_line_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    dropped = (
+        col.contains("{")
+        | F.lower(col).contains("lorem ipsum")
+        | (n_sent < min_sentences)
+    )
+    return F.struct(
+        clean.alias("clean_text"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        dropped.alias("dropped"),
+    )

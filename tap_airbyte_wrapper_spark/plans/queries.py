@@ -2086,6 +2086,64 @@ def q_canonical_url_docs(spark, sf_dir):
         "doc_id", canonical_url(url).alias("url"))
 
 
+def q_gopher_rules_docs(spark, sf_dir):
+    """The seven Gopher hard quality gates, per-rule audit columns: the
+    published web-corpus filter (Rae et al. 2021 A1.1) next to the soft
+    quality_score blend.  Synthetic bullet/ellipsis lines are injected
+    by doc_id modulo so the per-line ratio rules actually fire on the
+    single-line test corpus; per-row, zero shuffle."""
+    from ..functions import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0,
+               F.lit("\n- bullet item one\n- bullet item two\n- third"))
+        .when(d % 4 == 1, F.lit("\nto be continued..."))
+        .otherwise(F.lit("")))
+    g = gopher_rules(aug)
+    return docs.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        g["mean_word_len"].alias("mean_word_len"),
+        g["words_ok"].alias("words_ok"),
+        g["mean_word_ok"].alias("mean_word_ok"),
+        g["symbol_ok"].alias("symbol_ok"),
+        g["bullet_ok"].alias("bullet_ok"),
+        g["ellipsis_ok"].alias("ellipsis_ok"),
+        g["alpha_ok"].alias("alpha_ok"),
+        g["stopword_ok"].alias("stopword_ok"),
+        g["pass"].alias("pass_all"),
+    )
+
+
+def q_c4_clean_docs(spark, sf_dir):
+    """C4-style line cleanup (terminal-punctuation lines, >=3 words,
+    no-javascript lines; drop pages with '{', 'lorem ipsum', or <5
+    surviving sentence marks).  Injected tail lines exercise every
+    branch; the cleaner REWRITES text where gopher_rules only gates."""
+    from ..functions import c4_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit("\nA trailing sentence the cleaner always keeps here."),
+        F.when(d % 5 == 0, F.lit("\nThis page needs JavaScript enabled."))
+        .when(d % 5 == 1, F.lit("\nlorem ipsum dolor sit amet."))
+        .when(d % 5 == 2, F.lit("\nvar cfg = { a: 1 };"))
+        .otherwise(F.lit("")))
+    c = c4_clean(aug)
+    return docs.select(
+        "doc_id",
+        c["clean_text"].alias("clean_text"),
+        c["n_lines_kept"].alias("n_lines_kept"),
+        c["n_sentences"].alias("n_sentences"),
+        c["dropped"].alias("dropped"),
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-then-chunk sequence packing over the corpus: global token
     offsets via the value-bucketed two-phase cumulative sum (no
@@ -2387,6 +2445,8 @@ QUERIES = {
     "drift_events": q_drift_events,
     "leakage_split_docs": q_leakage_split_docs,
     "dedup_keep_best_docs": q_dedup_keep_best,
+    "gopher_rules_docs": q_gopher_rules_docs,
+    "c4_clean_docs": q_c4_clean_docs,
 }
 
 
@@ -3157,6 +3217,94 @@ ORACLES = {
                           1, 12)) AS BIGINT) % 100 < 80
                     THEN 'train' ELSE 'test' END AS split
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""",
+    "gopher_rules_docs": r"""
+        WITH base AS (
+          SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 4 = 0 THEN chr(10) || '- bullet item one'
+                        || chr(10) || '- bullet item two' || chr(10) || '- third'
+                   WHEN doc_id % 4 = 1 THEN chr(10) || 'to be continued...'
+                   ELSE '' END AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id, t,
+                 regexp_extract_all(trim(t), '\S+') AS ws,
+                 list_filter(list_transform(string_split(t, chr(10)),
+                                            l -> trim(l)),
+                             l -> length(l) > 0) AS lines
+          FROM base),
+        m AS (
+          SELECT doc_id,
+            len(ws) AS n_words,
+            CASE WHEN len(ws) > 0 THEN
+              CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                / len(ws) ELSE 0.0 END AS mean_word,
+            length(t) - length(replace(t, '#', '')) AS hash_cnt,
+            (length(t) - length(replace(t, '...', ''))) / 3 AS ell_cnt,
+            len(lines) AS n_lines,
+            len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+              AS bullet_lines,
+            len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$')))
+              AS ellipsis_lines,
+            len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+              AS alpha_words,
+            len(list_distinct(regexp_extract_all(lower(t),
+                '\b(and|be|have|of|that|the|to|with)\b', 1))) AS n_stop
+          FROM c),
+        r AS (
+          SELECT doc_id, n_words, mean_word,
+            (n_words >= 50 AND n_words <= 100000) AS words_ok,
+            (n_words > 0 AND mean_word >= 3 AND mean_word <= 10)
+              AS mean_word_ok,
+            (CASE WHEN n_words > 0 THEN (hash_cnt + ell_cnt) / n_words
+                  ELSE 0.0 END) <= 0.1 AS symbol_ok,
+            (CASE WHEN n_lines > 0 THEN bullet_lines / n_lines
+                  ELSE 0.0 END) < 0.9 AS bullet_ok,
+            (CASE WHEN n_lines > 0 THEN ellipsis_lines / n_lines
+                  ELSE 0.0 END) < 0.3 AS ellipsis_ok,
+            (n_words > 0 AND
+             (CASE WHEN n_words > 0 THEN alpha_words / n_words
+                   ELSE 0.0 END) >= 0.8) AS alpha_ok,
+            (n_stop >= 2) AS stopword_ok
+          FROM m)
+        SELECT doc_id, n_words, round(mean_word, 4) AS mean_word_len,
+               words_ok, mean_word_ok, symbol_ok, bullet_ok, ellipsis_ok,
+               alpha_ok, stopword_ok,
+               (words_ok AND mean_word_ok AND symbol_ok AND bullet_ok
+                AND ellipsis_ok AND alpha_ok AND stopword_ok) AS pass_all
+        FROM r""",
+    "c4_clean_docs": r"""
+        WITH base AS (
+          SELECT doc_id,
+                 text || chr(10)
+                 || 'A trailing sentence the cleaner always keeps here.'
+                 || CASE
+                   WHEN doc_id % 5 = 0 THEN chr(10)
+                        || 'This page needs JavaScript enabled.'
+                   WHEN doc_id % 5 = 1 THEN chr(10)
+                        || 'lorem ipsum dolor sit amet.'
+                   WHEN doc_id % 5 = 2 THEN chr(10) || 'var cfg = { a: 1 };'
+                   ELSE '' END AS t
+          FROM documents),
+        k AS (
+          SELECT doc_id, t,
+                 list_filter(list_transform(string_split(t, chr(10)),
+                                            l -> trim(l)),
+                             l -> regexp_matches(l, '[.!?"]$')
+                              AND len(regexp_extract_all(l, '\S+')) >= 3
+                              AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM base),
+        j AS (
+          SELECT doc_id, t,
+                 array_to_string(kept, chr(10)) AS clean_text,
+                 len(kept) AS n_lines_kept,
+                 len(regexp_extract_all(array_to_string(kept, chr(10)),
+                                        '[.!?]')) AS n_sentences
+          FROM k)
+        SELECT doc_id, clean_text, n_lines_kept, n_sentences,
+               (contains(t, '{') OR contains(lower(t), 'lorem ipsum')
+                OR n_sentences < 5) AS dropped
+        FROM j""",
     "degrees_suppliers": """
         WITH e AS (
           SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

@@ -249,3 +249,99 @@ def test_normalize_text_forms_and_whitespace(spark):
 
     with pytest.raises(ValueError, match="normalization form"):
         normalize_text(F.col("s"), form="NFX")
+
+
+GOOD_PROSE = (
+    "The quick brown fox jumps over the lazy dog and then runs to have "
+    "a rest of that day with friends. " * 5
+)
+
+
+def _gopher(spark, text):
+    from tap_airbyte_wrapper_spark.functions import gopher_rules
+
+    return one(spark, text).select(
+        gopher_rules(F.col("text")).alias("g")).select("g.*").collect()[0]
+
+
+def test_gopher_rules_passes_prose(spark):
+    r = _gopher(spark, GOOD_PROSE)
+    assert r["pass"] and r.words_ok and r.mean_word_ok and r.symbol_ok
+    assert r.bullet_ok and r.ellipsis_ok and r.alpha_ok and r.stopword_ok
+
+
+def test_gopher_rules_word_count_gate(spark):
+    short = _gopher(spark, "the cat sat on that mat with milk")
+    assert not short.words_ok and not short["pass"]
+    # other rules still judge the short doc on its own merits
+    assert short.stopword_ok and short.alpha_ok
+
+
+def test_gopher_rules_bullet_and_ellipsis_lines(spark):
+    bullets = "\n".join(["- item %d" % i for i in range(9)] + ["plain line"])
+    r = _gopher(spark, bullets)
+    assert not r.bullet_ok  # 9/10 = 0.9 is NOT < 0.9
+    dots = "\n".join(["this line trails off..."] * 3 + ["solid line"] * 3)
+    r2 = _gopher(spark, dots)
+    assert not r2.ellipsis_ok  # 3/6 = 0.5 >= 0.3
+
+
+def test_gopher_rules_symbol_and_alpha(spark):
+    hashy = " ".join(["#tag"] * 10)  # 10 hashes / 10 words = 1.0 > 0.1
+    assert not _gopher(spark, hashy).symbol_ok
+    nums = " ".join(["123"] * 8 + ["abc"] * 2)  # alpha frac 0.2 < 0.8
+    assert not _gopher(spark, nums).alpha_ok
+
+
+def test_gopher_rules_stopwords_distinct_not_repeats(spark):
+    # 'the' repeated is ONE distinct stop word -> fails the >=2 rule
+    assert not _gopher(spark, "the the the the cat").stopword_ok
+    assert _gopher(spark, "the cat with a hat").stopword_ok
+
+
+def test_gopher_rules_empty_doc(spark):
+    r = _gopher(spark, "")
+    assert not r.words_ok and not r.mean_word_ok and not r.alpha_ok
+    # no lines / no symbols -> the ratio rules pass vacuously
+    assert r.bullet_ok and r.ellipsis_ok and r.symbol_ok
+    assert not r["pass"]
+
+
+def _c4(spark, text, **kw):
+    from tap_airbyte_wrapper_spark.functions import c4_clean
+
+    return one(spark, text).select(
+        c4_clean(F.col("text"), **kw).alias("c")).select("c.*").collect()[0]
+
+
+def test_c4_clean_keeps_terminal_punct_lines(spark):
+    text = "\n".join([
+        "A good sentence that stays here.",
+        "no terminal punctuation on this line",
+        "Too few.",                      # 2 words < 3
+        "Another proper sentence stays!",
+        'He said "stop".',
+        "This line mentions JavaScript somewhere.",
+    ])
+    r = _c4(spark, text, min_sentences=1)
+    kept = r.clean_text.split("\n")
+    assert kept == ["A good sentence that stays here.",
+                    "Another proper sentence stays!",
+                    'He said "stop".']
+    assert r.n_lines_kept == 3 and not r.dropped
+
+
+def test_c4_clean_page_level_drops(spark):
+    base = "One full sentence here. " * 6  # plenty of sentences
+    assert not _c4(spark, base).dropped
+    assert _c4(spark, base + " config { x }").dropped
+    assert _c4(spark, base + " Lorem Ipsum filler").dropped
+    assert _c4(spark, "Just one sentence survives here.").dropped  # <5 marks
+
+
+def test_c4_clean_counts_sentences_in_kept_text_only(spark):
+    # 'Ha. No.' ends in a terminal mark but has only 2 words, so the
+    # line is dropped — its 2 marks must not count toward n_sentences
+    text = "Keep this sentence now. And keep this one too.\nHa. No."
+    r = _c4(spark, text, min_sentences=1)
+    assert r.n_sentences == 2
