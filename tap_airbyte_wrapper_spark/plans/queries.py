@@ -2033,6 +2033,30 @@ def q_histogram_quantile_events(spark, sf_dir):
         merged, [0.5, 0.9, 0.99], lo=0.0, hi=500.0, bins=50)
 
 
+def q_redact_cards_docs(spark, sf_dir):
+    """Luhn-validated card scrubbing: card-shaped digit runs are
+    redacted ONLY when the checksum passes — the precision PII rule a
+    blanket digit-run regex cannot express.  Public test PANs (valid
+    and corrupted) are injected by doc_id modulo; per-row, zero
+    shuffle, candidates+checksum exactly mirrored in the oracle."""
+    from ..functions.pii import CARD_CANDIDATE, luhn_valid, redact_cards
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, F.lit(" pay 4111 1111 1111 1111 now."))
+        .when(d % 4 == 1, F.lit(" ref 4111 1111 1111 1112 kept."))
+        .when(d % 4 == 2, F.lit(" card 5500-0055-5555-5559 wired."))
+        .otherwise(F.lit("")))
+    n_cards = F.size(F.filter(
+        F.regexp_extract_all(aug, F.lit(CARD_CANDIDATE), 0), luhn_valid))
+    return docs.select(
+        "doc_id",
+        redact_cards(aug).alias("text_redacted"),
+        n_cards.alias("n_cards"))
+
+
 def q_pseudonymize_events(spark, sf_dir):
     """Keyed pseudonymization: user ids replaced by salted-md5 tokens
     that stay joinable (per-token event counts prove grouping
@@ -2447,6 +2471,7 @@ QUERIES = {
     "dedup_keep_best_docs": q_dedup_keep_best,
     "gopher_rules_docs": q_gopher_rules_docs,
     "c4_clean_docs": q_c4_clean_docs,
+    "redact_cards_docs": q_redact_cards_docs,
 }
 
 
@@ -2460,6 +2485,20 @@ _REV_SQL = "l_extendedprice * (1 - l_discount)"
 # exactly).
 _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 _WORDS = "regexp_extract_all(trim(text), '\\S+')"
+
+
+def _luhn_sql(v: str) -> str:
+    """DuckDB Luhn-checksum predicate on expression ``v`` — mirrors
+    functions/pii.py luhn_valid bit-for-bit (same digit strip, same
+    from-the-right doubling rule, same 12-19 length gate)."""
+    ds = f"regexp_replace({v}, '[^0-9]', '', 'g')"
+    d = f"CAST(substr({ds}, i, 1) AS INT)"
+    return (
+        f"(length({ds}) BETWEEN 12 AND 19) AND "
+        f"(list_sum(list_transform(generate_series(1, length({ds})), "
+        f"i -> CASE WHEN (length({ds}) - i + 1) % 2 = 1 THEN {d} "
+        f"ELSE CASE WHEN 2*{d} > 9 THEN 2*{d} - 9 ELSE 2*{d} END END)) "
+        f"% 10 = 0)")
 
 
 def _marker_sql(words: str) -> str:
@@ -3305,6 +3344,27 @@ ORACLES = {
                (contains(t, '{') OR contains(lower(t), 'lorem ipsum')
                 OR n_sentences < 5) AS dropped
         FROM j""",
+    "redact_cards_docs": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 4 = 0 THEN ' pay 4111 1111 1111 1111 now.'
+                   WHEN doc_id % 4 = 1 THEN ' ref 4111 1111 1111 1112 kept.'
+                   WHEN doc_id % 4 = 2 THEN ' card 5500-0055-5555-5559 wired.'
+                   ELSE '' END AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id, t,
+                 list_filter(
+                   regexp_extract_all(t, '(?:\\d[ -]?){{11,18}}\\d'),
+                   x -> {_luhn_sql('x')}) AS valid
+          FROM base)
+        SELECT doc_id,
+               list_reduce(list_prepend(t, valid),
+                           (acc, x) -> replace(acc, x, '<CARD>'))
+                 AS text_redacted,
+               len(valid) AS n_cards
+        FROM c""",
     "degrees_suppliers": """
         WITH e AS (
           SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

@@ -263,3 +263,45 @@ def test_sample_per_group_exact_k_and_stable(spark):
     other = {r["doc_id"] for r in
              sample_per_group(df, "g", "doc_id", k=10, salt="x").collect()}
     assert other != ids
+
+
+def test_luhn_valid_known_pans(spark):
+    from tap_airbyte_wrapper_spark.functions.pii import luhn_valid
+
+    cases = [
+        ("4111111111111111", True),    # Visa test PAN
+        ("4111 1111 1111 1111", True),  # separators ignored
+        ("5500-0055-5555-5559", True),  # MC test PAN, dashes
+        ("4111111111111112", False),    # corrupted check digit
+        ("123456789012345", False),     # random 15-digit run
+        ("41111111111", False),         # 11 digits: below PAN length
+        ("", False),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = [r.v for r in
+           df.select(luhn_valid(F.col("text")).alias("v")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_redact_cards_only_valid_runs(spark):
+    from tap_airbyte_wrapper_spark.functions.pii import redact_cards
+
+    text = ("pay 4111 1111 1111 1111 or 5500-0055-5555-5559, "
+            "but order 4111 1111 1111 1112 and id 123456789 stay")
+    red = spark.createDataFrame([Row(text=text)]).select(
+        redact_cards(F.col("text")).alias("t")).first().t
+    assert red.count("<CARD>") == 2
+    assert "4111 1111 1111 1112" in red   # Luhn-invalid: untouched
+    assert "123456789" in red             # too short: untouched
+    assert "4111 1111 1111 1111" not in red
+
+
+def test_redact_cards_before_redact_pii_composes(spark):
+    from tap_airbyte_wrapper_spark.functions.pii import redact_cards
+
+    text = "card 4111111111111111 acct 123456789012"
+    out = spark.createDataFrame([Row(text=text)]).select(
+        redact_pii(redact_cards(F.col("text"))).alias("t")).first().t
+    # card validated+redacted first; leftover long run becomes <ID>
+    assert "<CARD>" in out and "<ID>" in out
+    assert "4111111111111111" not in out and "123456789012" not in out
