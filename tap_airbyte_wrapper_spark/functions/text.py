@@ -478,9 +478,9 @@ def gopher_rules(col: Column) -> Column:
     """
     ws = F.regexp_extract_all(F.trim(col), F.lit(r"\S+"), 0)
     n_words = F.size(ws)
-    sum_word_len = F.aggregate(
-        F.transform(ws, lambda w: F.length(w).cast("long")),
-        F.lit(0).cast("long"), lambda a, x: a + x)
+    # sum of word lengths == length of the separator-less join — one
+    # JVM concat instead of an interpreted aggregate-over-transform HOF
+    sum_word_len = F.length(F.array_join(ws, ""))
     mean_word = F.when(n_words > 0, sum_word_len / n_words).otherwise(F.lit(0.0))
 
     hash_cnt = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
@@ -498,7 +498,11 @@ def gopher_rules(col: Column) -> Column:
     ellipsis_frac = F.when(
         n_lines > 0, ellipsis_lines / n_lines).otherwise(F.lit(0.0))
 
-    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    # a \S token contains alpha iff it matches \S*[A-Za-z]\S* exactly
+    # once (greedy \S* cannot cross whitespace) — one regex pass over
+    # the text instead of a per-word interpreted rlike filter
+    alpha_words = F.size(
+        F.regexp_extract_all(col, F.lit(r"\S*[A-Za-z]\S*"), 0))
     alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
 
     stop_pat = r"\b(" + "|".join(GOPHER_STOPWORDS) + r")\b"

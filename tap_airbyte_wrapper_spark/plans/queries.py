@@ -3276,7 +3276,7 @@ ORACLES = {
           SELECT doc_id,
             len(ws) AS n_words,
             CASE WHEN len(ws) > 0 THEN
-              CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+              CAST(length(array_to_string(ws, '')) AS DOUBLE)
                 / len(ws) ELSE 0.0 END AS mean_word,
             length(t) - length(replace(t, '#', '')) AS hash_cnt,
             (length(t) - length(replace(t, '...', ''))) / 3 AS ell_cnt,
@@ -3285,8 +3285,7 @@ ORACLES = {
               AS bullet_lines,
             len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$')))
               AS ellipsis_lines,
-            len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
-              AS alpha_words,
+            len(regexp_extract_all(t, '\S*[A-Za-z]\S*')) AS alpha_words,
             len(list_distinct(regexp_extract_all(lower(t),
                 '\b(and|be|have|of|that|the|to|with)\b', 1))) AS n_stop
           FROM c),
