@@ -38,6 +38,9 @@ __all__ = [
     "canonical_url",
     "gopher_rules",
     "c4_clean",
+    "url_host",
+    "parent_domains",
+    "domain_filter",
 ]
 
 # Marker stopwords per language — tiny n-gram-free heuristic: count marker
@@ -572,3 +575,75 @@ def c4_clean(col: Column, min_line_words: int = 3,
         n_sent.alias("n_sentences"),
         dropped.alias("dropped"),
     )
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host of a URL: port and a leading ``www.`` stripped,
+    empty string for non-URL input.  The key domain-level curation
+    (blocklists, per-site quotas, crawl dedup) groups by."""
+    host = F.lower(
+        F.regexp_extract(F.trim(col),
+                         r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def parent_domains(host: Column) -> Column:
+    """Array of the host plus every parent domain with >= 2 labels
+    (``a.b.co`` -> ``[a.b.co, b.co]``) — the suffix set a domain
+    blocklist entry can match.  Blocklists name registrable domains;
+    a URL is blocked when its host OR any parent equals an entry, and
+    materializing the (depth-bounded) suffix array turns that
+    suffix-match into a plain set-membership test."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+    )).otherwise(F.array(host))
+
+
+def domain_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked,
+    mode: str = "block",
+    host_out: str | None = None,
+) -> DataFrame:
+    """Drop (``mode='block'``) or keep-only (``mode='allow'``) rows whose
+    URL host — or any parent domain — appears in ``blocked``.
+
+    The FineWeb/C4-style URL gate that runs before any content work.
+    ``blocked`` is a list of domains or a 1-column DataFrame (collected
+    under a guard: blocklists are curation metadata, bounded by the
+    list's author, not by corpus size).  Matching is a per-row
+    ``exists(parent_domains(host), isin(...))`` — Catalyst compiles the
+    large IN to an InSet hash lookup, so the filter is ONE map-only
+    scan: zero shuffle, zero join, pushes down past column pruning, and
+    scales to any corpus size with cost linear in rows and O(1) per
+    suffix.  (A broadcast anti-join would carry the same semantics only
+    by exploding suffixes — three operators for what one predicate
+    does.)  ``host_out`` optionally materializes the parsed host column
+    for downstream per-site stats.
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if isinstance(blocked, DataFrame):
+        cols = blocked.columns
+        if len(cols) != 1:
+            raise ValueError("blocklist DataFrame must have exactly 1 column")
+        n = blocked.count()
+        if n > 1_000_000:
+            raise ValueError(
+                f"blocklist has {n} rows; above the 1M in-plan guard — "
+                "pre-aggregate it to registrable domains first")
+        blocked = [r[0] for r in blocked.collect()]
+    blocked = sorted(set(blocked))
+    host = url_host(F.col(url_col))
+    if host_out:
+        df = df.withColumn(host_out, host)
+        host = F.col(host_out)
+    if not blocked:
+        return df if mode == "block" else df.filter(F.lit(False))
+    hit = F.exists(parent_domains(host), lambda s: s.isin(*blocked))
+    return df.filter(~hit if mode == "block" else hit)

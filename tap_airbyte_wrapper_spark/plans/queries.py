@@ -2168,6 +2168,30 @@ def q_c4_clean_docs(spark, sf_dir):
     )
 
 
+def q_domain_filter_docs(spark, sf_dir):
+    """Domain-blocklist URL gate with parent-domain matching: hosts are
+    synthesized by doc_id modulo (exact entry, parent-of-subdomain,
+    www/port/case noise, and two clean survivors); rows whose host or
+    any parent domain is blocklisted drop in ONE map-only InSet scan —
+    zero shuffle, zero join."""
+    from ..functions import domain_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 5 == 0, F.lit("ads.tracker.net"))
+        .when(d % 5 == 1, F.lit("WWW.Example.COM:443"))
+        .when(d % 5 == 2, F.lit("blog.example.com"))
+        .when(d % 5 == 3, F.lit("spam.example.net"))
+        .otherwise(F.lit("docs.python.org")),
+        F.lit("/p/"), d.cast("string"))
+    return domain_filter(
+        docs.select("doc_id", url.alias("url")), "url",
+        blocked=["tracker.net", "spam.example.net"],
+        mode="block", host_out="host")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-then-chunk sequence packing over the corpus: global token
     offsets via the value-bucketed two-phase cumulative sum (no
@@ -2472,6 +2496,7 @@ QUERIES = {
     "gopher_rules_docs": q_gopher_rules_docs,
     "c4_clean_docs": q_c4_clean_docs,
     "redact_cards_docs": q_redact_cards_docs,
+    "domain_filter_docs": q_domain_filter_docs,
 }
 
 
@@ -3364,6 +3389,35 @@ ORACLES = {
                  AS text_redacted,
                len(valid) AS n_cards
         FROM c""",
+    "domain_filter_docs": r"""
+        WITH base AS (
+          SELECT doc_id,
+                 'https://' || CASE
+                   WHEN doc_id % 5 = 0 THEN 'ads.tracker.net'
+                   WHEN doc_id % 5 = 1 THEN 'WWW.Example.COM:443'
+                   WHEN doc_id % 5 = 2 THEN 'blog.example.com'
+                   WHEN doc_id % 5 = 3 THEN 'spam.example.net'
+                   ELSE 'docs.python.org' END
+                 || '/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents),
+        h AS (
+          SELECT doc_id, url,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(trim(url),
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                   ':[0-9]+$', ''), '^www\.', '') AS host
+          FROM base),
+        s AS (
+          SELECT doc_id, url, host,
+                 CASE WHEN len(string_split(host, '.')) >= 2 THEN
+                   list_transform(
+                     generate_series(0, len(string_split(host, '.')) - 2),
+                     i -> array_to_string(string_split(host, '.')[i+1:], '.'))
+                 ELSE [host] END AS sfx
+          FROM h)
+        SELECT doc_id, url, host FROM s
+        WHERE len(list_intersect(
+                sfx, ['tracker.net', 'spam.example.net'])) = 0""",
     "degrees_suppliers": """
         WITH e AS (
           SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

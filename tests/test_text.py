@@ -345,3 +345,55 @@ def test_c4_clean_counts_sentences_in_kept_text_only(spark):
     text = "Keep this sentence now. And keep this one too.\nHa. No."
     r = _c4(spark, text, min_sentences=1)
     assert r.n_sentences == 2
+
+
+def test_url_host_and_parent_domains(spark):
+    from tap_airbyte_wrapper_spark.functions import parent_domains, url_host
+
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Sub.Example.COM:8443/a?b=1",),
+         ("http://localhost:8080/x",),
+         ("not a url",)], "url string")
+    rows = df.select(
+        url_host(F.col("url")).alias("h"),
+        parent_domains(url_host(F.col("url"))).alias("p")).collect()
+    assert rows[0].h == "sub.example.com"
+    assert rows[0].p == ["sub.example.com", "example.com"]
+    assert rows[1].h == "localhost" and rows[1].p == ["localhost"]
+    assert rows[2].h == "" 
+
+
+def test_domain_filter_block_allow_and_df_blocklist(spark):
+    from tap_airbyte_wrapper_spark.functions import domain_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://ads.tracker.net/a"),
+         (2, "https://www.example.com/b"),
+         (3, "https://deep.sub.tracker.net/c"),
+         (4, "https://python.org/d")], "id long, url string")
+    kept = domain_filter(df, "url", ["tracker.net"], mode="block")
+    assert sorted(r.id for r in kept.collect()) == [2, 4]
+    allowed = domain_filter(df, "url", ["tracker.net"], mode="allow")
+    assert sorted(r.id for r in allowed.collect()) == [1, 3]
+    # 1-column DataFrame blocklist is collected under the guard
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    kept2 = domain_filter(df, "url", bl, mode="block")
+    assert sorted(r.id for r in kept2.collect()) == [1, 3, 4]
+    # empty blocklist: block keeps everything, allow keeps nothing
+    assert domain_filter(df, "url", [], mode="block").count() == 4
+    assert domain_filter(df, "url", [], mode="allow").count() == 0
+    with pytest.raises(ValueError):
+        domain_filter(df, "url", ["x"], mode="purge")
+    with pytest.raises(ValueError):
+        domain_filter(df, "url", df.select("id", "url"))
+
+
+def test_domain_filter_is_map_only(spark, sf_dir):
+    from tap_airbyte_wrapper_spark.functions import domain_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("https://h"), F.col("doc_id") % 7,
+                           F.lit(".example.com/p")).alias("url"))
+    plan = domain_filter(docs, "url", [f"h{i}.example.com" for i in range(3)])\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
