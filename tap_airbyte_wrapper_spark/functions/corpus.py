@@ -44,6 +44,8 @@ __all__ = [
     "dup_span_stats",
     "remove_dup_spans",
     "pack_sequences",
+    "char_ngram_entropy",
+    "zipf_fit",
 ]
 
 
@@ -761,4 +763,123 @@ def pack_sequences(
         F.floor(tok_start / seq_len).cast("bigint").alias("seq_start"),
         F.floor((tok_start + F.col("n_tok") - 1) / seq_len)
         .cast("bigint").alias("seq_end"),
+    )
+
+
+def char_ngram_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document character n-gram Shannon entropy and distinct
+    ratio — the RefinedWeb/CCNet-style "natural text vs boilerplate /
+    keyword-stuffing / generated spam" quality signal (repetitive text
+    has low entropy, random byte soup has high distinct ratio AND high
+    entropy; natural prose sits in a narrow band of both).
+
+    Returns ``(id, n_grams, n_distinct, distinct_ratio, entropy)``
+    over documents with at least one ``n``-gram (shorter docs carry no
+    signal and are absent).  ``entropy`` is the natural-log Shannon
+    entropy of the gram distribution, computed from the per-gram
+    integer counts as ``ln(N) - sum(c*ln(c))/N`` — one identity, no
+    per-gram probability column.
+
+    Scale shape: text normalizes (casefold, whitespace collapse)
+    per-row, grams explode to ``(id, gram)`` rows and aggregate with
+    map-side combine on ``(id, gram)`` — the shuffle carries one row
+    per distinct gram per doc (grams are ``n`` chars; n=3 rows are
+    smaller than the 8-byte hashes :func:`dup_span_stats` ships), then
+    a second ``id``-keyed partial agg folds counts into the entropy
+    sums.  Zero Python, no window, no all-pairs; both shuffles are
+    linear in corpus grams.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    L = F.length(norm)
+    grams = (
+        df.select(F.col(id_col), norm.alias("__t"), L.alias("__l"))
+        .filter(F.col("__l") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.col("__l") - (n - 1)))
+            .alias("__i"),
+            F.col("__t"))
+        .select(F.col(id_col),
+                F.substring(F.col("__t"), F.col("__i"), n).alias("__g"))
+    )
+    counts = grams.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(F.sum("__c").alias("n_grams"),
+             F.count(F.lit(1)).alias("n_distinct"),
+             F.sum(F.col("__c").cast("double")
+                   * F.log(F.col("__c").cast("double"))).alias("__clc"))
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.col("n_distinct"),
+            F.round(F.col("n_distinct") / F.col("n_grams"), 6)
+            .alias("distinct_ratio"),
+            (F.round(
+                F.log(F.col("n_grams").cast("double"))
+                - F.col("__clc") / F.col("n_grams"), 6) + F.lit(0.0))
+            .alias("entropy"),
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: the least-squares
+    slope of ``ln(freq)`` against ``ln(rank)`` for the ``top`` most
+    frequent tokens (natural corpora fit slope ~ -1; heavily
+    deduplicated, templated, or synthetic corpora drift — a one-row
+    distribution-health diagnostic to watch across ingest batches).
+
+    Returns one row ``(n_terms, slope, intercept, r2)``.
+
+    Scale shape: the token count table is one explode + partial agg
+    (vocabulary-sized, not corpus-sized); the top-``top`` cut is
+    ``orderBy(...).limit(top)`` which Spark executes as
+    TakeOrderedAndProject — a per-partition heap + driver merge, never
+    a global sort; ranking and the regression then run on ``top`` rows
+    (bounded by the parameter, independent of corpus size).  Count
+    ties break on the token string so the ranked set — and the fit —
+    is deterministic across engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(top)
+    )
+    # `top` rows at most: the unpartitioned rank window is bounded by
+    # the parameter, not the data (same contract as sketch tables)
+    ranked = counts.withColumn(
+        "r", F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("w"))))
+    xy = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"))
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = F.col("sxy") - sx * sy / n
+    varx = F.col("sxx") - sx * sx / n
+    vary = F.col("syy") - sy * sy / n
+    return s.select(
+        n.cast("bigint").alias("n_terms"),
+        F.round(cov / varx, 4).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / n, 4).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 4).alias("r2"),
     )

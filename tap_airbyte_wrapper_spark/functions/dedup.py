@@ -280,7 +280,8 @@ def minhash_near_dup_pairs(
     # AFTER the (id_a, id_b) dedup, costing 2 corpus-sized sig shuffles
     # instead of a bands-times-corpus one.
     sigs = minhash_signatures_df(
-        df, id_col, text_col, num_hashes, shingle_len, bands=bands).persist()
+        df, id_col, text_col, num_hashes, shingle_len,
+        bands=bands).localCheckpoint(eager=True)
     banded = sigs.select(
         F.col(id_col), F.posexplode("band_hashes").alias("band", "band_hash"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
@@ -654,8 +655,10 @@ def simhash_near_dup_pairs(
     sharing a (segment_idx, segment_value) bucket; verify with exact
     bit_count(xor) <= max_hamming."""
     seg_bits = 64 // chunks
-    # feeds both pair sides — persist so tokenize+hash runs once
-    hashed = simhash_df(df, id_col, text_col).persist()
+    # feeds both pair sides — eager localCheckpoint so tokenize+hash
+    # runs once; persist() with no unpersist() would leak executor cache
+    # across calls (checkpoint blocks free when the reference drops)
+    hashed = simhash_df(df, id_col, text_col).localCheckpoint(eager=True)
     segs = hashed.select(
         id_col,
         "sh",
@@ -721,7 +724,8 @@ def ngram_jaccard_pairs(
     verify join-back pays two array-carrying shuffles) — so the default
     stays off."""
     blocking_cols = blocking_cols or []
-    # canonical-order hash arrays feed every stage — persist, built once
+    # canonical-order hash arrays feed every stage — built once via
+    # eager localCheckpoint (no cache leak across calls)
     sh = df.select(
         F.col(id_col), *[F.col(c) for c in blocking_cols],
         F.array_sort(
@@ -729,7 +733,7 @@ def ngram_jaccard_pairs(
                 F.transform(shingles(F.col(text_col), n),
                             lambda s: F.xxhash64(s)))
         ).alias("hs"),
-    ).withColumn("sh_size", F.size("hs")).persist()
+    ).withColumn("sh_size", F.size("hs")).localCheckpoint(eager=True)
 
     if not prefix_filter:
         posting = sh.select(
@@ -870,15 +874,16 @@ def containment_pairs(
     cont_a_in_b, cont_b_in_a), id_a < id_b.
     """
     blocking_cols = blocking_cols or []
-    # persisted: the self-join reads this subtree twice, and shingling
-    # (the interpreted zip_with chain) dominates its cost — same
-    # convention as ngram_jaccard_pairs
+    # eager localCheckpoint: the self-join reads this subtree twice and
+    # shingling (the interpreted zip_with chain) dominates its cost; a
+    # persist() with no unpersist() would accumulate executor cache over
+    # repeated calls in a long session
     sh = df.select(
         F.col(id_col), *[F.col(c) for c in blocking_cols],
         F.array_distinct(
             F.transform(shingles(F.col(text_col), n),
                         lambda s: F.xxhash64(s))).alias("hs"),
-    ).withColumn("sh_size", F.size("hs")).persist()
+    ).withColumn("sh_size", F.size("hs")).localCheckpoint(eager=True)
     posting = sh.select(
         id_col, *blocking_cols, "sh_size", F.explode("hs").alias("shingle"))
     a = posting.select(
@@ -933,15 +938,16 @@ def exact_jaccard_on_pairs(
     range set False — candidates then shuffle by id against the
     (id-partitioned) array table, the standard big-big path.
     """
-    # both join sides read this — persist so the shingle+hash pass runs
-    # once, not once per broadcast build (aliasing defeats
-    # ReuseExchange; measured ~2x the verify cost without the cache)
+    # both join sides read this — eager localCheckpoint so the
+    # shingle+hash pass runs once, not once per broadcast build
+    # (aliasing defeats ReuseExchange; measured ~2x the verify cost
+    # without the cache), without leaking cache across calls
     sh = df.select(
         F.col(id_col),
         F.array_distinct(
             F.transform(shingles(F.col(text_col), n),
                         lambda s: F.xxhash64(s))).alias("__hs"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__hs_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hs_b"))
     if broadcast_arrays:
@@ -994,12 +1000,12 @@ def minhash_verified_pairs(
     """
 
     def cands_of(reps: DataFrame) -> DataFrame:
-        # both band-join sides read the signatures — persist or the
-        # pandas-UDF signature pass runs twice (same discipline as
-        # minhash_near_dup_pairs; measured 5s -> 2s for this stage)
+        # both band-join sides read the signatures — eager
+        # localCheckpoint or the pandas-UDF signature pass runs twice
+        # (measured 5s -> 2s for this stage); leak-free across calls
         sigs = minhash_signatures_df(
             reps, id_col, text_col, num_hashes, shingle_len,
-            bands=bands).persist()
+            bands=bands).localCheckpoint(eager=True)
         banded = sigs.select(
             F.col(id_col),
             F.posexplode("band_hashes").alias("band", "band_hash"))
@@ -1107,10 +1113,11 @@ def _collapse_expand_verified(
     """
     fp = F.md5(F.concat_ws(" ", _norm_words(F.col(text_col))))
     members = df.select(
-        F.col(id_col).alias("__mid"), fp.alias("__fp")).persist()
+        F.col(id_col).alias("__mid"),
+        fp.alias("__fp")).localCheckpoint(eager=True)
     reps = (
         members.groupBy("__fp").agg(F.min("__mid").alias("__rid"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     rep_df = df.join(
         reps.select(F.col("__rid").alias(id_col)), on=id_col, how="semi")
 
@@ -1204,12 +1211,14 @@ def minhash_index_write(
         .option("path", _os.path.join(path, "sigs"))
         .mode("overwrite").saveAsTable(f"{table_name}_sigs"))
     sigs.unpersist()
-    with open(_os.path.join(path, "_index_meta.json"), "w") as f:
-        _json.dump({
-            "id_col": id_col, "num_hashes": num_hashes,
-            "shingle_len": shingle_len, "bands": bands,
-            "n_buckets": n_buckets,
-        }, f)
+    from ..fsutil import write_text as _write_text
+
+    # Hadoop-FS write: the index path may live on an object store
+    _write_text(spark, _os.path.join(path, "_index_meta.json"), _json.dumps({
+        "id_col": id_col, "num_hashes": num_hashes,
+        "shingle_len": shingle_len, "bands": bands,
+        "n_buckets": n_buckets,
+    }))
 
 
 def minhash_index_append(
@@ -1233,8 +1242,11 @@ def minhash_index_append(
     import json as _json
     import os as _os
 
-    with open(_os.path.join(path, "_index_meta.json")) as f:
-        meta = _json.load(f)
+    from ..fsutil import read_text as _read_text
+
+    meta = _json.loads(
+        _read_text(delta.sparkSession,
+                   _os.path.join(path, "_index_meta.json")))
     if meta["id_col"] != id_col:
         raise ValueError(
             f"index was built on id column {meta['id_col']!r}, got {id_col!r}")
@@ -1287,7 +1299,8 @@ def minhash_index_compact(
     both tables)."""
     import json as _json
     import os as _os
-    import shutil as _shutil
+
+    from ..fsutil import copy_text as _copy_text, read_text as _read_text
 
     if _os.path.abspath(path) == _os.path.abspath(dst_path):
         raise ValueError("minhash_index_compact writes to a NEW path")
@@ -1297,14 +1310,13 @@ def minhash_index_compact(
         # resolves table names case-insensitively, so compare folded.
         raise ValueError("minhash_index_compact writes to a NEW table "
                          "name (dst_table must differ from table_name)")
-    with open(_os.path.join(path, "_index_meta.json")) as f:
-        meta = _json.load(f)
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
     n_buckets, id_col = meta["n_buckets"], meta["id_col"]
 
     from ..fsutil import count_parquet_files as _nfiles
 
-    files_in = _nfiles(path)
-    _os.makedirs(dst_path, exist_ok=True)
+    files_in = _nfiles(path, spark)
     spark.sql(f"DROP TABLE IF EXISTS {dst_table}_postings")
     spark.sql(f"DROP TABLE IF EXISTS {dst_table}_sigs")
     conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
@@ -1321,9 +1333,9 @@ def minhash_index_compact(
             .mode("overwrite").saveAsTable(f"{dst_table}_sigs"))
     finally:
         spark.conf.set(conf_key, old)
-    _shutil.copyfile(_os.path.join(path, "_index_meta.json"),
-                     _os.path.join(dst_path, "_index_meta.json"))
-    return {"files_in": files_in, "files_out": _nfiles(dst_path)}
+    _copy_text(spark, _os.path.join(path, "_index_meta.json"),
+               _os.path.join(dst_path, "_index_meta.json"))
+    return {"files_in": files_in, "files_out": _nfiles(dst_path, spark)}
 
 
 def minhash_dedup_delta(
@@ -1354,8 +1366,10 @@ def minhash_dedup_delta(
     import os as _os
 
     spark = delta.sparkSession
-    with open(_os.path.join(path, "_index_meta.json")) as f:
-        meta = _json.load(f)
+    from ..fsutil import read_text as _read_text
+
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
 
     # eager localCheckpoint, not persist(): the signature pass feeds
     # two branches (postings + broadcast sigs) so it must materialize,

@@ -168,11 +168,13 @@ def covariance_long(
              F.count(F.lit(1)).alias("n"))
         .select(
             "i", "j",
-            F.round(
+            # + 0.0 folds IEEE -0.0 into 0.0 so the value hashes
+            # identically across engines (DuckDB keeps the sign bit)
+            (F.round(
                 (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
                 / (F.col("n") - 1),
                 round_to,
-            ).alias("cov"),
+            ) + F.lit(0.0)).alias("cov"),
         )
     )
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .corpus import words
 
-__all__ = ["bm25_topk", "doc_term_freq"]
+__all__ = ["bm25_topk", "doc_term_freq", "rrf_fuse"]
 
 
 def doc_term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -108,4 +108,55 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "bm25", "rank")
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
+    retrieval lists: ``rrf(d) = sum_lists 1 / (c + rank_list(d))``, the
+    standard score-free way to combine lexical (BM25) and embedding
+    (KNN) retrieval into one hybrid ranking — no score calibration
+    between the two systems is needed, only their ranks.
+
+    Inputs are ``(query_id, id, rank)`` frames (extra columns pass
+    through from neither side); a document absent from one list simply
+    contributes nothing for it.  Returns ``(query_id, id, rrf, rank)``
+    with rank 1..k per query, ordered by ``(rrf desc, id)`` so the
+    result is reproducible across engines (the two-term sum is a fixed
+    IEEE expression, not an order-dependent aggregate).
+
+    Scale shape: both inputs are top-k-per-query lists — |queries| * k
+    rows, metadata-sized next to the corpus the retrievers scanned —
+    so the full-outer join and the per-query window are trivially
+    cheap; the expensive work already happened inside the retrievers.
+    """
+    a = ranked_a.select(
+        F.col(query_id_col), F.col(id_col),
+        F.col(rank_col).alias("__ra"))
+    b = ranked_b.select(
+        F.col(query_id_col), F.col(id_col),
+        F.col(rank_col).alias("__rb"))
+    fused = (
+        a.join(b, [query_id_col, id_col], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (F.lit(c) + F.col("__ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(c) + F.col("__rb")), F.lit(0.0)),
+                6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf").desc(), F.col(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rrf", "rank")
     )

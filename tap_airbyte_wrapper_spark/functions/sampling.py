@@ -16,7 +16,7 @@ __all__ = ["hash_bucket", "hash_split", "leakage_safe_split",
            "mixture_sample",
            "stratified_sample", "sample_per_group", "weighted_sample",
            "assign_shards", "write_training_shards", "temperature_weights",
-           "upsample_repeat"]
+           "upsample_repeat", "domain_quota_cap"]
 
 
 #: Width (hex chars) of the md5 prefix the samplers key on.  12 hex
@@ -366,3 +366,56 @@ def leakage_safe_split(
                     .otherwise(F.lit("test")))
         .drop("component")
     )
+
+
+def domain_quota_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    quota: int,
+    order_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``quota`` rows per value of
+    ``domain_col`` — the per-site quota gate web-corpus curation runs
+    after the URL blocklist (one template-heavy host otherwise floods
+    the mixture).  Retention is quality-ranked when ``order_col`` is
+    given (keep the ``quota`` HIGHEST values, ties broken by the id
+    hash) and fair-random otherwise (rank on the salted md5 of the id —
+    the same pure-function-of-id determinism as every sampler here:
+    restart- and partitioning-independent, SQL-recomputable).
+
+    Scale shape — the window only ever sees offenders: a domain count
+    (one partial-agg shuffle, domain-sized output) broadcast-splits the
+    corpus into under-quota domains, which pass through with ZERO
+    further shuffle, and over-quota domains, which alone pay the
+    per-domain rank window.  On a crawl-shaped corpus (long-tail hosts,
+    few mega-hosts) that is a map-only plan for ~all rows.  A single
+    pathological mega-domain still ranks on one partition — at that
+    shape use the two-phase global-ranks pattern
+    (``operators/windows.py``) scoped to the one domain.
+
+    The broadcast of the over-quota domain list is guarded: if more
+    than 1M domains exceed quota the list is joined un-broadcast (AQE
+    picks the strategy) rather than risking driver memory.
+    """
+    from pyspark.sql import Window
+
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    over = counts.filter(F.col("__n") > quota).select(domain_col)
+    n_over = over.count()
+    over = F.broadcast(over) if n_over <= 1_000_000 else over
+    under_rows = df.join(over, domain_col, "left_anti")
+    tie = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    order = ([F.col(order_col).desc()] if order_col else []) + \
+        [tie, F.col(id_col)]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    over_rows = (
+        df.join(over, domain_col, "semi")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+    return under_rows.unionByName(over_rows)

@@ -479,7 +479,7 @@ def ivf_compact(spark, src_path: str, dst_path: str) -> dict:
 
     from ..fsutil import count_parquet_files as _nfiles
 
-    files_in = _nfiles(f"{src_path}/vectors")
+    files_in = _nfiles(f"{src_path}/vectors", spark)
     cent = spark.read.parquet(f"{src_path}/centroids")
     n_cells = cent.count()
     cent.coalesce(1).write.mode("overwrite").parquet(
@@ -490,7 +490,8 @@ def ivf_compact(spark, src_path: str, dst_path: str) -> dict:
         .parquet(f"{dst_path}/vectors"))
     spark.read.parquet(f"{src_path}/meta").coalesce(1).write.mode(
         "overwrite").parquet(f"{dst_path}/meta")
-    return {"files_in": files_in, "files_out": _nfiles(f"{dst_path}/vectors")}
+    return {"files_in": files_in,
+            "files_out": _nfiles(f"{dst_path}/vectors", spark)}
 
 
 def ivf_staleness(spark, path: str, retrain_factor: float = 1.0,

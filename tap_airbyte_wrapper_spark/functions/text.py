@@ -515,8 +515,10 @@ def gopher_rules(col: Column) -> Column:
     words_ok = (n_words >= 50) & (n_words <= 100000)
     mean_word_ok = (n_words > 0) & (mean_word >= 3) & (mean_word <= 10)
     symbol_ok = symbol_ratio <= 0.1
-    bullet_ok = bullet_frac < 0.9
-    ellipsis_ok = ellipsis_frac < 0.3
+    # <=: Rae et al. A1.1 removes only when the fraction EXCEEDS the
+    # threshold, so a document at exactly 90% bullets / 30% ellipses passes
+    bullet_ok = bullet_frac <= 0.9
+    ellipsis_ok = ellipsis_frac <= 0.3
     alpha_ok = (n_words > 0) & (alpha_frac >= 0.8)
     stopword_ok = n_stop >= 2
 
@@ -578,13 +580,20 @@ def c4_clean(col: Column, min_line_words: int = 3,
 
 
 def url_host(col: Column) -> Column:
-    """Lowercased host of a URL: port and a leading ``www.`` stripped,
+    """Lowercased host of a URL: userinfo (``user:pw@``), port, a
+    trailing dot (FQDN root form), and a leading ``www.`` stripped;
     empty string for non-URL input.  The key domain-level curation
-    (blocklists, per-site quotas, crawl dedup) groups by."""
+    (blocklists, per-site quotas, crawl dedup) groups by.  Userinfo and
+    trailing-dot stripping matter for the *blocklist* use: without them
+    ``https://x@blocked.com/`` or ``https://blocked.com./`` would parse
+    to a host that never suffix-matches ``blocked.com`` and a
+    safety gate would fail OPEN."""
     host = F.lower(
         F.regexp_extract(F.trim(col),
                          r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^[^@]*@", "")
     host = F.regexp_replace(host, r":[0-9]+$", "")
+    host = F.regexp_replace(host, r"\.$", "")
     return F.regexp_replace(host, r"^www\.", "")
 
 

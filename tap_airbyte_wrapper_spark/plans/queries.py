@@ -1409,7 +1409,8 @@ def q_label_centroids(spark, sf_dir):
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
-        .agg(F.round(F.avg("v"), 4).alias("centroid_v"),
+        # + 0.0 folds IEEE -0.0 into 0.0 (cross-engine hash stability)
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid_v"),
              F.count(F.lit(1)).alias("n_vecs"))
     )
 
@@ -2180,10 +2181,12 @@ def q_domain_filter_docs(spark, sf_dir):
     d = F.col("doc_id")
     url = F.concat(
         F.lit("https://"),
-        F.when(d % 5 == 0, F.lit("ads.tracker.net"))
-        .when(d % 5 == 1, F.lit("WWW.Example.COM:443"))
-        .when(d % 5 == 2, F.lit("blog.example.com"))
-        .when(d % 5 == 3, F.lit("spam.example.net"))
+        F.when(d % 7 == 0, F.lit("ads.tracker.net"))
+        .when(d % 7 == 1, F.lit("WWW.Example.COM:443"))
+        .when(d % 7 == 2, F.lit("blog.example.com"))
+        .when(d % 7 == 3, F.lit("spam.example.net"))
+        .when(d % 7 == 4, F.lit("x@spam.example.net"))  # userinfo noise
+        .when(d % 7 == 5, F.lit("ads.tracker.net."))    # FQDN root dot
         .otherwise(F.lit("docs.python.org")),
         F.lit("/p/"), d.cast("string"))
     return domain_filter(
@@ -2332,6 +2335,61 @@ def q_clean_holdout(spark, sf_dir):
                                broadcast_benchmark=False)
     return test.join(hits, "doc_id", "left_anti").select(
         "doc_id", "source", "lang")
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval fusion: BM25 over the full text and BM25 over a
+    200-char lead field (the BM25F-lite "title boost" shape), fused with
+    reciprocal-rank fusion — rank-only combination, no cross-system
+    score calibration.  Both member lists and the fusion are
+    rank-deterministic (round-6 tie-break contract), so the DuckDB
+    oracle replays the exact pipeline."""
+    from ..functions import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(0, "spark window merge"), (1, "customer filter join"),
+         (2, "slow batch stream hash")],
+        "query_id int, query_text string")
+    full = bm25_topk(docs, queries, id_col="doc_id", text_col="text", k=10)
+    lead = bm25_topk(
+        docs.select("doc_id", F.substring("text", 1, 200).alias("text")),
+        queries, id_col="doc_id", text_col="text", k=10)
+    return rrf_fuse(full, lead, id_col="doc_id", k=10)
+
+
+def q_char_ngram_entropy(spark, sf_dir):
+    """Character-trigram Shannon entropy + distinct ratio per document
+    (RefinedWeb-style spam/boilerplate signal): normalize per-row,
+    explode grams, two partial-agg shuffles — linear in corpus grams,
+    zero Python."""
+    from ..functions import char_ngram_entropy
+
+    return char_ngram_entropy(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the top-500 vocabulary: TakeOrderedAndProject
+    cut (per-partition heap, never a global sort), then a closed-form
+    least-squares on the 500 ranked points — a one-row corpus-health
+    diagnostic."""
+    from ..functions import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), "text", top=500)
+
+
+def q_domain_quota(spark, sf_dir):
+    """Per-site quota gate: at most 10 docs per source, keeping the
+    LONGEST (n_chars-ranked, id-hash tie-break).  Under-quota domains
+    pass through window-free; only offenders pay the per-domain rank —
+    the map-mostly plan a crawl-shaped corpus needs."""
+    from ..functions import domain_quota_cap
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    return domain_quota_cap(docs, "source", "doc_id",
+                            quota=10, order_col="n_chars")
 
 
 # =====================================================================
@@ -2497,6 +2555,11 @@ QUERIES = {
     "c4_clean_docs": q_c4_clean_docs,
     "redact_cards_docs": q_redact_cards_docs,
     "domain_filter_docs": q_domain_filter_docs,
+    # round-7 session additions
+    "rrf_fusion_docs": q_rrf_fusion,
+    "char_ngram_entropy_docs": q_char_ngram_entropy,
+    "zipf_fit_docs": q_zipf_fit,
+    "domain_quota_docs": q_domain_quota,
 }
 
 
@@ -2589,6 +2652,41 @@ _SHINGLES_SQL = f"""
                regexp_extract_all({_NORM_TEXT}, '\\S+') AS w
         FROM documents)
 """
+
+
+def _bm25_cte(p: str, doc_src: str) -> str:
+    """BM25 CTE chain (prefix ``p`` namespaces the CTE names) ending in
+    ``{p}r`` = (query_id, doc_id, bm25, rank) — shared by the bm25 and
+    rrf-fusion oracles so both replay the engine's exact formulation."""
+    return f"""
+        {p}tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(trim({doc_src})), '\\S+'))
+                 AS term
+          FROM documents),
+        {p}tf AS (SELECT doc_id, term, count(*) AS tf FROM {p}tok
+               GROUP BY doc_id, term),
+        {p}dl AS (SELECT doc_id, sum(tf) AS dl FROM {p}tf GROUP BY doc_id),
+        {p}tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM {p}dl),
+        {p}dfr AS (SELECT term, count(*) AS dft FROM {p}tf
+                WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        {p}sc AS (
+          SELECT qt.query_id, {p}tf.doc_id,
+                 round(sum(ln(1 + ({p}tot.n_docs - {p}dfr.dft + 0.5)
+                                  / ({p}dfr.dft + 0.5))
+                           * {p}tf.tf * 2.2
+                           / ({p}tf.tf + 1.2 * (0.25 + 0.75 * {p}dl.dl
+                                                    / {p}tot.avgdl))), 6)
+                 AS bm25
+          FROM {p}tf
+          JOIN qt USING (term) JOIN {p}dfr USING (term)
+          JOIN {p}dl USING (doc_id) CROSS JOIN {p}tot
+          GROUP BY qt.query_id, {p}tf.doc_id),
+        {p}r AS (SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY bm25 DESC, doc_id) AS rank
+              FROM {p}sc)"""
+
 
 ORACLES = {
     "full_scan_events": """
@@ -3228,7 +3326,8 @@ ORACLES = {
                           (PARTITION BY col_name) AS DOUBLE), 1e-6) AS q
           FROM j)
         SELECT col_name, round(sum((p - q) * ln(p / q)), 6) AS psi_r,
-               sum(n_ref) AS n_ref, sum(n_cur) AS n_cur
+               CAST(sum(n_ref) AS BIGINT) AS n_ref,
+               CAST(sum(n_cur) AS BIGINT) AS n_cur
         FROM t GROUP BY col_name""",
     "dedup_keep_best_docs": f"""
         WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
@@ -3322,9 +3421,9 @@ ORACLES = {
             (CASE WHEN n_words > 0 THEN (hash_cnt + ell_cnt) / n_words
                   ELSE 0.0 END) <= 0.1 AS symbol_ok,
             (CASE WHEN n_lines > 0 THEN bullet_lines / n_lines
-                  ELSE 0.0 END) < 0.9 AS bullet_ok,
+                  ELSE 0.0 END) <= 0.9 AS bullet_ok,
             (CASE WHEN n_lines > 0 THEN ellipsis_lines / n_lines
-                  ELSE 0.0 END) < 0.3 AS ellipsis_ok,
+                  ELSE 0.0 END) <= 0.3 AS ellipsis_ok,
             (n_words > 0 AND
              (CASE WHEN n_words > 0 THEN alpha_words / n_words
                    ELSE 0.0 END) >= 0.8) AS alpha_ok,
@@ -3393,19 +3492,22 @@ ORACLES = {
         WITH base AS (
           SELECT doc_id,
                  'https://' || CASE
-                   WHEN doc_id % 5 = 0 THEN 'ads.tracker.net'
-                   WHEN doc_id % 5 = 1 THEN 'WWW.Example.COM:443'
-                   WHEN doc_id % 5 = 2 THEN 'blog.example.com'
-                   WHEN doc_id % 5 = 3 THEN 'spam.example.net'
+                   WHEN doc_id % 7 = 0 THEN 'ads.tracker.net'
+                   WHEN doc_id % 7 = 1 THEN 'WWW.Example.COM:443'
+                   WHEN doc_id % 7 = 2 THEN 'blog.example.com'
+                   WHEN doc_id % 7 = 3 THEN 'spam.example.net'
+                   WHEN doc_id % 7 = 4 THEN 'x@spam.example.net'
+                   WHEN doc_id % 7 = 5 THEN 'ads.tracker.net.'
                    ELSE 'docs.python.org' END
                  || '/p/' || CAST(doc_id AS VARCHAR) AS url
           FROM documents),
         h AS (
           SELECT doc_id, url,
-                 regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                    lower(regexp_extract(trim(url),
                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-                   ':[0-9]+$', ''), '^www\.', '') AS host
+                   '^[^@]*@', ''), ':[0-9]+$', ''), '\.$', ''),
+                   '^www\.', '') AS host
           FROM base),
         s AS (
           SELECT doc_id, url, host,
@@ -3945,7 +4047,7 @@ ORACLES = {
         GROUP BY corpus.doc_id""",
     "label_centroids": """
         SELECT label, CAST(i - 1 AS INTEGER) AS dim,
-               round(avg(e), 4) AS centroid_v,
+               round(avg(e), 4) + 0.0 AS centroid_v,
                count(*) AS n_vecs
         FROM (SELECT label, unnest(embedding) AS e,
                      generate_subscripts(embedding, 1) AS i
@@ -3964,7 +4066,7 @@ ORACLES = {
                count(*) FILTER (WHERE lang.lang_pred = 'und') AS n_und,
                round(avg(q.q), 4) AS avg_q,
                round(min(q.q), 4) AS min_q,
-               sum(tok.n_tok) AS sum_tokens
+               CAST(sum(tok.n_tok) AS BIGINT) AS sum_tokens
         FROM documents d
         JOIN lang ON d.doc_id = lang.doc_id
         JOIN q ON d.doc_id = q.doc_id
@@ -3987,7 +4089,7 @@ ORACLES = {
           FROM k WHERE n > 0)
         SELECT source, count(*) AS n_rows,
                count(DISTINCT doc_id) AS n_docs,
-               sum(copy) AS sum_copy
+               CAST(sum(copy) AS BIGINT) AS sum_copy
         FROM rep GROUP BY source""",
     "fk_violations_orders": """
         WITH fk AS (
@@ -4222,7 +4324,7 @@ ORACLES = {
         )
         SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
                round((sum(a.x * b.x) - sum(a.x) * sum(b.x) / count(*))
-                     / (count(*) - 1), 6) AS cov
+                     / (count(*) - 1), 6) + 0.0 AS cov
         FROM ex a JOIN ex b USING (vec_id)
         WHERE b.i >= a.i
         GROUP BY a.i, b.i""",
@@ -4299,6 +4401,77 @@ ORACLES = {
         GROUP BY word
         HAVING count(*) >= greatest(
             10, CAST(ceil(0.002 * (SELECT n FROM t)) AS BIGINT))""",
+    "rrf_fusion_docs": f"""
+        WITH q(query_id, query_text) AS (
+          VALUES (0, 'spark window merge'), (1, 'customer filter join'),
+                 (2, 'slow batch stream hash')),
+        qt AS (SELECT DISTINCT query_id,
+                      unnest(regexp_extract_all(lower(trim(query_text)),
+                                                '\\S+')) AS term
+               FROM q),{_bm25_cte('a_', 'text')},{_bm25_cte(
+                   'b_', 'substr(text, 1, 200)')},
+        af AS (SELECT query_id, doc_id, rank FROM a_r WHERE rank <= 10),
+        bf AS (SELECT query_id, doc_id, rank FROM b_r WHERE rank <= 10),
+        f AS (
+          SELECT coalesce(af.query_id, bf.query_id) AS query_id,
+                 coalesce(af.doc_id, bf.doc_id) AS doc_id,
+                 round(coalesce(1.0 / (60 + af.rank), 0)
+                       + coalesce(1.0 / (60 + bf.rank), 0), 6) AS rrf
+          FROM af FULL JOIN bf
+            ON af.query_id = bf.query_id AND af.doc_id = bf.doc_id),
+        rr AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+               FROM f)
+        SELECT query_id, doc_id, rrf, CAST(rank AS INTEGER) AS rank
+        FROM rr WHERE rank <= 10""",
+    "char_ngram_entropy_docs": """
+        WITH t AS (
+          SELECT doc_id,
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS tt
+          FROM documents),
+        i AS (
+          SELECT doc_id, tt,
+                 unnest(generate_series(1, length(tt) - 2)) AS i
+          FROM t WHERE length(tt) >= 3),
+        g AS (SELECT doc_id, substr(tt, i, 3) AS gg FROM i),
+        c AS (SELECT doc_id, gg, count(*) AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+               count(*) AS n_distinct,
+               round(count(*) / CAST(sum(c) AS DOUBLE), 6)
+                 AS distinct_ratio,
+               round(ln(CAST(sum(c) AS DOUBLE))
+                     - sum(c * ln(CAST(c AS DOUBLE)))
+                       / CAST(sum(c) AS DOUBLE), 6) + 0.0 AS entropy
+        FROM c GROUP BY doc_id""",
+    "zipf_fit_docs": """
+        WITH w AS (
+          SELECT unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS w
+          FROM documents),
+        c AS (SELECT w, count(*) AS c FROM w
+              GROUP BY w ORDER BY c DESC, w LIMIT 500),
+        r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM c),
+        xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+               FROM r),
+        s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx,
+                     sum(y * y) AS syy
+              FROM xy)
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS slope,
+               round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx)
+                     / n, 4) AS intercept,
+               round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                     / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS r2
+        FROM s""",
+    "domain_quota_docs": """
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC,
+                            md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 10""",
 }
 
 

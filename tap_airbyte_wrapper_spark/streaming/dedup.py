@@ -92,16 +92,18 @@ def stream_near_dup_gate(
             clean = batch.join(drop, id_col, "left_anti").persist()
             clean.write.mode("overwrite").parquet(
                 os.path.join(out_path, f"batch={batch_id}"))
+            from ..fsutil import exists as _fs_exists, \
+                write_text as _fs_write
+            spark = batch.sparkSession
             marker = os.path.join(index_path, f"_batch_{batch_id}")
-            if not os.path.exists(marker):
+            if not _fs_exists(spark, marker):
                 minhash_index_append(
                     clean, index_table, index_path, id_col, text_col)
                 try:
-                    with open(marker, "w") as f:
-                        f.write("done")
-                except OSError:
-                    # non-local index_path: the marker optimization
-                    # cannot write — skip it, never kill the stream
+                    # Hadoop-FS write: works on object-store index paths
+                    _fs_write(spark, marker, "done")
+                except Exception:
+                    # best-effort replay marker — never kill the stream
                     pass
             append_gate_stats(batch.sparkSession, out_path, batch_id,
                               batch.count(), clean.count(), started)

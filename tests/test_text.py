@@ -278,12 +278,17 @@ def test_gopher_rules_word_count_gate(spark):
 
 
 def test_gopher_rules_bullet_and_ellipsis_lines(spark):
-    bullets = "\n".join(["- item %d" % i for i in range(9)] + ["plain line"])
-    r = _gopher(spark, bullets)
-    assert not r.bullet_ok  # 9/10 = 0.9 is NOT < 0.9
+    # Rae et al. A1.1 removes only when the fraction EXCEEDS the
+    # threshold: exactly 90% bullets passes, anything above fails.
+    at_boundary = "\n".join(["- item %d" % i for i in range(9)]
+                            + ["plain line"])
+    assert _gopher(spark, at_boundary).bullet_ok  # 9/10 == 0.9 passes
+    all_bullets = "\n".join(["- item %d" % i for i in range(10)])
+    assert not _gopher(spark, all_bullets).bullet_ok  # 10/10 > 0.9
     dots = "\n".join(["this line trails off..."] * 3 + ["solid line"] * 3)
-    r2 = _gopher(spark, dots)
-    assert not r2.ellipsis_ok  # 3/6 = 0.5 >= 0.3
+    assert not _gopher(spark, dots).ellipsis_ok  # 3/6 = 0.5 > 0.3
+    dots_edge = "\n".join(["trails off..."] * 3 + ["solid line"] * 7)
+    assert _gopher(spark, dots_edge).ellipsis_ok  # 3/10 == 0.3 passes
 
 
 def test_gopher_rules_symbol_and_alpha(spark):
@@ -353,14 +358,18 @@ def test_url_host_and_parent_domains(spark):
     df = spark.createDataFrame(
         [("HTTPS://WWW.Sub.Example.COM:8443/a?b=1",),
          ("http://localhost:8080/x",),
-         ("not a url",)], "url string")
+         ("not a url",),
+         ("https://x@blocked.com/",),       # userinfo must not hide the host
+         ("https://u:p@www.blocked.com./p",)], "url string")
     rows = df.select(
         url_host(F.col("url")).alias("h"),
         parent_domains(url_host(F.col("url"))).alias("p")).collect()
     assert rows[0].h == "sub.example.com"
     assert rows[0].p == ["sub.example.com", "example.com"]
     assert rows[1].h == "localhost" and rows[1].p == ["localhost"]
-    assert rows[2].h == "" 
+    assert rows[2].h == ""
+    assert rows[3].h == "blocked.com"
+    assert rows[4].h == "blocked.com"
 
 
 def test_domain_filter_block_allow_and_df_blocklist(spark):
