@@ -2397,26 +2397,69 @@ def q_domain_quota(spark, sf_dir):
 # =====================================================================
 
 QUERIES = {
-    # ROUND-6 ROTATION (the round-5 verdict's #1 ask): the driver
-    # records correctness for QUERIES[:50] only.  Window composition:
-    # positions 1-25 are the entries that had NEVER been driver-checked
-    # through round 5 (the 24 oracle-backed round-5 session additions
-    # plus the new knn_ivf_append_verified); 26-30 are entries whose
-    # CODE changed this round (winnowing rolling-hash rewrite, the
-    # size-aware token-budget router, and the three sampler oracles
-    # re-keyed by the 48-bit hash fix); 31-33 the two scan canaries
-    # (they catch driver testdata regeneration — round-4's
-    # TIMESTAMP_NTZ flip) and the flagship; 34-50 the stalest
-    # single-check entries (driver-green only in round 4, code
-    # unchanged since).  Everything rotated out stays oracle-checked in
-    # tests/test_oracle_parity.py every pytest run.
+    # ROUND-7 ROTATION: positions 1-11 are the round-6 session additions
+    # (never driver-checked), 12-15 the round-7 additions, 16-19 the
+    # entries whose round-6 driver rows hash-mismatched (HUGEINT/-0.0 —
+    # fixed this round, the driver must re-verify), 20-24 entries whose
+    # code changed this round (localCheckpoint pair generators, url_host
+    # normalization), 25-27 the scan canaries + flagship, 28-50 the
+    # stalest entries (driver-green only in round 4).  Everything
+    # rotated out stays oracle-checked in tests/test_oracle_parity.py.
+    "containment_pairs_docs": q_containment_pairs,
+    "bm25_topk_docs": q_bm25_topk,
+    "pagerank_suppliers": q_pagerank_suppliers,
+    "degrees_suppliers": q_degrees_suppliers,
+    "drift_events": q_drift_events,
+    "leakage_split_docs": q_leakage_split_docs,
+    "dedup_keep_best_docs": q_dedup_keep_best,
+    "gopher_rules_docs": q_gopher_rules_docs,
+    "c4_clean_docs": q_c4_clean_docs,
+    "redact_cards_docs": q_redact_cards_docs,
+    "domain_filter_docs": q_domain_filter_docs,
+    "rrf_fusion_docs": q_rrf_fusion,
+    "char_ngram_entropy_docs": q_char_ngram_entropy,
+    "zipf_fit_docs": q_zipf_fit,
+    "domain_quota_docs": q_domain_quota,
+    "upsample_mixture_docs": q_upsample_mixture,
+    "source_quality_report": q_source_quality_report,
+    "embedding_covariance": q_embedding_covariance,
+    "label_centroids": q_label_centroids,
+    "minhash_verified_pairs": q_minhash_verified_pairs,
+    "simhash_verified_pairs": q_simhash_verified_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "canonical_url_docs": q_canonical_url_docs,
+    "full_scan_events": q_full_scan_events,
+    "incremental_events": q_incremental_events,
+    "q1_pricing_summary": q1_pricing_summary,
+    "asof_purchase_view": q_asof_purchase_view,
+    "error_click_window": q_error_click_window,
+    "event_value_percentiles": q_event_value_percentiles,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "flatten_props": q_flatten_props,
+    "grouping_sets_events": q_grouping_sets_events,
+    "language_id": q_language_id,
+    "paragraph_dedup_docs": q_paragraph_dedup,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_filter": q19_disjunctive_filter,
+    "q20_promotable_suppliers": q20_promotable_suppliers,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q7_nation_trade": q7_nation_trade,
+    "quality_scores": q_quality_scores,
+    "sessionization": q_sessionization,
+    "stream_map_customer": q_stream_map_customer,
     "pack_sequences_docs": q_pack_sequences,
     "clean_holdout_docs": q_clean_holdout,
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "melt_lineitem_metrics": q_melt_lineitem_metrics,
     "fk_violations_orders": q_fk_violations,
-    "upsample_mixture_docs": q_upsample_mixture,
-    "source_quality_report": q_source_quality_report,
     "temperature_mixture_docs": q_temperature_mixture,
     "lm_perplexity_docs": q_lm_perplexity,
     "remove_dup_spans_docs": q_remove_dup_spans,
@@ -2425,8 +2468,6 @@ QUERIES = {
     "histogram_quantile_events": q_histogram_quantile_events,
     "pseudonymize_events": q_pseudonymize_events,
     "strip_html_docs": q_strip_html_docs,
-    "canonical_url_docs": q_canonical_url_docs,
-    "embedding_covariance": q_embedding_covariance,
     "heavy_hitter_words": q_heavy_hitter_words,
     "heavy_hitter_users": q_heavy_hitter_users,
     "scd2_customer_orders": q_scd2_customer_orders,
@@ -2440,15 +2481,11 @@ QUERIES = {
     "mixture_sample_docs": q_mixture_sample,
     "train_test_split": q_train_test_split,
     "shard_stats": q_shard_stats,
-    "full_scan_events": q_full_scan_events,
-    "incremental_events": q_incremental_events,
-    "q1_pricing_summary": q1_pricing_summary,
     "dedup_clusters": q_dedup_clusters,
     "knn_lsh_verified": q_knn_lsh_verified,
     "embedding_near_dup": q_embedding_near_dup,
     "decode_image_meta": q_decode_image_meta,
     "contamination_docs": q_contamination_docs,
-    "label_centroids": q_label_centroids,
     "split_sentences_docs": q_split_sentences,
     "vocab_topk_docs": q_vocab_topk,
     "repetition_signals_docs": q_repetition_signals,
@@ -2460,20 +2497,11 @@ QUERIES = {
     "q9_product_profit": q9_product_profit,
     "q11_important_parts": q11_important_parts,
     "q12_shipmode_priority": q12_shipmode_priority,
-    # -- entries below are outside the driver's QUERIES[:50] window:
-    # -- every one is driver-green in at least one earlier round (or is
-    # -- a no-oracle internals entry whose oracle-backed *_verified
-    # -- twin is covered), and all oracle-backed rows re-verify against
-    # -- DuckDB in every pytest run.  Never-windowed-yet remainder for
-    # -- the round-7 rotation: q16_supplier_cnt, q20_promotable_
-    # -- suppliers and the five no-oracle internals entries
-    # -- (approx_distinct/pca/minhash/simhash/knn_lsh/knn_ivf raw). ---
     "boilerplate_removal_docs": q_boilerplate_removal,
     "dup_span_docs": q_dup_span_docs,
     "anomaly_events": q_anomaly_events,
     "profile_orders": q_profile_orders,
     "validate_orders": q_validate_orders,
-    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "histogram_order_price": q_histogram_order_price,
     "corr_lineitem": q_corr_lineitem,
     "merge_upsert_orders": q_merge_upsert_orders,
@@ -2492,7 +2520,6 @@ QUERIES = {
     "clickers_not_purchasers": q_clickers_not_purchasers,
     "pivot_event_type": q_pivot_event_type,
     "doc_word_stats": q_doc_word_stats,
-    "jaccard_pairs": q_jaccard_pairs,
     "knn_bruteforce": q_knn_bruteforce,
     "brand_revenue": q_brand_revenue,
     "cube_event_day": q_cube_event_day,
@@ -2508,58 +2535,14 @@ QUERIES = {
     "top10_orders": q_top10_orders,
     "distinct_users": q_distinct_users,
     "customers_without_orders": q_customers_without_orders,
-    "minhash_verified_pairs": q_minhash_verified_pairs,
-    "simhash_verified_pairs": q_simhash_verified_pairs,
     "knn_ivf_verified": q_knn_ivf_verified,
     "corpus_curation": q_corpus_curation,
-    "paragraph_dedup_docs": q_paragraph_dedup,
-    "asof_purchase_view": q_asof_purchase_view,
-    "sessionization": q_sessionization,
     "approx_distinct_users": q_approx_distinct_users,
     "pca_project_embeddings": q_pca_project_embeddings,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
-    "stream_map_customer": q_stream_map_customer,
-    "flatten_props": q_flatten_props,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q7_nation_trade": q7_nation_trade,
-    "q10_returned_items": q10_returned_items,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q19_disjunctive_filter": q19_disjunctive_filter,
-    "q15_top_supplier": q15_top_supplier,
-    "q18_large_orders": q18_large_orders,
-    "q4_order_priority": q4_order_priority,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q16_supplier_cnt": q16_supplier_cnt,
-    "q20_promotable_suppliers": q20_promotable_suppliers,
-    "grouping_sets_events": q_grouping_sets_events,
-    "error_click_window": q_error_click_window,
-    "event_value_percentiles": q_event_value_percentiles,
-    "language_id": q_language_id,
-    "quality_scores": q_quality_scores,
-    "exact_dedup_docs": q_exact_dedup_docs,
-    # round-6 session additions — deliberately BELOW the first-50
-    # driver window (which this round dedicates to never-checked
-    # entries); both are oracle-parity-tested on every pytest run
-    "containment_pairs_docs": q_containment_pairs,
-    "bm25_topk_docs": q_bm25_topk,
-    "pagerank_suppliers": q_pagerank_suppliers,
-    "degrees_suppliers": q_degrees_suppliers,
-    "drift_events": q_drift_events,
-    "leakage_split_docs": q_leakage_split_docs,
-    "dedup_keep_best_docs": q_dedup_keep_best,
-    "gopher_rules_docs": q_gopher_rules_docs,
-    "c4_clean_docs": q_c4_clean_docs,
-    "redact_cards_docs": q_redact_cards_docs,
-    "domain_filter_docs": q_domain_filter_docs,
-    # round-7 session additions
-    "rrf_fusion_docs": q_rrf_fusion,
-    "char_ngram_entropy_docs": q_char_ngram_entropy,
-    "zipf_fit_docs": q_zipf_fit,
-    "domain_quota_docs": q_domain_quota,
 }
 
 
