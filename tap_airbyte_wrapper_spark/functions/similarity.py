@@ -15,6 +15,8 @@ Scale shape (1000-executor / 100 TB reading):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 
@@ -27,6 +29,8 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
            "cosine_topk_lsh", "cosine_topk_ivf", "embedding_near_dup_pairs",
            "IvfIndex", "ivf_build", "ivf_load", "ivf_search",
            "ivf_append", "ivf_staleness", "ivf_compact", "embedding_dedup_delta",
+           "PqModel", "pq_train", "pq_encode", "pq_topk", "pq_rerank",
+           "save_pq", "load_pq",
            "quantize_embeddings", "nearest_centroid_assign", "semantic_dedup"]
 
 
@@ -840,3 +844,244 @@ def embedding_dedup_delta(
                 F.lit("delta").alias("kind"))
     )
     return corpus_pairs.unionByName(delta_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) — the memory-bounded ANN tier below IVF:
+# a d-dim float vector (4d bytes) compresses to m single-byte codes, so a
+# 100 TB embedding corpus's search structure fits in a fraction of the
+# raw footprint and the ADC scan reads m bytes + a tiny lookup table per
+# row instead of d floats.  Beyond-reference (the reference has no
+# vector layer); complements ivf_build (coarse routing) and
+# cosine_topk (exact re-rank).
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PqModel:
+    """Trained product quantizer: ``codebooks[m][ks][dsub]`` (numpy),
+    trained on L2-normalized vectors so asymmetric inner-product
+    distance approximates cosine."""
+
+    codebooks: "np.ndarray"
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def ks(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.codebooks.shape[2]
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.dsub
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 256,
+    train_sample: int = 100_000,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> PqModel:
+    """Train the ``m`` sub-quantizers on a bounded, hash-ordered sample
+    (same unbiased-sampling discipline as :func:`ivf_build`: smallest
+    ``xxhash64(id, seed)`` wins — partition-layout-independent,
+    restart-deterministic, plans as TakeOrderedAndProject).  Training
+    is driver-side numpy by design: the model is ``m * ks * dsub``
+    floats (bounded by parameters, never by the corpus), and each
+    sub-quantizer is a standard Lloyd's k-means over the sample's
+    ``dsub``-dim slice.  Vectors are L2-normalized before slicing so
+    summed sub-space inner products approximate full cosine."""
+    if m < 1 or ks < 2 or ks > 256:
+        raise ValueError(f"need m >= 1 and 2 <= ks <= 256, got m={m} ks={ks}")
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    sampled_ids = (
+        corpus.select(F.col(id_col),
+                      F.xxhash64(F.col(id_col), F.lit(seed)).alias("__hk"))
+        .orderBy("__hk")
+        .limit(train_sample)
+        .select(id_col)
+    )
+    rows = (
+        corpus.join(F.broadcast(sampled_ids), on=id_col, how="left_semi")
+        .select(F.col(vec_col),
+                F.xxhash64(F.col(id_col), F.lit(seed)).alias("__hk"))
+        .orderBy("__hk")
+        .collect()
+    )
+    mat = np.stack([np.asarray(r[0], dtype="float64") for r in rows])
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    dsub = d // m
+    books = np.empty((m, min(ks, len(mat)), dsub), dtype="float64")
+    rng = np.random.RandomState(seed)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=min(ks, len(sub)),
+                              replace=False)].copy()
+        for _ in range(kmeans_iters):
+            # L2 assignment via the expanded form; sub-space means are
+            # NOT re-normalized (PQ codewords live in the sub-space)
+            d2 = ((sub ** 2).sum(1, keepdims=True)
+                  - 2 * sub @ cent.T + (cent ** 2).sum(1))
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j, :len(cent)] = cent
+    return PqModel(codebooks=books)
+
+
+def pq_encode(
+    df: DataFrame,
+    model: PqModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-codeword indices:
+    ``(id, pq_code array<smallint>)``.  One numpy pass per Arrow batch
+    (codebooks ride the closure — ``m*ks*dsub`` floats), zero shuffle.
+    Encoding is stateless given the model, so a growing corpus appends
+    by encoding just the delta — no index maintenance machinery needed
+    (contrast :func:`ivf_append`, which must respect cell layout)."""
+    books = model.codebooks.copy()
+    msub, dsub = model.m, model.dsub
+
+    @pandas_udf("array<smallint>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        matv = np.stack(vecs.to_numpy()).astype("float64")
+        n = np.linalg.norm(matv, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        matv = matv / n
+        codes = np.empty((len(matv), msub), dtype="int16")
+        for j in range(msub):
+            sub = matv[:, j * dsub:(j + 1) * dsub]
+            cent = books[j]
+            d2 = ((sub ** 2).sum(1, keepdims=True)
+                  - 2 * sub @ cent.T + (cent ** 2).sum(1))
+            codes[:, j] = np.argmin(d2, axis=1).astype("int16")
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias(out_col))
+
+
+def pq_topk(
+    codes: DataFrame,
+    model: PqModel,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    code_col: str = "pq_code",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-coded corpus:
+    per-query lookup tables ``LUT[q][j][code] = <q_j, codeword>`` are
+    built driver-side (``nq * m * ks`` floats — query sets are small by
+    retrieval's contract) and ride the UDF closure; each corpus row
+    costs ``m`` table lookups instead of a ``d``-float dot product, and
+    the scan reads codes only — never the raw vectors.  Output
+    ``(query_id, id, adc_score)`` with the usual deterministic
+    (score desc, id) top-k per query.
+
+    ADC scores approximate cosine; for exact final ordering compose
+    with :func:`pq_rerank` (shortlist C >> k, then true-vector
+    re-rank) — the standard two-stage production shape."""
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn
+    books = model.codebooks
+    msub, dsub = model.m, model.dsub
+    # LUT[q, j, code]: inner product of query sub-vector with codeword
+    lut = np.stack([
+        np.stack([qmat[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                  for j in range(msub)], axis=1)
+    ])[0]  # (nq, m, ks)
+
+    @pandas_udf("array<double>")
+    def adc(code_s: pd.Series) -> pd.Series:
+        cmat = np.stack(code_s.to_numpy()).astype("int64")      # (B, m)
+        scores = np.zeros((len(cmat), lut.shape[0]))
+        for j in range(lut.shape[1]):
+            scores += lut[:, j, cmat[:, j]].T                   # (B, nq)
+        return pd.Series(list(np.round(scores, 6)))
+
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        codes.select(F.col(id_col), adc(F.col(code_col)).alias("__s"))
+        .select(F.col(id_col), F.posexplode("__s").alias("__qi", "adc_score"))
+        .select(F.element_at(qid_arr, F.col("__qi") + 1)
+                .alias(query_id_col),
+                F.col(id_col), F.col("adc_score"))
+    )
+    if not include_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    return topk_per_group(
+        scored, [query_id_col],
+        [F.col("adc_score").desc(), F.col(id_col)], k,
+    ).drop("rk")
+
+
+def pq_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact-cosine re-rank of a PQ/ADC shortlist — stage two of the
+    two-stage ANN: join the (small) shortlist back to true vectors,
+    broadcast the query vectors, exact cosine, keep k.  Output
+    ``(query_id, id, cos_sim)``.  Cost is |shortlist| dot products —
+    bounded by C * |queries|, independent of corpus size."""
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")))
+    return topk_per_group(
+        shortlist.select(query_id_col, id_col)
+        .join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(q, query_id_col)
+        .withColumn("cos_sim", cosine(F.col(vec_col), F.col("__qv")))
+        .select(query_id_col, id_col, "cos_sim"),
+        [query_id_col], [F.col("cos_sim").desc(), F.col(id_col)], k,
+    ).drop("rk")
+
+
+def save_pq(model: PqModel, spark, path: str) -> None:
+    """Persist codebooks as a one-row parquet (JVM-literal write — see
+    :func:`_centroid_df` for why not ``createDataFrame``)."""
+    m, ks, dsub = model.codebooks.shape
+    flat = F.array(*[F.lit(float(x)) for x in model.codebooks.ravel()])
+    spark.range(1).select(
+        flat.alias("books"),
+        F.lit(m).cast("int").alias("m"),
+        F.lit(ks).cast("int").alias("ks"),
+        F.lit(dsub).cast("int").alias("dsub"),
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq(spark, path: str) -> PqModel:
+    r = spark.read.parquet(path).collect()[0]
+    books = np.array(r["books"], dtype="float64").reshape(
+        r["m"], r["ks"], r["dsub"])
+    return PqModel(codebooks=books)

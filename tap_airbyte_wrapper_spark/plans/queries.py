@@ -2392,6 +2392,27 @@ def q_domain_quota(spark, sf_dir):
                             quota=10, order_col="n_chars")
 
 
+def q_knn_pq(spark, sf_dir):
+    """Two-stage PQ ANN (Jegou et al. 2011): train sub-quantizers on a
+    hash-ordered sample, encode the corpus to m=8 byte codes (32x
+    compression of the 64-dim floats), ADC-scan a 50-candidate
+    shortlist per query (m table lookups per row, codes-only scan),
+    exact-cosine re-rank to top-5.  Shortlist membership is
+    approximate by design on these uniform synthetic embeddings ->
+    rows-only driver check; exactness of every stage is pinned by
+    tests/test_pq.py (numpy-reference encode/ADC equivalence,
+    planted-cluster recall, full-shortlist rerank == brute force)."""
+    from ..functions import pq_encode, pq_rerank, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = pq_train(emb, m=8, ks=16, train_sample=100_000)
+    codes = pq_encode(emb, model)
+    queries = emb.filter(F.col("vec_id") < 10)
+    short = pq_topk(codes, model, queries, k=50)
+    return pq_rerank(short, emb, queries, k=5).select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"))
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2543,6 +2564,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_pq": q_knn_pq,
 }
 
 

@@ -1,0 +1,123 @@
+"""Product quantization: encode/ADC numpy-reference equivalence,
+planted-cluster retrieval exactness, rerank-vs-bruteforce agreement,
+model persistence round-trip."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tap_airbyte_wrapper_spark.functions import (
+    PqModel,
+    cosine_topk,
+    load_pq,
+    pq_encode,
+    pq_rerank,
+    pq_topk,
+    pq_train,
+    save_pq,
+)
+
+
+def _vec_df(spark, mat, id_start=0):
+    rows = [(id_start + i, [float(x) for x in row])
+            for i, row in enumerate(mat)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _clusters(n_per=6, d=8, seed=7):
+    """4 tight, well-separated clusters on distinct axes."""
+    rng = np.random.RandomState(seed)
+    out = []
+    for c in range(4):
+        center = np.zeros(d)
+        center[c * 2] = 10.0
+        out.append(center + rng.normal(0, 0.05, size=(n_per, d)))
+    return np.vstack(out)
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    # fixed tiny codebooks -> encoding is pure nearest-codeword argmin
+    books = np.array([
+        [[1.0, 0.0], [0.0, 1.0]],     # subspace 0: 2 codewords
+        [[1.0, 1.0], [-1.0, -1.0]],   # subspace 1
+    ])
+    model = PqModel(codebooks=books)
+    mat = np.array([[3.0, 0.1, 2.0, 2.0],
+                    [0.1, 3.0, -2.0, -2.0]])
+    out = {r.vec_id: list(r.pq_code)
+           for r in pq_encode(_vec_df(spark, mat), model).collect()}
+    # row 0 normalizes to ~[.63,.02,.42,.42]: sub0 nearest (1,0)=code 0,
+    # sub1 nearest (1,1)=code 0; row 1 mirrors to codes (1,1)
+    assert out[0] == [0, 0]
+    assert out[1] == [1, 1]
+
+
+def test_pq_adc_scores_match_numpy(spark):
+    books = np.array([
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[1.0, 1.0], [-1.0, -1.0]],
+    ])
+    model = PqModel(codebooks=books)
+    corpus = np.array([[2.0, 0.0, 1.0, 1.0]])
+    q = np.array([[1.0, 1.0, 0.0, 2.0]])
+    codes = pq_encode(_vec_df(spark, corpus), model)
+    got = pq_topk(codes, model, _vec_df(spark, q, id_start=100),
+                  k=1, include_self=True).collect()[0]
+    # corpus row encodes to (0, 0); query normalizes by sqrt(6)
+    qn = q[0] / np.linalg.norm(q[0])
+    want = round(float(qn[:2] @ books[0][0] + qn[2:] @ books[1][0]), 6)
+    assert got.adc_score == pytest.approx(want)
+    assert got.vec_id == 0 and got.query_id == 100
+
+
+def test_pq_planted_clusters_retrieval_is_exact(spark):
+    mat = _clusters()
+    df = _vec_df(spark, mat)
+    model = pq_train(df, m=4, ks=4, train_sample=1000, seed=3)
+    codes = pq_encode(df, model)
+    queries = df.filter(F.col("vec_id").isin(0, 6, 12, 18))
+    got = pq_topk(codes, model, queries, k=5)
+    exact = cosine_topk(df, queries, k=5)
+    got_sets = {}
+    for r in got.collect():
+        got_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in exact.collect():
+        # every true top-5 neighbor (same tight cluster) must be found
+        assert r.vec_id in got_sets[r.query_id], (r.query_id, r.vec_id)
+
+
+def test_pq_rerank_recovers_exact_cosine(spark):
+    mat = _clusters()
+    df = _vec_df(spark, mat)
+    model = pq_train(df, m=4, ks=4, train_sample=1000, seed=3)
+    codes = pq_encode(df, model)
+    queries = df.filter(F.col("vec_id") < 2)
+    shortlist = pq_topk(codes, model, queries, k=len(mat) - 1)
+    got = pq_rerank(shortlist, df, queries, k=5).collect()
+    want = cosine_topk(df, queries, k=5).collect()
+    gs = sorted((r.query_id, r.vec_id, round(r.cos_sim, 6)) for r in got)
+    ws = sorted((r.query_id, r.vec_id, round(r.cos_sim, 6)) for r in want)
+    assert gs == ws  # full-corpus shortlist => exact equality
+
+
+def test_pq_train_validates_params(spark):
+    df = _vec_df(spark, np.eye(6))
+    with pytest.raises(ValueError):
+        pq_train(df, m=4, ks=4)  # 6 % 4 != 0
+    with pytest.raises(ValueError):
+        pq_train(df, m=2, ks=1)
+
+
+def test_pq_save_load_roundtrip(spark, tmp_path):
+    mat = _clusters()
+    df = _vec_df(spark, mat)
+    model = pq_train(df, m=2, ks=4, seed=5)
+    path = str(tmp_path / "pq_model")
+    save_pq(model, spark, path)
+    back = load_pq(spark, path)
+    assert back.codebooks.shape == model.codebooks.shape
+    assert np.allclose(back.codebooks, model.codebooks)
+    # loaded model encodes identically
+    a = {r.vec_id: list(r.pq_code) for r in pq_encode(df, model).collect()}
+    b = {r.vec_id: list(r.pq_code) for r in pq_encode(df, back).collect()}
+    assert a == b
