@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
+from ._cache import cache_bounded
+
 __all__ = [
     "shingles",
     "exact_dedup",
@@ -279,9 +281,8 @@ def minhash_near_dup_pairs(
     # measured 65 s vs 13 s at 50k replica-heavy docs.  Signatures rejoin
     # AFTER the (id_a, id_b) dedup, costing 2 corpus-sized sig shuffles
     # instead of a bands-times-corpus one.
-    sigs = minhash_signatures_df(
-        df, id_col, text_col, num_hashes, shingle_len,
-        bands=bands).localCheckpoint(eager=True)
+    sigs = cache_bounded(minhash_signatures_df(
+        df, id_col, text_col, num_hashes, shingle_len, bands=bands))
     banded = sigs.select(
         F.col(id_col), F.posexplode("band_hashes").alias("band", "band_hash"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
@@ -655,10 +656,10 @@ def simhash_near_dup_pairs(
     sharing a (segment_idx, segment_value) bucket; verify with exact
     bit_count(xor) <= max_hamming."""
     seg_bits = 64 // chunks
-    # feeds both pair sides — eager localCheckpoint so tokenize+hash
-    # runs once; persist() with no unpersist() would leak executor cache
-    # across calls (checkpoint blocks free when the reference drops)
-    hashed = simhash_df(df, id_col, text_col).localCheckpoint(eager=True)
+    # feeds both pair sides — bounded-pool persist so tokenize+hash
+    # runs once AND repeated identical calls hit the plan-matched cache
+    # (eviction bounds the round-6 leak; see functions/_cache.py)
+    hashed = cache_bounded(simhash_df(df, id_col, text_col))
     segs = hashed.select(
         id_col,
         "sh",
@@ -724,16 +725,16 @@ def ngram_jaccard_pairs(
     verify join-back pays two array-carrying shuffles) — so the default
     stays off."""
     blocking_cols = blocking_cols or []
-    # canonical-order hash arrays feed every stage — built once via
-    # eager localCheckpoint (no cache leak across calls)
-    sh = df.select(
+    # canonical-order hash arrays feed every stage — bounded-pool
+    # persist: built once, plan-matched reuse, finite cache (_cache.py)
+    sh = cache_bounded(df.select(
         F.col(id_col), *[F.col(c) for c in blocking_cols],
         F.array_sort(
             F.array_distinct(
                 F.transform(shingles(F.col(text_col), n),
                             lambda s: F.xxhash64(s)))
         ).alias("hs"),
-    ).withColumn("sh_size", F.size("hs")).localCheckpoint(eager=True)
+    ).withColumn("sh_size", F.size("hs")))
 
     if not prefix_filter:
         posting = sh.select(
@@ -874,16 +875,15 @@ def containment_pairs(
     cont_a_in_b, cont_b_in_a), id_a < id_b.
     """
     blocking_cols = blocking_cols or []
-    # eager localCheckpoint: the self-join reads this subtree twice and
-    # shingling (the interpreted zip_with chain) dominates its cost; a
-    # persist() with no unpersist() would accumulate executor cache over
-    # repeated calls in a long session
-    sh = df.select(
+    # bounded-pool persist: the self-join reads this subtree twice and
+    # shingling (the interpreted zip_with chain) dominates its cost;
+    # eviction bounds the cache across repeated calls (_cache.py)
+    sh = cache_bounded(df.select(
         F.col(id_col), *[F.col(c) for c in blocking_cols],
         F.array_distinct(
             F.transform(shingles(F.col(text_col), n),
                         lambda s: F.xxhash64(s))).alias("hs"),
-    ).withColumn("sh_size", F.size("hs")).localCheckpoint(eager=True)
+    ).withColumn("sh_size", F.size("hs")))
     posting = sh.select(
         id_col, *blocking_cols, "sh_size", F.explode("hs").alias("shingle"))
     a = posting.select(
@@ -938,16 +938,16 @@ def exact_jaccard_on_pairs(
     range set False — candidates then shuffle by id against the
     (id-partitioned) array table, the standard big-big path.
     """
-    # both join sides read this — eager localCheckpoint so the
+    # both join sides read this — bounded-pool persist so the
     # shingle+hash pass runs once, not once per broadcast build
     # (aliasing defeats ReuseExchange; measured ~2x the verify cost
-    # without the cache), without leaking cache across calls
-    sh = df.select(
+    # without the cache), with eviction bounding the session cache
+    sh = cache_bounded(df.select(
         F.col(id_col),
         F.array_distinct(
             F.transform(shingles(F.col(text_col), n),
                         lambda s: F.xxhash64(s))).alias("__hs"),
-    ).localCheckpoint(eager=True)
+    ))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__hs_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hs_b"))
     if broadcast_arrays:
@@ -1000,12 +1000,12 @@ def minhash_verified_pairs(
     """
 
     def cands_of(reps: DataFrame) -> DataFrame:
-        # both band-join sides read the signatures — eager
-        # localCheckpoint or the pandas-UDF signature pass runs twice
-        # (measured 5s -> 2s for this stage); leak-free across calls
-        sigs = minhash_signatures_df(
+        # both band-join sides read the signatures — bounded-pool
+        # persist or the pandas-UDF signature pass runs twice
+        # (measured 5s -> 2s for this stage); eviction bounds the cache
+        sigs = cache_bounded(minhash_signatures_df(
             reps, id_col, text_col, num_hashes, shingle_len,
-            bands=bands).localCheckpoint(eager=True)
+            bands=bands))
         banded = sigs.select(
             F.col(id_col),
             F.posexplode("band_hashes").alias("band", "band_hash"))
@@ -1112,12 +1112,10 @@ def _collapse_expand_verified(
     shingle set".
     """
     fp = F.md5(F.concat_ws(" ", _norm_words(F.col(text_col))))
-    members = df.select(
-        F.col(id_col).alias("__mid"),
-        fp.alias("__fp")).localCheckpoint(eager=True)
-    reps = (
-        members.groupBy("__fp").agg(F.min("__mid").alias("__rid"))
-    ).localCheckpoint(eager=True)
+    members = cache_bounded(df.select(
+        F.col(id_col).alias("__mid"), fp.alias("__fp")))
+    reps = cache_bounded(
+        members.groupBy("__fp").agg(F.min("__mid").alias("__rid")))
     rep_df = df.join(
         reps.select(F.col("__rid").alias(id_col)), on=id_col, how="semi")
 
