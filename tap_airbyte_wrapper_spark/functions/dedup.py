@@ -1422,3 +1422,102 @@ def minhash_dedup_delta(
         .select("id_a", "id_b", "jaccard_est", F.lit("delta").alias("kind"))
     )
     return est_x.unionByName(est_d)
+
+
+# ---------------------------------------------------------------------------
+# Persisted EXACT-fingerprint index — the exact-dedup counterpart of the
+# MinHash index above: a continuously-arriving corpus drops byte-identical
+# (normalized) re-crawls at O(delta) cost without ever scanning the
+# corpus.  Probes are bucket-co-located joins on the 128-bit fingerprint,
+# the same zero-corpus-shuffle contract minhash_dedup_delta asserts.
+# ---------------------------------------------------------------------------
+
+def fingerprint_index_write(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 16,
+) -> None:
+    """Build the persisted fingerprint index: one ``(fp, id)`` row per
+    distinct normalized text (survivor = min id), written
+    ``bucketBy(fp)`` so delta probes scan co-located buckets (zero
+    corpus shuffle).  The survivor id is stored for the same reason the
+    MinHash index keeps ids: a replayed doc then matches ITSELF and is
+    kept, making the gate's output replay-deterministic without any
+    special-casing (see ``streaming/dedup.py``)."""
+    import json as _json
+    import os as _os
+
+    from .text import fingerprint
+
+    spark = df.sparkSession
+    fps = (
+        df.select(fingerprint(F.col(text_col)).alias("fp"),
+                  F.col(id_col).alias("fid"))
+        .groupBy("fp").agg(F.min("fid").alias("fid"))
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}_fps")
+    (fps.write.bucketBy(n_buckets, "fp").sortBy("fp")
+        .option("path", _os.path.join(path, "fps"))
+        .mode("overwrite").saveAsTable(f"{table_name}_fps"))
+    from ..fsutil import write_text as _write_text
+
+    _write_text(spark, _os.path.join(path, "_index_meta.json"),
+                _json.dumps({"n_buckets": n_buckets, "id_col": id_col}))
+
+
+def fingerprint_dedup_delta(
+    delta: DataFrame,
+    table_name: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact-dedup a delta batch against the persisted index AND within
+    itself: returns the SURVIVOR rows — per fingerprint, the min-id doc
+    among those not already owned by a DIFFERENT corpus doc.  A doc
+    whose fingerprint maps to its OWN id in the index survives (replay
+    self-match, the same contract as ``minhash_dedup_delta``), so
+    re-running a batch reproduces the first run's survivor set exactly.
+    Cost is O(delta): delta fingerprints shuffle into the index's
+    bucketing; the corpus side is a bucket-co-located scan."""
+    from pyspark.sql import Window
+
+    from .text import fingerprint
+
+    spark = delta.sparkSession
+    fps = delta.withColumn("__fp", fingerprint(F.col(text_col)))
+    corpus = spark.table(f"{table_name}_fps")
+    fresh = fps.join(
+        corpus,
+        (F.col("__fp") == F.col("fp")) & (F.col(id_col) != F.col("fid")),
+        "left_anti")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def fingerprint_index_append(
+    survivors: DataFrame,
+    table_name: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Fold surviving docs' ``(fp, id)`` rows into the index (the
+    saveAsTable append respects the table's bucket spec, so the
+    co-located probe property survives).  Re-appending a survivor
+    (at-least-once replay) duplicates its OWN ``(fp, id)`` row, which
+    cannot change any probe's outcome — the drop test is "exists a
+    row with my fp and a different id" — so the append is idempotent
+    for the gate's output; periodic ``compact_parquet``-style cleanup
+    is cosmetic."""
+    from .text import fingerprint
+
+    (survivors.select(fingerprint(F.col(text_col)).alias("fp"),
+                      F.col(id_col).alias("fid"))
+        .distinct()
+        .write.mode("append").insertInto(f"{table_name}_fps"))

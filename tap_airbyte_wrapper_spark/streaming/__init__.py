@@ -12,7 +12,7 @@ from .incremental import (
     windowed_counts,
 )
 from .cdc import stream_changelog_apply
-from .dedup import stream_near_dup_gate
+from .dedup import stream_exact_dedup_gate, stream_near_dup_gate
 from .similarity import stream_embedding_gate
 from .stats import append_gate_stats, read_gate_stats
 from .drift import reference_profile, stream_drift_monitor
@@ -25,6 +25,7 @@ from .stateful import (
 
 __all__ = [
     "stream_near_dup_gate",
+    "stream_exact_dedup_gate",
     "stream_embedding_gate",
     "append_gate_stats",
     "read_gate_stats",

@@ -23,11 +23,10 @@ Streaming's at-least-once foreachBatch contract):
   the drop set is ``distinct``-ed, so duplicated postings/signatures
   never change the gate's output — run ``minhash_index_compact``
   on the index periodically anyway; the flat ``compact_parquet``
-  would drop the bucket metadata).  The marker IO uses local-FS ``os.path``
-  and is best-effort: on an object-store ``index_path`` the existence
-  check never fires and the write failure is swallowed, so every
-  replay re-appends (more index growth, same gate output) instead of
-  skipping.
+  would drop the bucket metadata).  Marker IO goes through the Hadoop
+  FS API (``fsutil``), so object-store index paths get the same replay
+  skip; a failed marker write is swallowed and the replay re-appends
+  (more index growth, same gate output).
 
 Cost per batch: O(batch) signatures + a bucket-co-located join against
 the index (zero corpus shuffle, same plan the batch delta-dedup tests
@@ -47,7 +46,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.dedup import minhash_dedup_delta, minhash_index_append
 from .stats import append_gate_stats
 
-__all__ = ["stream_near_dup_gate"]
+__all__ = ["stream_near_dup_gate", "stream_exact_dedup_gate"]
 
 
 def stream_near_dup_gate(
@@ -106,6 +105,74 @@ def stream_near_dup_gate(
                     # best-effort replay marker — never kill the stream
                     pass
             append_gate_stats(batch.sparkSession, out_path, batch_id,
+                              batch.count(), clean.count(), started)
+            clean.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_exact_dedup_gate(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_table: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming EXACT-dedup gate: every micro-batch drops docs whose
+    normalized text was already seen (in the corpus index or earlier in
+    the same batch), lands the survivors, and folds their ``(fp, id)``
+    rows into the persisted index — the exact-match counterpart of
+    :func:`stream_near_dup_gate`, and the cheaper gate to run FIRST
+    (a re-crawl corpus is mostly byte-identical repeats; the near-dup
+    gate then only pays signatures for texts that are genuinely new).
+
+    Replay safety mirrors the near-dup gate exactly: the index stores
+    the survivor's id with each fingerprint, so a replayed survivor
+    matches ITSELF and is kept (the drop test is "same fp, DIFFERENT
+    id"), a replayed loser loses to the same min-id winner again, and
+    a doc the first run dropped via the corpus index still hits that
+    other-id row — the survivor set is a pure function of (batch,
+    index-before-batch).  Output lands per-batch with overwrite; the
+    ``_batch_<id>`` Hadoop-FS marker only skips the (idempotent)
+    re-append.  Requires a bootstrapped index
+    (``fingerprint_index_write`` — an empty corpus frame is fine).
+    """
+    from ..functions.dedup import (
+        fingerprint_dedup_delta,
+        fingerprint_index_append,
+    )
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        from ..fsutil import exists as _fs_exists, write_text as _fs_write
+
+        started = _time.time()
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            clean = fingerprint_dedup_delta(
+                batch, index_table, id_col, text_col).persist()
+            clean.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={batch_id}"))
+            marker = os.path.join(index_path, f"_batch_{batch_id}")
+            if not _fs_exists(spark, marker):
+                fingerprint_index_append(
+                    clean, index_table, id_col, text_col)
+                try:
+                    _fs_write(spark, marker, "done")
+                except Exception:
+                    pass  # best-effort marker — never kill the stream
+            append_gate_stats(spark, out_path, batch_id,
                               batch.count(), clean.count(), started)
             clean.unpersist()
         finally:

@@ -417,3 +417,69 @@ def test_stream_near_dup_gate_across_batches(spark, tmp_path):
             if r["kind"] == "corpus"}
     assert (5, 5) in hits            # self-match, excluded by the gate
     assert (4, 3) in hits            # the real dup, still dropped
+
+
+def test_stream_exact_dedup_gate_across_batches_and_replay(spark, tmp_path):
+    """Exact gate: within-batch dups keep the min id, cross-batch
+    byte-identical (after normalization) repeats drop, fresh docs
+    survive; a re-drain with a NEW checkpoint (at-least-once replay of
+    every batch) reproduces the same survivor set because survivors
+    self-match on their indexed (fp, id) row."""
+    from pyspark.sql import Row
+    from tap_airbyte_wrapper_spark.functions.dedup import (
+        fingerprint_index_write,
+    )
+    from tap_airbyte_wrapper_spark.streaming import stream_exact_dedup_gate
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    idx = str(tmp_path / "fpindex")
+    out = str(tmp_path / "clean")
+    schema = "doc_id long, text string"
+
+    fingerprint_index_write(
+        spark.createDataFrame([], schema), "sedg", idx,
+        "doc_id", "text", n_buckets=4)
+
+    b1 = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox"),
+         Row(doc_id=2, text="The  quick   BROWN fox"),  # normalized dup of 1
+         Row(doc_id=3, text="a wholly different doc")], schema)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain(ckpt):
+        q = stream_exact_dedup_gate(
+            spark.readStream.schema(b1.schema).parquet(str(src)),
+            "doc_id", "text", "sedg", idx, out,
+            checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    drain("ck1")
+    kept1 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept1 == [1, 3]
+
+    b2 = spark.createDataFrame(
+        [Row(doc_id=4, text="the QUICK brown fox"),   # cross-batch dup of 1
+         Row(doc_id=5, text="brand new content here")], schema)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    drain("ck1")
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept2 == [1, 3, 5]
+
+    # no-op re-drain: nothing new at the source -> output unchanged
+    drain("ck1")
+    kept3 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept3 == [1, 3, 5]
+
+    # at-least-once batch replay, delta-level: re-probing an already-
+    # appended batch keeps exactly the first run's survivors (each
+    # self-matches its own (fp, id) row; the losers still hit the
+    # survivor's row) — the foreachBatch re-run lands the same rows
+    from tap_airbyte_wrapper_spark.functions.dedup import (
+        fingerprint_dedup_delta,
+    )
+
+    replay = fingerprint_dedup_delta(b2, "sedg", "doc_id", "text")
+    assert sorted(r["doc_id"] for r in replay.collect()) == [5]
+    replay1 = fingerprint_dedup_delta(b1, "sedg", "doc_id", "text")
+    assert sorted(r["doc_id"] for r in replay1.collect()) == [1, 3]
