@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .corpus import words
 
-__all__ = ["bm25_topk", "doc_term_freq", "rrf_fuse"]
+__all__ = ["bm25_topk", "doc_term_freq", "rrf_fuse", "rank_eval"]
 
 
 def doc_term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -159,4 +159,76 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rrf", "rank")
+    )
+
+
+def rank_eval(
+    ranked: DataFrame,
+    truth: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query IR metrics for a ranked retrieval result against a
+    relevance set: ``(query_id, n_rel, n_hit, recall_at_k,
+    precision_at_k, rr, ndcg)`` — the evaluation half every retrieval
+    deployment needs next to :func:`bm25_topk`/:func:`rrf_fuse`
+    (sweeping k1/b, comparing fusion variants, regression-gating an
+    index rebuild).
+
+    ``truth`` is ``(query_id, id[, rel])``; without ``rel_col`` every
+    judged doc counts relevance 1.  Metrics: recall@k and precision@k
+    on the top-``k`` cut, reciprocal rank of the first relevant hit,
+    and nDCG@k with the standard ``rel / log2(rank+1)`` discounted
+    gain against the ideal ordering of the query's judgments.
+
+    Scale shape: both inputs are per-query lists (k-bounded results,
+    author-bounded judgments) — joins key on (query, id), aggregates
+    are one partial-agg pass each, and the ideal-DCG ranking windows
+    over judgment lists only.  Queries with no judged docs are absent
+    (metrics are undefined there), matching trec_eval."""
+    rel = (F.col(rel_col).cast("double") if rel_col
+           else F.lit(1.0))
+    t = truth.select(
+        F.col(query_id_col), F.col(id_col), rel.alias("__rel"))
+    n_rel = t.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("n_rel"),
+        F.sum("__rel").alias("__rel_mass"))
+    cut = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_id_col), F.col(id_col), F.col(rank_col))
+    hits = cut.join(t, [query_id_col, id_col])
+    per_q = hits.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.min(rank_col).alias("__first"),
+        F.sum(F.col("__rel")
+              / F.log2(F.col(rank_col) + 1)).alias("__dcg"))
+    # ideal DCG: the query's judgments in best order, discounted at
+    # ranks 1..n — windows over author-bounded judgment lists only
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__rel").desc(), F.col(id_col))
+    idcg = (
+        t.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .groupBy(query_id_col)
+        .agg(F.sum(F.col("__rel") / F.log2(F.col("__r") + 1))
+             .alias("__idcg"))
+    )
+    return (
+        n_rel.join(per_q, query_id_col, "left")
+        .join(idcg, query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col("n_rel"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                    / F.col("n_rel"), 6).alias("recall_at_k"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                    / F.lit(float(k)), 6).alias("precision_at_k"),
+            F.round(F.coalesce(1.0 / F.col("__first"), F.lit(0.0)), 6)
+            .alias("rr"),
+            F.round(F.coalesce(F.col("__dcg"), F.lit(0.0))
+                    / F.col("__idcg"), 6).alias("ndcg"),
+        )
     )

@@ -2413,6 +2413,26 @@ def q_knn_pq(spark, sf_dir):
         "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"))
 
 
+def q_rank_eval(spark, sf_dir):
+    """Retrieval evaluation: lead-200-char BM25 judged against the
+    full-text BM25 top-5 as gold — recall@10 / precision@10 / MRR /
+    nDCG per query.  Every stage is rank-deterministic, so the DuckDB
+    oracle replays the metrics bit-for-bit."""
+    from ..functions import bm25_topk, rank_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(0, "spark window merge"), (1, "customer filter join"),
+         (2, "slow batch stream hash")],
+        "query_id int, query_text string")
+    gold = bm25_topk(docs, queries, id_col="doc_id", text_col="text",
+                     k=5).select("query_id", "doc_id")
+    system = bm25_topk(
+        docs.select("doc_id", F.substring("text", 1, 200).alias("text")),
+        queries, id_col="doc_id", text_col="text", k=10)
+    return rank_eval(system, gold, k=10)
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2565,6 +2585,7 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_pq": q_knn_pq,
+    "rank_eval_docs": q_rank_eval,
 }
 
 
@@ -4477,6 +4498,43 @@ ORACLES = {
                             md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           FROM documents)
         WHERE rk <= 10""",
+    "rank_eval_docs": f"""
+        WITH q(query_id, query_text) AS (
+          VALUES (0, 'spark window merge'), (1, 'customer filter join'),
+                 (2, 'slow batch stream hash')),
+        qt AS (SELECT DISTINCT query_id,
+                      unnest(regexp_extract_all(lower(trim(query_text)),
+                                                '\\S+')) AS term
+               FROM q),{_bm25_cte('a_', 'text')},{_bm25_cte(
+                   'b_', 'substr(text, 1, 200)')},
+        gold AS (SELECT query_id, doc_id FROM a_r WHERE rank <= 5),
+        cut AS (SELECT query_id, doc_id, rank FROM b_r WHERE rank <= 10),
+        nrel AS (SELECT query_id, count(*) AS n_rel FROM gold GROUP BY 1),
+        hits AS (SELECT c.query_id, c.rank
+                 FROM cut c JOIN gold g USING (query_id, doc_id)),
+        perq AS (SELECT query_id, count(*) AS n_hit,
+                        min(rank) AS firsth,
+                        sum(CAST(1 AS DOUBLE) / log2(rank + 1)) AS dcg
+                 FROM hits GROUP BY 1),
+        idcg AS (
+          SELECT query_id,
+                 sum(CAST(1 AS DOUBLE) / log2(r + 1)) AS idcg
+          FROM (SELECT query_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY doc_id) AS r
+                FROM gold)
+          WHERE r <= 10 GROUP BY 1)
+        SELECT n.query_id, CAST(n.n_rel AS BIGINT) AS n_rel,
+               CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+               round(coalesce(p.n_hit, 0) / CAST(n.n_rel AS DOUBLE), 6)
+                 AS recall_at_k,
+               round(coalesce(p.n_hit, 0) / CAST(10 AS DOUBLE), 6)
+                 AS precision_at_k,
+               round(coalesce(CAST(1 AS DOUBLE) / p.firsth,
+                              CAST(0 AS DOUBLE)), 6) AS rr,
+               round(coalesce(p.dcg, CAST(0 AS DOUBLE)) / i.idcg, 6)
+                 AS ndcg
+        FROM nrel n LEFT JOIN perq p USING (query_id)
+        JOIN idcg i USING (query_id)""",
 }
 
 

@@ -162,3 +162,58 @@ def test_quota_under_quota_rows_skip_the_window(spark):
                     .filter(F.col("n") > 100).select("host")),
         "host", "left_anti")
     assert "Window" not in under._jdf.queryExecution().executedPlan().toString()
+
+
+# -------------------------------------------------------------- rank_eval
+
+def test_rank_eval_hand_computed(spark):
+    import math
+
+    from tap_airbyte_wrapper_spark.functions import rank_eval
+
+    ranked = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+         (1, 20, 1), (1, 21, 2)],
+        "query_id int, doc_id long, rank int")
+    truth = spark.createDataFrame(
+        [(0, 11), (0, 12), (0, 13),   # 2 of 3 judged docs retrieved
+         (1, 99)],                    # nothing relevant retrieved
+        "query_id int, doc_id long")
+    out = {r.query_id: r for r in rank_eval(ranked, truth, k=3).collect()}
+    q0 = out[0]
+    assert q0.n_rel == 3 and q0.n_hit == 2
+    assert q0.recall_at_k == pytest.approx(round(2 / 3, 6))
+    assert q0.precision_at_k == pytest.approx(round(2 / 3, 6))
+    assert q0.rr == pytest.approx(0.5)          # first hit at rank 2
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)   # ranks 2 and 3
+    idcg = 1 + 1 / math.log2(3) + 1 / math.log2(4)
+    assert q0.ndcg == pytest.approx(round(dcg / idcg, 6))
+    q1 = out[1]
+    assert q1.n_hit == 0 and q1.recall_at_k == 0.0
+    assert q1.rr == 0.0 and q1.ndcg == 0.0
+
+
+def test_rank_eval_graded_relevance(spark):
+    from tap_airbyte_wrapper_spark.functions import rank_eval
+
+    ranked = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "query_id int, doc_id long, rank int")
+    truth = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 3.0)],
+        "query_id int, doc_id long, rel double")
+    r = rank_eval(ranked, truth, rel_col="rel", k=2).collect()[0]
+    import math
+    dcg = 1.0 / 1 + 3.0 / math.log2(3)
+    idcg = 3.0 / 1 + 1.0 / math.log2(3)  # ideal puts rel=3 first
+    assert r.ndcg == pytest.approx(round(dcg / idcg, 6))
+
+
+def test_rank_eval_unjudged_queries_absent(spark):
+    from tap_airbyte_wrapper_spark.functions import rank_eval
+
+    ranked = spark.createDataFrame(
+        [(0, 1, 1), (5, 2, 1)], "query_id int, doc_id long, rank int")
+    truth = spark.createDataFrame(
+        [(0, 1)], "query_id int, doc_id long")
+    out = rank_eval(ranked, truth, k=5).collect()
+    assert [r.query_id for r in out] == [0]  # query 5 has no judgments
