@@ -30,7 +30,8 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
            "IvfIndex", "ivf_build", "ivf_load", "ivf_search",
            "ivf_append", "ivf_staleness", "ivf_compact", "embedding_dedup_delta",
            "PqModel", "pq_train", "pq_encode", "pq_topk", "pq_rerank",
-           "save_pq", "load_pq",
+           "save_pq", "load_pq", "kmeans_fit", "kmeans_predict",
+           "semantic_dedup_clustered",
            "quantize_embeddings", "nearest_centroid_assign", "semantic_dedup"]
 
 
@@ -1085,3 +1086,159 @@ def load_pq(spark, path: str) -> PqModel:
     books = np.array(r["books"], dtype="float64").reshape(
         r["m"], r["ks"], r["dsub"])
     return PqModel(codebooks=books)
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means — corpus-scale clustering (SemDeDup's
+# Abbas et al. 2023 recipe clusters embeddings FIRST, then dedups within
+# clusters; the same partition also drives mixture balancing and
+# per-cluster quality audits).  ivf_build's driver k-means trains a
+# quantizer on a bounded SAMPLE; this trains on the WHOLE corpus with
+# per-iteration cost = one scan + a (k*d)-bounded shuffle.
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    init_sample: int = 10_000,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Fit spherical (cosine) k-means over the full corpus; returns the
+    ``(k, d)`` L2-normalized centroid matrix.
+
+    Per iteration: centroids broadcast inside an Arrow-batched UDF
+    (one numpy matmul per batch assigns cells), then new centroids
+    come back as ``(cell, dim)`` partial sums — ``mapInPandas``
+    reduces every batch to at most ``k * (d + 1)`` partial rows
+    (count + per-dim sums per cell), so the shuffle is bounded by
+    ``k * d * tasks`` regardless of corpus size, and the driver
+    collects ``k * (d + 1)`` doubles (same dimension-bounded contract
+    as ``fit_pca``).  Initialization is a driver k-means on the
+    hash-ordered unbiased sample (``ivf_build`` discipline) so the
+    distributed loop starts from a reasonable partition.  Empty
+    clusters keep their previous centroid.
+    """
+    corpus = df.filter(F.col(vec_col).isNotNull())
+    sampled_ids = (
+        corpus.select(F.col(id_col),
+                      F.xxhash64(F.col(id_col), F.lit(seed)).alias("__hk"))
+        .orderBy("__hk").limit(init_sample).select(id_col)
+    )
+    rows = (
+        corpus.join(F.broadcast(sampled_ids), on=id_col, how="left_semi")
+        .select(F.col(vec_col),
+                F.xxhash64(F.col(id_col), F.lit(seed)).alias("__hk"))
+        .orderBy("__hk").collect()
+    )
+    mat = np.stack([np.asarray(r[0], dtype="float64") for r in rows])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cent = _kmeans_centroids(mat, k, iters=3, seed=seed)
+
+    d = cent.shape[1]
+    for _ in range(iters):
+        books = cent.copy()
+
+        def partials(batches):
+            sums = np.zeros((len(books), d))
+            counts = np.zeros(len(books), dtype="int64")
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                m /= np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                assign = np.argmax(m @ books.T, axis=1)
+                np.add.at(sums, assign, m)
+                np.add.at(counts, assign, 1)
+            hit = np.nonzero(counts)[0]
+            if not len(hit):
+                return
+            yield pd.DataFrame({
+                "cell": np.repeat(hit, d + 1).astype("int32"),
+                "idx": np.tile(np.arange(-1, d), len(hit)).astype("int32"),
+                "val": np.concatenate([
+                    np.concatenate(([float(counts[c])], sums[c]))
+                    for c in hit]),
+            })
+
+        agg = (
+            corpus.select(vec_col)
+            .mapInPandas(partials, schema="cell int, idx int, val double")
+            .groupBy("cell", "idx").agg(F.sum("val").alias("v"))
+            .collect()  # <= k * (d + 1) rows — dimension-bounded
+        )
+        sums = np.zeros((len(cent), d))
+        counts = np.zeros(len(cent))
+        for r in agg:
+            if r["idx"] < 0:
+                counts[r["cell"]] = r["v"]
+            else:
+                sums[r["cell"], r["idx"]] = r["v"]
+        for c in range(len(cent)):
+            if counts[c] > 0:
+                v = sums[c] / counts[c]
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def kmeans_predict(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Assign every vector to its nearest (cosine) centroid:
+    ``(id, cluster)``.  Broadcast centroids in the closure, one numpy
+    matmul per Arrow batch, zero shuffle — the same plan as
+    ``ivf_build``'s cell assignment."""
+    cent = np.asarray(centroids, dtype="float64")
+    return df.select(
+        F.col(id_col),
+        _cell_udf(cent)(F.col(vec_col)).alias(out_col))
+
+
+def semantic_dedup_clustered(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.9,
+    iters: int = 3,
+) -> DataFrame:
+    """SemDeDup as published (Abbas et al. 2023): k-means-cluster the
+    corpus, then find near-duplicates WITHIN clusters only — the
+    cluster id becomes a blocking key, so candidate generation never
+    crosses cluster boundaries and the per-cluster work is
+    |cluster|-bounded instead of corpus-bounded.  Pairs above
+    ``threshold`` collapse to their min-id representative; the output
+    is the curated corpus.  (Cross-cluster near-dups are missed by
+    construction — the paper's accepted trade; the LSH-blocked
+    :func:`semantic_dedup` is the alternative when that matters.)"""
+    cent = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
+    assigned = df.join(
+        kmeans_predict(df, cent, id_col, vec_col), id_col)
+    a = assigned.select(F.col("cluster"),
+                        F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("__va"))
+    b = assigned.select(F.col("cluster"),
+                        F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("__vb"))
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    from .dedup import connected_components
+
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

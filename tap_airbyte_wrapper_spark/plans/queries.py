@@ -2433,6 +2433,22 @@ def q_rank_eval(spark, sf_dir):
     return rank_eval(system, gold, k=10)
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed spherical k-means over the embedding corpus (one
+    scan + k*d-bounded shuffle per iteration, driver collects k*(d+1)
+    doubles), then per-cluster sizes.  Centroids are float-iterative ->
+    rows-only driver check; correctness pinned by planted-cluster and
+    numpy-argmax equivalences in tests/test_pq.py."""
+    from ..functions import kmeans_fit, kmeans_predict
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, k=8, iters=3, init_sample=10_000)
+    return (
+        kmeans_predict(emb, cent)
+        .groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2586,6 +2602,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "knn_pq": q_knn_pq,
     "rank_eval_docs": q_rank_eval,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 

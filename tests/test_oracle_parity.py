@@ -77,7 +77,7 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
 def test_no_oracle_queries_run(spark, sf_dir):
     missing = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
     assert missing == {"minhash_pairs", "simhash_pairs", "knn_lsh", "knn_ivf",
-                       "knn_pq", "approx_distinct_users",
+                       "knn_pq", "kmeans_clusters", "approx_distinct_users",
                        "pca_project_embeddings"}
     for name in missing:
         df = entry_mod.queries()[name](spark, sf_dir)

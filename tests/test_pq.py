@@ -121,3 +121,56 @@ def test_pq_save_load_roundtrip(spark, tmp_path):
     a = {r.vec_id: list(r.pq_code) for r in pq_encode(df, model).collect()}
     b = {r.vec_id: list(r.pq_code) for r in pq_encode(df, back).collect()}
     assert a == b
+
+
+# ------------------------------------------------------ distributed k-means
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    from tap_airbyte_wrapper_spark.functions import kmeans_fit, kmeans_predict
+
+    mat = _clusters(n_per=10)
+    df = _vec_df(spark, mat)
+    cent = kmeans_fit(df, k=4, iters=4, seed=11)
+    assert cent.shape == (4, mat.shape[1])
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+    labels = {r.vec_id: r.cluster
+              for r in kmeans_predict(df, cent).collect()}
+    # every planted cluster maps to ONE predicted cluster, all distinct
+    groups = [sorted(set(labels[i] for i in range(c * 10, c * 10 + 10)))
+              for c in range(4)]
+    assert all(len(g) == 1 for g in groups)
+    assert len({g[0] for g in groups}) == 4
+
+
+def test_kmeans_predict_matches_numpy_argmax(spark):
+    from tap_airbyte_wrapper_spark.functions import kmeans_predict
+
+    rng = np.random.RandomState(0)
+    cent = rng.normal(size=(3, 8))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    mat = rng.normal(size=(20, 8))
+    df = _vec_df(spark, mat)
+    got = {r.vec_id: r.cluster for r in kmeans_predict(df, cent).collect()}
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    want = np.argmax(mn @ cent.T, axis=1)
+    assert [got[i] for i in range(20)] == list(want)
+
+
+def test_semantic_dedup_clustered_collapses_planted_dups(spark):
+    from tap_airbyte_wrapper_spark.functions import semantic_dedup_clustered
+
+    base = _clusters(n_per=5)
+    # ids 100.. are near-copies of ids 0,5,10,15 (tiny jitter)
+    rng = np.random.RandomState(3)
+    dups = base[[0, 5, 10, 15]] + rng.normal(0, 1e-4, size=(4, base.shape[1]))
+    rows = np.vstack([base, dups])
+    ids = list(range(len(base))) + [100, 101, 102, 103]
+    df = spark.createDataFrame(
+        [(ids[i], [float(x) for x in rows[i]]) for i in range(len(ids))],
+        "vec_id long, embedding array<double>")
+    out = sorted(r.vec_id for r in semantic_dedup_clustered(
+        df, k=4, threshold=0.999999, iters=3).collect())
+    # each dup loses to its (lower-id) original; originals all survive
+    assert 100 not in out and 101 not in out
+    assert 102 not in out and 103 not in out
+    assert all(i in out for i in (0, 5, 10, 15))
