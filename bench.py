@@ -47,7 +47,7 @@ _GROUPS = [
     ("graph", re.compile(r"^(pagerank|degrees)")),
     ("similarity", re.compile(
         r"^(knn|embedding|quantize|centroid|label_centroids"
-        r"|approx_distinct|pca_)")),
+        r"|approx_distinct|pca_|kmeans|semantic_dedup)")),
     ("text_corpus", re.compile(
         r"^(language_id|quality_scores|doc_word|token_stats|vocab"
         r"|repetition|token_budget|contamination|tfidf|split_sentences"

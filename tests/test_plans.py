@@ -364,3 +364,41 @@ def test_round6_batch_plan_shapes(plans):
     # containment: blocked posting self-join, id-keyed all the way
     p = plans("containment_pairs_docs")
     assert "CartesianProduct" not in p
+
+
+def test_round7_batch_plan_shapes(plans, spark, sf_dir):
+    """Round-7 operators keep their 100 TB claims in the physical
+    plan."""
+    import numpy as np
+
+    from tap_airbyte_wrapper_spark.functions import (
+        PqModel, kmeans_predict, pq_encode,
+    )
+    from tap_airbyte_wrapper_spark.plans.queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # pq_encode / kmeans_predict: pure map — zero Exchange
+    model = PqModel(codebooks=np.zeros((8, 4, 8)) + np.eye(8)[None, :4, :])
+    p = plan_of(pq_encode(emb, model))
+    assert "Exchange" not in p
+    cent = np.eye(8, 64)
+    p = plan_of(kmeans_predict(emb, cent))
+    assert "Exchange" not in p
+    # rrf fusion: per-query lists only — no cartesian anywhere
+    p = plans("rrf_fusion_docs")
+    assert "CartesianProduct" not in p
+    # domain quota: the pass-through side must anti-join BROADCAST
+    # (no corpus shuffle for under-quota domains) and the whole plan
+    # stays expression-only (no Python eval)
+    p = plans("domain_quota_docs")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # char-ngram entropy: expression-only, partial-agg (two-stage
+    # hash aggregate), no window, no python
+    p = plans("char_ngram_entropy_docs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+    # zipf: the top-500 cut must plan as TakeOrderedAndProject, never
+    # a global Sort of the vocabulary
+    p = plans("zipf_fit_docs")
+    assert "TakeOrderedAndProject" in p
