@@ -31,6 +31,7 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
            "ivf_append", "ivf_staleness", "ivf_compact", "embedding_dedup_delta",
            "PqModel", "pq_train", "pq_encode", "pq_topk", "pq_rerank",
            "save_pq", "load_pq", "kmeans_fit", "kmeans_predict",
+           "ivfpq_encode", "ivfpq_topk",
            "semantic_dedup_clustered",
            "quantize_embeddings", "nearest_centroid_assign", "semantic_dedup"]
 
@@ -1026,7 +1027,10 @@ def pq_topk(
             scores += lut[:, j, cmat[:, j]].T                   # (B, nq)
         return pd.Series(list(np.round(scores, 6)))
 
-    qid_arr = F.array(*[F.lit(q) for q in qids])
+    # literal query ids keep the queries frame's id dtype, so the
+    # output's query_id column matches the corpus id type exactly
+    qid_type = queries.schema[id_col].dataType
+    qid_arr = F.array(*[F.lit(q).cast(qid_type) for q in qids])
     scored = (
         codes.select(F.col(id_col), adc(F.col(code_col)).alias("__s"))
         .select(F.col(id_col), F.posexplode("__s").alias("__qi", "adc_score"))
@@ -1242,3 +1246,115 @@ def semantic_dedup_clustered(
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def ivfpq_encode(
+    index: IvfIndex,
+    model: PqModel,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """PQ-encode an IVF index's assigned corpus: ``(id, __cell, code)``
+    — the FAISS-IVFPQ storage layout (coarse cell for routing, byte
+    codes for scanning).  Persist partitioned by ``__cell`` and a
+    probed search reads ``n_probe/n_clusters`` of the FILES and only
+    ``m`` bytes per row of those."""
+    books = model.codebooks.copy()
+    msub, dsub = model.m, model.dsub
+
+    @pandas_udf("array<smallint>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        matv = np.stack(vecs.to_numpy()).astype("float64")
+        n = np.linalg.norm(matv, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        matv = matv / n
+        codes = np.empty((len(matv), msub), dtype="int16")
+        for j in range(msub):
+            sub = matv[:, j * dsub:(j + 1) * dsub]
+            cent = books[j]
+            d2 = ((sub ** 2).sum(1, keepdims=True)
+                  - 2 * sub @ cent.T + (cent ** 2).sum(1))
+            codes[:, j] = np.argmin(d2, axis=1).astype("int16")
+        return pd.Series(list(codes))
+
+    return index.assigned.select(
+        F.col(index.id_col), F.col("__cell"),
+        enc(F.col(index.vec_col)).alias(code_col))
+
+
+def ivfpq_topk(
+    index: IvfIndex,
+    model: PqModel,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    codes: DataFrame | None = None,
+    include_self: bool = False,
+) -> DataFrame:
+    """FAISS-style IVF-PQ search: coarse-probe ``n_probe`` cells per
+    query (driver numpy over the tiny centroid matrix), ADC-scan ONLY
+    the probed cells' codes (``m`` table lookups per row — and
+    file-level pruning when the codes frame is cell-partitioned
+    parquet), take a ``shortlist``-deep candidate set per query, and
+    exact-cosine rerank to the final ``k``.
+
+    Output ``(query_id, id, cos_sim)``.  The three approximations
+    (probe subset, PQ distance, shortlist cut) are each independently
+    tested exact-by-construction at full width (n_probe=all,
+    shortlist=corpus) against brute force — prune for speed, widen for
+    recall, the contract every ANN deployment tunes."""
+    id_col, vec_col = index.id_col, index.vec_col
+    if codes is None:
+        codes = ivfpq_encode(index, model)
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn
+    cent = index.centroids
+    n_probe = min(n_probe, len(cent))
+    sims = qmat @ cent.T
+    probes = np.argsort(-sims, axis=1)[:, :n_probe]       # (nq, n_probe)
+    all_cells = sorted({int(c) for row in probes for c in row})
+
+    books = model.codebooks
+    msub, dsub = model.m, model.dsub
+    lut = np.stack([qmat[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                    for j in range(msub)], axis=1)        # (nq, m, ks)
+
+    @pandas_udf("array<double>")
+    def adc(code_s: pd.Series) -> pd.Series:
+        cmat = np.stack(code_s.to_numpy()).astype("int64")
+        scores = np.zeros((len(cmat), lut.shape[0]))
+        for j in range(lut.shape[1]):
+            scores += lut[:, j, cmat[:, j]].T
+        return pd.Series(list(np.round(scores, 6)))
+
+    qid_type = queries.schema[id_col].dataType
+    qid_arr = F.array(*[F.lit(q).cast(qid_type) for q in qids])
+    # per-query probe sets as a literal map: query index -> cell array
+    probe_map = F.array(*[
+        F.array(*[F.lit(int(c)) for c in probes[i]]) for i in range(len(qids))
+    ])
+    scored = (
+        codes.filter(F.col("__cell").isin(all_cells))     # union pruning
+        .select(F.col(id_col), F.col("__cell"),
+                adc(F.col("pq_code")).alias("__s"))
+        .select(F.col(id_col), F.col("__cell"),
+                F.posexplode("__s").alias("__qi", "adc_score"))
+        # per-query pruning: the row's cell must be in THIS query's probes
+        .filter(F.array_contains(
+            F.element_at(probe_map, F.col("__qi") + 1), F.col("__cell")))
+        .select(F.element_at(qid_arr, F.col("__qi") + 1).alias("query_id"),
+                F.col(id_col), F.col("adc_score"))
+    )
+    if not include_self:
+        scored = scored.filter(F.col(id_col) != F.col("query_id"))
+    short = topk_per_group(
+        scored, ["query_id"],
+        [F.col("adc_score").desc(), F.col(id_col)], shortlist,
+    ).drop("rk")
+    return pq_rerank(short, index.assigned, queries,
+                     id_col=id_col, vec_col=vec_col,
+                     query_id_col="query_id", k=k)

@@ -405,8 +405,10 @@ def q15_top_supplier(spark, sf_dir):
     shuffles the view twice."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.expr(_REV)).alias("total_rev")).persist()
+    from ..functions._cache import cache_bounded
+
+    rev = cache_bounded(li.groupBy("l_suppkey").agg(
+        F.sum(F.expr(_REV)).alias("total_rev")))
     mx = rev.agg(F.max("total_rev").alias("__mx"))
     top = rev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_rev") == F.col("__mx"))

@@ -174,3 +174,45 @@ def test_semantic_dedup_clustered_collapses_planted_dups(spark):
     assert 100 not in out and 101 not in out
     assert 102 not in out and 103 not in out
     assert all(i in out for i in (0, 5, 10, 15))
+
+
+# ------------------------------------------------------------------ IVF-PQ
+
+def test_ivfpq_full_width_equals_brute_force(spark):
+    """With n_probe = all cells and shortlist = corpus, the three
+    approximations are each disabled — the composite must equal exact
+    brute-force cosine top-k."""
+    from tap_airbyte_wrapper_spark.functions import (
+        ivf_build, ivfpq_topk, pq_train,
+    )
+
+    mat = _clusters(n_per=8)
+    df = _vec_df(spark, mat)
+    index = ivf_build(df, n_clusters=4, train_sample=1000)
+    model = pq_train(df, m=4, ks=8, train_sample=1000)
+    queries = df.filter(F.col("vec_id") < 2)
+    got = ivfpq_topk(index, model, queries, k=5,
+                     n_probe=4, shortlist=len(mat)).collect()
+    want = cosine_topk(df, queries, k=5).collect()
+    gs = sorted((r.query_id, r.vec_id, round(r.cos_sim, 6)) for r in got)
+    ws = sorted((r.query_id, r.vec_id, round(r.cos_sim, 6)) for r in want)
+    assert gs == ws
+
+
+def test_ivfpq_probe_pruning_respects_per_query_cells(spark):
+    """n_probe=1 on well-separated clusters: each query's candidates
+    come only from its own cluster's cell."""
+    from tap_airbyte_wrapper_spark.functions import (
+        ivf_build, ivfpq_topk, pq_train,
+    )
+
+    mat = _clusters(n_per=8)
+    df = _vec_df(spark, mat)
+    index = ivf_build(df, n_clusters=4, train_sample=1000)
+    model = pq_train(df, m=4, ks=8, train_sample=1000)
+    queries = df.filter(F.col("vec_id").isin(0, 8, 16, 24))
+    out = ivfpq_topk(index, model, queries, k=7, n_probe=1,
+                     shortlist=50).collect()
+    for r in out:
+        # same planted cluster: ids 0-7 / 8-15 / 16-23 / 24-31
+        assert r.vec_id // 8 == r.query_id // 8, r
