@@ -403,8 +403,14 @@ def domain_quota_cap(
 
     if quota < 1:
         raise ValueError(f"quota must be >= 1, got {quota}")
+    from ._cache import cache_bounded
+
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
-    over = counts.filter(F.col("__n") > quota).select(domain_col)
+    # pooled cache: the guard count below materializes the offender
+    # list once; the broadcast build and both join sides then reuse it
+    # instead of re-scanning the corpus for the aggregate
+    over = cache_bounded(
+        counts.filter(F.col("__n") > quota).select(domain_col))
     n_over = over.count()
     over = F.broadcast(over) if n_over <= 1_000_000 else over
     under_rows = df.join(over, domain_col, "left_anti")
