@@ -2479,6 +2479,7 @@ QUERIES = {
     "char_ngram_entropy_docs": q_char_ngram_entropy,
     "zipf_fit_docs": q_zipf_fit,
     "domain_quota_docs": q_domain_quota,
+    "rank_eval_docs": q_rank_eval,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -2603,7 +2604,6 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_pq": q_knn_pq,
-    "rank_eval_docs": q_rank_eval,
     "kmeans_clusters": q_kmeans_clusters,
 }
 
