@@ -46,6 +46,7 @@ __all__ = [
     "pack_sequences",
     "char_ngram_entropy",
     "zipf_fit",
+    "chunk_by_sentences",
 ]
 
 
@@ -883,3 +884,75 @@ def zipf_fit(
         F.round((sy - (cov / varx) * sx) / n, 4).alias("intercept"),
         F.round(cov * cov / (varx * vary), 4).alias("r2"),
     )
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 128,
+) -> DataFrame:
+    """Sentence-aware chunking for RAG/embedding prep: sentences never
+    split across chunks; a new chunk starts when the running token
+    count would cross ``budget_tokens`` (so chunks can overshoot by at
+    most one sentence — the standard greedy contract;
+    :func:`chunk_documents` is the fixed-window token alternative).
+
+    Returns ``(id, chunk_id, chunk_text, n_sentences, n_tokens)`` with
+    ``chunk_id`` densely numbered 0.. per document.
+
+    Plan: ONE per-row expression chain, zero shuffle — sentence split
+    via the marker-char rewrite (portable to RE2-based engines: no
+    lookbehind), per-sentence token counts, a higher-order-function
+    prefix sum assigns each sentence ``floor(tokens_before / budget)``,
+    and chunks assemble with an index-aware ``filter``.  The HOF work
+    is bounded by sentences-per-document (tens), not corpus size.
+    """
+    sents_raw = F.split(
+        F.regexp_replace(F.trim(F.col(text_col)),
+                         r"([.!?])\s+", "$1\x01"), "\x01")
+    sents = F.filter(
+        F.transform(sents_raw, lambda s: F.trim(s)),
+        lambda s: s != "")
+    toks = F.transform(
+        sents, lambda s: F.size(F.regexp_extract_all(s, F.lit(r"\S+"), 0)))
+    # pref[i+1] = tokens before sentence i (pref[0] = 0)
+    pref = F.aggregate(
+        toks,
+        F.array(F.lit(0).cast("long")),
+        lambda acc, x: F.concat(
+            acc, F.array(F.element_at(acc, -1) + x)))
+    n = F.size(sents)
+    raw_cid = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.floor(F.element_at(pref, i + 1) / budget_tokens))
+    cids = F.array_distinct(raw_cid)  # increasing by construction
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(cids) - 1),
+        lambda c: F.struct(
+            c.cast("int").alias("chunk_id"),
+            F.array_join(
+                F.filter(sents, lambda s, i:
+                         F.element_at(raw_cid, i + 1)
+                         == F.element_at(cids, c + 1)),
+                " ").alias("chunk_text"),
+            F.size(F.filter(sents, lambda s, i:
+                            F.element_at(raw_cid, i + 1)
+                            == F.element_at(cids, c + 1)))
+            .alias("n_sentences"),
+        ))
+    out = (
+        df.select(F.col(id_col), F.explode(
+            F.when(n > 0, chunks).otherwise(F.array())).alias("__c"))
+        .select(
+            F.col(id_col),
+            F.col("__c.chunk_id").alias("chunk_id"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+            F.col("__c.n_sentences").alias("n_sentences"),
+        )
+        .withColumn(
+            "n_tokens",
+            F.size(F.regexp_extract_all(
+                F.col("chunk_text"), F.lit(r"\S+"), 0)).cast("int"))
+    )
+    return out

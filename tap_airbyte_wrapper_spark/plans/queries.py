@@ -2451,6 +2451,19 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
+def q_chunk_sentences(spark, sf_dir):
+    """Sentence-aware greedy chunking (64-token budget): terminators
+    injected as in split_sentences (unpunctuated corpus), then ONE
+    per-row expression chain — marker split, HOF prefix sum, dense
+    chunk renumber — zero shuffle.  The oracle replays it with a
+    window cumsum."""
+    from ..functions import chunk_by_sentences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " the ", ". ").alias("text"))
+    return chunk_by_sentences(docs, "doc_id", "text", budget_tokens=64)
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2605,6 +2618,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "knn_pq": q_knn_pq,
     "kmeans_clusters": q_kmeans_clusters,
+    "chunk_sentences_docs": q_chunk_sentences,
 }
 
 
@@ -4554,6 +4568,40 @@ ORACLES = {
                  AS ndcg
         FROM nrel n LEFT JOIN perq p USING (query_id)
         JOIN idcg i USING (query_id)""",
+    "chunk_sentences_docs": """
+        WITH parts AS (
+          SELECT doc_id,
+                 string_split(
+                   regexp_replace(
+                     trim(regexp_replace(text, ' the ', '. ', 'g')),
+                     '([.!?])\\s+', '\\1' || chr(1), 'g'),
+                   chr(1)) AS ps
+          FROM documents),
+        flat AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(ps))) - 1 AS idx,
+                 trim(unnest(ps)) AS sentence
+          FROM parts),
+        tok AS (
+          SELECT *, len(regexp_extract_all(sentence, '\\S+')) AS t
+          FROM flat WHERE sentence <> ''),
+        pre AS (
+          SELECT *, coalesce(sum(t) OVER (
+                   PARTITION BY doc_id ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS tok_before
+          FROM tok),
+        cid AS (SELECT *, tok_before // 64 AS raw FROM pre),
+        d AS (SELECT *, dense_rank() OVER (
+                PARTITION BY doc_id ORDER BY raw) - 1 AS chunk_id
+              FROM cid)
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               string_agg(sentence, ' ' ORDER BY idx) AS chunk_text,
+               CAST(count(*) AS INTEGER) AS n_sentences,
+               CAST(len(regexp_extract_all(
+                 string_agg(sentence, ' ' ORDER BY idx), '\\S+'))
+                 AS INTEGER) AS n_tokens
+        FROM d GROUP BY doc_id, chunk_id""",
 }
 
 

@@ -217,3 +217,41 @@ def test_rank_eval_unjudged_queries_absent(spark):
         [(0, 1)], "query_id int, doc_id long")
     out = rank_eval(ranked, truth, k=5).collect()
     assert [r.query_id for r in out] == [0]  # query 5 has no judgments
+
+
+# ------------------------------------------------------ chunk_by_sentences
+
+def test_chunk_by_sentences_greedy_boundaries(spark):
+    from tap_airbyte_wrapper_spark.functions import chunk_by_sentences
+
+    df = spark.createDataFrame(
+        [(1, "One two three. Four five. Six seven eight nine. Ten!")],
+        "doc_id long, text string")
+    out = sorted(chunk_by_sentences(df, budget_tokens=5).collect(),
+                 key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in out] == [
+        "One two three. Four five.", "Six seven eight nine. Ten!"]
+    assert [r.n_sentences for r in out] == [2, 2]
+    assert [r.n_tokens for r in out] == [5, 5]
+
+
+def test_chunk_by_sentences_never_splits_a_sentence(spark):
+    from tap_airbyte_wrapper_spark.functions import chunk_by_sentences
+
+    # one 10-token sentence with a 4-token budget: one oversized chunk
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string")
+    out = chunk_by_sentences(df, budget_tokens=4).collect()
+    assert len(out) == 1 and out[0].n_tokens == 10
+
+
+def test_chunk_by_sentences_dense_ids_and_empty_docs(spark):
+    from tap_airbyte_wrapper_spark.functions import chunk_by_sentences
+
+    df = spark.createDataFrame(
+        [(1, "Long sentence with seven tokens in it. Short one. Tail."),
+         (2, ""), (3, "   ")], "doc_id long, text string")
+    out = chunk_by_sentences(df, budget_tokens=5).collect()
+    assert {r.doc_id for r in out} == {1}  # blank docs absent
+    ids = sorted(r.chunk_id for r in out)
+    assert ids == list(range(len(ids)))   # dense 0..n-1 renumbering
