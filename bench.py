@@ -52,7 +52,7 @@ _GROUPS = [
         r"^(language_id|quality_scores|doc_word|token_stats|vocab"
         r"|repetition|token_budget|contamination|tfidf|split_sentences"
         r"|corpus_curation|decode_image|mixture|train_test|shard_stats"
-        r"|heavy_hitter|normalize|chunk_docs|sample_per_"
+        r"|heavy_hitter|normalize|chunk_docs|chunk_sentences|sample_per_"
         r"|weighted_sample|lm_perplexity|pseudonymize|strip_html|pack_sequences|temperature|clean_holdout|upsample|source_quality|canonical_url|bm25|leakage_split|gopher_rules|c4_clean|redact_cards|domain_filter|rrf_fusion|char_ngram|zipf|domain_quota|rank_eval)")),
     ("timeseries_cdc", re.compile(
         r"^(merge_upsert|resample|gap_fill|funnel|weekly_retention"

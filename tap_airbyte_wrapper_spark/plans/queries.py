@@ -2493,6 +2493,7 @@ QUERIES = {
     "zipf_fit_docs": q_zipf_fit,
     "domain_quota_docs": q_domain_quota,
     "rank_eval_docs": q_rank_eval,
+    "chunk_sentences_docs": q_chunk_sentences,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -2618,7 +2619,6 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "knn_pq": q_knn_pq,
     "kmeans_clusters": q_kmeans_clusters,
-    "chunk_sentences_docs": q_chunk_sentences,
 }
 
 
