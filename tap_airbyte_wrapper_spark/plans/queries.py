@@ -2464,6 +2464,31 @@ def q_chunk_sentences(spark, sf_dir):
     return chunk_by_sentences(docs, "doc_id", "text", budget_tokens=64)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023) of every document
+    against the src0 slice as the target corpus: hashed unigram+bigram
+    multinomials, bucket-bounded model tables, broadcast scoring —
+    zero corpus shuffle beyond the per-doc rollup.  Full value-hash
+    oracle (md5 buckets + the 1e-6 snap-grid rounding discipline)."""
+    from ..functions import dsir_logweights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_logweights(
+        docs, docs.filter(F.col("source") == "src0"), buckets=4096)
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR resampling: 100 docs drawn without replacement in
+    proportion to importance weight via deterministic Gumbel top-k
+    (md5-uniform noise, pure function of doc_id) — plans as
+    TakeOrderedAndProject, exactly SQL-recomputable."""
+    from ..functions import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_resample(
+        docs, docs.filter(F.col("source") == "src0"), k=100, buckets=4096)
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2494,6 +2519,8 @@ QUERIES = {
     "domain_quota_docs": q_domain_quota,
     "rank_eval_docs": q_rank_eval,
     "chunk_sentences_docs": q_chunk_sentences,
+    "dsir_weights_docs": q_dsir_weights,
+    "dsir_sample_docs": q_dsir_sample,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -2746,6 +2773,40 @@ def _bm25_cte(p: str, doc_src: str) -> str:
                 ORDER BY bm25 DESC, doc_id) AS rank
               FROM {p}sc)"""
 
+
+# shared weights pipeline for the two DSIR oracles: hashed
+# unigram+bigram buckets (samplers' 48-bit md5 prefix), add-one
+# multinomials for target (src0) vs raw (all docs), per-bucket
+# log-ratio rounded to 6, per-doc sum re-rounded on the SAME 1e-6 grid
+_DSIR_WEIGHTS_SQL = r"""
+        WITH ws AS (
+          SELECT doc_id, source,
+                 regexp_extract_all(lower(trim(text)), '\S+') AS w
+          FROM documents),
+        g AS (
+          SELECT doc_id, source, unnest(w) AS g FROM ws
+          UNION ALL
+          SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g
+          FROM ws, unnest(generate_series(1, len(w)-1)) AS s(i)),
+        bkt AS (
+          SELECT doc_id, source,
+                 CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT)
+                 % 4096 AS b
+          FROM g),
+        tgt AS (SELECT b, count(*)::DOUBLE AS ct FROM bkt
+                WHERE source = 'src0' GROUP BY b),
+        raw AS (SELECT b, count(*)::DOUBLE AS cr FROM bkt GROUP BY b),
+        tot AS (SELECT (SELECT sum(ct) FROM tgt) AS nt,
+                       (SELECT sum(cr) FROM raw) AS nr),
+        llr AS (
+          SELECT raw.b,
+                 round(ln(coalesce(tgt.ct, 0) + 1) - ln(raw.cr + 1)
+                       + ln(nr + 4096) - ln(nt + 4096), 6) AS llr
+          FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+        d AS (
+          SELECT doc_id, count(*) AS n_grams,
+                 round(sum(llr), 6) + 0.0 AS logw
+          FROM bkt JOIN llr USING (b) GROUP BY doc_id)"""
 
 ORACLES = {
     "full_scan_events": """
@@ -4602,6 +4663,24 @@ ORACLES = {
                  string_agg(sentence, ' ' ORDER BY idx), '\\S+'))
                  AS INTEGER) AS n_tokens
         FROM d GROUP BY doc_id, chunk_id""",
+    "dsir_weights_docs": _DSIR_WEIGHTS_SQL + """
+        SELECT ws.doc_id, coalesce(n_grams, 0) AS n_grams,
+               coalesce(logw, 0.0) AS logw
+        FROM ws LEFT JOIN d USING (doc_id)""",
+    "dsir_sample_docs": _DSIR_WEIGHTS_SQL + """,
+        w AS (
+          SELECT ws.doc_id, coalesce(n_grams, 0) AS n_grams,
+                 coalesce(logw, 0.0) AS logw
+          FROM ws LEFT JOIN d USING (doc_id)),
+        s AS (
+          SELECT doc_id, n_grams, logw,
+                 round(logw + round(-ln(-ln(
+                   (CAST(concat('0x', substr(md5(
+                      CAST(doc_id AS VARCHAR) || 'dsir'), 1, 12))
+                    AS BIGINT) + 1) / 281474976710658.0)), 6), 6)
+                 + 0.0 AS gumbel_key
+          FROM w)
+        SELECT * FROM s ORDER BY gumbel_key DESC, doc_id LIMIT 100""",
 }
 
 

@@ -255,3 +255,68 @@ def test_chunk_by_sentences_dense_ids_and_empty_docs(spark):
     assert {r.doc_id for r in out} == {1}  # blank docs absent
     ids = sorted(r.chunk_id for r in out)
     assert ids == list(range(len(ids)))   # dense 0..n-1 renumbering
+
+
+# ------------------------------------------------------------------ dsir
+
+def _dsir_corpus(spark):
+    # target vocabulary: "alpha beta gamma"; off-distribution: "xx yy zz"
+    tgt_like = [(i, "alpha beta gamma alpha beta delta") for i in range(10)]
+    off = [(100 + i, "xx yy zz xx yy ww") for i in range(10)]
+    return spark.createDataFrame(tgt_like + off, "doc_id long, text string")
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    from tap_airbyte_wrapper_spark.functions import dsir_logweights
+
+    pool = _dsir_corpus(spark)
+    target = pool.filter(F.col("doc_id") < 10)
+    w = {r.doc_id: r.logw for r in
+         dsir_logweights(pool, target, buckets=512).collect()}
+    # every target-shaped doc outscores every off-distribution doc
+    assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(10))
+
+
+def test_dsir_empty_doc_scores_zero_and_all_docs_present(spark):
+    from tap_airbyte_wrapper_spark.functions import dsir_logweights
+
+    pool = _dsir_corpus(spark).union(
+        spark.createDataFrame([(999, "")], "doc_id long, text string"))
+    target = pool.filter(F.col("doc_id") < 10)
+    rows = {r.doc_id: r for r in
+            dsir_logweights(pool, target, buckets=512).collect()}
+    assert len(rows) == 21           # one output row per pool doc
+    assert rows[999].n_grams == 0 and rows[999].logw == 0.0
+    # 6 unigrams + 5 bigrams per non-empty doc
+    assert rows[0].n_grams == 11
+
+
+def test_dsir_resample_deterministic_and_weight_biased(spark):
+    from tap_airbyte_wrapper_spark.functions import dsir_resample
+
+    pool = _dsir_corpus(spark)
+    target = pool.filter(F.col("doc_id") < 10)
+    s1 = dsir_resample(pool, target, k=8, buckets=512).collect()
+    s2 = dsir_resample(pool.repartition(7), target, k=8,
+                       buckets=512).collect()
+    assert [r.doc_id for r in s1] == [r.doc_id for r in s2]  # partition-proof
+    assert len(s1) == 8
+    picked = {r.doc_id for r in s1}
+    assert picked <= {r.doc_id for r in pool.collect()}
+    # weight bias: the 8-of-20 draw keeps more target-shaped docs
+    assert len([i for i in picked if i < 100]) > \
+        len([i for i in picked if i >= 100])
+
+
+def test_dsir_plan_shape(spark):
+    from tap_airbyte_wrapper_spark.functions import (
+        dsir_logweights, dsir_resample)
+
+    pool = _dsir_corpus(spark)
+    target = pool.filter(F.col("doc_id") < 10)
+    p = dsir_logweights(pool, target, buckets=512) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p      # llr table broadcast to the scan
+    p2 = dsir_resample(pool, target, k=5, buckets=512) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p2  # top-k, never a global sort
