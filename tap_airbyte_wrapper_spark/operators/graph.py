@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "degrees"]
+__all__ = ["pagerank", "degrees", "triangle_count"]
 
 def degrees(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """(node, out_deg, in_deg) over the DISTINCT edge set."""
@@ -143,3 +143,85 @@ def pagerank(
         # error paths
         e.unpersist()
         degs.unpersist()
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    the UNDIRECTED simple graph of ``edges``:
+    ``(node, degree, triangles, clustering)`` — the second classic
+    whole-graph statistic next to :func:`pagerank` (community density /
+    spam-farm detection in link-graph curation: link farms show
+    near-clique clustering, organic link neighborhoods don't).
+
+    Semantics: direction and multiplicity are ignored (edges
+    canonicalize to ``least < greatest`` and distinct), self-loops drop,
+    and every node of the edge set appears — triangle-less nodes with
+    ``triangles = 0``.  ``clustering = 2*T / (deg*(deg-1))`` (0.0 when
+    degree < 2), rounded to 6.
+
+    Scale shape — degree-ordered orientation (the "compact-forward"
+    algorithm, Latapy 2008): each undirected edge orients from the
+    lower ``(degree, node)`` endpoint to the higher, wedges come from
+    the oriented self-join on the apex (the LOWEST-rank vertex of every
+    triangle — each triangle is generated exactly once), and close by
+    joining the oriented edge set on the wedge's far pair.  Orientation
+    caps every node's oriented out-degree at O(sqrt(m)) regardless of
+    hub skew — a celebrity node ranks high, so its millions of
+    neighbors don't wedge THROUGH it — bounding the wedge join at
+    O(m^1.5) total where the naive all-neighbor-pairs join is
+    quadratic in the hub degree.  Three shuffles end-to-end (degree
+    agg, wedge join, closing join) plus the per-node rollup; nothing
+    touches the driver.  The DuckDB oracle orients by plain node id —
+    a different per-triangle apex, the same triangle SET — pinning the
+    orientation trick's correctness.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
+    ranked = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b")))
+    er = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("__db")).otherwise(F.col("__da"))
+        .alias("__dv"),
+    )
+    w1 = er.select(F.col("u"), F.col("v").alias("x"), F.col("__dv").alias("__dx"))
+    w2 = er.select(F.col("u"), F.col("v").alias("y"), F.col("__dv").alias("__dy"))
+    wedges = w1.join(w2, "u").filter(
+        (F.col("__dx") < F.col("__dy")) | (
+            (F.col("__dx") == F.col("__dy")) & (F.col("x") < F.col("y"))))
+    closing = er.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    per_node = (
+        tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node", "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)), 6))
+            .otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )

@@ -2464,6 +2464,29 @@ def q_chunk_sentences(spark, sf_dir):
     return chunk_by_sentences(docs, "doc_id", "text", budget_tokens=64)
 
 
+def q_triangle_suppliers(spark, sf_dir):
+    """Per-node triangle counts + clustering coefficient of the
+    same-week co-supply graph (suppliers shipping for one order in the
+    same ISO week — the unrestricted co-supply graph is complete at
+    test SFs, which exercises nothing).  Engine orients edges by
+    (degree, node) — the O(m^1.5) compact-forward bound; the oracle
+    orients by plain id, pinning that the orientation trick changes
+    the apex but never the triangle set."""
+    from ..operators import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter((F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+                & (F.date_trunc("week", F.col("x.l_shipdate"))
+                   == F.date_trunc("week", F.col("y.l_shipdate"))))
+        .select(F.col("x.l_suppkey").alias("src"),
+                F.col("y.l_suppkey").alias("dst"))
+    )
+    return triangle_count(e, "src", "dst")
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (Xie et al. 2023) of every document
     against the src0 slice as the target corpus: hashed unigram+bigram
@@ -2521,6 +2544,7 @@ QUERIES = {
     "chunk_sentences_docs": q_chunk_sentences,
     "dsir_weights_docs": q_dsir_weights,
     "dsir_sample_docs": q_dsir_sample,
+    "triangle_suppliers": q_triangle_suppliers,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -4663,6 +4687,32 @@ ORACLES = {
                  string_agg(sentence, ' ' ORDER BY idx), '\\S+'))
                  AS INTEGER) AS n_tokens
         FROM d GROUP BY doc_id, chunk_id""",
+    "triangle_suppliers": r"""
+        WITH raw AS (
+          SELECT x.l_suppkey AS s, y.l_suppkey AS d
+          FROM lineitem x JOIN lineitem y USING (l_orderkey)
+          WHERE x.l_suppkey < y.l_suppkey
+            AND date_trunc('week', x.l_shipdate)
+                = date_trunc('week', y.l_shipdate)),
+        e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM raw WHERE s <> d),
+        deg AS (SELECT node, count(*) AS degree FROM (
+                  SELECT a AS node FROM e
+                  UNION ALL SELECT b FROM e) GROUP BY node),
+        tri AS (
+          SELECT e1.a AS u, e1.b AS v, e2.b AS w
+          FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        pn AS (SELECT node, count(*) AS triangles FROM (
+                 SELECT u AS node FROM tri
+                 UNION ALL SELECT v FROM tri
+                 UNION ALL SELECT w FROM tri) GROUP BY node)
+        SELECT deg.node, degree, coalesce(triangles, 0) AS triangles,
+               CASE WHEN degree >= 2
+                    THEN round(2.0 * coalesce(triangles, 0)
+                         / (degree * (degree - 1)), 6)
+                    ELSE 0.0 END AS clustering
+        FROM deg LEFT JOIN pn USING (node)""",
     "dsir_weights_docs": _DSIR_WEIGHTS_SQL + """
         SELECT ws.doc_id, coalesce(n_grams, 0) AS n_grams,
                coalesce(logw, 0.0) AS logw

@@ -320,3 +320,38 @@ def test_dsir_plan_shape(spark):
     p2 = dsir_resample(pool, target, k=5, buckets=512) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p2  # top-k, never a global sort
+
+
+# -------------------------------------------------------------- triangles
+
+def test_triangle_count_hand_graph(spark):
+    from tap_airbyte_wrapper_spark.operators import triangle_count
+
+    # triangle 1-2-3, square 4-5-6-7 (triangle-free), pendant 8 on 1;
+    # plus a duplicate and a reversed edge (must collapse) and a loop
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 7), (7, 4),
+             (1, 8), (2, 1), (1, 2), (5, 5)]
+    df = spark.createDataFrame(edges, "s long, d long")
+    out = {r.node: r for r in triangle_count(df, "s", "d").collect()}
+    assert out[1].degree == 3 and out[1].triangles == 1
+    assert out[1].clustering == round(2 * 1 / (3 * 2), 6)
+    assert out[2].triangles == 1 and out[2].clustering == 1.0
+    assert out[4].triangles == 0 and out[4].clustering == 0.0
+    assert out[8].degree == 1 and out[8].clustering == 0.0
+    assert len(out) == 8  # the self-loop adds no node
+
+
+def test_triangle_count_complete_graph_and_skewed_hub(spark):
+    from tap_airbyte_wrapper_spark.operators import triangle_count
+
+    # K5: every node in C(4,2)=6 triangles, clustering 1.0
+    k5 = [(i, j) for i in range(5) for j in range(5) if i < j]
+    out = triangle_count(
+        spark.createDataFrame(k5, "s long, d long"), "s", "d").collect()
+    assert all(r.triangles == 6 and r.clustering == 1.0 for r in out)
+    # star hub (no triangles despite huge degree) + one closing edge
+    star = [(0, i) for i in range(1, 30)] + [(1, 2)]
+    out = {r.node: r for r in triangle_count(
+        spark.createDataFrame(star, "s long, d long"), "s", "d").collect()}
+    assert out[0].triangles == 1      # only the 0-1-2 closure
+    assert out[3].triangles == 0
