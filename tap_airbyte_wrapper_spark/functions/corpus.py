@@ -47,6 +47,7 @@ __all__ = [
     "char_ngram_entropy",
     "zipf_fit",
     "chunk_by_sentences",
+    "source_overlap",
 ]
 
 
@@ -956,3 +957,60 @@ def chunk_by_sentences(
                 F.col("chunk_text"), F.lit(r"\S+"), 0)).cast("int"))
     )
     return out
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise content overlap between corpus slices (sources, crawls,
+    snapshots, mixture components): for every pair of ``group_col``
+    values sharing at least one exact-duplicate document, the distinct
+    normalized-text fingerprint counts, their intersection, Jaccard,
+    and both containments — the ingest-audit matrix that answers "is
+    this new dump mostly a re-crawl of one we already have?" before
+    any expensive near-dup pass runs.
+
+    Returns ``(group_a, group_b, n_a, n_b, n_common, jaccard,
+    containment_a, containment_b)`` with ``group_a < group_b``;
+    ``containment_a`` = share of A's distinct docs also in B.
+    Disjoint pairs are absent (their Jaccard is 0).
+
+    Scale shape: ONE distinct over ``(group, fingerprint)`` (map-side
+    combined), group sizes as a groups-bounded aggregate, then a
+    fingerprint-keyed self-join — candidates exist only where a
+    fingerprint co-occurs in two groups, so the join is linear in
+    shared content (never all-pairs of docs), and a fingerprint seen
+    in G groups fans out to at most C(G,2) rows — bounded by the
+    number of slices, not the corpus.  Output is group-pair-bounded.
+    The md5 fingerprint keeps the whole audit engine-portable
+    (:func:`..text.fingerprint`).
+    """
+    from .text import fingerprint
+
+    fps = df.select(
+        F.col(group_col).alias("__g"),
+        fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    sizes = fps.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    a = fps.select(F.col("__g").alias("group_a"), "__fp")
+    b = fps.select(F.col("__g").alias("group_b"), "__fp")
+    common = (
+        a.join(b, "__fp")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("__g").alias("group_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("__g").alias("group_b"), F.col("__n").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "group_a").join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a", "group_b", "n_a", "n_b", "n_common",
+            F.round(F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6)
+            .alias("jaccard"),
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment_b"),
+        )
+    )

@@ -2464,6 +2464,21 @@ def q_chunk_sentences(spark, sf_dir):
     return chunk_by_sentences(docs, "doc_id", "text", budget_tokens=64)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-slice content-overlap audit: every source compared against
+    a synthetic 'recrawl' dump (one third of the corpus re-labeled —
+    the testdata's sources share no real duplicates, so the entry
+    constructs the exact scenario the audit exists for).  Fingerprint-
+    keyed join: candidates only where content is actually shared, never
+    all-pairs of docs."""
+    from ..functions import source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    recrawl = docs.filter(F.col("doc_id") % 3 == 0) \
+        .withColumn("source", F.lit("recrawl"))
+    return source_overlap(docs.unionByName(recrawl), "source", "text")
+
+
 def q_triangle_suppliers(spark, sf_dir):
     """Per-node triangle counts + clustering coefficient of the
     same-week co-supply graph (suppliers shipping for one order in the
@@ -2545,6 +2560,7 @@ QUERIES = {
     "dsir_weights_docs": q_dsir_weights,
     "dsir_sample_docs": q_dsir_sample,
     "triangle_suppliers": q_triangle_suppliers,
+    "source_overlap_docs": q_source_overlap,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -4687,6 +4703,30 @@ ORACLES = {
                  string_agg(sentence, ' ' ORDER BY idx), '\\S+'))
                  AS INTEGER) AS n_tokens
         FROM d GROUP BY doc_id, chunk_id""",
+    "source_overlap_docs": r"""
+        WITH all_docs AS (
+          SELECT source, text FROM documents
+          UNION ALL
+          SELECT 'recrawl' AS source, text FROM documents
+          WHERE doc_id % 3 = 0),
+        fps AS (
+          SELECT DISTINCT source AS g,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                 AS fp
+          FROM all_docs),
+        sizes AS (SELECT g, count(*) AS n FROM fps GROUP BY g),
+        common AS (
+          SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_common
+          FROM fps a JOIN fps b USING (fp)
+          WHERE a.g < b.g GROUP BY 1, 2)
+        SELECT group_a, group_b, sa.n AS n_a, sb.n AS n_b, n_common,
+               round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+                 AS jaccard,
+               round(n_common / CAST(sa.n AS DOUBLE), 6) AS containment_a,
+               round(n_common / CAST(sb.n AS DOUBLE), 6) AS containment_b
+        FROM common
+        JOIN sizes sa ON sa.g = group_a
+        JOIN sizes sb ON sb.g = group_b""",
     "triangle_suppliers": r"""
         WITH raw AS (
           SELECT x.l_suppkey AS s, y.l_suppkey AS d

@@ -355,3 +355,33 @@ def test_triangle_count_complete_graph_and_skewed_hub(spark):
         spark.createDataFrame(star, "s long, d long"), "s", "d").collect()}
     assert out[0].triangles == 1      # only the 0-1-2 closure
     assert out[3].triangles == 0
+
+
+# ---------------------------------------------------------- source_overlap
+
+def test_source_overlap_counts_and_symmetry(spark):
+    from tap_airbyte_wrapper_spark.functions import source_overlap
+
+    rows = [("A", "x"), ("A", "y"), ("A", "z"),
+            ("B", "x"), ("B", "y"), ("B", "q"),
+            ("C", "unrelated"),
+            ("A", "x")]  # duplicate within A: distinct-ed away
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.group_a, r.group_b): r for r in
+           source_overlap(df, "source", "text").collect()}
+    ab = out[("A", "B")]
+    assert (ab.n_a, ab.n_b, ab.n_common) == (3, 3, 2)
+    assert ab.jaccard == round(2 / 4, 6)
+    assert ab.containment_a == round(2 / 3, 6)
+    # disjoint pairs are absent, not zero rows
+    assert ("A", "C") not in out and ("B", "C") not in out
+
+
+def test_source_overlap_normalization_folds_whitespace_case(spark):
+    from tap_airbyte_wrapper_spark.functions import source_overlap
+
+    df = spark.createDataFrame(
+        [("A", "Hello  World"), ("B", "hello world")],
+        "source string, text string")
+    out = source_overlap(df, "source", "text").collect()
+    assert len(out) == 1 and out[0].n_common == 1
