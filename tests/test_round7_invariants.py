@@ -104,3 +104,78 @@ def test_rrf_ranks_are_dense_per_query(spark):
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
         assert len(ranks) <= 5
+
+
+def test_triangle_count_matches_bruteforce_on_random_graph(spark):
+    from itertools import combinations
+
+    from tap_airbyte_wrapper_spark.operators import triangle_count
+
+    rng = random.Random(77)
+    nodes = list(range(18))
+    edges = [(a, b) for a, b in combinations(nodes, 2)
+             if rng.random() < 0.25]
+    # brute force: per-node triangle membership over the adjacency set
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    expect = {}
+    for n in nodes:
+        if not adj[n]:
+            continue
+        t = sum(1 for u, v in combinations(sorted(adj[n]), 2)
+                if v in adj[u])
+        d = len(adj[n])
+        expect[n] = (d, t,
+                     round(2 * t / (d * (d - 1)), 6) if d >= 2 else 0.0)
+    out = {r.node: (r.degree, r.triangles, r.clustering)
+           for r in triangle_count(
+               spark.createDataFrame(edges, "s long, d long"),
+               "s", "d").collect()}
+    assert out == expect
+
+
+def test_source_overlap_matches_setmath_on_random_slices(spark):
+    rng = random.Random(9)
+    texts = [f"text {i % 30}" for i in range(120)]  # forced collisions
+    rows = [(rng.choice("ABC"), t) for t in texts]
+    from tap_airbyte_wrapper_spark.functions import source_overlap
+
+    sets = {}
+    for g, t in rows:
+        sets.setdefault(g, set()).add(t)
+    out = {(r.group_a, r.group_b): r for r in source_overlap(
+        spark.createDataFrame(rows, "source string, text string"),
+        "source", "text").collect()}
+    for ga, gb in [("A", "B"), ("A", "C"), ("B", "C")]:
+        inter = len(sets[ga] & sets[gb])
+        if inter == 0:
+            assert (ga, gb) not in out
+            continue
+        r = out[(ga, gb)]
+        assert (r.n_a, r.n_b, r.n_common) == (
+            len(sets[ga]), len(sets[gb]), inter)
+        assert r.jaccard == round(
+            inter / len(sets[ga] | sets[gb]), 6)
+
+
+def test_dsir_weights_depend_on_text_not_ids_or_layout(spark):
+    from tap_airbyte_wrapper_spark.functions import dsir_logweights
+
+    rng = random.Random(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "xx", "yy", "zz"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = df.filter(F.col("doc_id") < 15)
+    base = dsir_logweights(df, tgt, buckets=256)
+    w0 = {r.doc_id: r.logw for r in base.collect()}
+    # relabeled ids (order-reversing bijection), shuffled partitioning:
+    # the per-text weight must be identical — weights are a pure
+    # function of (text, target corpus, pool corpus)
+    relabeled = df.withColumn("doc_id", 1000 - F.col("doc_id")) \
+        .repartition(7)
+    tgt2 = relabeled.filter(F.col("doc_id") > 1000 - 15)
+    w1 = {1000 - r.doc_id: r.logw for r in
+          dsir_logweights(relabeled, tgt2, buckets=256).collect()}
+    assert w0 == w1
