@@ -2464,6 +2464,24 @@ def q_chunk_sentences(spark, sf_dir):
     return chunk_by_sentences(docs, "doc_id", "text", budget_tokens=64)
 
 
+def q_knn_pq_verified(spark, sf_dir):
+    """PQ search widened to exact (full-corpus shortlist -> the
+    exact-cosine rerank sees every candidate): the output must equal
+    brute force bit-for-bit, so a green row pins training, encoding,
+    the ADC scan's LUT arithmetic, per-query id mapping and both
+    tie-break chains end-to-end against SQL.  The 50-candidate
+    production cut stays benched as knn_pq (rows-only)."""
+    from ..functions import pq_encode, pq_rerank, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = pq_train(emb, m=8, ks=16, train_sample=100_000)
+    codes = pq_encode(emb, model)
+    queries = emb.filter(F.col("vec_id") < 10)
+    short = pq_topk(codes, model, queries, k=1_000_000_000)
+    return pq_rerank(short, emb, queries, k=5).select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"))
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-slice content-overlap audit: every source compared against
     a synthetic 'recrawl' dump (one third of the corpus re-labeled —
@@ -2561,6 +2579,7 @@ QUERIES = {
     "dsir_sample_docs": q_dsir_sample,
     "triangle_suppliers": q_triangle_suppliers,
     "source_overlap_docs": q_source_overlap,
+    "knn_pq_verified": q_knn_pq_verified,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -4052,6 +4071,22 @@ ORACLES = {
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
               >= 0.5""",
+    # full-shortlist PQ + exact rerank = brute force by construction
+    "knn_pq_verified": """
+        SELECT query_id, vec_id, round(cos_sim, 4) AS cos_r
+        FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[]))
+                     AS cos_sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                         CAST(c.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
+              FROM embeddings c
+              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+              WHERE c.vec_id != q.vec_id)
+        WHERE rk <= 5""",
     "knn_lsh_verified": """
         SELECT query_id, vec_id, round(cos_sim, 4) AS cos_r
         FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
