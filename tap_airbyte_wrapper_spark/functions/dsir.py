@@ -46,13 +46,32 @@ extends the curation layer next to ``functions/sampling.py``.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
 from .corpus import word_ngrams, words
 from .sampling import _HASH_SPACE, _hash_long, hash_bucket
 
-__all__ = ["dsir_logweights", "dsir_resample"]
+__all__ = ["DsirModel", "dsir_fit", "dsir_score", "save_dsir",
+           "load_dsir", "dsir_logweights", "dsir_resample"]
+
+
+@dataclass
+class DsirModel:
+    """Fitted DSIR importance model: the per-bucket log-ratio table
+    (``(__b, __llr)``, ≤ ``buckets`` rows — broadcastable by
+    construction), the featurization parameters, and the smoothed
+    log-ratio a bucket unseen in BOTH fit corpora scores
+    (``round(ln(N_r+B) - ln(N_t+B), 6)`` — both counts smooth to +1,
+    so only the totals term survives).  Fit once on (pool, target),
+    then score any number of later ingest batches without refitting —
+    the same fixed-model/streaming-corpus contract as ``BigramLM``."""
+
+    llr: DataFrame
+    buckets: int
+    salt: str
+    default_llr: float
 
 
 def _gram_buckets(
@@ -94,19 +113,36 @@ def dsir_logweights(
     pass over ``df`` with the log-ratio table broadcast.  Nothing
     scales with corpus size except linear scans and the per-doc
     rollup."""
+    model = dsir_fit(df, target, id_col, text_col, buckets, salt)
+    return dsir_score(df, model, id_col, text_col)
+
+
+def dsir_fit(
+    pool: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    salt: str = "",
+) -> DsirModel:
+    """Fit the two hashed-ngram multinomials and return the
+    :class:`DsirModel` (per-bucket log-ratio table + unseen-bucket
+    default).  Cost: two explode+groupBy(bucket) passes whose output
+    tables are ≤ ``buckets`` rows, plus two 1-row total aggregates —
+    nothing corpus-sized materializes anywhere."""
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     tgt = _gram_buckets(target, id_col, text_col, buckets, salt) \
         .groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
-    doc_grams = _gram_buckets(df, id_col, text_col, buckets, salt)
-    raw = doc_grams.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    raw = _gram_buckets(pool, id_col, text_col, buckets, salt) \
+        .groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
     # 1-row totals — guarded metadata-scale collects
     n_t = tgt.agg(F.sum("__ct")).collect()[0][0] or 0
     n_r = raw.agg(F.sum("__cr")).collect()[0][0] or 0
     const = math.log(n_r + buckets) - math.log(n_t + buckets)
-    # raw-side join: every bucket a scored doc can hit has a raw count
-    # (the scored frame IS the raw pool); target-missing buckets smooth
-    # to c_t = 0.  Table is <= buckets rows -> broadcast.
+    # raw-side join: a bucket never seen in the POOL can still appear
+    # in a later scored batch — dsir_score smooths it to default_llr.
+    # Table is <= buckets rows -> broadcast at score time.
     llr = (
         raw.join(tgt, "__b", "left")
         .select(
@@ -118,8 +154,26 @@ def dsir_logweights(
                 6,
             ).alias("__llr"))
     )
+    return DsirModel(llr=llr, buckets=buckets, salt=salt,
+                     default_llr=round(const, 6))
+
+
+def dsir_score(
+    df: DataFrame,
+    model: DsirModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score any batch against a fitted (or loaded) model:
+    ``(id, n_grams, logw)`` — one linear pass with the ≤ ``buckets``-row
+    log-ratio table broadcast; grams hitting buckets absent from BOTH
+    fit corpora take ``model.default_llr`` (the smoothed
+    totals-only ratio), so scoring never refits and a continuously
+    arriving corpus pays O(batch) per batch."""
+    doc_grams = _gram_buckets(
+        df, id_col, text_col, model.buckets, model.salt)
     scored = (
-        doc_grams.join(F.broadcast(llr), "__b")
+        doc_grams.join(F.broadcast(model.llr), "__b", "left")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_grams"),
              # the exact sum of 6-dec-quantized terms IS a multiple of
@@ -128,7 +182,10 @@ def dsir_logweights(
              # final grid would put on-grid sums exactly half-way
              # (x.xxxx50) where 1-ulp engine differences flip the
              # result; observed at round(,4) on 1 doc in 1000.
-             (F.round(F.sum("__llr"), 6) + F.lit(0.0)).alias("logw"))
+             (F.round(
+                 F.sum(F.coalesce(F.col("__llr"),
+                                  F.lit(model.default_llr))), 6)
+              + F.lit(0.0)).alias("logw"))
     )
     return (
         df.select(id_col)
@@ -138,6 +195,25 @@ def dsir_logweights(
             F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
             F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"))
     )
+
+
+def save_dsir(model: DsirModel, spark, path: str) -> None:
+    """Persist the model: the log-ratio table as one parquet file plus
+    a one-row meta (JVM-literal write — no Python-RDD round trip)."""
+    model.llr.coalesce(1).write.mode("overwrite").parquet(f"{path}/llr")
+    (spark.range(1).select(
+        F.lit(model.buckets).cast("int").alias("buckets"),
+        F.lit(model.salt).alias("salt"),
+        F.lit(model.default_llr).cast("double").alias("default_llr"))
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+
+def load_dsir(spark, path: str) -> DsirModel:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return DsirModel(
+        llr=spark.read.parquet(f"{path}/llr"),
+        buckets=meta["buckets"], salt=meta["salt"],
+        default_llr=meta["default_llr"])
 
 
 def dsir_resample(

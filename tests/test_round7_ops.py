@@ -385,3 +385,30 @@ def test_source_overlap_normalization_folds_whitespace_case(spark):
         "source string, text string")
     out = source_overlap(df, "source", "text").collect()
     assert len(out) == 1 and out[0].n_common == 1
+
+
+def test_dsir_fit_score_persist_roundtrip(spark, tmp_path):
+    from tap_airbyte_wrapper_spark.functions import (
+        dsir_fit, dsir_logweights, dsir_score, load_dsir, save_dsir)
+
+    pool = _dsir_corpus(spark)
+    target = pool.filter(F.col("doc_id") < 10)
+    model = dsir_fit(pool, target, buckets=512)
+    # fit+score == the one-shot wrapper
+    a = {r.doc_id: r.logw for r in dsir_score(pool, model).collect()}
+    b = {r.doc_id: r.logw for r in
+         dsir_logweights(pool, target, buckets=512).collect()}
+    assert a == b
+    # save -> load -> score is identical
+    save_dsir(model, spark, str(tmp_path / "dsir"))
+    loaded = load_dsir(spark, str(tmp_path / "dsir"))
+    assert loaded.buckets == 512 and loaded.default_llr == model.default_llr
+    c = {r.doc_id: r.logw for r in dsir_score(pool, loaded).collect()}
+    assert a == c
+    # a NEW batch with out-of-vocabulary grams scores via default_llr,
+    # no refit: 3 grams (2 uni + 1 bi), all unseen
+    new = spark.createDataFrame(
+        [(5000, "unseen tokens")], "doc_id long, text string")
+    r = dsir_score(new, loaded).collect()[0]
+    assert r.n_grams == 3
+    assert r.logw == round(round(3 * loaded.default_llr, 6) + 0.0, 6)
