@@ -1214,6 +1214,11 @@ def semantic_dedup_clustered(
     k: int = 8,
     threshold: float = 0.9,
     iters: int = 3,
+    method: str = "auto",
+    bits: int = 128,
+    bands: int = 8,
+    seed: int = 42,
+    max_cluster_pair_cells: int = 25_000_000,
 ) -> DataFrame:
     """SemDeDup as published (Abbas et al. 2023): k-means-cluster the
     corpus, then find near-duplicates WITHIN clusters only — the
@@ -1223,23 +1228,77 @@ def semantic_dedup_clustered(
     ``threshold`` collapse to their min-id representative; the output
     is the curated corpus.  (Cross-cluster near-dups are missed by
     construction — the paper's accepted trade; the LSH-blocked
-    :func:`semantic_dedup` is the alternative when that matters.)"""
+    :func:`semantic_dedup` is the alternative when that matters.)
+
+    Within-cluster pair generation routes by size (``method="auto"``):
+    the exact all-pairs join costs ``sum_c |c|^2`` — the paper keeps it
+    tractable by choosing k large enough that clusters stay small, but
+    a skewed corpus (one mega-cluster of boilerplate) breaks that
+    assumption silently.  A k-row size aggregate prices the join first;
+    over ``max_cluster_pair_cells`` (default 25M pairs ≈ the exact
+    path's measured knee) candidates switch to hyperplane-LSH banding
+    COMPOSED with the cluster key — rows must share
+    ``(cluster, band, band_value)`` — so candidate generation inside
+    the offending cluster is bucket-bounded, id-only, with exact-cosine
+    verification after the pair dedup (the
+    :func:`embedding_near_dup_pairs` shuffle discipline).  At
+    ``threshold >= 0.9`` a signature bit agrees w.p. ~0.9 and the
+    16-bit x 8-band default keeps recall high; ``method="exact"`` /
+    ``"lsh"`` force a path."""
+    if method not in ("exact", "lsh", "auto"):
+        raise ValueError(f"method must be exact|lsh|auto, got {method!r}")
     cent = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
     assigned = df.join(
         kmeans_predict(df, cent, id_col, vec_col), id_col)
-    a = assigned.select(F.col("cluster"),
-                        F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("__va"))
-    b = assigned.select(F.col("cluster"),
-                        F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("__vb"))
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b")
-    )
+    if method == "auto":
+        # k-row aggregate: the price of never running a blind n^2 join
+        sizes = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"))
+        cells = sizes.agg(
+            F.sum(F.col("n") * F.col("n"))).collect()[0][0] or 0
+        method = "exact" if cells <= max_cluster_pair_cells else "lsh"
+    if method == "exact":
+        a = assigned.select(F.col("cluster"),
+                            F.col(id_col).alias("id_a"),
+                            F.col(vec_col).alias("__va"))
+        b = assigned.select(F.col("cluster"),
+                            F.col(id_col).alias("id_b"),
+                            F.col(vec_col).alias("__vb"))
+        pairs = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b")
+        )
+    else:
+        dim = assigned.select(
+            F.size(F.col(vec_col)).alias("d")).first()["d"]
+        sig = hyperplane_signature(vec_col, _planes(bits, dim, seed), bands)
+        h = assigned.select(F.col(id_col), F.col("cluster"),
+                            sig.alias("__sig"))
+        expl = h.select(
+            id_col, "cluster",
+            F.posexplode("__sig").alias("band", "band_val"))
+        ca = expl.select(F.col(id_col).alias("id_a"),
+                         "cluster", "band", "band_val")
+        cb = expl.select(F.col(id_col).alias("id_b"),
+                         "cluster", "band", "band_val")
+        cand = (
+            ca.join(cb, on=["cluster", "band", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        va = assigned.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        vb = assigned.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        pairs = (
+            cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b")
+        )
     from .dedup import connected_components
 
     comps = connected_components(pairs)

@@ -216,3 +216,30 @@ def test_ivfpq_probe_pruning_respects_per_query_cells(spark):
     for r in out:
         # same planted cluster: ids 0-7 / 8-15 / 16-23 / 24-31
         assert r.vec_id // 8 == r.query_id // 8, r
+
+
+def test_semantic_dedup_clustered_lsh_route_matches_exact(spark):
+    """Forcing the mega-cluster LSH route on the planted-dup corpus
+    must drop exactly the same near-copies as the exact path: at
+    cos ~ 1-1e-8 every signature bit agrees, so banded candidates
+    cover all true pairs and the exact-cosine verify decides."""
+    from tap_airbyte_wrapper_spark.functions import semantic_dedup_clustered
+
+    base = _clusters(n_per=5)
+    rng = np.random.RandomState(3)
+    dups = base[[0, 5, 10, 15]] + rng.normal(0, 1e-4, size=(4, base.shape[1]))
+    rows = np.vstack([base, dups])
+    ids = list(range(len(base))) + [100, 101, 102, 103]
+    df = spark.createDataFrame(
+        [(ids[i], [float(x) for x in rows[i]]) for i in range(len(ids))],
+        "vec_id long, embedding array<double>")
+    exact = sorted(r.vec_id for r in semantic_dedup_clustered(
+        df, k=4, threshold=0.999999, iters=3, method="exact").collect())
+    lsh = sorted(r.vec_id for r in semantic_dedup_clustered(
+        df, k=4, threshold=0.999999, iters=3, method="lsh").collect())
+    assert lsh == exact
+    # auto with a tiny guard must take the LSH route and still agree
+    auto = sorted(r.vec_id for r in semantic_dedup_clustered(
+        df, k=4, threshold=0.999999, iters=3, method="auto",
+        max_cluster_pair_cells=1).collect())
+    assert auto == exact
