@@ -44,7 +44,7 @@ _GROUPS = [
         r"^(exact_dedup|paragraph|jaccard|minhash|simhash|dedup_clusters"
         r"|semantic_dedup|winnow|boilerplate|dup_span|remove_dup"
         r"|dedup_cluster|dedup_keep|containment)")),
-    ("graph", re.compile(r"^(pagerank|degrees|triangle)")),
+    ("graph", re.compile(r"^(pagerank|degrees|triangle|communities)")),
     ("similarity", re.compile(
         r"^(knn|embedding|quantize|centroid|label_centroids"
         r"|approx_distinct|pca_|kmeans|semantic_dedup)")),

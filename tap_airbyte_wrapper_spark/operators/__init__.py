@@ -31,7 +31,7 @@ from .windows import (global_cumsum, global_distribution_ranks,
                       global_topk, ranked, running_agg, topk_per_group,
                       with_lag_lead)
 from .merge import maintain_agg_snapshot, merge_upsert, scd2_history
-from .graph import degrees, pagerank, triangle_count
+from .graph import degrees, label_propagation, pagerank, triangle_count
 from .setops import except_rows, intersect_rows, melt, union_by_name
 from .timeseries import (
     detect_anomalies,
@@ -70,5 +70,6 @@ __all__ = [
     "profile_table", "Expectation", "validate_expectations",
     "snapshot_diff",
     "numeric_histogram", "column_correlations", "partition_skew_report",
-    "pagerank", "degrees", "triangle_count", "distribution_drift",
+    "pagerank", "degrees", "triangle_count", "label_propagation",
+    "distribution_drift",
 ]

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "degrees", "triangle_count"]
+__all__ = ["pagerank", "degrees", "triangle_count", "label_propagation"]
 
 def degrees(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """(node, out_deg, in_deg) over the DISTINCT edge set."""
@@ -225,3 +225,76 @@ def triangle_count(
             .otherwise(F.lit(0.0)).alias("clustering"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the UNDIRECTED simple graph: every node starts
+    in its own community (label = node id) and each iteration adopts
+    the most frequent label among its NEIGHBORS, ties broken by the
+    smallest label — the deterministic variant, so a fixed iteration
+    count is exactly reproducible (and SQL-unrollable, the same
+    full-value-oracle strategy as :func:`pagerank`; the classic
+    randomized-order LPA converges faster but is unauditable).
+    Returns ``(node, community)`` after ``n_iter`` rounds.
+
+    Link-graph curation uses it where :func:`triangle_count` flags
+    density: a link farm resolves into one tight community whose
+    members can be quota'd or down-weighted together.
+
+    Scale shape: per iteration one join of the adjacency list against
+    the node-sized label frame, a ``(node, label)`` partial-agg count,
+    and a per-node top-1 window keyed by node — each shuffle linear in
+    edges; label frames are node-sized, cut out of the lineage with an
+    eager ``localCheckpoint`` each round (the 3^k-recompute trap, see
+    the module docstring).  Nothing collects to the driver.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+        .persist()
+    )
+    try:
+        n = adj.count()  # materializes the cache; node-count guard below
+        if n == 0:
+            return adj.select("node", F.col("node").alias("community"))
+        parts = max(1, min(edges.sparkSession.sparkContext
+                           .defaultParallelism, -(-n // 500_000)))
+        labels = (
+            adj.select("node").distinct()
+            .withColumn("label", F.col("node"))
+            .coalesce(parts).localCheckpoint(eager=True)
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("__c").desc(), F.col("label"))
+        for _ in range(n_iter):
+            votes = (
+                adj.join(labels.withColumnRenamed("node", "nb"), "nb")
+                .groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            labels = (
+                votes.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") == 1)
+                .select("node", "label")
+                .coalesce(parts)
+                # eager cut: next iteration reads this once per subtree
+                .localCheckpoint(eager=True)
+            )
+        return labels.select("node", F.col("label").alias("community"))
+    finally:
+        adj.unpersist()

@@ -2464,6 +2464,57 @@ def q_chunk_sentences(spark, sf_dir):
     return chunk_by_sentences(docs, "doc_id", "text", budget_tokens=64)
 
 
+def q_communities_suppliers(spark, sf_dir):
+    """Label-propagation communities (3 synchronous rounds, min-label
+    ties) over the same-week co-supply graph — the deterministic LPA
+    variant unrolls into a CTE chain, giving the iterative operator a
+    full value-hash oracle (the pagerank strategy)."""
+    from ..operators import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter((F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+                & (F.date_trunc("week", F.col("x.l_shipdate"))
+                   == F.date_trunc("week", F.col("y.l_shipdate"))))
+        .select(F.col("x.l_suppkey").alias("src"),
+                F.col("y.l_suppkey").alias("dst"))
+    )
+    return label_propagation(e, "src", "dst", n_iter=3)
+
+
+def _lpa_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled-iteration DuckDB twin of q_communities_suppliers (same
+    strategy as _pagerank_oracle_sql: a FIXED iteration count turns the
+    fixed-point loop into a CTE chain)."""
+    parts = [
+        """raw AS (
+          SELECT x.l_suppkey AS s, y.l_suppkey AS d
+          FROM lineitem x JOIN lineitem y USING (l_orderkey)
+          WHERE x.l_suppkey < y.l_suppkey
+            AND date_trunc('week', x.l_shipdate)
+                = date_trunc('week', y.l_shipdate))""",
+        """e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM raw WHERE s <> d)""",
+        """adj AS (SELECT a AS node, b AS nb FROM e
+               UNION ALL SELECT b, a FROM e)""",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM adj)",
+    ]
+    for k in range(n_iter):
+        parts.append(f"""cnt{k} AS (
+          SELECT adj.node, l.label, count(*) AS c
+          FROM adj JOIN l{k} l ON adj.nb = l.node
+          GROUP BY 1, 2)""")
+        parts.append(f"""l{k + 1} AS (
+          SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+              PARTITION BY node ORDER BY c DESC, label) AS rk
+            FROM cnt{k}) WHERE rk = 1)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, label AS community FROM l{n_iter}")
+
+
 def q_knn_pq_verified(spark, sf_dir):
     """PQ search widened to exact (full-corpus shortlist -> the
     exact-cosine rerank sees every candidate): the output must equal
@@ -2580,6 +2631,7 @@ QUERIES = {
     "triangle_suppliers": q_triangle_suppliers,
     "source_overlap_docs": q_source_overlap,
     "knn_pq_verified": q_knn_pq_verified,
+    "communities_suppliers": q_communities_suppliers,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -4738,6 +4790,7 @@ ORACLES = {
                  string_agg(sentence, ' ' ORDER BY idx), '\\S+'))
                  AS INTEGER) AS n_tokens
         FROM d GROUP BY doc_id, chunk_id""",
+    "communities_suppliers": _lpa_oracle_sql(),
     "source_overlap_docs": r"""
         WITH all_docs AS (
           SELECT source, text FROM documents

@@ -412,3 +412,52 @@ def test_dsir_fit_score_persist_roundtrip(spark, tmp_path):
     r = dsir_score(new, loaded).collect()[0]
     assert r.n_grams == 3
     assert r.logw == round(round(3 * loaded.default_llr, 6) + 0.0, 6)
+
+
+# ------------------------------------------------------- label propagation
+
+def _python_lpa(edges, n_iter):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(n_iter):
+        new = {}
+        for n, nbs in adj.items():
+            counts = {}
+            for nb in nbs:
+                counts[labels[nb]] = counts.get(labels[nb], 0) + 1
+            new[n] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python_reference(spark):
+    import random
+
+    from tap_airbyte_wrapper_spark.operators import label_propagation
+
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 25), rng.randint(0, 25)) for _ in range(60)]
+    edges = [e for e in edges if e[0] != e[1]]
+    for n_iter in (1, 2, 3):
+        got = {r.node: r.community for r in label_propagation(
+            spark.createDataFrame(edges, "s long, d long"),
+            "s", "d", n_iter=n_iter).collect()}
+        assert got == _python_lpa(edges, n_iter)
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    from tap_airbyte_wrapper_spark.operators import label_propagation
+
+    cliq = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    edges = cliq([1, 2, 3, 4]) + cliq([10, 11, 12, 13]) + [(4, 10)]
+    out = {r.node: r.community for r in label_propagation(
+        spark.createDataFrame(edges, "s long, d long"),
+        "s", "d", n_iter=3).collect()}
+    assert len({out[n] for n in (1, 2, 3, 4)}) == 1
+    assert len({out[n] for n in (10, 11, 12, 13)}) == 1
+    assert out[1] != out[11]
