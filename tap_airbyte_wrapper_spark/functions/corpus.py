@@ -900,63 +900,68 @@ def chunk_by_sentences(
     :func:`chunk_documents` is the fixed-window token alternative).
 
     Returns ``(id, chunk_id, chunk_text, n_sentences, n_tokens)`` with
-    ``chunk_id`` densely numbered 0.. per document.
+    ``chunk_id`` densely numbered 0.. per document; docs with no
+    sentences are absent.
 
-    Plan: ONE per-row expression chain, zero shuffle — sentence split
-    via the marker-char rewrite (portable to RE2-based engines: no
-    lookbehind), per-sentence token counts, a higher-order-function
-    prefix sum assigns each sentence ``floor(tokens_before / budget)``,
-    and chunks assemble with an index-aware ``filter``.  The HOF work
-    is bounded by sentences-per-document (tens), not corpus size.
+    Plan: sentence split via the marker-char rewrite (portable to
+    RE2-based engines: no lookbehind), posexplode to sentence rows,
+    ONE doc-keyed shuffle that serves both per-doc windows (running
+    token count -> raw chunk of ``floor(tokens_before/budget)``, then
+    a dense renumber), and a (doc, chunk) rollup that reassembles
+    chunk text in sentence order.  Window state per doc is
+    sentences-per-document (tens) — never corpus-scale.
+
+    Why not a zero-shuffle per-row HOF chain: Catalyst has no scan
+    primitive, so the prefix sum becomes aggregate-with-array-concat —
+    O(sentences^2) array copies per document, evaluated interpreted —
+    and chunk assembly re-filters the sentence array per chunk.
+    Measured at sf0.1/local[32]: 6.8 s for that formulation vs ~1 s
+    for this one; at 100 TB the explode adds rows but every stage
+    stays linear and codegen'd.
     """
+    from pyspark.sql import Window
+
     sents_raw = F.split(
         F.regexp_replace(F.trim(F.col(text_col)),
                          r"([.!?])\s+", "$1\x01"), "\x01")
     sents = F.filter(
         F.transform(sents_raw, lambda s: F.trim(s)),
         lambda s: s != "")
-    toks = F.transform(
-        sents, lambda s: F.size(F.regexp_extract_all(s, F.lit(r"\S+"), 0)))
-    # pref[i+1] = tokens before sentence i (pref[0] = 0)
-    pref = F.aggregate(
-        toks,
-        F.array(F.lit(0).cast("long")),
-        lambda acc, x: F.concat(
-            acc, F.array(F.element_at(acc, -1) + x)))
-    n = F.size(sents)
-    raw_cid = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.floor(F.element_at(pref, i + 1) / budget_tokens))
-    cids = F.array_distinct(raw_cid)  # increasing by construction
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.size(cids) - 1),
-        lambda c: F.struct(
-            c.cast("int").alias("chunk_id"),
+    ex = (
+        df.select(F.col(id_col),
+                  F.posexplode(sents).alias("idx", "sentence"))
+        .withColumn("t", F.size(F.regexp_extract_all(
+            F.col("sentence"), F.lit(r"\S+"), 0)))
+    )
+    w = Window.partitionBy(id_col).orderBy("idx")
+    pre = ex.withColumn(
+        "tok_before",
+        F.coalesce(F.sum("t").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    dense = (
+        pre.withColumn(
+            "__raw", F.floor(F.col("tok_before") / budget_tokens))
+        .withColumn(
+            "chunk_id",
+            (F.dense_rank().over(
+                Window.partitionBy(id_col).orderBy("__raw")) - 1)
+            .cast("int"))
+    )
+    return (
+        dense.groupBy(id_col, "chunk_id")
+        .agg(
             F.array_join(
-                F.filter(sents, lambda s, i:
-                         F.element_at(raw_cid, i + 1)
-                         == F.element_at(cids, c + 1)),
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "sentence"))),
+                    lambda x: x["sentence"]),
                 " ").alias("chunk_text"),
-            F.size(F.filter(sents, lambda s, i:
-                            F.element_at(raw_cid, i + 1)
-                            == F.element_at(cids, c + 1)))
-            .alias("n_sentences"),
-        ))
-    out = (
-        df.select(F.col(id_col), F.explode(
-            F.when(n > 0, chunks).otherwise(F.array())).alias("__c"))
-        .select(
-            F.col(id_col),
-            F.col("__c.chunk_id").alias("chunk_id"),
-            F.col("__c.chunk_text").alias("chunk_text"),
-            F.col("__c.n_sentences").alias("n_sentences"),
-        )
+            F.count(F.lit(1)).cast("int").alias("n_sentences"))
         .withColumn(
             "n_tokens",
             F.size(F.regexp_extract_all(
                 F.col("chunk_text"), F.lit(r"\S+"), 0)).cast("int"))
     )
-    return out
 
 
 def source_overlap(
