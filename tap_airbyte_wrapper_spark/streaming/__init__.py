@@ -14,6 +14,7 @@ from .incremental import (
 from .cdc import stream_changelog_apply
 from .dedup import stream_exact_dedup_gate, stream_near_dup_gate
 from .similarity import stream_embedding_gate
+from .selection import stream_dsir_gate
 from .stats import append_gate_stats, read_gate_stats
 from .drift import reference_profile, stream_drift_monitor
 from .stateful import (
@@ -27,6 +28,7 @@ __all__ = [
     "stream_near_dup_gate",
     "stream_exact_dedup_gate",
     "stream_embedding_gate",
+    "stream_dsir_gate",
     "append_gate_stats",
     "read_gate_stats",
     "reference_profile",

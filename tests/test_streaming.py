@@ -483,3 +483,48 @@ def test_stream_exact_dedup_gate_across_batches_and_replay(spark, tmp_path):
     assert sorted(r["doc_id"] for r in replay.collect()) == [5]
     replay1 = fingerprint_dedup_delta(b1, "sedg", "doc_id", "text")
     assert sorted(r["doc_id"] for r in replay1.collect()) == [1, 3]
+
+
+def test_stream_dsir_gate_filters_by_importance(spark, tmp_path):
+    """DSIR admission gate: batches score against the persisted model
+    (fit offline) and only target-like docs land, carrying their logw;
+    a re-drain with a fresh checkpoint reproduces identical output
+    (stateless gate — scores are a pure function of the batch)."""
+    from pyspark.sql import Row
+    from tap_airbyte_wrapper_spark.functions import dsir_fit, save_dsir
+    from tap_airbyte_wrapper_spark.streaming import stream_dsir_gate
+
+    schema = "doc_id long, text string"
+    pool = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma alpha") for i in range(10)]
+        + [Row(doc_id=100 + i, text="xx yy zz ww") for i in range(10)],
+        schema)
+    target = pool.filter(F.col("doc_id") < 10)
+    save_dsir(dsir_fit(pool, target, buckets=256), spark,
+              str(tmp_path / "model"))
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [Row(doc_id=500, text="alpha beta gamma"),      # target-like
+         Row(doc_id=501, text="xx yy zz"),              # pool-shaped
+         Row(doc_id=502, text="alpha beta alpha beta")], schema)
+    batch.coalesce(1).write.mode("append").parquet(str(src))
+    out = str(tmp_path / "kept")
+
+    def drain(ckpt):
+        q = stream_dsir_gate(
+            spark.readStream.schema(batch.schema).parquet(str(src)),
+            "doc_id", "text", str(tmp_path / "model"), min_logw=0.0,
+            out_path=out, checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    drain("ck1")
+    kept = {r.doc_id: r.logw for r in spark.read.parquet(out).collect()}
+    assert 501 not in kept
+    assert set(kept) == {500, 502} and all(v >= 0.0 for v in kept.values())
+    assert "logw" in spark.read.parquet(out).columns
+    # stateless replay: fresh checkpoint -> byte-identical survivors
+    drain("ck2")
+    kept2 = {r.doc_id: r.logw for r in spark.read.parquet(out).collect()}
+    assert kept2 == kept
