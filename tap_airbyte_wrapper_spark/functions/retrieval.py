@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .corpus import words
 
-__all__ = ["bm25_topk", "doc_term_freq", "rrf_fuse", "rank_eval"]
+__all__ = ["bm25_topk", "doc_term_freq", "rrf_fuse", "rank_eval",
+           "bm25_index_write", "bm25_index_append",
+           "bm25_index_search"]
 
 
 def doc_term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -56,6 +58,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     tf_table: DataFrame | None = None,
+    dl_table: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25.
 
@@ -63,7 +66,10 @@ def bm25_topk(
     broadcast; never pass a corpus-scale frame here (per-doc-vs-doc
     similarity is the dedup family's job, not retrieval's).
     ``tf_table``: optional precomputed :func:`doc_term_freq` output for
-    a standing corpus (skips the tokenize pass).
+    a standing corpus (skips the tokenize pass; ``df`` may then be
+    ``None``).  ``dl_table``: optional precomputed ``(id, dl)`` doc
+    lengths — with a term-bucketed postings table it also skips the
+    id-keyed length shuffle (see :func:`bm25_index_write`).
 
     Returns (query_id, id, bm25, rank), rank 1..k per query.  Ranking
     orders by ``round(bm25, 6)`` then doc id, so the order — and with
@@ -72,7 +78,8 @@ def bm25_topk(
     """
     tf = tf_table if tf_table is not None else \
         doc_term_freq(df, id_col, text_col)
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dl = dl_table if dl_table is not None else \
+        tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                     F.avg("dl").alias("avgdl"))
     qterms = queries.select(
@@ -232,3 +239,97 @@ def rank_eval(
                     / F.col("__idcg"), 6).alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 index — the retrieval member of the engine's persisted-
+# index family (MinHash postings, IVF cells, exact fingerprints): build
+# the corpus-side tables once, search any number of query batches, fold
+# new documents in at O(delta).
+# ---------------------------------------------------------------------------
+
+def bm25_index_write(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> None:
+    """Build the persisted BM25 index: the ``(term, id, tf)`` postings
+    table bucketed+sorted by ``term`` (query-term lookups and the
+    document-frequency aggregate scan co-located buckets with ZERO
+    postings shuffle) and the ``(id, dl)`` doc-length table bucketed by
+    ``id`` (the scoring join's length lookup needs no length shuffle
+    either).  N and avgdl derive from the length table at search time —
+    one metadata-sized aggregate — so appends never maintain running
+    totals that could drift."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import write_text as _write_text
+
+    spark = df.sparkSession
+    tf = doc_term_freq(df, id_col, text_col)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}_postings")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}_doclen")
+    (tf.write.bucketBy(n_buckets, "term").sortBy("term")
+       .option("path", _os.path.join(path, "postings"))
+       .mode("overwrite").saveAsTable(f"{table_name}_postings"))
+    (tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+       .write.bucketBy(n_buckets, id_col).sortBy(id_col)
+       .option("path", _os.path.join(path, "doclen"))
+       .mode("overwrite").saveAsTable(f"{table_name}_doclen"))
+    _write_text(spark, _os.path.join(path, "_index_meta.json"),
+                _json.dumps({"id_col": id_col, "n_buckets": n_buckets}))
+
+
+def bm25_index_append(
+    delta: DataFrame,
+    table_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold NEW documents into the index at O(delta): the delta's
+    postings and lengths insert into the bucketed tables (bucket spec
+    respected, so lookups stay co-located).  Contract: delta ids must
+    be new — a re-crawled doc belongs in front of the dedup gates, not
+    here (appending a duplicate id would double-count its postings;
+    exactly the corruption ``fingerprint_dedup_delta`` exists to
+    prevent)."""
+    tf = doc_term_freq(delta, id_col, text_col)
+    tf.write.mode("append").insertInto(f"{table_name}_postings")
+    (tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+       .write.mode("append").insertInto(f"{table_name}_doclen"))
+
+
+def bm25_index_search(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Search the persisted index: identical output contract (and
+    scores) to running :func:`bm25_topk` over the full current corpus —
+    pinned by the fleet's build-half/append-half oracle entry.  The
+    corpus never re-tokenizes; the postings scan prunes to query-term
+    buckets and N/avgdl come from one doc-length aggregate."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import read_text as _read_text
+
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    return bm25_topk(
+        None, queries,
+        id_col=meta["id_col"],
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        k=k, k1=k1, b=b,
+        tf_table=spark.table(f"{table_name}_postings"),
+        dl_table=spark.table(f"{table_name}_doclen"))

@@ -1185,6 +1185,46 @@ def q_bm25_topk(spark, sf_dir):
                      id_col="doc_id", text_col="text", k=10)
 
 
+def q_bm25_index(spark, sf_dir):
+    """Persisted-BM25 lifecycle under the exactness oracle: build the
+    bucketed postings + doc-length tables on the even doc_ids, append
+    the odd half, search — the result must equal BM25 over the WHOLE
+    corpus computed from scratch (the oracle), pinning the postings
+    bucketing, the append's bucket-spec insert, the doc-length table
+    and the N/avgdl derivation end-to-end.  Same lifecycle-entry bench
+    caveat as knn_ivf_append_verified: wall time is table writes, not
+    scan cost."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions import (
+        bm25_index_append,
+        bm25_index_search,
+        bm25_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sf_tag = hashlib.md5(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_bm25_idx_{sf_tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = f"bm25idx_{sf_tag}"
+    bm25_index_write(docs.filter(F.col("doc_id") % 2 == 0),
+                     table, path, "doc_id", "text")
+    bm25_index_append(docs.filter(F.col("doc_id") % 2 == 1),
+                      table, "doc_id", "text")
+    queries = spark.createDataFrame(
+        [(0, "orders shipped late"), (1, "parquet schema drift"),
+         (2, "supplier quality audit")],
+        "query_id int, query_text string")
+    return bm25_index_search(spark, table, queries, path, k=5)
+
+
 def q_pagerank_suppliers(spark, sf_dir):
     """PageRank over the customer→supplier purchase graph of one order
     year (namespaced node ids — the key spaces overlap; the year filter
@@ -2632,6 +2672,7 @@ QUERIES = {
     "source_overlap_docs": q_source_overlap,
     "knn_pq_verified": q_knn_pq_verified,
     "communities_suppliers": q_communities_suppliers,
+    "bm25_index_docs": q_bm25_index,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -4791,6 +4832,44 @@ ORACLES = {
                  AS INTEGER) AS n_tokens
         FROM d GROUP BY doc_id, chunk_id""",
     "communities_suppliers": _lpa_oracle_sql(),
+    # build-half + append-half + search = from-scratch BM25 over all
+    "bm25_index_docs": """
+        WITH q(query_id, query_text) AS (
+          VALUES (0, 'orders shipped late'), (1, 'parquet schema drift'),
+                 (2, 'supplier quality audit')),
+        tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(trim(text)), '\\S+'))
+                 AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        qt AS (SELECT DISTINCT query_id,
+                      unnest(regexp_extract_all(lower(trim(query_text)),
+                                                '\\S+')) AS term
+               FROM q),
+        dfr AS (SELECT term, count(*) AS dft FROM tf
+                WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        sc AS (
+          SELECT qt.query_id, tf.doc_id,
+                 round(sum(ln(1 + (tot.n_docs - dfr.dft + 0.5)
+                                  / (dfr.dft + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                                    / tot.avgdl))), 6)
+                 AS bm25
+          FROM tf
+          JOIN qt USING (term) JOIN dfr USING (term)
+          JOIN dl USING (doc_id) CROSS JOIN tot
+          GROUP BY qt.query_id, tf.doc_id),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY bm25 DESC, doc_id) AS rank
+              FROM sc)
+        SELECT query_id, doc_id, bm25, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 5""",
     "source_overlap_docs": r"""
         WITH all_docs AS (
           SELECT source, text FROM documents

@@ -461,3 +461,26 @@ def test_label_propagation_separates_bridged_cliques(spark):
     assert len({out[n] for n in (1, 2, 3, 4)}) == 1
     assert len({out[n] for n in (10, 11, 12, 13)}) == 1
     assert out[1] != out[11]
+
+
+# -------------------------------------------------------------- bm25 index
+
+def test_bm25_index_search_equals_fresh_bm25(spark, tmp_path):
+    from tap_airbyte_wrapper_spark.functions import (
+        bm25_index_append, bm25_index_search, bm25_index_write, bm25_topk)
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 7} alpha shared token{i % 3} text body")
+         for i in range(40)], "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "token1 alpha"), (1, "token2 shared")],
+        "query_id int, query_text string")
+    bm25_index_write(docs.filter(F.col("doc_id") < 25), "bm25t",
+                     str(tmp_path / "idx"), "doc_id", "text", n_buckets=4)
+    bm25_index_append(docs.filter(F.col("doc_id") >= 25), "bm25t",
+                      "doc_id", "text")
+    got = bm25_index_search(
+        spark, "bm25t", queries, str(tmp_path / "idx"), k=8).collect()
+    want = bm25_topk(docs, queries, k=8).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(got, key=key) == sorted(want, key=key)
