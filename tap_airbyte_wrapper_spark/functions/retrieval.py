@@ -26,9 +26,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ._cache import cache_bounded
 from .corpus import words
 
 __all__ = ["bm25_topk", "doc_term_freq", "rrf_fuse", "rank_eval",
+           "prf_expand_topk",
            "bm25_index_write", "bm25_index_append",
            "bm25_index_search"]
 
@@ -80,12 +82,29 @@ def bm25_topk(
         doc_term_freq(df, id_col, text_col)
     dl = dl_table if dl_table is not None else \
         tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.avg("dl").alias("avgdl"))
     qterms = queries.select(
         F.col(query_id_col),
         F.explode(F.array_distinct(words(F.col(query_text_col))))
         .alias("term"))
+    return _bm25_from_terms(tf, dl, qterms, id_col, query_id_col,
+                            k, k1, b)
+
+
+def _bm25_from_terms(
+    tf: DataFrame,
+    dl: DataFrame,
+    qterms: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Scoring core shared by text-query BM25 and the PRF-expanded
+    second pass: ``qterms`` is a small (query_id, term) frame (distinct
+    per query) that broadcasts everywhere."""
+    totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("dl").alias("avgdl"))
     # document frequency for QUERY terms only: the semi-join prunes the
     # vocabulary-sized aggregate down to |query terms| rows
     dfreq = (
@@ -333,3 +352,69 @@ def bm25_index_search(
         k=k, k1=k1, b=b,
         tf_table=spark.table(f"{table_name}_postings"),
         dl_table=spark.table(f"{table_name}_doclen"))
+
+
+def prf_expand_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    r: int = 5,
+    e: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    tf_table: DataFrame | None = None,
+    dl_table: DataFrame | None = None,
+) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 (Rocchio-style two-pass): a
+    first BM25 pass retrieves the top ``r`` docs per query, the ``e``
+    highest-mass terms of those docs (summed tf, minus the original
+    query terms) expand the query, and the second pass ranks the
+    corpus against the expanded term set — the classic recall lever
+    when exact query vocabulary misses relevant docs (benchmark
+    decontamination sweeps: an eval question's paraphrases surface via
+    the expansion terms).
+
+    Fully deterministic, so the DuckDB oracle replays both passes:
+    expansion terms tie-break on (mass desc, term), both ranking
+    passes on (round(bm25,6) desc, id).  Returns
+    ``(query_id, id, bm25, rank)`` for the SECOND pass, rank 1..k.
+
+    Scale shape: everything query-sized stays broadcast (first-pass
+    top-r lists, expansion term sets are r- and e-bounded); the corpus
+    pays the tokenize pass ONCE (the tf/dl tables feed both passes —
+    pass precomputed ``tf_table``/``dl_table`` or the persisted BM25
+    index's tables on a standing corpus), and each pass prunes
+    postings to its query terms before any aggregation."""
+    tf = tf_table if tf_table is not None else \
+        doc_term_freq(df, id_col, text_col)
+    tf = cache_bounded(tf) if tf_table is None else tf
+    dl = dl_table if dl_table is not None else \
+        tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    orig = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(words(F.col(query_text_col))))
+        .alias("term"))
+    first = _bm25_from_terms(tf, dl, orig, id_col, query_id_col,
+                             r, k1, b)
+    # expansion-term mass: summed tf over each query's top-r docs —
+    # the candidate table is (r * per-doc-vocab)-bounded per query
+    cand = first.select(query_id_col, id_col).join(tf, id_col)
+    cand = cand.join(
+        orig.select(F.col(query_id_col), F.col("term")),
+        on=[query_id_col, "term"], how="left_anti")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__mass").desc(), F.col("term"))
+    expansion = (
+        cand.groupBy(query_id_col, "term")
+        .agg(F.sum("tf").alias("__mass"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= e)
+        .select(query_id_col, "term")
+    )
+    expanded = orig.unionByName(expansion).distinct()
+    return _bm25_from_terms(tf, dl, expanded, id_col, query_id_col,
+                            k, k1, b)

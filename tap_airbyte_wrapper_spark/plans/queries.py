@@ -1225,6 +1225,21 @@ def q_bm25_index(spark, sf_dir):
     return bm25_index_search(spark, table, queries, path, k=5)
 
 
+def q_prf_bm25(spark, sf_dir):
+    """Two-pass pseudo-relevance-feedback BM25 (top-5 feedback docs,
+    5 expansion terms): both passes and the expansion-term cut are
+    fully deterministic, so the oracle replays retrieve -> expand ->
+    re-retrieve end-to-end."""
+    from ..functions import prf_expand_topk
+
+    queries = spark.createDataFrame(
+        [(0, "spark window merge"), (1, "customer filter join"),
+         (2, "slow batch stream hash")],
+        "query_id int, query_text string")
+    return prf_expand_topk(_t(spark, sf_dir, "documents"), queries,
+                           k=10, r=5, e=5)
+
+
 def q_pagerank_suppliers(spark, sf_dir):
     """PageRank over the customer→supplier purchase graph of one order
     year (namespaced node ids — the key spaces overlap; the year filter
@@ -2673,6 +2688,7 @@ QUERIES = {
     "knn_pq_verified": q_knn_pq_verified,
     "communities_suppliers": q_communities_suppliers,
     "bm25_index_docs": q_bm25_index,
+    "prf_bm25_docs": q_prf_bm25,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -4832,6 +4848,78 @@ ORACLES = {
                  AS INTEGER) AS n_tokens
         FROM d GROUP BY doc_id, chunk_id""",
     "communities_suppliers": _lpa_oracle_sql(),
+    # two-pass PRF: first-pass top-5, expansion terms by (mass, term),
+    # second pass over original + expansion terms
+    "prf_bm25_docs": """
+        WITH q(query_id, query_text) AS (
+          VALUES (0, 'spark window merge'), (1, 'customer filter join'),
+                 (2, 'slow batch stream hash')),
+        tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(trim(text)), '\\S+'))
+                 AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        qt0 AS (SELECT DISTINCT query_id,
+                       unnest(regexp_extract_all(lower(trim(query_text)),
+                                                 '\\S+')) AS term
+                FROM q),
+        dfr0 AS (SELECT term, count(*) AS dft FROM tf
+                 WHERE term IN (SELECT term FROM qt0) GROUP BY term),
+        sc0 AS (
+          SELECT qt0.query_id, tf.doc_id,
+                 round(sum(ln(1 + (tot.n_docs - dfr0.dft + 0.5)
+                                  / (dfr0.dft + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                                    / tot.avgdl))), 6)
+                 AS bm25
+          FROM tf
+          JOIN qt0 USING (term) JOIN dfr0 USING (term)
+          JOIN dl USING (doc_id) CROSS JOIN tot
+          GROUP BY qt0.query_id, tf.doc_id),
+        r0 AS (SELECT * FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY bm25 DESC, doc_id) AS rank
+                 FROM sc0) WHERE rank <= 5),
+        cand AS (
+          SELECT r0.query_id, tf.term, sum(tf.tf) AS mass
+          FROM r0 JOIN tf ON r0.doc_id = tf.doc_id
+          LEFT JOIN qt0 ON qt0.query_id = r0.query_id
+                       AND qt0.term = tf.term
+          WHERE qt0.term IS NULL
+          GROUP BY 1, 2),
+        expn AS (SELECT query_id, term FROM (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY mass DESC, term) AS rk
+                   FROM cand) WHERE rk <= 5),
+        qt1 AS (SELECT query_id, term FROM qt0
+                UNION SELECT query_id, term FROM expn),
+        dfr1 AS (SELECT term, count(*) AS dft FROM tf
+                 WHERE term IN (SELECT term FROM qt1) GROUP BY term),
+        sc1 AS (
+          SELECT qt1.query_id, tf.doc_id,
+                 round(sum(ln(1 + (tot.n_docs - dfr1.dft + 0.5)
+                                  / (dfr1.dft + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                                    / tot.avgdl))), 6)
+                 AS bm25
+          FROM tf
+          JOIN qt1 USING (term) JOIN dfr1 USING (term)
+          JOIN dl USING (doc_id) CROSS JOIN tot
+          GROUP BY qt1.query_id, tf.doc_id),
+        r1 AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY bm25 DESC, doc_id) AS rank
+               FROM sc1)
+        SELECT query_id, doc_id, bm25, CAST(rank AS INTEGER) AS rank
+        FROM r1 WHERE rank <= 10""",
     # build-half + append-half + search = from-scratch BM25 over all
     "bm25_index_docs": """
         WITH q(query_id, query_text) AS (

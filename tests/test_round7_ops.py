@@ -484,3 +484,25 @@ def test_bm25_index_search_equals_fresh_bm25(spark, tmp_path):
     want = bm25_topk(docs, queries, k=8).collect()
     key = lambda r: (r.query_id, r.rank)
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_prf_expansion_changes_and_improves_recallable_set(spark):
+    """PRF sanity on a planted vocabulary gap: the query says 'alpha'
+    but the relevant cluster also uses 'beta'; the first pass finds the
+    bridge docs, 'beta' enters the expansion set, and beta-only docs
+    become retrievable in the second pass."""
+    from tap_airbyte_wrapper_spark.functions import bm25_topk, prf_expand_topk
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta topic") for i in range(5)]         # bridge docs
+        + [(10 + i, "beta beta topic") for i in range(5)]   # beta-only
+        + [(100 + i, f"noise{i} filler junk") for i in range(20)],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "alpha")], "query_id int, query_text string")
+    plain = {r.doc_id for r in bm25_topk(docs, queries, k=15).collect()}
+    prf = {r.doc_id for r in prf_expand_topk(
+        docs, queries, k=15, r=3, e=2).collect()}
+    assert not any(10 <= d < 20 for d in plain)   # beta-only unreachable
+    assert any(10 <= d < 20 for d in prf)         # reachable after PRF
+    assert all(d < 100 or d in plain for d in prf)  # no junk added
