@@ -243,3 +243,63 @@ def test_semantic_dedup_clustered_lsh_route_matches_exact(spark):
         df, k=4, threshold=0.999999, iters=3, method="auto",
         max_cluster_pair_cells=1).collect())
     assert auto == exact
+
+
+def test_ivfpq_residual_full_width_equals_brute_force(spark):
+    """Residual encoding changes the codes and the ADC arithmetic but
+    not the widened-to-exact contract: full probes + corpus-wide
+    shortlist + exact rerank must still equal brute force."""
+    from tap_airbyte_wrapper_spark.functions import (
+        ivf_build, ivfpq_topk, ivfpq_train_residual,
+    )
+
+    mat = _clusters(n_per=8)
+    df = _vec_df(spark, mat)
+    index = ivf_build(df, n_clusters=4, train_sample=1000)
+    model = ivfpq_train_residual(index, m=4, ks=8, train_sample=1000)
+    queries = df.filter(F.col("vec_id") < 2)
+    got = ivfpq_topk(index, model, queries, k=5, n_probe=4,
+                     shortlist=len(mat), residual=True).collect()
+    want = cosine_topk(df, queries, k=5).collect()
+    gs = sorted((r.query_id, r.vec_id, round(r.cos_sim, 6)) for r in got)
+    ws = sorted((r.query_id, r.vec_id, round(r.cos_sim, 6)) for r in want)
+    assert gs == ws
+
+
+def test_residual_codebooks_reconstruct_better_on_clustered_data(spark):
+    """The point of residual encoding: on cluster-structured data the
+    same m/ks budget reconstructs normalized vectors with materially
+    lower error than raw-vector PQ (codewords spend on fine structure,
+    not on re-expressing the cluster means)."""
+    from tap_airbyte_wrapper_spark.functions import (
+        ivf_build, ivfpq_train_residual, pq_train,
+    )
+
+    mat = _clusters(n_per=16)
+    df = _vec_df(spark, mat)
+    index = ivf_build(df, n_clusters=4, train_sample=1000)
+    # ks=2: the codebook budget is SMALLER than the cluster count, so
+    # raw PQ cannot memorize the cluster means and the residual
+    # advantage is structural, not noise
+    raw = pq_train(df, m=4, ks=2, train_sample=1000)
+    res = ivfpq_train_residual(index, m=4, ks=2, train_sample=1000)
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cells = np.argmax(norm @ index.centroids.T, axis=1)
+
+    def recon_err(model, base):
+        d, msub = norm.shape[1], model.m
+        dsub = d // msub
+        target = norm - base
+        err = 0.0
+        for j in range(msub):
+            sub = target[:, j * dsub:(j + 1) * dsub]
+            cb = model.codebooks[j]
+            d2 = ((sub ** 2).sum(1, keepdims=True)
+                  - 2 * sub @ cb.T + (cb ** 2).sum(1))
+            err += (d2.min(axis=1)).clip(0).sum()
+        return err
+
+    raw_err = recon_err(raw, np.zeros_like(norm))
+    res_err = recon_err(res, index.centroids[cells])
+    assert res_err < raw_err * 0.7
