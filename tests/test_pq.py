@@ -303,3 +303,61 @@ def test_residual_codebooks_reconstruct_better_on_clustered_data(spark):
     raw_err = recon_err(raw, np.zeros_like(norm))
     res_err = recon_err(res, index.centroids[cells])
     assert res_err < raw_err * 0.7
+
+
+# ---------------------------------------------------------------- OPQ
+
+def _correlated(n=64, d=8, seed=11):
+    """Clusters along DIAGONAL directions: PQ's worst case (structure
+    straddles sub-space boundaries), OPQ's motivating case."""
+    rng = np.random.RandomState(seed)
+    out = []
+    for c in range(4):
+        center = np.ones(d) * (c + 1)
+        center[::2] *= -1 if c % 2 else 1
+        out.append(center + rng.normal(0, 0.05, size=(n // 4, d)))
+    return np.vstack(out)
+
+
+def test_opq_reconstruction_not_worse_and_search_exact(spark):
+    from tap_airbyte_wrapper_spark.functions import (
+        cosine_topk, opq_rotate, opq_train, pq_encode, pq_rerank,
+        pq_topk, pq_train,
+    )
+
+    mat = _correlated()
+    df = _vec_df(spark, mat)
+    R, opq_model = opq_train(df, m=4, ks=4, train_sample=1000,
+                             opq_iters=4)
+    # R is orthonormal
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-9)
+    raw = pq_train(df, m=4, ks=4, train_sample=1000)
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def recon_err(model, X):
+        d, msub = X.shape[1], model.m
+        dsub = d // msub
+        err = 0.0
+        for j in range(msub):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            cb = model.codebooks[j]
+            d2 = ((sub ** 2).sum(1, keepdims=True)
+                  - 2 * sub @ cb.T + (cb ** 2).sum(1))
+            err += d2.min(axis=1).clip(0).sum()
+        return err
+
+    assert recon_err(opq_model, norm @ R) <= recon_err(raw, norm) + 1e-9
+
+    # full-width two-stage search in ROTATED space + true-vector rerank
+    # must equal brute force (rotation preserves cosine rankings)
+    rotated = opq_rotate(df, R)
+    codes = pq_encode(rotated, opq_model)
+    rot_q = opq_rotate(df.filter(F.col("vec_id") < 2), R)
+    short = pq_topk(codes, opq_model, rot_q, k=len(mat))
+    got = pq_rerank(short, df, df.filter(F.col("vec_id") < 2),
+                    k=5).collect()
+    want = cosine_topk(df, df.filter(F.col("vec_id") < 2), k=5).collect()
+    gs = sorted((r.query_id, r.vec_id, round(r.cos_sim, 6)) for r in got)
+    ws = sorted((r.query_id, r.vec_id, round(r.cos_sim, 6)) for r in want)
+    assert gs == ws
