@@ -39,6 +39,7 @@ __all__ = [
     "heavy_hitter_values",
     "chunk_documents",
     "repetition_signals",
+    "ngram_diversity",
     "pack_token_budget",
     "ngram_contamination",
     "dup_span_stats",
@@ -352,6 +353,58 @@ def repetition_signals(col: Column) -> Column:
         n.cast("long").alias("n_tokens"),
         F.when(n > 0, F.round(F.size(distinct) / n, 6)).alias("distinct_ratio"),
         F.when(n > 0, F.round(top_freq / n, 6)).alias("top_word_ratio"),
+    )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    by: str | None = None,
+) -> DataFrame:
+    """Corpus-level distinct-n diversity (Li et al. 2016 "A
+    Diversity-Promoting Objective Function for Neural Conversation
+    Models"): per ``by`` group (or the whole corpus), the ratio of
+    DISTINCT word ``n``-grams to total ``n``-gram occurrences, plus the
+    singleton fraction (grams seen exactly once / distinct grams — a
+    mode-collapse / templated-text early-warning: boilerplate-heavy or
+    model-generated slices show low diversity and low singleton mass
+    long before per-doc repetition rules fire).
+
+    Output: ``(by?, total_grams, distinct_grams, diversity,
+    singleton_frac)``.
+
+    Plan: one tokenize+gram pass, occurrence counts via (by, gram)
+    groupBy — map-side partial combine means the shuffle carries one
+    row per distinct gram per map partition, never per occurrence —
+    then a tiny per-group rollup.  Nothing all-pairs, nothing
+    collected; gram keys could be xxhash64-narrowed at 100 TB, kept
+    as strings here for cross-engine oracle exactness (collision-free
+    by construction).
+    """
+    keys = [by] if by else []
+    grams = df.select(
+        *keys,
+        F.explode(word_ngrams(words(F.col(text_col)), n)).alias("__g"),
+    )
+    occ = grams.groupBy(*keys, "__g").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        occ.groupBy(*keys)
+        .agg(
+            F.sum("__c").alias("total_grams"),
+            F.count(F.lit(1)).alias("distinct_grams"),
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("__ones"),
+        )
+        .select(
+            *keys,
+            "total_grams",
+            "distinct_grams",
+            F.round(F.col("distinct_grams") / F.col("total_grams"), 6)
+            .alias("diversity"),
+            F.round(F.col("__ones") / F.col("distinct_grams"), 6)
+            .alias("singleton_frac"),
+        )
     )
 
 

@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, functions as F
 from .corpus import words
 
 __all__ = ["BigramLM", "train_bigram_lm", "score_perplexity",
-           "perplexity_filter", "merge_bigram_lm", "save_bigram_lm",
+           "perplexity_filter", "perplexity_buckets", "merge_bigram_lm", "save_bigram_lm",
            "load_bigram_lm"]
 
 
@@ -257,6 +257,43 @@ def perplexity_filter(
         lo, hi = band
         out = out.filter(F.col("avg_nll").between(lo, hi))
     return out
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    lm: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.9,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's head/middle/tail split as exact GLOBAL perplexity
+    tertiles (Wenzek et al. 2019 §4.4 — the released corpus ships in
+    three equal-size buckets per language, cut at the perplexity
+    terciles, so downstream users subscribe to a quality band rather
+    than a threshold).  Generalizes to any ``len(labels)`` buckets.
+
+    Output: ``(id, n_tok, avg_nll, ppl_bucket)`` — one row per input
+    doc.  Empty documents (null avg_nll) sort LAST (least fluent
+    reading), landing in the final bucket.
+
+    Plan: scoring is the zero-shuffle broadcast-model pass of
+    :func:`score_perplexity`; the bucket is an exact NTILE over
+    (avg_nll, id) via ``global_distribution_ranks`` — value-derived
+    range buckets + per-bucket local windows + broadcast offsets, no
+    single-task global sort (operators/windows.py's design note).
+    """
+    from ..operators.windows import global_distribution_ranks
+
+    scored = score_perplexity(df, lm, id_col, text_col, lam)
+    keyed = scored.withColumn(
+        "__pplk", F.coalesce(F.col("avg_nll"), F.lit(float("inf"))))
+    ranked = global_distribution_ranks(
+        keyed, [F.col("__pplk"), F.col(id_col)], n_tiles=len(labels))
+    lab = F.array(*[F.lit(s) for s in labels])
+    return ranked.select(
+        id_col, "n_tok", "avg_nll",
+        F.element_at(lab, F.col("ntile").cast("int")).alias("ppl_bucket"))
 
 
 def merge_bigram_lm(a: BigramLM, b: BigramLM) -> BigramLM:

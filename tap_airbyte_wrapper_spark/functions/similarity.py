@@ -32,7 +32,7 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
            "PqModel", "pq_train", "pq_encode", "pq_topk", "pq_rerank",
            "save_pq", "load_pq", "kmeans_fit", "kmeans_predict",
            "ivfpq_encode", "ivfpq_topk", "ivfpq_train_residual",
-           "opq_train", "opq_rotate",
+           "opq_train", "opq_rotate", "hard_negatives",
            "semantic_dedup_clustered",
            "quantize_embeddings", "nearest_centroid_assign", "semantic_dedup"]
 
@@ -1591,3 +1591,75 @@ def opq_rotate(
         return pd.Series(list(matv / n @ rot))
 
     return df.select(F.col(id_col), apply_rot(F.col(vec_col)).alias(out_col))
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    mode: str = "hard",
+    margin: float = 0.2,
+) -> DataFrame:
+    """Mine negatives for contrastive / metric training: for each query
+    vector, the top-``k`` most-cosine-similar corpus rows whose
+    ``label_col`` DIFFERS from the query's label.
+
+    ``mode="hard"`` keeps the overall most-similar wrong-label rows —
+    the DPR-style "hardest negatives" that dominate the gradient.
+    ``mode="semi_hard"`` applies the FaceNet (Schroff et al. 2015)
+    band: keep only negatives scoring BELOW the query's best positive
+    (its most-similar same-label row, self excluded) but within
+    ``margin`` of it — negatives that are wrong yet close enough to be
+    informative, skipping both trivial and false-positive-prone ones.
+    Queries with no positive produce no semi-hard rows (there is no
+    anchor band), matching the triplet-mining convention.
+
+    Output: ``(query_id, vec_id, cos_sim)`` (+ ``pos_sim`` for
+    semi_hard), deterministic tie-break on corpus id.
+
+    Plan: queries broadcast against the corpus (the corpus NEVER
+    shuffles), scoring is JVM higher-order ``zip_with``/``aggregate``;
+    semi_hard adds one extra broadcast — the per-query positive max is
+    ≤ |Q| rows aggregated map-side.  Two map-only corpus scans in
+    semi_hard mode (one for positives, one for negatives), zero in
+    neither is a shuffle; per-query top-k is a |Q|-keyed window over
+    candidate rows only.
+    """
+    if mode not in ("hard", "semi_hard"):
+        raise ValueError(f"mode must be 'hard' or 'semi_hard', got {mode!r}")
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.col(label_col).alias("__qlabel"),
+        )
+    )
+    scored = (
+        corpus.select(id_col, vec_col, label_col)
+        .crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos_sim", cosine(F.col(vec_col), F.col("__qvec")))
+    )
+    neg = scored.filter(F.col(label_col) != F.col("__qlabel")).select(
+        query_id_col, id_col, "cos_sim")
+    if mode == "semi_hard":
+        pos_best = F.broadcast(
+            scored.filter(F.col(label_col) == F.col("__qlabel"))
+            .groupBy(query_id_col)
+            .agg(F.max("cos_sim").alias("pos_sim"))
+        )
+        neg = (
+            neg.join(pos_best, query_id_col)
+            .filter((F.col("cos_sim") < F.col("pos_sim"))
+                    & (F.col("cos_sim") >= F.col("pos_sim") - F.lit(margin)))
+        )
+    cols = [query_id_col, id_col, "cos_sim"] + (
+        ["pos_sim"] if mode == "semi_hard" else [])
+    return topk_per_group(
+        neg, [query_id_col],
+        [F.col("cos_sim").desc(), F.col(id_col)], k,
+    ).drop("rk").select(*cols)

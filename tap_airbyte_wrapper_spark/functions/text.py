@@ -466,8 +466,10 @@ def gopher_rules(col: Column) -> Column:
     - ``words_ok``      50 <= word count <= 100,000
     - ``mean_word_ok``  3 <= mean word length <= 10
     - ``symbol_ok``     (# + ellipsis) to word ratio <= 0.1
-    - ``bullet_ok``     < 90% of non-blank lines start with a bullet
-    - ``ellipsis_ok``   < 30% of non-blank lines end with an ellipsis
+    - ``bullet_ok``     <= 90% of non-blank lines start with a bullet
+    - ``ellipsis_ok``   <= 30% of non-blank lines end with an ellipsis
+      (Rae et al. A1.1 removes when the fraction EXCEEDS the threshold,
+      so exactly-at-threshold documents pass)
     - ``alpha_ok``      >= 80% of words contain an alphabetic character
     - ``stopword_ok``   >= 2 distinct Gopher stop words present
 

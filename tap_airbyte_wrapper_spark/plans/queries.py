@@ -2651,6 +2651,59 @@ def q_dsir_sample(spark, sf_dir):
         docs, docs.filter(F.col("source") == "src0"), k=100, buckets=4096)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: for the first 10 embedding
+    rows as anchors, the 5 most-cosine-similar WRONG-label corpus
+    vectors (DPR-style hardest negatives).  Brute-force scoring keeps
+    the entry an exactness check on the label-exclusion + top-k path;
+    the IVF/PQ indexes compose for the sublinear variant."""
+    from ..functions import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return hard_negatives(emb, queries, k=5).select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"))
+
+
+def q_semi_hard_negatives(spark, sf_dir):
+    """FaceNet-band semi-hard negatives: wrong-label rows scoring
+    BELOW the anchor's best positive but within margin 0.2 of it —
+    the per-query positive max rides a second broadcast.  Boundary
+    comparisons happen on full-precision doubles computed identically
+    (left-to-right fold) in both engines; display rounds to 4."""
+    from ..functions import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return hard_negatives(
+        emb, queries, k=5, mode="semi_hard", margin=0.2).select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"),
+        F.round("pos_sim", 4).alias("pos_r"))
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail: exact global perplexity tertiles over
+    (avg_nll, doc_id) via the value-bucketed two-phase ranks — no
+    single-task global sort.  The oracle replays the whole LM scoring
+    pipeline plus NTILE(3)."""
+    from ..functions import perplexity_buckets, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs)
+    return perplexity_buckets(docs, lm)
+
+
+def q_ngram_diversity(spark, sf_dir):
+    """Per-source distinct-trigram diversity + singleton fraction
+    (Li et al. distinct-n): mode-collapse / templated-text audit at
+    corpus level.  One gram pass, partial-agg shuffle on (source,
+    gram), tiny rollup."""
+    from ..functions import ngram_diversity
+
+    return ngram_diversity(
+        _t(spark, sf_dir, "documents"), by="source", n=3)
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2689,6 +2742,11 @@ QUERIES = {
     "communities_suppliers": q_communities_suppliers,
     "bm25_index_docs": q_bm25_index,
     "prf_bm25_docs": q_prf_bm25,
+    # round-7 second-session additions (never driver-checked)
+    "hard_negatives_emb": q_hard_negatives,
+    "semi_hard_negatives_emb": q_semi_hard_negatives,
+    "ccnet_buckets_docs": q_ccnet_buckets,
+    "ngram_diversity_docs": q_ngram_diversity,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -4196,6 +4254,59 @@ ORACLES = {
               CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
               WHERE c.vec_id != q.vec_id)
         WHERE rk <= 5""",
+    "hard_negatives_emb": """
+        SELECT query_id, vec_id, round(cos_sim, 4) AS cos_r
+        FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[]))
+                     AS cos_sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                         CAST(c.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rk
+              FROM embeddings c
+              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+              WHERE c.vec_id != q.vec_id AND c.label != q.label)
+        WHERE rk <= 5""",
+    "semi_hard_negatives_emb": """
+        WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+        s AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 c.label AS clabel, q.label AS qlabel,
+                 list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[]))
+                 AS cos_sim
+          FROM embeddings c CROSS JOIN q
+          WHERE c.vec_id != q.vec_id),
+        p AS (SELECT query_id, max(cos_sim) AS pos_sim
+              FROM s WHERE clabel = qlabel GROUP BY query_id)
+        SELECT query_id, vec_id, round(cos_sim, 4) AS cos_r,
+               round(pos_sim, 4) AS pos_r
+        FROM (SELECT s.query_id, s.vec_id, s.cos_sim, p.pos_sim,
+                     row_number() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY s.cos_sim DESC, s.vec_id) AS rk
+              FROM s JOIN p USING (query_id)
+              WHERE s.clabel != s.qlabel
+                AND s.cos_sim < p.pos_sim
+                AND s.cos_sim >= p.pos_sim - 0.2)
+        WHERE rk <= 5""",
+    "ngram_diversity_docs": r"""
+        WITH ws AS (
+          SELECT source, regexp_extract_all(lower(trim(text)), '\S+') AS w
+          FROM documents),
+        g AS (
+          SELECT source, array_to_string(w[i:i+2], ' ') AS gram
+          FROM ws, unnest(generate_series(1, len(w)-2)) AS t(i)
+          WHERE len(w) >= 3),
+        occ AS (SELECT source, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        SELECT source, sum(c)::BIGINT AS total_grams,
+               count(*) AS distinct_grams,
+               round(count(*)::DOUBLE / sum(c), 6) AS diversity,
+               round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS singleton_frac
+        FROM occ GROUP BY source""",
     "knn_lsh_verified": """
         SELECT query_id, vec_id, round(cos_sim, 4) AS cos_r
         FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -4524,6 +4635,48 @@ ORACLES = {
           FROM p GROUP BY doc_id)
         SELECT ws.doc_id, coalesce(n_tok, 0) AS n_tok, avg_nll
         FROM ws LEFT JOIN d USING (doc_id)""",
+    # same LM-scoring pipeline as lm_perplexity_docs + exact NTILE(3)
+    # over (avg_nll, doc_id); empty docs (null avg_nll) sort last
+    "ccnet_buckets_docs": r"""
+        WITH ws AS (
+          SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
+          FROM documents),
+        occ AS (SELECT unnest(w) AS tok FROM ws),
+        uni AS (SELECT tok, count(*)::DOUBLE AS c_uni FROM occ GROUP BY tok),
+        tot AS (SELECT sum(c_uni) AS t, count(*)::DOUBLE AS v FROM uni),
+        big AS (
+          SELECT w[i] AS w1, w[i+1] AS w2, count(*)::DOUBLE AS c_big
+          FROM ws, unnest(generate_series(1, len(w)-1)) AS s(i)
+          GROUP BY 1, 2),
+        pos AS (
+          SELECT doc_id, CASE WHEN i > 1 THEN w[i-1] END AS w1, w[i] AS w2
+          FROM ws, unnest(generate_series(1, len(w))) AS s(i)),
+        p AS (
+          SELECT pos.doc_id,
+            CASE WHEN pos.w1 IS NULL
+              THEN (coalesce(u2.c_uni,0)+0.1)/(tot.t+0.1*(tot.v+1))
+              ELSE 0.9*((coalesce(b.c_big,0)+0.1)
+                        /(coalesce(u1.c_uni,0)+0.1*(tot.v+1)))
+                 + 0.1*((coalesce(u2.c_uni,0)+0.1)/(tot.t+0.1*(tot.v+1)))
+            END AS prob
+          FROM pos
+          LEFT JOIN uni u2 ON pos.w2 = u2.tok
+          LEFT JOIN uni u1 ON pos.w1 = u1.tok
+          LEFT JOIN big b ON pos.w1 = b.w1 AND pos.w2 = b.w2
+          CROSS JOIN tot),
+        d AS (
+          SELECT doc_id, count(*) AS n_tok,
+                 round(avg(round(-ln(prob), 6)), 4) AS avg_nll
+          FROM p GROUP BY doc_id),
+        sc AS (
+          SELECT ws.doc_id, coalesce(n_tok, 0) AS n_tok, avg_nll
+          FROM ws LEFT JOIN d USING (doc_id))
+        SELECT doc_id, n_tok, avg_nll,
+               (['head','middle','tail'])[
+                 ntile(3) OVER (
+                   ORDER BY coalesce(avg_nll, 'infinity'::DOUBLE),
+                            doc_id)] AS ppl_bucket
+        FROM sc""",
     "remove_dup_spans_docs": r"""
         WITH ws AS (
           SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w

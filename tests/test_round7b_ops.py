@@ -1,0 +1,174 @@
+"""Round-7 second-batch operators: hard/semi-hard negative mining,
+CCNet perplexity buckets, corpus distinct-n diversity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tap_airbyte_wrapper_spark.functions import (
+    hard_negatives,
+    ngram_diversity,
+    perplexity_buckets,
+    train_bigram_lm,
+)
+
+
+# ------------------------------------------------------- hard_negatives
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    # anchor 0 (label 0) at [1,0]; same-label 1 is nearest but must be
+    # excluded; wrong-label 2 (close) ranks above wrong-label 3 (far)
+    df = _emb(spark, [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.14], 0),     # same label: never a negative
+        (2, [0.9, 0.43], 1),
+        (3, [0.0, 1.0], 1),
+    ])
+    out = hard_negatives(df, df.filter(F.col("vec_id") == 0), k=10).collect()
+    ids = [r.vec_id for r in out]
+    assert ids == [2, 3]
+    assert out[0].cos_sim > out[1].cos_sim
+
+
+def test_hard_negatives_k_cut_and_tiebreak_on_id(spark):
+    # two wrong-label rows with IDENTICAL vectors: tie broken by vec_id
+    df = _emb(spark, [
+        (0, [1.0, 0.0], 0),
+        (5, [0.6, 0.8], 1),
+        (4, [0.6, 0.8], 1),
+        (6, [0.0, 1.0], 1),
+    ])
+    out = hard_negatives(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r.vec_id for r in out] == [4, 5]
+
+
+def test_semi_hard_band_below_positive_within_margin(spark):
+    # anchor 0: best positive is 1 at cos ~0.995.  Negative 2 scores
+    # ABOVE the positive -> excluded (too hard / false-positive-prone);
+    # 3 sits inside the band; 4 is below pos_sim - margin -> excluded.
+    df = _emb(spark, [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.14], 0),
+        (2, [1.0, 0.01], 1),      # cos ~1.0 > pos_sim
+        (3, [0.93, 0.37], 1),     # cos ~0.93, inside (pos-0.2, pos)
+        (4, [0.0, 1.0], 1),       # cos 0, below the band
+    ])
+    out = hard_negatives(
+        df, df.filter(F.col("vec_id") == 0), k=10,
+        mode="semi_hard", margin=0.2).collect()
+    assert [r.vec_id for r in out] == [3]
+    assert out[0].cos_sim < out[0].pos_sim
+    assert out[0].cos_sim >= out[0].pos_sim - 0.2
+
+
+def test_semi_hard_query_without_positive_yields_nothing(spark):
+    # label 9 appears once: no positive anchor -> no semi-hard rows
+    df = _emb(spark, [
+        (0, [1.0, 0.0], 9),
+        (1, [0.9, 0.43], 1),
+        (2, [0.8, 0.6], 2),
+    ])
+    out = hard_negatives(
+        df, df.filter(F.col("vec_id") == 0), k=10, mode="semi_hard")
+    assert out.count() == 0
+    # ... while hard mode still mines them
+    assert hard_negatives(
+        df, df.filter(F.col("vec_id") == 0), k=10).count() == 2
+
+
+def test_hard_negatives_rejects_unknown_mode(spark):
+    df = _emb(spark, [(0, [1.0, 0.0], 0)])
+    with pytest.raises(ValueError, match="mode"):
+        hard_negatives(df, df, mode="softish")
+
+
+# --------------------------------------------------- perplexity_buckets
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_perplexity_buckets_tertiles_are_equal_and_ordered(spark):
+    # 9 docs: three fluent (repeated bigrams), three middling, three
+    # token-salad — the LM is trained on the corpus itself, so repeated
+    # patterns score lower avg_nll than unique gibberish
+    rows = [(i, "the cat sat on the mat " * 4) for i in range(3)]
+    rows += [(i, f"the cat ate fish number{i} today quietly")
+             for i in range(3, 6)]
+    rows += [(i, f"zq{i} wk{i} jx{i} vb{i} qq{i} zz{i}")
+             for i in range(6, 9)]
+    df = _docs(spark, rows)
+    lm = train_bigram_lm(df)
+    out = perplexity_buckets(df, lm)
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 9
+    from collections import Counter
+    sizes = Counter(r.ppl_bucket for r in got.values())
+    assert sizes == {"head": 3, "middle": 3, "tail": 3}
+    # buckets respect the avg_nll ordering
+    assert max(got[i].avg_nll for i in range(3)) <= min(
+        got[i].avg_nll for i in range(3, 6))
+    assert max(got[i].avg_nll for i in range(3, 6)) <= min(
+        got[i].avg_nll for i in range(6, 9))
+
+
+def test_perplexity_buckets_empty_doc_lands_in_tail(spark):
+    df = _docs(spark, [(1, "the cat sat"), (2, "the cat sat"),
+                       (3, "")])
+    lm = train_bigram_lm(df)
+    got = {r.doc_id: r for r in perplexity_buckets(df, lm).collect()}
+    assert got[3].avg_nll is None and got[3].n_tok == 0
+    assert got[3].ppl_bucket == "tail"
+    assert got[1].ppl_bucket == "head"
+
+
+def test_perplexity_buckets_custom_labels(spark):
+    df = _docs(spark, [(i, f"tok{i} tok{i}") for i in range(4)])
+    lm = train_bigram_lm(df)
+    out = perplexity_buckets(df, lm, labels=("a", "b"))
+    from collections import Counter
+    assert Counter(
+        r.ppl_bucket for r in out.collect()) == {"a": 2, "b": 2}
+
+
+# ------------------------------------------------------ ngram_diversity
+
+def test_ngram_diversity_hand_computed(spark):
+    # src A: "a b a b a" -> trigrams [a b a, b a b, a b a]:
+    # total 3, distinct 2, singleton 1 (b a b)
+    df = spark.createDataFrame(
+        [(1, "a b a b a", "A"), (2, "x y", "A"),    # <3 tokens: no grams
+         (3, "p q r", "B")],                        # 1 gram, singleton
+        "doc_id long, text string, source string")
+    got = {r.source: r for r in
+           ngram_diversity(df, by="source", n=3).collect()}
+    a = got["A"]
+    assert (a.total_grams, a.distinct_grams) == (3, 2)
+    assert a.diversity == pytest.approx(round(2 / 3, 6))
+    assert a.singleton_frac == pytest.approx(0.5)
+    b = got["B"]
+    assert (b.total_grams, b.distinct_grams) == (1, 1)
+    assert b.diversity == 1.0 and b.singleton_frac == 1.0
+
+
+def test_ngram_diversity_whole_corpus_and_boilerplate_signal(spark):
+    # a templated slice (one doc repeated) scores far lower diversity
+    # than a unique-text slice of the same size
+    tmpl = [(i, "click here to subscribe to our newsletter now", "t")
+            for i in range(10)]
+    uniq = [(100 + i, f"word{i} item{i} value{i} alpha{i} beta{i} "
+             f"gamma{i} delta{i} eps{i}", "u") for i in range(10)]
+    df = spark.createDataFrame(
+        tmpl + uniq, "doc_id long, text string, source string")
+    got = {r.source: r for r in
+           ngram_diversity(df, by="source", n=3).collect()}
+    assert got["t"].diversity < 0.2 < got["u"].diversity
+    # corpus-wide variant: one row, no group column
+    allrow = ngram_diversity(df, n=3).collect()
+    assert len(allrow) == 1
+    assert allrow[0].total_grams == (
+        got["t"].total_grams + got["u"].total_grams)
