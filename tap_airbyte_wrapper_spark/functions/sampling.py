@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["hash_bucket", "hash_split", "leakage_safe_split",
            "mixture_sample",
            "stratified_sample", "sample_per_group", "weighted_sample",
+           "bottomk_sample",
            "assign_shards", "write_training_shards", "temperature_weights",
            "upsample_repeat", "domain_quota_cap"]
 
@@ -175,6 +176,37 @@ def weighted_sample(
         .orderBy(key.desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    salt: str = "",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Deterministic exact-``k`` UNIFORM sample without replacement:
+    the ``k`` rows with the smallest md5-derived priority (ties broken
+    on id).  Bottom-k-by-hash is the classic mergeable uniform sample
+    (the KMV/bottom-k sketch): the sample of a UNION is the bottom-k
+    of the parts' bottom-k's, which is what makes it the offline twin
+    of :func:`~..streaming.selection.stream_reservoir_sample` — a
+    stream folding batches into a persisted bottom-k converges to
+    exactly this function's answer over the union, replay-idempotent
+    because the priority is a pure function of (id, salt).
+
+    Equal-weight :func:`weighted_sample` picks the same distribution;
+    this variant skips the weight column, keeps the priority
+    ascending (cheaper to reason about for the merge property), and
+    optionally exposes it via ``priority_col`` for downstream folds.
+    Plan: per-row key expression + ``TakeOrderedAndProject`` — per-
+    partition heaps, no global sort, no shuffle of non-winners.
+    """
+    pri = _hash_long(F.col(id_col), salt)
+    out = df.orderBy(pri.asc(), F.col(id_col)).limit(k)
+    if priority_col:
+        out = out.withColumn(priority_col, pri)
+    return out
 
 
 def assign_shards(

@@ -38,6 +38,8 @@ __all__ = [
     "canonical_url",
     "gopher_rules",
     "c4_clean",
+    "script_profile",
+    "SCRIPT_CLASSES",
     "url_host",
     "parent_domains",
     "domain_filter",
@@ -658,3 +660,60 @@ def domain_filter(
         return df if mode == "block" else df.filter(F.lit(False))
     hit = F.exists(parent_domains(host), lambda s: s.isin(*blocked))
     return df.filter(~hit if mode == "block" else hit)
+
+
+#: Unicode-block character classes for :func:`script_profile` —
+#: block-range approximations (not the full UCD Script property, which
+#: needs ICU): good enough to triage a multilingual crawl by writing
+#: system.  Literal BMP ranges so the same class works in Java regex
+#: (engine) and RE2 (DuckDB oracle) byte-for-byte.
+SCRIPT_CLASSES: dict[str, str] = {
+    "arabic": "؀-ۿݐ-ݿ",
+    "cjk": "⺀-⻿㐀-䶿一-鿿豈-﫿",
+    "cyrillic": "Ѐ-ԯ",
+    "devanagari": "ऀ-ॿ",
+    "greek": "Ͱ-Ͽἀ-῿",
+    "hangul": "ᄀ-ᇿ가-힯",
+    "hebrew": "֐-׿",
+    "kana": "぀-ヿ",
+    "latin": "A-Za-zÀ-ɏḀ-ỿ",
+}
+
+
+def script_profile(col: Column) -> Column:
+    """Writing-system profile of a document: fraction of non-whitespace
+    characters in each :data:`SCRIPT_CLASSES` block (plus digits), and
+    the dominant script — the triage a multilingual crawl needs BEFORE
+    language-ID (the marker-stopword :func:`language_id` only separates
+    Latin-script languages; a Cyrillic or CJK page must be routed by
+    script first).
+
+    Returns a struct: ``n_nonspace`` + ``{script}_frac`` per class +
+    ``digit_frac`` + ``dominant`` (max-count script, alphabetical
+    tie-break, 'none' when no script character occurs).  Fractions are
+    null for whitespace-only/empty text.
+
+    Per-row Catalyst expressions only (one ``regexp_replace`` strip per
+    class — each a single linear scan): zero shuffle, whole-stage
+    codegen, embarrassingly parallel at 100 TB.
+    """
+    n = F.length(F.regexp_replace(col, r"\s", ""))
+    counts = {
+        name: F.length(F.regexp_replace(col, f"[^{cls}]", ""))
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+    digit = F.length(F.regexp_replace(col, "[^0-9]", ""))
+    m = F.greatest(*counts.values())
+    dominant = F.lit("none")
+    # reverse alphabetical chain => the FIRST alphabetical max wins
+    for name in sorted(counts, reverse=True):
+        dominant = F.when(
+            (m > 0) & (counts[name] == m), F.lit(name)).otherwise(dominant)
+    frac = {name: F.when(n > 0, F.round(c / n, 6))
+            for name, c in counts.items()}
+    return F.struct(
+        n.cast("long").alias("n_nonspace"),
+        *[frac[name].alias(f"{name}_frac") for name in sorted(frac)],
+        F.when(n > 0, F.round(digit / n, 6)).alias("digit_frac"),
+        dominant.alias("dominant"),
+    )

@@ -2704,6 +2704,64 @@ def q_ngram_diversity(spark, sf_dir):
         _t(spark, sf_dir, "documents"), by="source", n=3)
 
 
+def q_uniform_sample(spark, sf_dir):
+    """Exact-k uniform sample as bottom-k by md5 priority (the KMV
+    sketch shape that makes the streaming reservoir's fold mergeable).
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    from ..functions import bottomk_sample
+
+    return bottomk_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", k=100, salt="u7"
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_script_profile(spark, sf_dir):
+    """Writing-system triage: per-doc Unicode-block fractions +
+    dominant script.  Ten regexp strips per row, zero shuffle; the
+    oracle is generated from the SAME class table so the ranges can
+    never drift."""
+    from ..functions import script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", script_profile(F.col("text")).alias("p")
+    ).select("doc_id", "p.*")
+
+
+def _script_profile_oracle() -> str:
+    """DuckDB twin of :func:`..functions.text.script_profile`, built
+    from the same ``SCRIPT_CLASSES`` table (literal BMP ranges are
+    valid in both Java regex and RE2, so engine and oracle share the
+    exact character classes)."""
+    from ..functions.text import SCRIPT_CLASSES
+
+    names = sorted(SCRIPT_CLASSES)
+    counts = ",\n                 ".join(
+        f"length(regexp_replace(text, '[^{SCRIPT_CLASSES[n]}]', '', 'g'))"
+        f" AS c_{n}" for n in names)
+    fracs = ",\n               ".join(
+        f"CASE WHEN n_nonspace > 0 THEN"
+        f" round(c_{n}::DOUBLE / n_nonspace, 6) END AS {n}_frac"
+        for n in names)
+    m = "greatest(" + ", ".join(f"c_{n}" for n in names) + ")"
+    dom = "".join(f" WHEN c_{n} = {m} THEN '{n}'" for n in names)
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+                 {counts},
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS c_digit
+          FROM documents)
+        SELECT doc_id, n_nonspace,
+               {fracs},
+               CASE WHEN n_nonspace > 0
+                    THEN round(c_digit::DOUBLE / n_nonspace, 6)
+               END AS digit_frac,
+               CASE WHEN {m} = 0 OR {m} IS NULL THEN 'none'{dom}
+                    ELSE 'none' END AS dominant
+        FROM c"""
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2747,6 +2805,8 @@ QUERIES = {
     "semi_hard_negatives_emb": q_semi_hard_negatives,
     "ccnet_buckets_docs": q_ccnet_buckets,
     "ngram_diversity_docs": q_ngram_diversity,
+    "uniform_sample_docs": q_uniform_sample,
+    "script_profile_docs": q_script_profile,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -4811,6 +4871,16 @@ ORACLES = {
           FROM documents
         )
         WHERE rk <= 25""",
+    "uniform_sample_docs": """
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                                              || 'u7'), 1, 12)) AS BIGINT)
+                 AS pri
+          FROM documents)
+        ORDER BY pri, doc_id
+        LIMIT 100""",
+    "script_profile_docs": _script_profile_oracle(),
     "weighted_sample_docs": """
         SELECT doc_id, n_chars FROM (
           SELECT doc_id, n_chars,

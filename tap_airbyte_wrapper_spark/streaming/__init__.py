@@ -14,7 +14,7 @@ from .incremental import (
 from .cdc import stream_changelog_apply
 from .dedup import stream_exact_dedup_gate, stream_near_dup_gate
 from .similarity import stream_embedding_gate
-from .selection import stream_dsir_gate
+from .selection import read_reservoir, stream_dsir_gate, stream_reservoir_sample
 from .stats import append_gate_stats, read_gate_stats
 from .drift import reference_profile, stream_drift_monitor
 from .stateful import (
@@ -29,6 +29,8 @@ __all__ = [
     "stream_exact_dedup_gate",
     "stream_embedding_gate",
     "stream_dsir_gate",
+    "stream_reservoir_sample",
+    "read_reservoir",
     "append_gate_stats",
     "read_gate_stats",
     "reference_profile",

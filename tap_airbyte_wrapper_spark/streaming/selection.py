@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.dsir import dsir_score, load_dsir
 from .stats import append_gate_stats
 
-__all__ = ["stream_dsir_gate"]
+__all__ = ["stream_dsir_gate", "stream_reservoir_sample"]
 
 
 def stream_dsir_gate(
@@ -77,3 +77,95 @@ def stream_dsir_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_reservoir_sample(
+    stream: DataFrame,
+    id_col: str,
+    k: int,
+    out_path: str,
+    checkpoint: str,
+    salt: str = "",
+    available_now: bool = True,
+):
+    """Maintain a uniform ``k``-row sample of EVERYTHING the stream has
+    delivered so far — the streaming holdout carve-out ("keep 10k
+    random docs for eval as the corpus grows") — at O(batch + k) per
+    micro-batch, never O(corpus).
+
+    Mechanism: bottom-k by the 48-bit md5 priority (the KMV/bottom-k
+    sketch; :func:`~..functions.sampling.bottomk_sample` is the batch
+    twin).  Bottom-k is a MERGEABLE summary — bottom-k(A ∪ B) =
+    bottom-k(bottom-k(A) ∪ B) — so each batch folds into the persisted
+    sample with one union + ``TakeOrderedAndProject`` over
+    ``|batch| + k`` rows.  After any prefix of batches the snapshot
+    equals ``bottomk_sample`` over the union of those batches
+    (equality pinned in tests), so the stream inherits the batch
+    sampler's guarantees: membership is a pure function of (id, salt),
+    restart-stable, SQL-recomputable.
+
+    Replay safety (at-least-once ``foreachBatch``): folding is
+    idempotent — the priority is content-independent and bottom-k over
+    a SET ignores re-delivered rows (duplicate ids share one priority
+    and collapse in the id-dedup before the cut), so a replayed batch
+    rewrites the same snapshot.  Snapshots land versioned under
+    ``{out}/sample_v=<batch_id>/`` (a replay overwrites its own
+    version); the reader follows the ``_latest`` Hadoop-FS marker,
+    written AFTER the snapshot — a crash between the two replays into
+    a rewrite of the same version.  Rows are assumed id-unique across
+    the stream (the same contract as the dedup gates).
+
+    Returns the ``StreamingQuery``; read the current sample with
+    :func:`read_reservoir`.
+    """
+    from ..functions.sampling import _hash_long
+    from ..fsutil import exists as _fs_exists, read_text as _fs_read, \
+        write_text as _fs_write
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        started = _time.time()
+        spark = batch.sparkSession
+        pri = _hash_long(F.col(id_col), salt)
+        cand = batch.withColumn("__pri", pri)
+        latest_marker = os.path.join(out_path, "_latest")
+        if _fs_exists(spark, latest_marker):
+            prev = int(_fs_read(spark, latest_marker).strip())
+            cand = cand.unionByName(
+                spark.read.parquet(
+                    os.path.join(out_path, f"sample_v={prev}")))
+        n_in = batch.count()
+        merged = (
+            cand.dropDuplicates([id_col])
+            .orderBy(F.col("__pri").asc(), F.col(id_col))
+            .limit(k)
+            # eager checkpoint (<= k rows): a REPLAYED batch reads the
+            # snapshot version it is about to overwrite — cutting the
+            # lineage here keeps the overwrite legal and the fold
+            # idempotent (duplicate ids share a priority, so re-folded
+            # rows land on the identical bottom-k)
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"sample_v={batch_id}"))
+        _fs_write(spark, latest_marker, str(batch_id))
+        kept = spark.read.parquet(
+            os.path.join(out_path, f"sample_v={batch_id}")).count()
+        append_gate_stats(spark, out_path, batch_id, n_in, kept, started)
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_reservoir(spark, out_path: str) -> DataFrame:
+    """The current sample (follows the ``_latest`` marker); ``__pri``
+    is retained so an offline job can keep folding with
+    ``bottomk_sample`` semantics."""
+    from ..fsutil import read_text as _fs_read
+
+    v = int(_fs_read(spark, os.path.join(out_path, "_latest")).strip())
+    return spark.read.parquet(os.path.join(out_path, f"sample_v={v}"))

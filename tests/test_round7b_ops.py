@@ -172,3 +172,79 @@ def test_ngram_diversity_whole_corpus_and_boilerplate_signal(spark):
     assert len(allrow) == 1
     assert allrow[0].total_grams == (
         got["t"].total_grams + got["u"].total_grams)
+
+
+# ------------------------------------------------------- bottomk_sample
+
+def test_bottomk_sample_merge_property_and_determinism(spark):
+    from tap_airbyte_wrapper_spark.functions import bottomk_sample
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)], "doc_id long, text string")
+    a = df.filter("doc_id < 120")
+    b = df.filter("doc_id >= 120")
+    whole = sorted(r.doc_id for r in
+                   bottomk_sample(df, "doc_id", k=10, salt="m").collect())
+    # KMV merge: bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ B)
+    folded = sorted(r.doc_id for r in bottomk_sample(
+        bottomk_sample(a, "doc_id", k=10, salt="m").unionByName(b),
+        "doc_id", k=10, salt="m").collect())
+    assert whole == folded and len(whole) == 10
+    # partitioning-independent
+    reparted = sorted(r.doc_id for r in bottomk_sample(
+        df.repartition(13), "doc_id", k=10, salt="m").collect())
+    assert reparted == whole
+    # salt re-deals
+    other = sorted(r.doc_id for r in
+                   bottomk_sample(df, "doc_id", k=10, salt="x").collect())
+    assert other != whole
+
+
+def test_bottomk_sample_priority_col_exposed(spark):
+    from tap_airbyte_wrapper_spark.functions import bottomk_sample
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    out = bottomk_sample(df, "doc_id", k=50, salt="", priority_col="pri")
+    rows = out.orderBy("pri").collect()
+    assert all(rows[i].pri <= rows[i + 1].pri for i in range(len(rows) - 1))
+
+
+# ------------------------------------------------------- script_profile
+
+def test_script_profile_dominant_and_fracs(spark):
+    from tap_airbyte_wrapper_spark.functions import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "hello world"),
+         (2, "привет мир"),
+         (3, "你好 世界"),
+         (4, "hello привет привет!"),
+         (5, "12345 67"),
+         (6, "   "),
+         (7, "γεια σου κόσμε")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", script_profile(F.col("text")).alias("p")
+    ).select("doc_id", "p.*").collect()}
+    assert got[1].dominant == "latin" and got[1].latin_frac == 1.0
+    assert got[2].dominant == "cyrillic" and got[2].cyrillic_frac == 1.0
+    assert got[3].dominant == "cjk"
+    # doc 4: 10 latin letters vs 12 cyrillic (+ '!' counted in neither)
+    assert got[4].dominant == "cyrillic"
+    assert got[4].latin_frac < got[4].cyrillic_frac
+    # digits are profiled but never dominate
+    assert got[5].dominant == "none" and got[5].digit_frac > 0.8
+    # whitespace-only: null fractions, no dominant
+    assert got[6].dominant == "none" and got[6].latin_frac is None
+    assert got[6].n_nonspace == 0
+    assert got[7].dominant == "greek"
+
+
+def test_script_profile_alphabetical_tiebreak(spark):
+    from tap_airbyte_wrapper_spark.functions import script_profile
+
+    # 2 latin chars vs 2 cyrillic chars: 'cyrillic' < 'latin'
+    df = spark.createDataFrame([(1, "ab ся")], "doc_id long, text string")
+    r = df.select(script_profile(F.col("text")).alias("p")) \
+        .select("p.dominant").collect()[0]
+    assert r.dominant == "cyrillic"
