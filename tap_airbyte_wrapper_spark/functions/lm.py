@@ -284,8 +284,14 @@ def perplexity_buckets(
     single-task global sort (operators/windows.py's design note).
     """
     from ..operators.windows import global_distribution_ranks
+    from ._cache import cache_bounded
 
-    scored = score_perplexity(df, lm, id_col, text_col, lam)
+    # bounded-pool persist: the two-phase ranks evaluate their input
+    # three times (quantile probe, per-bucket counts, final ranking) —
+    # uncached, each evaluation re-runs the whole LM scoring join
+    # (measured 3.3 s -> 2.2 s at sf0.1).  The scored frame is one
+    # narrow row per doc, far smaller than the corpus.
+    scored = cache_bounded(score_perplexity(df, lm, id_col, text_col, lam))
     keyed = scored.withColumn(
         "__pplk", F.coalesce(F.col("avg_nll"), F.lit(float("inf"))))
     ranked = global_distribution_ranks(

@@ -78,6 +78,12 @@ def bm25_topk(
     it the returned row set — is reproducible across engines and runs
     (raw float sums are partition-order-dependent in the last ulp).
     """
+    # deliberately UNCACHED: the scoring core reads tf from three
+    # subtrees, but two of them are term-filtered (cheap) and a
+    # persist forces materializing the FULL postings table — measured
+    # 1.17 s (re-derive) vs 1.83 s (persist) at sf0.1.  On a standing
+    # corpus pass tf_table/dl_table (or the persisted BM25 index),
+    # which is the real scale path.
     tf = tf_table if tf_table is not None else \
         doc_term_freq(df, id_col, text_col)
     dl = dl_table if dl_table is not None else \
@@ -217,6 +223,12 @@ def rank_eval(
     (metrics are undefined there), matching trec_eval."""
     rel = (F.col(rel_col).cast("double") if rel_col
            else F.lit(1.0))
+    # deliberately uncached: the judgment table feeds three subtrees,
+    # but their shuffle stages are plan-identical and Spark's
+    # ReusedExchange already computes them once — a persist here
+    # measured SLOWER (3.0 -> 4.2 s on the fleet entry at sf0.1, where
+    # the lineage is itself a BM25 run) by blocking that reuse behind
+    # an InMemoryRelation materialization.
     t = truth.select(
         F.col(query_id_col), F.col(id_col), rel.alias("__rel"))
     n_rel = t.groupBy(query_id_col).agg(
@@ -391,13 +403,15 @@ def prf_expand_topk(
     postings to its query terms before any aggregation."""
     tf = tf_table if tf_table is not None else \
         doc_term_freq(df, id_col, text_col)
+    # tf IS cached here (unlike bm25_topk): with two passes it feeds
+    # six subtrees, past the break-even the single-pass case sits under
     tf = cache_bounded(tf) if tf_table is None else tf
     dl = dl_table if dl_table is not None else \
         tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    orig = queries.select(
+    orig = cache_bounded(queries.select(
         F.col(query_id_col),
         F.explode(F.array_distinct(words(F.col(query_text_col))))
-        .alias("term"))
+        .alias("term")))
     first = _bm25_from_terms(tf, dl, orig, id_col, query_id_col,
                              r, k1, b)
     # expansion-term mass: summed tf over each query's top-r docs —
@@ -415,6 +429,12 @@ def prf_expand_topk(
         .filter(F.col("__rk") <= e)
         .select(query_id_col, "term")
     )
-    expanded = orig.unionByName(expansion).distinct()
+    # the expanded term set EMBEDS the whole first pass — the second
+    # pass broadcasts it from three subtrees (dfreq semi-join, the
+    # postings join's qterms, and their distinct), each of which would
+    # re-run pass 1 end-to-end.  It is a query-sized frame (<= |Q| *
+    # (orig terms + e) rows): persist it so pass 1 runs once
+    # (measured 5.9 s -> 3.5 s at sf0.1).
+    expanded = cache_bounded(orig.unionByName(expansion).distinct())
     return _bm25_from_terms(tf, dl, expanded, id_col, query_id_col,
                             k, k1, b)
