@@ -1252,7 +1252,16 @@ def q_pagerank_suppliers(spark, sf_dir):
     floor per iteration on the local harness (each eager checkpoint is
     several small jobs); its cost at this SF measures that floor, not
     data — the data term only appears at real edge volumes, where the
-    per-iteration edge scan dominates and the floor vanishes."""
+    per-iteration edge scan dominates and the floor vanishes.
+
+    Node ids run NUMERIC through the whole computation (parity-bit
+    namespacing: customer 2k, supplier 2k+1) and become the oracle's
+    'c{k}'/'s{k}' strings only on the final node-count-sized frame —
+    long keys shrink the edge distinct, degree shuffle and every
+    per-iteration join vs string keys (measured 4.8 -> 3.4 s at
+    sf0.1; at 100 TB the shuffle-byte saving is the real term).
+    Ranks depend only on graph structure, so the string oracle is
+    unchanged."""
     from ..operators import pagerank
 
     orders = _t(spark, sf_dir, "orders").filter(
@@ -1260,10 +1269,15 @@ def q_pagerank_suppliers(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     edges = li.join(orders,
                     li["l_orderkey"] == orders["o_orderkey"]).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"))
     pr = pagerank(edges, "src", "dst", damping=0.85, n_iter=3)
-    return pr.select("node", F.round("rank", 6).alias("rank_r"))
+    node = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
+    return pr.select(node.alias("node"), F.round("rank", 6).alias("rank_r"))
 
 
 def q_degrees_suppliers(spark, sf_dir):
