@@ -31,7 +31,7 @@ from .corpus import words
 
 __all__ = ["bm25_topk", "doc_term_freq", "rrf_fuse", "rank_eval",
            "prf_expand_topk",
-           "bm25_index_write", "bm25_index_append",
+           "bm25_index_write", "bm25_index_append", "bm25_index_compact",
            "bm25_index_search"]
 
 
@@ -332,6 +332,68 @@ def bm25_index_append(
     tf.write.mode("append").insertInto(f"{table_name}_postings")
     (tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
        .write.mode("append").insertInto(f"{table_name}_doclen"))
+
+
+def bm25_index_compact(
+    spark,
+    table_name: str,
+    path: str,
+    dst_table: str,
+    dst_path: str,
+) -> dict:
+    """LAYOUT-PRESERVING compaction of a persisted BM25 index — the
+    retrieval member of the index family's maintenance triple
+    (``minhash_index_compact``, ``ivf_compact``): each
+    :func:`bm25_index_append` adds one file per touched bucket, so a
+    long-lived index accumulates small files and every query-term
+    lookup pays per-file open/footer cost.  A plain parquet rewrite
+    would fix the file count but destroy the bucket metadata, silently
+    re-introducing the postings shuffle the index exists to avoid —
+    so the postings/doclen tables are re-read with the bucketed scan
+    forced on and rewritten under the SAME bucket spec: one task per
+    bucket, one file per bucket, ZERO shuffle.  The write goes to a
+    NEW table/path (crash-safe swap-by-rename contract, same as the
+    other compactors).
+
+    Returns ``{"files_in", "files_out"}``.
+    """
+    import json as _json
+    import os as _os
+
+    from ..fsutil import copy_text as _copy_text, \
+        count_parquet_files as _nfiles, read_text as _read_text
+
+    if _os.path.abspath(path) == _os.path.abspath(dst_path):
+        raise ValueError("bm25_index_compact writes to a NEW path")
+    if dst_table.casefold() == table_name.casefold():
+        # Spark SQL resolves table names case-insensitively; the DROPs
+        # below would otherwise destroy the live index's catalog entry
+        raise ValueError("bm25_index_compact writes to a NEW table "
+                         "name (dst_table must differ from table_name)")
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    n_buckets, id_col = meta["n_buckets"], meta["id_col"]
+
+    files_in = _nfiles(path, spark)
+    spark.sql(f"DROP TABLE IF EXISTS {dst_table}_postings")
+    spark.sql(f"DROP TABLE IF EXISTS {dst_table}_doclen")
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        (spark.table(f"{table_name}_postings")
+            .write.bucketBy(n_buckets, "term").sortBy("term")
+            .option("path", _os.path.join(dst_path, "postings"))
+            .mode("overwrite").saveAsTable(f"{dst_table}_postings"))
+        (spark.table(f"{table_name}_doclen")
+            .write.bucketBy(n_buckets, id_col).sortBy(id_col)
+            .option("path", _os.path.join(dst_path, "doclen"))
+            .mode("overwrite").saveAsTable(f"{dst_table}_doclen"))
+    finally:
+        spark.conf.set(conf_key, old)
+    _copy_text(spark, _os.path.join(path, "_index_meta.json"),
+               _os.path.join(dst_path, "_index_meta.json"))
+    return {"files_in": files_in, "files_out": _nfiles(dst_path, spark)}
 
 
 def bm25_index_search(

@@ -248,3 +248,55 @@ def test_script_profile_alphabetical_tiebreak(spark):
     r = df.select(script_profile(F.col("text")).alias("p")) \
         .select("p.dominant").collect()[0]
     assert r.dominant == "cyrillic"
+
+
+# ---------------------------------------------------- bm25_index_compact
+
+def test_bm25_index_compact_preserves_layout_and_results(spark, tmp_path):
+    from tap_airbyte_wrapper_spark.functions import (
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_search,
+        bm25_index_write,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 7} alpha shared token{i % 3} text body")
+         for i in range(40)], "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "token1 alpha"), (1, "token2 shared")],
+        "query_id int, query_text string")
+    idx = str(tmp_path / "idx")
+    bm25_index_write(docs.filter(F.col("doc_id") < 20), "bm25c", idx,
+                     "doc_id", "text", n_buckets=4)
+    # two appends -> extra files per touched bucket
+    bm25_index_append(docs.filter(
+        (F.col("doc_id") >= 20) & (F.col("doc_id") < 30)), "bm25c")
+    bm25_index_append(docs.filter(F.col("doc_id") >= 30), "bm25c")
+    before = bm25_index_search(spark, "bm25c", queries, idx, k=8).collect()
+
+    stats = bm25_index_compact(
+        spark, "bm25c", idx, "bm25c2", str(tmp_path / "idx2"))
+    assert stats["files_out"] < stats["files_in"]
+    # at most one file per bucket per table (empty buckets write none)
+    assert stats["files_out"] <= 8
+
+    after = bm25_index_search(
+        spark, "bm25c2", queries, str(tmp_path / "idx2"), k=8).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(before, key=key) == sorted(after, key=key)
+
+    # compacted search stays shuffle-free on the postings side: the
+    # bucketed scan aligns with the term join (no Exchange above it)
+    plan = bm25_index_search(
+        spark, "bm25c2", queries, str(tmp_path / "idx2"), k=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "bm25c2" in plan
+
+    # guard rails: same path / same table name are refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="NEW path"):
+        bm25_index_compact(spark, "bm25c", idx, "bm25c3", idx)
+    with _pytest.raises(ValueError, match="NEW table"):
+        bm25_index_compact(spark, "bm25c", idx, "BM25C",
+                           str(tmp_path / "idx3"))
