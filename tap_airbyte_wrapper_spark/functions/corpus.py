@@ -40,6 +40,7 @@ __all__ = [
     "chunk_documents",
     "repetition_signals",
     "ngram_diversity",
+    "vocab_coverage",
     "pack_token_budget",
     "ngram_contamination",
     "dup_span_stats",
@@ -1070,5 +1071,54 @@ def source_overlap(
             .alias("jaccard"),
             F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment_a"),
             F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment_b"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_col: str = "token",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Tokenizer/vocabulary fit audit: per document, how many of its
+    (whitespace) tokens fall OUTSIDE ``vocab`` — the out-of-vocabulary
+    rate a tokenizer/corpus pairing is judged by (high OOV on a slice
+    means the vocab was trained on different text; the per-source
+    rollup of this is the "which crawl broke my tokenizer" report).
+
+    ``vocab`` is one column of tokens (e.g. :func:`vocab_topk` output
+    or a BPE vocab table).  Output: ``(id, n_tok, n_oov, oov_rate)``,
+    one row per input doc (empty docs: 0/0/null).
+
+    Plan: explode → LEFT join the vocab (broadcast by default — a
+    vocab is model-sized; pass ``broadcast_vocab=False`` for the
+    token-keyed shuffle join when it is not) → per-doc conditional
+    count.  One corpus pass, map-side partial agg.
+    """
+    v = vocab.select(F.col(vocab_col).alias("__vtok")).distinct() \
+        .withColumn("__in", F.lit(1))
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("__vtok"))
+    per_doc = (
+        toks.join(v, "__vtok", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tok"),
+             F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+             .alias("n_oov"))
+    )
+    return (
+        df.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.when(F.coalesce("n_tok", F.lit(0)) > 0,
+                   F.round(F.coalesce("n_oov", F.lit(0))
+                           / F.col("n_tok"), 6)).alias("oov_rate"),
         )
     )

@@ -39,6 +39,7 @@ __all__ = [
     "gopher_rules",
     "c4_clean",
     "script_profile",
+    "extract_links",
     "SCRIPT_CLASSES",
     "url_host",
     "parent_domains",
@@ -722,3 +723,27 @@ def script_profile(col: Column) -> Column:
         F.when(n > 0, F.round(digit / n, 6)).alias("digit_frac"),
         dominant.alias("dominant"),
     )
+
+
+def extract_links(col: Column) -> Column:
+    """Outbound links of an HTML-ish document: ``href`` attribute
+    values (double-quoted, any case) plus bare absolute http(s) URLs in
+    the text, in document order — the edge extractor that turns a crawl
+    into a link graph (feed :func:`url_host` + ``operators.graph`` for
+    domain-level PageRank, or :func:`domain_filter` for outlink-based
+    quality gates).
+
+    Two ``regexp_extract_all`` passes, per-row, zero shuffle; both
+    patterns are RE2-safe so the DuckDB oracle replays them verbatim.
+    An ABSOLUTE href value is found by both passes and appears twice —
+    callers wanting a set (vs edge multiplicities) ``array_distinct``.
+    Single-quoted/unquoted href values are out of contract (the
+    full-fidelity path is an HTML parser in a ``mapInPandas`` batch,
+    same boundary as :func:`strip_html`).
+    """
+    hrefs = F.regexp_extract_all(
+        col, F.lit(r'(?i)href\s*=\s*"([^"]*)"'), 1)
+    # bare URLs: stop at whitespace, quotes, angle brackets (tag ends)
+    bare = F.regexp_extract_all(
+        col, F.lit(r"""(?i)\bhttps?://[^\s"'<>]+"""), 0)
+    return F.concat(hrefs, bare)

@@ -2776,6 +2776,37 @@ def _script_profile_oracle() -> str:
         FROM c"""
 
 
+def q_extract_links(spark, sf_dir):
+    """Link-graph edge extraction: href attributes + bare URLs from
+    HTML-wrapped docs (deterministic synthetic markup over the real
+    text, the strip_html strategy).  Two regexp passes, zero shuffle;
+    feeds url_host/pagerank for domain-graph curation."""
+    from ..functions import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p><a href="https://site-'), (d % 7).cast("string"),
+        F.lit('.example.com/a">'), F.col("text"),
+        F.lit('</a> see http://ref.example.org/p/'), d.cast("string"),
+        F.when(d % 2 == 0, F.lit(' <a HREF="/rel/path">y</a>'))
+        .otherwise(F.lit("")),
+        F.lit("</p>"))
+    return docs.select(
+        "doc_id", F.explode(extract_links(html)).alias("link"))
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-fit audit: per-doc OOV rate against the corpus's own
+    top-500 vocabulary (deterministic count-desc/token cut, the
+    vocab_topk contract) — one explode + broadcast-vocab join."""
+    from ..functions import vocab_coverage, vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = vocab_topk(docs, k=500).select("token")
+    return vocab_coverage(docs, vocab)
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2821,6 +2852,8 @@ QUERIES = {
     "ngram_diversity_docs": q_ngram_diversity,
     "uniform_sample_docs": q_uniform_sample,
     "script_profile_docs": q_script_profile,
+    "extract_links_docs": q_extract_links,
+    "vocab_coverage_docs": q_vocab_coverage,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -4895,6 +4928,42 @@ ORACLES = {
         ORDER BY pri, doc_id
         LIMIT 100""",
     "script_profile_docs": _script_profile_oracle(),
+    "extract_links_docs": r"""
+        WITH h AS (
+          SELECT doc_id,
+                 '<p><a href="https://site-' || (doc_id % 7)
+                 || '.example.com/a">' || text
+                 || '</a> see http://ref.example.org/p/' || doc_id
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN ' <a HREF="/rel/path">y</a>' ELSE '' END
+                 || '</p>' AS html
+          FROM documents)
+        SELECT doc_id, unnest(list_concat(
+                 regexp_extract_all(html, '(?i)href\s*=\s*"([^"]*)"', 1),
+                 regexp_extract_all(html,
+                   '(?i)\bhttps?://[^\s"''<>]+', 0))) AS link
+        FROM h""",
+    "vocab_coverage_docs": r"""
+        WITH ws AS (
+          SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w
+          FROM documents),
+        occ AS (SELECT unnest(w) AS tok FROM ws),
+        v AS (SELECT tok FROM (
+                SELECT tok, count(*) AS c FROM occ GROUP BY tok
+                ORDER BY c DESC, tok LIMIT 500)),
+        tokens AS (SELECT doc_id, unnest(w) AS tok FROM ws),
+        d AS (
+          SELECT doc_id, count(*) AS n_tok,
+                 sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_oov
+          FROM tokens LEFT JOIN v ON tokens.tok = v.tok
+          GROUP BY doc_id)
+        SELECT ws.doc_id, coalesce(n_tok, 0) AS n_tok,
+               coalesce(n_oov, 0) AS n_oov,
+               CASE WHEN coalesce(n_tok, 0) > 0
+                    THEN round(coalesce(n_oov, 0)::DOUBLE / n_tok, 6)
+               END AS oov_rate
+        FROM ws LEFT JOIN d USING (doc_id)""",
     "weighted_sample_docs": """
         SELECT doc_id, n_chars FROM (
           SELECT doc_id, n_chars,

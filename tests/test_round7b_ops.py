@@ -300,3 +300,65 @@ def test_bm25_index_compact_preserves_layout_and_results(spark, tmp_path):
     with _pytest.raises(ValueError, match="NEW table"):
         bm25_index_compact(spark, "bm25c", idx, "BM25C",
                            str(tmp_path / "idx3"))
+
+
+# -------------------------------------------------------- extract_links
+
+def test_extract_links_hrefs_and_bare_urls(spark):
+    from tap_airbyte_wrapper_spark.functions import extract_links
+
+    df = spark.createDataFrame(
+        [(1, '<a href="https://a.com/x">t</a> plain http://b.org/y?z=1 '
+             '<a HREF="/relative">r</a> <a href=\'single\'>no</a>')],
+        "doc_id long, text string")
+    links = df.select(extract_links(F.col("text")).alias("l")) \
+        .collect()[0].l
+    # hrefs (double-quoted, case-insensitive attr) first, then bare
+    assert "https://a.com/x" in links
+    assert "/relative" in links
+    assert "http://b.org/y?z=1" in links
+    # single-quoted href out of contract; the bare scan also re-finds
+    # the absolute href value inside the attribute (documented overlap)
+    assert "single" not in links
+
+
+def test_extract_links_empty_and_plain_text(spark):
+    from tap_airbyte_wrapper_spark.functions import extract_links
+
+    df = spark.createDataFrame(
+        [(1, "no links at all"), (2, "")], "doc_id long, text string")
+    got = {r.doc_id: r.l for r in
+           df.select("doc_id", extract_links(F.col("text")).alias("l"))
+           .collect()}
+    assert got[1] == [] and got[2] == []
+
+
+# ------------------------------------------------------- vocab_coverage
+
+def test_vocab_coverage_counts_and_empty_docs(spark):
+    from tap_airbyte_wrapper_spark.functions import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog UNSEEN zz"), (3, "")],
+        "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("sat",), ("dog",)], "token string")
+    got = {r.doc_id: r for r in vocab_coverage(docs, vocab).collect()}
+    assert (got[1].n_tok, got[1].n_oov, got[1].oov_rate) == (3, 0, 0.0)
+    assert (got[2].n_tok, got[2].n_oov) == (4, 2)
+    assert got[2].oov_rate == pytest.approx(0.5)
+    assert (got[3].n_tok, got[3].n_oov, got[3].oov_rate) == (0, 0, None)
+
+
+def test_vocab_coverage_shuffle_join_path_matches_broadcast(spark):
+    from tap_airbyte_wrapper_spark.functions import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 3} rare{i}") for i in range(20)],
+        "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(5)], "token string")
+    a = sorted(map(tuple, vocab_coverage(docs, vocab).collect()))
+    b = sorted(map(tuple, vocab_coverage(
+        docs, vocab, broadcast_vocab=False).collect()))
+    assert a == b
