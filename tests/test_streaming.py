@@ -592,3 +592,107 @@ def test_stream_reservoir_sample_matches_batch_bottomk(spark, tmp_path):
     # gate stats recorded one row per processed batch
     stats = spark.read.parquet(out + "/_gate_stats")
     assert stats.count() >= 2
+
+
+def test_stream_heavy_hitters_exact_when_capacity_suffices(spark, tmp_path):
+    """Large capacity -> no eviction ever -> sketch counts are EXACT
+    stream totals; a fresh-checkpoint re-drain (same batch boundaries)
+    reproduces the identical snapshot via the predecessor pointers."""
+    from pyspark.sql import Row
+    from tap_airbyte_wrapper_spark.streaming import (
+        read_heavy_hitters,
+        stream_heavy_hitters,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "hh")
+    schema = "doc_id long, text string"
+
+    def drain(ckpt):
+        q = stream_heavy_hitters(
+            spark.readStream.schema(schema).parquet(str(src)),
+            "text", out, checkpoint=str(tmp_path / ckpt), capacity=100)
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [Row(doc_id=1, text="apple apple banana"),
+         Row(doc_id=2, text="apple cherry")], schema)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    drain("ck1")
+    got1 = {r.word: (r.cnt_min, r.cnt_max) for r in
+            read_heavy_hitters(spark, out, min_count=1).collect()}
+    assert got1["apple"] == (3, 3) and got1["banana"] == (1, 1)
+
+    b2 = spark.createDataFrame(
+        [Row(doc_id=3, text="banana banana banana durian")], schema)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    drain("ck1")
+    got2 = {r.word: (r.cnt_min, r.cnt_max) for r in
+            read_heavy_hitters(spark, out, min_count=2).collect()}
+    assert got2 == {"apple": (3, 3), "banana": (4, 4)}
+
+    # no-op re-drain: nothing new
+    drain("ck1")
+    assert {r.word: (r.cnt_min, r.cnt_max) for r in
+            read_heavy_hitters(spark, out, min_count=2).collect()} == got2
+
+    # fresh checkpoint: every batch re-folds through its recorded
+    # predecessor -> same snapshot, no double counting
+    drain("ck_replay")
+    assert {r.word: (r.cnt_min, r.cnt_max) for r in
+            read_heavy_hitters(spark, out, min_count=2).collect()} == got2
+
+
+def test_stream_heavy_hitters_bounds_under_eviction(spark, tmp_path):
+    """Tiny capacity forces evictions: every surviving count obeys
+    sketch <= true <= sketch + N/capacity, every token with true count
+    above the threshold surfaces in the cnt_max-filtered superset, and
+    an at-the-noise-floor threshold raises."""
+    from collections import Counter
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from tap_airbyte_wrapper_spark.streaming import (
+        read_heavy_hitters,
+        stream_heavy_hitters,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "hh")
+    schema = "doc_id long, text string"
+    rows1 = [Row(doc_id=i, text="hot " * 8 + f"cold{i} cool{i % 9}")
+             for i in range(30)]
+    rows2 = [Row(doc_id=100 + i, text="hot warm warm " + f"cold{100 + i}")
+             for i in range(30)]
+    truth = Counter()
+    for r in rows1 + rows2:
+        truth.update(r.text.split())
+    n_total = sum(truth.values())
+
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    q = stream_heavy_hitters(
+        spark.readStream.schema(schema).parquet(str(src)),
+        "text", out, checkpoint=str(tmp_path / "ck"), capacity=16)
+    q.awaitTermination(120)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    q = stream_heavy_hitters(
+        spark.readStream.schema(schema).parquet(str(src)),
+        "text", out, checkpoint=str(tmp_path / "ck"), capacity=16)
+    q.awaitTermination(120)
+
+    err = n_total // 16
+    thresh = err + 1
+    got = {r.word: (r.cnt_min, r.cnt_max) for r in
+           read_heavy_hitters(spark, out, min_count=thresh).collect()}
+    for w, (lo, hi) in got.items():
+        assert lo <= truth[w] <= hi, (w, lo, truth[w], hi)
+    # completeness: every true heavy hitter above the threshold appears
+    for w, c in truth.items():
+        if c >= thresh:
+            assert w in got, (w, c)
+    with _pytest.raises(ValueError, match="noise floor|N/capacity"):
+        read_heavy_hitters(spark, out, min_count=1)
