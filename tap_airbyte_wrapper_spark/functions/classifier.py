@@ -45,7 +45,8 @@ from .corpus import words
 
 __all__ = ["TextClassifierModel", "hashed_token_indices",
            "fit_text_classifier", "classify", "save_text_classifier",
-           "load_text_classifier"]
+           "load_text_classifier",
+           "roc_auc", "threshold_metrics"]
 
 
 @dataclass
@@ -204,3 +205,117 @@ def load_text_classifier(spark, path: str) -> TextClassifierModel:
     return TextClassifierModel(
         np.asarray(r["weights"], dtype=np.float64), float(r["bias"]),
         int(r["dim"]), r["salt"])
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Tie-aware ROC-AUC of a score against binary labels — the
+    evaluation half every quality-classifier gate needs before its
+    threshold goes into a sync config (AUC ranks the SCORE, so it
+    judges the model independent of any particular cutoff;
+    :func:`threshold_metrics` then judges the cutoff).
+
+    Output: one row ``(n_pos, n_neg, auc)``; ``auc`` is null when
+    either class is empty.  Rows with null score, or a label other
+    than 0/1, are ignored.
+
+    Plan — the Mann-Whitney formulation, no per-pair work and no
+    single-task global sort: aggregate to per-DISTINCT-SCORE class
+    counts (one partial-agg shuffle), run the value-bucketed two-phase
+    :func:`~..operators.windows.global_cumsum` over the (unique)
+    score key for the negatives-below count, and fold
+
+        AUC = [2 * sum(p_s * neg_below(s)) + sum(p_s * n_s)]
+              / (2 * n_pos * n_neg)
+
+    (the tie term counts half).  The numerator/denominator are exact
+    integers, so the final division is one IEEE op — reproducible in
+    ANSI SQL for the oracle.  Distinct-score cardinality bounds every
+    stage past the first shuffle.
+    """
+    from ..operators.windows import global_cumsum
+
+    per_score = (
+        df.filter(F.col(score_col).isNotNull()
+                  & F.col(label_col).isin(0, 1))
+        .groupBy(F.col(score_col).alias("__s"))
+        .agg(F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
+             .alias("__cp"),
+             F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0))
+             .alias("__cn"))
+    )
+    cum = global_cumsum(per_score, "__s", "__cn", out_col="__cum_cn")
+    return (
+        cum.agg(
+            F.sum("__cp").alias("n_pos"),
+            F.sum("__cn").alias("n_neg"),
+            (2 * F.sum(F.col("__cp") * (F.col("__cum_cn") - F.col("__cn")))
+             + F.sum(F.col("__cp") * F.col("__cn"))).alias("__num"))
+        .select(
+            F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
+            F.coalesce("n_neg", F.lit(0)).alias("n_neg"),
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.round(F.col("__num")
+                        / (2.0 * F.col("n_pos") * F.col("n_neg")), 6))
+            .alias("auc"))
+    )
+
+
+def threshold_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: tuple[float, ...] = (0.5,),
+) -> DataFrame:
+    """Confusion-matrix metrics of ``score >= t`` against binary labels
+    for each candidate threshold — the cutoff-selection sweep run
+    after :func:`roc_auc` says the score is worth thresholding.
+
+    Output: one row per threshold ``(threshold, tp, fp, fn, tn,
+    precision, recall, f1, accuracy)`` (rate columns null where the
+    denominator is 0).  ONE conditional-aggregate corpus pass computes
+    every threshold's counts; the per-threshold rows are assembled
+    from that single 1-row aggregate (len(thresholds) tiny selects —
+    driver-free, corpus-scan-free).
+    """
+    clean = df.filter(F.col(score_col).isNotNull()
+                      & F.col(label_col).isin(0, 1))
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = F.col(score_col) >= F.lit(float(t))
+        lab = F.col(label_col) == 1
+        aggs += [
+            F.sum(F.when(pred & lab, 1).otherwise(0)).alias(f"__tp{i}"),
+            F.sum(F.when(pred & ~lab, 1).otherwise(0)).alias(f"__fp{i}"),
+            F.sum(F.when(~pred & lab, 1).otherwise(0)).alias(f"__fn{i}"),
+            F.sum(F.when(~pred & ~lab, 1).otherwise(0)).alias(f"__tn{i}"),
+        ]
+    counts = clean.agg(*aggs)
+    out = None
+    for i, t in enumerate(thresholds):
+        tp, fp = F.col(f"__tp{i}"), F.col(f"__fp{i}")
+        fn, tn = F.col(f"__fn{i}"), F.col(f"__tn{i}")
+        prec = F.when(tp + fp > 0, F.round(tp / (tp + fp), 6))
+        rec = F.when(tp + fn > 0, F.round(tp / (tp + fn), 6))
+        row = counts.select(
+            F.lit(float(t)).alias("threshold"),
+            F.coalesce(tp, F.lit(0)).alias("tp"),
+            F.coalesce(fp, F.lit(0)).alias("fp"),
+            F.coalesce(fn, F.lit(0)).alias("fn"),
+            F.coalesce(tn, F.lit(0)).alias("tn"),
+            prec.alias("precision"),
+            rec.alias("recall"),
+            F.when((tp + fp > 0) & (tp + fn > 0) & (tp > 0),
+                   F.round(2 * (tp / (tp + fp)) * (tp / (tp + fn))
+                           / (tp / (tp + fp) + tp / (tp + fn)), 6))
+            .alias("f1"),
+            F.when(tp + fp + fn + tn > 0,
+                   F.round((tp + tn) / (tp + fp + fn + tn), 6))
+            .alias("accuracy"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

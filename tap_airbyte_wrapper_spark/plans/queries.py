@@ -2807,6 +2807,36 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, vocab)
 
 
+def q_roc_auc(spark, sf_dir):
+    """Score-quality evaluation: tie-aware Mann-Whitney AUC of doc
+    length as an is-English predictor — n_chars is tie-heavy, so the
+    half-credit tie term is exercised for real.  Per-distinct-score
+    aggregation + two-phase global cumsum; integer numerator, one IEEE
+    division."""
+    from ..functions import roc_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    return roc_auc(
+        docs.select(
+            F.col("n_chars").alias("score"),
+            (F.col("lang") == "en").cast("int").alias("label")),
+        "score", "label")
+
+
+def q_threshold_metrics(spark, sf_dir):
+    """Cutoff sweep for the same predictor: confusion counts +
+    precision/recall/F1/accuracy at three thresholds from ONE
+    conditional-aggregate corpus pass."""
+    from ..functions import threshold_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    return threshold_metrics(
+        docs.select(
+            F.col("n_chars").alias("score"),
+            (F.col("lang") == "en").cast("int").alias("label")),
+        "score", "label", thresholds=(200.0, 500.0, 1000.0))
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2854,6 +2884,8 @@ QUERIES = {
     "script_profile_docs": q_script_profile,
     "extract_links_docs": q_extract_links,
     "vocab_coverage_docs": q_vocab_coverage,
+    "roc_auc_docs": q_roc_auc,
+    "threshold_metrics_docs": q_threshold_metrics,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -4943,6 +4975,54 @@ ORACLES = {
                  regexp_extract_all(html,
                    '(?i)\bhttps?://[^\s"''<>]+', 0))) AS link
         FROM h""",
+    "roc_auc_docs": """
+        WITH base AS (
+          SELECT n_chars AS s,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+          FROM documents WHERE n_chars IS NOT NULL),
+        per AS (
+          SELECT s, sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS cp,
+                    sum(CASE WHEN l = 0 THEN 1 ELSE 0 END) AS cn
+          FROM base GROUP BY s),
+        c AS (SELECT *, sum(cn) OVER (ORDER BY s) AS cum FROM per)
+        SELECT coalesce(sum(cp), 0)::BIGINT AS n_pos,
+               coalesce(sum(cn), 0)::BIGINT AS n_neg,
+               CASE WHEN sum(cp) > 0 AND sum(cn) > 0 THEN
+                 round((2 * sum(cp * (cum - cn)) + sum(cp * cn))::DOUBLE
+                       / (2.0 * sum(cp) * sum(cn)), 6)
+               END AS auc
+        FROM c""",
+    "threshold_metrics_docs": """
+        WITH base AS (
+          SELECT n_chars AS s,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+          FROM documents WHERE n_chars IS NOT NULL),
+        agg AS (
+          SELECT t.threshold,
+                 sum(CASE WHEN s >= t.threshold AND l = 1
+                     THEN 1 ELSE 0 END)::BIGINT AS tp,
+                 sum(CASE WHEN s >= t.threshold AND l = 0
+                     THEN 1 ELSE 0 END)::BIGINT AS fp,
+                 sum(CASE WHEN s < t.threshold AND l = 1
+                     THEN 1 ELSE 0 END)::BIGINT AS fn,
+                 sum(CASE WHEN s < t.threshold AND l = 0
+                     THEN 1 ELSE 0 END)::BIGINT AS tn
+          FROM base CROSS JOIN (
+            SELECT unnest([200.0, 500.0, 1000.0]) AS threshold) t
+          GROUP BY t.threshold)
+        SELECT threshold, tp, fp, fn, tn,
+               CASE WHEN tp + fp > 0
+                    THEN round(tp / (tp + fp), 6) END AS precision,
+               CASE WHEN tp + fn > 0
+                    THEN round(tp / (tp + fn), 6) END AS recall,
+               CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+                    THEN round(2 * (tp / (tp + fp)) * (tp / (tp + fn))
+                               / (tp / (tp + fp) + tp / (tp + fn)), 6)
+               END AS f1,
+               CASE WHEN tp + fp + fn + tn > 0
+                    THEN round((tp + tn) / (tp + fp + fn + tn), 6)
+               END AS accuracy
+        FROM agg""",
     "vocab_coverage_docs": r"""
         WITH ws AS (
           SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w

@@ -362,3 +362,63 @@ def test_vocab_coverage_shuffle_join_path_matches_broadcast(spark):
     b = sorted(map(tuple, vocab_coverage(
         docs, vocab, broadcast_vocab=False).collect()))
     assert a == b
+
+
+# ----------------------------------------------------- roc_auc / sweep
+
+def test_roc_auc_hand_computed_with_ties(spark):
+    from tap_airbyte_wrapper_spark.functions import roc_auc
+
+    # scores: pos {3, 2, 2}, neg {2, 1}
+    # pairs: (3,2)+ (3,1)+ (2,2)tie (2,1)+ (2,2)tie (2,1)+
+    # => (4 wins + 2*0.5) / 6 = 5/6
+    df = spark.createDataFrame(
+        [(3.0, 1), (2.0, 1), (2.0, 1), (2.0, 0), (1.0, 0)],
+        "score double, label int")
+    r = roc_auc(df, "score", "label").collect()[0]
+    assert (r.n_pos, r.n_neg) == (3, 2)
+    assert r.auc == pytest.approx(round(5 / 6, 6))
+
+
+def test_roc_auc_perfect_random_and_degenerate(spark):
+    from tap_airbyte_wrapper_spark.functions import roc_auc
+
+    sep = spark.createDataFrame(
+        [(float(i), 1 if i >= 50 else 0) for i in range(100)],
+        "score double, label int")
+    assert roc_auc(sep, "score", "label").collect()[0].auc == 1.0
+    inv = spark.createDataFrame(
+        [(float(-i), 1 if i >= 50 else 0) for i in range(100)],
+        "score double, label int")
+    assert roc_auc(inv, "score", "label").collect()[0].auc == 0.0
+    # single-class input: auc undefined (null), counts still reported
+    one = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1)], "score double, label int")
+    r = roc_auc(one, "score", "label").collect()[0]
+    assert r.auc is None and (r.n_pos, r.n_neg) == (2, 0)
+    # null scores and non-binary labels are ignored
+    noisy = spark.createDataFrame(
+        [(3.0, 1), (None, 1), (1.0, 0), (2.0, 7)],
+        "score double, label int")
+    r = roc_auc(noisy, "score", "label").collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (1, 1, 1.0)
+
+
+def test_threshold_metrics_hand_computed(spark):
+    from tap_airbyte_wrapper_spark.functions import threshold_metrics
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.6, 1), (0.4, 0), (0.2, 1)],
+        "score double, label int")
+    got = {r.threshold: r for r in threshold_metrics(
+        df, "score", "label", thresholds=(0.5, 0.95)).collect()}
+    t = got[0.5]   # pred+: .9 .8 .6 -> tp=2 fp=1; pred-: .4 .2 -> fn=1 tn=1
+    assert (t.tp, t.fp, t.fn, t.tn) == (2, 1, 1, 1)
+    assert t.precision == pytest.approx(round(2 / 3, 6))
+    assert t.recall == pytest.approx(round(2 / 3, 6))
+    assert t.f1 == pytest.approx(round(2 / 3, 6))
+    assert t.accuracy == pytest.approx(0.6)
+    hi = got[0.95]  # nothing predicted positive
+    assert (hi.tp, hi.fp, hi.fn, hi.tn) == (0, 0, 3, 2)
+    assert hi.precision is None and hi.f1 is None
+    assert hi.recall == 0.0 and hi.accuracy == pytest.approx(0.4)
