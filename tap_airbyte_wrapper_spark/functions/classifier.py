@@ -46,7 +46,7 @@ from .corpus import words
 __all__ = ["TextClassifierModel", "hashed_token_indices",
            "fit_text_classifier", "classify", "save_text_classifier",
            "load_text_classifier",
-           "roc_auc", "threshold_metrics"]
+           "roc_auc", "threshold_metrics", "calibration_bins"]
 
 
 @dataclass
@@ -319,3 +319,42 @@ def threshold_metrics(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Brier decomposition inputs: scores in
+    [0, 1] bucketed into ``n_bins`` equal-width bins, each reporting
+    its count, mean predicted score, observed positive rate, and the
+    bin's summed squared error — AUC (:func:`roc_auc`) measures
+    DISCRIMINATION, this measures CALIBRATION (a gate that thresholds
+    raw scores needs both; a miscalibrated-but-discriminative score
+    just needs a remapped cutoff).
+
+    Output: ``(bin, n, mean_score, frac_pos, sse)`` — one row per
+    NON-EMPTY bin; ``bin = floor(score * n_bins)`` clamped so 1.0
+    lands in the last bin.  Corpus-wide Brier score =
+    ``sum(sse) / sum(n)``.  Rows with null/out-of-range scores or a
+    label other than 0/1 are ignored.
+
+    One partial-aggregate pass, n_bins output rows — map-side combine
+    does all the work at any corpus size.
+    """
+    b = F.least(F.floor(F.col(score_col) * n_bins).cast("int"),
+                F.lit(n_bins - 1))
+    lab = F.col(label_col).cast("double")
+    return (
+        df.filter(F.col(score_col).isNotNull()
+                  & (F.col(score_col) >= 0) & (F.col(score_col) <= 1)
+                  & F.col(label_col).isin(0, 1))
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg(F.col(score_col)), 6).alias("mean_score"),
+             F.round(F.avg(lab), 6).alias("frac_pos"),
+             F.round(F.sum(F.pow(F.col(score_col) - lab, F.lit(2.0))), 6)
+             .alias("sse"))
+    )

@@ -2837,6 +2837,20 @@ def q_threshold_metrics(spark, sf_dir):
         "score", "label", thresholds=(200.0, 500.0, 1000.0))
 
 
+def q_calibration_bins(spark, sf_dir):
+    """Reliability diagram for a [0,1]-mapped length score against the
+    is-English label: per-bin count, mean score, observed positive
+    rate, summed squared error.  One partial-agg pass."""
+    from ..functions import calibration_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    return calibration_bins(
+        docs.select(
+            F.least(F.col("n_chars") / 2000.0, F.lit(1.0)).alias("score"),
+            (F.col("lang") == "en").cast("int").alias("label")),
+        "score", "label", n_bins=10)
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2886,6 +2900,7 @@ QUERIES = {
     "vocab_coverage_docs": q_vocab_coverage,
     "roc_auc_docs": q_roc_auc,
     "threshold_metrics_docs": q_threshold_metrics,
+    "calibration_bins_docs": q_calibration_bins,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -4992,6 +5007,20 @@ ORACLES = {
                        / (2.0 * sum(cp) * sum(cn)), 6)
                END AS auc
         FROM c""",
+    "calibration_bins_docs": """
+        WITH base AS (
+          SELECT least(n_chars / 2000.0, 1.0) AS s,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+          FROM documents
+          WHERE n_chars IS NOT NULL)
+        SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+               count(*) AS n,
+               round(avg(s), 6) AS mean_score,
+               round(avg(CAST(l AS DOUBLE)), 6) AS frac_pos,
+               round(sum(pow(s - l, 2)), 6) AS sse
+        FROM base
+        WHERE s >= 0 AND s <= 1
+        GROUP BY 1""",
     "threshold_metrics_docs": """
         WITH base AS (
           SELECT n_chars AS s,

@@ -422,3 +422,43 @@ def test_threshold_metrics_hand_computed(spark):
     assert (hi.tp, hi.fp, hi.fn, hi.tn) == (0, 0, 3, 2)
     assert hi.precision is None and hi.f1 is None
     assert hi.recall == 0.0 and hi.accuracy == pytest.approx(0.4)
+
+
+def test_calibration_bins_hand_computed(spark):
+    from tap_airbyte_wrapper_spark.functions import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0.05, 0), (0.08, 0), (0.95, 1), (0.92, 0), (1.0, 1),
+         (None, 1), (1.5, 0), (0.5, 3)],     # last three ignored
+        "score double, label int")
+    got = {r.bin: r for r in calibration_bins(
+        df, "score", "label", n_bins=10).collect()}
+    assert set(got) == {0, 9}
+    lo = got[0]
+    assert lo.n == 2 and lo.frac_pos == 0.0
+    assert lo.mean_score == pytest.approx(0.065)
+    assert lo.sse == pytest.approx(round(0.05**2 + 0.08**2, 6))
+    hi = got[9]   # 0.95(1), 0.92(0), 1.0(1) -> score 1.0 clamps into bin 9
+    assert hi.n == 3
+    assert hi.frac_pos == pytest.approx(round(2 / 3, 6))
+    assert hi.sse == pytest.approx(
+        round(0.05**2 + 0.92**2 + 0.0**2, 6))
+
+
+def test_calibration_well_vs_miscalibrated(spark):
+    from tap_airbyte_wrapper_spark.functions import calibration_bins
+
+    # perfectly calibrated synthetic: in bin b, frac_pos == mean score
+    rows = []
+    for b in range(10):
+        s = b / 10 + 0.05
+        for i in range(100):
+            rows.append((s, 1 if i < round(s * 100) else 0))
+    df = spark.createDataFrame(rows, "score double, label int")
+    for r in calibration_bins(df, "score", "label").collect():
+        assert abs(r.frac_pos - r.mean_score) <= 0.005
+    # corpus Brier from the bins: sum(sse)/sum(n) ~= s(1-s) averaged
+    agg = calibration_bins(df, "score", "label").groupBy().sum(
+        "sse", "n").collect()[0]
+    brier = agg[0] / agg[1]
+    assert 0.15 < brier < 0.30
