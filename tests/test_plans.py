@@ -402,3 +402,35 @@ def test_round7_batch_plan_shapes(plans, spark, sf_dir):
     # a global Sort of the vocabulary
     p = plans("zipf_fit_docs")
     assert "TakeOrderedAndProject" in p
+
+
+def test_round7b_plan_shapes(plans):
+    # hard negatives: the corpus never shuffles — queries and the
+    # per-query positive max both arrive as broadcasts; the only
+    # Exchange keys the per-query top-k window over CANDIDATE rows
+    p = plans("semi_hard_negatives_emb")
+    assert "BroadcastNestedLoopJoin" in p      # broadcast query set
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p             # rank pushdown on top-k
+    # uniform sample: bottom-k is TakeOrderedAndProject, never a
+    # global Sort of the corpus
+    p = plans("uniform_sample_docs")
+    assert "TakeOrderedAndProject" in p
+    # script profile: per-row expressions only — no shuffle, no python
+    p = plans("script_profile_docs")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # link extraction: explode + regexp only — no shuffle, no python
+    p = plans("extract_links_docs")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # vocab coverage: the vocabulary joins BROADCAST (the corpus-side
+    # explode must not shuffle to meet a model-sized table)
+    p = plans("vocab_coverage_docs")
+    assert "BroadcastHashJoin" in p
+    # threshold sweep / calibration: single-pass aggregates — no
+    # window, no python
+    for name in ("threshold_metrics_docs", "calibration_bins_docs"):
+        p = plans(name)
+        assert "Window" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
