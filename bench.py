@@ -43,7 +43,7 @@ _GROUPS = [
     ("dedup", re.compile(
         r"^(exact_dedup|paragraph|jaccard|minhash|simhash|dedup_clusters"
         r"|semantic_dedup|winnow|boilerplate|dup_span|remove_dup"
-        r"|dedup_cluster|dedup_keep|containment)")),
+        r"|dedup_cluster|dedup_keep|containment|soft_dedup)")),
     ("graph", re.compile(r"^(pagerank|degrees|triangle|communities)")),
     ("similarity", re.compile(
         r"^(knn|embedding|quantize|centroid|label_centroids"

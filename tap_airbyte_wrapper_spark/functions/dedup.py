@@ -34,6 +34,7 @@ from ._cache import cache_bounded
 __all__ = [
     "shingles",
     "exact_dedup",
+    "soft_dedup_weights",
     "paragraph_dedup",
     "boilerplate_removal",
     "minhash_signature",
@@ -103,6 +104,46 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__rn")
+    )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING exact duplicates, keep
+    every copy and attach a training weight ``1 / n_copies^alpha`` —
+    the sampling-pressure variant of dedup (duplicated text still
+    contributes, but its total gradient mass matches a single copy;
+    ``alpha < 1`` interpolates toward no-dedup, the knob the
+    soft-dedup literature sweeps).  Use when hard dropping is too
+    blunt: boilerplate-adjacent pages with small unique payloads, or
+    license/citation text that SHOULD stay represented.
+
+    Output: the input rows + ``(n_copies, weight)``; weights feed
+    :func:`~.sampling.weighted_sample` or a loss-weighting column in
+    the packed output.  Groups key on the same normalized md5
+    fingerprint as :func:`exact_dedup`, so hard-drop and soft-weight
+    agree on what "a copy" is.
+
+    Plan: ONE count-window over the fingerprint shuffle — same
+    single-scan shape (and the same measured 2x argument) as
+    :func:`exact_dedup`'s row_number; no groupBy + join-back.
+    """
+    from pyspark.sql import Window
+
+    from .text import fingerprint
+
+    w = Window.partitionBy("__fp")
+    return (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "weight",
+            F.round(F.pow(1.0 / F.col("n_copies"), F.lit(float(alpha))), 6))
+        .drop("__fp")
     )
 
 

@@ -2851,6 +2851,18 @@ def q_calibration_bins(spark, sf_dir):
         "score", "label", n_bins=10)
 
 
+def q_soft_dedup(spark, sf_dir):
+    """Soft dedup: every copy kept, weighted 1/n_copies — total
+    gradient mass per duplicated text equals one copy.  One
+    count-window over the fingerprint shuffle; agrees with
+    exact_dedup_docs on what a copy is (same normalized md5)."""
+    from ..functions import soft_dedup_weights
+
+    return soft_dedup_weights(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select("doc_id", "n_copies", "weight")
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2901,6 +2913,7 @@ QUERIES = {
     "roc_auc_docs": q_roc_auc,
     "threshold_metrics_docs": q_threshold_metrics,
     "calibration_bins_docs": q_calibration_bins,
+    "soft_dedup_docs": q_soft_dedup,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -3676,6 +3689,13 @@ ORACLES = {
         WHERE doc_id IN (
           SELECT min(doc_id) FROM documents
           GROUP BY md5({_NORM_TEXT}))""",
+    "soft_dedup_docs": f"""
+        WITH f AS (
+          SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents),
+        c AS (SELECT fp, count(*) AS n_copies FROM f GROUP BY fp)
+        SELECT doc_id, n_copies,
+               round(pow(1.0 / n_copies, 1.0), 6) AS weight
+        FROM f JOIN c USING (fp)""",
     "corpus_curation": f"""
         WITH ql AS ({_QUALITY_SQL}),
         lg AS ({_LANG_SQL}),

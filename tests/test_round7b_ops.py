@@ -462,3 +462,30 @@ def test_calibration_well_vs_miscalibrated(spark):
         "sse", "n").collect()[0]
     brier = agg[0] / agg[1]
     assert 0.15 < brier < 0.30
+
+
+# ------------------------------------------------------ soft_dedup_weights
+
+def test_soft_dedup_weights_planted_copies(spark):
+    from tap_airbyte_wrapper_spark.functions import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [(1, "same  TEXT here"), (2, "same text HERE"),   # normalized dup
+         (3, "same text here"), (4, "unique content")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           soft_dedup_weights(df, "text", "doc_id").collect()}
+    assert all(got[i].n_copies == 3 for i in (1, 2, 3))
+    assert got[1].weight == pytest.approx(round(1 / 3, 6))
+    assert got[4].n_copies == 1 and got[4].weight == 1.0
+    # total weight mass of a clique == one copy
+    assert sum(got[i].weight for i in (1, 2, 3)) == pytest.approx(1.0, abs=1e-5)
+    # alpha < 1 interpolates toward no-dedup
+    soft = {r.doc_id: r.weight for r in soft_dedup_weights(
+        df, "text", "doc_id", alpha=0.5).collect()}
+    assert got[1].weight < soft[1] < 1.0
+    # agreement with exact_dedup: hard-drop keeps exactly the rows a
+    # weight-1-per-clique scheme would sample first
+    from tap_airbyte_wrapper_spark.functions import exact_dedup
+    kept = sorted(r.doc_id for r in exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 4]
