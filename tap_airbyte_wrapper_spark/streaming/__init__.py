@@ -14,7 +14,8 @@ from .incremental import (
 from .cdc import stream_changelog_apply
 from .dedup import stream_exact_dedup_gate, stream_near_dup_gate
 from .similarity import stream_embedding_gate
-from .selection import read_reservoir, stream_dsir_gate, stream_reservoir_sample
+from .selection import (read_reservoir, stream_dsir_gate,
+                        stream_quality_gate, stream_reservoir_sample)
 from .trending import read_heavy_hitters, stream_heavy_hitters
 from .stats import append_gate_stats, read_gate_stats
 from .drift import reference_profile, stream_drift_monitor
@@ -32,6 +33,7 @@ __all__ = [
     "stream_dsir_gate",
     "stream_reservoir_sample",
     "read_reservoir",
+    "stream_quality_gate",
     "stream_heavy_hitters",
     "read_heavy_hitters",
     "append_gate_stats",

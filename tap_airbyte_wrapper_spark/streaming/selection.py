@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.dsir import dsir_score, load_dsir
 from .stats import append_gate_stats
 
-__all__ = ["stream_dsir_gate", "stream_reservoir_sample"]
+__all__ = ["stream_dsir_gate", "stream_reservoir_sample",
+           "stream_quality_gate", "read_reservoir"]
 
 
 def stream_dsir_gate(
@@ -155,6 +156,54 @@ def stream_reservoir_sample(
         append_gate_stats(spark, out_path, batch_id, n_in, kept, started)
 
     writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_quality_gate(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Stateless Gopher-rule admission gate: land only micro-batch rows
+    whose text passes all hard quality rules
+    (:func:`~..functions.text.gopher_rules`) — the cheapest gate in the
+    streaming family, typically run FIRST (pure per-row Catalyst
+    expressions, zero state, zero index; the survivors then pay the
+    exact-dedup, near-dup and DSIR gates).
+
+    Replay contract matches :func:`stream_dsir_gate` exactly: the
+    survivor set is a pure function of the batch, output lands under
+    ``batch=<id>`` with overwrite, re-runs are byte-identical.
+    Survivor rows keep all input columns plus the full ``gopher``
+    rule struct (per-rule booleans — the drop-reason audit rides along
+    for free instead of needing a rescore).
+    """
+    from ..functions.text import gopher_rules
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        started = _time.time()
+        batch = batch.persist()
+        try:
+            clean = batch.withColumn(
+                "gopher", gopher_rules(F.col(text_col))
+            ).filter(F.col("gopher.pass")).persist()
+            clean.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={batch_id}"))
+            append_gate_stats(batch.sparkSession, out_path, batch_id,
+                              batch.count(), clean.count(), started)
+            clean.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(gate).option(
         "checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -696,3 +696,51 @@ def test_stream_heavy_hitters_bounds_under_eviction(spark, tmp_path):
             assert w in got, (w, c)
     with _pytest.raises(ValueError, match="noise floor|N/capacity"):
         read_heavy_hitters(spark, out, min_count=1)
+
+
+def test_stream_quality_gate_filters_and_replays(spark, tmp_path):
+    """Gopher gate on a stream: failing docs (word-salad / too short)
+    drop, passing docs land with their rule struct; a re-drain with a
+    fresh checkpoint reproduces the same survivors (stateless gate)."""
+    from pyspark.sql import Row
+    from tap_airbyte_wrapper_spark.streaming import stream_quality_gate
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the field with steady pace and clear "
+            "intent while the farmer watches from his porch in the "
+            "early morning light thinking about the long day of work "
+            "that lies ahead for everyone on this farm ") * 2
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "clean")
+    schema = "doc_id long, text string"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=good),
+         Row(doc_id=2, text="too short"),
+         Row(doc_id=3, text="zz qq " * 60)],   # no stopwords, no alpha ratio issue but fails stopword rule
+        schema)
+    df.coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain(ckpt):
+        q = stream_quality_gate(
+            spark.readStream.schema(schema).parquet(str(src)),
+            "doc_id", "text", out, checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    drain("ck1")
+    kept = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in kept.collect()) == [1]
+    row = kept.collect()[0]
+    assert row.gopher["pass"] and row.gopher["words_ok"]
+    # batch-side agreement
+    from tap_airbyte_wrapper_spark.functions import gopher_rules
+    batch_pass = sorted(
+        r.doc_id for r in df.withColumn("g", gopher_rules(F.col("text")))
+        .filter(F.col("g.pass")).collect())
+    assert batch_pass == [1]
+    # stateless replay: fresh checkpoint, same survivors
+    drain("ck2")
+    assert sorted(r.doc_id
+                  for r in spark.read.parquet(out).collect()) == [1]
+    stats = spark.read.parquet(out + "/_gate_stats")
+    assert stats.count() >= 1
