@@ -744,3 +744,65 @@ def test_stream_quality_gate_filters_and_replays(spark, tmp_path):
                   for r in spark.read.parquet(out).collect()) == [1]
     stats = spark.read.parquet(out + "/_gate_stats")
     assert stats.count() >= 1
+
+
+def test_streaming_gate_chain_end_to_end(spark, tmp_path):
+    """The composed ingest pipeline, gate by gate over the same batch
+    flow a production stream would run: Gopher quality gate -> exact
+    dedup gate -> reservoir sample, each stage reading the previous
+    stage's landed output as its stream.  Checks the final corpus and
+    the sample both reflect ALL upstream drops."""
+    from pyspark.sql import Row
+    from tap_airbyte_wrapper_spark.functions.dedup import (
+        fingerprint_index_write,
+    )
+    from tap_airbyte_wrapper_spark.streaming import (
+        read_reservoir,
+        stream_exact_dedup_gate,
+        stream_quality_gate,
+        stream_reservoir_sample,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the field with steady pace and clear "
+            "intent while the farmer watches from his porch in the "
+            "early morning light thinking about the long day of work "
+            "ahead for everyone on this modest farm near the river ") * 2
+    schema = "doc_id long, text string"
+    src = tmp_path / "landing"
+    src.mkdir()
+    q_out = str(tmp_path / "q_clean")
+    d_out = str(tmp_path / "d_clean")
+    r_out = str(tmp_path / "sample")
+    idx = str(tmp_path / "fpidx")
+    fingerprint_index_write(
+        spark.createDataFrame([], schema), "chain_fp", idx,
+        "doc_id", "text", n_buckets=4)
+
+    rows = [Row(doc_id=1, text=good),
+            Row(doc_id=2, text="too short"),             # quality drop
+            Row(doc_id=3, text=good.upper()),            # exact dup of 1
+            Row(doc_id=4, text=good + " distinct tail words here")]
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    stream_quality_gate(
+        spark.readStream.schema(schema).parquet(str(src)),
+        "doc_id", "text", q_out,
+        checkpoint=str(tmp_path / "ck_q")).awaitTermination(120)
+    stream_exact_dedup_gate(
+        spark.readStream.schema(
+            spark.read.parquet(q_out).schema).parquet(q_out),
+        "doc_id", "text", "chain_fp", idx, d_out,
+        checkpoint=str(tmp_path / "ck_d")).awaitTermination(120)
+    stream_reservoir_sample(
+        spark.readStream.schema(
+            spark.read.parquet(d_out).schema).parquet(d_out),
+        "doc_id", k=10, out_path=r_out,
+        checkpoint=str(tmp_path / "ck_r")).awaitTermination(120)
+
+    corpus = sorted(r.doc_id for r in spark.read.parquet(d_out).collect())
+    assert corpus == [1, 4]          # 2 failed quality, 3 lost dedup
+    sample = sorted(r.doc_id
+                    for r in read_reservoir(spark, r_out).collect())
+    assert sample == [1, 4]          # k > corpus: the sample IS the corpus
