@@ -214,7 +214,13 @@ def read_reservoir(spark, out_path: str) -> DataFrame:
     """The current sample (follows the ``_latest`` marker); ``__pri``
     is retained so an offline job can keep folding with
     ``bottomk_sample`` semantics."""
-    from ..fsutil import read_text as _fs_read
+    from ..fsutil import exists as _fs_exists, read_text as _fs_read
 
-    v = int(_fs_read(spark, os.path.join(out_path, "_latest")).strip())
+    marker = os.path.join(out_path, "_latest")
+    if not _fs_exists(spark, marker):
+        raise FileNotFoundError(
+            f"read_reservoir: no _latest marker under {out_path!r} — "
+            "the stream has not drained any batch yet (or out_path is "
+            "wrong)")
+    v = int(_fs_read(spark, marker).strip())
     return spark.read.parquet(os.path.join(out_path, f"sample_v={v}"))

@@ -155,9 +155,15 @@ def read_heavy_hitters(
     guard as the batch operator."""
     import math
 
-    from ..fsutil import read_text as _fs_read
+    from ..fsutil import exists as _fs_exists, read_text as _fs_read
 
-    v = int(_fs_read(spark, os.path.join(out_path, "_latest")).strip())
+    marker = os.path.join(out_path, "_latest")
+    if not _fs_exists(spark, marker):
+        raise FileNotFoundError(
+            f"read_heavy_hitters: no _latest marker under {out_path!r} "
+            "— the stream has not drained any batch yet (or out_path "
+            "is wrong)")
+    v = int(_fs_read(spark, marker).strip())
     meta = json.loads(
         _fs_read(spark, os.path.join(out_path, "_hh_meta.json")))
     capacity = int(meta["capacity"])

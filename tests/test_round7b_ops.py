@@ -489,3 +489,16 @@ def test_soft_dedup_weights_planted_copies(spark):
     from tap_airbyte_wrapper_spark.functions import exact_dedup
     kept = sorted(r.doc_id for r in exact_dedup(df, "text", "doc_id").collect())
     assert kept == [1, 4]
+
+
+def test_reservoir_and_hh_readers_raise_before_bootstrap(spark, tmp_path):
+    import pytest as _pytest
+    from tap_airbyte_wrapper_spark.streaming import (
+        read_heavy_hitters,
+        read_reservoir,
+    )
+
+    with _pytest.raises(FileNotFoundError, match="_latest"):
+        read_reservoir(spark, str(tmp_path / "nowhere"))
+    with _pytest.raises(FileNotFoundError, match="_latest"):
+        read_heavy_hitters(spark, str(tmp_path / "nowhere"))
