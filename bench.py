@@ -54,7 +54,7 @@ _GROUPS = [
         r"|repetition|token_budget|contamination|tfidf|split_sentences"
         r"|corpus_curation|decode_image|mixture|train_test|shard_stats"
         r"|heavy_hitter|normalize|chunk_docs|chunk_sentences|sample_per_"
-        r"|weighted_sample|lm_perplexity|pseudonymize|strip_html|pack_sequences|temperature|clean_holdout|upsample|source_quality|canonical_url|bm25|leakage_split|gopher_rules|c4_clean|redact_cards|domain_filter|rrf_fusion|char_ngram|zipf|domain_quota|rank_eval|dsir|source_overlap|prf_bm25|bm25_index|ccnet_buckets|ngram_diversity|uniform_sample|script_profile|extract_links|vocab_coverage|roc_auc|threshold_metrics|calibration_bins)")),
+        r"|weighted_sample|lm_perplexity|pseudonymize|strip_html|pack_sequences|temperature|clean_holdout|upsample|source_quality|canonical_url|bm25|leakage_split|gopher_rules|c4_clean|redact_cards|domain_filter|rrf_fusion|char_ngram|zipf|domain_quota|rank_eval|dsir|source_overlap|prf_bm25|bm25_index|ccnet_buckets|ngram_diversity|uniform_sample|script_profile|extract_links|vocab_coverage|roc_auc|threshold_metrics|calibration_bins|token_jsd)")),
     ("timeseries_cdc", re.compile(
         r"^(merge_upsert|resample|gap_fill|funnel|weekly_retention"
         r"|anomaly|scd2|incremental_agg|snapshot_diff|fk_violations)")),

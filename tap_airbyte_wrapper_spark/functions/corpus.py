@@ -41,6 +41,7 @@ __all__ = [
     "repetition_signals",
     "ngram_diversity",
     "vocab_coverage",
+    "token_jsd",
     "pack_token_budget",
     "ngram_contamination",
     "dup_span_stats",
@@ -1121,4 +1122,51 @@ def vocab_coverage(
                    F.round(F.coalesce("n_oov", F.lit(0))
                            / F.col("n_tok"), 6)).alias("oov_rate"),
         )
+    )
+
+
+def token_jsd(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpus slices' unigram
+    distributions — the text-distribution drift check ("did the new
+    crawl shift the vocabulary?") that complements the numeric-column
+    drift detector: JSD is symmetric, bounded in [0, ln 2], and
+    well-defined when either side has tokens the other lacks (where
+    plain KL blows up).
+
+    Output: one row ``(n_tok_a, n_tok_b, vocab_union, jsd)``.
+
+    Plan: one tokenize + count pass per slice (map-side partial
+    combine), a FULL OUTER join on the token key, per-token closed-form
+    contributions, one scalar rollup; the two grand totals ride a
+    broadcast.  Every per-token term is a pure IEEE expression of
+    integer counts and totals — identical in the SQL oracle — and the
+    only order-dependent float op is the final sum, absorbed by the
+    6-decimal round.
+    """
+    ca = (df_a.select(F.explode(words(F.col(text_col))).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("ca")))
+    cb = (df_b.select(F.explode(words(F.col(text_col))).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("cb")))
+    j = ca.join(cb, "tok", "full_outer").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"))
+    totals = F.broadcast(j.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")))
+    t = j.crossJoin(totals)
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cb") / F.col("nb")
+    m = (pa + pb) / 2
+    term = (
+        F.when(F.col("ca") > 0, 0.5 * pa * F.log(pa / m)).otherwise(0.0)
+        + F.when(F.col("cb") > 0, 0.5 * pb * F.log(pb / m)).otherwise(0.0)
+    )
+    return t.agg(
+        F.max("na").alias("n_tok_a"),
+        F.max("nb").alias("n_tok_b"),
+        F.count(F.lit(1)).alias("vocab_union"),
+        F.round(F.sum(term), 6).alias("jsd"),
     )

@@ -2863,6 +2863,17 @@ def q_soft_dedup(spark, sf_dir):
     ).select("doc_id", "n_copies", "weight")
 
 
+def q_token_jsd(spark, sf_dir):
+    """Token-distribution JSD between the src0 slice and the rest of
+    the corpus — symmetric, bounded, OOV-safe text drift in one
+    full-outer token join."""
+    from ..functions import token_jsd
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_jsd(docs.filter(F.col("source") == "src0"),
+                     docs.filter(F.col("source") != "src0"))
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2914,6 +2925,7 @@ QUERIES = {
     "threshold_metrics_docs": q_threshold_metrics,
     "calibration_bins_docs": q_calibration_bins,
     "soft_dedup_docs": q_soft_dedup,
+    "token_jsd_docs": q_token_jsd,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -3689,6 +3701,31 @@ ORACLES = {
         WHERE doc_id IN (
           SELECT min(doc_id) FROM documents
           GROUP BY md5({_NORM_TEXT}))""",
+    "token_jsd_docs": r"""
+        WITH ta AS (
+          SELECT unnest(regexp_extract_all(lower(trim(text)), '\S+'))
+                 AS tok
+          FROM documents WHERE source = 'src0'),
+        tb AS (
+          SELECT unnest(regexp_extract_all(lower(trim(text)), '\S+'))
+                 AS tok
+          FROM documents WHERE source != 'src0'),
+        ca AS (SELECT tok, count(*) AS ca FROM ta GROUP BY tok),
+        cb AS (SELECT tok, count(*) AS cb FROM tb GROUP BY tok),
+        j AS (
+          SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+          FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+        tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j)
+        SELECT max(na)::BIGINT AS n_tok_a, max(nb)::BIGINT AS n_tok_b,
+               count(*) AS vocab_union,
+               round(sum(
+                 CASE WHEN ca > 0 THEN 0.5 * (ca / na)
+                      * ln((ca / na) / (((ca / na) + (cb / nb)) / 2))
+                      ELSE 0.0 END
+                 + CASE WHEN cb > 0 THEN 0.5 * (cb / nb)
+                        * ln((cb / nb) / (((ca / na) + (cb / nb)) / 2))
+                        ELSE 0.0 END), 6) AS jsd
+        FROM j CROSS JOIN tot""",
     "soft_dedup_docs": f"""
         WITH f AS (
           SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents),

@@ -502,3 +502,41 @@ def test_reservoir_and_hh_readers_raise_before_bootstrap(spark, tmp_path):
         read_reservoir(spark, str(tmp_path / "nowhere"))
     with _pytest.raises(FileNotFoundError, match="_latest"):
         read_heavy_hitters(spark, str(tmp_path / "nowhere"))
+
+
+# ------------------------------------------------------------ token_jsd
+
+def test_token_jsd_identity_and_disjoint(spark):
+    import math
+
+    from tap_airbyte_wrapper_spark.functions import token_jsd
+
+    a = spark.createDataFrame(
+        [(1, "x y x z"), (2, "y y x")], "doc_id long, text string")
+    same = token_jsd(a, a).collect()[0]
+    assert same.jsd == 0.0
+    assert same.n_tok_a == same.n_tok_b == 7 and same.vocab_union == 3
+    # fully disjoint vocabularies: JSD = ln 2
+    b = spark.createDataFrame([(3, "p q p")], "doc_id long, text string")
+    dis = token_jsd(a, b).collect()[0]
+    assert dis.jsd == pytest.approx(round(math.log(2), 6))
+    assert dis.vocab_union == 5
+
+
+def test_token_jsd_hand_computed_and_symmetry(spark):
+    import math
+
+    from tap_airbyte_wrapper_spark.functions import token_jsd
+
+    a = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "x y y y")], "doc_id long, text string")
+    got = token_jsd(a, b).collect()[0].jsd
+
+    def kl_half(p, q):
+        return sum(0.5 * pi * math.log(pi / ((pi + qi) / 2))
+                   for pi, qi in zip(p, q) if pi > 0)
+    p, q = [2 / 3, 1 / 3], [1 / 4, 3 / 4]
+    want = kl_half(p, q) + kl_half(q, p)
+    assert got == pytest.approx(round(want, 6), abs=2e-6)
+    # symmetric
+    assert token_jsd(b, a).collect()[0].jsd == got
