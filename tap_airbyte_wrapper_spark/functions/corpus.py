@@ -42,6 +42,7 @@ __all__ = [
     "ngram_diversity",
     "vocab_coverage",
     "token_jsd",
+    "token_jsd_matrix",
     "pack_token_budget",
     "ngram_contamination",
     "dup_span_stats",
@@ -1169,4 +1170,72 @@ def token_jsd(
         F.max("nb").alias("n_tok_b"),
         F.count(F.lit(1)).alias("vocab_union"),
         F.round(F.sum(term), 6).alias("jsd"),
+    )
+
+
+def token_jsd_matrix(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise :func:`token_jsd` between every pair of ``by`` groups
+    in ONE pass — the drift dashboard ("which crawls diverge from
+    which") without running k^2 separate two-slice jobs.
+
+    Output: ``(a, b, jsd)`` for each unordered pair (a < b).
+
+    Plan: per-group token counts once (one tokenize pass, partial-agg
+    shuffle), group totals broadcast, then one token-keyed SELF-join
+    restricted to ``a < b`` covers the SHARED vocabulary; tokens one
+    side lacks never need a row because their contribution has the
+    closed form ``0.5 * ln 2 * exclusive_mass`` (for an a-only token,
+    ``m = p_a/2`` so the integrand collapses to ``p_a * ln 2``), and
+    exclusive mass is ``1 - shared mass`` — already available from the
+    same join.  So: no full-outer blowup, no per-pair jobs; join
+    output is bounded by shared-vocabulary postings across pairs.
+    """
+    import math
+
+    counts = (
+        df.select(F.col(by).alias("g"),
+                  F.explode(words(F.col(text_col))).alias("tok"))
+        .groupBy("g", "tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = F.broadcast(
+        counts.groupBy("g").agg(F.sum("c").alias("n")))
+    p = counts.join(totals, "g").select(
+        "g", "tok", (F.col("c") / F.col("n")).alias("p"))
+    a = p.select(F.col("g").alias("a"), "tok", F.col("p").alias("pa"))
+    b = p.select(F.col("g").alias("b"), "tok", F.col("p").alias("pb"))
+    shared = (
+        a.join(b, "tok").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum(0.5 * F.col("pa")
+                  * F.log(F.col("pa")
+                          / ((F.col("pa") + F.col("pb")) / 2))
+                  + 0.5 * F.col("pb")
+                  * F.log(F.col("pb")
+                          / ((F.col("pa") + F.col("pb")) / 2)))
+            .alias("__shared_term"),
+            F.sum("pa").alias("__mass_a"),
+            F.sum("pb").alias("__mass_b"))
+    )
+    ln2 = math.log(2.0)
+    # every group pair appears in `shared` whenever ANY token is common;
+    # fully-disjoint pairs (possible on tiny slices) are recovered from
+    # the group list so the matrix is complete with jsd = ln 2
+    gs = totals.select(F.col("g"))
+    all_pairs = (gs.select(F.col("g").alias("a"))
+                 .crossJoin(gs.select(F.col("g").alias("b")))
+                 .filter(F.col("a") < F.col("b")))
+    return (
+        all_pairs.join(shared, ["a", "b"], "left")
+        .select(
+            "a", "b",
+            F.round(
+                F.coalesce("__shared_term", F.lit(0.0))
+                + 0.5 * ln2 * (1.0 - F.coalesce("__mass_a", F.lit(0.0)))
+                + 0.5 * ln2 * (1.0 - F.coalesce("__mass_b", F.lit(0.0))),
+                6).alias("jsd"))
     )

@@ -2874,6 +2874,15 @@ def q_token_jsd(spark, sf_dir):
                      docs.filter(F.col("source") != "src0"))
 
 
+def q_token_jsd_matrix(spark, sf_dir):
+    """Pairwise source-drift matrix: JSD between every source pair
+    from ONE token self-join (shared vocabulary) + the closed-form
+    exclusive-mass term — no per-pair jobs, no full-outer blowup."""
+    from ..functions import token_jsd_matrix
+
+    return token_jsd_matrix(_t(spark, sf_dir, "documents"), by="source")
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2926,6 +2935,7 @@ QUERIES = {
     "calibration_bins_docs": q_calibration_bins,
     "soft_dedup_docs": q_soft_dedup,
     "token_jsd_docs": q_token_jsd,
+    "token_jsd_sources": q_token_jsd_matrix,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -3701,6 +3711,31 @@ ORACLES = {
         WHERE doc_id IN (
           SELECT min(doc_id) FROM documents
           GROUP BY md5({_NORM_TEXT}))""",
+    "token_jsd_sources": r"""
+        WITH toks AS (
+          SELECT source AS g,
+                 unnest(regexp_extract_all(lower(trim(text)), '\S+'))
+                 AS tok
+          FROM documents),
+        cnt AS (SELECT g, tok, count(*) AS c FROM toks GROUP BY g, tok),
+        tot AS (SELECT g, sum(c) AS n FROM cnt GROUP BY g),
+        p AS (SELECT cnt.g, tok, cnt.c / tot.n AS p
+              FROM cnt JOIN tot USING (g)),
+        sh AS (
+          SELECT x.g AS a, y.g AS b,
+                 sum(0.5 * x.p * ln(x.p / ((x.p + y.p) / 2))
+                     + 0.5 * y.p * ln(y.p / ((x.p + y.p) / 2))) AS st,
+                 sum(x.p) AS ma, sum(y.p) AS mb
+          FROM p x JOIN p y ON x.tok = y.tok AND x.g < y.g
+          GROUP BY 1, 2),
+        gs AS (SELECT g FROM tot),
+        ap AS (SELECT x.g AS a, y.g AS b
+               FROM gs x CROSS JOIN gs y WHERE x.g < y.g)
+        SELECT ap.a, ap.b,
+               round(coalesce(st, 0.0)
+                     + 0.5 * ln(2) * (1.0 - coalesce(ma, 0.0))
+                     + 0.5 * ln(2) * (1.0 - coalesce(mb, 0.0)), 6) AS jsd
+        FROM ap LEFT JOIN sh ON ap.a = sh.a AND ap.b = sh.b""",
     "token_jsd_docs": r"""
         WITH ta AS (
           SELECT unnest(regexp_extract_all(lower(trim(text)), '\S+'))

@@ -540,3 +540,22 @@ def test_token_jsd_hand_computed_and_symmetry(spark):
     assert got == pytest.approx(round(want, 6), abs=2e-6)
     # symmetric
     assert token_jsd(b, a).collect()[0].jsd == got
+
+
+def test_token_jsd_matrix_matches_pairwise_two_slice(spark):
+    from tap_airbyte_wrapper_spark.functions import token_jsd, token_jsd_matrix
+
+    df = spark.createDataFrame(
+        [(1, "x x y", "A"), (2, "x y y y", "B"),
+         (3, "p q p", "C"), (4, "y x", "A")],
+        "doc_id long, text string, source string")
+    mat = {(r.a, r.b): r.jsd for r in token_jsd_matrix(df).collect()}
+    assert set(mat) == {("A", "B"), ("A", "C"), ("B", "C")}
+    for ga, gb in mat:
+        want = token_jsd(
+            df.filter(F.col("source") == ga),
+            df.filter(F.col("source") == gb)).collect()[0].jsd
+        assert mat[(ga, gb)] == pytest.approx(want, abs=2e-6), (ga, gb)
+    # C shares no tokens with A or B: exactly ln 2
+    import math
+    assert mat[("A", "C")] == pytest.approx(round(math.log(2), 6))
