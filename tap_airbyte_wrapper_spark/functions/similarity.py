@@ -32,7 +32,7 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
            "PqModel", "pq_train", "pq_encode", "pq_topk", "pq_rerank",
            "save_pq", "load_pq", "kmeans_fit", "kmeans_predict",
            "ivfpq_encode", "ivfpq_topk", "ivfpq_train_residual",
-           "opq_train", "opq_rotate", "hard_negatives",
+           "opq_train", "opq_rotate", "hard_negatives", "embedding_mmd",
            "semantic_dedup_clustered",
            "quantize_embeddings", "nearest_centroid_assign", "semantic_dedup"]
 
@@ -1663,3 +1663,46 @@ def hard_negatives(
         neg, [query_id_col],
         [F.col("cos_sim").desc(), F.col(id_col)], k,
     ).drop("rk").select(*cols)
+
+
+def embedding_mmd(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Linear-kernel Maximum Mean Discrepancy between two embedding
+    slices: ``MMD^2 = ||mean(A) - mean(B)||^2`` — the embedding-space
+    drift check next to the token-space :func:`~.corpus.token_jsd`
+    ("same tokenizer, same text stats, but did the REPRESENTATIONS
+    move?" — a re-embedded corpus or a new encoder version shifts this
+    first).  The linear kernel keeps it exactly distributable: two
+    per-dimension mean vectors, one subtraction — no pairwise kernel
+    matrix (the RBF variant is quadratic by construction and belongs
+    in a sampled offline check, not a corpus operator).
+
+    Output: one row ``(dim, n_a, n_b, mmd2)``.
+
+    Plan: one ``posexplode`` + per-dimension average per slice (rows x
+    dim values stream through a dim-bounded partial agg), a
+    dim-row join, a scalar rollup.  Everything past the scans is
+    dimension-bounded.
+    """
+    def dim_means(df: DataFrame, m: str, n: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+            .groupBy("i")
+            .agg(F.avg("x").alias(m), F.count(F.lit(1)).alias(n))
+        )
+
+    a = dim_means(corpus_a, "ma", "na")
+    b = dim_means(corpus_b, "mb", "nb")
+    return (
+        a.join(b, "i")
+        .agg(
+            F.count(F.lit(1)).alias("dim"),
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.round(
+                F.sum(F.pow(F.col("ma") - F.col("mb"), F.lit(2.0))), 6)
+            .alias("mmd2"))
+    )

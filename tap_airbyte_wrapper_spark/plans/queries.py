@@ -2883,6 +2883,17 @@ def q_token_jsd_matrix(spark, sf_dir):
     return token_jsd_matrix(_t(spark, sf_dir, "documents"), by="source")
 
 
+def q_embedding_mmd(spark, sf_dir):
+    """Embedding-space drift: linear-kernel MMD^2 between the two
+    label-parity halves of the embeddings table — dim-bounded past the
+    scans, no kernel matrix."""
+    from ..functions import embedding_mmd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_mmd(emb.filter(F.col("label") % 2 == 0),
+                         emb.filter(F.col("label") % 2 == 1))
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -2936,6 +2947,7 @@ QUERIES = {
     "soft_dedup_docs": q_soft_dedup,
     "token_jsd_docs": q_token_jsd,
     "token_jsd_sources": q_token_jsd_matrix,
+    "embedding_mmd_halves": q_embedding_mmd,
     "upsample_mixture_docs": q_upsample_mixture,
     "source_quality_report": q_source_quality_report,
     "embedding_covariance": q_embedding_covariance,
@@ -3711,6 +3723,21 @@ ORACLES = {
         WHERE doc_id IN (
           SELECT min(doc_id) FROM documents
           GROUP BY md5({_NORM_TEXT}))""",
+    "embedding_mmd_halves": """
+        WITH a AS (
+          SELECT i, avg(embedding[i]) AS ma, count(*) AS na
+          FROM embeddings, unnest(generate_series(1, len(embedding)))
+               AS t(i)
+          WHERE label % 2 = 0 GROUP BY i),
+        b AS (
+          SELECT i, avg(embedding[i]) AS mb, count(*) AS nb
+          FROM embeddings, unnest(generate_series(1, len(embedding)))
+               AS t(i)
+          WHERE label % 2 = 1 GROUP BY i)
+        SELECT count(*) AS dim, max(na)::BIGINT AS n_a,
+               max(nb)::BIGINT AS n_b,
+               round(sum(pow(ma - mb, 2)), 6) AS mmd2
+        FROM a JOIN b USING (i)""",
     "token_jsd_sources": r"""
         WITH toks AS (
           SELECT source AS g,

@@ -559,3 +559,43 @@ def test_token_jsd_matrix_matches_pairwise_two_slice(spark):
     # C shares no tokens with A or B: exactly ln 2
     import math
     assert mat[("A", "C")] == pytest.approx(round(math.log(2), 6))
+
+
+# -------------------------------------------------------- embedding_mmd
+
+def test_embedding_mmd_identity_and_shift(spark):
+    from tap_airbyte_wrapper_spark.functions import embedding_mmd
+
+    a = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    same = embedding_mmd(a, a).collect()[0]
+    assert same.mmd2 == 0.0 and same.dim == 2
+    assert same.n_a == same.n_b == 30
+    # shift every vector by (0.5, -0.25): mmd2 = 0.5^2 + 0.25^2
+    b = a.select("vec_id", F.transform(
+        "embedding",
+        lambda x, i: x + F.when(i == 0, 0.5).otherwise(-0.25)
+    ).alias("embedding"))
+    shifted = embedding_mmd(a, b).collect()[0]
+    assert shifted.mmd2 == pytest.approx(round(0.25 + 0.0625, 6), abs=1e-5)
+
+
+def test_embedding_mmd_matches_numpy(spark):
+    import numpy as np
+
+    from tap_airbyte_wrapper_spark.functions import embedding_mmd
+
+    rng = np.random.default_rng(5)
+    va = rng.normal(0, 1, (40, 8)).astype("float32")
+    vb = rng.normal(0.3, 1, (25, 8)).astype("float32")
+    a = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(va)],
+        "vec_id long, embedding array<float>")
+    b = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vb)],
+        "vec_id long, embedding array<float>")
+    got = embedding_mmd(a, b).collect()[0]
+    want = float(((va.mean(axis=0) - vb.mean(axis=0)) ** 2).sum())
+    assert got.mmd2 == pytest.approx(round(want, 6), abs=1e-5)
+    assert (got.n_a, got.n_b, got.dim) == (40, 25, 8)
