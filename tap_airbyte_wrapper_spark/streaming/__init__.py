@@ -18,7 +18,7 @@ from .selection import (read_reservoir, stream_dsir_gate,
                         stream_quality_gate, stream_reservoir_sample)
 from .trending import read_heavy_hitters, stream_heavy_hitters
 from .stats import append_gate_stats, read_gate_stats
-from .drift import reference_profile, stream_drift_monitor
+from .drift import reference_profile, stream_drift_monitor, embedding_reference_mean, stream_embedding_drift
 from .stateful import (
     stateful_anomalies,
     stateful_heavy_hitters,
@@ -40,6 +40,8 @@ __all__ = [
     "read_gate_stats",
     "reference_profile",
     "stream_drift_monitor",
+    "embedding_reference_mean",
+    "stream_embedding_drift",
     "stream_changelog_apply",
     "stream_source",
     "incremental_sync",

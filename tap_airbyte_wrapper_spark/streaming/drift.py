@@ -27,7 +27,8 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["reference_profile", "stream_drift_monitor"]
+__all__ = ["reference_profile", "stream_drift_monitor",
+           "embedding_reference_mean", "stream_embedding_drift"]
 
 logger = logging.getLogger(__name__)
 
@@ -132,6 +133,84 @@ def stream_drift_monitor(
                 f"{out_path}/_drift")
         except Exception:
             logger.warning("drift stats append failed for batch %d "
+                           "(stream continues)", batch_id, exc_info=True)
+
+    writer = stream.writeStream.foreachBatch(monitor).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def embedding_reference_mean(ref: DataFrame,
+                             vec_col: str = "embedding") -> list:
+    """Per-dimension mean of a reference embedding corpus — the frozen
+    profile :func:`stream_embedding_drift` scores against.  One
+    posexplode + dim-bounded aggregate; the returned list is
+    dimension-sized (driver metadata, same contract as
+    :func:`reference_profile`'s bin dict)."""
+    rows = (ref.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+            .groupBy("i").agg(F.avg("x").alias("m"))
+            .orderBy("i").collect())
+    return [r["m"] for r in rows]
+
+
+def stream_embedding_drift(
+    stream: DataFrame,
+    vec_col: str,
+    ref_means: list,
+    out_path: str,
+    checkpoint: str,
+    alert_threshold: float | None = None,
+    available_now: bool = True,
+):
+    """Embedding-space drift monitor: per micro-batch, the linear-kernel
+    ``MMD^2`` between the batch's mean vector and a FROZEN reference
+    mean (:func:`embedding_reference_mean`) — the representation-drift
+    alarm next to the numeric-column PSI monitor ("same schema, same
+    stats, but the encoder changed / the upstream started sending
+    different content").  The batch twin is
+    :func:`~..functions.similarity.embedding_mmd`.
+
+    Appends one ``(batch_id, n_batch, dim, mmd2, alert)`` row per
+    micro-batch under ``{out_path}/_emb_drift``.  Stateless (frozen
+    reference), so a replayed batch appends an identical row; readers
+    take the last row per batch_id, same as the PSI monitor.
+
+    Cost per batch: one posexplode + dim-bounded aggregate; the
+    reference rides the closure as ``dim`` floats.
+    """
+    ref = [float(v) for v in ref_means]
+    dim = len(ref)
+
+    def monitor(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        rows = (batch.select(
+            F.posexplode(F.col(vec_col)).alias("i", "x"))
+            .groupBy("i").agg(F.avg("x").alias("m"),
+                              F.count(F.lit(1)).alias("n"))
+            .collect())
+        got = {r["i"]: r for r in rows}
+        n_batch = max((r["n"] for r in rows), default=0)
+        mmd2 = sum(
+            (float(got[i]["m"]) - ref[i]) ** 2 if i in got else ref[i] ** 2
+            for i in range(dim))
+        alert = alert_threshold is not None and mmd2 > alert_threshold
+        if alert:
+            logger.warning(
+                "embedding drift alert: MMD^2 %.6f > %.4f in batch %d",
+                mmd2, alert_threshold, batch_id)
+        try:
+            (spark.range(1).select(
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                F.lit(int(n_batch)).cast("long").alias("n_batch"),
+                F.lit(dim).cast("int").alias("dim"),
+                F.lit(round(mmd2, 6)).alias("mmd2"),
+                F.lit(bool(alert)).alias("alert"))
+             .coalesce(1).write.mode("append")
+             .parquet(f"{out_path}/_emb_drift"))
+        except Exception:
+            logger.warning("embedding drift append failed for batch %d "
                            "(stream continues)", batch_id, exc_info=True)
 
     writer = stream.writeStream.foreachBatch(monitor).option(

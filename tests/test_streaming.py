@@ -806,3 +806,59 @@ def test_streaming_gate_chain_end_to_end(spark, tmp_path):
     sample = sorted(r.doc_id
                     for r in read_reservoir(spark, r_out).collect())
     assert sample == [1, 4]          # k > corpus: the sample IS the corpus
+
+
+def test_stream_embedding_drift_detects_shift(spark, tmp_path):
+    """No-drift batches score ~0 against the frozen reference mean; a
+    shifted batch scores ~ the squared shift and trips the alert; a
+    fresh-checkpoint replay appends identical rows (stateless)."""
+    from pyspark.sql import Row
+    from tap_airbyte_wrapper_spark.streaming import (
+        embedding_reference_mean,
+        stream_embedding_drift,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    base = [(i, [float(i % 2), 1.0]) for i in range(40)]   # mean (.5, 1)
+    ref = embedding_reference_mean(
+        spark.createDataFrame(base, schema))
+    assert ref == pytest.approx([0.5, 1.0])
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "mon")
+
+    def drain(ckpt):
+        q = stream_embedding_drift(
+            spark.readStream.schema(schema).parquet(str(src)),
+            "embedding", ref, out, checkpoint=str(tmp_path / ckpt),
+            alert_threshold=0.5)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(base, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    drain("ck1")
+    shifted = [(100 + i, [float(i % 2) + 2.0, 1.0]) for i in range(40)]
+    spark.createDataFrame(shifted, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    drain("ck1")
+
+    rows = {r.batch_id: r for r in
+            spark.read.parquet(out + "/_emb_drift").collect()}
+    assert rows[0].mmd2 == pytest.approx(0.0, abs=1e-6)
+    assert not rows[0].alert
+    assert rows[1].mmd2 == pytest.approx(4.0, abs=1e-5)   # shift 2 => 4
+    assert rows[1].alert and rows[1].dim == 2 and rows[1].n_batch == 40
+
+    # no-op re-drain (same checkpoint, nothing new): no extra rows
+    n_rows = spark.read.parquet(out + "/_emb_drift").count()
+    drain("ck1")
+    assert spark.read.parquet(out + "/_emb_drift").count() == n_rows
+    # fresh checkpoint re-batches ALL files into one batch — scores are
+    # per-batch by design, so the combined batch reports the combined
+    # mean's drift (shift averaged over both halves: (0.5+2.5)/2-0.5=1)
+    drain("ck2")
+    combined = [r for r in spark.read.parquet(out + "/_emb_drift")
+                .collect() if r.n_batch == 80]
+    assert len(combined) == 1
+    assert combined[0].mmd2 == pytest.approx(1.0, abs=1e-5)
