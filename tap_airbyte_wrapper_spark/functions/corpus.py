@@ -950,10 +950,19 @@ def chunk_by_sentences(
     budget_tokens: int = 128,
 ) -> DataFrame:
     """Sentence-aware chunking for RAG/embedding prep: sentences never
-    split across chunks; a new chunk starts when the running token
-    count would cross ``budget_tokens`` (so chunks can overshoot by at
-    most one sentence — the standard greedy contract;
-    :func:`chunk_documents` is the fixed-window token alternative).
+    split across chunks; sentence ``i`` lands in chunk
+    ``floor(tokens_before_i / budget_tokens)`` — GLOBAL-boundary
+    bucketing on the document's running token count, then a dense
+    renumber.  This is NOT the greedy-reset contract (where the token
+    counter restarts at each emitted chunk): with 100-token sentences
+    at budget 128, bucketing puts the first TWO sentences in chunk 0
+    (tokens_before = 0 and 100 both floor to 0) where greedy-reset
+    would emit one sentence per chunk.  Bucketing keeps chunk
+    boundaries a closed-form expression of the prefix sum — one
+    window, no sequential recurrence — at the cost of chunks
+    overshooting the budget by up to one sentence more often than
+    greedy-reset would.  :func:`chunk_documents` is the fixed-window
+    token alternative.
 
     Returns ``(id, chunk_id, chunk_text, n_sentences, n_tokens)`` with
     ``chunk_id`` densely numbered 0.. per document; docs with no

@@ -162,16 +162,20 @@ def _fit_from_grams(
     n_t = tgt.agg(F.sum("__ct")).collect()[0][0] or 0
     n_r = raw.agg(F.sum("__cr")).collect()[0][0] or 0
     const = math.log(n_r + buckets) - math.log(n_t + buckets)
-    # raw-side join: a bucket never seen in the POOL can still appear
-    # in a later scored batch — dsir_score smooths it to default_llr.
-    # Table is <= buckets rows -> broadcast at score time.
+    # FULL-outer join: buckets seen only in the TARGET corpus are the
+    # most target-characteristic grams of all — they must keep their
+    # smoothed target count (ln(ct+1) + const with cr=0), not fall to
+    # the counts-free default_llr when dsir_score meets them in a
+    # later batch.  Buckets absent from BOTH corpora still smooth to
+    # default_llr at score time.  Table is <= buckets rows ->
+    # broadcast at score time.
     llr = (
-        raw.join(tgt, "__b", "left")
+        raw.join(tgt, "__b", "full_outer")
         .select(
             "__b",
             F.round(
                 F.log(F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))
-                - F.log(F.col("__cr") + F.lit(1.0))
+                - F.log(F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(1.0))
                 + F.lit(const),
                 6,
             ).alias("__llr"))

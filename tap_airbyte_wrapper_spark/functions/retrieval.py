@@ -211,7 +211,11 @@ def rank_eval(
     index rebuild).
 
     ``truth`` is ``(query_id, id[, rel])``; without ``rel_col`` every
-    judged doc counts relevance 1.  Metrics: recall@k and precision@k
+    judged doc counts relevance 1.  With ``rel_col``, rows with
+    ``rel <= 0`` are judged-non-relevant (standard graded qrels): they
+    never count as relevant or as hits, and a query whose judgments
+    are all non-relevant is absent from the output (trec_eval drops
+    such queries too).  Metrics: recall@k and precision@k
     on the top-``k`` cut, reciprocal rank of the first relevant hit,
     and nDCG@k with the standard ``rel / log2(rank+1)`` discounted
     gain against the ideal ordering of the query's judgments.
@@ -231,12 +235,16 @@ def rank_eval(
     # an InMemoryRelation materialization.
     t = truth.select(
         F.col(query_id_col), F.col(id_col), rel.alias("__rel"))
-    n_rel = t.groupBy(query_id_col).agg(
-        F.count(F.lit(1)).alias("n_rel"),
-        F.sum("__rel").alias("__rel_mass"))
+    # graded judgment files (trec qrels) carry explicit rel=0 rows for
+    # judged-NON-relevant docs: they must not count toward n_rel, hits,
+    # recall/precision, or set the reciprocal-rank first hit (their
+    # nDCG gain is already zero)
+    pos = t.filter(F.col("__rel") > 0)
+    n_rel = pos.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("n_rel"))
     cut = ranked.filter(F.col(rank_col) <= k).select(
         F.col(query_id_col), F.col(id_col), F.col(rank_col))
-    hits = cut.join(t, [query_id_col, id_col])
+    hits = cut.join(pos, [query_id_col, id_col])
     per_q = hits.groupBy(query_id_col).agg(
         F.count(F.lit(1)).alias("n_hit"),
         F.min(rank_col).alias("__first"),
@@ -247,7 +255,7 @@ def rank_eval(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__rel").desc(), F.col(id_col))
     idcg = (
-        t.withColumn("__r", F.row_number().over(w))
+        pos.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= k)
         .groupBy(query_id_col)
         .agg(F.sum(F.col("__rel") / F.log2(F.col("__r") + 1))

@@ -394,7 +394,8 @@ def canonical_url(col: Column) -> Column:
     """Canonical form of a URL for URL-level dedup: lowercase scheme
     and host, strip the scheme's default port and any fragment, drop
     tracking parameters (``utm_*``/``fbclid``/``gclid``/``msclkid``)
-    and SORT the survivors, drop a trailing slash on non-root paths.
+    and SORT the survivors, drop all trailing slashes on non-root
+    paths (all, not one — the output must be a fixed point).
 
     Crawl frontiers and web corpora dedup on the canonical URL before
     any content fingerprint — it is free (zero shuffle, pure JVM
@@ -418,10 +419,11 @@ def canonical_url(col: Column) -> Column:
     ).otherwise(host)
     path = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    path = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.substring(path, 1, F.length(path) - 1),
-    ).otherwise(path)
+    # strip ALL trailing slashes, not one: a single-strip is not
+    # idempotent ('http://x///' -> '//' -> '/'), and URL-dedup keys
+    # drift when a canonicalized corpus is re-ingested and
+    # re-canonicalized
+    path = F.regexp_replace(path, r"/+$", "")
     # bare host and root slash are the same resource: canonical = '/'
     path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
@@ -596,7 +598,10 @@ def url_host(col: Column) -> Column:
     host = F.lower(
         F.regexp_extract(F.trim(col),
                          r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    host = F.regexp_replace(host, r"^[^@]*@", "")
+    # greedy: the host is everything after the LAST '@' (browser
+    # authority parsing) — '^[^@]*@' would leave 'x@blocked.com' for
+    # multi-'@' userinfo and the blocklist would fail open again
+    host = F.regexp_replace(host, r"^.*@", "")
     host = F.regexp_replace(host, r":[0-9]+$", "")
     host = F.regexp_replace(host, r"\.$", "")
     return F.regexp_replace(host, r"^www\.", "")

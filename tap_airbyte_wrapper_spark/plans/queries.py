@@ -2177,7 +2177,8 @@ def q_canonical_url_docs(spark, sf_dir):
         d.cast("string"),
         F.when(d % 3 == 0, F.lit("/?utm_source=feed&b=2&a=1#frag"))
         .when(d % 3 == 1, F.lit("?a=1&b=2&gclid=zzz"))
-        .otherwise(F.lit("/")))
+        # '///' exercises the strip-ALL-trailing-slashes fixed point
+        .otherwise(F.lit("///")))
     return docs.select(
         "doc_id", canonical_url(url).alias("url"))
 
@@ -2256,7 +2257,8 @@ def q_domain_filter_docs(spark, sf_dir):
         .when(d % 7 == 1, F.lit("WWW.Example.COM:443"))
         .when(d % 7 == 2, F.lit("blog.example.com"))
         .when(d % 7 == 3, F.lit("spam.example.net"))
-        .when(d % 7 == 4, F.lit("x@spam.example.net"))  # userinfo noise
+        # multi-'@' userinfo: host = after the LAST '@'
+        .when(d % 7 == 4, F.lit("u@x@spam.example.net"))
         .when(d % 7 == 5, F.lit("ads.tracker.net."))    # FQDN root dot
         .otherwise(F.lit("docs.python.org")),
         F.lit("/p/"), d.cast("string"))
@@ -2485,10 +2487,13 @@ def q_knn_pq(spark, sf_dir):
 
 
 def q_rank_eval(spark, sf_dir):
-    """Retrieval evaluation: lead-200-char BM25 judged against the
-    full-text BM25 top-5 as gold — recall@10 / precision@10 / MRR /
-    nDCG per query.  Every stage is rank-deterministic, so the DuckDB
-    oracle replays the metrics bit-for-bit."""
+    """Retrieval evaluation: lead-200-char BM25 judged against GRADED
+    full-text BM25 judgments (rel 3 for ranks 1-2, 1 for 3-5, and
+    explicit rel=0 judged-NON-relevant rows for 6-8, the trec-qrels
+    shape) — recall@10 / precision@10 / MRR / nDCG per query.  The
+    rel=0 rows must not count toward n_rel, hits, or first-hit rank.
+    Every stage is rank-deterministic, so the DuckDB oracle replays
+    the metrics bit-for-bit."""
     from ..functions import bm25_topk, rank_eval
 
     docs = _t(spark, sf_dir, "documents")
@@ -2497,11 +2502,15 @@ def q_rank_eval(spark, sf_dir):
          (2, "slow batch stream hash")],
         "query_id int, query_text string")
     gold = bm25_topk(docs, queries, id_col="doc_id", text_col="text",
-                     k=5).select("query_id", "doc_id")
+                     k=8).select(
+        "query_id", "doc_id",
+        F.when(F.col("rank") <= 2, F.lit(3.0))
+        .when(F.col("rank") <= 5, F.lit(1.0))
+        .otherwise(F.lit(0.0)).alias("rel"))
     system = bm25_topk(
         docs.select("doc_id", F.substring("text", 1, 200).alias("text")),
         queries, id_col="doc_id", text_col="text", k=10)
-    return rank_eval(system, gold, k=10)
+    return rank_eval(system, gold, rel_col="rel", k=10)
 
 
 def q_kmeans_clusters(spark, sf_dir):
@@ -4115,7 +4124,7 @@ ORACLES = {
                    WHEN doc_id % 7 = 1 THEN 'WWW.Example.COM:443'
                    WHEN doc_id % 7 = 2 THEN 'blog.example.com'
                    WHEN doc_id % 7 = 3 THEN 'spam.example.net'
-                   WHEN doc_id % 7 = 4 THEN 'x@spam.example.net'
+                   WHEN doc_id % 7 = 4 THEN 'u@x@spam.example.net'
                    WHEN doc_id % 7 = 5 THEN 'ads.tracker.net.'
                    ELSE 'docs.python.org' END
                  || '/p/' || CAST(doc_id AS VARCHAR) AS url
@@ -4125,7 +4134,7 @@ ORACLES = {
                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                    lower(regexp_extract(trim(url),
                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-                   '^[^@]*@', ''), ':[0-9]+$', ''), '\.$', ''),
+                   '^.*@', ''), ':[0-9]+$', ''), '\.$', ''),
                    '^www\.', '') AS host
           FROM base),
         s AS (
@@ -5319,21 +5328,27 @@ ORACLES = {
                                                 '\\S+')) AS term
                FROM q),{_bm25_cte('a_', 'text')},{_bm25_cte(
                    'b_', 'substr(text, 1, 200)')},
-        gold AS (SELECT query_id, doc_id FROM a_r WHERE rank <= 5),
+        gold AS (SELECT query_id, doc_id,
+                        CASE WHEN rank <= 2 THEN 3.0
+                             WHEN rank <= 5 THEN 1.0
+                             ELSE 0.0 END AS rel
+                 FROM a_r WHERE rank <= 8),
+        pos AS (SELECT * FROM gold WHERE rel > 0),
         cut AS (SELECT query_id, doc_id, rank FROM b_r WHERE rank <= 10),
-        nrel AS (SELECT query_id, count(*) AS n_rel FROM gold GROUP BY 1),
-        hits AS (SELECT c.query_id, c.rank
-                 FROM cut c JOIN gold g USING (query_id, doc_id)),
+        nrel AS (SELECT query_id, count(*) AS n_rel FROM pos GROUP BY 1),
+        hits AS (SELECT c.query_id, c.rank, g.rel
+                 FROM cut c JOIN pos g USING (query_id, doc_id)),
         perq AS (SELECT query_id, count(*) AS n_hit,
                         min(rank) AS firsth,
-                        sum(CAST(1 AS DOUBLE) / log2(rank + 1)) AS dcg
+                        sum(rel / log2(rank + 1)) AS dcg
                  FROM hits GROUP BY 1),
         idcg AS (
           SELECT query_id,
-                 sum(CAST(1 AS DOUBLE) / log2(r + 1)) AS idcg
-          FROM (SELECT query_id, row_number() OVER (
-                  PARTITION BY query_id ORDER BY doc_id) AS r
-                FROM gold)
+                 sum(rel / log2(r + 1)) AS idcg
+          FROM (SELECT query_id, rel, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY rel DESC, doc_id) AS r
+                FROM pos)
           WHERE r <= 10 GROUP BY 1)
         SELECT n.query_id, CAST(n.n_rel AS BIGINT) AS n_rel,
                CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,

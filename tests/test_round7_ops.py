@@ -208,6 +208,38 @@ def test_rank_eval_graded_relevance(spark):
     assert r.ndcg == pytest.approx(round(dcg / idcg, 6))
 
 
+def test_rank_eval_rel_zero_rows_not_relevant(spark):
+    """Explicit rel=0 qrels rows (judged-NON-relevant, the standard
+    trec shape) must not count toward n_rel/n_hit/recall/precision,
+    must not set the reciprocal-rank first hit, and a query whose
+    judgments are all rel=0 is absent (trec_eval drops it)."""
+    import math
+
+    from tap_airbyte_wrapper_spark.functions import rank_eval
+
+    ranked = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3),
+         (7, 9, 1)],
+        "query_id int, doc_id long, rank int")
+    truth = spark.createDataFrame(
+        [(0, 1, 0.0),    # judged non-relevant, retrieved at rank 1
+         (0, 2, 2.0),    # relevant, retrieved at rank 2
+         (0, 4, 1.0),    # relevant, not retrieved
+         (7, 9, 0.0)],   # query 7: ALL judgments non-relevant
+        "query_id int, doc_id long, rel double")
+    out = {r.query_id: r
+           for r in rank_eval(ranked, truth, rel_col="rel", k=3).collect()}
+    assert list(out) == [0]                      # query 7 dropped
+    q0 = out[0]
+    assert q0.n_rel == 2 and q0.n_hit == 1       # doc 1 is not a hit
+    assert q0.recall_at_k == pytest.approx(0.5)
+    assert q0.precision_at_k == pytest.approx(round(1 / 3, 6))
+    assert q0.rr == pytest.approx(0.5)           # first RELEVANT at rank 2
+    dcg = 2.0 / math.log2(3)
+    idcg = 2.0 / 1 + 1.0 / math.log2(3)
+    assert q0.ndcg == pytest.approx(round(dcg / idcg, 6))
+
+
 def test_rank_eval_unjudged_queries_absent(spark):
     from tap_airbyte_wrapper_spark.functions import rank_eval
 
@@ -221,7 +253,7 @@ def test_rank_eval_unjudged_queries_absent(spark):
 
 # ------------------------------------------------------ chunk_by_sentences
 
-def test_chunk_by_sentences_greedy_boundaries(spark):
+def test_chunk_by_sentences_bucket_boundaries(spark):
     from tap_airbyte_wrapper_spark.functions import chunk_by_sentences
 
     df = spark.createDataFrame(
@@ -233,6 +265,24 @@ def test_chunk_by_sentences_greedy_boundaries(spark):
         "One two three. Four five.", "Six seven eight nine. Ten!"]
     assert [r.n_sentences for r in out] == [2, 2]
     assert [r.n_tokens for r in out] == [5, 5]
+
+
+def test_chunk_by_sentences_is_bucketing_not_greedy_reset(spark):
+    """Documents the GLOBAL-boundary bucketing contract: sentence i
+    goes to chunk floor(tokens_before/budget), so two 4-token
+    sentences at budget 5 share chunk 0 (tokens_before 0 and 4 both
+    floor to 0) where a greedy-RESET chunker would emit one sentence
+    per chunk.  The docstring states this explicitly; this test pins
+    it so the semantics can't silently drift."""
+    from tap_airbyte_wrapper_spark.functions import chunk_by_sentences
+
+    df = spark.createDataFrame(
+        [(1, "a b c d. e f g h. i j k l.")], "doc_id long, text string")
+    out = sorted(chunk_by_sentences(df, budget_tokens=5).collect(),
+                 key=lambda r: r.chunk_id)
+    # tokens_before = 0, 4, 8 -> raw buckets 0, 0, 1
+    assert [r.n_sentences for r in out] == [2, 1]
+    assert [r.n_tokens for r in out] == [8, 4]
 
 
 def test_chunk_by_sentences_never_splits_a_sentence(spark):
@@ -320,6 +370,30 @@ def test_dsir_plan_shape(spark):
     p2 = dsir_resample(pool, target, k=5, buckets=512) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p2  # top-k, never a global sort
+
+
+def test_dsir_target_only_grams_keep_target_count(spark):
+    """A gram seen only in the TARGET corpus (absent from the pool)
+    must keep its smoothed target count in the model — scoring
+    ln(ct+1) + const, NOT the counts-free default_llr.  These are the
+    most target-characteristic grams of all, exactly what the
+    stream_dsir_gate exists to admit."""
+    import math
+
+    from tap_airbyte_wrapper_spark.functions import dsir_fit, dsir_score
+
+    pool = spark.createDataFrame(
+        [(1, "xx yy")], "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(2, "qq qq qq")], "doc_id long, text string")
+    model = dsir_fit(pool, target, buckets=512)
+    batch = spark.createDataFrame(
+        [(10, "qq"), (11, "unseen")], "doc_id long, text string")
+    w = {r.doc_id: r.logw for r in dsir_score(batch, model).collect()}
+    # 'qq' unigram: ct=3, cr=0 -> ln(4) - ln(1) + const;
+    # 'unseen' hits no fitted bucket -> default_llr = const
+    assert w[10] - w[11] == pytest.approx(math.log(4.0), abs=1e-5)
+    assert w[11] == pytest.approx(model.default_llr, abs=1e-6)
 
 
 # -------------------------------------------------------------- triangles

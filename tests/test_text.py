@@ -360,7 +360,9 @@ def test_url_host_and_parent_domains(spark):
          ("http://localhost:8080/x",),
          ("not a url",),
          ("https://x@blocked.com/",),       # userinfo must not hide the host
-         ("https://u:p@www.blocked.com./p",)], "url string")
+         ("https://u:p@www.blocked.com./p",),
+         # multi-'@' userinfo: the host is after the LAST '@'
+         ("https://u@x@blocked.com/p",)], "url string")
     rows = df.select(
         url_host(F.col("url")).alias("h"),
         parent_domains(url_host(F.col("url"))).alias("p")).collect()
@@ -370,6 +372,7 @@ def test_url_host_and_parent_domains(spark):
     assert rows[2].h == ""
     assert rows[3].h == "blocked.com"
     assert rows[4].h == "blocked.com"
+    assert rows[5].h == "blocked.com"
 
 
 def test_domain_filter_block_allow_and_df_blocklist(spark):
