@@ -887,6 +887,101 @@ def prefix_filter_candidates(
     )
 
 
+def _containment_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    blocking_cols: list[str],
+) -> DataFrame:
+    """(id, blocking..., hs, sh_size) distinct-shingle-hash frame shared
+    by candidate generation and verification — bounded-pool persisted
+    (keyed by plan semanticHash, so both consumers hit one entry) since
+    the interpreted zip_with shingling dominates its cost."""
+    return cache_bounded(df.select(
+        F.col(id_col), *[F.col(c) for c in blocking_cols],
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), n),
+                        lambda s: F.xxhash64(s))).alias("hs"),
+    ).withColumn("sh_size", F.size("hs")))
+
+
+def containment_prefix_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    blocking_cols: list[str] | None = None,
+    _sh: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate pairs for directed n-gram containment with
+    DETERMINISTIC total recall and a DF-BOUNDED posting join — the
+    asymmetric analogue of :func:`prefix_filter_candidates`.
+
+    A pair with ``max(cont_a_in_b, cont_b_in_a) >= t`` has
+    ``common >= ceil(t * min(|A|,|B|))`` (the smaller side's
+    containment is always the larger ratio), so under ANY fixed total
+    order on shingles the SMALLER doc must share an element inside its
+    first ``|S| - ceil(t*|S|) + 1`` sorted positions (pigeonhole) —
+    only that prefix of the smaller side needs posting; the other side
+    posts all shingles.
+
+    The total order is (global document frequency ASC, hash) — the
+    canonical PPJoin ordering (Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08): a near-universal boilerplate shingle (license header,
+    nav chrome — exactly what web corpora are full of) has maximal df,
+    sorts LAST in every doc, and enters a prefix only when a doc has
+    almost nothing else, so its posting list on the prefix side stays
+    near-empty instead of generating ~n^2/2 candidates.  Costs one
+    extra vocabulary-sized groupBy + one per-doc window next to the
+    naive full self-join it replaces.  Output: (id_a, id_b),
+    id_a < id_b, a superset of all qualifying pairs.
+    """
+    from pyspark.sql import Window
+
+    blocking_cols = blocking_cols or []
+    sh = _sh if _sh is not None else _containment_shingles(
+        df, id_col, text_col, n, blocking_cols)
+    posting = sh.select(
+        id_col, *blocking_cols, "sh_size", F.explode("hs").alias("shingle"))
+    df_tbl = posting.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df"))
+    # the 1e-9 guard keeps float ceil from overshooting an exactly-
+    # integer t*|S| (which would shorten the prefix and lose recall);
+    # the verification pass is exact, so a one-longer prefix only costs
+    # candidates, never correctness
+    need = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("sh_size") * F.lit(threshold) - F.lit(1e-9)))
+    prefix_len = F.col("sh_size") - need + 1
+    pre = (
+        posting.join(df_tbl, "shingle")
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(id_col).orderBy("__df", "shingle")))
+        .filter(F.col("__rn") <= prefix_len)
+    )
+    a = pre.select(
+        *[F.col(c) for c in blocking_cols],
+        F.col(id_col).alias("id_p"), F.col("sh_size").alias("size_p"),
+        "shingle")
+    b = posting.select(
+        *[F.col(c) for c in blocking_cols],
+        F.col(id_col).alias("id_f"), F.col("sh_size").alias("size_f"),
+        "shingle")
+    return (
+        a.join(b, on=blocking_cols + ["shingle"])
+        # the prefix side must be the pair's SMALLER set (equal sizes:
+        # either works — id tiebreak generates the pair exactly once)
+        .filter((F.col("size_p") < F.col("size_f"))
+                | ((F.col("size_p") == F.col("size_f"))
+                   & (F.col("id_p") < F.col("id_f"))))
+        .select(F.least("id_p", "id_f").alias("id_a"),
+                F.greatest("id_p", "id_f").alias("id_b"))
+        .distinct()
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -906,44 +1001,30 @@ def containment_pairs(
     ``containment(A in B) = 1.0``.  Near-dup curation pipelines
     (supersets of Lee et al.'s exact-substring work) want both signals.
 
-    Plan shape (same candidate machinery as :func:`ngram_jaccard_pairs`
-    — shared-shingle postings, never all-pairs): explode distinct
-    64-bit shingle hashes -> self-join on hash (+ blocking keys) ->
-    per-pair common counts -> both containment ratios from the one
-    count.  A pair with EITHER containment >= t shares >= t*min(|A|,|B|)
-    shingles, so every qualifying pair co-occurs in at least one
-    posting list and recall is total.  Output: (id_a, id_b,
-    cont_a_in_b, cont_b_in_a), id_a < id_b.
+    Plan shape: :func:`containment_prefix_candidates` (df-ordered
+    asymmetric prefix postings — total recall, and the posting join is
+    bounded on boilerplate-heavy corpora where a naive shared-shingle
+    self-join degenerates to ~n^2/2 rows on one universal shingle),
+    then exact verification per candidate via the two distinct-hash
+    arrays: both containment ratios from one ``array_intersect``
+    count.  Output: (id_a, id_b, cont_a_in_b, cont_b_in_a),
+    id_a < id_b.
     """
     blocking_cols = blocking_cols or []
-    # bounded-pool persist: the self-join reads this subtree twice and
-    # shingling (the interpreted zip_with chain) dominates its cost;
-    # eviction bounds the cache across repeated calls (_cache.py)
-    sh = cache_bounded(df.select(
-        F.col(id_col), *[F.col(c) for c in blocking_cols],
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col), n),
-                        lambda s: F.xxhash64(s))).alias("hs"),
-    ).withColumn("sh_size", F.size("hs")))
-    posting = sh.select(
-        id_col, *blocking_cols, "sh_size", F.explode("hs").alias("shingle"))
-    a = posting.select(
-        *[F.col(c) for c in blocking_cols],
-        F.col(id_col).alias("id_a"), F.col("sh_size").alias("size_a"),
-        "shingle")
-    b = posting.select(
-        *[F.col(c) for c in blocking_cols],
-        F.col(id_col).alias("id_b"), F.col("sh_size").alias("size_b"),
-        "shingle")
-    common = (
-        a.join(b, on=blocking_cols + ["shingle"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    sh = _containment_shingles(df, id_col, text_col, n, blocking_cols)
+    cand = containment_prefix_candidates(
+        df, id_col, text_col, n, threshold, blocking_cols, _sh=sh)
+    arr = sh.select(F.col(id_col), "hs", "sh_size")
     return (
-        common.withColumn(
-            "cont_a_in_b", F.col("common") / F.col("size_a"))
+        cand
+        .join(arr.select(F.col(id_col).alias("id_a"),
+                         F.col("hs").alias("__ha"),
+                         F.col("sh_size").alias("size_a")), "id_a")
+        .join(arr.select(F.col(id_col).alias("id_b"),
+                         F.col("hs").alias("__hb"),
+                         F.col("sh_size").alias("size_b")), "id_b")
+        .withColumn("common", F.size(F.array_intersect("__ha", "__hb")))
+        .withColumn("cont_a_in_b", F.col("common") / F.col("size_a"))
         .withColumn("cont_b_in_a", F.col("common") / F.col("size_b"))
         .filter((F.col("cont_a_in_b") >= threshold)
                 | (F.col("cont_b_in_a") >= threshold))

@@ -1159,11 +1159,23 @@ def q_containment_pairs(spark, sf_dir):
     """Directed n-gram containment pairs (|A∩B|/|A| and /|B|), blocked
     by (lang, source) — the asymmetric-duplication signal jaccard's
     symmetric denominator hides (a short doc fully quoted inside a long
-    one caps jaccard at |A|/|B| but has containment 1.0)."""
+    one caps jaccard at |A|/|B| but has containment 1.0).  The corpus
+    is augmented with quoted-lead docs (every 25th doc's first 200
+    chars, same blocking keys) so the driver check exercises the
+    asymmetric direction on dozens of pairs, not one — and the
+    candidate path is the df-ordered prefix filter, never the naive
+    full-posting self-join."""
     from ..functions import containment_pairs
 
+    docs = _t(spark, sf_dir, "documents")
+    quotes = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+        "lang", "source")
+    aug = docs.select("doc_id", "text", "lang", "source").unionByName(
+        quotes)
     return containment_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        aug, "doc_id", "text",
         n=3, threshold=0.5, blocking_cols=["lang", "source"],
     ).select("id_a", "id_b",
              F.round("cont_a_in_b", 4).alias("cont_ab_r"),
@@ -3848,7 +3860,22 @@ ORACLES = {
               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
               >= 0.2""",
     "containment_pairs_docs": f"""
-        WITH sh AS ({_SHINGLES_SQL})
+        WITH aug AS (
+          SELECT doc_id, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 200) AS text,
+                 lang, source
+          FROM documents WHERE doc_id % 25 = 0),
+        sh AS (
+          SELECT doc_id, lang, source,
+            list_distinct(
+              CASE WHEN len(w) >= 3 THEN
+                list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [array_to_string(w, ' ')] END) AS sh
+          FROM (SELECT doc_id, lang, source,
+                       regexp_extract_all({_NORM_TEXT}, '\\S+') AS w
+                FROM aug))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                      / len(a.sh), 4) AS cont_ab_r,
