@@ -52,6 +52,10 @@ __all__ = [
     "minhash_verified_pairs",
     "simhash_verified_pairs",
     "minhash_index_write",
+    "minhash_index_delete",
+    "minhash_index_replace",
+    "fingerprint_index_delete",
+    "containment_prefix_candidates",
     "minhash_index_append",
     "minhash_dedup_delta",
     "minhash_index_compact",
@@ -1323,10 +1327,13 @@ def minhash_index_write(
     )
     spark.sql(f"DROP TABLE IF EXISTS {table_name}_postings")
     spark.sql(f"DROP TABLE IF EXISTS {table_name}_sigs")
-    (postings.write.bucketBy(n_buckets, "bkey").sortBy("bkey")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}_tombstones")
+    ver0 = F.lit(0).cast("long")
+    (postings.withColumn("__ver", ver0)
+        .write.bucketBy(n_buckets, "bkey").sortBy("bkey")
         .option("path", _os.path.join(path, "postings"))
         .mode("overwrite").saveAsTable(f"{table_name}_postings"))
-    (sigs.select(id_col, "sig")
+    (sigs.select(id_col, "sig").withColumn("__ver", ver0)
         .write.bucketBy(n_buckets, id_col).sortBy(id_col)
         .option("path", _os.path.join(path, "sigs"))
         .mode("overwrite").saveAsTable(f"{table_name}_sigs"))
@@ -1356,20 +1363,24 @@ def minhash_index_append(
     files per bucket, so run :func:`minhash_index_compact` — NOT the
     flat ``compact_parquet``, which would drop the bucket metadata —
     when batch count grows).  Cost is O(delta) — the corpus is never
-    read.  Caller contract: ids must be new (dedup the delta against
-    the index FIRST; appending an id twice double-counts its postings).
+    read.  Caller contract: ids must not be LIVE (dedup the delta
+    against the index FIRST; a previously :func:`minhash_index_delete`-d
+    id revives at its new content — re-crawls go through
+    :func:`minhash_index_replace`).
     """
     import json as _json
     import os as _os
 
     from ..fsutil import read_text as _read_text
+    from ._maint import stamp_version, tombstone_counts_table
 
+    spark = delta.sparkSession
     meta = _json.loads(
-        _read_text(delta.sparkSession,
-                   _os.path.join(path, "_index_meta.json")))
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
     if meta["id_col"] != id_col:
         raise ValueError(
             f"index was built on id column {meta['id_col']!r}, got {id_col!r}")
+    tombs = tombstone_counts_table(spark, table_name, id_col)
     sigs = minhash_signatures_df(
         delta, id_col, text_col, meta["num_hashes"], meta["shingle_len"],
         bands=meta["bands"]).persist()
@@ -1380,14 +1391,57 @@ def minhash_index_append(
         .select(F.col(id_col), _posting_key().alias("bkey"))
     )
     n_buckets = meta["n_buckets"]
-    (postings.write.bucketBy(n_buckets, "bkey").sortBy("bkey")
+    (stamp_version(postings, tombs, id_col)
+        .select(id_col, "bkey", "__ver")
+        .write.bucketBy(n_buckets, "bkey").sortBy("bkey")
         .option("path", _os.path.join(path, "postings"))
         .mode("append").saveAsTable(f"{table_name}_postings"))
-    (sigs.select(id_col, "sig")
+    (stamp_version(sigs.select(id_col, "sig"), tombs, id_col)
+        .select(id_col, "sig", "__ver")
         .write.bucketBy(n_buckets, id_col).sortBy(id_col)
         .option("path", _os.path.join(path, "sigs"))
         .mode("append").saveAsTable(f"{table_name}_sigs"))
     sigs.unpersist()
+
+
+def minhash_index_delete(
+    spark,
+    table_name: str,
+    path: str,
+    ids: DataFrame,
+) -> None:
+    """Delete documents from the persisted MinHash index at O(delete
+    batch): tombstone rows append to the ``_tombstones`` side table and
+    every reader (:func:`minhash_dedup_delta`, compaction) filters to
+    live versions — see ``_maint`` for the scheme.  Without this, a
+    removed doc's postings keep matching future deltas and its near-dups
+    are dropped against a ghost."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import read_text as _read_text
+    from ._maint import record_tombstones_table
+
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    record_tombstones_table(spark, table_name, path, ids, meta["id_col"])
+
+
+def minhash_index_replace(
+    delta: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Replace documents in-place at O(delta): tombstone the delta's
+    ids, then append their new signatures/postings at the bumped
+    version.  Probes and search behave as if the index were rebuilt
+    from scratch on the edited corpus (pinned by test)."""
+    spark = delta.sparkSession
+    minhash_index_delete(spark, table_name, path,
+                         delta.select(id_col).distinct())
+    minhash_index_append(delta, table_name, path, id_col, text_col)
 
 
 def minhash_index_compact(
@@ -1436,18 +1490,27 @@ def minhash_index_compact(
 
     from ..fsutil import count_parquet_files as _nfiles
 
+    from ._maint import live_rows, tombstone_counts_table
+
     files_in = _nfiles(path, spark)
     spark.sql(f"DROP TABLE IF EXISTS {dst_table}_postings")
     spark.sql(f"DROP TABLE IF EXISTS {dst_table}_sigs")
+    spark.sql(f"DROP TABLE IF EXISTS {dst_table}_tombstones")
+    tombs = tombstone_counts_table(spark, table_name, id_col)
     conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     old = spark.conf.get(conf_key)
     spark.conf.set(conf_key, "false")
     try:
-        (spark.table(f"{table_name}_postings")
+        # tombstones FOLD here (live rows only, versions reset, no dst
+        # tombstone table) — the liveness filter is a broadcast join,
+        # so the per-bucket narrow rewrite survives
+        (live_rows(spark.table(f"{table_name}_postings"), tombs, id_col)
+            .withColumn("__ver", F.lit(0).cast("long"))
             .write.bucketBy(n_buckets, "bkey").sortBy("bkey")
             .option("path", _os.path.join(dst_path, "postings"))
             .mode("overwrite").saveAsTable(f"{dst_table}_postings"))
-        (spark.table(f"{table_name}_sigs")
+        (live_rows(spark.table(f"{table_name}_sigs"), tombs, id_col)
+            .withColumn("__ver", F.lit(0).cast("long"))
             .write.bucketBy(n_buckets, id_col).sortBy(id_col)
             .option("path", _os.path.join(dst_path, "sigs"))
             .mode("overwrite").saveAsTable(f"{dst_table}_sigs"))
@@ -1506,7 +1569,11 @@ def minhash_dedup_delta(
         .select(F.col("__did"), _posting_key().alias("bkey"))
     )
 
-    cpost = spark.table(f"{table_name}_postings") \
+    from ._maint import live_rows, tombstone_counts_table
+
+    tombs = tombstone_counts_table(spark, table_name, meta["id_col"])
+    cpost = live_rows(spark.table(f"{table_name}_postings"), tombs,
+                      meta["id_col"]) \
         .withColumnRenamed(meta["id_col"], "__cid")
     cand_x = (
         dpost.join(cpost, on="bkey")
@@ -1522,7 +1589,8 @@ def minhash_dedup_delta(
 
     d_sig = F.broadcast(
         dsigs.select(F.col(id_col).alias("__did"), F.col("sig").alias("__dsig")))
-    csigs = spark.table(f"{table_name}_sigs").select(
+    csigs = live_rows(spark.table(f"{table_name}_sigs"), tombs,
+                      meta["id_col"]).select(
         F.col(meta["id_col"]).alias("__cid"), F.col("sig").alias("__csig"))
     est_x = (
         cand_x.join(csigs, on="__cid")
@@ -1581,7 +1649,9 @@ def fingerprint_index_write(
         .groupBy("fp").agg(F.min("fid").alias("fid"))
     )
     spark.sql(f"DROP TABLE IF EXISTS {table_name}_fps")
-    (fps.write.bucketBy(n_buckets, "fp").sortBy("fp")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}_tombstones")
+    (fps.withColumn("__ver", F.lit(0).cast("long"))
+        .write.bucketBy(n_buckets, "fp").sortBy("fp")
         .option("path", _os.path.join(path, "fps"))
         .mode("overwrite").saveAsTable(f"{table_name}_fps"))
     from ..fsutil import write_text as _write_text
@@ -1608,9 +1678,13 @@ def fingerprint_dedup_delta(
 
     from .text import fingerprint
 
+    from ._maint import live_rows, tombstone_counts_table
+
     spark = delta.sparkSession
     fps = delta.withColumn("__fp", fingerprint(F.col(text_col)))
-    corpus = spark.table(f"{table_name}_fps")
+    corpus = live_rows(spark.table(f"{table_name}_fps"),
+                       tombstone_counts_table(spark, table_name, "fid"),
+                       "fid")
     fresh = fps.join(
         corpus,
         (F.col("__fp") == F.col("fp")) & (F.col(id_col) != F.col("fid")),
@@ -1638,8 +1712,30 @@ def fingerprint_index_append(
     for the gate's output; periodic ``compact_parquet``-style cleanup
     is cosmetic."""
     from .text import fingerprint
+    from ._maint import stamp_version, tombstone_counts_table
 
-    (survivors.select(fingerprint(F.col(text_col)).alias("fp"),
-                      F.col(id_col).alias("fid"))
-        .distinct()
+    spark = survivors.sparkSession
+    rows = survivors.select(fingerprint(F.col(text_col)).alias("fp"),
+                            F.col(id_col).alias("fid")).distinct()
+    (stamp_version(rows, tombstone_counts_table(spark, table_name, "fid"),
+                   "fid")
+        .select("fp", "fid", "__ver")
         .write.mode("append").insertInto(f"{table_name}_fps"))
+
+
+def fingerprint_index_delete(
+    spark,
+    table_name: str,
+    path: str,
+    ids: DataFrame,
+) -> None:
+    """Delete documents from the persisted fingerprint index at
+    O(delete batch) — the re-crawl maintenance op: a removed doc's
+    ``(fp, id)`` row otherwise keeps dropping future docs with the
+    same content against a ghost.  Tombstone rows append to the
+    ``_tombstones`` side table; probes filter to live versions.  A
+    deleted id's content can re-enter via
+    :func:`fingerprint_index_append` (rows stamp the bumped version)."""
+    from ._maint import record_tombstones_table
+
+    record_tombstones_table(spark, table_name, path, ids, "fid")

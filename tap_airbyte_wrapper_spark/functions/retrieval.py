@@ -32,7 +32,7 @@ from .corpus import words
 __all__ = ["bm25_topk", "doc_term_freq", "rrf_fuse", "rank_eval",
            "prf_expand_topk",
            "bm25_index_write", "bm25_index_append", "bm25_index_compact",
-           "bm25_index_search"]
+           "bm25_index_search", "bm25_index_delete", "bm25_index_replace"]
 
 
 def doc_term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -309,18 +309,33 @@ def bm25_index_write(
     from ..fsutil import write_text as _write_text
 
     spark = df.sparkSession
-    tf = doc_term_freq(df, id_col, text_col)
+    tf = doc_term_freq(df, id_col, text_col).withColumn(
+        "__ver", F.lit(0).cast("long"))
     spark.sql(f"DROP TABLE IF EXISTS {table_name}_postings")
     spark.sql(f"DROP TABLE IF EXISTS {table_name}_doclen")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}_tombstones")
     (tf.write.bucketBy(n_buckets, "term").sortBy("term")
        .option("path", _os.path.join(path, "postings"))
        .mode("overwrite").saveAsTable(f"{table_name}_postings"))
     (tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+       .withColumn("__ver", F.lit(0).cast("long"))
        .write.bucketBy(n_buckets, id_col).sortBy(id_col)
        .option("path", _os.path.join(path, "doclen"))
        .mode("overwrite").saveAsTable(f"{table_name}_doclen"))
     _write_text(spark, _os.path.join(path, "_index_meta.json"),
                 _json.dumps({"id_col": id_col, "n_buckets": n_buckets}))
+
+
+def _live(spark, table_name: str, which: str, id_col: str) -> DataFrame:
+    """The LIVE rows of a versioned index table: a row written at
+    version v is live iff exactly v tombstones exist for its id (a
+    delete bumps the id's tombstone count past every stored row; a
+    replace re-appends rows at the new count).  See ``_maint``."""
+    from ._maint import live_rows, tombstone_counts_table
+
+    return live_rows(spark.table(f"{table_name}_{which}"),
+                     tombstone_counts_table(spark, table_name, id_col),
+                     id_col)
 
 
 def bm25_index_append(
@@ -329,17 +344,74 @@ def bm25_index_append(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Fold NEW documents into the index at O(delta): the delta's
-    postings and lengths insert into the bucketed tables (bucket spec
-    respected, so lookups stay co-located).  Contract: delta ids must
-    be new — a re-crawled doc belongs in front of the dedup gates, not
-    here (appending a duplicate id would double-count its postings;
-    exactly the corruption ``fingerprint_dedup_delta`` exists to
-    prevent)."""
-    tf = doc_term_freq(delta, id_col, text_col)
-    tf.write.mode("append").insertInto(f"{table_name}_postings")
-    (tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    """Fold documents into the index at O(delta): the delta's postings
+    and lengths insert into the bucketed tables (bucket spec respected,
+    so lookups stay co-located).  Contract: delta ids must not be LIVE
+    — brand-new ids always qualify, and a previously
+    :func:`bm25_index_delete`-d id revives here (its rows stamp the
+    id's current tombstone count as their version, so the liveness
+    filter keeps them and keeps ignoring the dead generation).
+    Appending an id that is still live double-counts its postings —
+    re-crawled docs go through :func:`bm25_index_replace`."""
+    from ._maint import stamp_version, tombstone_counts_table
+
+    spark = delta.sparkSession
+    tf = stamp_version(doc_term_freq(delta, id_col, text_col),
+                       tombstone_counts_table(spark, table_name, id_col),
+                       id_col)
+    tf.select(id_col, "term", "tf", "__ver") \
+        .write.mode("append").insertInto(f"{table_name}_postings")
+    (tf.groupBy(id_col).agg(F.sum("tf").alias("dl"),
+                            # constant within an id's group
+                            F.max("__ver").alias("__ver"))
+       .select(id_col, "dl", "__ver")
        .write.mode("append").insertInto(f"{table_name}_doclen"))
+
+
+def bm25_index_delete(
+    spark,
+    table_name: str,
+    path: str,
+    ids: DataFrame,
+) -> None:
+    """Delete documents from the index at O(delete batch): one
+    tombstone row per id appends to the ``_tombstones`` table; the
+    stored postings/doclen rows stay on disk but every reader filters
+    to live versions (a row is live iff its stamped version equals the
+    id's tombstone count).  :func:`bm25_index_compact` folds tombstones
+    physically.  ``ids`` is a 1-column frame named as the index's id
+    column; deleting an absent or already-dead id is a harmless extra
+    tombstone for it — the liveness predicate compares exact counts, so
+    re-appending after N deletes still works."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import read_text as _read_text
+    from ._maint import record_tombstones_table
+
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    record_tombstones_table(spark, table_name, path, ids, meta["id_col"])
+
+
+def bm25_index_replace(
+    delta: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Replace documents in-place at O(delta) — the re-crawl/edited-doc
+    maintenance op the append contract excludes: tombstone the delta's
+    ids (killing the stored generation), then append the new text,
+    whose rows stamp the bumped tombstone count as their version.
+    Post-replace search equals a from-scratch rebuild on the edited
+    corpus (pinned by test and by the ``bm25_index_docs`` fleet
+    oracle)."""
+    spark = delta.sparkSession
+    bm25_index_delete(spark, table_name, path,
+                      delta.select(id_col).distinct())
+    bm25_index_append(delta, table_name, id_col, text_col)
 
 
 def bm25_index_compact(
@@ -361,7 +433,9 @@ def bm25_index_compact(
     forced on and rewritten under the SAME bucket spec: one task per
     bucket, one file per bucket, ZERO shuffle.  The write goes to a
     NEW table/path (crash-safe swap-by-rename contract, same as the
-    other compactors).
+    other compactors).  Tombstones from :func:`bm25_index_delete` /
+    :func:`bm25_index_replace` FOLD here: the destination holds only
+    live rows, re-versioned to 0, with no tombstone table.
 
     Returns ``{"files_in", "files_out"}``.
     """
@@ -385,15 +459,22 @@ def bm25_index_compact(
     files_in = _nfiles(path, spark)
     spark.sql(f"DROP TABLE IF EXISTS {dst_table}_postings")
     spark.sql(f"DROP TABLE IF EXISTS {dst_table}_doclen")
+    spark.sql(f"DROP TABLE IF EXISTS {dst_table}_tombstones")
     conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     old = spark.conf.get(conf_key)
     spark.conf.set(conf_key, "false")
     try:
-        (spark.table(f"{table_name}_postings")
+        # tombstones FOLD here: only live rows are rewritten, versions
+        # reset to 0, and the dst index starts with no tombstone table
+        # — the liveness filter is a broadcast join, so the per-bucket
+        # narrow rewrite (one task per bucket, zero shuffle) survives
+        (_live(spark, table_name, "postings", id_col)
+            .withColumn("__ver", F.lit(0).cast("long"))
             .write.bucketBy(n_buckets, "term").sortBy("term")
             .option("path", _os.path.join(dst_path, "postings"))
             .mode("overwrite").saveAsTable(f"{dst_table}_postings"))
-        (spark.table(f"{table_name}_doclen")
+        (_live(spark, table_name, "doclen", id_col)
+            .withColumn("__ver", F.lit(0).cast("long"))
             .write.bucketBy(n_buckets, id_col).sortBy(id_col)
             .option("path", _os.path.join(dst_path, "doclen"))
             .mode("overwrite").saveAsTable(f"{dst_table}_doclen"))
@@ -427,13 +508,14 @@ def bm25_index_search(
 
     meta = _json.loads(
         _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    id_col = meta["id_col"]
     return bm25_topk(
         None, queries,
-        id_col=meta["id_col"],
+        id_col=id_col,
         query_id_col=query_id_col, query_text_col=query_text_col,
         k=k, k1=k1, b=b,
-        tf_table=spark.table(f"{table_name}_postings"),
-        dl_table=spark.table(f"{table_name}_doclen"))
+        tf_table=_live(spark, table_name, "postings", id_col),
+        dl_table=_live(spark, table_name, "doclen", id_col))
 
 
 def prf_expand_topk(
@@ -471,11 +553,20 @@ def prf_expand_topk(
     pass precomputed ``tf_table``/``dl_table`` or the persisted BM25
     index's tables on a standing corpus), and each pass prunes
     postings to its query terms before any aggregation."""
+    # tf deliberately UNCACHED (round-8 re-measure): with a
+    # plan-stable queries frame, Spark's ReusedExchange already dedups
+    # the term-filtered tf subtrees across both passes, and persisting
+    # forces materializing the FULL postings table — measured 3.4 s
+    # cached vs 1.4 s uncached median (11.6 vs 3.6 s cold) at
+    # sf0.1/local[32] in the bench harness.  The round-7 number that
+    # justified the cache (5.9 -> 3.5 s) was taken with a
+    # createDataFrame queries frame whose plan identity changed every
+    # call, defeating both ReusedExchange and rep-level cache reuse —
+    # fixed at the fleet entry by building queries via SQL VALUES.
+    # On a standing corpus pass tf_table/dl_table (or the persisted
+    # BM25 index), which is the real scale path.
     tf = tf_table if tf_table is not None else \
         doc_term_freq(df, id_col, text_col)
-    # tf IS cached here (unlike bm25_topk): with two passes it feeds
-    # six subtrees, past the break-even the single-pass case sits under
-    tf = cache_bounded(tf) if tf_table is None else tf
     dl = dl_table if dl_table is not None else \
         tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     orig = cache_bounded(queries.select(

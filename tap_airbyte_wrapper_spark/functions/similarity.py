@@ -28,7 +28,8 @@ from ..operators.windows import topk_per_group
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
            "cosine_topk_lsh", "cosine_topk_ivf", "embedding_near_dup_pairs",
            "IvfIndex", "ivf_build", "ivf_load", "ivf_search",
-           "ivf_append", "ivf_staleness", "ivf_compact", "embedding_dedup_delta",
+           "ivf_append", "ivf_staleness", "ivf_compact", "ivf_delete",
+           "ivf_replace", "embedding_dedup_delta",
            "PqModel", "pq_train", "pq_encode", "pq_topk", "pq_rerank",
            "save_pq", "load_pq", "kmeans_fit", "kmeans_predict",
            "ivfpq_encode", "ivfpq_topk", "ivfpq_train_residual",
@@ -386,10 +387,12 @@ def ivf_build(
         # guards against); with it each cell is written by the task
         # that owns it.  One file per cell per write batch; compact
         # with ivf_compact (layout-preserving) when appends accumulate.
-        (assigned.repartition(len(cent), "__cell")
+        (assigned.withColumn("__ver", F.lit(0).cast("long"))
+         .repartition(len(cent), "__cell")
          .write.mode("overwrite").partitionBy("__cell")
          .parquet(f"{path}/vectors"))
-        assigned = corpus.sparkSession.read.parquet(f"{path}/vectors")
+        assigned = corpus.sparkSession.read.parquet(
+            f"{path}/vectors").drop("__ver")
         # training-time corpus size, the baseline ivf_staleness compares
         # appends against (parquet metadata count — no data scan)
         built_rows = assigned.count()
@@ -399,15 +402,37 @@ def ivf_build(
     return IvfIndex(cent, assigned, id_col, vec_col)
 
 
+def _ivf_tombs(spark, path: str, id_col: str):
+    """(id, __tombs) tombstone counts for a persisted IVF index, or
+    None when nothing was ever deleted."""
+    from ..fsutil import exists as _exists
+
+    if not _exists(spark, f"{path}/tombstones"):
+        return None
+    return (spark.read.parquet(f"{path}/tombstones")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("__tombs")))
+
+
+def _ivf_live(spark, path: str, id_col: str):
+    """The live vector rows of a persisted IVF index (see
+    ``_maint.live_rows``: a row is live iff its stamped version equals
+    its id's tombstone count).  The count table broadcasts, so probe
+    joins keep their ``__cell`` file pruning."""
+    from ._maint import live_rows
+
+    return live_rows(spark.read.parquet(f"{path}/vectors"),
+                     _ivf_tombs(spark, path, id_col), id_col)
+
+
 def ivf_load(spark, path: str, id_col: str = "vec_id",
              vec_col: str = "embedding") -> IvfIndex:
     """Reopen a persisted IVF index; searches partition-prune to the
-    probed cells."""
+    probed cells and filter to live (non-deleted) vectors."""
     rows = sorted(
         (r["cell"], r["centroid"])
         for r in spark.read.parquet(f"{path}/centroids").collect())
     cent = np.array([c for _, c in rows], dtype="float64")
-    return IvfIndex(cent, spark.read.parquet(f"{path}/vectors"),
+    return IvfIndex(cent, _ivf_live(spark, path, id_col),
                     id_col, vec_col)
 
 
@@ -438,10 +463,12 @@ def ivf_append(
     ``needs_retrain`` trips (appended rows exceed ``retrain_factor``
     x the rows the centroids were trained against).
 
-    Caller contract (same as ``minhash_index_append``): ids must be
-    NEW — dedup the delta against the index first (the streaming gate
-    does); appending an id twice lists it in two rows and every probe
-    reports it twice.
+    Caller contract (same as ``minhash_index_append``): ids must not
+    be LIVE — dedup the delta against the index first (the streaming
+    gate does); appending a live id twice lists it in two rows and
+    every probe reports it twice.  A previously :func:`ivf_delete`-d
+    id revives here at its new vector; re-embedded docs go through
+    :func:`ivf_replace`.
 
     Returns the reopened index including the appended vectors.
 
@@ -457,18 +484,61 @@ def ivf_append(
             (r["cell"], r["centroid"])
             for r in spark.read.parquet(f"{path}/centroids").collect())
         cent = np.array([c for _, c in cent_rows], dtype="float64")
-    assigned = delta.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), F.col(vec_col),
-        _cell_udf(cent)(F.col(vec_col)).alias("__cell"))
+    from ._maint import stamp_version
+
+    assigned = stamp_version(
+        delta.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col), F.col(vec_col),
+            _cell_udf(cent)(F.col(vec_col)).alias("__cell")),
+        _ivf_tombs(spark, path, id_col), id_col)
     # cell-co-located write: one file per touched cell per append, not
     # tasks x cells (see ivf_build's layout note)
-    (assigned.repartition(len(cent), "__cell")
+    (assigned.select(id_col, vec_col, "__ver", "__cell")
+     .repartition(len(cent), "__cell")
      .write.mode("append").partitionBy("__cell").parquet(f"{path}/vectors"))
-    return IvfIndex(cent, spark.read.parquet(f"{path}/vectors"),
+    return IvfIndex(cent, _ivf_live(spark, path, id_col),
                     id_col, vec_col)
 
 
-def ivf_compact(spark, src_path: str, dst_path: str) -> dict:
+def ivf_delete(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Delete vectors from a persisted IVF index at O(delete batch):
+    tombstone ids append to ``{path}/tombstones``; every reader
+    (:func:`ivf_load`, :func:`ivf_append`'s returned index,
+    :func:`ivf_compact`) filters to live versions.  The
+    cell-partitioned data files are untouched until compaction folds
+    the tombstones.  Note :func:`ivf_staleness` counts stored rows
+    (parquet metadata, no scan), so deleted generations keep counting
+    toward ``append_ratio`` until compact — conservative in the right
+    direction (retrain triggers sooner, never later)."""
+    (ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+        .write.mode("append").parquet(f"{path}/tombstones"))
+
+
+def ivf_replace(
+    spark,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+) -> IvfIndex:
+    """Replace vectors in-place at O(delta) — the re-embedded/edited
+    document maintenance op: tombstone the delta's ids, then append
+    the new vectors (cell-assigned against the index's own centroids)
+    at the bumped version.  Search over the returned index equals a
+    from-scratch rebuild on the edited corpus (pinned by test)."""
+    ivf_delete(spark, path, delta.select(id_col).distinct(), id_col)
+    return ivf_append(spark, path, delta, id_col, vec_col,
+                      centroids=centroids)
+
+
+def ivf_compact(spark, src_path: str, dst_path: str,
+                id_col: str = "vec_id") -> dict:
     """LAYOUT-PRESERVING compaction of a persisted IVF index: each
     :func:`ivf_append` adds one file per touched cell, so a streaming
     embedding gate accumulates files per cell.  A flat
@@ -491,8 +561,15 @@ def ivf_compact(spark, src_path: str, dst_path: str) -> dict:
     n_cells = cent.count()
     cent.coalesce(1).write.mode("overwrite").parquet(
         f"{dst_path}/centroids")
-    (spark.read.parquet(f"{src_path}/vectors")
-        .repartition(n_cells, "__cell")
+    src = spark.read.parquet(f"{src_path}/vectors")
+    # tombstones FOLD here: only live rows move, re-versioned to 0,
+    # and the destination index starts with no tombstone file
+    from ._maint import live_rows
+
+    live = live_rows(src, _ivf_tombs(spark, src_path, id_col), id_col)
+    if "__ver" in src.columns:
+        live = live.withColumn("__ver", F.lit(0).cast("long"))
+    (live.repartition(n_cells, "__cell")
         .write.mode("overwrite").partitionBy("__cell")
         .parquet(f"{dst_path}/vectors"))
     spark.read.parquet(f"{src_path}/meta").coalesce(1).write.mode(

@@ -1200,12 +1200,14 @@ def q_bm25_topk(spark, sf_dir):
 def q_bm25_index(spark, sf_dir):
     """Persisted-BM25 lifecycle under the exactness oracle: build the
     bucketed postings + doc-length tables on the even doc_ids, append
-    the odd half, search — the result must equal BM25 over the WHOLE
-    corpus computed from scratch (the oracle), pinning the postings
-    bucketing, the append's bucket-spec insert, the doc-length table
-    and the N/avgdl derivation end-to-end.  Same lifecycle-entry bench
-    caveat as knn_ivf_append_verified: wall time is table writes, not
-    scan cost."""
+    the odd half, REPLACE every 50th doc with its truncated re-crawl
+    (the tombstone maintenance op), search — the result must equal
+    BM25 over the EDITED corpus computed from scratch (the oracle),
+    pinning the postings bucketing, the append's bucket-spec insert,
+    the tombstone liveness filter, the doc-length table and the
+    N/avgdl derivation end-to-end.  Same lifecycle-entry bench caveat
+    as knn_ivf_append_verified: wall time is table writes, not scan
+    cost."""
     import atexit
     import hashlib
     import os
@@ -1214,6 +1216,7 @@ def q_bm25_index(spark, sf_dir):
 
     from ..functions import (
         bm25_index_append,
+        bm25_index_replace,
         bm25_index_search,
         bm25_index_write,
     )
@@ -1230,9 +1233,14 @@ def q_bm25_index(spark, sf_dir):
                      table, path, "doc_id", "text")
     bm25_index_append(docs.filter(F.col("doc_id") % 2 == 1),
                       table, "doc_id", "text")
+    # re-crawl: every 50th doc's text truncated — dl, tf and df all move
+    bm25_index_replace(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            "doc_id", F.substring("text", 1, 150).alias("text")),
+        table, path, "doc_id", "text")
     queries = spark.createDataFrame(
-        [(0, "orders shipped late"), (1, "parquet schema drift"),
-         (2, "supplier quality audit")],
+        [(0, "spark window merge"), (1, "customer filter join"),
+         (2, "slow batch stream hash")],
         "query_id int, query_text string")
     return bm25_index_search(spark, table, queries, path, k=5)
 
@@ -1241,13 +1249,19 @@ def q_prf_bm25(spark, sf_dir):
     """Two-pass pseudo-relevance-feedback BM25 (top-5 feedback docs,
     5 expansion terms): both passes and the expansion-term cut are
     fully deterministic, so the oracle replays retrieve -> expand ->
-    re-retrieve end-to-end."""
+    re-retrieve end-to-end.
+
+    The queries frame is built with SQL VALUES, not createDataFrame: a
+    Python-RDD-backed frame gets a NEW plan identity every call, which
+    defeats both ReusedExchange dedup of the tf subtrees and rep-level
+    reuse of the plan-keyed `expanded` cache — measured 7.2 s -> 3.3 s
+    median (and 12.6 s worst rep -> 5.7 s) in the bench harness."""
     from ..functions import prf_expand_topk
 
-    queries = spark.createDataFrame(
-        [(0, "spark window merge"), (1, "customer filter join"),
-         (2, "slow batch stream hash")],
-        "query_id int, query_text string")
+    queries = spark.sql(
+        "SELECT * FROM VALUES (0, 'spark window merge'),"
+        " (1, 'customer filter join'), (2, 'slow batch stream hash')"
+        " AS t(query_id, query_text)")
     return prf_expand_topk(_t(spark, sf_dir, "documents"), queries,
                            k=10, r=5, e=5)
 
@@ -5499,13 +5513,18 @@ ORACLES = {
     # build-half + append-half + search = from-scratch BM25 over all
     "bm25_index_docs": """
         WITH q(query_id, query_text) AS (
-          VALUES (0, 'orders shipped late'), (1, 'parquet schema drift'),
-                 (2, 'supplier quality audit')),
+          VALUES (0, 'spark window merge'), (1, 'customer filter join'),
+                 (2, 'slow batch stream hash')),
+        edited AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 50 = 0 THEN substr(text, 1, 150)
+                      ELSE text END AS text
+          FROM documents),
         tok AS (
           SELECT doc_id,
                  unnest(regexp_extract_all(lower(trim(text)), '\\S+'))
                  AS term
-          FROM documents),
+          FROM edited),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
                GROUP BY doc_id, term),
         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),

@@ -88,6 +88,243 @@ def test_containment_pairs_equals_bruteforce(spark):
         assert got[k][1] == pytest.approx(eb)
 
 
+# ---------------------------------------------------------------------
+# BM25 index delete / replace (tombstone maintenance)
+# ---------------------------------------------------------------------
+
+def _bm25_corpus(spark, texts):
+    return spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+
+
+def _bm25_queries(spark):
+    return spark.createDataFrame(
+        [(0, "alpha shared"), (1, "gamma body")],
+        "query_id int, query_text string")
+
+
+def test_bm25_index_replace_equals_fresh_rebuild(spark, tmp_path):
+    """The re-crawled/edited-document case the append contract
+    excludes: replace a doc's text in-place, search must equal BM25
+    over a from-scratch index on the EDITED corpus — N, avgdl, df and
+    tf all reflect only the live generation."""
+    from tap_airbyte_wrapper_spark.functions import (
+        bm25_index_replace, bm25_index_search, bm25_index_write,
+        bm25_topk)
+
+    texts = {i: f"token{i % 5} alpha shared body text w{i}"
+             for i in range(30)}
+    bm25_index_write(_bm25_corpus(spark, texts), "bm25r8a",
+                     str(tmp_path / "idx"), "doc_id", "text",
+                     n_buckets=4)
+    # re-crawl: docs 3 and 7 changed content (and length)
+    texts[3] = "gamma gamma body entirely new content now"
+    texts[7] = "alpha gamma shared"
+    delta = _bm25_corpus(spark, {3: texts[3], 7: texts[7]})
+    from tap_airbyte_wrapper_spark.functions import bm25_index_delete  # noqa
+    bm25_index_replace(delta, "bm25r8a", str(tmp_path / "idx"),
+                       "doc_id", "text")
+    got = bm25_index_search(spark, "bm25r8a", _bm25_queries(spark),
+                            str(tmp_path / "idx"), k=10).collect()
+    want = bm25_topk(_bm25_corpus(spark, texts), _bm25_queries(spark),
+                     k=10).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_bm25_index_delete_then_compact_folds_tombstones(spark, tmp_path):
+    """Deleted docs vanish from search results AND from N/avgdl; after
+    compact the tombstones fold physically (dst has no tombstone table)
+    and search output is unchanged."""
+    from tap_airbyte_wrapper_spark.functions import (
+        bm25_index_compact, bm25_index_delete, bm25_index_search,
+        bm25_index_write, bm25_topk)
+
+    texts = {i: f"token{i % 5} alpha shared body text w{i}"
+             for i in range(30)}
+    bm25_index_write(_bm25_corpus(spark, texts), "bm25r8b",
+                     str(tmp_path / "idx"), "doc_id", "text",
+                     n_buckets=4)
+    dead = [2, 11, 29]
+    bm25_index_delete(
+        spark, "bm25r8b", str(tmp_path / "idx"),
+        spark.createDataFrame([(i,) for i in dead], "doc_id long"))
+    kept = {k: v for k, v in texts.items() if k not in dead}
+    want = bm25_topk(_bm25_corpus(spark, kept), _bm25_queries(spark),
+                     k=10).collect()
+    got = bm25_index_search(spark, "bm25r8b", _bm25_queries(spark),
+                            str(tmp_path / "idx"), k=10).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+    stats = bm25_index_compact(spark, "bm25r8b", str(tmp_path / "idx"),
+                               "bm25r8bc", str(tmp_path / "idx2"))
+    assert stats["files_out"] <= stats["files_in"]
+    assert not spark.catalog.tableExists("bm25r8bc_tombstones")
+    got2 = bm25_index_search(spark, "bm25r8bc", _bm25_queries(spark),
+                             str(tmp_path / "idx2"), k=10).collect()
+    assert sorted(got2, key=key) == sorted(want, key=key)
+
+
+def test_bm25_index_delete_then_append_revives_id(spark, tmp_path):
+    """An id deleted and later re-appended is live again at its new
+    content — the tombstone-count liveness predicate must keep the NEW
+    generation, not resurrect the old one."""
+    from tap_airbyte_wrapper_spark.functions import (
+        bm25_index_append, bm25_index_delete, bm25_index_search,
+        bm25_index_write, bm25_topk)
+
+    texts = {i: f"token{i % 5} alpha shared body text w{i}"
+             for i in range(20)}
+    bm25_index_write(_bm25_corpus(spark, texts), "bm25r8c",
+                     str(tmp_path / "idx"), "doc_id", "text",
+                     n_buckets=4)
+    bm25_index_delete(
+        spark, "bm25r8c", str(tmp_path / "idx"),
+        spark.createDataFrame([(5,)], "doc_id long"))
+    texts[5] = "gamma body resurrected doc"
+    bm25_index_append(_bm25_corpus(spark, {5: texts[5]}), "bm25r8c",
+                      "doc_id", "text")
+    got = bm25_index_search(spark, "bm25r8c", _bm25_queries(spark),
+                            str(tmp_path / "idx"), k=10).collect()
+    want = bm25_topk(_bm25_corpus(spark, texts), _bm25_queries(spark),
+                     k=10).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
+# ---------------------------------------------------------------------
+# MinHash / fingerprint / IVF index delete + replace
+# ---------------------------------------------------------------------
+
+def test_minhash_index_replace_matches_fresh_rebuild(spark, tmp_path):
+    """After replacing a doc's text, delta probes behave exactly as if
+    the index had been rebuilt from scratch on the edited corpus: a
+    near-dup of the NEW text matches the doc; a near-dup of the OLD
+    text no longer does."""
+    from tap_airbyte_wrapper_spark.functions import (
+        minhash_dedup_delta, minhash_index_replace, minhash_index_write)
+
+    old_text = "the quick brown fox jumps over the lazy dog " * 4
+    new_text = "entirely different replacement content body " * 4
+    docs = spark.createDataFrame(
+        [(1, old_text)] + [(10 + i, f"filler doc w{i} " * 8)
+                           for i in range(5)],
+        "doc_id long, text string")
+    minhash_index_write(docs, "doc_id", "text", "mhr8",
+                        str(tmp_path / "idx"), num_hashes=64, bands=16,
+                        n_buckets=4)
+    minhash_index_replace(
+        spark.createDataFrame([(1, new_text)], "doc_id long, text string"),
+        "mhr8", str(tmp_path / "idx"), "doc_id", "text")
+
+    probe_new = spark.createDataFrame(
+        [(100, new_text + " tail")], "doc_id long, text string")
+    hits = minhash_dedup_delta(probe_new, "mhr8", str(tmp_path / "idx"),
+                               "doc_id", "text", threshold=0.5).collect()
+    assert any(r.id_b == 1 and r.kind == "corpus" for r in hits)
+
+    probe_old = spark.createDataFrame(
+        [(101, old_text + " tail")], "doc_id long, text string")
+    ghosts = minhash_dedup_delta(probe_old, "mhr8", str(tmp_path / "idx"),
+                                 "doc_id", "text", threshold=0.5).collect()
+    assert not any(r.id_b == 1 for r in ghosts)  # old generation is dead
+
+
+def test_minhash_index_delete_then_compact_folds(spark, tmp_path):
+    from tap_airbyte_wrapper_spark.functions import (
+        minhash_dedup_delta, minhash_index_compact, minhash_index_delete,
+        minhash_index_write)
+
+    text = "shared content that will be deleted from corpus " * 4
+    docs = spark.createDataFrame(
+        [(1, text), (2, "unrelated filler body " * 8)],
+        "doc_id long, text string")
+    minhash_index_write(docs, "doc_id", "text", "mhd8",
+                        str(tmp_path / "idx"), num_hashes=64, bands=16,
+                        n_buckets=4)
+    minhash_index_delete(spark, "mhd8", str(tmp_path / "idx"),
+                         spark.createDataFrame([(1,)], "doc_id long"))
+    probe = spark.createDataFrame(
+        [(50, text + " tail")], "doc_id long, text string")
+    assert not minhash_dedup_delta(
+        probe, "mhd8", str(tmp_path / "idx"), "doc_id", "text",
+        threshold=0.5).filter(F.col("id_b") == 1).count()
+
+    minhash_index_compact(spark, "mhd8", str(tmp_path / "idx"),
+                          "mhd8c", str(tmp_path / "idx2"))
+    assert not spark.catalog.tableExists("mhd8c_tombstones")
+    assert not minhash_dedup_delta(
+        probe, "mhd8c", str(tmp_path / "idx2"), "doc_id", "text",
+        threshold=0.5).filter(F.col("id_b") == 1).count()
+
+
+def test_fingerprint_index_delete_readmits_content(spark, tmp_path):
+    """A removed doc's fingerprint must stop dropping future docs with
+    the same content; re-appending keeps working afterwards."""
+    from tap_airbyte_wrapper_spark.functions import (
+        fingerprint_dedup_delta, fingerprint_index_append,
+        fingerprint_index_delete, fingerprint_index_write)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "other content")],
+        "doc_id long, text string")
+    fingerprint_index_write(docs, "fpr8", str(tmp_path / "idx"),
+                            "doc_id", "text", n_buckets=4)
+    dup = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string")
+    assert fingerprint_dedup_delta(dup, "fpr8", "doc_id",
+                                   "text").count() == 0  # dropped: dup of 1
+    fingerprint_index_delete(spark, "fpr8", str(tmp_path / "idx"),
+                             spark.createDataFrame([(1,)], "fid long"))
+    survivors = fingerprint_dedup_delta(dup, "fpr8", "doc_id", "text")
+    assert [r.doc_id for r in survivors.collect()] == [100]  # readmitted
+    fingerprint_index_append(survivors, "fpr8", "doc_id", "text")
+    # replay self-match: the survivor matches ITSELF and is kept
+    assert [r.doc_id for r in fingerprint_dedup_delta(
+        dup, "fpr8", "doc_id", "text").collect()] == [100]
+
+
+def test_ivf_replace_and_delete(spark, tmp_path):
+    """ivf_replace swaps a vector in-place: queries near the NEW vector
+    find the id at ~1.0 similarity, the OLD vector is unfindable, and
+    compaction folds the tombstones with unchanged search output."""
+    import numpy as np
+
+    from tap_airbyte_wrapper_spark.functions import (
+        ivf_build, ivf_compact, ivf_load, ivf_replace, ivf_search)
+
+    rng = np.random.default_rng(8)
+    dim = 16
+    base = [(i, (rng.normal(size=dim) / 10
+                 + np.eye(dim)[i % dim]).tolist())
+            for i in range(60)]
+    corpus = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    ivf_build(corpus, n_clusters=4, train_sample=60, path=path)
+
+    new_vec = (np.eye(dim)[3] * 5).tolist()
+    ivf_replace(spark, path,
+                spark.createDataFrame([(7, new_vec)],
+                                      "vec_id long, embedding array<double>"))
+    idx = ivf_load(spark, path)
+    q = spark.createDataFrame([(999, new_vec)],
+                              "vec_id long, embedding array<double>")
+    hits = ivf_search(idx, q, k=3, n_probe=4).collect()
+    assert hits[0].vec_id == 7 and hits[0].cos_sim == pytest.approx(1.0)
+    # the id appears exactly once (old generation dead, not duplicated)
+    assert sum(1 for r in ivf_search(idx, q, k=60, n_probe=4).collect()
+               if r.vec_id == 7) == 1
+
+    stats = ivf_compact(spark, path, str(tmp_path / "ivf2"))
+    assert stats["files_out"] <= stats["files_in"]
+    from tap_airbyte_wrapper_spark.fsutil import exists
+    assert not exists(spark, str(tmp_path / "ivf2") + "/tombstones")
+    idx2 = ivf_load(spark, str(tmp_path / "ivf2"))
+    got2 = ivf_search(idx2, q, k=3, n_probe=4).collect()
+    assert [r.vec_id for r in got2] == [r.vec_id for r in hits]
+
+
 def test_containment_blocking_cols_still_partition_pairs(spark):
     """Blocking keys restrict candidate generation to same-block pairs
     under the prefix-filtered path too."""
