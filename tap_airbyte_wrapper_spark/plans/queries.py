@@ -1148,9 +1148,18 @@ def q_paragraph_dedup(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard pairs, blocked by (lang, source)."""
+    """Exact n-gram Jaccard pairs, blocked by (lang, source).  The
+    corpus is augmented with lightly-edited copies of every 20th doc
+    (same blocking keys) so the driver check covers dozens of true
+    near-dup pairs instead of one."""
+    docs = _t(spark, sf_dir, "documents")
+    near = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq extra")).alias("text"),
+        "lang", "source")
+    aug = docs.select("doc_id", "text", "lang", "source").unionByName(near)
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        aug, "doc_id", "text",
         n=3, threshold=0.2, blocking_cols=["lang", "source"],
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
@@ -2860,7 +2869,7 @@ def q_roc_auc(spark, sf_dir):
 
 def q_threshold_metrics(spark, sf_dir):
     """Cutoff sweep for the same predictor: confusion counts +
-    precision/recall/F1/accuracy at three thresholds from ONE
+    precision/recall/F1/accuracy at seven thresholds from ONE
     conditional-aggregate corpus pass."""
     from ..functions import threshold_metrics
 
@@ -2869,19 +2878,23 @@ def q_threshold_metrics(spark, sf_dir):
         docs.select(
             F.col("n_chars").alias("score"),
             (F.col("lang") == "en").cast("int").alias("label")),
-        "score", "label", thresholds=(200.0, 500.0, 1000.0))
+        "score", "label",
+        thresholds=(100.0, 200.0, 500.0, 1000.0, 1500.0, 2500.0, 4000.0))
 
 
 def q_calibration_bins(spark, sf_dir):
     """Reliability diagram for a [0,1]-mapped length score against the
     is-English label: per-bin count, mean score, observed positive
-    rate, summed squared error.  One partial-agg pass."""
+    rate, summed squared error.  One partial-agg pass.  The score maps
+    through mod-97 so it SPREADS over [0,1] and all ten bins carry
+    rows (the earlier /2000 cap parked most docs in one bin and the
+    driver check covered 3 rows)."""
     from ..functions import calibration_bins
 
     docs = _t(spark, sf_dir, "documents")
     return calibration_bins(
         docs.select(
-            F.least(F.col("n_chars") / 2000.0, F.lit(1.0)).alias("score"),
+            (F.pmod(F.col("n_chars"), F.lit(97)) / 96.0).alias("score"),
             (F.col("lang") == "en").cast("int").alias("label")),
         "score", "label", n_bins=10)
 
@@ -2934,66 +2947,24 @@ def q_embedding_mmd(spark, sf_dir):
 # =====================================================================
 
 QUERIES = {
-    # ROUND-7 ROTATION: positions 1-11 are the round-6 session additions
-    # (never driver-checked), 12-15 the round-7 additions, 16-19 the
-    # entries whose round-6 driver rows hash-mismatched (HUGEINT/-0.0 —
-    # fixed this round, the driver must re-verify), 20-24 entries whose
-    # code changed this round (localCheckpoint pair generators, url_host
-    # normalization), 25-27 the scan canaries + flagship, 28-50 the
-    # stalest entries (driver-green only in round 4).  Everything
-    # rotated out stays oracle-checked in tests/test_oracle_parity.py.
+    # ROUND-8 ROTATION (staleness-ordered, round-7 verdict ask #6):
+    # positions 1-8 are entries whose code changed this round and
+    # must re-verify (containment prefix filter, canonical_url
+    # fixed point, rank_eval rel=0, bm25_index replace, PRF plan
+    # identity, url_host last-@, DSIR full-outer fit), 9-10 the
+    # scan + flagship canaries, 11-50 the STALEST oracle-backed
+    # entries (driver-green last in r04/r05, unchecked on current
+    # code since).  Everything rotated out stays oracle-checked on
+    # every pytest run (tests/test_oracle_parity.py).
     "containment_pairs_docs": q_containment_pairs,
-    "bm25_topk_docs": q_bm25_topk,
-    "pagerank_suppliers": q_pagerank_suppliers,
-    "degrees_suppliers": q_degrees_suppliers,
-    "drift_events": q_drift_events,
-    "leakage_split_docs": q_leakage_split_docs,
-    "dedup_keep_best_docs": q_dedup_keep_best,
-    "gopher_rules_docs": q_gopher_rules_docs,
-    "c4_clean_docs": q_c4_clean_docs,
-    "redact_cards_docs": q_redact_cards_docs,
-    "domain_filter_docs": q_domain_filter_docs,
-    "rrf_fusion_docs": q_rrf_fusion,
-    "char_ngram_entropy_docs": q_char_ngram_entropy,
-    "zipf_fit_docs": q_zipf_fit,
-    "domain_quota_docs": q_domain_quota,
+    "canonical_url_docs": q_canonical_url_docs,
     "rank_eval_docs": q_rank_eval,
-    "chunk_sentences_docs": q_chunk_sentences,
-    "dsir_weights_docs": q_dsir_weights,
-    "dsir_sample_docs": q_dsir_sample,
-    "triangle_suppliers": q_triangle_suppliers,
-    "source_overlap_docs": q_source_overlap,
-    "knn_pq_verified": q_knn_pq_verified,
-    "communities_suppliers": q_communities_suppliers,
     "bm25_index_docs": q_bm25_index,
     "prf_bm25_docs": q_prf_bm25,
-    # round-7 second-session additions (never driver-checked)
-    "hard_negatives_emb": q_hard_negatives,
-    "semi_hard_negatives_emb": q_semi_hard_negatives,
-    "ccnet_buckets_docs": q_ccnet_buckets,
-    "ngram_diversity_docs": q_ngram_diversity,
-    "uniform_sample_docs": q_uniform_sample,
-    "script_profile_docs": q_script_profile,
-    "extract_links_docs": q_extract_links,
-    "vocab_coverage_docs": q_vocab_coverage,
-    "roc_auc_docs": q_roc_auc,
-    "threshold_metrics_docs": q_threshold_metrics,
-    "calibration_bins_docs": q_calibration_bins,
-    "soft_dedup_docs": q_soft_dedup,
-    "token_jsd_docs": q_token_jsd,
-    "token_jsd_sources": q_token_jsd_matrix,
-    "embedding_mmd_halves": q_embedding_mmd,
-    "upsample_mixture_docs": q_upsample_mixture,
-    "source_quality_report": q_source_quality_report,
-    "embedding_covariance": q_embedding_covariance,
-    "label_centroids": q_label_centroids,
-    "minhash_verified_pairs": q_minhash_verified_pairs,
-    "simhash_verified_pairs": q_simhash_verified_pairs,
-    "jaccard_pairs": q_jaccard_pairs,
-    "fuzzy_name_pairs": q_fuzzy_name_pairs,
-    "canonical_url_docs": q_canonical_url_docs,
+    "domain_filter_docs": q_domain_filter_docs,
+    "dsir_weights_docs": q_dsir_weights,
+    "dsir_sample_docs": q_dsir_sample,
     "full_scan_events": q_full_scan_events,
-    "incremental_events": q_incremental_events,
     "q1_pricing_summary": q1_pricing_summary,
     "asof_purchase_view": q_asof_purchase_view,
     "error_click_window": q_error_click_window,
@@ -3018,6 +2989,65 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "sessionization": q_sessionization,
     "stream_map_customer": q_stream_map_customer,
+    "anomaly_events": q_anomaly_events,
+    "boilerplate_removal_docs": q_boilerplate_removal,
+    "brand_revenue": q_brand_revenue,
+    "centroid_assign": q_centroid_assign,
+    "clickers_not_purchasers": q_clickers_not_purchasers,
+    "corpus_curation": q_corpus_curation,
+    "corr_lineitem": q_corr_lineitem,
+    "cube_event_day": q_cube_event_day,
+    "customers_with_orders": q_customers_with_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "distinct_users": q_distinct_users,
+    "doc_word_stats": q_doc_word_stats,
+    "dup_span_docs": q_dup_span_docs,
+    "funnel_conversion": q_funnel_conversion,
+    "gap_fill_events": q_gap_fill_events,
+    "histogram_order_price": q_histogram_order_price,
+    "incremental_mapped": q_incremental_mapped,
+    "bm25_topk_docs": q_bm25_topk,
+    "pagerank_suppliers": q_pagerank_suppliers,
+    "degrees_suppliers": q_degrees_suppliers,
+    "drift_events": q_drift_events,
+    "leakage_split_docs": q_leakage_split_docs,
+    "dedup_keep_best_docs": q_dedup_keep_best,
+    "gopher_rules_docs": q_gopher_rules_docs,
+    "c4_clean_docs": q_c4_clean_docs,
+    "redact_cards_docs": q_redact_cards_docs,
+    "rrf_fusion_docs": q_rrf_fusion,
+    "char_ngram_entropy_docs": q_char_ngram_entropy,
+    "zipf_fit_docs": q_zipf_fit,
+    "domain_quota_docs": q_domain_quota,
+    "chunk_sentences_docs": q_chunk_sentences,
+    "triangle_suppliers": q_triangle_suppliers,
+    "source_overlap_docs": q_source_overlap,
+    "knn_pq_verified": q_knn_pq_verified,
+    "communities_suppliers": q_communities_suppliers,
+    "hard_negatives_emb": q_hard_negatives,
+    "semi_hard_negatives_emb": q_semi_hard_negatives,
+    "ccnet_buckets_docs": q_ccnet_buckets,
+    "ngram_diversity_docs": q_ngram_diversity,
+    "uniform_sample_docs": q_uniform_sample,
+    "script_profile_docs": q_script_profile,
+    "extract_links_docs": q_extract_links,
+    "vocab_coverage_docs": q_vocab_coverage,
+    "roc_auc_docs": q_roc_auc,
+    "threshold_metrics_docs": q_threshold_metrics,
+    "calibration_bins_docs": q_calibration_bins,
+    "soft_dedup_docs": q_soft_dedup,
+    "token_jsd_docs": q_token_jsd,
+    "token_jsd_sources": q_token_jsd_matrix,
+    "embedding_mmd_halves": q_embedding_mmd,
+    "upsample_mixture_docs": q_upsample_mixture,
+    "source_quality_report": q_source_quality_report,
+    "embedding_covariance": q_embedding_covariance,
+    "label_centroids": q_label_centroids,
+    "minhash_verified_pairs": q_minhash_verified_pairs,
+    "simhash_verified_pairs": q_simhash_verified_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "incremental_events": q_incremental_events,
     "pack_sequences_docs": q_pack_sequences,
     "clean_holdout_docs": q_clean_holdout,
     "dedup_cluster_stats": q_dedup_cluster_stats,
@@ -3060,46 +3090,29 @@ QUERIES = {
     "q9_product_profit": q9_product_profit,
     "q11_important_parts": q11_important_parts,
     "q12_shipmode_priority": q12_shipmode_priority,
-    "boilerplate_removal_docs": q_boilerplate_removal,
-    "dup_span_docs": q_dup_span_docs,
-    "anomaly_events": q_anomaly_events,
     "profile_orders": q_profile_orders,
     "validate_orders": q_validate_orders,
-    "histogram_order_price": q_histogram_order_price,
-    "corr_lineitem": q_corr_lineitem,
     "merge_upsert_orders": q_merge_upsert_orders,
     "resample_events": q_resample_events,
-    "gap_fill_events": q_gap_fill_events,
-    "funnel_conversion": q_funnel_conversion,
     "weekly_retention": q_weekly_retention,
     "semantic_dedup_keep": q_semantic_dedup,
-    "centroid_assign": q_centroid_assign,
     "quantize_embeddings": q_quantize_embeddings,
     "tfidf_terms_per_source": q_tfidf_terms,
     "salted_brand_revenue": q_salted_brand_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
     "running_revenue": q_running_revenue,
     "order_price_deciles": q_order_price_deciles,
-    "clickers_not_purchasers": q_clickers_not_purchasers,
     "pivot_event_type": q_pivot_event_type,
-    "doc_word_stats": q_doc_word_stats,
     "knn_bruteforce": q_knn_bruteforce,
-    "brand_revenue": q_brand_revenue,
-    "cube_event_day": q_cube_event_day,
     "rollup_region_nation": q_rollup_region_nation,
     "trailing_week_revenue": q_trailing_week_revenue,
     "latest_event_per_user": q_latest_event_per_user,
-    "incremental_mapped": q_incremental_mapped,
     "q6_forecast_revenue": q6_forecast_revenue,
     "token_stats": q_token_stats,
-    "customers_with_orders": q_customers_with_orders,
     "top3_parts_per_brand": q_top3_parts_per_brand,
     "orders_sorted": q_orders_sorted,
     "top10_orders": q_top10_orders,
-    "distinct_users": q_distinct_users,
-    "customers_without_orders": q_customers_without_orders,
     "knn_ivf_verified": q_knn_ivf_verified,
-    "corpus_curation": q_corpus_curation,
     "approx_distinct_users": q_approx_distinct_users,
     "pca_project_embeddings": q_pca_project_embeddings,
     "minhash_pairs": q_minhash_pairs,
@@ -3863,7 +3876,22 @@ ORACLES = {
         SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
         FROM kept WHERE rn = 1 GROUP BY doc_id""",
     "jaccard_pairs": f"""
-        WITH sh AS ({_SHINGLES_SQL})
+        WITH aug AS (
+          SELECT doc_id, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, text || ' zz qq extra' AS text,
+                 lang, source
+          FROM documents WHERE doc_id % 20 = 0),
+        sh AS (
+          SELECT doc_id, lang, source,
+            list_distinct(
+              CASE WHEN len(w) >= 3 THEN
+                list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [array_to_string(w, ' ')] END) AS sh
+          FROM (SELECT doc_id, lang, source,
+                       regexp_extract_all({_NORM_TEXT}, '\\S+') AS w
+                FROM aug))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                      / (len(a.sh) + len(b.sh)
@@ -5178,7 +5206,7 @@ ORACLES = {
         FROM c""",
     "calibration_bins_docs": """
         WITH base AS (
-          SELECT least(n_chars / 2000.0, 1.0) AS s,
+          SELECT (n_chars % 97) / 96.0 AS s,
                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
           FROM documents
           WHERE n_chars IS NOT NULL)
@@ -5206,7 +5234,8 @@ ORACLES = {
                  sum(CASE WHEN s < t.threshold AND l = 0
                      THEN 1 ELSE 0 END)::BIGINT AS tn
           FROM base CROSS JOIN (
-            SELECT unnest([200.0, 500.0, 1000.0]) AS threshold) t
+            SELECT unnest([100.0, 200.0, 500.0, 1000.0, 1500.0,
+                           2500.0, 4000.0]) AS threshold) t
           GROUP BY t.threshold)
         SELECT threshold, tp, fp, fn, tn,
                CASE WHEN tp + fp > 0
