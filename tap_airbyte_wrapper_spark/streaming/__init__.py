@@ -13,6 +13,8 @@ from .incremental import (
 )
 from .cdc import stream_changelog_apply
 from .dedup import stream_exact_dedup_gate, stream_near_dup_gate
+from .index_maint import (stream_bm25_index_maintenance,
+                          stream_fingerprint_index_maintenance)
 from .similarity import stream_embedding_gate
 from .selection import (read_reservoir, stream_dsir_gate,
                         stream_quality_gate, stream_reservoir_sample)
@@ -27,6 +29,8 @@ from .stateful import (
 )
 
 __all__ = [
+    "stream_bm25_index_maintenance",
+    "stream_fingerprint_index_maintenance",
     "stream_near_dup_gate",
     "stream_exact_dedup_gate",
     "stream_embedding_gate",

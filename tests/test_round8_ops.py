@@ -9,6 +9,123 @@ from pyspark.sql import functions as F  # noqa: F401
 
 
 # ---------------------------------------------------------------------
+# streaming CDC -> index maintenance gates
+# ---------------------------------------------------------------------
+
+def _write_change_batch(spark, src, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, _op string, _cursor long"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+
+def test_stream_bm25_index_maintenance_matches_fresh_rebuild(
+        spark, tmp_path):
+    """Drain a changelog (inserts, an update, a delete, and an
+    intra-batch insert+update collapse) through the maintenance gate:
+    post-stream search must equal BM25 over the final corpus state
+    computed from scratch, and a fresh-checkpoint re-drain (full
+    at-least-once replay) converges to the same output."""
+    from tap_airbyte_wrapper_spark.functions import (
+        bm25_index_search, bm25_index_write, bm25_topk)
+    from tap_airbyte_wrapper_spark.streaming import (
+        stream_bm25_index_maintenance)
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    schema = "doc_id long, text string, _op string, _cursor long"
+    bm25_index_write(
+        spark.createDataFrame([], "doc_id long, text string"),
+        "bm25maint", idx, "doc_id", "text", n_buckets=4)
+
+    _write_change_batch(spark, src, [
+        (1, "alpha shared body", "insert", 1),
+        (2, "gamma body text", "c", 2),
+        (3, "first version of three", "insert", 3),
+        # intra-batch collapse: 3 is inserted then updated — only the
+        # _cursor-latest content may land
+        (3, "alpha gamma shared three", "update", 4),
+    ])
+
+    def drain(ck):
+        q = stream_bm25_index_maintenance(
+            spark.readStream.schema(schema).parquet(str(src)),
+            "bm25maint", idx, checkpoint=str(tmp_path / ck))
+        q.awaitTermination(120)
+
+    drain("ck1")
+    _write_change_batch(spark, src, [
+        (2, None, "delete", 5),
+        (4, "alpha body four", "u", 6),   # update of unseen id = upsert
+    ])
+    drain("ck1")
+
+    final = spark.createDataFrame(
+        [(1, "alpha shared body"),
+         (3, "alpha gamma shared three"),
+         (4, "alpha body four")], "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "alpha shared"), (1, "gamma body")],
+        "query_id int, query_text string")
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    want = sorted(bm25_topk(final, queries, k=10).collect(), key=key)
+    got = sorted(bm25_index_search(spark, "bm25maint", queries, idx,
+                                   k=10).collect(), key=key)
+    assert got == want
+
+    # full at-least-once replay: new checkpoint re-applies EVERY batch;
+    # tombstone-count liveness converges to the same live generation
+    drain("ck2")
+    got2 = sorted(bm25_index_search(spark, "bm25maint", queries, idx,
+                                    k=10).collect(), key=key)
+    assert got2 == want
+
+
+def test_stream_fingerprint_index_maintenance(spark, tmp_path):
+    """Fingerprint maintenance: an updated doc's OLD content stops
+    dropping new docs, its NEW content starts; a deleted doc's content
+    is readmitted."""
+    from tap_airbyte_wrapper_spark.functions import (
+        fingerprint_dedup_delta, fingerprint_index_write)
+    from tap_airbyte_wrapper_spark.streaming import (
+        stream_fingerprint_index_maintenance)
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    schema = "doc_id long, text string, _op string, _cursor long"
+    fingerprint_index_write(
+        spark.createDataFrame([], "doc_id long, text string"),
+        "fpmaint", idx, "doc_id", "text", n_buckets=4)
+
+    _write_change_batch(spark, src, [
+        (1, "old content one", "insert", 1),
+        (2, "stays unchanged", "insert", 2),
+    ])
+    q = stream_fingerprint_index_maintenance(
+        spark.readStream.schema(schema).parquet(str(src)),
+        "fpmaint", idx, checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    _write_change_batch(spark, src, [
+        (1, "new content one", "update", 3),
+        (2, None, "delete", 4),
+    ])
+    q = stream_fingerprint_index_maintenance(
+        spark.readStream.schema(schema).parquet(str(src)),
+        "fpmaint", idx, checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def survivors(rows):
+        return sorted(r.doc_id for r in fingerprint_dedup_delta(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "fpmaint", "doc_id", "text").collect())
+
+    assert survivors([(90, "old content one")]) == [90]   # readmitted
+    assert survivors([(91, "new content one")]) == []     # now indexed
+    assert survivors([(92, "stays unchanged")]) == [92]   # deleted -> free
+
+
+# ---------------------------------------------------------------------
 # containment_prefix_candidates: bounded on boilerplate, total recall
 # ---------------------------------------------------------------------
 
