@@ -45,6 +45,7 @@ __all__ = [
     "token_jsd_matrix",
     "pack_token_budget",
     "ngram_contamination",
+    "ngram_novelty",
     "dup_span_stats",
     "remove_dup_spans",
     "pack_sequences",
@@ -572,6 +573,64 @@ def ngram_contamination(
         corpus_grams.join(bench_grams, "gram_h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    reference: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_reference: bool = False,
+) -> DataFrame:
+    """Per-document novelty against a REFERENCE corpus: for each doc,
+    the fraction of its distinct word ``n``-grams NOT present anywhere
+    in the reference — ``(id, n_grams, n_seen, novelty)`` with
+    ``novelty = 1 - n_seen/n_grams`` (docs with no grams carry
+    ``n_grams = 0, novelty = 1.0``).
+
+    The cross-corpus measurement the within-corpus
+    :func:`dup_span_stats` and the hit-count-only
+    :func:`ngram_contamination` don't give: how much of a NEW crawl is
+    already in the landed corpus (admission / budget decisions), or how
+    much of a model's generated text is verbatim training data
+    (memorization audits, Lee et al. 2022 / Carlini et al. 2022 style).
+
+    Plan: both sides dedupe grams before the join and join on the
+    64-bit gram hash (8 bytes/gram on the wire); the reference gram
+    set is a distinct-hash table — shuffled semi-join by default
+    because a reference CORPUS is usually big (pass
+    ``broadcast_reference=True`` when it is eval-sized); the per-doc
+    rollup is one partial-agg pass.  A left join (not inner) keeps
+    fully-novel docs in the output."""
+    ref_grams = (
+        reference.select(
+            F.explode(
+                F.transform(word_ngrams(words(F.col(text_col)), n),
+                            lambda g: F.xxhash64(g))).alias("gram_h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_reference:
+        ref_grams = F.broadcast(ref_grams)
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(word_ngrams(words(F.col(text_col)), n),
+                            lambda g: F.xxhash64(g)))).alias("gram_h"),
+    )
+    return (
+        doc_grams.join(ref_grams, "gram_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gram_h").alias("n_grams"),
+            F.count("__hit").alias("n_seen"))
+        .withColumn(
+            "novelty",
+            F.when(F.col("n_grams") == 0, F.lit(1.0)).otherwise(
+                F.round(1.0 - F.col("n_seen") / F.col("n_grams"), 6)))
     )
 
 

@@ -56,6 +56,7 @@ __all__ = [
     "minhash_index_replace",
     "fingerprint_index_delete",
     "containment_prefix_candidates",
+    "lsh_plan",
     "minhash_index_append",
     "minhash_dedup_delta",
     "minhash_index_compact",
@@ -983,6 +984,51 @@ def containment_prefix_candidates(
         .select(F.least("id_p", "id_f").alias("id_a"),
                 F.greatest("id_p", "id_f").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_plan(
+    spark,
+    num_hashes: int = 128,
+    thresholds: tuple = (0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """The MinHash-LSH parameter planner: one row per (bands,
+    rows_per_band) factorization of ``num_hashes`` x candidate Jaccard
+    threshold, with the S-curve capture probability ``p_capture =
+    1 - (1 - s^r)^b`` (probability a pair at similarity ``s`` shares at
+    least one band bucket) and the band scheme's inflection similarity
+    ``s50 = (1/b)^(1/r)``.
+
+    Choosing (bands, rows) is the ONE decision that sets a MinHash
+    deployment's recall/cost tradeoff — more bands = higher recall at
+    threshold AND more candidate pairs to verify — and getting it wrong
+    at 100 TB means either missed duplicates or a verification bill in
+    the billions of pairs.  The planner makes the standard closed form
+    (Leskovec et al., MMDS ch.3) a queryable table next to the sketch
+    ops it configures (``minhash_near_dup_pairs`` defaults b=32, r=4:
+    s50 ≈ 0.42).  Metadata-sized by construction (divisors x
+    thresholds); built from SQL VALUES so the plan is stable across
+    calls."""
+    divs = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    bands = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({b}, {num_hashes // b})" for b in divs)
+        + " AS t(bands, rows_per_band)")
+    th = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"(CAST({float(t)} AS DOUBLE))" for t in thresholds)
+        + " AS t(threshold)")
+    return (
+        bands.crossJoin(F.broadcast(th))
+        .select(
+            "bands", "rows_per_band", "threshold",
+            F.round(
+                F.lit(1.0) - F.pow(
+                    F.lit(1.0) - F.pow(F.col("threshold"),
+                                       F.col("rows_per_band")),
+                    F.col("bands")), 6).alias("p_capture"),
+            F.round(F.pow(1.0 / F.col("bands"),
+                          1.0 / F.col("rows_per_band")), 6).alias("s50"))
     )
 
 

@@ -29,6 +29,7 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
            "cosine_topk_lsh", "cosine_topk_ivf", "embedding_near_dup_pairs",
            "IvfIndex", "ivf_build", "ivf_load", "ivf_search",
            "ivf_append", "ivf_staleness", "ivf_compact", "ivf_delete",
+           "truncation_recall",
            "ivf_replace", "embedding_dedup_delta",
            "PqModel", "pq_train", "pq_encode", "pq_topk", "pq_rerank",
            "save_pq", "load_pq", "kmeans_fit", "kmeans_predict",
@@ -109,6 +110,60 @@ def cosine_topk(
         scored, [query_id_col],
         [F.col("cos_sim").desc(), F.col(id_col)], k,
     ).drop("rk")
+
+
+def truncation_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: tuple = (16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka-style dimension-cut audit: for each prefix width in
+    ``dims``, recall@k of exact cosine top-k computed on PREFIX-
+    truncated embeddings against the full-width exact top-k —
+    ``(query_id, dim, n_overlap, recall_at_k)``.
+
+    The decision this feeds at 100 TB: whether the ANN/dedup stack can
+    run on the first d coordinates (4x less shuffle and index at
+    d = dim/4) without losing neighbors.  Cosine renormalizes
+    internally, so truncation is a pure ``slice`` projection — the
+    audit costs |dims|+1 brute-force passes over the (sampled) corpus
+    and is meant for a bounded evaluation slice, not the full corpus.
+
+    Fully deterministic (ties break on corpus id), so a SQL oracle
+    replays every ranking bit-for-bit."""
+    full = cosine_topk(corpus, queries, id_col, vec_col,
+                       query_id_col, k).select(query_id_col, id_col)
+    out = None
+    for d in dims:
+        cut = F.slice(F.col(vec_col), 1, int(d)).alias(vec_col)
+        t = cosine_topk(
+            corpus.select(F.col(id_col), cut),
+            queries.select(F.col(id_col), cut),
+            id_col, vec_col, query_id_col, k
+        ).select(query_id_col, id_col)
+        r = (
+            full.join(t, [query_id_col, id_col])
+            .groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        # queries with zero overlap still report (left join on the
+        # full pass's query list)
+        qids = full.select(query_id_col).distinct()
+        r = (
+            qids.join(r, query_id_col, "left")
+            .select(
+                query_id_col,
+                F.lit(int(d)).alias("dim"),
+                F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"))
+            .withColumn("recall_at_k",
+                        F.round(F.col("n_overlap") / F.lit(float(k)), 6))
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
 
 
 def _pack_signatures(mat: "np.ndarray", plane_mat: "np.ndarray",

@@ -1164,6 +1164,41 @@ def q_jaccard_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Cross-corpus novelty: per odd-doc fraction of distinct word
+    3-grams absent from the even-doc half — the admission/memorization
+    measure (how much of a new crawl is already landed; how much of a
+    generation is verbatim training data)."""
+    from ..functions import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0), n=3)
+
+
+def q_lsh_plan(spark, sf_dir):
+    """MinHash-LSH parameter planner: the closed-form S-curve
+    (p_capture, s50) for every factorization of 128 hashes x candidate
+    threshold — the table a deployment reads before picking (bands,
+    rows)."""
+    from ..functions import lsh_plan
+
+    return lsh_plan(spark, num_hashes=128,
+                    thresholds=(0.3, 0.5, 0.7, 0.9))
+
+
+def q_truncation_recall(spark, sf_dir):
+    """Matryoshka dimension-cut audit: recall@10 of exact cosine top-k
+    on 16- and 32-prefix embeddings vs the full 64 dims, per query —
+    the measurement behind 'can the ANN stack run on d/4 coordinates'."""
+    from ..functions import truncation_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return truncation_recall(
+        emb, emb.filter(F.col("vec_id") < 5), dims=(16, 32), k=10)
+
+
 def q_containment_pairs(spark, sf_dir):
     """Directed n-gram containment pairs (|A∩B|/|A| and /|B|), blocked
     by (lang, source) — the asymmetric-duplication signal jaccard's
@@ -3006,6 +3041,12 @@ QUERIES = {
     "gap_fill_events": q_gap_fill_events,
     "histogram_order_price": q_histogram_order_price,
     "incremental_mapped": q_incremental_mapped,
+    # --- end of round-8 driver window (50) ---
+    # round-8 session additions (oracle-checked on every pytest run;
+    # rotate into the driver window next round)
+    "ngram_novelty_docs": q_ngram_novelty,
+    "lsh_plan_128": q_lsh_plan,
+    "truncation_recall_emb": q_truncation_recall,
     "bm25_topk_docs": q_bm25_topk,
     "pagerank_suppliers": q_pagerank_suppliers,
     "degrees_suppliers": q_degrees_suppliers,
@@ -3202,6 +3243,41 @@ SELECT doc_id,
 FROM r
 """
 
+def _truncation_recall_oracle(dims: tuple, k: int) -> str:
+    """Oracle for truncation_recall: replay the full-width exact top-k
+    and each prefix-width top-k (same raw-float ordering contract the
+    knn_bruteforce oracle pins), then count per-query overlap."""
+
+    def rank_cte(name: str, expr: str) -> str:
+        return f"""
+        {name} AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(
+                       CAST(c.{expr} AS DOUBLE[]),
+                       CAST(q.{expr} AS DOUBLE[])) DESC, c.vec_id) AS rk
+            FROM embeddings c CROSS JOIN q
+            WHERE c.vec_id != q.vec_id)
+          WHERE rk <= {k})"""
+
+    parts = ["WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),"
+             + rank_cte("fullk", "embedding")]
+    unions = []
+    for d in dims:
+        parts.append("," + rank_cte(f"d{d}", f"embedding[1:{d}]"))
+        unions.append(f"""
+        SELECT f.query_id, CAST({d} AS INTEGER) AS dim,
+               count(t.vec_id) AS n_overlap
+        FROM fullk f LEFT JOIN d{d} t USING (query_id, vec_id)
+        GROUP BY 1""")
+    return ("".join(parts)
+            + " SELECT query_id, dim, n_overlap, "
+            + f"round(n_overlap / CAST({k} AS DOUBLE), 6) AS recall_at_k "
+            + "FROM (" + " UNION ALL ".join(unions) + ")")
+
+
 _SHINGLES_SQL = f"""
   SELECT doc_id, lang, source,
     list_distinct(
@@ -3287,6 +3363,45 @@ ORACLES = {
     "full_scan_events": """
         SELECT event_id, user_id, event_type, round(value, 4) AS value_r,
                epoch_us(ts) AS ts_us FROM events""",
+    "lsh_plan_128": """
+        WITH b(bands, rows_per_band) AS (VALUES
+          (1, 128), (2, 64), (4, 32), (8, 16),
+          (16, 8), (32, 4), (64, 2), (128, 1)),
+        t(threshold) AS (VALUES
+          (CAST(0.3 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+          (CAST(0.7 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
+        SELECT bands, rows_per_band, threshold,
+               round(1 - pow(1 - pow(threshold, rows_per_band), bands), 6)
+                 AS p_capture,
+               round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s50
+        FROM b CROSS JOIN t""",
+    "truncation_recall_emb": _truncation_recall_oracle((16, 32), 10),
+    "ngram_novelty_docs": r"""
+        WITH w AS (
+          SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w,
+                 doc_id % 2 = 1 AS is_cur
+          FROM documents),
+        g AS (
+          SELECT doc_id, is_cur,
+                 CASE WHEN len(w) >= 3 THEN
+                   list_distinct(list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                 ELSE [] END AS gs
+          FROM w),
+        ref AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE NOT is_cur),
+        ex AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE is_cur),
+        j AS (
+          SELECT e.doc_id, count(*) AS n_grams, count(r.gr) AS n_seen
+          FROM ex e LEFT JOIN ref r ON e.gr = r.gr
+          GROUP BY 1
+          UNION ALL
+          SELECT doc_id, 0, 0 FROM g WHERE is_cur AND len(gs) = 0)
+        SELECT doc_id, n_grams, n_seen,
+               CASE WHEN n_grams = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE round(1 - n_seen / CAST(n_grams AS DOUBLE), 6)
+               END AS novelty
+        FROM j""",
     "incremental_events": """
         SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'""",
