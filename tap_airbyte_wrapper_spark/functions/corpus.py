@@ -46,6 +46,9 @@ __all__ = [
     "pack_token_budget",
     "ngram_contamination",
     "ngram_novelty",
+    "novelty_index_write",
+    "novelty_probe",
+    "novelty_index_append",
     "dup_span_stats",
     "remove_dup_spans",
     "pack_sequences",
@@ -632,6 +635,137 @@ def ngram_novelty(
             F.when(F.col("n_grams") == 0, F.lit(1.0)).otherwise(
                 F.round(1.0 - F.col("n_seen") / F.col("n_grams"), 6)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted novelty (reference-gram) index — the cross-corpus member of the
+# persisted-index family: probe any delta batch's n-gram novelty against
+# everything landed so far at O(delta), never rescanning the corpus.
+# ---------------------------------------------------------------------------
+
+def novelty_index_write(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> None:
+    """Persist the reference corpus's distinct gram hashes as a
+    bucketed ``(gram_h, owner)`` table (owner = min contributing doc
+    id) + ``_index_meta.json`` recording ``n``.  Delta probes shuffle
+    only the delta's grams into this bucketing — the corpus side is a
+    bucket-co-located scan, the same zero-corpus-shuffle contract as
+    the MinHash/fingerprint/BM25 indexes.  The owner id exists for
+    replay safety: :func:`novelty_probe` treats a gram as SEEN only
+    when some owner OUTSIDE the probing batch holds it, so a replayed
+    batch (whose grams were already folded in) scores exactly what the
+    first run scored."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import write_text as _write_text
+
+    spark = df.sparkSession
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform(word_ngrams(words(F.col(text_col)), n),
+                                lambda g: F.xxhash64(g)))).alias("gram_h"))
+        .groupBy("gram_h").agg(F.min(id_col).alias("owner"))
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}_grams")
+    (grams.write.bucketBy(n_buckets, "gram_h").sortBy("gram_h")
+        .option("path", _os.path.join(path, "grams"))
+        .mode("overwrite").saveAsTable(f"{table_name}_grams"))
+    _write_text(spark, _os.path.join(path, "_index_meta.json"),
+                _json.dumps({"n": n, "n_buckets": n_buckets,
+                             "id_col": id_col}))
+
+
+def novelty_probe(
+    batch: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc novelty of a delta batch against the persisted gram
+    index: ``(id, n_grams, n_seen, novelty)`` — the incremental form
+    of :func:`ngram_novelty` (same output contract), at O(delta) cost.
+    A gram counts as seen only when owned by a doc OUTSIDE the batch
+    (see :func:`novelty_index_write`'s replay note)."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import read_text as _read_text
+
+    spark = batch.sparkSession
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    n = meta["n"]
+    batch_ids = batch.select(F.col(id_col).alias("owner")).distinct()
+    seen = (
+        spark.table(f"{table_name}_grams")
+        .join(F.broadcast(batch_ids), "owner", "left_anti")
+        .select("gram_h").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_grams = batch.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(word_ngrams(words(F.col(text_col)), n),
+                            lambda g: F.xxhash64(g)))).alias("gram_h"))
+    return (
+        doc_grams.join(seen, "gram_h", "left")
+        .groupBy(id_col)
+        .agg(F.count("gram_h").alias("n_grams"),
+             F.count("__hit").alias("n_seen"))
+        .withColumn(
+            "novelty",
+            F.when(F.col("n_grams") == 0, F.lit(1.0)).otherwise(
+                F.round(1.0 - F.col("n_seen") / F.col("n_grams"), 6)))
+    )
+
+
+def novelty_index_append(
+    delta: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold a delta's grams into the index at O(delta): the delta's
+    distinct grams anti-join the existing table (bucket-co-located),
+    and only genuinely-new grams insert (owner = min contributing
+    delta id).  Re-appending the same delta is a no-op, so the gate's
+    marker is an optimization, never a correctness gate."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import read_text as _read_text
+
+    spark = delta.sparkSession
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    grams = (
+        delta.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform(word_ngrams(words(F.col(text_col)),
+                                            meta["n"]),
+                                lambda g: F.xxhash64(g)))).alias("gram_h"))
+        .groupBy("gram_h").agg(F.min(id_col).alias("owner"))
+        .join(spark.table(f"{table_name}_grams").select("gram_h"),
+              "gram_h", "left_anti")
+    )
+    grams.select("gram_h", "owner").write.mode("append").insertInto(
+        f"{table_name}_grams")
 
 
 def dup_span_stats(

@@ -45,6 +45,7 @@ from .quality import (
     column_correlations,
     distribution_drift,
     numeric_histogram,
+    key_skew_profile,
     partition_skew_report,
     profile_table,
     snapshot_diff,
@@ -69,7 +70,7 @@ __all__ = [
     "detect_anomalies",
     "profile_table", "Expectation", "validate_expectations",
     "snapshot_diff",
-    "numeric_histogram", "column_correlations", "partition_skew_report",
+    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

@@ -29,6 +29,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["profile_table", "Expectation", "validate_expectations",
+           "key_skew_profile",
            "numeric_histogram", "column_correlations",
            "partition_skew_report", "parquet_file_stats",
            "snapshot_diff", "distribution_drift"]
@@ -354,6 +355,68 @@ def partition_skew_report(df: DataFrame) -> DataFrame:
             F.round(F.col("n_rows") / F.col("__tot"), 6).alias("share"),
         )
         .orderBy(F.desc("n_rows"))
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top: int = 10,
+) -> DataFrame:
+    """LOGICAL skew diagnosis for a join/agg key — the planning-side
+    twin of :func:`partition_skew_report` (which sees the physical
+    layout): per-key row counts rolled into one distribution summary,
+    with the ``top`` heaviest keys listed.
+
+    Output: one row per heavy key — ``(key..., n_rows, share, rank)``
+    plus the distribution columns repeated on every row
+    (``n_keys, mean_rows, p50_rows, p99_rows, max_rows, skew_ratio =
+    max/mean, rec_salt = ceil(skew_ratio)``).  ``rec_salt`` is the
+    salting factor that levels the heaviest key down to ~mean —
+    exactly the number :func:`..operators.joins.salted_join` wants,
+    measured instead of guessed.  At 100 TB the decision "salt or
+    don't" is made from THIS table before the first shuffle; AQE's
+    skew-join split handles moderate skew at runtime, but a key
+    holding 10% of the corpus needs plan-side salting.
+
+    Plan: one partial-agg pass to per-key counts (map-side combine),
+    then the summary aggregates run over the key-count table (key-
+    cardinality-sized, never row-sized) and broadcast back onto the
+    top-k cut (TakeOrderedAndProject via row_number window over a
+    1-group frame is avoided — the cut is an orderBy/limit)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("__tot"),
+        F.max("n_rows").alias("max_rows"),
+        F.expr("percentile(n_rows, 0.5)").alias("p50_rows"),
+        F.expr("percentile(n_rows, 0.99)").alias("p99_rows"))
+    w = Window.orderBy(F.col("n_rows").desc(),
+                       *[F.col(c) for c in key_cols])
+    heavy = (
+        counts.orderBy(F.col("n_rows").desc(),
+                       *[F.col(c) for c in key_cols])
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return (
+        heavy.crossJoin(F.broadcast(stats))
+        .select(
+            *key_cols, "n_rows",
+            F.round(F.col("n_rows") / F.col("__tot"), 6).alias("share"),
+            "rank", "n_keys",
+            F.round(F.col("__tot") / F.col("n_keys"), 4).alias("mean_rows"),
+            F.round("p50_rows", 4).alias("p50_rows"),
+            F.round("p99_rows", 4).alias("p99_rows"),
+            "max_rows",
+            F.round(F.col("max_rows") * F.col("n_keys") / F.col("__tot"),
+                    4).alias("skew_ratio"),
+            F.ceil(F.col("max_rows") * F.col("n_keys") / F.col("__tot"))
+            .cast("int").alias("rec_salt"),
+        )
     )
 
 

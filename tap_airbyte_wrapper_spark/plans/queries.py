@@ -1177,6 +1177,17 @@ def q_ngram_novelty(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 0), n=3)
 
 
+def q_key_skew(spark, sf_dir):
+    """Join-key skew profile of orders.o_custkey: the measured
+    distribution summary (p50/p99/max per-key counts, skew ratio, the
+    implied salting factor) + the 20 heaviest keys — the table read
+    before deciding 'salt or don't' on a 100 TB join."""
+    from ..operators import key_skew_profile
+
+    return key_skew_profile(
+        _t(spark, sf_dir, "orders"), ["o_custkey"], top=20)
+
+
 def q_lsh_plan(spark, sf_dir):
     """MinHash-LSH parameter planner: the closed-form S-curve
     (p_capture, s50) for every factorization of 128 hashes x candidate
@@ -3047,6 +3058,7 @@ QUERIES = {
     "ngram_novelty_docs": q_ngram_novelty,
     "lsh_plan_128": q_lsh_plan,
     "truncation_recall_emb": q_truncation_recall,
+    "key_skew_orders": q_key_skew,
     "bm25_topk_docs": q_bm25_topk,
     "pagerank_suppliers": q_pagerank_suppliers,
     "degrees_suppliers": q_degrees_suppliers,
@@ -3376,6 +3388,33 @@ ORACLES = {
                round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s50
         FROM b CROSS JOIN t""",
     "truncation_recall_emb": _truncation_recall_oracle((16, 32), 10),
+    "key_skew_orders": """
+        WITH c AS (
+          SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1),
+        s AS (
+          SELECT count(*) AS n_keys, sum(n_rows) AS tot,
+                 max(n_rows) AS max_rows,
+                 quantile_cont(n_rows, 0.5) AS p50,
+                 quantile_cont(n_rows, 0.99) AS p99
+          FROM c),
+        h AS (
+          SELECT o_custkey, n_rows,
+                 row_number() OVER (ORDER BY n_rows DESC, o_custkey)
+                   AS rank
+          FROM c QUALIFY rank <= 20)
+        SELECT h.o_custkey, h.n_rows,
+               round(h.n_rows / CAST(s.tot AS DOUBLE), 6) AS share,
+               CAST(h.rank AS INTEGER) AS rank,
+               s.n_keys,
+               round(s.tot / CAST(s.n_keys AS DOUBLE), 4) AS mean_rows,
+               round(s.p50, 4) AS p50_rows,
+               round(s.p99, 4) AS p99_rows,
+               s.max_rows,
+               round(s.max_rows * s.n_keys / CAST(s.tot AS DOUBLE), 4)
+                 AS skew_ratio,
+               CAST(ceil(s.max_rows * s.n_keys / CAST(s.tot AS DOUBLE))
+                    AS INTEGER) AS rec_salt
+        FROM h CROSS JOIN s""",
     "ngram_novelty_docs": r"""
         WITH w AS (
           SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS w,

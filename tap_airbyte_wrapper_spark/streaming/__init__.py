@@ -17,6 +17,7 @@ from .index_maint import (stream_bm25_index_maintenance,
                           stream_fingerprint_index_maintenance)
 from .similarity import stream_embedding_gate
 from .selection import (read_reservoir, stream_dsir_gate,
+                        stream_novelty_gate,
                         stream_quality_gate, stream_reservoir_sample)
 from .trending import read_heavy_hitters, stream_heavy_hitters
 from .stats import append_gate_stats, read_gate_stats
@@ -30,6 +31,7 @@ from .stateful import (
 
 __all__ = [
     "stream_bm25_index_maintenance",
+    "stream_novelty_gate",
     "stream_fingerprint_index_maintenance",
     "stream_near_dup_gate",
     "stream_exact_dedup_gate",

@@ -31,7 +31,85 @@ from ..functions.dsir import dsir_score, load_dsir
 from .stats import append_gate_stats
 
 __all__ = ["stream_dsir_gate", "stream_reservoir_sample",
-           "stream_quality_gate", "read_reservoir"]
+           "stream_quality_gate", "read_reservoir",
+           "stream_novelty_gate"]
+
+
+def stream_novelty_gate(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_table: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    min_novelty: float = 0.5,
+    available_now: bool = True,
+):
+    """Span-level admission gate: every micro-batch scores its n-gram
+    novelty against the persisted reference-gram index
+    (``functions.corpus.novelty_probe`` — O(batch), bucket-co-located
+    probe), docs with ``novelty >= min_novelty`` land (carrying
+    ``n_grams/n_seen/novelty``), and the survivors' grams fold into the
+    index so the next batch measures against them too — the streaming
+    form of "drop documents mostly stitched from text we already have"
+    that exact/near-dup gates don't catch (a doc can be 80% re-pasted
+    spans without any single fingerprint or MinHash band matching).
+
+    Replay safety: the gram index records each gram's first OWNER, and
+    the probe counts a gram as seen only when some owner OUTSIDE the
+    probing batch holds it — so a replayed batch (its grams already
+    folded in) scores exactly what the first run scored; the append is
+    anti-joined so re-folding is a no-op; output lands per-batch with
+    overwrite.  The guarantee is scoped to Structured Streaming's
+    actual at-least-once contract — the IN-FLIGHT batch re-runs with
+    the same boundaries; a fresh-checkpoint full re-drain can merge
+    batches, and merged boundaries change which docs count as "outside
+    the batch" (novelty is measured against the corpus, not within a
+    batch, by design).  Bootstrap with ``novelty_index_write`` (an
+    empty corpus frame is fine).
+    """
+    from ..functions.corpus import novelty_index_append, novelty_probe
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        from ..fsutil import exists as _fs_exists, write_text as _fs_write
+
+        started = _time.time()
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            scored = novelty_probe(batch, index_table, index_path,
+                                   id_col, text_col)
+            clean = (
+                batch.join(
+                    scored.filter(F.col("novelty") >= min_novelty)
+                    .select(id_col, "n_grams", "n_seen", "novelty"),
+                    id_col)
+                .persist()
+            )
+            clean.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={batch_id}"))
+            marker = os.path.join(index_path, f"_batch_{batch_id}")
+            if not _fs_exists(spark, marker):
+                novelty_index_append(clean, index_table, index_path,
+                                     id_col, text_col)
+                try:
+                    _fs_write(spark, marker, "done")
+                except Exception:
+                    pass  # best-effort marker — re-append is a no-op
+            append_gate_stats(spark, out_path, batch_id,
+                              batch.count(), clean.count(), started)
+            clean.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_dsir_gate(

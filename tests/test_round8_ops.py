@@ -38,6 +38,121 @@ def test_ngram_novelty_fractions_and_edges(spark):
 
 
 # ---------------------------------------------------------------------
+# novelty index + streaming novelty gate
+# ---------------------------------------------------------------------
+
+def test_novelty_probe_equals_batch_ngram_novelty(spark, tmp_path):
+    """The incremental probe against the persisted gram index returns
+    exactly what the batch ngram_novelty computes against the same
+    reference docs."""
+    from tap_airbyte_wrapper_spark.functions import (
+        ngram_novelty, novelty_index_write, novelty_probe)
+
+    ref = spark.createDataFrame(
+        [(i, f"shared prefix tokens w{i} x{i} y{i} z{i}")
+         for i in range(10)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "shared prefix tokens w3 x3 brand new tail"),
+         (101, "completely novel content nothing shared here"),
+         (102, "x")], "doc_id long, text string")
+    novelty_index_write(ref, "nvx8", str(tmp_path / "idx"), n=3,
+                        n_buckets=4)
+    got = sorted(novelty_probe(batch, "nvx8", str(tmp_path / "idx"))
+                 .collect(), key=lambda r: r.doc_id)
+    want = sorted(ngram_novelty(batch, ref, n=3).collect(),
+                  key=lambda r: r.doc_id)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_stream_novelty_gate_and_replay(spark, tmp_path):
+    """Gate E2E: novel docs land and fold their grams in; a later doc
+    stitched from an earlier batch's spans is dropped; replaying the
+    in-flight batch (Structured Streaming's at-least-once contract —
+    same batch boundaries) reproduces the same survivor set thanks to
+    the owner-exclusion probe."""
+    from pyspark.sql import Row
+    from tap_airbyte_wrapper_spark.functions import novelty_index_write
+    from tap_airbyte_wrapper_spark.streaming import stream_novelty_gate
+
+    src = tmp_path / "in"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "clean")
+    schema = "doc_id long, text string"
+    novelty_index_write(
+        spark.createDataFrame([], schema), "nvg8", idx, n=3, n_buckets=4)
+
+    b1_text = "alpha beta gamma delta epsilon zeta eta theta"
+    spark.createDataFrame(
+        [Row(doc_id=1, text=b1_text),
+         Row(doc_id=2, text="one two three four five six")],
+        schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain(ck):
+        q = stream_novelty_gate(
+            spark.readStream.schema(schema).parquet(str(src)),
+            "doc_id", "text", "nvg8", idx, out,
+            checkpoint=str(tmp_path / ck), min_novelty=0.5)
+        q.awaitTermination(120)
+
+    drain("ck1")
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(out).collect()) == [1, 2]
+
+    # batch 2: doc 3 is stitched from doc 1's spans (novelty ~0),
+    # doc 4 is genuinely new
+    spark.createDataFrame(
+        [Row(doc_id=3, text=b1_text + " theta eta"),
+         Row(doc_id=4, text="seven eight nine ten eleven twelve")],
+        schema).coalesce(1).write.mode("append").parquet(str(src))
+    drain("ck1")
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 4]
+
+    # same-checkpoint no-op re-drain: output unchanged
+    drain("ck1")
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(out).collect()) == [1, 2, 4]
+
+    # at-least-once replay at the batch level (the real Structured
+    # Streaming contract: the in-flight batch re-runs with the SAME
+    # boundaries): re-probing batch 2 after its grams were folded
+    # keeps exactly the first run's survivors — doc 4's own folded
+    # grams are owner-excluded, doc 3 still loses to doc 1's grams
+    from tap_airbyte_wrapper_spark.functions import novelty_probe
+
+    b2 = spark.createDataFrame(
+        [Row(doc_id=3, text=b1_text + " theta eta"),
+         Row(doc_id=4, text="seven eight nine ten eleven twelve")],
+        schema)
+    re_probe = {r.doc_id: r.novelty for r in novelty_probe(
+        b2, "nvg8", idx).collect()}
+    assert re_probe[4] == 1.0           # own grams excluded on replay
+    assert re_probe[3] < 0.5            # still mostly doc 1's spans
+
+
+# ---------------------------------------------------------------------
+# key_skew_profile
+# ---------------------------------------------------------------------
+
+def test_key_skew_profile_planted(spark):
+    from tap_airbyte_wrapper_spark.operators import key_skew_profile
+
+    rows = [(99,)] * 50 + [(k,) for k in range(10)]
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_profile(df, ["k"], top=3).collect()
+    assert [r.k for r in out] == [99, 0, 1]       # heaviest first, id ties
+    top = out[0]
+    assert top.n_rows == 50 and top.rank == 1
+    assert top.n_keys == 11
+    assert top.share == pytest.approx(round(50 / 60, 6))
+    # mean = 60/11; skew_ratio = 50/(60/11); rec_salt levels max to mean
+    assert top.skew_ratio == pytest.approx(round(50 * 11 / 60, 4))
+    assert top.rec_salt == 10
+    assert top.p50_rows == 1.0 and top.max_rows == 50
+
+
+# ---------------------------------------------------------------------
 # lsh_plan / truncation_recall
 # ---------------------------------------------------------------------
 
