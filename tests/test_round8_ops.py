@@ -132,6 +132,117 @@ def test_stream_novelty_gate_and_replay(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------
+# unigram-LM tokenizer training
+# ---------------------------------------------------------------------
+
+def _seq_unigram_em(word_freqs, logp, max_len):
+    """Sequential reference E-step + M-step (forward-backward expected
+    counts), mirroring the distributed implementation's math."""
+    import math
+
+    counts = {}
+    for w, f in word_freqs.items():
+        n = len(w)
+        neg = float("-inf")
+        alpha = [neg] * (n + 1)
+        alpha[0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(max(0, i - max_len), i):
+                lp = logp.get(w[j:i])
+                if lp is None or alpha[j] == neg:
+                    continue
+                v = alpha[j] + lp
+                if alpha[i] == neg:
+                    alpha[i] = v
+                else:
+                    m = max(alpha[i], v)
+                    alpha[i] = m + math.log(
+                        math.exp(alpha[i] - m) + math.exp(v - m))
+        z = alpha[n]
+        if z == neg:
+            continue
+        beta = [neg] * (n + 1)
+        beta[n] = 0.0
+        for i in range(n, 0, -1):
+            if beta[i] == neg:
+                continue
+            for j in range(max(0, i - max_len), i):
+                lp = logp.get(w[j:i])
+                if lp is None:
+                    continue
+                v = lp + beta[i]
+                if beta[j] == neg:
+                    beta[j] = v
+                else:
+                    m = max(beta[j], v)
+                    beta[j] = m + math.log(
+                        math.exp(beta[j] - m) + math.exp(v - m))
+        for i in range(1, n + 1):
+            for j in range(max(0, i - max_len), i):
+                lp = logp.get(w[j:i])
+                if lp is None or alpha[j] == neg or beta[i] == neg:
+                    continue
+                c = math.exp(alpha[j] + lp + beta[i] - z)
+                counts[w[j:i]] = counts.get(w[j:i], 0.0) + f * c
+    return counts
+
+
+def test_unigram_em_matches_sequential_reference(spark):
+    """One distributed E+M step == the sequential forward-backward on
+    the same word table and piece distribution."""
+    import math
+
+    from tap_airbyte_wrapper_spark.functions.unigram import (
+        _estep_udf)
+
+    word_freqs = {"abab": 3, "abc": 2, "cab": 1}
+    pieces = ["a", "b", "c", "ab", "ba", "abc"]
+    logp = {p: math.log(1.0 / len(pieces)) for p in pieces}
+
+    df = spark.createDataFrame(list(word_freqs.items()),
+                               "word string, freq long")
+    got_rows = df.select(
+        "freq", F.explode(_estep_udf(logp, 3)(F.col("word")))
+        .alias("piece", "c")).groupBy("piece").agg(
+        F.sum(F.col("freq") * F.col("c")).alias("n")).collect()
+    got = {r.piece: r.n for r in got_rows}
+    want = _seq_unigram_em(word_freqs, logp, 3)
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == pytest.approx(want[p], rel=1e-9)
+
+
+def test_train_unigram_learns_frequent_pieces_and_segments(spark):
+    from tap_airbyte_wrapper_spark.functions import (
+        train_unigram, unigram_segment)
+
+    docs = spark.createDataFrame(
+        [(i, "banana bandana cabana " * 3) for i in range(8)],
+        "doc_id long, text string")
+    model = train_unigram(docs, vocab_size=12, seed_size=60,
+                          max_piece_len=4, em_iters=2)
+    assert "an" in model.pieces or "ana" in model.pieces or \
+        "na" in model.pieces          # a frequent multi-char piece won
+    # coverage: every single char of the corpus survives pruning
+    for ch in set("banandacab"):
+        assert ch in model.pieces
+    segged = docs.limit(1).select(
+        unigram_segment(F.col("text"), model).alias("toks")).collect()[0]
+    assert "".join(segged.toks) == ("banana" + "bandana" + "cabana") * 3
+    assert any(len(t) > 1 for t in segged.toks)  # multi-char pieces used
+
+
+def test_unigram_save_load_roundtrip(spark, tmp_path):
+    from tap_airbyte_wrapper_spark.functions import (
+        UnigramModel, load_unigram, save_unigram)
+
+    m = UnigramModel(pieces={"a": -0.5, "ab": -1.25})
+    save_unigram(m, spark, str(tmp_path / "uni"))
+    m2 = load_unigram(spark, str(tmp_path / "uni"))
+    assert m2.pieces == m.pieces
+
+
+# ---------------------------------------------------------------------
 # key_skew_profile
 # ---------------------------------------------------------------------
 
