@@ -49,6 +49,7 @@ __all__ = [
     "novelty_index_write",
     "novelty_probe",
     "novelty_index_append",
+    "corpus_diff",
     "dup_span_stats",
     "remove_dup_spans",
     "pack_sequences",
@@ -634,6 +635,43 @@ def ngram_novelty(
             "novelty",
             F.when(F.col("n_grams") == 0, F.lit(1.0)).otherwise(
                 F.round(1.0 - F.col("n_seen") / F.col("n_grams"), 6)))
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-level diff between two corpus versions (old crawl vs
+    re-crawl): one row per doc id with ``status`` in ``added`` (id only
+    in new), ``removed`` (only in old), ``changed`` (both, normalized
+    fingerprint differs), ``unchanged`` — the churn report that decides
+    what feeds the index maintenance ops (``added``/``changed`` ->
+    replace, ``removed`` -> delete) and how much of a re-crawl is worth
+    reprocessing at all.
+
+    The row-level :func:`..operators.quality.snapshot_diff` compares
+    columns; this compares CONTENT identity (the same casefolded
+    whitespace-collapsed md5 the exact-dedup family keys on), so
+    cosmetic re-serializations don't count as changes.  One
+    fingerprint pass per side + one id-keyed full-outer join — both
+    linear, shuffle keyed on id."""
+    from .text import fingerprint
+
+    o = old.select(F.col(id_col),
+                   fingerprint(F.col(text_col)).alias("__ofp"))
+    n = new.select(F.col(id_col),
+                   fingerprint(F.col(text_col)).alias("__nfp"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            id_col,
+            F.when(F.col("__ofp").isNull(), F.lit("added"))
+            .when(F.col("__nfp").isNull(), F.lit("removed"))
+            .when(F.col("__ofp") == F.col("__nfp"), F.lit("unchanged"))
+            .otherwise(F.lit("changed")).alias("status"))
     )
 
 

@@ -1177,6 +1177,28 @@ def q_ngram_novelty(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 0), n=3)
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Content-level re-crawl diff: old = all docs, new = docs with
+    every 7th removed, every 11th text-truncated (changed), and a
+    synthetic id range added — the churn report feeding the index
+    maintenance ops."""
+    from ..functions import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.substring("text", 1, 100))
+            .otherwise(F.col("text")).alias("text"))
+        .unionByName(docs.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"), "text"))
+    )
+    return corpus_diff(old, new)
+
+
 def q_key_skew(spark, sf_dir):
     """Join-key skew profile of orders.o_custkey: the measured
     distribution summary (p50/p99/max per-key counts, skew ratio, the
@@ -3059,6 +3081,7 @@ QUERIES = {
     "lsh_plan_128": q_lsh_plan,
     "truncation_recall_emb": q_truncation_recall,
     "key_skew_orders": q_key_skew,
+    "corpus_diff_docs": q_corpus_diff,
     "bm25_topk_docs": q_bm25_topk,
     "pagerank_suppliers": q_pagerank_suppliers,
     "degrees_suppliers": q_degrees_suppliers,
@@ -3388,6 +3411,24 @@ ORACLES = {
                round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s50
         FROM b CROSS JOIN t""",
     "truncation_recall_emb": _truncation_recall_oracle((16, 32), 10),
+    "corpus_diff_docs": f"""
+        WITH old AS (
+          SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents),
+        new AS (
+          SELECT doc_id,
+                 md5(lower(trim(regexp_replace(
+                   CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 100)
+                        ELSE text END, '\\s+', ' ', 'g')))) AS fp
+          FROM documents WHERE doc_id % 7 != 0
+          UNION ALL
+          SELECT doc_id + 5000000 AS doc_id, md5({_NORM_TEXT}) AS fp
+          FROM documents WHERE doc_id % 13 = 0)
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'removed'
+                    WHEN o.fp = n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id""",
     "key_skew_orders": """
         WITH c AS (
           SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1),

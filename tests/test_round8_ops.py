@@ -132,6 +132,27 @@ def test_stream_novelty_gate_and_replay(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------
+# corpus_diff
+# ---------------------------------------------------------------------
+
+def test_corpus_diff_statuses(spark):
+    from tap_airbyte_wrapper_spark.functions import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed"),
+         (4, "Same   TEXT  normalized")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "changed now"),
+         (4, "same text normalized"),   # cosmetic whitespace/case only
+         (5, "brand new")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "added"}
+
+
+# ---------------------------------------------------------------------
 # unigram-LM tokenizer training
 # ---------------------------------------------------------------------
 
