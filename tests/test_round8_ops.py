@@ -64,6 +64,28 @@ def test_novelty_probe_equals_batch_ngram_novelty(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_novelty_probe_plan_shape(spark, tmp_path):
+    """The probe reads the bucketed gram table (no cartesian; the
+    batch-ids exclusion is a broadcast anti-join) — same zero-corpus-
+    shuffle family as the fingerprint/BM25 probes whose bucket
+    co-location the bucketing suite pins."""
+    from tap_airbyte_wrapper_spark.functions import (
+        novelty_index_write, novelty_probe)
+
+    ref = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i}") for i in range(20)],
+        "doc_id long, text string")
+    novelty_index_write(ref, "nvp8", str(tmp_path / "idx"), n=3,
+                        n_buckets=4)
+    batch = spark.createDataFrame(
+        [(100, "w1 x1 y1 fresh")], "doc_id long, text string")
+    plan = novelty_probe(batch, "nvp8", str(tmp_path / "idx")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "nvp8_grams" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
 def test_stream_novelty_gate_and_replay(spark, tmp_path):
     """Gate E2E: novel docs land and fold their grams in; a later doc
     stitched from an earlier batch's spans is dropped; replaying the
