@@ -20,7 +20,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..operators.windows import topk_per_group
@@ -29,7 +29,7 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_signature",
            "cosine_topk_lsh", "cosine_topk_ivf", "embedding_near_dup_pairs",
            "IvfIndex", "ivf_build", "ivf_load", "ivf_search",
            "ivf_append", "ivf_staleness", "ivf_compact", "ivf_delete",
-           "truncation_recall",
+           "truncation_recall", "bitext_mine",
            "ivf_replace", "embedding_dedup_delta",
            "PqModel", "pq_train", "pq_encode", "pq_topk", "pq_rerank",
            "save_pq", "load_pq", "kmeans_fit", "kmeans_predict",
@@ -164,6 +164,73 @@ def truncation_recall(
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER recipe): score every cross-lingual candidate pair by
+    the RATIO margin ``cos(x,y) / (0.5*(avgNN(x) + avgNN(y)))`` —
+    cosine relative to each side's average similarity to its ``k``
+    nearest neighbors — and keep pairs that are each other's best
+    margin in BOTH directions above ``threshold``.
+
+    Absolute cosine is uncalibrated across a corpus (hubness: some
+    sentences are close to everything); the margin normalizes by local
+    neighborhood density, which is what makes mined pairs usable as
+    parallel training data.  Output: ``(src_id, tgt_id, cos_sim,
+    margin)``, one row per mutual-best pair.
+
+    Plan shape: two brute-force :func:`cosine_topk` passes (each
+    broadcasts one side — for corpus-x-corpus scale swap in the IVF
+    index for candidate generation and feed its pairs here), two
+    k-bounded per-id average rollups, margin joins on id, and two
+    per-side argmax windows over k-bounded lists.  Deterministic:
+    ties break on the partner id, same contract as the knn fleet
+    oracles."""
+    fwd = cosine_topk(tgt, src, id_col, vec_col, "__src", k,
+                      include_self=True).withColumnRenamed(
+        id_col, "__tgt")
+    bwd = cosine_topk(src, tgt, id_col, vec_col, "__tgt", k,
+                      include_self=True).withColumnRenamed(
+        id_col, "__src")
+    a_src = fwd.groupBy("__src").agg(F.avg("cos_sim").alias("__asrc"))
+    a_tgt = bwd.groupBy("__tgt").agg(F.avg("cos_sim").alias("__atgt"))
+
+    def with_margin(pairs):
+        return (
+            pairs.join(a_src, "__src").join(a_tgt, "__tgt")
+            .withColumn(
+                "margin",
+                F.col("cos_sim")
+                / (0.5 * (F.col("__asrc") + F.col("__atgt"))))
+        )
+
+    w_f = Window.partitionBy("__src").orderBy(
+        F.col("margin").desc(), F.col("__tgt"))
+    best_f = (with_margin(fwd)
+              .withColumn("__rk", F.row_number().over(w_f))
+              .filter(F.col("__rk") == 1))
+    w_b = Window.partitionBy("__tgt").orderBy(
+        F.col("margin").desc(), F.col("__src"))
+    best_b = (with_margin(bwd)
+              .withColumn("__rk", F.row_number().over(w_b))
+              .filter(F.col("__rk") == 1)
+              .select("__src", "__tgt"))
+    return (
+        best_f.join(best_b, ["__src", "__tgt"])  # mutual best
+        .filter(F.col("margin") >= threshold)
+        .select(F.col("__src").alias("src_id"),
+                F.col("__tgt").alias("tgt_id"),
+                F.round("cos_sim", 6).alias("cos_sim"),
+                F.round("margin", 6).alias("margin"))
+    )
 
 
 def _pack_signatures(mat: "np.ndarray", plane_mat: "np.ndarray",

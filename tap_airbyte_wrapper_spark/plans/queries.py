@@ -1177,6 +1177,20 @@ def q_ngram_novelty(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 0), n=3)
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining between the even- and odd-label
+    embedding halves (stand-ins for two languages): mutual-best ratio
+    margin over k=4 neighborhoods, threshold 1.0 — the CCMatrix/LASER
+    parallel-corpus recipe."""
+    from ..functions import bitext_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bitext_mine(
+        emb.filter(F.col("label") % 2 == 0).select("vec_id", "embedding"),
+        emb.filter(F.col("label") % 2 == 1).select("vec_id", "embedding"),
+        k=4, threshold=1.0)
+
+
 def q_corpus_diff(spark, sf_dir):
     """Content-level re-crawl diff: old = all docs, new = docs with
     every 7th removed, every 11th text-truncated (changed), and a
@@ -3082,6 +3096,7 @@ QUERIES = {
     "truncation_recall_emb": q_truncation_recall,
     "key_skew_orders": q_key_skew,
     "corpus_diff_docs": q_corpus_diff,
+    "bitext_mine_emb": q_bitext_mine,
     "bm25_topk_docs": q_bm25_topk,
     "pagerank_suppliers": q_pagerank_suppliers,
     "degrees_suppliers": q_degrees_suppliers,
@@ -3411,6 +3426,65 @@ ORACLES = {
                round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s50
         FROM b CROSS JOIN t""",
     "truncation_recall_emb": _truncation_recall_oracle((16, 32), 10),
+    "bitext_mine_emb": """
+        WITH s AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE label % 2 = 0),
+        t AS (SELECT vec_id, embedding FROM embeddings
+              WHERE label % 2 = 1),
+        fwd AS (
+          SELECT __src, __tgt, cos_sim FROM (
+            SELECT s.vec_id AS __src, t.vec_id AS __tgt,
+                   list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                                          CAST(s.embedding AS DOUBLE[]))
+                     AS cos_sim,
+                   row_number() OVER (
+                     PARTITION BY s.vec_id
+                     ORDER BY list_cosine_similarity(
+                       CAST(t.embedding AS DOUBLE[]),
+                       CAST(s.embedding AS DOUBLE[])) DESC,
+                     t.vec_id) AS rk
+            FROM t CROSS JOIN s)
+          WHERE rk <= 4),
+        bwd AS (
+          SELECT __src, __tgt, cos_sim FROM (
+            SELECT s.vec_id AS __src, t.vec_id AS __tgt,
+                   list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                          CAST(t.embedding AS DOUBLE[]))
+                     AS cos_sim,
+                   row_number() OVER (
+                     PARTITION BY t.vec_id
+                     ORDER BY list_cosine_similarity(
+                       CAST(s.embedding AS DOUBLE[]),
+                       CAST(t.embedding AS DOUBLE[])) DESC,
+                     s.vec_id) AS rk
+            FROM s CROSS JOIN t)
+          WHERE rk <= 4),
+        asrc AS (SELECT __src, avg(cos_sim) AS a FROM fwd GROUP BY 1),
+        atgt AS (SELECT __tgt, avg(cos_sim) AS a FROM bwd GROUP BY 1),
+        fm AS (
+          SELECT f.__src, f.__tgt, f.cos_sim,
+                 f.cos_sim / (0.5 * (x.a + y.a)) AS margin
+          FROM fwd f JOIN asrc x USING (__src) JOIN atgt y USING (__tgt)),
+        bestf AS (
+          SELECT * FROM (
+            SELECT fm.*, row_number() OVER (
+              PARTITION BY __src ORDER BY margin DESC, __tgt) AS rk
+            FROM fm) WHERE rk = 1),
+        bm AS (
+          SELECT b.__src, b.__tgt,
+                 b.cos_sim / (0.5 * (x.a + y.a)) AS margin
+          FROM bwd b JOIN asrc x USING (__src) JOIN atgt y USING (__tgt)),
+        bestb AS (
+          SELECT __src, __tgt FROM (
+            SELECT bm.*, row_number() OVER (
+              PARTITION BY __tgt ORDER BY margin DESC, __src) AS rk
+            FROM bm) WHERE rk = 1)
+        SELECT f.__src AS src_id, f.__tgt AS tgt_id,
+               round(f.cos_sim, 6) AS cos_sim,
+               round(f.margin, 6) AS margin
+        FROM bestf f JOIN bestb b
+          ON f.__src = b.__src AND f.__tgt = b.__tgt
+        WHERE f.margin >= 1.0""",
     "corpus_diff_docs": f"""
         WITH old AS (
           SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents),

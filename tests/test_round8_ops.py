@@ -154,6 +154,36 @@ def test_stream_novelty_gate_and_replay(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------
+# bitext_mine
+# ---------------------------------------------------------------------
+
+def test_bitext_mine_margin_beats_hub(spark):
+    """The reason margin exists: a HUB vector (close to every query)
+    wins on raw cosine for both sources, but its own dense
+    neighborhood inflates the denominator — the genuinely-aligned
+    pairs win mutual-best margin instead."""
+    from tap_airbyte_wrapper_spark.functions import bitext_mine
+
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(
+        [(11, [0.6, -0.8, 0.0, 0.0]),    # aligned to 1, far from 2
+         (12, [-0.8, 0.6, 0.0, 0.0]),    # aligned to 2, far from 1
+         (13, [0.707, 0.707, 0.0, 0.0])],  # hub: cos ~0.707 to BOTH
+        "vec_id long, embedding array<double>")
+    out = bitext_mine(src, tgt, k=2, threshold=1.0).collect()
+    pairs = {(r.src_id, r.tgt_id) for r in out}
+    assert pairs == {(1, 11), (2, 12)}
+    # the hub actually beat the winners on raw cosine (0.707 > 0.6):
+    # margin is what flipped the decision
+    for r in out:
+        assert r.cos_sim == pytest.approx(0.6, abs=1e-6)
+        assert r.margin > 1.0
+    assert not any(t == 13 for _, t in pairs)
+
+
+# ---------------------------------------------------------------------
 # corpus_diff
 # ---------------------------------------------------------------------
 
