@@ -46,6 +46,7 @@ from .quality import (
     distribution_drift,
     numeric_histogram,
     key_skew_profile,
+    k_anonymity,
     partition_skew_report,
     profile_table,
     snapshot_diff,
@@ -70,7 +71,7 @@ __all__ = [
     "detect_anomalies",
     "profile_table", "Expectation", "validate_expectations",
     "snapshot_diff",
-    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile",
+    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "k_anonymity",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

@@ -29,7 +29,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["profile_table", "Expectation", "validate_expectations",
-           "key_skew_profile",
+           "key_skew_profile", "k_anonymity",
            "numeric_histogram", "column_correlations",
            "partition_skew_report", "parquet_file_stats",
            "snapshot_diff", "distribution_drift"]
@@ -417,6 +417,56 @@ def key_skew_profile(
             F.ceil(F.col("max_rows") * F.col("n_keys") / F.col("__tot"))
             .cast("int").alias("rec_salt"),
         )
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Re-identification audit on quasi-identifier columns: a released
+    dataset is k-anonymous when every combination of the quasi
+    identifiers (zip+age+gender-style columns) matches at least ``k``
+    rows — groups below that single out individuals even after direct
+    identifiers were redacted (Sweeney 2002).  The check the PII layer
+    (``redact_pii`` / ``pseudonymize``) needs before metadata columns
+    ship next to the text.
+
+    Output: the ``top`` smallest violating groups —
+    ``(quasi_cols..., n_rows, rank)`` ordered by (n_rows asc, keys) —
+    plus summary columns repeated on every row: ``n_groups``,
+    ``n_violating_groups``, ``rows_at_risk`` (total rows in sub-``k``
+    groups), ``risk_frac``.  Empty output == the table is
+    k-anonymous.  One partial-agg pass to group counts; summaries
+    aggregate the group-count table (group-cardinality-sized)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("n_rows") < k, 1))
+        .alias("n_violating_groups"),
+        F.coalesce(F.sum(F.when(F.col("n_rows") < k, F.col("n_rows"))),
+                   F.lit(0)).alias("rows_at_risk"),
+        F.sum("n_rows").alias("__tot"))
+    order = [F.col("n_rows").asc()] + [F.col(c) for c in quasi_cols]
+    w = Window.orderBy(*order)
+    viol = (
+        counts.filter(F.col("n_rows") < k)
+        .orderBy(*order)
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return (
+        viol.crossJoin(F.broadcast(stats))
+        .select(
+            *quasi_cols, "n_rows", "rank",
+            "n_groups", "n_violating_groups", "rows_at_risk",
+            F.round(F.col("rows_at_risk") / F.col("__tot"), 6)
+            .alias("risk_frac"))
     )
 
 

@@ -1217,6 +1217,17 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, new)
 
 
+def q_k_anonymity(spark, sf_dir):
+    """Re-identification audit on the (lang, source) quasi-identifier
+    pair at k=6: the smallest violating groups + rows-at-risk summary
+    — the release check the PII redaction layer needs before metadata
+    ships next to the text."""
+    from ..operators import k_anonymity
+
+    return k_anonymity(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], k=6, top=20)
+
+
 def q_key_skew(spark, sf_dir):
     """Join-key skew profile of orders.o_custkey: the measured
     distribution summary (p50/p99/max per-key counts, skew ratio, the
@@ -3101,6 +3112,7 @@ QUERIES = {
     "key_skew_orders": q_key_skew,
     "corpus_diff_docs": q_corpus_diff,
     "bitext_mine_emb": q_bitext_mine,
+    "k_anonymity_docs": q_k_anonymity,
     "bm25_topk_docs": q_bm25_topk,
     "pagerank_suppliers": q_pagerank_suppliers,
     "degrees_suppliers": q_degrees_suppliers,
@@ -3430,6 +3442,28 @@ ORACLES = {
                round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s50
         FROM b CROSS JOIN t""",
     "truncation_recall_emb": _truncation_recall_oracle((16, 32), 10),
+    "k_anonymity_docs": """
+        WITH c AS (
+          SELECT lang, source, count(*) AS n_rows
+          FROM documents GROUP BY 1, 2),
+        s AS (
+          SELECT count(*) AS n_groups,
+                 count(CASE WHEN n_rows < 6 THEN 1 END)
+                   AS n_violating_groups,
+                 CAST(coalesce(sum(CASE WHEN n_rows < 6 THEN n_rows END),
+                               0) AS BIGINT) AS rows_at_risk,
+                 sum(n_rows) AS tot
+          FROM c),
+        v AS (
+          SELECT lang, source, n_rows,
+                 row_number() OVER (ORDER BY n_rows ASC, lang, source)
+                   AS rank
+          FROM c WHERE n_rows < 6 QUALIFY rank <= 20)
+        SELECT v.lang, v.source, v.n_rows, CAST(v.rank AS INTEGER) AS rank,
+               s.n_groups, s.n_violating_groups, s.rows_at_risk,
+               round(s.rows_at_risk / CAST(s.tot AS DOUBLE), 6)
+                 AS risk_frac
+        FROM v CROSS JOIN s""",
     "bitext_mine_emb": """
         WITH s AS (SELECT vec_id, embedding FROM embeddings
                    WHERE label % 2 = 0 AND vec_id < 1000),

@@ -154,6 +154,52 @@ def test_stream_novelty_gate_and_replay(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------
+# k_anonymity / compression_ratio
+# ---------------------------------------------------------------------
+
+def test_k_anonymity_planted(spark):
+    from tap_airbyte_wrapper_spark.operators import k_anonymity
+
+    rows = ([("10001", "f")] * 6          # k-anonymous at k=5
+            + [("10002", "m")] * 2        # violating (2 < 5)
+            + [("10003", "f")])           # violating singleton
+    df = spark.createDataFrame(rows, "zip string, gender string")
+    out = sorted(k_anonymity(df, ["zip", "gender"], k=5).collect(),
+                 key=lambda r: r.rank)
+    assert [(r.zip, r.n_rows) for r in out] == [("10003", 1),
+                                                ("10002", 2)]
+    top = out[0]
+    assert top.n_groups == 3 and top.n_violating_groups == 2
+    assert top.rows_at_risk == 3
+    assert top.risk_frac == pytest.approx(round(3 / 9, 6))
+    # fully anonymous table -> empty output
+    ok = spark.createDataFrame([("a", "x")] * 5, "zip string, g string")
+    assert k_anonymity(ok, ["zip", "g"], k=5).count() == 0
+
+
+def test_compression_ratio_separates_repeats_from_prose(spark):
+    import zlib
+
+    from tap_airbyte_wrapper_spark.functions import compression_ratio
+
+    repeat = "spam " * 200
+    prose = ("The quick brown fox jumps over the lazy dog while a "
+             "committee debates the merits of lazy evaluation in "
+             "distributed systems, concluding nothing in particular.")
+    df = spark.createDataFrame(
+        [(1, repeat), (2, prose), (3, None), (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.cr for r in df.select(
+        "doc_id", compression_ratio(F.col("text")).alias("cr")).collect()}
+    # exact values: the UDF is plain zlib level 6 over utf-8 bytes
+    for doc_id, text in [(1, repeat), (2, prose)]:
+        want = len(zlib.compress(text.encode())) / len(text.encode())
+        assert out[doc_id] == pytest.approx(want)
+    assert out[1] < 0.05 < out[2]     # repeats compress away; prose doesn't
+    assert out[3] is None and out[4] is None
+
+
+# ---------------------------------------------------------------------
 # bitext_mine
 # ---------------------------------------------------------------------
 
