@@ -394,3 +394,39 @@ def test_upsample_repeat_threshold_exact_for_decimal_epochs(
     # uniform over 500 ids; generous tolerance)
     total = sum(per.values())
     assert abs(total / 500 - e) < 0.15
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from([f"t{k}" for k in range(8)]),
+             min_size=1, max_size=10).map(" ".join),
+    min_size=2, max_size=10),
+    st.sampled_from([0.4, 0.5, 0.75, 0.8, 1.0]))
+def test_containment_pairs_prefix_filter_total_recall(
+        spark_global, texts, threshold):
+    """For ANY corpus and threshold, the df-ordered asymmetric prefix
+    filter loses NO qualifying pair: containment_pairs equals the
+    Python brute force over all pairs — the total-recall theorem the
+    round-8 rewrite rests on, including the float-ceil boundary where
+    t*|S| is exactly integral."""
+    from tap_airbyte_wrapper_spark.functions import containment_pairs
+
+    def sh_set(text):
+        w = text.lower().split()
+        if len(w) >= 3:
+            return {" ".join(w[j:j + 3]) for j in range(len(w) - 2)}
+        return {" ".join(w)}
+
+    docs = list(enumerate(texts))
+    expected = set()
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1:]:
+            sa, sb = sh_set(ta), sh_set(tb)
+            c = len(sa & sb)
+            if c / len(sa) >= threshold or c / len(sb) >= threshold:
+                expected.add((ia, ib))
+
+    df = spark_global.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in containment_pairs(
+        df, "doc_id", "text", n=3, threshold=threshold).collect()}
+    assert got == expected
