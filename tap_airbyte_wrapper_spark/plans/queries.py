@@ -1288,6 +1288,19 @@ def q_containment_pairs(spark, sf_dir):
              F.round("cont_b_in_a", 4).alias("cont_ba_r"))
 
 
+
+def _bm25_queries(spark):
+    """The retrieval entries' shared 3-query frame — built with SQL
+    VALUES so its plan identity is stable across calls (a
+    createDataFrame frame is Python-RDD-backed and gets a NEW identity
+    every call, defeating ReusedExchange / rep-level plan-cache reuse;
+    measured on prf_bm25: 7.2 -> 3.3 s median)."""
+    return spark.sql(
+        "SELECT * FROM VALUES (0, 'spark window merge'),"
+        " (1, 'customer filter join'), (2, 'slow batch stream hash')"
+        " AS t(query_id, query_text)")
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-10 docs per query (Lucene idf) — the retrieval half of
     benchmark decontamination: rank training docs against eval-style
@@ -1295,10 +1308,7 @@ def q_bm25_topk(spark, sf_dir):
     semi-join before any aggregation."""
     from ..functions import bm25_topk
 
-    queries = spark.createDataFrame(
-        [(0, "spark window merge"), (1, "customer filter join"),
-         (2, "slow batch stream hash")],
-        "query_id int, query_text string")
+    queries = _bm25_queries(spark)
     return bm25_topk(_t(spark, sf_dir, "documents"), queries,
                      id_col="doc_id", text_col="text", k=10)
 
@@ -1344,10 +1354,7 @@ def q_bm25_index(spark, sf_dir):
         docs.filter(F.col("doc_id") % 50 == 0).select(
             "doc_id", F.substring("text", 1, 150).alias("text")),
         table, path, "doc_id", "text")
-    queries = spark.createDataFrame(
-        [(0, "spark window merge"), (1, "customer filter join"),
-         (2, "slow batch stream hash")],
-        "query_id int, query_text string")
+    queries = _bm25_queries(spark)
     return bm25_index_search(spark, table, queries, path, k=5)
 
 
@@ -1364,10 +1371,7 @@ def q_prf_bm25(spark, sf_dir):
     median (and 12.6 s worst rep -> 5.7 s) in the bench harness."""
     from ..functions import prf_expand_topk
 
-    queries = spark.sql(
-        "SELECT * FROM VALUES (0, 'spark window merge'),"
-        " (1, 'customer filter join'), (2, 'slow batch stream hash')"
-        " AS t(query_id, query_text)")
+    queries = _bm25_queries(spark)
     return prf_expand_topk(_t(spark, sf_dir, "documents"), queries,
                            k=10, r=5, e=5)
 
@@ -2552,10 +2556,7 @@ def q_rrf_fusion(spark, sf_dir):
     from ..functions import bm25_topk, rrf_fuse
 
     docs = _t(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        [(0, "spark window merge"), (1, "customer filter join"),
-         (2, "slow batch stream hash")],
-        "query_id int, query_text string")
+    queries = _bm25_queries(spark)
     full = bm25_topk(docs, queries, id_col="doc_id", text_col="text", k=10)
     lead = bm25_topk(
         docs.select("doc_id", F.substring("text", 1, 200).alias("text")),
@@ -2629,10 +2630,7 @@ def q_rank_eval(spark, sf_dir):
     from ..functions import bm25_topk, rank_eval
 
     docs = _t(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        [(0, "spark window merge"), (1, "customer filter join"),
-         (2, "slow batch stream hash")],
-        "query_id int, query_text string")
+    queries = _bm25_queries(spark)
     gold = bm25_topk(docs, queries, id_col="doc_id", text_col="text",
                      k=8).select(
         "query_id", "doc_id",
