@@ -295,30 +295,35 @@ def threshold_metrics(
             F.sum(F.when(~pred & ~lab, 1).otherwise(0)).alias(f"__tn{i}"),
         ]
     counts = clean.agg(*aggs)
-    out = None
-    for i, t in enumerate(thresholds):
-        tp, fp = F.col(f"__tp{i}"), F.col(f"__fp{i}")
-        fn, tn = F.col(f"__fn{i}"), F.col(f"__tn{i}")
-        prec = F.when(tp + fp > 0, F.round(tp / (tp + fp), 6))
-        rec = F.when(tp + fn > 0, F.round(tp / (tp + fn), 6))
-        row = counts.select(
-            F.lit(float(t)).alias("threshold"),
-            F.coalesce(tp, F.lit(0)).alias("tp"),
-            F.coalesce(fp, F.lit(0)).alias("fp"),
-            F.coalesce(fn, F.lit(0)).alias("fn"),
-            F.coalesce(tn, F.lit(0)).alias("tn"),
-            prec.alias("precision"),
-            rec.alias("recall"),
-            F.when((tp + fp > 0) & (tp + fn > 0) & (tp > 0),
-                   F.round(2 * (tp / (tp + fp)) * (tp / (tp + fn))
-                           / (tp / (tp + fp) + tp / (tp + fn)), 6))
-            .alias("f1"),
-            F.when(tp + fp + fn + tn > 0,
-                   F.round((tp + tn) / (tp + fp + fn + tn), 6))
-            .alias("accuracy"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    # per-threshold rows via stack() over the ONE wide aggregate row —
+    # NOT a union of per-threshold selects: each union branch embeds
+    # its own copy of the corpus aggregate and Spark re-executes it
+    # per branch (ReusedExchange does not fire across the union's
+    # single-row final aggregates; measured 4.4 s at 7 thresholds vs
+    # 0.9 s at 3 on the fleet entry — scan count, not threshold count)
+    stack_args = ", ".join(
+        f"CAST({float(t)} AS DOUBLE), coalesce(`__tp{i}`, 0L), "
+        f"coalesce(`__fp{i}`, 0L), coalesce(`__fn{i}`, 0L), "
+        f"coalesce(`__tn{i}`, 0L)"
+        for i, t in enumerate(thresholds))
+    long = counts.select(F.expr(
+        f"stack({len(thresholds)}, {stack_args}) "
+        "as (threshold, tp, fp, fn, tn)"))
+    tp, fp = F.col("tp"), F.col("fp")
+    fn, tn = F.col("fn"), F.col("tn")
+    return long.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.when(tp + fp > 0, F.round(tp / (tp + fp), 6))
+        .alias("precision"),
+        F.when(tp + fn > 0, F.round(tp / (tp + fn), 6)).alias("recall"),
+        F.when((tp + fp > 0) & (tp + fn > 0) & (tp > 0),
+               F.round(2 * (tp / (tp + fp)) * (tp / (tp + fn))
+                       / (tp / (tp + fp) + tp / (tp + fn)), 6))
+        .alias("f1"),
+        F.when(tp + fp + fn + tn > 0,
+               F.round((tp + tn) / (tp + fp + fn + tn), 6))
+        .alias("accuracy"),
+    )
 
 
 def calibration_bins(
