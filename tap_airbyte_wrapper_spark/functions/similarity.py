@@ -135,8 +135,16 @@ def truncation_recall(
 
     Fully deterministic (ties break on corpus id), so a SQL oracle
     replays every ranking bit-for-bit."""
-    full = cosine_topk(corpus, queries, id_col, vec_col,
-                       query_id_col, k).select(query_id_col, id_col)
+    from ._cache import cache_bounded
+
+    # bounded-pool persist: the full-width top-k is embedded in every
+    # dim's overlap branch AND the query-id spine — |dims|+1 consumers
+    # would each re-run the full brute-force pass (the same
+    # union-re-executes-shared-aggregate trap threshold_metrics hit);
+    # the frame is |queries| x k rows, trivially cacheable
+    full = cache_bounded(
+        cosine_topk(corpus, queries, id_col, vec_col,
+                    query_id_col, k).select(query_id_col, id_col))
     out = None
     for d in dims:
         cut = F.slice(F.col(vec_col), 1, int(d)).alias(vec_col)
