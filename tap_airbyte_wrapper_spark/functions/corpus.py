@@ -699,7 +699,16 @@ def novelty_index_write(
     replay safety: :func:`novelty_probe` treats a gram as SEEN only
     when some owner OUTSIDE the probing batch holds it, so a replayed
     batch (whose grams were already folded in) scores exactly what the
-    first run scored."""
+    first run scored.
+
+    Maintenance boundary (unlike the tombstone-versioned doc indexes):
+    grams are CORPUS-level facts, not per-doc rows — a gram stays in
+    the index as long as ANY doc contributed it, and only the first
+    contributor is recorded, so per-doc deletion is not expressible
+    without per-gram refcounts.  Removing documents from the reference
+    requires a rebuild; in practice novelty references only ever grow
+    (what was once landed was seen, whether or not it was later
+    removed), so the append-only contract matches the semantics."""
     import json as _json
     import os as _os
 
