@@ -1,0 +1,85 @@
+"""Compare two BENCH_detail_r{N}.json files: per-query ratios, new and
+removed entries, group subtotals — the cross-round regression check
+that previously required re-running the whole fleet.
+
+Usage:
+    python scripts/bench_diff.py BENCH_detail_r08.json BENCH_detail_r09.json
+    python scripts/bench_diff.py old.json new.json --threshold 1.5
+
+Prints queries whose median changed by more than ``--threshold`` x in
+either direction (sub-0.2 s queries are skipped — they sit inside
+scheduling noise), the group subtotal drift, and the fleet headline.
+Exit code 1 when any regression above threshold exists, so the check
+can gate CI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def flat_queries(detail: dict) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for g in detail["groups"].values():
+        out.update(g["queries"])
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5,
+                    help="flag ratios above this (and below 1/this)")
+    ap.add_argument("--min-seconds", type=float, default=0.2,
+                    help="ignore queries faster than this in BOTH runs")
+    args = ap.parse_args()
+
+    old = json.load(open(args.old))
+    new = json.load(open(args.new))
+    qo, qn = flat_queries(old), flat_queries(new)
+
+    added = sorted(set(qn) - set(qo))
+    removed = sorted(set(qo) - set(qn))
+    if added:
+        print(f"new queries ({len(added)}): "
+              + ", ".join(f"{n} ({qn[n]:.2f}s)" for n in added))
+    if removed:
+        print(f"removed queries ({len(removed)}): " + ", ".join(removed))
+
+    rows = []
+    for name in sorted(set(qo) & set(qn)):
+        a, b = qo[name], qn[name]
+        if max(a, b) < args.min_seconds:
+            continue
+        ratio = b / a if a > 0 else float("inf")
+        if ratio >= args.threshold or ratio <= 1 / args.threshold:
+            rows.append((ratio, name, a, b))
+    rows.sort(reverse=True)
+    regressions = [r for r in rows if r[0] >= args.threshold]
+    if rows:
+        print(f"\nchanged >= {args.threshold}x (or improved "
+              f"<= {1 / args.threshold:.2f}x), min {args.min_seconds}s:")
+        for ratio, name, a, b in rows:
+            mark = "REGRESSED" if ratio >= args.threshold else "improved"
+            print(f"  {ratio:6.2f}x  {name}: {a:.3f}s -> {b:.3f}s  [{mark}]")
+    else:
+        print("\nno per-query change beyond threshold")
+
+    go = old["headline"]["groups"]
+    gn = new["headline"]["groups"]
+    print("\ngroup subtotals:")
+    for g in sorted(set(go) | set(gn)):
+        a, b = go.get(g, 0.0), gn.get(g, 0.0)
+        r = f"{b / a:.2f}x" if a else "new"
+        print(f"  {g:>15}: {a:8.2f}s -> {b:8.2f}s  ({r})")
+    ho, hn = old["headline"], new["headline"]
+    print(f"\nfleet: {ho['value']:.1f}s ({len(qo)} queries) -> "
+          f"{hn['value']:.1f}s ({len(qn)} queries)")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
