@@ -154,6 +154,106 @@ def test_stream_novelty_gate_and_replay(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------
+# baseline JPEG codec
+# ---------------------------------------------------------------------
+
+def _gradient_rgb(h=40, w=56):
+    import numpy as np
+
+    xx, yy = np.meshgrid(np.linspace(0, 255, w), np.linspace(0, 255, h))
+    return np.stack([xx, yy, (xx + yy) / 2], axis=-1).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_rgb_and_gray():
+    """Encode -> decode reproduces smooth images within tight DCT
+    quantization error, exact dims, correct channel counts; noise
+    images (worst case for JPEG) stay bounded at high quality."""
+    import numpy as np
+
+    from tap_airbyte_wrapper_spark.functions import decode_jpeg, encode_jpeg
+
+    img = _gradient_rgb()
+    enc = encode_jpeg(img, quality=92)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    w, h, dec = decode_jpeg(enc)
+    assert (w, h, dec.shape) == (56, 40, (40, 56, 3))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+    gray = img[:, :, 0]
+    wg, hg, decg = decode_jpeg(encode_jpeg(gray, quality=92))
+    assert decg.shape == (40, 56, 1)
+    assert np.abs(decg[:, :, 0].astype(int) - gray.astype(int)).max() <= 3
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    _, _, decn = decode_jpeg(encode_jpeg(noise, quality=95))
+    assert np.abs(decn.astype(int) - noise.astype(int)).max() <= 40
+
+
+def test_jpeg_non_multiple_of_8_dims_and_quality_ladder():
+    import numpy as np
+
+    from tap_airbyte_wrapper_spark.functions import decode_jpeg, encode_jpeg
+
+    img = _gradient_rgb(h=13, w=21)   # forces edge-replicate padding
+    w, h, dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert (w, h) == (21, 13) and dec.shape == (13, 21, 3)
+    # lower quality -> smaller file, larger (but sane) error
+    hi = encode_jpeg(img, quality=95)
+    lo = encode_jpeg(img, quality=30)
+    assert len(lo) < len(hi)
+    _, _, dlo = decode_jpeg(lo)
+    assert np.abs(dlo.astype(int) - img.astype(int)).mean() < 30
+
+
+def test_jpeg_progressive_rejected_with_clear_error():
+    """A SOF2 (progressive) stream must raise ValueError naming the
+    unsupported process — never a silent wrong decode."""
+    import struct
+
+    from tap_airbyte_wrapper_spark.functions import decode_jpeg, encode_jpeg
+
+    enc = bytearray(encode_jpeg(_gradient_rgb(16, 16), quality=90))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg at all")
+    assert struct.unpack(">H", bytes(enc[i + 2:i + 4]))[0] > 0  # sanity
+
+
+def test_jpeg_registered_in_codec_registry_and_spark_path(spark):
+    """Without PIL, image/jpeg routes to the baseline decoder through
+    the full Spark decode_image mapInPandas path — real dims and a
+    pixel checksum, not the fake fallback."""
+    import numpy as np
+
+    from tap_airbyte_wrapper_spark.functions import (
+        decode_image, encode_jpeg, with_media_metadata)
+    from tap_airbyte_wrapper_spark.functions import codecs as _codecs
+
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present: image/* codec outranks the baseline")
+    except ImportError:
+        pass
+    assert _codecs.image_codec_for("image/jpeg") is not None
+
+    payloads = [(i, encode_jpeg(_gradient_rgb(16 + 8 * i, 24),
+                                quality=90)) for i in range(3)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    media = with_media_metadata(df, "payload", "image/jpeg")
+    out = {r.doc_id: r
+           for r in decode_image(media, "media_bundle").collect()}
+    assert len(out) == 3
+    for i in range(3):
+        assert (out[i].width, out[i].height) == (24, 16 + 8 * i)
+        assert out[i].channels == 3
+        assert out[i].pixel_checksum is not None
+
+
+# ---------------------------------------------------------------------
 # k_anonymity / compression_ratio
 # ---------------------------------------------------------------------
 
