@@ -426,9 +426,16 @@ def _encode_block(bw, block, q, dc_tbl, ac_tbl, pred):
     return int(zz[0])
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                subsampling: str = "444") -> bytes:
     """Encode ``uint8[h, w]``, ``[h, w, 1]`` or ``[h, w, 3]`` RGB to a
-    baseline 4:4:4 JFIF JPEG (see module docstring)."""
+    baseline JFIF JPEG; ``subsampling`` is ``"444"`` (default) or
+    ``"420"`` (2x2 luma sampling, chroma at quarter resolution — the
+    web's dominant layout, and the fixture that exercises the
+    decoder's multi-block MCU + upsample path)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444 or 420, got "
+                         f"{subsampling!r}")
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -450,6 +457,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         chans = [px[..., 0].astype(np.float64)]
         qsel = [0]
 
+    sub = subsampling == "420" and nc == 3
+    hv = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * nc
+
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HH", 1, 1) + b"\x00\x00"
@@ -459,7 +469,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * nc) + b"\x08" \
         + struct.pack(">HH", h, w) + bytes([nc])
     for i in range(nc):
-        out += bytes([i + 1, 0x11, qsel[i]])
+        out += bytes([i + 1, (hv[i][0] << 4) | hv[i][1], qsel[i]])
     tables = ([(_DC_LUMA, 0x00), (_AC_LUMA, 0x10)]
               + ([(_DC_CHROMA, 0x01), (_AC_CHROMA, 0x11)]
                  if nc == 3 else []))
@@ -476,25 +486,44 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     dc_c = _build_encode_table(*_DC_CHROMA)
     ac_c = _build_encode_table(*_AC_CHROMA)
     qtabs = [lq.reshape(8, 8), cq.reshape(8, 8)]
+
+    def pad_to(ch, bh, bw_):
+        p = np.empty((bh, bw_))
+        ch_h, ch_w = ch.shape
+        p[:ch_h, :ch_w] = ch
+        p[ch_h:, :ch_w] = ch[ch_h - 1:ch_h, :]   # edge-replicate padding
+        p[:, ch_w:] = p[:, ch_w - 1:ch_w]
+        return p
+
+    hmax, vmax = max(x[0] for x in hv), max(x[1] for x in hv)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for ci, ch in enumerate(chans):
+        if sub and ci > 0:
+            # chroma at quarter resolution: 2x2 mean over the padded
+            # full-res plane (pad first so odd dims average cleanly)
+            p = pad_to(ch, mcus_y * 16, mcus_x * 16)
+            ch = (p[0::2, 0::2] + p[1::2, 0::2]
+                  + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+        padded.append(pad_to(ch, mcus_y * 8 * hv[ci][1],
+                             mcus_x * 8 * hv[ci][0]))
     bw = _BitWriter()
     preds = [0] * nc
-    by_max = (h + 7) // 8
-    bx_max = (w + 7) // 8
-    padded = []
-    for ch in chans:
-        p = np.empty((by_max * 8, bx_max * 8))
-        p[:h, :w] = ch
-        p[h:, :w] = ch[h - 1:h, :]       # edge-replicate padding
-        p[:, w:] = p[:, w - 1:w]
-        padded.append(p)
-    for by in range(by_max):
-        for bx in range(bx_max):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for ci in range(nc):
                 dc_t = dc_l if ci == 0 else dc_c
                 ac_t = ac_l if ci == 0 else ac_c
-                block = padded[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                preds[ci] = _encode_block(
-                    bw, block, qtabs[qsel[ci]], dc_t, ac_t, preds[ci])
+                ch_h, ch_v = hv[ci]
+                for vb in range(ch_v):      # T.81 interleave: v-major
+                    for hb in range(ch_h):
+                        y0 = (my * ch_v + vb) * 8
+                        x0 = (mx * ch_h + hb) * 8
+                        block = padded[ci][y0:y0 + 8, x0:x0 + 8]
+                        preds[ci] = _encode_block(
+                            bw, block, qtabs[qsel[ci]], dc_t, ac_t,
+                            preds[ci])
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

@@ -206,6 +206,27 @@ def test_jpeg_non_multiple_of_8_dims_and_quality_ladder():
     assert np.abs(dlo.astype(int) - img.astype(int)).mean() < 30
 
 
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 (the web's dominant layout) exercises the decoder's
+    multi-block MCU interleave and chroma upsample path: exact dims on
+    non-multiple-of-16 images, luma near-exact, chroma within
+    subsampling loss."""
+    import numpy as np
+
+    from tap_airbyte_wrapper_spark.functions import decode_jpeg, encode_jpeg
+
+    img = _gradient_rgb(h=37, w=53)   # forces partial MCUs both axes
+    enc = encode_jpeg(img, quality=92, subsampling="420")
+    w, h, dec = decode_jpeg(enc)
+    assert (w, h) == (53, 37) and dec.shape == (37, 53, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() < 3
+    # 420 should be smaller than 444 at the same quality
+    assert len(enc) < len(encode_jpeg(img, quality=92, subsampling="444"))
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img, subsampling="422")
+
+
 def test_jpeg_progressive_rejected_with_clear_error():
     """A SOF2 (progressive) stream must raise ValueError naming the
     unsupported process — never a silent wrong decode."""
