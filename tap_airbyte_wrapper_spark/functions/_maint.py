@@ -67,7 +67,15 @@ def record_tombstones_table(spark, table_name: str, path: str,
     creating the side table on first delete."""
     import os as _os
 
-    rows = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    if id_col in ids.columns:
+        src = id_col
+    elif len(ids.columns) == 1:
+        src = ids.columns[0]
+    else:
+        raise ValueError(
+            f"ids frame has columns {ids.columns} but none is {id_col!r}; "
+            "pass a single-column frame or include the id column by name")
+    rows = ids.select(F.col(src).alias(id_col)).distinct()
     if spark.catalog.tableExists(f"{table_name}_tombstones"):
         rows.write.mode("append").insertInto(f"{table_name}_tombstones")
     else:

@@ -139,6 +139,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self):
+        # Drop already-consumed high bits: without this mask the Python
+        # bignum grows with the whole stream and every shift is O(n),
+        # making decode O(n^2) on real-size images.
+        self.buf &= (1 << self.nbits) - 1
         while self.nbits <= 24:
             if self.pos >= len(self.data):
                 self.buf = (self.buf << 8) | 0  # pad past EOI, T.81 F.2.2.5
@@ -292,12 +296,29 @@ def _decode_scan(data, pos, width, height, comps, scan, qt, huff,
     vmax = max(c["v"] for c in comps)
     if hmax > 2 or vmax > 2:
         raise ValueError(f"unsupported sampling {hmax}x{vmax} (max 2x2)")
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (width + mcu_w - 1) // mcu_w
-    mcus_y = (height + mcu_h - 1) // mcu_h
+    # Scan order need not equal SOF order (T.81 B.2.3) — map each scan
+    # entry to its plane by component id, never by SOS position.
+    plane_idx = {c["id"]: i for i, c in enumerate(comps)}
+    # T.81 A.2.2: a single-component scan is NON-interleaved — one data
+    # unit per MCU over the component's own block grid, regardless of the
+    # sampling factors it carries in SOF.
+    single = len(scan) == 1
+    if single:
+        c0 = scan[0][0]
+        cw = -(-width * c0["h"] // hmax)
+        ch = -(-height * c0["v"] // vmax)
+        mcus_x = (cw + 7) // 8
+        mcus_y = (ch + 7) // 8
+    else:
+        mcu_w, mcu_h = 8 * hmax, 8 * vmax
+        mcus_x = (width + mcu_w - 1) // mcu_w
+        mcus_y = (height + mcu_h - 1) // mcu_h
     planes = []
     for c in comps:
-        pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
+        if single and c["id"] == scan[0][0]["id"]:
+            pw, ph = mcus_x * 8, mcus_y * 8
+        else:
+            pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
         planes.append(np.zeros((ph, pw), dtype=np.float64))
     reader = _BitReader(data, pos)
     pred = [0] * len(comps)
@@ -310,11 +331,14 @@ def _decode_scan(data, pos, width, height, comps, scan, qt, huff,
                 pred = [0] * len(comps)
             mcu_count += 1
             for ci, (comp, dc_id, ac_id) in enumerate(scan):
+                pi = plane_idx[comp["id"]]
+                bh = 1 if single else comp["h"]
+                bv = 1 if single else comp["v"]
                 dq = qt[comp["tq"]]
                 dct = huff[(0, dc_id)]
                 act = huff[(1, ac_id)]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
+                for by in range(bv):
+                    for bx in range(bh):
                         zz = np.zeros(64, dtype=np.int32)
                         t = reader.decode_symbol(dct)
                         diff = _extend(reader.read_bits(t), t)
@@ -338,9 +362,9 @@ def _decode_scan(data, pos, width, height, comps, scan, qt, huff,
                         block[_ZIGZAG] = zz
                         block = block.reshape(8, 8) * dq
                         pix = _C.T @ block @ _C + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+                        y0 = (my * bv + by) * 8
+                        x0 = (mx * bh + bx) * 8
+                        planes[pi][y0:y0 + 8, x0:x0 + 8] = pix
     # upsample to full resolution, crop, color-convert
     full = []
     for c, plane in zip(comps, planes):
@@ -386,6 +410,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # Truncate drained high bits so the accumulator stays a small int
+        # (otherwise every shift is O(bytes emitted) and encode is O(n^2)).
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:

@@ -1,0 +1,135 @@
+"""Round-9 tests.
+
+External-ground-truth JPEG decode (breaking the round-8
+decode(encode(x)) circularity), codec linearity, tombstone id-column
+guard, and the other round-9 verdict items.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "jpeg_gt")
+
+
+def _read_ppm(path):
+    with open(path, "rb") as f:
+        assert f.readline().strip() == b"P6"
+        w, h = map(int, f.readline().split())
+        f.readline()  # maxval
+        return np.frombuffer(f.read(), dtype=np.uint8).reshape(h, w, 3)
+
+
+# ------------------------------------------------------- JPEG ground truth
+
+GT_CASES = [
+    # (fixture stem, max per-pixel diff, mean diff bound)
+    ("jpeg_gt_444_q90", 4, 1.0),
+    ("jpeg_gt_420_q75", 8, 1.0),
+    ("jpeg_gt_420_rst", 12, 1.0),
+]
+
+
+@pytest.mark.parametrize("stem,maxdiff,meandiff", GT_CASES)
+def test_decode_matches_libjpeg_ground_truth(stem, maxdiff, meandiff):
+    """Fixtures were ENCODED by libjpeg and their reference pixels
+    DECODED by libjpeg (scripts/gen_jpeg_fixture.c) — neither side of
+    our codec produced them, so complementary encoder/decoder errors
+    (swapped Cb/Cr, transposed zigzag in both halves) cannot cancel.
+    Ground truth pins libjpeg's exact islow IDCT with pixel-replication
+    upsampling (the bitstream does not mandate an upsample filter; we
+    replicate, so the reference does too)."""
+    from tap_airbyte_wrapper_spark.functions.jpeg import decode_jpeg
+
+    jpg = open(os.path.join(FIXDIR, stem + ".jpg"), "rb").read()
+    gt = _read_ppm(os.path.join(FIXDIR, stem + ".ppm"))
+    w, h, px = decode_jpeg(jpg)
+    assert (w, h) == (gt.shape[1], gt.shape[0]) == (64, 48)
+    d = np.abs(px.astype(np.int32) - gt.astype(np.int32))
+    assert d.max() <= maxdiff, f"max pixel diff {d.max()} > {maxdiff}"
+    assert d.mean() <= meandiff
+
+
+def test_decode_channel_orientation_not_swapped():
+    """The pattern is chroma-asymmetric by construction: the left half
+    ramps RED, the right half ramps BLUE.  A Cb/Cr swap anywhere in the
+    decode path mirrors the two and misses by ~100 per channel."""
+    from tap_airbyte_wrapper_spark.functions.jpeg import decode_jpeg
+
+    jpg = open(os.path.join(FIXDIR, "jpeg_gt_420_q75.jpg"), "rb").read()
+    _, _, px = decode_jpeg(jpg)
+    left = px[:, :32, :].astype(np.float64)
+    right = px[:, 32:, :].astype(np.float64)
+    assert left[..., 0].mean() > left[..., 2].mean() + 50   # left is red
+    assert right[..., 2].mean() > right[..., 0].mean() + 50  # right is blue
+
+
+def test_decode_scales_linearly():
+    """Round-8 advice: unbounded bignum bit buffers made decode
+    O(n^2) (256x256 took 15.6 s).  With masked buffers a 256x256
+    noise image (worst case for entropy coding) decodes in well under
+    2 s and 4x the pixels costs < 8x the time."""
+    from tap_airbyte_wrapper_spark.functions.jpeg import (decode_jpeg,
+                                                          encode_jpeg)
+
+    rng = np.random.default_rng(0)
+    times = {}
+    for n in (128, 256):
+        img = rng.integers(0, 256, size=(n, n, 3), dtype=np.uint8)
+        payload = encode_jpeg(img, quality=75)
+        t0 = time.time()
+        w, h, _ = decode_jpeg(payload)
+        times[n] = time.time() - t0
+        assert (w, h) == (n, n)
+    assert times[256] < 2.0
+    assert times[256] < 8 * max(times[128], 0.05)
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2.2: a one-component scan is non-interleaved (1 data unit
+    per MCU).  A grayscale stream whose SOF carries 2x2 sampling
+    factors must decode identically to the 1x1 version, not interleave
+    4 blocks per MCU (which silently decodes garbage)."""
+    from tap_airbyte_wrapper_spark.functions.jpeg import (decode_jpeg,
+                                                          encode_jpeg)
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img, quality=90))
+    # patch the single SOF0 component's h/v byte from 0x11 to 0x22
+    i = payload.find(b"\xff\xc0")
+    assert i >= 0
+    hv_at = i + 4 + 6 + 1  # marker(2) len(2) prec(1) dims(4) ncomp(1) id(1)
+    assert payload[hv_at] == 0x11
+    payload[hv_at] = 0x22
+    w0, h0, base = decode_jpeg(bytes(encode_jpeg(img, quality=90)))
+    w1, h1, patched = decode_jpeg(bytes(payload))
+    assert (w0, h0) == (w1, h1) == (40, 24)
+    assert np.array_equal(base, patched)
+
+
+# --------------------------------------------------- tombstone id-col guard
+
+def test_record_tombstones_selects_id_col_by_name(spark, tmp_path):
+    """Round-8 advice: a multi-column ids frame must tombstone the
+    NAMED id column, not silently columns[0]; ambiguous frames raise."""
+    from tap_airbyte_wrapper_spark.functions import _maint
+
+    name = "t9_tomb_guard"
+    spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
+    ids = spark.createDataFrame(
+        [("textA", "doc1"), ("textB", "doc2")], ["text", "doc_id"])
+    _maint.record_tombstones_table(
+        spark, name, str(tmp_path / "idx"), ids, "doc_id")
+    got = {r[0] for r in
+           spark.table(f"{name}_tombstones").select("doc_id").collect()}
+    assert got == {"doc1", "doc2"}
+
+    bad = spark.createDataFrame([("x", "y")], ["a", "b"])
+    with pytest.raises(ValueError, match="none is 'doc_id'"):
+        _maint.record_tombstones_table(
+            spark, name, str(tmp_path / "idx"), bad, "doc_id")
+    spark.sql(f"DROP TABLE IF EXISTS {name}_tombstones")
