@@ -181,6 +181,7 @@ def _cosine_topk_many_queries(
     vec_col: str,
     query_id_col: str,
     k: int,
+    max_query_cells: int = 25_000_000,
 ) -> DataFrame:
     """Exact cosine top-k for a MANY-query batch (hundreds+): the
     per-pair ``cosine()`` expression is an interpreted HOF, so at
@@ -189,9 +190,28 @@ def _cosine_topk_many_queries(
     (the hyperplane_signature lesson: dense linear algebra belongs in
     a vectorized pandas UDF, measured ~5x on the bitext entry).
     Queries collect to the driver (they are the broadcast-small side
-    by the same contract cosine_topk states) and ride the closure.
-    Output contract matches :func:`cosine_topk` with
-    ``include_self=True``: (query_id, id, cos_sim), ties on id."""
+    by the same contract cosine_topk states) and ride the closure —
+    guarded: one cheap count x width aggregate first, raising past
+    ``max_query_cells`` (default 2.5e7 cells ≈ 200 MB of closure
+    doubles) instead of silently OOMing the driver with a corpus-sized
+    "query" frame.  For corpus x corpus scale use
+    :func:`bitext_mine` ``method="ivf"`` / :func:`cosine_topk_ivf`,
+    which broadcast nothing corpus-sized.  Output contract matches
+    :func:`cosine_topk` with ``include_self=True``:
+    (query_id, id, cos_sim), ties on id."""
+    qstats = queries.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col(vec_col))).alias("dim")).first()
+    qcells = (qstats["n"] or 0) * (qstats["dim"] or 1)
+    if qcells > max_query_cells:
+        raise ValueError(
+            f"_cosine_topk_many_queries: query side is {qstats['n']} x "
+            f"{qstats['dim']} = {qcells} cells, over the "
+            f"max_query_cells={max_query_cells} driver-collect guard. "
+            "This path broadcasts the QUERY matrix via the closure; for "
+            "corpus-x-corpus workloads route candidates through the IVF "
+            "index (bitext_mine(method='ivf') / cosine_topk_ivf) or raise "
+            "max_query_cells explicitly.")
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
     qm = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
@@ -224,6 +244,10 @@ def bitext_mine(
     vec_col: str = "embedding",
     k: int = 4,
     threshold: float = 1.0,
+    method: str = "exact",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the
     CCMatrix/LASER recipe): score every cross-lingual candidate pair by
@@ -238,19 +262,42 @@ def bitext_mine(
     parallel training data.  Output: ``(src_id, tgt_id, cos_sim,
     margin)``, one row per mutual-best pair.
 
-    Plan shape: two brute-force :func:`cosine_topk` passes (each
-    broadcasts one side — for corpus-x-corpus scale swap in the IVF
-    index for candidate generation and feed its pairs here), two
+    Plan shape, ``method="exact"`` (default): two brute-force
+    :func:`cosine_topk` passes (each broadcasts one side), two
     k-bounded per-id average rollups, margin joins on id, and two
     per-side argmax windows over k-bounded lists.  Deterministic:
     ties break on the partner id, same contract as the knn fleet
-    oracles."""
-    fwd = _cosine_topk_many_queries(
-        tgt, src, id_col, vec_col, "__src", k).withColumnRenamed(
-        id_col, "__tgt")
-    bwd = _cosine_topk_many_queries(
-        src, tgt, id_col, vec_col, "__tgt", k).withColumnRenamed(
-        id_col, "__src")
+    oracles.
+
+    ``method="ivf"`` is the corpus-x-corpus path: NEITHER side is
+    driver-collected — each direction builds an IVF index over one
+    side (:func:`cosine_topk_ivf`: bounded-sample k-means centroids
+    ride the closure, cell assignment is one matmul per Arrow batch)
+    and probes it with the other, so the candidate join touches
+    ~n_probe/n_clusters of each corpus.  The margin/mutual-best tail
+    is byte-identical to the exact path; recall < 1.0 by design —
+    raise ``n_probe`` toward ``n_clusters`` to recover exactness (at
+    ``n_probe == n_clusters`` the k-NN lists, and therefore the mined
+    pairs, equal brute force).  Src/tgt id spaces must be disjoint
+    (IVF search drops same-id pairs as self-matches)."""
+    if method not in ("exact", "ivf"):
+        raise ValueError(f"method must be exact|ivf, got {method!r}")
+    if method == "ivf":
+        fwd = cosine_topk_ivf(
+            tgt, src, id_col, vec_col, "__src", k=k,
+            n_clusters=n_clusters, n_probe=n_probe,
+            seed=seed).withColumnRenamed(id_col, "__tgt")
+        bwd = cosine_topk_ivf(
+            src, tgt, id_col, vec_col, "__tgt", k=k,
+            n_clusters=n_clusters, n_probe=n_probe,
+            seed=seed).withColumnRenamed(id_col, "__src")
+    else:
+        fwd = _cosine_topk_many_queries(
+            tgt, src, id_col, vec_col, "__src", k).withColumnRenamed(
+            id_col, "__tgt")
+        bwd = _cosine_topk_many_queries(
+            src, tgt, id_col, vec_col, "__tgt", k).withColumnRenamed(
+            id_col, "__src")
     a_src = fwd.groupBy("__src").agg(F.avg("cos_sim").alias("__asrc"))
     a_tgt = bwd.groupBy("__tgt").agg(F.avg("cos_sim").alias("__atgt"))
 

@@ -3545,8 +3545,12 @@ ORACLES = {
         s AS (
           SELECT count(*) AS n_keys, sum(n_rows) AS tot,
                  max(n_rows) AS max_rows,
-                 quantile_cont(n_rows, 0.5) AS p50,
-                 quantile_cont(n_rows, 0.99) AS p99
+                 -- Spark side is approx_percentile (GK, mergeable;
+                 -- rank-exact below `accuracy` keys) which returns the
+                 -- element at rank ceil(p*n) — DuckDB's quantile_disc
+                 -- convention, verified identical on edge cases.
+                 CAST(quantile_disc(n_rows, 0.5) AS DOUBLE) AS p50,
+                 CAST(quantile_disc(n_rows, 0.99) AS DOUBLE) AS p99
           FROM c),
         h AS (
           SELECT o_custkey, n_rows,

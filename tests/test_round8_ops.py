@@ -501,6 +501,9 @@ def test_key_skew_profile_planted(spark):
     assert top.skew_ratio == pytest.approx(round(50 * 11 / 60, 4))
     assert top.rec_salt == 10
     assert top.p50_rows == 1.0 and top.max_rows == 50
+    # approx_percentile is rank-exact here (11 keys << accuracy):
+    # discrete element at rank ceil(0.99*11) = 11 -> 50
+    assert top.p99_rows == 50.0
 
 
 # ---------------------------------------------------------------------

@@ -11,6 +11,7 @@ import time
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "jpeg_gt")
 
@@ -109,6 +110,71 @@ def test_single_component_scan_ignores_sampling_factors():
     w1, h1, patched = decode_jpeg(bytes(payload))
     assert (w0, h0) == (w1, h1) == (40, 24)
     assert np.array_equal(base, patched)
+
+
+# ------------------------------------------- bitext: guard + IVF-fed path
+
+def test_cosine_topk_many_queries_guard_raises(spark):
+    """Round-8 advice: the many-query exact scorer driver-collects the
+    query side; a corpus-sized 'query' frame must raise with the IVF
+    routing hint, not silently OOM the driver."""
+    from tap_airbyte_wrapper_spark.functions.similarity import (
+        _cosine_topk_many_queries)
+
+    corpus = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(1), F.rand(2)).alias("embedding"))
+    queries = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(3), F.rand(4)).alias("embedding"))
+    with pytest.raises(ValueError, match="max_query_cells.*ivf"):
+        _cosine_topk_many_queries(corpus, queries, "vec_id", "embedding",
+                                  "__q", 2, max_query_cells=100)
+    # under the guard it still runs
+    ok = _cosine_topk_many_queries(corpus, queries.limit(3), "vec_id",
+                                   "embedding", "__q", 2)
+    assert ok.count() == 6
+
+
+def test_bitext_mine_ivf_matches_bruteforce(spark):
+    """The corpus-x-corpus path the bitext docstring promises: IVF
+    candidate generation feeding the same margin/mutual-best tail.
+    With n_probe == n_clusters IVF search is exhaustive, so the mined
+    pairs must equal the brute-force method exactly on a planted
+    parallel corpus (disjoint id spaces; clustered so IVF cells are
+    meaningful)."""
+    import numpy as np
+
+    from tap_airbyte_wrapper_spark.functions import bitext_mine
+
+    rng = np.random.default_rng(7)
+    # 3 clusters of parallel sentence pairs + per-side noise
+    centers = rng.standard_normal((3, 8))
+    src_rows, tgt_rows = [], []
+    for i in range(30):
+        c = centers[i % 3]
+        v = c + 0.05 * rng.standard_normal(8)
+        w = c + 0.05 * rng.standard_normal(8)
+        src_rows.append((i, [float(x) for x in v]))
+        tgt_rows.append((1000 + i, [float(x) for x in w]))
+    src = spark.createDataFrame(
+        src_rows, "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(
+        tgt_rows, "vec_id long, embedding array<double>")
+
+    exact = {(r.src_id, r.tgt_id, r.cos_sim, r.margin)
+             for r in bitext_mine(src, tgt, k=4, threshold=1.0).collect()}
+    ivf = {(r.src_id, r.tgt_id, r.cos_sim, r.margin)
+           for r in bitext_mine(src, tgt, k=4, threshold=1.0,
+                                method="ivf", n_clusters=4,
+                                n_probe=4).collect()}
+    assert len(exact) > 0
+    assert ivf == exact
+    # reduced probes still returns a subset-quality result, no driver
+    # collect either way
+    few = bitext_mine(src, tgt, k=4, threshold=1.0, method="ivf",
+                      n_clusters=4, n_probe=1)
+    assert few.count() <= len(exact) + 5  # sanity: bounded output
 
 
 # --------------------------------------------------- tombstone id-col guard
