@@ -42,6 +42,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "as_media",
     "with_media_metadata",
+    "probe_media_meta",
     "decode_image",
     "decode_audio",
     "header_dimensions",
@@ -80,7 +81,76 @@ def as_media(payload: Column, media_type: Column | str) -> Column:
 
 def with_media_metadata(df: DataFrame, binary_col: str, media_type: str,
                         out_col: str = "media_bundle") -> DataFrame:
-    return df.withColumn(out_col, as_media(F.col(binary_col), media_type))
+    """Bundle a binary column into the canonical media struct and fill
+    ``meta`` with whatever HEADER-ONLY probes recognize: image
+    width/height (PNG/JPEG/GIF header walk) and — for video containers
+    — duration/resolution/codec/track counts (MP4 ``moov`` box walk,
+    Matroska EBML; see :mod:`.video`).  No pixel or frame decode: the
+    probes read container metadata only, which is what makes this the
+    asset-inventory pass that can run over 100 TB of media (frame
+    decode stays behind the codec registry / out of engine scope)."""
+    bundled = df.withColumn(out_col, as_media(F.col(binary_col), media_type))
+    probed = probe_media_meta(F.col(out_col).getField("media"))
+    merged = F.map_concat(
+        F.col(out_col).getField("meta"),
+        F.map_filter(probed, lambda _, v: v.isNotNull()))
+    return bundled.withColumn(
+        out_col,
+        F.struct(
+            F.col(out_col).getField("media").alias("media"),
+            F.col(out_col).getField("media_type").alias("media_type"),
+            F.col(out_col).getField("media_hash").alias("media_hash"),
+            F.col(out_col).getField("size_bytes").alias("size_bytes"),
+            merged.alias("meta"),
+        ))
+
+
+def mp4_stub_payload(width: Column, height: Column,
+                     duration_ms: Column) -> Column:
+    """Assemble a minimal real MP4 container per row (see
+    :func:`.video.mp4_stub`) — deterministic fake payloads for
+    exercising the probe/filter plumbing end-to-end with actual
+    container bytes.  Arrow pandas UDF, one builder call per row."""
+    from .video import mp4_stub
+
+    @pandas_udf("binary")
+    def build(w: pd.Series, h: pd.Series, d: pd.Series) -> pd.Series:
+        return pd.Series([
+            mp4_stub(int(a), int(b), int(c))
+            for a, b, c in zip(w, h, d)])
+
+    return build(width, height, duration_ms)
+
+
+def probe_media_meta(col: Column) -> Column:
+    """``map<string,string>`` of header-probe results for a binary
+    payload: image dims (``width``/``height``) or video container
+    metadata (``container``/``duration_s``/``width``/``height``/
+    ``video_codec``/``n_video_tracks``/``n_audio_tracks``).  Values are
+    stringified for the open-ended meta map; absent keys mean the probe
+    did not recognize the container.  Arrow pandas UDF, one pass, zero
+    shuffle."""
+    from . import video as _video
+
+    @pandas_udf("map<string,string>")
+    def probe(payloads: pd.Series) -> pd.Series:
+        out = []
+        for p in payloads:
+            b = bytes(p) if p is not None else None
+            entries: dict[str, str] = {}
+            got = _video.video_metadata(b) if b else None
+            if got is not None:
+                entries = {k: str(v) for k, v in got.items()
+                           if v is not None}
+            else:
+                dims = _codecs.image_dimensions(b)
+                if dims is not None:
+                    entries = {"width": str(dims[0]),
+                               "height": str(dims[1])}
+            out.append(entries)
+        return pd.Series(out)
+
+    return probe(col)
 
 
 _IMAGE_SCHEMA = (

@@ -1735,6 +1735,42 @@ def q_decode_image_meta(spark, sf_dir):
         "doc_id", "width", "height", "channels")
 
 
+def q_video_meta(spark, sf_dir):
+    """Video asset-inventory gate, header-only: per-doc deterministic
+    MP4 containers (dims/duration planted from doc_id) assembled
+    executor-side, probed by the ISO-BMFF box walk (functions/video.py
+    — no frame decode), then filtered to >=720p clips up to 2 minutes —
+    the pre-decode resolution/duration gate a multimodal curation
+    pipeline runs over 100 TB of media.  The oracle recomputes the
+    planted attributes arithmetically, so the byte round-trip
+    (assemble -> parse) is what's actually under test."""
+    from ..functions.multimodal import mp4_stub_payload, probe_media_meta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    widths = F.element_at(
+        F.array(F.lit(320), F.lit(640), F.lit(1280), F.lit(1920)),
+        (F.col("doc_id") % 4 + 1).cast("int"))
+    heights = F.element_at(
+        F.array(F.lit(180), F.lit(360), F.lit(720), F.lit(1080)),
+        (F.col("doc_id") % 4 + 1).cast("int"))
+    dur_ms = (F.col("doc_id") % 300) * 1000 + 500
+    probed = docs.select(
+        "doc_id",
+        probe_media_meta(
+            mp4_stub_payload(widths, heights, dur_ms)).alias("m"))
+    return (
+        probed.select(
+            "doc_id",
+            F.element_at("m", "container").alias("container"),
+            F.element_at("m", "width").cast("int").alias("width"),
+            F.element_at("m", "height").cast("int").alias("height"),
+            F.element_at("m", "duration_s").cast("double")
+            .alias("duration_s"),
+            F.element_at("m", "video_codec").alias("video_codec"))
+        .filter((F.col("width") >= 1280) & (F.col("duration_s") <= 120.0))
+    )
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Per-source characteristic vocabulary by tf-idf: explode ->
     (group, term) partial-agg -> term-level group-frequency reuse ->
@@ -3042,15 +3078,67 @@ def q_embedding_mmd(spark, sf_dir):
 # =====================================================================
 
 QUERIES = {
-    # ROUND-8 ROTATION (staleness-ordered, round-7 verdict ask #6):
-    # positions 1-8 are entries whose code changed this round and
-    # must re-verify (containment prefix filter, canonical_url
-    # fixed point, rank_eval rel=0, bm25_index replace, PRF plan
-    # identity, url_host last-@, DSIR full-outer fit), 9-10 the
-    # scan + flagship canaries, 11-50 the STALEST oracle-backed
-    # entries (driver-green last in r04/r05, unchecked on current
-    # code since).  Everything rotated out stays oracle-checked on
-    # every pytest run (tests/test_oracle_parity.py).
+    # ROUND-9 ROTATION (judge ask #1): positions 1-7 are the seven
+    # round-8 additions that were oracle-backed but never driver-
+    # checked (registered past the 50-entry window last round) —
+    # key_skew_orders and bitext_mine_emb also carry round-9 code
+    # changes (mergeable approx_percentile; IVF path + query-collect
+    # guard).  8-9 are this round's new/changed entries (video
+    # header-only probe; widened paragraph dedup), 10-11 the scan +
+    # flagship canaries, 12-50 the stalest oracle-backed entries
+    # (driver-green last in r05/r06).  Everything rotated out stays
+    # oracle-checked on every pytest run (tests/test_oracle_parity.py).
+    "ngram_novelty_docs": q_ngram_novelty,
+    "lsh_plan_128": q_lsh_plan,
+    "truncation_recall_emb": q_truncation_recall,
+    "key_skew_orders": q_key_skew,
+    "corpus_diff_docs": q_corpus_diff,
+    "bitext_mine_emb": q_bitext_mine,
+    "k_anonymity_docs": q_k_anonymity,
+    "video_meta_docs": q_video_meta,
+    "paragraph_dedup_docs": q_paragraph_dedup,
+    "full_scan_events": q_full_scan_events,
+    "q1_pricing_summary": q1_pricing_summary,
+    "profile_orders": q_profile_orders,
+    "validate_orders": q_validate_orders,
+    "merge_upsert_orders": q_merge_upsert_orders,
+    "resample_events": q_resample_events,
+    "weekly_retention": q_weekly_retention,
+    "semantic_dedup_keep": q_semantic_dedup,
+    "quantize_embeddings": q_quantize_embeddings,
+    "tfidf_terms_per_source": q_tfidf_terms,
+    "salted_brand_revenue": q_salted_brand_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "running_revenue": q_running_revenue,
+    "order_price_deciles": q_order_price_deciles,
+    "pivot_event_type": q_pivot_event_type,
+    "knn_bruteforce": q_knn_bruteforce,
+    "rollup_region_nation": q_rollup_region_nation,
+    "trailing_week_revenue": q_trailing_week_revenue,
+    "latest_event_per_user": q_latest_event_per_user,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "token_stats": q_token_stats,
+    "top3_parts_per_brand": q_top3_parts_per_brand,
+    "orders_sorted": q_orders_sorted,
+    "top10_orders": q_top10_orders,
+    "knn_ivf_verified": q_knn_ivf_verified,
+    "incremental_events": q_incremental_events,
+    "pack_sequences_docs": q_pack_sequences,
+    "clean_holdout_docs": q_clean_holdout,
+    "dedup_cluster_stats": q_dedup_cluster_stats,
+    "melt_lineitem_metrics": q_melt_lineitem_metrics,
+    "fk_violations_orders": q_fk_violations,
+    "temperature_mixture_docs": q_temperature_mixture,
+    "lm_perplexity_docs": q_lm_perplexity,
+    "remove_dup_spans_docs": q_remove_dup_spans,
+    "incremental_agg_orders": q_incremental_agg_orders,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
+    "histogram_quantile_events": q_histogram_quantile_events,
+    "pseudonymize_events": q_pseudonymize_events,
+    "strip_html_docs": q_strip_html_docs,
+    "heavy_hitter_words": q_heavy_hitter_words,
+    "heavy_hitter_users": q_heavy_hitter_users,
+    # --- end of round-9 driver window (50) ---
     "containment_pairs_docs": q_containment_pairs,
     "canonical_url_docs": q_canonical_url_docs,
     "rank_eval_docs": q_rank_eval,
@@ -3059,8 +3147,6 @@ QUERIES = {
     "domain_filter_docs": q_domain_filter_docs,
     "dsir_weights_docs": q_dsir_weights,
     "dsir_sample_docs": q_dsir_sample,
-    "full_scan_events": q_full_scan_events,
-    "q1_pricing_summary": q1_pricing_summary,
     "asof_purchase_view": q_asof_purchase_view,
     "error_click_window": q_error_click_window,
     "event_value_percentiles": q_event_value_percentiles,
@@ -3068,7 +3154,6 @@ QUERIES = {
     "flatten_props": q_flatten_props,
     "grouping_sets_events": q_grouping_sets_events,
     "language_id": q_language_id,
-    "paragraph_dedup_docs": q_paragraph_dedup,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
@@ -3101,16 +3186,6 @@ QUERIES = {
     "gap_fill_events": q_gap_fill_events,
     "histogram_order_price": q_histogram_order_price,
     "incremental_mapped": q_incremental_mapped,
-    # --- end of round-8 driver window (50) ---
-    # round-8 session additions (oracle-checked on every pytest run;
-    # rotate into the driver window next round)
-    "ngram_novelty_docs": q_ngram_novelty,
-    "lsh_plan_128": q_lsh_plan,
-    "truncation_recall_emb": q_truncation_recall,
-    "key_skew_orders": q_key_skew,
-    "corpus_diff_docs": q_corpus_diff,
-    "bitext_mine_emb": q_bitext_mine,
-    "k_anonymity_docs": q_k_anonymity,
     "bm25_topk_docs": q_bm25_topk,
     "pagerank_suppliers": q_pagerank_suppliers,
     "degrees_suppliers": q_degrees_suppliers,
@@ -3152,22 +3227,6 @@ QUERIES = {
     "simhash_verified_pairs": q_simhash_verified_pairs,
     "jaccard_pairs": q_jaccard_pairs,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
-    "incremental_events": q_incremental_events,
-    "pack_sequences_docs": q_pack_sequences,
-    "clean_holdout_docs": q_clean_holdout,
-    "dedup_cluster_stats": q_dedup_cluster_stats,
-    "melt_lineitem_metrics": q_melt_lineitem_metrics,
-    "fk_violations_orders": q_fk_violations,
-    "temperature_mixture_docs": q_temperature_mixture,
-    "lm_perplexity_docs": q_lm_perplexity,
-    "remove_dup_spans_docs": q_remove_dup_spans,
-    "incremental_agg_orders": q_incremental_agg_orders,
-    "snapshot_diff_orders": q_snapshot_diff_orders,
-    "histogram_quantile_events": q_histogram_quantile_events,
-    "pseudonymize_events": q_pseudonymize_events,
-    "strip_html_docs": q_strip_html_docs,
-    "heavy_hitter_words": q_heavy_hitter_words,
-    "heavy_hitter_users": q_heavy_hitter_users,
     "scd2_customer_orders": q_scd2_customer_orders,
     "weighted_sample_docs": q_weighted_sample_docs,
     "normalize_docs": q_normalize_docs,
@@ -3195,29 +3254,6 @@ QUERIES = {
     "q9_product_profit": q9_product_profit,
     "q11_important_parts": q11_important_parts,
     "q12_shipmode_priority": q12_shipmode_priority,
-    "profile_orders": q_profile_orders,
-    "validate_orders": q_validate_orders,
-    "merge_upsert_orders": q_merge_upsert_orders,
-    "resample_events": q_resample_events,
-    "weekly_retention": q_weekly_retention,
-    "semantic_dedup_keep": q_semantic_dedup,
-    "quantize_embeddings": q_quantize_embeddings,
-    "tfidf_terms_per_source": q_tfidf_terms,
-    "salted_brand_revenue": q_salted_brand_revenue,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "running_revenue": q_running_revenue,
-    "order_price_deciles": q_order_price_deciles,
-    "pivot_event_type": q_pivot_event_type,
-    "knn_bruteforce": q_knn_bruteforce,
-    "rollup_region_nation": q_rollup_region_nation,
-    "trailing_week_revenue": q_trailing_week_revenue,
-    "latest_event_per_user": q_latest_event_per_user,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "token_stats": q_token_stats,
-    "top3_parts_per_brand": q_top3_parts_per_brand,
-    "orders_sorted": q_orders_sorted,
-    "top10_orders": q_top10_orders,
-    "knn_ivf_verified": q_knn_ivf_verified,
     "approx_distinct_users": q_approx_distinct_users,
     "pca_project_embeddings": q_pca_project_embeddings,
     "minhash_pairs": q_minhash_pairs,
@@ -5060,6 +5096,21 @@ ORACLES = {
                     % 64 AS INTEGER) AS height,
                CAST(3 AS INTEGER) AS channels
         FROM documents""",
+    "video_meta_docs": """
+        -- The Spark side ASSEMBLES a real MP4 container per doc (dims/
+        -- duration planted from doc_id) and PARSES it back with the
+        -- ISO-BMFF box walk; the oracle recomputes the planted values
+        -- arithmetically, so any probe mis-parse breaks the match.
+        SELECT doc_id,
+               'mp4' AS container,
+               CAST(CASE doc_id % 4 WHEN 2 THEN 1280 ELSE 1920 END
+                    AS INTEGER) AS width,
+               CAST(CASE doc_id % 4 WHEN 2 THEN 720 ELSE 1080 END
+                    AS INTEGER) AS height,
+               CAST(doc_id % 300 + 0.5 AS DOUBLE) AS duration_s,
+               'avc1' AS video_codec
+        FROM documents
+        WHERE doc_id % 4 IN (2, 3) AND doc_id % 300 <= 119""",
     "vocab_topk_docs": r"""
         SELECT token, count(*) AS occurrences,
                count(DISTINCT doc_id) AS doc_freq

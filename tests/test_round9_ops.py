@@ -177,6 +177,82 @@ def test_bitext_mine_ivf_matches_bruteforce(spark):
     assert few.count() <= len(exact) + 5  # sanity: bounded output
 
 
+# ----------------------------------------------- video header-only probes
+
+VIDDIR = os.path.join(os.path.dirname(__file__), "fixtures", "video")
+
+
+def test_video_metadata_mp4_fixture():
+    from tap_airbyte_wrapper_spark.functions import video_metadata
+
+    got = video_metadata(open(os.path.join(VIDDIR, "tiny.mp4"), "rb").read())
+    assert got == {"container": "mp4", "duration_s": 12.345, "width": 640,
+                   "height": 360, "video_codec": "avc1",
+                   "n_video_tracks": 1, "n_audio_tracks": 1}
+
+
+@pytest.mark.parametrize("name,container,codec", [
+    ("tiny.mkv", "matroska", "V_MPEG4/ISO/AVC"),
+    ("tiny.webm", "webm", "V_VP9"),
+])
+def test_video_metadata_matroska_fixtures(name, container, codec):
+    from tap_airbyte_wrapper_spark.functions import video_metadata
+
+    got = video_metadata(open(os.path.join(VIDDIR, name), "rb").read())
+    assert got == {"container": container, "duration_s": 7.5, "width": 320,
+                   "height": 240, "video_codec": codec,
+                   "n_video_tracks": 1, "n_audio_tracks": 1}
+
+
+def test_video_metadata_degrades_and_rejects():
+    from tap_airbyte_wrapper_spark.functions import video_metadata
+
+    mp4 = open(os.path.join(VIDDIR, "tiny.mp4"), "rb").read()
+    # moov truncated away: container recognized, stream fields null
+    head = video_metadata(mp4[:20])
+    assert head["container"] == "mp4" and head["width"] is None
+    assert video_metadata(None) is None
+    assert video_metadata(b"\x00" * 64) is None
+    jpg = open(os.path.join(FIXDIR, "jpeg_gt_444_q90.jpg"), "rb").read()
+    assert video_metadata(jpg) is None  # not a video container
+
+
+def test_video_metadata_roundtrips_mp4_stub():
+    from tap_airbyte_wrapper_spark.functions import mp4_stub, video_metadata
+
+    got = video_metadata(mp4_stub(1920, 1080, 63500, codec="hvc1"))
+    assert (got["width"], got["height"]) == (1920, 1080)
+    assert got["duration_s"] == 63.5
+    assert got["video_codec"] == "hvc1"
+    assert got["n_video_tracks"] == 1 and got["n_audio_tracks"] == 0
+
+
+def test_with_media_metadata_fills_video_meta(spark):
+    """The round-9 'done' bar: with_media_metadata fills dims/duration
+    for video assets from header probes alone (and image dims for
+    image assets) into the bundle's meta map."""
+    from tap_airbyte_wrapper_spark.functions import with_media_metadata
+
+    mp4 = open(os.path.join(VIDDIR, "tiny.mp4"), "rb").read()
+    png_like = open(os.path.join(FIXDIR, "jpeg_gt_420_q75.jpg"),
+                    "rb").read()
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(png_like)), (3, b"junk")],
+        "id long, payload binary")
+    out = {r.id: r.media_bundle
+           for r in with_media_metadata(df, "payload", "video/mp4")
+           .collect()}
+    meta1 = out[1]["meta"]
+    assert meta1["container"] == "mp4"
+    assert meta1["duration_s"] == "12.345"
+    assert meta1["width"] == "640" and meta1["height"] == "360"
+    assert meta1["video_codec"] == "avc1"
+    meta2 = out[2]["meta"]  # image header probe fallback
+    assert meta2 == {"width": "64", "height": "48"}
+    assert out[3]["meta"] == {}
+    assert out[1]["media_hash"] is not None and out[1]["size_bytes"] > 0
+
+
 # --------------------------------------------------- tombstone id-col guard
 
 def test_record_tombstones_selects_id_col_by_name(spark, tmp_path):
