@@ -414,6 +414,34 @@ def bm25_index_replace(
     bm25_index_append(delta, table_name, id_col, text_col)
 
 
+def bm25_index_sync(
+    new_corpus: DataFrame,
+    diff: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Drive index maintenance from a :func:`..corpus.corpus_diff`
+    churn report — the composition the two layers exist for: ``added``
+    / ``changed`` docs REPLACE (tombstone + re-append), ``removed``
+    ids DELETE, ``unchanged`` docs cost nothing.  Total cost is
+    O(churn), never O(corpus): the upsert set semi-joins out of the
+    new corpus on id, and both maintenance ops are tombstone appends +
+    churn-sized postings inserts.  Post-sync search equals a
+    from-scratch index built on the new corpus (pinned by the
+    composition test)."""
+    spark = new_corpus.sparkSession
+    upsert_ids = (diff.filter(F.col("status").isin("added", "changed"))
+                  .select(id_col))
+    removed_ids = diff.filter(F.col("status") == "removed").select(id_col)
+    upserts = new_corpus.join(upsert_ids, id_col, "left_semi")
+    if upserts.limit(1).count():
+        bm25_index_replace(upserts, table_name, path, id_col, text_col)
+    if removed_ids.limit(1).count():
+        bm25_index_delete(spark, table_name, path, removed_ids)
+
+
 def bm25_index_compact(
     spark,
     table_name: str,

@@ -1140,11 +1140,25 @@ def q_corpus_curation(spark, sf_dir):
 
 
 def q_paragraph_dedup(spark, sf_dir):
-    """Corpus-wide first-occurrence unit dedup (C4-style paragraph dedup;
-    the synthetic docs have no paragraph breaks, so the unit here is the
-    word — same plan: explode -> global winner agg -> reassemble)."""
-    return paragraph_dedup(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", sep=" ")
+    """Corpus-wide first-occurrence paragraph dedup (C4/RefinedWeb
+    boilerplate removal).  The synthetic docs have no paragraph breaks,
+    so each doc is restructured into 8-word paragraphs plus one SHARED
+    boilerplate paragraph appended to every doc — the classic "subscribe
+    to our newsletter" case: dedup keeps the boilerplate only in its
+    first-occurrence doc and every doc's own unique paragraphs survive
+    (widened from the round-8 word-unit entry whose driver check
+    covered 4 rows; this one covers the whole corpus)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "))
+    structured = docs.select(
+        "doc_id",
+        F.concat(F.array_join(paras, "\n"), F.lit("\n"),
+                 F.lit("subscribe to our newsletter now")).alias("text"))
+    return paragraph_dedup(structured, "doc_id", "text", sep="\n")
 
 
 def q_jaccard_pairs(spark, sf_dir):
@@ -4207,18 +4221,27 @@ ORACLES = {
                     ELSE len(regexp_extract_all(trim(k.text), '\\S+'))
                     END AS BIGINT) AS n_tokens
         FROM kept k JOIN ded ON k.doc_id = ded.doc_id""",
-    "paragraph_dedup_docs": """
-        WITH p AS (
-          SELECT doc_id, i AS pos, w[i] AS para
-          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-               UNNEST(generate_series(1, len(w))) AS t(i)
-          WHERE trim(w[i]) != ''
-        ), kept AS (
+    "paragraph_dedup_docs": r"""
+        WITH w AS (
+          SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w
+          FROM documents),
+        p AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(w[(i-1)*8+1 : least(i*8, len(w))], ' ')
+                   AS para
+          FROM w,
+               UNNEST(generate_series(
+                 1, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(i)
+          UNION ALL
+          SELECT doc_id,
+                 CAST(ceil(len(w) / 8.0) AS BIGINT) AS pos,
+                 'subscribe to our newsletter now' AS para
+          FROM w),
+        kept AS (
           SELECT doc_id, pos, para, row_number() OVER (
             PARTITION BY para ORDER BY doc_id, pos) AS rn
-          FROM p
-        )
-        SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
+          FROM p WHERE trim(para) != '')
+        SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
         FROM kept WHERE rn = 1 GROUP BY doc_id""",
     "jaccard_pairs": f"""
         WITH aug AS (
