@@ -122,14 +122,32 @@ def mp4_stub_payload(width: Column, height: Column,
     return build(width, height, duration_ms)
 
 
+def wav_stub_payload(sample_rate: Column, channels: Column,
+                     n_frames: Column) -> Column:
+    """Per-row RIFF/WAVE headers (see :func:`.audio_meta.wav_stub`) —
+    deterministic fake audio assets for probe/gate plumbing tests."""
+    from .audio_meta import wav_stub
+
+    @pandas_udf("binary")
+    def build(sr: pd.Series, ch: pd.Series, n: pd.Series) -> pd.Series:
+        return pd.Series([
+            wav_stub(int(a), int(b), int(c))
+            for a, b, c in zip(sr, ch, n)])
+
+    return build(sample_rate, channels, n_frames)
+
+
 def probe_media_meta(col: Column) -> Column:
     """``map<string,string>`` of header-probe results for a binary
-    payload: image dims (``width``/``height``) or video container
-    metadata (``container``/``duration_s``/``width``/``height``/
-    ``video_codec``/``n_video_tracks``/``n_audio_tracks``).  Values are
-    stringified for the open-ended meta map; absent keys mean the probe
-    did not recognize the container.  Arrow pandas UDF, one pass, zero
+    payload: video container metadata (``container``/``duration_s``/
+    ``width``/``height``/``video_codec``/``n_video_tracks``/
+    ``n_audio_tracks``), audio container metadata (``container``/
+    ``codec``/``sample_rate``/``channels``/``duration_s``/
+    ``duration_exact``), or image dims (``width``/``height``).  Values
+    are stringified for the open-ended meta map; absent keys mean no
+    probe recognized the container.  Arrow pandas UDF, one pass, zero
     shuffle."""
+    from . import audio_meta as _audio
     from . import video as _video
 
     @pandas_udf("map<string,string>")
@@ -138,15 +156,23 @@ def probe_media_meta(col: Column) -> Column:
         for p in payloads:
             b = bytes(p) if p is not None else None
             entries: dict[str, str] = {}
-            got = _video.video_metadata(b) if b else None
+            got = None
+            dims = None
+            if b:
+                # magic-exact probes first; the MP3 sync scan inside
+                # audio_metadata is heuristic, so images must not
+                # reach it
+                got = _video.video_metadata(b)
+                if got is None:
+                    dims = _codecs.image_dimensions(b)
+                if got is None and dims is None:
+                    got = _audio.audio_metadata(b)
             if got is not None:
                 entries = {k: str(v) for k, v in got.items()
                            if v is not None}
-            else:
-                dims = _codecs.image_dimensions(b)
-                if dims is not None:
-                    entries = {"width": str(dims[0]),
-                               "height": str(dims[1])}
+            elif dims is not None:
+                entries = {"width": str(dims[0]),
+                           "height": str(dims[1])}
             out.append(entries)
         return pd.Series(out)
 

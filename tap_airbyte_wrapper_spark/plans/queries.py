@@ -1785,6 +1785,42 @@ def q_video_meta(spark, sf_dir):
     )
 
 
+def q_audio_meta(spark, sf_dir):
+    """Audio asset-inventory gate, header-only (the audio sibling of
+    video_meta_docs): per-doc deterministic WAV headers (sample rate /
+    channels / declared frame count planted from doc_id) assembled and
+    re-parsed executor-side by the RIFF probe (functions/audio_meta.py
+    — declared sizes only, no sample decode), filtered to >=16 kHz
+    clips up to 10 s — a speech-curation admission gate.  Oracle
+    recomputes the planted attributes arithmetically."""
+    from ..functions.multimodal import probe_media_meta, wav_stub_payload
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sr = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+        (F.col("doc_id") % 4 + 1).cast("int"))
+    nch = (F.col("doc_id") % 2 + 1).cast("int")
+    # k half-seconds -> n_frames = sr*k/2 (integral for all four rates)
+    k = (F.col("doc_id") % 30 + 1).cast("int")
+    n_frames = (sr * k / 2).cast("long")
+    probed = docs.select(
+        "doc_id",
+        probe_media_meta(wav_stub_payload(sr, nch, n_frames)).alias("m"))
+    return (
+        probed.select(
+            "doc_id",
+            F.element_at("m", "container").alias("container"),
+            F.element_at("m", "codec").alias("codec"),
+            F.element_at("m", "sample_rate").cast("int")
+            .alias("sample_rate"),
+            F.element_at("m", "channels").cast("int").alias("channels"),
+            F.element_at("m", "duration_s").cast("double")
+            .alias("duration_s"))
+        .filter((F.col("sample_rate") >= 16000)
+                & (F.col("duration_s") <= 10.0))
+    )
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Per-source characteristic vocabulary by tf-idf: explode ->
     (group, term) partial-agg -> term-level group-frequency reuse ->
@@ -3110,6 +3146,7 @@ QUERIES = {
     "bitext_mine_emb": q_bitext_mine,
     "k_anonymity_docs": q_k_anonymity,
     "video_meta_docs": q_video_meta,
+    "audio_meta_docs": q_audio_meta,
     "paragraph_dedup_docs": q_paragraph_dedup,
     "full_scan_events": q_full_scan_events,
     "q1_pricing_summary": q1_pricing_summary,
@@ -3151,8 +3188,8 @@ QUERIES = {
     "pseudonymize_events": q_pseudonymize_events,
     "strip_html_docs": q_strip_html_docs,
     "heavy_hitter_words": q_heavy_hitter_words,
-    "heavy_hitter_users": q_heavy_hitter_users,
     # --- end of round-9 driver window (50) ---
+    "heavy_hitter_users": q_heavy_hitter_users,
     "containment_pairs_docs": q_containment_pairs,
     "canonical_url_docs": q_canonical_url_docs,
     "rank_eval_docs": q_rank_eval,
@@ -5134,6 +5171,18 @@ ORACLES = {
                'avc1' AS video_codec
         FROM documents
         WHERE doc_id % 4 IN (2, 3) AND doc_id % 300 <= 119""",
+    "audio_meta_docs": """
+        -- Spark assembles a real RIFF/WAVE header per doc and re-parses
+        -- it with the audio probe; the oracle recomputes the planted
+        -- attributes arithmetically (see video_meta_docs).
+        SELECT doc_id,
+               'wav' AS container, 'pcm' AS codec,
+               CAST(CASE doc_id % 4 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                    ELSE 44100 END AS INTEGER) AS sample_rate,
+               CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+               CAST((doc_id % 30 + 1) / 2.0 AS DOUBLE) AS duration_s
+        FROM documents
+        WHERE doc_id % 4 >= 1 AND doc_id % 30 <= 19""",
     "vocab_topk_docs": r"""
         SELECT token, count(*) AS occurrences,
                count(DISTINCT doc_id) AS doc_freq
