@@ -47,6 +47,8 @@ from .quality import (
     numeric_histogram,
     key_skew_profile,
     k_anonymity,
+    cohen_kappa,
+    fleiss_kappa,
     partition_skew_report,
     profile_table,
     snapshot_diff,
@@ -71,7 +73,7 @@ __all__ = [
     "detect_anomalies",
     "profile_table", "Expectation", "validate_expectations",
     "snapshot_diff",
-    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "k_anonymity",
+    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "k_anonymity",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

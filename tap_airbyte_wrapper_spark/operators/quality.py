@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["profile_table", "Expectation", "validate_expectations",
            "key_skew_profile", "k_anonymity",
+           "cohen_kappa", "fleiss_kappa",
            "numeric_histogram", "column_correlations",
            "partition_skew_report", "parquet_file_stats",
            "snapshot_diff", "distribution_drift"]
@@ -477,6 +478,131 @@ def k_anonymity(
             "n_groups", "n_violating_groups", "rows_at_risk",
             F.round(F.col("rows_at_risk") / F.col("__tot"), 6)
             .alias("risk_frac"))
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Chance-corrected agreement between TWO annotators over the same
+    items (Cohen 1960) — the label-quality audit an RLHF / supervised
+    curation pipeline runs before trusting its annotation stream.  Raw
+    percent agreement rewards annotators who spam the majority label;
+    kappa subtracts the agreement their marginal label rates would
+    produce by chance: ``kappa = (po - pe) / (1 - pe)`` with
+    ``pe = sum_k p_a(k) * p_b(k)``.
+
+    Input: one row per doubly-annotated item carrying both labels
+    (rows with a null on either side are dropped — unannotated items
+    don't vote).  Output: ONE row — ``(n_items, po, pe, kappa)``,
+    ``kappa`` null for the degenerate ``pe == 1`` case (both raters
+    constant on the same label).
+
+    Plan: one partial-agg pass for (n, agreements) + one per-label
+    marginal count per side; the marginal tables are
+    label-cardinality-sized, their join and the final arithmetic are
+    metadata-scale.  No collect, no window, all mergeable."""
+    pairs = df.filter(F.col(rater_a_col).isNotNull()
+                      & F.col(rater_b_col).isNotNull())
+    base = pairs.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.count(F.when(F.col(rater_a_col) == F.col(rater_b_col), 1))
+        .alias("__agree"))
+    ca = pairs.groupBy(F.col(rater_a_col).alias("__lbl")).agg(
+        F.count(F.lit(1)).alias("__na"))
+    cb = pairs.groupBy(F.col(rater_b_col).alias("__lbl")).agg(
+        F.count(F.lit(1)).alias("__nb"))
+    chance = (
+        ca.join(cb, "__lbl", "full_outer")
+        .agg(F.coalesce(
+            F.sum(F.coalesce(F.col("__na"), F.lit(0))
+                  * F.coalesce(F.col("__nb"), F.lit(0))),
+            F.lit(0)).alias("__pe_num"))
+    )
+    return (
+        base.crossJoin(F.broadcast(chance))
+        .select(
+            "n_items",
+            F.round(F.col("__agree") / F.col("n_items"), 6).alias("po"),
+            F.round(F.col("__pe_num")
+                    / (F.col("n_items") * F.col("n_items")), 6)
+            .alias("pe"),
+            F.round(
+                F.when(
+                    F.col("__pe_num")
+                    < F.col("n_items") * F.col("n_items"),
+                    (F.col("__agree") / F.col("n_items")
+                     - F.col("__pe_num")
+                     / (F.col("n_items") * F.col("n_items")))
+                    / (F.lit(1.0) - F.col("__pe_num")
+                       / (F.col("n_items") * F.col("n_items")))),
+                6).alias("kappa"))
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Chance-corrected agreement for N annotators per item (Fleiss
+    1971) — the multi-rater generalization of :func:`cohen_kappa` for
+    annotation pools where raters are interchangeable.  Input: one row
+    per (item, rating); every item must carry the SAME number of
+    ratings ``n`` (the statistic is undefined otherwise — raise rather
+    than silently mis-weight).  Output: ONE row —
+    ``(n_items, n_raters, p_bar, pe, kappa)`` with
+    ``P_i = (sum_k n_ik^2 - n) / (n (n-1))``, ``p_bar = mean_i P_i``,
+    ``pe = sum_k p_k^2``.
+
+    Plan: per-(item,label) counts (partial-agg), rolled to per-item
+    ``sum n_ik^2`` and to per-label totals — both category/item-bounded
+    aggregates, no window, no collect beyond the one summary row.  All
+    accumulation is INTEGER (``sum n_ik^2`` etc.) with exactly one
+    float division per statistic, so the result is bit-deterministic
+    across partitionings and engines (a float ``avg`` of per-item
+    ratios would not be)."""
+    counts = (df.groupBy(F.col(item_col).alias("__it"),
+                         F.col(label_col).alias("__lbl"))
+              .agg(F.count(F.lit(1)).alias("__nik")))
+    per_item = counts.groupBy("__it").agg(
+        F.sum("__nik").alias("__n"),
+        F.sum(F.col("__nik") * F.col("__nik")).alias("__sq"))
+    shape = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("__n").alias("__nmin"), F.max("__n").alias("__nmax"),
+        F.sum("__n").alias("__tot"),
+        F.sum("__sq").alias("__ssq"))
+    row = shape.first()
+    if row["n_items"] == 0:
+        raise ValueError("fleiss_kappa: no ratings")
+    if row["__nmin"] != row["__nmax"]:
+        raise ValueError(
+            f"fleiss_kappa: items carry between {row['__nmin']} and "
+            f"{row['__nmax']} ratings; the statistic requires a "
+            "constant rater count per item (filter or subsample first)")
+    n = int(row["__nmin"])
+    if n < 2:
+        raise ValueError("fleiss_kappa: need >= 2 ratings per item")
+    # p_bar = mean_i (sum_k n_ik^2 - n) / (n (n-1)); with constant n
+    # the mean collapses to one exact-integer ratio.
+    p_bar = (int(row["__ssq"]) - int(row["__tot"])) \
+        / float(n * (n - 1) * int(row["n_items"]))
+    pe = (counts.groupBy("__lbl").agg(F.sum("__nik").alias("__nk"))
+          .agg((F.sum(F.col("__nk") * F.col("__nk"))
+                / F.lit(float(int(row["__tot"]) ** 2))).alias("pe")))
+    return (
+        pe.select(
+            F.lit(row["n_items"]).cast("long").alias("n_items"),
+            F.lit(n).cast("int").alias("n_raters"),
+            F.round(F.lit(p_bar), 6).alias("p_bar"),
+            F.round("pe", 6).alias("pe"),
+            F.round(F.when(F.col("pe") < 1.0,
+                           (F.lit(p_bar) - F.col("pe"))
+                           / (F.lit(1.0) - F.col("pe"))), 6)
+            .alias("kappa"))
     )
 
 

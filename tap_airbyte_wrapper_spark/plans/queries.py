@@ -1785,6 +1785,46 @@ def q_video_meta(spark, sf_dir):
     )
 
 
+def q_cohen_kappa(spark, sf_dir):
+    """Annotator-agreement audit (Cohen's kappa): rater A is the
+    document's lang label; rater B is the same label with a planted
+    deterministic disagreement (every 7th doc reads as 'en', every
+    11th as null = unannotated).  The table an annotation pipeline
+    reads before trusting a labeling vendor — chance-corrected, so
+    majority-label spamming scores near 0, not near the raw
+    percent-agreement."""
+    from ..operators import cohen_kappa
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("rater_a"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+        .when(F.col("doc_id") % 7 == 0, F.lit("en"))
+        .otherwise(F.col("lang")).alias("rater_b"))
+    return cohen_kappa(docs, "rater_a", "rater_b")
+
+
+def q_fleiss_kappa(spark, sf_dir):
+    """Multi-rater agreement (Fleiss' kappa) over a 3-annotator pool:
+    each document is labeled three times — the true lang, plus two
+    raters with independent planted error patterns (every 7th doc ->
+    'en', every 5th -> 'zh').  One row per (item, rating) in, one
+    summary row out."""
+    from ..operators import fleiss_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    r1 = docs.select("doc_id", F.col("lang").alias("label"))
+    r2 = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("en"))
+        .otherwise(F.col("lang")).alias("label"))
+    r3 = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("zh"))
+        .otherwise(F.col("lang")).alias("label"))
+    ratings = r1.unionByName(r2).unionByName(r3)
+    return fleiss_kappa(ratings, "doc_id", "label")
+
+
 def q_audio_meta(spark, sf_dir):
     """Audio asset-inventory gate, header-only (the audio sibling of
     video_meta_docs): per-doc deterministic WAV headers (sample rate /
@@ -3147,6 +3187,8 @@ QUERIES = {
     "k_anonymity_docs": q_k_anonymity,
     "video_meta_docs": q_video_meta,
     "audio_meta_docs": q_audio_meta,
+    "cohen_kappa_docs": q_cohen_kappa,
+    "fleiss_kappa_docs": q_fleiss_kappa,
     "paragraph_dedup_docs": q_paragraph_dedup,
     "full_scan_events": q_full_scan_events,
     "q1_pricing_summary": q1_pricing_summary,
@@ -3186,9 +3228,9 @@ QUERIES = {
     "snapshot_diff_orders": q_snapshot_diff_orders,
     "histogram_quantile_events": q_histogram_quantile_events,
     "pseudonymize_events": q_pseudonymize_events,
+    # --- end of round-9 driver window (50) ---
     "strip_html_docs": q_strip_html_docs,
     "heavy_hitter_words": q_heavy_hitter_words,
-    # --- end of round-9 driver window (50) ---
     "heavy_hitter_users": q_heavy_hitter_users,
     "containment_pairs_docs": q_containment_pairs,
     "canonical_url_docs": q_canonical_url_docs,
@@ -5171,6 +5213,59 @@ ORACLES = {
                'avc1' AS video_codec
         FROM documents
         WHERE doc_id % 4 IN (2, 3) AND doc_id % 300 <= 119""",
+    "cohen_kappa_docs": """
+        WITH p AS (
+          SELECT lang AS a,
+                 CASE WHEN doc_id % 11 = 0 THEN NULL
+                      WHEN doc_id % 7 = 0 THEN 'en'
+                      ELSE lang END AS b
+          FROM documents),
+        f AS (SELECT a, b FROM p WHERE a IS NOT NULL AND b IS NOT NULL),
+        base AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+          FROM f),
+        ca AS (SELECT a AS l, count(*) AS na FROM f GROUP BY 1),
+        cb AS (SELECT b AS l, count(*) AS nb FROM f GROUP BY 1),
+        ch AS (
+          SELECT coalesce(sum(coalesce(na, 0) * coalesce(nb, 0)), 0)
+                   AS pen
+          FROM ca FULL OUTER JOIN cb USING (l))
+        SELECT CAST(n AS BIGINT) AS n_items,
+               round(agree / CAST(n AS DOUBLE), 6) AS po,
+               round(pen / CAST(n AS DOUBLE) / n, 6) AS pe,
+               round((agree / CAST(n AS DOUBLE)
+                      - pen / CAST(n AS DOUBLE) / n)
+                     / (1 - pen / CAST(n AS DOUBLE) / n), 6) AS kappa
+        FROM base, ch""",
+    "fleiss_kappa_docs": """
+        WITH r AS (
+          SELECT doc_id, lang AS label FROM documents
+          UNION ALL
+          SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'en'
+                              ELSE lang END FROM documents
+          UNION ALL
+          SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'zh'
+                              ELSE lang END FROM documents),
+        c AS (SELECT doc_id, label, count(*) AS nik FROM r GROUP BY 1, 2),
+        pi AS (SELECT doc_id, sum(nik) AS n, sum(nik * nik) AS sq
+               FROM c GROUP BY 1),
+        s AS (SELECT count(*) AS n_items, min(n) AS nr, sum(n) AS tot,
+                     sum(sq) AS ssq FROM pi),
+        pk AS (SELECT sum(nk * nk) AS sk
+               FROM (SELECT label, sum(nik) AS nk FROM c GROUP BY 1))
+        SELECT CAST(s.n_items AS BIGINT) AS n_items,
+               CAST(s.nr AS INTEGER) AS n_raters,
+               round((s.ssq - s.tot)
+                     / CAST(s.nr * (s.nr - 1) * s.n_items AS DOUBLE), 6)
+                 AS p_bar,
+               round(pk.sk / CAST(s.tot * s.tot AS DOUBLE), 6) AS pe,
+               round(((s.ssq - s.tot)
+                      / CAST(s.nr * (s.nr - 1) * s.n_items AS DOUBLE)
+                      - pk.sk / CAST(s.tot * s.tot AS DOUBLE))
+                     / (1 - pk.sk / CAST(s.tot * s.tot AS DOUBLE)), 6)
+                 AS kappa
+        FROM s, pk""",
     "audio_meta_docs": """
         -- Spark assembles a real RIFF/WAVE header per doc and re-parses
         -- it with the audio probe; the oracle recomputes the planted

@@ -421,6 +421,62 @@ def test_corpus_diff_drives_bm25_maintenance(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
 
 
+# ------------------------------------------------ annotator agreement
+
+def test_cohen_kappa_textbook_values(spark):
+    """The classic 2x2 worked example: po=0.7, pe=0.5, kappa=0.4 —
+    hand-computed, so a formula error can't hide behind the shared
+    Spark/oracle implementation."""
+    from tap_airbyte_wrapper_spark.operators import cohen_kappa
+
+    rows = ([("yes", "yes")] * 20 + [("no", "no")] * 15
+            + [("yes", "no")] * 10 + [("no", "yes")] * 5)
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = cohen_kappa(df, "a", "b").first()
+    assert got.n_items == 50
+    assert got.po == 0.7 and got.pe == 0.5 and got.kappa == 0.4
+
+
+def test_cohen_kappa_null_and_degenerate(spark):
+    from tap_airbyte_wrapper_spark.operators import cohen_kappa
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", "x"), ("x", None)], "a string, b string")
+    got = cohen_kappa(df, "a", "b").first()
+    assert got.n_items == 2          # the null-side row doesn't vote
+    assert got.po == 1.0 and got.pe == 1.0
+    assert got.kappa is None         # pe == 1: undefined, not 0/0
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    """3 items x 3 raters: P = {1, 1/3, 1}, p_bar = 7/9; totals A=5
+    B=4 -> pe = 41/81; kappa = 22/40 = 0.55."""
+    from tap_airbyte_wrapper_spark.operators import fleiss_kappa
+
+    rows = [(1, "A"), (1, "A"), (1, "A"),
+            (2, "A"), (2, "A"), (2, "B"),
+            (3, "B"), (3, "B"), (3, "B")]
+    df = spark.createDataFrame(rows, "item long, label string")
+    got = fleiss_kappa(df, "item", "label").first()
+    assert got.n_items == 3 and got.n_raters == 3
+    assert got.p_bar == pytest.approx(round(7 / 9, 6))
+    assert got.pe == pytest.approx(round(41 / 81, 6))
+    assert got.kappa == pytest.approx(round(22 / 40, 6))
+
+
+def test_fleiss_kappa_rejects_ragged_and_single(spark):
+    from tap_airbyte_wrapper_spark.operators import fleiss_kappa
+
+    ragged = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A")], "item long, label string")
+    with pytest.raises(ValueError, match="between 1 and 2"):
+        fleiss_kappa(ragged, "item", "label")
+    single = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "item long, label string")
+    with pytest.raises(ValueError, match=">= 2 ratings"):
+        fleiss_kappa(single, "item", "label")
+
+
 # --------------------------------------------------- tombstone id-col guard
 
 def test_record_tombstones_selects_id_col_by_name(spark, tmp_path):
