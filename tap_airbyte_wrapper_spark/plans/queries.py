@@ -1785,6 +1785,27 @@ def q_video_meta(spark, sf_dir):
     )
 
 
+_BLOCKLIST = ["merge table", "slow query", "fast scan", "hash join",
+              "stream group", "big data", "vector index"]
+
+
+def q_phrase_blocklist(spark, sf_dir):
+    """Banned-phrase audit (the flagged view of the blocklist gate):
+    one Aho-Corasick pass per doc against the phrase list — O(text),
+    independent of blocklist size, where a contains-chain or regex
+    alternation is O(phrases x text).  Output: flagged docs with hit
+    count and the sorted matched phrases."""
+    from ..functions import phrase_blocklist_filter
+
+    flagged = phrase_blocklist_filter(
+        _t(spark, sf_dir, "documents"), _BLOCKLIST, "text",
+        keep="flagged")
+    return flagged.select(
+        "doc_id",
+        F.size("__hits").alias("n_hits"),
+        F.array_join("__hits", ",").alias("hits_csv"))
+
+
 def q_cohen_kappa(spark, sf_dir):
     """Annotator-agreement audit (Cohen's kappa): rater A is the
     document's lang label; rater B is the same label with a planted
@@ -3187,6 +3208,7 @@ QUERIES = {
     "k_anonymity_docs": q_k_anonymity,
     "video_meta_docs": q_video_meta,
     "audio_meta_docs": q_audio_meta,
+    "phrase_blocklist_docs": q_phrase_blocklist,
     "cohen_kappa_docs": q_cohen_kappa,
     "fleiss_kappa_docs": q_fleiss_kappa,
     "paragraph_dedup_docs": q_paragraph_dedup,
@@ -3227,8 +3249,8 @@ QUERIES = {
     "incremental_agg_orders": q_incremental_agg_orders,
     "snapshot_diff_orders": q_snapshot_diff_orders,
     "histogram_quantile_events": q_histogram_quantile_events,
-    "pseudonymize_events": q_pseudonymize_events,
     # --- end of round-9 driver window (50) ---
+    "pseudonymize_events": q_pseudonymize_events,
     "strip_html_docs": q_strip_html_docs,
     "heavy_hitter_words": q_heavy_hitter_words,
     "heavy_hitter_users": q_heavy_hitter_users,
@@ -5213,6 +5235,16 @@ ORACLES = {
                'avc1' AS video_codec
         FROM documents
         WHERE doc_id % 4 IN (2, 3) AND doc_id % 300 <= 119""",
+    "phrase_blocklist_docs": """
+        SELECT doc_id, len(h) AS n_hits, array_to_string(h, ',') AS hits_csv
+        FROM (
+          SELECT doc_id,
+                 list_sort(list_filter(
+                   ['merge table', 'slow query', 'fast scan', 'hash join',
+                    'stream group', 'big data', 'vector index'],
+                   p -> contains(lower(text), p))) AS h
+          FROM documents)
+        WHERE len(h) > 0""",
     "cohen_kappa_docs": """
         WITH p AS (
           SELECT lang AS a,

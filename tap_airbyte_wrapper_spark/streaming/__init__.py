@@ -18,7 +18,9 @@ from .index_maint import (stream_bm25_index_maintenance,
 from .similarity import stream_embedding_gate
 from .selection import (read_reservoir, stream_dsir_gate,
                         stream_novelty_gate,
-                        stream_quality_gate, stream_reservoir_sample)
+                        stream_quality_gate, stream_media_gate,
+                        media_admission_condition,
+                        stream_reservoir_sample)
 from .trending import read_heavy_hitters, stream_heavy_hitters
 from .stats import append_gate_stats, read_gate_stats
 from .drift import reference_profile, stream_drift_monitor, embedding_reference_mean, stream_embedding_drift
@@ -40,6 +42,8 @@ __all__ = [
     "stream_reservoir_sample",
     "read_reservoir",
     "stream_quality_gate",
+    "stream_media_gate",
+    "media_admission_condition",
     "stream_heavy_hitters",
     "read_heavy_hitters",
     "append_gate_stats",

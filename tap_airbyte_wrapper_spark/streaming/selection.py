@@ -31,7 +31,8 @@ from ..functions.dsir import dsir_score, load_dsir
 from .stats import append_gate_stats
 
 __all__ = ["stream_dsir_gate", "stream_reservoir_sample",
-           "stream_quality_gate", "read_reservoir",
+           "stream_quality_gate", "stream_media_gate",
+           "media_admission_condition", "read_reservoir",
            "stream_novelty_gate"]
 
 
@@ -56,11 +57,13 @@ def stream_novelty_gate(
     that exact/near-dup gates don't catch (a doc can be 80% re-pasted
     spans without any single fingerprint or MinHash band matching).
 
-    Replay safety: the gram index records each gram's first OWNER, and
-    the probe counts a gram as seen only when some owner OUTSIDE the
-    probing batch holds it — so a replayed batch (its grams already
-    folded in) scores exactly what the first run scored; the append is
-    anti-joined so re-folding is a no-op; output lands per-batch with
+    Replay safety: the gram index records every (gram, contributor)
+    posting pair, and the probe counts a gram as seen only when some
+    contributor OUTSIDE the probing batch holds it — so a replayed
+    batch (its grams already folded in) scores exactly what the first
+    run scored; re-folding may duplicate posting rows, which probes
+    are insensitive to (distinct on the bucket key) and
+    ``novelty_index_compact`` folds away; output lands per-batch with
     overwrite.  The guarantee is scoped to Structured Streaming's
     actual at-least-once contract — the IN-FLIGHT batch re-runs with
     the same boundaries; a fresh-checkpoint full re-drain can merge
@@ -98,7 +101,8 @@ def stream_novelty_gate(
                 try:
                     _fs_write(spark, marker, "done")
                 except Exception:
-                    pass  # best-effort marker — re-append is a no-op
+                    pass  # best-effort marker — a re-append only
+                    # duplicates posting rows, which probes ignore
             append_gate_stats(spark, out_path, batch_id,
                               batch.count(), clean.count(), started)
             clean.unpersist()
@@ -234,6 +238,112 @@ def stream_reservoir_sample(
         append_gate_stats(spark, out_path, batch_id, n_in, kept, started)
 
     writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+#: threshold keys accepted per modality by :func:`stream_media_gate`
+_MEDIA_RULES = {
+    "min_width": ("width", ">="), "min_height": ("height", ">="),
+    "max_width": ("width", "<="), "max_height": ("height", "<="),
+    "min_duration_s": ("duration_s", ">="),
+    "max_duration_s": ("duration_s", "<="),
+    "min_sample_rate": ("sample_rate", ">="),
+    "min_channels": ("channels", ">="),
+    "max_channels": ("channels", "<="),
+}
+
+
+def media_admission_condition(meta: F.Column, image: dict | None = None,
+                              video: dict | None = None,
+                              audio: dict | None = None) -> F.Column:
+    """Boolean Catalyst predicate over a :func:`probe_media_meta` map:
+    the asset's MODALITY is classified from the probe's own keys
+    (``video_codec``/``n_video_tracks`` -> video; ``sample_rate`` ->
+    audio; bare ``width``/``height`` -> image), then that modality's
+    threshold dict applies — keys per :data:`_MEDIA_RULES` (e.g.
+    ``video={"min_width": 1280, "max_duration_s": 600}``).  A modality
+    with no dict passes unconditionally; a threshold whose field the
+    probe didn't fill FAILS (a video with no parseable dimensions
+    cannot prove it meets a resolution floor).  Unrecognized containers
+    (empty map) always fail."""
+    def checks(rules: dict | None):
+        if not rules:
+            return F.lit(True)
+        cond = F.lit(True)
+        for key, bound in rules.items():
+            if key not in _MEDIA_RULES:
+                raise ValueError(
+                    f"unknown media rule {key!r}; valid: "
+                    f"{sorted(_MEDIA_RULES)}")
+            field, op = _MEDIA_RULES[key]
+            val = F.element_at(meta, field).cast("double")
+            ok = (val >= bound) if op == ">=" else (val <= bound)
+            cond = cond & F.coalesce(ok, F.lit(False))
+        return cond
+
+    is_video = F.element_at(meta, "n_video_tracks").isNotNull()
+    is_audio = (~is_video) & F.element_at(meta, "sample_rate").isNotNull()
+    is_image = (~is_video) & (~is_audio) \
+        & F.element_at(meta, "width").isNotNull()
+    return (
+        F.when(is_video, checks(video))
+        .when(is_audio, checks(audio))
+        .when(is_image, checks(image))
+        .otherwise(F.lit(False))      # unprobeable: drop
+    )
+
+
+def stream_media_gate(
+    stream: DataFrame,
+    id_col: str,
+    media_col: str,
+    out_path: str,
+    checkpoint: str,
+    image: dict | None = None,
+    video: dict | None = None,
+    audio: dict | None = None,
+    available_now: bool = True,
+):
+    """Stateless multimodal admission gate: probe each micro-batch
+    asset's binary payload HEADER-ONLY
+    (:func:`~..functions.multimodal.probe_media_meta` — image dims,
+    video container metadata, audio container metadata; no pixel/
+    frame/sample decode) and land only assets meeting their
+    MODALITY'S thresholds (``image=``/``video=``/``audio=`` dicts, see
+    :func:`media_admission_condition` — one gate serves a mixed
+    ingest stream with per-modality floors, e.g. 720p video next to
+    64px thumbnails).  Unrecognized containers are DROPPED — at
+    ingest time an unprobeable asset is an unusable asset.
+
+    Replay contract matches :func:`stream_quality_gate`: survivors are
+    a pure function of the batch, output lands under ``batch=<id>``
+    with overwrite, re-runs are byte-identical.  Survivor rows keep
+    all input columns plus the probe's ``media_meta`` map — the audit
+    trail rides along instead of needing a re-probe."""
+    from ..functions.multimodal import probe_media_meta
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        started = _time.time()
+        batch = batch.persist()
+        try:
+            probed = batch.withColumn(
+                "media_meta", probe_media_meta(F.col(media_col)))
+            clean = probed.filter(media_admission_condition(
+                F.col("media_meta"), image, video, audio)).persist()
+            clean.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={batch_id}"))
+            append_gate_stats(batch.sparkSession, out_path, batch_id,
+                              batch.count(), clean.count(), started)
+            clean.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(gate).option(
         "checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)

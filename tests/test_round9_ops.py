@@ -477,6 +477,118 @@ def test_fleiss_kappa_rejects_ragged_and_single(spark):
         fleiss_kappa(single, "item", "label")
 
 
+# ------------------------------------------------ phrase blocklist (AC)
+
+def test_aho_corasick_suffix_outputs():
+    """The classic AC worked example: patterns he/she/his/hers over
+    'ushers' must fire he, she, AND hers — 'he' only via the failure
+    link's output set, which is where naive trie matchers go wrong."""
+    from tap_airbyte_wrapper_spark.functions.text import _AhoCorasick
+
+    ac = _AhoCorasick(["he", "she", "his", "hers"])
+    assert ac.match_ids("ushers") == {0, 1, 3}
+    assert ac.match_ids("this") == {2}
+    assert ac.match_ids("xyz") == set()
+
+
+def test_phrase_hits_and_blocklist_gate(spark):
+    from tap_airbyte_wrapper_spark.functions import (
+        phrase_blocklist_filter, phrase_hits)
+
+    df = spark.createDataFrame(
+        [(1, "We apply a HASH JOIN then a merge"),
+         (2, "totally clean document"),
+         (3, "slow query meets hash join daily"),
+         (4, None)],
+        "doc_id long, text string")
+    hits = {r.doc_id: r.h for r in df.select(
+        "doc_id",
+        phrase_hits(F.col("text"),
+                    ["hash join", "slow query"]).alias("h")).collect()}
+    assert hits[1] == ["hash join"]          # case-insensitive
+    assert hits[2] == [] and hits[4] == []   # clean + null-safe
+    assert hits[3] == ["hash join", "slow query"]  # sorted, both
+
+    clean = phrase_blocklist_filter(df, ["hash join", "slow query"])
+    assert {r.doc_id for r in clean.collect()} == {2, 4}
+    flagged = phrase_blocklist_filter(
+        df, ["hash join", "slow query"], keep="flagged")
+    assert {r.doc_id for r in flagged.collect()} == {1, 3}
+    with pytest.raises(ValueError, match="empty phrase list"):
+        phrase_hits(F.col("text"), [])
+
+
+def test_phrase_hits_large_blocklist_scales():
+    """The reason AC exists: 5000 patterns cost the same text scan as
+    5 (a contains-chain would be 1000x the passes).  Driver-side
+    micro-check on the raw automaton."""
+    import time
+
+    from tap_airbyte_wrapper_spark.functions.text import _AhoCorasick
+
+    small = _AhoCorasick(["zq%d xx" % i for i in range(5)])
+    big = _AhoCorasick(["zq%d xx" % i for i in range(5000)])
+    text = "lorem ipsum " * 2000 + "zq42 xx"
+    t0 = time.time()
+    assert small.match_ids(text) == set()
+    t_small = time.time() - t0
+    t0 = time.time()
+    assert big.match_ids(text) == {42}
+    t_big = time.time() - t0
+    assert t_big < 20 * max(t_small, 0.001)  # same order, not 1000x
+
+
+# ------------------------------------------------ streaming media gate
+
+def test_stream_media_gate_mixed_modalities(spark, tmp_path):
+    """One gate over a mixed image/video/audio ingest stream:
+    thresholds apply per-modality (an image has no duration to check;
+    audio has no width), unprobeable payloads drop, survivors carry
+    the probe map, and a fresh-checkpoint re-drain reproduces the
+    same survivors (stateless)."""
+    from tap_airbyte_wrapper_spark.functions import mp4_stub
+    from tap_airbyte_wrapper_spark.functions.audio_meta import wav_stub
+    from tap_airbyte_wrapper_spark.streaming import stream_media_gate
+
+    jpg = open(os.path.join(FIXDIR, "jpeg_gt_444_q90.jpg"), "rb").read()
+    rows = [
+        (1, bytearray(mp4_stub(1920, 1080, 30000))),   # HD, 30s: pass
+        (2, bytearray(mp4_stub(320, 180, 30000))),     # too small: drop
+        (3, bytearray(mp4_stub(1920, 1080, 990000))),  # too long: drop
+        (4, bytearray(wav_stub(44100, 2, 44100 * 5))),  # audio: pass
+        (5, bytearray(wav_stub(8000, 1, 8000 * 5))),   # low rate: drop
+        (6, bytearray(jpg)),                           # 64x48 image: pass
+        (7, b"\x00unrecognized container\x00"),        # unprobeable: drop
+    ]
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "clean")
+    schema = "asset_id long, media binary"
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    def drain(ckpt):
+        q = stream_media_gate(
+            spark.readStream.schema(schema).parquet(str(src)),
+            "asset_id", "media", out, checkpoint=str(tmp_path / ckpt),
+            image={"min_width": 64, "min_height": 48},
+            video={"min_width": 1280, "max_duration_s": 60.0},
+            audio={"min_sample_rate": 16000})
+        q.awaitTermination(120)
+
+    drain("ck1")
+    kept = {r.asset_id: r.media_meta
+            for r in spark.read.parquet(out).collect()}
+    assert sorted(kept) == [1, 4, 6]
+    assert kept[1]["video_codec"] == "avc1"      # audit map rides along
+    assert kept[4]["sample_rate"] == "44100"
+    assert kept[6] == {"width": "64", "height": "48"}
+    drain("ck2")   # stateless replay
+    assert sorted(r.asset_id
+                  for r in spark.read.parquet(out).collect()) == [1, 4, 6]
+    assert spark.read.parquet(out + "/_gate_stats").count() >= 1
+
+
 # --------------------------------------------------- tombstone id-col guard
 
 def test_record_tombstones_selects_id_col_by_name(spark, tmp_path):
