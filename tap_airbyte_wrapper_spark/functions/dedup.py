@@ -32,6 +32,9 @@ from pyspark.sql.functions import pandas_udf
 from ._cache import cache_bounded
 
 __all__ = [
+    "simhash_index_write", "simhash_dedup_delta", "simhash_index_append",
+    "simhash_index_delete", "simhash_index_replace",
+    
     "shingles",
     "exact_dedup",
     "soft_dedup_weights",
@@ -1785,3 +1788,208 @@ def fingerprint_index_delete(
     from ._maint import record_tombstones_table
 
     record_tombstones_table(spark, table_name, path, ids, "fid")
+
+
+# ---------------------------------------------------------------------------
+# Persisted SIMHASH index — the hamming near-dup member of the persisted
+# index family (MinHash=jaccard, fingerprint=exact, IVF=cosine,
+# BM25=retrieval, novelty=span overlap): a continuously-arriving corpus
+# drops small-edit near-dups at O(delta) cost.  One table: pigeonhole
+# SEGMENTS of each doc's 64-bit simhash, bucketed by the packed
+# (segment idx, segment value) key, with the full signature ON the
+# segment row — one long, so unlike MinHash no side signature table is
+# needed and candidate verification is a codegen'd bit_count on the
+# probe join's own output.  Same zero-corpus-shuffle and tombstone
+# contracts as the other families.
+# ---------------------------------------------------------------------------
+
+def _simhash_segments(hashed: DataFrame, id_alias: str, chunks: int):
+    """(id_alias, sh, seg_key) — pigeonhole segments with the packed
+    join key ``seg_val * chunks + seg_idx``."""
+    seg_bits = 64 // chunks
+    mask = (1 << seg_bits) - 1
+    return hashed.select(
+        F.col(hashed.columns[0]).alias(id_alias),
+        "sh",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("sh"), i * seg_bits)
+            .bitwiseAND(F.lit(mask)) for i in range(chunks)
+        ])).alias("__seg_idx", "__seg_val"),
+    ).select(
+        id_alias, "sh",
+        (F.col("__seg_val") * chunks + F.col("__seg_idx"))
+        .alias("seg_key"))
+
+
+def simhash_index_write(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str,
+    text_col: str,
+    chunks: int = 4,
+    max_hamming: int = 3,
+    n_buckets: int = 16,
+) -> None:
+    """Build the persisted SimHash index: ``{table}_segs``
+    (seg_key, id, sh, __ver) bucketed+sorted by ``seg_key``.  Any pair
+    within ``max_hamming < chunks`` must agree on >= 1 whole segment
+    (pigeonhole), so a delta probe joins its own segments into this
+    bucketing and the corpus side scans co-located.  ``max_hamming``
+    is RECORDED as the index's contract — probes verify against it by
+    default (a looser probe threshold would need more chunks than the
+    stored layout has)."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import write_text as _write_text
+
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < chunks, got "
+            f"{max_hamming} >= {chunks}")
+    spark = df.sparkSession
+    segs = _simhash_segments(
+        simhash_df(df, id_col, text_col), "sid", chunks)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}_segs")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}_tombstones")
+    (segs.withColumn("__ver", F.lit(0).cast("long"))
+        .select("seg_key", "sid", "sh", "__ver")
+        .write.bucketBy(n_buckets, "seg_key").sortBy("seg_key")
+        .option("path", _os.path.join(path, "segs"))
+        .mode("overwrite").saveAsTable(f"{table_name}_segs"))
+    _write_text(spark, _os.path.join(path, "_index_meta.json"),
+                _json.dumps({"id_col": id_col, "chunks": chunks,
+                             "max_hamming": max_hamming,
+                             "n_buckets": n_buckets}))
+
+
+def simhash_dedup_delta(
+    delta: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str,
+    text_col: str,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Hamming near-dup a DELTA batch against the persisted index (and
+    within itself) — the incremental form of
+    :func:`simhash_near_dup_pairs`.  Returns ``(id_a, id_b, hamming,
+    kind)`` with ``kind`` ``'corpus'`` (delta doc id_a matches corpus
+    doc id_b) or ``'delta'`` (two new docs match, id_a < id_b).
+
+    Scale shape (delta << corpus): one Arrow simhash pass over the
+    delta; the candidate join shuffles only delta segments into the
+    index bucketing (corpus scan co-located, zero corpus shuffle);
+    verification is ``bit_count(xor)`` ON the join output — no second
+    corpus table, no signature fetch (the 8-byte signature rides the
+    segment row)."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import read_text as _read_text
+    from ._maint import live_rows, tombstone_counts_table
+
+    spark = delta.sparkSession
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    hmax = meta["max_hamming"] if max_hamming is None else max_hamming
+    if hmax > meta["max_hamming"]:
+        raise ValueError(
+            f"index guarantees candidates only to hamming "
+            f"{meta['max_hamming']} (chunks={meta['chunks']}); "
+            f"rebuild with more chunks for {hmax}")
+    dsegs = _simhash_segments(
+        simhash_df(delta, id_col, text_col).localCheckpoint(eager=True),
+        "__did", meta["chunks"])
+    tombs = tombstone_counts_table(spark, table_name, "sid")
+    csegs = live_rows(spark.table(f"{table_name}_segs"), tombs, "sid")
+    pairs_x = (
+        dsegs.join(csegs.withColumnRenamed("sh", "__csh"), on="seg_key")
+        .withColumn("hamming",
+                    F.bit_count(F.col("sh").bitwiseXOR(F.col("__csh"))))
+        .filter(F.col("hamming") <= hmax)
+        .select(F.col("__did").alias("id_a"),
+                F.col("sid").alias("id_b"), "hamming",
+                F.lit("corpus").alias("kind"))
+        .distinct()
+    )
+    a = dsegs.select(F.col("__did").alias("id_a"),
+                     F.col("sh").alias("__sa"), "seg_key")
+    b = dsegs.select(F.col("__did").alias("id_b"),
+                     F.col("sh").alias("__sb"), "seg_key")
+    pairs_d = (
+        a.join(b, on="seg_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
+        .filter(F.col("hamming") <= hmax)
+        .select("id_a", "id_b", "hamming", F.lit("delta").alias("kind"))
+        .distinct()
+    )
+    return pairs_x.unionByName(pairs_d)
+
+
+def simhash_index_append(
+    delta: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Fold a delta's segments into the index at O(delta) with the
+    index's own recorded parameters (bucket spec respected — the
+    co-located probe property survives).  Caller contract matches
+    :func:`minhash_index_append`: dedup the delta first; re-crawls go
+    through :func:`simhash_index_replace`."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import read_text as _read_text
+    from ._maint import stamp_version, tombstone_counts_table
+
+    spark = delta.sparkSession
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"index was built on id column {meta['id_col']!r}, "
+            f"got {id_col!r}")
+    segs = _simhash_segments(
+        simhash_df(delta, id_col, text_col), "sid", meta["chunks"])
+    (stamp_version(segs, tombstone_counts_table(spark, table_name, "sid"),
+                   "sid")
+        .select("seg_key", "sid", "sh", "__ver")
+        .write.bucketBy(meta["n_buckets"], "seg_key").sortBy("seg_key")
+        .option("path", _os.path.join(path, "segs"))
+        .mode("append").saveAsTable(f"{table_name}_segs"))
+
+
+def simhash_index_delete(
+    spark,
+    table_name: str,
+    path: str,
+    ids: DataFrame,
+) -> None:
+    """Delete documents at O(delete batch): tombstone rows append;
+    probes filter to live versions (same scheme as every family —
+    ``functions/_maint.py``)."""
+    from ._maint import record_tombstones_table
+
+    record_tombstones_table(spark, table_name, path, ids, "sid")
+
+
+def simhash_index_replace(
+    delta: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Replace documents in-place at O(delta): tombstone the delta's
+    ids, then append their new segments at the bumped version."""
+    spark = delta.sparkSession
+    simhash_index_delete(
+        spark, table_name, path,
+        delta.select(F.col(id_col).alias("sid")).distinct())
+    simhash_index_append(delta, table_name, path, id_col, text_col)

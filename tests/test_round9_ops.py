@@ -589,6 +589,166 @@ def test_stream_media_gate_mixed_modalities(spark, tmp_path):
     assert spark.read.parquet(out + "/_gate_stats").count() >= 1
 
 
+# ------------------------------------------------ persisted simhash index
+
+@pytest.fixture()
+def sh_index(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from tap_airbyte_wrapper_spark.functions import simhash_index_write
+
+    corpus = spark.createDataFrame([
+        Row(doc_id=i,
+            text=("spark shuffles data across wide stages %d and the "
+                  "optimizer prunes columns early while joins broadcast "
+                  "small dimension tables " % i) * 3)
+        for i in range(30)
+    ])
+    path = str(tmp_path / "sh_idx")
+    simhash_index_write(corpus, "sh9_t", path, "doc_id", "text",
+                        chunks=4, max_hamming=3, n_buckets=4)
+    yield spark, corpus, path
+    for t in ("sh9_t_segs", "sh9_t_tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_simhash_delta_finds_corpus_and_delta_dups(sh_index):
+    from pyspark.sql import Row
+
+    from tap_airbyte_wrapper_spark.functions import simhash_dedup_delta
+
+    spark, corpus, path = sh_index
+    base7 = corpus.filter("doc_id = 7").first().text
+    delta = spark.createDataFrame([
+        Row(doc_id=1007, text=base7.replace("prunes", "trims", 1)),
+        Row(doc_id=1008, text="totally new payload alpha beta gamma "
+                              "delta epsilon zeta eta theta " * 4),
+        Row(doc_id=1009, text=("totally new payload alpha beta gamma "
+                               "delta epsilon zeta eta theta " * 4)
+            .replace("zeta", "zetta", 1)),
+        Row(doc_id=1010, text="unrelated short text about parquet row "
+                              "groups and footer statistics"),
+    ])
+    out = simhash_dedup_delta(delta, "sh9_t", path, "doc_id", "text")
+    rows = out.collect()
+    kinds = {(r.id_a, r.id_b): (r.kind, r.hamming) for r in rows}
+    assert kinds[(1007, 7)][0] == "corpus"
+    assert kinds[(1008, 1009)][0] == "delta"
+    assert all(r.hamming <= 3 for r in rows)
+    ids = {r.id_a for r in rows} | {r.id_b for r in rows}
+    assert 1010 not in ids
+
+
+def test_simhash_delta_agrees_with_batch_operator(sh_index):
+    from pyspark.sql import Row
+
+    from tap_airbyte_wrapper_spark.functions import (
+        simhash_dedup_delta, simhash_near_dup_pairs)
+
+    spark, corpus, path = sh_index
+    base7 = corpus.filter("doc_id = 7").first().text
+    delta = spark.createDataFrame([
+        Row(doc_id=1007, text=base7.replace("prunes", "trims", 1)),
+        Row(doc_id=1008, text="totally new payload alpha beta gamma "
+                              "delta epsilon zeta eta theta " * 4),
+    ])
+    inc = {(r.id_a, r.id_b, r.hamming) for r in simhash_dedup_delta(
+        delta, "sh9_t", path, "doc_id", "text").collect()
+        if r.id_a != r.id_b}
+    both = corpus.unionByName(delta)
+    batch = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b), r.hamming)
+        if max(r.id_a, r.id_b) >= 1000 and min(r.id_a, r.id_b) < 1000
+        else (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(
+            both, "doc_id", "text", max_hamming=3, chunks=4).collect()
+        if r.id_a >= 1000 or r.id_b >= 1000}
+    assert inc == batch
+
+
+def test_simhash_delta_replay_self_match(sh_index):
+    """A replayed doc (already in the index) matches ITSELF at hamming
+    0 — the self-match the streaming gates key replay determinism on,
+    same contract as the MinHash/fingerprint families."""
+    from tap_airbyte_wrapper_spark.functions import simhash_dedup_delta
+
+    spark, corpus, path = sh_index
+    replay = corpus.filter("doc_id = 3")
+    out = simhash_dedup_delta(replay, "sh9_t", path, "doc_id", "text")
+    got = {(r.id_a, r.id_b, r.hamming) for r in out.collect()}
+    assert (3, 3, 0) in got
+
+
+def test_simhash_delta_corpus_side_never_shuffles(sh_index):
+    from pyspark.sql import Row
+
+    from tap_airbyte_wrapper_spark.functions import simhash_dedup_delta
+
+    spark, corpus, path = sh_index
+    delta = spark.createDataFrame(
+        [Row(doc_id=2000, text="some delta content here ok fine")])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = simhash_dedup_delta(delta, "sh9_t", path, "doc_id", "text")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SelectedBucketsCount" in plan
+    # exactly the delta-side exchanges: delta segs -> index bucketing
+    # (1), the delta self-join's two sides (2), and the two pair
+    # distincts (2) = 5; a corpus-side shuffle would add a sixth
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
+
+
+def test_simhash_index_replace_matches_rebuild(sh_index, tmp_path):
+    """After replacing doc 5's content, the delta probe behaves exactly
+    as against an index rebuilt from scratch on the edited corpus."""
+    from pyspark.sql import Row
+
+    from tap_airbyte_wrapper_spark.functions import (
+        simhash_dedup_delta, simhash_index_replace, simhash_index_write)
+
+    spark, corpus, path = sh_index
+    new5 = "completely different content now about streaming watermarks " \
+           "and state stores in structured streaming pipelines " * 3
+    edited = corpus.withColumn(
+        "text", F.when(F.col("doc_id") == 5, F.lit(new5))
+        .otherwise(F.col("text")))
+    simhash_index_replace(
+        edited.filter("doc_id = 5"), "sh9_t", path, "doc_id", "text")
+
+    fresh_path = str(tmp_path / "fresh_idx")
+    from tap_airbyte_wrapper_spark.functions import simhash_index_write
+    simhash_index_write(edited, "sh9f_t", fresh_path, "doc_id", "text",
+                        chunks=4, max_hamming=3, n_buckets=4)
+    probe = spark.createDataFrame([
+        Row(doc_id=9005, text=new5.replace("state", "status", 1)),
+        Row(doc_id=9006,
+            text=corpus.filter("doc_id = 5").first().text)])
+    got = {(r.id_a, r.id_b, r.hamming, r.kind) for r in simhash_dedup_delta(
+        probe, "sh9_t", path, "doc_id", "text").collect()}
+    want = {(r.id_a, r.id_b, r.hamming, r.kind) for r in simhash_dedup_delta(
+        probe, "sh9f_t", fresh_path, "doc_id", "text").collect()}
+    assert got == want
+    # the NEW content matches doc 5; the OLD content no longer does
+    assert any(a == 9005 and b == 5 for a, b, _h, _k in got)
+    assert not any(a == 9006 and b == 5 for a, b, _h, _k in got)
+    for t in ("sh9f_t_segs", "sh9f_t_tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_simhash_index_rejects_bad_params(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from tap_airbyte_wrapper_spark.functions import simhash_index_write
+
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError, match="max_hamming < chunks"):
+        simhash_index_write(df, "sh9bad", str(tmp_path / "i"),
+                            "doc_id", "text", chunks=4, max_hamming=4)
+
+
 # --------------------------------------------------- tombstone id-col guard
 
 def test_record_tombstones_selects_id_col_by_name(spark, tmp_path):
