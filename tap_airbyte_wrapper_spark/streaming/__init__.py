@@ -12,7 +12,7 @@ from .incremental import (
     windowed_counts,
 )
 from .cdc import stream_changelog_apply
-from .dedup import stream_exact_dedup_gate, stream_near_dup_gate
+from .dedup import stream_exact_dedup_gate, stream_simhash_gate, stream_near_dup_gate
 from .index_maint import (stream_bm25_index_maintenance,
                           stream_fingerprint_index_maintenance)
 from .similarity import stream_embedding_gate
@@ -37,6 +37,7 @@ __all__ = [
     "stream_fingerprint_index_maintenance",
     "stream_near_dup_gate",
     "stream_exact_dedup_gate",
+    "stream_simhash_gate",
     "stream_embedding_gate",
     "stream_dsir_gate",
     "stream_reservoir_sample",

@@ -46,7 +46,8 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.dedup import minhash_dedup_delta, minhash_index_append
 from .stats import append_gate_stats
 
-__all__ = ["stream_near_dup_gate", "stream_exact_dedup_gate"]
+__all__ = ["stream_near_dup_gate", "stream_exact_dedup_gate",
+           "stream_simhash_gate"]
 
 
 def stream_near_dup_gate(
@@ -168,6 +169,80 @@ def stream_exact_dedup_gate(
             if not _fs_exists(spark, marker):
                 fingerprint_index_append(
                     clean, index_table, id_col, text_col)
+                try:
+                    _fs_write(spark, marker, "done")
+                except Exception:
+                    pass  # best-effort marker — never kill the stream
+            append_gate_stats(spark, out_path, batch_id,
+                              batch.count(), clean.count(), started)
+            clean.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_simhash_gate(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_table: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_hamming: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming HAMMING near-dup gate over the persisted SimHash index
+    (:func:`~..functions.dedup.simhash_index_write`) — the small-edit
+    counterpart of :func:`stream_near_dup_gate`: MinHash catches
+    shingle-set overlap, SimHash catches token-distribution twins whose
+    shingles differ (reorderings, boilerplate-wrapped bodies).  Every
+    micro-batch probes at O(batch) (corpus scan bucket-co-located),
+    drops docs within ``max_hamming`` of a DIFFERENT live corpus doc or
+    losing a within-batch min-id contest, lands survivors, folds their
+    segments into the index.
+
+    Replay safety mirrors the other index gates: the segment rows carry
+    ids, so a replayed survivor matches ITSELF (id_a == id_b corpus
+    pair, not a drop), a replayed loser loses to the same winner again;
+    the ``_batch_<id>`` marker only skips the re-append.  Bootstrap with
+    ``simhash_index_write`` (an empty corpus frame is fine)."""
+    from ..functions.dedup import simhash_dedup_delta, simhash_index_append
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        from ..fsutil import exists as _fs_exists, write_text as _fs_write
+
+        started = _time.time()
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            dupes = simhash_dedup_delta(
+                batch, index_table, index_path, id_col, text_col,
+                max_hamming=max_hamming)
+            drop = (
+                dupes.filter(
+                    (F.col("kind") == "corpus")
+                    & (F.col("id_a") != F.col("id_b"))
+                ).select(F.col("id_a").alias(id_col))
+                .unionByName(
+                    dupes.filter(F.col("kind") == "delta")
+                    .select(F.col("id_b").alias(id_col)))
+                .distinct()
+            )
+            clean = batch.join(drop, id_col, "left_anti").persist()
+            clean.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={batch_id}"))
+            marker = os.path.join(index_path, f"_batch_{batch_id}")
+            if not _fs_exists(spark, marker):
+                simhash_index_append(
+                    clean, index_table, index_path, id_col, text_col)
                 try:
                     _fs_write(spark, marker, "done")
                 except Exception:

@@ -749,6 +749,66 @@ def test_simhash_index_rejects_bad_params(spark, tmp_path):
                             "doc_id", "text", chunks=4, max_hamming=4)
 
 
+# ------------------------------------------------ streaming simhash gate
+
+def test_stream_simhash_gate_and_replay(spark, tmp_path):
+    """E2E: within-batch hamming twins lose the min-id contest,
+    corpus-known docs drop, clean docs land and fold into the index so
+    the NEXT batch measures against them; a same-checkpoint-semantics
+    re-drain (fresh checkpoint over the same landing data) reproduces
+    the survivor set."""
+    from pyspark.sql import Row
+
+    from tap_airbyte_wrapper_spark.functions import simhash_index_write
+    from tap_airbyte_wrapper_spark.streaming import stream_simhash_gate
+
+    seed = ("spark executes stages over partitioned data while the "
+            "catalyst optimizer rewrites plans and tungsten generates "
+            "code for tight loops " * 3)
+    corpus = spark.createDataFrame([Row(doc_id=1, text=seed)])
+    idx_path = str(tmp_path / "idx")
+    simhash_index_write(corpus, "sh9g_t", idx_path, "doc_id", "text",
+                        chunks=4, max_hamming=3, n_buckets=2)
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "clean")
+    schema = "doc_id long, text string"
+    batch1 = spark.createDataFrame([
+        Row(doc_id=10, text=seed.replace("tight", "hot", 1)),   # corpus dup
+        Row(doc_id=11, text="fresh payload about parquet footers and "
+                            "row group statistics pruning scans " * 3),
+        Row(doc_id=12, text=("fresh payload about parquet footers and "
+                             "row group statistics pruning scans " * 3)
+            .replace("pruning", "skipping", 1)),                # twin of 11
+    ], schema)
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain(ckpt):
+        q = stream_simhash_gate(
+            spark.readStream.schema(schema).parquet(str(src)),
+            "doc_id", "text", "sh9g_t", idx_path, out,
+            checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    drain("ck1")
+    assert sorted(r.doc_id
+                  for r in spark.read.parquet(out).collect()) == [11]
+    # second batch: near-dup of landed doc 11 must now drop too
+    spark.createDataFrame([
+        Row(doc_id=20, text=("fresh payload about parquet footers and "
+                             "row group statistics pruning scans " * 3)
+            .replace("footers", "headers", 1)),
+        Row(doc_id=21, text="entirely new thing entirely: watermark "
+                            "semantics for late event time data " * 3),
+    ], schema).coalesce(1).write.mode("append").parquet(str(src))
+    drain("ck1")
+    assert sorted(r.doc_id
+                  for r in spark.read.parquet(out).collect()) == [11, 21]
+    for t in ("sh9g_t_segs", "sh9g_t_tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 # --------------------------------------------------- tombstone id-col guard
 
 def test_record_tombstones_selects_id_col_by_name(spark, tmp_path):
