@@ -49,6 +49,7 @@ from .quality import (
     k_anonymity,
     cohen_kappa,
     fleiss_kappa,
+    krippendorff_alpha,
     partition_skew_report,
     profile_table,
     snapshot_diff,
@@ -73,7 +74,7 @@ __all__ = [
     "detect_anomalies",
     "profile_table", "Expectation", "validate_expectations",
     "snapshot_diff",
-    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "k_anonymity",
+    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "k_anonymity",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["profile_table", "Expectation", "validate_expectations",
            "key_skew_profile", "k_anonymity",
-           "cohen_kappa", "fleiss_kappa",
+           "cohen_kappa", "fleiss_kappa", "krippendorff_alpha",
            "numeric_histogram", "column_correlations",
            "partition_skew_report", "parquet_file_stats",
            "snapshot_diff", "distribution_drift"]
@@ -603,6 +603,67 @@ def fleiss_kappa(
                            (F.lit(p_bar) - F.col("pe"))
                            / (F.lit(1.0) - F.col("pe"))), 6)
             .alias("kappa"))
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) — the agreement statistic for the
+    RAGGED case :func:`fleiss_kappa` refuses: items may carry any
+    number of ratings, raters need not overlap, missing annotations are
+    simply absent rows (items with fewer than 2 ratings are excluded —
+    they contain no agreement information).  The de-facto standard for
+    content-analysis / annotation-vendor audits with incomplete
+    coverage (Krippendorff 2004).
+
+    Coincidence-matrix form, nominal metric: with ``n_ic`` the count of
+    category ``c`` in item ``i``, ``n_i = sum_c n_ic`` (kept when
+    >= 2), ``n.. = sum_i n_i``, ``n_c = sum_i n_ic``, and the
+    agreement coincidences ``o_cc = sum_i n_ic (n_ic - 1)/(n_i - 1)``:
+
+        alpha = 1 - (n.. - 1)(n.. - sum_c o_cc) / (n..^2 - sum_c n_c^2)
+
+    Output: ONE row — ``(n_items, n_ratings, do_, de_, alpha)`` with
+    ``do_``/``de_`` the observed/expected disagreement, ``alpha`` null
+    for the degenerate single-category case (``de_ == 0``).
+
+    Plan: per-(item,label) counts -> per-item totals (both partial-agg,
+    item/category-bounded), one double sum for the o_cc mass (the
+    per-item ``n_i - 1`` denominators make it irreducibly rational),
+    integer sums everywhere else."""
+    counts = (df.groupBy(F.col(item_col).alias("__it"),
+                         F.col(label_col).alias("__lbl"))
+              .agg(F.count(F.lit(1)).alias("__nic")))
+    per_item = counts.groupBy("__it").agg(
+        F.sum("__nic").alias("__n"))
+    kept = counts.join(
+        per_item.filter(F.col("__n") >= 2), "__it")
+    occ = kept.agg(
+        F.sum(F.col("__nic") * (F.col("__nic") - 1)
+              / (F.col("__n") - 1)).alias("__occ"))
+    totals = kept.groupBy("__lbl").agg(F.sum("__nic").alias("__nc")).agg(
+        F.sum("__nc").alias("__ntot"),
+        F.sum(F.col("__nc") * F.col("__nc")).alias("__snc2"))
+    items = per_item.filter(F.col("__n") >= 2).agg(
+        F.count(F.lit(1)).alias("n_items"))
+    ntot = F.col("__ntot").cast("double")
+    do_ = (ntot - F.col("__occ")) / ntot
+    de_ = (ntot * ntot - F.col("__snc2")) / (ntot * (ntot - 1))
+    return (
+        items.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(occ))
+        .select(
+            "n_items",
+            F.col("__ntot").alias("n_ratings"),
+            F.round(do_, 6).alias("do_"),
+            F.round(de_, 6).alias("de_"),
+            F.round(F.when(
+                F.col("__snc2") < F.col("__ntot") * F.col("__ntot"),
+                F.lit(1.0) - (ntot - 1) * (ntot - F.col("__occ"))
+                / (ntot * ntot - F.col("__snc2"))), 6).alias("alpha"))
     )
 
 

@@ -1846,6 +1846,27 @@ def q_fleiss_kappa(spark, sf_dir):
     return fleiss_kappa(ratings, "doc_id", "label")
 
 
+def q_kripp_alpha(spark, sf_dir):
+    """Krippendorff's alpha over a RAGGED 3-rater pool — the case
+    fleiss_kappa refuses by contract: rater 2 skips every 11th doc,
+    rater 3 only labels even ids, so items carry 1-3 ratings and the
+    coincidence-matrix form is required.  One summary row out."""
+    from ..operators import krippendorff_alpha
+
+    docs = _t(spark, sf_dir, "documents")
+    r1 = docs.select("doc_id", F.col("lang").alias("label"))
+    r2 = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("en"))
+        .otherwise(F.col("lang")).alias("label"))
+    r3 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("zh"))
+        .otherwise(F.col("lang")).alias("label"))
+    return krippendorff_alpha(
+        r1.unionByName(r2).unionByName(r3), "doc_id", "label")
+
+
 def q_audio_meta(spark, sf_dir):
     """Audio asset-inventory gate, header-only (the audio sibling of
     video_meta_docs): per-doc deterministic WAV headers (sample rate /
@@ -3211,6 +3232,7 @@ QUERIES = {
     "phrase_blocklist_docs": q_phrase_blocklist,
     "cohen_kappa_docs": q_cohen_kappa,
     "fleiss_kappa_docs": q_fleiss_kappa,
+    "kripp_alpha_docs": q_kripp_alpha,
     "paragraph_dedup_docs": q_paragraph_dedup,
     "full_scan_events": q_full_scan_events,
     "q1_pricing_summary": q1_pricing_summary,
@@ -3248,8 +3270,8 @@ QUERIES = {
     "remove_dup_spans_docs": q_remove_dup_spans,
     "incremental_agg_orders": q_incremental_agg_orders,
     "snapshot_diff_orders": q_snapshot_diff_orders,
-    "histogram_quantile_events": q_histogram_quantile_events,
     # --- end of round-9 driver window (50) ---
+    "histogram_quantile_events": q_histogram_quantile_events,
     "pseudonymize_events": q_pseudonymize_events,
     "strip_html_docs": q_strip_html_docs,
     "heavy_hitter_words": q_heavy_hitter_words,
@@ -5298,6 +5320,41 @@ ORACLES = {
                      / (1 - pk.sk / CAST(s.tot * s.tot AS DOUBLE)), 6)
                  AS kappa
         FROM s, pk""",
+    "kripp_alpha_docs": """
+        WITH r AS (
+          SELECT doc_id, lang AS label FROM documents
+          UNION ALL
+          SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'en'
+                              ELSE lang END
+          FROM documents WHERE doc_id % 11 != 0
+          UNION ALL
+          SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'zh'
+                              ELSE lang END
+          FROM documents WHERE doc_id % 2 = 0),
+        c AS (SELECT doc_id, label, count(*) AS nic FROM r GROUP BY 1, 2),
+        pi AS (SELECT doc_id, sum(nic) AS n FROM c GROUP BY 1),
+        kept AS (
+          SELECT c.doc_id, c.label, c.nic, pi.n
+          FROM c JOIN pi ON c.doc_id = pi.doc_id WHERE pi.n >= 2),
+        occ AS (
+          SELECT sum(nic * (nic - 1) / CAST(n - 1 AS DOUBLE)) AS occ
+          FROM kept),
+        tot AS (
+          SELECT sum(nc) AS ntot, sum(nc * nc) AS snc2
+          FROM (SELECT label, sum(nic) AS nc FROM kept GROUP BY 1)),
+        it AS (SELECT count(*) AS n_items FROM pi WHERE n >= 2)
+        SELECT it.n_items,
+               CAST(tot.ntot AS BIGINT) AS n_ratings,
+               round((tot.ntot - occ.occ) / CAST(tot.ntot AS DOUBLE), 6)
+                 AS do_,
+               round((tot.ntot * tot.ntot - tot.snc2)
+                     / (CAST(tot.ntot AS DOUBLE) * (tot.ntot - 1)), 6)
+                 AS de_,
+               round(1.0 - (tot.ntot - 1)
+                     * (tot.ntot - occ.occ)
+                     / (CAST(tot.ntot AS DOUBLE) * tot.ntot - tot.snc2),
+                     6) AS alpha
+        FROM it, tot, occ""",
     "audio_meta_docs": """
         -- Spark assembles a real RIFF/WAVE header per doc and re-parses
         -- it with the audio probe; the oracle recomputes the planted

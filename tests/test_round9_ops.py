@@ -464,6 +464,39 @@ def test_fleiss_kappa_hand_computed(spark):
     assert got.kappa == pytest.approx(round(22 / 40, 6))
 
 
+def test_krippendorff_alpha_hand_computed(spark):
+    """Exact worked example: items A=[1,1], B=[1,2], C=[2,2,2], D=[1]
+    (excluded, single rating).  n..=7, o_cc sum = 5, n_c = (3,4) ->
+    alpha = 1 - 6*2/(49-25) = 0.5 exactly."""
+    from tap_airbyte_wrapper_spark.operators import krippendorff_alpha
+
+    rows = [("A", 1), ("A", 1), ("B", 1), ("B", 2),
+            ("C", 2), ("C", 2), ("C", 2), ("D", 1)]
+    df = spark.createDataFrame(rows, "item string, label int")
+    got = krippendorff_alpha(df, "item", "label").first()
+    assert got.n_items == 3 and got.n_ratings == 7    # D excluded
+    assert got.alpha == pytest.approx(0.5)
+    assert got.do_ == pytest.approx(round(2 / 7, 6))
+    assert got.de_ == pytest.approx(round(24 / 42, 6))
+
+
+def test_krippendorff_alpha_edges(spark):
+    from tap_airbyte_wrapper_spark.operators import krippendorff_alpha
+
+    # perfect agreement across ragged raters -> alpha = 1
+    perfect = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("A", "x"), ("B", "y"), ("B", "y")],
+        "item string, label string")
+    assert krippendorff_alpha(perfect, "item", "label").first().alpha \
+        == 1.0
+    # single category everywhere -> expected disagreement 0 -> null
+    degen = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("B", "x"), ("B", "x")],
+        "item string, label string")
+    got = krippendorff_alpha(degen, "item", "label").first()
+    assert got.alpha is None and got.de_ == 0.0
+
+
 def test_fleiss_kappa_rejects_ragged_and_single(spark):
     from tap_airbyte_wrapper_spark.operators import fleiss_kappa
 
