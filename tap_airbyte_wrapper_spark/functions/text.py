@@ -27,6 +27,7 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "phrase_hits", "phrase_blocklist_filter",
+    "fold_confusables", "confusable_ratio", "CONFUSABLES",
     "token_count",
     "bpe_token_estimate",
     "language_id",
@@ -754,6 +755,55 @@ def extract_links(col: Column) -> Column:
     bare = F.regexp_extract_all(
         col, F.lit(r"""(?i)\bhttps?://[^\s"'<>]+"""), 0)
     return F.concat(hrefs, bare)
+
+
+#: Homoglyph -> ASCII folding map: the Cyrillic and Greek letters whose
+#: glyphs are (near-)identical to Latin ones — the standard spam/dedup
+#: evasion alphabet ("pаypal" with U+0430).  Curated from the Unicode
+#: confusables data (UTS #39); single-codepoint mappings only, so the
+#: fold compiles to one JVM translate() — no UDF, no regex.
+CONFUSABLES = {
+    # Cyrillic lowercase
+    "а": "a", "е": "e", "о": "o", "р": "p", "с": "c", "у": "y",
+    "х": "x", "і": "i", "ѕ": "s", "ј": "j", "ԛ": "q", "ԝ": "w",
+    "ь": "b", "г": "r",
+    # Cyrillic uppercase
+    "А": "A", "В": "B", "Е": "E", "К": "K", "М": "M", "Н": "H",
+    "О": "O", "Р": "P", "С": "C", "Т": "T", "Х": "X", "Ѕ": "S",
+    "І": "I", "Ј": "J", "Ԍ": "G",
+    # Greek
+    "ο": "o", "ν": "v", "α": "a", "ρ": "p", "τ": "t", "υ": "u",
+    "Α": "A", "Β": "B", "Ε": "E", "Ζ": "Z", "Η": "H", "Ι": "I",
+    "Κ": "K", "Μ": "M", "Ν": "N", "Ο": "O", "Ρ": "P", "Τ": "T",
+    "Υ": "Y", "Χ": "X",
+}
+_CONF_FROM = "".join(CONFUSABLES)
+_CONF_TO = "".join(CONFUSABLES.values())
+
+
+def fold_confusables(col: Column) -> Column:
+    """Replace Cyrillic/Greek homoglyphs with their Latin look-alikes
+    (:data:`CONFUSABLES`) — the normalization that makes exact/near-dup
+    fingerprints and phrase blocklists robust to the classic evasion of
+    swapping a Latin letter for its identical-looking Cyrillic twin.
+    One ``translate()`` — JVM-side, codegen'd, zero UDF.  Compose
+    BEFORE :func:`fingerprint` / :func:`phrase_hits` when the corpus is
+    adversarial (spam, SEO farms, filter-evasion)."""
+    return F.translate(col, _CONF_FROM, _CONF_TO)
+
+
+def confusable_ratio(col: Column) -> Column:
+    """Fraction of characters that are homoglyph confusables — a cheap
+    adversarial-text signal: legitimate Russian/Greek text has HIGH
+    ratios on its own script (expected), but a mostly-Latin document
+    with a sprinkle of confusables is the spam-evasion fingerprint.
+    Pair with :func:`script_profile`'s dominant script to separate the
+    two."""
+    n = F.length(col)
+    stripped = F.length(
+        F.translate(col, _CONF_FROM, ""))
+    return F.when(n > 0, F.round((n - stripped) / n, 6)) \
+        .otherwise(F.lit(0.0))
 
 
 class _AhoCorasick:

@@ -50,6 +50,8 @@ from .quality import (
     cohen_kappa,
     fleiss_kappa,
     krippendorff_alpha,
+    benford_deviation,
+    dp_noisy_counts,
     partition_skew_report,
     profile_table,
     snapshot_diff,
@@ -74,7 +76,7 @@ __all__ = [
     "detect_anomalies",
     "profile_table", "Expectation", "validate_expectations",
     "snapshot_diff",
-    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "k_anonymity",
+    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "benford_deviation", "dp_noisy_counts", "k_anonymity",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

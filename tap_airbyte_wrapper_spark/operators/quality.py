@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = ["profile_table", "Expectation", "validate_expectations",
            "key_skew_profile", "k_anonymity",
            "cohen_kappa", "fleiss_kappa", "krippendorff_alpha",
+           "benford_deviation", "dp_noisy_counts",
            "numeric_histogram", "column_correlations",
            "partition_skew_report", "parquet_file_stats",
            "snapshot_diff", "distribution_drift"]
@@ -604,6 +605,108 @@ def fleiss_kappa(
                            / (F.lit(1.0) - F.col("pe"))), 6)
             .alias("kappa"))
     )
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """First-digit (Benford's law) audit of a numeric column — the
+    classic anomaly screen for organically-generated magnitudes
+    (transaction amounts, populations, file sizes): naturally-occurring
+    multi-order-of-magnitude data has ``P(d) = log10(1 + 1/d)``;
+    fabricated or templated values don't.  Zero/null values carry no
+    leading digit and are excluded.
+
+    Output: 9 rows — ``(digit, n, obs_frac, exp_frac, dev)`` with
+    ``dev = obs - exp`` — plus summary columns repeated on each:
+    ``n_values``, ``chi2`` (Pearson statistic vs the Benford
+    expectation; compare against the chi-square(8) critical value of
+    your chosen confidence) and ``mad`` (mean absolute deviation, the
+    Nigrini screening scale: < 0.006 close, > 0.015 nonconformity).
+
+    Plan: leading digit via string math on ``abs(value)`` (JVM-side,
+    no log-float edge cases), one partial-agg pass to the 9-row digit
+    table, summaries over that table.  Empty digits materialize with
+    zero counts so the output shape is always 9 rows."""
+    digit = F.substring(
+        F.regexp_replace(
+            F.abs(F.col(value_col)).cast("string"), r"[^1-9]*", ""),
+        1, 1).cast("int")
+    counts = (df.filter(F.col(value_col).isNotNull()
+                        & (F.col(value_col) != 0))
+              .select(digit.alias("digit"))
+              .filter(F.col("digit").isNotNull())
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").cast("int")
+                                       .alias("digit"))
+    full = (digits.join(counts, "digit", "left")
+            .select("digit", F.coalesce("n", F.lit(0)).alias("n"))
+            .withColumn("exp_frac",
+                        F.round(F.log10(1 + 1 / F.col("digit")), 6)))
+    tot = full.agg(F.sum("n").alias("n_values"))
+    scored = (full.crossJoin(F.broadcast(tot))
+              .withColumn("obs_frac",
+                          F.when(F.col("n_values") > 0,
+                                 F.round(F.col("n") / F.col("n_values"),
+                                         6)).otherwise(F.lit(0.0)))
+              .withColumn("dev", F.round(
+                  F.col("obs_frac") - F.col("exp_frac"), 6)))
+    summary = scored.agg(
+        F.round(F.sum(
+            F.pow(F.col("n") - F.col("n_values")
+                  * F.log10(1 + 1 / F.col("digit")), 2)
+            / (F.col("n_values")
+               * F.log10(1 + 1 / F.col("digit")))), 4).alias("chi2"),
+        F.round(F.avg(F.abs(
+            F.col("obs_frac") - F.col("exp_frac"))), 6).alias("mad"))
+    return (scored.crossJoin(F.broadcast(summary))
+            .select("digit", "n", "obs_frac", "exp_frac", "dev",
+                    "n_values", "chi2", "mad"))
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Differentially-private group counts via the Laplace mechanism:
+    ``noisy_n = n + Laplace(1/epsilon)`` — the release-side companion
+    of :func:`k_anonymity` (that op AUDITS a release; this one makes
+    the counts themselves safe to publish; counting queries have
+    sensitivity 1).  Output: ``(group_cols..., noisy_n)`` with
+    ``noisy_n`` rounded to a long and clamped at 0.
+
+    DETERMINISM CAVEAT, stated loudly: the noise is seeded from
+    ``md5(group keys, salt)`` so pipelines are restart-stable and the
+    SQL oracle can recompute it — which ALSO means a releaser who
+    publishes two salts leaks; formal DP requires fresh randomness per
+    release, i.e. a salt that is itself secret and single-use.  This
+    operator gives the mechanism and the plumbing; salt governance is
+    the caller's.
+
+    Plan: one partial-agg count pass; the noise is an expression on
+    the group-cardinality-sized result (inverse-CDF transform of the
+    48-bit md5 uniform), no UDF, no collect."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    counts = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("__n"))
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols],
+        F.lit(salt))
+    # u ~ Uniform(-0.5, 0.5) from the first 48 bits of md5
+    u = (F.conv(F.substring(F.md5(key), 1, 12), 16, 10)
+         .cast("double") / F.lit(float(1 << 48))) - 0.5
+    b = 1.0 / epsilon
+    noise = (-F.lit(b) * F.signum(u)
+             * F.log(1 - 2 * F.abs(u)))
+    return counts.select(
+        *group_cols,
+        F.greatest(F.round(F.col("__n") + noise).cast("long"),
+                   F.lit(0).cast("long")).alias("noisy_n"))
 
 
 def krippendorff_alpha(

@@ -1846,6 +1846,51 @@ def q_fleiss_kappa(spark, sf_dir):
     return fleiss_kappa(ratings, "doc_id", "label")
 
 
+def q_benford(spark, sf_dir):
+    """First-digit Benford audit of order totals — the anomaly screen
+    for fabricated/templated magnitudes.  (The synthetic uniform-ish
+    prices will NOT conform — that's the point of an audit table: the
+    chi2/mad columns say so instead of a human eyeballing it.)"""
+    from ..operators import benford_deviation
+
+    return benford_deviation(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_dp_counts(spark, sf_dir):
+    """Laplace-noised (lang, source) release counts — the publishable
+    companion of the k-anonymity audit; deterministic salt so the
+    oracle recomputes the identical noise (see the operator's salt-
+    governance caveat)."""
+    from ..operators import dp_noisy_counts
+
+    return dp_noisy_counts(
+        _t(spark, sf_dir, "documents"), ["lang", "source"],
+        epsilon=1.0, salt="r9")
+
+
+def q_confusable_fold(spark, sf_dir):
+    """Homoglyph-evasion audit: every 3rd doc is corrupted with
+    Cyrillic look-alikes (the spam trick), then measured
+    (confusable_ratio) and folded back (fold_confusables) — the folded
+    fingerprint must equal the original's, which is exactly why the
+    fold runs before dedup on adversarial corpora."""
+    from ..functions import fingerprint
+    from ..functions.text import confusable_ratio, fold_confusables
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.translate(F.col("text"), "aeo", "аео"))
+        .otherwise(F.col("text")).alias("wire_text"))
+    return docs.select(
+        "doc_id",
+        F.round(confusable_ratio(F.col("wire_text")), 6)
+        .alias("conf_ratio"),
+        (fingerprint(fold_confusables(F.col("wire_text")))
+         == fingerprint(F.col("text"))).alias("fold_restores"))
+
+
 def q_kripp_alpha(spark, sf_dir):
     """Krippendorff's alpha over a RAGGED 3-rater pool — the case
     fleiss_kappa refuses by contract: rater 2 skips every 11th doc,
@@ -3233,6 +3278,9 @@ QUERIES = {
     "cohen_kappa_docs": q_cohen_kappa,
     "fleiss_kappa_docs": q_fleiss_kappa,
     "kripp_alpha_docs": q_kripp_alpha,
+    "benford_orders": q_benford,
+    "dp_counts_docs": q_dp_counts,
+    "confusable_fold_docs": q_confusable_fold,
     "paragraph_dedup_docs": q_paragraph_dedup,
     "full_scan_events": q_full_scan_events,
     "q1_pricing_summary": q1_pricing_summary,
@@ -3268,9 +3316,9 @@ QUERIES = {
     "temperature_mixture_docs": q_temperature_mixture,
     "lm_perplexity_docs": q_lm_perplexity,
     "remove_dup_spans_docs": q_remove_dup_spans,
+    # --- end of round-9 driver window (50) ---
     "incremental_agg_orders": q_incremental_agg_orders,
     "snapshot_diff_orders": q_snapshot_diff_orders,
-    # --- end of round-9 driver window (50) ---
     "histogram_quantile_events": q_histogram_quantile_events,
     "pseudonymize_events": q_pseudonymize_events,
     "strip_html_docs": q_strip_html_docs,
@@ -5320,6 +5368,73 @@ ORACLES = {
                      / (1 - pk.sk / CAST(s.tot * s.tot AS DOUBLE)), 6)
                  AS kappa
         FROM s, pk""",
+    "benford_orders": """
+        WITH v AS (
+          SELECT CAST(substring(regexp_replace(
+                   CAST(abs(o_totalprice) AS VARCHAR),
+                   '[^1-9]', '', 'g'), 1, 1) AS INTEGER) AS digit
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_totalprice != 0),
+        c AS (
+          SELECT d.digit, count(v.digit) AS n
+          FROM (SELECT unnest(generate_series(1, 9)) AS digit) d
+          LEFT JOIN v ON v.digit = d.digit GROUP BY 1),
+        t AS (SELECT sum(n) AS nv FROM c),
+        sc AS (
+          SELECT c.digit, c.n,
+                 round(log10(1 + 1.0 / c.digit), 6) AS exp_frac,
+                 CASE WHEN t.nv > 0
+                      THEN round(c.n / CAST(t.nv AS DOUBLE), 6)
+                      ELSE 0.0 END AS obs_frac,
+                 t.nv
+          FROM c, t),
+        su AS (
+          SELECT round(sum(pow(n - nv * log10(1 + 1.0 / digit), 2)
+                           / (nv * log10(1 + 1.0 / digit))), 4) AS chi2,
+                 round(avg(abs(obs_frac - exp_frac)), 6) AS mad
+          FROM sc)
+        SELECT CAST(sc.digit AS INTEGER) AS digit,
+               CAST(sc.n AS BIGINT) AS n,
+               sc.obs_frac, sc.exp_frac,
+               round(sc.obs_frac - sc.exp_frac, 6) AS dev,
+               CAST(sc.nv AS BIGINT) AS n_values, su.chi2, su.mad
+        FROM sc, su""",
+    "dp_counts_docs": """
+        WITH c AS (
+          SELECT lang, source, count(*) AS n
+          FROM documents GROUP BY 1, 2),
+        k AS (
+          SELECT lang, source, n,
+                 CAST(concat('0x', substring(md5(
+                   concat_ws(chr(31), lang, source, 'r9')), 1, 12))
+                   AS BIGINT) / CAST(281474976710656 AS DOUBLE) - 0.5
+                   AS u
+          FROM c)
+        SELECT lang, source,
+               greatest(CAST(round(
+                 n + (-1.0 * sign(u) * ln(1 - 2 * abs(u)))) AS BIGINT),
+                 0) AS noisy_n
+        FROM k""",
+    "confusable_fold_docs": """
+        WITH w AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN translate(text, 'aeo', 'аео')
+                      ELSE text END AS wire_text
+          FROM documents)
+        SELECT doc_id,
+               round(CASE WHEN length(wire_text) > 0 THEN
+                 round((length(wire_text) - length(translate(wire_text,
+                   'аеорсухіѕјԛԝьгАВЕКМНОРСТХЅІЈԌοναρτυΑΒΕΖΗΙΚΜΝΟΡΤΥΧ',
+                   ''))) / CAST(length(wire_text) AS DOUBLE), 6)
+                 ELSE 0.0 END, 6) AS conf_ratio,
+               md5(lower(trim(regexp_replace(translate(wire_text,
+                   'аеорсухіѕјԛԝьгАВЕКМНОРСТХЅІЈԌοναρτυΑΒΕΖΗΙΚΜΝΟΡΤΥΧ',
+                   'aeopcyxisjqwbrABEKMHOPCTXSIJGovaptuABEZHIKMNOPTYX'),
+                 '\\s+', ' ', 'g'))))
+               = md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                 AS fold_restores
+        FROM w""",
     "kripp_alpha_docs": """
         WITH r AS (
           SELECT doc_id, lang AS label FROM documents

@@ -842,6 +842,96 @@ def test_stream_simhash_gate_and_replay(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+# ----------------------------------- benford / dp counts / confusables
+
+def test_benford_conforming_vs_constant(spark):
+    from tap_airbyte_wrapper_spark.operators import benford_deviation
+
+    # exact Benford frequencies planted at n=1000 (counts per digit)
+    import math
+    counts = [round(1000 * math.log10(1 + 1 / d)) for d in range(1, 10)]
+    rows = [(float(f"{d}1"),) for d, c in zip(range(1, 10), counts)
+            for _ in range(c)]
+    good = benford_deviation(
+        spark.createDataFrame(rows, "v double"), "v").collect()
+    by = {r.digit: r for r in good}
+    assert len(by) == 9
+    assert by[1].mad < 0.002 and by[1].chi2 < 1.0
+    assert by[1].obs_frac == pytest.approx(0.301, abs=0.002)
+
+    # every value starts with 5 -> massive nonconformity
+    bad = benford_deviation(
+        spark.createDataFrame([(5000.0 + i,) for i in range(500)],
+                              "v double"), "v").collect()
+    b = {r.digit: r for r in bad}
+    assert b[5].obs_frac == 1.0 and b[5].n == 500
+    assert b[1].n == 0                      # empty digits materialize
+    assert b[1].mad > 0.15 and b[1].chi2 > 100
+    # zeros/nulls/negatives: sign ignored, zero excluded
+    mixed = benford_deviation(
+        spark.createDataFrame([(-300.0,), (0.0,), (None,), (0.07,)],
+                              "v double"), "v").collect()
+    m = {r.digit: r for r in mixed}
+    assert m[3].n == 1 and m[7].n == 1 and m[3].n_values == 2
+
+
+def test_dp_noisy_counts_properties(spark):
+    from tap_airbyte_wrapper_spark.operators import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(f"g{i % 50}",) for i in range(5000)], "g string")
+    out = {r.g: r.noisy_n for r in
+           dp_noisy_counts(df, ["g"], epsilon=1.0, salt="s1").collect()}
+    assert len(out) == 50
+    errs = [abs(out[f"g{i}"] - 100) for i in range(50)]
+    # Laplace(b=1): mean |noise| = 1; generous bounds
+    assert sum(errs) / 50 < 4 and max(errs) < 15
+    assert all(v >= 0 for v in out.values())
+    # deterministic per salt, different across salts
+    again = {r.g: r.noisy_n for r in
+             dp_noisy_counts(df, ["g"], epsilon=1.0, salt="s1").collect()}
+    assert again == out
+    other = {r.g: r.noisy_n for r in
+             dp_noisy_counts(df, ["g"], epsilon=1.0, salt="s2").collect()}
+    assert other != out
+    # smaller epsilon -> more noise
+    loose = {r.g: r.noisy_n for r in
+             dp_noisy_counts(df, ["g"], epsilon=0.05,
+                             salt="s1").collect()}
+    assert sum(abs(loose[f"g{i}"] - 100) for i in range(50)) > \
+        sum(errs) * 3
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_noisy_counts(df, ["g"], epsilon=0)
+
+
+def test_confusables_fold_and_ratio(spark):
+    from tap_airbyte_wrapper_spark.functions import (
+        confusable_ratio, fingerprint, fold_confusables, phrase_hits)
+
+    evaded = "buy chеаp рills onlinе now"     # Cyrillic е, а, р planted
+    clean = "buy cheap pills online now"
+    df = spark.createDataFrame(
+        [(1, evaded), (2, clean), (3, "просто русский текст здесь")],
+        "id long, t string")
+    out = {r.id: r for r in df.select(
+        "id",
+        fold_confusables(F.col("t")).alias("folded"),
+        F.round(confusable_ratio(F.col("t")), 3).alias("ratio"),
+        fingerprint(fold_confusables(F.col("t"))).alias("fp")).collect()}
+    assert out[1].folded == clean
+    assert out[1].fp == out[2].fp            # dedup sees through evasion
+    assert 0.1 < out[1].ratio < 0.3
+    assert out[2].ratio == 0.0
+    # real Russian text scores high — pair with script_profile to
+    # separate legitimate Cyrillic from evasion (documented contract)
+    assert out[3].ratio > 0.3
+    # blocklist composition: the folded text now matches the phrase
+    hits = df.filter("id = 1").select(
+        phrase_hits(fold_confusables(F.col("t")),
+                    ["cheap pills"]).alias("h")).first().h
+    assert hits == ["cheap pills"]
+
+
 # --------------------------------------------------- tombstone id-col guard
 
 def test_record_tombstones_selects_id_col_by_name(spark, tmp_path):
