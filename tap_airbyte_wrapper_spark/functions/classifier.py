@@ -46,7 +46,8 @@ from .corpus import words
 __all__ = ["TextClassifierModel", "hashed_token_indices",
            "fit_text_classifier", "classify", "save_text_classifier",
            "load_text_classifier",
-           "roc_auc", "threshold_metrics", "calibration_bins"]
+           "roc_auc", "threshold_metrics", "calibration_bins",
+           "grouped_eval_metrics"]
 
 
 @dataclass
@@ -323,6 +324,56 @@ def threshold_metrics(
         F.when(tp + fp + fn + tn > 0,
                F.round((tp + tn) / (tp + fp + fn + tn), 6))
         .alias("accuracy"),
+    )
+
+
+def grouped_eval_metrics(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    group_cols,
+) -> DataFrame:
+    """Per-slice confusion-matrix metrics — the FAIRNESS/SUBGROUP audit
+    a deployed quality classifier needs next to its global numbers: a
+    gate with 0.93 overall accuracy that scores 0.70 on one language is
+    silently filtering that slice out of the corpus.  Binary integer
+    labels/predictions in; one row per group plus an ``__overall__``
+    row (rollup), each with ``(n, tp, fp, fn, tn, accuracy, precision,
+    recall, f1)`` — rate columns null where the denominator is 0.
+
+    Plan: ONE conditional-aggregate pass under ``rollup(group_cols)``
+    (partial-agg + the rollup's Expand, still a single scan); no
+    windows, no collect."""
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    lbl, prd = F.col(label_col), F.col(pred_col)
+    base = df.filter(lbl.isNotNull() & prd.isNotNull())
+    agg = base.rollup(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((lbl == 1) & (prd == 1), 1)).alias("tp"),
+        F.count(F.when((lbl == 0) & (prd == 1), 1)).alias("fp"),
+        F.count(F.when((lbl == 1) & (prd == 0), 1)).alias("fn"),
+        F.count(F.when((lbl == 0) & (prd == 0), 1)).alias("tn"),
+        F.grouping_id().alias("__gid"))
+    # keep only the leaf groups and the grand total (no partial rollups
+    # when several group columns are passed)
+    agg = agg.filter((F.col("__gid") == 0)
+                     | (F.col("__gid") == (1 << len(group_cols)) - 1))
+    tp, fp = F.col("tp"), F.col("fp")
+    fn, tn = F.col("fn"), F.col("tn")
+    out_groups = [
+        F.when(F.col("__gid") == 0, F.col(c).cast("string"))
+        .otherwise(F.lit("__overall__")).alias(c)
+        for c in group_cols]
+    return agg.select(
+        *out_groups, "n", "tp", "fp", "fn", "tn",
+        F.round((tp + tn) / F.col("n"), 6).alias("accuracy"),
+        F.when(tp + fp > 0, F.round(tp / (tp + fp), 6))
+        .alias("precision"),
+        F.when(tp + fn > 0, F.round(tp / (tp + fn), 6)).alias("recall"),
+        F.when((tp + fp > 0) & (tp + fn > 0) & (tp > 0),
+               F.round(2 * tp / (2 * tp + fp + fn), 6)).alias("f1"),
     )
 
 

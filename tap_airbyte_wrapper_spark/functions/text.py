@@ -28,6 +28,7 @@ from pyspark.sql.functions import pandas_udf
 __all__ = [
     "phrase_hits", "phrase_blocklist_filter",
     "fold_confusables", "confusable_ratio", "CONFUSABLES",
+    "code_blocks", "code_fraction",
     "token_count",
     "bpe_token_estimate",
     "language_id",
@@ -897,6 +898,33 @@ def phrase_blocklist_filter(
     if keep == "clean":
         return df.filter(F.size(hits) == 0)
     return df.withColumn("__hits", hits).filter(F.size("__hits") > 0)
+
+
+_FENCE_RE = r"(?s)```[^\n]*\n(.*?)```"
+
+
+def code_blocks(col: Column) -> Column:
+    """Array of fenced code-block CONTENTS (the text between
+    ` ``` ` markers, info string dropped) — the extraction step of
+    code-corpus curation: route blocks to a code pipeline (language ID
+    by extension-ish heuristics, dedup against a code index) while the
+    prose goes through the text gates.  RE2-compatible dotall regex
+    (verified identical in DuckDB), JVM-side, no UDF.  Unclosed fences
+    don't match (half-open markdown yields no phantom block)."""
+    return F.regexp_extract_all(col, F.lit(_FENCE_RE), 1)
+
+
+def code_fraction(col: Column) -> Column:
+    """Fraction of characters inside fenced code blocks — the routing
+    signal: ~0 is prose, ~1 is a code file wearing a markdown wrapper,
+    the middle is documentation.  Same one regex scan as
+    :func:`code_blocks` (Catalyst subexpression elimination shares it
+    when both are projected)."""
+    n = F.length(col)
+    in_code = F.aggregate(
+        F.transform(code_blocks(col), lambda b: F.length(b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.when(n > 0, F.round(in_code / n, 6)).otherwise(F.lit(0.0))
 
 
 def compression_ratio(col: Column, level: int = 6) -> Column:

@@ -1846,6 +1846,42 @@ def q_fleiss_kappa(spark, sf_dir):
     return fleiss_kappa(ratings, "doc_id", "label")
 
 
+def q_code_blocks(spark, sf_dir):
+    """Fenced-code extraction gate: every 4th doc is wrapped as
+    markdown documentation (prose + a fenced block of its own text);
+    code_blocks/code_fraction route code to the code pipeline and
+    measure how much of each doc is code."""
+    from ..functions.text import code_blocks, code_fraction
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("intro prose\n```py\n"), F.col("text"),
+                        F.lit("\n```\ncloser prose")))
+        .otherwise(F.col("text")).alias("wire"))
+    return docs.select(
+        "doc_id",
+        F.size(code_blocks(F.col("wire"))).alias("n_blocks"),
+        code_fraction(F.col("wire")).alias("code_frac"))
+
+
+def q_slice_metrics(spark, sf_dir):
+    """Per-language classifier slice audit (grouped_eval_metrics): a
+    planted predictor that is wrong on every 7th doc globally AND
+    additionally on every 3rd zh doc — the per-slice rows expose the
+    zh accuracy gap the __overall__ row averages away."""
+    from ..functions import grouped_eval_metrics
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        F.when((F.col("doc_id") % 7 == 0)
+               | ((F.col("lang") == "zh") & (F.col("doc_id") % 3 == 0)),
+               1 - F.col("doc_id") % 2)
+        .otherwise(F.col("doc_id") % 2).cast("int").alias("pred"))
+    return grouped_eval_metrics(docs, "label", "pred", ["lang"])
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3281,6 +3317,8 @@ QUERIES = {
     "benford_orders": q_benford,
     "dp_counts_docs": q_dp_counts,
     "confusable_fold_docs": q_confusable_fold,
+    "code_blocks_docs": q_code_blocks,
+    "slice_metrics_docs": q_slice_metrics,
     "paragraph_dedup_docs": q_paragraph_dedup,
     "full_scan_events": q_full_scan_events,
     "q1_pricing_summary": q1_pricing_summary,
@@ -5368,6 +5406,62 @@ ORACLES = {
                      / (1 - pk.sk / CAST(s.tot * s.tot AS DOUBLE)), 6)
                  AS kappa
         FROM s, pk""",
+    "code_blocks_docs": """
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN
+                   'intro prose' || chr(10) || '```py' || chr(10)
+                   || text || chr(10) || '```' || chr(10) || 'closer prose'
+                 ELSE text END AS wire
+          FROM documents),
+        b AS (
+          SELECT doc_id, wire,
+                 regexp_extract_all(wire,
+                   '(?s)```[^\n]*\n(.*?)```', 1) AS blocks
+          FROM w)
+        SELECT doc_id,
+               CAST(len(blocks) AS INTEGER) AS n_blocks,
+               CASE WHEN length(wire) > 0 THEN
+                 round(coalesce(list_sum(list_transform(blocks, x -> length(x))), 0)
+                       / CAST(length(wire) AS DOUBLE), 6)
+               ELSE 0.0 END AS code_frac
+        FROM b""",
+    "slice_metrics_docs": """
+        WITH t AS (
+          SELECT lang,
+                 CAST(doc_id % 2 AS INTEGER) AS label,
+                 CAST(CASE WHEN doc_id % 7 = 0
+                           OR (lang = 'zh' AND doc_id % 3 = 0)
+                      THEN 1 - doc_id % 2 ELSE doc_id % 2 END
+                      AS INTEGER) AS pred
+          FROM documents),
+        g AS (
+          SELECT CASE WHEN GROUPING(lang) = 1 THEN '__overall__'
+                      ELSE lang END AS lang,
+                 count(*) AS n,
+                 sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                   AS tp,
+                 sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END)
+                   AS fp,
+                 sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END)
+                   AS fn,
+                 sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END)
+                   AS tn
+          FROM t GROUP BY ROLLUP(lang))
+        SELECT lang, CAST(n AS BIGINT) AS n,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+               round((tp + tn) / CAST(n AS DOUBLE), 6) AS accuracy,
+               CASE WHEN tp + fp > 0
+                    THEN round(tp / CAST(tp + fp AS DOUBLE), 6) END
+                 AS precision,
+               CASE WHEN tp + fn > 0
+                    THEN round(tp / CAST(tp + fn AS DOUBLE), 6) END
+                 AS recall,
+               CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+                    THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END
+                 AS f1
+        FROM g""",
     "benford_orders": """
         WITH v AS (
           SELECT CAST(substring(regexp_replace(

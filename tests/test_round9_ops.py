@@ -932,6 +932,53 @@ def test_confusables_fold_and_ratio(spark):
     assert hits == ["cheap pills"]
 
 
+# ------------------------------------- code fences / slice eval metrics
+
+def test_code_blocks_extraction(spark):
+    from tap_airbyte_wrapper_spark.functions import (code_blocks,
+                                                     code_fraction)
+
+    md = ("Docs intro.\n```python\nx = 1\ny = 2\n```\nprose middle\n"
+          "```\nplain block\n```\ntail")
+    df = spark.createDataFrame(
+        [(1, md), (2, "no code at all"), (3, "```py\nunclosed fence"),
+         (4, None)],
+        "id long, t string")
+    out = {r.id: r for r in df.select(
+        "id", code_blocks(F.col("t")).alias("b"),
+        code_fraction(F.col("t")).alias("f")).collect()}
+    assert out[1].b == ["x = 1\ny = 2\n", "plain block\n"]
+    assert out[1].f == pytest.approx(
+        (len("x = 1\ny = 2\n") + len("plain block\n")) / len(md), abs=1e-6)
+    assert out[2].b == [] and out[2].f == 0.0
+    assert out[3].b == []          # half-open fence: no phantom block
+    assert out[4].b is None or out[4].b == []
+
+
+def test_grouped_eval_metrics_slices(spark):
+    """Hand-planted: slice A perfect, slice B has 1 FP + 1 FN of 4;
+    overall row aggregates both.  Precision/recall null where the
+    denominator vanishes (slice C all-negative)."""
+    from tap_airbyte_wrapper_spark.functions import grouped_eval_metrics
+
+    rows = [("A", 1, 1), ("A", 0, 0), ("A", 1, 1), ("A", 0, 0),
+            ("B", 1, 1), ("B", 0, 1), ("B", 1, 0), ("B", 0, 0),
+            ("C", 0, 0), ("C", 0, 0)]
+    df = spark.createDataFrame(rows, "g string, label int, pred int")
+    out = {r.g: r for r in grouped_eval_metrics(
+        df, "label", "pred", ["g"]).collect()}
+    assert set(out) == {"A", "B", "C", "__overall__"}
+    assert out["A"].accuracy == 1.0 and out["A"].f1 == 1.0
+    assert out["B"].accuracy == 0.5
+    assert out["B"].precision == 0.5 and out["B"].recall == 0.5
+    assert out["C"].precision is None and out["C"].recall is None
+    o = out["__overall__"]
+    assert o.n == 10 and o.tp == 3 and o.fp == 1 and o.fn == 1
+    assert o.accuracy == 0.8
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_eval_metrics(df, "label", "pred", [])
+
+
 # --------------------------------------------------- tombstone id-col guard
 
 def test_record_tombstones_selects_id_col_by_name(spark, tmp_path):
