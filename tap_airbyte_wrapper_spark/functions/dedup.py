@@ -33,7 +33,7 @@ from ._cache import cache_bounded
 
 __all__ = [
     "simhash_index_write", "simhash_dedup_delta", "simhash_index_append",
-    "simhash_index_delete", "simhash_index_replace",
+    "simhash_index_delete", "simhash_index_replace", "simhash_index_compact",
     
     "shingles",
     "exact_dedup",
@@ -1993,3 +1993,51 @@ def simhash_index_replace(
         spark, table_name, path,
         delta.select(F.col(id_col).alias("sid")).distinct())
     simhash_index_append(delta, table_name, path, id_col, text_col)
+
+
+def simhash_index_compact(
+    spark,
+    table_name: str,
+    path: str,
+    dst_table: str,
+    dst_path: str,
+) -> dict:
+    """Layout-preserving compaction — same contract and mechanism as
+    :func:`minhash_index_compact`: bucketed scan forced on, live rows
+    only (tombstones fold, versions reset), rewrite with the SAME
+    bucket spec into a NEW table/path — one task per bucket, zero
+    shuffle.  Returns ``{"files_in", "files_out"}``."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import (copy_text as _copy_text,
+                          count_parquet_files as _nfiles,
+                          read_text as _read_text)
+    from ._maint import live_rows, tombstone_counts_table
+
+    if _os.path.abspath(path) == _os.path.abspath(dst_path):
+        raise ValueError("simhash_index_compact writes to a NEW path")
+    if dst_table.casefold() == table_name.casefold():
+        raise ValueError("simhash_index_compact writes to a NEW table "
+                         "name (dst_table must differ from table_name)")
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    files_in = _nfiles(path, spark)
+    spark.sql(f"DROP TABLE IF EXISTS {dst_table}_segs")
+    spark.sql(f"DROP TABLE IF EXISTS {dst_table}_tombstones")
+    tombs = tombstone_counts_table(spark, table_name, "sid")
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        (live_rows(spark.table(f"{table_name}_segs"), tombs, "sid")
+            .withColumn("__ver", F.lit(0).cast("long"))
+            .write.bucketBy(meta["n_buckets"], "seg_key")
+            .sortBy("seg_key")
+            .option("path", _os.path.join(dst_path, "segs"))
+            .mode("overwrite").saveAsTable(f"{dst_table}_segs"))
+    finally:
+        spark.conf.set(conf_key, old)
+    _copy_text(spark, _os.path.join(path, "_index_meta.json"),
+               _os.path.join(dst_path, "_index_meta.json"))
+    return {"files_in": files_in, "files_out": _nfiles(dst_path, spark)}

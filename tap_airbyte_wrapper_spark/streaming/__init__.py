@@ -19,6 +19,7 @@ from .similarity import stream_embedding_gate
 from .selection import (read_reservoir, stream_dsir_gate,
                         stream_novelty_gate,
                         stream_quality_gate, stream_media_gate,
+                        stream_blocklist_gate,
                         media_admission_condition,
                         stream_reservoir_sample)
 from .trending import read_heavy_hitters, stream_heavy_hitters
@@ -44,6 +45,7 @@ __all__ = [
     "read_reservoir",
     "stream_quality_gate",
     "stream_media_gate",
+    "stream_blocklist_gate",
     "media_admission_condition",
     "stream_heavy_hitters",
     "read_heavy_hitters",

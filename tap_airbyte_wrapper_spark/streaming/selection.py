@@ -31,7 +31,7 @@ from ..functions.dsir import dsir_score, load_dsir
 from .stats import append_gate_stats
 
 __all__ = ["stream_dsir_gate", "stream_reservoir_sample",
-           "stream_quality_gate", "stream_media_gate",
+           "stream_quality_gate", "stream_media_gate", "stream_blocklist_gate",
            "media_admission_condition", "read_reservoir",
            "stream_novelty_gate"]
 
@@ -335,6 +335,55 @@ def stream_media_gate(
                 "media_meta", probe_media_meta(F.col(media_col)))
             clean = probed.filter(media_admission_condition(
                 F.col("media_meta"), image, video, audio)).persist()
+            clean.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={batch_id}"))
+            append_gate_stats(batch.sparkSession, out_path, batch_id,
+                              batch.count(), clean.count(), started)
+            clean.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_blocklist_gate(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrases,
+    out_path: str,
+    checkpoint: str,
+    fold_homoglyphs: bool = True,
+    available_now: bool = True,
+):
+    """Stateless banned-phrase admission gate: one Aho-Corasick pass
+    per micro-batch row (:func:`~..functions.text.phrase_hits` — O(text)
+    regardless of blocklist size; the automaton builds once driver-side
+    and rides the closure across batches), docs matching NO phrase
+    land.  ``fold_homoglyphs=True`` (default) folds Cyrillic/Greek
+    look-alikes first, so the classic "chеаp" evasion doesn't slip the
+    gate.  Survivors keep all input columns; replay contract matches
+    :func:`stream_quality_gate` (pure function of the batch,
+    ``batch=<id>`` overwrite)."""
+    from ..functions.text import fold_confusables, phrase_hits
+
+    plist = list(phrases)
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        started = _time.time()
+        batch = batch.persist()
+        try:
+            txt = F.col(text_col)
+            if fold_homoglyphs:
+                txt = fold_confusables(txt)
+            clean = batch.filter(
+                F.size(phrase_hits(txt, plist)) == 0).persist()
             clean.write.mode("overwrite").parquet(
                 os.path.join(out_path, f"batch={batch_id}"))
             append_gate_stats(batch.sparkSession, out_path, batch_id,

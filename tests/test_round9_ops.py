@@ -979,6 +979,67 @@ def test_grouped_eval_metrics_slices(spark):
         grouped_eval_metrics(df, "label", "pred", [])
 
 
+# ------------------------------- simhash compact + streaming blocklist
+
+def test_simhash_index_compact_folds_tombstones(sh_index, tmp_path):
+    from pyspark.sql import Row
+
+    from tap_airbyte_wrapper_spark.functions import (
+        simhash_dedup_delta, simhash_index_compact, simhash_index_delete)
+
+    spark, corpus, path = sh_index
+    simhash_index_delete(
+        spark, "sh9_t", path,
+        spark.createDataFrame([(4,)], "sid long"))
+    probe = corpus.filter("doc_id = 4").withColumn(
+        "doc_id", F.lit(9004).cast("long"))
+    before = {(r.id_a, r.id_b) for r in simhash_dedup_delta(
+        probe, "sh9_t", path, "doc_id", "text").collect()}
+    assert (9004, 4) not in before          # deleted: no longer matches
+
+    dst = str(tmp_path / "sh_idx2")
+    stats = simhash_index_compact(spark, "sh9_t", path, "sh9c_t", dst)
+    assert stats["files_out"] <= stats["files_in"]
+    assert not spark.catalog.tableExists("sh9c_t_tombstones")
+    segs = spark.table("sh9c_t_segs")
+    assert segs.filter("sid = 4").count() == 0   # tombstone folded away
+    assert segs.filter("__ver != 0").count() == 0
+    after = {(r.id_a, r.id_b) for r in simhash_dedup_delta(
+        probe, "sh9c_t", dst, "doc_id", "text").collect()}
+    assert after == before
+    with pytest.raises(ValueError, match="NEW table"):
+        simhash_index_compact(spark, "sh9_t", path, "SH9_T", dst)
+    for t in ("sh9c_t_segs", "sh9c_t_tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_blocklist_gate_with_fold(spark, tmp_path):
+    """Stateless blocklist gate: plain and homoglyph-evaded banned
+    phrases both drop (fold on by default); clean docs land."""
+    from pyspark.sql import Row
+
+    from tap_airbyte_wrapper_spark.streaming import stream_blocklist_gate
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "clean")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([
+        Row(doc_id=1, text="totally legitimate prose about spark"),
+        Row(doc_id=2, text="click here to buy cheap pills today"),
+        Row(doc_id=3, text="click here to buy chеаp рills today"),  # Cyrillic
+        Row(doc_id=4, text="another clean doc entirely"),
+    ], schema).coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_blocklist_gate(
+        spark.readStream.schema(schema).parquet(str(src)),
+        "doc_id", "text", ["cheap pills", "wire transfer"],
+        out, checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert sorted(r.doc_id
+                  for r in spark.read.parquet(out).collect()) == [1, 4]
+    assert spark.read.parquet(out + "/_gate_stats").count() >= 1
+
+
 # --------------------------------------------------- tombstone id-col guard
 
 def test_record_tombstones_selects_id_col_by_name(spark, tmp_path):
