@@ -28,7 +28,7 @@ from pyspark.sql.functions import pandas_udf
 __all__ = [
     "phrase_hits", "phrase_blocklist_filter",
     "fold_confusables", "confusable_ratio", "CONFUSABLES",
-    "code_blocks", "code_fraction",
+    "code_blocks", "code_fraction", "fix_mojibake",
     "token_count",
     "bpe_token_estimate",
     "language_id",
@@ -898,6 +898,48 @@ def phrase_blocklist_filter(
     if keep == "clean":
         return df.filter(F.size(hits) == 0)
     return df.withColumn("__hits", hits).filter(F.size("__hits") > 0)
+
+
+#: double-encoding artifacts: UTF-8 lead bytes re-read as latin-1/cp1252
+_MOJI_RE = _re.compile("[ÃÂ][-ÿ]|â€|â")
+
+
+def fix_mojibake(col: Column, max_passes: int = 3) -> Column:
+    """Repair double-encoded text ("ftfy-lite"): ``cafÃ©`` -> ``café``,
+    ``donâ€™t`` -> ``don’t`` — the UTF-8-bytes-read-as-latin-1/cp1252
+    corruption that web crawls are full of.  Per row: while the text
+    shows mojibake markers, re-encode as cp1252 (falling back latin-1
+    — cp1252 maps the 0x80-0x9F block UTF-8 continuation bytes land
+    in) and re-decode as UTF-8; keep the candidate only when it
+    strictly reduces marker count (clean text that merely LOOKS
+    suspicious is left alone, and failure to decode keeps the
+    original).  Up to ``max_passes`` rounds handles doubly-encoded
+    text.  Arrow-batched pandas UDF (the JVM ``decode`` is strict and
+    throws on the mixed-validity strings this exists to fix); no SQL
+    oracle — DuckDB has no charset conversion — contract pinned by
+    round-trip pytest."""
+    def _repair(t: str) -> str:
+        for _ in range(max_passes):
+            marks = len(_MOJI_RE.findall(t))
+            if not marks:
+                return t
+            for enc in ("cp1252", "latin-1"):
+                try:
+                    cand = t.encode(enc).decode("utf-8")
+                    break
+                except (UnicodeDecodeError, UnicodeEncodeError):
+                    cand = None
+            if cand is None or len(_MOJI_RE.findall(cand)) >= marks:
+                return t
+            t = cand
+        return t
+
+    @pandas_udf("string")
+    def fix(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if t is None else _repair(t) for t in texts])
+
+    return fix(col)
 
 
 _FENCE_RE = r"(?s)```[^\n]*\n(.*?)```"

@@ -1040,6 +1040,49 @@ def test_stream_blocklist_gate_with_fold(spark, tmp_path):
     assert spark.read.parquet(out + "/_gate_stats").count() >= 1
 
 
+# ------------------------------------------------ mojibake repair
+
+def test_fix_mojibake_round_trips(spark):
+    from tap_airbyte_wrapper_spark.functions import fix_mojibake
+
+    clean = "café résumé naïve — don’t"
+    single = clean.encode("utf-8").decode("cp1252")          # cafÃ© ...
+    # strict cp1252 can't even REPRESENT a double encoding (0x9D is
+    # unmapped); latin-1 (full 256-byte map) is how it happens in the
+    # wild — the repair's fallback order handles both
+    double = single.encode("utf-8").decode("latin-1")
+    latin = "café".encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame(
+        [(1, single), (2, double), (3, clean), (4, "plain ascii"),
+         (5, latin), (6, None)],
+        "id long, t string")
+    out = {r.id: r.f for r in df.select(
+        "id", fix_mojibake(F.col("t")).alias("f")).collect()}
+    assert out[1] == clean
+    assert out[2] == clean            # two passes unwind double encoding
+    assert out[3] == clean            # already-clean text untouched
+    assert out[4] == "plain ascii"
+    assert out[5] == "café"
+    assert out[6] is None
+
+
+def test_fix_mojibake_leaves_ambiguous_text_alone(spark):
+    """Legitimate text that merely CONTAINS a suspicious bigram must
+    not be 'repaired' into garbage: the candidate is accepted only
+    when it strictly reduces marker count."""
+    from tap_airbyte_wrapper_spark.functions import fix_mojibake
+
+    # Portuguese: 'nÃo' is real mojibake of 'não', but 'Âmbito' with a
+    # capital  at word start is legitimate; repair must fix the first
+    # and leave a marker-free repaired form
+    legit = "o Âmbito da questão"   # clean Portuguese, has Â marker
+    df = spark.createDataFrame([(1, legit)], "id long, t string")
+    got = df.select(fix_mojibake(F.col("t")).alias("f")).first().f
+    # encode('cp1252').decode('utf-8') of this string FAILS (Â followed
+    # by 'm' is not a valid UTF-8 sequence), so the original survives
+    assert got == legit
+
+
 # --------------------------------------------------- tombstone id-col guard
 
 def test_record_tombstones_selects_id_col_by_name(spark, tmp_path):
