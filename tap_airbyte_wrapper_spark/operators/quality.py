@@ -501,20 +501,26 @@ def cohen_kappa(
     ``kappa`` null for the degenerate ``pe == 1`` case (both raters
     constant on the same label).
 
-    Plan: one partial-agg pass for (n, agreements) + one per-label
-    marginal count per side; the marginal tables are
-    label-cardinality-sized, their join and the final arithmetic are
-    metadata-scale.  No collect, no window, all mergeable."""
-    pairs = df.filter(F.col(rater_a_col).isNotNull()
+    Plan: ONE partial-agg pass to the (label_a, label_b) confusion
+    table (label²-sized); agreements, marginals, and the chance term
+    all derive from that table, which is eagerly checkpointed so the
+    input is scanned exactly once no matter how many consumers read it
+    (plan-asserted in tests).  No collect, all mergeable."""
+    conf = (df.filter(F.col(rater_a_col).isNotNull()
                       & F.col(rater_b_col).isNotNull())
-    base = pairs.agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.count(F.when(F.col(rater_a_col) == F.col(rater_b_col), 1))
+            .groupBy(F.col(rater_a_col).alias("__a"),
+                     F.col(rater_b_col).alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint(eager=True))     # label²-sized: tiny
+    base = conf.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("n_items"),
+        F.coalesce(F.sum(F.when(F.col("__a") == F.col("__b"),
+                                F.col("__c"))), F.lit(0))
         .alias("__agree"))
-    ca = pairs.groupBy(F.col(rater_a_col).alias("__lbl")).agg(
-        F.count(F.lit(1)).alias("__na"))
-    cb = pairs.groupBy(F.col(rater_b_col).alias("__lbl")).agg(
-        F.count(F.lit(1)).alias("__nb"))
+    ca = conf.groupBy(F.col("__a").alias("__lbl")).agg(
+        F.sum("__c").alias("__na"))
+    cb = conf.groupBy(F.col("__b").alias("__lbl")).agg(
+        F.sum("__c").alias("__nb"))
     chance = (
         ca.join(cb, "__lbl", "full_outer")
         .agg(F.coalesce(
@@ -564,10 +570,14 @@ def fleiss_kappa(
     accumulation is INTEGER (``sum n_ik^2`` etc.) with exactly one
     float division per statistic, so the result is bit-deterministic
     across partitionings and engines (a float ``avg`` of per-item
-    ratios would not be)."""
+    ratios would not be).  The (item, label) count table is eagerly
+    checkpointed: the shape summary, the o-mass, and the category
+    totals all read it, and without materialization each consumer
+    would re-scan the raw ratings (plan-asserted single input scan)."""
     counts = (df.groupBy(F.col(item_col).alias("__it"),
                          F.col(label_col).alias("__lbl"))
-              .agg(F.count(F.lit(1)).alias("__nik")))
+              .agg(F.count(F.lit(1)).alias("__nik"))
+              .localCheckpoint(eager=True))
     per_item = counts.groupBy("__it").agg(
         F.sum("__nik").alias("__n"),
         F.sum(F.col("__nik") * F.col("__nik")).alias("__sq"))
@@ -626,9 +636,13 @@ def benford_deviation(
     Nigrini screening scale: < 0.006 close, > 0.015 nonconformity).
 
     Plan: leading digit via string math on ``abs(value)`` (JVM-side,
-    no log-float edge cases), one partial-agg pass to the 9-row digit
-    table, summaries over that table.  Empty digits materialize with
-    zero counts so the output shape is always 9 rows."""
+    no log-float edge cases), ONE partial-agg pass to the 9-row digit
+    table — the summaries (totals, chi2, mad) are whole-frame window
+    aggregates over those 9 rows, so the input is scanned exactly once
+    (the naive agg-then-crossJoin form re-evaluated the scan subtree
+    per summary; plan-asserted single scan in tests).  Empty digits
+    materialize with zero counts so the output shape is always 9
+    rows."""
     digit = F.substring(
         F.regexp_replace(
             F.abs(F.col(value_col)).cast("string"), r"[^1-9]*", ""),
@@ -645,23 +659,24 @@ def benford_deviation(
             .select("digit", F.coalesce("n", F.lit(0)).alias("n"))
             .withColumn("exp_frac",
                         F.round(F.log10(1 + 1 / F.col("digit")), 6)))
-    tot = full.agg(F.sum("n").alias("n_values"))
-    scored = (full.crossJoin(F.broadcast(tot))
+    # whole-frame window over the digit table: 9 rows by construction,
+    # so the single-partition window is bounded, not a scale hazard
+    w = Window.partitionBy(F.lit(1))
+    scored = (full
+              .withColumn("n_values", F.sum("n").over(w))
               .withColumn("obs_frac",
                           F.when(F.col("n_values") > 0,
                                  F.round(F.col("n") / F.col("n_values"),
                                          6)).otherwise(F.lit(0.0)))
               .withColumn("dev", F.round(
                   F.col("obs_frac") - F.col("exp_frac"), 6)))
-    summary = scored.agg(
-        F.round(F.sum(
-            F.pow(F.col("n") - F.col("n_values")
-                  * F.log10(1 + 1 / F.col("digit")), 2)
-            / (F.col("n_values")
-               * F.log10(1 + 1 / F.col("digit")))), 4).alias("chi2"),
-        F.round(F.avg(F.abs(
-            F.col("obs_frac") - F.col("exp_frac"))), 6).alias("mad"))
-    return (scored.crossJoin(F.broadcast(summary))
+    exp_n = F.col("n_values") * F.log10(1 + 1 / F.col("digit"))
+    return (scored
+            .withColumn("chi2", F.round(
+                F.sum(F.pow(F.col("n") - exp_n, 2) / exp_n).over(w), 4))
+            .withColumn("mad", F.round(
+                F.avg(F.abs(F.col("obs_frac") - F.col("exp_frac")))
+                .over(w), 6))
             .select("digit", "n", "obs_frac", "exp_frac", "dev",
                     "n_values", "chi2", "mad"))
 
@@ -733,25 +748,29 @@ def krippendorff_alpha(
     ``do_``/``de_`` the observed/expected disagreement, ``alpha`` null
     for the degenerate single-category case (``de_ == 0``).
 
-    Plan: per-(item,label) counts -> per-item totals (both partial-agg,
-    item/category-bounded), one double sum for the o_cc mass (the
+    Plan: per-(item,label) counts -> per-item totals via one window
+    over the item key (same shuffle a groupBy-join-back would cost,
+    half the evaluations), one double sum for the o_cc mass (the
     per-item ``n_i - 1`` denominators make it irreducibly rational),
-    integer sums everywhere else."""
+    integer sums everywhere else.  The kept table is eagerly
+    checkpointed — four statistics read it, and without
+    materialization each would re-scan the raw ratings (plan-asserted
+    single input scan)."""
     counts = (df.groupBy(F.col(item_col).alias("__it"),
                          F.col(label_col).alias("__lbl"))
               .agg(F.count(F.lit(1)).alias("__nic")))
-    per_item = counts.groupBy("__it").agg(
-        F.sum("__nic").alias("__n"))
-    kept = counts.join(
-        per_item.filter(F.col("__n") >= 2), "__it")
+    kept = (counts
+            .withColumn("__n", F.sum("__nic").over(
+                Window.partitionBy("__it")))
+            .filter(F.col("__n") >= 2)
+            .localCheckpoint(eager=True))
     occ = kept.agg(
         F.sum(F.col("__nic") * (F.col("__nic") - 1)
               / (F.col("__n") - 1)).alias("__occ"))
     totals = kept.groupBy("__lbl").agg(F.sum("__nic").alias("__nc")).agg(
         F.sum("__nc").alias("__ntot"),
         F.sum(F.col("__nc") * F.col("__nc")).alias("__snc2"))
-    items = per_item.filter(F.col("__n") >= 2).agg(
-        F.count(F.lit(1)).alias("n_items"))
+    items = kept.agg(F.countDistinct("__it").alias("n_items"))
     ntot = F.col("__ntot").cast("double")
     do_ = (ntot - F.col("__occ")) / ntot
     de_ = (ntot * ntot - F.col("__snc2")) / (ntot * (ntot - 1))

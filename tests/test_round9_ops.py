@@ -875,6 +875,33 @@ def test_benford_conforming_vs_constant(spark):
     assert m[3].n == 1 and m[7].n == 1 and m[3].n_values == 2
 
 
+def test_audit_ops_scan_input_once(spark, tmp_path):
+    """The 100 TB contract of the audit family: one corpus scan, full
+    stop.  The naive agg-then-crossJoin shapes re-evaluated the scan
+    subtree per summary (benford read its input 4x, kappa/alpha up to
+    5x before round 9's restructure)."""
+    from tap_airbyte_wrapper_spark.operators import (
+        benford_deviation, cohen_kappa, fleiss_kappa, krippendorff_alpha)
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(float(100 + i), "x" if i % 2 else "y",
+          "x" if i % 3 else "y", i % 5) for i in range(60)],
+        "v double, a string, b string, item int").write.parquet(p)
+    df = spark.read.parquet(p)
+
+    def scans(out):
+        return out._jdf.queryExecution().executedPlan() \
+            .toString().count("Scan parquet")
+
+    assert scans(benford_deviation(df, "v")) == 1
+    assert scans(cohen_kappa(df, "a", "b")) <= 1   # post-checkpoint: 0
+    assert scans(fleiss_kappa(
+        spark.read.parquet(p).withColumnRenamed("a", "label"),
+        "item", "label")) <= 1
+    assert scans(krippendorff_alpha(df, "item", "a")) <= 1
+
+
 def test_dp_noisy_counts_properties(spark):
     from tap_airbyte_wrapper_spark.operators import dp_noisy_counts
 
