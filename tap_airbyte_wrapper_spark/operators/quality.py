@@ -396,8 +396,12 @@ def key_skew_profile(
     above, which is indistinguishable for a salt-or-don't decision."""
     from pyspark.sql import Window
 
+    # eager checkpoint: the summary and the heavy-key cut both read
+    # the per-key count table; without materialization each branch
+    # re-scans the raw input (the table is key-cardinality-sized —
+    # far smaller than a second corpus scan at any SF)
     counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
-        F.count(F.lit(1)).alias("n_rows"))
+        F.count(F.lit(1)).alias("n_rows")).localCheckpoint(eager=True)
     stats = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n_rows").alias("__tot"),
@@ -455,8 +459,10 @@ def k_anonymity(
     aggregate the group-count table (group-cardinality-sized)."""
     from pyspark.sql import Window
 
+    # eager checkpoint for the same one-scan reason as
+    # key_skew_profile (summary + violating-group cut both read it)
     counts = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
-        F.count(F.lit(1)).alias("n_rows"))
+        F.count(F.lit(1)).alias("n_rows")).localCheckpoint(eager=True)
     stats = counts.agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.count(F.when(F.col("n_rows") < k, 1))

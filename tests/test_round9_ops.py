@@ -900,6 +900,10 @@ def test_audit_ops_scan_input_once(spark, tmp_path):
         spark.read.parquet(p).withColumnRenamed("a", "label"),
         "item", "label")) <= 1
     assert scans(krippendorff_alpha(df, "item", "a")) <= 1
+    from tap_airbyte_wrapper_spark.operators import (k_anonymity,
+                                                     key_skew_profile)
+    assert scans(key_skew_profile(df, ["item"], top=3)) <= 1
+    assert scans(k_anonymity(df, ["a", "b"], k=3, top=5)) <= 1
 
 
 def test_dp_noisy_counts_properties(spark):
