@@ -432,11 +432,19 @@ def bm25_index_sync(
     from-scratch index built on the new corpus (pinned by the
     composition test)."""
     spark = new_corpus.sparkSession
-    upsert_ids = (diff.filter(F.col("status").isin("added", "changed"))
+    # one evaluation of the diff (it costs two corpus fingerprint
+    # scans): the churn rows are id+status-sized, so checkpoint them
+    # eagerly and let the guard counts, the semi-join, and the delete
+    # all read the materialized churn instead of re-diffing
+    churn = (diff.filter(F.col("status").isin("added", "changed",
+                                              "removed"))
+             .select(id_col, "status").localCheckpoint(eager=True))
+    upsert_ids = (churn.filter(F.col("status") != "removed")
                   .select(id_col))
-    removed_ids = diff.filter(F.col("status") == "removed").select(id_col)
+    removed_ids = churn.filter(F.col("status") == "removed") \
+        .select(id_col)
     upserts = new_corpus.join(upsert_ids, id_col, "left_semi")
-    if upserts.limit(1).count():
+    if upsert_ids.limit(1).count():
         bm25_index_replace(upserts, table_name, path, id_col, text_col)
     if removed_ids.limit(1).count():
         bm25_index_delete(spark, table_name, path, removed_ids)
