@@ -224,12 +224,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        if pos + 1 >= len(data):
+            raise ValueError("truncated stream: lone 0xFF at end")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone
+        if pos + 2 > len(data):
+            raise ValueError(
+                f"truncated stream: marker 0xFF{marker:02X} has no "
+                "length field")
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
         seg = data[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
@@ -255,14 +261,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 bits = list(seg[p + 1:p + 17])
                 n = sum(bits)
                 vals = list(seg[p + 17:p + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT segment")
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
             prec = seg[0]
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
             height, width = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated SOF component list")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
@@ -275,13 +287,23 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 "(only baseline sequential is implemented; install PIL "
                 "for progressive/arithmetic streams)")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("truncated SOS segment")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in comps if c["id"] == cs)
+                comp = next(
+                    (c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(
+                        f"SOS references undefined component {cs}")
                 scan.append((comp, tables >> 4, tables & 0x0F))
             pos += seglen
             return _decode_scan(data, pos, width, height, comps, scan,
@@ -334,13 +356,27 @@ def _decode_scan(data, pos, width, height, comps, scan, qt, huff,
                 pi = plane_idx[comp["id"]]
                 bh = 1 if single else comp["h"]
                 bv = 1 if single else comp["v"]
+                if comp["tq"] not in qt:
+                    raise ValueError(
+                        f"undefined quantization table {comp['tq']}")
+                if (0, dc_id) not in huff or (1, ac_id) not in huff:
+                    raise ValueError(
+                        f"undefined Huffman table (dc={dc_id}, "
+                        f"ac={ac_id})")
                 dq = qt[comp["tq"]]
                 dct = huff[(0, dc_id)]
                 act = huff[(1, ac_id)]
                 for by in range(bv):
                     for bx in range(bh):
-                        zz = np.zeros(64, dtype=np.int32)
+                        # int64: corrupted streams can run the DC
+                        # predictor far past int32 before any other
+                        # check fires — decode must fail with
+                        # ValueError, never OverflowError
+                        zz = np.zeros(64, dtype=np.int64)
                         t = reader.decode_symbol(dct)
+                        if t > 16:
+                            raise ValueError(
+                                f"invalid DC category {t}")
                         diff = _extend(reader.read_bits(t), t)
                         pred[ci] += diff
                         zz[0] = pred[ci]
