@@ -68,7 +68,7 @@ def _parse_mp4(buf: bytes):
         return out
     ms, me = moov
     mvhd = _mp4_find(buf, ms, me, b"mvhd")
-    if mvhd:
+    if mvhd and mvhd[1] > mvhd[0]:
         s, e = mvhd
         ver = buf[s]
         if ver == 1 and e - s >= 32:
@@ -95,7 +95,7 @@ def _parse_mp4(buf: bytes):
         if handler != b"vide" or out["width"] is not None:
             continue
         tkhd = _mp4_find(buf, s, e, b"tkhd")
-        if tkhd:
+        if tkhd and tkhd[1] > tkhd[0]:
             hs, he = tkhd
             off = hs + (88 if buf[hs] == 1 else 76)
             if off + 8 <= he:

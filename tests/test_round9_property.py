@@ -88,6 +88,36 @@ def test_decode_jpeg_mutation_fuzz():
             pass
 
 
+def test_container_probe_mutation_fuzz():
+    """Probes must return a dict or None on CORRUPTED valid containers
+    (byte flips + truncations reach the box-walk/EBML depths random
+    bytes never do); a mutated mvhd/tkhd with an empty payload escaped
+    with IndexError before round 9's guard."""
+    import os
+    import random
+
+    from tap_airbyte_wrapper_spark.functions import (audio_metadata,
+                                                     video_metadata)
+    from tap_airbyte_wrapper_spark.functions.audio_meta import wav_stub
+    from tap_airbyte_wrapper_spark.functions.video import mp4_stub
+
+    viddir = os.path.join(os.path.dirname(__file__), "fixtures", "video")
+    bases = [open(os.path.join(viddir, n), "rb").read()
+             for n in ("tiny.mp4", "tiny.mkv", "tiny.webm")]
+    bases += [mp4_stub(640, 360, 5000), wav_stub(16000, 1, 16000)]
+    random.seed(11)
+    for base in bases:
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(random.randint(1, 6)):
+                b[random.randrange(0, len(b))] = random.randrange(256)
+            if random.random() < 0.3:
+                b = b[:random.randrange(0, len(b))]
+            for probe in (video_metadata, audio_metadata):
+                got = probe(bytes(b))
+                assert got is None or isinstance(got, dict)
+
+
 # -------------------------------------------- AC matcher equivalence
 
 _words = st.text(alphabet="abcxyz ", min_size=1, max_size=8)
