@@ -1846,6 +1846,18 @@ def q_fleiss_kappa(spark, sf_dir):
     return fleiss_kappa(ratings, "doc_id", "label")
 
 
+def q_dataset_card(spark, sf_dir):
+    """Automated datasheet ('Datasheets for Datasets'): the 17-row
+    (section, metric, value) release summary — volume, language mix,
+    quality distribution, length quantiles, exact-dup rate — in one
+    corpus scan.  The oracle recomposes the pinned language/quality
+    fragments plus quantile_disc (matching approx_percentile's
+    element-at-rank convention)."""
+    from ..functions import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))
+
+
 def q_code_blocks(spark, sf_dir):
     """Fenced-code extraction gate: every 4th doc is wrapped as
     markdown documentation (prose + a fenced block of its own text);
@@ -3319,6 +3331,7 @@ QUERIES = {
     "confusable_fold_docs": q_confusable_fold,
     "code_blocks_docs": q_code_blocks,
     "slice_metrics_docs": q_slice_metrics,
+    "dataset_card_docs": q_dataset_card,
     "paragraph_dedup_docs": q_paragraph_dedup,
     "full_scan_events": q_full_scan_events,
     "q1_pricing_summary": q1_pricing_summary,
@@ -5406,6 +5419,61 @@ ORACLES = {
                      / (1 - pk.sk / CAST(s.tot * s.tot AS DOUBLE)), 6)
                  AS kappa
         FROM s, pk""",
+    "dataset_card_docs": f"""
+        WITH lang AS ({_LANG_SQL}),
+        q AS ({_QUALITY_SQL}),
+        base AS (
+          SELECT d.doc_id, d.source,
+                 length(d.text) AS n_chars,
+                 CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                      ELSE len({_WORDS}) END AS BIGINT) AS n_tok,
+                 md5(lower(trim(regexp_replace(d.text, '\\s+', ' ',
+                     'g')))) AS fp,
+                 lang.lang_pred, q.q
+          FROM documents d
+          JOIN lang ON d.doc_id = lang.doc_id
+          JOIN q ON d.doc_id = q.doc_id),
+        s AS (
+          SELECT count(*) AS n,
+                 count(DISTINCT fp) AS nfp,
+                 count(DISTINCT source) AS nsrc,
+                 sum(n_tok) AS st, sum(n_chars) AS sc,
+                 count(*) FILTER (WHERE lang_pred = 'de') AS n_de,
+                 count(*) FILTER (WHERE lang_pred = 'en') AS n_en,
+                 count(*) FILTER (WHERE lang_pred = 'es') AS n_es,
+                 count(*) FILTER (WHERE lang_pred = 'fr') AS n_fr,
+                 count(*) FILTER (WHERE lang_pred = 'und') AS n_und,
+                 avg(base.q) AS avgq, min(base.q) AS minq,
+                 count(*) FILTER (WHERE base.q < 0.3) AS nlow,
+                 quantile_disc(n_tok, 0.5) AS p50,
+                 quantile_disc(n_tok, 0.9) AS p90
+          FROM base)
+        SELECT section, metric, value FROM (
+          SELECT 'volume' AS section, 'n_docs' AS metric,
+                 CAST(n AS DOUBLE) AS value FROM s
+          UNION ALL SELECT 'volume', 'n_sources', CAST(nsrc AS DOUBLE) FROM s
+          UNION ALL SELECT 'volume', 'sum_tokens', CAST(st AS DOUBLE) FROM s
+          UNION ALL SELECT 'volume', 'sum_chars', CAST(sc AS DOUBLE) FROM s
+          UNION ALL SELECT 'language', 'frac_de',
+                    round(n_de / CAST(n AS DOUBLE), 6) FROM s
+          UNION ALL SELECT 'language', 'frac_en',
+                    round(n_en / CAST(n AS DOUBLE), 6) FROM s
+          UNION ALL SELECT 'language', 'frac_es',
+                    round(n_es / CAST(n AS DOUBLE), 6) FROM s
+          UNION ALL SELECT 'language', 'frac_fr',
+                    round(n_fr / CAST(n AS DOUBLE), 6) FROM s
+          UNION ALL SELECT 'language', 'frac_und',
+                    round(n_und / CAST(n AS DOUBLE), 6) FROM s
+          UNION ALL SELECT 'quality', 'avg', round(avgq, 4) FROM s
+          UNION ALL SELECT 'quality', 'min', CAST(minq AS DOUBLE) FROM s
+          UNION ALL SELECT 'quality', 'frac_low',
+                    round(nlow / CAST(n AS DOUBLE), 6) FROM s
+          UNION ALL SELECT 'length', 'p50_tokens', CAST(p50 AS DOUBLE) FROM s
+          UNION ALL SELECT 'length', 'p90_tokens', CAST(p90 AS DOUBLE) FROM s
+          UNION ALL SELECT 'dedup', 'distinct_frac',
+                    round(nfp / CAST(n AS DOUBLE), 6) FROM s
+          UNION ALL SELECT 'dedup', 'exact_dup_frac',
+                    round(1.0 - nfp / CAST(n AS DOUBLE), 6) FROM s)""",
     "code_blocks_docs": """
         WITH w AS (
           SELECT doc_id,

@@ -1071,6 +1071,34 @@ def test_stream_blocklist_gate_with_fold(spark, tmp_path):
     assert spark.read.parquet(out + "/_gate_stats").count() >= 1
 
 
+# ------------------------------------------------ dataset card
+
+def test_dataset_card_planted(spark):
+    from tap_airbyte_wrapper_spark.functions import dataset_card
+
+    en = ("the quick brown fox and the lazy dog of the farm is to be "
+          "seen running through fields " * 3)
+    rows = ([(i, en, "s1") for i in range(4)]            # 4 exact dups
+            + [(10, "le chat est sur le toit et les oiseaux", "s2"),
+               (11, "zz qq ww", "s2")])                  # fr + und
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "source string")
+    card = {(r.section, r.metric): r.value
+            for r in dataset_card(df).collect()}
+    assert card[("volume", "n_docs")] == 6.0
+    assert card[("volume", "n_sources")] == 2.0
+    assert card[("dedup", "exact_dup_frac")] == pytest.approx(
+        round(1 - 3 / 6, 6))                      # 4 copies -> 1 distinct
+    assert card[("language", "frac_en")] == pytest.approx(round(4 / 6, 6))
+    assert card[("language", "frac_fr")] == pytest.approx(round(1 / 6, 6))
+    assert card[("language", "frac_und")] == pytest.approx(round(1 / 6, 6))
+    assert 0.0 <= card[("quality", "min")] <= card[("quality", "avg")] <= 1
+    assert len(card) == 16
+    # the one-scan contract
+    plan = dataset_card(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
 # ------------------------------------------------ mojibake repair
 
 def test_fix_mojibake_round_trips(spark):
