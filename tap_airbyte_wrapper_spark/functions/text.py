@@ -29,6 +29,7 @@ __all__ = [
     "phrase_hits", "phrase_blocklist_filter",
     "fold_confusables", "confusable_ratio", "CONFUSABLES",
     "code_blocks", "code_fraction", "fix_mojibake",
+    "detect_license", "permissive_license_filter",
     "token_count",
     "bpe_token_estimate",
     "language_id",
@@ -967,6 +968,63 @@ def code_fraction(col: Column) -> Column:
         F.transform(code_blocks(col), lambda b: F.length(b)),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
     return F.when(n > 0, F.round(in_code / n, 6)).otherwise(F.lit(0.0))
+
+
+#: license-header heuristics, checked in order AFTER the SPDX tag:
+#: (canonical id, distinctive phrase regex — RE2-portable, case folded)
+_LICENSE_PATTERNS = [
+    ("apache-2.0", r"apache license,? version 2\.0"),
+    ("mit", r"permission is hereby granted, free of charge"),
+    ("gpl-3.0", r"gnu general public license.{0,40}version 3"),
+    ("gpl-2.0", r"gnu general public license.{0,40}version 2"),
+    ("lgpl", r"gnu lesser general public license"),
+    ("agpl-3.0", r"gnu affero general public license"),
+    ("mpl-2.0", r"mozilla public license,? v(ersion)? ?2\.0"),
+    ("bsd-3-clause", r"redistribution and use in source and binary "
+                     r"forms.{0,600}neither the name"),
+    ("bsd-2-clause", r"redistribution and use in source and binary "
+                     r"forms"),
+    ("unlicense", r"this is free and unencumbered software"),
+    ("cc0-1.0", r"creative commons zero|cc0 1\.0"),
+    ("cc-by-4.0", r"creative commons attribution 4\.0"),
+]
+_SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+\-]+)"
+
+
+def detect_license(col: Column) -> Column:
+    """Canonical license id for a source file / document, or null —
+    the admission signal a CODE-corpus curation pipeline filters on
+    ("permissive only" is the standard training-data policy).  An
+    explicit ``SPDX-License-Identifier:`` tag wins (lowercased
+    verbatim); otherwise the first matching distinctive header phrase
+    in :data:`_LICENSE_PATTERNS` decides (ordered so apache/mit/gpl-3
+    outrank the catch-all BSD clause; 3-clause BSD is tested before
+    2-clause because its text is a superset).  Pure Catalyst regexes —
+    RE2-portable, reproduced verbatim in the SQL oracle."""
+    spdx = F.regexp_extract(col, _SPDX_RE, 1)
+    out = F.when(spdx != "", F.lower(spdx))
+    low = F.lower(col)
+    for lic, pat in _LICENSE_PATTERNS:
+        out = out.when(low.rlike(pat), F.lit(lic))
+    return out.otherwise(F.lit(None).cast("string"))
+
+
+def permissive_license_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    allow=("apache-2.0", "mit", "bsd-2-clause", "bsd-3-clause",
+           "unlicense", "cc0-1.0", "mpl-2.0"),
+    keep_unlicensed: bool = False,
+) -> DataFrame:
+    """Keep documents whose detected license is in the ``allow`` list —
+    the code-corpus admission gate.  ``keep_unlicensed`` decides the
+    null case (no tag, no recognized header): the conservative default
+    drops them.  Map-only, zero shuffle."""
+    lic = detect_license(F.col(text_col))
+    cond = lic.isin(*[F.lit(a) for a in allow])
+    if keep_unlicensed:
+        cond = cond | lic.isNull()
+    return df.filter(cond)
 
 
 def compression_ratio(col: Column, level: int = 6) -> Column:

@@ -1846,6 +1846,71 @@ def q_fleiss_kappa(spark, sf_dir):
     return fleiss_kappa(ratings, "doc_id", "label")
 
 
+_LICENSE_HEADERS = [
+    "SPDX-License-Identifier: MIT\n",
+    'Licensed under the Apache License, Version 2.0 (the "License")\n',
+    "This program is free software: GNU General Public License "
+    "version 3 applies\n",
+    "Permission is hereby granted, free of charge, to any person\n",
+    "Redistribution and use in source and binary forms, with or "
+    "without modification, are permitted provided that Neither the "
+    "name of the copyright holder\n",
+    "",   # unlicensed
+]
+
+
+def q_license(spark, sf_dir):
+    """Code-corpus license gate: each doc wears one of six planted
+    headers (SPDX tag, Apache/GPL3/MIT/BSD-3 phrases, or none) and
+    detect_license classifies it — the admission signal a
+    permissive-only training-data policy filters on.  The oracle
+    re-runs the IDENTICAL regex cascade (generated from the same
+    pattern table, so order and patterns cannot drift)."""
+    from ..functions import detect_license
+
+    hdrs = F.element_at(
+        F.array(*[F.lit(h) for h in _LICENSE_HEADERS]),
+        (F.col("doc_id") % 6 + 1).cast("int"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(hdrs, F.col("text")).alias("wire"))
+    lic = detect_license(F.col("wire"))
+    return docs.select(
+        "doc_id", lic.alias("license"),
+        F.coalesce(
+            lic.isin("apache-2.0", "mit", "bsd-2-clause",
+                     "bsd-3-clause", "unlicense", "cc0-1.0", "mpl-2.0"),
+            F.lit(False)).alias("permissive"))
+
+
+def _license_oracle_sql() -> str:
+    from ..functions.text import _LICENSE_PATTERNS, _SPDX_RE
+
+    headers_case = " ".join(
+        f"WHEN {i} THEN '{h}'".replace("\n", "' || chr(10) || '")
+        for i, h in enumerate(_LICENSE_HEADERS[:-1]))
+    clauses = "\n               ".join(
+        f"WHEN regexp_matches(lower(wire), '{pat}') THEN '{lic}'"
+        for lic, pat in _LICENSE_PATTERNS)
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 coalesce(CASE doc_id % 6 {headers_case} END, '')
+                   || text AS wire
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN regexp_extract(wire, '{_SPDX_RE}', 1) != ''
+               THEN lower(regexp_extract(wire, '{_SPDX_RE}', 1))
+               {clauses}
+               END AS license,
+          coalesce(CASE WHEN regexp_extract(wire, '{_SPDX_RE}', 1) != ''
+               THEN lower(regexp_extract(wire, '{_SPDX_RE}', 1))
+               {clauses}
+               END IN ('apache-2.0', 'mit', 'bsd-2-clause',
+                       'bsd-3-clause', 'unlicense', 'cc0-1.0',
+                       'mpl-2.0'), FALSE) AS permissive
+        FROM w"""
+
+
 def q_dataset_card(spark, sf_dir):
     """Automated datasheet ('Datasheets for Datasets'): the 17-row
     (section, metric, value) release summary — volume, language mix,
@@ -3332,6 +3397,7 @@ QUERIES = {
     "code_blocks_docs": q_code_blocks,
     "slice_metrics_docs": q_slice_metrics,
     "dataset_card_docs": q_dataset_card,
+    "license_detect_docs": q_license,
     "paragraph_dedup_docs": q_paragraph_dedup,
     "full_scan_events": q_full_scan_events,
     "q1_pricing_summary": q1_pricing_summary,
@@ -3696,6 +3762,7 @@ _DSIR_WEIGHTS_SQL = r"""
           FROM bkt JOIN llr USING (b) GROUP BY doc_id)"""
 
 ORACLES = {
+    "license_detect_docs": _license_oracle_sql(),
     "full_scan_events": """
         SELECT event_id, user_id, event_type, round(value, 4) AS value_r,
                epoch_us(ts) AS ts_us FROM events""",

@@ -1071,6 +1071,43 @@ def test_stream_blocklist_gate_with_fold(spark, tmp_path):
     assert spark.read.parquet(out + "/_gate_stats").count() >= 1
 
 
+# ------------------------------------------------ license detection
+
+def test_detect_license_precedence_and_filter(spark):
+    from tap_airbyte_wrapper_spark.functions import (
+        detect_license, permissive_license_filter)
+
+    rows = [
+        (1, "SPDX-License-Identifier: Apache-2.0\nsome code"),
+        # SPDX tag wins over a conflicting header phrase
+        (2, "SPDX-License-Identifier: MIT\nGNU General Public License "
+            "version 3 mentioned in prose"),
+        (3, "Licensed under the Apache License, Version 2.0..."),
+        (4, "Permission is hereby granted, free of charge, to anyone"),
+        (5, "Redistribution and use in source and binary forms are ok "
+            "as long as Neither the name of X is used"),   # BSD-3
+        (6, "Redistribution and use in source and binary forms only"),
+        (7, "This program comes under the GNU General Public License, "
+            "version 3 or later"),
+        (8, "no license information at all"),
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r.lic for r in df.select(
+        "id", detect_license(F.col("t")).alias("lic")).collect()}
+    assert got[1] == "apache-2.0" and got[2] == "mit"
+    assert got[3] == "apache-2.0" and got[4] == "mit"
+    assert got[5] == "bsd-3-clause" and got[6] == "bsd-2-clause"
+    assert got[7] == "gpl-3.0"
+    assert got[8] is None and got[9] is None
+
+    kept = {r.id for r in permissive_license_filter(df, "t").collect()}
+    assert kept == {1, 2, 3, 4, 5, 6}        # gpl + unlicensed drop
+    loose = {r.id for r in permissive_license_filter(
+        df, "t", keep_unlicensed=True).collect()}
+    assert loose == {1, 2, 3, 4, 5, 6, 8, 9}
+
+
 # ------------------------------------------------ dataset card
 
 def test_dataset_card_planted(spark):
