@@ -3373,10 +3373,11 @@ QUERIES = {
     # checked (registered past the 50-entry window last round) —
     # key_skew_orders and bitext_mine_emb also carry round-9 code
     # changes (mergeable approx_percentile; IVF path + query-collect
-    # guard).  8-9 are this round's new/changed entries (video
-    # header-only probe; widened paragraph dedup), 10-11 the scan +
-    # flagship canaries, 12-50 the stalest oracle-backed entries
-    # (driver-green last in r05/r06).  Everything rotated out stays
+    # guard).  8-21 are this round's NEW entries (media probes,
+    # agreement statistics, benford/DP/confusables/blocklist/code/
+    # slice-metrics/datasheet/license) plus the rebuilt paragraph
+    # dedup; then the scan + flagship canaries, all 23 r05 rows, and
+    # the oldest r06 rows fill to 50.  Everything rotated out stays
     # oracle-checked on every pytest run (tests/test_oracle_parity.py).
     "ngram_novelty_docs": q_ngram_novelty,
     "lsh_plan_128": q_lsh_plan,
