@@ -1179,6 +1179,37 @@ def test_fix_mojibake_leaves_ambiguous_text_alone(spark):
     assert got == legit
 
 
+def test_media_condition_unprovable_threshold_fails(spark):
+    """A video whose container is recognized but whose dims are not
+    parseable (moov-at-end head) cannot PROVE it meets a resolution
+    floor — it must fail the rule, not pass by default; with no video
+    rules it passes (modality unconstrained)."""
+    from pyspark.sql import functions as F
+
+    from tap_airbyte_wrapper_spark.functions import mp4_stub
+    from tap_airbyte_wrapper_spark.streaming import (
+        media_admission_condition)
+
+    full = mp4_stub(1920, 1080, 5000)
+    headless = full[:20]     # ftyp only: container known, no stream info
+    df = spark.createDataFrame(
+        [(1, bytearray(full)), (2, bytearray(headless))],
+        "id long, media binary")
+    from tap_airbyte_wrapper_spark.functions.multimodal import (
+        probe_media_meta)
+    probed = df.withColumn("m", probe_media_meta(F.col("media")))
+    strict = {r.id for r in probed.filter(media_admission_condition(
+        F.col("m"), video={"min_width": 1280})).collect()}
+    assert strict == {1}
+    # headless head has n_video_tracks=0 -> classified video, and with
+    # no video rules it passes
+    open_gate = {r.id for r in probed.filter(media_admission_condition(
+        F.col("m"))).collect()}
+    assert open_gate == {1, 2}
+    with pytest.raises(ValueError, match="unknown media rule"):
+        media_admission_condition(F.col("m"), video={"min_wdth": 1})
+
+
 # --------------------------------------------------- tombstone id-col guard
 
 def test_record_tombstones_selects_id_col_by_name(spark, tmp_path):
