@@ -52,6 +52,7 @@ from .quality import (
     krippendorff_alpha,
     benford_deviation,
     dp_noisy_counts,
+    schema_drift_report,
     partition_skew_report,
     profile_table,
     snapshot_diff,
@@ -76,7 +77,7 @@ __all__ = [
     "detect_anomalies",
     "profile_table", "Expectation", "validate_expectations",
     "snapshot_diff",
-    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "benford_deviation", "dp_noisy_counts", "k_anonymity",
+    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "benford_deviation", "dp_noisy_counts", "schema_drift_report", "k_anonymity",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

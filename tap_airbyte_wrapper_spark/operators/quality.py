@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = ["profile_table", "Expectation", "validate_expectations",
            "key_skew_profile", "k_anonymity",
            "cohen_kappa", "fleiss_kappa", "krippendorff_alpha",
-           "benford_deviation", "dp_noisy_counts",
+           "benford_deviation", "dp_noisy_counts", "schema_drift_report",
            "numeric_histogram", "column_correlations",
            "partition_skew_report", "parquet_file_stats",
            "snapshot_diff", "distribution_drift"]
@@ -137,6 +137,12 @@ class Expectation:
       table's column (nulls pass; combine with not_null to forbid) —
       the referential-integrity check an EL landing zone runs before
       exposing a batch
+    * ``row_count_between(lo, hi)`` — TABLE-level volume guard (column
+      ``"*"``): the landing-zone "did the batch arrive, and is it not
+      10x yesterday" check; ``n_violations`` = rows outside the band
+    * ``max_at_least(lo)`` — column max must reach ``lo`` — the
+      deterministic freshness check (caller computes the cutoff
+      literal, e.g. ``as_of - retention``; no hidden now())
     """
 
     column: str
@@ -168,7 +174,8 @@ class Expectation:
             return col.isNotNull() & ~col.isin(list(self.values))
         if self.kind == "matches_regex":
             return col.isNotNull() & ~col.rlike(f"^(?:{self.pattern})$")
-        if self.kind in ("unique", "foreign_key"):
+        if self.kind in ("unique", "foreign_key", "row_count_between",
+                         "max_at_least"):
             return None
         raise ValueError(f"unknown expectation kind {self.kind!r}")
 
@@ -194,8 +201,11 @@ def validate_expectations(
     per rule).
     """
     row_rules = [e for e in expectations
-                 if e.kind not in ("unique", "foreign_key")]
+                 if e.kind not in ("unique", "foreign_key",
+                                   "row_count_between", "max_at_least")]
     uniq_rules = [e for e in expectations if e.kind == "unique"]
+    tbl_rules = [e for e in expectations
+                 if e.kind in ("row_count_between", "max_at_least")]
     fk_rules = [e for e in expectations if e.kind == "foreign_key"]
     for e in fk_rules:
         if e.ref is None or e.ref_col is None:
@@ -210,9 +220,27 @@ def validate_expectations(
             (F.count(F.col(e.column))
              - F.count_distinct(F.col(e.column)))
             .alias(f"__v_{e.name}"))
+    for e in tbl_rules:
+        if e.kind == "row_count_between":
+            if e.lo is None or e.hi is None:
+                raise ValueError("row_count_between needs lo and hi")
+            cnt = F.count(F.lit(1))
+            aggs.append(
+                F.greatest(F.lit(int(e.lo)) - cnt,
+                           cnt - F.lit(int(e.hi)),
+                           F.lit(0)).cast("long")
+                .alias(f"__v_{e.name}"))
+        else:  # max_at_least
+            if e.lo is None:
+                raise ValueError("max_at_least needs lo")
+            aggs.append(
+                F.when(F.max(F.col(e.column)).isNull()
+                       | (F.max(F.col(e.column)) < F.lit(e.lo)),
+                       F.lit(1)).otherwise(F.lit(0)).cast("long")
+                .alias(f"__v_{e.name}"))
     if not aggs and not fk_rules:
         raise ValueError("no expectations given")
-    all_rules = row_rules + uniq_rules
+    all_rules = row_rules + uniq_rules + tbl_rules
     if aggs:
         wide = df.agg(*aggs)
         stacked = wide.select(
@@ -793,6 +821,42 @@ def krippendorff_alpha(
                 F.lit(1.0) - (ntot - 1) * (ntot - F.col("__occ"))
                 / (ntot * ntot - F.col("__snc2"))), 6).alias("alpha"))
     )
+
+
+def schema_drift_report(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Column-level schema diff between two corpus versions — the
+    METADATA companion of :func:`snapshot_diff` (rows) and
+    :func:`~..functions.corpus.corpus_diff` (content): one row per
+    column with ``status`` in ``added`` / ``removed`` /
+    ``type_changed`` / ``unchanged`` plus the old/new type strings.
+    The check a landing zone runs before the sources layer's drift
+    POLICY decides what to do about it (``sources/files.py`` enforces;
+    this op reports).  Pure schema metadata — zero jobs, zero scans;
+    the result is a literal frame built on the driver."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(set(o) | set(n)):
+        if c not in n:
+            rows.append((c, "removed", o[c], None))
+        elif c not in o:
+            rows.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            rows.append((c, "type_changed", o[c], n[c]))
+        else:
+            rows.append((c, "unchanged", o[c], n[c]))
+    spark = old.sparkSession
+    # JVM-literal frame (no Python-RDD round trip for a metadata-sized
+    # result — the save_pca/tiny-write lesson)
+    cols = ", ".join(
+        "({}, {}, {}, {})".format(
+            f"'{c}'", f"'{s}'",
+            "NULL" if ot is None else f"'{ot}'",
+            "NULL" if nt is None else f"'{nt}'")
+        for c, s, ot, nt in rows)
+    return spark.sql(
+        f"SELECT col AS column, status, old_type, new_type FROM "
+        f"(VALUES {cols}) AS t(col, status, old_type, new_type)")
 
 
 def parquet_file_stats(

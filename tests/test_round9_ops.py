@@ -1071,6 +1071,62 @@ def test_stream_blocklist_gate_with_fold(spark, tmp_path):
     assert spark.read.parquet(out + "/_gate_stats").count() >= 1
 
 
+# ---------------------------------------- table-level expectations
+
+def test_row_count_and_freshness_expectations(spark):
+    """Landing-zone guards: volume band (rows outside the band counted)
+    and deterministic freshness (max(ts) must reach a caller-computed
+    cutoff — no hidden now()); both ride the same single aggregation
+    pass as the row-level rules."""
+    from tap_airbyte_wrapper_spark.operators import (Expectation,
+                                                     validate_expectations)
+
+    df = spark.createDataFrame(
+        [(i, 100 + i, 50 + i) for i in range(20)],
+        "id long, ts long, ts2 long")
+    ok = {(r.expectation, r.n_violations, r.passed)
+          for r in validate_expectations(df, [
+              Expectation("id", "not_null"),
+              Expectation("*", "row_count_between", lo=10, hi=100),
+              Expectation("ts", "max_at_least", lo=119),
+          ]).collect()}
+    assert ("*:row_count_between", 0, True) in ok
+    assert ("ts:max_at_least", 0, True) in ok
+    bad = {(r.expectation, r.n_violations, r.passed)
+           for r in validate_expectations(df, [
+               Expectation("*", "row_count_between", lo=25, hi=100),
+               Expectation("ts2", "max_at_least", lo=200),
+           ]).collect()}
+    assert ("*:row_count_between", 5, False) in bad   # 5 rows short
+    assert ("ts2:max_at_least", 1, False) in bad
+    # empty table: freshness unprovable -> fail
+    empty = spark.createDataFrame([], "id long, ts long")
+    got = validate_expectations(empty, [
+        Expectation("ts", "max_at_least", lo=1)]).first()
+    assert got.n_violations == 1 and not got.passed
+
+
+def test_schema_drift_report(spark):
+    from tap_airbyte_wrapper_spark.operators import schema_drift_report
+
+    a = spark.createDataFrame([(1, "x", 2.0)],
+                              "id long, name string, v double")
+    b = spark.createDataFrame([(1, 3, True)],
+                              "id long, v int, flag boolean")
+    out = {r.column: (r.status, r.old_type, r.new_type)
+           for r in schema_drift_report(a, b).collect()}
+    assert out == {
+        "id": ("unchanged", "bigint", "bigint"),
+        "name": ("removed", "string", None),
+        "v": ("type_changed", "double", "int"),
+        "flag": ("added", None, "boolean"),
+    }
+    # zero jobs: the plan is a local relation, no scans
+    plan = schema_drift_report(a, b)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Scan" not in plan
+
+
 # ------------------------------------------------ license detection
 
 def test_detect_license_precedence_and_filter(spark):
