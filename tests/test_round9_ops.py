@@ -1121,10 +1121,11 @@ def test_schema_drift_report(spark):
         "v": ("type_changed", "double", "int"),
         "flag": ("added", None, "boolean"),
     }
-    # zero jobs: the plan is a local relation, no scans
+    # zero data scans: the plan is a driver-local literal relation
     plan = schema_drift_report(a, b)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "Scan" not in plan
+    assert "LocalTableScan" in plan
+    assert "Scan parquet" not in plan and "Scan ExistingRDD" not in plan
 
 
 # ------------------------------------------------ license detection
