@@ -1106,6 +1106,39 @@ def test_row_count_and_freshness_expectations(spark):
     assert got.n_violations == 1 and not got.passed
 
 
+def test_sync_gate_accepts_table_level_kinds(spark, tmp_path):
+    """The config-driven sync quality gate parses rules generically, so
+    the new table-level kinds work from JSON config unchanged: a
+    volume band that the batch violates blocks the write in fail
+    mode."""
+    import pytest as _pytest
+
+    from tap_airbyte_wrapper_spark.sources import SourceError
+    from tap_airbyte_wrapper_spark.sync import Engine
+
+    cfg = {
+        "source": "dataset_dir",
+        "source_config": {"path": "/root/testdata/sf0.001"},
+        "streams": ["region"],
+        "sink": {"type": "parquet", "path": str(tmp_path / "out"),
+                 "mode": "overwrite"},
+        "expectations_mode": "fail",
+        "expectations": {"region": [
+            {"column": "*", "kind": "row_count_between",
+             "lo": 1000, "hi": 2000},        # region has 5 rows: violated
+        ]},
+    }
+    with _pytest.raises(SourceError, match="row_count_between"):
+        Engine(spark, cfg).sync()
+    ok = dict(cfg)
+    ok["expectations"] = {"region": [
+        {"column": "*", "kind": "row_count_between", "lo": 1, "hi": 100},
+        {"column": "r_regionkey", "kind": "max_at_least", "lo": 1},
+    ]}
+    res = Engine(spark, ok).sync()
+    assert res.stream_counts.get("region", 0) == 5
+
+
 def test_schema_drift_report(spark):
     from tap_airbyte_wrapper_spark.operators import schema_drift_report
 
