@@ -53,6 +53,8 @@ from .quality import (
     benford_deviation,
     dp_noisy_counts,
     schema_drift_report,
+    weighted_kappa,
+    spearman_correlation,
     partition_skew_report,
     profile_table,
     snapshot_diff,
@@ -77,7 +79,7 @@ __all__ = [
     "detect_anomalies",
     "profile_table", "Expectation", "validate_expectations",
     "snapshot_diff",
-    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "benford_deviation", "dp_noisy_counts", "schema_drift_report", "k_anonymity",
+    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "benford_deviation", "dp_noisy_counts", "schema_drift_report", "weighted_kappa", "spearman_correlation", "k_anonymity",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

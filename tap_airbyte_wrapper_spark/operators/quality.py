@@ -32,6 +32,7 @@ __all__ = ["profile_table", "Expectation", "validate_expectations",
            "key_skew_profile", "k_anonymity",
            "cohen_kappa", "fleiss_kappa", "krippendorff_alpha",
            "benford_deviation", "dp_noisy_counts", "schema_drift_report",
+           "weighted_kappa", "spearman_correlation",
            "numeric_histogram", "column_correlations",
            "partition_skew_report", "parquet_file_stats",
            "snapshot_diff", "distribution_drift"]
@@ -651,6 +652,66 @@ def fleiss_kappa(
     )
 
 
+def weighted_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    weights: str = "quadratic",
+) -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL labels (Cohen 1968): a 4-vs-5
+    disagreement on a quality scale should cost less than 1-vs-5, which
+    the nominal :func:`cohen_kappa` cannot express.  Labels must be
+    numeric; penalty ``v_ij = |i-j|`` (``weights="linear"``) or
+    ``(i-j)^2`` (``"quadratic"``, the Fleiss-Cohen default — equivalent
+    to an ICC);
+
+        kappa_w = 1 - sum(v_ij o_ij) / sum(v_ij e_ij)
+
+    with observed cell proportions ``o`` and chance proportions ``e``
+    from the marginal products.  Output: ONE row ``(n_items, do_, de_,
+    kappa)`` (observed/expected weighted disagreement; ``kappa`` null
+    when ``de_ == 0`` — both raters constant).
+
+    Plan mirrors :func:`cohen_kappa`: ONE scan to the label^2-sized
+    confusion table (eagerly checkpointed), the weighted sums and the
+    marginal cross product all metadata-scale."""
+    if weights not in ("linear", "quadratic"):
+        raise ValueError(
+            f"weights must be linear|quadratic, got {weights!r}")
+    conf = (df.filter(F.col(rater_a_col).isNotNull()
+                      & F.col(rater_b_col).isNotNull())
+            .groupBy(F.col(rater_a_col).cast("double").alias("__a"),
+                     F.col(rater_b_col).cast("double").alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint(eager=True))
+    diff = F.col("__a") - F.col("__b")
+    v = F.abs(diff) if weights == "linear" else diff * diff
+    obs = conf.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("n_items"),
+        F.coalesce(F.sum(v * F.col("__c")), F.lit(0.0)).alias("__vo"))
+    ca = conf.groupBy(F.col("__a").alias("__la")).agg(
+        F.sum("__c").alias("__na"))
+    cb = conf.groupBy(F.col("__b").alias("__lb")).agg(
+        F.sum("__c").alias("__nb"))
+    vd = F.col("__la") - F.col("__lb")
+    ve = F.abs(vd) if weights == "linear" else vd * vd
+    chance = ca.crossJoin(cb).agg(
+        F.coalesce(F.sum(ve * F.col("__na") * F.col("__nb")),
+                   F.lit(0.0)).alias("__ve"))
+    n = F.col("n_items").cast("double")
+    do_ = F.col("__vo") / n
+    de_ = F.col("__ve") / (n * n)
+    return (
+        obs.crossJoin(F.broadcast(chance))
+        .select(
+            "n_items",
+            F.round(do_, 6).alias("do_"),
+            F.round(de_, 6).alias("de_"),
+            F.round(F.when(F.col("__ve") > 0,
+                           F.lit(1.0) - do_ / de_), 6).alias("kappa"))
+    )
+
+
 def benford_deviation(
     df: DataFrame,
     value_col: str,
@@ -820,6 +881,48 @@ def krippendorff_alpha(
                 F.col("__snc2") < F.col("__ntot") * F.col("__ntot"),
                 F.lit(1.0) - (ntot - 1) * (ntot - F.col("__occ"))
                 / (ntot * ntot - F.col("__snc2"))), 6).alias("alpha"))
+    )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    id_col: str,
+) -> DataFrame:
+    """Spearman rank correlation between two scoring systems — the
+    "does my cheap quality heuristic RANK documents like the expensive
+    LM perplexity?" audit (:func:`column_correlations` gives Pearson,
+    which a single monotone-but-nonlinear score pair can tank; rank
+    agreement is the question a gate-threshold transfer actually asks).
+
+    Ranks come from the value-bucketed two-phase machinery
+    (:func:`~.windows.global_distribution_ranks` — no single-task
+    global window), with ties broken by ``id_col``: exact Spearman when
+    values are distinct (the continuous-score case this exists for),
+    and a documented id-tie-break approximation of average-rank
+    Spearman otherwise.  Output: ONE row ``(n_items, rho)``.
+
+    Plan: two rank passes (one per column; each is the
+    bounded-boundary-sample + bucket-local-rank shape), one id-keyed
+    join of the two (id, rank) projections, one ``corr`` aggregate."""
+    from .windows import global_distribution_ranks
+
+    base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    ra = global_distribution_ranks(
+        base.select(id_col, col_a),
+        [F.col(col_a), F.col(id_col)], rank_col="__ra"
+    ).select(id_col, "__ra")
+    rb = global_distribution_ranks(
+        base.select(id_col, col_b),
+        [F.col(col_b), F.col(id_col)], rank_col="__rb"
+    ).select(id_col, "__rb")
+    return (
+        ra.join(rb, id_col)
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.corr(F.col("__ra").cast("double"),
+                            F.col("__rb").cast("double")), 6)
+             .alias("rho"))
     )
 
 

@@ -1959,6 +1959,37 @@ def q_slice_metrics(spark, sf_dir):
     return grouped_eval_metrics(docs, "label", "pred", ["lang"])
 
 
+def q_weighted_kappa(spark, sf_dir):
+    """Quadratic-weighted kappa over planted ordinal 1-5 quality
+    ratings (rater b drifts high on every 7th/3rd doc): near-miss
+    disagreements cost less than far misses — the ordinal-scale audit
+    nominal kappa can't express."""
+    from ..operators import weighted_kappa
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 5 + 1).alias("ra"),
+        F.least(
+            F.col("doc_id") % 5 + 1
+            + F.when(F.col("doc_id") % 7 == 0, 2)
+            .when(F.col("doc_id") % 3 == 0, 1).otherwise(0),
+            F.lit(5)).alias("rb"))
+    return weighted_kappa(docs, "ra", "rb", weights="quadratic")
+
+
+def q_spearman(spark, sf_dir):
+    """Rank agreement between two document scores (char length vs
+    token count — correlated but not linear): Spearman via the
+    value-bucketed two-phase global ranks, ties broken by doc_id
+    (mirrored exactly in the oracle's rank() ordering)."""
+    from ..operators import spearman_correlation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"))
+    return spearman_correlation(docs, "n_chars", "n_tok", "doc_id")
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3392,6 +3423,8 @@ QUERIES = {
     "cohen_kappa_docs": q_cohen_kappa,
     "fleiss_kappa_docs": q_fleiss_kappa,
     "kripp_alpha_docs": q_kripp_alpha,
+    "weighted_kappa_docs": q_weighted_kappa,
+    "spearman_docs": q_spearman,
     "benford_orders": q_benford,
     "dp_counts_docs": q_dp_counts,
     "confusable_fold_docs": q_confusable_fold,
@@ -5598,6 +5631,46 @@ ORACLES = {
                     THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END
                  AS f1
         FROM g""",
+    "weighted_kappa_docs": """
+        WITH p AS (
+          SELECT CAST(doc_id % 5 + 1 AS DOUBLE) AS a,
+                 CAST(least(doc_id % 5 + 1
+                      + CASE WHEN doc_id % 7 = 0 THEN 2
+                             WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END, 5)
+                      AS DOUBLE) AS b
+          FROM documents),
+        obs AS (
+          SELECT count(*) AS n,
+                 sum((a - b) * (a - b)) AS vo
+          FROM p),
+        ma AS (SELECT a AS l, count(*) AS na FROM p GROUP BY 1),
+        mb AS (SELECT b AS l, count(*) AS nb FROM p GROUP BY 1),
+        ch AS (
+          SELECT sum((ma.l - mb.l) * (ma.l - mb.l) * ma.na * mb.nb)
+            AS ve
+          FROM ma CROSS JOIN mb)
+        SELECT CAST(obs.n AS BIGINT) AS n_items,
+               round(obs.vo / CAST(obs.n AS DOUBLE), 6) AS do_,
+               round(ch.ve / (CAST(obs.n AS DOUBLE) * obs.n), 6) AS de_,
+               round(CASE WHEN ch.ve > 0 THEN
+                 1.0 - (obs.vo / CAST(obs.n AS DOUBLE))
+                     / (ch.ve / (CAST(obs.n AS DOUBLE) * obs.n)) END, 6)
+                 AS kappa
+        FROM obs, ch""",
+    "spearman_docs": r"""
+        WITH t AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 len(regexp_extract_all(trim(text), '\S+')) AS n_tok
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 rank() OVER (ORDER BY n_chars, doc_id) AS ra,
+                 rank() OVER (ORDER BY n_tok, doc_id) AS rb
+          FROM t)
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               round(corr(CAST(ra AS DOUBLE), CAST(rb AS DOUBLE)), 6)
+                 AS rho
+        FROM r""",
     "benford_orders": """
         WITH v AS (
           SELECT CAST(substring(regexp_replace(

@@ -448,6 +448,56 @@ def test_cohen_kappa_null_and_degenerate(spark):
     assert got.kappa is None         # pe == 1: undefined, not 0/0
 
 
+def test_weighted_kappa_hand_computed(spark):
+    """Quadratic weights, 3x3 worked example: vo=5, n=8, ve=88 ->
+    kappa = 1 - (5/8)/(88/64) = 6/11.  Linear weights on the same data
+    recomputed by hand too; nominal-equivalent check: with 0/1 labels
+    quadratic == linear == unweighted cohen."""
+    from tap_airbyte_wrapper_spark.operators import (cohen_kappa,
+                                                     weighted_kappa)
+
+    rows = [(1, 1), (1, 1), (2, 2), (2, 2), (3, 3), (3, 3),
+            (1, 2), (3, 1)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    quad = weighted_kappa(df, "a", "b", weights="quadratic").first()
+    assert quad.n_items == 8
+    assert quad.do_ == pytest.approx(round(5 / 8, 6))
+    assert quad.de_ == pytest.approx(round(88 / 64, 6))
+    assert quad.kappa == pytest.approx(round(6 / 11, 6))
+    # linear: vo = 1 + 2 = 3; ve = sum |i-j| a_i b_j
+    # a=(3,2,3), b=(3,3,2): 3*(3*1+2*2)+2*(3*1+2*1)+3*(3*2+3*1)=21+10+27=58
+    lin = weighted_kappa(df, "a", "b", weights="linear").first()
+    assert lin.do_ == pytest.approx(round(3 / 8, 6))
+    assert lin.de_ == pytest.approx(round(58 / 64, 6))
+    # binary labels: weighted == nominal cohen
+    b01 = spark.createDataFrame(
+        [(0, 0)] * 20 + [(1, 1)] * 15 + [(0, 1)] * 10 + [(1, 0)] * 5,
+        "a int, b int")
+    wk = weighted_kappa(b01, "a", "b", weights="quadratic").first().kappa
+    ck = cohen_kappa(b01, "a", "b").first().kappa
+    assert wk == pytest.approx(ck)
+    with pytest.raises(ValueError, match="linear|quadratic"):
+        weighted_kappa(df, "a", "b", weights="cubic")
+
+
+def test_spearman_correlation_monotone_and_reversed(spark):
+    from tap_airbyte_wrapper_spark.operators import spearman_correlation
+
+    import math
+    rows = [(i, float(i), math.exp(i / 5.0)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    # monotone nonlinear: Pearson < 1 but Spearman exactly 1
+    got = spearman_correlation(df, "x", "y", "id").first()
+    assert got.n_items == 40 and got.rho == 1.0
+    rev = df.withColumn("y", -F.col("y"))
+    assert spearman_correlation(rev, "x", "y", "id").first().rho == -1.0
+    # nulls on either side drop
+    holes = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, None, 3.0), (3, 3.0, 1.0), (4, 4.0, 4.0)],
+        "id long, x double, y double")
+    assert spearman_correlation(holes, "x", "y", "id").first().n_items == 3
+
+
 def test_fleiss_kappa_hand_computed(spark):
     """3 items x 3 raters: P = {1, 1/3, 1}, p_bar = 7/9; totals A=5
     B=4 -> pe = 41/81; kappa = 22/40 = 0.55."""
