@@ -29,7 +29,7 @@ __all__ = [
     "phrase_hits", "phrase_blocklist_filter",
     "fold_confusables", "confusable_ratio", "CONFUSABLES",
     "code_blocks", "code_fraction", "fix_mojibake",
-    "detect_license", "permissive_license_filter",
+    "detect_license", "permissive_license_filter", "flesch_reading_ease",
     "token_count",
     "bpe_token_estimate",
     "language_id",
@@ -968,6 +968,33 @@ def code_fraction(col: Column) -> Column:
         F.transform(code_blocks(col), lambda b: F.length(b)),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
     return F.when(n > 0, F.round(in_code / n, 6)).otherwise(F.lit(0.0))
+
+
+def flesch_reading_ease(col: Column) -> Column:
+    """Flesch reading-ease score (Flesch 1948): ``206.835 - 1.015 *
+    (words/sentences) - 84.6 * (syllables/words)`` — the classic
+    readability feature next to the Gopher heuristics (60-70 is plain
+    English; <30 is academic/legalese; degenerate short/list-like text
+    scores off-scale and is exactly what a readability gate wants to
+    see).  Null for empty/whitespace text.
+
+    Approximations are the standard cheap ones, all single-regex and
+    RE2-portable: sentences = runs of ``.!?`` (min 1), words =
+    whitespace tokens, syllables = vowel-group count (min 1 per word
+    via the max with word count).  Values match the SQL oracle exactly
+    because every term is an integer count."""
+    words_n = token_count(col)
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(col, F.lit(r"[.!?]+"), 0)), F.lit(1))
+    vowel_groups = F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(r"[aeiouy]+"), 0))
+    syllables = F.greatest(vowel_groups, words_n)
+    return F.when(
+        words_n > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * words_n / sentences
+            - F.lit(84.6) * syllables / words_n, 4))
 
 
 #: license-header heuristics, checked in order AFTER the SPDX tag:

@@ -1959,6 +1959,16 @@ def q_slice_metrics(spark, sf_dir):
     return grouped_eval_metrics(docs, "label", "pred", ["lang"])
 
 
+def q_flesch(spark, sf_dir):
+    """Flesch reading-ease per document — the classic readability
+    feature next to quality_scores; every term is an integer regex
+    count, so the oracle matches exactly."""
+    from ..functions import flesch_reading_ease
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", flesch_reading_ease(F.col("text")).alias("flesch"))
+
+
 def q_weighted_kappa(spark, sf_dir):
     """Quadratic-weighted kappa over planted ordinal 1-5 quality
     ratings (rater b drifts high on every 7th/3rd doc): near-miss
@@ -3423,6 +3433,7 @@ QUERIES = {
     "cohen_kappa_docs": q_cohen_kappa,
     "fleiss_kappa_docs": q_fleiss_kappa,
     "kripp_alpha_docs": q_kripp_alpha,
+    "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
     "benford_orders": q_benford,
@@ -5631,6 +5642,22 @@ ORACLES = {
                     THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END
                  AS f1
         FROM g""",
+    "flesch_docs": r"""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_extract_all(trim(text), '\S+'))
+                 END AS w,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS s,
+                 len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN w > 0 THEN
+                 round(206.835 - 1.015 * w / CAST(s AS DOUBLE)
+                       - 84.6 * greatest(vg, w) / CAST(w AS DOUBLE), 4)
+               END AS flesch
+        FROM c""",
     "weighted_kappa_docs": """
         WITH p AS (
           SELECT CAST(doc_id % 5 + 1 AS DOUBLE) AS a,

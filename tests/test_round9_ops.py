@@ -448,6 +448,28 @@ def test_cohen_kappa_null_and_degenerate(spark):
     assert got.kappa is None         # pe == 1: undefined, not 0/0
 
 
+def test_flesch_reading_ease_hand_computed(spark):
+    """'The cat sat. The dog ran.' — 6 words, 2 sentences, 6 vowel
+    groups -> 206.835 - 1.015*3 - 84.6*1 = 119.19 (off-scale simple,
+    as Flesch says it should be); empty -> null; no terminator ->
+    1 sentence."""
+    from tap_airbyte_wrapper_spark.functions import flesch_reading_ease
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran."), (2, ""), (3, "   "),
+         (4, "word another third")],
+        "id long, t string")
+    out = {r.id: r.f for r in df.select(
+        "id", flesch_reading_ease(F.col("t")).alias("f")).collect()}
+    assert out[1] == pytest.approx(
+        round(206.835 - 1.015 * 3 - 84.6 * 1, 4))
+    assert out[2] is None and out[3] is None
+    # 3 words, 1 sentence, 5 vowel groups (wo-rd a-no-ther thi-rd):
+    # "word"(1) "another"(3: a,o,e) "third"(1) = 5
+    assert out[4] == pytest.approx(
+        round(206.835 - 1.015 * 3 - 84.6 * (5 / 3), 4))
+
+
 def test_weighted_kappa_hand_computed(spark):
     """Quadratic weights, 3x3 worked example: vo=5, n=8, ve=88 ->
     kappa = 1 - (5/8)/(88/64) = 6/11.  Linear weights on the same data
