@@ -903,12 +903,18 @@ def spearman_correlation(
     and a documented id-tie-break approximation of average-rank
     Spearman otherwise.  Output: ONE row ``(n_items, rho)``.
 
-    Plan: two rank passes (one per column; each is the
-    bounded-boundary-sample + bucket-local-rank shape), one id-keyed
-    join of the two (id, rank) projections, one ``corr`` aggregate."""
+    Plan: the (id, a, b) projection is eagerly checkpointed — the two
+    rank passes each run a boundary-sample job plus a ranking job, so
+    without materialization the raw input would be scanned ~6x; then
+    one id-keyed join of the two (id, rank) projections and one
+    ``corr`` aggregate.  The checkpoint holds three narrow columns,
+    not the corpus width."""
     from .windows import global_distribution_ranks
 
-    base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    base = (df.filter(F.col(col_a).isNotNull()
+                      & F.col(col_b).isNotNull())
+            .select(id_col, col_a, col_b)
+            .localCheckpoint(eager=True))
     ra = global_distribution_ranks(
         base.select(id_col, col_a),
         [F.col(col_a), F.col(id_col)], rank_col="__ra"
