@@ -823,21 +823,35 @@ def krippendorff_alpha(
     df: DataFrame,
     item_col: str,
     label_col: str,
+    metric: str = "nominal",
 ) -> DataFrame:
-    """Krippendorff's alpha (nominal) — the agreement statistic for the
-    RAGGED case :func:`fleiss_kappa` refuses: items may carry any
-    number of ratings, raters need not overlap, missing annotations are
-    simply absent rows (items with fewer than 2 ratings are excluded —
-    they contain no agreement information).  The de-facto standard for
+    """Krippendorff's alpha — the agreement statistic for the RAGGED
+    case :func:`fleiss_kappa` refuses: items may carry any number of
+    ratings, raters need not overlap, missing annotations are simply
+    absent rows (items with fewer than 2 ratings are excluded — they
+    contain no agreement information).  The de-facto standard for
     content-analysis / annotation-vendor audits with incomplete
     coverage (Krippendorff 2004).
 
-    Coincidence-matrix form, nominal metric: with ``n_ic`` the count of
-    category ``c`` in item ``i``, ``n_i = sum_c n_ic`` (kept when
-    >= 2), ``n.. = sum_i n_i``, ``n_c = sum_i n_ic``, and the
-    agreement coincidences ``o_cc = sum_i n_ic (n_ic - 1)/(n_i - 1)``:
+    ``metric`` selects the disagreement distance over the same
+    coincidence table: ``"nominal"`` (any mismatch costs 1),
+    ``"ordinal"`` (a 4-vs-5 disagreement on a quality scale costs less
+    than 1-vs-5 — the norm for annotation-rating audits; distance is
+    the squared rank-mass gap ``(sum_{g=c..k} n_g - (n_c+n_k)/2)^2``),
+    or ``"interval"`` (squared value difference ``(c-k)^2``).  Ordinal
+    and interval require numerically-castable labels.
 
-        alpha = 1 - (n.. - 1)(n.. - sum_c o_cc) / (n..^2 - sum_c n_c^2)
+    Coincidence-matrix form: with ``n_ic`` the count of category ``c``
+    in item ``i``, ``n_i = sum_c n_ic`` (kept when >= 2), ``n.. =
+    sum_i n_i``, ``n_c = sum_i n_ic``, off-diagonal coincidences
+    ``o_ck = sum_i n_ic n_ik / (n_i - 1)`` and metric distances
+    ``d_ck``:
+
+        alpha = 1 - (n.. - 1) (sum_{c!=k} o_ck d_ck)
+                            / (sum_{c!=k} n_c n_k d_ck)
+
+    (the nominal case folds to the familiar
+    ``1 - (n..-1)(n.. - sum_c o_cc)/(n..^2 - sum_c n_c^2)``).
 
     Output: ONE row — ``(n_items, n_ratings, do_, de_, alpha)`` with
     ``do_``/``de_`` the observed/expected disagreement, ``alpha`` null
@@ -845,42 +859,113 @@ def krippendorff_alpha(
 
     Plan: per-(item,label) counts -> per-item totals via one window
     over the item key (same shuffle a groupBy-join-back would cost,
-    half the evaluations), one double sum for the o_cc mass (the
-    per-item ``n_i - 1`` denominators make it irreducibly rational),
-    integer sums everywhere else.  The kept table is eagerly
-    checkpointed — four statistics read it, and without
-    materialization each would re-scan the raw ratings (plan-asserted
-    single input scan)."""
+    half the evaluations); the kept table is eagerly checkpointed —
+    every statistic reads it, and without materialization each would
+    re-scan the raw ratings (plan-asserted single input scan).
+    Nominal needs only the diagonal coincidence mass (one rational
+    sum).  Ordinal/interval build the OFF-diagonal coincidence pairs
+    via a self-join of the kept counts on the item key (per-item cost
+    is |distinct labels per item|^2 — bounded by raters-per-item, not
+    corpus size) down to a label^2-bounded (c, k) table, then join the
+    broadcast L-row category marginals for the distance terms; the
+    ordinal cumulative marginal is a window over those L rows
+    (label-cardinality bounded by construction, same justification as
+    the 9-row Benford table — not a scale hazard)."""
+    if metric not in ("nominal", "ordinal", "interval"):
+        raise ValueError(
+            f"metric must be nominal|ordinal|interval, got {metric!r}")
+    lbl = (F.col(label_col) if metric == "nominal"
+           else F.col(label_col).cast("double"))
     counts = (df.groupBy(F.col(item_col).alias("__it"),
-                         F.col(label_col).alias("__lbl"))
+                         lbl.alias("__lbl"))
               .agg(F.count(F.lit(1)).alias("__nic")))
     kept = (counts
             .withColumn("__n", F.sum("__nic").over(
                 Window.partitionBy("__it")))
             .filter(F.col("__n") >= 2)
             .localCheckpoint(eager=True))
-    occ = kept.agg(
-        F.sum(F.col("__nic") * (F.col("__nic") - 1)
-              / (F.col("__n") - 1)).alias("__occ"))
     totals = kept.groupBy("__lbl").agg(F.sum("__nic").alias("__nc")).agg(
         F.sum("__nc").alias("__ntot"),
         F.sum(F.col("__nc") * F.col("__nc")).alias("__snc2"))
     items = kept.agg(F.countDistinct("__it").alias("n_items"))
     ntot = F.col("__ntot").cast("double")
-    do_ = (ntot - F.col("__occ")) / ntot
-    de_ = (ntot * ntot - F.col("__snc2")) / (ntot * (ntot - 1))
+    if metric == "nominal":
+        occ = kept.agg(
+            F.sum(F.col("__nic") * (F.col("__nic") - 1)
+                  / (F.col("__n") - 1)).alias("__occ"))
+        do_ = (ntot - F.col("__occ")) / ntot
+        de_ = (ntot * ntot - F.col("__snc2")) / (ntot * (ntot - 1))
+        return (
+            items.crossJoin(F.broadcast(totals))
+            .crossJoin(F.broadcast(occ))
+            .select(
+                "n_items",
+                F.col("__ntot").alias("n_ratings"),
+                F.round(do_, 6).alias("do_"),
+                F.round(de_, 6).alias("de_"),
+                F.round(F.when(
+                    F.col("__snc2") < F.col("__ntot") * F.col("__ntot"),
+                    F.lit(1.0) - (ntot - 1) * (ntot - F.col("__occ"))
+                    / (ntot * ntot - F.col("__snc2"))), 6).alias("alpha"))
+        )
+    # ordinal / interval: off-diagonal coincidence pairs (c < k once;
+    # the symmetric factor of 2 cancels between numerator and
+    # denominator) joined with the broadcast category marginals
+    x, y = kept.alias("__x"), kept.alias("__y")
+    pairs = (x.join(y, F.col("__x.__it") == F.col("__y.__it"))
+             .filter(F.col("__x.__lbl") < F.col("__y.__lbl"))
+             .groupBy(F.col("__x.__lbl").alias("__lc"),
+                      F.col("__y.__lbl").alias("__lk"))
+             .agg(F.sum(F.col("__x.__nic") * F.col("__y.__nic")
+                        / (F.col("__x.__n") - 1)).alias("__occ")))
+    marg = kept.groupBy("__lbl").agg(F.sum("__nic").alias("__nc"))
+    if metric == "ordinal":
+        # cumulative marginal over the L category rows (L = label
+        # cardinality, bounded): single-partition window is fine here
+        marg = marg.withColumn(
+            "__cum", F.sum("__nc").over(
+                Window.orderBy("__lbl")
+                .rowsBetween(Window.unboundedPreceding, 0)))
+    mc = marg.select(F.col("__lbl").alias("__lc"),
+                     F.col("__nc").alias("__ncc"),
+                     *([F.col("__cum").alias("__cumc")]
+                       if metric == "ordinal" else []))
+    mk = marg.select(F.col("__lbl").alias("__lk"),
+                     F.col("__nc").alias("__nck"),
+                     *([F.col("__cum").alias("__cumk")]
+                       if metric == "ordinal" else []))
+    if metric == "ordinal":
+        dist = F.pow(
+            F.col("__cumk") - F.col("__cumc") + F.col("__ncc")
+            - (F.col("__ncc") + F.col("__nck")) / 2.0, 2)
+    else:
+        dist = F.pow(F.col("__lc") - F.col("__lk"), 2)
+    # full (c, k) distance grid for the chance term; observed term
+    # joins the coincidence pairs onto the same grid (left join: label
+    # pairs never co-rated contribute only to chance)
+    grid = (mc.crossJoin(mk)
+            .filter(F.col("__lc") < F.col("__lk"))
+            .withColumn("__d", dist)
+            .join(F.broadcast(pairs), ["__lc", "__lk"], "left"))
+    sums = grid.agg(
+        F.coalesce(F.sum(F.col("__d") * F.col("__occ")), F.lit(0.0))
+        .alias("__do_sum"),
+        F.coalesce(F.sum(F.col("__d") * F.col("__ncc")
+                         * F.col("__nck")), F.lit(0.0))
+        .alias("__de_sum"))
+    do_ = F.lit(2.0) * F.col("__do_sum") / ntot
+    de_ = F.lit(2.0) * F.col("__de_sum") / (ntot * (ntot - 1))
     return (
         items.crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(occ))
+        .crossJoin(F.broadcast(sums))
         .select(
             "n_items",
             F.col("__ntot").alias("n_ratings"),
             F.round(do_, 6).alias("do_"),
             F.round(de_, 6).alias("de_"),
-            F.round(F.when(
-                F.col("__snc2") < F.col("__ntot") * F.col("__ntot"),
-                F.lit(1.0) - (ntot - 1) * (ntot - F.col("__occ"))
-                / (ntot * ntot - F.col("__snc2"))), 6).alias("alpha"))
+            F.round(F.when(F.col("__de_sum") > 0,
+                           F.lit(1.0) - (ntot - 1) * F.col("__do_sum")
+                           / F.col("__de_sum")), 6).alias("alpha"))
     )
 
 
@@ -889,6 +974,7 @@ def spearman_correlation(
     col_a: str,
     col_b: str,
     id_col: str,
+    ties: str = "average",
 ) -> DataFrame:
     """Spearman rank correlation between two scoring systems — the
     "does my cheap quality heuristic RANK documents like the expensive
@@ -898,19 +984,28 @@ def spearman_correlation(
 
     Ranks come from the value-bucketed two-phase machinery
     (:func:`~.windows.global_distribution_ranks` — no single-task
-    global window), with ties broken by ``id_col``: exact Spearman when
-    values are distinct (the continuous-score case this exists for),
-    and a documented id-tie-break approximation of average-rank
-    Spearman otherwise.  Output: ONE row ``(n_items, rho)``.
+    global window).  ``ties="average"`` (default) assigns every tie
+    group its MEAN ordinal rank — the textbook/scipy definition, and
+    the case that matters for QUANTIZED scores (integer ratings,
+    bucketed heuristics) where the cheap tie-break alternative
+    measurably diverges.  ``ties="id"`` keeps the id-tie-break ordinal
+    ranks as the documented fast path: exact Spearman when values are
+    distinct (the continuous-score case), one window cheaper when you
+    know there are no ties.  Output: ONE row ``(n_items, rho)``.
 
     Plan: the (id, a, b) projection is eagerly checkpointed — the two
     rank passes each run a boundary-sample job plus a ranking job, so
     without materialization the raw input would be scanned ~6x; then
     one id-keyed join of the two (id, rank) projections and one
     ``corr`` aggregate.  The checkpoint holds three narrow columns,
-    not the corpus width."""
+    not the corpus width.  Tie averaging is a value-partitioned
+    window over the already-computed ordinal ranks (ordinal ranks in a
+    tie group are contiguous, so the partition mean IS the average
+    rank); value-partitioned, never single-task."""
     from .windows import global_distribution_ranks
 
+    if ties not in ("average", "id"):
+        raise ValueError(f"ties must be 'average' or 'id', got {ties!r}")
     base = (df.filter(F.col(col_a).isNotNull()
                       & F.col(col_b).isNotNull())
             .select(id_col, col_a, col_b)
@@ -918,17 +1013,31 @@ def spearman_correlation(
     ra = global_distribution_ranks(
         base.select(id_col, col_a),
         [F.col(col_a), F.col(id_col)], rank_col="__ra"
-    ).select(id_col, "__ra")
+    ).select(id_col, col_a, "__ra")
     rb = global_distribution_ranks(
         base.select(id_col, col_b),
         [F.col(col_b), F.col(id_col)], rank_col="__rb"
-    ).select(id_col, "__rb")
+    ).select(id_col, col_b, "__rb")
+    if ties == "average":
+        ra = ra.withColumn("__ra", F.avg(F.col("__ra").cast("double"))
+                           .over(Window.partitionBy(col_a)))
+        rb = rb.withColumn("__rb", F.avg(F.col("__rb").cast("double"))
+                           .over(Window.partitionBy(col_b)))
+    # corr spelled out via try_divide: ANSI mode turns the zero-variance
+    # case (a constant column -> all ranks tied) into DIVIDE_BY_ZERO
+    # inside F.corr; the statistic's answer there is "undefined" (null)
+    va, vb = F.col("__ra").cast("double"), F.col("__rb").cast("double")
     return (
-        ra.join(rb, id_col)
+        ra.select(id_col, "__ra").join(rb.select(id_col, "__rb"), id_col)
         .agg(F.count(F.lit(1)).alias("n_items"),
-             F.round(F.corr(F.col("__ra").cast("double"),
-                            F.col("__rb").cast("double")), 6)
-             .alias("rho"))
+             F.covar_pop(va, vb).alias("__cov"),
+             F.stddev_pop(va).alias("__sa"),
+             F.stddev_pop(vb).alias("__sb"))
+        .select(
+            "n_items",
+            F.round(F.try_divide(
+                F.col("__cov"), F.col("__sa") * F.col("__sb")), 6)
+            .alias("rho"))
     )
 
 

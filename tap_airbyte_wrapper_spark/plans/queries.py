@@ -1989,15 +1989,17 @@ def q_weighted_kappa(spark, sf_dir):
 def q_spearman(spark, sf_dir):
     """Rank agreement between two document scores (char length vs
     token count — correlated but not linear): Spearman via the
-    value-bucketed two-phase global ranks, ties broken by doc_id
-    (mirrored exactly in the oracle's rank() ordering)."""
+    value-bucketed two-phase global ranks with AVERAGE ranks over tie
+    groups (the scipy definition — n_tok is quantized, so ties are the
+    common case here; the oracle mirrors with rank()+(cnt-1)/2)."""
     from ..operators import spearman_correlation
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"))
-    return spearman_correlation(docs, "n_chars", "n_tok", "doc_id")
+    return spearman_correlation(docs, "n_chars", "n_tok", "doc_id",
+                                ties="average")
 
 
 def q_benford(spark, sf_dir):
@@ -2064,6 +2066,31 @@ def q_kripp_alpha(spark, sf_dir):
         .otherwise(F.col("lang")).alias("label"))
     return krippendorff_alpha(
         r1.unionByName(r2).unionByName(r3), "doc_id", "label")
+
+
+def q_kripp_ordinal(spark, sf_dir):
+    """Krippendorff's alpha with the ORDINAL metric over a ragged
+    3-rater pool of 1-5 quality scores — the annotation-scale norm
+    (integer ratings) where nominal alpha over-penalizes near-miss
+    disagreements: rater 2 rates one notch high on every 7th doc,
+    rater 3 one notch low on multiples of 3, with the same ragged
+    coverage as kripp_alpha_docs.  One summary row out."""
+    from ..operators import krippendorff_alpha
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (F.col("doc_id") % 5 + 1)
+    r1 = docs.select("doc_id", base.alias("label"))
+    r2 = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.least(base + F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0),
+                F.lit(5)).alias("label"))
+    r3 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.greatest(base - F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0),
+                   F.lit(1)).alias("label"))
+    return krippendorff_alpha(
+        r1.unionByName(r2).unionByName(r3), "doc_id", "label",
+        metric="ordinal")
 
 
 def q_audio_meta(spark, sf_dir):
@@ -3433,6 +3460,7 @@ QUERIES = {
     "cohen_kappa_docs": q_cohen_kappa,
     "fleiss_kappa_docs": q_fleiss_kappa,
     "kripp_alpha_docs": q_kripp_alpha,
+    "kripp_ordinal_docs": q_kripp_ordinal,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -5691,8 +5719,12 @@ ORACLES = {
           FROM documents),
         r AS (
           SELECT doc_id,
-                 rank() OVER (ORDER BY n_chars, doc_id) AS ra,
-                 rank() OVER (ORDER BY n_tok, doc_id) AS rb
+                 rank() OVER (ORDER BY n_chars)
+                   + (count(*) OVER (PARTITION BY n_chars) - 1) / 2.0
+                   AS ra,
+                 rank() OVER (ORDER BY n_tok)
+                   + (count(*) OVER (PARTITION BY n_tok) - 1) / 2.0
+                   AS rb
           FROM t)
         SELECT CAST(count(*) AS BIGINT) AS n_items,
                round(corr(CAST(ra AS DOUBLE), CAST(rb AS DOUBLE)), 6)
@@ -5800,6 +5832,58 @@ ORACLES = {
                      / (CAST(tot.ntot AS DOUBLE) * tot.ntot - tot.snc2),
                      6) AS alpha
         FROM it, tot, occ""",
+    "kripp_ordinal_docs": """
+        WITH r AS (
+          SELECT doc_id, doc_id % 5 + 1 AS label FROM documents
+          UNION ALL
+          SELECT doc_id, least(doc_id % 5 + 1
+                   + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END, 5)
+          FROM documents WHERE doc_id % 11 != 0
+          UNION ALL
+          SELECT doc_id, greatest(doc_id % 5 + 1
+                   - CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END, 1)
+          FROM documents WHERE doc_id % 2 = 0),
+        c AS (SELECT doc_id, CAST(label AS DOUBLE) AS label,
+                     count(*) AS nic FROM r GROUP BY 1, 2),
+        pi AS (SELECT doc_id, sum(nic) AS n FROM c GROUP BY 1),
+        kept AS (
+          SELECT c.doc_id, c.label, c.nic, pi.n
+          FROM c JOIN pi ON c.doc_id = pi.doc_id WHERE pi.n >= 2),
+        marg AS (
+          SELECT label, sum(nic) AS nc,
+                 sum(sum(nic)) OVER (ORDER BY label
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM kept GROUP BY 1),
+        tot AS (SELECT sum(nc) AS ntot FROM marg),
+        prs AS (
+          SELECT x.label AS lc, y.label AS lk,
+                 sum(x.nic * y.nic / CAST(x.n - 1 AS DOUBLE)) AS occ
+          FROM kept x JOIN kept y ON x.doc_id = y.doc_id
+          WHERE x.label < y.label GROUP BY 1, 2),
+        grid AS (
+          SELECT m1.label AS lc, m2.label AS lk,
+                 pow(m2.cum - m1.cum + m1.nc
+                     - (m1.nc + m2.nc) / 2.0, 2) AS d,
+                 m1.nc AS ncc, m2.nc AS nck, coalesce(prs.occ, 0) AS occ
+          FROM marg m1 JOIN marg m2 ON m1.label < m2.label
+          LEFT JOIN prs ON prs.lc = m1.label AND prs.lk = m2.label),
+        sums AS (
+          SELECT coalesce(sum(d * occ), 0) AS do_sum,
+                 coalesce(sum(d * ncc * nck), 0) AS de_sum
+          FROM grid),
+        it AS (SELECT count(*) AS n_items FROM pi WHERE n >= 2)
+        SELECT it.n_items,
+               CAST(tot.ntot AS BIGINT) AS n_ratings,
+               round(2.0 * sums.do_sum / CAST(tot.ntot AS DOUBLE), 6)
+                 AS do_,
+               round(2.0 * sums.de_sum
+                     / (CAST(tot.ntot AS DOUBLE) * (tot.ntot - 1)), 6)
+                 AS de_,
+               round(CASE WHEN sums.de_sum > 0 THEN
+                 1.0 - (tot.ntot - 1) * sums.do_sum / sums.de_sum END, 6)
+                 AS alpha
+        FROM it, tot, sums""",
     "audio_meta_docs": """
         -- Spark assembles a real RIFF/WAVE header per doc and re-parses
         -- it with the audio probe; the oracle recomputes the planted

@@ -1,0 +1,117 @@
+"""Round-10 operator tests: average-rank Spearman ties, ordinal /
+interval Krippendorff, progressive JPEG, container-level media near-dup.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+
+# ---------------------------------------------------------------------
+# Spearman: average ranks over ties (the scipy definition)
+# ---------------------------------------------------------------------
+
+def test_spearman_average_rank_ties_matches_scipy_definition(spark):
+    """x=[1,2,2,3], y=[1,2,3,3]: average ranks rx=[1,2.5,2.5,4],
+    ry=[1,2,3.5,3.5] -> Pearson(rx,ry) = 3.75/4.5 = 0.833333 (equals
+    scipy.stats.spearmanr).  The id-tie-break fast path on the same
+    data gives 1.0 — exactly the quantized-score divergence the
+    average-rank default exists to fix."""
+    from tap_airbyte_wrapper_spark.operators import spearman_correlation
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 2.0, 2.0), (3, 2.0, 3.0), (4, 3.0, 3.0)],
+        "id long, x double, y double")
+    avg = spearman_correlation(df, "x", "y", "id", ties="average").first()
+    assert avg.n_items == 4
+    assert avg.rho == pytest.approx(0.833333, abs=1e-6)
+    fast = spearman_correlation(df, "x", "y", "id", ties="id").first()
+    assert fast.rho == 1.0
+
+
+def test_spearman_tie_modes_agree_when_values_distinct(spark):
+    from tap_airbyte_wrapper_spark.operators import spearman_correlation
+
+    rows = [(i, float(i), math.exp(i / 5.0)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    a = spearman_correlation(df, "x", "y", "id", ties="average").first()
+    b = spearman_correlation(df, "x", "y", "id", ties="id").first()
+    assert a.rho == b.rho == 1.0
+    with pytest.raises(ValueError, match="average|id"):
+        spearman_correlation(df, "x", "y", "id", ties="dense")
+
+
+def test_spearman_all_tied_column_yields_null_rho(spark):
+    """A constant column has zero rank variance -> corr undefined
+    (null), not a crash."""
+    from tap_airbyte_wrapper_spark.operators import spearman_correlation
+
+    df = spark.createDataFrame(
+        [(i, 1.0, float(i)) for i in range(8)],
+        "id long, x double, y double")
+    got = spearman_correlation(df, "x", "y", "id", ties="average").first()
+    assert got.n_items == 8 and got.rho is None
+
+
+# ---------------------------------------------------------------------
+# Krippendorff: ordinal / interval metrics (Krippendorff 2011 worked
+# example — 4 coders x 12 units; published alphas 0.743 / 0.815 / 0.849)
+# ---------------------------------------------------------------------
+
+_KRIPP_DATA = {
+    "A": [1, 2, 3, 3, 2, 1, 4, 1, 2, None, None, None],
+    "B": [1, 2, 3, 3, 2, 2, 4, 1, 2, 5, None, 3],
+    "C": [None, 3, 3, 3, 2, 3, 4, 2, 2, 5, 1, None],
+    "D": [1, 2, 3, 3, 2, 4, 4, 1, 2, 5, 1, None],
+}
+
+
+def _kripp_df(spark):
+    rows = [(unit, val)
+            for coder, vals in _KRIPP_DATA.items()
+            for unit, val in enumerate(vals) if val is not None]
+    return spark.createDataFrame(rows, "item long, label int")
+
+
+@pytest.mark.parametrize("metric,alpha,do_,de_", [
+    ("nominal", 0.743421, 0.2, 0.779487),
+    ("ordinal", 0.815388, 47.275, 256.076923),
+    ("interval", 0.849107, 0.433333, 2.871795),
+])
+def test_krippendorff_textbook_all_metrics(spark, metric, alpha, do_, de_):
+    """The canonical Krippendorff (2011) reliability data: unit 12 has
+    a single rating (dropped), n.. = 40 over 11 units; pinned against
+    an independent closed-form computation of the published example."""
+    from tap_airbyte_wrapper_spark.operators import krippendorff_alpha
+
+    got = krippendorff_alpha(_kripp_df(spark), "item", "label",
+                             metric=metric).first()
+    assert got.n_items == 11 and got.n_ratings == 40
+    assert got.alpha == pytest.approx(alpha, abs=1e-6)
+    assert got.do_ == pytest.approx(do_, abs=1e-6)
+    assert got.de_ == pytest.approx(de_, abs=1e-6)
+
+
+def test_krippendorff_metric_validation_and_degenerate(spark):
+    from tap_airbyte_wrapper_spark.operators import krippendorff_alpha
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 1), (2, 1)], "item long, label int")
+    with pytest.raises(ValueError, match="nominal|ordinal|interval"):
+        krippendorff_alpha(df, "item", "label", metric="ratio")
+    # single category: de == 0 -> alpha null on every metric
+    for metric in ("nominal", "ordinal", "interval"):
+        got = krippendorff_alpha(df, "item", "label", metric=metric).first()
+        assert got.alpha is None, metric
+
+
+def test_krippendorff_ordinal_perfect_agreement(spark):
+    from tap_airbyte_wrapper_spark.operators import krippendorff_alpha
+
+    df = spark.createDataFrame(
+        [(i, i % 3 + 1) for i in range(12) for _ in range(2)],
+        "item long, label int")
+    for metric in ("ordinal", "interval"):
+        got = krippendorff_alpha(df, "item", "label", metric=metric).first()
+        assert got.alpha == 1.0, metric
