@@ -40,7 +40,8 @@ static void fill_pattern(unsigned char *rgb, int w, int h) {
 }
 
 static void encode(const char *path, unsigned char *rgb, int w, int h,
-                   int quality, int h_samp, int v_samp, int restart) {
+                   int quality, int h_samp, int v_samp, int restart,
+                   int progressive) {
     struct jpeg_compress_struct c;
     struct jpeg_error_mgr jerr;
     c.err = jpeg_std_error(&jerr);
@@ -59,6 +60,36 @@ static void encode(const char *path, unsigned char *rgb, int w, int h,
     c.comp_info[2].h_samp_factor = 1;
     c.comp_info[2].v_samp_factor = 1;
     c.restart_interval = restart;
+    if (progressive)
+        jpeg_simple_progression(&c); /* libjpeg's standard SOF2 script:
+                                        DC first+refine, per-component
+                                        AC spectral bands + refines */
+    jpeg_start_compress(&c, TRUE);
+    while (c.next_scanline < c.image_height) {
+        JSAMPROW row = rgb + 3 * w * c.next_scanline;
+        jpeg_write_scanlines(&c, &row, 1);
+    }
+    jpeg_finish_compress(&c);
+    fclose(f);
+    jpeg_destroy_compress(&c);
+}
+
+static void encode_gray_prog(const char *path, unsigned char *rgb,
+                             int w, int h, int quality) {
+    /* grayscale progressive: libjpeg converts RGB->luma itself */
+    struct jpeg_compress_struct c;
+    struct jpeg_error_mgr jerr;
+    c.err = jpeg_std_error(&jerr);
+    jpeg_create_compress(&c);
+    FILE *f = fopen(path, "wb");
+    if (!f) { perror(path); exit(1); }
+    jpeg_stdio_dest(&c, f);
+    c.image_width = w; c.image_height = h;
+    c.input_components = 3; c.in_color_space = JCS_RGB;
+    jpeg_set_defaults(&c);
+    jpeg_set_colorspace(&c, JCS_GRAYSCALE);
+    jpeg_set_quality(&c, quality, TRUE);
+    jpeg_simple_progression(&c);
     jpeg_start_compress(&c, TRUE);
     while (c.next_scanline < c.image_height) {
         JSAMPROW row = rgb + 3 * w * c.next_scanline;
@@ -96,7 +127,7 @@ static void decode_to_ppm(const char *jpg, const char *ppm) {
     jpeg_destroy_decompress(&d);
     fclose(f);
     FILE *o = fopen(ppm, "wb");
-    fprintf(o, "P6\n%d %d\n255\n", w, h);
+    fprintf(o, "P%d\n%d %d\n255\n", nc == 1 ? 5 : 6, w, h);
     fwrite(buf, 1, (size_t)w * h * nc, o);
     fclose(o);
     free(buf);
@@ -106,13 +137,23 @@ int main(void) {
     int w = 64, h = 48;
     unsigned char *rgb = malloc((size_t)3 * w * h);
     fill_pattern(rgb, w, h);
-    /* 4:4:4 q90, 4:2:0 q75, and 4:2:0 with restart markers */
-    encode("jpeg_gt_444_q90.jpg", rgb, w, h, 90, 1, 1, 0);
-    encode("jpeg_gt_420_q75.jpg", rgb, w, h, 75, 2, 2, 0);
-    encode("jpeg_gt_420_rst.jpg", rgb, w, h, 80, 2, 2, 2);
+    /* baseline: 4:4:4 q90, 4:2:0 q75, and 4:2:0 with restart markers */
+    encode("jpeg_gt_444_q90.jpg", rgb, w, h, 90, 1, 1, 0, 0);
+    encode("jpeg_gt_420_q75.jpg", rgb, w, h, 75, 2, 2, 0, 0);
+    encode("jpeg_gt_420_rst.jpg", rgb, w, h, 80, 2, 2, 2, 0);
     decode_to_ppm("jpeg_gt_444_q90.jpg", "jpeg_gt_444_q90.ppm");
     decode_to_ppm("jpeg_gt_420_q75.jpg", "jpeg_gt_420_q75.ppm");
     decode_to_ppm("jpeg_gt_420_rst.jpg", "jpeg_gt_420_rst.ppm");
+    /* progressive (SOF2, jpeg_simple_progression script): same pattern
+     * through 4:4:4, 4:2:0, 4:2:0+restarts, and grayscale */
+    encode("jpeg_gt_prog_444_q90.jpg", rgb, w, h, 90, 1, 1, 0, 1);
+    encode("jpeg_gt_prog_420_q75.jpg", rgb, w, h, 75, 2, 2, 0, 1);
+    encode("jpeg_gt_prog_420_rst.jpg", rgb, w, h, 80, 2, 2, 3, 1);
+    encode_gray_prog("jpeg_gt_prog_gray_q85.jpg", rgb, w, h, 85);
+    decode_to_ppm("jpeg_gt_prog_444_q90.jpg", "jpeg_gt_prog_444_q90.ppm");
+    decode_to_ppm("jpeg_gt_prog_420_q75.jpg", "jpeg_gt_prog_420_q75.ppm");
+    decode_to_ppm("jpeg_gt_prog_420_rst.jpg", "jpeg_gt_prog_420_rst.ppm");
+    decode_to_ppm("jpeg_gt_prog_gray_q85.jpg", "jpeg_gt_prog_gray_q85.ppm");
     free(rgb);
     return 0;
 }

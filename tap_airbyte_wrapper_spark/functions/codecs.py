@@ -199,13 +199,14 @@ try:  # PIL upgrade path: generic decoder for every image family
 
     register_image_codec("image/*", _decode_pil)
 except ImportError:
-    # PIL absent: the pure-Python BASELINE JPEG decoder (functions/
-    # jpeg.py) registers under the exact type, so JPEG pixel decode
-    # works out of the box; progressive/arithmetic streams raise a
-    # ValueError naming the unsupported process (gates fall back to
-    # header-only dims).  Registered only in the no-PIL branch because
-    # the exact type outranks "image/*" in _lookup and PIL's decoder
-    # handles every JPEG process.
+    # PIL absent: the pure-Python JPEG decoder (functions/jpeg.py —
+    # baseline AND progressive since round 10) registers under the
+    # exact type, so JPEG pixel decode works out of the box;
+    # lossless/hierarchical/arithmetic streams raise a ValueError
+    # naming the unsupported process (gates fall back to header-only
+    # dims).  Registered only in the no-PIL branch because the exact
+    # type outranks "image/*" in _lookup and PIL's decoder handles
+    # every JPEG process.
     from .jpeg import decode_jpeg as _decode_baseline_jpeg
 
     register_image_codec("image/jpeg", _decode_baseline_jpeg)

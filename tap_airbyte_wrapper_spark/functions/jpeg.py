@@ -4,12 +4,15 @@ layer's last documented decode gap without any third-party dependency.
 
 Scope (documented, enforced with clear errors):
 
-* DECODE: baseline SOF0, 8-bit, 1 (grayscale) or 3 (YCbCr JFIF)
+* DECODE: baseline SOF0/SOF1 AND progressive SOF2 (spectral selection
+  + successive approximation per T.81 Annex G — the dominant encoding
+  for real web JPEGs), 8-bit, 1 (grayscale) or 3 (YCbCr JFIF)
   components, any sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
-  restart intervals (DRI/RSTn), APPn/COM skipped.  Progressive (SOF2)
-  and arithmetic-coded streams raise ``ValueError`` naming the
-  unsupported process — gates then fall back to header-only dims, or
-  install PIL whose ``image/*`` codec takes precedence.
+  restart intervals (DRI/RSTn), APPn/COM skipped.  Lossless /
+  hierarchical / arithmetic-coded processes raise ``ValueError``
+  naming the unsupported process — gates then fall back to
+  header-only dims, or install PIL whose ``image/*`` codec takes
+  precedence.
 * ENCODE: baseline 4:4:4 (or grayscale) with the T.81 Annex K
   quantization tables (libjpeg quality scaling) and the spec's typical
   Huffman tables — primarily the round-trip test harness for the
@@ -130,13 +133,21 @@ def _build_encode_table(bits, huffval):
 
 class _BitReader:
     """MSB-first bit reader over an entropy-coded segment with 0xFF00
-    unstuffing; RSTn markers are consumed by ``restart()``."""
+    unstuffing; RSTn markers are consumed by ``restart()``.
 
-    def __init__(self, data: bytes, pos: int):
+    ``pad_at_marker``: a progressive frame has MORE markers after each
+    scan's entropy data (DHT/SOS/EOI), and the 32-bit lookahead can
+    legitimately touch the next one while the scan's final blocks are
+    still being served — pad zero bits there (T.81 F.2.2.5 semantics)
+    instead of treating it as in-scan corruption the way the baseline
+    single-scan reader does."""
+
+    def __init__(self, data: bytes, pos: int, pad_at_marker: bool = False):
         self.data = data
         self.pos = pos
         self.buf = 0
         self.nbits = 0
+        self.pad_at_marker = pad_at_marker
 
     def _fill(self):
         # Drop already-consumed high bits: without this mask the Python
@@ -154,8 +165,10 @@ class _BitReader:
                     self.data) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # restart/EOI marker: stop feeding real bytes
+                elif (0xD0 <= nxt <= 0xD7 or nxt == 0xD9
+                      or self.pad_at_marker):
+                    # restart/EOI (or, between progressive scans, ANY)
+                    # marker: stop feeding real bytes
                     self.buf = (self.buf << 8) | 0
                     self.nbits += 8
                     continue
@@ -209,9 +222,9 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a baseline JPEG to ``(width, height, uint8[h, w, c])``
-    (c = 3 RGB for YCbCr streams, 1 for grayscale).  See module
-    docstring for the supported-process boundary."""
+    """Decode a baseline or progressive JPEG to ``(width, height,
+    uint8[h, w, c])`` (c = 3 RGB for YCbCr streams, 1 for grayscale).
+    See module docstring for the supported-process boundary."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -220,6 +233,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     comps = None  # list of dicts: id, h, v, tq
     width = height = 0
     restart_interval = 0
+    progressive = False
+    coefs = None        # per-component zigzag coefficient grids (SOF2)
+    got_scan = False
+    hmax = vmax = mcus_x = mcus_y = 0
     data = payload
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -229,6 +246,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and got_scan:
+                return _reconstruct_progressive(
+                    comps, coefs, qt, width, height, hmax, vmax)
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone
@@ -265,7 +285,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     raise ValueError("truncated DHT segment")
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
             prec = seg[0]
@@ -280,12 +300,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process SOF{marker - 0xC0} "
-                "(only baseline sequential is implemented; install PIL "
-                "for progressive/arithmetic streams)")
+                "(baseline sequential and progressive Huffman are "
+                "implemented; install PIL for lossless/hierarchical/"
+                "arithmetic streams)")
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("truncated DRI segment")
@@ -305,10 +327,33 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     raise ValueError(
                         f"SOS references undefined component {cs}")
                 scan.append((comp, tables >> 4, tables & 0x0F))
-            pos += seglen
-            return _decode_scan(data, pos, width, height, comps, scan,
-                                qt, huff, restart_interval)
+            if not progressive:
+                pos += seglen
+                return _decode_scan(data, pos, width, height, comps,
+                                    scan, qt, huff, restart_interval)
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated SOS segment")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if coefs is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+                    raise ValueError(
+                        f"unsupported sampling {hmax}x{vmax} (max 2x2)")
+                mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+                coefs = [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                                  dtype=np.int64) for c in comps]
+            pos = _decode_progressive_sos(
+                data, pos + seglen, width, height, comps, scan,
+                ss, se, ah, al, huff, restart_interval, coefs,
+                hmax, vmax, mcus_x, mcus_y)
+            got_scan = True
+            continue
         pos += seglen
+    if progressive and got_scan:
+        raise ValueError("truncated progressive stream (no EOI)")
     raise ValueError("no SOS marker found")
 
 
@@ -401,7 +446,12 @@ def _decode_scan(data, pos, width, height, comps, scan, qt, huff,
                         y0 = (my * bv + by) * 8
                         x0 = (mx * bh + bx) * 8
                         planes[pi][y0:y0 + 8, x0:x0 + 8] = pix
-    # upsample to full resolution, crop, color-convert
+    return _assemble_image(comps, planes, width, height, hmax, vmax)
+
+
+def _assemble_image(comps, planes, width, height, hmax, vmax):
+    """Upsample component planes to full resolution, crop, and
+    color-convert (shared by the baseline and progressive paths)."""
     full = []
     for c, plane in zip(comps, planes):
         fy, fx = vmax // c["v"], hmax // c["h"]
@@ -417,6 +467,198 @@ def _decode_scan(data, pos, width, height, comps, scan, qt, huff,
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return width, height, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive (T.81 G)
+
+def _comp_block_grid(comp, width, height, hmax, vmax):
+    """Non-interleaved block grid of one component (T.81 A.2.2): the
+    component's own sample grid, ceil'd to whole blocks."""
+    cw = -(-width * comp["h"] // hmax)
+    ch = -(-height * comp["v"] // vmax)
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_progressive_sos(data, pos, width, height, comps, scan,
+                            ss, se, ah, al, huff, restart_interval,
+                            coefs, hmax, vmax, mcus_x, mcus_y):
+    """Decode ONE progressive scan (T.81 Annex G) into the
+    per-component zigzag coefficient grids, returning the stream
+    position of the next marker.
+
+    Four scan kinds: DC first (Ss=0, Ah=0 — Huffman diffs shifted left
+    by Al), DC refinement (Ah>0 — one appended magnitude bit per
+    block), AC first (Ss>0, Ah=0 — runs + EOBn end-of-band runs), AC
+    refinement (correction bits for already-nonzero coefficients
+    interleaved with ±1<<Al insertions).  DC scans may interleave
+    components over the MCU grid; AC scans are single-component
+    non-interleaved by spec.  Restart markers reset DC predictors and
+    the EOB run."""
+    plane_idx = {c["id"]: i for i, c in enumerate(comps)}
+    reader = _BitReader(data, pos, pad_at_marker=True)
+    ns = len(scan)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC progressive scan must have Se=0")
+        if ah == 0:
+            for comp, dc_id, _ in scan:
+                if (0, dc_id) not in huff:
+                    raise ValueError(
+                        f"undefined Huffman table (dc={dc_id})")
+        pred = [0] * ns
+        if ns == 1:
+            comp, dc_id, _ = scan[0]
+            by, bx = _comp_block_grid(comp, width, height, hmax, vmax)
+            units = ((0, y, x) for y in range(by) for x in range(bx))
+        else:
+            units = ((my, mx) for my in range(mcus_y)
+                     for mx in range(mcus_x))
+        count = 0
+        for unit in units:
+            if restart_interval and count and \
+                    count % restart_interval == 0:
+                reader.restart()
+                pred = [0] * ns
+            count += 1
+            for ci, (comp, dc_id, _) in enumerate(scan):
+                grid = coefs[plane_idx[comp["id"]]]
+                if ns == 1:
+                    blocks = [(unit[1], unit[2])]
+                else:
+                    my, mx = unit
+                    blocks = [(my * comp["v"] + byy, mx * comp["h"] + bxx)
+                              for byy in range(comp["v"])
+                              for bxx in range(comp["h"])]
+                for yy, xx in blocks:
+                    blk = grid[yy, xx]
+                    if ah == 0:
+                        t = reader.decode_symbol(huff[(0, dc_id)])
+                        if t > 16:
+                            raise ValueError(f"invalid DC category {t}")
+                        pred[ci] += _extend(reader.read_bits(t), t)
+                        blk[0] = pred[ci] << al
+                    elif reader.read_bit():
+                        # appended magnitude bit: two's-complement OR,
+                        # valid for negative values too (G.1.2.1)
+                        blk[0] = int(blk[0]) | (1 << al)
+    else:
+        if ns != 1:
+            raise ValueError(
+                "progressive AC scan must be single-component")
+        if se < ss or se > 63:
+            raise ValueError(f"bad spectral selection {ss}..{se}")
+        comp, _, ac_id = scan[0]
+        if (1, ac_id) not in huff:
+            raise ValueError(f"undefined Huffman table (ac={ac_id})")
+        act = huff[(1, ac_id)]
+        grid = coefs[plane_idx[comp["id"]]]
+        by, bx = _comp_block_grid(comp, width, height, hmax, vmax)
+        eobrun = 0
+        p1, m1 = 1 << al, -1 << al
+        count = 0
+        for yy in range(by):
+            for xx in range(bx):
+                if restart_interval and count and \
+                        count % restart_interval == 0:
+                    reader.restart()
+                    eobrun = 0
+                count += 1
+                blk = grid[yy, xx]
+                if ah == 0:  # AC first scan (G.1.2.2)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode_symbol(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r < 15:  # EOBn
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overrun")
+                        blk[k] = _extend(reader.read_bits(s), s) << al
+                        k += 1
+                else:  # AC refinement scan (G.1.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = reader.decode_symbol(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            newval = 0
+                            if s == 0:
+                                if r < 15:  # EOBn (counts this block)
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.read_bits(r)
+                                    break
+                                # r == 15: ZRL — pass 16 zero-history
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "invalid AC refinement "
+                                        f"magnitude {s}")
+                                newval = p1 if reader.read_bit() else m1
+                            # advance past r zero-history coefficients,
+                            # emitting correction bits for nonzero ones
+                            while k <= se:
+                                v = int(blk[k])
+                                if v != 0:
+                                    if reader.read_bit() and \
+                                            not (v & p1):
+                                        blk[k] = v + (p1 if v >= 0
+                                                      else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                blk[k] = newval
+                            k += 1
+                    if eobrun:
+                        # remainder of the band: correction bits only
+                        while k <= se:
+                            v = int(blk[k])
+                            if v != 0 and reader.read_bit() and \
+                                    not (v & p1):
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+    # resync: the next marker (skipping pad bits, stuffed FF00 and RSTn)
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and \
+                not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    raise ValueError("truncated progressive stream")
+
+
+def _reconstruct_progressive(comps, coefs, qt, width, height, hmax,
+                             vmax):
+    """Dequantize + batched IDCT of the accumulated coefficient grids
+    (one einsum per component — the per-block Python loop stays in the
+    entropy decode where it is unavoidable)."""
+    planes = []
+    for c, cz in zip(comps, coefs):
+        if c["tq"] not in qt:
+            raise ValueError(
+                f"undefined quantization table {c['tq']}")
+        dq = qt[c["tq"]].astype(np.float64)
+        by, bx, _ = cz.shape
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[:, :, _ZIGZAG] = cz
+        blocks = nat.reshape(by, bx, 8, 8) * dq
+        pix = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _assemble_image(comps, planes, width, height, hmax, vmax)
 
 
 # ------------------------------------------------------------------ encoder

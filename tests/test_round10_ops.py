@@ -3,9 +3,23 @@ interval Krippendorff, progressive JPEG, container-level media near-dup.
 """
 
 import math
+import os
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F  # noqa: F401
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "jpeg_gt")
+
+
+def _read_pnm(path):
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        w, h = map(int, f.readline().split())
+        f.readline()  # maxval
+        buf = np.frombuffer(f.read(), dtype=np.uint8)
+        return (buf.reshape(h, w, 3) if magic == b"P6"
+                else buf.reshape(h, w, 1))
 
 
 # ---------------------------------------------------------------------
@@ -115,3 +129,87 @@ def test_krippendorff_ordinal_perfect_agreement(spark):
     for metric in ("ordinal", "interval"):
         got = krippendorff_alpha(df, "item", "label", metric=metric).first()
         assert got.alpha == 1.0, metric
+
+# ---------------------------------------------------------------------
+# Progressive JPEG (SOF2) decode vs external libjpeg ground truth
+# ---------------------------------------------------------------------
+
+PROG_CASES = [
+    # (fixture stem, max per-pixel diff, mean diff bound)
+    ("jpeg_gt_prog_444_q90", 4, 1.0),
+    ("jpeg_gt_prog_420_q75", 8, 1.0),
+    ("jpeg_gt_prog_420_rst", 12, 1.0),
+    ("jpeg_gt_prog_gray_q85", 4, 1.0),
+]
+
+
+@pytest.mark.parametrize("stem,maxdiff,meandiff", PROG_CASES)
+def test_progressive_decode_matches_libjpeg_ground_truth(
+        stem, maxdiff, meandiff):
+    """Progressive fixtures were ENCODED by libjpeg
+    (jpeg_simple_progression: DC first+refine, spectral AC bands,
+    successive-approximation refines) and their reference pixels
+    DECODED by libjpeg (scripts/gen_jpeg_fixture.c) — same
+    external-ground-truth discipline as the baseline cases, exercising
+    EOB runs, AC refinement correction bits, DC bit appends, 4:2:0
+    interleaved DC scans, restart markers inside progressive scans,
+    and the grayscale single-component path."""
+    from tap_airbyte_wrapper_spark.functions.jpeg import decode_jpeg
+
+    jpg = open(os.path.join(FIXDIR, stem + ".jpg"), "rb").read()
+    gt = _read_pnm(os.path.join(FIXDIR, stem + ".ppm"))
+    w, h, px = decode_jpeg(jpg)
+    assert (w, h) == (gt.shape[1], gt.shape[0]) == (64, 48)
+    assert px.shape[2] == gt.shape[2]
+    d = np.abs(px.astype(np.int32) - gt.astype(np.int32))
+    assert d.max() <= maxdiff, f"max pixel diff {d.max()} > {maxdiff}"
+    assert d.mean() <= meandiff
+
+
+def test_progressive_is_sof2_and_multiscan():
+    """Sanity that the fixtures really are progressive: SOF2 marker
+    present and more than one SOS."""
+    jpg = open(os.path.join(FIXDIR, "jpeg_gt_prog_420_q75.jpg"),
+               "rb").read()
+    assert b"\xff\xc2" in jpg and b"\xff\xc0" not in jpg
+    assert jpg.count(b"\xff\xda") > 1
+
+
+def test_progressive_truncation_raises_value_error():
+    """Truncating a progressive stream anywhere must raise ValueError
+    (the decode contract), never decode garbage or crash with a
+    different exception type."""
+    from tap_airbyte_wrapper_spark.functions.jpeg import decode_jpeg
+
+    jpg = open(os.path.join(FIXDIR, "jpeg_gt_prog_444_q90.jpg"),
+               "rb").read()
+    for cut in (64, len(jpg) // 3, len(jpg) // 2, len(jpg) - 30):
+        with pytest.raises(ValueError):
+            decode_jpeg(jpg[:cut])
+
+
+def test_progressive_mutation_fuzz_value_error_only():
+    """Seeded byte-mutation fuzz over a progressive stream: decode
+    must either succeed or raise ValueError — no other exception type
+    escapes (same contract the round-9 fuzz pinned for baseline)."""
+    import random
+
+    from tap_airbyte_wrapper_spark.functions.jpeg import decode_jpeg
+
+    jpg = bytearray(open(os.path.join(
+        FIXDIR, "jpeg_gt_prog_420_q75.jpg"), "rb").read())
+    rng = random.Random(4210)
+    for _ in range(400):
+        mutated = bytearray(jpg)
+        for _ in range(rng.randint(1, 4)):
+            mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        try:
+            decode_jpeg(bytes(mutated))
+        except ValueError:
+            pass
+    # and a decimated tail: progressive scans chopped mid-entropy
+    for frac in (0.6, 0.75, 0.9):
+        try:
+            decode_jpeg(bytes(jpg[:int(len(jpg) * frac)]))
+        except ValueError:
+            pass

@@ -227,17 +227,25 @@ def test_jpeg_420_subsampled_roundtrip():
         encode_jpeg(img, subsampling="422")
 
 
-def test_jpeg_progressive_rejected_with_clear_error():
-    """A SOF2 (progressive) stream must raise ValueError naming the
-    unsupported process — never a silent wrong decode."""
+def test_jpeg_unsupported_process_rejected_with_clear_error():
+    """Since round 10 SOF2 (progressive) DECODES (see
+    test_round10_ops); the unsupported boundary moved to lossless /
+    hierarchical / arithmetic processes, which must still raise
+    ValueError naming the process — never a silent wrong decode.  A
+    baseline stream merely RELABELED as SOF2 is a malformed
+    progressive frame (its single scan claims Ss=0..Se=63) and must
+    also fail loudly, not decode garbage."""
     import struct
 
     from tap_airbyte_wrapper_spark.functions import decode_jpeg, encode_jpeg
 
     enc = bytearray(encode_jpeg(_gradient_rgb(16, 16), quality=90))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2
-    with pytest.raises(ValueError, match="SOF2"):
+    enc[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless)
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(bytes(enc))
+    enc[i + 1] = 0xC2  # baseline scan under a progressive header
+    with pytest.raises(ValueError, match="Se=0|single-component"):
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg at all")
