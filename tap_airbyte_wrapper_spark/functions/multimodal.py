@@ -50,6 +50,9 @@ __all__ = [
     "image_near_dup_pairs",
     "audio_ahash",
     "hamming_near_dup_pairs",
+    "media_window_sig",
+    "media_container_near_dup_pairs",
+    "mp4_asset_payload",
     "resize_image",
     "extract_features",
     "sample_frames",
@@ -487,19 +490,23 @@ def hamming_near_dup_pairs(
     id_col: str,
     hash_col: str = "sh",
     max_hamming: int = 6,
+    block_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit hamming space (text simhash,
-    image/audio perceptual hashes): pigeonhole the hash into ``chunks``
-    segments (recall guaranteed for hamming < chunks), bucket-join, and
-    verify with ``bit_count(xor)``.  Shuffles 8-byte hashes + ids
-    only — the payloads that produced the hashes never move."""
+    image/audio perceptual hashes, byte-window signatures): pigeonhole
+    the hash into ``chunks`` segments (recall guaranteed for hamming <
+    chunks), bucket-join, and verify with ``bit_count(xor)``.  Shuffles
+    8-byte hashes + ids only — the payloads that produced the hashes
+    never move.  ``block_cols`` adds extra equi-join blocking keys
+    (e.g. a container-metadata bucket): candidates must then share a
+    block AND a hash segment, never a cross-block comparison."""
     chunks = max_hamming + 1 if max_hamming < 15 else 16
     hashed = hashed.select(
-        F.col(id_col), F.col(hash_col).alias("sh")
+        F.col(id_col), F.col(hash_col).alias("sh"), *block_cols
     ).filter(F.col("sh").isNotNull())
     seg_bits = 64 // chunks
     segs = hashed.select(
-        id_col, "sh",
+        id_col, "sh", *block_cols,
         F.posexplode(
             F.array(*[
                 F.shiftright(F.col("sh"), i * seg_bits).bitwiseAND(
@@ -508,11 +515,11 @@ def hamming_near_dup_pairs(
             ])).alias("seg_idx", "seg_val"),
     )
     a = segs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
-                    "seg_idx", "seg_val")
+                    "seg_idx", "seg_val", *block_cols)
     b = segs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
-                    "seg_idx", "seg_val")
+                    "seg_idx", "seg_val", *block_cols)
     return (
-        a.join(b, on=["seg_idx", "seg_val"])
+        a.join(b, on=["seg_idx", "seg_val", *block_cols])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming",
                     F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
@@ -572,3 +579,170 @@ def audio_ahash(col: Column, media_type: str = "audio/wav",
         return pd.Series(out, dtype="object").astype("Int64")
 
     return ahash(col)
+
+
+# ----------------------------------------- container-level near-dup
+
+#: byte patterns that begin a container's media-essence region; the
+#: window signature anchors AFTER the first match so metadata edits
+#: (tag rewrites, inserted free/udta boxes, remuxed headers) in front
+#: of the essence do not shift the sampled windows.
+_ESSENCE_MARKERS = (b"mdat", b"\x1fC\xb6u", b"data")
+
+
+def media_window_sig(col: Column, n_windows: int = 64,
+                     window: int = 64, stride: int = 4096) -> Column:
+    """Byte-window signature of a binary media payload as a 64-bit
+    long — the DECODE-FREE near-dup sketch for the 100 TB triage
+    layer: bit ``i`` is the parity of ``md5`` over the ``window``-byte
+    slice at ``anchor + i*stride``, where ``anchor`` is the start of
+    the first media-essence region (MP4 ``mdat`` payload, Matroska
+    Cluster, RIFF ``data``; offset 0 when none is found).
+
+    What it catches (and what it honestly cannot): re-uploads with
+    edited container metadata hash IDENTICALLY (the anchor skips the
+    metadata region), tail-trimmed/truncated copies agree on every
+    window before the cut (windows past EOF contribute fixed 0 bits),
+    and a localized byte edit flips at most the few bits whose windows
+    cover it.  A RE-ENCODE rewrites the essence bytes entirely — that
+    is the decoded-payload hashes' job (:func:`image_ahash` /
+    :func:`audio_ahash`), not this one.
+
+    Unrelated payloads agree per bit with p=0.5, so the expected
+    hamming distance is 32 and a <=6 cutoff passes by chance with
+    probability ~1e-10.  Arrow pandas UDF, one pass over the first
+    ``n_windows*stride`` bytes of essence per asset, zero shuffle;
+    null/empty payloads -> null signatures (dropped by the pairing
+    machinery)."""
+
+    @pandas_udf("long")
+    def sig(payloads: pd.Series) -> pd.Series:
+        out = []
+        for p in payloads:
+            if p is None or len(p) == 0:
+                out.append(None)
+                continue
+            b = bytes(p)
+            anchor = 0
+            for marker in _ESSENCE_MARKERS:
+                at = b.find(marker)
+                if at >= 0:
+                    anchor = at + len(marker)
+                    break
+            v = 0
+            for i in range(n_windows):
+                off = anchor + i * stride
+                win = b[off:off + window]
+                if win and (hashlib.md5(win).digest()[-1] & 1):
+                    v |= 1 << i
+            out.append(v if v < (1 << 63) else v - (1 << 64))
+        return pd.Series(out, dtype="object").astype("Int64")
+
+    return sig(col)
+
+
+def media_container_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    media_col: str,
+    max_hamming: int = 6,
+    duration_bucket_s: float = 2.0,
+    n_windows: int = 64,
+    window: int = 64,
+    stride: int = 4096,
+) -> DataFrame:
+    """Video/audio near-duplicate pairs WITHOUT any decode — the
+    container-level triage gate: one header probe + one byte-window
+    signature pass per asset, candidates blocked on probe metadata
+    (container kind, principal dimensions, duration bucket with +-1
+    bucket tolerance for trims), verified in the shared 64-bit hamming
+    machinery.  Output ``(id_a, id_b, hamming)``.
+
+    Plan shape at scale: the probe and signature are one Arrow pass
+    over payload bytes (map-only); everything after shuffles 8-byte
+    signatures + ids + a short block key — never payloads.  The
+    duration tolerance is the standard neighbor-key trick (each asset
+    posts buckets ``b`` and ``b+1``, so assets within one bucket share
+    a key) — no range join, no all-pairs; assets whose container no
+    probe recognizes are skipped (this gate only speaks container
+    formats)."""
+    m = F.col("__m")
+    probed = (
+        df.select(
+            F.col(id_col),
+            probe_media_meta(F.col(media_col)).alias("__m"),
+            media_window_sig(F.col(media_col), n_windows=n_windows,
+                             window=window, stride=stride).alias("sh"))
+        .withColumn(
+            "__kind",
+            F.coalesce(m.getItem("container"),
+                       F.when(m.getItem("width").isNotNull(),
+                              F.lit("image"))))
+        .filter(F.col("__kind").isNotNull() & F.col("sh").isNotNull())
+        .withColumn(
+            "__dims",
+            F.concat_ws(
+                "x",
+                F.coalesce(m.getItem("width"), m.getItem("sample_rate"),
+                           F.lit("?")),
+                F.coalesce(m.getItem("height"), m.getItem("channels"),
+                           F.lit("?"))))
+        .withColumn(
+            "__db",
+            F.floor(F.coalesce(m.getItem("duration_s").cast("double"),
+                               F.lit(-1.0))
+                    / F.lit(float(duration_bucket_s))).cast("long")))
+    blocked = (
+        probed.select(
+            id_col, "sh", "__kind", "__dims",
+            F.explode(F.array(F.col("__db"),
+                              F.col("__db") + 1)).alias("__dbk"))
+        .withColumn("__blk", F.concat_ws(
+            "|", "__kind", "__dims", F.col("__dbk").cast("string")))
+        .select(id_col, "sh", "__blk"))
+    return hamming_near_dup_pairs(
+        blocked, id_col, "sh", max_hamming, block_cols=("__blk",))
+
+
+def mp4_asset_payload(width: Column, height: Column,
+                      duration_ms: Column, essence_seed: Column,
+                      remux_tag: Column, trim_bytes: Column,
+                      essence_len: int = 2300) -> Column:
+    """Per-row deterministic MP4 asset WITH essence bytes — the
+    fixture builder for the container-level near-dup gate: a real
+    :func:`.video.mp4_stub` header whose trailing ``mdat`` carries an
+    md5-chain essence derived from ``essence_seed`` (two rows with the
+    same seed are the same recording).  A non-empty ``remux_tag``
+    inserts a ``free`` box between ``ftyp`` and ``moov`` (a metadata
+    edit in front of the essence — the remuxed re-upload case);
+    ``trim_bytes > 0`` cuts that many tail bytes (the truncated-upload
+    case).  Arrow pandas UDF, one builder call per row."""
+    import struct as _struct
+
+    from .video import mp4_stub
+
+    @pandas_udf("binary")
+    def build(w: pd.Series, h: pd.Series, d: pd.Series, s: pd.Series,
+              tag: pd.Series, trim: pd.Series) -> pd.Series:
+        out = []
+        for wi, hi, di, si, ti, tr in zip(w, h, d, s, tag, trim):
+            stub = mp4_stub(int(wi), int(hi), int(di))
+            body = stub[:-16]  # drop the stock empty mdat box
+            if ti:
+                junk = str(ti).encode()
+                ftyp_len = _struct.unpack(">I", stub[:4])[0]
+                free = _struct.pack(">I", 8 + len(junk)) + b"free" + junk
+                body = stub[:ftyp_len] + free + stub[ftyp_len:-16]
+            ess = bytearray()
+            i = 0
+            while len(ess) < essence_len:
+                ess += hashlib.md5(f"{int(si)}:{i}".encode()).digest()
+                i += 1
+            payload = body + _struct.pack(
+                ">I", 8 + essence_len) + b"mdat" + bytes(ess[:essence_len])
+            tr = int(tr)
+            out.append(payload[:len(payload) - tr] if tr > 0 else payload)
+        return pd.Series(out)
+
+    return build(width, height, duration_ms, essence_seed, remux_tag,
+                 trim_bytes)

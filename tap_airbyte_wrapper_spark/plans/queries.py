@@ -2093,6 +2093,38 @@ def q_kripp_ordinal(spark, sf_dir):
         metric="ordinal")
 
 
+def q_media_dedup(spark, sf_dir):
+    """Container-level video near-dup triage — NO decode anywhere:
+    per-doc MP4 assets carry a deterministic essence keyed by a
+    planted seed (every 17k+1 doc is a REMUXED re-upload of its
+    predecessor — same essence behind edited front metadata; every
+    23k+2 doc a TAIL-TRIMMED copy of doc-2), and the gate pairs them
+    via header probe + essence-anchored byte-window signatures +
+    metadata-blocked hamming join.  The oracle recomputes the planted
+    seed arithmetic: pairs are exactly the same-seed doc pairs."""
+    from ..functions import (media_container_near_dup_pairs,
+                             mp4_asset_payload)
+
+    d = F.col("doc_id")
+    remux = (d % 17 == 1) & (d > 1)
+    trim = (d % 23 == 2) & (d > 2) & ~remux
+    seed = (F.when(remux, d - 1)
+            .when((d % 23 == 2) & (d > 2), d - 2).otherwise(d))
+    assets = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        mp4_asset_payload(
+            (seed % 4 + 1) * 160, (seed % 3 + 1) * 120,
+            (seed % 20 + 5) * 1000, seed,
+            F.when(remux, F.concat(F.lit("retag-"), d.cast("string")))
+            .otherwise(F.lit("")),
+            F.when(trim, (d % 5) * 10 + 100).otherwise(F.lit(0)),
+        ).alias("media"))
+    return media_container_near_dup_pairs(
+        assets, "doc_id", "media", max_hamming=6, window=16, stride=32
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+             "hamming")
+
+
 def q_audio_meta(spark, sf_dir):
     """Audio asset-inventory gate, header-only (the audio sibling of
     video_meta_docs): per-doc deterministic WAV headers (sample rate /
@@ -3461,6 +3493,7 @@ QUERIES = {
     "fleiss_kappa_docs": q_fleiss_kappa,
     "kripp_alpha_docs": q_kripp_alpha,
     "kripp_ordinal_docs": q_kripp_ordinal,
+    "media_dedup_docs": q_media_dedup,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -5884,6 +5917,22 @@ ORACLES = {
                  1.0 - (tot.ntot - 1) * sums.do_sum / sums.de_sum END, 6)
                  AS alpha
         FROM it, tot, sums""",
+    "media_dedup_docs": """
+        -- Spark builds real MP4 assets (planted remux/trim duplicates
+        -- keyed by an arithmetic seed) and pairs them with the
+        -- decode-free container gate; the oracle replays the seed
+        -- arithmetic: near-dup pairs == same-seed pairs, hamming 0.
+        WITH s AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 1 AND doc_id > 1
+                        THEN doc_id - 1
+                      WHEN doc_id % 23 = 2 AND doc_id > 2
+                        THEN doc_id - 2
+                      ELSE doc_id END AS seed
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(0 AS INTEGER) AS hamming
+        FROM s a JOIN s b ON a.seed = b.seed AND a.doc_id < b.doc_id""",
     "audio_meta_docs": """
         -- Spark assembles a real RIFF/WAVE header per doc and re-parses
         -- it with the audio probe; the oracle recomputes the planted

@@ -213,3 +213,102 @@ def test_progressive_mutation_fuzz_value_error_only():
             decode_jpeg(bytes(jpg[:int(len(jpg) * frac)]))
         except ValueError:
             pass
+
+# ---------------------------------------------------------------------
+# Container-level media near-dup (no decode): remux + trim detection
+# ---------------------------------------------------------------------
+
+def _essence(seed: int, n: int = 2300) -> bytes:
+    import hashlib
+    out = b""
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{seed}:{i}".encode()).digest()
+        i += 1
+    return out[:n]
+
+
+def _mp4_with_essence(w, h, dur_ms, seed, remux_junk=None, trim=0):
+    """A real MP4 stub whose trailing mdat carries deterministic
+    essence bytes; remux_junk inserts a free box between ftyp and moov
+    (a metadata edit BEFORE the essence); trim cuts tail bytes."""
+    import struct
+
+    from tap_airbyte_wrapper_spark.functions.video import mp4_stub
+
+    stub = mp4_stub(w, h, dur_ms)
+    body = stub[:-16]  # drop the stock 8-byte mdat box
+    if remux_junk is not None:
+        ftyp_len = struct.unpack(">I", stub[:4])[0]
+        free = struct.pack(">I", 8 + len(remux_junk)) + b"free" + remux_junk
+        body = stub[:ftyp_len] + free + stub[ftyp_len:-16]
+    ess = _essence(seed)
+    payload = body + struct.pack(">I", 8 + len(ess)) + b"mdat" + ess
+    return payload[:len(payload) - trim] if trim else payload
+
+
+def test_media_window_sig_remux_and_trim_invariance(spark):
+    """Same essence with edited front metadata -> identical signature
+    (anchor skips the metadata region); tail trim that stays beyond
+    the sampled windows -> identical; different essence -> ~32 bits
+    apart."""
+    from tap_airbyte_wrapper_spark.functions import media_window_sig
+
+    rows = [
+        (1, _mp4_with_essence(320, 240, 7000, seed=99)),
+        (2, _mp4_with_essence(320, 240, 7000, seed=99,
+                              remux_junk=b"edited-by-tool-x" * 3)),
+        (3, _mp4_with_essence(320, 240, 7000, seed=99, trim=150)),
+        (4, _mp4_with_essence(320, 240, 7000, seed=100)),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = {r.id: r.sh for r in df.select(
+        "id", media_window_sig(
+            F.col("media"), window=16, stride=32).alias("sh")).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[5] is None
+    assert got[4] is not None and got[4] != got[1]
+    assert bin((got[1] ^ got[4]) & ((1 << 64) - 1)).count("1") > 15
+
+
+def test_media_container_near_dup_pairs_planted(spark):
+    """Planted corpus: 10 distinct recordings, one remuxed re-upload
+    and one tail-trimmed copy -> exactly those two pairs come back,
+    and the candidate generation is blocked equi-join (no cartesian
+    anywhere in the plan)."""
+    from tap_airbyte_wrapper_spark.functions import (
+        media_container_near_dup_pairs)
+
+    rows = [(i, _mp4_with_essence(320, 240, 5000 + (i % 4) * 1000,
+                                  seed=i)) for i in range(10)]
+    rows.append((100, _mp4_with_essence(320, 240, 5000 + (3 % 4) * 1000,
+                                        seed=3, remux_junk=b"retagged")))
+    rows.append((101, _mp4_with_essence(320, 240, 5000 + (7 % 4) * 1000,
+                                        seed=7, trim=120)))
+    df = spark.createDataFrame(rows, "id long, media binary")
+    pairs = media_container_near_dup_pairs(
+        df, "id", "media", max_hamming=6, window=16, stride=32)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" \
+        not in plan
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got == {(3, 100): 0, (7, 101): 0}
+
+
+def test_media_container_near_dup_blocks_respected(spark):
+    """Identical essence under DIFFERENT declared resolution must NOT
+    pair (the metadata block is part of the gate's identity), and
+    assets no probe recognizes are skipped, not crashed on."""
+    from tap_airbyte_wrapper_spark.functions import (
+        media_container_near_dup_pairs)
+
+    rows = [
+        (1, _mp4_with_essence(320, 240, 5000, seed=1)),
+        (2, _mp4_with_essence(640, 480, 5000, seed=1)),
+        (3, b"\x00" * 4096),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    pairs = media_container_near_dup_pairs(
+        df, "id", "media", window=16, stride=32)
+    assert pairs.count() == 0
