@@ -4,6 +4,8 @@ key-shifted replication, for the README scaling study.
 Usage:
     python scripts/make_scaled_data.py 0.3 /tmp/scale/sf0.3
     python scripts/make_scaled_data.py 1.0 /tmp/scale/sf1.0
+    # optional table subset (e.g. only what an index study reads):
+    python scripts/make_scaled_data.py 10.0 /tmp/scale/sf10 documents embeddings
 
 Each copy i shifts every key column by i * (max(key)+1) of its domain, so
 referential integrity (orders->customer, lineitem->orders/part/supplier,
@@ -58,6 +60,7 @@ DIMS = ["region", "nation"]
 def main() -> int:
     target_sf = float(sys.argv[1])
     out_dir = sys.argv[2]
+    only = set(sys.argv[3:])  # empty = all tables
     k = max(1, round(target_sf / BASE_SF))
     spark = (
         SparkSession.builder.master(
@@ -78,9 +81,13 @@ def main() -> int:
     }
     os.makedirs(out_dir, exist_ok=True)
     for tbl in DIMS:
+        if only and tbl not in only:
+            continue
         load_parquet(spark, f"{BASE}/{tbl}.parquet").write.mode(
             "overwrite").parquet(f"{out_dir}/{tbl}.parquet")
     for tbl, keys in KEYED.items():
+        if only and tbl not in only:
+            continue
         base = load_parquet(spark, f"{BASE}/{tbl}.parquet")
         # one scan, k-way union of shifted projections — Spark plans this
         # as a single stage per copy over the same file split set

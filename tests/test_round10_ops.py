@@ -312,3 +312,33 @@ def test_media_container_near_dup_blocks_respected(spark):
     pairs = media_container_near_dup_pairs(
         df, "id", "media", window=16, stride=32)
     assert pairs.count() == 0
+
+# ---------------------------------------------------------------------
+# BM25 persisted-index search: query-term literal pushdown
+# ---------------------------------------------------------------------
+
+def test_bm25_index_search_bucket_prunes_postings_scan(spark, tmp_path):
+    """The x100 study showed a broadcast join scans the WHOLE postings
+    table; bm25_index_search now pushes the query-term set down as a
+    literal isin, so the term-bucketed scan reads only buckets that
+    can hold query terms (SelectedBucketsCount in the plan) — and the
+    results stay identical to fresh bm25_topk (the round-7 equality
+    test runs through the same path)."""
+    from tap_airbyte_wrapper_spark.functions import (
+        bm25_index_search, bm25_index_write)
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 50} alpha body word{i % 11}") for i in range(200)],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "tok3"), (1, "tok17")], "query_id int, query_text string")
+    bm25_index_write(docs, "bm25prune", str(tmp_path / "idx"),
+                     "doc_id", "text", n_buckets=8)
+    res = bm25_index_search(spark, "bm25prune", queries,
+                            str(tmp_path / "idx"), k=5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"SelectedBucketsCount: (\d+) out of 8", plan)
+    assert m, "postings scan is not bucket-pruned"
+    assert int(m.group(1)) < 8
+    assert res.count() > 0
