@@ -77,37 +77,23 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
 
 
-def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a non-interlaced 8-bit-depth PNG (gray / gray+alpha / RGB /
-    RGBA) with stdlib zlib + numpy unfiltering.  Filter 0/2 rows (what
-    :func:`encode_png` and most encoders' fast paths emit) unfilter as
-    whole-row numpy ops; Sub/Average/Paeth rows fall back to a per-pixel
-    loop — correct, and cheap at thumbnail sizes."""
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, hdr = 8, [], None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos:pos + 4])
-        ctype = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        if ctype == b"IHDR":
-            hdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if hdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, color, _comp, _filt, interlace = hdr
-    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
-        raise ValueError(
-            f"unsupported PNG (depth={depth} color={color} "
-            f"interlace={interlace}); register a PIL codec for full support")
-    ch = _PNG_CHANNELS[color]
-    stride = w * ch
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    rows = raw.reshape(h, stride + 1)
+#: Adam7 pass origins/strides: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Reverse PNG row filtering over ``h`` rows of ``stride`` payload
+    bytes (+1 filter byte each); ``bpp`` = bytes per complete pixel
+    (min 1 — sub-byte depths filter at byte granularity per spec).
+    Filter 0/2 rows (what :func:`encode_png` and most encoders' fast
+    paths emit) unfilter as whole-row numpy ops; Sub/Average/Paeth
+    rows fall back to a per-byte loop — correct, and cheap at
+    thumbnail sizes."""
+    if raw.size < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    rows = raw[:h * (stride + 1)].reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         f, line = rows[y, 0], rows[y, 1:]
@@ -119,9 +105,9 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         else:  # Sub / Average / Paeth need the in-progress row
             rec = out[y]
             for x in range(stride):
-                a = int(rec[x - ch]) if x >= ch else 0
+                a = int(rec[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 if f == 1:
                     pred = a
                 elif f == 3:
@@ -133,7 +119,119 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
                 else:
                     raise ValueError(f"bad PNG filter {f}")
                 rec[x] = (int(line[x]) + pred) & 0xFF
-    return w, h, out.reshape(h, w, ch)
+    return out
+
+
+def _png_samples(rows: np.ndarray, w: int, ch: int, depth: int,
+                 scale_sub8: bool) -> np.ndarray:
+    """Unfiltered row bytes -> (h, w, ch) uint8 samples.  16-bit takes
+    the high byte (libpng ``strip_16`` convention); 1/2/4-bit unpack
+    MSB-first and — for grayscale — scale by 255/(2^d - 1) (libpng
+    ``expand_gray_1_2_4_to_8``); palette indexes stay unscaled."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, :w * ch].reshape(h, w, ch)
+    if depth == 16:
+        return rows.reshape(h, -1)[:, :w * ch * 2] \
+            .reshape(h, w * ch, 2)[:, :, 0].reshape(h, w, ch)
+    bits = np.unpackbits(rows, axis=1)
+    per = 8 // depth
+    samples = np.zeros((h, rows.shape[1] * per), dtype=np.uint8)
+    for b in range(depth):
+        samples = (samples << 1) | bits[:, b::depth][:, :samples.shape[1]]
+    samples = samples[:, :w * ch]
+    if scale_sub8:
+        samples = (samples.astype(np.uint16) * 255
+                   // ((1 << depth) - 1)).astype(np.uint8)
+    return samples.reshape(h, w, ch)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a PNG with stdlib zlib + numpy: gray / gray+alpha / RGB /
+    RGBA / palette color types, bit depths 1/2/4/8/16 (16-bit down to
+    the high byte, sub-8 grayscale scaled — both the libpng
+    conventions), Adam7 interlacing, palette ``tRNS`` transparency
+    (palette decodes to RGB, or RGBA when ``tRNS`` is present; a
+    ``tRNS`` on gray/RGB images is ancillary single-color transparency
+    and is ignored).  External libpng-encoded+decoded fixtures pin
+    every class in tests."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr, plte, trns = 8, [], None, None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("bad IHDR length")
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data[:3 * (len(data) // 3)],
+                                 dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = hdr
+    palette = color == 3
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    valid = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if color not in channels or depth not in valid[color] or \
+            interlace not in (0, 1):
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color} "
+            f"interlace={interlace})")
+    if not (0 < w <= 1 << 24 and 0 < h <= 1 << 24 and w * h <= 1 << 26):
+        # corrupt headers must fail loudly, not allocate dims * 2^32
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
+    if palette and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    ch = channels[color]
+    bpp = max(1, ch * depth // 8)
+    try:
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)),
+                            dtype=np.uint8)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG pixel stream: {exc}") from None
+
+    def rowbytes(width):
+        return (width * ch * depth + 7) // 8
+
+    scale = (color == 0)
+    if interlace == 0:
+        rows = _png_unfilter(raw, h, rowbytes(w), bpp)
+        img = _png_samples(rows, w, ch, depth, scale)
+    else:  # Adam7: seven independently-filtered sub-images
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = rowbytes(pw)
+            rows = _png_unfilter(raw[off:], ph, stride, bpp)
+            off += ph * (stride + 1)
+            img[y0::dy, x0::dx] = _png_samples(rows, pw, ch, depth, scale)
+    if palette:
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[:min(len(trns), len(plte))] = trns[:len(plte)]
+            return w, h, np.concatenate(
+                [rgb, alpha[idx][:, :, None]], axis=2)
+        return w, h, rgb
+    return w, h, img
 
 
 def encode_png(pixels: np.ndarray) -> bytes:

@@ -342,3 +342,72 @@ def test_bm25_index_search_bucket_prunes_postings_scan(spark, tmp_path):
     assert m, "postings scan is not bucket-pruned"
     assert int(m.group(1)) < 8
     assert res.count() > 0
+
+# ---------------------------------------------------------------------
+# PNG decoder extension: palette / tRNS / Adam7 / 1-2-4-16 bit vs libpng
+# ---------------------------------------------------------------------
+
+PNG_FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "png_gt")
+
+PNG_CASES = [
+    # stem, expected channels
+    ("png_gt_rgb8_adam7", 3),
+    ("png_gt_rgba8_adam7", 4),
+    ("png_gt_pal8_trns", 4),
+    ("png_gt_pal4", 3),
+    ("png_gt_gray1", 1),
+    ("png_gt_gray2_adam7", 1),
+    ("png_gt_gray16", 1),
+]
+
+
+def _read_px(path):
+    with open(path, "rb") as f:
+        assert f.readline().strip() == b"PX"
+        w, h, ch = map(int, f.readline().split())
+        return np.frombuffer(f.read(), dtype=np.uint8).reshape(h, w, ch)
+
+
+@pytest.mark.parametrize("stem,channels", PNG_CASES)
+def test_png_decode_matches_libpng_ground_truth(stem, channels):
+    """Fixtures were ENCODED by libpng and reference samples DECODED
+    by libpng with the conventions the Python decoder documents
+    (strip-16 high byte, scaled gray 1/2/4 expansion, palette ->
+    RGB(A)) — scripts/gen_png_fixture.c.  61x37 dims deliberately hit
+    the ragged Adam7 pass edges.  Match is bit-EXACT (PNG is
+    lossless)."""
+    from tap_airbyte_wrapper_spark.functions.codecs import decode_png
+
+    png = open(os.path.join(PNG_FIXDIR, stem + ".png"), "rb").read()
+    gt = _read_px(os.path.join(PNG_FIXDIR, stem + ".px"))
+    w, h, px = decode_png(png)
+    assert (w, h) == (61, 37) and px.shape == gt.shape
+    assert px.shape[2] == channels
+    assert (px == gt).all()
+
+
+def test_png_mutation_fuzz_value_error_only():
+    """Seeded byte-mutation + truncation fuzz across every fixture
+    class: decode succeeds or raises ValueError — no IndexError /
+    zlib.error / numpy reshape errors escape."""
+    import random
+
+    from tap_airbyte_wrapper_spark.functions.codecs import decode_png
+
+    rng = random.Random(1007)
+    for stem, _ in PNG_CASES:
+        data = bytearray(open(os.path.join(
+            PNG_FIXDIR, stem + ".png"), "rb").read())
+        for _ in range(150):
+            mutated = bytearray(data)
+            for _ in range(rng.randint(1, 3)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            try:
+                decode_png(bytes(mutated))
+            except ValueError:
+                pass
+        for frac in (0.3, 0.6, 0.9):
+            try:
+                decode_png(bytes(data[:int(len(data) * frac)]))
+            except ValueError:
+                pass
