@@ -53,6 +53,12 @@ __all__ = [
     "media_window_sig",
     "media_container_near_dup_pairs",
     "mp4_asset_payload",
+    "media_sig_index_write",
+    "media_dedup_delta",
+    "media_sig_index_append",
+    "media_sig_index_delete",
+    "media_sig_index_replace",
+    "media_sig_index_compact",
     "resize_image",
     "extract_features",
     "sample_frames",
@@ -641,31 +647,21 @@ def media_window_sig(col: Column, n_windows: int = 64,
     return sig(col)
 
 
-def media_container_near_dup_pairs(
+def _media_blocked_sigs(
     df: DataFrame,
     id_col: str,
     media_col: str,
-    max_hamming: int = 6,
-    duration_bucket_s: float = 2.0,
-    n_windows: int = 64,
-    window: int = 64,
-    stride: int = 4096,
+    duration_bucket_s: float,
+    n_windows: int,
+    window: int,
+    stride: int,
 ) -> DataFrame:
-    """Video/audio near-duplicate pairs WITHOUT any decode — the
-    container-level triage gate: one header probe + one byte-window
-    signature pass per asset, candidates blocked on probe metadata
-    (container kind, principal dimensions, duration bucket with +-1
-    bucket tolerance for trims), verified in the shared 64-bit hamming
-    machinery.  Output ``(id_a, id_b, hamming)``.
-
-    Plan shape at scale: the probe and signature are one Arrow pass
-    over payload bytes (map-only); everything after shuffles 8-byte
-    signatures + ids + a short block key — never payloads.  The
-    duration tolerance is the standard neighbor-key trick (each asset
-    posts buckets ``b`` and ``b+1``, so assets within one bucket share
-    a key) — no range join, no all-pairs; assets whose container no
-    probe recognizes are skipped (this gate only speaks container
-    formats)."""
+    """(id, sh, __blk) per recognized asset — the shared front half of
+    the batch pair op, the persisted index, and the streaming gate:
+    one probe + one signature pass, block key = container kind |
+    principal dims | duration bucket, with the ±1-bucket trim
+    tolerance expressed as TWO rows per asset (buckets b and b+1 — two
+    assets within one bucket then share a key)."""
     m = F.col("__m")
     probed = (
         df.select(
@@ -692,7 +688,7 @@ def media_container_near_dup_pairs(
             F.floor(F.coalesce(m.getItem("duration_s").cast("double"),
                                F.lit(-1.0))
                     / F.lit(float(duration_bucket_s))).cast("long")))
-    blocked = (
+    return (
         probed.select(
             id_col, "sh", "__kind", "__dims",
             F.explode(F.array(F.col("__db"),
@@ -700,6 +696,36 @@ def media_container_near_dup_pairs(
         .withColumn("__blk", F.concat_ws(
             "|", "__kind", "__dims", F.col("__dbk").cast("string")))
         .select(id_col, "sh", "__blk"))
+
+
+def media_container_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    media_col: str,
+    max_hamming: int = 6,
+    duration_bucket_s: float = 2.0,
+    n_windows: int = 64,
+    window: int = 64,
+    stride: int = 4096,
+) -> DataFrame:
+    """Video/audio near-duplicate pairs WITHOUT any decode — the
+    container-level triage gate: one header probe + one byte-window
+    signature pass per asset, candidates blocked on probe metadata
+    (container kind, principal dimensions, duration bucket with +-1
+    bucket tolerance for trims), verified in the shared 64-bit hamming
+    machinery.  Output ``(id_a, id_b, hamming)``.
+
+    Plan shape at scale: the probe and signature are one Arrow pass
+    over payload bytes (map-only); everything after shuffles 8-byte
+    signatures + ids + a short block key — never payloads.  The
+    duration tolerance is the standard neighbor-key trick (each asset
+    posts buckets ``b`` and ``b+1``, so assets within one bucket share
+    a key) — no range join, no all-pairs; assets whose container no
+    probe recognizes are skipped (this gate only speaks container
+    formats)."""
+    blocked = _media_blocked_sigs(df, id_col, media_col,
+                                  duration_bucket_s, n_windows, window,
+                                  stride)
     return hamming_near_dup_pairs(
         blocked, id_col, "sh", max_hamming, block_cols=("__blk",))
 
@@ -746,3 +772,265 @@ def mp4_asset_payload(width: Column, height: Column,
 
     return build(width, height, duration_ms, essence_seed, remux_tag,
                  trim_bytes)
+
+
+# ------------------------------------------- persisted media-sig index
+
+def _media_segments(sigs: DataFrame, id_alias: str,
+                    chunks: int) -> DataFrame:
+    """(id_alias, sh, seg_key) — pigeonhole segments of the byte-window
+    signature, with the metadata BLOCK folded into the join key:
+    ``seg_key = xxhash64(__blk, seg_val * chunks + seg_idx)``, so two
+    assets can only be candidates when they agree on a whole segment
+    AND the probe block — the same candidate contract as the batch
+    pair op, just as one long key the bucketed layout can sort by."""
+    seg_bits = 64 // chunks
+    mask = (1 << seg_bits) - 1
+    return sigs.select(
+        F.col(sigs.columns[0]).alias(id_alias),
+        "sh", "__blk",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("sh"), i * seg_bits)
+            .bitwiseAND(F.lit(mask)) for i in range(chunks)
+        ])).alias("__seg_idx", "__seg_val"),
+    ).select(
+        id_alias, "sh",
+        F.xxhash64(
+            F.col("__blk"),
+            F.col("__seg_val") * chunks + F.col("__seg_idx"))
+        .alias("seg_key"))
+
+
+def media_sig_index_write(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str,
+    media_col: str,
+    chunks: int = 7,
+    max_hamming: int = 6,
+    n_buckets: int = 16,
+    duration_bucket_s: float = 2.0,
+    n_windows: int = 64,
+    window: int = 64,
+    stride: int = 4096,
+) -> None:
+    """Persist the media-asset near-dup index — the SIXTH member of
+    the bucketed index family (MinHash, fingerprint, BM25, IVF,
+    SimHash, and now container signatures): ``{table}_segs``
+    (seg_key, mid, sh, __ver) bucketed+sorted by ``seg_key``.  A daily
+    asset delta then near-dups against the standing corpus at
+    O(delta): the delta's segments shuffle into this bucketing and the
+    corpus side scans co-located — the payload bytes are read exactly
+    once ever (at their own build/append), never again at probe time.
+    Signature and blocking parameters are RECORDED in
+    ``_index_meta.json`` so probes and appends reproduce them
+    exactly."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import write_text as _write_text
+
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < chunks, got "
+            f"{max_hamming} >= {chunks}")
+    spark = df.sparkSession
+    segs = _media_segments(
+        _media_blocked_sigs(df, id_col, media_col, duration_bucket_s,
+                            n_windows, window, stride), "mid", chunks)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}_segs")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}_tombstones")
+    (segs.withColumn("__ver", F.lit(0).cast("long"))
+        .select("seg_key", "mid", "sh", "__ver")
+        .write.bucketBy(n_buckets, "seg_key").sortBy("seg_key")
+        .option("path", _os.path.join(path, "segs"))
+        .mode("overwrite").saveAsTable(f"{table_name}_segs"))
+    _write_text(spark, _os.path.join(path, "_index_meta.json"),
+                _json.dumps({
+                    "id_col": id_col, "chunks": chunks,
+                    "max_hamming": max_hamming, "n_buckets": n_buckets,
+                    "duration_bucket_s": duration_bucket_s,
+                    "n_windows": n_windows, "window": window,
+                    "stride": stride}))
+
+
+def media_dedup_delta(
+    delta: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str,
+    media_col: str,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Near-dup a DELTA batch of media assets against the persisted
+    index (and within itself) — the incremental form of
+    :func:`media_container_near_dup_pairs`.  Returns ``(id_a, id_b,
+    hamming, kind)`` with ``kind`` ``'corpus'`` (delta asset id_a
+    duplicates live corpus asset id_b) or ``'delta'``.  Scale shape
+    mirrors ``simhash_dedup_delta``: one probe+signature Arrow pass
+    over the delta payloads, candidate join shuffles only delta
+    segments (corpus scan bucket-co-located, zero corpus shuffle),
+    verification is ``bit_count(xor)`` on the join output — the 8-byte
+    signature rides the segment row."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import read_text as _read_text
+    from ._maint import live_rows, tombstone_counts_table
+
+    spark = delta.sparkSession
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    hmax = meta["max_hamming"] if max_hamming is None else max_hamming
+    if hmax > meta["max_hamming"]:
+        raise ValueError(
+            f"index guarantees candidates only to hamming "
+            f"{meta['max_hamming']} (chunks={meta['chunks']}); "
+            f"rebuild with more chunks for {hmax}")
+    dsegs = _media_segments(
+        _media_blocked_sigs(
+            delta, id_col, media_col, meta["duration_bucket_s"],
+            meta["n_windows"], meta["window"], meta["stride"])
+        .localCheckpoint(eager=True),
+        "__did", meta["chunks"])
+    tombs = tombstone_counts_table(spark, table_name, "mid")
+    csegs = live_rows(spark.table(f"{table_name}_segs"), tombs, "mid")
+    pairs_x = (
+        dsegs.join(csegs.withColumnRenamed("sh", "__csh"), on="seg_key")
+        .withColumn("hamming",
+                    F.bit_count(F.col("sh").bitwiseXOR(F.col("__csh"))))
+        .filter(F.col("hamming") <= hmax)
+        .select(F.col("__did").alias("id_a"),
+                F.col("mid").alias("id_b"), "hamming",
+                F.lit("corpus").alias("kind"))
+        .distinct()
+    )
+    a = dsegs.select(F.col("__did").alias("id_a"),
+                     F.col("sh").alias("__sa"), "seg_key")
+    b = dsegs.select(F.col("__did").alias("id_b"),
+                     F.col("sh").alias("__sb"), "seg_key")
+    pairs_d = (
+        a.join(b, on="seg_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
+        .filter(F.col("hamming") <= hmax)
+        .select("id_a", "id_b", "hamming", F.lit("delta").alias("kind"))
+        .distinct()
+    )
+    return pairs_x.unionByName(pairs_d)
+
+
+def media_sig_index_append(
+    delta: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str,
+    media_col: str,
+) -> None:
+    """Fold a delta's segments into the index at O(delta) with the
+    index's recorded parameters (bucket spec respected).  Caller
+    contract matches the other families: dedup the delta first;
+    re-uploads of EXISTING ids go through
+    :func:`media_sig_index_replace`."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import read_text as _read_text
+    from ._maint import stamp_version, tombstone_counts_table
+
+    spark = delta.sparkSession
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"index was built on id column {meta['id_col']!r}, "
+            f"got {id_col!r}")
+    segs = _media_segments(
+        _media_blocked_sigs(
+            delta, id_col, media_col, meta["duration_bucket_s"],
+            meta["n_windows"], meta["window"], meta["stride"]),
+        "mid", meta["chunks"])
+    (stamp_version(segs, tombstone_counts_table(spark, table_name, "mid"),
+                   "mid")
+        .select("seg_key", "mid", "sh", "__ver")
+        .write.bucketBy(meta["n_buckets"], "seg_key").sortBy("seg_key")
+        .option("path", _os.path.join(path, "segs"))
+        .mode("append").saveAsTable(f"{table_name}_segs"))
+
+
+def media_sig_index_delete(
+    spark,
+    table_name: str,
+    path: str,
+    ids: DataFrame,
+) -> None:
+    """Delete assets at O(delete batch) via the shared tombstone
+    scheme (``functions/_maint.py``)."""
+    from ._maint import record_tombstones_table
+
+    record_tombstones_table(spark, table_name, path, ids, "mid")
+
+
+def media_sig_index_replace(
+    delta: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str,
+    media_col: str,
+) -> None:
+    """Replace assets in-place at O(delta): tombstone the delta's ids,
+    then append their new segments at the bumped version."""
+    spark = delta.sparkSession
+    media_sig_index_delete(
+        spark, table_name, path,
+        delta.select(F.col(id_col).alias("mid")).distinct())
+    media_sig_index_append(delta, table_name, path, id_col, media_col)
+
+
+def media_sig_index_compact(
+    spark,
+    table_name: str,
+    path: str,
+    dst_table: str,
+    dst_path: str,
+) -> dict:
+    """Layout-preserving compaction — same contract and mechanism as
+    the other five families: bucketed scan forced on, live rows only,
+    rewrite with the SAME bucket spec into a NEW table/path — one task
+    per bucket, zero shuffle.  Returns ``{"files_in", "files_out"}``."""
+    import json as _json
+    import os as _os
+
+    from ..fsutil import (copy_text as _copy_text,
+                          count_parquet_files as _nfiles,
+                          read_text as _read_text)
+    from ._maint import live_rows, tombstone_counts_table
+
+    if _os.path.abspath(path) == _os.path.abspath(dst_path):
+        raise ValueError("media_sig_index_compact writes to a NEW path")
+    if dst_table.casefold() == table_name.casefold():
+        raise ValueError("media_sig_index_compact writes to a NEW table "
+                         "name (dst_table must differ from table_name)")
+    meta = _json.loads(
+        _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    files_in = _nfiles(path, spark)
+    spark.sql(f"DROP TABLE IF EXISTS {dst_table}_segs")
+    spark.sql(f"DROP TABLE IF EXISTS {dst_table}_tombstones")
+    tombs = tombstone_counts_table(spark, table_name, "mid")
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        (live_rows(spark.table(f"{table_name}_segs"), tombs, "mid")
+            .withColumn("__ver", F.lit(0).cast("long"))
+            .write.bucketBy(meta["n_buckets"], "seg_key")
+            .sortBy("seg_key")
+            .option("path", _os.path.join(dst_path, "segs"))
+            .mode("overwrite").saveAsTable(f"{dst_table}_segs"))
+    finally:
+        spark.conf.set(conf_key, old)
+    _copy_text(spark, _os.path.join(path, "_index_meta.json"),
+               _os.path.join(dst_path, "_index_meta.json"))
+    return {"files_in": files_in, "files_out": _nfiles(dst_path, spark)}

@@ -12,7 +12,8 @@ from .incremental import (
     windowed_counts,
 )
 from .cdc import stream_changelog_apply
-from .dedup import stream_exact_dedup_gate, stream_simhash_gate, stream_near_dup_gate
+from .dedup import (stream_exact_dedup_gate, stream_media_dedup_gate,
+                    stream_simhash_gate, stream_near_dup_gate)
 from .index_maint import (stream_bm25_index_maintenance,
                           stream_fingerprint_index_maintenance)
 from .similarity import stream_embedding_gate
@@ -39,6 +40,7 @@ __all__ = [
     "stream_near_dup_gate",
     "stream_exact_dedup_gate",
     "stream_simhash_gate",
+    "stream_media_dedup_gate",
     "stream_embedding_gate",
     "stream_dsir_gate",
     "stream_reservoir_sample",

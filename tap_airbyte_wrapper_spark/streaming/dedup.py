@@ -258,3 +258,80 @@ def stream_simhash_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_media_dedup_gate(
+    stream: DataFrame,
+    id_col: str,
+    media_col: str,
+    index_table: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_hamming: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming CONTAINER-LEVEL media near-dup gate over the persisted
+    media-signature index
+    (:func:`~..functions.multimodal.media_sig_index_write`) — the
+    decode-free asset twin of :func:`stream_simhash_gate`: every
+    micro-batch of binary assets probes at O(batch) (one probe +
+    byte-window-signature Arrow pass; corpus scan bucket-co-located),
+    drops assets within ``max_hamming`` of a DIFFERENT live corpus
+    asset (remuxed re-uploads, tail-trimmed copies) or losing a
+    within-batch min-id contest, lands survivors, folds their segments
+    into the index.  Assets no probe recognizes pass through — this
+    gate only speaks container formats; unknown bytes are someone
+    else's policy decision.
+
+    Replay safety mirrors the other index gates: a replayed survivor
+    matches ITSELF (id_a == id_b corpus pair, not a drop); the
+    ``_batch_<id>`` marker only skips the re-append.  Bootstrap with
+    ``media_sig_index_write`` (an empty corpus frame is fine)."""
+    from ..functions.multimodal import (media_dedup_delta,
+                                        media_sig_index_append)
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        from ..fsutil import exists as _fs_exists, write_text as _fs_write
+
+        started = _time.time()
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            dupes = media_dedup_delta(
+                batch, index_table, index_path, id_col, media_col,
+                max_hamming=max_hamming)
+            drop = (
+                dupes.filter(
+                    (F.col("kind") == "corpus")
+                    & (F.col("id_a") != F.col("id_b"))
+                ).select(F.col("id_a").alias(id_col))
+                .unionByName(
+                    dupes.filter(F.col("kind") == "delta")
+                    .select(F.col("id_b").alias(id_col)))
+                .distinct()
+            )
+            clean = batch.join(drop, id_col, "left_anti").persist()
+            clean.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={batch_id}"))
+            marker = os.path.join(index_path, f"_batch_{batch_id}")
+            if not _fs_exists(spark, marker):
+                media_sig_index_append(
+                    clean, index_table, index_path, id_col, media_col)
+                try:
+                    _fs_write(spark, marker, "done")
+                except Exception:
+                    pass  # best-effort marker — never kill the stream
+            append_gate_stats(spark, out_path, batch_id,
+                              batch.count(), clean.count(), started)
+            clean.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -411,3 +411,182 @@ def test_png_mutation_fuzz_value_error_only():
                 decode_png(bytes(data[:int(len(data) * frac)]))
             except ValueError:
                 pass
+
+# ---------------------------------------------------------------------
+# Persisted media-signature index (sixth index family) + streaming gate
+# ---------------------------------------------------------------------
+
+SIG_KW = dict(window=16, stride=32)
+
+
+@pytest.fixture()
+def media_index(spark, tmp_path):
+    from tap_airbyte_wrapper_spark.functions import media_sig_index_write
+
+    rows = [(i, _mp4_with_essence(320, 240, 5000 + (i % 4) * 1000,
+                                  seed=i)) for i in range(20)]
+    corpus = spark.createDataFrame(rows, "asset_id long, media binary")
+    path = str(tmp_path / "m_idx")
+    media_sig_index_write(corpus, "m10_t", path, "asset_id", "media",
+                          n_buckets=4, **SIG_KW)
+    yield spark, corpus, path
+    for t in ("m10_t_segs", "m10_t_tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_media_delta_finds_corpus_and_delta_dups(media_index):
+    from tap_airbyte_wrapper_spark.functions import media_dedup_delta
+
+    spark, corpus, path = media_index
+    delta = spark.createDataFrame([
+        # remuxed re-upload of asset 7 (same essence, edited metadata)
+        (1007, _mp4_with_essence(320, 240, 5000 + (7 % 4) * 1000,
+                                 seed=7, remux_junk=b"retag")),
+        # brand-new recording...
+        (1008, _mp4_with_essence(320, 240, 6000, seed=991)),
+        # ...and its tail-trimmed twin within the same batch
+        (1009, _mp4_with_essence(320, 240, 6000, seed=991, trim=80)),
+        # unrecognizable bytes: skipped, never crashed on
+        (1010, b"\x01\x02" * 600),
+    ], "asset_id long, media binary")
+    rows = media_dedup_delta(delta, "m10_t", path, "asset_id",
+                             "media").collect()
+    kinds = {(r.id_a, r.id_b): (r.kind, r.hamming) for r in rows}
+    assert kinds[(1007, 7)] == ("corpus", 0)
+    assert kinds[(1008, 1009)] == ("delta", 0)
+    ids = {r.id_a for r in rows} | {r.id_b for r in rows}
+    assert 1010 not in ids
+
+
+def test_media_delta_agrees_with_batch_operator(media_index):
+    from tap_airbyte_wrapper_spark.functions import (
+        media_container_near_dup_pairs, media_dedup_delta)
+
+    spark, corpus, path = media_index
+    delta = spark.createDataFrame([
+        (1003, _mp4_with_essence(320, 240, 5000 + (3 % 4) * 1000,
+                                 seed=3, remux_junk=b"x")),
+        (1011, _mp4_with_essence(320, 240, 9000, seed=777)),
+    ], "asset_id long, media binary")
+    inc = {(r.id_a, r.id_b, r.hamming) for r in media_dedup_delta(
+        delta, "m10_t", path, "asset_id", "media").collect()
+        if r.id_a != r.id_b}
+    both = corpus.unionByName(delta)
+    batch = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b), r.hamming)
+        if max(r.id_a, r.id_b) >= 1000 and min(r.id_a, r.id_b) < 1000
+        else (r.id_a, r.id_b, r.hamming)
+        for r in media_container_near_dup_pairs(
+            both, "asset_id", "media", **SIG_KW).collect()
+        if r.id_a >= 1000 or r.id_b >= 1000}
+    assert inc == batch
+
+
+def test_media_delta_replay_self_match_and_corpus_no_shuffle(media_index):
+    from tap_airbyte_wrapper_spark.functions import media_dedup_delta
+
+    spark, corpus, path = media_index
+    replay = corpus.filter("asset_id = 3")
+    got = {(r.id_a, r.id_b, r.hamming) for r in media_dedup_delta(
+        replay, "m10_t", path, "asset_id", "media").collect()}
+    assert (3, 3, 0) in got
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = media_dedup_delta(replay, "m10_t", path, "asset_id",
+                                "media")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SelectedBucketsCount" in plan
+    # delta-side exchanges only (segments into the index bucketing,
+    # the delta self-join's two sides, the two pair distincts); a
+    # corpus-side shuffle would add one more
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
+
+
+def test_media_index_replace_delete_compact(media_index, tmp_path):
+    from tap_airbyte_wrapper_spark.functions import (
+        media_dedup_delta, media_sig_index_compact, media_sig_index_delete,
+        media_sig_index_replace)
+
+    spark, corpus, path = media_index
+    # replace asset 5 with a different recording: probes of the OLD
+    # essence stop matching, probes of the NEW essence match
+    new5 = spark.createDataFrame(
+        [(5, _mp4_with_essence(320, 240, 6000, seed=505))],
+        "asset_id long, media binary")
+    media_sig_index_replace(new5, "m10_t", path, "asset_id", "media")
+    probe = spark.createDataFrame([
+        (9005, _mp4_with_essence(320, 240, 6000, seed=505,
+                                 remux_junk=b"z")),
+        (9006, _mp4_with_essence(320, 240, 5000 + (5 % 4) * 1000,
+                                 seed=5)),
+    ], "asset_id long, media binary")
+    got = {(r.id_a, r.id_b) for r in media_dedup_delta(
+        probe, "m10_t", path, "asset_id", "media").collect()}
+    assert (9005, 5) in got and (9006, 5) not in got
+    # delete 5 entirely: nothing matches it any more
+    media_sig_index_delete(
+        spark, "m10_t", path,
+        spark.createDataFrame([(5,)], "mid long"))
+    got2 = {(r.id_a, r.id_b) for r in media_dedup_delta(
+        probe, "m10_t", path, "asset_id", "media").collect()}
+    assert not any(b == 5 for _a, b in got2)
+    # compact folds the tombstones; probe results unchanged
+    stats = media_sig_index_compact(spark, "m10_t", path, "m10c_t",
+                                    str(tmp_path / "m_idx_c"))
+    assert stats["files_out"] <= stats["files_in"]
+    got3 = {(r.id_a, r.id_b) for r in media_dedup_delta(
+        probe, "m10c_t", str(tmp_path / "m_idx_c"), "asset_id",
+        "media").collect()}
+    assert got3 == got2
+    for t in ("m10c_t_segs", "m10c_t_tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_media_dedup_gate_and_accumulation(spark, tmp_path):
+    """E2E: corpus-known re-uploads drop, within-batch twins lose the
+    min-id contest, survivors land AND fold into the index so the next
+    batch measures against them."""
+    from tap_airbyte_wrapper_spark.functions import media_sig_index_write
+    from tap_airbyte_wrapper_spark.streaming import stream_media_dedup_gate
+
+    corpus = spark.createDataFrame(
+        [(1, _mp4_with_essence(320, 240, 7000, seed=42))],
+        "asset_id long, media binary")
+    idx_path = str(tmp_path / "idx")
+    media_sig_index_write(corpus, "m10g_t", idx_path, "asset_id",
+                          "media", n_buckets=2, **SIG_KW)
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "clean")
+    schema = "asset_id long, media binary"
+    spark.createDataFrame([
+        (10, _mp4_with_essence(320, 240, 7000, seed=42,
+                               remux_junk=b"reup")),      # corpus dup
+        (11, _mp4_with_essence(320, 240, 8000, seed=77)),  # fresh
+        (12, _mp4_with_essence(320, 240, 8000, seed=77,
+                               trim=64)),                  # twin of 11
+    ], schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain():
+        q = stream_media_dedup_gate(
+            spark.readStream.schema(schema).parquet(str(src)),
+            "asset_id", "media", "m10g_t", idx_path, out,
+            checkpoint=str(tmp_path / "ck"))
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(r.asset_id
+                  for r in spark.read.parquet(out).collect()) == [11]
+    spark.createDataFrame([
+        (20, _mp4_with_essence(320, 240, 8000, seed=77,
+                               remux_junk=b"again")),      # dup of landed 11
+        (21, _mp4_with_essence(320, 240, 9500, seed=99)),  # new
+    ], schema).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    assert sorted(r.asset_id
+                  for r in spark.read.parquet(out).collect()) == [11, 21]
+    for t in ("m10g_t_segs", "m10g_t_tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
