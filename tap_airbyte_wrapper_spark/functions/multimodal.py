@@ -43,6 +43,7 @@ __all__ = [
     "as_media",
     "with_media_metadata",
     "probe_media_meta",
+    "exif_meta",
     "decode_image",
     "decode_audio",
     "header_dimensions",
@@ -146,6 +147,26 @@ def wav_stub_payload(sample_rate: Column, channels: Column,
     return build(sample_rate, channels, n_frames)
 
 
+def exif_stub_payload(orientation: Column, make: Column, model: Column,
+                      datetime_original: Column,
+                      byte_order: Column) -> Column:
+    """Per-row minimal JPEG (SOI + APP1/Exif + EOI) with planted
+    metadata (see :func:`.exif.exif_app1`) — the deterministic fixture
+    builder for the EXIF probe's fleet entry and plumbing tests.
+    Arrow pandas UDF, one builder call per row."""
+    from .exif import exif_app1
+
+    @pandas_udf("binary")
+    def build(o: pd.Series, mk: pd.Series, md: pd.Series,
+              dt: pd.Series, bo: pd.Series) -> pd.Series:
+        return pd.Series([
+            b"\xff\xd8" + exif_app1(int(a), str(b), str(c), str(d),
+                                    str(e)) + b"\xff\xd9"
+            for a, b, c, d, e in zip(o, mk, md, dt, bo)])
+
+    return build(orientation, make, model, datetime_original, byte_order)
+
+
 def probe_media_meta(col: Column) -> Column:
     """``map<string,string>`` of header-probe results for a binary
     payload: video container metadata (``container``/``duration_s``/
@@ -158,6 +179,7 @@ def probe_media_meta(col: Column) -> Column:
     shuffle."""
     from . import audio_meta as _audio
     from . import video as _video
+    from .exif import exif_metadata as _exif
 
     @pandas_udf("map<string,string>")
     def probe(payloads: pd.Series) -> pd.Series:
@@ -182,7 +204,31 @@ def probe_media_meta(col: Column) -> Column:
             elif dims is not None:
                 entries = {"width": str(dims[0]),
                            "height": str(dims[1])}
+                exif = _exif(b)
+                if exif:
+                    entries.update({k: str(v) for k, v in exif.items()})
             out.append(entries)
+        return pd.Series(out)
+
+    return probe(col)
+
+
+def exif_meta(col: Column) -> Column:
+    """``map<string,string>`` of inventory EXIF fields for a JPEG
+    binary column (``orientation``/``make``/``model``/``datetime``/
+    ``datetime_original``/``pixel_x``/``pixel_y`` — whatever the APP1
+    TIFF walk finds; see :mod:`.exif`).  Empty map when there is no
+    parseable EXIF; never raises.  Arrow pandas UDF, header bytes
+    only, zero shuffle."""
+    from .exif import exif_metadata as _exif
+
+    @pandas_udf("map<string,string>")
+    def probe(payloads: pd.Series) -> pd.Series:
+        out = []
+        for p in payloads:
+            got = _exif(bytes(p)) if p is not None else None
+            out.append({k: str(v) for k, v in got.items()}
+                       if got else {})
         return pd.Series(out)
 
     return probe(col)

@@ -2125,6 +2125,37 @@ def q_media_dedup(spark, sf_dir):
              "hamming")
 
 
+def q_exif_meta(spark, sf_dir):
+    """EXIF asset-inventory probe, header-only: per-doc minimal JPEGs
+    carry planted APP1/Exif metadata (orientation / camera make+model /
+    capture time derived from doc_id, alternating little- and
+    big-endian TIFF byte order — both of which real cameras emit) and
+    the probe re-extracts them executor-side (functions/exif.py).  The
+    oracle recomputes the planted attributes arithmetically — the same
+    external-recompute discipline as video_meta_docs."""
+    from ..functions.multimodal import exif_meta, exif_stub_payload
+
+    d = F.col("doc_id")
+    assets = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        exif_stub_payload(
+            (d % 8 + 1).cast("int"),
+            F.concat(F.lit("maker"), (d % 5).cast("string")),
+            F.concat(F.lit("cam-"), (d % 3).cast("string")),
+            F.concat(F.lit("2024:01:0"), (d % 9 + 1).cast("string"),
+                     F.lit(" 0"), (d % 10).cast("string"),
+                     F.lit(":00:00")),
+            F.when(d % 2 == 0, F.lit("II")).otherwise(F.lit("MM")),
+        ).alias("media"))
+    m = exif_meta(F.col("media"))
+    return assets.select(
+        "doc_id",
+        m.getItem("orientation").cast("int").alias("orientation"),
+        m.getItem("make").alias("make"),
+        m.getItem("model").alias("model"),
+        m.getItem("datetime_original").alias("dt_orig"))
+
+
 def q_audio_meta(spark, sf_dir):
     """Audio asset-inventory gate, header-only (the audio sibling of
     video_meta_docs): per-doc deterministic WAV headers (sample rate /
@@ -3494,6 +3525,7 @@ QUERIES = {
     "kripp_alpha_docs": q_kripp_alpha,
     "kripp_ordinal_docs": q_kripp_ordinal,
     "media_dedup_docs": q_media_dedup,
+    "exif_meta_docs": q_exif_meta,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -3701,8 +3733,9 @@ _R10_WINDOW = [
     "q8_market_share", "q9_product_profit", "q11_important_parts",
     "q12_shipmode_priority",
     "spearman_docs", "kripp_ordinal_docs", "media_dedup_docs",
+    "exif_meta_docs",
     "full_scan_events", "q1_pricing_summary",
-    "bm25_topk_docs", "pagerank_suppliers", "drift_events",
+    "bm25_topk_docs", "pagerank_suppliers",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R10_WINDOW},
            **{k: v for k, v in QUERIES.items()
@@ -5969,6 +6002,18 @@ ORACLES = {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(0 AS INTEGER) AS hamming
         FROM s a JOIN s b ON a.seed = b.seed AND a.doc_id < b.doc_id""",
+    "exif_meta_docs": """
+        -- Spark assembles a real APP1/Exif TIFF per doc (alternating
+        -- II/MM byte order) and re-parses it with the header-only EXIF
+        -- probe; the oracle recomputes the planted attributes.
+        SELECT doc_id,
+               CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+               'maker' || CAST(doc_id % 5 AS VARCHAR) AS make,
+               'cam-' || CAST(doc_id % 3 AS VARCHAR) AS model,
+               '2024:01:0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                 || ' 0' || CAST(doc_id % 10 AS VARCHAR)
+                 || ':00:00' AS dt_orig
+        FROM documents""",
     "audio_meta_docs": """
         -- Spark assembles a real RIFF/WAVE header per doc and re-parses
         -- it with the audio probe; the oracle recomputes the planted

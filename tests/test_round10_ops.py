@@ -590,3 +590,63 @@ def test_stream_media_dedup_gate_and_accumulation(spark, tmp_path):
                   for r in spark.read.parquet(out).collect()) == [11, 21]
     for t in ("m10g_t_segs", "m10g_t_tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+# ---------------------------------------------------------------------
+# EXIF probe: hand-pinned TIFF walk, both byte orders, never-raise
+# ---------------------------------------------------------------------
+
+def test_exif_hand_pinned_little_endian_bytes():
+    """A hand-written (NOT builder-produced — breaks writer/reader
+    circularity) little-endian TIFF with one IFD0: orientation=3.
+    Layout per JEITA CP-3451: II, magic 42, IFD0 at offset 8, one
+    12-byte entry (tag 0x0112, type SHORT, count 1, value inline)."""
+    import struct
+
+    from tap_airbyte_wrapper_spark.functions.exif import exif_metadata
+
+    tiff = (b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0112, 3, 1)
+            + struct.pack("<H", 3) + b"\x00\x00"
+            + struct.pack("<I", 0))
+    exif = b"Exif\x00\x00" + tiff
+    jpg = b"\xff\xd8\xff\xe1" + struct.pack(">H", 2 + len(exif)) \
+        + exif + b"\xff\xd9"
+    assert exif_metadata(jpg) == {"orientation": 3}
+
+
+def test_exif_both_byte_orders_and_long_values():
+    from tap_airbyte_wrapper_spark.functions.exif import (
+        exif_app1, exif_metadata)
+
+    for bo in ("II", "MM"):
+        seg = exif_app1(orientation=6, make="ACME Cameras Incorporated",
+                        model="X9", datetime_original="2024:03:05 10:11:12",
+                        byte_order=bo)
+        got = exif_metadata(b"\xff\xd8" + seg + b"\xff\xd9")
+        assert got == {
+            "orientation": 6, "make": "ACME Cameras Incorporated",
+            "model": "X9", "datetime_original": "2024:03:05 10:11:12",
+        }, bo
+
+
+def test_exif_never_raises_on_garbage():
+    import random
+
+    from tap_airbyte_wrapper_spark.functions.exif import (
+        exif_app1, exif_metadata)
+
+    assert exif_metadata(None) is None
+    assert exif_metadata(b"") is None
+    assert exif_metadata(b"\xff\xd8\xff\xd9") is None
+    base = bytearray(b"\xff\xd8" + exif_app1(5, "mk", "md",
+                                             "2024:01:01 00:00:00")
+                     + b"\xff\xd9")
+    rng = random.Random(110)
+    for _ in range(500):
+        m = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        exif_metadata(bytes(m))  # any exception type fails the test
+    for cut in range(0, len(base), 7):
+        exif_metadata(bytes(base[:cut]))
