@@ -319,9 +319,10 @@ _SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
 
 def image_dimensions(payload: bytes) -> tuple[int, int] | None:
     """(width, height) from the HEADER BYTES alone — PNG (IHDR), JPEG
-    (SOF segment walk), GIF (logical screen descriptor) — no pixel
-    decode, no third-party deps.  Returns None when the container is
-    unrecognized or truncated.
+    (SOF segment walk), GIF (logical screen descriptor), BMP
+    (BITMAPINFOHEADER), WebP (VP8 / VP8L / VP8X, all three layouts) —
+    no pixel decode, no third-party deps.  Returns None when the
+    container is unrecognized or truncated.
 
     This is the scale move for multimodal curation: a resolution filter
     ("drop anything under 64x64") reads ~30 bytes per asset instead of
@@ -335,6 +336,31 @@ def image_dimensions(payload: bytes) -> tuple[int, int] | None:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return int(w), int(h)
+    if payload[:2] == b"BM" and len(payload) >= 26:     # BMP
+        (hdr_size,) = struct.unpack("<I", payload[14:18])
+        if hdr_size >= 40:                              # BITMAPINFOHEADER+
+            w, h = struct.unpack("<ii", payload[18:26])
+            return int(w), abs(int(h))                  # h<0 = top-down
+        if hdr_size == 12 and len(payload) >= 22:       # BITMAPCOREHEADER
+            w, h = struct.unpack("<HH", payload[18:22])
+            return int(w), int(h)
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP" \
+            and len(payload) >= 25:
+        fourcc = payload[12:16]
+        if fourcc == b"VP8X" and len(payload) >= 30:    # extended header
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return w, h
+        if fourcc == b"VP8L" and payload[20] == 0x2F:   # lossless
+            bits = int.from_bytes(payload[21:25], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if fourcc == b"VP8 " and len(payload) >= 30:    # lossy key frame
+            # frame tag (3) + start code 9D 01 2A + 16-bit w/h (14 bits)
+            if payload[23:26] == b"\x9d\x01\x2a":
+                w, h = struct.unpack("<HH", payload[26:30])
+                return w & 0x3FFF, h & 0x3FFF
+        return None
     if payload[:2] == b"\xff\xd8":                      # JPEG SOI
         pos = 2
         n = len(payload)

@@ -498,7 +498,21 @@ def header_dimensions(col: Column) -> Column:
     return dims(col)
 
 
-def image_ahash(col: Column, media_type: str = "image/png") -> Column:
+#: EXIF orientation (1-8) -> stored-pixels -> display-pixels transform
+#: (the PIL ``exif_transpose`` mapping, expressed in numpy)
+_ORIENT_FIX = {
+    2: lambda a: a[:, ::-1],
+    3: lambda a: a[::-1, ::-1],
+    4: lambda a: a[::-1],
+    5: lambda a: a.transpose(1, 0, 2),
+    6: lambda a: a.transpose(1, 0, 2)[:, ::-1],     # 90 deg CW
+    7: lambda a: a.transpose(1, 0, 2)[::-1, ::-1],
+    8: lambda a: a.transpose(1, 0, 2)[::-1],        # 90 deg CCW
+}
+
+
+def image_ahash(col: Column, media_type: str = "image/png",
+                normalize_orientation: bool = False) -> Column:
     """Perceptual average-hash of a binary image column as a 64-bit
     long: decode -> grayscale -> 8x8 nearest resample -> bit i = pixel
     above the 64-pixel mean.  Visually similar images (recompression,
@@ -507,17 +521,32 @@ def image_ahash(col: Column, media_type: str = "image/png") -> Column:
     :func:`..dedup.simhash_near_dup_pairs`'s pigeonhole bucketing works
     on any 64-bit hamming space, this column included.
 
+    ``normalize_orientation``: apply the EXIF orientation transform
+    (tags 2-8, the PIL ``exif_transpose`` mapping) to the decoded
+    pixels before hashing, so a camera-rotated re-upload — same scene,
+    stored pixels rotated, orientation tag corrected — hashes next to
+    its original instead of 30+ bits away.  Costs one header-only
+    EXIF walk per asset; non-JPEG or tag-less payloads are unchanged.
+
     Arrow pandas UDF over payload bytes (decode is per-element work);
     unsupported/corrupt payloads hash to null and drop out of pairing.
     """
 
     @pandas_udf("long")
     def ahash(payloads: pd.Series) -> pd.Series:
+        from .exif import exif_metadata as _exif
+
         codec = _codecs.image_codec_for(media_type)
         out = []
         for p in payloads:
             try:
                 _, _, pixels = codec(bytes(p))
+                if normalize_orientation:
+                    meta = _exif(bytes(p))
+                    fix = _ORIENT_FIX.get(
+                        (meta or {}).get("orientation"))
+                    if fix is not None:
+                        pixels = np.ascontiguousarray(fix(pixels))
             except Exception:
                 out.append(None)
                 continue

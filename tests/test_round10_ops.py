@@ -650,3 +650,77 @@ def test_exif_never_raises_on_garbage():
         exif_metadata(bytes(m))  # any exception type fails the test
     for cut in range(0, len(base), 7):
         exif_metadata(bytes(base[:cut]))
+
+# ---------------------------------------------------------------------
+# WEBP / BMP header dims + orientation-normalized perceptual hash
+# ---------------------------------------------------------------------
+
+def test_webp_and_bmp_header_dimensions():
+    import struct
+
+    from tap_airbyte_wrapper_spark.functions.codecs import image_dimensions
+
+    def riff(fourcc, chunk):
+        body = b"WEBP" + fourcc + struct.pack("<I", len(chunk)) + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # VP8X extended: 24-bit (w-1)/(h-1)
+    vp8x = bytes([0x10]) + b"\x00\x00\x00" \
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    assert image_dimensions(riff(b"VP8X", vp8x)) == (640, 480)
+    # VP8L lossless: signature 0x2F + packed 14-bit dims
+    bits = (99) | (49 << 14)
+    vp8l = bytes([0x2F]) + bits.to_bytes(4, "little")
+    assert image_dimensions(riff(b"VP8L", vp8l)) == (100, 50)
+    # VP8 lossy key frame: start code 9D 01 2A + 14-bit w/h
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" \
+        + struct.pack("<HH", 320, 240) + b"\x00" * 4
+    assert image_dimensions(riff(b"VP8 ", vp8)) == (320, 240)
+    # BMP BITMAPINFOHEADER, including the top-down negative-height form
+    def bmp(w, h):
+        return (b"BM" + struct.pack("<IHHI", 122, 0, 0, 122)
+                + struct.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 40)
+    assert image_dimensions(bmp(800, 600)) == (800, 600)
+    assert image_dimensions(bmp(800, -600)) == (800, 600)
+    # corrupt/unknown stays None
+    assert image_dimensions(b"RIFF\x00\x00\x00\x00WAVEfmt ") is None
+    assert image_dimensions(b"BMxx") is None
+
+
+def test_image_ahash_orientation_normalized(spark):
+    """A camera-rotated re-upload (stored pixels rotated 90 deg CCW,
+    orientation tag 6 so viewers rotate back) hashes NEXT TO its
+    original with normalize_orientation=True and ~half the bits away
+    without it."""
+    import struct
+
+    from tap_airbyte_wrapper_spark.functions import (encode_jpeg,
+                                                     image_ahash)
+    from tap_airbyte_wrapper_spark.functions.exif import exif_app1
+
+    # asymmetric gradient: bright top-left corner, dark elsewhere
+    px = np.zeros((64, 64, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:64, 0:64]
+    px[..., 0] = np.clip(255 - 3 * (xx + 2 * yy), 0, 255)
+    px[..., 1] = np.clip(255 - 5 * xx, 0, 255)
+    px[..., 2] = 30
+    orig = encode_jpeg(px, quality=95)
+    # stored = rot90 CCW(original); tag 6 -> display rotates 90 CW back
+    stored = np.ascontiguousarray(np.rot90(px, 1))
+    rot = bytearray(encode_jpeg(stored, quality=95))
+    rot[2:2] = exif_app1(orientation=6)  # insert APP1 after SOI
+    rot = bytes(rot)
+
+    df = spark.createDataFrame([(1, orig), (2, rot)],
+                               "id long, media binary")
+    norm = {r.id: r.sh for r in df.select("id", image_ahash(
+        F.col("media"), "image/jpeg",
+        normalize_orientation=True).alias("sh")).collect()}
+    raw = {r.id: r.sh for r in df.select("id", image_ahash(
+        F.col("media"), "image/jpeg").alias("sh")).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(norm[1], norm[2]) <= 4
+    assert ham(raw[1], raw[2]) > 12
