@@ -1041,6 +1041,145 @@ def spearman_correlation(
     )
 
 
+def kendall_tau(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """EXACT Kendall's tau-b between two numeric columns — the third
+    rank-agreement statistic next to Pearson
+    (:func:`column_correlations`) and Spearman
+    (:func:`spearman_correlation`); tau is the one with the direct
+    probabilistic reading (P(concordant) - P(discordant)) and, with
+    ``col_a`` = a timestamp, its numerator IS the Mann-Kendall trend
+    statistic S.  Output: ONE row ``(n_items, c_minus_d, tau)``
+    (``tau`` null when either column is constant).
+
+    The naive definition is O(n²) pairs, and the classic exact
+    algorithm (Knight 1966, merge-sort inversions) is inherently
+    sequential — neither survives 100 TB.  This is a grid-decomposed
+    exact computation instead:
+
+    * one ``approxQuantile`` pass per column gives value buckets
+      (balance-only — EXACTNESS never depends on the boundaries);
+    * pairs in different x-buckets AND different y-buckets: their
+      comparison signs are decided by the bucket indexes alone, so the
+      B×B cell-count grid (driver-bounded, collected once) yields
+      their concordant/discordant mass via 2-D prefix sums;
+    * pairs sharing an x-bucket: summed locally per x-bucket group
+      (``applyInPandas``, chunked vectorized sign products);
+    * pairs sharing a y-bucket but not an x-bucket: locally per
+      y-bucket group with the cross-bucket mask.
+
+    The three classes partition all pairs, so the sum is exact.  Local
+    group work is O((n/B)²) vectorized per group — pick ``n_buckets``
+    ~ sqrt(n)/k so groups fit executor memory; the shuffle is two
+    bucket-keyed repartitions of a 4-column projection, never pairs.
+    Tie pairs (the tau-b denominators) come from exact value group-bys.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    base = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+            .select(F.col(col_a).cast("double").alias("__x"),
+                    F.col(col_b).cast("double").alias("__y"))
+            .localCheckpoint(eager=True))  # read by 2 boundary probes,
+    # the cell counts, both group passes, and both tie aggregates
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+
+    def bucket_expr(colname: str) -> F.Column:
+        bounds = sorted(set(base.approxQuantile(colname, probs, 0.001))) \
+            if probs else []
+        if not bounds:
+            return F.lit(0)
+        barr = F.array(*[F.lit(float(v)) for v in bounds])
+        return F.aggregate(
+            barr, F.lit(0),
+            lambda acc, v: acc + F.when(F.col(colname) >= v, 1)
+            .otherwise(0))
+
+    bucketed = base.withColumn("__bx", bucket_expr("__x")) \
+                   .withColumn("__by", bucket_expr("__y"))
+    cells = bucketed.groupBy("__bx", "__by").count().collect()
+    if not cells:
+        return spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS n_items, "
+            "CAST(0 AS BIGINT) AS c_minus_d, "
+            "CAST(NULL AS DOUBLE) AS tau")
+    bx_n = max(r["__bx"] for r in cells) + 1
+    by_n = max(r["__by"] for r in cells) + 1
+    grid = np.zeros((bx_n, by_n), dtype=np.int64)
+    for r in cells:
+        grid[r["__bx"], r["__by"]] = r["count"]
+    n = int(grid.sum())
+    # strictly-below-left / strictly-below-right prefix masses
+    row_cum = np.cumsum(np.cumsum(grid, axis=0), axis=1)
+
+    def shift(m, dx, dy):
+        out = np.zeros_like(m)
+        out[dx:, dy:] = m[:m.shape[0] - dx, :m.shape[1] - dy]
+        return out
+
+    p_lt = shift(row_cum, 1, 1)                     # a'<a, b'<b
+    below_any = np.zeros_like(grid)                  # a'<a, ANY b'
+    below_any[1:, :] = np.cumsum(grid.sum(axis=1), axis=0)[:-1, None]
+    p_le_b = shift(np.cumsum(np.cumsum(grid, axis=0), axis=1), 1, 0)
+    # a'<a, b'>b  =  (a'<a, any b') - (a'<a, b'<=b)
+    p_gt = below_any - p_le_b
+    c_cross = int((grid * p_lt).sum())
+    d_cross = int((grid * p_gt).sum())
+
+    def _pair_sum(pdf, cross_bx_only: bool):
+        x = pdf["__x"].to_numpy()
+        y = pdf["__y"].to_numpy()
+        bx = pdf["__bx"].to_numpy()
+        m = len(x)
+        total = 0
+        step = 1024
+        j_idx = np.arange(m)
+        for i0 in range(0, m, step):
+            i1 = min(i0 + step, m)
+            sx = np.sign(x[None, :] - x[i0:i1, None])
+            sy = np.sign(y[None, :] - y[i0:i1, None])
+            prod = sx * sy
+            if cross_bx_only:
+                prod = prod * (bx[None, :] != bx[i0:i1, None])
+            mask = j_idx[None, :] > np.arange(i0, i1)[:, None]
+            total += int(prod[mask].sum())
+        return total
+
+    import pandas as pd  # noqa: F811
+
+    def samex(key, pdf):
+        return pd.DataFrame({"s": [_pair_sum(pdf, False)]})
+
+    def samey(key, pdf):
+        return pd.DataFrame({"s": [_pair_sum(pdf, True)]})
+
+    s_samex = bucketed.groupBy("__bx").applyInPandas(
+        samex, "s long").agg(F.sum("s")).first()[0] or 0
+    s_samey = bucketed.groupBy("__by").applyInPandas(
+        samey, "s long").agg(F.sum("s")).first()[0] or 0
+
+    def tie_pairs(colname: str) -> int:
+        got = (base.groupBy(colname).count()
+               .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+               .first()[0])
+        return int(got or 0)
+
+    n1, n2 = tie_pairs("__x"), tie_pairs("__y")
+    cmd = c_cross - d_cross + int(s_samex) + int(s_samey)
+    n0 = n * (n - 1) // 2
+    denom = float(np.sqrt(float(n0 - n1) * float(n0 - n2)))
+    tau = round(cmd / denom, 6) if denom > 0 else None
+    return spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n_items, "
+        f"CAST({cmd} AS BIGINT) AS c_minus_d, "
+        f"CAST({'NULL' if tau is None else tau} AS DOUBLE) AS tau")
+
+
 def schema_drift_report(old: DataFrame, new: DataFrame) -> DataFrame:
     """Column-level schema diff between two corpus versions — the
     METADATA companion of :func:`snapshot_diff` (rows) and

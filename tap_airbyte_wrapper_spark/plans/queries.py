@@ -2002,6 +2002,20 @@ def q_spearman(spark, sf_dir):
                                 ties="average")
 
 
+def q_kendall(spark, sf_dir):
+    """Kendall's tau-b between char length and token count — the same
+    quantized score pair as spearman_docs (heavy y ties exercise the
+    tie corrections), via the grid-decomposed exact computation; the
+    oracle is the O(n^2) pairwise definition, which DuckDB can afford
+    at sf0.01."""
+    from ..operators import kendall_tau
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"))
+    return kendall_tau(docs, "n_chars", "n_tok", n_buckets=16)
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3526,6 +3540,7 @@ QUERIES = {
     "kripp_ordinal_docs": q_kripp_ordinal,
     "media_dedup_docs": q_media_dedup,
     "exif_meta_docs": q_exif_meta,
+    "kendall_docs": q_kendall,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -3733,9 +3748,9 @@ _R10_WINDOW = [
     "q8_market_share", "q9_product_profit", "q11_important_parts",
     "q12_shipmode_priority",
     "spearman_docs", "kripp_ordinal_docs", "media_dedup_docs",
-    "exif_meta_docs",
+    "exif_meta_docs", "kendall_docs",
     "full_scan_events", "q1_pricing_summary",
-    "bm25_topk_docs", "pagerank_suppliers",
+    "pagerank_suppliers",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R10_WINDOW},
            **{k: v for k, v in QUERIES.items()
@@ -6014,6 +6029,28 @@ ORACLES = {
                  || ' 0' || CAST(doc_id % 10 AS VARCHAR)
                  || ':00:00' AS dt_orig
         FROM documents""",
+    "kendall_docs": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS x,
+                 CAST(len(regexp_extract_all(trim(text), '\S+'))
+                      AS DOUBLE) AS y
+          FROM documents),
+        p AS (
+          SELECT coalesce(sum(sign(a.x - b.x) * sign(a.y - b.y)), 0)
+                   AS cmd
+          FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        n AS (SELECT count(*) AS c FROM t),
+        t1 AS (SELECT coalesce(sum(k * (k - 1) / 2.0), 0) AS v
+               FROM (SELECT count(*) AS k FROM t GROUP BY x)),
+        t2 AS (SELECT coalesce(sum(k * (k - 1) / 2.0), 0) AS v
+               FROM (SELECT count(*) AS k FROM t GROUP BY y))
+        SELECT CAST(n.c AS BIGINT) AS n_items,
+               CAST(p.cmd AS BIGINT) AS c_minus_d,
+               round(p.cmd / sqrt(
+                 (n.c * (n.c - 1) / 2.0 - t1.v)
+                 * (n.c * (n.c - 1) / 2.0 - t2.v)), 6) AS tau
+        FROM p, n, t1, t2""",
     "audio_meta_docs": """
         -- Spark assembles a real RIFF/WAVE header per doc and re-parses
         -- it with the audio probe; the oracle recomputes the planted

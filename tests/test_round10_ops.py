@@ -724,3 +724,70 @@ def test_image_ahash_orientation_normalized(spark):
 
     assert ham(norm[1], norm[2]) <= 4
     assert ham(raw[1], raw[2]) > 12
+
+# ---------------------------------------------------------------------
+# Kendall tau-b: grid-decomposed exact vs independent brute force
+# ---------------------------------------------------------------------
+
+def _kendall_brute(x, y):
+    sx = np.sign(x[:, None] - x[None, :])
+    sy = np.sign(y[:, None] - y[None, :])
+    n = len(x)
+    cmd = int((sx * sy)[np.triu_indices(n, 1)].sum())
+    n0 = n * (n - 1) // 2
+
+    def tp(v):
+        _, c = np.unique(v, return_counts=True)
+        return int((c * (c - 1) // 2).sum())
+
+    denom = float(np.sqrt(float(n0 - tp(x)) * (n0 - tp(y))))
+    return cmd, (round(cmd / denom, 6) if denom > 0 else None)
+
+
+@pytest.mark.parametrize("seed,n,buckets", [
+    (7, 800, 8), (11, 500, 3), (13, 900, 64), (17, 60, 5),
+])
+def test_kendall_tau_matches_brute_force(spark, seed, n, buckets):
+    """The grid decomposition (cross-bucket prefix sums + per-bucket
+    local sums) must be EXACT for any bucket count — boundaries only
+    affect balance, never the value.  Brute force is an independent
+    O(n^2) numpy computation; data has heavy ties on both sides."""
+    from tap_airbyte_wrapper_spark.operators import kendall_tau
+
+    rng = np.random.RandomState(seed)
+    x = rng.randint(0, 40, n).astype(float)
+    y = (x * 2 + rng.randint(0, 30, n)).astype(float) \
+        * rng.choice([1.0, -1.0])
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)],
+        "a double, b double")
+    got = kendall_tau(df, "a", "b", n_buckets=buckets).first()
+    cmd, tau = _kendall_brute(x, y)
+    assert got.n_items == n
+    assert got.c_minus_d == cmd
+    assert got.tau == pytest.approx(tau, abs=1e-9)
+
+
+def test_kendall_tau_edges(spark):
+    from tap_airbyte_wrapper_spark.operators import kendall_tau
+
+    # perfect monotone -> 1; reversed -> -1
+    df = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(50)],
+        "a double, b double")
+    assert kendall_tau(df, "a", "b").first().tau == 1.0
+    rev = df.withColumn("b", -F.col("b"))
+    assert kendall_tau(rev, "a", "b").first().tau == -1.0
+    # constant column -> null tau, zero numerator
+    const = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(10)], "a double, b double")
+    got = kendall_tau(const, "a", "b").first()
+    assert got.tau is None and got.c_minus_d == 0
+    # nulls drop; empty input survives
+    holes = spark.createDataFrame(
+        [(1.0, 2.0), (None, 3.0), (2.0, None), (4.0, 5.0)],
+        "a double, b double")
+    assert kendall_tau(holes, "a", "b").first().n_items == 2
+    empty = holes.filter("a > 100")
+    got = kendall_tau(empty, "a", "b").first()
+    assert got.n_items == 0 and got.tau is None
