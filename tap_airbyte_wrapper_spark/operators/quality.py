@@ -1180,6 +1180,77 @@ def kendall_tau(
         f"CAST({'NULL' if tau is None else tau} AS DOUBLE) AS tau")
 
 
+def mann_kendall_trend(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test over a time series — "is this
+    metric drifting?" without assuming linearity or a distribution
+    (the standard screen for quality-score drift, ingest-volume creep,
+    latency degradation).  ``S = sum over time-ordered pairs of
+    sign(value_j - value_i)`` is exactly the Kendall numerator with
+    ``x = time`` (computed by the same grid decomposition — exact,
+    distributed), and the normal approximation uses the FULL
+    both-rankings tie-corrected variance (Kendall 1975 §4; the two
+    cross terms matter exactly when both time and value carry ties):
+
+        Var(S) = [n(n-1)(2n+5) - T1(t) - T1(u)] / 18
+               + T2(t)*T2(u) / (9 n(n-1)(n-2))
+               + T3(t)*T3(u) / (2 n(n-1))
+
+    with per-tie-group sums ``T1 = sum g(g-1)(2g+5)``,
+    ``T2 = sum g(g-1)(g-2)``, ``T3 = sum g(g-1)`` over time (t) and
+    value (u) tie groups.
+
+    Output: ONE row ``(n_items, s, var_s, z, trend)`` with the
+    continuity-corrected z statistic and ``trend`` in
+    ``increasing`` / ``decreasing`` / ``no_trend`` at the
+    conventional |z| > 1.96 (5%) cut.  NOTE the variance formula is
+    the standard independent-observations null; strongly
+    autocorrelated series need pre-whitening upstream."""
+    import math
+
+    tau_row = kendall_tau(df, time_col, value_col,
+                          n_buckets=n_buckets).first()
+    n, s = int(tau_row["n_items"]), int(tau_row["c_minus_d"])
+    spark = df.sparkSession
+    base = (df.filter(F.col(time_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+            .select(F.col(time_col).cast("double").alias("__t"),
+                    F.col(value_col).cast("double").alias("__v")))
+
+    def tie_terms(colname: str) -> tuple[float, float, float]:
+        g = F.col("count")
+        row = (base.groupBy(colname).count().agg(
+            F.sum(g * (g - 1) * (2 * g + 5)),
+            F.sum(g * (g - 1) * (g - 2)),
+            F.sum(g * (g - 1))).first())
+        return tuple(float(v or 0) for v in row)
+
+    t1t, t2t, t3t = tie_terms("__t")
+    t1u, t2u, t3u = tie_terms("__v")
+    var_s = (n * (n - 1) * (2 * n + 5) - t1t - t1u) / 18.0
+    if n > 2:
+        var_s += t2t * t2u / (9.0 * n * (n - 1) * (n - 2))
+    if n > 1:
+        var_s += t3t * t3u / (2.0 * n * (n - 1))
+    if var_s > 0:
+        z = ((s - 1) / math.sqrt(var_s) if s > 0
+             else (s + 1) / math.sqrt(var_s) if s < 0 else 0.0)
+    else:
+        z = 0.0
+    trend = ("increasing" if z > 1.96
+             else "decreasing" if z < -1.96 else "no_trend")
+    return spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n_items, "
+        f"CAST({s} AS BIGINT) AS s, "
+        f"round(CAST({var_s} AS DOUBLE), 6) AS var_s, "
+        f"round(CAST({z} AS DOUBLE), 6) AS z, "
+        f"'{trend}' AS trend")
+
+
 def schema_drift_report(old: DataFrame, new: DataFrame) -> DataFrame:
     """Column-level schema diff between two corpus versions — the
     METADATA companion of :func:`snapshot_diff` (rows) and

@@ -2016,6 +2016,24 @@ def q_kendall(spark, sf_dir):
     return kendall_tau(docs, "n_chars", "n_tok", n_buckets=16)
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend screen over order totals by order date (a
+    deliberately trendless synthetic — the audit answer is the
+    no_trend verdict plus the exact S and tie-corrected variance).
+    Date ties are heavy (many orders per day), so the both-rankings
+    variance cross terms are exercised; the oracle replays the O(n^2)
+    pairwise S and the Kendall 1975 variance formula on the same
+    keyed subset."""
+    from ..operators import mann_kendall_trend
+
+    orders = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") % 11 == 0).select(
+            F.floor(F.col("o_orderdate").cast("double") / 86400)
+            .cast("double").alias("t_day"),
+            F.col("o_totalprice").alias("price"))
+    return mann_kendall_trend(orders, "t_day", "price", n_buckets=16)
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3541,6 +3559,7 @@ QUERIES = {
     "media_dedup_docs": q_media_dedup,
     "exif_meta_docs": q_exif_meta,
     "kendall_docs": q_kendall,
+    "mann_kendall_orders": q_mann_kendall,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -3748,9 +3767,8 @@ _R10_WINDOW = [
     "q8_market_share", "q9_product_profit", "q11_important_parts",
     "q12_shipmode_priority",
     "spearman_docs", "kripp_ordinal_docs", "media_dedup_docs",
-    "exif_meta_docs", "kendall_docs",
+    "exif_meta_docs", "kendall_docs", "mann_kendall_orders",
     "full_scan_events", "q1_pricing_summary",
-    "pagerank_suppliers",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _R10_WINDOW},
            **{k: v for k, v in QUERIES.items()
@@ -6051,6 +6069,47 @@ ORACLES = {
                  (n.c * (n.c - 1) / 2.0 - t1.v)
                  * (n.c * (n.c - 1) / 2.0 - t2.v)), 6) AS tau
         FROM p, n, t1, t2""",
+    "mann_kendall_orders": """
+        WITH t AS (
+          SELECT o_orderkey AS id,
+                 CAST(floor(epoch(o_orderdate) / 86400) AS DOUBLE)
+                   AS tt,
+                 o_totalprice AS v
+          FROM orders WHERE o_orderkey % 11 = 0),
+        n AS (SELECT count(*) AS c FROM t),
+        p AS (
+          SELECT coalesce(sum(sign(b.tt - a.tt) * sign(b.v - a.v)), 0)
+                   AS s
+          FROM t a JOIN t b ON a.id < b.id),
+        g1 AS (SELECT coalesce(sum(k*(k-1)*(2*k+5)), 0) AS t1,
+                      coalesce(sum(k*(k-1)*(k-2)), 0) AS t2,
+                      coalesce(sum(k*(k-1)), 0) AS t3
+               FROM (SELECT count(*) AS k FROM t GROUP BY tt)),
+        g2 AS (SELECT coalesce(sum(k*(k-1)*(2*k+5)), 0) AS t1,
+                      coalesce(sum(k*(k-1)*(k-2)), 0) AS t2,
+                      coalesce(sum(k*(k-1)), 0) AS t3
+               FROM (SELECT count(*) AS k FROM t GROUP BY v)),
+        vv AS (
+          SELECT (n.c * (n.c - 1) * (2 * n.c + 5) - g1.t1 - g2.t1)
+                   / 18.0
+                 + g1.t2 * g2.t2
+                   / (9.0 * n.c * (n.c - 1) * (n.c - 2))
+                 + g1.t3 * g2.t3 / (2.0 * n.c * (n.c - 1)) AS var_s
+          FROM n, g1, g2),
+        zz AS (
+          SELECT CASE WHEN vv.var_s <= 0 THEN 0.0
+                      WHEN p.s > 0 THEN (p.s - 1) / sqrt(vv.var_s)
+                      WHEN p.s < 0 THEN (p.s + 1) / sqrt(vv.var_s)
+                      ELSE 0.0 END AS z
+          FROM p, vv)
+        SELECT CAST(n.c AS BIGINT) AS n_items,
+               CAST(p.s AS BIGINT) AS s,
+               round(vv.var_s, 6) AS var_s,
+               round(zz.z, 6) AS z,
+               CASE WHEN zz.z > 1.96 THEN 'increasing'
+                    WHEN zz.z < -1.96 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM n, p, vv, zz""",
     "audio_meta_docs": """
         -- Spark assembles a real RIFF/WAVE header per doc and re-parses
         -- it with the audio probe; the oracle recomputes the planted

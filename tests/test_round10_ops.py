@@ -791,3 +791,44 @@ def test_kendall_tau_edges(spark):
     empty = holes.filter("a > 100")
     got = kendall_tau(empty, "a", "b").first()
     assert got.n_items == 0 and got.tau is None
+
+def test_mann_kendall_trend_detection(spark):
+    """Planted monotone-plus-noise series -> increasing; reversed ->
+    decreasing; pure noise -> no_trend.  Variance pinned against the
+    hand-computed no-ties closed form n(n-1)(2n+5)/18."""
+    from tap_airbyte_wrapper_spark.operators import mann_kendall_trend
+
+    rows = [(float(i), float(i) * 0.5 + ((i * 37) % 11) * 0.3)
+            for i in range(60)]
+    up = spark.createDataFrame(rows, "t double, v double")
+    got = mann_kendall_trend(up, "t", "v").first()
+    assert got.trend == "increasing" and got.z > 1.96
+    # no ties anywhere in t; v may tie only if the arithmetic collides
+    n = 60
+    assert got.var_s <= n * (n - 1) * (2 * n + 5) / 18.0
+    down = up.withColumn("v", -F.col("v"))
+    assert mann_kendall_trend(down, "t", "v").first().trend == \
+        "decreasing"
+    noise = spark.createDataFrame(
+        [(float(i), float((i * 7919) % 97)) for i in range(60)],
+        "t double, v double")
+    got = mann_kendall_trend(noise, "t", "v").first()
+    assert got.trend == "no_trend" and abs(got.z) < 1.96
+
+
+def test_mann_kendall_hand_computed_small():
+    """Textbook-size check: t=[1..5], v=[2,4,3,8,6]: S = +6,
+    Var = 5*4*15/18 = 16.666667, z = 5/sqrt(50/3) = 1.224745."""
+    from pyspark.sql import SparkSession
+
+    from tap_airbyte_wrapper_spark.operators import mann_kendall_trend
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 3.0), (4.0, 8.0), (5.0, 6.0)],
+        "t double, v double")
+    got = mann_kendall_trend(df, "t", "v").first()
+    assert got.s == 6
+    assert got.var_s == pytest.approx(50 / 3, abs=1e-6)
+    assert got.z == pytest.approx(5 / math.sqrt(50 / 3), abs=1e-6)
+    assert got.trend == "no_trend"
