@@ -49,6 +49,7 @@ from .quality import (
     k_anonymity,
     cohen_kappa,
     fleiss_kappa,
+    cusum_change_point,
     kendall_tau,
     mann_kendall_trend,
     krippendorff_alpha,
@@ -81,7 +82,7 @@ __all__ = [
     "detect_anomalies",
     "profile_table", "Expectation", "validate_expectations",
     "snapshot_diff",
-    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "benford_deviation", "dp_noisy_counts", "schema_drift_report", "weighted_kappa", "spearman_correlation", "kendall_tau", "mann_kendall_trend", "k_anonymity",
+    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "benford_deviation", "dp_noisy_counts", "schema_drift_report", "weighted_kappa", "spearman_correlation", "kendall_tau", "mann_kendall_trend", "cusum_change_point", "k_anonymity",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

@@ -1251,6 +1251,113 @@ def mann_kendall_trend(
         f"'{trend}' AS trend")
 
 
+def cusum_change_point(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """CUSUM change-point LOCALIZATION over a time series — the
+    companion of :func:`mann_kendall_trend`: MK answers "is the metric
+    drifting at all"; CUSUM answers "WHERE did the level shift" (the
+    mean-shift screen for ingest mix changes, scorer re-deployments,
+    upstream schema breaks).
+
+    Statistic: with rows in (time, id) order and ``S_k`` the prefix
+    sum of the demeaned values, the change point estimate is
+    ``argmax_k |S_k|`` and the standardized statistic
+    ``max|S_k| / (sigma * sqrt(n))`` follows the Kolmogorov (sup of a
+    Brownian bridge) law under the no-change null — 1.358 is the
+    asymptotic 5% critical value.
+
+    Exactness across engines: prefix sums of DOUBLES are
+    addition-order-dependent, so the op computes the integer-scaled
+    form ``W_k = n * prefix(v) - k * total(v)`` (= ``n * S_k``), which
+    is EXACT integer arithmetic whenever ``value_col`` is integral —
+    pass a scaled-integer column (cents, milliseconds) for
+    bit-reproducible results; fractional inputs still work but the
+    last-ulp caveat applies.
+
+    Plan: the familiar value-bucketed two-phase shape — time-bucket
+    boundaries from one ``approxQuantile`` pass, per-bucket
+    (count, sum) offsets collected as <= n_buckets tiny rows,
+    within-bucket window for local prefix count/sum (ordered by
+    (time, id) so ties are deterministic), then one
+    TakeOrderedAndProject for the argmax row.  No single-task window,
+    no corpus-wide sort.  Output: ONE row ``(n_items, cusum_max,
+    stat, t_star, significant)``."""
+    spark = df.sparkSession
+    base = (df.filter(F.col(time_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.col(time_col).cast("double").alias("__t"),
+                    F.col(value_col).cast("long").alias("__v"))
+            .localCheckpoint(eager=True))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__v").alias("tot"),
+        F.stddev_pop(F.col("__v").cast("double")).alias("sd")).first()
+    n, tot = int(stats["n"]), int(stats["tot"] or 0)
+    sd = float(stats["sd"] or 0.0)
+    if n == 0:
+        return spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS n_items, "
+            "CAST(NULL AS DOUBLE) AS cusum_max, "
+            "CAST(NULL AS DOUBLE) AS stat, "
+            "CAST(NULL AS DOUBLE) AS t_star, "
+            "CAST(NULL AS BOOLEAN) AS significant")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(base.approxQuantile("__t", probs, 0.001))) \
+        if probs else []
+    if bounds:
+        barr = F.array(*[F.lit(float(v)) for v in bounds])
+        bucket = F.aggregate(
+            barr, F.lit(0),
+            lambda acc, v: acc + F.when(F.col("__t") >= v, 1)
+            .otherwise(0))
+    else:
+        bucket = F.lit(0)
+    keyed = base.withColumn("__pid", bucket)
+    per = {r["__pid"]: (r["c"], int(r["s"]))
+           for r in keyed.groupBy("__pid")
+           .agg(F.count(F.lit(1)).alias("c"), F.sum("__v").alias("s"))
+           .collect()}
+    cnt_off, sum_off, acc_c, acc_s = [], [], 0, 0
+    for pid in range(max(per) + 1 if per else 0):
+        cnt_off.append(acc_c)
+        sum_off.append(acc_s)
+        c, s = per.get(pid, (0, 0))
+        acc_c += c
+        acc_s += s
+    w = Window.partitionBy("__pid").orderBy("__t", "__id")
+    k = (F.row_number().over(w)
+         + F.element_at(F.array(*[F.lit(c) for c in cnt_off]),
+                        F.col("__pid") + 1)).cast("long")
+    pref = (F.sum("__v").over(w)
+            + F.element_at(F.array(*[F.lit(s) for s in sum_off]),
+                           F.col("__pid") + 1)).cast("long")
+    # W_k = n*prefix - k*total  (exact integers); S_k = W_k / n
+    scored = keyed.withColumn(
+        "__w", F.lit(n) * pref - k * F.lit(tot))
+    from .windows import global_topk
+
+    top = global_topk(
+        scored.select("__t", "__id", F.abs(F.col("__w")).alias("__aw")),
+        [F.col("__aw").desc(), F.col("__t"), F.col("__id")], 1).first()
+    import math
+
+    cusum_max = int(top["__aw"]) / n
+    t_star = float(top["__t"])
+    stat = (cusum_max / (sd * math.sqrt(n))) if sd > 0 and n > 0 \
+        else None
+    return spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n_items, "
+        f"round(CAST({cusum_max} AS DOUBLE), 6) AS cusum_max, "
+        f"{'CAST(NULL AS DOUBLE)' if stat is None else f'round(CAST({stat} AS DOUBLE), 4)'} AS stat, "
+        f"CAST({t_star} AS DOUBLE) AS t_star, "
+        f"{'CAST(NULL AS BOOLEAN)' if stat is None else str(stat > 1.358).lower()} AS significant")
+
+
 def schema_drift_report(old: DataFrame, new: DataFrame) -> DataFrame:
     """Column-level schema diff between two corpus versions — the
     METADATA companion of :func:`snapshot_diff` (rows) and

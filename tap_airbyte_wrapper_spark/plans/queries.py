@@ -2034,6 +2034,26 @@ def q_mann_kendall(spark, sf_dir):
     return mann_kendall_trend(orders, "t_day", "price", n_buckets=16)
 
 
+def q_cusum(spark, sf_dir):
+    """CUSUM change-point localization with a PLANTED level shift:
+    order totals in integer cents jump by 5000.00 from 1997-01-01 —
+    the op must localize the shift at the last pre-1997 day and flag
+    significance.  Integer-exact W_k arithmetic makes the oracle a
+    bit-identical window-cumsum replay."""
+    from ..operators import cusum_change_point
+
+    orders = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") % 11 == 0).select(
+            F.col("o_orderkey").alias("oid"),
+            F.floor(F.col("o_orderdate").cast("double") / 86400)
+            .cast("double").alias("t_day"),
+            (F.round(F.col("o_totalprice") * 100).cast("long")
+             + F.when(F.col("o_orderdate") >= "1997-01-01", 500000)
+             .otherwise(0)).alias("cents"))
+    return cusum_change_point(orders, "t_day", "cents", "oid",
+                              n_buckets=16)
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3560,6 +3580,7 @@ QUERIES = {
     "exif_meta_docs": q_exif_meta,
     "kendall_docs": q_kendall,
     "mann_kendall_orders": q_mann_kendall,
+    "cusum_orders": q_cusum,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -6110,6 +6131,32 @@ ORACLES = {
                     WHEN zz.z < -1.96 THEN 'decreasing'
                     ELSE 'no_trend' END AS trend
         FROM n, p, vv, zz""",
+    "cusum_orders": """
+        WITH t AS (
+          SELECT o_orderkey AS id,
+                 CAST(floor(epoch(o_orderdate) / 86400) AS DOUBLE)
+                   AS tt,
+                 CAST(round(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                        THEN 500000 ELSE 0 END AS v
+          FROM orders WHERE o_orderkey % 11 = 0),
+        st AS (SELECT count(*) AS n, sum(v) AS tot,
+                      stddev_pop(CAST(v AS DOUBLE)) AS sd FROM t),
+        wk AS (
+          SELECT tt, id,
+                 st.n * sum(v) OVER (ORDER BY tt, id
+                   ROWS UNBOUNDED PRECEDING)
+                 - row_number() OVER (ORDER BY tt, id) * st.tot AS w
+          FROM t, st),
+        mx AS (SELECT tt, abs(w) AS aw FROM wk
+               ORDER BY aw DESC, tt, id LIMIT 1)
+        SELECT CAST(st.n AS BIGINT) AS n_items,
+               round(mx.aw / CAST(st.n AS DOUBLE), 6) AS cusum_max,
+               round(mx.aw / st.n / (st.sd * sqrt(st.n)), 4) AS stat,
+               mx.tt AS t_star,
+               (mx.aw / st.n / (st.sd * sqrt(st.n))) > 1.358
+                 AS significant
+        FROM st, mx""",
     "audio_meta_docs": """
         -- Spark assembles a real RIFF/WAVE header per doc and re-parses
         -- it with the audio probe; the oracle recomputes the planted

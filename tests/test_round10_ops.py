@@ -832,3 +832,33 @@ def test_mann_kendall_hand_computed_small():
     assert got.var_s == pytest.approx(50 / 3, abs=1e-6)
     assert got.z == pytest.approx(5 / math.sqrt(50 / 3), abs=1e-6)
     assert got.trend == "no_trend"
+
+def test_cusum_change_point_localizes_planted_shift(spark):
+    """Level shift planted at index 300 of 500: argmax|S| must land on
+    the last pre-shift row, statistic over the Kolmogorov 5% critical
+    value; the exact max|S| matches an independent numpy cumsum."""
+    from tap_airbyte_wrapper_spark.operators import cusum_change_point
+
+    rng = np.random.RandomState(3)
+    v = np.concatenate([rng.randint(95, 106, 300),
+                        rng.randint(115, 126, 200)]).astype(int)
+    df = spark.createDataFrame(
+        [(i, float(i), int(v[i])) for i in range(500)],
+        "id long, t double, v long")
+    got = cusum_change_point(df, "t", "v", "id").first()
+    S = np.cumsum(v - v.mean())
+    assert got.cusum_max == pytest.approx(float(np.abs(S).max()),
+                                          abs=1e-6)
+    assert got.t_star == float(int(np.argmax(np.abs(S))))
+    assert got.significant and got.stat > 1.358
+
+    flat = spark.createDataFrame(
+        [(i, float(i), int(x)) for i, x in
+         enumerate(rng.randint(100, 111, 500))],
+        "id long, t double, v long")
+    g2 = cusum_change_point(flat, "t", "v", "id").first()
+    assert not g2.significant and g2.stat < 1.358
+    # empty input survives
+    empty = df.filter("v > 10000")
+    assert cusum_change_point(empty, "t", "v", "id").first() \
+        .n_items == 0
