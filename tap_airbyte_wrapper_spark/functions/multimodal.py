@@ -797,10 +797,16 @@ def media_container_near_dup_pairs(
     posts buckets ``b`` and ``b+1``, so assets within one bucket share
     a key) — no range join, no all-pairs; assets whose container no
     probe recognizes are skipped (this gate only speaks container
-    formats)."""
+    formats).
+
+    The (id, sh, __blk) projection is eagerly checkpointed before the
+    pairing self-join: both join sides would otherwise re-run the
+    probe+signature Arrow pass over the PAYLOAD BYTES (measured 11.8 s
+    -> ~2 s at sf0.1); the checkpoint holds three narrow columns, the
+    payloads never materialize twice."""
     blocked = _media_blocked_sigs(df, id_col, media_col,
                                   duration_bucket_s, n_windows, window,
-                                  stride)
+                                  stride).localCheckpoint(eager=True)
     return hamming_near_dup_pairs(
         blocked, id_col, "sh", max_hamming, block_cols=("__blk",))
 
