@@ -52,6 +52,7 @@ from .quality import (
     cusum_change_point,
     kendall_tau,
     mann_kendall_trend,
+    sen_slope,
     krippendorff_alpha,
     benford_deviation,
     dp_noisy_counts,
@@ -82,7 +83,7 @@ __all__ = [
     "detect_anomalies",
     "profile_table", "Expectation", "validate_expectations",
     "snapshot_diff",
-    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "benford_deviation", "dp_noisy_counts", "schema_drift_report", "weighted_kappa", "spearman_correlation", "kendall_tau", "mann_kendall_trend", "cusum_change_point", "k_anonymity",
+    "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "benford_deviation", "dp_noisy_counts", "schema_drift_report", "weighted_kappa", "spearman_correlation", "kendall_tau", "mann_kendall_trend", "sen_slope", "cusum_change_point", "k_anonymity",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

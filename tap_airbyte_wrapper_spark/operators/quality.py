@@ -1358,6 +1358,79 @@ def cusum_change_point(
         f"{'CAST(NULL AS BOOLEAN)' if stat is None else str(stat > 1.358).lower()} AS significant")
 
 
+def sen_slope(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    id_col: str,
+    max_rows: int = 50_000,
+) -> DataFrame:
+    """Sen's slope estimator — the robust trend MAGNITUDE companion of
+    :func:`mann_kendall_trend` (MK answers whether and which way;
+    Sen's median pairwise slope answers how fast, immune to outliers
+    that wreck least squares): ``median over pairs i<j with t_i != t_j
+    of (v_j - v_i)/(t_j - t_i)`` (Sen 1968).
+
+    Honest scale contract: the estimator is DEFINED over all O(n²)
+    pairs and, unlike Kendall's S, its median does not decompose over
+    buckets — so this op materializes the pair frame and REFUSES
+    inputs past ``max_rows`` (default 50k -> ~1.25e9 pairs) instead of
+    silently sampling; aggregate/subsample upstream (per-day means,
+    systematic key filter) and raise the cap consciously if you have
+    the cluster for it.  The median itself is exact, via the
+    value-bucketed two-phase ranks (no single-task sort): even counts
+    average the two middle slopes.
+
+    Output: ONE row ``(n_items, n_pairs, slope)`` (``slope`` null when
+    no pair has distinct times)."""
+    from .windows import global_distribution_ranks
+
+    base = (df.filter(F.col(time_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.col(time_col).cast("double").alias("__t"),
+                    F.col(value_col).cast("double").alias("__v"))
+            .localCheckpoint(eager=True))
+    n = base.count()
+    if n > max_rows:
+        raise ValueError(
+            f"sen_slope materializes all O(n^2) pairwise slopes; got "
+            f"n={n} > max_rows={max_rows} (~{n * (n - 1) // 2:,} "
+            "pairs). Aggregate or subsample upstream, or raise "
+            "max_rows consciously.")
+    a = base.select(F.col("__id").alias("__ia"),
+                    F.col("__t").alias("__ta"),
+                    F.col("__v").alias("__va"))
+    b = base.select(F.col("__id").alias("__ib"),
+                    F.col("__t").alias("__tb"),
+                    F.col("__v").alias("__vb"))
+    slopes = (a.join(b, F.col("__ia") < F.col("__ib"))
+              .filter(F.col("__ta") != F.col("__tb"))
+              .select(((F.col("__vb") - F.col("__va"))
+                       / (F.col("__tb") - F.col("__ta")))
+                      .alias("__s"),
+                      F.col("__ia"), F.col("__ib"))
+              .localCheckpoint(eager=True))  # ranked twice below
+    m = slopes.count()
+    spark = df.sparkSession
+    if m == 0:
+        return spark.sql(
+            f"SELECT CAST({n} AS BIGINT) AS n_items, "
+            "CAST(0 AS BIGINT) AS n_pairs, "
+            "CAST(NULL AS DOUBLE) AS slope")
+    ranked = global_distribution_ranks(
+        slopes, [F.col("__s"), F.col("__ia"), F.col("__ib")],
+        rank_col="__rk")
+    mid = (m + 1) // 2
+    picks = [mid, mid + 1] if m % 2 == 0 else [mid]
+    med = (ranked.filter(F.col("__rk").isin(picks))
+           .agg(F.avg("__s")).first()[0])
+    return spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n_items, "
+        f"CAST({m} AS BIGINT) AS n_pairs, "
+        f"round(CAST({med} AS DOUBLE), 6) AS slope")
+
+
 def schema_drift_report(old: DataFrame, new: DataFrame) -> DataFrame:
     """Column-level schema diff between two corpus versions — the
     METADATA companion of :func:`snapshot_diff` (rows) and

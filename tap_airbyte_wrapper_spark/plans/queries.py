@@ -2054,6 +2054,25 @@ def q_cusum(spark, sf_dir):
                               n_buckets=16)
 
 
+def q_sen_slope(spark, sf_dir):
+    """Sen's slope over the CUSUM entry's shifted series (systematic
+    1/97 key subset — the estimator is O(n^2) pairs by definition and
+    says so): robust cents-per-day trend magnitude.  DuckDB's
+    median() is quantile_cont 0.5, matching the exact two-middle
+    average."""
+    from ..operators import sen_slope
+
+    orders = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") % 97 == 0).select(
+            F.col("o_orderkey").alias("oid"),
+            F.floor(F.col("o_orderdate").cast("double") / 86400)
+            .cast("double").alias("t_day"),
+            (F.round(F.col("o_totalprice") * 100).cast("long")
+             + F.when(F.col("o_orderdate") >= "1997-01-01", 500000)
+             .otherwise(0)).cast("double").alias("cents"))
+    return sen_slope(orders, "t_day", "cents", "oid")
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3581,6 +3600,7 @@ QUERIES = {
     "kendall_docs": q_kendall,
     "mann_kendall_orders": q_mann_kendall,
     "cusum_orders": q_cusum,
+    "sen_slope_orders": q_sen_slope,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -6157,6 +6177,23 @@ ORACLES = {
                (mx.aw / st.n / (st.sd * sqrt(st.n))) > 1.358
                  AS significant
         FROM st, mx""",
+    "sen_slope_orders": """
+        WITH t AS (
+          SELECT o_orderkey AS id,
+                 CAST(floor(epoch(o_orderdate) / 86400) AS DOUBLE)
+                   AS tt,
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                        THEN 500000 ELSE 0 END AS DOUBLE) AS v
+          FROM orders WHERE o_orderkey % 97 = 0),
+        s AS (
+          SELECT (b.v - a.v) / (b.tt - a.tt) AS sl
+          FROM t a JOIN t b ON a.id < b.id AND a.tt != b.tt),
+        n AS (SELECT count(*) AS c FROM t)
+        SELECT CAST(n.c AS BIGINT) AS n_items,
+               (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_pairs,
+               (SELECT round(median(sl), 6) FROM s) AS slope
+        FROM n""",
     "audio_meta_docs": """
         -- Spark assembles a real RIFF/WAVE header per doc and re-parses
         -- it with the audio probe; the oracle recomputes the planted

@@ -862,3 +862,36 @@ def test_cusum_change_point_localizes_planted_shift(spark):
     empty = df.filter("v > 10000")
     assert cusum_change_point(empty, "t", "v", "id").first() \
         .n_items == 0
+
+def test_sen_slope_matches_brute_force_and_guards(spark):
+    """Median pairwise slope vs an independent numpy brute force
+    (odd and even pair counts, tied-time pairs excluded); the O(n^2)
+    cap refuses oversized inputs loudly instead of sampling."""
+    from tap_airbyte_wrapper_spark.operators import sen_slope
+
+    rng = np.random.RandomState(5)
+    t = np.arange(120).astype(float)
+    v = 3.7 * t + rng.normal(0, 20, 120)
+    df = spark.createDataFrame(
+        [(int(i), float(a), float(b))
+         for i, (a, b) in enumerate(zip(t, v))],
+        "id long, t double, v double")
+    got = sen_slope(df, "t", "v", "id").first()
+    sl = [(v[j] - v[i]) / (t[j] - t[i])
+          for i in range(120) for j in range(i + 1, 120)]
+    assert got.n_pairs == len(sl)
+    assert got.slope == pytest.approx(float(np.median(sl)), abs=1e-6)
+    # tied times drop pairs; even count averages the middle two
+    df2 = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 1.0, 5.0), (2, 2.0, 3.0), (3, 3.0, 7.0)],
+        "id long, t double, v double")
+    small = sen_slope(df2, "t", "v", "id").first()
+    assert small.n_pairs == 5 and small.slope == 2.0
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        sen_slope(df, "t", "v", "id", max_rows=50)
+    # all times tied -> no pairs, null slope
+    tied = spark.createDataFrame(
+        [(i, 1.0, float(i)) for i in range(5)],
+        "id long, t double, v double")
+    g = sen_slope(tied, "t", "v", "id").first()
+    assert g.n_pairs == 0 and g.slope is None
