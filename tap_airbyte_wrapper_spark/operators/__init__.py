@@ -40,6 +40,14 @@ from .timeseries import (
     rolling_stats,
     time_bucket,
 )
+from .stats import (
+    autocorrelation,
+    bootstrap_ci,
+    chi_square_independence,
+    ks_test,
+    mann_whitney_u,
+    welch_t_test,
+)
 from .quality import (
     Expectation,
     column_correlations,
@@ -84,6 +92,8 @@ __all__ = [
     "profile_table", "Expectation", "validate_expectations",
     "snapshot_diff",
     "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "benford_deviation", "dp_noisy_counts", "schema_drift_report", "weighted_kappa", "spearman_correlation", "kendall_tau", "mann_kendall_trend", "sen_slope", "cusum_change_point", "k_anonymity",
+    "ks_test", "mann_whitney_u", "welch_t_test", "chi_square_independence",
+    "bootstrap_ci", "autocorrelation",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

@@ -1,0 +1,433 @@
+"""Two-sample statistical tests and resampling — the A/B layer of the
+quality toolkit.
+
+:mod:`~.quality` answers "is this ONE corpus sane" (profiles, agreement,
+trend screens); a curation pipeline equally needs "are these TWO slices
+the same distribution?" — before/after a scorer redeploy, crawl A vs
+crawl B, train vs held-out.  The reference has no analogue (its tap.py
+moves JSON rows); this is north-star territory for an engine feeding LLM
+training runs.  Everything here follows the house discipline:
+
+* one scan of the input, then all statistics on bounded derived tables
+  (distinct-value counts, contingency cells, replicate means);
+* integer-exact arithmetic wherever the statistic allows it (the
+  Mann-Whitney rank sum and tie terms are exact longs, same trick as
+  :func:`~.quality.cusum_change_point`'s ``W_k``), so cross-engine
+  oracles hash-match bit-for-bit rather than "to within noise";
+* no unpartitioned windows — global prefix sums ride
+  :func:`~.windows.global_cumsum`'s value-bucketed two-phase shape;
+* p-values computed on the driver with ``math`` (libm — the same code
+  path DuckDB's ``exp``/``sqrt`` hit, unlike JVM ``Math.exp``'s
+  occasionally-different last ulp) from exactly-derived inputs.
+
+Public-knowledge formulas: Kolmogorov-Smirnov asymptotic law
+(Kolmogorov 1933; Stephens 1970 small-sample correction), Mann-Whitney
+U with tie-corrected normal approximation (Mann & Whitney 1947;
+Lehmann, Nonparametrics), Welch's t and Welch-Satterthwaite df (Welch
+1947), chi-square independence + Cramer's V (Pearson 1900; Cramer
+1946), Poisson bootstrap (Hanley & MacGibbon 2006 — the resampling
+scheme that needs no global coordination, which is why it is THE
+bootstrap for sharded data), normal CDF via the Abramowitz & Stegun
+7.1.26 erf polynomial (|eps| < 1.5e-7, far below the 6-decimal
+rounding all outputs carry).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["ks_test", "mann_whitney_u", "welch_t_test",
+           "chi_square_independence", "bootstrap_ci", "autocorrelation"]
+
+
+def _normal_sf2(z: float) -> float:
+    """Two-sided normal tail 2*P(Z > |z|) via the A&S 7.1.26 erf
+    polynomial on libm doubles (driver-side: matches DuckDB's libm
+    arithmetic; the SQL oracles spell out the same polynomial)."""
+    x = abs(z) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return min(1.0, max(0.0, poly * math.exp(-x * x)))
+
+
+def _two_group_counts(df: DataFrame, value_col: str, group_col: str,
+                      group_a: str, group_b: str) -> DataFrame:
+    """Distinct-value table ``(__v, __ca, __cb)`` for the two groups —
+    the ONE scan every two-sample rank/ECDF statistic here reads; the
+    result is bounded by the number of distinct values, not rows, and
+    is eagerly checkpointed because totals, boundary sampling, and the
+    prefix pass each consume it."""
+    return (df.filter(F.col(value_col).isNotNull()
+                      & F.col(group_col).isin(group_a, group_b))
+            .groupBy(F.col(value_col).cast("double").alias("__v"))
+            .agg(F.sum(F.when(F.col(group_col) == group_a, 1)
+                       .otherwise(0)).alias("__ca"),
+                 F.sum(F.when(F.col(group_col) == group_b, 1)
+                       .otherwise(0)).alias("__cb"))
+            .localCheckpoint(eager=True))
+
+
+def ks_test(df: DataFrame, value_col: str, group_col: str,
+            group_a: str, group_b: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: did the distribution of
+    ``value_col`` shift between two slices?  The distribution-free
+    drift gate — :func:`~.quality.distribution_drift`'s PSI needs a
+    binning choice; KS's ``D = sup_x |F_a(x) - F_b(x)|`` does not, and
+    its null law is exact, so "p < 0.01 -> hold the release" is a
+    defensible automated gate.
+
+    Statistic: ECDF gaps evaluated at every distinct value (where the
+    sup is attained).  ``D`` is exact rational arithmetic — cumulative
+    integer counts over integer totals — so the oracle hash-matches
+    bit-for-bit.  The asymptotic p uses Stephens' (1970)
+    effective-size correction ``lambda = (sqrt(ne) + 0.12 +
+    0.11/sqrt(ne)) * D`` with ``ne = na*nb/(na+nb)`` and the
+    Kolmogorov series ``Q(lambda) = 2 sum_{k>=1} (-1)^{k-1}
+    exp(-2 k^2 lambda^2)`` (first 100 terms; clamped to [0, 1]).
+
+    Plan: one input scan to per-distinct-value group counts (bounded
+    by value cardinality), two value-bucketed global prefix passes
+    over that table (:func:`~.windows.global_cumsum` — no single-task
+    window), one max aggregate.  Output: ONE row ``(n_a, n_b, d_stat,
+    p_value)``; nulls when either group is empty."""
+    from .windows import global_cumsum
+
+    spark = df.sparkSession
+    counts = _two_group_counts(df, value_col, group_col,
+                               group_a, group_b)
+    tot = counts.agg(F.sum("__ca").alias("na"),
+                     F.sum("__cb").alias("nb")).first()
+    na, nb = int(tot["na"] or 0), int(tot["nb"] or 0)
+    if na == 0 or nb == 0:
+        return spark.sql(
+            f"SELECT CAST({na} AS BIGINT) AS n_a, "
+            f"CAST({nb} AS BIGINT) AS n_b, "
+            "CAST(NULL AS DOUBLE) AS d_stat, "
+            "CAST(NULL AS DOUBLE) AS p_value")
+    cums = global_cumsum(
+        global_cumsum(counts, "__v", "__ca", "__cuma"),
+        "__v", "__cb", "__cumb")
+    # D as an exact rational: max over values of
+    # |cuma*nb - cumb*na| / (na*nb)  — integer numerator, so the max
+    # is found in exact arithmetic and divided once
+    dnum = cums.agg(F.max(F.abs(
+        F.col("__cuma") * F.lit(nb) - F.col("__cumb") * F.lit(na)
+    )).alias("m")).first()["m"]
+    d = int(dnum) / (na * nb)
+    ne = na * nb / (na + nb)
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+    q = 0.0
+    for k in range(1, 101):
+        q += (1.0 if k % 2 == 1 else -1.0) * math.exp(
+            -2.0 * k * k * lam * lam)
+    p = min(1.0, max(0.0, 2.0 * q))
+    return spark.sql(
+        f"SELECT CAST({na} AS BIGINT) AS n_a, "
+        f"CAST({nb} AS BIGINT) AS n_b, "
+        f"round(CAST({d!r} AS DOUBLE), 6) AS d_stat, "
+        f"round(CAST({p!r} AS DOUBLE), 6) AS p_value")
+
+
+def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
+                   group_a: str, group_b: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: does one slice
+    stochastically dominate the other?  The location companion of
+    :func:`ks_test` (KS fires on ANY shape change; rank-sum asks the
+    sharper "did the typical value move" and keeps power under heavy
+    ties — quantized quality scores, integer ratings).
+
+    Integer-exact core, no per-row ranks: with per-distinct-value
+    counts ``c = ca + cb`` and inclusive prefix ``cum``, the average
+    rank of a tie group is ``cum - (c - 1)/2``, so twice the rank sum
+    ``2*Ra = sum ca * (2*cum - c + 1)`` is an EXACT long — summation
+    order cannot perturb it, so ``U``, the tie term ``T = sum
+    (c^3 - c)``, and hence ``z`` are bit-identical across engines.
+    Normal approximation (no continuity correction): ``sigma^2 =
+    na*nb/12 * ((n + 1) - T/(n*(n-1)))``, two-sided p via the A&S
+    erf polynomial.
+
+    Plan: one input scan to the distinct-value count table, one
+    value-bucketed global prefix pass, one aggregate.  Output: ONE row
+    ``(n_a, n_b, u_stat, z, p_value)`` (``z``/``p`` null when the
+    variance degenerates — all values tied)."""
+    from .windows import global_cumsum
+
+    spark = df.sparkSession
+    counts = _two_group_counts(df, value_col, group_col,
+                               group_a, group_b)
+    cums = global_cumsum(
+        counts.withColumn("__c", F.col("__ca") + F.col("__cb")),
+        "__v", "__c", "__cum")
+    row = cums.agg(
+        F.sum("__ca").alias("na"), F.sum("__cb").alias("nb"),
+        F.sum(F.col("__ca")
+              * (2 * F.col("__cum") - F.col("__c") + 1)).alias("ra2"),
+        F.sum(F.col("__c") * F.col("__c") * F.col("__c")
+              - F.col("__c")).alias("ties")).first()
+    na, nb = int(row["na"] or 0), int(row["nb"] or 0)
+    if na == 0 or nb == 0:
+        return spark.sql(
+            f"SELECT CAST({na} AS BIGINT) AS n_a, "
+            f"CAST({nb} AS BIGINT) AS n_b, "
+            "CAST(NULL AS DOUBLE) AS u_stat, "
+            "CAST(NULL AS DOUBLE) AS z, "
+            "CAST(NULL AS DOUBLE) AS p_value")
+    n = na + nb
+    u2 = int(row["ra2"]) - na * (na + 1)  # 2*U, exact
+    t = int(row["ties"])
+    var = na * nb / 12.0 * ((n + 1) - t / (n * (n - 1)))
+    if var <= 0:
+        return spark.sql(
+            f"SELECT CAST({na} AS BIGINT) AS n_a, "
+            f"CAST({nb} AS BIGINT) AS n_b, "
+            f"round(CAST({u2 / 2.0!r} AS DOUBLE), 6) AS u_stat, "
+            "CAST(NULL AS DOUBLE) AS z, "
+            "CAST(NULL AS DOUBLE) AS p_value")
+    z = (u2 - na * nb) / (2.0 * math.sqrt(var))
+    p = _normal_sf2(z)
+    return spark.sql(
+        f"SELECT CAST({na} AS BIGINT) AS n_a, "
+        f"CAST({nb} AS BIGINT) AS n_b, "
+        f"round(CAST({u2 / 2.0!r} AS DOUBLE), 6) AS u_stat, "
+        f"round(CAST({z!r} AS DOUBLE), 6) AS z, "
+        f"round(CAST({p!r} AS DOUBLE), 6) AS p_value")
+
+
+def welch_t_test(df: DataFrame, value_col: str, group_col: str,
+                 group_a: str, group_b: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the group means — the
+    parametric member of the two-sample trio (rank-sum for location
+    under ties, KS for shape, Welch for "did the MEAN move and by how
+    much", which is what a cost/latency/score regression gate asks).
+    Welch's form (not Student's pooled) because corpus slices almost
+    never share a variance.
+
+    ``t = (ma - mb) / sqrt(sa^2/na + sb^2/nb)`` with
+    Welch-Satterthwaite degrees of freedom; two-sided p from the
+    NORMAL approximation (A&S erf) — accurate for the df >> 30 regime
+    every corpus-scale slice lives in, and stated as such (an exact
+    Student-t CDF needs the incomplete beta, which neither engine
+    exposes portably).
+
+    Plan: ONE conditional-aggregate pass — six partial aggregates, no
+    shuffle beyond the final one-row reduce.  Output: ONE row
+    ``(n_a, n_b, mean_a, mean_b, t_stat, dof, p_value)``."""
+    spark = df.sparkSession
+    va = F.when(F.col(group_col) == group_a, F.col(value_col))
+    vb = F.when(F.col(group_col) == group_b, F.col(value_col))
+    row = (df.filter(F.col(value_col).isNotNull())
+           .agg(F.count(va).alias("na"), F.count(vb).alias("nb"),
+                F.avg(va).alias("ma"), F.avg(vb).alias("mb"),
+                F.var_samp(va).alias("sa"), F.var_samp(vb).alias("sb"))
+           .first())
+    na, nb = int(row["na"]), int(row["nb"])
+    if na < 2 or nb < 2:
+        return spark.sql(
+            f"SELECT CAST({na} AS BIGINT) AS n_a, "
+            f"CAST({nb} AS BIGINT) AS n_b, "
+            "CAST(NULL AS DOUBLE) AS mean_a, "
+            "CAST(NULL AS DOUBLE) AS mean_b, "
+            "CAST(NULL AS DOUBLE) AS t_stat, "
+            "CAST(NULL AS DOUBLE) AS dof, "
+            "CAST(NULL AS DOUBLE) AS p_value")
+    ma, mb = float(row["ma"]), float(row["mb"])
+    wa, wb = float(row["sa"]) / na, float(row["sb"]) / nb
+    if wa + wb <= 0:
+        t_stat = dof = p = None
+    else:
+        t_stat = (ma - mb) / math.sqrt(wa + wb)
+        dof = ((wa + wb) * (wa + wb)
+               / (wa * wa / (na - 1) + wb * wb / (nb - 1)))
+        p = _normal_sf2(t_stat)
+
+    def _d(x):
+        return ("CAST(NULL AS DOUBLE)" if x is None
+                else f"round(CAST({x!r} AS DOUBLE), 6)")
+
+    return spark.sql(
+        f"SELECT CAST({na} AS BIGINT) AS n_a, "
+        f"CAST({nb} AS BIGINT) AS n_b, "
+        f"{_d(ma)} AS mean_a, {_d(mb)} AS mean_b, "
+        f"{_d(t_stat)} AS t_stat, {_d(dof)} AS dof, "
+        f"{_d(p)} AS p_value")
+
+
+def chi_square_independence(df: DataFrame, col_x: str,
+                            col_y: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, with Cramer's V effect size — "is label distribution
+    independent of source/shard/language?" (association between
+    categorical metadata is the classic selection-bias tell in a
+    training mix).
+
+    ``chi2 = sum_cells (o - e)^2 / e`` with ``e = row_marginal *
+    col_marginal / n`` over the FULL r x c grid — zero observed cells
+    with positive expectation contribute (a left join from the
+    marginal cross product supplies them; summing observed cells only
+    is the classic wrong answer).  ``V = sqrt(chi2 / (n * (min(r,c) -
+    1)))``.  No p-value: the chi-square CDF needs the incomplete
+    gamma, not portably expressible — compare ``chi2`` against the
+    critical value for ``dof`` or feed V thresholds directly.
+
+    Plan: ONE input scan to the (x, y) contingency counts; marginals,
+    grid, and the chi2 reduce all run on that label^2-bounded table
+    (broadcast cross product — same justification as the agreement
+    statistics' confusion grids).  Output: ONE row ``(n, n_rows,
+    n_cols, chi2, dof, cramers_v)``."""
+    obs = (df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+           .groupBy(F.col(col_x).cast("string").alias("__x"),
+                    F.col(col_y).cast("string").alias("__y"))
+           .agg(F.count(F.lit(1)).alias("__o"))
+           .localCheckpoint(eager=True))
+    mx = obs.groupBy("__x").agg(F.sum("__o").alias("__nx"))
+    my = obs.groupBy("__y").agg(F.sum("__o").alias("__ny"))
+    tot = obs.agg(F.sum("__o").alias("__n"),
+                  F.countDistinct("__x").alias("__r"),
+                  F.countDistinct("__y").alias("__c"))
+    grid = (mx.crossJoin(F.broadcast(my))
+            .join(F.broadcast(obs), ["__x", "__y"], "left")
+            .crossJoin(F.broadcast(tot)))
+    e = F.col("__nx") * F.col("__ny") / F.col("__n")
+    diff = F.coalesce(F.col("__o"), F.lit(0)) - e
+    cell = diff * diff / e  # x*x, not pow(x,2): bit-identical in libm-free form
+    return (grid.groupBy("__n", "__r", "__c")
+            .agg(F.sum(cell).alias("__chi2"))
+            .select(
+                F.col("__n").cast("long").alias("n"),
+                F.col("__r").cast("long").alias("n_rows"),
+                F.col("__c").cast("long").alias("n_cols"),
+                F.round("__chi2", 6).alias("chi2"),
+                ((F.col("__r") - 1) * (F.col("__c") - 1))
+                .cast("long").alias("dof"),
+                F.round(F.when(
+                    (F.least("__r", "__c") > 1) & (F.col("__n") > 0),
+                    F.sqrt(F.col("__chi2") / (F.col("__n") * (
+                        F.least("__r", "__c") - 1)))), 6)
+                .alias("cramers_v")))
+
+
+# Poisson(1) inverse-CDF thresholds: cumulative exp(-1)/k! for k=0..8
+# (mass beyond 9 is < 1.1e-7); a 48-bit md5 uniform >= threshold[k]
+# adds 1 to the weight, so w = sum of 9 comparisons — pure integer
+# adds, identical in Spark and the SQL oracles.
+_POISSON1_CDF = [0.36787944117144233, 0.7357588823428847,
+                 0.9196986029286058, 0.9810118431238462,
+                 0.9963401531726563, 0.9994058151824183,
+                 0.9999167588507119, 0.9999897508033253,
+                 0.9999988747945021]
+
+
+def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
+                 n_boot: int = 200, conf: float = 0.95,
+                 salt: str = "") -> DataFrame:
+    """Poisson-bootstrap confidence interval for the MEAN of a column
+    — the error bar every "quality went from 0.61 to 0.63" claim
+    needs.  The Poisson bootstrap (Hanley & MacGibbon 2006) replaces
+    multinomial resampling (which needs the global n up front and
+    coordinated draws) with independent per-row Poisson(1) replicate
+    weights — embarrassingly parallel, which is exactly why it is the
+    bootstrap that survives sharded data.
+
+    Determinism contract (same as :func:`~.quality.dp_noisy_counts`):
+    weights come from ``md5(id, replicate, salt)`` through the
+    Poisson(1) inverse CDF, so reruns and the SQL oracle reproduce the
+    draw exactly; vary ``salt`` for fresh randomness.
+
+    Plan: one scan with a ``sequence(0, n_boot-1)`` explode — a
+    CPU-side xn_boot amplification that partial-aggregates map-side,
+    so the SHUFFLE carries only n_boot x partitions partial rows and
+    the reduce is an n_boot-row table; the percentile over replicate
+    means is exact on that bounded table.  No collect of data rows, no
+    driver loop.  Output: ONE row ``(n_items, n_boot, mean, ci_lo,
+    ci_hi)``."""
+    if not 0 < conf < 1:
+        raise ValueError(f"conf must be in (0,1), got {conf}")
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    base = (df.filter(F.col(value_col).isNotNull())
+            .select(F.col(id_col).cast("string").alias("__id"),
+                    F.col(value_col).cast("double").alias("__v")))
+    reps = base.withColumn(
+        "__r", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))))
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        "\x1f", F.col("__id"), F.col("__r").cast("string"),
+        F.lit(salt))), 1, 12), 16, 10).cast("double")
+        / F.lit(float(1 << 48)))
+    w = sum((u >= F.lit(c)).cast("int") for c in _POISSON1_CDF)
+    means = (reps.withColumn("__w", w)
+             .groupBy("__r")
+             .agg(F.sum(F.col("__w") * F.col("__v")).alias("__sw"),
+                  F.sum("__w").alias("__w"))
+             .select(F.try_divide("__sw", "__w").alias("__m")))
+    alpha = (1.0 - conf) / 2.0
+    stats = base.agg(F.count(F.lit(1)).alias("n_items"),
+                     F.avg("__v").alias("__mean"))
+    return (stats.crossJoin(F.broadcast(
+        means.agg(
+            F.percentile("__m", F.lit(alpha)).alias("__lo"),
+            F.percentile("__m", F.lit(1.0 - alpha)).alias("__hi"))))
+        .select("n_items",
+                F.lit(n_boot).cast("long").alias("n_boot"),
+                # 4 decimals, not the house 6: the replicate means are
+                # large-magnitude float sums whose engine-order ulp
+                # drift can reach ~1e-6 absolute; an error bar loses
+                # nothing at 1e-4
+                F.round("__mean", 4).alias("mean"),
+                F.round("__lo", 4).alias("ci_lo"),
+                F.round("__hi", 4).alias("ci_hi")))
+
+
+def autocorrelation(df: DataFrame, time_col: str, value_col: str,
+                    max_lag: int = 7) -> DataFrame:
+    """Sample autocorrelation function (ACF) of a regular time series
+    at lags 1..max_lag — the periodicity screen for ingest volume and
+    metric series (a weekly crawl cadence shows up as a lag-7 spike;
+    the trend tests in :mod:`~.quality` assume you've LOOKED for
+    seasonality first).
+
+    Contract: ``time_col`` is an INTEGER index on a regular grid
+    (resample upstream — e.g. per-day means via
+    :func:`~.timeseries.resample`); gaps are fine (missing pairs just
+    drop out, per the pairwise-complete convention).  Statistic: the
+    standard biased-denominator estimator ``r_k = sum_t (x_t - mu)
+    (x_{t+k} - mu) / sum_t (x_t - mu)^2`` with the GLOBAL mean/SS in
+    the denominator (Box & Jenkins) — not a per-lag Pearson.
+
+    Plan: the series is checkpointed (mean pass + both join sides),
+    lags materialize as a ``sequence`` explode (xmax_lag on the
+    SERIES, which is already aggregate-sized), and pairing is one
+    equi-join on the shifted index — shuffle on the integer key, no
+    window at all.  Output: ``max_lag`` rows ``(lag, n_pairs, acf)``,
+    null acf when the series is constant."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    base = (df.filter(F.col(time_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+            .select(F.col(time_col).cast("long").alias("__t"),
+                    F.col(value_col).cast("double").alias("__v"))
+            .localCheckpoint(eager=True))
+    # two-pass demeaning: mean first (tiny row), then centered SS and
+    # cross products against the literal scalar
+    mu_row = base.agg(F.avg("__v").alias("mu")).first()
+    mu = float(mu_row["mu"]) if mu_row["mu"] is not None else 0.0
+    ss = base.agg(F.sum((F.col("__v") - F.lit(mu))
+                        * (F.col("__v") - F.lit(mu)))
+                  .alias("ss")).first()["ss"]
+    ss = float(ss or 0.0)
+    shifted = (base.withColumn(
+        "__lag", F.explode(F.sequence(F.lit(1), F.lit(max_lag))))
+        .select(F.col("__lag"), (F.col("__t") + F.col("__lag"))
+                .alias("__t"), F.col("__v").alias("__v0")))
+    pairs = shifted.join(base, "__t")
+    return (pairs.groupBy(F.col("__lag").cast("int").alias("lag"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum((F.col("__v0") - F.lit(mu))
+                       * (F.col("__v") - F.lit(mu))).alias("__num"))
+            .select("lag", "n_pairs",
+                    F.round(F.when(F.lit(ss) > 0,
+                                   F.col("__num") / F.lit(ss)), 6)
+                    .alias("acf"))
+            .orderBy("lag"))

@@ -2073,6 +2073,85 @@ def q_sen_slope(spark, sf_dir):
     return sen_slope(orders, "t_day", "cents", "oid")
 
 
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift gate with a PLANTED 5%
+    price inflation on the 5-LOW slice (multiplied in identically in
+    both engines): the ECDF sup-gap D is exact rational arithmetic,
+    so the oracle replays it bit-for-bit; the Stephens-corrected
+    Kolmogorov-series p must flag the shift."""
+    from ..operators import ks_test
+
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice")
+         * F.when(F.col("o_orderpriority") == "5-LOW", 1.05)
+         .otherwise(1.0)).alias("price"),
+        F.col("o_orderpriority").alias("prio"))
+    return ks_test(orders, "price", "prio", "1-URGENT", "5-LOW")
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney rank-sum between URGENT and LOW order totals,
+    QUANTIZED to 100-dollar buckets so the tie machinery carries real
+    weight (the integer-exact 2*Ra / tie-term trick is the point —
+    engine summation order cannot perturb z).  Unplanted: the
+    synthetic priorities share a distribution and the audit answer is
+    'no location shift'."""
+    from ..operators import mann_whitney_u
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") / 100).alias("bucket"),
+        F.col("o_orderpriority").alias("prio"))
+    return mann_whitney_u(orders, "bucket", "prio",
+                          "1-URGENT", "5-LOW")
+
+
+def q_welch(spark, sf_dir):
+    """Welch's t on purchase-vs-click event values — 'did the mean
+    move' with unequal variances, normal-approx p (df >> 30 here, as
+    documented).  One conditional-aggregate scan."""
+    from ..operators import welch_t_test
+
+    return welch_t_test(_t(spark, sf_dir, "events"),
+                        "value", "event_type", "purchase", "click")
+
+
+def q_chi2(spark, sf_dir):
+    """Chi-square independence of order status x priority (the
+    selection-bias screen: is fulfillment state entangled with
+    priority?) over the full 3x5 grid including zero cells, plus
+    Cramer's V effect size."""
+    from ..operators import chi_square_independence
+
+    return chi_square_independence(_t(spark, sf_dir, "orders"),
+                                   "o_orderstatus", "o_orderpriority")
+
+
+def q_bootstrap(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for mean document length — the error
+    bar on the single most-quoted corpus statistic.  Deterministic
+    md5 draws (salt 'r10') so the oracle replays every replicate
+    weight exactly."""
+    from ..operators import bootstrap_ci
+
+    return bootstrap_ci(_t(spark, sf_dir, "documents"),
+                        "n_chars", "doc_id", n_boot=200, salt="r10")
+
+
+def q_acf(spark, sf_dir):
+    """Autocorrelation of the daily event-count series at lags 1..7 —
+    the cadence screen (a weekly crawl would spike lag 7).  The series
+    is the per-day aggregate, so the explode amplification is on an
+    already-tiny frame; pairing is one equi-join on the shifted day
+    index."""
+    from ..operators import autocorrelation
+
+    days = (_t(spark, sf_dir, "events")
+            .groupBy(F.floor(F.col("ts").cast("double") / 86400)
+                     .alias("t_day"))
+            .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return autocorrelation(days, "t_day", "n", max_lag=7)
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3601,6 +3680,12 @@ QUERIES = {
     "mann_kendall_orders": q_mann_kendall,
     "cusum_orders": q_cusum,
     "sen_slope_orders": q_sen_slope,
+    "ks_test_orders": q_ks_test,
+    "mann_whitney_orders": q_mann_whitney,
+    "welch_events": q_welch,
+    "chi2_orders": q_chi2,
+    "bootstrap_docs": q_bootstrap,
+    "acf_events": q_acf,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -4625,11 +4710,11 @@ ORACLES = {
         FROM events GROUP BY event_type""",
     "pivot_event_type": """
         SELECT user_id,
-               round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 4)
+               round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0), 4)
                  AS click_value,
                round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 4)
                  AS view_value,
-               round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 4)
+               round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 4)
                  AS purchase_value,
                round(coalesce(sum(value) FILTER (event_type = 'error'), 0), 4)
                  AS error_value
@@ -6194,6 +6279,203 @@ ORACLES = {
                (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_pairs,
                (SELECT round(median(sl), 6) FROM s) AS slope
         FROM n""",
+    "ks_test_orders": """
+        WITH t AS (
+          SELECT o_totalprice * CASE WHEN o_orderpriority = '5-LOW'
+                                     THEN 1.05 ELSE 1.0 END AS v,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                      ELSE 0 END AS ca,
+                 CASE WHEN o_orderpriority = '5-LOW' THEN 1
+                      ELSE 0 END AS cb
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        g AS (SELECT v, sum(ca) AS ca, sum(cb) AS cb
+              FROM t GROUP BY v),
+        n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+        c AS (SELECT sum(ca) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cuma,
+                     sum(cb) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cumb
+              FROM g),
+        d AS (SELECT max(abs(c.cuma * n.nb - c.cumb * n.na))
+                       / CAST(n.na * n.nb AS DOUBLE) AS d
+              FROM c, n GROUP BY n.na, n.nb),
+        lam AS (
+          SELECT (sqrt(n.na * n.nb / (n.na + n.nb)) + 0.12
+                  + 0.11 / sqrt(n.na * n.nb / (n.na + n.nb))) * d.d
+                   AS lam
+          FROM n, d),
+        p AS (
+          SELECT least(1.0, greatest(0.0, 2.0 * sum(
+                   CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END
+                   * exp(-2.0 * k * k * lam.lam * lam.lam)))) AS p
+          FROM generate_series(1, 100) s(k), lam)
+        SELECT CAST(n.na AS BIGINT) AS n_a,
+               CAST(n.nb AS BIGINT) AS n_b,
+               round(d.d, 6) AS d_stat,
+               round(p.p, 6) AS p_value
+        FROM n, d, p""",
+    "mann_whitney_orders": """
+        WITH t AS (
+          SELECT round(o_totalprice / 100) AS v,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                      ELSE 0 END AS ca,
+                 CASE WHEN o_orderpriority = '5-LOW' THEN 1
+                      ELSE 0 END AS cb
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        g AS (SELECT v, sum(ca) AS ca, sum(cb) AS cb,
+                     sum(ca) + sum(cb) AS c
+              FROM t GROUP BY v),
+        c AS (SELECT ca, cb, c,
+                     sum(c) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM g),
+        agg AS (SELECT sum(ca) AS na, sum(cb) AS nb,
+                       sum(ca * (2 * cum - c + 1)) AS ra2,
+                       sum(c * c * c - c) AS ties
+                FROM c),
+        z AS (
+          SELECT na, nb, ra2 - na * (na + 1) AS u2,
+                 (ra2 - na * (na + 1) - na * nb)
+                 / (2.0 * sqrt(na * nb / 12.0
+                    * ((na + nb + 1)
+                       - ties / ((na + nb) * (na + nb - 1.0))))) AS z
+          FROM agg),
+        p AS (
+          SELECT z.z,
+                 abs(z.z) / sqrt(2.0) AS x,
+                 1.0 / (1.0 + 0.3275911 * (abs(z.z) / sqrt(2.0))) AS tt
+          FROM z)
+        SELECT CAST(z.na AS BIGINT) AS n_a,
+               CAST(z.nb AS BIGINT) AS n_b,
+               round(z.u2 / 2.0, 6) AS u_stat,
+               round(z.z, 6) AS z,
+               round(least(1.0, greatest(0.0,
+                 p.tt * (0.254829592 + p.tt * (-0.284496736
+                   + p.tt * (1.421413741 + p.tt * (-1.453152027
+                   + p.tt * 1.061405429)))) * exp(-p.x * p.x))), 6)
+                 AS p_value
+        FROM z, p""",
+    "welch_events": """
+        WITH agg AS (
+          SELECT count(*) FILTER (WHERE event_type = 'purchase') AS na,
+                 count(*) FILTER (WHERE event_type = 'click') AS nb,
+                 avg(value) FILTER (WHERE event_type = 'purchase') AS ma,
+                 avg(value) FILTER (WHERE event_type = 'click') AS mb,
+                 var_samp(value) FILTER (WHERE event_type = 'purchase')
+                   AS sa,
+                 var_samp(value) FILTER (WHERE event_type = 'click') AS sb
+          FROM events WHERE value IS NOT NULL),
+        w AS (SELECT na, nb, ma, mb,
+                     sa / na AS wa, sb / nb AS wb FROM agg),
+        s AS (SELECT na, nb, ma, mb,
+                     (ma - mb) / sqrt(wa + wb) AS t_stat,
+                     (wa + wb) * (wa + wb)
+                     / (wa * wa / (na - 1) + wb * wb / (nb - 1))
+                       AS dof,
+                     abs((ma - mb) / sqrt(wa + wb)) / sqrt(2.0) AS x
+              FROM w),
+        p AS (SELECT s.*,
+                     1.0 / (1.0 + 0.3275911 * x) AS tt FROM s)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+               round(t_stat, 6) AS t_stat, round(dof, 6) AS dof,
+               round(least(1.0, greatest(0.0,
+                 tt * (0.254829592 + tt * (-0.284496736
+                   + tt * (1.421413741 + tt * (-1.453152027
+                   + tt * 1.061405429)))) * exp(-x * x))), 6)
+                 AS p_value
+        FROM p""",
+    "chi2_orders": """
+        WITH obs AS (
+          SELECT o_orderstatus AS x, o_orderpriority AS y,
+                 count(*) AS o
+          FROM orders
+          WHERE o_orderstatus IS NOT NULL
+            AND o_orderpriority IS NOT NULL
+          GROUP BY 1, 2),
+        mx AS (SELECT x, sum(o) AS nx FROM obs GROUP BY x),
+        my AS (SELECT y, sum(o) AS ny FROM obs GROUP BY y),
+        tot AS (SELECT sum(o) AS n, count(DISTINCT x) AS r,
+                       count(DISTINCT y) AS c
+                FROM obs),
+        grid AS (
+          SELECT mx.nx, my.ny, coalesce(obs.o, 0) AS o, tot.n,
+                 tot.r, tot.c
+          FROM mx CROSS JOIN my
+          LEFT JOIN obs ON obs.x = mx.x AND obs.y = my.y
+          CROSS JOIN tot),
+        s AS (SELECT n, r, c,
+                     sum((o - nx * ny / CAST(n AS DOUBLE))
+                         * (o - nx * ny / CAST(n AS DOUBLE))
+                         / (nx * ny / CAST(n AS DOUBLE))) AS chi2
+              FROM grid GROUP BY n, r, c)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(r AS BIGINT) AS n_rows,
+               CAST(c AS BIGINT) AS n_cols,
+               round(chi2, 6) AS chi2,
+               CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+               round(CASE WHEN least(r, c) > 1 AND n > 0 THEN
+                 sqrt(chi2 / (n * (least(r, c) - 1))) END, 6)
+                 AS cramers_v
+        FROM s""",
+    "bootstrap_docs": """
+        WITH reps AS (
+          SELECT CAST(d.n_chars AS DOUBLE) AS v, s.k AS r,
+                 CAST(concat('0x', substring(md5(concat_ws(chr(31),
+                   CAST(d.doc_id AS VARCHAR), CAST(s.k AS VARCHAR),
+                   'r10')), 1, 12)) AS BIGINT)
+                 / 281474976710656.0 AS u
+          FROM documents d
+          CROSS JOIN generate_series(0, 199) s(k)
+          WHERE d.n_chars IS NOT NULL),
+        w AS (
+          SELECT r, v,
+                 CAST(u >= 0.36787944117144233 AS INT)
+               + CAST(u >= 0.7357588823428847 AS INT)
+               + CAST(u >= 0.9196986029286058 AS INT)
+               + CAST(u >= 0.9810118431238462 AS INT)
+               + CAST(u >= 0.9963401531726563 AS INT)
+               + CAST(u >= 0.9994058151824183 AS INT)
+               + CAST(u >= 0.9999167588507119 AS INT)
+               + CAST(u >= 0.9999897508033253 AS INT)
+               + CAST(u >= 0.9999988747945021 AS INT) AS w
+          FROM reps),
+        means AS (
+          SELECT sum(w * v) / sum(w) AS m FROM w GROUP BY r),
+        ci AS (SELECT quantile_cont(m, 0.025) AS lo,
+                      quantile_cont(m, 0.975) AS hi
+               FROM means),
+        base AS (SELECT count(*) AS n_items,
+                        avg(CAST(n_chars AS DOUBLE)) AS mean
+                 FROM documents WHERE n_chars IS NOT NULL)
+        SELECT CAST(base.n_items AS BIGINT) AS n_items,
+               CAST(200 AS BIGINT) AS n_boot,
+               round(base.mean, 4) AS mean,
+               round(ci.lo, 4) AS ci_lo,
+               round(ci.hi, 4) AS ci_hi
+        FROM base, ci""",
+    "acf_events": """
+        WITH s AS (
+          SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM events GROUP BY 1),
+        m AS (SELECT avg(v) AS mu FROM s),
+        ssq AS (SELECT sum((v - mu) * (v - mu)) AS ss FROM s, m),
+        lags AS (SELECT k AS lag FROM generate_series(1, 7) g(k)),
+        pairs AS (
+          SELECT lags.lag, a.v AS v0, b.v AS v1
+          FROM lags JOIN s a ON true
+          JOIN s b ON b.t = a.t + lags.lag)
+        SELECT CAST(lag AS INTEGER) AS lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CASE WHEN ssq.ss > 0 THEN
+                 sum((v0 - m.mu) * (v1 - m.mu)) / ssq.ss END, 6)
+                 AS acf
+        FROM pairs, m, ssq
+        GROUP BY lag, ssq.ss, m.mu
+        ORDER BY lag""",
     "audio_meta_docs": """
         -- Spark assembles a real RIFF/WAVE header per doc and re-parses
         -- it with the audio probe; the oracle recomputes the planted

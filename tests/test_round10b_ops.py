@@ -1,0 +1,276 @@
+"""Round-10 second batch: the two-sample statistics toolkit
+(KS / Mann-Whitney / Welch / chi-square / Poisson bootstrap / ACF).
+
+Pinned values are hand-computed or textbook; the randomized cases
+cross-check against independent numpy reimplementations.
+"""
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from tap_airbyte_wrapper_spark.operators import (
+    autocorrelation,
+    bootstrap_ci,
+    chi_square_independence,
+    ks_test,
+    mann_whitney_u,
+    welch_t_test,
+)
+
+
+def _two_group_df(spark, a, b):
+    rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+    return spark.createDataFrame(rows, "v double, g string")
+
+
+# ---------------------------------------------------------------------
+# Kolmogorov-Smirnov
+# ---------------------------------------------------------------------
+
+def test_ks_interleaved_samples_small_d(spark):
+    """a=[1..8], b=a+0.5: ECDFs interleave, D = 1/8 exactly, p ~ 1."""
+    row = ks_test(_two_group_df(spark, range(1, 9),
+                                [v + 0.5 for v in range(1, 9)]),
+                  "v", "g", "a", "b").first()
+    assert row["n_a"] == row["n_b"] == 8
+    assert row["d_stat"] == 0.125
+    assert row["p_value"] > 0.99
+
+
+def test_ks_planted_shift_detected(spark):
+    """Disjoint-ish supports: D large, p ~ 0."""
+    row = ks_test(_two_group_df(spark, range(50),
+                                [v + 40 for v in range(50)]),
+                  "v", "g", "a", "b").first()
+    assert row["d_stat"] == 0.8
+    assert row["p_value"] < 1e-6
+
+
+def test_ks_matches_numpy_ecdf_bruteforce(spark):
+    rng = random.Random(7)
+    a = [rng.gauss(0, 1) for _ in range(300)]
+    b = [rng.gauss(0.3, 1.2) for _ in range(200)]
+    row = ks_test(_two_group_df(spark, a, b), "v", "g", "a", "b").first()
+    xs = np.sort(np.unique(np.concatenate([a, b])))
+    fa = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    assert row["d_stat"] == pytest.approx(np.max(np.abs(fa - fb)),
+                                          abs=1e-6)
+
+
+def test_ks_empty_group_nulls(spark):
+    row = ks_test(_two_group_df(spark, [1.0, 2.0], []),
+                  "v", "g", "a", "b").first()
+    assert row["n_b"] == 0
+    assert row["d_stat"] is None and row["p_value"] is None
+
+
+# ---------------------------------------------------------------------
+# Mann-Whitney U
+# ---------------------------------------------------------------------
+
+def test_mann_whitney_disjoint_hand_values(spark):
+    """[1..5] vs [6..10]: Ra = 15, U = 0; z = -12.5/sqrt(275/12)
+    = -2.611165; two-sided normal p = 0.009024."""
+    row = mann_whitney_u(_two_group_df(spark, [1, 2, 3, 4, 5],
+                                       [6, 7, 8, 9, 10]),
+                         "v", "g", "a", "b").first()
+    assert row["u_stat"] == 0.0
+    assert row["z"] == pytest.approx(-2.611165, abs=1e-6)
+    assert row["p_value"] == pytest.approx(0.009024, abs=1e-5)
+
+
+def test_mann_whitney_tied_hand_values(spark):
+    """a=[1,2,2,3], b=[2,3,3,4]: average ranks give Ra = 13, U = 3
+    (ties split across groups — the integer 2*Ra path must average,
+    not min- or max-rank)."""
+    row = mann_whitney_u(
+        _two_group_df(spark, [1, 2, 2, 3], [2, 3, 3, 4]),
+        "v", "g", "a", "b").first()
+    assert row["u_stat"] == 3.0
+
+
+def test_mann_whitney_matches_numpy_bruteforce(spark):
+    """Randomized cross-check of U, tie-corrected z, and p against an
+    independent average-rank reimplementation (scipy's definition)."""
+    rng = random.Random(11)
+    a = [float(rng.randint(0, 20)) for _ in range(150)]
+    b = [float(rng.randint(2, 22)) for _ in range(120)]
+    row = mann_whitney_u(_two_group_df(spark, a, b),
+                         "v", "g", "a", "b").first()
+    allv = np.array(a + b)
+    order = np.argsort(allv, kind="mergesort")
+    ranks = np.empty(len(allv))
+    sorted_v = allv[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # 1-based average rank
+        i = j
+    ra = ranks[:len(a)].sum()
+    u = ra - len(a) * (len(a) + 1) / 2
+    n = len(allv)
+    _, counts = np.unique(allv, return_counts=True)
+    ties = float((counts ** 3 - counts).sum())
+    var = len(a) * len(b) / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - len(a) * len(b) / 2.0) / math.sqrt(var)
+    assert row["u_stat"] == pytest.approx(u, abs=1e-9)
+    assert row["z"] == pytest.approx(z, abs=1e-6)  # output rounds to 6
+
+
+def test_mann_whitney_degenerate_all_tied(spark):
+    row = mann_whitney_u(_two_group_df(spark, [5, 5, 5], [5, 5]),
+                         "v", "g", "a", "b").first()
+    assert row["z"] is None and row["p_value"] is None
+
+
+# ---------------------------------------------------------------------
+# Welch's t
+# ---------------------------------------------------------------------
+
+def test_welch_hand_values(spark):
+    """[1..5] vs [6..10]: equal variances 2.5, t = -5/sqrt(1) = -5,
+    Welch-Satterthwaite df = 8 exactly."""
+    row = welch_t_test(_two_group_df(spark, [1, 2, 3, 4, 5],
+                                     [6, 7, 8, 9, 10]),
+                       "v", "g", "a", "b").first()
+    assert row["t_stat"] == -5.0
+    assert row["dof"] == 8.0
+    assert row["p_value"] < 0.01
+
+
+def test_welch_unequal_variances(spark):
+    """Unequal n and variance: df must fall strictly between
+    min(n)-1 and n_a+n_b-2 (the Welch-Satterthwaite envelope)."""
+    rng = random.Random(3)
+    a = [rng.gauss(0, 1) for _ in range(40)]
+    b = [rng.gauss(0, 5) for _ in range(10)]
+    row = welch_t_test(_two_group_df(spark, a, b),
+                       "v", "g", "a", "b").first()
+    assert 9 <= row["dof"] <= 48
+    wa = np.var(a, ddof=1) / 40
+    wb = np.var(b, ddof=1) / 10
+    t = (np.mean(a) - np.mean(b)) / math.sqrt(wa + wb)
+    assert row["t_stat"] == pytest.approx(t, abs=1e-6)
+
+
+def test_welch_degenerate_tiny_group(spark):
+    row = welch_t_test(_two_group_df(spark, [1, 2, 3], [7]),
+                       "v", "g", "a", "b").first()
+    assert row["t_stat"] is None and row["p_value"] is None
+
+
+# ---------------------------------------------------------------------
+# Chi-square independence
+# ---------------------------------------------------------------------
+
+def test_chi2_textbook_2x2(spark):
+    """[[10,20],[30,40]]: chi2 = n(ad-bc)^2/(r1 r2 c1 c2) =
+    100*200^2/(30*70*40*60) = 0.793651, V = sqrt(chi2/n) = 0.089087."""
+    rows = ([("x1", "y1")] * 10 + [("x1", "y2")] * 20
+            + [("x2", "y1")] * 30 + [("x2", "y2")] * 40)
+    row = chi_square_independence(
+        spark.createDataFrame(rows, "x string, y string"),
+        "x", "y").first()
+    assert row["n"] == 100 and row["dof"] == 1
+    assert row["chi2"] == pytest.approx(0.793651, abs=1e-6)
+    assert row["cramers_v"] == pytest.approx(0.089087, abs=1e-6)
+
+
+def test_chi2_zero_cell_contributes(spark):
+    """(b,2) never observed but both marginals positive: the grid left
+    join must supply the cell (e = 2.5 -> contributes 2.5).  Summing
+    observed cells only would give 4.166667 instead of 6.666667."""
+    rows = ([("a", "1")] * 5 + [("a", "2")] * 5 + [("b", "1")] * 10)
+    row = chi_square_independence(
+        spark.createDataFrame(rows, "x string, y string"),
+        "x", "y").first()
+    assert row["chi2"] == pytest.approx(6.666667, abs=1e-6)
+    assert row["cramers_v"] == pytest.approx(math.sqrt(6.666667 / 20),
+                                             abs=1e-6)
+
+
+def test_chi2_single_category_degenerate(spark):
+    row = chi_square_independence(
+        spark.createDataFrame([("a", "1"), ("a", "2")],
+                              "x string, y string"),
+        "x", "y").first()
+    assert row["dof"] == 0 and row["cramers_v"] is None
+
+
+# ---------------------------------------------------------------------
+# Poisson bootstrap
+# ---------------------------------------------------------------------
+
+def test_bootstrap_deterministic_and_brackets_mean(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 17)) for i in range(600)], "id long, v double")
+    r1 = bootstrap_ci(df, "v", "id", n_boot=100, salt="s").first()
+    r2 = bootstrap_ci(df, "v", "id", n_boot=100, salt="s").first()
+    assert r1 == r2  # same salt -> bit-identical draws
+    assert r1["ci_lo"] <= r1["mean"] <= r1["ci_hi"]
+    # CI width for a 600-row uniform-ish sample: sd ~ 4.9 -> se ~ 0.2
+    assert 0.3 < r1["ci_hi"] - r1["ci_lo"] < 1.5
+    r3 = bootstrap_ci(df, "v", "id", n_boot=100, salt="other").first()
+    assert (r3["ci_lo"], r3["ci_hi"]) != (r1["ci_lo"], r1["ci_hi"])
+
+
+def test_bootstrap_constant_column_zero_width(spark):
+    df = spark.createDataFrame([(i, 5.0) for i in range(50)],
+                               "id long, v double")
+    row = bootstrap_ci(df, "v", "id", n_boot=20).first()
+    assert row["ci_lo"] == row["ci_hi"] == row["mean"] == 5.0
+
+
+def test_bootstrap_validates_params(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "v", "id", n_boot=1)
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "v", "id", conf=1.5)
+
+
+# ---------------------------------------------------------------------
+# Autocorrelation
+# ---------------------------------------------------------------------
+
+def test_acf_alternating_series(spark):
+    """Perfect period-2 series: biased estimator gives
+    r_k = (n-k)/n * (-1)^k."""
+    df = spark.createDataFrame([(t, float(t % 2)) for t in range(100)],
+                               "t long, v double")
+    rows = {r["lag"]: r for r in autocorrelation(df, "t", "v", 4)
+            .collect()}
+    assert rows[1]["acf"] == pytest.approx(-0.99, abs=1e-6)
+    assert rows[2]["acf"] == pytest.approx(0.98, abs=1e-6)
+    assert rows[1]["n_pairs"] == 99
+
+
+def test_acf_constant_series_null(spark):
+    df = spark.createDataFrame([(t, 3.0) for t in range(20)],
+                               "t long, v double")
+    assert all(r["acf"] is None
+               for r in autocorrelation(df, "t", "v", 2).collect())
+
+
+def test_acf_gaps_drop_pairs(spark):
+    """Indices {0,1,3,4}: lag-1 pairs (0,1),(3,4); lag-2 only (1,3) —
+    pairwise-complete convention, gaps just drop out."""
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (3, 4.0), (4, 1.0)], "t long, v double")
+    rows = {r["lag"]: r["n_pairs"]
+            for r in autocorrelation(df, "t", "v", 2).collect()}
+    assert rows[1] == 2
+    assert rows[2] == 1
+
+
+def test_acf_validates_lag(spark):
+    df = spark.createDataFrame([(0, 1.0)], "t long, v double")
+    with pytest.raises(ValueError):
+        autocorrelation(df, "t", "v", 0)
