@@ -44,8 +44,11 @@ from .stats import (
     autocorrelation,
     bootstrap_ci,
     chi_square_independence,
+    jarque_bera,
     ks_test,
     mann_whitney_u,
+    proportion_z_test,
+    seasonal_decompose,
     welch_t_test,
 )
 from .quality import (
@@ -93,7 +96,8 @@ __all__ = [
     "snapshot_diff",
     "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "benford_deviation", "dp_noisy_counts", "schema_drift_report", "weighted_kappa", "spearman_correlation", "kendall_tau", "mann_kendall_trend", "sen_slope", "cusum_change_point", "k_anonymity",
     "ks_test", "mann_whitney_u", "welch_t_test", "chi_square_independence",
-    "bootstrap_ci", "autocorrelation",
+    "bootstrap_ci", "autocorrelation", "jarque_bera", "proportion_z_test",
+    "seasonal_decompose",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

@@ -39,7 +39,8 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["ks_test", "mann_whitney_u", "welch_t_test",
-           "chi_square_independence", "bootstrap_ci", "autocorrelation"]
+           "chi_square_independence", "bootstrap_ci", "autocorrelation",
+           "jarque_bera", "proportion_z_test", "seasonal_decompose"]
 
 
 def _normal_sf2(z: float) -> float:
@@ -378,6 +379,194 @@ def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
                 F.round("__mean", 4).alias("mean"),
                 F.round("__lo", 4).alias("ci_lo"),
                 F.round("__hi", 4).alias("ci_hi")))
+
+
+def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque-Bera normality screen: are these scores/residuals even
+    roughly Gaussian?  (Every z-threshold gate in this module assumes
+    approximate normality somewhere; this is the op that checks the
+    assumption instead of hoping.)  ``JB = n/6 (g1^2 + g2^2/4)`` from
+    the population skewness ``g1 = m3/m2^1.5`` and excess kurtosis
+    ``g2 = m4/m2^2 - 3``; under the null JB ~ chi-square(2), whose
+    tail is the CLOSED FORM ``exp(-JB/2)`` — no incomplete gamma
+    needed, so the p is exact and portable.
+
+    Numerics: CENTERED moment sums in a second pass (raw power sums
+    up to v^4 would lose the central moments to catastrophic
+    cancellation at corpus magnitudes); the projection is checkpointed
+    so the mean pass and the moment pass scan the upstream once.
+    Output: ONE row ``(n, skewness, ex_kurtosis, jb, p_value)``
+    (nulls when the column is constant or n < 2)."""
+    spark = df.sparkSession
+    base = (df.filter(F.col(value_col).isNotNull())
+            .select(F.col(value_col).cast("double").alias("__v"))
+            .localCheckpoint(eager=True))
+    mu_row = base.agg(F.avg("__v").alias("mu"),
+                      F.count(F.lit(1)).alias("n")).first()
+    n = int(mu_row["n"])
+    if n < 2:
+        return spark.sql(
+            f"SELECT CAST({n} AS BIGINT) AS n, "
+            "CAST(NULL AS DOUBLE) AS skewness, "
+            "CAST(NULL AS DOUBLE) AS ex_kurtosis, "
+            "CAST(NULL AS DOUBLE) AS jb, "
+            "CAST(NULL AS DOUBLE) AS p_value")
+    mu = float(mu_row["mu"])
+    c = F.col("__v") - F.lit(mu)
+    m = base.agg(F.sum(c * c).alias("s2"),
+                 F.sum(c * c * c).alias("s3"),
+                 F.sum(c * c * c * c).alias("s4")).first()
+    m2, m3, m4 = (float(m["s2"]) / n, float(m["s3"]) / n,
+                  float(m["s4"]) / n)
+    if m2 <= 0:
+        return spark.sql(
+            f"SELECT CAST({n} AS BIGINT) AS n, "
+            "CAST(NULL AS DOUBLE) AS skewness, "
+            "CAST(NULL AS DOUBLE) AS ex_kurtosis, "
+            "CAST(NULL AS DOUBLE) AS jb, "
+            "CAST(NULL AS DOUBLE) AS p_value")
+    g1 = m3 / (m2 * math.sqrt(m2))
+    g2 = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    p = math.exp(-jb / 2.0)
+    return spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n, "
+        f"round(CAST({g1!r} AS DOUBLE), 6) AS skewness, "
+        f"round(CAST({g2!r} AS DOUBLE), 6) AS ex_kurtosis, "
+        f"round(CAST({jb!r} AS DOUBLE), 6) AS jb, "
+        f"round(CAST({p!r} AS DOUBLE), 6) AS p_value")
+
+
+def proportion_z_test(df: DataFrame, success_col: str, group_col: str,
+                      group_a: str, group_b: str) -> DataFrame:
+    """Two-proportion z-test — the conversion/violation-RATE member of
+    the two-sample family (Welch compares means of a value; this
+    compares rates of a flag: gate pass rate before/after a scorer
+    redeploy, PII hit rate crawl-vs-crawl).  Pooled-variance form:
+    ``z = (p_a - p_b) / sqrt(p(1-p)(1/na + 1/nb))`` with ``p`` the
+    pooled success rate; two-sided p via the A&S erf polynomial.
+
+    All inputs to z are exact integer counts, so the statistic is
+    bit-identical across engines.  ``success_col`` is interpreted
+    truthily: booleans or 0/1 ints.  Plan: ONE conditional-aggregate
+    scan.  Output: ONE row ``(n_a, n_b, p_a, p_b, z, p_value)``."""
+    spark = df.sparkSession
+    s = F.col(success_col).cast("boolean").cast("int")
+    row = (df.filter(F.col(success_col).isNotNull())
+           .agg(F.sum(F.when(F.col(group_col) == group_a, 1)
+                      .otherwise(0)).alias("na"),
+                F.sum(F.when(F.col(group_col) == group_b, 1)
+                      .otherwise(0)).alias("nb"),
+                F.sum(F.when(F.col(group_col) == group_a, s)
+                      .otherwise(0)).alias("xa"),
+                F.sum(F.when(F.col(group_col) == group_b, s)
+                      .otherwise(0)).alias("xb")).first())
+    na, nb = int(row["na"] or 0), int(row["nb"] or 0)
+    if na == 0 or nb == 0:
+        return spark.sql(
+            f"SELECT CAST({na} AS BIGINT) AS n_a, "
+            f"CAST({nb} AS BIGINT) AS n_b, "
+            "CAST(NULL AS DOUBLE) AS p_a, CAST(NULL AS DOUBLE) AS p_b, "
+            "CAST(NULL AS DOUBLE) AS z, "
+            "CAST(NULL AS DOUBLE) AS p_value")
+    xa, xb = int(row["xa"]), int(row["xb"])
+    pa, pb = xa / na, xb / nb
+    pool = (xa + xb) / (na + nb)
+    var = pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+    if var <= 0:  # all successes or all failures in both groups
+        z = p = None
+    else:
+        z = (pa - pb) / math.sqrt(var)
+        p = _normal_sf2(z)
+
+    def _d(x):
+        return ("CAST(NULL AS DOUBLE)" if x is None
+                else f"round(CAST({x!r} AS DOUBLE), 6)")
+
+    return spark.sql(
+        f"SELECT CAST({na} AS BIGINT) AS n_a, "
+        f"CAST({nb} AS BIGINT) AS n_b, "
+        f"{_d(pa)} AS p_a, {_d(pb)} AS p_b, "
+        f"{_d(z)} AS z, {_d(p)} AS p_value")
+
+
+def seasonal_decompose(df: DataFrame, time_col: str, value_col: str,
+                       period: int,
+                       max_rows: int = 200_000) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method statsmodels calls ``seasonal_decompose``): observed =
+    trend + seasonal + residual.  The seasonality companion of
+    :func:`autocorrelation` — ACF says "there IS a lag-7 cycle";
+    this op splits the series so the trend tests
+    (:func:`~.quality.mann_kendall_trend`, CUSUM) can run on the
+    deseasonalized part instead of chasing the weekly wave.
+
+    Method (Box-Jenkins classical): centered moving-average trend
+    (window ``period`` for odd periods; the 2xMA half-weighted-ends
+    filter for even), defined only where the full window exists;
+    per-phase means of the detrended values, centered to sum to zero;
+    residual = observed - trend - seasonal.
+
+    Contract: ``time_col`` is a regular INTEGER grid (same as ACF —
+    resample upstream).  The series is ordered by one unpartitioned
+    window, so — same honest contract as Sen's slope — the op REFUSES
+    inputs past ``max_rows`` (a decomposition input is an
+    already-aggregated series; if yours has >200k points, aggregate
+    coarser or raise the cap consciously).  Everything after the
+    window is phase-bounded (``period`` rows, broadcast back).
+    Output: one row per input point ``(t, observed, trend, seasonal,
+    residual)``, trend/residual null at the edges."""
+    from pyspark.sql import Window
+
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    base = (df.filter(F.col(time_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+            .select(F.col(time_col).cast("long").alias("t"),
+                    F.col(value_col).cast("double").alias("observed"))
+            .localCheckpoint(eager=True))
+    n = base.count()
+    if n > max_rows:
+        raise ValueError(
+            f"seasonal_decompose orders the series through one window; "
+            f"got n={n} > max_rows={max_rows}. A decomposition input "
+            "should be an already-aggregated series — aggregate "
+            "coarser upstream or raise max_rows consciously.")
+    w = Window.orderBy("t")
+    if period % 2 == 1:
+        h = period // 2
+        frame = w.rowsBetween(-h, h)
+        trend = F.when(
+            F.count(F.lit(1)).over(frame) == period,
+            F.sum("observed").over(frame) / F.lit(float(period)))
+    else:
+        # 2xMA: half weight on both ends of a period+1 window
+        h = period // 2
+        frame = w.rowsBetween(-h, h)
+        trend = F.when(
+            F.count(F.lit(1)).over(frame) == period + 1,
+            (F.sum("observed").over(frame)
+             - 0.5 * F.lag("observed", h).over(w)
+             - 0.5 * F.lead("observed", h).over(w))
+            / F.lit(float(period)))
+    detr = base.withColumn("trend", trend).withColumn(
+        "__phase", ((F.col("t") % period) + period) % period)
+    detr = detr.localCheckpoint(eager=True)  # window runs once
+    raw = (detr.filter(F.col("trend").isNotNull())
+           .groupBy("__phase")
+           .agg(F.avg(F.col("observed") - F.col("trend"))
+                .alias("__raw")))
+    # center the period-row table so the seasonal component sums to 0
+    centered = raw.crossJoin(
+        F.broadcast(raw.agg(F.avg("__raw").alias("__m")))).select(
+        "__phase", (F.col("__raw") - F.col("__m")).alias("__seas"))
+    return (detr.join(F.broadcast(centered), "__phase", "left")
+            .select("t", "observed",
+                    F.round("trend", 6).alias("trend"),
+                    F.round("__seas", 6).alias("seasonal"),
+                    F.round(F.col("observed") - F.col("trend")
+                            - F.col("__seas"), 6).alias("residual"))
+            .orderBy("t"))
 
 
 def autocorrelation(df: DataFrame, time_col: str, value_col: str,

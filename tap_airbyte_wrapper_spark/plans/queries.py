@@ -2152,6 +2152,42 @@ def q_acf(spark, sf_dir):
     return autocorrelation(days, "t_day", "n", max_lag=7)
 
 
+def q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality screen on order totals — the synthetic
+    uniform-ish prices are emphatically NOT normal (excess kurtosis
+    ~ -1.2), and the audit's job is to say so with a number: huge JB,
+    p = exp(-JB/2) = 0."""
+    from ..operators import jarque_bera
+
+    return jarque_bera(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_prop_z(spark, sf_dir):
+    """Two-proportion z: does the rate of high-value events (value >
+    5) differ between views and clicks?  Exact integer counts into
+    the pooled-variance z, so the oracle is bit-identical."""
+    from ..operators import proportion_z_test
+
+    events = _t(spark, sf_dir, "events").select(
+        (F.col("value") > 5.0).alias("high"),
+        F.col("event_type").alias("etype"))
+    return proportion_z_test(events, "high", "etype", "view", "click")
+
+
+def q_seasonal(spark, sf_dir):
+    """Classical additive decomposition of the daily event-count
+    series at period 7 — trend (centered MA-7), weekly seasonal
+    (zero-centered phase means), residual; edges null by the
+    full-window rule."""
+    from ..operators import seasonal_decompose
+
+    days = (_t(spark, sf_dir, "events")
+            .groupBy(F.floor(F.col("ts").cast("double") / 86400)
+                     .alias("t_day"))
+            .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return seasonal_decompose(days, "t_day", "n", period=7)
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3686,6 +3722,9 @@ QUERIES = {
     "chi2_orders": q_chi2,
     "bootstrap_docs": q_bootstrap,
     "acf_events": q_acf,
+    "jarque_bera_orders": q_jarque_bera,
+    "prop_z_events": q_prop_z,
+    "seasonal_events": q_seasonal,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -6456,6 +6495,87 @@ ORACLES = {
                round(ci.lo, 4) AS ci_lo,
                round(ci.hi, 4) AS ci_hi
         FROM base, ci""",
+    "jarque_bera_orders": """
+        WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v
+                   FROM orders WHERE o_totalprice IS NOT NULL),
+        st AS (SELECT avg(v) AS mu, count(*) AS n FROM b),
+        mo AS (SELECT st.n,
+                      sum((v - mu) * (v - mu)) / st.n AS m2,
+                      sum((v - mu) * (v - mu) * (v - mu)) / st.n AS m3,
+                      sum((v - mu) * (v - mu) * (v - mu) * (v - mu))
+                        / st.n AS m4
+               FROM b, st GROUP BY st.n),
+        g AS (SELECT n, m3 / (m2 * sqrt(m2)) AS g1,
+                     m4 / (m2 * m2) - 3.0 AS g2
+              FROM mo),
+        jb AS (SELECT n, g1, g2,
+                      n / 6.0 * (g1 * g1 + g2 * g2 / 4.0) AS jb
+               FROM g)
+        SELECT CAST(n AS BIGINT) AS n,
+               round(g1, 6) AS skewness,
+               round(g2, 6) AS ex_kurtosis,
+               round(jb, 6) AS jb,
+               round(exp(-jb / 2.0), 6) AS p_value
+        FROM jb""",
+    "prop_z_events": """
+        WITH t AS (
+          SELECT CASE WHEN value > 5.0 THEN 1 ELSE 0 END AS s,
+                 event_type AS g
+          FROM events WHERE value IS NOT NULL),
+        agg AS (
+          SELECT sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS nb,
+                 sum(CASE WHEN g = 'view' THEN s ELSE 0 END) AS xa,
+                 sum(CASE WHEN g = 'click' THEN s ELSE 0 END) AS xb
+          FROM t),
+        z AS (
+          SELECT na, nb,
+                 xa / CAST(na AS DOUBLE) AS pa,
+                 xb / CAST(nb AS DOUBLE) AS pb,
+                 (xa + xb) / CAST(na + nb AS DOUBLE) AS pool
+          FROM agg),
+        zz AS (
+          SELECT na, nb, pa, pb,
+                 (pa - pb) / sqrt(pool * (1.0 - pool)
+                   * (1.0 / na + 1.0 / nb)) AS z
+          FROM z),
+        p AS (SELECT zz.*, abs(z) / sqrt(2.0) AS x,
+                     1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))
+                       AS tt
+              FROM zz)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+               round(z, 6) AS z,
+               round(least(1.0, greatest(0.0,
+                 tt * (0.254829592 + tt * (-0.284496736
+                   + tt * (1.421413741 + tt * (-1.453152027
+                   + tt * 1.061405429)))) * exp(-x * x))), 6)
+                 AS p_value
+        FROM p""",
+    "seasonal_events": """
+        WITH s AS (
+          SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+                 CAST(count(*) AS DOUBLE) AS observed
+          FROM events GROUP BY 1),
+        tr AS (
+          SELECT t, observed,
+                 CASE WHEN count(*) OVER w = 7
+                      THEN sum(observed) OVER w / 7.0 END AS trend,
+                 t % 7 AS phase
+          FROM s
+          WINDOW w AS (ORDER BY t ROWS BETWEEN 3 PRECEDING
+                       AND 3 FOLLOWING)),
+        raw AS (SELECT phase, avg(observed - trend) AS raw
+                FROM tr WHERE trend IS NOT NULL GROUP BY phase),
+        ctr AS (SELECT avg(raw) AS m FROM raw),
+        seas AS (SELECT phase, raw - ctr.m AS seas FROM raw, ctr)
+        SELECT tr.t, tr.observed,
+               round(tr.trend, 6) AS trend,
+               round(seas.seas, 6) AS seasonal,
+               round(tr.observed - tr.trend - seas.seas, 6)
+                 AS residual
+        FROM tr LEFT JOIN seas ON seas.phase = tr.phase
+        ORDER BY tr.t""",
     "acf_events": """
         WITH s AS (
           SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,

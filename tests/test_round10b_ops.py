@@ -274,3 +274,129 @@ def test_acf_validates_lag(spark):
     df = spark.createDataFrame([(0, 1.0)], "t long, v double")
     with pytest.raises(ValueError):
         autocorrelation(df, "t", "v", 0)
+
+
+# ---------------------------------------------------------------------
+# Jarque-Bera
+# ---------------------------------------------------------------------
+
+def test_jarque_bera_uniform_matches_numpy(spark):
+    """Uniform sample: skew ~ 0, excess kurtosis ~ -1.2 -> JB fires.
+    Exact-value cross-check against numpy central moments."""
+    from tap_airbyte_wrapper_spark.operators import jarque_bera
+
+    rng = np.random.RandomState(5)
+    vals = rng.uniform(size=1000)
+    row = jarque_bera(
+        spark.createDataFrame([(float(v),) for v in vals], "v double"),
+        "v").first()
+    m = vals.mean()
+    c = vals - m
+    m2, m3, m4 = (c ** 2).mean(), (c ** 3).mean(), (c ** 4).mean()
+    g1, g2 = m3 / m2 ** 1.5, m4 / m2 ** 2 - 3
+    assert row["skewness"] == pytest.approx(g1, abs=1e-6)
+    assert row["ex_kurtosis"] == pytest.approx(g2, abs=1e-6)
+    assert row["jb"] == pytest.approx(1000 / 6 * (g1 * g1 + g2 * g2 / 4),
+                                      abs=1e-4)
+    assert row["p_value"] < 1e-6
+
+
+def test_jarque_bera_normalish_accepts(spark):
+    """Sum of 12 uniforms - 6 ~ N(0,1) (Irwin-Hall): JB small, p big."""
+    from tap_airbyte_wrapper_spark.operators import jarque_bera
+
+    rng = np.random.RandomState(9)
+    vals = rng.uniform(size=(500, 12)).sum(axis=1) - 6
+    row = jarque_bera(
+        spark.createDataFrame([(float(v),) for v in vals], "v double"),
+        "v").first()
+    assert row["p_value"] > 0.05
+
+
+def test_jarque_bera_degenerate(spark):
+    from tap_airbyte_wrapper_spark.operators import jarque_bera
+
+    row = jarque_bera(
+        spark.createDataFrame([(3.0,), (3.0,), (3.0,)], "v double"),
+        "v").first()
+    assert row["jb"] is None and row["p_value"] is None
+
+
+# ---------------------------------------------------------------------
+# Two-proportion z
+# ---------------------------------------------------------------------
+
+def test_proportion_z_hand_values(spark):
+    """45/100 vs 30/100: pooled p = 0.375, z = 0.15/sqrt(0.375*0.625*
+    0.02) = 2.19089."""
+    from tap_airbyte_wrapper_spark.operators import proportion_z_test
+
+    rows = ([(1, "a")] * 45 + [(0, "a")] * 55
+            + [(1, "b")] * 30 + [(0, "b")] * 70)
+    row = proportion_z_test(
+        spark.createDataFrame(rows, "s int, g string"),
+        "s", "g", "a", "b").first()
+    assert row["p_a"] == 0.45 and row["p_b"] == 0.3
+    assert row["z"] == pytest.approx(2.19089, abs=1e-5)
+    assert row["p_value"] == pytest.approx(0.028459, abs=1e-4)
+
+
+def test_proportion_z_degenerate_all_failures(spark):
+    from tap_airbyte_wrapper_spark.operators import proportion_z_test
+
+    rows = [(0, "a")] * 5 + [(0, "b")] * 5
+    row = proportion_z_test(
+        spark.createDataFrame(rows, "s int, g string"),
+        "s", "g", "a", "b").first()
+    assert row["z"] is None and row["p_a"] == 0.0
+
+
+# ---------------------------------------------------------------------
+# Seasonal decomposition
+# ---------------------------------------------------------------------
+
+def test_seasonal_decompose_exact_recovery_odd_period(spark):
+    """Linear trend + zero-mean period-3 pattern: the MA-3 trend is
+    exactly the line, the phase means are exactly the pattern, and
+    every interior residual is 0."""
+    from tap_airbyte_wrapper_spark.operators import seasonal_decompose
+
+    pat = [3.0, -1.0, -2.0]
+    rows = [(t, 10 + 0.5 * t + pat[t % 3]) for t in range(30)]
+    out = seasonal_decompose(
+        spark.createDataFrame(rows, "t long, v double"),
+        "t", "v", period=3).collect()
+    assert len(out) == 30
+    interior = [r for r in out if r["trend"] is not None]
+    assert len(interior) == 28  # one edge row lost each side
+    for r in interior:
+        assert r["trend"] == pytest.approx(10 + 0.5 * r["t"], abs=1e-6)
+        assert r["seasonal"] == pytest.approx(pat[r["t"] % 3], abs=1e-6)
+        assert r["residual"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_seasonal_decompose_even_period_2xma(spark):
+    """Even period uses the half-weighted-ends 2xMA filter, which
+    also cancels a zero-mean period-2 pattern on a line exactly."""
+    from tap_airbyte_wrapper_spark.operators import seasonal_decompose
+
+    pat = [1.0, -1.0]
+    rows = [(t, 5 + 0.25 * t + pat[t % 2]) for t in range(20)]
+    out = seasonal_decompose(
+        spark.createDataFrame(rows, "t long, v double"),
+        "t", "v", period=2).collect()
+    interior = [r for r in out if r["trend"] is not None]
+    assert len(interior) == 18
+    for r in interior:
+        assert r["residual"] == pytest.approx(0.0, abs=1e-6)
+        assert r["seasonal"] == pytest.approx(pat[r["t"] % 2], abs=1e-6)
+
+
+def test_seasonal_decompose_guards(spark):
+    from tap_airbyte_wrapper_spark.operators import seasonal_decompose
+
+    df = spark.createDataFrame([(0, 1.0), (1, 2.0)], "t long, v double")
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "t", "v", period=1)
+    with pytest.raises(ValueError, match="max_rows"):
+        seasonal_decompose(df, "t", "v", period=2, max_rows=1)
