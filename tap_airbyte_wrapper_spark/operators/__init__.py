@@ -42,11 +42,13 @@ from .timeseries import (
 )
 from .stats import (
     autocorrelation,
+    bh_fdr,
     bootstrap_ci,
     chi_square_independence,
     jarque_bera,
     ks_test,
     mann_whitney_u,
+    mutual_information,
     proportion_z_test,
     seasonal_decompose,
     welch_t_test,
@@ -97,7 +99,7 @@ __all__ = [
     "numeric_histogram", "column_correlations", "partition_skew_report", "key_skew_profile", "cohen_kappa", "fleiss_kappa", "krippendorff_alpha", "benford_deviation", "dp_noisy_counts", "schema_drift_report", "weighted_kappa", "spearman_correlation", "kendall_tau", "mann_kendall_trend", "sen_slope", "cusum_change_point", "k_anonymity",
     "ks_test", "mann_whitney_u", "welch_t_test", "chi_square_independence",
     "bootstrap_ci", "autocorrelation", "jarque_bera", "proportion_z_test",
-    "seasonal_decompose",
+    "seasonal_decompose", "bh_fdr", "mutual_information",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

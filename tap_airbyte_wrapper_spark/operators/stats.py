@@ -40,7 +40,8 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["ks_test", "mann_whitney_u", "welch_t_test",
            "chi_square_independence", "bootstrap_ci", "autocorrelation",
-           "jarque_bera", "proportion_z_test", "seasonal_decompose"]
+           "jarque_bera", "proportion_z_test", "seasonal_decompose",
+           "bh_fdr", "mutual_information"]
 
 
 def _normal_sf2(z: float) -> float:
@@ -379,6 +380,109 @@ def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
                 F.round("__mean", 4).alias("mean"),
                 F.round("__lo", 4).alias("ci_lo"),
                 F.round("__hi", 4).alias("ci_hi")))
+
+
+def bh_fdr(df: DataFrame, p_col: str, id_col: str,
+           alpha: float = 0.05) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate correction — the
+    multiple-testing companion the rest of this module makes
+    necessary: run the slice tests per language x source x shard and
+    you have hundreds of p-values, of which alpha's worth are false
+    positives BY DESIGN; BH (1995) step-up controls the expected
+    false-discovery proportion instead.
+
+    Decision rule: with p-values ranked ascending (1-based rank i of
+    m), find the largest ``k`` with ``p_(k) <= k/m * alpha``; reject
+    ranks ``1..k``.  Tied p-values cannot straddle the cut: if rank k
+    satisfies the condition, an equal p at rank k+1 satisfies it too
+    (same p, larger threshold), so ties reject together regardless of
+    the id tie-break.  The comparison is evaluated multiplication-only
+    (``p * m <= rank * alpha``) so both engines compute identical
+    doubles.
+
+    Plan: ranks from the value-bucketed two-phase machinery (no
+    single-task sort), ONE aggregate for k, broadcast scalar back —
+    three passes over the (id, p) projection, which is checkpointed.
+    Output: one row per input ``(id_col, p, rank, rejected)``; q-values
+    (adjusted p) need a global suffix-min and are deliberately not
+    computed — the DECISION is the scale-safe part.  Rows with null p
+    are dropped (report them upstream, they are not tests)."""
+    from .windows import global_distribution_ranks
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    base = (df.filter(F.col(p_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.col(p_col).cast("double").alias("__p"))
+            .localCheckpoint(eager=True))
+    m = base.count()
+    ranked = global_distribution_ranks(
+        base, [F.col("__p"), F.col("__id")], rank_col="__rank")
+    kmax_row = ranked.agg(F.max(F.when(
+        F.col("__p") * F.lit(float(m))
+        <= F.col("__rank") * F.lit(alpha), F.col("__rank"))
+    ).alias("k")).first()
+    k = int(kmax_row["k"] or 0)
+    return (ranked.select(
+        F.col("__id").alias(id_col),
+        F.col("__p").alias("p"),
+        F.col("__rank").cast("long").alias("rank"),
+        (F.col("__rank") <= F.lit(k)).alias("rejected"))
+        .orderBy("rank"))
+
+
+def mutual_information(df: DataFrame, col_x: str,
+                       col_y: str) -> DataFrame:
+    """Mutual information between two categorical columns, with
+    marginal entropies and the normalized variant — the LEAKAGE
+    screen :func:`chi_square_independence` can't be: chi2 says
+    "dependent, p < .05" at corpus n for even trivial association;
+    MI says HOW MANY BITS of the label a feature gives away (the
+    "does source identify the split?" question before anyone trains
+    on it).  Natural-log nats, ``nmi = mi / sqrt(hx * hy)``
+    (Strehl & Ghosh 2002).
+
+    Zero observed cells contribute exactly 0 (the 0*log(0) limit), so
+    unlike chi2 no grid completion is needed — the observed
+    contingency table is the whole computation.  Plan: ONE input scan
+    to (x, y) counts; joint/marginal terms on that label^2-bounded
+    table.  Output: ONE row ``(n, mi, h_x, h_y, nmi)`` (``nmi`` null
+    when either column is constant)."""
+    obs = (df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+           .groupBy(F.col(col_x).cast("string").alias("__x"),
+                    F.col(col_y).cast("string").alias("__y"))
+           .agg(F.count(F.lit(1)).alias("__o"))
+           .localCheckpoint(eager=True))
+    mx = obs.groupBy("__x").agg(F.sum("__o").alias("__nx"))
+    my = obs.groupBy("__y").agg(F.sum("__o").alias("__ny"))
+    tot = obs.agg(F.sum("__o").alias("__n"))
+    n = F.col("__n").cast("double")
+    joined = (obs.join(F.broadcast(mx), "__x")
+              .join(F.broadcast(my), "__y")
+              .crossJoin(F.broadcast(tot)))
+    mi = joined.agg(F.sum(
+        F.col("__o") / n * F.log(F.col("__o") * n
+                                 / (F.col("__nx") * F.col("__ny"))))
+        .alias("__mi"))
+    hx = (mx.crossJoin(F.broadcast(tot))
+          .agg((-F.sum(F.col("__nx") / n
+                       * F.log(F.col("__nx") / n))).alias("__hx")))
+    hy = (my.crossJoin(F.broadcast(tot))
+          .agg((-F.sum(F.col("__ny") / n
+                       * F.log(F.col("__ny") / n))).alias("__hy")))
+    return (tot.crossJoin(F.broadcast(mi))
+            .crossJoin(F.broadcast(hx))
+            .crossJoin(F.broadcast(hy))
+            .select(
+                F.col("__n").cast("long").alias("n"),
+                F.round(F.greatest("__mi", F.lit(0.0)), 6).alias("mi"),
+                F.round("__hx", 6).alias("h_x"),
+                F.round("__hy", 6).alias("h_y"),
+                F.round(F.when(
+                    (F.col("__hx") > 0) & (F.col("__hy") > 0),
+                    F.greatest("__mi", F.lit(0.0))
+                    / F.sqrt(F.col("__hx") * F.col("__hy"))), 6)
+                .alias("nmi")))
 
 
 def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:

@@ -2188,6 +2188,34 @@ def q_seasonal(spark, sf_dir):
     return seasonal_decompose(days, "t_day", "n", period=7)
 
 
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg step-up over a planted p-value table: a
+    pseudo-uniform null (doc_id*37 mod 1009 scaled) with every 10th
+    doc given a 50x smaller p (the true effects).  BH must reject
+    essentially the planted slice and almost none of the null — the
+    per-row (rank, rejected) output is the whole decision."""
+    from ..operators import bh_fdr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 10 == 0,
+               ((F.col("doc_id") * 37) % 1009).cast("double")
+               / 1009.0 / 50.0)
+        .otherwise(((F.col("doc_id") * 37) % 1009).cast("double")
+                   / 1009.0).alias("p"))
+    return bh_fdr(docs, "p", "doc_id", alpha=0.05)
+
+
+def q_mutual_information(spark, sf_dir):
+    """Mutual information lang x source — the leakage screen in nats:
+    how many bits of the language does the source give away (NMI
+    normalizes against both marginal entropies)."""
+    from ..operators import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"),
+                              "lang", "source")
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3725,6 +3753,8 @@ QUERIES = {
     "jarque_bera_orders": q_jarque_bera,
     "prop_z_events": q_prop_z,
     "seasonal_events": q_seasonal,
+    "bh_fdr_docs": q_bh_fdr,
+    "mi_docs": q_mutual_information,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -6495,6 +6525,53 @@ ORACLES = {
                round(ci.lo, 4) AS ci_lo,
                round(ci.hi, 4) AS ci_hi
         FROM base, ci""",
+    "bh_fdr_docs": """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN CAST((doc_id * 37) % 1009 AS DOUBLE)
+                           / 1009.0 / 50.0
+                      ELSE CAST((doc_id * 37) % 1009 AS DOUBLE)
+                           / 1009.0 END AS p
+          FROM documents),
+        r AS (SELECT doc_id, p,
+                     row_number() OVER (ORDER BY p, doc_id) AS rank,
+                     count(*) OVER () AS m
+              FROM t),
+        k AS (SELECT coalesce(max(CASE WHEN p * m <= rank * 0.05
+                                       THEN rank END), 0) AS k
+              FROM r)
+        SELECT r.doc_id, r.p, CAST(r.rank AS BIGINT) AS rank,
+               r.rank <= k.k AS rejected
+        FROM r, k ORDER BY r.rank""",
+    "mi_docs": """
+        WITH obs AS (
+          SELECT lang AS x, source AS y, count(*) AS o
+          FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL
+          GROUP BY 1, 2),
+        mx AS (SELECT x, sum(o) AS nx FROM obs GROUP BY x),
+        my AS (SELECT y, sum(o) AS ny FROM obs GROUP BY y),
+        tot AS (SELECT sum(o) AS n FROM obs),
+        mi AS (
+          SELECT sum(o / CAST(n AS DOUBLE)
+                     * ln(o * CAST(n AS DOUBLE) / (nx * ny))) AS mi
+          FROM obs JOIN mx USING (x) JOIN my USING (y)
+          CROSS JOIN tot),
+        hx AS (SELECT -sum(nx / CAST(n AS DOUBLE)
+                           * ln(nx / CAST(n AS DOUBLE))) AS hx
+               FROM mx, tot),
+        hy AS (SELECT -sum(ny / CAST(n AS DOUBLE)
+                           * ln(ny / CAST(n AS DOUBLE))) AS hy
+               FROM my, tot)
+        SELECT CAST(tot.n AS BIGINT) AS n,
+               round(greatest(mi.mi, 0.0), 6) AS mi,
+               round(hx.hx, 6) AS h_x,
+               round(hy.hy, 6) AS h_y,
+               round(CASE WHEN hx.hx > 0 AND hy.hy > 0 THEN
+                 greatest(mi.mi, 0.0) / sqrt(hx.hx * hy.hy) END, 6)
+                 AS nmi
+        FROM tot, mi, hx, hy""",
     "jarque_bera_orders": """
         WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v
                    FROM orders WHERE o_totalprice IS NOT NULL),

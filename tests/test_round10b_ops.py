@@ -392,6 +392,100 @@ def test_seasonal_decompose_even_period_2xma(spark):
         assert r["seasonal"] == pytest.approx(pat[r["t"] % 2], abs=1e-6)
 
 
+# ---------------------------------------------------------------------
+# Benjamini-Hochberg FDR
+# ---------------------------------------------------------------------
+
+def test_bh_fdr_known_dataset(spark):
+    """The classic 15-p-value example: at alpha=0.05 BH rejects
+    exactly the 4 smallest (the naive per-test rule would reject 9)."""
+    from tap_airbyte_wrapper_spark.operators import bh_fdr
+
+    ps = [0.0001, 0.0004, 0.0019, 0.0095, 0.0201, 0.0278, 0.0298,
+          0.0344, 0.0459, 0.324, 0.4262, 0.5719, 0.6528, 0.759, 1.0]
+    out = bh_fdr(spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "id long, p double"),
+        "p", "id", alpha=0.05).collect()
+    assert sum(r["rejected"] for r in out) == 4
+    assert [r["rejected"] for r in sorted(out, key=lambda r: r["rank"])
+            ][:4] == [True] * 4
+
+
+def test_bh_fdr_step_up_not_step_down(spark):
+    """p = [0.01, 0.04, 0.049]: rank-2 fails (0.04 > 2/3*0.05) but
+    rank-3 passes (0.049 <= 0.05) -> step-UP rejects ALL three."""
+    from tap_airbyte_wrapper_spark.operators import bh_fdr
+
+    out = bh_fdr(spark.createDataFrame(
+        [(0, 0.01), (1, 0.04), (2, 0.049)], "id long, p double"),
+        "p", "id", alpha=0.05).collect()
+    assert all(r["rejected"] for r in out)
+
+
+def test_bh_fdr_ties_reject_together(spark):
+    """Tied p straddling the nominal cut: both tied rows get the same
+    decision (the larger rank's easier threshold pulls its twin in)."""
+    from tap_airbyte_wrapper_spark.operators import bh_fdr
+
+    out = bh_fdr(spark.createDataFrame(
+        [(0, 0.02), (1, 0.02), (2, 0.9), (3, 0.95)],
+        "id long, p double"), "p", "id", alpha=0.05).collect()
+    dec = {r["id"]: r["rejected"] for r in out}
+    assert dec[0] == dec[1] is True
+
+
+def test_bh_fdr_nothing_rejected_and_validation(spark):
+    from tap_airbyte_wrapper_spark.operators import bh_fdr
+
+    out = bh_fdr(spark.createDataFrame(
+        [(0, 0.5), (1, 0.8)], "id long, p double"),
+        "p", "id", alpha=0.05).collect()
+    assert not any(r["rejected"] for r in out)
+    with pytest.raises(ValueError):
+        bh_fdr(spark.createDataFrame([(0, 0.5)], "id long, p double"),
+               "p", "id", alpha=1.5)
+
+
+# ---------------------------------------------------------------------
+# Mutual information
+# ---------------------------------------------------------------------
+
+def test_mutual_information_perfect_dependence(spark):
+    """y == x over 3 balanced categories: MI = H(X) = ln 3, NMI = 1."""
+    from tap_airbyte_wrapper_spark.operators import mutual_information
+
+    rows = [(str(i % 3), str(i % 3)) for i in range(90)]
+    row = mutual_information(
+        spark.createDataFrame(rows, "x string, y string"),
+        "x", "y").first()
+    assert row["mi"] == pytest.approx(math.log(3), abs=1e-6)
+    assert row["nmi"] == 1.0
+
+
+def test_mutual_information_independent(spark):
+    """x and y cycle at coprime-structured phases over a full block:
+    exactly independent -> MI = 0."""
+    from tap_airbyte_wrapper_spark.operators import mutual_information
+
+    rows = [(str(i % 3), str((i // 3) % 2)) for i in range(90)]
+    row = mutual_information(
+        spark.createDataFrame(rows, "x string, y string"),
+        "x", "y").first()
+    assert row["mi"] == 0.0
+    assert row["h_x"] == pytest.approx(math.log(3), abs=1e-6)
+    assert row["h_y"] == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_mutual_information_constant_column(spark):
+    from tap_airbyte_wrapper_spark.operators import mutual_information
+
+    rows = [("a", str(i % 2)) for i in range(10)]
+    row = mutual_information(
+        spark.createDataFrame(rows, "x string, y string"),
+        "x", "y").first()
+    assert row["mi"] == 0.0 and row["nmi"] is None
+
+
 def test_seasonal_decompose_guards(spark):
     from tap_airbyte_wrapper_spark.operators import seasonal_decompose
 
