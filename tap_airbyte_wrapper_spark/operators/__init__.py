@@ -49,9 +49,11 @@ from .stats import (
     ks_test,
     mann_whitney_u,
     mutual_information,
+    paired_t_test,
     proportion_z_test,
     seasonal_decompose,
     welch_t_test,
+    wilcoxon_signed_rank,
 )
 from .quality import (
     Expectation,
@@ -100,6 +102,7 @@ __all__ = [
     "ks_test", "mann_whitney_u", "welch_t_test", "chi_square_independence",
     "bootstrap_ci", "autocorrelation", "jarque_bera", "proportion_z_test",
     "seasonal_decompose", "bh_fdr", "mutual_information",
+    "wilcoxon_signed_rank", "paired_t_test",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

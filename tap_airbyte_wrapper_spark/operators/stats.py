@@ -41,7 +41,8 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["ks_test", "mann_whitney_u", "welch_t_test",
            "chi_square_independence", "bootstrap_ci", "autocorrelation",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
-           "bh_fdr", "mutual_information"]
+           "bh_fdr", "mutual_information", "wilcoxon_signed_rank",
+           "paired_t_test"]
 
 
 def _normal_sf2(z: float) -> float:
@@ -380,6 +381,119 @@ def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
                 F.round("__mean", 4).alias("mean"),
                 F.round("__lo", 4).alias("ci_lo"),
                 F.round("__hi", 4).alias("ci_hi")))
+
+
+def wilcoxon_signed_rank(df: DataFrame, col_a: str,
+                         col_b: str) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED scores — "did re-scoring
+    the SAME documents shift them?" (:func:`mann_whitney_u` compares
+    two different slices; this is the member for model-A-vs-model-B on
+    one corpus, where pairing removes the between-document variance).
+
+    Wilcoxon's zero-exclusion convention: ``d = a - b``, zero
+    differences drop, |d| gets average ranks, ``W+`` = rank sum of the
+    positive differences.  Same integer-exact core as Mann-Whitney —
+    from per-distinct-|d| counts ``(cp, cn)`` and the inclusive prefix
+    ``cum``: ``2*W+ = sum cp * (2*cum - c + 1)`` is an exact long, as
+    are the tie term and the variance numerator, so ``z = (2*(2W+) -
+    n(n+1)) / (4*sqrt((2n(n+1)(2n+1) - T)/48))`` is bit-identical
+    across engines (Pratt/Lehmann tie-corrected normal approximation,
+    no continuity correction).
+
+    Plan: one input scan to the distinct-|d| count table, one
+    value-bucketed global prefix pass, one aggregate.  Output: ONE row
+    ``(n_pairs, n_nonzero, w_plus, z, p_value)`` (z/p null when every
+    pair ties or all |d| are equal-sign degenerate variance)."""
+    from .windows import global_cumsum
+
+    spark = df.sparkSession
+    d = F.col(col_a).cast("double") - F.col(col_b).cast("double")
+    base = (df.filter(F.col(col_a).isNotNull()
+                      & F.col(col_b).isNotNull())
+            .select(d.alias("__d")))
+    counts = (base.filter(F.col("__d") != 0)
+              .groupBy(F.abs(F.col("__d")).alias("__ad"))
+              .agg(F.sum(F.when(F.col("__d") > 0, 1).otherwise(0))
+                   .alias("__cp"),
+                   F.count(F.lit(1)).alias("__c"))
+              .localCheckpoint(eager=True))
+    n_pairs = base.count()
+    if counts.isEmpty():  # every pair tied -> zero-exclusion drops all
+        return spark.sql(
+            f"SELECT CAST({n_pairs} AS BIGINT) AS n_pairs, "
+            "CAST(0 AS BIGINT) AS n_nonzero, "
+            "CAST(NULL AS DOUBLE) AS w_plus, "
+            "CAST(NULL AS DOUBLE) AS z, "
+            "CAST(NULL AS DOUBLE) AS p_value")
+    cums = global_cumsum(counts, "__ad", "__c", "__cum")
+    row = cums.agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.col("__cp")
+              * (2 * F.col("__cum") - F.col("__c") + 1)).alias("w2"),
+        F.sum(F.col("__c") * F.col("__c") * F.col("__c")
+              - F.col("__c")).alias("ties")).first()
+    n = int(row["n"])
+    w2, t = int(row["w2"]), int(row["ties"])
+    var48 = 2 * n * (n + 1) * (2 * n + 1) - t  # 48*sigma^2, exact
+    if var48 <= 0:
+        z = p = None
+    else:
+        z = (2 * w2 - n * (n + 1)) / (4.0 * math.sqrt(var48 / 48.0))
+        p = _normal_sf2(z)
+
+    def _d(x):
+        return ("CAST(NULL AS DOUBLE)" if x is None
+                else f"round(CAST({x!r} AS DOUBLE), 6)")
+
+    return spark.sql(
+        f"SELECT CAST({n_pairs} AS BIGINT) AS n_pairs, "
+        f"CAST({n} AS BIGINT) AS n_nonzero, "
+        f"round(CAST({w2 / 2.0!r} AS DOUBLE), 6) AS w_plus, "
+        f"{_d(z)} AS z, {_d(p)} AS p_value")
+
+
+def paired_t_test(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Paired t-test — the parametric twin of
+    :func:`wilcoxon_signed_rank`: one-sample t on the within-pair
+    differences, ``t = mean(d) / (sd(d)/sqrt(n))``, df = n-1,
+    two-sided normal-approx p (A&S erf; exact Student needs the
+    incomplete beta — same stated approximation as Welch).  Use the
+    signed-rank test when differences are heavy-tailed; this when you
+    also want the effect SIZE (mean_diff) in original units.
+
+    Plan: ONE aggregate pass over the difference column.  Output: ONE
+    row ``(n, mean_diff, t_stat, dof, p_value)``."""
+    spark = df.sparkSession
+    d = F.col(col_a).cast("double") - F.col(col_b).cast("double")
+    row = (df.filter(F.col(col_a).isNotNull()
+                     & F.col(col_b).isNotNull())
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.avg(d).alias("md"),
+                F.var_samp(d).alias("vd")).first())
+    n = int(row["n"])
+    if n < 2:
+        return spark.sql(
+            f"SELECT CAST({n} AS BIGINT) AS n, "
+            "CAST(NULL AS DOUBLE) AS mean_diff, "
+            "CAST(NULL AS DOUBLE) AS t_stat, "
+            "CAST(NULL AS DOUBLE) AS dof, "
+            "CAST(NULL AS DOUBLE) AS p_value")
+    md, vd = float(row["md"]), float(row["vd"])
+    if vd <= 0:
+        t_stat = p = None
+    else:
+        t_stat = md / math.sqrt(vd / n)
+        p = _normal_sf2(t_stat)
+
+    def _fmt(x):
+        return ("CAST(NULL AS DOUBLE)" if x is None
+                else f"round(CAST({x!r} AS DOUBLE), 6)")
+
+    return spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n, "
+        f"{_fmt(md)} AS mean_diff, {_fmt(t_stat)} AS t_stat, "
+        f"round(CAST({float(n - 1)!r} AS DOUBLE), 6) AS dof, "
+        f"{_fmt(p)} AS p_value")
 
 
 def bh_fdr(df: DataFrame, p_col: str, id_col: str,

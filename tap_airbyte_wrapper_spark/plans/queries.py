@@ -2216,6 +2216,37 @@ def q_mutual_information(spark, sf_dir):
                               "lang", "source")
 
 
+def _rescored_docs(spark, sf_dir):
+    """Paired-score frame: score_a = n_chars, score_b = the same doc
+    rescored by a planted multiplier cycling {0.9,0.95,1.0,1.05,1.1}
+    with doc_id%5 — sign-balanced (no real shift), with the exact-1.0
+    phase exercising Wilcoxon's zero-exclusion deterministically."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("score_a"),
+        (F.col("n_chars").cast("double")
+         * (F.lit(1.0) + (F.col("doc_id") % 5 - 2).cast("double")
+            / F.lit(20.0))).alias("score_b"))
+
+
+def q_wilcoxon(spark, sf_dir):
+    """Wilcoxon signed-rank on the rescored pair — the paired member
+    of the rank-test family; integer-exact 2*W+/tie core, so the
+    oracle replays z bit-for-bit."""
+    from ..operators import wilcoxon_signed_rank
+
+    return wilcoxon_signed_rank(_rescored_docs(spark, sf_dir),
+                                "score_a", "score_b")
+
+
+def q_paired_t(spark, sf_dir):
+    """Paired t on the same rescored pair — effect size in original
+    units (mean_diff) plus the parametric test."""
+    from ..operators import paired_t_test
+
+    return paired_t_test(_rescored_docs(spark, sf_dir),
+                         "score_a", "score_b")
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3755,6 +3786,8 @@ QUERIES = {
     "seasonal_events": q_seasonal,
     "bh_fdr_docs": q_bh_fdr,
     "mi_docs": q_mutual_information,
+    "wilcoxon_docs": q_wilcoxon,
+    "paired_t_docs": q_paired_t,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -6525,6 +6558,72 @@ ORACLES = {
                round(ci.lo, 4) AS ci_lo,
                round(ci.hi, 4) AS ci_hi
         FROM base, ci""",
+    "wilcoxon_docs": """
+        WITH t AS (
+          SELECT CAST(n_chars AS DOUBLE)
+                 - CAST(n_chars AS DOUBLE)
+                   * (1.0 + (doc_id % 5 - 2) / 20.0) AS d
+          FROM documents
+          WHERE n_chars IS NOT NULL),
+        nz AS (SELECT d FROM t WHERE d != 0),
+        g AS (SELECT abs(d) AS ad,
+                     sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cp,
+                     count(*) AS c
+              FROM nz GROUP BY abs(d)),
+        c AS (SELECT cp, c,
+                     sum(c) OVER (ORDER BY ad
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM g),
+        agg AS (SELECT sum(c) AS n,
+                       sum(cp * (2 * cum - c + 1)) AS w2,
+                       sum(c * c * c - c) AS ties
+                FROM c),
+        np AS (SELECT count(*) AS n_pairs FROM t),
+        z AS (
+          SELECT agg.n, agg.w2,
+                 (2 * agg.w2 - agg.n * (agg.n + 1))
+                 / (4.0 * sqrt((2 * agg.n * (agg.n + 1)
+                    * (2 * agg.n + 1) - agg.ties) / 48.0)) AS z
+          FROM agg),
+        p AS (SELECT z.*, abs(z) / sqrt(2.0) AS x,
+                     1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))
+                       AS tt
+              FROM z)
+        SELECT CAST(np.n_pairs AS BIGINT) AS n_pairs,
+               CAST(p.n AS BIGINT) AS n_nonzero,
+               round(p.w2 / 2.0, 6) AS w_plus,
+               round(p.z, 6) AS z,
+               round(least(1.0, greatest(0.0,
+                 p.tt * (0.254829592 + p.tt * (-0.284496736
+                   + p.tt * (1.421413741 + p.tt * (-1.453152027
+                   + p.tt * 1.061405429)))) * exp(-p.x * p.x))), 6)
+                 AS p_value
+        FROM np, p""",
+    "paired_t_docs": """
+        WITH t AS (
+          SELECT CAST(n_chars AS DOUBLE)
+                 - CAST(n_chars AS DOUBLE)
+                   * (1.0 + (doc_id % 5 - 2) / 20.0) AS d
+          FROM documents
+          WHERE n_chars IS NOT NULL),
+        agg AS (SELECT count(*) AS n, avg(d) AS md,
+                       var_samp(d) AS vd
+                FROM t),
+        s AS (SELECT n, md, md / sqrt(vd / n) AS t_stat FROM agg),
+        p AS (SELECT s.*, abs(t_stat) / sqrt(2.0) AS x,
+                     1.0 / (1.0 + 0.3275911
+                            * (abs(t_stat) / sqrt(2.0))) AS tt
+              FROM s)
+        SELECT CAST(n AS BIGINT) AS n,
+               round(md, 6) AS mean_diff,
+               round(t_stat, 6) AS t_stat,
+               round(CAST(n - 1 AS DOUBLE), 6) AS dof,
+               round(least(1.0, greatest(0.0,
+                 tt * (0.254829592 + tt * (-0.284496736
+                   + tt * (1.421413741 + tt * (-1.453152027
+                   + tt * 1.061405429)))) * exp(-x * x))), 6)
+                 AS p_value
+        FROM p""",
     "bh_fdr_docs": """
         WITH t AS (
           SELECT doc_id,

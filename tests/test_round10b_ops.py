@@ -486,6 +486,73 @@ def test_mutual_information_constant_column(spark):
     assert row["mi"] == 0.0 and row["nmi"] is None
 
 
+# ---------------------------------------------------------------------
+# Paired tests
+# ---------------------------------------------------------------------
+
+def test_wilcoxon_textbook_example(spark):
+    """The classic 10-pair example: one zero difference drops (n=9),
+    |d| ties at 5 get average ranks 1.5, W+ = 1.5+1.5+7+8+9 = 27."""
+    from tap_airbyte_wrapper_spark.operators import wilcoxon_signed_rank
+
+    a = [125, 115, 130, 140, 140, 115, 140, 125, 140, 135]
+    b = [110, 122, 125, 120, 140, 124, 123, 137, 135, 145]
+    row = wilcoxon_signed_rank(
+        spark.createDataFrame(list(zip(map(float, a), map(float, b))),
+                              "a double, b double"), "a", "b").first()
+    assert row["n_pairs"] == 10 and row["n_nonzero"] == 9
+    assert row["w_plus"] == 27.0
+    # z = (W+ - n(n+1)/4)/sigma with tie-corrected sigma
+    assert row["z"] == pytest.approx(0.533582, abs=1e-6)
+
+
+def test_wilcoxon_one_sided_shift_detected(spark):
+    """b = a + 1 everywhere: W+ = 0, z strongly negative."""
+    from tap_airbyte_wrapper_spark.operators import wilcoxon_signed_rank
+
+    rows = [(float(i), float(i + 1)) for i in range(40)]
+    row = wilcoxon_signed_rank(
+        spark.createDataFrame(rows, "a double, b double"),
+        "a", "b").first()
+    assert row["w_plus"] == 0.0
+    assert row["p_value"] < 1e-6
+
+
+def test_wilcoxon_all_zero_diffs(spark):
+    from tap_airbyte_wrapper_spark.operators import wilcoxon_signed_rank
+
+    rows = [(1.0, 1.0), (2.0, 2.0)]
+    row = wilcoxon_signed_rank(
+        spark.createDataFrame(rows, "a double, b double"),
+        "a", "b").first()
+    assert row["n_nonzero"] == 0 and row["z"] is None
+
+
+def test_paired_t_matches_numpy(spark):
+    from tap_airbyte_wrapper_spark.operators import paired_t_test
+
+    a = [125, 115, 130, 140, 140, 115, 140, 125, 140, 135]
+    b = [110, 122, 125, 120, 140, 124, 123, 137, 135, 145]
+    row = paired_t_test(
+        spark.createDataFrame(list(zip(map(float, a), map(float, b))),
+                              "a double, b double"), "a", "b").first()
+    d = np.array(a, dtype=float) - np.array(b, dtype=float)
+    t = d.mean() / (d.std(ddof=1) / math.sqrt(len(d)))
+    assert row["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert row["dof"] == 9.0
+    assert row["mean_diff"] == pytest.approx(d.mean(), abs=1e-6)
+
+
+def test_paired_t_degenerate_constant_diff(spark):
+    from tap_airbyte_wrapper_spark.operators import paired_t_test
+
+    rows = [(float(i), float(i) - 2.0) for i in range(10)]
+    row = paired_t_test(
+        spark.createDataFrame(rows, "a double, b double"),
+        "a", "b").first()
+    assert row["mean_diff"] == 2.0 and row["t_stat"] is None
+
+
 def test_seasonal_decompose_guards(spark):
     from tap_airbyte_wrapper_spark.operators import seasonal_decompose
 
