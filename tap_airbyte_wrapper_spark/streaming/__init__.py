@@ -25,7 +25,10 @@ from .selection import (read_reservoir, stream_dsir_gate,
                         stream_reservoir_sample)
 from .trending import read_heavy_hitters, stream_heavy_hitters
 from .stats import append_gate_stats, read_gate_stats
-from .drift import reference_profile, stream_drift_monitor, embedding_reference_mean, stream_embedding_drift
+from .drift import (reference_profile, stream_drift_monitor,
+                    embedding_reference_mean, stream_embedding_drift,
+                    drift_reference_write, stream_drift_gate,
+                    read_drift_gate_report)
 from .stateful import (
     stateful_anomalies,
     stateful_heavy_hitters,

@@ -28,7 +28,9 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["reference_profile", "stream_drift_monitor",
-           "embedding_reference_mean", "stream_embedding_drift"]
+           "embedding_reference_mean", "stream_embedding_drift",
+           "drift_reference_write", "stream_drift_gate",
+           "read_drift_gate_report"]
 
 logger = logging.getLogger(__name__)
 
@@ -218,3 +220,163 @@ def stream_embedding_drift(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drift_reference_write(df: DataFrame, value_col: str, path: str,
+                          bins: int = 32) -> None:
+    """Persist the REFERENCE distribution a :func:`stream_drift_gate`
+    enforces against — the admission-control counterpart of
+    :func:`reference_profile` (the monitor freezes equal-WIDTH bins in
+    a driver dict for observability; the gate persists equal-MASS
+    quantile bins to parquet so PSI keeps full resolution everywhere a
+    quarantine decision could flip, and so the artifact survives the
+    driver and is shared across restarts/queries).
+
+    The artifact is bins-sized parquet rows ``(bin, edge, p_ref)``
+    (``edge`` = the bin's upper interior boundary, null for the last
+    bin) — metadata-sized by construction, loaded once per gate query.
+    Same refresh policy as the DSIR model and IVF centroids: refit
+    OFFLINE to a new path when the accepted baseline legitimately
+    moves; never retrain in-stream."""
+    vals = (df.filter(F.col(value_col).isNotNull())
+            .select(F.col(value_col).cast("double").alias("__v")))
+    probs = [i / bins for i in range(1, bins)]
+    edges = sorted(set(vals.approxQuantile("__v", probs, 0.001))) \
+        if probs else []
+    bucket = _drift_bucket_expr(edges)
+    counts = {int(r["__b"]): int(r["c"]) for r in
+              vals.select(bucket.alias("__b"))
+              .groupBy("__b").agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    n = sum(counts.values())
+    if n == 0:
+        raise ValueError("drift_reference_write: reference has no "
+                         f"non-null {value_col!r} values")
+    spark = df.sparkSession
+    cols = []
+    for b in range(len(edges) + 1):
+        edge = edges[b] if b < len(edges) else None
+        cols.append(F.struct(
+            F.lit(b).cast("int").alias("bin"),
+            (F.lit(None).cast("double") if edge is None
+             else F.lit(float(edge))).alias("edge"),
+            F.lit(float(counts.get(b, 0) / n)).alias("p_ref")))
+    # JVM-literal frame (tiny metadata write — no Python-RDD round-trip)
+    (spark.range(1)
+     .select(F.explode(F.array(*cols)).alias("s"))
+     .select("s.bin", "s.edge", "s.p_ref")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def _drift_bucket_expr(edges):
+    """Bucket id = count of interior edges <= value: a pure Catalyst
+    expression over a broadcast-literal array (the cusum/IVF idiom)."""
+    if not edges:
+        return F.lit(0)
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    return F.aggregate(
+        arr, F.lit(0),
+        lambda acc, e: acc + F.when(F.col("__v") >= e, 1).otherwise(0))
+
+
+def stream_drift_gate(
+    stream: DataFrame,
+    value_col: str,
+    ref_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_psi: float = 0.25,
+    eps: float = 1e-6,
+    available_now: bool = True,
+):
+    """Batch-level distribution-drift ADMISSION gate — the enforcement
+    half of this module (:func:`stream_drift_monitor` watches and
+    alerts; this one acts): every arriving micro-batch's ``value_col``
+    histogram is compared (PSI, the same eps-clamped convention as
+    :func:`~..operators.quality.distribution_drift`) against the
+    persisted quantile-bin reference (:func:`drift_reference_write`);
+    a batch whose PSI exceeds ``max_psi`` is QUARANTINED whole
+    (``_quarantine/batch=<id>``) instead of landed — the "a feed
+    silently switched units" failure arrives as a whole bad batch,
+    and per-row gates can't see it (every row individually looks
+    plausible).  PSI rule of thumb: < 0.1 stable, 0.1-0.25 moderate,
+    > 0.25 action.
+
+    Stateless replay contract (same as the quality/media gates): the
+    decision is a pure function of the batch — integer bin counts
+    into a driver-side PSI, landed/quarantined under ``batch=<id>``
+    with overwrite, re-drains byte-identical.  Every batch also
+    appends a ``(batch_id, n, psi, landed)`` report row under
+    ``_drift_gate`` (last row per batch_id wins, like
+    ``_gate_stats``).  Cost per batch: O(batch) — one scan against
+    the broadcast-literal edge array; the bins-sized reference loads
+    once per query."""
+    import os
+    import time as _time
+
+    spark = stream.sparkSession
+    ref = spark.read.parquet(ref_path).orderBy("bin").collect()
+    edges = [float(r["edge"]) for r in ref if r["edge"] is not None]
+    p_ref = [float(r["p_ref"]) for r in ref]
+    bucket = _drift_bucket_expr(edges)
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        started = _time.time()
+        batch = batch.persist()
+        try:
+            counts = {int(r["__b"]): int(r["c"]) for r in
+                      batch.filter(F.col(value_col).isNotNull())
+                      .select(F.col(value_col).cast("double")
+                              .alias("__v"))
+                      .select(bucket.alias("__b"))
+                      .groupBy("__b").agg(F.count(F.lit(1)).alias("c"))
+                      .collect()}
+            n = sum(counts.values())
+            psi = 0.0
+            for b, pr in enumerate(p_ref):
+                pc = max(counts.get(b, 0) / n, eps) if n > 0 else eps
+                pr = max(pr, eps)
+                psi += (pr - pc) * math.log(pr / pc)
+            landed = psi <= max_psi
+            dest = (os.path.join(out_path, f"batch={batch_id}")
+                    if landed else
+                    os.path.join(out_path, "_quarantine",
+                                 f"batch={batch_id}"))
+            batch.write.mode("overwrite").parquet(dest)
+            try:
+                spark.range(1).select(
+                    F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                    F.lit(int(n)).cast("long").alias("n"),
+                    F.lit(round(psi, 6)).alias("psi"),
+                    F.lit(bool(landed)).alias("landed"),
+                    F.lit(round(_time.time() - started, 3))
+                    .alias("wall_seconds"),
+                ).coalesce(1).write.mode("append").parquet(
+                    os.path.join(out_path, "_drift_gate"))
+            except Exception:
+                logger.warning("drift gate report append failed for "
+                               "batch %d (stream continues)", batch_id,
+                               exc_info=True)
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_drift_gate_report(spark, out_path: str) -> DataFrame:
+    """The drift gate's per-batch report, deduped to the last row per
+    batch_id (replays re-append; last write wins, matching the gate's
+    own overwrite contract)."""
+    import os
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("wall_seconds").desc())
+    return (spark.read.parquet(os.path.join(out_path, "_drift_gate"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))

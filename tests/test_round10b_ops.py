@@ -561,3 +561,65 @@ def test_seasonal_decompose_guards(spark):
         seasonal_decompose(df, "t", "v", period=1)
     with pytest.raises(ValueError, match="max_rows"):
         seasonal_decompose(df, "t", "v", period=2, max_rows=1)
+
+
+# ---------------------------------------------------------------------
+# Streaming drift gate (enforcement half of the drift module)
+# ---------------------------------------------------------------------
+
+def test_stream_drift_gate_quarantines_unit_switch(spark, tmp_path):
+    """Reference = uniform 0..99.  Batch 1 draws from the same
+    distribution and lands; batch 2 arrives with a silent unit switch
+    (+500) and is quarantined WHOLE, with one report row per batch."""
+    from tap_airbyte_wrapper_spark.streaming import (
+        drift_reference_write,
+        read_drift_gate_report,
+        stream_drift_gate,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(2000)], "id long, v double")
+    ref_path = str(tmp_path / "ref")
+    drift_reference_write(ref, "v", ref_path, bins=16)
+    art = spark.read.parquet(ref_path).collect()
+    assert sum(r["p_ref"] for r in art) == pytest.approx(1.0, abs=1e-9)
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "accepted")
+    schema = "id long, v double"
+
+    def drain(ckpt):
+        q = stream_drift_gate(
+            spark.readStream.schema(schema).parquet(str(src)),
+            "v", ref_path, out,
+            checkpoint=str(tmp_path / ckpt), max_psi=0.25)
+        q.awaitTermination(120)
+
+    good = spark.createDataFrame(
+        [(1000 + j, float((j * 7) % 100)) for j in range(400)], schema)
+    good.coalesce(1).write.mode("append").parquet(str(src))
+    drain("ck")
+    assert spark.read.parquet(out + "/batch=0").count() == 400
+
+    shifted = spark.createDataFrame(
+        [(2000 + j, float((j * 7) % 100 + 500)) for j in range(400)],
+        schema)
+    shifted.coalesce(1).write.mode("append").parquet(str(src))
+    drain("ck")  # same checkpoint: only the new file arrives
+    quarantined = spark.read.parquet(out + "/_quarantine/batch=1")
+    assert quarantined.count() == 400
+    assert quarantined.agg(F.min("v")).first()[0] >= 500
+
+    report = {r["batch_id"]: r for r in
+              read_drift_gate_report(spark, out).collect()}
+    assert report[0]["landed"] is True and report[0]["psi"] < 0.25
+    assert report[1]["landed"] is False and report[1]["psi"] > 0.25
+
+
+def test_drift_reference_write_validates_empty(spark, tmp_path):
+    from tap_airbyte_wrapper_spark.streaming import drift_reference_write
+
+    empty = spark.createDataFrame([], "id long, v double")
+    with pytest.raises(ValueError, match="no\\s+non-null"):
+        drift_reference_write(empty, "v", str(tmp_path / "r"))
