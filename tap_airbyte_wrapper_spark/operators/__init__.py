@@ -46,12 +46,14 @@ from .stats import (
     bootstrap_ci,
     chi_square_independence,
     jarque_bera,
+    kruskal_wallis,
     ks_test,
     mann_whitney_u,
     mutual_information,
     paired_t_test,
     proportion_z_test,
     seasonal_decompose,
+    wasserstein_1d,
     welch_t_test,
     wilcoxon_signed_rank,
 )
@@ -102,7 +104,8 @@ __all__ = [
     "ks_test", "mann_whitney_u", "welch_t_test", "chi_square_independence",
     "bootstrap_ci", "autocorrelation", "jarque_bera", "proportion_z_test",
     "seasonal_decompose", "bh_fdr", "mutual_information",
-    "wilcoxon_signed_rank", "paired_t_test",
+    "wilcoxon_signed_rank", "paired_t_test", "wasserstein_1d",
+    "kruskal_wallis",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

@@ -42,7 +42,7 @@ __all__ = ["ks_test", "mann_whitney_u", "welch_t_test",
            "chi_square_independence", "bootstrap_ci", "autocorrelation",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
            "bh_fdr", "mutual_information", "wilcoxon_signed_rank",
-           "paired_t_test"]
+           "paired_t_test", "wasserstein_1d", "kruskal_wallis"]
 
 
 def _normal_sf2(z: float) -> float:
@@ -381,6 +381,140 @@ def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
                 F.round("__mean", 4).alias("mean"),
                 F.round("__lo", 4).alias("ci_lo"),
                 F.round("__hi", 4).alias("ci_hi")))
+
+
+def _normal_sf1(z: float) -> float:
+    """One-sided upper tail P(Z > z) from the two-sided helper."""
+    return _normal_sf2(z) / 2.0 if z >= 0 else 1.0 - _normal_sf2(z) / 2.0
+
+
+def wasserstein_1d(df: DataFrame, value_col: str, group_col: str,
+                   group_a: str, group_b: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between two slices —
+    the INTEGRAL companion of :func:`ks_test`'s sup: ``W1 = integral
+    |F_a - F_b| dx``, i.e. how much mass moved times HOW FAR, in the
+    value's own units (a 2% tail excursion that KS barely sees but
+    that doubles the max document length shows up here; conversely a
+    tiny vertical gap spread over a long range is W1-visible,
+    KS-invisible).
+
+    Closed form on the distinct-value grid: between consecutive
+    values the ECDFs are constant, so ``W1 = sum_i (x_{i+1} - x_i) *
+    |F_a(x_i) - F_b(x_i)|`` — the vertical gaps are exact rationals
+    (integer cumulative counts), each term multiplies one float gap,
+    and the single division by ``na*nb`` happens once at the end.
+
+    Plan: the KS count table plus one more prefix pass for the
+    distinct-value ORDINAL (a cumsum of ones — consecutive-value
+    pairing becomes an equi-join on ordinal+1, no window, no
+    driver-side sort).  Output: ONE row ``(n_a, n_b, w1)``."""
+    from .windows import global_cumsum
+
+    spark = df.sparkSession
+    counts = _two_group_counts(df, value_col, group_col,
+                               group_a, group_b)
+    tot = counts.agg(F.sum("__ca").alias("na"),
+                     F.sum("__cb").alias("nb")).first()
+    na, nb = int(tot["na"] or 0), int(tot["nb"] or 0)
+    if na == 0 or nb == 0:
+        return spark.sql(
+            f"SELECT CAST({na} AS BIGINT) AS n_a, "
+            f"CAST({nb} AS BIGINT) AS n_b, "
+            "CAST(NULL AS DOUBLE) AS w1")
+    cums = global_cumsum(
+        global_cumsum(
+            global_cumsum(counts.withColumn("__one", F.lit(1)),
+                          "__v", "__ca", "__cuma"),
+            "__v", "__cb", "__cumb"),
+        "__v", "__one", "__ord")
+    left = cums.select("__ord", "__v", "__cuma", "__cumb")
+    right = cums.select((F.col("__ord") - 1).alias("__ord"),
+                        F.col("__v").alias("__vnext"))
+    num = (left.join(right, "__ord")
+           .agg(F.sum((F.col("__vnext") - F.col("__v"))
+                      * F.abs(F.col("__cuma") * F.lit(nb)
+                              - F.col("__cumb") * F.lit(na)))
+                .alias("s")).first()["s"])
+    w1 = float(num or 0.0) / (na * nb)
+    return spark.sql(
+        f"SELECT CAST({na} AS BIGINT) AS n_a, "
+        f"CAST({nb} AS BIGINT) AS n_b, "
+        f"round(CAST({w1!r} AS DOUBLE), 6) AS w1")
+
+
+def kruskal_wallis(df: DataFrame, value_col: str,
+                   group_col: str) -> DataFrame:
+    """Kruskal-Wallis H — the k-SAMPLE member of the rank-test family
+    (:func:`mann_whitney_u` compares two slices; this asks "do ANY of
+    the k sources/languages/shards differ in location?" in one test,
+    before pairwise drilling with BH-corrected Mann-Whitneys).
+
+    Integer-exact core shared with the other rank tests: per
+    (value, group) counts joined to the per-distinct-value prefix,
+    ``2*R_g = sum cnt * (2*cum - c + 1)`` per group is an exact long;
+    the group table (k rows) collects driver-side where H and the tie
+    correction ``1 - sum(c^3-c)/(n^3-n)`` evaluate in exact-int-fed
+    double arithmetic.  The upper-tail p uses the Wilson-Hilferty
+    cube-root normal approximation of chi-square(k-1) (stated as
+    such; portable, and accurate to ~1e-3 for df >= 2 — gate
+    thresholds, not physics).
+
+    Plan: one input scan to (value, group) counts; per-value totals
+    and one value-bucketed prefix pass; per-group aggregate (k rows).
+    Output: ONE row ``(n, k, h, h_tie_corrected, dof, p_value)``
+    (nulls when fewer than 2 groups or all values tied)."""
+    from .windows import global_cumsum
+
+    spark = df.sparkSession
+    vg = (df.filter(F.col(value_col).isNotNull()
+                    & F.col(group_col).isNotNull())
+          .groupBy(F.col(value_col).cast("double").alias("__v"),
+                   F.col(group_col).cast("string").alias("__g"))
+          .agg(F.count(F.lit(1)).alias("__cnt"))
+          .localCheckpoint(eager=True))
+    totals = vg.groupBy("__v").agg(F.sum("__cnt").alias("__c"))
+    cums = global_cumsum(totals, "__v", "__c", "__cum")
+    per_group = (vg.join(cums, "__v")
+                 .groupBy("__g")
+                 .agg(F.sum("__cnt").alias("ng"),
+                      F.sum(F.col("__cnt")
+                            * (2 * F.col("__cum") - F.col("__c") + 1))
+                      .alias("r2")).collect())
+    ties = cums.agg(F.sum(F.col("__c") * F.col("__c") * F.col("__c")
+                          - F.col("__c")).alias("t")).first()
+    k = len(per_group)
+    n = sum(int(r["ng"]) for r in per_group)
+    null_row = (
+        f"SELECT CAST({n} AS BIGINT) AS n, "
+        f"CAST({k} AS BIGINT) AS k, "
+        "CAST(NULL AS DOUBLE) AS h, "
+        "CAST(NULL AS DOUBLE) AS h_tie_corrected, "
+        "CAST(NULL AS DOUBLE) AS dof, "
+        "CAST(NULL AS DOUBLE) AS p_value")
+    if k < 2 or n < 2:
+        return spark.sql(null_row)
+    t = int(ties["t"] or 0)
+    # H = 12/(n(n+1)) * sum R_g^2/n_g - 3(n+1); R_g = r2/2
+    s = sum((int(r["r2"]) * int(r["r2"])) / (4.0 * int(r["ng"]))
+            for r in per_group)
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    denom = 1.0 - t / (n * n * n - n)
+    if denom <= 0:  # every value identical
+        return spark.sql(null_row)
+    hc = h / denom
+    dfree = k - 1
+    # Wilson-Hilferty: chi2 upper tail via cube-root normalization
+    z = (((hc / dfree) ** (1.0 / 3.0)
+          - (1.0 - 2.0 / (9.0 * dfree)))
+         / math.sqrt(2.0 / (9.0 * dfree))) if hc > 0 else -10.0
+    p = _normal_sf1(z)
+    return spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n, "
+        f"CAST({k} AS BIGINT) AS k, "
+        f"round(CAST({h!r} AS DOUBLE), 6) AS h, "
+        f"round(CAST({hc!r} AS DOUBLE), 6) AS h_tie_corrected, "
+        f"round(CAST({float(dfree)!r} AS DOUBLE), 6) AS dof, "
+        f"round(CAST({p!r} AS DOUBLE), 6) AS p_value")
 
 
 def wilcoxon_signed_rank(df: DataFrame, col_a: str,

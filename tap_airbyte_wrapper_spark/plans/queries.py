@@ -2247,6 +2247,35 @@ def q_paired_t(spark, sf_dir):
                          "score_a", "score_b")
 
 
+def q_wasserstein(spark, sf_dir):
+    """Earth mover's distance on the SAME planted 5% shift as the KS
+    entry — the integral view: W1 lands near 5% of the mean price
+    (mass times distance, in dollars), where KS only reports the
+    vertical ECDF gap."""
+    from ..operators import wasserstein_1d
+
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice")
+         * F.when(F.col("o_orderpriority") == "5-LOW", 1.05)
+         .otherwise(1.0)).alias("price"),
+        F.col("o_orderpriority").alias("prio"))
+    return wasserstein_1d(orders, "price", "prio",
+                          "1-URGENT", "5-LOW")
+
+
+def q_kruskal(spark, sf_dir):
+    """Kruskal-Wallis across ALL FIVE order priorities at once (the
+    k-sample screen run before pairwise BH-corrected drilling),
+    100-dollar quantized so ties carry weight; unplanted — the answer
+    is 'no group differs'."""
+    from ..operators import kruskal_wallis
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") / 100).alias("bucket"),
+        F.col("o_orderpriority").alias("prio"))
+    return kruskal_wallis(orders, "bucket", "prio")
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3788,6 +3817,8 @@ QUERIES = {
     "mi_docs": q_mutual_information,
     "wilcoxon_docs": q_wilcoxon,
     "paired_t_docs": q_paired_t,
+    "wasserstein_orders": q_wasserstein,
+    "kruskal_orders": q_kruskal,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -6558,6 +6589,86 @@ ORACLES = {
                round(ci.lo, 4) AS ci_lo,
                round(ci.hi, 4) AS ci_hi
         FROM base, ci""",
+    "wasserstein_orders": """
+        WITH t AS (
+          SELECT o_totalprice * CASE WHEN o_orderpriority = '5-LOW'
+                                     THEN 1.05 ELSE 1.0 END AS v,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                      ELSE 0 END AS ca,
+                 CASE WHEN o_orderpriority = '5-LOW' THEN 1
+                      ELSE 0 END AS cb
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        g AS (SELECT v, sum(ca) AS ca, sum(cb) AS cb
+              FROM t GROUP BY v),
+        n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+        c AS (SELECT v,
+                     sum(ca) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cuma,
+                     sum(cb) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cumb,
+                     lead(v) OVER (ORDER BY v) AS vnext
+              FROM g),
+        s AS (SELECT sum((c.vnext - c.v)
+                         * abs(c.cuma * n.nb - c.cumb * n.na)) AS s,
+                     n.na, n.nb
+              FROM c, n WHERE c.vnext IS NOT NULL
+              GROUP BY n.na, n.nb)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(s / (na * nb), 6) AS w1
+        FROM s""",
+    "kruskal_orders": """
+        WITH t AS (
+          SELECT round(o_totalprice / 100) AS v,
+                 o_orderpriority AS g
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IS NOT NULL),
+        vg AS (SELECT v, g, count(*) AS cnt FROM t GROUP BY v, g),
+        tot AS (SELECT v, sum(cnt) AS c FROM vg GROUP BY v),
+        c AS (SELECT v, c,
+                     sum(c) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM tot),
+        pg AS (SELECT vg.g, sum(vg.cnt) AS ng,
+                      sum(vg.cnt * (2 * c.cum - c.c + 1)) AS r2
+               FROM vg JOIN c USING (v) GROUP BY vg.g),
+        nn AS (SELECT sum(ng) AS n, count(*) AS k FROM pg),
+        ties AS (SELECT sum(c * c * c - c) AS t FROM c),
+        s AS (SELECT sum(r2 * r2 / (4.0 * ng)) AS s FROM pg),
+        h AS (SELECT nn.n, nn.k,
+                     12.0 / (nn.n * (nn.n + 1)) * s.s
+                     - 3.0 * (nn.n + 1) AS h
+              FROM nn, s),
+        hc AS (SELECT h.n, h.k, h.h,
+                      h.h / (1.0 - ties.t
+                             / (CAST(h.n AS DOUBLE) * h.n * h.n
+                                - h.n)) AS hc,
+                      CAST(h.k - 1 AS DOUBLE) AS dfree
+               FROM h, ties),
+        z AS (SELECT hc.*,
+                     (pow(hc / dfree, 1.0 / 3.0)
+                      - (1.0 - 2.0 / (9.0 * dfree)))
+                     / sqrt(2.0 / (9.0 * dfree)) AS z
+              FROM hc),
+        p AS (SELECT z.*, abs(z) / sqrt(2.0) AS x,
+                     1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))
+                       AS tt
+              FROM z),
+        sf AS (SELECT p.*,
+                      least(1.0, greatest(0.0,
+                        tt * (0.254829592 + tt * (-0.284496736
+                          + tt * (1.421413741 + tt * (-1.453152027
+                          + tt * 1.061405429)))) * exp(-x * x)))
+                        AS sf2
+               FROM p)
+        SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+               round(h, 6) AS h,
+               round(hc, 6) AS h_tie_corrected,
+               round(dfree, 6) AS dof,
+               round(CASE WHEN z >= 0 THEN sf2 / 2.0
+                          ELSE 1.0 - sf2 / 2.0 END, 6) AS p_value
+        FROM sf""",
     "wilcoxon_docs": """
         WITH t AS (
           SELECT CAST(n_chars AS DOUBLE)

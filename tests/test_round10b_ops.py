@@ -623,3 +623,96 @@ def test_drift_reference_write_validates_empty(spark, tmp_path):
     empty = spark.createDataFrame([], "id long, v double")
     with pytest.raises(ValueError, match="no\\s+non-null"):
         drift_reference_write(empty, "v", str(tmp_path / "r"))
+
+
+# ---------------------------------------------------------------------
+# 1-D Wasserstein distance
+# ---------------------------------------------------------------------
+
+def test_wasserstein_pure_shift_equals_delta(spark):
+    """b = a + 3 pointwise: W1 between the empirical distributions of
+    two equal-size samples equals the shift exactly."""
+    from tap_airbyte_wrapper_spark.operators import wasserstein_1d
+
+    a = [float(i) for i in range(20)]
+    row = wasserstein_1d(
+        _two_group_df(spark, a, [v + 3 for v in a]),
+        "v", "g", "a", "b").first()
+    assert row["w1"] == 3.0
+
+
+def test_wasserstein_matches_numpy_bruteforce(spark):
+    """Equal sample sizes: W1 = mean |sorted_a - sorted_b| (the
+    quantile-coupling closed form)."""
+    from tap_airbyte_wrapper_spark.operators import wasserstein_1d
+
+    rng = random.Random(13)
+    a = [rng.gauss(0, 1) for _ in range(250)]
+    b = [rng.gauss(0.4, 1.5) for _ in range(250)]
+    row = wasserstein_1d(_two_group_df(spark, a, b),
+                         "v", "g", "a", "b").first()
+    expect = float(np.mean(np.abs(np.sort(a) - np.sort(b))))
+    assert row["w1"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_wasserstein_identical_zero_and_empty(spark):
+    from tap_airbyte_wrapper_spark.operators import wasserstein_1d
+
+    a = [1.0, 2.0, 5.0]
+    row = wasserstein_1d(_two_group_df(spark, a, a),
+                         "v", "g", "a", "b").first()
+    assert row["w1"] == 0.0
+    row = wasserstein_1d(_two_group_df(spark, a, []),
+                         "v", "g", "a", "b").first()
+    assert row["w1"] is None
+
+
+# ---------------------------------------------------------------------
+# Kruskal-Wallis
+# ---------------------------------------------------------------------
+
+def test_kruskal_wallis_hand_example(spark):
+    """Three groups with no overlap: [1,2,3], [4,5,6], [7,8,9].
+    Rank sums 6, 15, 24 -> H = 12/(9*10)*(36+225+576)/3 - 3*10
+    = 12/90*279 - 30 = 7.2; no ties so corrected == raw."""
+    from tap_airbyte_wrapper_spark.operators import kruskal_wallis
+
+    rows = ([(float(v), "g1") for v in [1, 2, 3]]
+            + [(float(v), "g2") for v in [4, 5, 6]]
+            + [(float(v), "g3") for v in [7, 8, 9]])
+    row = kruskal_wallis(
+        spark.createDataFrame(rows, "v double, g string"),
+        "v", "g").first()
+    assert row["n"] == 9 and row["k"] == 3 and row["dof"] == 2.0
+    assert row["h"] == pytest.approx(7.2, abs=1e-6)
+    assert row["h_tie_corrected"] == pytest.approx(7.2, abs=1e-6)
+    assert row["p_value"] < 0.05  # chi2(2) upper tail at 7.2 ~ 0.027
+
+
+def test_kruskal_wallis_two_groups_matches_mann_whitney_h(spark):
+    """k=2 reduces to the Mann-Whitney setup: H = z^2 for the same
+    data (the classical equivalence, tie-corrected both sides)."""
+    from tap_airbyte_wrapper_spark.operators import (
+        kruskal_wallis, mann_whitney_u)
+
+    rng = random.Random(17)
+    rows = ([(float(rng.randint(0, 30)), "a") for _ in range(80)]
+            + [(float(rng.randint(5, 35)), "b") for _ in range(60)])
+    df = spark.createDataFrame(rows, "v double, g string")
+    h = kruskal_wallis(df, "v", "g").first()["h_tie_corrected"]
+    z = mann_whitney_u(df, "v", "g", "a", "b").first()["z"]
+    assert h == pytest.approx(z * z, abs=1e-4)
+
+
+def test_kruskal_wallis_degenerate(spark):
+    from tap_airbyte_wrapper_spark.operators import kruskal_wallis
+
+    rows = [(5.0, "a"), (5.0, "a"), (5.0, "b")]
+    row = kruskal_wallis(
+        spark.createDataFrame(rows, "v double, g string"),
+        "v", "g").first()
+    assert row["h_tie_corrected"] is None  # all values tied
+    single = kruskal_wallis(
+        spark.createDataFrame([(1.0, "a"), (2.0, "a")],
+                              "v double, g string"), "v", "g").first()
+    assert single["h"] is None  # k < 2
