@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
+    "pmi_collocations",
     "words",
     "word_ngrams",
     "tfidf_top_terms",
@@ -114,6 +115,66 @@ def vocab_topk(
         F.countDistinct(id_col).alias("doc_freq"),
     )
     return agg.orderBy(F.desc("occurrences"), F.asc("token")).limit(k)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-``k`` collocations (adjacent word pairs) by pointwise
+    mutual information — the corpus-analysis lens that separates
+    "statistically glued" phrases ("new york", "machine learning")
+    from merely frequent ones ("of the"): ``PMI = ln(p(x,y) /
+    (p(x) p(y)))`` with bigram probability over bigram mass and
+    unigram probabilities over token mass (Church & Hanks 1990).
+    ``min_count`` applies the standard rare-pair floor (a hapax pair
+    maximizes PMI by accident; Church & Hanks recommend cutting it).
+
+    Plan: bigrams come from a per-row array expression (``transform``
+    over the token array — zero shuffle to build), then one
+    ``groupBy(bigram)`` with map-side combine; unigram counts join on
+    each side token (vocab-bounded tables, token-keyed shuffles);
+    totals arrive as one broadcast row; final top-k is
+    ``TakeOrderedAndProject``.  PMI is computed from exact integer
+    counts with the division order mirrored in the SQL oracle, so the
+    ranking (and the k-boundary) agrees bit-for-bit across engines.
+    Output: ``(w1, w2, pair_count, pmi)`` ordered by pmi desc."""
+    ws = words(F.col(text_col))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.struct(
+                F.element_at(ws, i + 1).alias("w1"),
+                F.element_at(ws, i + 2).alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    toks = df.select(F.col(id_col), ws.alias("__ws"),
+                     bigrams.alias("__bg"))
+    uni = (toks.select(F.explode("__ws").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("__cx")))
+    bi = (toks.select(F.explode("__bg").alias("b"))
+          .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cxy"))
+          .filter(F.col("__cxy") >= min_count))
+    totals = (uni.agg(F.sum("__cx").cast("double").alias("__nu"))
+              .crossJoin(toks.select(F.explode("__bg").alias("b"))
+                         .agg(F.count(F.lit(1)).cast("double")
+                              .alias("__nb"))))
+    joined = (bi.join(uni.withColumnRenamed("t", "w1")
+                      .withColumnRenamed("__cx", "__c1"), "w1")
+              .join(uni.withColumnRenamed("t", "w2")
+                    .withColumnRenamed("__cx", "__c2"), "w2")
+              .crossJoin(F.broadcast(totals)))
+    pmi = F.log((F.col("__cxy") / F.col("__nb"))
+                / ((F.col("__c1") / F.col("__nu"))
+                   * (F.col("__c2") / F.col("__nu"))))
+    return (joined.select("w1", "w2",
+                          F.col("__cxy").alias("pair_count"),
+                          F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2").limit(k))
 
 
 def _mg_summary(col_name: str, capacity: int):

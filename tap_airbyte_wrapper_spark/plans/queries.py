@@ -2276,6 +2276,16 @@ def q_kruskal(spark, sf_dir):
     return kruskal_wallis(orders, "bucket", "prio")
 
 
+def q_pmi(spark, sf_dir):
+    """Top collocations by PMI over the document corpus (min pair
+    count 3 at test scale) — 'statistically glued' adjacent pairs,
+    exact-integer counts into a mirrored-arithmetic ranking."""
+    from ..functions import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"),
+                            min_count=3, k=50)
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3819,6 +3829,7 @@ QUERIES = {
     "paired_t_docs": q_paired_t,
     "wasserstein_orders": q_wasserstein,
     "kruskal_orders": q_kruskal,
+    "pmi_docs": q_pmi,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -6589,6 +6600,34 @@ ORACLES = {
                round(ci.lo, 4) AS ci_lo,
                round(ci.hi, 4) AS ci_hi
         FROM base, ci""",
+    "pmi_docs": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(trim(text)), '\S+') AS w
+          FROM documents),
+        uni AS (SELECT t, count(*) AS cx
+                FROM (SELECT unnest(w) AS t FROM toks)
+                GROUP BY t),
+        bi AS (SELECT z[1] AS w1, z[2] AS w2
+               FROM (SELECT unnest(list_zip(w[1:len(w) - 1],
+                                            w[2:len(w)])) AS z
+                     FROM toks)),
+        bc AS (SELECT w1, w2, count(*) AS cxy
+               FROM bi GROUP BY w1, w2
+               HAVING count(*) >= 3),
+        nu AS (SELECT CAST(sum(cx) AS DOUBLE) AS nu FROM uni),
+        nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bi)
+        SELECT bc.w1, bc.w2,
+               CAST(bc.cxy AS BIGINT) AS pair_count,
+               round(ln((bc.cxy / nb.nb)
+                        / ((u1.cx / nu.nu) * (u2.cx / nu.nu))), 6)
+                 AS pmi
+        FROM bc
+        JOIN uni u1 ON u1.t = bc.w1
+        JOIN uni u2 ON u2.t = bc.w2
+        CROSS JOIN nu CROSS JOIN nb
+        ORDER BY pmi DESC, bc.w1, bc.w2
+        LIMIT 50""",
     "wasserstein_orders": """
         WITH t AS (
           SELECT o_totalprice * CASE WHEN o_orderpriority = '5-LOW'

@@ -716,3 +716,47 @@ def test_kruskal_wallis_degenerate(spark):
         spark.createDataFrame([(1.0, "a"), (2.0, "a")],
                               "v double, g string"), "v", "g").first()
     assert single["h"] is None  # k < 2
+
+
+# ---------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------
+
+def test_pmi_collocations_hand_example(spark):
+    """Corpus of 3 docs: only (new, york) clears min_count=2.
+    PMI = ln((2/5) / ((2/8)*(3/8))) = ln(4.2667) = 1.450907."""
+    from tap_airbyte_wrapper_spark.functions import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "new york city"), (2, "new york times"), (3, "old york")],
+        "doc_id long, text string")
+    out = pmi_collocations(df, min_count=2, k=10).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["w1"], row["w2"], row["pair_count"]) == ("new", "york", 2)
+    assert row["pmi"] == pytest.approx(
+        math.log((2 / 5) / ((2 / 8) * (3 / 8))), abs=1e-5)
+
+
+def test_pmi_glued_pair_beats_frequent_pair(spark):
+    """'machine learning' always co-occurs; 'of the' is frequent but
+    both words appear everywhere — PMI must rank the glued pair
+    first even though the frequent pair has more occurrences."""
+    from tap_airbyte_wrapper_spark.functions import pmi_collocations
+
+    rows = [(i, "machine learning rocks") for i in range(5)]
+    rows += [(100 + i, "some of the stuff of the day of note")
+             for i in range(10)]
+    out = pmi_collocations(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        min_count=5, k=20).collect()
+    pairs = [(r["w1"], r["w2"]) for r in out]
+    assert pairs.index(("machine", "learning")) < pairs.index(("of", "the"))
+
+
+def test_pmi_single_token_docs_no_bigrams(spark):
+    from tap_airbyte_wrapper_spark.functions import pmi_collocations
+
+    df = spark.createDataFrame([(1, "hello"), (2, "")],
+                               "doc_id long, text string")
+    assert pmi_collocations(df, min_count=1).count() == 0
