@@ -56,6 +56,24 @@ def _normal_sf2(z: float) -> float:
     return min(1.0, max(0.0, poly * math.exp(-x * x)))
 
 
+def _kolmogorov_sf(lam: float) -> float:
+    """Kolmogorov distribution upper tail ``Q(lambda) = 2 sum_{k>=1}
+    (-1)^{k-1} exp(-2 k^2 lambda^2)`` (first 100 terms, clamped to
+    [0, 1]) — the KS p-value kernel, kept driver-side/pure so the SQL
+    oracles can mirror the identical ascending-k summation.  Below
+    lambda = 0.02 the truncated alternating series has not yet
+    converged (at lambda = 0 every term is +-1 and the partial sum is
+    garbage); the true tail there is 1 to >300 decimal places, so the
+    kernel returns 1.0 — mirrored in the oracles."""
+    if lam < 0.02:
+        return 1.0
+    q = 0.0
+    for k in range(1, 101):
+        q += (1.0 if k % 2 == 1 else -1.0) * math.exp(
+            -2.0 * k * k * lam * lam)
+    return min(1.0, max(0.0, 2.0 * q))
+
+
 def _two_group_counts(df: DataFrame, value_col: str, group_col: str,
                       group_a: str, group_b: str) -> DataFrame:
     """Distinct-value table ``(__v, __ca, __cb)`` for the two groups —
@@ -122,11 +140,7 @@ def ks_test(df: DataFrame, value_col: str, group_col: str,
     d = int(dnum) / (na * nb)
     ne = na * nb / (na + nb)
     lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
-    q = 0.0
-    for k in range(1, 101):
-        q += (1.0 if k % 2 == 1 else -1.0) * math.exp(
-            -2.0 * k * k * lam * lam)
-    p = min(1.0, max(0.0, 2.0 * q))
+    p = _kolmogorov_sf(lam)
     return spark.sql(
         f"SELECT CAST({na} AS BIGINT) AS n_a, "
         f"CAST({nb} AS BIGINT) AS n_b, "
@@ -317,10 +331,10 @@ def chi_square_independence(df: DataFrame, col_x: str,
 # adds 1 to the weight, so w = sum of 9 comparisons — pure integer
 # adds, identical in Spark and the SQL oracles.
 _POISSON1_CDF = [0.36787944117144233, 0.7357588823428847,
-                 0.9196986029286058, 0.9810118431238462,
+                 0.9196986029286058, 0.9810118431238463,
                  0.9963401531726563, 0.9994058151824183,
                  0.9999167588507119, 0.9999897508033253,
-                 0.9999988747945021]
+                 0.999998874797402]
 
 
 def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,

@@ -6450,10 +6450,12 @@ ORACLES = {
                    AS lam
           FROM n, d),
         p AS (
-          SELECT least(1.0, greatest(0.0, 2.0 * sum(
+          SELECT CASE WHEN lam.lam < 0.02 THEN 1.0
+                 ELSE least(1.0, greatest(0.0, 2.0 * sum(
                    CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END
-                   * exp(-2.0 * k * k * lam.lam * lam.lam)))) AS p
-          FROM generate_series(1, 100) s(k), lam)
+                   * exp(-2.0 * k * k * lam.lam * lam.lam)))) END AS p
+          FROM generate_series(1, 100) s(k), lam
+          GROUP BY lam.lam)
         SELECT CAST(n.na AS BIGINT) AS n_a,
                CAST(n.nb AS BIGINT) AS n_b,
                round(d.d, 6) AS d_stat,
@@ -6579,12 +6581,12 @@ ORACLES = {
                  CAST(u >= 0.36787944117144233 AS INT)
                + CAST(u >= 0.7357588823428847 AS INT)
                + CAST(u >= 0.9196986029286058 AS INT)
-               + CAST(u >= 0.9810118431238462 AS INT)
+               + CAST(u >= 0.9810118431238463 AS INT)
                + CAST(u >= 0.9963401531726563 AS INT)
                + CAST(u >= 0.9994058151824183 AS INT)
                + CAST(u >= 0.9999167588507119 AS INT)
                + CAST(u >= 0.9999897508033253 AS INT)
-               + CAST(u >= 0.9999988747945021 AS INT) AS w
+               + CAST(u >= 0.999998874797402 AS INT) AS w
           FROM reps),
         means AS (
           SELECT sum(w * v) / sum(w) AS m FROM w GROUP BY r),

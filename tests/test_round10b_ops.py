@@ -62,6 +62,15 @@ def test_ks_matches_numpy_ecdf_bruteforce(spark):
                                           abs=1e-6)
 
 
+def test_ks_identical_groups_p_one(spark):
+    """D = 0 exactly -> the truncated Kolmogorov series is in its
+    divergent region; the kernel's small-lambda clamp must return the
+    true tail, p = 1."""
+    a = [float(i) for i in range(50)]
+    row = ks_test(_two_group_df(spark, a, a), "v", "g", "a", "b").first()
+    assert row["d_stat"] == 0.0 and row["p_value"] == 1.0
+
+
 def test_ks_empty_group_nulls(spark):
     row = ks_test(_two_group_df(spark, [1.0, 2.0], []),
                   "v", "g", "a", "b").first()
