@@ -4018,6 +4018,15 @@ QUERIES = {
 # and the three stalest r07 rows (pagerank_suppliers doubles as the
 # graph-drift watch item).  Everything rotated out stays
 # oracle-checked on every pytest run (tests/test_oracle_parity.py).
+#
+# DELIBERATE DEBT for the r11 rotation: the 50-slot window is
+# zero-sum, and the r06-stale rotation (the round-10 ask) fills it —
+# so the remaining round-10 additions (cusum/sen_slope, the two-sample
+# statistics toolkit ks/mann-whitney/welch/chi2/bootstrap/acf/
+# jarque-bera/prop-z/seasonal/bh-fdr/mi/wilcoxon/paired-t/wasserstein/
+# kruskal, pmi_docs) register past the window this round, exactly the
+# r08->r09 pattern.  All are hash-green in test_oracle_parity at
+# sf0.001 AND sf0.01 (the driver's own scale) on every pytest run.
 _R10_WINDOW = [
     "pack_sequences_docs", "clean_holdout_docs", "dedup_cluster_stats",
     "melt_lineitem_metrics", "fk_violations_orders",
