@@ -1,0 +1,120 @@
+"""Text-generation evaluation metrics: corpus BLEU and ROUGE-N recall.
+
+The eval-suite counterpart of the IR metrics in
+:mod:`~.retrieval` (``rank_eval`` scores retrieval; this scores
+GENERATION against references) — the "did the new model/prompt/decode
+setting change output quality?" gate, runnable over millions of
+(candidate, reference) pairs because everything is relational:
+per-(row, gram) counts, an equi-join for clipped matches, partial-agg
+sums.  No per-row quadratic array scans, no UDFs.
+
+Public-knowledge formulas: BLEU with the brevity penalty exactly as
+Papineni et al. 2002 (corpus-level: clipped n-gram matches and totals
+SUM over the corpus before the ratio — not a mean of sentence scores);
+ROUGE-N recall as Lin 2004 (same clipped matches over reference
+totals).  Tokenization is the house whitespace tokenizer
+(:func:`~.corpus.words`), so scores are comparable with every other
+text operator here and mirrorable in the SQL oracles.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from .corpus import word_ngrams, words
+
+__all__ = ["bleu_rouge_corpus"]
+
+
+def bleu_rouge_corpus(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU (up to ``max_n``-grams, uniform weights,
+    brevity penalty) plus ROUGE-1/2 recall for (candidate, reference)
+    text pairs — ONE row out.
+
+    Corpus BLEU, not averaged sentence BLEU: clipped matches and
+    candidate totals sum over all pairs first (Papineni et al. 2002's
+    definition — sentence-averaging over-rewards short degenerate
+    outputs).  No smoothing: a zero clipped count at any order makes
+    ``bleu = 0`` (stated; at eval-corpus sizes a zero 4-gram overlap
+    IS the signal).  ``bp = exp(min(0, 1 - r/c))`` with ``r``/``c``
+    the summed reference/candidate token lengths.
+
+    Plan: both sides tokenize once into a checkpointed projection;
+    per order n, each side explodes to per-(row, gram) counts
+    (map-side combined), clipped matches are ``min`` over one
+    (row, gram) equi-join, and per-order sums reduce to four tiny
+    rows collected driver-side where the closed-form BLEU evaluates
+    in libm doubles (mirrored in the SQL oracle).  Output: ONE row
+    ``(n_pairs, p1..p{max_n}, rouge1_r, rouge2_r, bp, bleu)``."""
+    if not 1 <= max_n <= 8:
+        raise ValueError(f"max_n must be in 1..8, got {max_n}")
+    spark = df.sparkSession
+    base = (df.filter(F.col(cand_col).isNotNull()
+                      & F.col(ref_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    words(F.col(cand_col)).alias("__wc"),
+                    words(F.col(ref_col)).alias("__wr"))
+            .localCheckpoint(eager=True))
+    lens = base.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.size("__wc")).alias("c_len"),
+        F.sum(F.size("__wr")).alias("r_len")).first()
+    n_pairs = int(lens["n_pairs"])
+    if n_pairs == 0:
+        cols = ", ".join(
+            f"CAST(NULL AS DOUBLE) AS p{n}" for n in range(1, max_n + 1))
+        return spark.sql(
+            f"SELECT CAST(0 AS BIGINT) AS n_pairs, {cols}, "
+            "CAST(NULL AS DOUBLE) AS rouge1_r, "
+            "CAST(NULL AS DOUBLE) AS rouge2_r, "
+            "CAST(NULL AS DOUBLE) AS bp, "
+            "CAST(NULL AS DOUBLE) AS bleu")
+    c_len, r_len = int(lens["c_len"] or 0), int(lens["r_len"] or 0)
+    stats: dict[int, tuple[int, int, int]] = {}
+    for n in range(1, max_n + 1):
+        cg = (base.select("__id", F.explode(
+            word_ngrams(F.col("__wc"), n)).alias("g"))
+            .groupBy("__id", "g").agg(F.count(F.lit(1)).alias("cc")))
+        rg = (base.select("__id", F.explode(
+            word_ngrams(F.col("__wr"), n)).alias("g"))
+            .groupBy("__id", "g").agg(F.count(F.lit(1)).alias("rc")))
+        row = (cg.join(rg, ["__id", "g"])
+               .agg(F.sum(F.least("cc", "rc")).alias("clip")).first())
+        tots = cg.agg(F.sum("cc").alias("ct")).first()
+        rtots = rg.agg(F.sum("rc").alias("rt")).first()
+        stats[n] = (int(row["clip"] or 0), int(tots["ct"] or 0),
+                    int(rtots["rt"] or 0))
+    ps = {n: (stats[n][0] / stats[n][1] if stats[n][1] > 0 else None)
+          for n in stats}
+    bp = (math.exp(min(0.0, 1.0 - r_len / c_len))
+          if c_len > 0 else None)
+    usable = [ps[n] for n in range(1, max_n + 1)]
+    if bp is None or any(p is None for p in usable):
+        bleu = None
+    elif any(p == 0.0 for p in usable):
+        bleu = 0.0
+    else:
+        bleu = bp * math.exp(
+            sum(math.log(p) for p in usable) / max_n)
+    r1 = (stats[1][0] / stats[1][2] if stats[1][2] > 0 else None)
+    r2 = (stats[2][0] / stats[2][2]
+          if max_n >= 2 and stats[2][2] > 0 else None)
+
+    def _d(x):
+        return ("CAST(NULL AS DOUBLE)" if x is None
+                else f"round(CAST({x!r} AS DOUBLE), 6)")
+
+    pcols = ", ".join(f"{_d(ps[n])} AS p{n}"
+                      for n in range(1, max_n + 1))
+    return spark.sql(
+        f"SELECT CAST({n_pairs} AS BIGINT) AS n_pairs, {pcols}, "
+        f"{_d(r1)} AS rouge1_r, {_d(r2)} AS rouge2_r, "
+        f"{_d(bp)} AS bp, {_d(bleu)} AS bleu")

@@ -2286,6 +2286,23 @@ def q_pmi(spark, sf_dir):
                             min_count=3, k=50)
 
 
+def q_bleu(spark, sf_dir):
+    """Corpus BLEU + ROUGE-N with a PLANTED perturbation: every 3rd
+    doc's candidate has e->a substituted (token-level damage), the
+    rest are verbatim copies — p_n and the ROUGE recalls must land
+    strictly between the damaged fraction and 1, with BP = 1 (equal
+    lengths)."""
+    from ..functions import bleu_rouge_corpus
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.translate(F.col("text"), "e", "a"))
+        .otherwise(F.col("text")).alias("cand"),
+        F.col("text").alias("ref"))
+    return bleu_rouge_corpus(docs, "cand", "ref", "doc_id")
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3830,6 +3847,7 @@ QUERIES = {
     "wasserstein_orders": q_wasserstein,
     "kruskal_orders": q_kruskal,
     "pmi_docs": q_pmi,
+    "bleu_docs": q_bleu,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -6611,6 +6629,117 @@ ORACLES = {
                round(ci.lo, 4) AS ci_lo,
                round(ci.hi, 4) AS ci_hi
         FROM base, ci""",
+    "bleu_docs": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(trim(
+                   CASE WHEN doc_id % 3 = 0
+                        THEN translate(text, 'e', 'a')
+                        ELSE text END)), '\S+') AS wc,
+                 regexp_extract_all(lower(trim(text)), '\S+') AS wr
+          FROM documents WHERE text IS NOT NULL),
+        lens AS (SELECT count(*) AS np, sum(len(wc)) AS c_len,
+                        sum(len(wr)) AS r_len
+                 FROM t),
+        cg1 AS (SELECT doc_id, g, count(*) AS cc
+                FROM (SELECT doc_id, unnest(wc) AS g FROM t)
+                GROUP BY 1, 2),
+        rg1 AS (SELECT doc_id, g, count(*) AS rc
+                FROM (SELECT doc_id, unnest(wr) AS g FROM t)
+                GROUP BY 1, 2),
+        s1 AS (SELECT
+                 (SELECT sum(least(cc, rc)) FROM cg1
+                  JOIN rg1 USING (doc_id, g)) AS clip,
+                 (SELECT sum(cc) FROM cg1) AS ct,
+                 (SELECT sum(rc) FROM rg1) AS rt),
+        cg2 AS (SELECT doc_id, z[1] || ' ' || z[2] AS g, count(*) AS cc
+                FROM (SELECT doc_id,
+                        unnest(list_zip(wc[1:greatest(len(wc)-1,0)],
+                                        wc[2:len(wc)])) AS z
+                      FROM t)
+                GROUP BY 1, 2),
+        rg2 AS (SELECT doc_id, z[1] || ' ' || z[2] AS g, count(*) AS rc
+                FROM (SELECT doc_id,
+                        unnest(list_zip(wr[1:greatest(len(wr)-1,0)],
+                                        wr[2:len(wr)])) AS z
+                      FROM t)
+                GROUP BY 1, 2),
+        s2 AS (SELECT
+                 (SELECT sum(least(cc, rc)) FROM cg2
+                  JOIN rg2 USING (doc_id, g)) AS clip,
+                 (SELECT sum(cc) FROM cg2) AS ct,
+                 (SELECT sum(rc) FROM rg2) AS rt),
+        cg3 AS (SELECT doc_id,
+                       z[1] || ' ' || z[2] || ' ' || z[3] AS g,
+                       count(*) AS cc
+                FROM (SELECT doc_id,
+                        unnest(list_zip(wc[1:greatest(len(wc)-2,0)],
+                                        wc[2:greatest(len(wc)-1,0)],
+                                        wc[3:len(wc)])) AS z
+                      FROM t)
+                GROUP BY 1, 2),
+        rg3 AS (SELECT doc_id,
+                       z[1] || ' ' || z[2] || ' ' || z[3] AS g,
+                       count(*) AS rc
+                FROM (SELECT doc_id,
+                        unnest(list_zip(wr[1:greatest(len(wr)-2,0)],
+                                        wr[2:greatest(len(wr)-1,0)],
+                                        wr[3:len(wr)])) AS z
+                      FROM t)
+                GROUP BY 1, 2),
+        s3 AS (SELECT
+                 (SELECT sum(least(cc, rc)) FROM cg3
+                  JOIN rg3 USING (doc_id, g)) AS clip,
+                 (SELECT sum(cc) FROM cg3) AS ct,
+                 (SELECT sum(rc) FROM rg3) AS rt),
+        cg4 AS (SELECT doc_id,
+                  z[1] || ' ' || z[2] || ' ' || z[3] || ' ' || z[4]
+                    AS g, count(*) AS cc
+                FROM (SELECT doc_id,
+                        unnest(list_zip(wc[1:greatest(len(wc)-3,0)],
+                                        wc[2:greatest(len(wc)-2,0)],
+                                        wc[3:greatest(len(wc)-1,0)],
+                                        wc[4:len(wc)])) AS z
+                      FROM t)
+                GROUP BY 1, 2),
+        rg4 AS (SELECT doc_id,
+                  z[1] || ' ' || z[2] || ' ' || z[3] || ' ' || z[4]
+                    AS g, count(*) AS rc
+                FROM (SELECT doc_id,
+                        unnest(list_zip(wr[1:greatest(len(wr)-3,0)],
+                                        wr[2:greatest(len(wr)-2,0)],
+                                        wr[3:greatest(len(wr)-1,0)],
+                                        wr[4:len(wr)])) AS z
+                      FROM t)
+                GROUP BY 1, 2),
+        s4 AS (SELECT
+                 (SELECT sum(least(cc, rc)) FROM cg4
+                  JOIN rg4 USING (doc_id, g)) AS clip,
+                 (SELECT sum(cc) FROM cg4) AS ct,
+                 (SELECT sum(rc) FROM rg4) AS rt),
+        p AS (SELECT
+                s1.clip / CAST(s1.ct AS DOUBLE) AS p1,
+                s2.clip / CAST(s2.ct AS DOUBLE) AS p2,
+                s3.clip / CAST(s3.ct AS DOUBLE) AS p3,
+                s4.clip / CAST(s4.ct AS DOUBLE) AS p4,
+                s1.clip / CAST(s1.rt AS DOUBLE) AS rouge1_r,
+                s2.clip / CAST(s2.rt AS DOUBLE) AS rouge2_r,
+                exp(least(0.0, 1.0 - lens.r_len
+                          / CAST(lens.c_len AS DOUBLE))) AS bp,
+                lens.np
+              FROM s1, s2, s3, s4, lens)
+        SELECT CAST(np AS BIGINT) AS n_pairs,
+               round(p1, 6) AS p1, round(p2, 6) AS p2,
+               round(p3, 6) AS p3, round(p4, 6) AS p4,
+               round(rouge1_r, 6) AS rouge1_r,
+               round(rouge2_r, 6) AS rouge2_r,
+               round(bp, 6) AS bp,
+               round(CASE WHEN p1 = 0 OR p2 = 0 OR p3 = 0 OR p4 = 0
+                          THEN 0.0
+                          ELSE bp * exp((ln(p1) + ln(p2) + ln(p3)
+                                         + ln(p4)) / 4) END, 6)
+                 AS bleu
+        FROM p""",
     "pmi_docs": r"""
         WITH toks AS (
           SELECT doc_id,

@@ -769,3 +769,76 @@ def test_pmi_single_token_docs_no_bigrams(spark):
     df = spark.createDataFrame([(1, "hello"), (2, "")],
                                "doc_id long, text string")
     assert pmi_collocations(df, min_count=1).count() == 0
+
+
+# ---------------------------------------------------------------------
+# BLEU / ROUGE
+# ---------------------------------------------------------------------
+
+def test_bleu_identity_and_clipping(spark):
+    """Identical pairs score bleu=1 everywhere; the degenerate
+    repeated-candidate case pins Papineni clipping (p1 = 2/7)."""
+    from tap_airbyte_wrapper_spark.functions import bleu_rouge_corpus
+
+    same = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog",
+          "the quick brown fox jumps over the lazy dog")],
+        "id long, cand string, ref string")
+    row = bleu_rouge_corpus(same, "cand", "ref", "id").first()
+    assert row["bleu"] == 1.0 and row["p4"] == 1.0
+    assert row["rouge1_r"] == 1.0 and row["bp"] == 1.0
+
+    clip = spark.createDataFrame(
+        [(1, "the the the the the the the", "the cat is on the mat")],
+        "id long, cand string, ref string")
+    row = bleu_rouge_corpus(clip, "cand", "ref", "id", max_n=1).first()
+    assert row["p1"] == pytest.approx(2 / 7, abs=1e-6)
+
+
+def test_bleu_brevity_penalty(spark):
+    """cand = exact prefix, half the reference length: every p_n = 1,
+    bp = exp(1 - r/c) = exp(-1)."""
+    from tap_airbyte_wrapper_spark.functions import bleu_rouge_corpus
+
+    df = spark.createDataFrame(
+        [(1, "the cat", "the cat is right here")],
+        "id long, cand string, ref string")
+    row = bleu_rouge_corpus(df, "cand", "ref", "id", max_n=2).first()
+    assert row["p1"] == 1.0 and row["p2"] == 1.0
+    assert row["bp"] == pytest.approx(math.exp(1 - 5 / 2), abs=1e-6)
+    assert row["bleu"] == pytest.approx(math.exp(1 - 5 / 2), abs=1e-6)
+
+
+def test_bleu_zero_overlap_and_corpus_pooling(spark):
+    """Disjoint vocab -> bleu = 0; corpus pooling sums matches before
+    the ratio (NOT a mean of per-sentence scores): one perfect pair +
+    one disjoint pair of equal length -> p1 = 0.5, not 0.5 average of
+    {1, 0} by construction equal here, but p4 pools to below 1."""
+    from tap_airbyte_wrapper_spark.functions import bleu_rouge_corpus
+
+    disjoint = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "one two three four")],
+        "id long, cand string, ref string")
+    row = bleu_rouge_corpus(disjoint, "cand", "ref", "id").first()
+    assert row["bleu"] == 0.0 and row["rouge1_r"] == 0.0
+
+    pooled = spark.createDataFrame(
+        [(1, "a b c d e", "a b c d e"),
+         (2, "v w x y z", "p q r s t")],
+        "id long, cand string, ref string")
+    row = bleu_rouge_corpus(pooled, "cand", "ref", "id").first()
+    assert row["p1"] == 0.5
+    assert row["p4"] == pytest.approx(2 / 4, abs=1e-6)  # 2 of 4 4-grams
+    assert row["bleu"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_bleu_empty_and_validation(spark):
+    from tap_airbyte_wrapper_spark.functions import bleu_rouge_corpus
+
+    empty = spark.createDataFrame([], "id long, cand string, ref string")
+    assert bleu_rouge_corpus(empty, "cand", "ref", "id").first()[
+        "n_pairs"] == 0
+    df = spark.createDataFrame([(1, "a", "a")],
+                               "id long, cand string, ref string")
+    with pytest.raises(ValueError):
+        bleu_rouge_corpus(df, "cand", "ref", "id", max_n=0)
