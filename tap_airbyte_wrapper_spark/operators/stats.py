@@ -110,12 +110,10 @@ def ks_test(df: DataFrame, value_col: str, group_col: str,
     exp(-2 k^2 lambda^2)`` (first 100 terms; clamped to [0, 1]).
 
     Plan: one input scan to per-distinct-value group counts (bounded
-    by value cardinality), two value-bucketed global prefix passes
-    over that table (:func:`~.windows.global_cumsum` — no single-task
+    by value cardinality), BOTH cumulatives from one value-bucketed
+    prefix pass (shared :func:`_multi_cumsum` — no single-task
     window), one max aggregate.  Output: ONE row ``(n_a, n_b, d_stat,
     p_value)``; nulls when either group is empty."""
-    from .windows import global_cumsum
-
     spark = df.sparkSession
     counts = _two_group_counts(df, value_col, group_col,
                                group_a, group_b)
@@ -128,9 +126,7 @@ def ks_test(df: DataFrame, value_col: str, group_col: str,
             f"CAST({nb} AS BIGINT) AS n_b, "
             "CAST(NULL AS DOUBLE) AS d_stat, "
             "CAST(NULL AS DOUBLE) AS p_value")
-    cums = global_cumsum(
-        global_cumsum(counts, "__v", "__ca", "__cuma"),
-        "__v", "__cb", "__cumb")
+    cums = _multi_cumsum(counts)  # both prefixes, ONE boundary pass
     # D as an exact rational: max over values of
     # |cuma*nb - cumb*na| / (na*nb)  — integer numerator, so the max
     # is found in exact arithmetic and divided once
@@ -242,11 +238,17 @@ def welch_t_test(df: DataFrame, value_col: str, group_col: str,
            .first())
     na, nb = int(row["na"]), int(row["nb"])
     if na < 2 or nb < 2:
+        # keep the means where they exist (n >= 1): the effect size is
+        # still information even when the test is undefined
+        def _m(v):
+            return ("CAST(NULL AS DOUBLE)" if v is None
+                    else f"round(CAST({float(v)!r} AS DOUBLE), 6)")
+
         return spark.sql(
             f"SELECT CAST({na} AS BIGINT) AS n_a, "
             f"CAST({nb} AS BIGINT) AS n_b, "
-            "CAST(NULL AS DOUBLE) AS mean_a, "
-            "CAST(NULL AS DOUBLE) AS mean_b, "
+            f"{_m(row['ma'])} AS mean_a, "
+            f"{_m(row['mb'])} AS mean_b, "
             "CAST(NULL AS DOUBLE) AS t_stat, "
             "CAST(NULL AS DOUBLE) AS dof, "
             "CAST(NULL AS DOUBLE) AS p_value")
@@ -299,6 +301,12 @@ def chi_square_independence(df: DataFrame, col_x: str,
                     F.col(col_y).cast("string").alias("__y"))
            .agg(F.count(F.lit(1)).alias("__o"))
            .localCheckpoint(eager=True))
+    if obs.isEmpty():  # keep the ONE-row contract on empty slices
+        return df.sparkSession.sql(
+            "SELECT CAST(0 AS BIGINT) AS n, "
+            "CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_cols, "
+            "CAST(NULL AS DOUBLE) AS chi2, CAST(0 AS BIGINT) AS dof, "
+            "CAST(NULL AS DOUBLE) AS cramers_v")
     mx = obs.groupBy("__x").agg(F.sum("__o").alias("__nx"))
     my = obs.groupBy("__y").agg(F.sum("__o").alias("__ny"))
     tot = obs.agg(F.sum("__o").alias("__n"),
@@ -402,6 +410,50 @@ def _normal_sf1(z: float) -> float:
     return _normal_sf2(z) / 2.0 if z >= 0 else 1.0 - _normal_sf2(z) / 2.0
 
 
+
+def _multi_cumsum(counts: DataFrame) -> DataFrame:
+    """One value-bucketed pass computing the three prefixes the
+    Wasserstein grid needs over the (__v, __ca, __cb) count table —
+    inclusive cumulatives __cuma/__cumb and the distinct-value ordinal
+    __ord — instead of three chained :func:`~.windows.global_cumsum`
+    calls each re-paying the boundary sample, offset collect, and
+    window scan (reviewed: 3x the jobs on exactly the large inputs the
+    two-phase machinery exists for)."""
+    from pyspark.sql import Window
+
+    from .windows import _value_buckets
+
+    keyed = counts.withColumn("__k0", F.col("__v"))
+    spark = counts.sparkSession
+    parts = _value_buckets(keyed, spark.sparkContext.defaultParallelism)
+    per = {r["__pid"]: (int(r["a"] or 0), int(r["b"] or 0), int(r["n"]))
+           for r in parts.groupBy("__pid")
+           .agg(F.sum("__ca").alias("a"), F.sum("__cb").alias("b"),
+                F.count(F.lit(1)).alias("n")).collect()}
+    offs_a, offs_b, offs_n = [], [], []
+    acc_a = acc_b = acc_n = 0
+    for pid in range(max(per) + 1 if per else 0):
+        offs_a.append(acc_a)
+        offs_b.append(acc_b)
+        offs_n.append(acc_n)
+        a, b, n = per.get(pid, (0, 0, 0))
+        acc_a += a
+        acc_b += b
+        acc_n += n
+    w = (Window.partitionBy("__pid").orderBy("__k0")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    def off(vals):
+        return F.element_at(F.array(*[F.lit(v) for v in vals]),
+                            F.col("__pid") + 1)
+
+    return (parts
+            .withColumn("__cuma", F.sum("__ca").over(w) + off(offs_a))
+            .withColumn("__cumb", F.sum("__cb").over(w) + off(offs_b))
+            .withColumn("__ord", F.count(F.lit(1)).over(w) + off(offs_n))
+            .drop("__pid", "__k0"))
+
+
 def wasserstein_1d(df: DataFrame, value_col: str, group_col: str,
                    group_a: str, group_b: str) -> DataFrame:
     """1-D Wasserstein-1 (earth mover's) distance between two slices —
@@ -418,12 +470,11 @@ def wasserstein_1d(df: DataFrame, value_col: str, group_col: str,
     (integer cumulative counts), each term multiplies one float gap,
     and the single division by ``na*nb`` happens once at the end.
 
-    Plan: the KS count table plus one more prefix pass for the
-    distinct-value ORDINAL (a cumsum of ones — consecutive-value
-    pairing becomes an equi-join on ordinal+1, no window, no
-    driver-side sort).  Output: ONE row ``(n_a, n_b, w1)``."""
-    from .windows import global_cumsum
-
+    Plan: the KS count table with ONE boundary pass computing all
+    three prefixes (both group cumulatives plus the distinct-value
+    ORDINAL, a cumsum of ones) in a single bucketed projection —
+    consecutive-value pairing becomes an equi-join on ordinal+1, no
+    window, no driver-side sort.  Output: ONE row ``(n_a, n_b, w1)``."""
     spark = df.sparkSession
     counts = _two_group_counts(df, value_col, group_col,
                                group_a, group_b)
@@ -435,12 +486,7 @@ def wasserstein_1d(df: DataFrame, value_col: str, group_col: str,
             f"SELECT CAST({na} AS BIGINT) AS n_a, "
             f"CAST({nb} AS BIGINT) AS n_b, "
             "CAST(NULL AS DOUBLE) AS w1")
-    cums = global_cumsum(
-        global_cumsum(
-            global_cumsum(counts.withColumn("__one", F.lit(1)),
-                          "__v", "__ca", "__cuma"),
-            "__v", "__cb", "__cumb"),
-        "__v", "__one", "__ord")
+    cums = _multi_cumsum(counts)
     left = cums.select("__ord", "__v", "__cuma", "__cumb")
     right = cums.select((F.col("__ord") - 1).alias("__ord"),
                         F.col("__v").alias("__vnext"))
@@ -457,7 +503,8 @@ def wasserstein_1d(df: DataFrame, value_col: str, group_col: str,
 
 
 def kruskal_wallis(df: DataFrame, value_col: str,
-                   group_col: str) -> DataFrame:
+                   group_col: str,
+                   max_groups: int = 10_000) -> DataFrame:
     """Kruskal-Wallis H — the k-SAMPLE member of the rank-test family
     (:func:`mann_whitney_u` compares two slices; this asks "do ANY of
     the k sources/languages/shards differ in location?" in one test,
@@ -486,6 +533,14 @@ def kruskal_wallis(df: DataFrame, value_col: str,
                    F.col(group_col).cast("string").alias("__g"))
           .agg(F.count(F.lit(1)).alias("__cnt"))
           .localCheckpoint(eager=True))
+    n_groups = vg.agg(F.countDistinct("__g")).first()[0] or 0
+    if n_groups > max_groups:
+        raise ValueError(
+            f"kruskal_wallis collects one (ng, 2*Rg) row per group to "
+            f"the driver; got {n_groups} distinct groups > max_groups="
+            f"{max_groups} — that group column looks like an id, not a "
+            "category. Bucket it upstream or raise max_groups "
+            "consciously.")
     totals = vg.groupBy("__v").agg(F.sum("__cnt").alias("__c"))
     cums = global_cumsum(totals, "__v", "__c", "__cum")
     per_group = (vg.join(cums, "__v")
@@ -715,6 +770,12 @@ def mutual_information(df: DataFrame, col_x: str,
                     F.col(col_y).cast("string").alias("__y"))
            .agg(F.count(F.lit(1)).alias("__o"))
            .localCheckpoint(eager=True))
+    if obs.isEmpty():  # keep the ONE-row contract on empty slices
+        return df.sparkSession.sql(
+            "SELECT CAST(0 AS BIGINT) AS n, "
+            "CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_cols, "
+            "CAST(NULL AS DOUBLE) AS chi2, CAST(0 AS BIGINT) AS dof, "
+            "CAST(NULL AS DOUBLE) AS cramers_v")
     mx = obs.groupBy("__x").agg(F.sum("__o").alias("__nx"))
     my = obs.groupBy("__y").agg(F.sum("__o").alias("__ny"))
     tot = obs.agg(F.sum("__o").alias("__n"))

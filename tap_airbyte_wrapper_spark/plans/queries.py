@@ -4883,11 +4883,11 @@ ORACLES = {
         SELECT user_id,
                round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0), 4)
                  AS click_value,
-               round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 4)
+               round(coalesce(sum(value) FILTER (WHERE event_type = 'view'), 0), 4)
                  AS view_value,
                round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 4)
                  AS purchase_value,
-               round(coalesce(sum(value) FILTER (event_type = 'error'), 0), 4)
+               round(coalesce(sum(value) FILTER (WHERE event_type = 'error'), 0), 4)
                  AS error_value
         FROM events GROUP BY user_id""",
     "token_stats": f"""
@@ -6826,9 +6826,11 @@ ORACLES = {
                       CAST(h.k - 1 AS DOUBLE) AS dfree
                FROM h, ties),
         z AS (SELECT hc.*,
-                     (pow(hc / dfree, 1.0 / 3.0)
-                      - (1.0 - 2.0 / (9.0 * dfree)))
-                     / sqrt(2.0 / (9.0 * dfree)) AS z
+                     CASE WHEN hc > 0 THEN
+                       (pow(hc / dfree, 1.0 / 3.0)
+                        - (1.0 - 2.0 / (9.0 * dfree)))
+                       / sqrt(2.0 / (9.0 * dfree))
+                     ELSE -10.0 END AS z
               FROM hc),
         p AS (SELECT z.*, abs(z) / sqrt(2.0) AS x,
                      1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))

@@ -333,10 +333,15 @@ def stream_drift_gate(
                       .collect()}
             n = sum(counts.values())
             psi = 0.0
-            for b, pr in enumerate(p_ref):
-                pc = max(counts.get(b, 0) / n, eps) if n > 0 else eps
-                pr = max(pr, eps)
-                psi += (pr - pc) * math.log(pr / pc)
+            if n > 0:
+                for b, pr in enumerate(p_ref):
+                    pc = max(counts.get(b, 0) / n, eps)
+                    pr = max(pr, eps)
+                    psi += (pr - pc) * math.log(pr / pc)
+            # n == 0 (empty batch / all-null values) carries ZERO
+            # distributional evidence: land it with psi = 0 rather
+            # than quarantining on eps-vs-reference noise (~11 at 16
+            # bins — a guaranteed false alarm on an idle feed)
             landed = psi <= max_psi
             dest = (os.path.join(out_path, f"batch={batch_id}")
                     if landed else

@@ -796,8 +796,8 @@ def test_bleu_identity_and_clipping(spark):
 
 
 def test_bleu_brevity_penalty(spark):
-    """cand = exact prefix, half the reference length: every p_n = 1,
-    bp = exp(1 - r/c) = exp(-1)."""
+    """cand = exact 2-token prefix of a 5-token reference: every p_n
+    = 1, bp = exp(1 - r/c) = exp(1 - 5/2) = exp(-1.5)."""
     from tap_airbyte_wrapper_spark.functions import bleu_rouge_corpus
 
     df = spark.createDataFrame(
@@ -842,3 +842,65 @@ def test_bleu_empty_and_validation(spark):
                                "id long, cand string, ref string")
     with pytest.raises(ValueError):
         bleu_rouge_corpus(df, "cand", "ref", "id", max_n=0)
+
+
+# ---------------------------------------------------------------------
+# Review-pass regression pins (round-10 code review)
+# ---------------------------------------------------------------------
+
+def test_chi2_empty_slice_keeps_one_row_contract(spark):
+    """An all-null/empty slice returns ONE row with null statistics,
+    like every sibling op — not an empty frame."""
+    df = spark.createDataFrame([(None, "y"), ("x", None)],
+                               "x string, y string")
+    row = chi_square_independence(df, "x", "y").first()
+    assert row is not None
+    assert row["n"] == 0 and row["chi2"] is None
+
+
+def test_welch_degenerate_keeps_computable_means(spark):
+    """n_b = 1 kills the test but not the effect size: mean_a/mean_b
+    still report."""
+    row = welch_t_test(_two_group_df(spark, [1, 2, 3], [7]),
+                       "v", "g", "a", "b").first()
+    assert row["t_stat"] is None
+    assert row["mean_a"] == 2.0 and row["mean_b"] == 7.0
+
+
+def test_kruskal_guards_id_like_group_column(spark):
+    from tap_airbyte_wrapper_spark.operators import kruskal_wallis
+
+    rows = [(float(i % 7), str(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    with pytest.raises(ValueError, match="max_groups"):
+        kruskal_wallis(df, "v", "g", max_groups=10)
+
+
+def test_stream_drift_gate_lands_empty_batch(spark, tmp_path):
+    """A batch whose value column is entirely null carries zero
+    distributional evidence: it must LAND with psi = 0, not trip an
+    eps-noise false alarm."""
+    from tap_airbyte_wrapper_spark.streaming import (
+        drift_reference_write,
+        read_drift_gate_report,
+        stream_drift_gate,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, float(i % 50)) for i in range(500)], "id long, v double")
+    ref_path = str(tmp_path / "ref")
+    drift_reference_write(ref, "v", ref_path, bins=8)
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "accepted")
+    schema = "id long, v double"
+    spark.createDataFrame([(1, None), (2, None)], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_drift_gate(
+        spark.readStream.schema(schema).parquet(str(src)),
+        "v", ref_path, out, checkpoint=str(tmp_path / "ck"),
+        max_psi=0.25)
+    q.awaitTermination(120)
+    rep = read_drift_gate_report(spark, out).first()
+    assert rep["landed"] is True and rep["psi"] == 0.0
+    assert spark.read.parquet(out + "/batch=0").count() == 2
