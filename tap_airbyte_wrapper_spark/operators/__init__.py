@@ -45,6 +45,7 @@ from .stats import (
     bh_fdr,
     bootstrap_ci,
     chi_square_independence,
+    icc_2_1,
     jarque_bera,
     kruskal_wallis,
     ks_test,
@@ -105,7 +106,7 @@ __all__ = [
     "bootstrap_ci", "autocorrelation", "jarque_bera", "proportion_z_test",
     "seasonal_decompose", "bh_fdr", "mutual_information",
     "wilcoxon_signed_rank", "paired_t_test", "wasserstein_1d",
-    "kruskal_wallis",
+    "kruskal_wallis", "icc_2_1",
     "pagerank", "degrees", "triangle_count", "label_propagation",
     "distribution_drift",
 ]

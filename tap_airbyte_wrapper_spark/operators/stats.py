@@ -42,7 +42,8 @@ __all__ = ["ks_test", "mann_whitney_u", "welch_t_test",
            "chi_square_independence", "bootstrap_ci", "autocorrelation",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
            "bh_fdr", "mutual_information", "wilcoxon_signed_rank",
-           "paired_t_test", "wasserstein_1d", "kruskal_wallis"]
+           "paired_t_test", "wasserstein_1d", "kruskal_wallis",
+           "icc_2_1"]
 
 
 def _normal_sf2(z: float) -> float:
@@ -408,6 +409,95 @@ def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
 def _normal_sf1(z: float) -> float:
     """One-sided upper tail P(Z > z) from the two-sided helper."""
     return _normal_sf2(z) / 2.0 if z >= 0 else 1.0 - _normal_sf2(z) / 2.0
+
+
+def icc_2_1(df: DataFrame, item_col: str, rater_col: str,
+            score_col: str) -> DataFrame:
+    """Intraclass correlation ICC(2,1) (Shrout & Fleiss 1979: two-way
+    random effects, absolute agreement, single rater) — the CONTINUOUS
+    member of the agreement family (:func:`~.quality.cohen_kappa` /
+    Fleiss / Krippendorff cover categorical labels; when k model
+    judges emit real-valued quality scores, ICC answers "do the judges
+    agree on absolute score, not just ranking?").
+
+    ANOVA decomposition on the COMPLETE n x k grid (items rated by
+    every rater; incomplete items are dropped and counted — the
+    standard Shrout-Fleiss complete-case convention; repeated ratings
+    by one rater on one item collapse to their mean first):
+
+        icc = (BMS - EMS) / (BMS + (k-1) EMS + k (JMS - EMS) / n)
+
+    with BMS/JMS/EMS the between-item / between-rater / residual mean
+    squares.  Plan: one scan to the kept (item, rater, score) cells
+    (the completeness filter is a value-partitioned window count);
+    SST and the grand mean are one aggregate; the item sum-of-squares
+    partial-aggregates to item-count rows, the rater table is k rows —
+    no collect beyond the final scalars.  Output: ONE row
+    ``(n_items, k_raters, n_dropped, bms, jms, ems, icc)`` (nulls when
+    fewer than 2 items/raters survive or the grid degenerates)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cells = (df.filter(F.col(item_col).isNotNull()
+                       & F.col(rater_col).isNotNull()
+                       & F.col(score_col).isNotNull())
+             .groupBy(F.col(item_col).alias("__it"),
+                      F.col(rater_col).alias("__r"))
+             .agg(F.avg(F.col(score_col).cast("double")).alias("__x")))
+    # duplicates per (item, rater) collapse to their mean, so the
+    # completeness window-count below counts RATERS, not rows
+    k_row = cells.agg(F.countDistinct("__r").alias("k")).first()
+    k = int(k_row["k"] or 0)
+    kept = (cells
+            .withColumn("__cnt", F.count(F.lit(1)).over(
+                Window.partitionBy("__it")))
+            .filter(F.col("__cnt") == k).drop("__cnt")
+            .localCheckpoint(eager=True))
+    tot = kept.agg(F.count(F.lit(1)).alias("cells"),
+                   F.avg("__x").alias("m"),
+                   F.countDistinct("__it").alias("n")).first()
+    n = int(tot["n"] or 0)
+    dropped = (int(cells.select("__it").distinct().count()) - n
+               if k > 0 else 0)
+    null_row = (
+        f"SELECT CAST({n} AS BIGINT) AS n_items, "
+        f"CAST({k} AS BIGINT) AS k_raters, "
+        f"CAST({dropped} AS BIGINT) AS n_dropped, "
+        "CAST(NULL AS DOUBLE) AS bms, CAST(NULL AS DOUBLE) AS jms, "
+        "CAST(NULL AS DOUBLE) AS ems, CAST(NULL AS DOUBLE) AS icc")
+    if n < 2 or k < 2:
+        return spark.sql(null_row)
+    m = float(tot["m"])
+    sst = float(kept.agg(F.sum((F.col("__x") - F.lit(m))
+                               * (F.col("__x") - F.lit(m)))
+                         .alias("s")).first()["s"])
+    ssr = float(kept.groupBy("__it")
+                .agg(F.avg("__x").alias("mi"))
+                .agg(F.sum((F.col("mi") - F.lit(m))
+                           * (F.col("mi") - F.lit(m))) * k)
+                .first()[0])
+    ssc = float(kept.groupBy("__r")
+                .agg(F.avg("__x").alias("mj"))
+                .agg(F.sum((F.col("mj") - F.lit(m))
+                           * (F.col("mj") - F.lit(m))) * n)
+                .first()[0])
+    sse = sst - ssr - ssc
+    bms = ssr / (n - 1)
+    jms = ssc / (k - 1)
+    ems = sse / ((n - 1) * (k - 1))
+    denom = bms + (k - 1) * ems + k * (jms - ems) / n
+    icc = (bms - ems) / denom if denom != 0 else None
+
+    def _d(x):
+        return ("CAST(NULL AS DOUBLE)" if x is None
+                else f"round(CAST({x!r} AS DOUBLE), 6)")
+
+    return spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n_items, "
+        f"CAST({k} AS BIGINT) AS k_raters, "
+        f"CAST({dropped} AS BIGINT) AS n_dropped, "
+        f"{_d(bms)} AS bms, {_d(jms)} AS jms, {_d(ems)} AS ems, "
+        f"{_d(icc)} AS icc")
 
 
 

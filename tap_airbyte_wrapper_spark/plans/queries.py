@@ -2303,6 +2303,25 @@ def q_bleu(spark, sf_dir):
     return bleu_rouge_corpus(docs, "cand", "ref", "doc_id")
 
 
+def q_icc(spark, sf_dir):
+    """ICC(2,1) over three synthetic judges scoring every document:
+    per-judge multiplicative bias + deterministic per-cell jitter —
+    high absolute agreement expected (the judges are the same signal
+    in different units plus noise), and the oracle replays the exact
+    ANOVA decomposition."""
+    from ..operators import icc_2_1
+
+    docs = _t(spark, sf_dir, "documents")
+    parts = [docs.select(
+        F.col("doc_id").alias("item"),
+        F.lit(j).alias("judge"),
+        (F.col("n_chars").cast("double") * (1 + j / 100.0)
+         + (F.col("doc_id") * 7 + j * 13) % 10).alias("score"))
+        for j in (1, 2, 3)]
+    rated = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return icc_2_1(rated, "item", "judge", "score")
+
+
 def q_benford(spark, sf_dir):
     """First-digit Benford audit of order totals — the anomaly screen
     for fabricated/templated magnitudes.  (The synthetic uniform-ish
@@ -3848,6 +3867,7 @@ QUERIES = {
     "kruskal_orders": q_kruskal,
     "pmi_docs": q_pmi,
     "bleu_docs": q_bleu,
+    "icc_docs": q_icc,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -6629,6 +6649,47 @@ ORACLES = {
                round(ci.lo, 4) AS ci_lo,
                round(ci.hi, 4) AS ci_hi
         FROM base, ci""",
+    "icc_docs": """
+        WITH cells AS (
+          SELECT doc_id AS it, 1 AS r,
+                 CAST(n_chars AS DOUBLE) * (1 + 1 / 100.0)
+                 + (doc_id * 7 + 1 * 13) % 10 AS x
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 2,
+                 CAST(n_chars AS DOUBLE) * (1 + 2 / 100.0)
+                 + (doc_id * 7 + 2 * 13) % 10
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 3,
+                 CAST(n_chars AS DOUBLE) * (1 + 3 / 100.0)
+                 + (doc_id * 7 + 3 * 13) % 10
+          FROM documents),
+        st AS (SELECT avg(x) AS m, count(DISTINCT it) AS n
+               FROM cells),
+        sst AS (SELECT sum((x - m) * (x - m)) AS s FROM cells, st),
+        ssr AS (SELECT sum((mi - m) * (mi - m)) * 3 AS s
+                FROM (SELECT it, avg(x) AS mi FROM cells GROUP BY it),
+                     st),
+        ssc AS (SELECT sum((mj - m) * (mj - m)) * st.n AS s
+                FROM (SELECT r, avg(x) AS mj FROM cells GROUP BY r),
+                     st
+                GROUP BY st.n),
+        ms AS (SELECT st.n,
+                      ssr.s / (st.n - 1) AS bms,
+                      ssc.s / (3 - 1) AS jms,
+                      (sst.s - ssr.s - ssc.s)
+                      / ((st.n - 1) * (3 - 1)) AS ems
+               FROM st, sst, ssr, ssc)
+        SELECT CAST(n AS BIGINT) AS n_items,
+               CAST(3 AS BIGINT) AS k_raters,
+               CAST(0 AS BIGINT) AS n_dropped,
+               round(bms, 6) AS bms, round(jms, 6) AS jms,
+               round(ems, 6) AS ems,
+               round((bms - ems)
+                     / (bms + (3 - 1) * ems
+                        + 3 * (jms - ems) / n), 6) AS icc
+        FROM ms""",
     "bleu_docs": r"""
         WITH t AS (
           SELECT doc_id,

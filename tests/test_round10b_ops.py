@@ -904,3 +904,51 @@ def test_stream_drift_gate_lands_empty_batch(spark, tmp_path):
     rep = read_drift_gate_report(spark, out).first()
     assert rep["landed"] is True and rep["psi"] == 0.0
     assert spark.read.parquet(out + "/batch=0").count() == 2
+
+
+# ---------------------------------------------------------------------
+# ICC(2,1)
+# ---------------------------------------------------------------------
+
+def test_icc_shrout_fleiss_table(spark):
+    """The Shrout & Fleiss 1979 worked example (6 items x 4 judges):
+    ICC(2,1) = 0.29."""
+    from tap_airbyte_wrapper_spark.operators import icc_2_1
+
+    data = {1: [9, 2, 5, 8], 2: [6, 1, 3, 2], 3: [8, 4, 6, 8],
+            4: [7, 1, 2, 6], 5: [10, 5, 6, 9], 6: [6, 2, 4, 7]}
+    rows = [(i, j + 1, float(v))
+            for i, vs in data.items() for j, v in enumerate(vs)]
+    row = icc_2_1(spark.createDataFrame(
+        rows, "item long, rater int, score double"),
+        "item", "rater", "score").first()
+    assert row["n_items"] == 6 and row["k_raters"] == 4
+    assert row["icc"] == pytest.approx(0.289764, abs=1e-6)
+
+
+def test_icc_perfect_and_incomplete(spark):
+    """Identical judges -> icc = 1; an item missing a rater drops and
+    is counted without changing the statistic."""
+    from tap_airbyte_wrapper_spark.operators import icc_2_1
+
+    rows = [(i, j, float(i * 3 % 11)) for i in range(10)
+            for j in (1, 2, 3)]
+    base = icc_2_1(spark.createDataFrame(
+        rows, "item long, rater int, score double"),
+        "item", "rater", "score").first()
+    assert base["icc"] == 1.0
+    rows2 = rows + [(99, 1, 4.0)]
+    aug = icc_2_1(spark.createDataFrame(
+        rows2, "item long, rater int, score double"),
+        "item", "rater", "score").first()
+    assert aug["n_dropped"] == 1 and aug["icc"] == 1.0
+
+
+def test_icc_degenerate(spark):
+    from tap_airbyte_wrapper_spark.operators import icc_2_1
+
+    one_rater = [(i, 1, float(i)) for i in range(5)]
+    row = icc_2_1(spark.createDataFrame(
+        one_rater, "item long, rater int, score double"),
+        "item", "rater", "score").first()
+    assert row["icc"] is None and row["k_raters"] == 1
