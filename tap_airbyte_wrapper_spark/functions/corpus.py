@@ -146,9 +146,13 @@ def pmi_collocations(
     # from the COLUMN: an array HOF applied to the raw regex
     # expression re-evaluates the regex per array element (measured
     # 9.5 s vs 0.5 s at sf0.1 — a 17x trap), and three downstream
-    # consumers would each re-pay the scan without the checkpoint
-    toks = (df.select(F.col(id_col),
-                      words(F.col(text_col)).alias("__ws"))
+    # consumers would each re-pay the scan without the checkpoint.
+    # Null text is dropped up front: words(NULL) is a null array and
+    # size(null) = -1 under legacy sizeOfNull, which would silently
+    # shrink the bigram total by one per null row
+    toks = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col),
+                    words(F.col(text_col)).alias("__ws"))
             .localCheckpoint(eager=True))
     c = F.col("__ws")
     blen = F.greatest(F.size(c) - 1, F.lit(0))

@@ -75,6 +75,22 @@ def _kolmogorov_sf(lam: float) -> float:
     return min(1.0, max(0.0, 2.0 * q))
 
 
+def _exactness_envelope(na: int, nb: int, fn_name: str) -> None:
+    """Refuse past the envelope where the exact-rational claim holds.
+    The cross-product numerators (``cum_a*nb - cum_b*na``) are exact
+    in int64 and their conversion to double is exact only while
+    ``na*nb < 2**53`` (both slices under ~95M rows); beyond that the
+    statistic silently loses the bit-for-bit oracle guarantee, so —
+    like :func:`kruskal_wallis`'s ``max_groups`` — the degradation is
+    an instructive refusal, not a quiet approximation."""
+    if na * nb >= 2 ** 53:
+        raise ValueError(
+            f"{fn_name}: n_a*n_b = {na}*{nb} exceeds 2^53, outside the "
+            "exact-rational envelope (both slices must stay under "
+            "~95M non-null rows). Pre-aggregate to a coarser value "
+            "grid or compare uniform samples of the slices.")
+
+
 def _two_group_counts(df: DataFrame, value_col: str, group_col: str,
                       group_a: str, group_b: str) -> DataFrame:
     """Distinct-value table ``(__v, __ca, __cb)`` for the two groups —
@@ -127,6 +143,7 @@ def ks_test(df: DataFrame, value_col: str, group_col: str,
             f"CAST({nb} AS BIGINT) AS n_b, "
             "CAST(NULL AS DOUBLE) AS d_stat, "
             "CAST(NULL AS DOUBLE) AS p_value")
+    _exactness_envelope(na, nb, "ks_test")
     cums = _multi_cumsum(counts)  # both prefixes, ONE boundary pass
     # D as an exact rational: max over values of
     # |cuma*nb - cumb*na| / (na*nb)  — integer numerator, so the max
@@ -576,6 +593,7 @@ def wasserstein_1d(df: DataFrame, value_col: str, group_col: str,
             f"SELECT CAST({na} AS BIGINT) AS n_a, "
             f"CAST({nb} AS BIGINT) AS n_b, "
             "CAST(NULL AS DOUBLE) AS w1")
+    _exactness_envelope(na, nb, "wasserstein_1d")
     cums = _multi_cumsum(counts)
     left = cums.select("__ord", "__v", "__cuma", "__cumb")
     right = cums.select((F.col("__ord") - 1).alias("__ord"),
@@ -863,9 +881,8 @@ def mutual_information(df: DataFrame, col_x: str,
     if obs.isEmpty():  # keep the ONE-row contract on empty slices
         return df.sparkSession.sql(
             "SELECT CAST(0 AS BIGINT) AS n, "
-            "CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_cols, "
-            "CAST(NULL AS DOUBLE) AS chi2, CAST(0 AS BIGINT) AS dof, "
-            "CAST(NULL AS DOUBLE) AS cramers_v")
+            "CAST(NULL AS DOUBLE) AS mi, CAST(NULL AS DOUBLE) AS h_x, "
+            "CAST(NULL AS DOUBLE) AS h_y, CAST(NULL AS DOUBLE) AS nmi")
     mx = obs.groupBy("__x").agg(F.sum("__o").alias("__nx"))
     my = obs.groupBy("__y").agg(F.sum("__o").alias("__ny"))
     tot = obs.agg(F.sum("__o").alias("__n"))

@@ -356,6 +356,10 @@ def stream_drift_gate(
                     F.lit(bool(landed)).alias("landed"),
                     F.lit(round(_time.time() - started, 3))
                     .alias("wall_seconds"),
+                    # monotonic write stamp so the report reader keeps
+                    # the LATEST verdict per batch, not the slowest run
+                    # (wall_seconds is a duration, not a timestamp)
+                    F.lit(float(_time.time())).alias("written_at"),
                 ).coalesce(1).write.mode("append").parquet(
                     os.path.join(out_path, "_drift_gate"))
             except Exception:
@@ -375,13 +379,20 @@ def stream_drift_gate(
 def read_drift_gate_report(spark, out_path: str) -> DataFrame:
     """The drift gate's per-batch report, deduped to the last row per
     batch_id (replays re-append; last write wins, matching the gate's
-    own overwrite contract)."""
+    own overwrite contract).  "Last" is the row with the greatest
+    ``written_at`` wall-clock stamp; reports written before that
+    column existed fall back to the old wall_seconds ordering (those
+    rows are duration-distinguishable only)."""
     import os
 
     from pyspark.sql import Window
 
+    report = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_path, "_drift_gate"))
+    order_col = ("written_at" if "written_at" in report.columns
+                 else "wall_seconds")
     w = Window.partitionBy("batch_id").orderBy(
-        F.col("wall_seconds").desc())
-    return (spark.read.parquet(os.path.join(out_path, "_drift_gate"))
+        F.col(order_col).desc_nulls_last(), F.col("wall_seconds").desc())
+    return (report
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
