@@ -43,7 +43,7 @@ __all__ = ["ks_test", "mann_whitney_u", "welch_t_test",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
            "bh_fdr", "mutual_information", "wilcoxon_signed_rank",
            "paired_t_test", "wasserstein_1d", "kruskal_wallis",
-           "icc_2_1"]
+           "welch_anova", "icc_2_1", "icc_1_1", "icc_3_1"]
 
 
 def _normal_sf2(z: float) -> float:
@@ -484,7 +484,32 @@ def icc_2_1(df: DataFrame, item_col: str, rater_col: str,
         "CAST(NULL AS DOUBLE) AS ems, CAST(NULL AS DOUBLE) AS icc")
     if n < 2 or k < 2:
         return spark.sql(null_row)
-    m = float(tot["m"])
+    bms, jms, ems, _wms = _icc_mean_squares(kept, n, k,
+                                            float(tot["m"]))
+    denom = bms + (k - 1) * ems + k * (jms - ems) / n
+    icc = (bms - ems) / denom if denom != 0 else None
+
+    def _d(x):
+        return ("CAST(NULL AS DOUBLE)" if x is None
+                else f"round(CAST({x!r} AS DOUBLE), 6)")
+
+    return spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n_items, "
+        f"CAST({k} AS BIGINT) AS k_raters, "
+        f"CAST({dropped} AS BIGINT) AS n_dropped, "
+        f"{_d(bms)} AS bms, {_d(jms)} AS jms, {_d(ems)} AS ems, "
+        f"{_d(icc)} AS icc")
+
+
+def _icc_mean_squares(kept: DataFrame, n: int, k: int,
+                      m: float) -> tuple:
+    """The Shrout-Fleiss ANOVA partials over a complete n x k grid of
+    (item __it, rater __r, score __x) cells: between-item BMS,
+    between-rater JMS, two-way residual EMS, and the one-way
+    within-item WMS — everything all three single-rater ICC forms
+    consume.  SST and the two marginal sums of squares each
+    partial-aggregate (item-count / k rows); only scalars reach the
+    driver."""
     sst = float(kept.agg(F.sum((F.col("__x") - F.lit(m))
                                * (F.col("__x") - F.lit(m)))
                          .alias("s")).first()["s"])
@@ -498,12 +523,88 @@ def icc_2_1(df: DataFrame, item_col: str, rater_col: str,
                 .agg(F.sum((F.col("mj") - F.lit(m))
                            * (F.col("mj") - F.lit(m))) * n)
                 .first()[0])
-    sse = sst - ssr - ssc
     bms = ssr / (n - 1)
     jms = ssc / (k - 1)
-    ems = sse / ((n - 1) * (k - 1))
-    denom = bms + (k - 1) * ems + k * (jms - ems) / n
-    icc = (bms - ems) / denom if denom != 0 else None
+    ems = (sst - ssr - ssc) / ((n - 1) * (k - 1))
+    wms = (sst - ssr) / (n * (k - 1))
+    return bms, jms, ems, wms
+
+
+def icc_1_1(df: DataFrame, item_col: str, rater_col: str,
+            score_col: str) -> DataFrame:
+    """ICC(1,1) (Shrout & Fleiss 1979: one-way random effects, single
+    rater) — the member for when each item may be scored by a
+    DIFFERENT random set of judges, so rater identity carries no
+    information and rater variance cannot be separated out:
+
+        icc = (BMS - WMS) / (BMS + (k-1) WMS)
+
+    with WMS the one-way within-item mean square ``(SST - SSR) /
+    (n (k-1))``.  Lowest of the three forms on the same data (rater
+    main effects count against agreement twice).  Same complete-case
+    grid, partials, and plan as :func:`icc_2_1`; output ONE row
+    ``(n_items, k_raters, n_dropped, bms, wms, icc)``."""
+    return _icc_form(df, item_col, rater_col, score_col, form="1,1")
+
+
+def icc_3_1(df: DataFrame, item_col: str, rater_col: str,
+            score_col: str) -> DataFrame:
+    """ICC(3,1) (Shrout & Fleiss 1979: two-way mixed effects,
+    consistency, single rater) — the member for a FIXED judge panel
+    where calibration offsets between judges are fine and only
+    consistency of ordering/spacing matters:
+
+        icc = (BMS - EMS) / (BMS + (k-1) EMS)
+
+    (the :func:`icc_2_1` formula minus the rater-variance penalty
+    term, so it is the highest of the three forms on the same data).
+    Same complete-case grid, partials, and plan as :func:`icc_2_1`;
+    output ONE row ``(n_items, k_raters, n_dropped, bms, ems, icc)``."""
+    return _icc_form(df, item_col, rater_col, score_col, form="3,1")
+
+
+def _icc_form(df: DataFrame, item_col: str, rater_col: str,
+              score_col: str, form: str) -> DataFrame:
+    """Shared grid construction + dispatch for ICC(1,1)/ICC(3,1)
+    (:func:`icc_2_1` keeps its original three-mean-square output
+    contract; these two report the pair of mean squares their formula
+    actually uses)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cells = (df.filter(F.col(item_col).isNotNull()
+                       & F.col(rater_col).isNotNull()
+                       & F.col(score_col).isNotNull())
+             .groupBy(F.col(item_col).alias("__it"),
+                      F.col(rater_col).alias("__r"))
+             .agg(F.avg(F.col(score_col).cast("double")).alias("__x")))
+    k_row = cells.agg(F.countDistinct("__r").alias("k")).first()
+    k = int(k_row["k"] or 0)
+    kept = (cells
+            .withColumn("__cnt", F.count(F.lit(1)).over(
+                Window.partitionBy("__it")))
+            .filter(F.col("__cnt") == k).drop("__cnt")
+            .localCheckpoint(eager=True))
+    tot = kept.agg(F.avg("__x").alias("m"),
+                   F.countDistinct("__it").alias("n")).first()
+    n = int(tot["n"] or 0)
+    dropped = (int(cells.select("__it").distinct().count()) - n
+               if k > 0 else 0)
+    ms_name = "wms" if form == "1,1" else "ems"
+    null_row = (
+        f"SELECT CAST({n} AS BIGINT) AS n_items, "
+        f"CAST({k} AS BIGINT) AS k_raters, "
+        f"CAST({dropped} AS BIGINT) AS n_dropped, "
+        f"CAST(NULL AS DOUBLE) AS bms, "
+        f"CAST(NULL AS DOUBLE) AS {ms_name}, "
+        "CAST(NULL AS DOUBLE) AS icc")
+    if n < 2 or k < 2:
+        return spark.sql(null_row)
+    bms, _jms, ems, wms = _icc_mean_squares(kept, n, k,
+                                            float(tot["m"]))
+    ms = wms if form == "1,1" else ems
+    denom = bms + (k - 1) * ms
+    icc = (bms - ms) / denom if denom != 0 else None
 
     def _d(x):
         return ("CAST(NULL AS DOUBLE)" if x is None
@@ -513,7 +614,7 @@ def icc_2_1(df: DataFrame, item_col: str, rater_col: str,
         f"SELECT CAST({n} AS BIGINT) AS n_items, "
         f"CAST({k} AS BIGINT) AS k_raters, "
         f"CAST({dropped} AS BIGINT) AS n_dropped, "
-        f"{_d(bms)} AS bms, {_d(jms)} AS jms, {_d(ems)} AS ems, "
+        f"{_d(bms)} AS bms, {_d(ms)} AS {ms_name}, "
         f"{_d(icc)} AS icc")
 
 
@@ -692,6 +793,108 @@ def kruskal_wallis(df: DataFrame, value_col: str,
         f"round(CAST({hc!r} AS DOUBLE), 6) AS h_tie_corrected, "
         f"round(CAST({float(dfree)!r} AS DOUBLE), 6) AS dof, "
         f"round(CAST({p!r} AS DOUBLE), 6) AS p_value")
+
+
+def welch_anova(df: DataFrame, value_col: str, group_col: str,
+                max_groups: int = 10_000) -> DataFrame:
+    """Welch's one-way ANOVA F (Welch 1951, Biometrika 38) — the
+    k-GROUP parametric screen beside :func:`kruskal_wallis`: "did the
+    MEAN differ across any of the k sources/languages/shards?" for
+    normal-ish metrics, without the classical ANOVA's equal-variance
+    assumption (corpus slices almost never share a variance — the same
+    reason :func:`welch_t_test` is Welch's form, not Student's).
+
+    With per-group weights ``w_j = n_j / s_j^2``, ``W = sum w_j`` and
+    the weighted grand mean ``x* = sum w_j m_j / W``:
+
+        F   = [sum w_j (m_j - x*)^2 / (k-1)]
+              / [1 + 2(k-2)/(k^2-1) * L]
+        L   = sum (1 - w_j/W)^2 / (n_j - 1)
+        df1 = k - 1,  df2 = (k^2 - 1) / (3 L)
+
+    For k = 2 this degenerates to exactly ``t^2`` of
+    :func:`welch_t_test` with ``df2`` the Welch-Satterthwaite df
+    (pinned in tests).  The upper-tail p uses Paulson's (1942) normal
+    approximation of the F tail (Wilson-Hilferty on both chi-squares;
+    stated as such — accurate to gate precision for the df >> 1 regime
+    corpus slices live in, same contract as the module's other
+    approximate tails).
+
+    Conventions: groups need ``n_j >= 2`` and a positive variance to
+    carry a weight — smaller groups are EXCLUDED (complete-case, k
+    counts included groups); any included group with zero variance
+    degenerates the weights, so the statistics null out (documented,
+    matching R ``oneway.test``'s NaN).  Like :func:`kruskal_wallis`,
+    one (n, mean, var) row per group collects driver-side behind the
+    same ``max_groups`` id-column guard.
+
+    Plan: ONE conditional-aggregate input scan to the k-row group
+    table (map-side partial aggregation; no shuffle beyond the k-key
+    reduce).  Output: ONE row ``(n, k, f_stat, df1, df2, p_value)``."""
+    spark = df.sparkSession
+    per_group = (df.filter(F.col(value_col).isNotNull()
+                           & F.col(group_col).isNotNull())
+                 .groupBy(F.col(group_col).cast("string").alias("__g"))
+                 .agg(F.count(F.lit(1)).alias("ng"),
+                      F.avg(F.col(value_col).cast("double"))
+                      .alias("m"),
+                      F.var_samp(F.col(value_col).cast("double"))
+                      .alias("s2")))
+    n_groups = per_group.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"welch_anova collects one (n, mean, var) row per group to "
+            f"the driver; got {n_groups} distinct groups > max_groups="
+            f"{max_groups} — that group column looks like an id, not a "
+            "category. Bucket it upstream or raise max_groups "
+            "consciously.")
+    # deterministic driver-side order so the float reduction is
+    # reproducible run-to-run (collect order is not)
+    rows = sorted(((str(r["__g"]), int(r["ng"]), r["m"], r["s2"])
+                   for r in per_group.collect()), key=lambda r: r[0])
+    rows = [r for r in rows if r[1] >= 2 and r[3] is not None]
+    k = len(rows)
+    n = sum(r[1] for r in rows)
+    null_row = (
+        f"SELECT CAST({n} AS BIGINT) AS n, "
+        f"CAST({k} AS BIGINT) AS k, "
+        "CAST(NULL AS DOUBLE) AS f_stat, "
+        "CAST(NULL AS DOUBLE) AS df1, "
+        "CAST(NULL AS DOUBLE) AS df2, "
+        "CAST(NULL AS DOUBLE) AS p_value")
+    if k < 2 or any(r[3] <= 0 for r in rows):
+        return spark.sql(null_row)
+    w = [ng / s2 for _, ng, _, s2 in rows]
+    big_w = sum(w)
+    xstar = sum(wj * m for wj, (_, _, m, _) in zip(w, rows)) / big_w
+    a = sum(wj * (m - xstar) ** 2
+            for wj, (_, _, m, _) in zip(w, rows)) / (k - 1)
+    lam = sum((1.0 - wj / big_w) ** 2 / (ng - 1)
+              for wj, (_, ng, _, _) in zip(w, rows))
+    f_stat = a / (1.0 + 2.0 * (k - 2) / (k * k - 1.0) * lam)
+    df1 = float(k - 1)
+    df2 = (k * k - 1.0) / (3.0 * lam) if lam > 0 else None
+    if df2 is None:
+        p = None  # every group weight identical AND n_j -> inf limit
+    elif f_stat <= 0:
+        p = 1.0
+    else:
+        # Paulson 1942: z ~ N(0,1) under H0
+        c1, c2 = 2.0 / (9.0 * df1), 2.0 / (9.0 * df2)
+        f3 = f_stat ** (1.0 / 3.0)
+        z = (((1.0 - c2) * f3 - (1.0 - c1))
+             / math.sqrt(c1 + f3 * f3 * c2))
+        p = _normal_sf1(z)
+
+    def _d(x):
+        return ("CAST(NULL AS DOUBLE)" if x is None
+                else f"round(CAST({float(x)!r} AS DOUBLE), 6)")
+
+    return spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n, "
+        f"CAST({k} AS BIGINT) AS k, "
+        f"{_d(f_stat)} AS f_stat, {_d(df1)} AS df1, "
+        f"{_d(df2)} AS df2, {_d(p)} AS p_value")
 
 
 def wilcoxon_signed_rank(df: DataFrame, col_a: str,

@@ -2115,6 +2115,43 @@ def q_welch(spark, sf_dir):
                         "value", "event_type", "purchase", "click")
 
 
+def q_welch_anova(spark, sf_dir):
+    """Welch's one-way ANOVA F across the five order priorities —
+    the k-group parametric screen beside kruskal_orders (same
+    question, mean-sensitive instead of rank-based, unequal
+    variances allowed).  One conditional-aggregate scan; the oracle
+    replays the Welch 1951 weights and the Paulson normal tail."""
+    from ..operators import welch_anova
+
+    return welch_anova(_t(spark, sf_dir, "orders"),
+                       "o_totalprice", "o_orderpriority")
+
+
+def q_icc_forms(spark, sf_dir):
+    """All three Shrout-Fleiss single-rater ICC forms over the same
+    three-synthetic-judge grid as icc_docs, in one row: ICC(1,1) <=
+    ICC(2,1) <= ICC(3,1) by construction (the forms differ only in
+    how the rater variance is charged), and the oracle replays the
+    shared ANOVA decomposition once."""
+    from ..operators import icc_1_1, icc_2_1, icc_3_1
+
+    docs = _t(spark, sf_dir, "documents")
+    parts = [docs.select(
+        F.col("doc_id").alias("item"),
+        F.lit(j).alias("judge"),
+        (F.col("n_chars").cast("double") * (1 + j / 100.0)
+         + (F.col("doc_id") * 7 + j * 13) % 10).alias("score"))
+        for j in (1, 2, 3)]
+    rated = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    one = icc_1_1(rated, "item", "judge", "score").select(
+        "n_items", "k_raters", F.col("icc").alias("icc11"))
+    two = icc_2_1(rated, "item", "judge", "score").select(
+        F.col("icc").alias("icc21"))
+    three = icc_3_1(rated, "item", "judge", "score").select(
+        F.col("icc").alias("icc31"))
+    return one.crossJoin(two).crossJoin(three)
+
+
 def q_chi2(spark, sf_dir):
     """Chi-square independence of order status x priority (the
     selection-bias screen: is fulfillment state entangled with
@@ -3865,9 +3902,11 @@ QUERIES = {
     "paired_t_docs": q_paired_t,
     "wasserstein_orders": q_wasserstein,
     "kruskal_orders": q_kruskal,
+    "welch_anova_orders": q_welch_anova,
     "pmi_docs": q_pmi,
     "bleu_docs": q_bleu,
     "icc_docs": q_icc,
+    "icc_forms_docs": q_icc_forms,
     "flesch_docs": q_flesch,
     "weighted_kappa_docs": q_weighted_kappa,
     "spearman_docs": q_spearman,
@@ -4086,7 +4125,10 @@ _R11_WINDOW = [
     "domain_quota_docs", "source_overlap_docs", "knn_pq_verified",
     "hard_negatives_emb", "fuzzy_name_pairs", "chunk_sentences_docs",
     "semi_hard_negatives_emb", "threshold_metrics_docs",
-    "calibration_bins_docs", "uniform_sample_docs",
+    # new r11 oracle-backed ops take the last two (d) slots so they
+    # get driver rows THIS round (the r10 lesson); displaced to r12:
+    # calibration_bins_docs, uniform_sample_docs
+    "welch_anova_orders", "icc_forms_docs",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
@@ -6692,6 +6734,47 @@ ORACLES = {
                      / (bms + (3 - 1) * ems
                         + 3 * (jms - ems) / n), 6) AS icc
         FROM ms""",
+    "icc_forms_docs": """
+        WITH cells AS (
+          SELECT doc_id AS it, 1 AS r,
+                 CAST(n_chars AS DOUBLE) * (1 + 1 / 100.0)
+                 + (doc_id * 7 + 1 * 13) % 10 AS x
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 2,
+                 CAST(n_chars AS DOUBLE) * (1 + 2 / 100.0)
+                 + (doc_id * 7 + 2 * 13) % 10
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 3,
+                 CAST(n_chars AS DOUBLE) * (1 + 3 / 100.0)
+                 + (doc_id * 7 + 3 * 13) % 10
+          FROM documents),
+        st AS (SELECT avg(x) AS m, count(DISTINCT it) AS n
+               FROM cells),
+        sst AS (SELECT sum((x - m) * (x - m)) AS s FROM cells, st),
+        ssr AS (SELECT sum((mi - m) * (mi - m)) * 3 AS s
+                FROM (SELECT it, avg(x) AS mi FROM cells GROUP BY it),
+                     st),
+        ssc AS (SELECT sum((mj - m) * (mj - m)) * st.n AS s
+                FROM (SELECT r, avg(x) AS mj FROM cells GROUP BY r),
+                     st
+                GROUP BY st.n),
+        ms AS (SELECT st.n,
+                      ssr.s / (st.n - 1) AS bms,
+                      ssc.s / (3 - 1) AS jms,
+                      (sst.s - ssr.s - ssc.s)
+                      / ((st.n - 1) * (3 - 1)) AS ems,
+                      (sst.s - ssr.s) / (st.n * (3 - 1)) AS wms
+               FROM st, sst, ssr, ssc)
+        SELECT CAST(n AS BIGINT) AS n_items,
+               CAST(3 AS BIGINT) AS k_raters,
+               round((bms - wms) / (bms + (3 - 1) * wms), 6) AS icc11,
+               round((bms - ems)
+                     / (bms + (3 - 1) * ems
+                        + 3 * (jms - ems) / n), 6) AS icc21,
+               round((bms - ems) / (bms + (3 - 1) * ems), 6) AS icc31
+        FROM ms""",
     "bleu_docs": r"""
         WITH t AS (
           SELECT doc_id,
@@ -6910,6 +6993,56 @@ ORACLES = {
                round(h, 6) AS h,
                round(hc, 6) AS h_tie_corrected,
                round(dfree, 6) AS dof,
+               round(CASE WHEN z >= 0 THEN sf2 / 2.0
+                          ELSE 1.0 - sf2 / 2.0 END, 6) AS p_value
+        FROM sf""",
+    "welch_anova_orders": """
+        WITH g AS (
+          SELECT count(*) AS ng, avg(o_totalprice) AS m,
+                 var_samp(o_totalprice) AS s2
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IS NOT NULL
+          GROUP BY o_orderpriority
+          HAVING count(*) >= 2
+             AND var_samp(o_totalprice) IS NOT NULL),
+        w AS (SELECT ng, m, ng / s2 AS wj FROM g),
+        t AS (SELECT sum(wj) AS bw, count(*) AS k, sum(ng) AS n,
+                     sum(wj * m) / sum(wj) AS xstar FROM w),
+        s AS (SELECT t.k, t.n,
+                     sum(wj * (m - t.xstar) * (m - t.xstar))
+                       / (t.k - 1) AS a,
+                     sum((1.0 - wj / t.bw) * (1.0 - wj / t.bw)
+                         / (ng - 1)) AS lam
+              FROM w, t GROUP BY t.k, t.n, t.bw, t.xstar),
+        f AS (SELECT k, n,
+                     a / (1.0 + 2.0 * (k - 2)
+                          / (k * k - 1.0) * lam) AS f_stat,
+                     CAST(k - 1 AS DOUBLE) AS df1,
+                     (k * k - 1.0) / (3.0 * lam) AS df2
+              FROM s),
+        z AS (SELECT f.*,
+                     ((1.0 - 2.0 / (9.0 * df2))
+                        * pow(f_stat, 1.0 / 3.0)
+                      - (1.0 - 2.0 / (9.0 * df1)))
+                     / sqrt(2.0 / (9.0 * df1)
+                            + pow(f_stat, 2.0 / 3.0)
+                              * 2.0 / (9.0 * df2)) AS z
+              FROM f),
+        p AS (SELECT z.*, abs(z) / sqrt(2.0) AS x,
+                     1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))
+                       AS tt
+              FROM z),
+        sf AS (SELECT p.*,
+                      least(1.0, greatest(0.0,
+                        tt * (0.254829592 + tt * (-0.284496736
+                          + tt * (1.421413741 + tt * (-1.453152027
+                          + tt * 1.061405429)))) * exp(-x * x)))
+                        AS sf2
+               FROM p)
+        SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+               round(f_stat, 6) AS f_stat, round(df1, 6) AS df1,
+               round(df2, 6) AS df2,
                round(CASE WHEN z >= 0 THEN sf2 / 2.0
                           ELSE 1.0 - sf2 / 2.0 END, 6) AS p_value
         FROM sf""",

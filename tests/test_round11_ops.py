@@ -87,6 +87,120 @@ def test_drift_report_keeps_latest_not_slowest(spark, tmp_path):
     assert row["landed"] is True and row["written_at"] == 2000.0
 
 
+# ---------------------------------------------------------------------
+# Welch one-way ANOVA F (Welch 1951) — k-group parametric screen
+# ---------------------------------------------------------------------
+
+def _grouped_df(spark, groups):
+    rows = [(float(v), g) for g, vs in groups.items() for v in vs]
+    return spark.createDataFrame(rows, "v double, g string")
+
+
+def test_welch_anova_k2_equals_welch_t_squared(spark):
+    """R's documented sleep-data Welch t: t = -1.8608, df = 17.776
+    (oneway.test gives F = 3.4626 = t^2 with the same denominator
+    df).  For k = 2 Welch's F must equal t^2 and df2 must equal the
+    Welch-Satterthwaite dof exactly."""
+    from tap_airbyte_wrapper_spark.operators import (welch_anova,
+                                                     welch_t_test)
+
+    g1 = [0.7, -1.6, -0.2, -1.2, -0.1, 3.4, 3.7, 0.8, 0.0, 2.0]
+    g2 = [1.9, 0.8, 1.1, 0.1, -0.1, 4.4, 5.5, 1.6, 4.6, 3.4]
+    df = _grouped_df(spark, {"a": g1, "b": g2})
+    row = welch_anova(df, "v", "g").first()
+    assert row["f_stat"] == pytest.approx(3.462627, abs=1e-5)
+    assert row["df2"] == pytest.approx(17.77647, abs=1e-4)
+    t = welch_t_test(df, "v", "g", "a", "b").first()
+    assert row["f_stat"] == pytest.approx(t["t_stat"] ** 2, abs=1e-4)
+    assert row["df2"] == pytest.approx(t["dof"], abs=1e-4)
+
+
+def test_welch_anova_k3_formula_pin(spark):
+    """Three unequal-variance groups, expected values computed
+    independently from the Welch 1951 formulas (weights, weighted
+    grand mean, Paulson z)."""
+    from tap_airbyte_wrapper_spark.operators import welch_anova
+
+    row = welch_anova(_grouped_df(spark, {
+        "a": [1, 2, 3, 4], "b": [2, 4, 6, 8, 10],
+        "c": [5, 5.5, 6, 6.5]}), "v", "g").first()
+    assert row["n"] == 13 and row["k"] == 3
+    assert row["f_stat"] == pytest.approx(9.256145, abs=1e-6)
+    assert row["df1"] == 2.0
+    assert row["df2"] == pytest.approx(5.722919, abs=1e-6)
+    # Paulson z = 2.1253 -> one-sided p ~ 0.0168
+    assert row["p_value"] == pytest.approx(0.0168, abs=2e-3)
+
+
+def test_welch_anova_degenerates_and_guard(spark):
+    from tap_airbyte_wrapper_spark.operators import welch_anova
+
+    # single group -> nulls, n/k still report
+    row = welch_anova(_grouped_df(spark, {"a": [1, 2, 3]}),
+                      "v", "g").first()
+    assert row["k"] == 1 and row["f_stat"] is None
+    # n_j < 2 groups are excluded (complete-case)
+    row = welch_anova(_grouped_df(spark, {
+        "a": [1, 2, 3], "b": [2, 3, 9], "tiny": [7]}),
+        "v", "g").first()
+    assert row["k"] == 2 and row["n"] == 6
+    # zero-variance group degenerates the weights -> nulls
+    row = welch_anova(_grouped_df(spark, {
+        "a": [1, 2, 3], "b": [5, 5, 5]}), "v", "g").first()
+    assert row["f_stat"] is None and row["k"] == 2
+    # id-like group column refuses
+    rows = [(float(i % 7), str(i)) for i in range(50)]
+    with pytest.raises(ValueError, match="max_groups"):
+        welch_anova(spark.createDataFrame(rows, "v double, g string"),
+                    "v", "g", max_groups=10)
+
+
+# ---------------------------------------------------------------------
+# ICC(1,1) / ICC(3,1) — closing the Shrout-Fleiss single-rater family
+# ---------------------------------------------------------------------
+
+def _sf_grid(spark):
+    data = {1: [9, 2, 5, 8], 2: [6, 1, 3, 2], 3: [8, 4, 6, 8],
+            4: [7, 1, 2, 6], 5: [10, 5, 6, 9], 6: [6, 2, 4, 7]}
+    rows = [(i, j + 1, float(v))
+            for i, vs in data.items() for j, v in enumerate(vs)]
+    return spark.createDataFrame(rows,
+                                 "item long, rater int, score double")
+
+
+def test_icc_1_1_and_3_1_shrout_fleiss_table(spark):
+    """Shrout & Fleiss 1979 Table 2 (6 targets x 4 judges): the
+    published column reads ICC(1,1) = .17, ICC(2,1) = .29,
+    ICC(3,1) = .71; exact values 0.165742 / 0.289764 / 0.714841."""
+    from tap_airbyte_wrapper_spark.operators import icc_1_1, icc_3_1
+
+    one = icc_1_1(_sf_grid(spark), "item", "rater", "score").first()
+    assert one["n_items"] == 6 and one["k_raters"] == 4
+    assert one["icc"] == pytest.approx(0.165742, abs=1e-6)
+    three = icc_3_1(_sf_grid(spark), "item", "rater", "score").first()
+    assert three["icc"] == pytest.approx(0.714841, abs=1e-6)
+
+
+def test_icc_form_ordering_and_degenerate(spark):
+    """ICC(1,1) <= ICC(2,1) <= ICC(3,1) on any grid with rater main
+    effects; a one-rater grid nulls out with counts intact."""
+    from tap_airbyte_wrapper_spark.operators import (icc_1_1, icc_2_1,
+                                                     icc_3_1)
+
+    grid = _sf_grid(spark)
+    i1 = icc_1_1(grid, "item", "rater", "score").first()["icc"]
+    i2 = icc_2_1(grid, "item", "rater", "score").first()["icc"]
+    i3 = icc_3_1(grid, "item", "rater", "score").first()["icc"]
+    assert i1 <= i2 <= i3
+    one_rater = spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(5)],
+        "item long, rater int, score double")
+    row = icc_1_1(one_rater, "item", "rater", "score").first()
+    assert row["k_raters"] == 1 and row["icc"] is None
+    assert "wms" in icc_1_1(grid, "item", "rater", "score").columns
+    assert "ems" in icc_3_1(grid, "item", "rater", "score").columns
+
+
 def test_drift_gate_stamps_written_at(spark, tmp_path):
     """End-to-end: the gate itself writes the written_at column."""
     from tap_airbyte_wrapper_spark.streaming import (
