@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .corpus import word_ngrams, words
 
-__all__ = ["bleu_rouge_corpus"]
+__all__ = ["bleu_rouge_corpus", "bleu_rouge_per_doc"]
 
 
 def bleu_rouge_corpus(
@@ -158,3 +158,128 @@ def bleu_rouge_corpus(
         f"SELECT CAST({n_pairs} AS BIGINT) AS n_pairs, {pcols}, "
         f"{_d(r1)} AS rouge1_r, {_d(r2)} AS rouge2_r, "
         f"{_d(bp)} AS bp, {_d(bleu)} AS bleu")
+
+
+def bleu_rouge_per_doc(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Per-document sentence BLEU + ROUGE-1/2 recall — the drill-down
+    companion of :func:`bleu_rouge_corpus`: the corpus row says
+    WHETHER generation quality moved; this one says WHERE, one row per
+    (candidate, reference) pair, ready for slice/fairness grouping
+    with the existing grouped-metrics patterns ("BLEU dropped — on
+    which language/domain/length bucket?").
+
+    Same definition per document as the corpus op applies globally
+    (clipped matches / totals / brevity penalty over the single pair;
+    on a 1-document corpus the two agree exactly — pinned), same
+    no-smoothing contract: a zero clipped count at any order makes
+    that document's ``bleu = 0``, and a candidate with fewer than
+    ``max_n`` tokens has an undefined order (``p_n`` null ⇒ ``bleu``
+    null — at sentence granularity that is common and IS the reason
+    corpus BLEU sums before dividing; stated).
+
+    Plan: the SAME tagged-gram pass as the corpus op (one explode for
+    all orders, xxhash64 gram keys, per-(doc, n, gram) counts), then
+    ``groupBy(doc)`` with 3·max_n conditional sums instead of global
+    sums — the closed form evaluates as Spark column expressions, so
+    NOTHING collects; output is one row per pair, computed where the
+    data lives.  Output: ``(<id_col>, c_len, r_len, p1..p{max_n},
+    rouge1_r, rouge2_r, bp, bleu)``."""
+    if not 1 <= max_n <= 8:
+        raise ValueError(f"max_n must be in 1..8, got {max_n}")
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    src = df if df.rdd.getNumPartitions() >= par \
+        else df.repartition(par)
+    base = (src.filter(F.col(cand_col).isNotNull()
+                       & F.col(ref_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    words(F.col(cand_col)).alias("__wc"),
+                    words(F.col(ref_col)).alias("__wr"))
+            .localCheckpoint(eager=True))
+
+    def _tag(order):
+        return lambda g: F.struct(F.lit(order).alias("n"),
+                                  g.alias("g"))
+
+    def tagged(col_name):
+        c = F.col(col_name)
+        parts = [F.transform(word_ngrams(c, n), _tag(n))
+                 for n in range(1, max_n + 1)]
+        return F.explode(F.flatten(F.array(*parts))).alias("b")
+
+    cg = (base.select("__id", tagged("__wc"))
+          .select("__id", F.col("b.n").alias("n"),
+                  F.xxhash64("b.g").alias("gh"))
+          .groupBy("__id", "n", "gh")
+          .agg(F.count(F.lit(1)).alias("cc")))
+    rg = (base.select("__id", tagged("__wr"))
+          .select("__id", F.col("b.n").alias("n"),
+                  F.xxhash64("b.g").alias("gh"))
+          .groupBy("__id", "n", "gh")
+          .agg(F.count(F.lit(1)).alias("rc")))
+    # one (doc, order) stats table from a full outer join of the two
+    # gram-count sides: cand-only grams carry ct, ref-only carry rt,
+    # shared carry the clip min — no doc ever drops for lack of
+    # overlap.  least() SKIPS nulls (it returns the smallest non-null
+    # argument), so one-sided rows must coalesce to 0 first or every
+    # cand-only gram would count itself as clipped
+    per_ng = (cg.join(rg, ["__id", "n", "gh"], "full_outer")
+              .groupBy("__id", "n")
+              .agg(F.sum(F.least(F.coalesce("cc", F.lit(0)),
+                                 F.coalesce("rc", F.lit(0))))
+                   .alias("clip"),
+                   F.sum("cc").alias("ct"),
+                   F.sum("rc").alias("rt")))
+    aggs = []
+    for n in range(1, max_n + 1):
+        aggs += [
+            F.coalesce(F.sum(F.when(F.col("n") == n, F.col("clip"))),
+                       F.lit(0)).alias(f"__clip{n}"),
+            F.coalesce(F.sum(F.when(F.col("n") == n, F.col("ct"))),
+                       F.lit(0)).alias(f"__ct{n}"),
+            F.coalesce(F.sum(F.when(F.col("n") == n, F.col("rt"))),
+                       F.lit(0)).alias(f"__rt{n}"),
+        ]
+    stats = per_ng.groupBy("__id").agg(*aggs)
+    lens = base.select("__id",
+                       F.size("__wc").alias("c_len"),
+                       F.size("__wr").alias("r_len"))
+    # LEFT join: a pair whose both texts tokenize to zero grams has no
+    # per_ng rows at all — it must still emit its (null-metric) row
+    out = lens.join(stats, "__id", "left")
+    p = {n: F.when(F.col(f"__ct{n}") > 0,
+                   F.col(f"__clip{n}") / F.col(f"__ct{n}"))
+         for n in range(1, max_n + 1)}
+    bp = F.when(F.col("c_len") > 0,
+                F.exp(F.least(F.lit(0.0),
+                              1.0 - F.col("r_len") / F.col("c_len"))))
+    any_null = p[1].isNull()
+    any_zero = p[1] == 0.0
+    for n in range(2, max_n + 1):
+        any_null = any_null | p[n].isNull()
+        any_zero = any_zero | (p[n] == 0.0)
+    logsum = sum((F.log(p[n]) for n in range(2, max_n + 1)),
+                 F.log(p[1]))
+    bleu = (F.when(bp.isNull() | any_null, F.lit(None))
+            .when(any_zero, F.lit(0.0))
+            .otherwise(bp * F.exp(logsum / max_n)))
+    r1 = F.when(F.col("__rt1") > 0, F.col("__clip1") / F.col("__rt1"))
+    r2 = (F.when(F.col("__rt2") > 0,
+                 F.col("__clip2") / F.col("__rt2"))
+          if max_n >= 2 else F.lit(None).cast("double"))
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("c_len").cast("long").alias("c_len"),
+        F.col("r_len").cast("long").alias("r_len"),
+        *[F.round(p[n], 6).alias(f"p{n}")
+          for n in range(1, max_n + 1)],
+        F.round(r1, 6).alias("rouge1_r"),
+        F.round(r2, 6).alias("rouge2_r"),
+        F.round(bp, 6).alias("bp"),
+        F.round(bleu, 6).alias("bleu"))

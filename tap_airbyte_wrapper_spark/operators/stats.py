@@ -43,7 +43,7 @@ __all__ = ["ks_test", "mann_whitney_u", "welch_t_test",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
            "bh_fdr", "mutual_information", "wilcoxon_signed_rank",
            "paired_t_test", "wasserstein_1d", "kruskal_wallis",
-           "welch_anova", "icc_2_1", "icc_1_1", "icc_3_1"]
+           "welch_anova", "icc_2_1", "icc_1_1", "icc_3_1", "icc_all_forms"]
 
 
 def _normal_sf2(z: float) -> float:
@@ -563,12 +563,23 @@ def icc_3_1(df: DataFrame, item_col: str, rater_col: str,
     return _icc_form(df, item_col, rater_col, score_col, form="3,1")
 
 
+def icc_all_forms(df: DataFrame, item_col: str, rater_col: str,
+                  score_col: str) -> DataFrame:
+    """All three Shrout-Fleiss single-rater forms from ONE grid scan
+    and one set of ANOVA partials (each ``icc_*_1`` call builds and
+    checkpoints its own complete-case grid; when you want the whole
+    family — the usual reporting case — this computes the shared
+    sums of squares once, ~3x cheaper).  Output: ONE row
+    ``(n_items, k_raters, n_dropped, icc11, icc21, icc31)``."""
+    return _icc_form(df, item_col, rater_col, score_col, form="all")
+
+
 def _icc_form(df: DataFrame, item_col: str, rater_col: str,
               score_col: str, form: str) -> DataFrame:
-    """Shared grid construction + dispatch for ICC(1,1)/ICC(3,1)
+    """Shared grid construction + dispatch for ICC(1,1)/ICC(3,1)/all
     (:func:`icc_2_1` keeps its original three-mean-square output
-    contract; these two report the pair of mean squares their formula
-    actually uses)."""
+    contract; the single-form wrappers report the pair of mean squares
+    their formula actually uses)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -590,31 +601,42 @@ def _icc_form(df: DataFrame, item_col: str, rater_col: str,
     n = int(tot["n"] or 0)
     dropped = (int(cells.select("__it").distinct().count()) - n
                if k > 0 else 0)
-    ms_name = "wms" if form == "1,1" else "ems"
-    null_row = (
-        f"SELECT CAST({n} AS BIGINT) AS n_items, "
-        f"CAST({k} AS BIGINT) AS k_raters, "
-        f"CAST({dropped} AS BIGINT) AS n_dropped, "
-        f"CAST(NULL AS DOUBLE) AS bms, "
-        f"CAST(NULL AS DOUBLE) AS {ms_name}, "
-        "CAST(NULL AS DOUBLE) AS icc")
+    head = (f"SELECT CAST({n} AS BIGINT) AS n_items, "
+            f"CAST({k} AS BIGINT) AS k_raters, "
+            f"CAST({dropped} AS BIGINT) AS n_dropped, ")
+    if form == "all":
+        null_tail = ("CAST(NULL AS DOUBLE) AS icc11, "
+                     "CAST(NULL AS DOUBLE) AS icc21, "
+                     "CAST(NULL AS DOUBLE) AS icc31")
+    else:
+        ms_name = "wms" if form == "1,1" else "ems"
+        null_tail = (f"CAST(NULL AS DOUBLE) AS bms, "
+                     f"CAST(NULL AS DOUBLE) AS {ms_name}, "
+                     "CAST(NULL AS DOUBLE) AS icc")
     if n < 2 or k < 2:
-        return spark.sql(null_row)
-    bms, _jms, ems, wms = _icc_mean_squares(kept, n, k,
-                                            float(tot["m"]))
-    ms = wms if form == "1,1" else ems
-    denom = bms + (k - 1) * ms
-    icc = (bms - ms) / denom if denom != 0 else None
+        return spark.sql(head + null_tail)
+    bms, jms, ems, wms = _icc_mean_squares(kept, n, k,
+                                           float(tot["m"]))
+
+    def _ratio(num, den):
+        return num / den if den != 0 else None
 
     def _d(x):
         return ("CAST(NULL AS DOUBLE)" if x is None
                 else f"round(CAST({x!r} AS DOUBLE), 6)")
 
+    if form == "all":
+        icc11 = _ratio(bms - wms, bms + (k - 1) * wms)
+        icc21 = _ratio(bms - ems,
+                       bms + (k - 1) * ems + k * (jms - ems) / n)
+        icc31 = _ratio(bms - ems, bms + (k - 1) * ems)
+        return spark.sql(
+            head + f"{_d(icc11)} AS icc11, {_d(icc21)} AS icc21, "
+            f"{_d(icc31)} AS icc31")
+    ms = wms if form == "1,1" else ems
+    icc = _ratio(bms - ms, bms + (k - 1) * ms)
     return spark.sql(
-        f"SELECT CAST({n} AS BIGINT) AS n_items, "
-        f"CAST({k} AS BIGINT) AS k_raters, "
-        f"CAST({dropped} AS BIGINT) AS n_dropped, "
-        f"{_d(bms)} AS bms, {_d(ms)} AS {ms_name}, "
+        head + f"{_d(bms)} AS bms, {_d(ms)} AS {ms_name}, "
         f"{_d(icc)} AS icc")
 
 

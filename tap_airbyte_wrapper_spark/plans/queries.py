@@ -2132,8 +2132,10 @@ def q_icc_forms(spark, sf_dir):
     three-synthetic-judge grid as icc_docs, in one row: ICC(1,1) <=
     ICC(2,1) <= ICC(3,1) by construction (the forms differ only in
     how the rater variance is charged), and the oracle replays the
-    shared ANOVA decomposition once."""
-    from ..operators import icc_1_1, icc_2_1, icc_3_1
+    shared ANOVA decomposition once.  icc_all_forms computes the grid
+    and sums of squares ONCE for all three (three separate icc_*_1
+    calls measured ~3x: 4.2 s vs 1.5 s for one form at sf0.1)."""
+    from ..operators import icc_all_forms
 
     docs = _t(spark, sf_dir, "documents")
     parts = [docs.select(
@@ -2143,13 +2145,8 @@ def q_icc_forms(spark, sf_dir):
          + (F.col("doc_id") * 7 + j * 13) % 10).alias("score"))
         for j in (1, 2, 3)]
     rated = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    one = icc_1_1(rated, "item", "judge", "score").select(
-        "n_items", "k_raters", F.col("icc").alias("icc11"))
-    two = icc_2_1(rated, "item", "judge", "score").select(
-        F.col("icc").alias("icc21"))
-    three = icc_3_1(rated, "item", "judge", "score").select(
-        F.col("icc").alias("icc31"))
-    return one.crossJoin(two).crossJoin(three)
+    return icc_all_forms(rated, "item", "judge", "score").drop(
+        "n_dropped")
 
 
 def q_chi2(spark, sf_dir):
@@ -2338,6 +2335,24 @@ def q_bleu(spark, sf_dir):
         .otherwise(F.col("text")).alias("cand"),
         F.col("text").alias("ref"))
     return bleu_rouge_corpus(docs, "cand", "ref", "doc_id")
+
+
+def q_bleu_per_doc(spark, sf_dir):
+    """Per-document BLEU/ROUGE drill-down over the SAME planted e->a
+    damage as bleu_docs: every 3rd doc scores < 1, the rest score
+    exactly 1 — the slice view that tells you WHICH docs the corpus
+    row's drop came from.  max_n=2 (sentence-granularity orders;
+    4-grams on short docs are mostly undefined and the corpus entry
+    already covers them)."""
+    from ..functions import bleu_rouge_per_doc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.translate(F.col("text"), "e", "a"))
+        .otherwise(F.col("text")).alias("cand"),
+        F.col("text").alias("ref"))
+    return bleu_rouge_per_doc(docs, "cand", "ref", "doc_id", max_n=2)
 
 
 def q_icc(spark, sf_dir):
@@ -3905,6 +3920,7 @@ QUERIES = {
     "welch_anova_orders": q_welch_anova,
     "pmi_docs": q_pmi,
     "bleu_docs": q_bleu,
+    "bleu_per_doc_docs": q_bleu_per_doc,
     "icc_docs": q_icc,
     "icc_forms_docs": q_icc_forms,
     "flesch_docs": q_flesch,
@@ -4124,11 +4140,11 @@ _R11_WINDOW = [
     "rrf_fusion_docs", "char_ngram_entropy_docs", "zipf_fit_docs",
     "domain_quota_docs", "source_overlap_docs", "knn_pq_verified",
     "hard_negatives_emb", "fuzzy_name_pairs", "chunk_sentences_docs",
-    "semi_hard_negatives_emb", "threshold_metrics_docs",
-    # new r11 oracle-backed ops take the last two (d) slots so they
-    # get driver rows THIS round (the r10 lesson); displaced to r12:
-    # calibration_bins_docs, uniform_sample_docs
-    "welch_anova_orders", "icc_forms_docs",
+    "semi_hard_negatives_emb",
+    # new r11 oracle-backed ops take the last (d) slots so they get
+    # driver rows THIS round (the r10 lesson); displaced to r12:
+    # threshold_metrics_docs, calibration_bins_docs, uniform_sample_docs
+    "welch_anova_orders", "icc_forms_docs", "bleu_per_doc_docs",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
@@ -6884,6 +6900,81 @@ ORACLES = {
                           THEN 0.0
                           ELSE bp * exp((ln(p1) + ln(p2) + ln(p3)
                                          + ln(p4)) / 4) END, 6)
+                 AS bleu
+        FROM p""",
+    "bleu_per_doc_docs": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(trim(
+                   CASE WHEN doc_id % 3 = 0
+                        THEN translate(text, 'e', 'a')
+                        ELSE text END)), '\S+') AS wc,
+                 regexp_extract_all(lower(trim(text)), '\S+') AS wr
+          FROM documents WHERE text IS NOT NULL),
+        cg1 AS (SELECT doc_id, g, count(*) AS cc
+                FROM (SELECT doc_id, unnest(wc) AS g FROM t)
+                GROUP BY 1, 2),
+        rg1 AS (SELECT doc_id, g, count(*) AS rc
+                FROM (SELECT doc_id, unnest(wr) AS g FROM t)
+                GROUP BY 1, 2),
+        s1 AS (SELECT doc_id,
+                      sum(least(coalesce(cc, 0), coalesce(rc, 0)))
+                        AS clip,
+                      sum(cc) AS ct, sum(rc) AS rt
+               FROM cg1 FULL OUTER JOIN rg1 USING (doc_id, g)
+               GROUP BY doc_id),
+        cg2 AS (SELECT doc_id, z[1] || ' ' || z[2] AS g, count(*) AS cc
+                FROM (SELECT doc_id,
+                        unnest(list_zip(wc[1:greatest(len(wc)-1,0)],
+                                        wc[2:len(wc)])) AS z
+                      FROM t)
+                GROUP BY 1, 2),
+        rg2 AS (SELECT doc_id, z[1] || ' ' || z[2] AS g, count(*) AS rc
+                FROM (SELECT doc_id,
+                        unnest(list_zip(wr[1:greatest(len(wr)-1,0)],
+                                        wr[2:len(wr)])) AS z
+                      FROM t)
+                GROUP BY 1, 2),
+        s2 AS (SELECT doc_id,
+                      sum(least(coalesce(cc, 0), coalesce(rc, 0)))
+                        AS clip,
+                      sum(cc) AS ct, sum(rc) AS rt
+               FROM cg2 FULL OUTER JOIN rg2 USING (doc_id, g)
+               GROUP BY doc_id),
+        b AS (SELECT doc_id, len(wc) AS c_len, len(wr) AS r_len
+              FROM t),
+        j AS (SELECT b.doc_id, b.c_len, b.r_len,
+                     coalesce(s1.clip, 0) AS clip1,
+                     coalesce(s1.ct, 0) AS ct1,
+                     coalesce(s1.rt, 0) AS rt1,
+                     coalesce(s2.clip, 0) AS clip2,
+                     coalesce(s2.ct, 0) AS ct2,
+                     coalesce(s2.rt, 0) AS rt2
+              FROM b LEFT JOIN s1 USING (doc_id)
+                     LEFT JOIN s2 USING (doc_id)),
+        p AS (SELECT j.*,
+                CASE WHEN ct1 > 0
+                     THEN clip1 / CAST(ct1 AS DOUBLE) END AS p1,
+                CASE WHEN ct2 > 0
+                     THEN clip2 / CAST(ct2 AS DOUBLE) END AS p2,
+                CASE WHEN c_len > 0 THEN
+                  exp(least(0.0, 1.0 - r_len / CAST(c_len AS DOUBLE)))
+                END AS bp
+              FROM j)
+        SELECT doc_id, CAST(c_len AS BIGINT) AS c_len,
+               CAST(r_len AS BIGINT) AS r_len,
+               round(p1, 6) AS p1, round(p2, 6) AS p2,
+               round(CASE WHEN rt1 > 0
+                     THEN clip1 / CAST(rt1 AS DOUBLE) END, 6)
+                 AS rouge1_r,
+               round(CASE WHEN rt2 > 0
+                     THEN clip2 / CAST(rt2 AS DOUBLE) END, 6)
+                 AS rouge2_r,
+               round(bp, 6) AS bp,
+               round(CASE
+                 WHEN bp IS NULL OR p1 IS NULL OR p2 IS NULL THEN NULL
+                 WHEN p1 = 0 OR p2 = 0 THEN 0.0
+                 ELSE bp * exp((ln(p1) + ln(p2)) / 2.0) END, 6)
                  AS bleu
         FROM p""",
     "pmi_docs": r"""

@@ -181,6 +181,20 @@ def test_icc_1_1_and_3_1_shrout_fleiss_table(spark):
     assert three["icc"] == pytest.approx(0.714841, abs=1e-6)
 
 
+def test_icc_all_forms_matches_single_form_ops(spark):
+    """The one-scan family op agrees with each single-form op on the
+    published grid (0.165742 / 0.289764 / 0.714841) and keeps the
+    count columns."""
+    from tap_airbyte_wrapper_spark.operators import icc_all_forms
+
+    row = icc_all_forms(_sf_grid(spark), "item", "rater",
+                        "score").first()
+    assert row["n_items"] == 6 and row["k_raters"] == 4
+    assert row["icc11"] == pytest.approx(0.165742, abs=1e-6)
+    assert row["icc21"] == pytest.approx(0.289764, abs=1e-6)
+    assert row["icc31"] == pytest.approx(0.714841, abs=1e-6)
+
+
 def test_icc_form_ordering_and_degenerate(spark):
     """ICC(1,1) <= ICC(2,1) <= ICC(3,1) on any grid with rater main
     effects; a one-rater grid nulls out with counts intact."""
@@ -199,6 +213,67 @@ def test_icc_form_ordering_and_degenerate(spark):
     assert row["k_raters"] == 1 and row["icc"] is None
     assert "wms" in icc_1_1(grid, "item", "rater", "score").columns
     assert "ems" in icc_3_1(grid, "item", "rater", "score").columns
+
+
+# ---------------------------------------------------------------------
+# Per-doc BLEU/ROUGE (drill-down companion of bleu_rouge_corpus)
+# ---------------------------------------------------------------------
+
+def test_bleu_per_doc_matches_corpus_on_single_doc(spark):
+    """On a 1-document corpus the per-doc row must equal the corpus
+    row metric-for-metric (same clipping, totals, bp — just no
+    summation to collapse)."""
+    from tap_airbyte_wrapper_spark.functions import (bleu_rouge_corpus,
+                                                     bleu_rouge_per_doc)
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat today", "the cat sat on a mat")],
+        "doc_id long, cand string, ref string")
+    corpus = bleu_rouge_corpus(df, "cand", "ref", "doc_id").first()
+    per = bleu_rouge_per_doc(df, "cand", "ref", "doc_id").first()
+    for m in ["p1", "p2", "p3", "p4", "rouge1_r", "rouge2_r",
+              "bp", "bleu"]:
+        assert per[m] == pytest.approx(corpus[m], abs=1e-6), m
+    assert per["doc_id"] == 1 and per["c_len"] == 7
+
+
+def test_bleu_per_doc_separates_damaged_docs(spark):
+    """Verbatim copies score exactly 1 everywhere; a damaged doc
+    scores < 1; zero-overlap candidates score bleu = 0 (no
+    smoothing)."""
+    from tap_airbyte_wrapper_spark.functions import bleu_rouge_per_doc
+
+    ref = "alpha beta gamma delta epsilon zeta"
+    rows = [(1, ref, ref),
+            (2, "alpha beta gamma delta zeta epsilon", ref),
+            (3, "xxx yyy zzz www vvv uuu", ref)]
+    out = {r["doc_id"]: r for r in bleu_rouge_per_doc(
+        spark.createDataFrame(rows,
+                              "doc_id long, cand string, ref string"),
+        "cand", "ref", "doc_id", max_n=2).collect()}
+    assert out[1]["bleu"] == 1.0 and out[1]["rouge1_r"] == 1.0
+    assert out[2]["p1"] == 1.0 and 0 < out[2]["bleu"] < 1.0
+    assert out[3]["bleu"] == 0.0 and out[3]["p1"] == 0.0
+
+
+def test_bleu_per_doc_short_and_empty_edges(spark):
+    """A 1-token candidate has no bigrams -> p2 null -> bleu null at
+    max_n=2; an all-whitespace pair still emits its row with null
+    metrics; null cand drops the pair (corpus-op contract)."""
+    from tap_airbyte_wrapper_spark.functions import bleu_rouge_per_doc
+
+    rows = [(1, "hello", "hello"), (2, "  ", "  "), (3, None, "x")]
+    out = {r["doc_id"]: r for r in bleu_rouge_per_doc(
+        spark.createDataFrame(rows,
+                              "doc_id long, cand string, ref string"),
+        "cand", "ref", "doc_id", max_n=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["p1"] == 1.0 and out[1]["bleu"] is None
+    assert out[2]["c_len"] == 0 and out[2]["bleu"] is None
+    with pytest.raises(ValueError):
+        bleu_rouge_per_doc(spark.createDataFrame(
+            [(1, "a", "a")], "doc_id long, cand string, ref string"),
+            "cand", "ref", "doc_id", max_n=0)
 
 
 def test_drift_gate_stamps_written_at(spark, tmp_path):
