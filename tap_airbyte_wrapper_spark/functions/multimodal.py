@@ -722,6 +722,125 @@ def media_window_sig(col: Column, n_windows: int = 64,
     return sig(col)
 
 
+def mp4_timing_sig(col: Column, max_samples: int = 65536) -> Column:
+    """64-bit hamming signature of an MP4 video track's SAMPLE TIMING
+    (the ``stts`` chunk-duration sequence) — the header-only sketch
+    that survives the dup case :func:`media_window_sig` honestly
+    cannot: a SAME-FPS RE-ENCODE rewrites every essence byte but
+    carries the frame timestamps over, so its timing signature is
+    IDENTICAL while its byte-window signature is uncorrelated.
+
+    Construction: deltas normalize to microseconds (``delta * 1e6 /
+    media_timescale`` — re-encoders routinely change the timescale
+    while preserving times), the first ``max_samples`` normalized
+    deltas split into 64 windows, bit ``i`` = parity of ``md5`` over
+    window ``i``'s bytes (windows past the end contribute fixed 0
+    bits, so tail trims agree on every window before the cut — the
+    same conventions as the byte-window sig, so the result rides the
+    existing hamming machinery unchanged).
+
+    Honest contract — what still escapes: for CONSTANT-frame-rate
+    content stts is one run and the signature collapses to a
+    (frame count, frame duration) fingerprint — two different same-
+    length CFR clips at the same fps collide (the metadata block keys
+    must disambiguate; discrimination comes from variable-frame-rate
+    timing).  A re-encode that RESAMPLES timing (fps change), a
+    resized re-upload (dims leave the block), Matroska input (no stts)
+    and headerless fragments all return null / escape — the decoded-
+    frame path remains the only complete answer and remains out of
+    scope (no codec libs).  Null when not MP4, no video track, or no
+    sample table."""
+    from .video import mp4_sample_deltas
+
+    @pandas_udf("long")
+    def sig(payloads: pd.Series) -> pd.Series:
+        out = []
+        for p in payloads:
+            got = mp4_sample_deltas(bytes(p)) if p is not None \
+                and len(p) > 0 else None
+            if not got or not got[1] or not got[0]:
+                out.append(None)
+                continue
+            timescale, entries = got
+            deltas = []
+            for cnt, delta in entries:
+                take = min(cnt, max_samples - len(deltas))
+                if take <= 0:
+                    break
+                deltas.extend(
+                    [round(delta * 1_000_000 / timescale)] * take)
+            n = len(deltas)
+            if n == 0:
+                out.append(None)
+                continue
+            k = max(1, n // 64)
+            v = 0
+            for i in range(64):
+                win = deltas[i * k:(i + 1) * k]
+                if not win:
+                    break
+                blob = b"".join(d.to_bytes(8, "big", signed=False)
+                                for d in win)
+                if hashlib.md5(blob).digest()[-1] & 1:
+                    v |= 1 << i
+            out.append(v if v < (1 << 63) else v - (1 << 64))
+        return pd.Series(out, dtype="object").astype("Int64")
+
+    return sig(col)
+
+
+def media_timing_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    media_col: str,
+    max_hamming: int = 6,
+    duration_bucket_s: float = 2.0,
+) -> DataFrame:
+    """Same-fps RE-ENCODE candidates: the companion gate to
+    :func:`media_container_near_dup_pairs` for the dup case the
+    byte-window signature cannot see (re-encoded re-uploads — the most
+    common video dup in crawled data).  Identical plan shape: one
+    probe + one header-only timing-signature pass per asset
+    (`mp4_timing_sig`), blocking on container kind | dims | ±1
+    duration bucket, pigeonhole-verified 64-bit hamming; only 8-byte
+    signatures and short block keys shuffle, and the 3-column
+    projection checkpoints before the self-join so payloads never
+    materialize twice.  Output ``(id_a, id_b, hamming)``.
+
+    Candidates, not verdicts: CFR clips collide on (frame count, frame
+    duration) alone within a block (see the signature's honest
+    contract) — treat a hit as "same timing profile", route to
+    decoded-frame verification where stakes demand it."""
+    m = F.col("__m")
+    blocked = (
+        df.select(
+            F.col(id_col),
+            probe_media_meta(F.col(media_col)).alias("__m"),
+            mp4_timing_sig(F.col(media_col)).alias("sh"))
+        .withColumn("__kind", m.getItem("container"))
+        .filter(F.col("__kind").isNotNull() & F.col("sh").isNotNull())
+        .withColumn(
+            "__dims",
+            F.concat_ws("x",
+                        F.coalesce(m.getItem("width"), F.lit("?")),
+                        F.coalesce(m.getItem("height"), F.lit("?"))))
+        .withColumn(
+            "__db",
+            F.floor(F.coalesce(m.getItem("duration_s").cast("double"),
+                               F.lit(-1.0))
+                    / F.lit(float(duration_bucket_s))).cast("long"))
+        .select(
+            id_col, "sh", "__kind", "__dims",
+            F.explode(F.array(F.col("__db"),
+                              F.col("__db") + 1)).alias("__dbk"))
+        .withColumn("__blk", F.concat_ws(
+            "|", "__kind", "__dims", F.col("__dbk").cast("string")))
+        .select(id_col, "sh", "__blk")
+        .localCheckpoint(eager=True))
+    return hamming_near_dup_pairs(
+        blocked, id_col, "sh", max_hamming, block_cols=("__blk",))
+
+
 def _media_blocked_sigs(
     df: DataFrame,
     id_col: str,

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["video_metadata", "mp4_stub"]
+__all__ = ["video_metadata", "mp4_stub", "mp4_sample_deltas"]
 
 
 # --------------------------------------------------------------- ISO-BMFF
@@ -242,14 +242,75 @@ def _parse_mkv(buf: bytes):
     return out
 
 
+def mp4_sample_deltas(payload: bytes):
+    """First video track's sample-timing profile from the ``stts``
+    box, header-only: ``(media_timescale, [(count, delta), ...])`` in
+    the box's own run-length encoding, or ``None`` when the payload is
+    not MP4/MOV, has no video track, or its header lacks a sample
+    table (the stock :func:`mp4_stub` output, streaming-fragmented
+    files).  This is the part of the sample table a SAME-FPS RE-ENCODE
+    preserves: frame timestamps carry over while every essence byte —
+    and with it the byte-window signature — is rewritten.  Sample
+    SIZES (``stsz``) do NOT survive a re-encode and are deliberately
+    not part of the profile.  Layout per ISO/IEC 14496-12 8.6.1.2."""
+    if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    buf = bytes(payload)
+    moov = _mp4_find(buf, 0, len(buf), b"moov")
+    if moov is None:
+        return None
+    for t, s, e in _mp4_boxes(buf, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _mp4_find(buf, s, e, b"mdia")
+        if not mdia:
+            continue
+        hdlr = _mp4_find(buf, mdia[0], mdia[1], b"hdlr")
+        if not (hdlr and hdlr[1] - hdlr[0] >= 12
+                and buf[hdlr[0] + 8:hdlr[0] + 12] == b"vide"):
+            continue
+        timescale = 0
+        mdhd = _mp4_find(buf, mdia[0], mdia[1], b"mdhd")
+        if mdhd and mdhd[1] > mdhd[0]:
+            hs, he = mdhd
+            off = hs + (20 if buf[hs] == 1 else 12)
+            if off + 4 <= he:
+                (timescale,) = struct.unpack(">I", buf[off:off + 4])
+        minf = _mp4_find(buf, mdia[0], mdia[1], b"minf")
+        stbl = minf and _mp4_find(buf, minf[0], minf[1], b"stbl")
+        stts = stbl and _mp4_find(buf, stbl[0], stbl[1], b"stts")
+        if not stts or stts[1] - stts[0] < 8:
+            return None
+        hs, he = stts
+        (n_entries,) = struct.unpack(">I", buf[hs + 4:hs + 8])
+        entries = []
+        pos = hs + 8
+        for _ in range(n_entries):
+            if pos + 8 > he:
+                return None  # truncated table: refuse, don't guess
+            cnt, delta = struct.unpack(">II", buf[pos:pos + 8])
+            entries.append((cnt, delta))
+            pos += 8
+        return (timescale, entries)
+    return None
+
+
 def mp4_stub(width: int, height: int, duration_ms: int,
-             codec: str = "avc1") -> bytes:
+             codec: str = "avc1",
+             sample_deltas=None, sample_sizes=None) -> bytes:
     """Assemble a minimal spec-conformant MP4 header (ftyp + moov with
     one video track; 8-byte mdat, no playable frames) — the
     deterministic FAKE the multimodal contract allows: real container
     bytes for exercising probe/filter plumbing end-to-end without any
     media library.  Field layout per ISO/IEC 14496-12 (mvhd v0, tkhd
-    v0 with 16.16 fixed-point dims, hdlr 'vide', stsd sample entry)."""
+    v0 with 16.16 fixed-point dims, hdlr 'vide', stsd sample entry).
+
+    ``sample_deltas``: optional per-sample timing deltas (media
+    timescale 90000 ticks/s) — run-length encoded into a real ``stts``
+    box so :func:`mp4_sample_deltas` and the timing signature have a
+    sample table to read.  ``sample_sizes``: optional per-sample byte
+    sizes -> an ``stsz`` box (present so tests can assert the timing
+    profile ignores it — sizes do not survive a re-encode)."""
     def box(fourcc, payload):
         return struct.pack(">I", 8 + len(payload)) + fourcc + payload
 
@@ -278,7 +339,23 @@ def mp4_stub(width: int, height: int, duration_ms: int,
     entry = struct.pack(">I", 16) + codec.encode("ascii")[:4].ljust(4) \
         + b"\x00" * 8
     stsd = fullbox(b"stsd", struct.pack(">I", 1) + entry)
-    stbl = box(b"stbl", stsd)
+    stbl_payload = stsd
+    if sample_deltas:
+        rle = []
+        for d in sample_deltas:
+            if rle and rle[-1][1] == int(d):
+                rle[-1][0] += 1
+            else:
+                rle.append([1, int(d)])
+        stbl_payload += fullbox(
+            b"stts", struct.pack(">I", len(rle))
+            + b"".join(struct.pack(">II", c, d) for c, d in rle))
+    if sample_sizes:
+        stbl_payload += fullbox(
+            b"stsz", struct.pack(">II", 0, len(sample_sizes))
+            + b"".join(struct.pack(">I", int(sz))
+                       for sz in sample_sizes))
+    stbl = box(b"stbl", stbl_payload)
     minf = box(b"minf", stbl)
     mdia = box(b"mdia", mdhd + hdlr + minf)
     trak = box(b"trak", tkhd + mdia)

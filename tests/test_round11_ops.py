@@ -276,6 +276,117 @@ def test_bleu_per_doc_short_and_empty_edges(spark):
             "cand", "ref", "doc_id", max_n=0)
 
 
+# ---------------------------------------------------------------------
+# MP4 sample-table (stts) timing signature — same-fps re-encode gate
+# ---------------------------------------------------------------------
+
+def _vfr_deltas(n=120, base=3000):
+    # variable-frame-rate timing: the discriminating case for the sig
+    return [base + ((i * 37) % 7) * 150 for i in range(n)]
+
+
+def _mp4_asset(deltas, seed, w=640, h=360, dur=4000, sizes=None):
+    """Stub header with a real stts (+optional stsz) and an
+    md5-chain mdat essence — seed selects the 'encode'."""
+    import hashlib
+    import struct
+
+    from tap_airbyte_wrapper_spark.functions import mp4_stub
+
+    stub = mp4_stub(w, h, dur, sample_deltas=deltas,
+                    sample_sizes=sizes)
+    body = stub[:-16]  # drop the stock empty mdat box
+    ess = bytearray()
+    i = 0
+    while len(ess) < 2300:
+        ess += hashlib.md5(f"{seed}:{i}".encode()).digest()
+        i += 1
+    return body + struct.pack(">I", 8 + 2300) + b"mdat" \
+        + bytes(ess[:2300])
+
+
+def test_mp4_sample_deltas_roundtrip():
+    from tap_airbyte_wrapper_spark.functions import (mp4_sample_deltas,
+                                                     mp4_stub)
+
+    deltas = _vfr_deltas()
+    ts, entries = mp4_sample_deltas(
+        mp4_stub(640, 360, 4000, sample_deltas=deltas,
+                 sample_sizes=[100] * len(deltas)))
+    assert ts == 90000
+    expanded = [d for cnt, d in entries for _ in range(cnt)]
+    assert expanded == deltas
+    # stock stub has no sample table; junk is not MP4; a truncated
+    # stts refuses rather than guessing
+    assert mp4_sample_deltas(mp4_stub(640, 360, 4000)) is None
+    assert mp4_sample_deltas(b"\x00" * 64) is None
+    full = mp4_stub(640, 360, 4000, sample_deltas=deltas)
+    assert mp4_sample_deltas(full[:len(full) - 300]) is None
+
+
+def test_timing_sig_survives_reencode_and_timescale(spark):
+    """The planted re-encode: durations preserved, every essence byte
+    rewritten — byte-window signatures decorrelate, timing signatures
+    are IDENTICAL; and the microsecond normalization makes the sig
+    invariant to a timescale rewrite (90000 -> 45000 with halved
+    deltas)."""
+    import struct
+
+    from tap_airbyte_wrapper_spark.functions import (media_window_sig,
+                                                     mp4_timing_sig)
+
+    deltas = _vfr_deltas()
+    a = _mp4_asset(deltas, seed=1, sizes=[100 + i for i in
+                                          range(len(deltas))])
+    b = _mp4_asset(deltas, seed=2, sizes=[90 + 2 * i for i in
+                                          range(len(deltas))])
+    c = _mp4_asset(list(reversed(deltas)), seed=3)
+    # timescale rewrite of a: halve every delta, patch mdhd 90000->45000
+    half = _mp4_asset([d // 2 for d in deltas], seed=4)
+    at = half.find(b"mdhd") + 16
+    assert struct.unpack(">I", half[at:at + 4])[0] == 90000
+    half = half[:at] + struct.pack(">I", 45000) + half[at + 4:]
+    # deltas must be even for exact halving
+    assert all(d % 2 == 0 for d in deltas)
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, half)], "id long, m binary")
+    # stride=32 so the 2300-byte test essence spans the 64 windows
+    # (at the production 4096 stride a fixture this small informs
+    # only one window)
+    rows = {r["id"]: r for r in df.select(
+        "id", mp4_timing_sig(F.col("m")).alias("ts"),
+        media_window_sig(F.col("m"), stride=32).alias("ws")).collect()}
+    assert rows[1]["ts"] == rows[2]["ts"]          # re-encode caught
+    assert rows[1]["ts"] != rows[3]["ts"]          # timing change seen
+    assert rows[1]["ts"] == rows[4]["ts"]          # timescale-invariant
+    xor = rows[1]["ws"] ^ rows[2]["ws"]
+    assert bin(xor & ((1 << 64) - 1)).count("1") > 6  # byte sig misses
+
+
+def test_media_timing_pairs_catch_reencode(spark):
+    """End-to-end: the timing gate pairs the re-encode the container
+    gate misses; a resized re-upload honestly escapes (dims leave the
+    block); different timing in the same block does not pair."""
+    from tap_airbyte_wrapper_spark.functions import (
+        media_container_near_dup_pairs,
+        media_timing_near_dup_pairs,
+    )
+
+    deltas = _vfr_deltas()
+    rows = [(1, _mp4_asset(deltas, seed=1)),
+            (2, _mp4_asset(deltas, seed=2)),          # re-encode of 1
+            (3, _mp4_asset(list(reversed(deltas)), seed=3)),
+            (4, _mp4_asset(deltas, seed=1, w=1280, h=720))]  # resized
+    df = spark.createDataFrame(rows, "id long, m binary")
+    timing = {(r["id_a"], r["id_b"]) for r in
+              media_timing_near_dup_pairs(df, "id", "m").collect()}
+    assert timing == {(1, 2)}
+    container = {(r["id_a"], r["id_b"]) for r in
+                 media_container_near_dup_pairs(
+                     df, "id", "m", stride=32).collect()}
+    assert (1, 2) not in container  # the gap this gate closes
+
+
 def test_drift_gate_stamps_written_at(spark, tmp_path):
     """End-to-end: the gate itself writes the written_at column."""
     from tap_airbyte_wrapper_spark.streaming import (
