@@ -674,7 +674,7 @@ def _multi_cumsum(counts: DataFrame) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     def off(vals):
-        return F.element_at(F.array(*[F.lit(v) for v in vals]),
+        return F.element_at(F.array(*[F.lit(v) for v in (vals or [0])]),
                             F.col("__pid") + 1)
 
     return (parts

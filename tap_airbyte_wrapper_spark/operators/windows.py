@@ -218,8 +218,12 @@ def global_distribution_ranks(
         offsets.append(acc)
         acc += counts.get(pid, 0)
     local_w = Window.partitionBy("__pid").orderBy(*order_by)
+    # [0] fallback: on an EMPTY input the offsets list is empty and
+    # constant folding evaluates element_at(array(), 1) at plan time
+    # (zero rows notwithstanding) -> ArrayIndexOutOfBounds
     offset = F.element_at(
-        F.array(*[F.lit(o) for o in offsets]), F.col("__pid") + 1)
+        F.array(*[F.lit(o) for o in (offsets or [0])]),
+        F.col("__pid") + 1)
     rank = (F.row_number().over(local_w) + offset).cast("long")
     size, rem = divmod(n, n_tiles)
     thresh = rem * (size + 1)
@@ -318,8 +322,11 @@ def global_cumsum(
     local_w = (
         Window.partitionBy("__pid").orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # [0] fallback: see global_distribution_ranks — empty input must
+    # not constant-fold element_at over an empty array
     offset = F.element_at(
-        F.array(*[F.lit(o) for o in offsets]), F.col("__pid") + 1)
+        F.array(*[F.lit(o) for o in (offsets or [0])]),
+        F.col("__pid") + 1)
     return (
         parts.withColumn(out_col, F.sum("__v0").over(local_w) + offset)
         .drop("__pid", "__v0", *order_cols)

@@ -87,6 +87,24 @@ def test_drift_report_keeps_latest_not_slowest(spark, tmp_path):
     assert row["landed"] is True and row["written_at"] == 2000.0
 
 
+def test_rank_tests_survive_all_null_slice(spark):
+    """Regression (r11 audit): an all-null value slice used to crash
+    mann_whitney_u/kruskal_wallis with ArrayIndexOutOfBounds — the
+    empty counts table left the two-phase prefix machinery with an
+    empty offsets array, and constant folding evaluated
+    element_at(array(), 1) at PLAN time despite zero rows.  Every
+    sibling keeps its one-null-row contract on the same input."""
+    from tap_airbyte_wrapper_spark.operators import (kruskal_wallis,
+                                                     mann_whitney_u)
+
+    df = spark.createDataFrame([(None, "a"), (None, "b")],
+                               "v double, g string")
+    row = mann_whitney_u(df, "v", "g", "a", "b").first()
+    assert row["n_a"] == 0 and row["u_stat"] is None
+    row = kruskal_wallis(df, "v", "g").first()
+    assert row["k"] == 0 and row["h"] is None
+
+
 # ---------------------------------------------------------------------
 # Welch one-way ANOVA F (Welch 1951) — k-group parametric screen
 # ---------------------------------------------------------------------
