@@ -43,7 +43,8 @@ __all__ = ["ks_test", "mann_whitney_u", "welch_t_test",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
            "bh_fdr", "mutual_information", "wilcoxon_signed_rank",
            "paired_t_test", "wasserstein_1d", "kruskal_wallis",
-           "welch_anova", "icc_2_1", "icc_1_1", "icc_3_1", "icc_all_forms"]
+           "welch_anova", "brown_forsythe", "icc_2_1", "icc_1_1", "icc_3_1",
+           "icc_all_forms"]
 
 
 def _normal_sf2(z: float) -> float:
@@ -817,6 +818,20 @@ def kruskal_wallis(df: DataFrame, value_col: str,
         f"round(CAST({p!r} AS DOUBLE), 6) AS p_value")
 
 
+def _f_sf(f_stat: float, df1: float, df2: float) -> float:
+    """Upper tail of the F distribution via Paulson's (1942) normal
+    approximation (Wilson-Hilferty on both chi-squares; the SQL
+    oracles spell out the same expression) — the stated-approximation
+    F tail shared by :func:`welch_anova` and :func:`brown_forsythe`."""
+    if f_stat <= 0:
+        return 1.0
+    c1, c2 = 2.0 / (9.0 * df1), 2.0 / (9.0 * df2)
+    f3 = f_stat ** (1.0 / 3.0)
+    z = (((1.0 - c2) * f3 - (1.0 - c1))
+         / math.sqrt(c1 + f3 * f3 * c2))
+    return _normal_sf1(z)
+
+
 def welch_anova(df: DataFrame, value_col: str, group_col: str,
                 max_groups: int = 10_000) -> DataFrame:
     """Welch's one-way ANOVA F (Welch 1951, Biometrika 38) — the
@@ -896,21 +911,117 @@ def welch_anova(df: DataFrame, value_col: str, group_col: str,
     f_stat = a / (1.0 + 2.0 * (k - 2) / (k * k - 1.0) * lam)
     df1 = float(k - 1)
     df2 = (k * k - 1.0) / (3.0 * lam) if lam > 0 else None
-    if df2 is None:
-        p = None  # every group weight identical AND n_j -> inf limit
-    elif f_stat <= 0:
-        p = 1.0
-    else:
-        # Paulson 1942: z ~ N(0,1) under H0
-        c1, c2 = 2.0 / (9.0 * df1), 2.0 / (9.0 * df2)
-        f3 = f_stat ** (1.0 / 3.0)
-        z = (((1.0 - c2) * f3 - (1.0 - c1))
-             / math.sqrt(c1 + f3 * f3 * c2))
-        p = _normal_sf1(z)
+    p = _f_sf(f_stat, df1, df2) if df2 is not None else None
 
     def _d(x):
         return ("CAST(NULL AS DOUBLE)" if x is None
                 else f"round(CAST({float(x)!r} AS DOUBLE), 6)")
+
+    return spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n, "
+        f"CAST({k} AS BIGINT) AS k, "
+        f"{_d(f_stat)} AS f_stat, {_d(df1)} AS df1, "
+        f"{_d(df2)} AS df2, {_d(p)} AS p_value")
+
+
+def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
+                   max_groups: int = 10_000) -> DataFrame:
+    """Brown-Forsythe test (Brown & Forsythe 1974 — Levene's test on
+    deviations from the group MEDIAN): did the SPREAD differ across
+    the k sources/shards?  The screen that completes the k-group trio
+    (:func:`welch_anova` asks about means, :func:`kruskal_wallis`
+    about location under ranks; this one catches a variance blow-up a
+    mean gate never sees — and its verdict is exactly the "do the
+    slices share a variance?" question that decides whether classic
+    pooled ANOVA would even have been valid).  Median centering (not
+    mean) is what makes it robust to the heavy tails corpus metrics
+    actually have.
+
+    Statistic: classic one-way ANOVA F on ``z_ij = |x_ij - med_j|``:
+    ``F = [(N-k)/(k-1)] * sum n_j (zbar_j - zbar)^2 / sum (z_ij -
+    zbar_j)^2`` with df ``(k-1, N-k)``; Paulson (1942) F tail (stated
+    approximation, shared with :func:`welch_anova`).
+
+    Group medians are EXACT and integer-positioned from the
+    per-(value, group) count table — the same bounded core as the rank
+    tests: a per-GROUP (partitioned, never single-task) prefix over
+    distinct values locates the two middle positions, even ``n_j``
+    averages them (DuckDB ``median`` convention, so the oracle
+    mirrors).  Plan: one scan to (value, group) counts; k-row median
+    table broadcast back; ONE conditional-agg scan over the z values.
+    Same ``max_groups`` driver guard as the siblings.  Output: ONE row
+    ``(n, k, f_stat, df1, df2, p_value)`` (nulls when fewer than 2
+    groups survive or every deviation is identical)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    vg = (df.filter(F.col(value_col).isNotNull()
+                    & F.col(group_col).isNotNull())
+          .groupBy(F.col(group_col).cast("string").alias("__g"),
+                   F.col(value_col).cast("double").alias("__v"))
+          .agg(F.count(F.lit(1)).alias("__cnt"))
+          .localCheckpoint(eager=True))
+    n_groups = vg.select("__g").distinct().count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"brown_forsythe broadcasts one median row per group; got "
+            f"{n_groups} distinct groups > max_groups={max_groups} — "
+            "that group column looks like an id, not a category. "
+            "Bucket it upstream or raise max_groups consciously.")
+    w = (Window.partitionBy("__g").orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (vg.withColumn("__cum", F.sum("__cnt").over(w))
+           .withColumn("__ng", F.sum("__cnt").over(
+               Window.partitionBy("__g"))))
+    # the two middle positions (1-indexed): floor((n+1)/2) and
+    # floor(n/2)+1 — equal for odd n, adjacent for even n
+    lo = F.floor((F.col("__ng") + 1) / 2)
+    hi = F.floor(F.col("__ng") / 2) + 1
+    covers_lo = (F.col("__cum") >= lo) & \
+        (F.col("__cum") - F.col("__cnt") < lo)
+    covers_hi = (F.col("__cum") >= hi) & \
+        (F.col("__cum") - F.col("__cnt") < hi)
+    med = (cum.groupBy("__g")
+           .agg(((F.max(F.when(covers_lo, F.col("__v")))
+                  + F.max(F.when(covers_hi, F.col("__v")))) / 2)
+                .alias("__med"),
+                F.max("__ng").alias("__ng"))
+           .filter(F.col("__ng") >= 2))
+    z = (df.filter(F.col(value_col).isNotNull()
+                   & F.col(group_col).isNotNull())
+         .select(F.col(group_col).cast("string").alias("__g"),
+                 F.col(value_col).cast("double").alias("__x"))
+         .join(F.broadcast(med.select("__g", "__med")), "__g")
+         .withColumn("__z", F.abs(F.col("__x") - F.col("__med"))))
+    rows = sorted(
+        ((str(r["__g"]), int(r["ng"]), float(r["zm"]),
+          float(r["zv"]) if r["zv"] is not None else 0.0)
+         for r in z.groupBy("__g")
+         .agg(F.count(F.lit(1)).alias("ng"), F.avg("__z").alias("zm"),
+              F.var_samp("__z").alias("zv")).collect()),
+        key=lambda r: r[0])
+    k = len(rows)
+    n = sum(r[1] for r in rows)
+    null_row = (
+        f"SELECT CAST({n} AS BIGINT) AS n, "
+        f"CAST({k} AS BIGINT) AS k, "
+        "CAST(NULL AS DOUBLE) AS f_stat, "
+        "CAST(NULL AS DOUBLE) AS df1, "
+        "CAST(NULL AS DOUBLE) AS df2, "
+        "CAST(NULL AS DOUBLE) AS p_value")
+    if k < 2 or n <= k:
+        return spark.sql(null_row)
+    zbar = sum(ng * zm for _, ng, zm, _ in rows) / n
+    ss_between = sum(ng * (zm - zbar) ** 2 for _, ng, zm, _ in rows)
+    ss_within = sum((ng - 1) * zv for _, ng, _, zv in rows)
+    if ss_within <= 0:
+        return spark.sql(null_row)
+    df1, df2 = float(k - 1), float(n - k)
+    f_stat = (ss_between / df1) / (ss_within / df2)
+    p = _f_sf(f_stat, df1, df2)
+
+    def _d(x):
+        return f"round(CAST({float(x)!r} AS DOUBLE), 6)"
 
     return spark.sql(
         f"SELECT CAST({n} AS BIGINT) AS n, "

@@ -2127,6 +2127,18 @@ def q_welch_anova(spark, sf_dir):
                        "o_totalprice", "o_orderpriority")
 
 
+def q_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe spread-homogeneity screen across the five order
+    priorities — the 'do these slices even share a variance?' question
+    that decides between pooled and Welch ANOVA; exact group medians
+    from the count table, one conditional-agg z scan, Paulson F
+    tail."""
+    from ..operators import brown_forsythe
+
+    return brown_forsythe(_t(spark, sf_dir, "orders"),
+                          "o_totalprice", "o_orderpriority")
+
+
 def q_icc_forms(spark, sf_dir):
     """All three Shrout-Fleiss single-rater ICC forms over the same
     three-synthetic-judge grid as icc_docs, in one row: ICC(1,1) <=
@@ -3918,6 +3930,7 @@ QUERIES = {
     "wasserstein_orders": q_wasserstein,
     "kruskal_orders": q_kruskal,
     "welch_anova_orders": q_welch_anova,
+    "brown_forsythe_orders": q_brown_forsythe,
     "pmi_docs": q_pmi,
     "bleu_docs": q_bleu,
     "bleu_per_doc_docs": q_bleu_per_doc,
@@ -4140,11 +4153,12 @@ _R11_WINDOW = [
     "rrf_fusion_docs", "char_ngram_entropy_docs", "zipf_fit_docs",
     "domain_quota_docs", "source_overlap_docs", "knn_pq_verified",
     "hard_negatives_emb", "fuzzy_name_pairs", "chunk_sentences_docs",
-    "semi_hard_negatives_emb",
     # new r11 oracle-backed ops take the last (d) slots so they get
     # driver rows THIS round (the r10 lesson); displaced to r12:
-    # threshold_metrics_docs, calibration_bins_docs, uniform_sample_docs
-    "welch_anova_orders", "icc_forms_docs", "bleu_per_doc_docs",
+    # semi_hard_negatives_emb, threshold_metrics_docs,
+    # calibration_bins_docs, uniform_sample_docs
+    "welch_anova_orders", "brown_forsythe_orders", "icc_forms_docs",
+    "bleu_per_doc_docs",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
@@ -7111,6 +7125,56 @@ ORACLES = {
                           / (k * k - 1.0) * lam) AS f_stat,
                      CAST(k - 1 AS DOUBLE) AS df1,
                      (k * k - 1.0) / (3.0 * lam) AS df2
+              FROM s),
+        z AS (SELECT f.*,
+                     ((1.0 - 2.0 / (9.0 * df2))
+                        * pow(f_stat, 1.0 / 3.0)
+                      - (1.0 - 2.0 / (9.0 * df1)))
+                     / sqrt(2.0 / (9.0 * df1)
+                            + pow(f_stat, 2.0 / 3.0)
+                              * 2.0 / (9.0 * df2)) AS z
+              FROM f),
+        p AS (SELECT z.*, abs(z) / sqrt(2.0) AS x,
+                     1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))
+                       AS tt
+              FROM z),
+        sf AS (SELECT p.*,
+                      least(1.0, greatest(0.0,
+                        tt * (0.254829592 + tt * (-0.284496736
+                          + tt * (1.421413741 + tt * (-1.453152027
+                          + tt * 1.061405429)))) * exp(-x * x)))
+                        AS sf2
+               FROM p)
+        SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+               round(f_stat, 6) AS f_stat, round(df1, 6) AS df1,
+               round(df2, 6) AS df2,
+               round(CASE WHEN z >= 0 THEN sf2 / 2.0
+                          ELSE 1.0 - sf2 / 2.0 END, 6) AS p_value
+        FROM sf""",
+    "brown_forsythe_orders": """
+        WITH base AS (
+          SELECT o_orderpriority AS g,
+                 CAST(o_totalprice AS DOUBLE) AS x
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IS NOT NULL),
+        med AS (SELECT g, median(x) AS med FROM base
+                GROUP BY g HAVING count(*) >= 2),
+        zt AS (SELECT base.g, abs(base.x - med.med) AS z
+               FROM base JOIN med USING (g)),
+        pg AS (SELECT g, count(*) AS ng, avg(z) AS zm,
+                      var_samp(z) AS zv
+               FROM zt GROUP BY g),
+        t AS (SELECT sum(ng) AS n, count(*) AS k,
+                     sum(ng * zm) / sum(ng) AS zbar FROM pg),
+        s AS (SELECT t.n, t.k,
+                     sum(ng * (zm - t.zbar) * (zm - t.zbar)) AS ssb,
+                     sum((ng - 1) * zv) AS ssw
+              FROM pg, t GROUP BY t.n, t.k),
+        f AS (SELECT n, k,
+                     (ssb / (k - 1)) / (ssw / (n - k)) AS f_stat,
+                     CAST(k - 1 AS DOUBLE) AS df1,
+                     CAST(n - k AS DOUBLE) AS df2
               FROM s),
         z AS (SELECT f.*,
                      ((1.0 - 2.0 / (9.0 * df2))

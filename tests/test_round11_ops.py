@@ -174,6 +174,60 @@ def test_welch_anova_degenerates_and_guard(spark):
 
 
 # ---------------------------------------------------------------------
+# Brown-Forsythe — the k-group spread-homogeneity screen
+# ---------------------------------------------------------------------
+
+def test_brown_forsythe_formula_pin(spark):
+    """3 groups with one even-n group (its exact median is the average
+    of the two middle values); expected F computed independently from
+    the Brown & Forsythe 1974 definition."""
+    from tap_airbyte_wrapper_spark.operators import brown_forsythe
+
+    row = brown_forsythe(_grouped_df(spark, {
+        "a": [1, 2, 3, 4, 9], "b": [2, 4, 6, 8, 10, 12],
+        "c": [5, 5.5, 6, 6.5]}), "v", "g").first()
+    assert row["n"] == 15 and row["k"] == 3
+    assert row["f_stat"] == pytest.approx(2.352941, abs=1e-6)
+    assert row["df1"] == 2.0 and row["df2"] == 12.0
+    assert 0.10 < row["p_value"] < 0.18  # exact F tail ~ 0.137
+
+
+def test_brown_forsythe_detects_spread_change(spark):
+    """Same medians, one group's spread scaled 10x -> significant;
+    identical spreads -> F ~ 0."""
+    from tap_airbyte_wrapper_spark.operators import brown_forsythe
+
+    base = [float(v) for v in range(-10, 11)]
+    same = brown_forsythe(_grouped_df(spark, {
+        "a": base, "b": [v + 100 for v in base]}), "v", "g").first()
+    assert same["f_stat"] == pytest.approx(0.0, abs=1e-9)
+    blown = brown_forsythe(_grouped_df(spark, {
+        "a": base, "b": [v * 10 for v in base]}), "v", "g").first()
+    assert blown["p_value"] < 0.001
+
+
+def test_brown_forsythe_edges(spark):
+    from tap_airbyte_wrapper_spark.operators import brown_forsythe
+
+    # single group -> nulls with counts; n_j < 2 groups excluded
+    row = brown_forsythe(_grouped_df(spark, {"a": [1, 2, 3]}),
+                         "v", "g").first()
+    assert row["k"] == 1 and row["f_stat"] is None
+    row = brown_forsythe(_grouped_df(spark, {
+        "a": [1, 2, 3], "b": [2, 5, 9], "tiny": [7]}),
+        "v", "g").first()
+    assert row["k"] == 2 and row["n"] == 6
+    # constant groups: every |x - med| = 0 -> degenerate nulls
+    row = brown_forsythe(_grouped_df(spark, {
+        "a": [5, 5, 5], "b": [7, 7, 7]}), "v", "g").first()
+    assert row["f_stat"] is None
+    rows = [(float(i % 7), str(i)) for i in range(50)]
+    with pytest.raises(ValueError, match="max_groups"):
+        brown_forsythe(spark.createDataFrame(
+            rows, "v double, g string"), "v", "g", max_groups=10)
+
+
+# ---------------------------------------------------------------------
 # ICC(1,1) / ICC(3,1) — closing the Shrout-Fleiss single-rater family
 # ---------------------------------------------------------------------
 
