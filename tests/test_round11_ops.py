@@ -227,6 +227,25 @@ def test_brown_forsythe_edges(spark):
             rows, "v double, g string"), "v", "g", max_groups=10)
 
 
+def test_bleu_per_doc_plan_scales_clean(spark, sf_dir):
+    """The round's one LAZY distributed fleet entry (the stats ops
+    return literal one-row frames — their internal plans are covered
+    by the ops' own scale shapes): no cartesian product, no GLOBAL
+    sort — the per-doc closed form is pure projection over grouped
+    aggregates."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tap_airbyte_wrapper_spark.plans import QUERIES
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES["bleu_per_doc_docs"](spark, sf_dir).explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "Sort [" not in p  # no total-order anywhere in the plan
+
+
 # ---------------------------------------------------------------------
 # ICC(1,1) / ICC(3,1) — closing the Shrout-Fleiss single-rater family
 # ---------------------------------------------------------------------
