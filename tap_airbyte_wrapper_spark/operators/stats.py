@@ -43,8 +43,8 @@ __all__ = ["ks_test", "mann_whitney_u", "welch_t_test",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
            "bh_fdr", "mutual_information", "wilcoxon_signed_rank",
            "paired_t_test", "wasserstein_1d", "kruskal_wallis",
-           "welch_anova", "brown_forsythe", "icc_2_1", "icc_1_1", "icc_3_1",
-           "icc_all_forms"]
+           "welch_anova", "brown_forsythe", "pairwise_welch", "icc_2_1",
+           "icc_1_1", "icc_3_1", "icc_all_forms"]
 
 
 def _normal_sf2(z: float) -> float:
@@ -922,6 +922,94 @@ def welch_anova(df: DataFrame, value_col: str, group_col: str,
         f"CAST({k} AS BIGINT) AS k, "
         f"{_d(f_stat)} AS f_stat, {_d(df1)} AS df1, "
         f"{_d(df2)} AS df2, {_d(p)} AS p_value")
+
+
+def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
+                   max_groups: int = 100) -> DataFrame:
+    """All-pairs Welch t — the POST-HOC drill after :func:`welch_anova`
+    fires: the omnibus F says "some group mean differs", this one says
+    WHICH pairs, one row per unordered group pair, ready to feed
+    :func:`bh_fdr` on ``p_value`` (the standard BH-corrected pairwise
+    protocol; Games-Howell's studentized-range tail is not portably
+    expressible, and BH over Welch p's is the accepted conservative
+    substitute — stated).
+
+    Plan: the SAME single conditional-aggregate scan as
+    :func:`welch_anova` (one k-row group table), then all k(k-1)/2
+    pair statistics evaluate driver-side from the collected
+    (n, mean, var) rows and return as one literal frame — zero
+    additional input passes, so k=20 groups cost exactly what k=2
+    costs.  ``max_groups`` defaults LOW (100 -> 4950 output rows):
+    the output is quadratic in k, which is the op's honest contract
+    (an id-shaped group column would explode it).
+
+    Per pair: Welch t / Welch-Satterthwaite df / two-sided
+    normal-approx p (same contract as :func:`welch_t_test`; pinned
+    equal in tests).  Groups need ``n_j >= 2`` and positive variance;
+    pairs where either side degenerates report their means with null
+    statistics.  Output:
+    ``(group_a, group_b, n_a, n_b, mean_a, mean_b, t_stat, dof,
+    p_value)`` ordered by (group_a, group_b)."""
+    spark = df.sparkSession
+    per_group = (df.filter(F.col(value_col).isNotNull()
+                           & F.col(group_col).isNotNull())
+                 .groupBy(F.col(group_col).cast("string").alias("__g"))
+                 .agg(F.count(F.lit(1)).alias("ng"),
+                      F.avg(F.col(value_col).cast("double"))
+                      .alias("m"),
+                      F.var_samp(F.col(value_col).cast("double"))
+                      .alias("s2")))
+    n_groups = per_group.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"pairwise_welch emits one row per group PAIR — "
+            f"{n_groups} groups would be "
+            f"{n_groups * (n_groups - 1) // 2} rows (> max_groups="
+            f"{max_groups} bound). That group column looks like an "
+            "id, not a category; bucket it upstream or raise "
+            "max_groups consciously.")
+    rows = sorted(((str(r["__g"]), int(r["ng"]), r["m"], r["s2"])
+                   for r in per_group.collect()), key=lambda r: r[0])
+
+    def _lit(x):
+        return ("CAST(NULL AS DOUBLE)" if x is None
+                else f"round(CAST({float(x)!r} AS DOUBLE), 6)")
+
+    selects = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            ga, na, ma, sa = rows[i]
+            gb, nb, mb, sb = rows[j]
+            t_stat = dof = p = None
+            if (na >= 2 and nb >= 2 and sa is not None
+                    and sb is not None and sa + sb > 0):
+                wa, wb = sa / na, sb / nb
+                if wa + wb > 0:
+                    t_stat = (ma - mb) / math.sqrt(wa + wb)
+                    dof = ((wa + wb) ** 2
+                           / (wa * wa / (na - 1) + wb * wb / (nb - 1)))
+                    p = _normal_sf2(t_stat)
+            ga_s = ga.replace("'", "''")
+            gb_s = gb.replace("'", "''")
+            selects.append(
+                f"SELECT '{ga_s}' AS group_a, '{gb_s}' AS group_b, "
+                f"CAST({na} AS BIGINT) AS n_a, "
+                f"CAST({nb} AS BIGINT) AS n_b, "
+                f"{_lit(ma)} AS mean_a, {_lit(mb)} AS mean_b, "
+                f"{_lit(t_stat)} AS t_stat, {_lit(dof)} AS dof, "
+                f"{_lit(p)} AS p_value")
+    if not selects:
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) AS group_a, "
+            "CAST(NULL AS STRING) AS group_b, "
+            "CAST(0 AS BIGINT) AS n_a, CAST(0 AS BIGINT) AS n_b, "
+            "CAST(NULL AS DOUBLE) AS mean_a, "
+            "CAST(NULL AS DOUBLE) AS mean_b, "
+            "CAST(NULL AS DOUBLE) AS t_stat, "
+            "CAST(NULL AS DOUBLE) AS dof, "
+            "CAST(NULL AS DOUBLE) AS p_value").limit(0)
+    return spark.sql(" UNION ALL ".join(selects)).orderBy(
+        "group_a", "group_b")
 
 
 def brown_forsythe(df: DataFrame, value_col: str, group_col: str,

@@ -2139,6 +2139,18 @@ def q_brown_forsythe(spark, sf_dir):
                           "o_totalprice", "o_orderpriority")
 
 
+def q_pairwise_welch(spark, sf_dir):
+    """Post-hoc pairwise Welch t over the five order priorities (10
+    pair rows) — the drill-down welch_anova_orders makes necessary;
+    feed bh_fdr on p_value for the corrected protocol.  One
+    conditional-agg scan, pairs evaluated driver-side from the k-row
+    group table."""
+    from ..operators import pairwise_welch
+
+    return pairwise_welch(_t(spark, sf_dir, "orders"),
+                          "o_totalprice", "o_orderpriority")
+
+
 def q_icc_forms(spark, sf_dir):
     """All three Shrout-Fleiss single-rater ICC forms over the same
     three-synthetic-judge grid as icc_docs, in one row: ICC(1,1) <=
@@ -3931,6 +3943,7 @@ QUERIES = {
     "kruskal_orders": q_kruskal,
     "welch_anova_orders": q_welch_anova,
     "brown_forsythe_orders": q_brown_forsythe,
+    "pairwise_welch_orders": q_pairwise_welch,
     "pmi_docs": q_pmi,
     "bleu_docs": q_bleu,
     "bleu_per_doc_docs": q_bleu_per_doc,
@@ -4152,13 +4165,14 @@ _R11_WINDOW = [
     "gopher_rules_docs", "c4_clean_docs", "redact_cards_docs",
     "rrf_fusion_docs", "char_ngram_entropy_docs", "zipf_fit_docs",
     "domain_quota_docs", "source_overlap_docs", "knn_pq_verified",
-    "hard_negatives_emb", "fuzzy_name_pairs", "chunk_sentences_docs",
+    "hard_negatives_emb", "fuzzy_name_pairs",
     # new r11 oracle-backed ops take the last (d) slots so they get
     # driver rows THIS round (the r10 lesson); displaced to r12:
-    # semi_hard_negatives_emb, threshold_metrics_docs,
-    # calibration_bins_docs, uniform_sample_docs
-    "welch_anova_orders", "brown_forsythe_orders", "icc_forms_docs",
-    "bleu_per_doc_docs",
+    # chunk_sentences_docs, semi_hard_negatives_emb,
+    # threshold_metrics_docs, calibration_bins_docs,
+    # uniform_sample_docs
+    "welch_anova_orders", "brown_forsythe_orders",
+    "pairwise_welch_orders", "icc_forms_docs", "bleu_per_doc_docs",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
@@ -7151,6 +7165,37 @@ ORACLES = {
                round(CASE WHEN z >= 0 THEN sf2 / 2.0
                           ELSE 1.0 - sf2 / 2.0 END, 6) AS p_value
         FROM sf""",
+    "pairwise_welch_orders": """
+        WITH g AS (
+          SELECT o_orderpriority AS grp, count(*) AS ng,
+                 avg(o_totalprice) AS m,
+                 var_samp(o_totalprice) AS s2
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IS NOT NULL
+          GROUP BY 1),
+        pr AS (SELECT a.grp AS group_a, b.grp AS group_b,
+                      a.ng AS na, b.ng AS nb, a.m AS ma, b.m AS mb,
+                      a.s2 / a.ng AS wa, b.s2 / b.ng AS wb
+               FROM g a JOIN g b ON a.grp < b.grp),
+        s AS (SELECT group_a, group_b, na, nb, ma, mb,
+                     (ma - mb) / sqrt(wa + wb) AS t_stat,
+                     (wa + wb) * (wa + wb)
+                     / (wa * wa / (na - 1) + wb * wb / (nb - 1))
+                       AS dof,
+                     abs((ma - mb) / sqrt(wa + wb)) / sqrt(2.0) AS x
+              FROM pr),
+        p AS (SELECT s.*, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM s)
+        SELECT group_a, group_b,
+               CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+               round(t_stat, 6) AS t_stat, round(dof, 6) AS dof,
+               round(least(1.0, greatest(0.0,
+                 tt * (0.254829592 + tt * (-0.284496736
+                   + tt * (1.421413741 + tt * (-1.453152027
+                   + tt * 1.061405429)))) * exp(-x * x))), 6)
+                 AS p_value
+        FROM p""",
     "brown_forsythe_orders": """
         WITH base AS (
           SELECT o_orderpriority AS g,

@@ -174,6 +174,55 @@ def test_welch_anova_degenerates_and_guard(spark):
 
 
 # ---------------------------------------------------------------------
+# Pairwise Welch t — post-hoc drill after welch_anova
+# ---------------------------------------------------------------------
+
+def test_pairwise_welch_matches_two_sample_op(spark):
+    """Each pair row must equal welch_t_test run on that pair alone
+    (same t / dof / p contract), and the pair set is all unordered
+    pairs ordered lexicographically."""
+    from tap_airbyte_wrapper_spark.operators import (pairwise_welch,
+                                                     welch_t_test)
+
+    groups = {"a": [1.0, 2.0, 3.0, 4.0], "b": [2.0, 4.0, 6.0, 8.0],
+              "c": [5.0, 5.5, 6.0, 6.5]}
+    df = _grouped_df(spark, groups)
+    out = pairwise_welch(df, "v", "g").collect()
+    assert [(r["group_a"], r["group_b"]) for r in out] == \
+        [("a", "b"), ("a", "c"), ("b", "c")]
+    for r in out:
+        ref = welch_t_test(df, "v", "g", r["group_a"],
+                           r["group_b"]).first()
+        for m in ["n_a", "n_b", "mean_a", "mean_b", "t_stat", "dof",
+                  "p_value"]:
+            assert r[m] == ref[m], (r["group_a"], r["group_b"], m)
+
+
+def test_pairwise_welch_degenerates_and_guard(spark):
+    from tap_airbyte_wrapper_spark.operators import (bh_fdr,
+                                                     pairwise_welch)
+
+    # a 1-row group pairs with null stats but reported means
+    out = pairwise_welch(_grouped_df(spark, {
+        "a": [1.0, 2.0, 3.0], "tiny": [7.0]}), "v", "g").collect()
+    assert len(out) == 1 and out[0]["t_stat"] is None
+    assert out[0]["mean_b"] == 7.0
+    # composes with bh_fdr on p_value
+    df = _grouped_df(spark, {"a": [1, 2, 3, 4], "b": [2, 4, 6, 8],
+                             "c": [50, 51, 52, 53]})
+    pw = pairwise_welch(df, "v", "g").withColumn(
+        "pair", F.concat_ws("|", "group_a", "group_b"))
+    rej = {r["pair"]: r["rejected"]
+           for r in bh_fdr(pw, "p_value", "pair").collect()}
+    assert rej["a|c"] and rej["b|c"]
+    # quadratic-output guard
+    rows = [(float(i % 7), str(i)) for i in range(60)]
+    with pytest.raises(ValueError, match="max_groups"):
+        pairwise_welch(spark.createDataFrame(
+            rows, "v double, g string"), "v", "g", max_groups=10)
+
+
+# ---------------------------------------------------------------------
 # Brown-Forsythe — the k-group spread-homogeneity screen
 # ---------------------------------------------------------------------
 
