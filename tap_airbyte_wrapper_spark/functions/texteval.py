@@ -21,11 +21,14 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from .corpus import word_ngrams, words
 
-__all__ = ["bleu_rouge_corpus", "bleu_rouge_per_doc"]
+__all__ = ["bleu_rouge_corpus", "bleu_rouge_per_doc",
+           "rouge_l_per_doc"]
 
 
 def bleu_rouge_corpus(
@@ -283,3 +286,90 @@ def bleu_rouge_per_doc(
         F.round(r2, 6).alias("rouge2_r"),
         F.round(bp, 6).alias("bp"),
         F.round(bleu, 6).alias("bleu"))
+
+
+def rouge_l_per_doc(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    max_tokens: int = 4096,
+) -> DataFrame:
+    """Per-document ROUGE-L (Lin 2004 §3: longest common SUBSEQUENCE,
+    not substring) — the order-sensitive member of the generation-eval
+    family: ROUGE-N credits any bag-of-grams overlap; ROUGE-L only
+    credits tokens appearing in the SAME ORDER, so a shuffled
+    paraphrase scores high on ROUGE-1 and low here.  ``R = LCS/m``,
+    ``P = LCS/n``, ``F = 2RP/(R+P)`` (beta=1).
+
+    LCS is inherently a per-pair dynamic program — no relational
+    decomposition exists (stated; this is the module's one honest
+    non-relational op).  The kernel is the Allison-Dix (1986)
+    bit-parallel row recurrence: per reference token one
+    add/or/and-not over an m-bit Python integer, so a pair costs
+    O(n * m / 64) word ops instead of the textbook O(n * m) cell DP
+    (~64x; a 1k x 1k pair is ~16k word ops).  Arrow-batched pandas
+    UDF over the token arrays; everything around it (tokenize,
+    lengths, metrics) stays in column expressions.
+
+    Sequences longer than ``max_tokens`` are TRUNCATED to their first
+    ``max_tokens`` tokens and flagged in the ``truncated`` column —
+    a visible degradation, not a silent one (per-row refusal would
+    fail the whole job on one pathological document).  Output:
+    ``(<id_col>, c_len, r_len, lcs, rouge_l_p, rouge_l_r, rouge_l_f,
+    truncated)``; metrics null when either side tokenizes empty."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    src = df if df.rdd.getNumPartitions() >= par \
+        else df.repartition(par)
+
+    @pandas_udf("long")
+    def lcs_len(cand: pd.Series, ref: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(cand, ref):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            a, b = list(a[:max_tokens]), list(b[:max_tokens])
+            if not a or not b:
+                out.append(0)
+                continue
+            # Allison-Dix bit-string LCS: masks over candidate
+            # positions, one integer recurrence per reference token
+            masks: dict[str, int] = {}
+            for i, tok in enumerate(a):
+                masks[tok] = masks.get(tok, 0) | (1 << i)
+            row = 0
+            for tok in b:
+                x = row | masks.get(tok, 0)
+                row = x & ~(x - ((row << 1) | 1))
+            out.append(row.bit_count())
+        return pd.Series(out, dtype="object").astype("Int64")
+
+    base = (src.filter(F.col(cand_col).isNotNull()
+                       & F.col(ref_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    words(F.col(cand_col)).alias("__wc"),
+                    words(F.col(ref_col)).alias("__wr")))
+    scored = base.select(
+        "__id",
+        F.size("__wc").alias("__cl"), F.size("__wr").alias("__rl"),
+        lcs_len(F.col("__wc"), F.col("__wr")).alias("__lcs"))
+    cl = F.least(F.col("__cl"), F.lit(max_tokens)).cast("double")
+    rl = F.least(F.col("__rl"), F.lit(max_tokens)).cast("double")
+    p = F.when(cl > 0, F.col("__lcs") / cl)
+    r = F.when(rl > 0, F.col("__lcs") / rl)
+    f = F.when((p + r) > 0, 2 * p * r / (p + r)) \
+        .otherwise(F.when(p.isNotNull() & r.isNotNull(), F.lit(0.0)))
+    return scored.select(
+        F.col("__id").alias(id_col),
+        F.col("__cl").cast("long").alias("c_len"),
+        F.col("__rl").cast("long").alias("r_len"),
+        F.col("__lcs").alias("lcs"),
+        F.round(p, 6).alias("rouge_l_p"),
+        F.round(r, 6).alias("rouge_l_r"),
+        F.round(f, 6).alias("rouge_l_f"),
+        ((F.col("__cl") > max_tokens) | (F.col("__rl") > max_tokens))
+        .alias("truncated"))

@@ -2151,6 +2151,25 @@ def q_pairwise_welch(spark, sf_dir):
                           "o_totalprice", "o_orderpriority")
 
 
+def q_rouge_l(spark, sf_dir):
+    """Per-doc ROUGE-L with PLANTED token-deletion damage (every 7th
+    token dropped): the candidate is then a SUBSEQUENCE of the
+    reference, so LCS = c_len in closed form and the oracle replays
+    the whole metric relationally — the plumbing and the bit-parallel
+    kernel are exercised end-to-end while the nontrivial LCS paths
+    (mismatches both ways) are pinned in pytest."""
+    from ..functions import rouge_l_per_doc
+    from ..functions.corpus import words
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.filter(words(F.col("text")),
+                     lambda x, i: (i + 1) % 7 != 0), " ").alias("cand"),
+        F.col("text").alias("ref"))
+    return rouge_l_per_doc(docs, "cand", "ref", "doc_id")
+
+
 def q_icc_forms(spark, sf_dir):
     """All three Shrout-Fleiss single-rater ICC forms over the same
     three-synthetic-judge grid as icc_docs, in one row: ICC(1,1) <=
@@ -3947,6 +3966,7 @@ QUERIES = {
     "pmi_docs": q_pmi,
     "bleu_docs": q_bleu,
     "bleu_per_doc_docs": q_bleu_per_doc,
+    "rouge_l_docs": q_rouge_l,
     "icc_docs": q_icc,
     "icc_forms_docs": q_icc_forms,
     "flesch_docs": q_flesch,
@@ -4165,14 +4185,15 @@ _R11_WINDOW = [
     "gopher_rules_docs", "c4_clean_docs", "redact_cards_docs",
     "rrf_fusion_docs", "char_ngram_entropy_docs", "zipf_fit_docs",
     "domain_quota_docs", "source_overlap_docs", "knn_pq_verified",
-    "hard_negatives_emb", "fuzzy_name_pairs",
+    "hard_negatives_emb",
     # new r11 oracle-backed ops take the last (d) slots so they get
     # driver rows THIS round (the r10 lesson); displaced to r12:
-    # chunk_sentences_docs, semi_hard_negatives_emb,
+    # fuzzy_name_pairs, chunk_sentences_docs, semi_hard_negatives_emb,
     # threshold_metrics_docs, calibration_bins_docs,
     # uniform_sample_docs
     "welch_anova_orders", "brown_forsythe_orders",
     "pairwise_welch_orders", "icc_forms_docs", "bleu_per_doc_docs",
+    "rouge_l_docs",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
@@ -7005,6 +7026,26 @@ ORACLES = {
                  ELSE bp * exp((ln(p1) + ln(p2)) / 2.0) END, 6)
                  AS bleu
         FROM p""",
+    "rouge_l_docs": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(trim(text)), '\S+') AS w
+          FROM documents WHERE text IS NOT NULL),
+        s AS (SELECT doc_id, len(w) AS rl,
+                     len(w) - len(w) // 7 AS cl
+              FROM t)
+        SELECT doc_id, CAST(cl AS BIGINT) AS c_len,
+               CAST(rl AS BIGINT) AS r_len,
+               CAST(cl AS BIGINT) AS lcs,
+               round(CASE WHEN cl > 0 THEN 1.0 END, 6) AS rouge_l_p,
+               round(CASE WHEN rl > 0
+                     THEN cl / CAST(rl AS DOUBLE) END, 6) AS rouge_l_r,
+               round(CASE WHEN cl > 0 THEN
+                       2.0 * (cl / CAST(rl AS DOUBLE))
+                       / (1.0 + cl / CAST(rl AS DOUBLE)) END, 6)
+                 AS rouge_l_f,
+               false AS truncated
+        FROM s""",
     "pmi_docs": r"""
         WITH toks AS (
           SELECT doc_id,

@@ -527,6 +527,54 @@ def test_media_timing_pairs_catch_reencode(spark):
     assert (1, 2) not in container  # the gap this gate closes
 
 
+# ---------------------------------------------------------------------
+# ROUGE-L — order-sensitive generation eval (bit-parallel LCS)
+# ---------------------------------------------------------------------
+
+def test_rouge_l_classic_lcs_pins(spark):
+    """The textbook LCS example (ABCBDAB/BDCABA -> 4) as word
+    sequences, plus identity / disjoint / subsequence cases; ROUGE-1
+    blind spot: a REVERSED candidate keeps unigram recall 1.0 but
+    drops ROUGE-L."""
+    from tap_airbyte_wrapper_spark.functions import rouge_l_per_doc
+
+    rows = [(1, "a b c b d a b", "b d c a b a"),
+            (2, "x y z", "x y z"),
+            (3, "q r s", "a b c"),
+            (4, "a c e", "a b c d e f"),
+            (5, "f e d c b a", "a b c d e f")]
+    out = {r["doc_id"]: r for r in rouge_l_per_doc(
+        spark.createDataFrame(
+            rows, "doc_id long, cand string, ref string"),
+        "cand", "ref", "doc_id").collect()}
+    assert out[1]["lcs"] == 4
+    assert out[1]["rouge_l_f"] == pytest.approx(8 / 13, abs=1e-6)
+    assert out[2]["rouge_l_f"] == 1.0
+    assert out[3]["rouge_l_f"] == 0.0
+    assert out[4]["lcs"] == 3 and out[4]["rouge_l_p"] == 1.0
+    assert out[5]["lcs"] == 1  # reversal: ROUGE-1 would say 1.0
+
+
+def test_rouge_l_truncation_and_edges(spark):
+    from tap_airbyte_wrapper_spark.functions import rouge_l_per_doc
+
+    long_txt = " ".join(f"t{i}" for i in range(30))
+    rows = [(1, long_txt, long_txt), (2, "", ""), (3, None, "x")]
+    out = {r["doc_id"]: r for r in rouge_l_per_doc(
+        spark.createDataFrame(
+            rows, "doc_id long, cand string, ref string"),
+        "cand", "ref", "doc_id", max_tokens=10).collect()}
+    assert set(out) == {1, 2}  # null cand drops (family contract)
+    # identical beyond the cap: metrics computed on the first 10
+    assert out[1]["truncated"] and out[1]["lcs"] == 10
+    assert out[1]["rouge_l_f"] == 1.0
+    assert out[2]["c_len"] == 0 and out[2]["rouge_l_f"] is None
+    with pytest.raises(ValueError):
+        rouge_l_per_doc(spark.createDataFrame(
+            [(1, "a", "a")], "doc_id long, cand string, ref string"),
+            "cand", "ref", "doc_id", max_tokens=0)
+
+
 def test_drift_gate_stamps_written_at(spark, tmp_path):
     """End-to-end: the gate itself writes the written_at column."""
     from tap_airbyte_wrapper_spark.streaming import (
