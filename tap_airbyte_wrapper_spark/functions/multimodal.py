@@ -52,7 +52,9 @@ __all__ = [
     "audio_ahash",
     "hamming_near_dup_pairs",
     "media_window_sig",
+    "mp4_timing_sig",
     "media_container_near_dup_pairs",
+    "media_timing_near_dup_pairs",
     "mp4_asset_payload",
     "media_sig_index_write",
     "media_dedup_delta",
@@ -849,20 +851,34 @@ def _media_blocked_sigs(
     n_windows: int,
     window: int,
     stride: int,
+    sig_kind: str = "window",
 ) -> DataFrame:
     """(id, sh, __blk) per recognized asset — the shared front half of
     the batch pair op, the persisted index, and the streaming gate:
     one probe + one signature pass, block key = container kind |
     principal dims | duration bucket, with the ±1-bucket trim
     tolerance expressed as TWO rows per asset (buckets b and b+1 — two
-    assets within one bucket then share a key)."""
+    assets within one bucket then share a key).
+
+    ``sig_kind``: ``'window'`` = byte-window essence signature (catches
+    remux/trim re-uploads); ``'timing'`` = the MP4 stts timing
+    signature (catches same-fps RE-ENCODES, MP4-only — see
+    :func:`mp4_timing_sig`'s honest contract).  The blocking and every
+    downstream segment/index mechanism are identical — only the 64-bit
+    hamming space differs."""
+    if sig_kind not in ("window", "timing"):
+        raise ValueError(
+            f"sig_kind must be 'window' or 'timing', got {sig_kind!r}")
+    sig = (media_window_sig(F.col(media_col), n_windows=n_windows,
+                            window=window, stride=stride)
+           if sig_kind == "window"
+           else mp4_timing_sig(F.col(media_col)))
     m = F.col("__m")
     probed = (
         df.select(
             F.col(id_col),
             probe_media_meta(F.col(media_col)).alias("__m"),
-            media_window_sig(F.col(media_col), n_windows=n_windows,
-                             window=window, stride=stride).alias("sh"))
+            sig.alias("sh"))
         .withColumn(
             "__kind",
             F.coalesce(m.getItem("container"),
@@ -1014,6 +1030,7 @@ def media_sig_index_write(
     n_windows: int = 64,
     window: int = 64,
     stride: int = 4096,
+    sig_kind: str = "window",
 ) -> None:
     """Persist the media-asset near-dup index — the SIXTH member of
     the bucketed index family (MinHash, fingerprint, BM25, IVF,
@@ -1038,7 +1055,8 @@ def media_sig_index_write(
     spark = df.sparkSession
     segs = _media_segments(
         _media_blocked_sigs(df, id_col, media_col, duration_bucket_s,
-                            n_windows, window, stride), "mid", chunks)
+                            n_windows, window, stride,
+                            sig_kind=sig_kind), "mid", chunks)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}_segs")
     spark.sql(f"DROP TABLE IF EXISTS {table_name}_tombstones")
     (segs.withColumn("__ver", F.lit(0).cast("long"))
@@ -1052,7 +1070,7 @@ def media_sig_index_write(
                     "max_hamming": max_hamming, "n_buckets": n_buckets,
                     "duration_bucket_s": duration_bucket_s,
                     "n_windows": n_windows, "window": window,
-                    "stride": stride}))
+                    "stride": stride, "sig_kind": sig_kind}))
 
 
 def media_dedup_delta(
@@ -1091,7 +1109,8 @@ def media_dedup_delta(
     dsegs = _media_segments(
         _media_blocked_sigs(
             delta, id_col, media_col, meta["duration_bucket_s"],
-            meta["n_windows"], meta["window"], meta["stride"])
+            meta["n_windows"], meta["window"], meta["stride"],
+            sig_kind=meta.get("sig_kind", "window"))
         .localCheckpoint(eager=True),
         "__did", meta["chunks"])
     tombs = tombstone_counts_table(spark, table_name, "mid")
@@ -1150,7 +1169,8 @@ def media_sig_index_append(
     segs = _media_segments(
         _media_blocked_sigs(
             delta, id_col, media_col, meta["duration_bucket_s"],
-            meta["n_windows"], meta["window"], meta["stride"]),
+            meta["n_windows"], meta["window"], meta["stride"],
+            sig_kind=meta.get("sig_kind", "window")),
         "mid", meta["chunks"])
     (stamp_version(segs, tombstone_counts_table(spark, table_name, "mid"),
                    "mid")

@@ -575,6 +575,55 @@ def test_rouge_l_truncation_and_edges(spark):
             "cand", "ref", "doc_id", max_tokens=0)
 
 
+def test_media_timing_index_catches_reencode_in_delta(spark, tmp_path):
+    """The persisted index path for the re-encode gate: a timing-kind
+    index (sig_kind='timing', recorded in _index_meta.json) probes a
+    delta containing a re-encode of a corpus asset at O(delta) —
+    delta==batch parity with media_timing_near_dup_pairs, and append
+    folds new timing segments with the recorded parameters."""
+    from tap_airbyte_wrapper_spark.functions import (
+        media_dedup_delta,
+        media_sig_index_append,
+        media_sig_index_write,
+        media_timing_near_dup_pairs,
+    )
+
+    deltas = _vfr_deltas()
+    corpus = spark.createDataFrame(
+        [(1, _mp4_asset(deltas, seed=1)),
+         (3, _mp4_asset(list(reversed(deltas)), seed=3))],
+        "id long, m binary")
+    path = str(tmp_path / "tix")
+    spark.sql("DROP TABLE IF EXISTS tix_segs")
+    spark.sql("DROP TABLE IF EXISTS tix_tombstones")
+    media_sig_index_write(corpus, "tix", path, "id", "m",
+                          sig_kind="timing")
+    # delta: a re-encode of corpus asset 1 + one genuinely new asset
+    delta = spark.createDataFrame(
+        [(11, _mp4_asset(deltas, seed=9)),
+         (12, _mp4_asset([2000 + (i % 5) * 300 for i in range(90)],
+                         seed=12))],
+        "id long, m binary")
+    pairs = {(r["id_a"], r["id_b"], r["kind"]) for r in
+             media_dedup_delta(delta, "tix", path, "id",
+                               "m").collect()}
+    assert pairs == {(11, 1, "corpus")}
+    # batch parity on corpus+delta union
+    both = corpus.unionByName(delta)
+    batch = {(r["id_a"], r["id_b"]) for r in
+             media_timing_near_dup_pairs(both, "id", "m").collect()}
+    assert batch == {(1, 11)}
+    # append the delta, then a re-encode of the APPENDED asset hits
+    media_sig_index_append(delta, "tix", path, "id", "m")
+    probe2 = spark.createDataFrame(
+        [(21, _mp4_asset([2000 + (i % 5) * 300 for i in range(90)],
+                         seed=77))], "id long, m binary")
+    pairs2 = {(r["id_a"], r["id_b"]) for r in
+              media_dedup_delta(probe2, "tix", path, "id",
+                                "m").collect()}
+    assert pairs2 == {(21, 12)}
+
+
 def test_drift_gate_stamps_written_at(spark, tmp_path):
     """End-to-end: the gate itself writes the written_at column."""
     from tap_airbyte_wrapper_spark.streaming import (
