@@ -38,7 +38,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ks_test", "mann_whitney_u", "welch_t_test",
+__all__ = ["ks_test", "mann_whitney_u", "welch_t_test", "tost_equivalence",
            "chi_square_independence", "bootstrap_ci", "autocorrelation",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
            "bh_fdr", "mutual_information", "wilcoxon_signed_rank",
@@ -291,6 +291,64 @@ def welch_t_test(df: DataFrame, value_col: str, group_col: str,
         f"{_d(ma)} AS mean_a, {_d(mb)} AS mean_b, "
         f"{_d(t_stat)} AS t_stat, {_d(dof)} AS dof, "
         f"{_d(p)} AS p_value")
+
+
+def tost_equivalence(df: DataFrame, value_col: str, group_col: str,
+                     group_a: str, group_b: str,
+                     margin: float) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987, two one-sided tests):
+    the gate :func:`welch_t_test` cannot be — a non-significant t says
+    "no evidence of difference", which is NOT "evidence of no
+    difference".  Before swapping in a cheaper scorer/tokenizer/decode
+    path, the question is "is the mean shift provably inside ±margin?"
+    and TOST answers it: test ``mu_a - mu_b > -margin`` AND ``mu_a -
+    mu_b < +margin`` one-sided; equivalence holds at level alpha when
+    BOTH reject, i.e. ``p_tost = max(p_lower, p_upper) < alpha``.
+
+    Welch form throughout (same unequal-variance standard error and
+    the module's stated normal approximation): ``t_low = (d + margin)
+    / se``, ``t_high = (d - margin) / se``, ``p_lower = P(Z < -t_low)``
+    upper-tailed / ``p_upper = P(Z > -t_high)`` lower-tailed per
+    Schuirmann.  Plan: the SAME single conditional-aggregate scan as
+    :func:`welch_t_test` — six partial aggregates, one-row reduce.
+    Output: ONE row ``(n_a, n_b, diff, se, margin, p_lower, p_upper,
+    p_tost)`` (nulls when either group has n < 2 or the variance
+    degenerates)."""
+    if not margin > 0:
+        raise ValueError(f"margin must be > 0, got {margin}")
+    spark = df.sparkSession
+    va = F.when(F.col(group_col) == group_a, F.col(value_col))
+    vb = F.when(F.col(group_col) == group_b, F.col(value_col))
+    row = (df.filter(F.col(value_col).isNotNull())
+           .agg(F.count(va).alias("na"), F.count(vb).alias("nb"),
+                F.avg(va).alias("ma"), F.avg(vb).alias("mb"),
+                F.var_samp(va).alias("sa"), F.var_samp(vb).alias("sb"))
+           .first())
+    na, nb = int(row["na"]), int(row["nb"])
+    d = se = p_lo = p_hi = p_tost = None
+    if na >= 2 and nb >= 2:
+        wa, wb = float(row["sa"]) / na, float(row["sb"]) / nb
+        if wa + wb > 0:
+            d = float(row["ma"]) - float(row["mb"])
+            se = math.sqrt(wa + wb)
+            # H01: d <= -margin, rejected by LARGE (d+margin)/se ->
+            # upper tail; H02: d >= +margin, rejected by SMALL
+            # (d-margin)/se -> lower tail == upper tail of its negation
+            p_lo = _normal_sf1((d + margin) / se)
+            p_hi = _normal_sf1((margin - d) / se)
+            p_tost = max(p_lo, p_hi)
+
+    def _d(x):
+        return ("CAST(NULL AS DOUBLE)" if x is None
+                else f"round(CAST({float(x)!r} AS DOUBLE), 6)")
+
+    return spark.sql(
+        f"SELECT CAST({na} AS BIGINT) AS n_a, "
+        f"CAST({nb} AS BIGINT) AS n_b, "
+        f"{_d(d)} AS diff, {_d(se)} AS se, "
+        f"{_d(float(margin))} AS margin, "
+        f"{_d(p_lo)} AS p_lower, {_d(p_hi)} AS p_upper, "
+        f"{_d(p_tost)} AS p_tost")
 
 
 def chi_square_independence(df: DataFrame, col_x: str,

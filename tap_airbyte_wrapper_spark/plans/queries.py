@@ -2192,6 +2192,18 @@ def q_icc_forms(spark, sf_dir):
         "n_dropped")
 
 
+def q_tost(spark, sf_dir):
+    """TOST equivalence of purchase-vs-click event values within
+    ±25: 'no significant difference' is not 'equivalent' — this is the
+    gate that can PROVE a bounded shift (Schuirmann two one-sided
+    tests on the Welch standard error)."""
+    from ..operators import tost_equivalence
+
+    return tost_equivalence(_t(spark, sf_dir, "events"),
+                            "value", "event_type", "purchase", "click",
+                            margin=25.0)
+
+
 def q_chi2(spark, sf_dir):
     """Chi-square independence of order status x priority (the
     selection-bias screen: is fulfillment state entangled with
@@ -3948,6 +3960,7 @@ QUERIES = {
     "ks_test_orders": q_ks_test,
     "mann_whitney_orders": q_mann_whitney,
     "welch_events": q_welch,
+    "tost_events": q_tost,
     "chi2_orders": q_chi2,
     "bootstrap_docs": q_bootstrap,
     "acf_events": q_acf,
@@ -4187,15 +4200,14 @@ _R11_WINDOW = [
     "gopher_rules_docs", "c4_clean_docs", "redact_cards_docs",
     "rrf_fusion_docs", "char_ngram_entropy_docs", "zipf_fit_docs",
     "domain_quota_docs", "source_overlap_docs", "knn_pq_verified",
-    "hard_negatives_emb",
     # new r11 oracle-backed ops take the last (d) slots so they get
     # driver rows THIS round (the r10 lesson); displaced to r12:
-    # fuzzy_name_pairs, chunk_sentences_docs, semi_hard_negatives_emb,
-    # threshold_metrics_docs, calibration_bins_docs,
-    # uniform_sample_docs
+    # hard_negatives_emb, fuzzy_name_pairs, chunk_sentences_docs,
+    # semi_hard_negatives_emb, threshold_metrics_docs,
+    # calibration_bins_docs, uniform_sample_docs
     "welch_anova_orders", "brown_forsythe_orders",
     "pairwise_welch_orders", "icc_forms_docs", "bleu_per_doc_docs",
-    "rouge_l_docs",
+    "rouge_l_docs", "tost_events",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
@@ -6691,6 +6703,48 @@ ORACLES = {
                    + tt * 1.061405429)))) * exp(-x * x))), 6)
                  AS p_value
         FROM p""",
+    "tost_events": """
+        WITH agg AS (
+          SELECT count(*) FILTER (WHERE event_type = 'purchase') AS na,
+                 count(*) FILTER (WHERE event_type = 'click') AS nb,
+                 avg(value) FILTER (WHERE event_type = 'purchase') AS ma,
+                 avg(value) FILTER (WHERE event_type = 'click') AS mb,
+                 var_samp(value) FILTER (WHERE event_type = 'purchase')
+                   AS sa,
+                 var_samp(value) FILTER (WHERE event_type = 'click') AS sb
+          FROM events WHERE value IS NOT NULL),
+        w AS (SELECT na, nb, ma - mb AS d,
+                     sqrt(sa / na + sb / nb) AS se FROM agg),
+        zz AS (SELECT na, nb, d, se,
+                      (d + CAST(25.0 AS DOUBLE)) / se AS zl,
+                      (CAST(25.0 AS DOUBLE) - d) / se AS zh
+               FROM w),
+        x AS (SELECT zz.*, abs(zl) / sqrt(2.0) AS xl,
+                     abs(zh) / sqrt(2.0) AS xh FROM zz),
+        t AS (SELECT x.*, 1.0 / (1.0 + 0.3275911 * xl) AS tl,
+                     1.0 / (1.0 + 0.3275911 * xh) AS th FROM x),
+        sf AS (SELECT t.*,
+                 least(1.0, greatest(0.0,
+                   tl * (0.254829592 + tl * (-0.284496736
+                     + tl * (1.421413741 + tl * (-1.453152027
+                     + tl * 1.061405429)))) * exp(-xl * xl))) AS s2l,
+                 least(1.0, greatest(0.0,
+                   th * (0.254829592 + th * (-0.284496736
+                     + th * (1.421413741 + th * (-1.453152027
+                     + th * 1.061405429)))) * exp(-xh * xh))) AS s2h
+               FROM t),
+        ps AS (SELECT sf.*,
+                 CASE WHEN zl >= 0 THEN s2l / 2.0
+                      ELSE 1.0 - s2l / 2.0 END AS pl,
+                 CASE WHEN zh >= 0 THEN s2h / 2.0
+                      ELSE 1.0 - s2h / 2.0 END AS ph
+               FROM sf)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(d, 6) AS diff, round(se, 6) AS se,
+               round(CAST(25.0 AS DOUBLE), 6) AS margin,
+               round(pl, 6) AS p_lower, round(ph, 6) AS p_upper,
+               round(greatest(pl, ph), 6) AS p_tost
+        FROM ps""",
     "chi2_orders": """
         WITH obs AS (
           SELECT o_orderstatus AS x, o_orderpriority AS y,

@@ -174,6 +174,58 @@ def test_welch_anova_degenerates_and_guard(spark):
 
 
 # ---------------------------------------------------------------------
+# TOST equivalence — "provably inside ±margin", not "not significant"
+# ---------------------------------------------------------------------
+
+def test_tost_proves_equivalence_and_refuses_difference(spark):
+    """Two near-identical large slices pass TOST at a loose margin and
+    FAIL it at a margin tighter than their true shift; the symmetric
+    one-sided structure pins p_lower == p_upper when d == 0."""
+    from tap_airbyte_wrapper_spark.operators import tost_equivalence
+
+    a = [float(v % 40) for v in range(400)]
+    b = [float(v % 40) + 0.5 for v in range(400)]
+    df = _grouped_df(spark, {"a": a, "b": b})
+    loose = tost_equivalence(df, "v", "g", "a", "b",
+                             margin=3.0).first()
+    assert loose["diff"] == pytest.approx(-0.5, abs=1e-9)
+    assert loose["p_tost"] < 0.01           # equivalent within ±3
+    tight = tost_equivalence(df, "v", "g", "a", "b",
+                             margin=0.1).first()
+    assert tight["p_tost"] > 0.5            # NOT provably within ±0.1
+    sym = tost_equivalence(_grouped_df(spark, {"a": a, "b": a}),
+                           "v", "g", "a", "b", margin=1.0).first()
+    assert sym["p_lower"] == sym["p_upper"]
+
+
+def test_tost_one_sided_tails_hand_pin(spark):
+    """Hand pin of the Schuirmann tails: with d, se, and margin known,
+    p_lower = P(Z > (d+m)/se) and p_upper = P(Z > (m-d)/se)."""
+    import math
+
+    from tap_airbyte_wrapper_spark.operators import tost_equivalence
+    from tap_airbyte_wrapper_spark.operators.stats import _normal_sf1
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [1.5, 2.5, 3.5, 4.5, 5.5]
+    row = tost_equivalence(_grouped_df(spark, {"a": a, "b": b}),
+                           "v", "g", "a", "b", margin=2.0).first()
+    se = math.sqrt(2.5 / 5 + 2.5 / 5)
+    assert row["se"] == pytest.approx(se, abs=1e-6)
+    assert row["p_lower"] == pytest.approx(
+        round(_normal_sf1((-0.5 + 2.0) / se), 6), abs=1e-6)
+    assert row["p_upper"] == pytest.approx(
+        round(_normal_sf1((2.0 + 0.5) / se), 6), abs=1e-6)
+    # degenerate + guard
+    deg = tost_equivalence(_grouped_df(spark, {"a": [1.0], "b": b}),
+                           "v", "g", "a", "b", margin=1.0).first()
+    assert deg["p_tost"] is None and deg["n_a"] == 1
+    with pytest.raises(ValueError, match="margin"):
+        tost_equivalence(_grouped_df(spark, {"a": a, "b": b}),
+                         "v", "g", "a", "b", margin=0.0)
+
+
+# ---------------------------------------------------------------------
 # Pairwise Welch t — post-hoc drill after welch_anova
 # ---------------------------------------------------------------------
 
