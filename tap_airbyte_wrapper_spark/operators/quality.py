@@ -766,9 +766,13 @@ def benford_deviation(
               .withColumn("dev", F.round(
                   F.col("obs_frac") - F.col("exp_frac"), 6)))
     exp_n = F.col("n_values") * F.log10(1 + 1 / F.col("digit"))
+    # n_values = 0 (all-null/zero slice) makes exp_n = 0 and the ANSI
+    # division throws — guard INSIDE the sum (a `when` around the
+    # window expression would not stop the window from evaluating);
+    # an empty audit reports null chi2, not a crash
+    cell = F.when(exp_n > 0, F.pow(F.col("n") - exp_n, 2) / exp_n)
     return (scored
-            .withColumn("chi2", F.round(
-                F.sum(F.pow(F.col("n") - exp_n, 2) / exp_n).over(w), 4))
+            .withColumn("chi2", F.round(F.sum(cell).over(w), 4))
             .withColumn("mad", F.round(
                 F.avg(F.abs(F.col("obs_frac") - F.col("exp_frac")))
                 .over(w), 6))

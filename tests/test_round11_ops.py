@@ -87,6 +87,19 @@ def test_drift_report_keeps_latest_not_slowest(spark, tmp_path):
     assert row["landed"] is True and row["written_at"] == 2000.0
 
 
+def test_benford_survives_all_null_slice(spark):
+    """Regression (r11 audit): an all-null value column made every
+    digit count 0, so exp_n = 0 and the ANSI chi2 division threw —
+    the audit table must come back with 9 digit rows and null chi2."""
+    from tap_airbyte_wrapper_spark.operators import benford_deviation
+
+    rows = benford_deviation(
+        spark.createDataFrame([(None,), (None,)], "a double"),
+        "a").collect()
+    assert len(rows) == 9
+    assert all(r["n"] == 0 and r["chi2"] is None for r in rows)
+
+
 def test_rank_tests_survive_all_null_slice(spark):
     """Regression (r11 audit): an all-null value slice used to crash
     mann_whitney_u/kruskal_wallis with ArrayIndexOutOfBounds — the
