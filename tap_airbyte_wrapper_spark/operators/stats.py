@@ -38,7 +38,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ks_test", "mann_whitney_u", "welch_t_test", "tost_equivalence",
+__all__ = ["ks_test", "ks_test_sliced", "mann_whitney_u", "welch_t_test", "tost_equivalence",
            "chi_square_independence", "bootstrap_ci", "autocorrelation",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
            "bh_fdr", "mutual_information", "wilcoxon_signed_rank",
@@ -161,6 +161,79 @@ def ks_test(df: DataFrame, value_col: str, group_col: str,
         f"CAST({nb} AS BIGINT) AS n_b, "
         f"round(CAST({d!r} AS DOUBLE), 6) AS d_stat, "
         f"round(CAST({p!r} AS DOUBLE), 6) AS p_value")
+
+
+def ks_test_sliced(df: DataFrame, value_col: str, group_col: str,
+                   group_a: str, group_b: str,
+                   slice_col: str) -> DataFrame:
+    """:func:`ks_test` per SLICE — the "did the distribution shift in
+    ANY language/source/shard?" screen in ONE pass: one row per slice
+    value, each an independent two-sample KS between ``group_a`` and
+    ``group_b`` within that slice.  Feed the p column to
+    :func:`bh_fdr` for the multiple-testing-corrected sweep.
+
+    Same exact-rational D as the scalar op (integer cumulatives;
+    ``|cum_a*nb - cum_b*na|`` max'd before the single division) and
+    the same Stephens/Kolmogorov asymptotic p — but here the p SERIES
+    evaluates as a column expression (``F.aggregate`` over the
+    k = 1..100 term index), so NOTHING reaches the driver and the op
+    scales to millions of slices.  The per-slice prefix is a window
+    PARTITIONED by slice (parallelism = #slices; one slice's distinct
+    values must fit a task — the standard partitioned-window bound,
+    stated; quantize the value upstream for ultra-high-cardinality
+    metrics).  The scalar op's 2^53 exactness envelope applies PER
+    SLICE and is enforced with null-out rather than refusal (one huge
+    slice must not kill a million-slice sweep): slices past the
+    envelope report ``(n_a, n_b)`` with null ``d_stat``/``p_value``.
+    Output: ``(<slice_col>, n_a, n_b, d_stat, p_value)``, one row per
+    slice where either group has data; nulls when a group is empty in
+    that slice."""
+    from pyspark.sql import Window
+
+    counts = (df.filter(F.col(value_col).isNotNull()
+                        & F.col(slice_col).isNotNull()
+                        & F.col(group_col).isin(group_a, group_b))
+              .groupBy(F.col(slice_col).alias("__s"),
+                       F.col(value_col).cast("double").alias("__v"))
+              .agg(F.sum(F.when(F.col(group_col) == group_a, 1)
+                         .otherwise(0)).alias("__ca"),
+                   F.sum(F.when(F.col(group_col) == group_b, 1)
+                         .otherwise(0)).alias("__cb")))
+    w = (Window.partitionBy("__s").orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy("__s")
+    cums = (counts
+            .withColumn("__cuma", F.sum("__ca").over(w))
+            .withColumn("__cumb", F.sum("__cb").over(w))
+            .withColumn("__na", F.sum("__ca").over(tot))
+            .withColumn("__nb", F.sum("__cb").over(tot)))
+    per = (cums.groupBy("__s")
+           .agg(F.max("__na").alias("na"), F.max("__nb").alias("nb"),
+                F.max(F.abs(F.col("__cuma") * F.col("__nb")
+                            - F.col("__cumb") * F.col("__na")))
+                .alias("dnum")))
+    ok = (F.col("na") > 0) & (F.col("nb") > 0) & \
+        (F.col("na") * F.col("nb") < F.lit(2 ** 53))
+    d = F.col("dnum") / (F.col("na").cast("double") * F.col("nb"))
+    ne = (F.col("na").cast("double") * F.col("nb")
+          / (F.col("na") + F.col("nb")))
+    lam = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * d
+    # Kolmogorov series as a column expression: ascending k, same
+    # truncation and lambda < 0.02 convergence guard as the scalar op
+    ks = F.array(*[F.lit(float(k)) for k in range(1, 101)])
+    series = F.aggregate(
+        ks, F.lit(0.0),
+        lambda acc, k: acc
+        + F.when(F.pmod(k, 2) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.exp(-2.0 * k * k * lam * lam))
+    q = F.when(lam < 0.02, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series)))
+    return per.select(
+        F.col("__s").alias(slice_col),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.when(ok, d), 6).alias("d_stat"),
+        F.round(F.when(ok, q), 6).alias("p_value"))
 
 
 def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,

@@ -2365,6 +2365,23 @@ def q_kruskal(spark, sf_dir):
     return kruskal_wallis(orders, "bucket", "prio")
 
 
+def q_ks_sliced(spark, sf_dir):
+    """Per-priority KS drift sweep in ONE pass (open-vs-finished order
+    totals within each of the five priorities, 100-dollar quantized):
+    the sliced op's D is the same exact-rational numerator per slice
+    and the Kolmogorov p series evaluates as a column expression —
+    nothing collects, so the same plan would sweep a million
+    language/source slices."""
+    from ..operators import ks_test_sliced
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") / 100).alias("bucket"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"))
+    return ks_test_sliced(orders, "bucket", "status", "O", "F",
+                          "prio")
+
+
 def q_pmi(spark, sf_dir):
     """Top collocations by PMI over the document corpus (min pair
     count 3 at test scale) — 'statistically glued' adjacent pairs,
@@ -3958,6 +3975,7 @@ QUERIES = {
     "cusum_orders": q_cusum,
     "sen_slope_orders": q_sen_slope,
     "ks_test_orders": q_ks_test,
+    "ks_sliced_orders": q_ks_sliced,
     "mann_whitney_orders": q_mann_whitney,
     "welch_events": q_welch,
     "tost_events": q_tost,
@@ -4199,15 +4217,16 @@ _R11_WINDOW = [
     "degrees_suppliers", "leakage_split_docs", "dedup_keep_best_docs",
     "gopher_rules_docs", "c4_clean_docs", "redact_cards_docs",
     "rrf_fusion_docs", "char_ngram_entropy_docs", "zipf_fit_docs",
-    "domain_quota_docs", "source_overlap_docs", "knn_pq_verified",
+    "domain_quota_docs", "source_overlap_docs",
     # new r11 oracle-backed ops take the last (d) slots so they get
     # driver rows THIS round (the r10 lesson); displaced to r12:
-    # hard_negatives_emb, fuzzy_name_pairs, chunk_sentences_docs,
-    # semi_hard_negatives_emb, threshold_metrics_docs,
-    # calibration_bins_docs, uniform_sample_docs
+    # knn_pq_verified, hard_negatives_emb, fuzzy_name_pairs,
+    # chunk_sentences_docs, semi_hard_negatives_emb,
+    # threshold_metrics_docs, calibration_bins_docs,
+    # uniform_sample_docs
     "welch_anova_orders", "brown_forsythe_orders",
     "pairwise_welch_orders", "icc_forms_docs", "bleu_per_doc_docs",
-    "rouge_l_docs", "tost_events",
+    "rouge_l_docs", "tost_events", "ks_sliced_orders",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
@@ -6703,6 +6722,52 @@ ORACLES = {
                    + tt * 1.061405429)))) * exp(-x * x))), 6)
                  AS p_value
         FROM p""",
+    "ks_sliced_orders": """
+        WITH t AS (
+          SELECT o_orderpriority AS s,
+                 round(o_totalprice / 100) AS v,
+                 o_orderstatus AS g
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IS NOT NULL
+            AND o_orderstatus IN ('O', 'F')),
+        c AS (SELECT s, v,
+                     count(*) FILTER (WHERE g = 'O') AS ca,
+                     count(*) FILTER (WHERE g = 'F') AS cb
+              FROM t GROUP BY s, v),
+        cu AS (SELECT s, v,
+                      sum(ca) OVER (PARTITION BY s ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cuma,
+                      sum(cb) OVER (PARTITION BY s ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cumb,
+                      sum(ca) OVER (PARTITION BY s) AS na,
+                      sum(cb) OVER (PARTITION BY s) AS nb
+               FROM c),
+        p AS (SELECT s, max(na) AS na, max(nb) AS nb,
+                     max(abs(cuma * nb - cumb * na)) AS dnum
+              FROM cu GROUP BY s),
+        dd AS (SELECT s, na, nb,
+                      CASE WHEN na > 0 AND nb > 0
+                           AND na * nb < 9007199254740992
+                        THEN dnum / (CAST(na AS DOUBLE) * nb) END AS d,
+                      CAST(na AS DOUBLE) * nb / (na + nb) AS ne
+               FROM p),
+        lm AS (SELECT dd.*,
+                      (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d AS lam
+               FROM dd)
+        SELECT s AS prio, CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               round(d, 6) AS d_stat,
+               round(CASE WHEN lam IS NULL THEN NULL
+                          WHEN lam < 0.02 THEN 1.0
+                          ELSE least(1.0, greatest(0.0,
+                            2.0 * list_sum(list_transform(
+                              generate_series(1, 100),
+                              k -> (CASE WHEN k % 2 = 1 THEN 1.0
+                                         ELSE -1.0 END)
+                                   * exp(-2.0 * k * k * lam * lam)))))
+                     END, 6) AS p_value
+        FROM lm""",
     "tost_events": """
         WITH agg AS (
           SELECT count(*) FILTER (WHERE event_type = 'purchase') AS na,

@@ -187,6 +187,54 @@ def test_welch_anova_degenerates_and_guard(spark):
 
 
 # ---------------------------------------------------------------------
+# Sliced KS — the per-slice drift sweep, nothing on the driver
+# ---------------------------------------------------------------------
+
+def test_ks_sliced_equals_scalar_per_slice(spark):
+    """Each slice row must equal ks_test run on that slice alone —
+    including the column-expression Kolmogorov p series matching the
+    driver-side math.exp series to 6 decimals; a planted shift slice
+    flags while an identical slice reads D = 0, p = 1."""
+    from tap_airbyte_wrapper_spark.operators import (ks_test,
+                                                     ks_test_sliced)
+
+    rows = []
+    for i in range(400):
+        rows += [(float(i % 50), "a", "s1"),
+                 (float((i * 7) % 50), "b", "s1"),
+                 (float(i % 50), "a", "s2"),
+                 (float(i % 50) + 20.0, "b", "s2"),
+                 (float(i % 50), "a", "s3"),
+                 (float(i % 50) + (1.0 if i % 9 == 0 else 0.0), "b",
+                  "s3")]
+    df = spark.createDataFrame(rows, "v double, g string, s string")
+    out = {r["s"]: r for r in
+           ks_test_sliced(df, "v", "g", "a", "b", "s").collect()}
+    assert len(out) == 3
+    for s in ["s1", "s2", "s3"]:
+        ref = ks_test(df.filter(df.s == s), "v", "g", "a", "b").first()
+        for c in ["n_a", "n_b", "d_stat", "p_value"]:
+            assert out[s][c] == ref[c], (s, c, out[s][c], ref[c])
+    assert out[s2 := "s2"]["p_value"] == 0.0 and out["s1"]["d_stat"] == 0.0
+
+
+def test_ks_sliced_empty_group_and_envelope(spark):
+    """A slice where one group is empty reports null stats (not a
+    dropped row, not a crash); the per-slice 2^53 envelope nulls out
+    instead of refusing (one huge slice must not kill the sweep)."""
+    from tap_airbyte_wrapper_spark.operators import ks_test_sliced
+
+    rows = [(1.0, "a", "only_a"), (2.0, "a", "only_a"),
+            (1.0, "a", "both"), (2.0, "b", "both")]
+    out = {r["s"]: r for r in ks_test_sliced(
+        spark.createDataFrame(rows, "v double, g string, s string"),
+        "v", "g", "a", "b", "s").collect()}
+    assert out["only_a"]["n_b"] == 0
+    assert out["only_a"]["d_stat"] is None
+    assert out["both"]["d_stat"] == 1.0
+
+
+# ---------------------------------------------------------------------
 # TOST equivalence — "provably inside ±margin", not "not significant"
 # ---------------------------------------------------------------------
 
