@@ -38,7 +38,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ks_test", "ks_test_sliced", "mann_whitney_u", "welch_t_test", "tost_equivalence",
+__all__ = ["ks_test", "ks_test_sliced", "mann_whitney_u", "welch_t_test", "welch_t_sliced", "tost_equivalence",
            "chi_square_independence", "bootstrap_ci", "autocorrelation",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
            "bh_fdr", "mutual_information", "wilcoxon_signed_rank",
@@ -364,6 +364,57 @@ def welch_t_test(df: DataFrame, value_col: str, group_col: str,
         f"{_d(ma)} AS mean_a, {_d(mb)} AS mean_b, "
         f"{_d(t_stat)} AS t_stat, {_d(dof)} AS dof, "
         f"{_d(p)} AS p_value")
+
+
+def welch_t_sliced(df: DataFrame, value_col: str, group_col: str,
+                   group_a: str, group_b: str,
+                   slice_col: str) -> DataFrame:
+    """:func:`welch_t_test` per SLICE — the mean-shift sweep beside
+    :func:`ks_test_sliced`'s shape sweep: one row per slice, each an
+    independent Welch t between the two groups within that slice, with
+    the A&S erf p evaluated as a COLUMN expression so nothing reaches
+    the driver (the same million-slice contract; feed ``p_value`` to
+    :func:`bh_fdr`).
+
+    Plan: ONE conditional-aggregate scan grouped by slice — six
+    partial aggregates per slice, no windows, no joins; the t / dof /
+    p closed forms are pure projections over that k-row table.
+    Slices where either group has n < 2 or the variance degenerates
+    report their counts and means with null statistics.  Output:
+    ``(<slice_col>, n_a, n_b, mean_a, mean_b, t_stat, dof,
+    p_value)``."""
+    va = F.when(F.col(group_col) == group_a, F.col(value_col))
+    vb = F.when(F.col(group_col) == group_b, F.col(value_col))
+    per = (df.filter(F.col(value_col).isNotNull()
+                     & F.col(slice_col).isNotNull())
+           .groupBy(F.col(slice_col).alias("__s"))
+           .agg(F.count(va).alias("na"), F.count(vb).alias("nb"),
+                F.avg(va).alias("ma"), F.avg(vb).alias("mb"),
+                F.var_samp(va).alias("sa"),
+                F.var_samp(vb).alias("sb")))
+    ok = (F.col("na") >= 2) & (F.col("nb") >= 2) & \
+        ((F.col("sa") / F.col("na") + F.col("sb") / F.col("nb")) > 0)
+    wa, wb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    t_stat = (F.col("ma") - F.col("mb")) / F.sqrt(wa + wb)
+    dof = ((wa + wb) * (wa + wb)
+           / (wa * wa / (F.col("na") - 1)
+              + wb * wb / (F.col("nb") - 1)))
+    # A&S 7.1.26 two-sided tail as a projection (mirrors _normal_sf2)
+    x = F.abs(t_stat) / math.sqrt(2.0)
+    tt = 1.0 / (1.0 + 0.3275911 * x)
+    poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
+        1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0),
+                                       poly * F.exp(-x * x)))
+    return per.select(
+        F.col("__s").alias(slice_col),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("ma"), 6).alias("mean_a"),
+        F.round(F.col("mb"), 6).alias("mean_b"),
+        F.round(F.when(ok, t_stat), 6).alias("t_stat"),
+        F.round(F.when(ok, dof), 6).alias("dof"),
+        F.round(F.when(ok, p), 6).alias("p_value"))
 
 
 def tost_equivalence(df: DataFrame, value_col: str, group_col: str,

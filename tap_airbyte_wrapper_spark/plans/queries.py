@@ -2382,6 +2382,20 @@ def q_ks_sliced(spark, sf_dir):
                           "prio")
 
 
+def q_welch_sliced(spark, sf_dir):
+    """Per-priority Welch mean-shift sweep (open-vs-finished order
+    totals within each priority) — the mean companion of
+    ks_sliced_orders: one conditional-agg scan grouped by slice, erf p
+    as a column expression, nothing on the driver."""
+    from ..operators import welch_t_sliced
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"))
+    return welch_t_sliced(orders, "price", "status", "O", "F", "prio")
+
+
 def q_pmi(spark, sf_dir):
     """Top collocations by PMI over the document corpus (min pair
     count 3 at test scale) — 'statistically glued' adjacent pairs,
@@ -3976,6 +3990,7 @@ QUERIES = {
     "sen_slope_orders": q_sen_slope,
     "ks_test_orders": q_ks_test,
     "ks_sliced_orders": q_ks_sliced,
+    "welch_sliced_orders": q_welch_sliced,
     "mann_whitney_orders": q_mann_whitney,
     "welch_events": q_welch,
     "tost_events": q_tost,
@@ -4217,16 +4232,17 @@ _R11_WINDOW = [
     "degrees_suppliers", "leakage_split_docs", "dedup_keep_best_docs",
     "gopher_rules_docs", "c4_clean_docs", "redact_cards_docs",
     "rrf_fusion_docs", "char_ngram_entropy_docs", "zipf_fit_docs",
-    "domain_quota_docs", "source_overlap_docs",
+    "domain_quota_docs",
     # new r11 oracle-backed ops take the last (d) slots so they get
     # driver rows THIS round (the r10 lesson); displaced to r12:
-    # knn_pq_verified, hard_negatives_emb, fuzzy_name_pairs,
-    # chunk_sentences_docs, semi_hard_negatives_emb,
+    # source_overlap_docs, knn_pq_verified, hard_negatives_emb,
+    # fuzzy_name_pairs, chunk_sentences_docs, semi_hard_negatives_emb,
     # threshold_metrics_docs, calibration_bins_docs,
     # uniform_sample_docs
     "welch_anova_orders", "brown_forsythe_orders",
     "pairwise_welch_orders", "icc_forms_docs", "bleu_per_doc_docs",
     "rouge_l_docs", "tost_events", "ks_sliced_orders",
+    "welch_sliced_orders",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
@@ -6768,6 +6784,47 @@ ORACLES = {
                                    * exp(-2.0 * k * k * lam * lam)))))
                      END, 6) AS p_value
         FROM lm""",
+    "welch_sliced_orders": """
+        WITH per AS (
+          SELECT o_orderpriority AS prio,
+                 count(*) FILTER (WHERE o_orderstatus = 'O') AS na,
+                 count(*) FILTER (WHERE o_orderstatus = 'F') AS nb,
+                 avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O')
+                   AS ma,
+                 avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F')
+                   AS mb,
+                 var_samp(o_totalprice)
+                   FILTER (WHERE o_orderstatus = 'O') AS sa,
+                 var_samp(o_totalprice)
+                   FILTER (WHERE o_orderstatus = 'F') AS sb
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IS NOT NULL
+          GROUP BY 1),
+        s AS (SELECT per.*,
+                     na >= 2 AND nb >= 2
+                     AND (sa / na + sb / nb) > 0 AS ok,
+                     sa / na AS wa, sb / nb AS wb
+              FROM per),
+        z AS (SELECT s.*,
+                     (ma - mb) / sqrt(wa + wb) AS t_stat,
+                     (wa + wb) * (wa + wb)
+                     / (wa * wa / (na - 1) + wb * wb / (nb - 1))
+                       AS dof,
+                     abs((ma - mb) / sqrt(wa + wb)) / sqrt(2.0) AS x
+              FROM s),
+        p AS (SELECT z.*, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM z)
+        SELECT prio, CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+               round(CASE WHEN ok THEN t_stat END, 6) AS t_stat,
+               round(CASE WHEN ok THEN dof END, 6) AS dof,
+               round(CASE WHEN ok THEN least(1.0, greatest(0.0,
+                 tt * (0.254829592 + tt * (-0.284496736
+                   + tt * (1.421413741 + tt * (-1.453152027
+                   + tt * 1.061405429)))) * exp(-x * x))) END, 6)
+                 AS p_value
+        FROM p""",
     "tost_events": """
         WITH agg AS (
           SELECT count(*) FILTER (WHERE event_type = 'purchase') AS na,

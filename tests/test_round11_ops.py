@@ -234,6 +234,32 @@ def test_ks_sliced_empty_group_and_envelope(spark):
     assert out["both"]["d_stat"] == 1.0
 
 
+def test_welch_sliced_equals_scalar_per_slice(spark):
+    """Each slice row equals welch_t_test on that slice alone —
+    including the column-expression erf p matching the driver-side
+    polynomial; an n=1 slice keeps its counts with null stats."""
+    from tap_airbyte_wrapper_spark.operators import (welch_t_sliced,
+                                                     welch_t_test)
+
+    rows = []
+    for i in range(300):
+        rows += [(float(i % 40), "a", "s1"),
+                 (float(i % 40) + 2.0, "b", "s1"),
+                 (float(i % 40), "a", "s2"),
+                 (float(i % 40), "b", "s2")]
+    rows.append((5.0, "a", "tiny"))
+    df = spark.createDataFrame(rows, "v double, g string, s string")
+    out = {r["s"]: r for r in
+           welch_t_sliced(df, "v", "g", "a", "b", "s").collect()}
+    for s in ["s1", "s2"]:
+        ref = welch_t_test(df.filter(df.s == s), "v", "g",
+                           "a", "b").first()
+        for c in ["n_a", "n_b", "mean_a", "mean_b", "t_stat", "dof",
+                  "p_value"]:
+            assert out[s][c] == ref[c], (s, c)
+    assert out["tiny"]["n_a"] == 1 and out["tiny"]["t_stat"] is None
+
+
 # ---------------------------------------------------------------------
 # TOST equivalence — "provably inside ±margin", not "not significant"
 # ---------------------------------------------------------------------
