@@ -207,13 +207,22 @@ def ks_test_sliced(df: DataFrame, value_col: str, group_col: str,
             .withColumn("__cumb", F.sum("__cb").over(w))
             .withColumn("__na", F.sum("__ca").over(tot))
             .withColumn("__nb", F.sum("__cb").over(tot)))
+    # cross-products in DOUBLE: inside the 2^53 envelope every
+    # intermediate (<= na*nb) is double-exact, and outside it the
+    # arithmetic stays finite (a long product would throw on ANSI
+    # overflow before the envelope null-out could apply)
     per = (cums.groupBy("__s")
            .agg(F.max("__na").alias("na"), F.max("__nb").alias("nb"),
-                F.max(F.abs(F.col("__cuma") * F.col("__nb")
-                            - F.col("__cumb") * F.col("__na")))
+                F.max(F.abs(F.col("__cuma").cast("double")
+                            * F.col("__nb")
+                            - F.col("__cumb").cast("double")
+                            * F.col("__na")))
                 .alias("dnum")))
+    # DOUBLE product for the envelope test: a long*long product would
+    # itself overflow under ANSI before the comparison for absurdly
+    # large slices (>3e9 rows per group)
     ok = (F.col("na") > 0) & (F.col("nb") > 0) & \
-        (F.col("na") * F.col("nb") < F.lit(2 ** 53))
+        (F.col("na").cast("double") * F.col("nb") < F.lit(float(2 ** 53)))
     d = F.col("dnum") / (F.col("na").cast("double") * F.col("nb"))
     ne = (F.col("na").cast("double") * F.col("nb")
           / (F.col("na") + F.col("nb")))
@@ -1157,7 +1166,7 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
         return ("CAST(NULL AS DOUBLE)" if x is None
                 else f"round(CAST({float(x)!r} AS DOUBLE), 6)")
 
-    selects = []
+    tuples = []
     for i in range(len(rows)):
         for j in range(i + 1, len(rows)):
             ga, na, ma, sa = rows[i]
@@ -1173,25 +1182,30 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
                     p = _normal_sf2(t_stat)
             ga_s = ga.replace("'", "''")
             gb_s = gb.replace("'", "''")
-            selects.append(
-                f"SELECT '{ga_s}' AS group_a, '{gb_s}' AS group_b, "
-                f"CAST({na} AS BIGINT) AS n_a, "
-                f"CAST({nb} AS BIGINT) AS n_b, "
-                f"{_lit(ma)} AS mean_a, {_lit(mb)} AS mean_b, "
-                f"{_lit(t_stat)} AS t_stat, {_lit(dof)} AS dof, "
-                f"{_lit(p)} AS p_value")
-    if not selects:
-        return spark.sql(
-            "SELECT CAST(NULL AS STRING) AS group_a, "
-            "CAST(NULL AS STRING) AS group_b, "
-            "CAST(0 AS BIGINT) AS n_a, CAST(0 AS BIGINT) AS n_b, "
-            "CAST(NULL AS DOUBLE) AS mean_a, "
-            "CAST(NULL AS DOUBLE) AS mean_b, "
-            "CAST(NULL AS DOUBLE) AS t_stat, "
-            "CAST(NULL AS DOUBLE) AS dof, "
-            "CAST(NULL AS DOUBLE) AS p_value").limit(0)
-    return spark.sql(" UNION ALL ".join(selects)).orderBy(
-        "group_a", "group_b")
+            tuples.append(
+                f"('{ga_s}', '{gb_s}', CAST({na} AS BIGINT), "
+                f"CAST({nb} AS BIGINT), {_lit(ma)}, {_lit(mb)}, "
+                f"{_lit(t_stat)}, {_lit(dof)}, {_lit(p)})")
+    empty = (
+        "SELECT CAST(NULL AS STRING) AS group_a, "
+        "CAST(NULL AS STRING) AS group_b, "
+        "CAST(0 AS BIGINT) AS n_a, CAST(0 AS BIGINT) AS n_b, "
+        "CAST(NULL AS DOUBLE) AS mean_a, "
+        "CAST(NULL AS DOUBLE) AS mean_b, "
+        "CAST(NULL AS DOUBLE) AS t_stat, "
+        "CAST(NULL AS DOUBLE) AS dof, "
+        "CAST(NULL AS DOUBLE) AS p_value")
+    if not tuples:
+        return spark.sql(empty).limit(0)
+    # ONE inline VALUES relation, not a per-pair UNION ALL chain: at
+    # the max_groups bound that chain is 4950 plan branches and the
+    # optimizer pays quadratically; VALUES is a single LocalRelation
+    return spark.sql(
+        "SELECT group_a, group_b, n_a, n_b, mean_a, mean_b, "
+        "t_stat, dof, p_value FROM (VALUES "
+        + ", ".join(tuples)
+        + ") AS t(group_a, group_b, n_a, n_b, mean_a, mean_b, "
+        "t_stat, dof, p_value)").orderBy("group_a", "group_b")
 
 
 def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
