@@ -39,6 +39,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["ks_test", "ks_test_sliced", "mann_whitney_u", "welch_t_test", "welch_t_sliced", "tost_equivalence",
+           "min_detectable_effect",
            "chi_square_independence", "bootstrap_ci", "autocorrelation",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
            "bh_fdr", "mutual_information", "wilcoxon_signed_rank",
@@ -424,6 +425,89 @@ def welch_t_sliced(df: DataFrame, value_col: str, group_col: str,
         F.round(F.when(ok, t_stat), 6).alias("t_stat"),
         F.round(F.when(ok, dof), 6).alias("dof"),
         F.round(F.when(ok, p), 6).alias("p_value"))
+
+
+def _normal_ppf(p: float) -> float:
+    """Inverse standard-normal CDF via Acklam's rational approximation
+    (|rel err| < 1.15e-9 — far below the 6-decimal output rounding);
+    driver-side scalar only (the per-call z quantiles), mirrored into
+    oracles as literals."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"ppf needs 0 < p < 1, got {p}")
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return ((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q
+                  + c[4]) * q + c[5])
+                / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+    if p > phigh:
+        return -_normal_ppf(1 - p)
+    q = p - 0.5
+    r = q * q
+    return ((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r
+              + a[4]) * r + a[5]) * q
+            / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r
+                + b[4]) * r + 1))
+
+
+def min_detectable_effect(df: DataFrame, value_col: str,
+                          group_col: str, group_a: str, group_b: str,
+                          slice_col: str, alpha: float = 0.05,
+                          power: float = 0.8) -> DataFrame:
+    """Minimum detectable effect per slice — the EXPERIMENT-DESIGN
+    companion of the A/B layer: before reading a per-slice sweep
+    (:func:`welch_t_sliced` / :func:`ks_test_sliced`), this table says
+    which slices are even BIG enough to see a given shift — a
+    non-significant p on a slice whose MDE is 8% of the mean is
+    absence of power, not absence of effect.
+
+    Closed form (two-sided level ``alpha``, target ``power``):
+    ``mde = (z_{1-alpha/2} + z_{power}) * se`` with the observed Welch
+    standard error ``se = sqrt(sa/na + sb/nb)``; ``mde_rel`` divides
+    by |mean_a| for a percent-of-baseline reading.  The two normal
+    quantiles are per-CALL scalars computed driver-side with Acklam's
+    inverse (< 1.15e-9 rel. err, stated) and enter the plan as
+    literals — the per-slice arithmetic is pure projection over ONE
+    conditional-aggregate scan grouped by slice.  Output:
+    ``(<slice_col>, n_a, n_b, mean_a, se, mde_abs, mde_rel)`` (nulls
+    when a group has n < 2 or the variance degenerates)."""
+    if not 0 < alpha < 1 or not 0 < power < 1:
+        raise ValueError(
+            f"alpha and power must be in (0,1), got {alpha}, {power}")
+    zsum = _normal_ppf(1 - alpha / 2) + _normal_ppf(power)
+    va = F.when(F.col(group_col) == group_a, F.col(value_col))
+    vb = F.when(F.col(group_col) == group_b, F.col(value_col))
+    per = (df.filter(F.col(value_col).isNotNull()
+                     & F.col(slice_col).isNotNull())
+           .groupBy(F.col(slice_col).alias("__s"))
+           .agg(F.count(va).alias("na"), F.count(vb).alias("nb"),
+                F.avg(va).alias("ma"),
+                F.var_samp(va).alias("sa"),
+                F.var_samp(vb).alias("sb")))
+    ok = (F.col("na") >= 2) & (F.col("nb") >= 2) & \
+        ((F.col("sa") / F.col("na") + F.col("sb") / F.col("nb")) > 0)
+    se = F.sqrt(F.col("sa") / F.col("na") + F.col("sb") / F.col("nb"))
+    mde = F.lit(float(zsum)) * se
+    return per.select(
+        F.col("__s").alias(slice_col),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("ma"), 6).alias("mean_a"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(F.when(ok, mde), 6).alias("mde_abs"),
+        F.round(F.when(ok & (F.abs(F.col("ma")) > 0),
+                       mde / F.abs(F.col("ma"))), 6).alias("mde_rel"))
 
 
 def tost_equivalence(df: DataFrame, value_col: str, group_col: str,

@@ -2396,6 +2396,22 @@ def q_welch_sliced(spark, sf_dir):
     return welch_t_sliced(orders, "price", "status", "O", "F", "prio")
 
 
+def q_mde(spark, sf_dir):
+    """Minimum detectable effect per priority for the open-vs-finished
+    comparison (alpha=.05, power=.8) — the power table read BEFORE the
+    per-slice sweeps: a quiet slice with an 8%-of-mean MDE is absence
+    of power, not absence of effect.  The z-quantile sum enters the
+    oracle as the same Acklam-derived literal."""
+    from ..operators import min_detectable_effect
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"))
+    return min_detectable_effect(orders, "price", "status", "O", "F",
+                                 "prio")
+
+
 def q_pmi(spark, sf_dir):
     """Top collocations by PMI over the document corpus (min pair
     count 3 at test scale) — 'statistically glued' adjacent pairs,
@@ -3991,6 +4007,7 @@ QUERIES = {
     "ks_test_orders": q_ks_test,
     "ks_sliced_orders": q_ks_sliced,
     "welch_sliced_orders": q_welch_sliced,
+    "mde_orders": q_mde,
     "mann_whitney_orders": q_mann_whitney,
     "welch_events": q_welch,
     "tost_events": q_tost,
@@ -4232,17 +4249,17 @@ _R11_WINDOW = [
     "degrees_suppliers", "leakage_split_docs", "dedup_keep_best_docs",
     "gopher_rules_docs", "c4_clean_docs", "redact_cards_docs",
     "rrf_fusion_docs", "char_ngram_entropy_docs", "zipf_fit_docs",
-    "domain_quota_docs",
     # new r11 oracle-backed ops take the last (d) slots so they get
     # driver rows THIS round (the r10 lesson); displaced to r12:
-    # source_overlap_docs, knn_pq_verified, hard_negatives_emb,
-    # fuzzy_name_pairs, chunk_sentences_docs, semi_hard_negatives_emb,
+    # domain_quota_docs, source_overlap_docs, knn_pq_verified,
+    # hard_negatives_emb, fuzzy_name_pairs, chunk_sentences_docs,
+    # semi_hard_negatives_emb,
     # threshold_metrics_docs, calibration_bins_docs,
     # uniform_sample_docs
     "welch_anova_orders", "brown_forsythe_orders",
     "pairwise_welch_orders", "icc_forms_docs", "bleu_per_doc_docs",
     "rouge_l_docs", "tost_events", "ks_sliced_orders",
-    "welch_sliced_orders",
+    "welch_sliced_orders", "mde_orders",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R11_WINDOW},
@@ -6825,6 +6842,37 @@ ORACLES = {
                    + tt * 1.061405429)))) * exp(-x * x))) END, 6)
                  AS p_value
         FROM p""",
+    "mde_orders": """
+        WITH per AS (
+          SELECT o_orderpriority AS prio,
+                 count(*) FILTER (WHERE o_orderstatus = 'O') AS na,
+                 count(*) FILTER (WHERE o_orderstatus = 'F') AS nb,
+                 avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O')
+                   AS ma,
+                 var_samp(o_totalprice)
+                   FILTER (WHERE o_orderstatus = 'O') AS sa,
+                 var_samp(o_totalprice)
+                   FILTER (WHERE o_orderstatus = 'F') AS sb
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IS NOT NULL
+          GROUP BY 1),
+        s AS (SELECT per.*,
+                     na >= 2 AND nb >= 2
+                     AND (sa / na + sb / nb) > 0 AS ok,
+                     sqrt(sa / na + sb / nb) AS se
+              FROM per)
+        SELECT prio, CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               round(ma, 6) AS mean_a,
+               round(CASE WHEN ok THEN se END, 6) AS se,
+               round(CASE WHEN ok THEN
+                 CAST(2.8015852188468138 AS DOUBLE) * se END, 6)
+                 AS mde_abs,
+               round(CASE WHEN ok AND abs(ma) > 0 THEN
+                 CAST(2.8015852188468138 AS DOUBLE) * se / abs(ma)
+                 END, 6) AS mde_rel
+        FROM s""",
     "tost_events": """
         WITH agg AS (
           SELECT count(*) FILTER (WHERE event_type = 'purchase') AS na,

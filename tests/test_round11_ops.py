@@ -260,6 +260,44 @@ def test_welch_sliced_equals_scalar_per_slice(spark):
     assert out["tiny"]["n_a"] == 1 and out["tiny"]["t_stat"] is None
 
 
+def test_mde_closed_form_and_quantiles(spark):
+    """Acklam quantiles pin to the textbook z values (1.959964 /
+    0.841621); the MDE row is the closed form over the observed Welch
+    se, and a bigger slice has a SMALLER mde (the point of the
+    table)."""
+    import math
+
+    from tap_airbyte_wrapper_spark.operators import (
+        min_detectable_effect)
+    from tap_airbyte_wrapper_spark.operators.stats import _normal_ppf
+
+    assert _normal_ppf(0.975) == pytest.approx(1.959964, abs=1e-6)
+    assert _normal_ppf(0.8) == pytest.approx(0.841621, abs=1e-6)
+    rows = []
+    for i in range(400):
+        rows += [(float(i % 40), "a", "big"),
+                 (float(i % 40) + 1.0, "b", "big")]
+    for i in range(20):
+        # (i*2) % 40 spans the same 0..38 range so the small slice
+        # differs in n, not in spread
+        rows += [(float((i * 2) % 40), "a", "small"),
+                 (float((i * 2) % 40) + 1.0, "b", "small")]
+    df = spark.createDataFrame(rows, "v double, g string, s string")
+    out = {r["s"]: r for r in min_detectable_effect(
+        df, "v", "g", "a", "b", "s").collect()}
+    zsum = _normal_ppf(0.975) + _normal_ppf(0.8)
+    big = out["big"]
+    assert big["mde_abs"] == pytest.approx(
+        round(zsum * big["se"], 6), abs=2e-6)
+    assert big["mde_rel"] == pytest.approx(
+        big["mde_abs"] / abs(big["mean_a"]), abs=1e-4)
+    assert out["small"]["mde_abs"] > big["mde_abs"] * 3  # ~sqrt(20x)
+    assert out["small"]["mde_abs"] == pytest.approx(
+        big["mde_abs"] * math.sqrt(400 / 20), rel=0.05)
+    with pytest.raises(ValueError, match="alpha"):
+        min_detectable_effect(df, "v", "g", "a", "b", "s", alpha=1.5)
+
+
 # ---------------------------------------------------------------------
 # TOST equivalence — "provably inside ±margin", not "not significant"
 # ---------------------------------------------------------------------
