@@ -11,6 +11,17 @@ either direction (sub-0.2 s queries are skipped — they sit inside
 scheduling noise), the group subtotal drift, and the fleet headline.
 Exit code 1 when any regression above threshold exists, so the check
 can gate CI.
+
+ANCHOR NORMALIZATION (round 12): raw cross-round ratios conflate code
+changes with box state — rounds 10->11 read 1.44x fleet-wide purely
+from a loaded box, costing a day of commit-level A/B attribution.
+The TPC-H group subtotal is code-frozen across rounds, so its ratio
+IS the box drift; every per-query ratio is therefore also reported
+DIVIDED by the anchor ratio (``norm`` column), and queries whose
+NORMALIZED ratio exceeds ``--ab-threshold`` (default 1.4) are printed
+as the A/B WATCH LIST — the entries that genuinely need the
+commit-level A/B protocol (unchanged-tree worktree, 4 reps,
+clearCache, medians) rather than a shrug at the weather.
 """
 
 from __future__ import annotations
@@ -35,11 +46,25 @@ def main() -> int:
                     help="flag ratios above this (and below 1/this)")
     ap.add_argument("--min-seconds", type=float, default=0.2,
                     help="ignore queries faster than this in BOTH runs")
+    ap.add_argument("--ab-threshold", type=float, default=1.4,
+                    help="anchor-NORMALIZED ratio above which a query "
+                         "joins the A/B watch list")
     args = ap.parse_args()
 
     old = json.load(open(args.old))
     new = json.load(open(args.new))
     qo, qn = flat_queries(old), flat_queries(new)
+
+    # box-drift anchor: the code-frozen TPC-H group subtotal
+    anchor = 1.0
+    ao = sum(old["groups"].get("tpch", {}).get("queries", {}).values())
+    an = sum(new["groups"].get("tpch", {}).get("queries", {}).values())
+    if ao > 0 and an > 0:
+        anchor = an / ao
+        print(f"tpch anchor: {ao:.2f}s -> {an:.2f}s "
+              f"(box drift {anchor:.2f}x; 'norm' columns divide by it)")
+    else:
+        print("tpch anchor missing in one file — norm == raw")
 
     added = sorted(set(qn) - set(qo))
     removed = sorted(set(qo) - set(qn))
@@ -50,23 +75,41 @@ def main() -> int:
         print(f"removed queries ({len(removed)}): " + ", ".join(removed))
 
     rows = []
+    watch = []
     for name in sorted(set(qo) & set(qn)):
         a, b = qo[name], qn[name]
         if max(a, b) < args.min_seconds:
             continue
         ratio = b / a if a > 0 else float("inf")
+        norm = ratio / anchor
         if ratio >= args.threshold or ratio <= 1 / args.threshold:
-            rows.append((ratio, name, a, b))
+            rows.append((ratio, norm, name, a, b))
+        if norm >= args.ab_threshold:
+            watch.append((norm, ratio, name, a, b))
     rows.sort(reverse=True)
-    regressions = [r for r in rows if r[0] >= args.threshold]
+    regressions = [r for r in rows if r[1] >= args.threshold]
     if rows:
-        print(f"\nchanged >= {args.threshold}x (or improved "
+        print(f"\nchanged >= {args.threshold}x raw (or improved "
               f"<= {1 / args.threshold:.2f}x), min {args.min_seconds}s:")
-        for ratio, name, a, b in rows:
-            mark = "REGRESSED" if ratio >= args.threshold else "improved"
-            print(f"  {ratio:6.2f}x  {name}: {a:.3f}s -> {b:.3f}s  [{mark}]")
+        for ratio, norm, name, a, b in rows:
+            mark = ("REGRESSED" if norm >= args.threshold
+                    else "box-drift" if ratio >= args.threshold
+                    else "improved")
+            print(f"  raw {ratio:6.2f}x  norm {norm:6.2f}x  "
+                  f"{name}: {a:.3f}s -> {b:.3f}s  [{mark}]")
     else:
         print("\nno per-query change beyond threshold")
+
+    watch.sort(reverse=True)
+    if watch:
+        print(f"\nA/B WATCH LIST (norm >= {args.ab_threshold}x — run "
+              "the commit-level A/B protocol on these):")
+        for norm, ratio, name, a, b in watch:
+            print(f"  norm {norm:6.2f}x (raw {ratio:.2f}x)  "
+                  f"{name}: {a:.3f}s -> {b:.3f}s")
+    else:
+        print(f"\nA/B watch list empty (no norm >= "
+              f"{args.ab_threshold}x)")
 
     go = old["headline"]["groups"]
     gn = new["headline"]["groups"]

@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["audio_metadata", "wav_stub"]
+__all__ = ["audio_metadata", "audio_timing_profile",
+           "wav_stub", "mp3_stub", "ogg_stub"]
 
 
 def _parse_wav(b: bytes):
@@ -180,6 +181,172 @@ def wav_stub(sample_rate: int, channels: int, n_frames: int) -> bytes:
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", data_size) + b"\x00" * 8)
     return b"RIFF" + struct.pack("<I", 4 + len(body) - 4) + body
+
+
+
+
+def audio_timing_profile(payload: bytes, max_units: int = 4096):
+    """Header-only FRAME/GRANULE timing profile: ``(kind,
+    [microsecond_units, ...])`` or ``None`` — the audio twin of the
+    MP4 ``stts`` / Matroska block-timestamp walks, feeding the same
+    windowed timing signature (see multimodal.audio_timing_sig).
+
+    MP3: walk successive frame headers from the first validated sync
+    (same sync/version/layer/bitrate/sample-rate validation as
+    :func:`_parse_mp3`), one unit per frame = ``round(spf * 1e6 /
+    sr)``.  MPEG audio frames are FIXED duration, so the sequence is
+    constant and the signature honestly collapses to a (frame count,
+    frame duration) fingerprint — the CFR-video contract: two
+    re-encodes of the same clip collide (desired), and so do any two
+    same-length same-rate MP3s (the metadata block keys must
+    disambiguate).  The walk stops at the first non-frame byte (tag
+    padding, truncation) rather than guessing.
+
+    OGG (Vorbis/Opus): per-PAGE granule-position deltas,
+    ``round(delta * 1e6 / sr)`` — granule positions are cumulative
+    PCM sample counts, so this sequence IS content-shaped (page
+    packing follows the encoder's bit allocation) and survives a
+    metadata RETAG (comment-header rewrite leaves audio pages
+    byte-identical in position content) while the byte-window
+    signature shifts.  What escapes, honestly: a re-encode that
+    repaginates (most transcodes), sample-rate changes, and chained/
+    multiplexed streams (first bitstream only).
+
+    WAV/FLAC carry no frame sequence in the header — None (their
+    dedup path is the exact ``media_hash`` / decode-side energy
+    hash)."""
+    if payload is None or len(payload) < 8:
+        return None
+    b = bytes(payload)
+    if b[:4] == b"OggS":
+        meta = _parse_ogg(b)
+        if not meta or not meta.get("sample_rate"):
+            return None
+        sr = meta["sample_rate"]
+        granules = []
+        pos = 0
+        while pos + 27 <= len(b) and len(granules) <= max_units:
+            if b[pos:pos + 4] != b"OggS":
+                break
+            (granule,) = struct.unpack("<q", b[pos + 6:pos + 14])
+            nseg = b[pos + 26]
+            seg_end = pos + 27 + nseg
+            if seg_end > len(b):
+                break
+            body = sum(b[pos + 27:seg_end])
+            if granule > 0:
+                granules.append(granule)
+            pos = seg_end + body
+        if len(granules) < 1:
+            return None
+        units = []
+        prev = 0
+        for g in granules:
+            units.append(round((g - prev) * 1_000_000 / sr))
+            prev = g
+        return ("ogg", units)
+    # MP3: locate the first validated frame via the probe, then walk
+    meta = _parse_mp3(b)
+    if not meta:
+        return None
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        pos = 10 + size
+    limit = min(len(b) - 4, pos + 4096)
+    while True:
+        pos = b.find(b"\xff", pos, limit + 1)
+        if pos < 0:
+            return None
+        if (b[pos + 1] & 0xE0) == 0xE0:
+            break
+        pos += 1
+    units = []
+    while pos + 4 <= len(b) and len(units) < max_units:
+        if b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+            break
+        version = (b[pos + 1] >> 3) & 0x03
+        layer = (b[pos + 1] >> 1) & 0x03
+        if version == 1 or layer != 1:
+            break
+        br_idx = b[pos + 2] >> 4
+        sr_idx = (b[pos + 2] >> 2) & 0x03
+        if sr_idx == 3 or br_idx in (0, 15):
+            break
+        table = _MP3_BITRATE_V1L3 if version == 3 else _MP3_BITRATE_V2L3
+        bitrate = table[br_idx] * 1000
+        sr = _MP3_SR[version][sr_idx]
+        pad = (b[pos + 2] >> 1) & 0x01
+        spf = 1152 if version == 3 else 576
+        units.append(round(spf * 1_000_000 / sr))
+        pos += (144 if version == 3 else 72) * bitrate // sr + pad
+    return ("mp3", units) if units else None
+
+
+def mp3_stub(n_frames: int, bitrate_idx: int = 9, sr_idx: int = 0,
+             essence_seed: int = 0) -> bytes:
+    """Assemble ``n_frames`` of spec-conformant CBR MPEG-1 Layer III
+    frames (ISO/IEC 11172-3 header layout, default 128 kbps / 44100
+    Hz) with md5-chain frame bodies selected by ``essence_seed`` —
+    the deterministic fake for the audio timing gate: same frame
+    grid + different seed = a planted 're-encode' (every essence
+    byte rewritten, frame timing identical)."""
+    import hashlib
+
+    bitrate = _MP3_BITRATE_V1L3[bitrate_idx] * 1000
+    sr = _MP3_SR[3][sr_idx]
+    frame_len = 144 * bitrate // sr
+    hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (sr_idx << 2), 0x00])
+    out = bytearray()
+    for i in range(n_frames):
+        body = bytearray()
+        while len(body) < frame_len - 4:
+            body += hashlib.md5(
+                f"{essence_seed}:{i}:{len(body)}".encode()).digest()
+        out += hdr + bytes(body[:frame_len - 4])
+    return bytes(out)
+
+
+def ogg_stub(granules, codec: str = "opus",
+             essence_seed: int = 0) -> bytes:
+    """Assemble a minimal OGG stream: one id-header page (OpusHead /
+    Vorbis id, granule 0) followed by one audio page per entry of
+    ``granules`` (cumulative PCM sample positions), page bodies from
+    an md5 chain selected by ``essence_seed`` — the planted-re-encode
+    fixture for the granule-delta timing profile.  Page CRCs are
+    zero; the header-only probe (like a first-KB read) never checks
+    them."""
+    import hashlib
+
+    def page(granule, body, htype=0, seqno=0):
+        nseg = (len(body) + 254) // 255 or 1
+        segs = bytearray()
+        rem = len(body)
+        for _ in range(nseg - 1):
+            segs.append(255)
+            rem -= 255
+        segs.append(rem)
+        return (b"OggS" + bytes([0, htype])
+                + struct.pack("<q", granule)
+                + struct.pack("<I", 1) + struct.pack("<I", seqno)
+                + struct.pack("<I", 0) + bytes([nseg]) + bytes(segs)
+                + body)
+
+    if codec == "opus":
+        idhdr = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+                 + struct.pack("<I", 48000) + struct.pack("<h", 0)
+                 + bytes([0]))
+    else:
+        idhdr = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+                 + struct.pack("<I", 44100)
+                 + struct.pack("<iii", 0, 128000, 0) + bytes([0xB8, 1]))
+    out = page(0, idhdr, htype=2, seqno=0)
+    for i, g in enumerate(granules):
+        body = hashlib.md5(
+            f"{essence_seed}:{i}".encode()).digest() * 4
+        out += page(int(g), body, seqno=i + 1)
+    return out
 
 
 def audio_metadata(payload: bytes):

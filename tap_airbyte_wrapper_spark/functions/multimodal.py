@@ -53,6 +53,9 @@ __all__ = [
     "hamming_near_dup_pairs",
     "media_window_sig",
     "mp4_timing_sig",
+    "video_timing_sig",
+    "audio_timing_sig",
+    "media_timing_sig",
     "media_container_near_dup_pairs",
     "media_timing_near_dup_pairs",
     "mp4_asset_payload",
@@ -724,7 +727,7 @@ def media_window_sig(col: Column, n_windows: int = 64,
     return sig(col)
 
 
-def mp4_timing_sig(col: Column, max_samples: int = 65536) -> Column:
+def mp4_timing_sig(col: Column, window_samples: int = 4) -> Column:
     """64-bit hamming signature of an MP4 video track's SAMPLE TIMING
     (the ``stts`` chunk-duration sequence) — the header-only sketch
     that survives the dup case :func:`media_window_sig` honestly
@@ -734,12 +737,22 @@ def mp4_timing_sig(col: Column, max_samples: int = 65536) -> Column:
 
     Construction: deltas normalize to microseconds (``delta * 1e6 /
     media_timescale`` — re-encoders routinely change the timescale
-    while preserving times), the first ``max_samples`` normalized
-    deltas split into 64 windows, bit ``i`` = parity of ``md5`` over
-    window ``i``'s bytes (windows past the end contribute fixed 0
-    bits, so tail trims agree on every window before the cut — the
-    same conventions as the byte-window sig, so the result rides the
-    existing hamming machinery unchanged).
+    while preserving times); bit ``i`` = parity of ``md5`` over the
+    FIXED-length window ``deltas[i*W:(i+1)*W]`` with ``W =
+    window_samples`` (windows past the end contribute fixed 0 bits).
+    The window length is independent of the clip length — a round-11
+    draft derived it from the sample count (``n // 64``), which made
+    every window shift under a small tail trim on any clip longer
+    than 128 samples, silently voiding the ±1-duration-bucket trim
+    tolerance the blocking advertises; with a fixed ``W`` a tail trim
+    agrees on every window before the cut for ANY length, the same
+    convention as the byte-window sig, so the result rides the
+    existing hamming machinery unchanged.  Coverage is the first
+    ``64 * window_samples`` samples (256 at the default — ~8.5 s at
+    30 fps), which is the right prefix for the re-encode gate: a
+    same-fps re-encode preserves EVERY timestamp, so prefix equality
+    is implied, while unrelated VFR clips decorrelate within
+    seconds.
 
     Honest contract — what still escapes: for CONSTANT-frame-rate
     content stts is one run and the signature collapses to a
@@ -752,33 +765,91 @@ def mp4_timing_sig(col: Column, max_samples: int = 65536) -> Column:
     frame path remains the only complete answer and remains out of
     scope (no codec libs).  Null when not MP4, no video track, or no
     sample table."""
-    from .video import mp4_sample_deltas
+    return video_timing_sig(col, window_samples=window_samples,
+                            containers=("mp4",))
+
+
+def _timing_deltas_us(b: bytes, cap: int, containers) -> list | None:
+    """Microsecond-normalized frame-duration prefix (first ``cap``
+    deltas) from whichever container recognizes the payload — the
+    shared decode step of :func:`video_timing_sig`.  MP4: ``stts``
+    run-length deltas, ``round(delta * 1e6 / media_timescale)``.
+    Matroska/WebM: consecutive differences of the SORTED block
+    timestamps, ``round(diff_ticks * timestamp_scale_ns / 1000)`` —
+    sorted because presentation order is the re-encode invariant
+    while storage order (B-frame interleave) is a muxer choice."""
+    if "mp4" in containers:
+        from .video import mp4_sample_deltas
+
+        got = mp4_sample_deltas(b)
+        if got and got[0] and got[1]:
+            timescale, entries = got
+            deltas = []
+            for cnt, delta in entries:
+                take = min(cnt, cap - len(deltas))
+                if take <= 0:
+                    break
+                deltas.extend(
+                    [round(delta * 1_000_000 / timescale)] * take)
+            return deltas or None
+    if "mkv" in containers:
+        from .video import mkv_block_timestamps
+
+        got = mkv_block_timestamps(b)
+        if got and got[0] and len(got[1]) >= 2:
+            scale_ns, stamps = got
+            stamps = sorted(stamps)[:cap + 1]
+            return [round((b2 - b1) * scale_ns / 1000)
+                    for b1, b2 in zip(stamps, stamps[1:])] or None
+    if "audio" in containers:
+        from .audio_meta import audio_timing_profile
+
+        got = audio_timing_profile(b, max_units=cap)
+        if got and got[1]:
+            return got[1][:cap]
+    return None
+
+
+def video_timing_sig(col: Column, window_samples: int = 4,
+                     containers: tuple = ("mp4", "mkv")) -> Column:
+    """Container-dispatching sample-timing signature — MP4 via the
+    ``stts`` walk (:func:`mp4_timing_sig`'s path, bit-identical
+    output for MP4 payloads) AND Matroska/WebM via the Cluster /
+    SimpleBlock timestamp walk (round 12 — previously a WebM
+    same-fps re-encode escaped the gate that caught its MP4 twin).
+    Identical windowed-md5-parity construction over the µs-normalized
+    duration prefix for both, so one hamming space serves both
+    container families; the blocking key's container kind keeps MP4
+    and WebM assets from cross-matching.  Honest contract as in
+    :func:`mp4_timing_sig`: CFR content collapses to a (count,
+    duration) fingerprint, fps-resampled re-encodes and resized
+    re-uploads still escape."""
+    return _windowed_timing_sig(col, window_samples, containers)
+
+
+def _windowed_timing_sig(col: Column, window_samples: int,
+                         containers: tuple) -> Column:
+    """Shared kernel: fixed-window md5-parity bits over the
+    µs-normalized duration prefix from whichever container in
+    ``containers`` recognizes the payload."""
+    if window_samples < 1:
+        raise ValueError(
+            f"window_samples must be >= 1, got {window_samples}")
+    cap = 64 * window_samples
 
     @pandas_udf("long")
     def sig(payloads: pd.Series) -> pd.Series:
         out = []
         for p in payloads:
-            got = mp4_sample_deltas(bytes(p)) if p is not None \
-                and len(p) > 0 else None
-            if not got or not got[1] or not got[0]:
+            deltas = _timing_deltas_us(bytes(p), cap, containers) \
+                if p is not None and len(p) > 0 else None
+            if not deltas:
                 out.append(None)
                 continue
-            timescale, entries = got
-            deltas = []
-            for cnt, delta in entries:
-                take = min(cnt, max_samples - len(deltas))
-                if take <= 0:
-                    break
-                deltas.extend(
-                    [round(delta * 1_000_000 / timescale)] * take)
-            n = len(deltas)
-            if n == 0:
-                out.append(None)
-                continue
-            k = max(1, n // 64)
             v = 0
             for i in range(64):
-                win = deltas[i * k:(i + 1) * k]
+                win = deltas[i * window_samples:
+                             (i + 1) * window_samples]
                 if not win:
                     break
                 blob = b"".join(d.to_bytes(8, "big", signed=False)
@@ -789,6 +860,34 @@ def mp4_timing_sig(col: Column, max_samples: int = 65536) -> Column:
         return pd.Series(out, dtype="object").astype("Int64")
 
     return sig(col)
+
+
+def audio_timing_sig(col: Column, window_samples: int = 4) -> Column:
+    """Audio twin of :func:`video_timing_sig` (round 12): 64-bit
+    hamming signature over the header-only FRAME/GRANULE duration
+    sequence (:func:`.audio_meta.audio_timing_profile` — MP3 frame
+    walk, OGG page granule deltas), same windowed-md5-parity
+    construction, same hamming machinery.  Catches what the decode-
+    path energy hash (codec-gated) and the byte-window signature
+    miss: a planted same-grid MP3 're-encode' (every essence byte
+    rewritten) keeps this signature identical, and an OGG metadata
+    retag leaves the granule sequence untouched while every byte
+    window shifts.  Honest contract: MP3 collapses to a (frame
+    count, duration) fingerprint (fixed-duration frames — the CFR
+    case), repaginating transcodes escape the OGG path, WAV/FLAC
+    return null (no frame sequence in the header)."""
+    return _windowed_timing_sig(col, window_samples, ("audio",))
+
+
+def media_timing_sig(col: Column, window_samples: int = 4) -> Column:
+    """Container-dispatching timing signature across ALL probed
+    media families — MP4 ``stts``, Matroska/WebM block timestamps,
+    MP3 frames, OGG granules — one hamming space; the blocking key's
+    container kind keeps families from cross-matching.  This is the
+    signature the timing gate and the ``sig_kind='timing'`` persisted
+    index use."""
+    return _windowed_timing_sig(col, window_samples,
+                                ("mp4", "mkv", "audio"))
 
 
 def media_timing_near_dup_pairs(
@@ -818,7 +917,7 @@ def media_timing_near_dup_pairs(
         df.select(
             F.col(id_col),
             probe_media_meta(F.col(media_col)).alias("__m"),
-            mp4_timing_sig(F.col(media_col)).alias("sh"))
+            media_timing_sig(F.col(media_col)).alias("sh"))
         .withColumn("__kind", m.getItem("container"))
         .filter(F.col("__kind").isNotNull() & F.col("sh").isNotNull())
         .withColumn(
@@ -872,7 +971,7 @@ def _media_blocked_sigs(
     sig = (media_window_sig(F.col(media_col), n_windows=n_windows,
                             window=window, stride=stride)
            if sig_kind == "window"
-           else mp4_timing_sig(F.col(media_col)))
+           else media_timing_sig(F.col(media_col)))
     m = F.col("__m")
     probed = (
         df.select(

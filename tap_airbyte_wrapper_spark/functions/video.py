@@ -20,7 +20,8 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["video_metadata", "mp4_stub", "mp4_sample_deltas"]
+__all__ = ["video_metadata", "mp4_stub", "mp4_sample_deltas",
+           "mkv_block_timestamps", "mkv_stub"]
 
 
 # --------------------------------------------------------------- ISO-BMFF
@@ -132,6 +133,12 @@ _MKV_TRACK_TYPE = 0x83
 _MKV_CODEC_ID = 0x86
 _MKV_PIXEL_W = 0xB0
 _MKV_PIXEL_H = 0xBA
+_MKV_TRACK_NUMBER = 0xD7
+_MKV_CLUSTER = 0x1F43B675
+_MKV_CLUSTER_TS = 0xE7
+_MKV_SIMPLEBLOCK = 0xA3
+_MKV_BLOCKGROUP = 0xA0
+_MKV_BLOCK = 0xA1
 
 
 def _vint(buf: bytes, pos: int, keep_marker: bool):
@@ -240,6 +247,206 @@ def _parse_mkv(buf: bytes):
         out["duration_s"] = round(
             duration_ticks * timescale_ns / 1e9, 6)
     return out
+
+
+def _ebml_children_checked(buf: bytes, start: int, end: int):
+    """Like :func:`_ebml_children` but STRICT: returns a list of
+    ``(element_id, payload_start, payload_end)`` or ``None`` when any
+    child's declared size runs past ``end`` (a truncated stream) —
+    the timing walk refuses partial clusters rather than guessing,
+    the same contract as :func:`mp4_sample_deltas`'s truncated-stts
+    refusal (the metadata probe keeps the lenient clamping walker:
+    best-effort metadata from a first-KB read is its whole point)."""
+    out = []
+    pos = start
+    while pos < end:
+        got = _vint(buf, pos, keep_marker=True)
+        if got is None:
+            return None
+        eid, n1 = got
+        got = _vint(buf, pos + n1, keep_marker=False)
+        if got is None:
+            return None
+        size, n2 = got
+        ps = pos + n1 + n2
+        if size == (1 << (7 * n2)) - 1:     # unknown size: to the end
+            out.append((eid, ps, end))
+            return out
+        if ps + size > end:
+            return None
+        out.append((eid, ps, ps + size))
+        pos = ps + size
+    return out
+
+
+def mkv_block_timestamps(payload: bytes):
+    """First video track's BLOCK TIMESTAMPS from a Matroska/WebM
+    stream, header-only: ``(timestamp_scale_ns, [abs_ticks, ...])``
+    or ``None`` when the payload is not EBML, has no video track, no
+    clusters, or a malformed cluster (refuse, don't guess — the same
+    contract as :func:`mp4_sample_deltas`).  This is the Matroska
+    twin of the MP4 ``stts`` walk: a SAME-FPS RE-ENCODE rewrites
+    every essence byte but carries the Cluster Timestamp +
+    SimpleBlock/Block relative-timestamp sequence over, so the
+    timing signature built on these survives exactly the dup case
+    the byte-window signature cannot see — closing the gap where a
+    WebM re-encode escaped the gate that caught its MP4 twin.
+
+    Layout per RFC 8794 + the Matroska element spec: Segment >
+    Cluster > Timestamp (0xE7, unsigned, cluster base in
+    TimestampScale ticks) and SimpleBlock (0xA3) / BlockGroup >
+    Block (0xA0 > 0xA1), whose payload starts with the track-number
+    vint followed by a signed int16 timestamp relative to the
+    cluster base.  Only blocks of the FIRST video track (TrackType
+    1) contribute.  Block storage order may differ between muxers
+    (B-frame reordering), so callers consume the timestamps SORTED —
+    presentation order is the re-encode invariant, storage order is
+    not."""
+    if payload is None or len(payload) < 8:
+        return None
+    buf = bytes(payload)
+    if not buf.startswith(_EBML_MAGIC):
+        return None
+    timescale_ns = 1_000_000          # EBML default: 1 ms
+    video_track = None
+    clusters = []
+    top = _ebml_children_checked(buf, 0, len(buf))
+    if top is None:
+        return None
+    for eid, s, e in top:
+        if eid != _MKV_SEGMENT:
+            continue
+        seg = _ebml_children_checked(buf, s, e)
+        if seg is None:
+            return None  # truncated segment: refuse, don't guess
+        for cid, cs, ce in seg:
+            if cid == _MKV_INFO:
+                for iid, i_s, i_e in _ebml_children(buf, cs, ce):
+                    if iid == _MKV_TIMESCALE:
+                        timescale_ns = _uint(buf, i_s, i_e)
+            elif cid == _MKV_TRACKS:
+                for tid, ts, te in _ebml_children(buf, cs, ce):
+                    if tid != _MKV_TRACK_ENTRY:
+                        continue
+                    tno = ttype = None
+                    for fid, fs, fe in _ebml_children(buf, ts, te):
+                        if fid == _MKV_TRACK_NUMBER:
+                            tno = _uint(buf, fs, fe)
+                        elif fid == _MKV_TRACK_TYPE:
+                            ttype = _uint(buf, fs, fe)
+                    if ttype == 1 and video_track is None:
+                        video_track = tno
+            elif cid == _MKV_CLUSTER:
+                clusters.append((cs, ce))
+    if video_track is None or not clusters:
+        return None
+    stamps = []
+    for cs, ce in clusters:
+        base = None
+        blocks = []
+        kids = _ebml_children_checked(buf, cs, ce)
+        if kids is None:
+            return None  # truncated cluster: refuse, don't guess
+        for bid, bs, be in kids:
+            if bid == _MKV_CLUSTER_TS:
+                base = _uint(buf, bs, be)
+            elif bid == _MKV_SIMPLEBLOCK:
+                blocks.append((bs, be))
+            elif bid == _MKV_BLOCKGROUP:
+                for gid, gs, ge in _ebml_children(buf, bs, be):
+                    if gid == _MKV_BLOCK:
+                        blocks.append((gs, ge))
+        if base is None:
+            return None  # cluster without a Timestamp: refuse
+        for bs, be in blocks:
+            got = _vint(buf, bs, keep_marker=False)
+            if got is None or bs + got[1] + 2 > be:
+                return None  # truncated block header: refuse
+            tno, n = got
+            if tno != video_track:
+                continue
+            (rel,) = struct.unpack(">h", buf[bs + n:bs + n + 2])
+            stamps.append(base + rel)
+    return (timescale_ns, stamps) if stamps else None
+
+
+def mkv_stub(width: int, height: int, duration_ms: float,
+             doctype: str = "webm", codec: str = "V_VP9",
+             block_timestamps_ms=None, blocks_per_cluster: int = 50,
+             essence_seed: int = 0) -> bytes:
+    """Assemble a minimal spec-conformant Matroska/WebM stream (EBML
+    header + Segment with Info, one video + one audio track, and —
+    when ``block_timestamps_ms`` is given — real Clusters whose
+    SimpleBlocks carry those timestamps at the default 1 ms
+    TimestampScale) — the deterministic FAKE the multimodal contract
+    allows, mirroring :func:`mp4_stub`.  ``essence_seed`` selects the
+    md5-chain frame bytes so tests can plant a 're-encode': same
+    timestamps, different seed -> every essence byte differs while
+    the timing profile is identical.  Element layout per RFC 8794 /
+    the public Matroska spec, same builders as the committed
+    fixtures (scripts/gen_video_fixture.py)."""
+    import hashlib
+
+    def vint_size(value, length=4):
+        # 4-byte size vints everywhere (max 2^28-2): a stub with
+        # thousands of blocks must not overflow the fixture script's
+        # 2-byte convention
+        marker = 1 << (7 * length)
+        return (marker | value).to_bytes(length, "big")
+
+    def el(eid, payload):
+        eid_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        return eid_bytes + vint_size(len(payload)) + payload
+
+    def e_uint(eid, value):
+        n = max(1, (value.bit_length() + 7) // 8)
+        return el(eid, value.to_bytes(n, "big"))
+
+    def e_str(eid, s):
+        return el(eid, s.encode("ascii"))
+
+    header = el(0x1A45DFA3,
+                e_uint(0x4286, 1) + e_uint(0x42F7, 1)
+                + e_uint(0x42F2, 4) + e_uint(0x42F3, 8)
+                + e_str(0x4282, doctype)
+                + e_uint(0x4287, 2) + e_uint(0x4285, 2))
+    info = el(_MKV_INFO,
+              e_uint(_MKV_TIMESCALE, 1_000_000)
+              + el(_MKV_DURATION,
+                   struct.pack(">d", float(duration_ms)))
+              + e_str(0x4D80, "spark-graft") + e_str(0x5741, "stub"))
+    video_entry = el(_MKV_TRACK_ENTRY,
+                     e_uint(_MKV_TRACK_NUMBER, 1) + e_uint(0x73C5, 1)
+                     + e_uint(_MKV_TRACK_TYPE, 1) + e_str(0x86, codec)
+                     + el(_MKV_VIDEO, e_uint(_MKV_PIXEL_W, width)
+                          + e_uint(_MKV_PIXEL_H, height)))
+    audio_entry = el(_MKV_TRACK_ENTRY,
+                     e_uint(_MKV_TRACK_NUMBER, 2) + e_uint(0x73C5, 2)
+                     + e_uint(_MKV_TRACK_TYPE, 2)
+                     + e_str(0x86, "A_OPUS")
+                     + el(0xE1, el(0xB5, struct.pack(">d", 48000.0))))
+    tracks = el(_MKV_TRACKS, video_entry + audio_entry)
+    clusters = b""
+    if block_timestamps_ms:
+        stamps = [int(round(t)) for t in block_timestamps_ms]
+        for c0 in range(0, len(stamps), blocks_per_cluster):
+            chunk = stamps[c0:c0 + blocks_per_cluster]
+            base = chunk[0]
+            body = e_uint(_MKV_CLUSTER_TS, base)
+            for i, ts in enumerate(chunk):
+                rel = ts - base
+                if not -32768 <= rel <= 32767:
+                    raise ValueError(
+                        "relative block timestamp overflows int16; "
+                        "lower blocks_per_cluster")
+                frame = hashlib.md5(
+                    f"{essence_seed}:{c0 + i}".encode()).digest()
+                body += el(_MKV_SIMPLEBLOCK,
+                           b"\x81" + struct.pack(">h", rel)
+                           + b"\x80" + frame)
+            clusters += el(_MKV_CLUSTER, body)
+    segment = el(_MKV_SEGMENT, info + tracks + clusters)
+    return header + segment
 
 
 def mp4_sample_deltas(payload: bytes):

@@ -18,7 +18,15 @@ training runs.  Everything here follows the house discipline:
   :func:`~.windows.global_cumsum`'s value-bucketed two-phase shape;
 * p-values computed on the driver with ``math`` (libm — the same code
   path DuckDB's ``exp``/``sqrt`` hit, unlike JVM ``Math.exp``'s
-  occasionally-different last ulp) from exactly-derived inputs.
+  occasionally-different last ulp) from exactly-derived inputs;
+* t- and F-based tails are EXACT (round 12): the regularized
+  incomplete beta of :mod:`~.tails` replaces the round-10/11 normal /
+  Paulson approximations in `welch_t_test`, `welch_t_sliced`,
+  `paired_t_test`, `tost_equivalence` (+ sliced), `pairwise_welch`,
+  `welch_anova` and `brown_forsythe` — the many-small-slices regime
+  the sliced sweeps invite is exactly where a t tail and a z tail
+  diverge materially (see tails.py for where the normal approximation
+  is RETAINED and why).
 
 Public-knowledge formulas: Kolmogorov-Smirnov asymptotic law
 (Kolmogorov 1933; Stephens 1970 small-sample correction), Mann-Whitney
@@ -38,7 +46,11 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from .tails import apply_ibeta_layers, f_sf as _f_sf, \
+    t_sf1 as _t_sf1, t_sf2 as _t_sf2
+
 __all__ = ["ks_test", "ks_test_sliced", "mann_whitney_u", "welch_t_test", "welch_t_sliced", "tost_equivalence",
+           "tost_sliced",
            "min_detectable_effect",
            "chi_square_independence", "bootstrap_ci", "autocorrelation",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
@@ -321,11 +333,11 @@ def welch_t_test(df: DataFrame, value_col: str, group_col: str,
     never share a variance.
 
     ``t = (ma - mb) / sqrt(sa^2/na + sb^2/nb)`` with
-    Welch-Satterthwaite degrees of freedom; two-sided p from the
-    NORMAL approximation (A&S erf) — accurate for the df >> 30 regime
-    every corpus-scale slice lives in, and stated as such (an exact
-    Student-t CDF needs the incomplete beta, which neither engine
-    exposes portably).
+    Welch-Satterthwaite degrees of freedom; two-sided p EXACT from the
+    Student-t tail (:mod:`~.tails` regularized incomplete beta — the
+    round-10 normal approximation diverged materially below n ~ 30,
+    the very slices a curation gate most often tests; both engines now
+    spell out the identical fixed-depth continued fraction).
 
     Plan: ONE conditional-aggregate pass — six partial aggregates, no
     shuffle beyond the final one-row reduce.  Output: ONE row
@@ -362,7 +374,7 @@ def welch_t_test(df: DataFrame, value_col: str, group_col: str,
         t_stat = (ma - mb) / math.sqrt(wa + wb)
         dof = ((wa + wb) * (wa + wb)
                / (wa * wa / (na - 1) + wb * wb / (nb - 1)))
-        p = _normal_sf2(t_stat)
+        p = _t_sf2(t_stat, dof)
 
     def _d(x):
         return ("CAST(NULL AS DOUBLE)" if x is None
@@ -382,21 +394,31 @@ def welch_t_sliced(df: DataFrame, value_col: str, group_col: str,
     """:func:`welch_t_test` per SLICE — the mean-shift sweep beside
     :func:`ks_test_sliced`'s shape sweep: one row per slice, each an
     independent Welch t between the two groups within that slice, with
-    the A&S erf p evaluated as a COLUMN expression so nothing reaches
-    the driver (the same million-slice contract; feed ``p_value`` to
-    :func:`bh_fdr`).
+    the EXACT Student-t p evaluated as a COLUMN computation
+    (:mod:`~.tails`' fixed-depth incomplete-beta layers) so nothing
+    reaches the driver (the same million-slice contract; feed
+    ``p_value`` to :func:`bh_fdr`) — the exact tail matters HERE most
+    of all: per-slice n is routinely small, where the old normal
+    approximation was off by 5x (t = 2.5, dof = 4: 0.067 vs 0.012).
 
     Plan: ONE conditional-aggregate scan grouped by slice — six
-    partial aggregates per slice, no windows, no joins; the t / dof /
-    p closed forms are pure projections over that k-row table.
-    Slices where either group has n < 2 or the variance degenerates
-    report their counts and means with null statistics.  Output:
-    ``(<slice_col>, n_a, n_b, mean_a, mean_b, t_stat, dof,
-    p_value)``."""
+    partial aggregates per slice, no windows, no joins; the t / dof
+    closed forms and the tail layers are pure projections over that
+    k-row table (the ~56 tail layers cost ~2 s of per-PLAN analyzer +
+    codegen time, measured — amortized to nothing over a million
+    slices).  Row inventory (round-12 unification): rows NOT in
+    ``group_a``/``group_b`` are pre-filtered exactly like
+    :func:`ks_test_sliced`, so a slice containing only other groups'
+    rows is ABSENT from both sweeps and a join on the slice column
+    composes cleanly (the bh_fdr protocol); slices where either group
+    has n < 2 or the variance degenerates report their counts and
+    means with null statistics.  Output: ``(<slice_col>, n_a, n_b,
+    mean_a, mean_b, t_stat, dof, p_value)``."""
     va = F.when(F.col(group_col) == group_a, F.col(value_col))
     vb = F.when(F.col(group_col) == group_b, F.col(value_col))
     per = (df.filter(F.col(value_col).isNotNull()
-                     & F.col(slice_col).isNotNull())
+                     & F.col(slice_col).isNotNull()
+                     & F.col(group_col).isin(group_a, group_b))
            .groupBy(F.col(slice_col).alias("__s"))
            .agg(F.count(va).alias("na"), F.count(vb).alias("nb"),
                 F.avg(va).alias("ma"), F.avg(vb).alias("mb"),
@@ -409,22 +431,24 @@ def welch_t_sliced(df: DataFrame, value_col: str, group_col: str,
     dof = ((wa + wb) * (wa + wb)
            / (wa * wa / (F.col("na") - 1)
               + wb * wb / (F.col("nb") - 1)))
-    # A&S 7.1.26 two-sided tail as a projection (mirrors _normal_sf2)
-    x = F.abs(t_stat) / math.sqrt(2.0)
-    tt = 1.0 / (1.0 + 0.3275911 * x)
-    poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
-        1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
-    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0),
-                                       poly * F.exp(-x * x)))
-    return per.select(
+    stats = per.select(
+        "__s", "na", "nb", "ma", "mb",
+        F.when(ok, t_stat).alias("__t"),
+        F.when(ok, dof).alias("__dof"))
+    tailed = apply_ibeta_layers(
+        stats,
+        [("0.5 * __dof", "0.5", "__dof / (__dof + __t * __t)",
+          "__p")],
+        keep=("__s", "na", "nb", "ma", "mb", "__t", "__dof"))
+    return tailed.select(
         F.col("__s").alias(slice_col),
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
         F.round(F.col("ma"), 6).alias("mean_a"),
         F.round(F.col("mb"), 6).alias("mean_b"),
-        F.round(F.when(ok, t_stat), 6).alias("t_stat"),
-        F.round(F.when(ok, dof), 6).alias("dof"),
-        F.round(F.when(ok, p), 6).alias("p_value"))
+        F.round(F.col("__t"), 6).alias("t_stat"),
+        F.round(F.col("__dof"), 6).alias("dof"),
+        F.round(F.col("__p"), 6).alias("p_value"))
 
 
 def _normal_ppf(p: float) -> float:
@@ -479,7 +503,11 @@ def min_detectable_effect(df: DataFrame, value_col: str,
     quantiles are per-CALL scalars computed driver-side with Acklam's
     inverse (< 1.15e-9 rel. err, stated) and enter the plan as
     literals — the per-slice arithmetic is pure projection over ONE
-    conditional-aggregate scan grouped by slice.  Output:
+    conditional-aggregate scan grouped by slice.  Row inventory
+    (round-12 unification): rows NOT in ``group_a``/``group_b`` are
+    pre-filtered exactly like :func:`ks_test_sliced` /
+    :func:`welch_t_sliced`, so all three sweeps emit the SAME slice
+    set and compose by a join on the slice column.  Output:
     ``(<slice_col>, n_a, n_b, mean_a, se, mde_abs, mde_rel)`` (nulls
     when a group has n < 2 or the variance degenerates)."""
     if not 0 < alpha < 1 or not 0 < power < 1:
@@ -489,7 +517,8 @@ def min_detectable_effect(df: DataFrame, value_col: str,
     va = F.when(F.col(group_col) == group_a, F.col(value_col))
     vb = F.when(F.col(group_col) == group_b, F.col(value_col))
     per = (df.filter(F.col(value_col).isNotNull()
-                     & F.col(slice_col).isNotNull())
+                     & F.col(slice_col).isNotNull()
+                     & F.col(group_col).isin(group_a, group_b))
            .groupBy(F.col(slice_col).alias("__s"))
            .agg(F.count(va).alias("na"), F.count(vb).alias("nb"),
                 F.avg(va).alias("ma"),
@@ -522,15 +551,15 @@ def tost_equivalence(df: DataFrame, value_col: str, group_col: str,
     mu_b < +margin`` one-sided; equivalence holds at level alpha when
     BOTH reject, i.e. ``p_tost = max(p_lower, p_upper) < alpha``.
 
-    Welch form throughout (same unequal-variance standard error and
-    the module's stated normal approximation): ``t_low = (d + margin)
-    / se``, ``t_high = (d - margin) / se``, ``p_lower = P(Z < -t_low)``
-    upper-tailed / ``p_upper = P(Z > -t_high)`` lower-tailed per
+    Welch form throughout (same unequal-variance standard error, with
+    the EXACT one-sided Student-t tails at the Welch-Satterthwaite
+    dof since round 12 — :mod:`~.tails`): ``t_low = (d + margin) /
+    se`` upper-tailed, ``t_high = (margin - d) / se`` upper-tailed per
     Schuirmann.  Plan: the SAME single conditional-aggregate scan as
     :func:`welch_t_test` — six partial aggregates, one-row reduce.
-    Output: ONE row ``(n_a, n_b, diff, se, margin, p_lower, p_upper,
-    p_tost)`` (nulls when either group has n < 2 or the variance
-    degenerates)."""
+    Output: ONE row ``(n_a, n_b, diff, se, dof, margin, p_lower,
+    p_upper, p_tost)`` (nulls when either group has n < 2 or the
+    variance degenerates)."""
     if not margin > 0:
         raise ValueError(f"margin must be > 0, got {margin}")
     spark = df.sparkSession
@@ -542,17 +571,19 @@ def tost_equivalence(df: DataFrame, value_col: str, group_col: str,
                 F.var_samp(va).alias("sa"), F.var_samp(vb).alias("sb"))
            .first())
     na, nb = int(row["na"]), int(row["nb"])
-    d = se = p_lo = p_hi = p_tost = None
+    d = se = dof = p_lo = p_hi = p_tost = None
     if na >= 2 and nb >= 2:
         wa, wb = float(row["sa"]) / na, float(row["sb"]) / nb
         if wa + wb > 0:
             d = float(row["ma"]) - float(row["mb"])
             se = math.sqrt(wa + wb)
+            dof = ((wa + wb) * (wa + wb)
+                   / (wa * wa / (na - 1) + wb * wb / (nb - 1)))
             # H01: d <= -margin, rejected by LARGE (d+margin)/se ->
             # upper tail; H02: d >= +margin, rejected by SMALL
             # (d-margin)/se -> lower tail == upper tail of its negation
-            p_lo = _normal_sf1((d + margin) / se)
-            p_hi = _normal_sf1((margin - d) / se)
+            p_lo = _t_sf1((d + margin) / se, dof)
+            p_hi = _t_sf1((margin - d) / se, dof)
             p_tost = max(p_lo, p_hi)
 
     def _d(x):
@@ -562,10 +593,95 @@ def tost_equivalence(df: DataFrame, value_col: str, group_col: str,
     return spark.sql(
         f"SELECT CAST({na} AS BIGINT) AS n_a, "
         f"CAST({nb} AS BIGINT) AS n_b, "
-        f"{_d(d)} AS diff, {_d(se)} AS se, "
+        f"{_d(d)} AS diff, {_d(se)} AS se, {_d(dof)} AS dof, "
         f"{_d(float(margin))} AS margin, "
         f"{_d(p_lo)} AS p_lower, {_d(p_hi)} AS p_upper, "
         f"{_d(p_tost)} AS p_tost")
+
+
+def tost_sliced(df: DataFrame, value_col: str, group_col: str,
+                group_a: str, group_b: str, slice_col: str,
+                margin: float) -> DataFrame:
+    """:func:`tost_equivalence` per SLICE — the composition the
+    one-row gate cannot answer: a tokenizer/scorer swap is approved
+    when the metric is provably inside ±margin on EVERY language /
+    source / shard, not merely in aggregate (Simpson's-paradox
+    protection); feed ``p_tost`` to :func:`bh_fdr` exactly like the
+    other sweeps.
+
+    Per slice: Welch standard error and dof, Schuirmann's two
+    one-sided tests with EXACT one-sided Student-t tails
+    (:mod:`~.tails`), ``p_tost = max(p_lower, p_upper)``.  Plan: ONE
+    conditional-aggregate scan grouped by slice (the same six partial
+    aggregates as :func:`welch_t_sliced`), then the two tails ride two
+    single-kernel incomplete-beta layer chains with an eager local
+    checkpoint between them — each codegen stage stays under the JVM
+    method-size ceiling a fused two-kernel chain was measured to
+    overflow, and the checkpointed relation is the BOUNDED per-slice
+    table, never input rows.  Row inventory matches
+    :func:`ks_test_sliced` / :func:`welch_t_sliced` /
+    :func:`min_detectable_effect` (rows outside the two groups
+    pre-filtered; the round-12 unification).  Output: ``(<slice_col>,
+    n_a, n_b, diff, se, dof, margin, p_lower, p_upper, p_tost)``
+    (nulls when either group has n < 2 or the variance
+    degenerates)."""
+    if not margin > 0:
+        raise ValueError(f"margin must be > 0, got {margin}")
+    va = F.when(F.col(group_col) == group_a, F.col(value_col))
+    vb = F.when(F.col(group_col) == group_b, F.col(value_col))
+    per = (df.filter(F.col(value_col).isNotNull()
+                     & F.col(slice_col).isNotNull()
+                     & F.col(group_col).isin(group_a, group_b))
+           .groupBy(F.col(slice_col).alias("__s"))
+           .agg(F.count(va).alias("na"), F.count(vb).alias("nb"),
+                F.avg(va).alias("ma"), F.avg(vb).alias("mb"),
+                F.var_samp(va).alias("sa"),
+                F.var_samp(vb).alias("sb")))
+    ok = (F.col("na") >= 2) & (F.col("nb") >= 2) & \
+        ((F.col("sa") / F.col("na") + F.col("sb") / F.col("nb")) > 0)
+    wa, wb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    diff = F.col("ma") - F.col("mb")
+    se = F.sqrt(wa + wb)
+    dof = ((wa + wb) * (wa + wb)
+           / (wa * wa / (F.col("na") - 1)
+              + wb * wb / (F.col("nb") - 1)))
+    mg = float(margin)
+    stats = per.select(
+        "__s", "na", "nb",
+        # diff gated like the one-row op: null when the test is
+        # undefined (row == scalar pinned in tests)
+        F.when(ok, diff).alias("__diff"),
+        F.when(ok, se).alias("__se"),
+        F.when(ok, dof).alias("__dof"),
+        F.when(ok, (diff + F.lit(mg)) / se).alias("__tlo"),
+        F.when(ok, (F.lit(mg) - diff) / se).alias("__thi"))
+    lo = apply_ibeta_layers(
+        stats,
+        [("0.5 * __dof", "0.5",
+          "__dof / (__dof + __tlo * __tlo)", "__p2lo")],
+        keep=("__s", "na", "nb", "__diff", "__se", "__dof",
+              "__tlo", "__thi")).localCheckpoint(eager=True)
+    hi = apply_ibeta_layers(
+        lo,
+        [("0.5 * __dof", "0.5",
+          "__dof / (__dof + __thi * __thi)", "__p2hi")],
+        keep=("__s", "na", "nb", "__diff", "__se", "__dof",
+              "__tlo", "__thi", "__p2lo"))
+    p_lo = F.when(F.col("__tlo") >= 0, F.col("__p2lo") / 2.0) \
+        .otherwise(1.0 - F.col("__p2lo") / 2.0)
+    p_hi = F.when(F.col("__thi") >= 0, F.col("__p2hi") / 2.0) \
+        .otherwise(1.0 - F.col("__p2hi") / 2.0)
+    return hi.select(
+        F.col("__s").alias(slice_col),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("__diff"), 6).alias("diff"),
+        F.round(F.col("__se"), 6).alias("se"),
+        F.round(F.col("__dof"), 6).alias("dof"),
+        F.round(F.lit(mg), 6).alias("margin"),
+        F.round(p_lo, 6).alias("p_lower"),
+        F.round(p_hi, 6).alias("p_upper"),
+        F.round(F.greatest(p_lo, p_hi), 6).alias("p_tost"))
 
 
 def chi_square_independence(df: DataFrame, col_x: str,
@@ -1093,18 +1209,9 @@ def kruskal_wallis(df: DataFrame, value_col: str,
         f"round(CAST({p!r} AS DOUBLE), 6) AS p_value")
 
 
-def _f_sf(f_stat: float, df1: float, df2: float) -> float:
-    """Upper tail of the F distribution via Paulson's (1942) normal
-    approximation (Wilson-Hilferty on both chi-squares; the SQL
-    oracles spell out the same expression) — the stated-approximation
-    F tail shared by :func:`welch_anova` and :func:`brown_forsythe`."""
-    if f_stat <= 0:
-        return 1.0
-    c1, c2 = 2.0 / (9.0 * df1), 2.0 / (9.0 * df2)
-    f3 = f_stat ** (1.0 / 3.0)
-    z = (((1.0 - c2) * f3 - (1.0 - c1))
-         / math.sqrt(c1 + f3 * f3 * c2))
-    return _normal_sf1(z)
+# _f_sf — the exact F upper tail (tails.ibeta); it replaced the
+# round-11 Paulson/Wilson-Hilferty normal approximation in round 12
+# for welch_anova and brown_forsythe (imported at top).
 
 
 def welch_anova(df: DataFrame, value_col: str, group_col: str,
@@ -1126,11 +1233,10 @@ def welch_anova(df: DataFrame, value_col: str, group_col: str,
 
     For k = 2 this degenerates to exactly ``t^2`` of
     :func:`welch_t_test` with ``df2`` the Welch-Satterthwaite df
-    (pinned in tests).  The upper-tail p uses Paulson's (1942) normal
-    approximation of the F tail (Wilson-Hilferty on both chi-squares;
-    stated as such — accurate to gate precision for the df >> 1 regime
-    corpus slices live in, same contract as the module's other
-    approximate tails).
+    (pinned in tests).  The upper-tail p is the EXACT F tail since
+    round 12 (:mod:`~.tails` incomplete beta; it replaced the
+    round-11 Paulson/Wilson-Hilferty approximation, which drifted
+    materially at small per-group n — the sliced-sweep regime).
 
     Conventions: groups need ``n_j >= 2`` and a positive variance to
     carry a weight — smaller groups are EXCLUDED (complete-case, k
@@ -1218,9 +1324,9 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
     the output is quadratic in k, which is the op's honest contract
     (an id-shaped group column would explode it).
 
-    Per pair: Welch t / Welch-Satterthwaite df / two-sided
-    normal-approx p (same contract as :func:`welch_t_test`; pinned
-    equal in tests).  Groups need ``n_j >= 2`` and positive variance;
+    Per pair: Welch t / Welch-Satterthwaite df / two-sided EXACT
+    Student-t p (same contract as :func:`welch_t_test`; pinned equal
+    in tests).  Groups need ``n_j >= 2`` and positive variance;
     pairs where either side degenerates report their means with null
     statistics.  Output:
     ``(group_a, group_b, n_a, n_b, mean_a, mean_b, t_stat, dof,
@@ -1246,10 +1352,6 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
     rows = sorted(((str(r["__g"]), int(r["ng"]), r["m"], r["s2"])
                    for r in per_group.collect()), key=lambda r: r[0])
 
-    def _lit(x):
-        return ("CAST(NULL AS DOUBLE)" if x is None
-                else f"round(CAST({float(x)!r} AS DOUBLE), 6)")
-
     tuples = []
     for i in range(len(rows)):
         for j in range(i + 1, len(rows)):
@@ -1263,33 +1365,29 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
                     t_stat = (ma - mb) / math.sqrt(wa + wb)
                     dof = ((wa + wb) ** 2
                            / (wa * wa / (na - 1) + wb * wb / (nb - 1)))
-                    p = _normal_sf2(t_stat)
-            ga_s = ga.replace("'", "''")
-            gb_s = gb.replace("'", "''")
-            tuples.append(
-                f"('{ga_s}', '{gb_s}', CAST({na} AS BIGINT), "
-                f"CAST({nb} AS BIGINT), {_lit(ma)}, {_lit(mb)}, "
-                f"{_lit(t_stat)}, {_lit(dof)}, {_lit(p)})")
-    empty = (
-        "SELECT CAST(NULL AS STRING) AS group_a, "
-        "CAST(NULL AS STRING) AS group_b, "
-        "CAST(0 AS BIGINT) AS n_a, CAST(0 AS BIGINT) AS n_b, "
-        "CAST(NULL AS DOUBLE) AS mean_a, "
-        "CAST(NULL AS DOUBLE) AS mean_b, "
-        "CAST(NULL AS DOUBLE) AS t_stat, "
-        "CAST(NULL AS DOUBLE) AS dof, "
-        "CAST(NULL AS DOUBLE) AS p_value")
-    if not tuples:
-        return spark.sql(empty).limit(0)
-    # ONE inline VALUES relation, not a per-pair UNION ALL chain: at
-    # the max_groups bound that chain is 4950 plan branches and the
-    # optimizer pays quadratically; VALUES is a single LocalRelation
-    return spark.sql(
-        "SELECT group_a, group_b, n_a, n_b, mean_a, mean_b, "
-        "t_stat, dof, p_value FROM (VALUES "
-        + ", ".join(tuples)
-        + ") AS t(group_a, group_b, n_a, n_b, mean_a, mean_b, "
-        "t_stat, dof, p_value)").orderBy("group_a", "group_b")
+                    p = _t_sf2(t_stat, dof)
+            tuples.append((ga, gb, na, nb,
+                           None if ma is None else float(ma),
+                           None if mb is None else float(mb),
+                           t_stat, dof, p))
+    # ONE LocalRelation built with an explicit schema — not inline-SQL
+    # VALUES text: group names are DATA and must never pass through the
+    # SQL parser (a backslash or quote in a group value would be
+    # re-interpreted as an escape); rounding stays engine-side
+    # (F.round) so it keeps Spark/DuckDB HALF_UP semantics rather than
+    # Python's banker's rounding.
+    schema = ("group_a string, group_b string, n_a long, n_b long, "
+              "mean_a double, mean_b double, t_stat double, "
+              "dof double, p_value double")
+    out = spark.createDataFrame(tuples, schema)
+    return (out.select(
+        "group_a", "group_b", "n_a", "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("dof", 6).alias("dof"),
+        F.round("p_value", 6).alias("p_value"))
+        .orderBy("group_a", "group_b"))
 
 
 def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
@@ -1307,8 +1405,9 @@ def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
 
     Statistic: classic one-way ANOVA F on ``z_ij = |x_ij - med_j|``:
     ``F = [(N-k)/(k-1)] * sum n_j (zbar_j - zbar)^2 / sum (z_ij -
-    zbar_j)^2`` with df ``(k-1, N-k)``; Paulson (1942) F tail (stated
-    approximation, shared with :func:`welch_anova`).
+    zbar_j)^2`` with df ``(k-1, N-k)``; EXACT F tail since round 12
+    (:mod:`~.tails` incomplete beta, shared with
+    :func:`welch_anova`).
 
     Group medians are EXACT and integer-positioned from the
     per-(value, group) count table — the same bounded core as the rank
@@ -1471,8 +1570,9 @@ def paired_t_test(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Paired t-test — the parametric twin of
     :func:`wilcoxon_signed_rank`: one-sample t on the within-pair
     differences, ``t = mean(d) / (sd(d)/sqrt(n))``, df = n-1,
-    two-sided normal-approx p (A&S erf; exact Student needs the
-    incomplete beta — same stated approximation as Welch).  Use the
+    two-sided EXACT Student-t p (:mod:`~.tails` incomplete beta since
+    round 12 — and the paired design is where small n is ROUTINE:
+    annotator-pair studies run at n = 20).  Use the
     signed-rank test when differences are heavy-tailed; this when you
     also want the effect SIZE (mean_diff) in original units.
 
@@ -1498,7 +1598,7 @@ def paired_t_test(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         t_stat = p = None
     else:
         t_stat = md / math.sqrt(vd / n)
-        p = _normal_sf2(t_stat)
+        p = _t_sf2(t_stat, float(n - 1))
 
     def _fmt(x):
         return ("CAST(NULL AS DOUBLE)" if x is None

@@ -1,0 +1,310 @@
+"""Exact Student-t and F tails via the regularized incomplete beta —
+one algorithm, three identical spellings.
+
+Round 11 shipped the sliced sweeps (:func:`~.stats.welch_t_sliced`,
+:func:`~.stats.pairwise_welch`) whose whole point is MANY SMALL
+slices — exactly the regime where the module's stated normal
+approximation diverges materially from the true t tail (n = 5 slice:
+two-sided p at t = 2.5 is 0.067 under t(4) but 0.012 under the
+normal).  This module closes that gap with the exact tail:
+
+``P(|T_nu| > t) = I_x(nu/2, 1/2)`` with ``x = nu / (nu + t^2)`` and
+``P(F_{d1,d2} > f) = I_x(d2/2, d1/2)`` with ``x = d2 / (d2 + d1 f)``,
+where ``I_x(a, b)`` is the regularized incomplete beta evaluated by
+the Lentz-form continued fraction (Numerical Recipes `betacf` shape;
+Lentz 1976; DiDonato & Morrison convergence region via the standard
+``x < (a+1)/(a+b+2)`` symmetry switch) with a FIXED ``M_ITER = 25``
+iterations and no early exit, and ``ln Gamma`` by the Lanczos g = 7,
+n = 9 approximation (Lanczos 1964; the coefficient set published in
+Numerical Recipes / Boost).  Why fixed-depth: the oracle contract.
+The same operation sequence is emitted three ways —
+
+* :func:`ibeta` — a driver-side Python loop (libm doubles) for the
+  one-row tests (`welch_t_test`, `paired_t_test`, `tost_equivalence`,
+  `welch_anova`, `brown_forsythe`, `pairwise_welch`);
+* :func:`ibeta_chain_sql` — a WITH-chain of ~56 tiny CTE projection
+  layers, ONE per Lentz half-step, whose text parses identically in
+  Spark SQL and DuckDB (layers, not lateral aliases or nested
+  subqueries: engines inline lateral aliases by SUBSTITUTION, which
+  is exponential in the recurrence depth, and 100-deep nested
+  subqueries overflow DuckDB's parser stack — both measured);
+* the sliced ops bind that same text over their per-slice aggregate
+  with ``spark.sql(chain, inner=df)``, so the million-slice contract
+  holds: the exact tail is a column computation, nothing reaches the
+  driver.
+
+Every +,-,*,/ in IEEE-754 double is exactly rounded, so a fixed
+operation order makes Python (libm), DuckDB (libm) and the JVM agree
+bit-for-bit on the rational part; ``exp``/``ln`` may differ in the
+last ulp on the JVM (the reason the one-row ops stay driver-side on
+libm), which perturbs the result ~1e-15 relative — six orders below
+the 6-decimal output rounding every operator carries.
+
+Accuracy, measured (tests pin it): fixed M_ITER = 25 agrees with a
+400-iteration run to < 2e-10 absolute over dof in [0.5, 1e8] x |t| in
+[0, 100] (F: < 3e-11 over df1 <= 199) and with closed forms exactly (dof 1/2; integer-dof
+quadrature reference in tests) — the truncation floor is front-factor
+rounding noise, not CF convergence, because the symmetry switch keeps
+the fraction in its geometric-convergence region and b <= 50 here
+(t: b = 1/2; F: b = (k-1)/2, validated to df1 = 199).  Where the normal
+approximation is RETAINED, and why: `mann_whitney_u` and
+`wilcoxon_signed_rank` (their null is genuinely asymptotic — the
+exact rank distributions are combinatorial objects, and the
+tie-corrected z IS the published large-sample test),
+`proportion_z_test` (the z formulation is the test's definition),
+`kruskal_wallis` / `jarque_bera` / chi-square (Wilson-Hilferty on the
+chi-square tail — the incomplete GAMMA twin of this module is a
+separate follow-on), and `min_detectable_effect`'s z quantiles
+(design-stage constants by the MDE formula's own definition).
+
+Reference parity: the reference engine (tap_airbyte/tap.py — Singer
+subprocess plumbing) has no statistics at all; this is north-star
+surface for the 100 TB curation use-case, built from the cited
+public literature only.
+"""
+
+from __future__ import annotations
+
+import math
+
+__all__ = ["M_ITER", "lgamma_lanczos", "ibeta", "t_sf2", "t_sf1",
+           "f_sf", "lgamma_sql", "ibeta_layer_exprs",
+           "ibeta_chain_sql", "apply_ibeta_layers"]
+
+# Fixed Lentz iteration count — identical in all three spellings (no
+# early exit anywhere, or the op ORDER would diverge between engines).
+M_ITER = 25
+
+_TINY = 1e-300
+
+# Lanczos g = 7, n = 9 (public coefficient set).
+_LANCZOS = (0.99999999999980993, 676.5203681218851,
+            -1259.1392167224028, 771.32342877765313,
+            -176.61502916214059, 12.507343278686905,
+            -0.13857109526572012, 9.9843695780195716e-6,
+            1.5056327351493116e-7)
+_LN_SQRT_2PI = 0.9189385332046727  # ln(sqrt(2*pi)), exact to double
+
+
+def lgamma_lanczos(z: float) -> float:
+    """ln Gamma(z) for z > 0 by Lanczos g=7/n=9 — mirrored token-for-
+    token by :func:`lgamma_sql`; agrees with libm ``lgamma`` to
+    < 2e-15 relative over [0.5, 5e5] (pinned in tests).  No reflection
+    branch: every caller passes a >= 1/2 (half-integer dof)."""
+    z = z - 1.0
+    x = _LANCZOS[0]
+    for i in range(1, 9):
+        x = x + _LANCZOS[i] / (z + i)
+    t = z + 7.5
+    return _LN_SQRT_2PI + (z + 0.5) * math.log(t) - t + math.log(x)
+
+
+def ibeta(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta ``I_x(a, b)`` — fixed-depth Lentz
+    continued fraction, the driver-side spelling of the shared
+    algorithm (see module docstring).  Callers guarantee a, b > 0."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    lbeta = (lgamma_lanczos(a) + lgamma_lanczos(b)
+             - lgamma_lanczos(a + b))
+    bt = math.exp(a * math.log(x) + b * math.log(1.0 - x) - lbeta)
+    swap = x >= (a + 1.0) / (a + b + 2.0)
+    if swap:
+        ca, cb, cx = b, a, 1.0 - x
+    else:
+        ca, cb, cx = a, b, x
+    c = 1.0
+    t0 = 1.0 - (ca + cb) * cx / (ca + 1.0)
+    d = 1.0 / (_TINY if abs(t0) < _TINY else t0)
+    h = d
+    for m in range(1, M_ITER + 1):
+        fm = float(m)
+        m2 = float(2 * m)
+        # even half-step
+        aa = fm * (cb - fm) * cx / ((ca - 1.0 + m2) * (ca + m2))
+        t1 = 1.0 + aa * d
+        d = 1.0 / (_TINY if abs(t1) < _TINY else t1)
+        t2 = 1.0 + aa / c
+        c = _TINY if abs(t2) < _TINY else t2
+        h = h * d * c
+        # odd half-step
+        aa = (-((ca + fm) * (ca + cb + fm) * cx)
+              / ((ca + m2) * (ca + 1.0 + m2)))
+        t1 = 1.0 + aa * d
+        d = 1.0 / (_TINY if abs(t1) < _TINY else t1)
+        t2 = 1.0 + aa / c
+        c = _TINY if abs(t2) < _TINY else t2
+        h = h * d * c
+    if swap:
+        return 1.0 - bt * h / b
+    return bt * h / a
+
+
+def t_sf2(t: float, dof: float) -> float:
+    """Exact two-sided Student-t tail ``P(|T_dof| > t)``."""
+    x = dof / (dof + t * t)
+    return ibeta(0.5 * dof, 0.5, x)
+
+
+def t_sf1(t: float, dof: float) -> float:
+    """Exact one-sided upper tail ``P(T_dof > t)``."""
+    p2 = t_sf2(t, dof)
+    return p2 / 2.0 if t >= 0 else 1.0 - p2 / 2.0
+
+
+def f_sf(f_stat: float, df1: float, df2: float) -> float:
+    """Exact F upper tail ``P(F_{df1,df2} > f)``."""
+    if f_stat <= 0:
+        return 1.0
+    x = df2 / (df2 + df1 * f_stat)
+    return ibeta(0.5 * df2, 0.5 * df1, x)
+
+
+def lgamma_sql(z: str) -> str:
+    """The Lanczos lgamma as portable SQL expression text over
+    expression ``z`` — token-for-token :func:`lgamma_lanczos`."""
+    zz = f"(({z}) - 1.0)"
+    x = f"{_LANCZOS[0]!r}"
+    for i in range(1, 9):
+        x = f"({x} + {_LANCZOS[i]!r} / ({zz} + {float(i)!r}))"
+    t = f"({zz} + 7.5)"
+    return (f"({_LN_SQRT_2PI!r} + ({zz} + 0.5) * ln({t}) - {t}"
+            f" + ln({x}))")
+
+
+def ibeta_layer_exprs(specs, keep: tuple) -> list:
+    """The shared SQL spelling of :func:`ibeta` as a list of
+    projection LAYERS — each layer a list of ``expr AS name`` strings
+    referencing only the PREVIOUS layer's columns.  This single spec
+    feeds both engines: :func:`ibeta_chain_sql` joins the layers into
+    a DuckDB WITH chain; :func:`apply_ibeta_layers` applies them as
+    incremental Spark ``selectExpr`` calls.  Layers, not lateral
+    aliases or one giant query: engines inline lateral aliases by
+    SUBSTITUTION (exponential in the recurrence depth), 100-deep
+    nested subqueries overflow DuckDB's parser stack, and a 100-CTE
+    chain exceeds Spark's fixed-point analyzer iteration cap — all
+    three measured; per-layer application sidesteps every one.
+
+    ``specs`` is a sequence of ``(a, b, x, out)`` tuples — expression
+    texts over the inner relation plus the output column name.
+    SEVERAL kernels ride the SAME layers side by side (TOST's two
+    one-sided tails cost one pass, not two) because the per-layer
+    analyzer cost is in the layer COUNT, not width.  ``keep`` columns
+    thread through untouched; the final layer yields ``keep + (out_1,
+    .., out_n)``.  NULL a/b/x propagate to a NULL result (every layer
+    is strict arithmetic); the x <= 0 / >= 1 boundaries return exact
+    0/1 through the final CASE while the kernel runs on an x clamped
+    to 1/2 (Spark's ``ln`` returns NULL at 0 where libm returns -inf
+    — the clamp keeps both engines on finite arithmetic; the boundary
+    CASE discards the kernel value there).
+
+    ONE layer per Lentz half-step, with the running product LAGGED
+    one step: ``__h`` starts at 1.0 and each layer folds the PREVIOUS
+    layer's (d, c) into it while computing this step's (d, c) — so no
+    layer references a column born in the same layer (no lateral
+    aliases) and no expression is duplicated beyond the small ``aa``
+    term.  The lag is value-exact vs the Python loop: after layer k,
+    ``__h = h0 * prod_{i<k}(d_i c_i)`` with the identical
+    left-to-right multiplication order, and the seed ``(1.0 * d0) *
+    c0`` with ``c0 = 1.0`` equals ``d0`` exactly (IEEE x * 1.0 = x);
+    the final layer folds the last (d, c) in."""
+    kp = list(keep)
+    ks = [f"__k{i}" for i in range(len(specs))]
+    l0, l1, l2, l3 = [], [], [], []
+    finals = []
+    for k, (a, b, x, out) in zip(ks, specs):
+        xg = (f"(CASE WHEN ({x}) <= 0.0 OR ({x}) >= 1.0 THEN 0.5 "
+              f"ELSE ({x}) END)")
+        lb = (f"({lgamma_sql(k + 'a')} + {lgamma_sql(k + 'b')}"
+              f" - {lgamma_sql(f'({k}a + {k}b)')})")
+        l0 += [f"({a}) AS {k}a", f"({b}) AS {k}b", f"({x}) AS {k}x0",
+               f"{xg} AS {k}x"]
+        l1 += [f"{k}a", f"{k}b", f"{k}x0", f"{k}x",
+               f"exp({k}a * ln({k}x) + {k}b * ln(1.0 - {k}x) - {lb})"
+               f" AS {k}bt",
+               f"({k}x >= ({k}a + 1.0) / ({k}a + {k}b + 2.0))"
+               f" AS {k}sw"]
+        l2 += [f"{k}a", f"{k}b", f"{k}x0", f"{k}bt", f"{k}sw",
+               f"(CASE WHEN {k}sw THEN {k}b ELSE {k}a END) AS {k}ca",
+               f"(CASE WHEN {k}sw THEN {k}a ELSE {k}b END) AS {k}cb",
+               f"(CASE WHEN {k}sw THEN 1.0 - {k}x ELSE {k}x END)"
+               f" AS {k}cx"]
+    base = kp + [n for k in ks
+                 for n in (f"{k}a", f"{k}b", f"{k}x0", f"{k}bt",
+                           f"{k}sw", f"{k}ca", f"{k}cb", f"{k}cx")]
+    for k in ks:
+        t0 = f"(1.0 - ({k}ca + {k}cb) * {k}cx / ({k}ca + 1.0))"
+        l3 += [f"(1.0 / (CASE WHEN abs({t0}) < 1e-300 THEN 1e-300 "
+               f"ELSE {t0} END)) AS {k}d",
+               f"CAST(1.0 AS DOUBLE) AS {k}c",
+               f"CAST(1.0 AS DOUBLE) AS {k}h"]
+        finals.append(
+            f"(CASE WHEN {k}x0 <= 0.0 THEN 0.0 "
+            f"WHEN {k}x0 >= 1.0 THEN 1.0 "
+            f"WHEN {k}sw THEN 1.0 - {k}bt * ({k}h * {k}d * {k}c)"
+            f" / {k}b "
+            f"ELSE {k}bt * ({k}h * {k}d * {k}c) / {k}a END)"
+            f" AS {specs[ks.index(k)][3]}")
+    layers = [kp + l0, kp + l1, kp + l2, base + l3]
+    for m in range(1, M_ITER + 1):
+        fm = f"{float(m)!r}"
+        m2 = f"{float(2 * m)!r}"
+        for half in (0, 1):
+            step = []
+            for k in ks:
+                if half == 0:
+                    aa = (f"({fm} * ({k}cb - {fm}) * {k}cx"
+                          f" / (({k}ca - 1.0 + {m2})"
+                          f" * ({k}ca + {m2})))")
+                else:
+                    aa = (f"(-(({k}ca + {fm}) * ({k}ca + {k}cb + {fm})"
+                          f" * {k}cx)"
+                          f" / (({k}ca + {m2})"
+                          f" * ({k}ca + 1.0 + {m2})))")
+                t1 = f"(1.0 + {aa} * {k}d)"
+                t2 = f"(1.0 + {aa} / {k}c)"
+                de = (f"(1.0 / (CASE WHEN abs({t1}) < 1e-300 THEN "
+                      f"1e-300 ELSE {t1} END))")
+                ce = (f"(CASE WHEN abs({t2}) < 1e-300 THEN 1e-300 "
+                      f"ELSE {t2} END)")
+                step += [f"{de} AS {k}d", f"{ce} AS {k}c",
+                         f"({k}h * {k}d * {k}c) AS {k}h"]
+            layers.append(base + step)
+    layers.append(kp + finals)
+    return layers
+
+
+def ibeta_chain_sql(inner: str, specs, keep: tuple,
+                    prefix: str = "__ib") -> str:
+    """:func:`ibeta_layer_exprs` joined into ONE complete WITH-chain
+    query over relation text ``inner`` (a table/view name or a
+    ``(subquery)``) — the DuckDB-oracle spelling; ~56 tiny CTEs whose
+    text is tens of KB: large for a human, trivial for a parser, and
+    the plan is a linear projection chain the optimizer folds into
+    one stage."""
+    layers = ibeta_layer_exprs(specs, keep)
+    ctes = []
+    prev = inner
+    for i, layer in enumerate(layers[:-1]):
+        name = f"{prefix}{i:03d}"
+        ctes.append(f"{name} AS (SELECT {', '.join(layer)} "
+                    f"FROM {prev})")
+        prev = name
+    body = ",\n".join(ctes)
+    return (f"WITH {body}\n"
+            f"SELECT {', '.join(layers[-1])} FROM {prev}")
+
+
+def apply_ibeta_layers(df, specs, keep: tuple):
+    """:func:`ibeta_layer_exprs` applied to a Spark DataFrame as
+    incremental ``selectExpr`` layers (each resolves against an
+    already-analyzed child, so no analyzer fixed-point blowup) —
+    the exact tail stays a COLUMN computation: per-slice sweeps keep
+    the million-slice contract, nothing reaches the driver.  Cost is
+    per-PLAN (~2 s analyzer + codegen on this box, measured), not
+    per-row — amortized to nothing over a million slices."""
+    for layer in ibeta_layer_exprs(specs, keep):
+        df = df.selectExpr(*layer)
+    return df

@@ -324,12 +324,15 @@ def test_tost_proves_equivalence_and_refuses_difference(spark):
 
 
 def test_tost_one_sided_tails_hand_pin(spark):
-    """Hand pin of the Schuirmann tails: with d, se, and margin known,
-    p_lower = P(Z > (d+m)/se) and p_upper = P(Z > (m-d)/se)."""
+    """Hand pin of the Schuirmann tails: with d, se, margin and the
+    Welch dof known, p_lower = P(T_dof > (d+m)/se) and p_upper =
+    P(T_dof > (m-d)/se) — EXACT Student-t tails since round 12 (both
+    groups n = 5, var 2.5 -> wa = wb = 0.5 -> dof = 8 by
+    Welch-Satterthwaite, also asserted)."""
     import math
 
     from tap_airbyte_wrapper_spark.operators import tost_equivalence
-    from tap_airbyte_wrapper_spark.operators.stats import _normal_sf1
+    from tap_airbyte_wrapper_spark.operators.tails import t_sf1
 
     a = [1.0, 2.0, 3.0, 4.0, 5.0]
     b = [1.5, 2.5, 3.5, 4.5, 5.5]
@@ -337,10 +340,11 @@ def test_tost_one_sided_tails_hand_pin(spark):
                            "v", "g", "a", "b", margin=2.0).first()
     se = math.sqrt(2.5 / 5 + 2.5 / 5)
     assert row["se"] == pytest.approx(se, abs=1e-6)
+    assert row["dof"] == pytest.approx(8.0, abs=1e-6)
     assert row["p_lower"] == pytest.approx(
-        round(_normal_sf1((-0.5 + 2.0) / se), 6), abs=1e-6)
+        round(t_sf1((-0.5 + 2.0) / se, 8.0), 6), abs=1e-6)
     assert row["p_upper"] == pytest.approx(
-        round(_normal_sf1((2.0 + 0.5) / se), 6), abs=1e-6)
+        round(t_sf1((2.0 + 0.5) / se, 8.0), 6), abs=1e-6)
     # degenerate + guard
     deg = tost_equivalence(_grouped_df(spark, {"a": [1.0], "b": b}),
                            "v", "g", "a", "b", margin=1.0).first()
