@@ -46,8 +46,8 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from .tails import apply_ibeta_layers, f_sf as _f_sf, \
-    t_sf1 as _t_sf1, t_sf2 as _t_sf2
+from .tails import apply_ibeta_layers, chi2_sf as _chi2_sf, \
+    f_sf as _f_sf, t_sf1 as _t_sf1, t_sf2 as _t_sf2
 
 __all__ = ["ks_test", "ks_test_sliced", "mann_whitney_u", "welch_t_test", "welch_t_sliced", "tost_equivalence",
            "tost_sliced",
@@ -697,15 +697,20 @@ def chi_square_independence(df: DataFrame, col_x: str,
     with positive expectation contribute (a left join from the
     marginal cross product supplies them; summing observed cells only
     is the classic wrong answer).  ``V = sqrt(chi2 / (n * (min(r,c) -
-    1)))``.  No p-value: the chi-square CDF needs the incomplete
-    gamma, not portably expressible — compare ``chi2`` against the
-    critical value for ``dof`` or feed V thresholds directly.
+    1)))``.  ``p_value`` is EXACT since round 12: the round-10 claim
+    that the incomplete gamma is "not portably expressible" fell to
+    the same fixed-depth-kernel treatment as the t/F tails —
+    :mod:`~.tails` ``Q(dof/2, chi2/2)`` runs identically driver-side
+    and in the DuckDB oracle's generated WITH chain (WH retained only
+    above dof = 1000, where its measured error is below output
+    rounding).
 
     Plan: ONE input scan to the (x, y) contingency counts; marginals,
     grid, and the chi2 reduce all run on that label^2-bounded table
     (broadcast cross product — same justification as the agreement
-    statistics' confusion grids).  Output: ONE row ``(n, n_rows,
-    n_cols, chi2, dof, cramers_v)``."""
+    statistics' confusion grids); the one result row collects and the
+    gamma kernel runs driver-side (libm).  Output: ONE row ``(n,
+    n_rows, n_cols, chi2, dof, cramers_v, p_value)``."""
     obs = (df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
            .groupBy(F.col(col_x).cast("string").alias("__x"),
                     F.col(col_y).cast("string").alias("__y"))
@@ -716,7 +721,8 @@ def chi_square_independence(df: DataFrame, col_x: str,
             "SELECT CAST(0 AS BIGINT) AS n, "
             "CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_cols, "
             "CAST(NULL AS DOUBLE) AS chi2, CAST(0 AS BIGINT) AS dof, "
-            "CAST(NULL AS DOUBLE) AS cramers_v")
+            "CAST(NULL AS DOUBLE) AS cramers_v, "
+            "CAST(NULL AS DOUBLE) AS p_value")
     mx = obs.groupBy("__x").agg(F.sum("__o").alias("__nx"))
     my = obs.groupBy("__y").agg(F.sum("__o").alias("__ny"))
     tot = obs.agg(F.sum("__o").alias("__n"),
@@ -728,20 +734,26 @@ def chi_square_independence(df: DataFrame, col_x: str,
     e = F.col("__nx") * F.col("__ny") / F.col("__n")
     diff = F.coalesce(F.col("__o"), F.lit(0)) - e
     cell = diff * diff / e  # x*x, not pow(x,2): bit-identical in libm-free form
-    return (grid.groupBy("__n", "__r", "__c")
-            .agg(F.sum(cell).alias("__chi2"))
-            .select(
-                F.col("__n").cast("long").alias("n"),
-                F.col("__r").cast("long").alias("n_rows"),
-                F.col("__c").cast("long").alias("n_cols"),
-                F.round("__chi2", 6).alias("chi2"),
-                ((F.col("__r") - 1) * (F.col("__c") - 1))
-                .cast("long").alias("dof"),
-                F.round(F.when(
-                    (F.least("__r", "__c") > 1) & (F.col("__n") > 0),
-                    F.sqrt(F.col("__chi2") / (F.col("__n") * (
-                        F.least("__r", "__c") - 1)))), 6)
-                .alias("cramers_v")))
+    row = (grid.groupBy("__n", "__r", "__c")
+           .agg(F.sum(cell).alias("__chi2")).first())
+    n, r, c = int(row["__n"]), int(row["__r"]), int(row["__c"])
+    chi2 = None if row["__chi2"] is None else float(row["__chi2"])
+    dof = (r - 1) * (c - 1)
+    v = (math.sqrt(chi2 / (n * (min(r, c) - 1)))
+         if chi2 is not None and min(r, c) > 1 and n > 0 else None)
+    p = (_chi2_sf(chi2, float(dof))
+         if chi2 is not None and dof > 0 else None)
+
+    def _d(x):
+        return ("CAST(NULL AS DOUBLE)" if x is None
+                else f"round(CAST({float(x)!r} AS DOUBLE), 6)")
+
+    return df.sparkSession.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n, "
+        f"CAST({r} AS BIGINT) AS n_rows, "
+        f"CAST({c} AS BIGINT) AS n_cols, "
+        f"{_d(chi2)} AS chi2, CAST({dof} AS BIGINT) AS dof, "
+        f"{_d(v)} AS cramers_v, {_d(p)} AS p_value")
 
 
 # Poisson(1) inverse-CDF thresholds: cumulative exp(-1)/k! for k=0..8
@@ -1138,10 +1150,11 @@ def kruskal_wallis(df: DataFrame, value_col: str,
     ``2*R_g = sum cnt * (2*cum - c + 1)`` per group is an exact long;
     the group table (k rows) collects driver-side where H and the tie
     correction ``1 - sum(c^3-c)/(n^3-n)`` evaluate in exact-int-fed
-    double arithmetic.  The upper-tail p uses the Wilson-Hilferty
-    cube-root normal approximation of chi-square(k-1) (stated as
-    such; portable, and accurate to ~1e-3 for df >= 2 — gate
-    thresholds, not physics).
+    double arithmetic.  The upper-tail p is EXACT since round 12
+    (:mod:`~.tails` regularized incomplete gamma ``Q((k-1)/2, H/2)``
+    for k-1 <= 1000 — the real-use regime is k < 100, where the old
+    Wilson-Hilferty approximation was off by up to 3e-3; WH retained
+    above the ceiling with a measured < 2.9e-7 bound, see tails).
 
     Plan: one input scan to (value, group) counts; per-value totals
     and one value-bucketed prefix pass; per-group aggregate (k rows).
@@ -1195,11 +1208,7 @@ def kruskal_wallis(df: DataFrame, value_col: str,
         return spark.sql(null_row)
     hc = h / denom
     dfree = k - 1
-    # Wilson-Hilferty: chi2 upper tail via cube-root normalization
-    z = (((hc / dfree) ** (1.0 / 3.0)
-          - (1.0 - 2.0 / (9.0 * dfree)))
-         / math.sqrt(2.0 / (9.0 * dfree))) if hc > 0 else -10.0
-    p = _normal_sf1(z)
+    p = _chi2_sf(hc, float(dfree))
     return spark.sql(
         f"SELECT CAST({n} AS BIGINT) AS n, "
         f"CAST({k} AS BIGINT) AS k, "

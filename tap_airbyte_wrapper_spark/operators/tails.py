@@ -52,10 +52,13 @@ approximation is RETAINED, and why: `mann_whitney_u` and
 exact rank distributions are combinatorial objects, and the
 tie-corrected z IS the published large-sample test),
 `proportion_z_test` (the z formulation is the test's definition),
-`kruskal_wallis` / `jarque_bera` / chi-square (Wilson-Hilferty on the
-chi-square tail — the incomplete GAMMA twin of this module is a
-separate follow-on), and `min_detectable_effect`'s z quantiles
-(design-stage constants by the MDE formula's own definition).
+chi-square tails ABOVE dof = 1000 (Wilson-Hilferty, see
+CHI2_EXACT_MAX_DOF — below it :func:`igamma_q`, the incomplete-GAMMA
+twin of the beta kernel, makes `kruskal_wallis` and
+`chi_square_independence` exact; `jarque_bera`'s dof-2 tail was
+already the elementary exp(-x/2)), and `min_detectable_effect`'s z
+quantiles (design-stage constants by the MDE formula's own
+definition).
 
 Reference parity: the reference engine (tap_airbyte/tap.py — Singer
 subprocess plumbing) has no statistics at all; this is north-star
@@ -67,9 +70,11 @@ from __future__ import annotations
 
 import math
 
-__all__ = ["M_ITER", "lgamma_lanczos", "ibeta", "t_sf2", "t_sf1",
-           "f_sf", "lgamma_sql", "ibeta_layer_exprs",
-           "ibeta_chain_sql", "apply_ibeta_layers"]
+__all__ = ["M_ITER", "IG_ITER", "CHI2_EXACT_MAX_DOF",
+           "lgamma_lanczos", "ibeta", "t_sf2", "t_sf1", "f_sf",
+           "igamma_q", "chi2_sf", "lgamma_sql", "ibeta_layer_exprs",
+           "ibeta_chain_sql", "apply_ibeta_layers",
+           "igamma_chain_sql"]
 
 # Fixed Lentz iteration count — identical in all three spellings (no
 # early exit anywhere, or the op ORDER would diverge between engines).
@@ -160,6 +165,150 @@ def f_sf(f_stat: float, df1: float, df2: float) -> float:
         return 1.0
     x = df2 / (df2 + df1 * f_stat)
     return ibeta(0.5 * df2, 0.5 * df1, x)
+
+
+# Fixed iteration count for the incomplete-gamma kernel (series AND
+# continued fraction) — chosen by the measured convergence study
+# (pinned in tests): worst |Q_150 - Q_4000| = 6.1e-11 over dof <=
+# 1000 on a fine x/dof grid (the slow point is the series at x ~ a,
+# which needs ~3*sqrt(a) terms; both branches converge geometrically
+# away from it).
+IG_ITER = 150
+
+# Exact-tail ceiling for chi-square dof: above this the
+# Wilson-Hilferty cube-root normal approximation is RETAINED — a
+# STATED approximation whose measured worst error (vs a 4000-term
+# kernel, fine x grid) is 1.05e-5 at dof = 1000 and decays ~1/dof
+# (3.5e-6 at 3000, 1.1e-6 at 10000), so it can perturb the 5th-6th
+# output decimal; both engines spell the identical WH expression, so
+# oracle parity is unaffected.  Why a ceiling at all: the SERIES
+# branch of the kernel needs ~3*sqrt(a) terms near x ~ a (measured:
+# a = 5000 truncates visibly at 150 terms), so a fixed depth honest
+# for dof <= 1000 (worst 6.1e-11 at the ceiling) would silently
+# degrade above it — the branch point makes the degradation a stated
+# approximation instead.  Below the ceiling WH is materially wrong
+# (dof = 4: 3e-3) and the exact kernel is cheap.
+CHI2_EXACT_MAX_DOF = 1000.0
+
+
+def igamma_q(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma ``Q(a, x)`` — fixed-depth
+    (IG_ITER, no early exit) series (x < a+1) / Lentz continued
+    fraction (x >= a+1), Lanczos lgamma; the chi-square upper tail is
+    ``Q(dof/2, chi2/2)``.  Same oracle contract as :func:`ibeta`: the
+    identical operation sequence is emitted for DuckDB by
+    :func:`igamma_chain_sql`."""
+    if x <= 0.0:
+        return 1.0
+    front = math.exp(-x + a * math.log(x) - lgamma_lanczos(a))
+    if x < a + 1.0:
+        term = 1.0 / a
+        s = term
+        for n in range(1, IG_ITER + 1):
+            term = term * x / (a + n)
+            s = s + term
+        return 1.0 - front * s
+    b = x + 1.0 - a
+    c = 1.0 / _TINY
+    d = 1.0 / (_TINY if abs(b) < _TINY else b)
+    h = d
+    for i in range(1, IG_ITER + 1):
+        an = -i * (i - a)
+        b = b + 2.0
+        t1 = an * d + b
+        d = 1.0 / (_TINY if abs(t1) < _TINY else t1)
+        t2 = b + an / c
+        c = _TINY if abs(t2) < _TINY else t2
+        h = h * d * c
+    return front * h
+
+
+def chi2_sf(x: float, dof: float) -> float:
+    """Chi-square upper tail: EXACT ``Q(dof/2, x/2)`` for dof <=
+    CHI2_EXACT_MAX_DOF, Wilson-Hilferty above (measured error bounds
+    in the constant's comment; the practical users — Kruskal-Wallis
+    with k groups, r x c independence grids, JB's dof 2 — live far
+    below the ceiling)."""
+    if x <= 0.0:
+        return 1.0
+    if dof <= CHI2_EXACT_MAX_DOF:
+        return igamma_q(0.5 * dof, 0.5 * x)
+    c = 2.0 / (9.0 * dof)
+    z = ((x / dof) ** (1.0 / 3.0) - (1.0 - c)) / math.sqrt(c)
+    # one-sided upper normal tail via the module-shared A&S erf shape
+    xx = abs(z) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * xx)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    sf2 = min(1.0, max(0.0, poly * math.exp(-xx * xx)))
+    return sf2 / 2.0 if z >= 0 else 1.0 - sf2 / 2.0
+
+
+def igamma_chain_sql(inner: str, a: str, x: str, keep: tuple,
+                     out: str = "__q", prefix: str = "__ig") -> str:
+    """``Q(a, x)`` as a WITH-chain over relation text ``inner`` — the
+    DuckDB-oracle spelling of :func:`igamma_q` (one CTE per
+    iteration, both branches computed side by side as columns on
+    CLAMPED arguments and the final CASE selecting by ``x < a+1``;
+    the unused branch's value is discarded, so its clamped-argument
+    garbage never reaches the output).  Used by the chi-square-tail
+    oracles (kruskal, chi2 independence); there is no sliced
+    chi-square op, so no Spark-layer spelling is needed."""
+    k = ", ".join(keep) + (", " if keep else "")
+    lg = lgamma_sql("__ga")
+    xg = f"(CASE WHEN ({x}) <= 0.0 THEN 1.0 ELSE ({x}) END)"
+    # series x clamped into its convergence branch when unused
+    ctes = [
+        (f"{prefix}000",
+         f"SELECT {k}({a}) AS __ga, ({x}) AS __gx0, {xg} AS __gx "
+         f"FROM {inner}"),
+        (f"{prefix}001",
+         f"SELECT {k}__ga, __gx0, __gx, "
+         f"exp(-__gx + __ga * ln(__gx) - {lg}) AS __fr, "
+         f"(__gx < __ga + 1.0) AS __ser, "
+         f"(CASE WHEN __gx < __ga + 1.0 THEN __gx ELSE 1.0 END) "
+         f"AS __xs FROM {prefix}000"),
+        (f"{prefix}002",
+         f"SELECT {k}__ga, __gx0, __gx, __fr, __ser, __xs, "
+         f"(1.0 / __ga) AS __tm, (1.0 / __ga) AS __s, "
+         f"(__gx + 1.0 - __ga) AS __b, (1.0 / 1e-300) AS __c, "
+         f"(1.0 / (CASE WHEN abs(__gx + 1.0 - __ga) < 1e-300 "
+         f"THEN 1e-300 ELSE __gx + 1.0 - __ga END)) AS __d "
+         f"FROM {prefix}001"),
+        (f"{prefix}003",
+         f"SELECT {k}__ga, __gx0, __fr, __ser, __xs, __tm, __s, "
+         f"__b, __c, __d, __d AS __h FROM {prefix}002"),
+    ]
+    base = (f"{k}__ga, __gx0, __fr, __ser, __xs")
+    prev = f"{prefix}003"
+    for i in range(1, IG_ITER + 1):
+        fi = f"{float(i)!r}"
+        an = f"(-{fi} * ({fi} - __ga))"
+        t1 = f"({an} * __d + (__b + 2.0))"
+        t2 = f"((__b + 2.0) + {an} / __c)"
+        de = (f"(1.0 / (CASE WHEN abs({t1}) < 1e-300 THEN 1e-300 "
+              f"ELSE {t1} END))")
+        ce = (f"(CASE WHEN abs({t2}) < 1e-300 THEN 1e-300 "
+              f"ELSE {t2} END)")
+        name = f"{prefix}{3 + i:03d}"
+        ctes.append(
+            (name,
+             f"SELECT {base}, "
+             f"(__tm * __xs / (__ga + {fi})) AS __tm, "
+             f"(__s + __tm * __xs / (__ga + {fi})) AS __s, "
+             f"(__b + 2.0) AS __b, {ce} AS __c, {de} AS __d, "
+             f"(__h * {de} * {ce}) AS __h FROM {prev}"))
+        prev = name
+    # __h is NOT lagged in this kernel (each layer folds its own d, c
+    # via inline duplication — one state update per iteration keeps
+    # the ibeta-style lag unnecessary), so the final value is __h
+    # as-is.
+    res = ("(CASE WHEN __gx0 <= 0.0 THEN 1.0 "
+           "WHEN __ser THEN 1.0 - __fr * __s "
+           "ELSE __fr * __h END)")
+    body = ",\n".join(f"{n} AS ({sql})" for n, sql in ctes)
+    return (f"WITH {body}\n"
+            f"SELECT {k}{res} AS {out} FROM {prev}")
 
 
 def lgamma_sql(z: str) -> str:

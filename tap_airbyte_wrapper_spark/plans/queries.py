@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.tails import ibeta_chain_sql as _ibeta_chain
+from ..operators.tails import igamma_chain_sql as _igamma_chain
 
 from ..functions import (
     bpe_token_estimate,
@@ -4241,15 +4242,19 @@ QUERIES = {
 # t/F p-values went EXACT via the incomplete beta (welch_events,
 # welch_sliced_orders, tost_events, paired_t_docs, welch_anova_orders,
 # brown_forsythe_orders, pairwise_welch_orders) plus mde_orders (sweep
-# inventory unified) plus the NEW tost_sliced_orders (new oracle
-# entries take driver slots the same round — the standing rule), (d)
-# approx_distinct_users, the r03 rows-only HLL entry (stalest row in
-# the fleet; refreshing it makes "no driver row older than r08" true
-# WITHOUT exceptions), and (e) 15 r08 rows, alphabetical-first for
-# determinism except dsir_weights_docs swapped in (it is on the r12
-# bench A/B watch list, so a fresh correctness row accompanies the
-# perf attribution).  After this window the stalest oracle rows are
-# the 32 remaining r08 entries — the r13 rotation seed.
+# inventory unified), the exact-chi2 pair (kruskal_orders p now the
+# exact incomplete-gamma tail; chi2_orders gained its p_value column)
+# plus the NEW tost_sliced_orders (new/changed oracle entries take
+# driver slots the same round — the standing rule), and (d) 16 r08
+# rows, alphabetical-first for determinism except dsir_weights_docs
+# swapped in (it is on the r12 bench A/B watch list, so a fresh
+# correctness row accompanies the perf attribution).
+# approx_distinct_users stays OUT deliberately: it is the documented
+# permanent no_oracle HLL entry and the round-3 standing gate
+# (test_driver_window_fully_oracle_backed) forbids spending a window
+# slot on a rows-only check — its r03 row is structural, not
+# staleness.  After this window the stalest oracle rows are the 31
+# remaining r08 entries — the r13 rotation seed.
 _R12_WINDOW = [
     # (a) the 23 r07-stale rows displaced in r11
     "soft_dedup_docs", "token_jsd_docs", "token_jsd_sources",
@@ -4269,17 +4274,14 @@ _R12_WINDOW = [
     "welch_events", "welch_sliced_orders", "mde_orders",
     "tost_events", "tost_sliced_orders", "paired_t_docs",
     "welch_anova_orders", "brown_forsythe_orders",
-    "pairwise_welch_orders",
-    # (d) the r03 rows-only HLL entry
-    "approx_distinct_users",
-    # (e) 15 r08 rows (alphabetical + the bench watch-list swap)
+    "pairwise_welch_orders", "kruskal_orders", "chi2_orders",
+    # (d) 14 r08 rows (alphabetical + the bench watch-list swap)
     "anomaly_events", "asof_purchase_view", "bm25_index_docs",
     "boilerplate_removal_docs", "brand_revenue",
     "canonical_url_docs", "centroid_assign",
     "clickers_not_purchasers", "containment_pairs_docs",
     "corpus_curation", "corr_lineitem", "cube_event_day",
-    "customers_with_orders", "customers_without_orders",
-    "dsir_weights_docs",
+    "customers_with_orders", "dsir_weights_docs",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R12_WINDOW},
@@ -4713,6 +4715,76 @@ _PAIRWISE_WELCH_PREP = """(
                (wa + wb) * (wa + wb)
                / (wa * wa / (na - 1) + wb * wb / (nb - 1)) AS dof
         FROM pr)"""
+
+
+
+def _chi2_tail_oracle(prep: str, keep: tuple, final: str,
+                      chi2: str = "chi2", dof: str = "dof") -> str:
+    """Exact chi-square upper tail ``Q(dof/2, chi2/2)`` over ``prep``
+    via the generated incomplete-gamma WITH chain, exposing ``p2`` —
+    the oracle twin of tails.chi2_sf's exact branch (every driver
+    entry using it has dof far under the 1000 ceiling, so the WH
+    branch never engages in an oracle)."""
+    chain = _igamma_chain(
+        prep, f"0.5 * {dof}", f"0.5 * {chi2}", keep=keep, out="p2")
+    return f"SELECT {final} FROM ({chain}) z"
+
+
+_KRUSKAL_PREP = """(
+        WITH t AS (
+          SELECT round(o_totalprice / 100) AS v,
+                 o_orderpriority AS g
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IS NOT NULL),
+        vg AS (SELECT v, g, count(*) AS cnt FROM t GROUP BY v, g),
+        tot AS (SELECT v, sum(cnt) AS c FROM vg GROUP BY v),
+        c AS (SELECT v, c,
+                     sum(c) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM tot),
+        pg AS (SELECT vg.g, sum(vg.cnt) AS ng,
+                      sum(vg.cnt * (2 * c.cum - c.c + 1)) AS r2
+               FROM vg JOIN c USING (v) GROUP BY vg.g),
+        nn AS (SELECT sum(ng) AS n, count(*) AS k FROM pg),
+        ties AS (SELECT sum(c * c * c - c) AS t FROM c),
+        s AS (SELECT sum(r2 * r2 / (4.0 * ng)) AS s FROM pg),
+        h AS (SELECT nn.n, nn.k,
+                     12.0 / (nn.n * (nn.n + 1)) * s.s
+                     - 3.0 * (nn.n + 1) AS h
+              FROM nn, s)
+        SELECT h.n, h.k, h.h,
+               h.h / (1.0 - ties.t
+                      / (CAST(h.n AS DOUBLE) * h.n * h.n
+                         - h.n)) AS hc,
+               CAST(h.k - 1 AS DOUBLE) AS dfree
+        FROM h, ties)"""
+
+_CHI2_PREP = """(
+        WITH obs AS (
+          SELECT o_orderstatus AS x, o_orderpriority AS y,
+                 count(*) AS o
+          FROM orders
+          WHERE o_orderstatus IS NOT NULL
+            AND o_orderpriority IS NOT NULL
+          GROUP BY 1, 2),
+        mx AS (SELECT x, sum(o) AS nx FROM obs GROUP BY x),
+        my AS (SELECT y, sum(o) AS ny FROM obs GROUP BY y),
+        tot AS (SELECT sum(o) AS n, count(DISTINCT x) AS r,
+                       count(DISTINCT y) AS c
+                FROM obs),
+        grid AS (
+          SELECT mx.nx, my.ny, coalesce(obs.o, 0) AS o, tot.n,
+                 tot.r, tot.c
+          FROM mx CROSS JOIN my
+          LEFT JOIN obs ON obs.x = mx.x AND obs.y = my.y
+          CROSS JOIN tot)
+        SELECT n, r, c,
+               sum((o - nx * ny / CAST(n AS DOUBLE))
+                   * (o - nx * ny / CAST(n AS DOUBLE))
+                   / (nx * ny / CAST(n AS DOUBLE))) AS chi2,
+               CAST((r - 1) * (c - 1) AS DOUBLE) AS dofd
+        FROM grid GROUP BY n, r, c)"""
 
 
 ORACLES = {
@@ -7109,39 +7181,17 @@ ORACLES = {
             "ELSE 1.0 - p2lo / 2.0 END, "
             "CASE WHEN thi >= 0 THEN p2hi / 2.0 "
             "ELSE 1.0 - p2hi / 2.0 END), 6) AS p_tost")),
-    "chi2_orders": """
-        WITH obs AS (
-          SELECT o_orderstatus AS x, o_orderpriority AS y,
-                 count(*) AS o
-          FROM orders
-          WHERE o_orderstatus IS NOT NULL
-            AND o_orderpriority IS NOT NULL
-          GROUP BY 1, 2),
-        mx AS (SELECT x, sum(o) AS nx FROM obs GROUP BY x),
-        my AS (SELECT y, sum(o) AS ny FROM obs GROUP BY y),
-        tot AS (SELECT sum(o) AS n, count(DISTINCT x) AS r,
-                       count(DISTINCT y) AS c
-                FROM obs),
-        grid AS (
-          SELECT mx.nx, my.ny, coalesce(obs.o, 0) AS o, tot.n,
-                 tot.r, tot.c
-          FROM mx CROSS JOIN my
-          LEFT JOIN obs ON obs.x = mx.x AND obs.y = my.y
-          CROSS JOIN tot),
-        s AS (SELECT n, r, c,
-                     sum((o - nx * ny / CAST(n AS DOUBLE))
-                         * (o - nx * ny / CAST(n AS DOUBLE))
-                         / (nx * ny / CAST(n AS DOUBLE))) AS chi2
-              FROM grid GROUP BY n, r, c)
-        SELECT CAST(n AS BIGINT) AS n,
-               CAST(r AS BIGINT) AS n_rows,
-               CAST(c AS BIGINT) AS n_cols,
-               round(chi2, 6) AS chi2,
-               CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
-               round(CASE WHEN least(r, c) > 1 AND n > 0 THEN
-                 sqrt(chi2 / (n * (least(r, c) - 1))) END, 6)
-                 AS cramers_v
-        FROM s""",
+    "chi2_orders": _chi2_tail_oracle(
+        _CHI2_PREP,
+        keep=("n", "r", "c", "chi2", "dofd"),
+        final=(
+            "CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_rows, "
+            "CAST(c AS BIGINT) AS n_cols, round(chi2, 6) AS chi2, "
+            "CAST(dofd AS BIGINT) AS dof, "
+            "round(CASE WHEN least(r, c) > 1 AND n > 0 THEN "
+            "sqrt(chi2 / (n * (least(r, c) - 1))) END, 6) "
+            "AS cramers_v, round(p2, 6) AS p_value"),
+        chi2="chi2", dof="dofd"),
     "bootstrap_docs": """
         WITH reps AS (
           SELECT CAST(d.n_chars AS DOUBLE) AS v, s.k AS r,
@@ -7522,60 +7572,14 @@ ORACLES = {
         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
                round(s / (na * nb), 6) AS w1
         FROM s""",
-    "kruskal_orders": """
-        WITH t AS (
-          SELECT round(o_totalprice / 100) AS v,
-                 o_orderpriority AS g
-          FROM orders
-          WHERE o_totalprice IS NOT NULL
-            AND o_orderpriority IS NOT NULL),
-        vg AS (SELECT v, g, count(*) AS cnt FROM t GROUP BY v, g),
-        tot AS (SELECT v, sum(cnt) AS c FROM vg GROUP BY v),
-        c AS (SELECT v, c,
-                     sum(c) OVER (ORDER BY v
-                       ROWS UNBOUNDED PRECEDING) AS cum
-              FROM tot),
-        pg AS (SELECT vg.g, sum(vg.cnt) AS ng,
-                      sum(vg.cnt * (2 * c.cum - c.c + 1)) AS r2
-               FROM vg JOIN c USING (v) GROUP BY vg.g),
-        nn AS (SELECT sum(ng) AS n, count(*) AS k FROM pg),
-        ties AS (SELECT sum(c * c * c - c) AS t FROM c),
-        s AS (SELECT sum(r2 * r2 / (4.0 * ng)) AS s FROM pg),
-        h AS (SELECT nn.n, nn.k,
-                     12.0 / (nn.n * (nn.n + 1)) * s.s
-                     - 3.0 * (nn.n + 1) AS h
-              FROM nn, s),
-        hc AS (SELECT h.n, h.k, h.h,
-                      h.h / (1.0 - ties.t
-                             / (CAST(h.n AS DOUBLE) * h.n * h.n
-                                - h.n)) AS hc,
-                      CAST(h.k - 1 AS DOUBLE) AS dfree
-               FROM h, ties),
-        z AS (SELECT hc.*,
-                     CASE WHEN hc > 0 THEN
-                       (pow(hc / dfree, 1.0 / 3.0)
-                        - (1.0 - 2.0 / (9.0 * dfree)))
-                       / sqrt(2.0 / (9.0 * dfree))
-                     ELSE -10.0 END AS z
-              FROM hc),
-        p AS (SELECT z.*, abs(z) / sqrt(2.0) AS x,
-                     1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))
-                       AS tt
-              FROM z),
-        sf AS (SELECT p.*,
-                      least(1.0, greatest(0.0,
-                        tt * (0.254829592 + tt * (-0.284496736
-                          + tt * (1.421413741 + tt * (-1.453152027
-                          + tt * 1.061405429)))) * exp(-x * x)))
-                        AS sf2
-               FROM p)
-        SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
-               round(h, 6) AS h,
-               round(hc, 6) AS h_tie_corrected,
-               round(dfree, 6) AS dof,
-               round(CASE WHEN z >= 0 THEN sf2 / 2.0
-                          ELSE 1.0 - sf2 / 2.0 END, 6) AS p_value
-        FROM sf""",
+    "kruskal_orders": _chi2_tail_oracle(
+        _KRUSKAL_PREP,
+        keep=("n", "k", "h", "hc", "dfree"),
+        final=(
+            "CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, "
+            "round(h, 6) AS h, round(hc, 6) AS h_tie_corrected, "
+            "round(dfree, 6) AS dof, round(p2, 6) AS p_value"),
+        chi2="hc", dof="dfree"),
     "welch_anova_orders": _f_tail_oracle(
         _WELCH_ANOVA_PREP,
         keep=("k", "n", "f_stat", "df1", "df2"),

@@ -250,6 +250,109 @@ def test_exact_tail_departs_from_normal_where_it_should(spark):
 
 
 # ---------------------------------------------------------------------
+# exact chi-square tail (incomplete gamma — the t/F treatment extended)
+# ---------------------------------------------------------------------
+
+def test_igamma_chi2_closed_forms():
+    """Q(dof/2, x/2) against the elementary chi-square tails: dof 2
+    (exp(-x/2)), dof 4 ((1+x/2)exp(-x/2)), dof 1 (erfc(sqrt(x/2))),
+    dof 6; plus series/CF branch-boundary continuity."""
+    from tap_airbyte_wrapper_spark.operators.tails import chi2_sf
+
+    for x in [0.1, 0.5, 2.0, 5.0, 10.0, 25.0, 60.0]:
+        assert chi2_sf(x, 2.0) == pytest.approx(
+            math.exp(-x / 2), abs=1e-12)
+        assert chi2_sf(x, 4.0) == pytest.approx(
+            (1 + x / 2) * math.exp(-x / 2), abs=1e-12)
+        assert chi2_sf(x, 1.0) == pytest.approx(
+            math.erfc(math.sqrt(x / 2)), abs=1e-12)
+        assert chi2_sf(x, 6.0) == pytest.approx(
+            (1 + x / 2 + x * x / 8) * math.exp(-x / 2), abs=1e-12)
+    assert chi2_sf(0.0, 5.0) == 1.0
+    assert chi2_sf(-1.0, 5.0) == 1.0
+    # branch boundary x = a+1 (ticks over from series to CF): continuous
+    a = 7.0
+    lo = chi2_sf(2 * (a + 1.0) - 1e-9, 2 * a)
+    hi = chi2_sf(2 * (a + 1.0) + 1e-9, 2 * a)
+    assert abs(lo - hi) < 1e-9
+
+
+def test_igamma_chain_matches_python():
+    import duckdb
+
+    from tap_airbyte_wrapper_spark.operators.tails import (
+        igamma_chain_sql, igamma_q)
+
+    cases = [(0.5, 0.25), (1.0, 3.0), (2.0, 2.0), (2.0, 9.0),
+             (50.0, 45.0), (50.0, 80.0), (500.0, 501.0),
+             (500.0, 250.0), (3.0, 0.0), (4.0, None)]
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, CAST({a!r} AS DOUBLE), "
+        f"{'NULL' if x is None else f'CAST({x!r} AS DOUBLE)'})"
+        for i, (a, x) in enumerate(cases))
+    con.execute(f"CREATE VIEW tg AS SELECT * FROM (VALUES {vals}) "
+                "v(id, a, x)")
+    got = {int(r[0]): r[1] for r in con.execute(
+        igamma_chain_sql("tg", "a", "x", keep=("id",))).fetchall()}
+    for i, (a, x) in enumerate(cases):
+        if x is None:
+            assert got[i] is None or math.isnan(got[i])
+            continue
+        assert abs(got[i] - igamma_q(a, x)) < 5e-15, (a, x)
+
+
+def test_chi2_wilson_hilferty_crossover_bound():
+    """The retained WH branch above CHI2_EXACT_MAX_DOF stays within
+    its documented error bound (1.05e-5 measured at the ceiling,
+    decaying ~1/dof) of the exact kernel, which is still convergent
+    at the ceiling (6.1e-11) so the bound is measurable."""
+    from tap_airbyte_wrapper_spark.operators.tails import (
+        CHI2_EXACT_MAX_DOF, chi2_sf, igamma_q)
+
+    dof = CHI2_EXACT_MAX_DOF  # exact side of the branch
+    for xm in [0.5, 0.9, 1.0, 1.1, 1.5, 2.0]:
+        x = dof * xm
+        exact = igamma_q(dof / 2, x / 2)
+        # WH spelled as in chi2_sf's upper branch
+        c = 2.0 / (9.0 * dof)
+        z = ((x / dof) ** (1.0 / 3.0) - (1.0 - c)) / math.sqrt(c)
+        xx = abs(z) / math.sqrt(2.0)
+        t = 1.0 / (1.0 + 0.3275911 * xx)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (
+            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+        sf2 = min(1.0, max(0.0, poly * math.exp(-xx * xx)))
+        wh = sf2 / 2.0 if z >= 0 else 1.0 - sf2 / 2.0
+        assert abs(wh - exact) < 2e-5, (xm, wh, exact)
+
+
+def test_kruskal_and_chi2_ops_exact_tails(spark):
+    """kruskal_wallis at k = 3 (dof = 2) must report the ELEMENTARY
+    exp(-H/2) tail — the case where Wilson-Hilferty was off by ~3e-3;
+    chi_square_independence now carries the exact p_value the r10
+    docstring declared inexpressible."""
+    from tap_airbyte_wrapper_spark.operators import (
+        chi_square_independence, kruskal_wallis)
+
+    rows = [("a", float(v)) for v in [1, 3, 5, 7, 9, 11]] + \
+           [("b", float(v)) for v in [2, 4, 6, 8, 10, 12]] + \
+           [("c", float(v)) for v in [20, 21, 22, 23, 24, 25]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    kr = kruskal_wallis(df, "v", "g").first()
+    assert kr["dof"] == 2.0
+    assert kr["p_value"] == pytest.approx(
+        round(math.exp(-kr["h_tie_corrected"] / 2), 6), abs=2e-6)
+    c_rows = [(x, y) for x in "pq" for y in "uvw" for _ in range(5)]
+    c_rows += [("p", "u")] * 9  # skew one cell
+    cdf = spark.createDataFrame(c_rows, "x string, y string")
+    row = chi_square_independence(cdf, "x", "y").first()
+    assert row["dof"] == 2
+    assert row["p_value"] == pytest.approx(
+        round(math.exp(-row["chi2"] / 2), 6), abs=2e-6)
+    assert 0.0 <= row["p_value"] <= 1.0
+
+
+# ---------------------------------------------------------------------
 # sliced-sweep row inventory (judge "what's wrong" #1)
 # ---------------------------------------------------------------------
 
