@@ -49,8 +49,9 @@ from pyspark.sql import DataFrame, functions as F
 from .tails import apply_ibeta_layers, chi2_sf as _chi2_sf, \
     f_sf as _f_sf, t_sf1 as _t_sf1, t_sf2 as _t_sf2
 
-__all__ = ["ks_test", "ks_test_sliced", "mann_whitney_u", "welch_t_test", "welch_t_sliced", "tost_equivalence",
-           "tost_sliced",
+__all__ = ["ks_test", "ks_test_sliced", "mann_whitney_u",
+           "mann_whitney_sliced", "welch_t_test", "welch_t_sliced", "tost_equivalence",
+           "tost_sliced", "holm_bonferroni", "benjamini_yekutieli",
            "min_detectable_effect",
            "chi_square_independence", "bootstrap_ci", "autocorrelation",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
@@ -321,6 +322,74 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
         f"round(CAST({u2 / 2.0!r} AS DOUBLE), 6) AS u_stat, "
         f"round(CAST({z!r} AS DOUBLE), 6) AS z, "
         f"round(CAST({p!r} AS DOUBLE), 6) AS p_value")
+
+
+def mann_whitney_sliced(df: DataFrame, value_col: str,
+                        group_col: str, group_a: str, group_b: str,
+                        slice_col: str) -> DataFrame:
+    """:func:`mann_whitney_u` per SLICE — the NONPARAMETRIC member of
+    the sweep family (r12): :func:`ks_test_sliced` screens shape,
+    :func:`welch_t_sliced` screens the mean, this screens stochastic
+    dominance under heavy ties (quantized scores, integer ratings) —
+    the robust default when per-slice value distributions are skewed
+    enough that a mean shift is the wrong question.
+
+    The scalar op's integer-exact core survives slicing intact: per
+    (slice, value) counts, the rank prefix runs in a window
+    PARTITIONED BY the slice (bounded per-slice distinct values —
+    never a single-task global sort; the million-slice contract), and
+    ``2*Ra``/ties stay exact longs per slice so the oracle
+    hash-matches bit-for-bit.  z and the two-sided p (A&S erf — the
+    tie-corrected normal IS the published large-sample test; the rank
+    null is genuinely asymptotic, see tails.py on retained
+    approximations) evaluate as projections.  Per-slice 2^53 envelope
+    NULLs the slice out rather than killing the sweep (the
+    ks_test_sliced convention).  Row inventory matches the other
+    sweeps (isin pre-filter).  Output: ``(<slice_col>, n_a, n_b,
+    u_stat, z, p_value)``."""
+    from pyspark.sql import Window
+
+    counts = (df.filter(F.col(value_col).isNotNull()
+                        & F.col(slice_col).isNotNull()
+                        & F.col(group_col).isin(group_a, group_b))
+              .groupBy(F.col(slice_col).alias("__s"),
+                       F.col(value_col).cast("double").alias("__v"))
+              .agg(F.sum(F.when(F.col(group_col) == group_a, 1)
+                         .otherwise(0)).alias("__ca"),
+                   F.sum(F.when(F.col(group_col) == group_b, 1)
+                         .otherwise(0)).alias("__cb")))
+    w = (Window.partitionBy("__s").orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (counts.withColumn("__c", F.col("__ca") + F.col("__cb"))
+           .withColumn("__cum", F.sum("__c").over(w)))
+    per = (cum.groupBy("__s")
+           .agg(F.sum("__ca").alias("na"), F.sum("__cb").alias("nb"),
+                F.sum(F.col("__ca") * (2 * F.col("__cum")
+                                       - F.col("__c") + 1))
+                .alias("ra2"),
+                F.sum(F.col("__c") * F.col("__c") * F.col("__c")
+                      - F.col("__c")).alias("ties")))
+    na, nb = F.col("na"), F.col("nb")
+    n = na + nb
+    ok = (na > 0) & (nb > 0) & (na * nb < F.lit(2.0 ** 53))
+    u2 = F.col("ra2") - na * (na + 1)
+    var = (na * nb / 12.0
+           * ((n + 1) - F.col("ties") / (n * (n - 1))))
+    z = (u2 - na * nb) / (2.0 * F.sqrt(var))
+    x = F.abs(z) / math.sqrt(2.0)
+    tt = 1.0 / (1.0 + 0.3275911 * x)
+    poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
+        1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0),
+                                       poly * F.exp(-x * x)))
+    okv = ok & (var > 0)
+    return per.select(
+        F.col("__s").alias(slice_col),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(F.when(ok, u2 / 2.0), 6).alias("u_stat"),
+        F.round(F.when(okv, z), 6).alias("z"),
+        F.round(F.when(okv, p), 6).alias("p_value"))
 
 
 def welch_t_test(df: DataFrame, value_col: str, group_col: str,
@@ -1349,17 +1418,21 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
                       .alias("m"),
                       F.var_samp(F.col(value_col).cast("double"))
                       .alias("s2")))
-    n_groups = per_group.count()
-    if n_groups > max_groups:
+    # ONE job guards AND fetches: collect at most max_groups+1 group
+    # rows — the extra row proves the violation without a separate
+    # count() action (two tiny jobs cost two scheduler round-trips;
+    # the k-row table is bounded either way, so the limit is driver-
+    # safe even when the guard fires on an id-shaped column)
+    got = per_group.limit(max_groups + 1).collect()
+    if len(got) > max_groups:
         raise ValueError(
-            f"pairwise_welch emits one row per group PAIR — "
-            f"{n_groups} groups would be "
-            f"{n_groups * (n_groups - 1) // 2} rows (> max_groups="
-            f"{max_groups} bound). That group column looks like an "
-            "id, not a category; bucket it upstream or raise "
-            "max_groups consciously.")
+            f"pairwise_welch emits one row per group PAIR — more "
+            f"than max_groups={max_groups} groups would be more than "
+            f"{max_groups * (max_groups - 1) // 2} rows. That group "
+            "column looks like an id, not a category; bucket it "
+            "upstream or raise max_groups consciously.")
     rows = sorted(((str(r["__g"]), int(r["ng"]), r["m"], r["s2"])
-                   for r in per_group.collect()), key=lambda r: r[0])
+                   for r in got), key=lambda r: r[0])
 
     tuples = []
     for i in range(len(rows)):
@@ -1379,24 +1452,49 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
                            None if ma is None else float(ma),
                            None if mb is None else float(mb),
                            t_stat, dof, p))
-    # ONE LocalRelation built with an explicit schema — not inline-SQL
-    # VALUES text: group names are DATA and must never pass through the
-    # SQL parser (a backslash or quote in a group value would be
-    # re-interpreted as an escape); rounding stays engine-side
-    # (F.round) so it keeps Spark/DuckDB HALF_UP semantics rather than
-    # Python's banker's rounding.
-    schema = ("group_a string, group_b string, n_a long, n_b long, "
-              "mean_a double, mean_b double, t_stat double, "
-              "dof double, p_value double")
-    out = spark.createDataFrame(tuples, schema)
-    return (out.select(
-        "group_a", "group_b", "n_a", "n_b",
-        F.round("mean_a", 6).alias("mean_a"),
-        F.round("mean_b", 6).alias("mean_b"),
-        F.round("t_stat", 6).alias("t_stat"),
-        F.round("dof", 6).alias("dof"),
-        F.round("p_value", 6).alias("p_value"))
-        .orderBy("group_a", "group_b"))
+    # ONE inline VALUES relation via PARAMETERIZED sql: group names
+    # are DATA and must never pass through the SQL parser as text (a
+    # backslash or quote in a group value would be re-interpreted as
+    # an escape — the r11 ADVICE crash), and named parameter binding
+    # keeps them out of the parse while staying a JVM-side
+    # LocalRelation (spark.createDataFrame routes even a tiny frame
+    # through a Python-RDD round-trip — ~0.45 s measured on this op);
+    # rounding stays engine-side (SQL round) so it keeps HALF_UP
+    # semantics rather than Python's banker's rounding.
+    args: dict = {}
+
+    def _bind(val) -> str:
+        key = f"v{len(args)}"
+        args[key] = val
+        return f":{key}"
+
+    rows_sql = []
+    for (ga, gb, na, nb, ma, mb, t_stat, dof, pv) in tuples:
+        cells = [_bind(ga), _bind(gb),
+                 f"CAST({_bind(na)} AS BIGINT)",
+                 f"CAST({_bind(nb)} AS BIGINT)"]
+        for v in (ma, mb, t_stat, dof, pv):
+            cells.append(
+                "CAST(NULL AS DOUBLE)" if v is None
+                else f"round(CAST({_bind(float(v))} AS DOUBLE), 6)")
+        rows_sql.append("(" + ", ".join(cells) + ")")
+    if not rows_sql:
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) AS group_a, "
+            "CAST(NULL AS STRING) AS group_b, "
+            "CAST(0 AS BIGINT) AS n_a, CAST(0 AS BIGINT) AS n_b, "
+            "CAST(NULL AS DOUBLE) AS mean_a, "
+            "CAST(NULL AS DOUBLE) AS mean_b, "
+            "CAST(NULL AS DOUBLE) AS t_stat, "
+            "CAST(NULL AS DOUBLE) AS dof, "
+            "CAST(NULL AS DOUBLE) AS p_value").limit(0)
+    return spark.sql(
+        "SELECT group_a, group_b, n_a, n_b, mean_a, mean_b, "
+        "t_stat, dof, p_value FROM (VALUES "
+        + ", ".join(rows_sql)
+        + ") AS t(group_a, group_b, n_a, n_b, mean_a, mean_b, "
+        "t_stat, dof, p_value)",
+        args=args).orderBy("group_a", "group_b")
 
 
 def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
@@ -1658,6 +1756,90 @@ def bh_fdr(df: DataFrame, p_col: str, id_col: str,
         base, [F.col("__p"), F.col("__id")], rank_col="__rank")
     kmax_row = ranked.agg(F.max(F.when(
         F.col("__p") * F.lit(float(m))
+        <= F.col("__rank") * F.lit(alpha), F.col("__rank"))
+    ).alias("k")).first()
+    k = int(kmax_row["k"] or 0)
+    return (ranked.select(
+        F.col("__id").alias(id_col),
+        F.col("__p").alias("p"),
+        F.col("__rank").cast("long").alias("rank"),
+        (F.col("__rank") <= F.lit(k)).alias("rejected"))
+        .orderBy("rank"))
+
+
+def holm_bonferroni(df: DataFrame, p_col: str, id_col: str,
+                    alpha: float = 0.05) -> DataFrame:
+    """Holm's step-down correction (Holm 1979) — the FWER companion
+    of :func:`bh_fdr`: when even ONE false rejection is unacceptable
+    (a compliance gate, a "which slice do we freeze the release for"
+    decision), Holm controls the family-wise error at alpha with
+    uniformly more power than plain Bonferroni and no independence
+    assumption at all.  Reject while ``p_(i) <= alpha / (m - i + 1)``
+    stepping down from the smallest p; the FIRST failure stops all
+    later rejections (p-values are monotone in the procedure, not per
+    test).
+
+    Plan: identical scale shape to bh_fdr — checkpointed (id, p)
+    projection, value-bucketed global ranks (no single-task sort),
+    ONE aggregate for the first failing rank, broadcast back.
+    Output: one row per input ``(id_col, p, rank, rejected)``; null p
+    rows drop (they are not tests)."""
+    from .windows import global_distribution_ranks
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    base = (df.filter(F.col(p_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.col(p_col).cast("double").alias("__p"))
+            .localCheckpoint(eager=True))
+    m = base.count()
+    ranked = global_distribution_ranks(
+        base, [F.col("__p"), F.col("__id")], rank_col="__rank")
+    first_fail = ranked.agg(F.min(F.when(
+        F.col("__p") * (F.lit(float(m)) - F.col("__rank") + 1)
+        > F.lit(alpha), F.col("__rank"))).alias("ff")).first()
+    k = (int(first_fail["ff"]) - 1
+         if first_fail["ff"] is not None else m)
+    return (ranked.select(
+        F.col("__id").alias(id_col),
+        F.col("__p").alias("p"),
+        F.col("__rank").cast("long").alias("rank"),
+        (F.col("__rank") <= F.lit(k)).alias("rejected"))
+        .orderBy("rank"))
+
+
+def benjamini_yekutieli(df: DataFrame, p_col: str, id_col: str,
+                        alpha: float = 0.05) -> DataFrame:
+    """Benjamini-Yekutieli FDR (BY 2001) — :func:`bh_fdr` under
+    ARBITRARY dependence: the sliced sweeps' p-values share the same
+    underlying corpus (overlapping languages x sources x shards), and
+    when that dependence is not provably positive-regression, BH's
+    guarantee formally lapses; BY restores it by spending
+    ``alpha / c(m)`` with the harmonic factor ``c(m) = sum_{i<=m}
+    1/i`` (~ ln m + 0.577 — the honest price of no assumptions;
+    document WHICH correction a pipeline gate uses).
+
+    Plan: bh_fdr's exact shape with the rescaled threshold — the
+    harmonic sum is a per-call DRIVER scalar (ascending-order
+    summation, mirrored verbatim in the oracle's ascending
+    generate_series sum).  Output: ``(id_col, p, rank, rejected)``
+    ordered by rank."""
+    from .windows import global_distribution_ranks
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    base = (df.filter(F.col(p_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.col(p_col).cast("double").alias("__p"))
+            .localCheckpoint(eager=True))
+    m = base.count()
+    cm = 0.0
+    for i in range(1, m + 1):
+        cm = cm + 1.0 / i
+    ranked = global_distribution_ranks(
+        base, [F.col("__p"), F.col("__id")], rank_col="__rank")
+    kmax_row = ranked.agg(F.max(F.when(
+        F.col("__p") * F.lit(float(m)) * F.lit(cm)
         <= F.col("__rank") * F.lit(alpha), F.col("__rank"))
     ).alias("k")).first()
     k = int(kmax_row["k"] or 0)

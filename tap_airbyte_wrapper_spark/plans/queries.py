@@ -2299,6 +2299,56 @@ def q_bh_fdr(spark, sf_dir):
     return bh_fdr(docs, "p", "doc_id", alpha=0.05)
 
 
+def q_mw_sliced(spark, sf_dir):
+    """Per-priority Mann-Whitney sweep (open-vs-finished quantized
+    order totals within each priority) — the nonparametric member of
+    the sweep family beside ks_sliced/welch_sliced: same integer-
+    exact rank core per slice (partitioned prefix, never single-task),
+    z/p as projections, bh_fdr-composable."""
+    from ..operators import mann_whitney_sliced
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") / 100).alias("bucket"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"))
+    return mann_whitney_sliced(orders, "bucket", "status", "O", "F",
+                               "prio")
+
+
+def q_holm(spark, sf_dir):
+    """Holm step-down over the SAME planted p table as bh_fdr_docs —
+    the FWER decision beside the FDR one: strictly fewer rejections,
+    zero independence assumptions; pipelines gate releases on Holm
+    and triage on BH."""
+    from ..operators import holm_bonferroni
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 10 == 0,
+               ((F.col("doc_id") * 37) % 1009).cast("double")
+               / 1009.0 / 50.0)
+        .otherwise(((F.col("doc_id") * 37) % 1009).cast("double")
+                   / 1009.0).alias("p"))
+    return holm_bonferroni(docs, "p", "doc_id", alpha=0.05)
+
+
+def q_by_fdr(spark, sf_dir):
+    """Benjamini-Yekutieli over the SAME planted p table — FDR under
+    arbitrary dependence (the honest correction when the sweeps'
+    slices share the corpus); the harmonic c(m) factor makes it
+    visibly more conservative than bh_fdr_docs on identical input."""
+    from ..operators import benjamini_yekutieli
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 10 == 0,
+               ((F.col("doc_id") * 37) % 1009).cast("double")
+               / 1009.0 / 50.0)
+        .otherwise(((F.col("doc_id") * 37) % 1009).cast("double")
+                   / 1009.0).alias("p"))
+    return benjamini_yekutieli(docs, "p", "doc_id", alpha=0.05)
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information lang x source — the leakage screen in nats:
     how many bits of the language does the source give away (NMI
@@ -4032,6 +4082,9 @@ QUERIES = {
     "welch_sliced_orders": q_welch_sliced,
     "mde_orders": q_mde,
     "tost_sliced_orders": q_tost_sliced,
+    "mw_sliced_orders": q_mw_sliced,
+    "holm_docs": q_holm,
+    "by_fdr_docs": q_by_fdr,
     "mann_whitney_orders": q_mann_whitney,
     "welch_events": q_welch,
     "tost_events": q_tost,
@@ -4244,8 +4297,9 @@ QUERIES = {
 # brown_forsythe_orders, pairwise_welch_orders) plus mde_orders (sweep
 # inventory unified), the exact-chi2 pair (kruskal_orders p now the
 # exact incomplete-gamma tail; chi2_orders gained its p_value column)
-# plus the NEW tost_sliced_orders (new/changed oracle entries take
-# driver slots the same round — the standing rule), and (d) 16 r08
+# plus the NEW tost_sliced_orders / mw_sliced_orders / holm_docs /
+# by_fdr_docs (new/changed oracle entries take driver slots the same
+# round — the standing rule), and (d) r08
 # rows, alphabetical-first for determinism except dsir_weights_docs
 # swapped in (it is on the r12 bench A/B watch list, so a fresh
 # correctness row accompanies the perf attribution).
@@ -4275,12 +4329,14 @@ _R12_WINDOW = [
     "tost_events", "tost_sliced_orders", "paired_t_docs",
     "welch_anova_orders", "brown_forsythe_orders",
     "pairwise_welch_orders", "kruskal_orders", "chi2_orders",
-    # (d) 14 r08 rows (alphabetical + the bench watch-list swap)
+    "mw_sliced_orders", "holm_docs", "by_fdr_docs",
+    # (d) 11 r08 rows (alphabetical + the bench watch-list swap;
+    # corpus_curation / corr_lineitem / cube_event_day displaced by
+    # the three new entries above — r13 seed alongside the other 31)
     "anomaly_events", "asof_purchase_view", "bm25_index_docs",
     "boilerplate_removal_docs", "brand_revenue",
     "canonical_url_docs", "centroid_assign",
     "clickers_not_purchasers", "containment_pairs_docs",
-    "corpus_curation", "corr_lineitem", "cube_event_day",
     "customers_with_orders", "dsir_weights_docs",
 ]
 
@@ -7181,6 +7237,99 @@ ORACLES = {
             "ELSE 1.0 - p2lo / 2.0 END, "
             "CASE WHEN thi >= 0 THEN p2hi / 2.0 "
             "ELSE 1.0 - p2hi / 2.0 END), 6) AS p_tost")),
+    "mw_sliced_orders": """
+        WITH t AS (
+          SELECT o_orderpriority AS s,
+                 round(o_totalprice / 100) AS v,
+                 o_orderstatus AS g
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IS NOT NULL
+            AND o_orderstatus IN ('O', 'F')),
+        gc AS (SELECT s, v,
+                      count(*) FILTER (WHERE g = 'O') AS ca,
+                      count(*) FILTER (WHERE g = 'F') AS cb
+               FROM t GROUP BY s, v),
+        c AS (SELECT s, ca, cb, ca + cb AS c,
+                     sum(ca + cb) OVER (PARTITION BY s ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM gc),
+        agg AS (SELECT s, sum(ca) AS na, sum(cb) AS nb,
+                       sum(ca * (2 * cum - c + 1)) AS ra2,
+                       sum(c * c * c - c) AS ties
+                FROM c GROUP BY s),
+        u AS (SELECT s, na, nb,
+                     ra2 - na * (na + 1) AS u2,
+                     na * nb / 12.0
+                     * (((na + nb) + 1)
+                        - ties / ((na + nb) * ((na + nb) - 1)))
+                       AS var,
+                     (na > 0 AND nb > 0
+                      AND CAST(na AS DOUBLE) * nb
+                          < 9007199254740992.0) AS ok
+              FROM agg),
+        zz AS (SELECT u.*,
+                      (u2 - na * nb) / (2.0 * sqrt(var)) AS z
+               FROM u),
+        pp AS (SELECT zz.*, abs(z) / sqrt(2.0) AS x,
+                      1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))
+                        AS tt
+               FROM zz)
+        SELECT s AS prio, CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               round(CASE WHEN ok THEN u2 / 2.0 END, 6) AS u_stat,
+               round(CASE WHEN ok AND var > 0 THEN z END, 6) AS z,
+               round(CASE WHEN ok AND var > 0 THEN
+                 least(1.0, greatest(0.0,
+                   tt * (0.254829592 + tt * (-0.284496736
+                     + tt * (1.421413741 + tt * (-1.453152027
+                     + tt * 1.061405429)))) * exp(-x * x))) END, 6)
+                 AS p_value
+        FROM pp""",
+    "holm_docs": """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN CAST((doc_id * 37) % 1009 AS DOUBLE)
+                           / 1009.0 / 50.0
+                      ELSE CAST((doc_id * 37) % 1009 AS DOUBLE)
+                           / 1009.0 END AS p
+          FROM documents),
+        r AS (SELECT doc_id, p,
+                     row_number() OVER (ORDER BY p, doc_id) AS rank,
+                     count(*) OVER () AS m
+              FROM t),
+        k AS (SELECT coalesce(
+                min(CASE WHEN p * (CAST(m AS DOUBLE) - rank + 1)
+                         > 0.05 THEN rank END) - 1,
+                (SELECT count(*) FROM t)) AS k
+              FROM r)
+        SELECT r.doc_id, r.p, CAST(r.rank AS BIGINT) AS rank,
+               r.rank <= k.k AS rejected
+        FROM r, k ORDER BY r.rank""",
+    "by_fdr_docs": """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN CAST((doc_id * 37) % 1009 AS DOUBLE)
+                           / 1009.0 / 50.0
+                      ELSE CAST((doc_id * 37) % 1009 AS DOUBLE)
+                           / 1009.0 END AS p
+          FROM documents),
+        r AS (SELECT doc_id, p,
+                     row_number() OVER (ORDER BY p, doc_id) AS rank,
+                     count(*) OVER () AS m
+              FROM t),
+        cm AS (SELECT list_sum(list_transform(
+                 generate_series(1, (SELECT max(m) FROM r)),
+                 i -> 1.0 / i)) AS cm),
+        k AS (SELECT coalesce(max(CASE WHEN
+                r.p * CAST(r.m AS DOUBLE) * cm.cm
+                  <= r.rank * 0.05 THEN r.rank END), 0) AS k
+              FROM r, cm)
+        SELECT r.doc_id, r.p, CAST(r.rank AS BIGINT) AS rank,
+               r.rank <= k.k AS rejected
+        FROM r, k ORDER BY r.rank""",
     "chi2_orders": _chi2_tail_oracle(
         _CHI2_PREP,
         keep=("n", "r", "c", "chi2", "dofd"),

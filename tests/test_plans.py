@@ -434,3 +434,27 @@ def test_round7b_plan_shapes(plans):
         p = plans(name)
         assert "Window" not in p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_welch_sliced_exact_tail_plan_one_exchange(plans):
+    """The sliced Welch sweep with the exact-tail layers must still be
+    ONE conditional-aggregate scan: exactly the aggregation's own
+    exchange pair (partial -> final), no joins, no extra shuffles —
+    the ~56 incomplete-beta layers are pure projections Catalyst
+    keeps in one stage."""
+    p = plans("welch_sliced_orders")
+    assert p.count("Exchange") <= 2
+    assert "Join" not in p and "Cartesian" not in p
+    assert "HashAggregate" in p
+
+
+def test_tost_sliced_bounded_exchanges(plans):
+    """tost_sliced's two staged tail chains ride a checkpointed
+    BOUNDED per-slice table: the only shuffle is the per-slice
+    aggregation before the checkpoint; everything after is
+    projection."""
+    p = plans("tost_sliced_orders")
+    # post-checkpoint plan: projections over the scanned checkpoint,
+    # no joins, no aggregation re-shuffles
+    assert "Join" not in p and "Cartesian" not in p
+    assert p.count("Exchange") <= 2

@@ -642,3 +642,113 @@ def test_audio_timing_sig_catches_reencode_and_retag(spark):
     assert (1, 2) in pairs and (3, 4) in pairs
     assert not any((a in p) and (b in p)
                    for p in pairs for a in (1, 2) for b in (3, 4))
+
+
+def test_mixed_family_timing_index_in_delta(spark, tmp_path):
+    """ONE persisted timing-kind index over a MIXED corpus (MP4 +
+    WebM + MP3): a delta holding a same-fps WebM re-encode and a
+    same-grid MP3 re-encode hits each corpus twin at O(delta), and no
+    pair crosses container families (kind rides the block key) —
+    the r12 dispatch threaded through the existing index machinery
+    unchanged."""
+    from tap_airbyte_wrapper_spark.functions import (
+        media_dedup_delta, media_sig_index_write, mkv_stub, mp3_stub)
+    from tests.test_round11_ops import _mp4_asset, _vfr_deltas
+
+    stamps = _mkv_vfr_stamps()
+    corpus = spark.createDataFrame(
+        [(1, _mp4_asset(_vfr_deltas(), seed=1)),
+         (2, mkv_stub(640, 360, 4000.0, block_timestamps_ms=stamps,
+                      essence_seed=2)),
+         (3, mp3_stub(120, essence_seed=3))],
+        "id long, m binary")
+    path = str(tmp_path / "mixix")
+    spark.sql("DROP TABLE IF EXISTS mixix_segs")
+    spark.sql("DROP TABLE IF EXISTS mixix_tombstones")
+    media_sig_index_write(corpus, "mixix", path, "id", "m",
+                          sig_kind="timing")
+    delta = spark.createDataFrame(
+        [(12, mkv_stub(640, 360, 4000.0, block_timestamps_ms=stamps,
+                       essence_seed=9)),       # webm re-encode of 2
+         (13, mp3_stub(120, essence_seed=8))],  # mp3 re-encode of 3
+        "id long, m binary")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             media_dedup_delta(delta, "mixix", path, "id",
+                               "m").collect()}
+    assert pairs == {(12, 2), (13, 3)}
+
+
+# ---------------------------------------------------------------------
+# sweep-family completion: sliced Mann-Whitney + Holm / BY corrections
+# ---------------------------------------------------------------------
+
+def test_mann_whitney_sliced_row_equals_scalar(spark):
+    """Each slice row == mann_whitney_u on that slice alone (the
+    integer-exact rank core survives slicing bit-for-bit); the row
+    inventory matches the other sweeps; one-group slices keep their
+    row with null statistics."""
+    import random
+
+    from tap_airbyte_wrapper_spark.operators import (
+        mann_whitney_sliced, mann_whitney_u)
+
+    random.seed(5)
+    rows = []
+    for s in ["s1", "s2"]:
+        for g, mu in [("a", 10.0), ("b", 12.0)]:
+            rows += [(s, g, float(round(mu + random.gauss(0, 3))))
+                     for _ in range(30)]
+    rows += [("s3", "a", 5.0)]
+    rows += [("s4", "zz", 1.0)]     # no relevant rows -> absent
+    df = spark.createDataFrame(rows, "sl string, g string, v double")
+    sl = {r["sl"]: r for r in mann_whitney_sliced(
+        df, "v", "g", "a", "b", "sl").collect()}
+    assert sorted(sl) == ["s1", "s2", "s3"]
+    for s in ("s1", "s2"):
+        ref = mann_whitney_u(df.filter(F.col("sl") == s),
+                             "v", "g", "a", "b").first()
+        got = sl[s]
+        for m in ("n_a", "n_b", "u_stat", "z", "p_value"):
+            assert got[m] == ref[m], (s, m)
+    assert sl["s3"]["n_b"] == 0 and sl["s3"]["p_value"] is None
+    # all-tied slice: u reported, z/p null (variance degenerates)
+    tied = spark.createDataFrame(
+        [("t", "a", 5.0)] * 4 + [("t", "b", 5.0)] * 4,
+        "sl string, g string, v double")
+    row = mann_whitney_sliced(tied, "v", "g", "a", "b",
+                              "sl").collect()[0]
+    assert row["u_stat"] is not None and row["z"] is None
+
+
+def test_holm_by_bh_nested_rejections(spark):
+    """On one p table: BY rejects a SUBSET of BH (its threshold is
+    BH's divided by the harmonic c(m) — strictly stricter), and the
+    Holm step-down stops at the FIRST failure even when a later p
+    would pass its own threshold (the step-down monotonicity BH
+    does not have)."""
+    from tap_airbyte_wrapper_spark.operators import (
+        benjamini_yekutieli, bh_fdr, holm_bonferroni)
+
+    ps = [0.001, 0.008, 0.012, 0.02, 0.04, 0.2, 0.5, 0.9]
+    pdf = spark.createDataFrame(list(enumerate(ps)),
+                                "id long, p double")
+    bh = {r["id"]: r["rejected"] for r in
+          bh_fdr(pdf, "p", "id").collect()}
+    hb = {r["id"]: r["rejected"] for r in
+          holm_bonferroni(pdf, "p", "id").collect()}
+    by = {r["id"]: r["rejected"] for r in
+          benjamini_yekutieli(pdf, "p", "id").collect()}
+    # Holm thresholds: .05/8=.00625 (pass), .05/7=.00714 (.008 fails)
+    assert [hb[i] for i in range(8)] == [True] + [False] * 7
+    assert [bh[i] for i in range(8)] == [True] * 4 + [False] * 4
+    assert all((not by[i]) or bh[i] for i in range(8))
+    # all-pass / all-fail edges + alpha guard
+    import pytest as _pt
+    with _pt.raises(ValueError, match="alpha"):
+        holm_bonferroni(pdf, "p", "id", alpha=1.5)
+    with _pt.raises(ValueError, match="alpha"):
+        benjamini_yekutieli(pdf, "p", "id", alpha=0.0)
+    allpass = spark.createDataFrame(
+        [(i, 1e-6) for i in range(5)], "id long, p double")
+    assert all(r["rejected"] for r in
+               holm_bonferroni(allpass, "p", "id").collect())
