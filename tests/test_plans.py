@@ -458,3 +458,18 @@ def test_tost_sliced_bounded_exchanges(plans):
     # no joins, no aggregation re-shuffles
     assert "Join" not in p and "Cartesian" not in p
     assert p.count("Exchange") <= 2
+
+
+def test_mw_sliced_partitioned_prefix_no_global_sort(plans):
+    """The sliced Mann-Whitney's rank prefix is a window PARTITIONED
+    by the slice — the per-slice aggregation reuses that partitioning,
+    so the whole sweep is bounded shuffles and never a single-task
+    global sort; no joins anywhere."""
+    p = plans("mw_sliced_orders")
+    assert "Join" not in p and "Cartesian" not in p
+    # two real exchanges — the (slice,value) count agg and the
+    # slice repartition for the prefix window; the per-slice agg
+    # REUSES the window's partitioning (no third); the formatted
+    # plan names each exchange twice (tree + operator detail)
+    assert p.count("Exchange") <= 4
+    assert "Window" in p
