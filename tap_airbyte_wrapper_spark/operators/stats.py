@@ -1389,9 +1389,11 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
     fires: the omnibus F says "some group mean differs", this one says
     WHICH pairs, one row per unordered group pair, ready to feed
     :func:`bh_fdr` on ``p_value`` (the standard BH-corrected pairwise
-    protocol; Games-Howell's studentized-range tail is not portably
-    expressible, and BH over Welch p's is the accepted conservative
-    substitute — stated).
+    protocol; Games-Howell's studentized-range tail is not emitted
+    here YET — its 2-D fixed-node quadrature is the same
+    fixed-depth-kernel treatment that made the t/F/chi-square tails
+    exact this round, and is the natural next step — so BH over
+    Welch p's is the stated conservative substitute meanwhile).
 
     Plan: the SAME single conditional-aggregate scan as
     :func:`welch_anova` (one k-row group table), then all k(k-1)/2
