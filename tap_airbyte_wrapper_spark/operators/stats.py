@@ -53,7 +53,7 @@ __all__ = ["ks_test", "ks_test_sliced", "mann_whitney_u",
            "mann_whitney_sliced", "welch_t_test", "welch_t_sliced", "tost_equivalence",
            "tost_sliced", "holm_bonferroni", "benjamini_yekutieli",
            "min_detectable_effect",
-           "chi_square_independence", "bootstrap_ci", "autocorrelation",
+           "chi_square_independence", "fisher_exact_2x2", "bootstrap_ci", "autocorrelation",
            "jarque_bera", "proportion_z_test", "seasonal_decompose",
            "bh_fdr", "mutual_information", "wilcoxon_signed_rank",
            "paired_t_test", "wasserstein_1d", "kruskal_wallis",
@@ -823,6 +823,109 @@ def chi_square_independence(df: DataFrame, col_x: str,
         f"CAST({c} AS BIGINT) AS n_cols, "
         f"{_d(chi2)} AS chi2, CAST({dof} AS BIGINT) AS dof, "
         f"{_d(v)} AS cramers_v, {_d(p)} AS p_value")
+
+
+def fisher_exact_2x2(df: DataFrame, col_x: str, col_y: str,
+                     max_support: int = 100_000) -> DataFrame:
+    """Fisher's EXACT test for a 2x2 contingency of two boolean
+    columns — the small-expected-cell complement of
+    :func:`chi_square_independence` (whose chi-square null is an
+    asymptotic approximation that collapses exactly where a rare-flag
+    x rare-flag audit lives: expected cells < 5).  Conditional on both
+    margins, cell ``a`` is hypergeometric; p-values are SUMS of exact
+    hypergeometric point probabilities, no distributional
+    approximation at all (Fisher 1935 — the lady-tasting-tea design).
+
+    Conventions (the R ``fisher.test`` ones, so results are
+    comparable to every published analysis): ``p_two_sided`` sums all
+    tables whose point probability is <= the observed table's times
+    (1 + 1e-7) (the standard relative-error tolerance for float
+    ties); ``p_greater``/``p_less`` are the one-sided tail sums on
+    cell a; ``odds_ratio`` is the SAMPLE odds ratio ad/bc (null when
+    b*c = 0), not the conditional MLE.
+
+    Plan: ONE conditional-aggregate scan to the four cells; the
+    hypergeometric support walk (kmax - kmin + 1 <= min(margins) + 1
+    terms) runs driver-side on log-gamma arithmetic
+    (:func:`~.tails.lgamma_lanczos` — the oracle replays the same
+    Lanczos text inside an ascending generate_series sum, so the two
+    engines add the same doubles in the same order).  ``max_support``
+    refuses pathologically balanced huge tables (where the exact sum
+    is large AND the chi-square approximation is already excellent —
+    the refusal message says so); rare-flag audits live at support
+    sizes in the hundreds.  Output: ONE row ``(n11, n12, n21, n22,
+    odds_ratio, p_two_sided, p_greater, p_less)``."""
+    from .tails import lgamma_lanczos as _lg
+
+    spark = df.sparkSession
+    x = F.col(col_x).cast("boolean")
+    y = F.col(col_y).cast("boolean")
+    row = (df.filter(x.isNotNull() & y.isNotNull())
+           .agg(F.sum(F.when(x & y, 1).otherwise(0)).alias("a"),
+                F.sum(F.when(x & ~y, 1).otherwise(0)).alias("b"),
+                F.sum(F.when(~x & y, 1).otherwise(0)).alias("c"),
+                F.sum(F.when(~x & ~y, 1).otherwise(0)).alias("d"))
+           .first())
+    a, b, c, d = (int(row["a"] or 0), int(row["b"] or 0),
+                  int(row["c"] or 0), int(row["d"] or 0))
+    r1, r2, c1 = a + b, c + d, a + c
+    n = r1 + r2
+    kmin, kmax = max(0, c1 - r2), min(r1, c1)
+
+    def _fmt(v):
+        return ("CAST(NULL AS DOUBLE)" if v is None
+                else f"round(CAST({float(v)!r} AS DOUBLE), 6)")
+
+    if n == 0 or r1 == 0 or r2 == 0 or c1 == 0 or c1 == n:
+        # a degenerate margin: every table equals the observed one
+        orat = (a * d) / (b * c) if b * c > 0 else None
+        return spark.sql(
+            f"SELECT CAST({a} AS BIGINT) AS n11, "
+            f"CAST({b} AS BIGINT) AS n12, "
+            f"CAST({c} AS BIGINT) AS n21, "
+            f"CAST({d} AS BIGINT) AS n22, "
+            f"{_fmt(orat)} AS odds_ratio, "
+            "round(CAST(1.0 AS DOUBLE), 6) AS p_two_sided, "
+            "round(CAST(1.0 AS DOUBLE), 6) AS p_greater, "
+            "round(CAST(1.0 AS DOUBLE), 6) AS p_less")
+    if kmax - kmin + 1 > max_support:
+        raise ValueError(
+            f"fisher_exact_2x2: hypergeometric support has "
+            f"{kmax - kmin + 1} tables (> max_support={max_support}). "
+            "At margins this large and balanced the chi-square "
+            "approximation (chi_square_independence.p_value, exact "
+            "incomplete-gamma tail) is already accurate; Fisher's "
+            "exact sum is for the small-expected-cell regime.")
+    lden = _lg(n + 1.0) - _lg(c1 + 1.0) - _lg(n - c1 + 1.0)
+
+    def logp(k):
+        return (_lg(r1 + 1.0) - _lg(k + 1.0) - _lg(r1 - k + 1.0)
+                + _lg(r2 + 1.0) - _lg(c1 - k + 1.0)
+                - _lg(r2 - c1 + k + 1.0) - lden)
+
+    p_obs = math.exp(logp(a))
+    thresh = p_obs * (1.0 + 1e-7)
+    p_two = p_ge = p_le = 0.0
+    for k in range(kmin, kmax + 1):
+        pk = math.exp(logp(k))
+        if pk <= thresh:
+            p_two = p_two + pk
+        if k >= a:
+            p_ge = p_ge + pk
+        if k <= a:
+            p_le = p_le + pk
+    p_two, p_ge, p_le = (min(1.0, p_two), min(1.0, p_ge),
+                         min(1.0, p_le))
+    orat = (a * d) / (b * c) if b * c > 0 else None
+    return spark.sql(
+        f"SELECT CAST({a} AS BIGINT) AS n11, "
+        f"CAST({b} AS BIGINT) AS n12, "
+        f"CAST({c} AS BIGINT) AS n21, "
+        f"CAST({d} AS BIGINT) AS n22, "
+        f"{_fmt(orat)} AS odds_ratio, "
+        f"{_fmt(p_two)} AS p_two_sided, "
+        f"{_fmt(p_ge)} AS p_greater, "
+        f"{_fmt(p_le)} AS p_less")
 
 
 # Poisson(1) inverse-CDF thresholds: cumulative exp(-1)/k! for k=0..8

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.tails import ibeta_chain_sql as _ibeta_chain
 from ..operators.tails import igamma_chain_sql as _igamma_chain
+from ..operators.tails import lgamma_sql as _lgamma_sql
 
 from ..functions import (
     bpe_token_estimate,
@@ -2299,6 +2300,19 @@ def q_bh_fdr(spark, sf_dir):
     return bh_fdr(docs, "p", "doc_id", alpha=0.05)
 
 
+def q_fisher(spark, sf_dir):
+    """Fisher's exact 2x2 on (order is PENDING) x (order is URGENT):
+    the exact-inference complement of chi2_orders — no asymptotic
+    null at all; the oracle replays the same hypergeometric
+    log-gamma sum term by term."""
+    from ..operators import fisher_exact_2x2
+
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "P").alias("pending"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"))
+    return fisher_exact_2x2(orders, "pending", "urgent")
+
+
 def q_mw_sliced(spark, sf_dir):
     """Per-priority Mann-Whitney sweep (open-vs-finished quantized
     order totals within each priority) — the nonparametric member of
@@ -4085,6 +4099,7 @@ QUERIES = {
     "mw_sliced_orders": q_mw_sliced,
     "holm_docs": q_holm,
     "by_fdr_docs": q_by_fdr,
+    "fisher_orders": q_fisher,
     "mann_whitney_orders": q_mann_whitney,
     "welch_events": q_welch,
     "tost_events": q_tost,
@@ -4329,15 +4344,16 @@ _R12_WINDOW = [
     "tost_events", "tost_sliced_orders", "paired_t_docs",
     "welch_anova_orders", "brown_forsythe_orders",
     "pairwise_welch_orders", "kruskal_orders", "chi2_orders",
-    "mw_sliced_orders", "holm_docs", "by_fdr_docs",
-    # (d) 11 r08 rows (alphabetical + the bench watch-list swap;
-    # corpus_curation / corr_lineitem / cube_event_day displaced by
-    # the three new entries above — r13 seed alongside the other 31)
+    "mw_sliced_orders", "holm_docs", "by_fdr_docs", "fisher_orders",
+    # (d) 10 r08 rows (alphabetical + the bench watch-list swap;
+    # corpus_curation / corr_lineitem / cube_event_day /
+    # customers_with_orders displaced by the four new entries above —
+    # r13 seed alongside the other 31)
     "anomaly_events", "asof_purchase_view", "bm25_index_docs",
     "boilerplate_removal_docs", "brand_revenue",
     "canonical_url_docs", "centroid_assign",
     "clickers_not_purchasers", "containment_pairs_docs",
-    "customers_with_orders", "dsir_weights_docs",
+    "dsir_weights_docs",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R12_WINDOW},
@@ -4772,6 +4788,71 @@ _PAIRWISE_WELCH_PREP = """(
                / (wa * wa / (na - 1) + wb * wb / (nb - 1)) AS dof
         FROM pr)"""
 
+
+
+
+def _fisher_oracle_sql() -> str:
+    """fisher_orders oracle: the exact hypergeometric sum with the
+    SAME Lanczos lgamma text and the same ascending-k summation order
+    as the op's driver-side loop (tails.lgamma_lanczos mirrored by
+    tails.lgamma_sql)."""
+    def lg(e):
+        return _lgamma_sql(e)
+
+    lpk = (f"({lg('r1 + 1.0')} - {lg('k + 1.0')}"
+           f" - {lg('r1 - k + 1.0')}"
+           f" + {lg('r2 + 1.0')} - {lg('c1 - k + 1.0')}"
+           f" - {lg('r2 - c1 + k + 1.0')} - lden)")
+    lpa = (f"({lg('r1 + 1.0')} - {lg('a + 1.0')}"
+           f" - {lg('r1 - a + 1.0')}"
+           f" + {lg('r2 + 1.0')} - {lg('c1 - a + 1.0')}"
+           f" - {lg('r2 - c1 + a + 1.0')} - lden)")
+    return f"""
+        WITH t AS (
+          SELECT o_orderstatus = 'P' AS x,
+                 o_orderpriority = '1-URGENT' AS y
+          FROM orders
+          WHERE o_orderstatus IS NOT NULL
+            AND o_orderpriority IS NOT NULL),
+        agg AS (SELECT
+                  CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0
+                    END) AS BIGINT) AS d
+                FROM t),
+        m AS (SELECT a, b, c, d, a + b AS r1, c + d AS r2,
+                     a + c AS c1, a + b + c + d AS n
+              FROM agg),
+        den AS (SELECT m.*,
+                       ({lg('n + 1.0')} - {lg('c1 + 1.0')}
+                        - {lg('n - c1 + 1.0')}) AS lden,
+                       greatest(0, c1 - r2) AS kmin,
+                       least(r1, c1) AS kmax
+                FROM m),
+        po AS (SELECT den.*, exp({lpa}) AS p_obs FROM den),
+        sums AS (SELECT po.*,
+          list_sum(list_transform(generate_series(kmin, kmax),
+            k -> CASE WHEN exp({lpk}) <= p_obs * (1.0 + 1e-7)
+                 THEN exp({lpk}) ELSE 0.0 END)) AS s_two,
+          list_sum(list_transform(generate_series(kmin, kmax),
+            k -> CASE WHEN k >= a THEN exp({lpk}) ELSE 0.0 END))
+            AS s_ge,
+          list_sum(list_transform(generate_series(kmin, kmax),
+            k -> CASE WHEN k <= a THEN exp({lpk}) ELSE 0.0 END))
+            AS s_le
+          FROM po)
+        SELECT CAST(a AS BIGINT) AS n11, CAST(b AS BIGINT) AS n12,
+               CAST(c AS BIGINT) AS n21, CAST(d AS BIGINT) AS n22,
+               round(CASE WHEN b * c > 0 THEN
+                 (a * d) / (b * c) END, 6) AS odds_ratio,
+               round(least(1.0, s_two), 6) AS p_two_sided,
+               round(least(1.0, s_ge), 6) AS p_greater,
+               round(least(1.0, s_le), 6) AS p_less
+        FROM sums"""
 
 
 def _chi2_tail_oracle(prep: str, keep: tuple, final: str,
@@ -7307,6 +7388,7 @@ ORACLES = {
         SELECT r.doc_id, r.p, CAST(r.rank AS BIGINT) AS rank,
                r.rank <= k.k AS rejected
         FROM r, k ORDER BY r.rank""",
+    "fisher_orders": _fisher_oracle_sql(),
     "by_fdr_docs": """
         WITH t AS (
           SELECT doc_id,

@@ -752,3 +752,46 @@ def test_holm_by_bh_nested_rejections(spark):
         [(i, 1e-6) for i in range(5)], "id long, p double")
     assert all(r["rejected"] for r in
                holm_bonferroni(allpass, "p", "id").collect())
+
+
+def test_fisher_exact_hand_pins(spark):
+    """Fully hand-derivable hypergeometric pins: the lady-tasting-tea
+    extreme table [[4,0],[0,4]] (one-sided 1/70, two-sided 2/70),
+    [[3,1],[1,3]] (two-sided 34/70 = 0.485714 — the textbook
+    fisher.test value; OR = 9), a symmetric null table (p = 1), the
+    degenerate-margin contract, large-count agreement with the exact
+    chi-square tail, and the balanced-huge-table refusal."""
+    from pyspark.sql import functions as _F
+
+    from tap_airbyte_wrapper_spark.operators import (
+        chi_square_independence, fisher_exact_2x2)
+
+    def table(a, b, c, d):
+        rows = ([(True, True)] * a + [(True, False)] * b
+                + [(False, True)] * c + [(False, False)] * d)
+        return spark.createDataFrame(rows, "x boolean, y boolean")
+
+    r = fisher_exact_2x2(table(4, 0, 0, 4), "x", "y").first()
+    assert r["p_greater"] == pytest.approx(1 / 70, abs=1e-6)
+    assert r["p_two_sided"] == pytest.approx(2 / 70, abs=1e-6)
+    assert r["odds_ratio"] is None  # b*c == 0
+    r = fisher_exact_2x2(table(3, 1, 1, 3), "x", "y").first()
+    assert r["p_two_sided"] == pytest.approx(34 / 70, abs=1e-6)
+    assert r["p_greater"] == pytest.approx(17 / 70, abs=1e-6)
+    assert r["odds_ratio"] == 9.0
+    assert fisher_exact_2x2(
+        table(5, 5, 5, 5), "x", "y").first()["p_two_sided"] == 1.0
+    assert fisher_exact_2x2(
+        table(3, 2, 0, 0), "x", "y").first()["p_two_sided"] == 1.0
+    # large counts: Fisher and the exact-gamma chi-square tail agree
+    # to ~1e-3 (the asymptotic regime where both are valid)
+    big = table(300, 200, 220, 280)
+    pf = fisher_exact_2x2(big, "x", "y").first()["p_two_sided"]
+    pc = chi_square_independence(big, "x", "y").first()["p_value"]
+    assert pf == pytest.approx(pc, abs=2e-3)
+    # refusal on balanced huge margins
+    huge = spark.range(100000).select(
+        (_F.col("id") % 2 == 0).alias("x"),
+        (_F.col("id") % 3 == 0).alias("y"))
+    with pytest.raises(ValueError, match="max_support"):
+        fisher_exact_2x2(huge, "x", "y", max_support=100)
