@@ -82,7 +82,11 @@ def main() -> int:
             continue
         ratio = b / a if a > 0 else float("inf")
         norm = ratio / anchor
-        if ratio >= args.threshold or ratio <= 1 / args.threshold:
+        # Gate on raw OR normalized: a genuine regression masked by a
+        # box speedup (anchor 0.8x, raw 1.4x, norm 1.75x) must still
+        # enter `rows` or the CI exit code misses it (round-12 ADVICE).
+        if (ratio >= args.threshold or ratio <= 1 / args.threshold
+                or norm >= args.threshold):
             rows.append((ratio, norm, name, a, b))
         if norm >= args.ab_threshold:
             watch.append((norm, ratio, name, a, b))

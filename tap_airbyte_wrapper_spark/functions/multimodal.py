@@ -827,6 +827,40 @@ def video_timing_sig(col: Column, window_samples: int = 4,
     return _windowed_timing_sig(col, window_samples, containers)
 
 
+# Timing-signature ALGORITHM version, stamped into the persisted
+# sig_kind='timing' index meta so probes/appends refuse a stale index
+# instead of silently comparing incompatible hamming spaces.  v1 was
+# the round-11 draft (variable n//64 windows over up to 65536 samples,
+# MP4-only); v2 is the round-12+ shape (FIXED window_samples over a
+# 64*window_samples-sample prefix, container dispatch via
+# media_timing_sig).  Bump on any change to _windowed_timing_sig's
+# bit construction or _timing_deltas_us's container coverage.
+TIMING_SIG_VERSION = 2
+# window_samples used by the persisted index path (_media_blocked_sigs
+# calls media_timing_sig at its default); recorded in meta alongside
+# the version so a future parameterization also refuses on mismatch.
+TIMING_SIG_WINDOW_SAMPLES = 4
+
+
+def _check_timing_sig_meta(meta: dict) -> None:
+    """Refuse to probe/append a ``sig_kind='timing'`` index whose
+    recorded signature algorithm differs from the running code —
+    comparing new-algorithm sigs to old-algorithm sigs would silently
+    miss every duplicate instead of failing (round-12 ADVICE)."""
+    if meta.get("sig_kind", "window") != "timing":
+        return
+    ver = meta.get("timing_sig_version")
+    ws = meta.get("window_samples")
+    if ver != TIMING_SIG_VERSION or ws != TIMING_SIG_WINDOW_SAMPLES:
+        raise ValueError(
+            f"timing index was written with sig algorithm version "
+            f"{ver!r} (window_samples={ws!r}) but this build computes "
+            f"version {TIMING_SIG_VERSION} "
+            f"(window_samples={TIMING_SIG_WINDOW_SAMPLES}); signatures "
+            f"are not comparable across algorithm versions — rebuild "
+            f"the index with media_sig_index_write")
+
+
 def _windowed_timing_sig(col: Column, window_samples: int,
                          containers: tuple) -> Column:
     """Shared kernel: fixed-window md5-parity bits over the
@@ -1163,13 +1197,16 @@ def media_sig_index_write(
         .write.bucketBy(n_buckets, "seg_key").sortBy("seg_key")
         .option("path", _os.path.join(path, "segs"))
         .mode("overwrite").saveAsTable(f"{table_name}_segs"))
+    meta = {"id_col": id_col, "chunks": chunks,
+            "max_hamming": max_hamming, "n_buckets": n_buckets,
+            "duration_bucket_s": duration_bucket_s,
+            "n_windows": n_windows, "window": window,
+            "stride": stride, "sig_kind": sig_kind}
+    if sig_kind == "timing":
+        meta["timing_sig_version"] = TIMING_SIG_VERSION
+        meta["window_samples"] = TIMING_SIG_WINDOW_SAMPLES
     _write_text(spark, _os.path.join(path, "_index_meta.json"),
-                _json.dumps({
-                    "id_col": id_col, "chunks": chunks,
-                    "max_hamming": max_hamming, "n_buckets": n_buckets,
-                    "duration_bucket_s": duration_bucket_s,
-                    "n_windows": n_windows, "window": window,
-                    "stride": stride, "sig_kind": sig_kind}))
+                _json.dumps(meta))
 
 
 def media_dedup_delta(
@@ -1199,6 +1236,7 @@ def media_dedup_delta(
     spark = delta.sparkSession
     meta = _json.loads(
         _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    _check_timing_sig_meta(meta)
     hmax = meta["max_hamming"] if max_hamming is None else max_hamming
     if hmax > meta["max_hamming"]:
         raise ValueError(
@@ -1261,6 +1299,7 @@ def media_sig_index_append(
     spark = delta.sparkSession
     meta = _json.loads(
         _read_text(spark, _os.path.join(path, "_index_meta.json")))
+    _check_timing_sig_meta(meta)
     if meta["id_col"] != id_col:
         raise ValueError(
             f"index was built on id column {meta['id_col']!r}, "

@@ -371,7 +371,12 @@ def mann_whitney_sliced(df: DataFrame, value_col: str,
                       - F.col("__c")).alias("ties")))
     na, nb = F.col("na"), F.col("nb")
     n = na + nb
-    ok = (na > 0) & (nb > 0) & (na * nb < F.lit(2.0 ** 53))
+    # Cast BEFORE multiplying: long*long can wrap at extreme per-slice
+    # counts (silently passing the guard in non-ANSI mode) and the
+    # DuckDB oracle spells CAST(na AS DOUBLE) * nb — same computation
+    # on both engines (round-12 ADVICE).
+    ok = ((na > 0) & (nb > 0)
+          & (na.cast("double") * nb < F.lit(2.0 ** 53)))
     u2 = F.col("ra2") - na * (na + 1)
     var = (na * nb / 12.0
            * ((n + 1) - F.col("ties") / (n * (n - 1))))

@@ -160,7 +160,15 @@ def t_sf1(t: float, dof: float) -> float:
 
 
 def f_sf(f_stat: float, df1: float, df2: float) -> float:
-    """Exact F upper tail ``P(F_{df1,df2} > f)``."""
+    """Exact F upper tail ``P(F_{df1,df2} > f)``.
+
+    The ``f_stat <= 0`` guard returns 1.0 (the whole mass is above a
+    nonpositive F) — note the chain spelling has NO such guard and
+    maps ``f < -df2/df1`` (x < 0) to 0.0 via the x0 <= 0 boundary
+    CASE; see :func:`ibeta_layer_exprs`'s boundary-contract note.
+    Divergence is unreachable for current callers (F >= 0 by
+    construction) — clamp the statistic in the spec text if that ever
+    changes."""
     if f_stat <= 0:
         return 1.0
     x = df2 / (df2 + df1 * f_stat)
@@ -358,7 +366,20 @@ def ibeta_layer_exprs(specs, keep: tuple) -> list:
     ``__h = h0 * prod_{i<k}(d_i c_i)`` with the identical
     left-to-right multiplication order, and the seed ``(1.0 * d0) *
     c0`` with ``c0 = 1.0`` equals ``d0`` exactly (IEEE x * 1.0 = x);
-    the final layer folds the last (d, c) in."""
+    the final layer folds the last (d, c) in.
+
+    BOUNDARY CONTRACT for x < 0 (round-12 ADVICE): the final CASE
+    maps EVERY x0 <= 0 to 0.0 — i.e. it treats x < 0 as "CDF is 0",
+    which for an F-statistic spelling ``x = df2/(df2 + df1*f)`` fires
+    only when ``f < -df2/df1``, where the Python :func:`f_sf` guard
+    instead returns the OPPOSITE tail (1.0 for any f <= 0).  This is
+    unreachable for every current caller (F statistics are
+    nonnegative sums of squares; t spellings produce x in [0, 1] by
+    construction), but a spec whose statistic can go negative MUST
+    clamp it nonnegative in the spec's ``x`` expression text (e.g.
+    ``greatest(f, 0.0)`` / ``GREATEST(f, 0.0)`` — same text both
+    engines) before riding these layers, or the chain and the Python
+    scalar will diverge at the boundary."""
     kp = list(keep)
     ks = [f"__k{i}" for i in range(len(specs))]
     l0, l1, l2, l3 = [], [], [], []
