@@ -47,7 +47,8 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from .tails import apply_ibeta_layers, chi2_sf as _chi2_sf, \
-    f_sf as _f_sf, t_sf1 as _t_sf1, t_sf2 as _t_sf2
+    f_sf as _f_sf, ptukey_sf as _ptukey_sf, t_sf1 as _t_sf1, \
+    t_sf2 as _t_sf2
 
 __all__ = ["ks_test", "ks_test_sliced", "mann_whitney_u",
            "mann_whitney_sliced", "welch_t_test", "welch_t_sliced", "tost_equivalence",
@@ -1495,13 +1496,18 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
                    max_groups: int = 100) -> DataFrame:
     """All-pairs Welch t — the POST-HOC drill after :func:`welch_anova`
     fires: the omnibus F says "some group mean differs", this one says
-    WHICH pairs, one row per unordered group pair, ready to feed
-    :func:`bh_fdr` on ``p_value`` (the standard BH-corrected pairwise
-    protocol; Games-Howell's studentized-range tail is not emitted
-    here YET — its 2-D fixed-node quadrature is the same
-    fixed-depth-kernel treatment that made the t/F/chi-square tails
-    exact this round, and is the natural next step — so BH over
-    Welch p's is the stated conservative substitute meanwhile).
+    WHICH pairs, one row per unordered group pair.  Two corrected
+    protocols ride the output (round 13): feed ``p_value`` to
+    :func:`bh_fdr` (FDR control, the BH-over-Welch protocol), or read
+    ``p_gh`` directly — the GAMES-HOWELL familywise p (Games & Howell
+    1976): the studentized-range tail ``P(Q_{k, dof} > |t|*sqrt(2))``
+    with the pair's own Welch-Satterthwaite dof and ``k`` = the
+    number of groups in the family, evaluated EXACTLY by
+    :func:`~.tails.ptukey_sf`'s fixed-node quadrature (same
+    fixed-depth contract as the t/F/chi-square tails; the DuckDB
+    oracle replays the identical node sums).  ``p_gh >= p_value``
+    always (range of k covers the pair; equality in the k = 2 limit
+    where Q = |T|*sqrt(2) exactly — both pinned in tests).
 
     Plan: the SAME single conditional-aggregate scan as
     :func:`welch_anova` (one k-row group table), then all k(k-1)/2
@@ -1514,11 +1520,14 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
 
     Per pair: Welch t / Welch-Satterthwaite df / two-sided EXACT
     Student-t p (same contract as :func:`welch_t_test`; pinned equal
-    in tests).  Groups need ``n_j >= 2`` and positive variance;
-    pairs where either side degenerates report their means with null
-    statistics.  Output:
-    ``(group_a, group_b, n_a, n_b, mean_a, mean_b, t_stat, dof,
-    p_value)`` ordered by (group_a, group_b)."""
+    in tests) plus ``q_stat = |t| * sqrt(2)`` and the exact
+    Games-Howell ``p_gh``.  Groups need ``n_j >= 2`` and positive
+    variance; pairs where either side degenerates report their means
+    with null statistics.  ``k`` counts every group that entered the
+    pair table (including degenerate ones — they are part of the
+    comparison family even when their own pairs are untestable).
+    Output: ``(group_a, group_b, n_a, n_b, mean_a, mean_b, t_stat,
+    dof, p_value, q_stat, p_gh)`` ordered by (group_a, group_b)."""
     spark = df.sparkSession
     per_group = (df.filter(F.col(value_col).isNotNull()
                            & F.col(group_col).isNotNull())
@@ -1544,12 +1553,13 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
     rows = sorted(((str(r["__g"]), int(r["ng"]), r["m"], r["s2"])
                    for r in got), key=lambda r: r[0])
 
+    k_family = len(rows)
     tuples = []
     for i in range(len(rows)):
         for j in range(i + 1, len(rows)):
             ga, na, ma, sa = rows[i]
             gb, nb, mb, sb = rows[j]
-            t_stat = dof = p = None
+            t_stat = dof = p = q_stat = p_gh = None
             if (na >= 2 and nb >= 2 and sa is not None
                     and sb is not None and sa + sb > 0):
                 wa, wb = sa / na, sb / nb
@@ -1558,10 +1568,12 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
                     dof = ((wa + wb) ** 2
                            / (wa * wa / (na - 1) + wb * wb / (nb - 1)))
                     p = _t_sf2(t_stat, dof)
+                    q_stat = abs(t_stat) * math.sqrt(2.0)
+                    p_gh = _ptukey_sf(q_stat, k_family, dof)
             tuples.append((ga, gb, na, nb,
                            None if ma is None else float(ma),
                            None if mb is None else float(mb),
-                           t_stat, dof, p))
+                           t_stat, dof, p, q_stat, p_gh))
     # ONE inline VALUES relation via PARAMETERIZED sql: group names
     # are DATA and must never pass through the SQL parser as text (a
     # backslash or quote in a group value would be re-interpreted as
@@ -1579,11 +1591,11 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
         return f":{key}"
 
     rows_sql = []
-    for (ga, gb, na, nb, ma, mb, t_stat, dof, pv) in tuples:
+    for (ga, gb, na, nb, ma, mb, t_stat, dof, pv, qs, pgh) in tuples:
         cells = [_bind(ga), _bind(gb),
                  f"CAST({_bind(na)} AS BIGINT)",
                  f"CAST({_bind(nb)} AS BIGINT)"]
-        for v in (ma, mb, t_stat, dof, pv):
+        for v in (ma, mb, t_stat, dof, pv, qs, pgh):
             cells.append(
                 "CAST(NULL AS DOUBLE)" if v is None
                 else f"round(CAST({_bind(float(v))} AS DOUBLE), 6)")
@@ -1597,13 +1609,15 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
             "CAST(NULL AS DOUBLE) AS mean_b, "
             "CAST(NULL AS DOUBLE) AS t_stat, "
             "CAST(NULL AS DOUBLE) AS dof, "
-            "CAST(NULL AS DOUBLE) AS p_value").limit(0)
+            "CAST(NULL AS DOUBLE) AS p_value, "
+            "CAST(NULL AS DOUBLE) AS q_stat, "
+            "CAST(NULL AS DOUBLE) AS p_gh").limit(0)
     return spark.sql(
         "SELECT group_a, group_b, n_a, n_b, mean_a, mean_b, "
-        "t_stat, dof, p_value FROM (VALUES "
+        "t_stat, dof, p_value, q_stat, p_gh FROM (VALUES "
         + ", ".join(rows_sql)
         + ") AS t(group_a, group_b, n_a, n_b, mean_a, mean_b, "
-        "t_stat, dof, p_value)",
+        "t_stat, dof, p_value, q_stat, p_gh)",
         args=args).orderBy("group_a", "group_b")
 
 

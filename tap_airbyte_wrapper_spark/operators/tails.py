@@ -74,7 +74,8 @@ __all__ = ["M_ITER", "IG_ITER", "CHI2_EXACT_MAX_DOF",
            "lgamma_lanczos", "ibeta", "t_sf2", "t_sf1", "f_sf",
            "igamma_q", "chi2_sf", "lgamma_sql", "ibeta_layer_exprs",
            "ibeta_chain_sql", "apply_ibeta_layers",
-           "igamma_chain_sql"]
+           "igamma_chain_sql", "ptukey_sf", "ptukey_sql",
+           "ptukey_node_columns", "norm_cdf_gl"]
 
 # Fixed Lentz iteration count — identical in all three spellings (no
 # early exit anywhere, or the op ORDER would diverge between engines).
@@ -478,3 +479,240 @@ def apply_ibeta_layers(df, specs, keep: tuple):
     for layer in ibeta_layer_exprs(specs, keep):
         df = df.selectExpr(*layer)
     return df
+
+
+# =====================================================================
+# Studentized range tail (round 13) — the Games-Howell exact p
+# =====================================================================
+# P(Q_{k,df} > q) for the studentized range Q = range(k std normals)
+# / (chi_df / sqrt(df)), the null of Tukey HSD and (with per-pair
+# Welch df) Games & Howell 1976.  Classical definition (Harter 1960;
+# Hochberg & Tamhane 1987 eq. 3.3):
+#
+#   P(Q <= q) = INT_0^inf f_u(u) * k INT phi(z) [PHI(z) - PHI(z-qu)]^(k-1) dz du
+#
+# with u = s/sigma ~ sqrt(chi2_df / df), f_u(u) = 2 (df/2)^(df/2)
+# / Gamma(df/2) * u^(df-1) e^(-df u^2 / 2).  Same exactness contract
+# as ibeta/igamma_q above but via FIXED-NODE quadrature instead of a
+# fixed-depth recurrence (the integrand is smooth/analytic, where
+# Gauss-Legendre converges geometrically — a recurrence form does not
+# exist): every node and weight is a hardcoded literal, no adaptivity,
+# no early exit, so the identical operation sequence is emitted TWO
+# ways — a Python loop (driver-side: pairwise_welch output is bounded
+# by max_groups*(max_groups-1)/2 rows, so the tail never needs to be
+# a column) and a DuckDB scalar expression (:func:`ptukey_sql`,
+# nested list_sum/list_transform over the same literal nodes) for the
+# oracle.  No Spark-SQL spelling is needed or emitted — stated.
+#
+# Node counts, chosen by measurement (pinned in tests):
+# * PHI: GL-24 on [0, clamp(x, -9, 9)] — max |err| vs libm erf
+#   6.7e-16 over x in [-9, 9]; the clamp costs < 1.2e-19 (PHI(-9)).
+# * inner z: GL-64 on [-9, 9] (phi(z) < 1.1e-18 outside).
+# * outer u: GL-64 on [max(0, 1 - 10*sd), 1 + 10*sd], sd =
+#   1/sqrt(2 df) — +-10 sd of the asymptotically-normal chi scale;
+#   the df-adaptive interval keeps 64 nodes accurate from df = 1
+#   (half-line-wide density) to df = 1e6 (width ~0.001).
+# Measured end-to-end: agrees with the EXACT k = 2 identity
+# P(Q_{2,df} > q) == P(|T_df| > q/sqrt(2)) to < 2e-14 across
+# q in [0.5, 6] x df in [2, 200], and reproduces the classical
+# q_0.05(k, df) tables (Harter) to their 2-decimal rounding.
+#
+# GL nodes/weights: standard Gauss-Legendre abscissae (public math
+# constants; numpy.polynomial.legendre.leggauss reproduces them),
+# hardcoded so both spellings share the exact same doubles.
+
+GL24_X = (
+    -0.9951872199970213, -0.9747285559713095, -0.9382745520027328,
+    -0.886415527004401, -0.820001985973903, -0.7401241915785544,
+    -0.6480936519369755, -0.5454214713888396, -0.4337935076260451,
+    -0.3150426796961634, -0.1911188674736163, -0.06405689286260563,
+    0.06405689286260563, 0.1911188674736163, 0.3150426796961634,
+    0.4337935076260451, 0.5454214713888396, 0.6480936519369755,
+    0.7401241915785544, 0.820001985973903, 0.886415527004401,
+    0.9382745520027328, 0.9747285559713095, 0.9951872199970213,
+)
+GL24_W = (
+    0.012341229799987091, 0.028531388628933743, 0.04427743881741955,
+    0.05929858491543674, 0.07334648141108041, 0.08619016153195329,
+    0.09761865210411406, 0.1074442701159656, 0.11550566805372561,
+    0.12167047292780342, 0.1258374563468283, 0.12793819534675221,
+    0.12793819534675221, 0.1258374563468283, 0.12167047292780342,
+    0.11550566805372561, 0.1074442701159656, 0.09761865210411406,
+    0.08619016153195329, 0.07334648141108041, 0.05929858491543674,
+    0.04427743881741955, 0.028531388628933743, 0.012341229799987091,
+)
+GL64_X = (
+    -0.9993050417357722, -0.9963401167719552, -0.9910133714767443,
+    -0.983336253884626, -0.973326827789911, -0.9610087996520538,
+    -0.9464113748584028, -0.9295691721319396, -0.9105221370785028,
+    -0.8893154459951141, -0.8659993981540928, -0.8406292962525803,
+    -0.8132653151227975, -0.7839723589433414, -0.7528199072605319,
+    -0.7198818501716108, -0.6852363130542333, -0.6489654712546573,
+    -0.6111553551723933, -0.571895646202634, -0.5312794640198946,
+    -0.48940314570705296, -0.4463660172534641, -0.4022701579639916,
+    -0.3572201583376681, -0.31132287199021097, -0.2646871622087674,
+    -0.21742364374000708, -0.1696444204239928, -0.12146281929612056,
+    -0.07299312178779904, -0.02435029266342443, 0.02435029266342443,
+    0.07299312178779904, 0.12146281929612056, 0.1696444204239928,
+    0.21742364374000708, 0.2646871622087674, 0.31132287199021097,
+    0.3572201583376681, 0.4022701579639916, 0.4463660172534641,
+    0.48940314570705296, 0.5312794640198946, 0.571895646202634,
+    0.6111553551723933, 0.6489654712546573, 0.6852363130542333,
+    0.7198818501716108, 0.7528199072605319, 0.7839723589433414,
+    0.8132653151227975, 0.8406292962525803, 0.8659993981540928,
+    0.8893154459951141, 0.9105221370785028, 0.9295691721319396,
+    0.9464113748584028, 0.9610087996520538, 0.973326827789911,
+    0.983336253884626, 0.9910133714767443, 0.9963401167719552,
+    0.9993050417357722,
+)
+GL64_W = (
+    0.0017832807216942152, 0.004147033260562923, 0.006504457968979654,
+    0.008846759826364391, 0.011168139460131466, 0.013463047896718231,
+    0.015726030476025082, 0.0179517157756973, 0.020134823153530094,
+    0.022270173808383007, 0.024352702568710853, 0.026377469715054627,
+    0.028339672614259702, 0.030234657072402495, 0.03205792835485145,
+    0.03380516183714179, 0.03547221325688232, 0.03705512854024015,
+    0.03855015317861559, 0.03995374113272035, 0.041262563242623486,
+    0.0424735151236536, 0.043583724529323464, 0.044590558163756545,
+    0.045491627927418114, 0.046284796581314375, 0.04696818281621,
+    0.0475401657148303, 0.04799938859645832, 0.048344762234802954,
+    0.048575467441503456, 0.04869095700913975, 0.04869095700913975,
+    0.048575467441503456, 0.048344762234802954, 0.04799938859645832,
+    0.0475401657148303, 0.04696818281621, 0.046284796581314375,
+    0.045491627927418114, 0.044590558163756545, 0.043583724529323464,
+    0.0424735151236536, 0.041262563242623486, 0.03995374113272035,
+    0.03855015317861559, 0.03705512854024015, 0.03547221325688232,
+    0.03380516183714179, 0.03205792835485145, 0.030234657072402495,
+    0.028339672614259702, 0.026377469715054627, 0.024352702568710853,
+    0.022270173808383007, 0.020134823153530094, 0.0179517157756973,
+    0.015726030476025082, 0.013463047896718231, 0.011168139460131466,
+    0.008846759826364391, 0.006504457968979654, 0.004147033260562923,
+    0.0017832807216942152,
+)
+
+_SQRT2PI = 2.5066282746310002   # repr(sqrt(2*pi)) — same literal in SQL
+_LN2 = 0.6931471805599453       # repr(ln 2)
+
+
+def norm_cdf_gl(x: float) -> float:
+    """Standard normal CDF by GL-24 over [0, clamp(x, -9, 9)] — the
+    PHI every :func:`ptukey_sf` evaluation uses, NOT libm erf, so the
+    DuckDB spelling (which has no erf) replays the identical
+    operation sequence.  Max |err| vs erf: 6.7e-16 on [-9, 9]
+    (pinned); the clamp's tail loss is PHI(-9) = 1.1e-19."""
+    xc = max(-9.0, min(9.0, x))
+    h = xc * 0.5
+    s = 0.0
+    for xi, w in zip(GL24_X, GL24_W):
+        t = h * (xi + 1.0)
+        s += w * math.exp(-0.5 * (t * t))
+    return 0.5 + h * s / _SQRT2PI
+
+
+# PHI at the fixed inner z grid (z = 9 * GL64_X[j]) — a pure-function
+# cache: ptukey_sf's inner loop needs PHI(z) at the SAME 64 abscissae
+# for every (q, k, df), so precomputing at import changes nothing
+# about the values (the SQL spelling evaluates the identical
+# expression inline) and removes 64 of the 128 PHI evaluations per
+# (u, z) node pair.
+_PHI_Z = tuple(norm_cdf_gl(9.0 * x) for x in GL64_X)
+
+
+def ptukey_sf(q: float, k: int, df: float) -> float:
+    """Studentized range upper tail ``P(Q_{k, df} > q)`` — the
+    Games-Howell per-pair p at ``q = |t| * sqrt(2)`` with the pair's
+    Welch-Satterthwaite ``df``.  Fixed-node GL quadrature (see module
+    section comment); mirrored bit-for-bit-in-ops by
+    :func:`ptukey_sql` for the DuckDB oracle.  ``q <= 0`` returns 1.0
+    (the whole mass is above a nonpositive range — same convention as
+    :func:`f_sf`; the SQL spelling carries the same CASE guard)."""
+    if q is None or df is None:
+        return None
+    if not q > 0.0:
+        return 1.0
+    sd = 1.0 / math.sqrt(2.0 * df)
+    lo = max(0.0, 1.0 - 10.0 * sd)
+    hi = 1.0 + 10.0 * sd
+    lc = (0.5 * df * math.log(0.5 * df) + _LN2
+          - lgamma_lanczos(0.5 * df))
+    hu = (hi - lo) * 0.5
+    mu = (hi + lo) * 0.5
+    acc = 0.0
+    for xu, wu in zip(GL64_X, GL64_W):
+        u = mu + hu * xu
+        fu = math.exp(lc + (df - 1.0) * math.log(u)
+                      - 0.5 * df * (u * u))
+        r = q * u
+        s = 0.0
+        for j in range(64):
+            z = 9.0 * GL64_X[j]
+            d = _PHI_Z[j] - norm_cdf_gl(z - r)
+            if d < 0.0:
+                d = 0.0
+            s += (GL64_W[j] * math.exp(-0.5 * (z * z)) / _SQRT2PI
+                  * d ** (float(k) - 1.0))
+        acc += wu * fu * (float(k) * 9.0 * s)
+    p = 1.0 - hu * acc
+    return min(1.0, max(0.0, p))
+
+
+# SQL-side node arrays: the emitted expression indexes these as row
+# columns (a literal array inside a lambda would be re-built per
+# element); ptukey_node_columns() adds them to the wrapped relation.
+_PTUKEY_NODE_COLS = (
+    ("__pt24x", GL24_X), ("__pt24w", GL24_W),
+    ("__pt64x", GL64_X), ("__pt64w", GL64_W),
+)
+
+
+def ptukey_node_columns() -> str:
+    """SELECT-list fragment adding the GL node/weight arrays as
+    DOUBLE[] columns — prepend to the relation :func:`ptukey_sql`'s
+    expression runs over (``SELECT p.*, <this> FROM (prep) p``)."""
+    return ", ".join(
+        "[" + ", ".join(repr(v) for v in vals) + f"]::DOUBLE[] AS {n}"
+        for n, vals in _PTUKEY_NODE_COLS)
+
+
+def _phi_sql(x: str) -> str:
+    """DuckDB spelling of :func:`norm_cdf_gl` at expression ``x``."""
+    h = f"(greatest(-9.0, least(9.0, {x})) * 0.5)"
+    t = f"({h} * (__pt24x[__ip] + 1.0))"
+    return (f"(0.5 + {h} * list_sum(list_transform("
+            f"generate_series(1, 24), __ip -> "
+            f"__pt24w[__ip] * exp(-0.5 * ({t} * {t})))) "
+            f"/ 2.5066282746310002)")
+
+
+def ptukey_sql(q: str, k: str, dof: str) -> str:
+    """DuckDB spelling of :func:`ptukey_sf` over expression texts
+    ``q``/``k``/``dof`` — the same literal GL nodes (via
+    :func:`ptukey_node_columns`'s array columns), the same operation
+    sequence, nested ``list_sum(list_transform(...))`` with the
+    sequential list order standing in for the Python loop (the
+    repo-wide precedent: the KS oracle's Kolmogorov series).  NULL
+    ``q``/``dof`` propagate; ``q <= 0`` returns 1.0."""
+    sd = f"(1.0 / sqrt(2.0 * {dof}))"
+    lo = f"greatest(0.0, 1.0 - 10.0 * {sd})"
+    hi = f"(1.0 + 10.0 * {sd})"
+    lc = (f"(0.5 * {dof} * ln(0.5 * {dof}) + 0.6931471805599453"
+          f" - {lgamma_sql(f'(0.5 * {dof})')})")
+    hu = f"(({hi} - {lo}) * 0.5)"
+    mu = f"(({hi} + {lo}) * 0.5)"
+    u = f"({mu} + {hu} * __pt64x[__iu])"
+    fu = (f"exp({lc} + ({dof} - 1.0) * ln({u})"
+          f" - 0.5 * {dof} * ({u} * {u}))")
+    r = f"(({q}) * {u})"
+    z = "(9.0 * __pt64x[__iz])"
+    d = f"greatest({_phi_sql(z)} - {_phi_sql(f'({z} - {r})')}, 0.0)"
+    inner = (f"list_sum(list_transform(generate_series(1, 64), "
+             f"__iz -> __pt64w[__iz] * exp(-0.5 * ({z} * {z})) "
+             f"/ 2.5066282746310002 "
+             f"* pow({d}, CAST({k} AS DOUBLE) - 1.0)))")
+    outer = (f"list_sum(list_transform(generate_series(1, 64), "
+             f"__iu -> __pt64w[__iu] * ({fu}) "
+             f"* (CAST({k} AS DOUBLE) * 9.0 * ({inner}))))")
+    return (f"(CASE WHEN ({q}) IS NULL OR ({dof}) IS NULL THEN NULL "
+            f"WHEN NOT (({q}) > 0.0) THEN 1.0 "
+            f"ELSE least(1.0, greatest(0.0, "
+            f"1.0 - {hu} * ({outer}))) END)")

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..operators.tails import ibeta_chain_sql as _ibeta_chain
 from ..operators.tails import igamma_chain_sql as _igamma_chain
 from ..operators.tails import lgamma_sql as _lgamma_sql
+from ..operators.tails import ptukey_node_columns as _ptukey_nodes
+from ..operators.tails import ptukey_sql as _ptukey_sql
 
 from ..functions import (
     bpe_token_estimate,
@@ -2147,9 +2149,10 @@ def q_brown_forsythe(spark, sf_dir):
 def q_pairwise_welch(spark, sf_dir):
     """Post-hoc pairwise Welch t over the five order priorities (10
     pair rows) — the drill-down welch_anova_orders makes necessary;
-    feed bh_fdr on p_value for the corrected protocol.  One
-    conditional-agg scan, pairs evaluated driver-side from the k-row
-    group table."""
+    feed bh_fdr on p_value (FDR) or read the exact Games-Howell
+    familywise p_gh directly (r13: studentized-range tail by
+    fixed-node quadrature, tails.ptukey_sf).  One conditional-agg
+    scan, pairs evaluated driver-side from the k-row group table."""
     from ..operators import pairwise_welch
 
     return pairwise_welch(_t(spark, sf_dir, "orders"),
@@ -4585,6 +4588,32 @@ def _f_tail_oracle(prep: str, keep: tuple, final: str) -> str:
     return f"SELECT {final} FROM ({chain}) z"
 
 
+def _pairwise_welch_oracle() -> str:
+    """pairwise_welch_orders oracle (round 13): exact Welch p via the
+    ibeta chain PLUS the exact Games-Howell familywise p — the
+    studentized-range tail P(Q_{kk, dof} > |t|*sqrt(2)) replayed by
+    the fixed-node quadrature spelling (``tails.ptukey_sql``: the
+    same literal GL nodes and operation sequence as the op's
+    driver-side ``tails.ptukey_sf``; nested list_sum/list_transform,
+    nodes as DOUBLE[] row columns).  ``kk`` (family size) rides the
+    prep as a cross-joined scalar."""
+    chain = _ibeta_chain(
+        _PAIRWISE_WELCH_PREP,
+        [("0.5 * dof", "0.5", "dof / (dof + t_stat * t_stat)", "p2")],
+        keep=("group_a", "group_b", "na", "nb", "ma", "mb",
+              "t_stat", "dof", "kk"))
+    pgh = _ptukey_sql("abs(t_stat) * sqrt(2.0)", "kk", "dof")
+    return (
+        "SELECT group_a, group_b, "
+        "CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, "
+        "round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, "
+        "round(t_stat, 6) AS t_stat, round(dof, 6) AS dof, "
+        "round(p2, 6) AS p_value, "
+        "round(abs(t_stat) * sqrt(2.0), 6) AS q_stat, "
+        f"round({pgh}, 6) AS p_gh "
+        f"FROM (SELECT z.*, {_ptukey_nodes()} FROM ({chain}) z) zz")
+
+
 def _tost_tail_oracle(prep: str, keep: tuple, final: str) -> str:
     """TOST's two one-sided exact tails in ONE multi-kernel chain
     (DuckDB has no codegen ceiling, unlike the Spark side's two
@@ -4781,12 +4810,14 @@ _PAIRWISE_WELCH_PREP = """(
         pr AS (SELECT a.grp AS group_a, b.grp AS group_b,
                       a.ng AS na, b.ng AS nb, a.m AS ma, b.m AS mb,
                       a.s2 / a.ng AS wa, b.s2 / b.ng AS wb
-               FROM g a JOIN g b ON a.grp < b.grp)
+               FROM g a JOIN g b ON a.grp < b.grp),
+        fam AS (SELECT count(*) AS kk FROM g)
         SELECT group_a, group_b, na, nb, ma, mb,
                (ma - mb) / sqrt(wa + wb) AS t_stat,
                (wa + wb) * (wa + wb)
-               / (wa * wa / (na - 1) + wb * wb / (nb - 1)) AS dof
-        FROM pr)"""
+               / (wa * wa / (na - 1) + wb * wb / (nb - 1)) AS dof,
+               kk
+        FROM pr CROSS JOIN fam)"""
 
 
 
@@ -7818,16 +7849,7 @@ ORACLES = {
             "CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, "
             "round(f_stat, 6) AS f_stat, round(df1, 6) AS df1, "
             "round(df2, 6) AS df2, round(p2, 6) AS p_value")),
-    "pairwise_welch_orders": _t2_tail_oracle(
-        _PAIRWISE_WELCH_PREP,
-        keep=("group_a", "group_b", "na", "nb", "ma", "mb",
-              "t_stat", "dof"),
-        final=(
-            "group_a, group_b, "
-            "CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, "
-            "round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, "
-            "round(t_stat, 6) AS t_stat, round(dof, 6) AS dof, "
-            "round(p2, 6) AS p_value")),
+    "pairwise_welch_orders": _pairwise_welch_oracle(),
     "brown_forsythe_orders": _f_tail_oracle(
         _BROWN_FORSYTHE_PREP,
         keep=("n", "k", "f_stat", "df1", "df2"),
