@@ -46,9 +46,11 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from .tails import apply_ibeta_layers, chi2_sf as _chi2_sf, \
-    f_sf as _f_sf, ptukey_sf as _ptukey_sf, t_sf1 as _t_sf1, \
-    t_sf2 as _t_sf2
+from .tails import RANK_EXACT_MAX_N as _RANK_EXACT_MAX_N, \
+    apply_ibeta_layers, chi2_sf as _chi2_sf, f_sf as _f_sf, \
+    mw_u_exact_p2 as _mw_u_exact_p2, ptukey_sf as _ptukey_sf, \
+    t_sf1 as _t_sf1, t_sf2 as _t_sf2, \
+    wilcoxon_exact_p2 as _wilcoxon_exact_p2
 
 __all__ = ["ks_test", "ks_test_sliced", "mann_whitney_u",
            "mann_whitney_sliced", "welch_t_test", "welch_t_sliced", "tost_equivalence",
@@ -274,14 +276,21 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
     ``2*Ra = sum ca * (2*cum - c + 1)`` is an EXACT long — summation
     order cannot perturb it, so ``U``, the tie term ``T = sum
     (c^3 - c)``, and hence ``z`` are bit-identical across engines.
-    Normal approximation (no continuity correction): ``sigma^2 =
-    na*nb/12 * ((n + 1) - T/(n*(n-1)))``, two-sided p via the A&S
-    erf polynomial.
+
+    p-value (round 13, ``method`` column states the switch): with NO
+    ties and ``max(n_a, n_b) <= tails.RANK_EXACT_MAX_N`` (25) the
+    EXACT combinatorial null via the classic partial-sum DP
+    (:func:`~.tails.mw_u_exact_p2` — the regime of the classical
+    U critical tables, where the normal approximation can flip the
+    decision); otherwise the tie-corrected normal (no continuity
+    correction, ``sigma^2 = na*nb/12 * ((n + 1) - T/(n*(n-1)))``,
+    A&S erf polynomial — the published large-sample test).  ``z`` is
+    reported in both branches.
 
     Plan: one input scan to the distinct-value count table, one
     value-bucketed global prefix pass, one aggregate.  Output: ONE row
-    ``(n_a, n_b, u_stat, z, p_value)`` (``z``/``p`` null when the
-    variance degenerates — all values tied)."""
+    ``(n_a, n_b, u_stat, z, p_value, method)`` (``z``/``p`` null when
+    the variance degenerates — all values tied)."""
     from .windows import global_cumsum
 
     spark = df.sparkSession
@@ -303,7 +312,8 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
             f"CAST({nb} AS BIGINT) AS n_b, "
             "CAST(NULL AS DOUBLE) AS u_stat, "
             "CAST(NULL AS DOUBLE) AS z, "
-            "CAST(NULL AS DOUBLE) AS p_value")
+            "CAST(NULL AS DOUBLE) AS p_value, "
+            "CAST(NULL AS STRING) AS method")
     n = na + nb
     u2 = int(row["ra2"]) - na * (na + 1)  # 2*U, exact
     t = int(row["ties"])
@@ -314,15 +324,22 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
             f"CAST({nb} AS BIGINT) AS n_b, "
             f"round(CAST({u2 / 2.0!r} AS DOUBLE), 6) AS u_stat, "
             "CAST(NULL AS DOUBLE) AS z, "
-            "CAST(NULL AS DOUBLE) AS p_value")
+            "CAST(NULL AS DOUBLE) AS p_value, "
+            "CAST(NULL AS STRING) AS method")
     z = (u2 - na * nb) / (2.0 * math.sqrt(var))
-    p = _normal_sf2(z)
+    if t == 0 and max(na, nb) <= _RANK_EXACT_MAX_N:
+        p = _mw_u_exact_p2(u2, na, nb)
+        method = "exact"
+    else:
+        p = _normal_sf2(z)
+        method = "normal_approx"
     return spark.sql(
         f"SELECT CAST({na} AS BIGINT) AS n_a, "
         f"CAST({nb} AS BIGINT) AS n_b, "
         f"round(CAST({u2 / 2.0!r} AS DOUBLE), 6) AS u_stat, "
         f"round(CAST({z!r} AS DOUBLE), 6) AS z, "
-        f"round(CAST({p!r} AS DOUBLE), 6) AS p_value")
+        f"round(CAST({p!r} AS DOUBLE), 6) AS p_value, "
+        f"'{method}' AS method")
 
 
 def mann_whitney_sliced(df: DataFrame, value_col: str,
@@ -1742,13 +1759,21 @@ def wilcoxon_signed_rank(df: DataFrame, col_a: str,
     ``cum``: ``2*W+ = sum cp * (2*cum - c + 1)`` is an exact long, as
     are the tie term and the variance numerator, so ``z = (2*(2W+) -
     n(n+1)) / (4*sqrt((2n(n+1)(2n+1) - T)/48))`` is bit-identical
-    across engines (Pratt/Lehmann tie-corrected normal approximation,
-    no continuity correction).
+    across engines.
+
+    p-value (round 13, ``method`` column states the switch): with NO
+    zero differences, NO tied |d| and ``n <= tails.RANK_EXACT_MAX_N``
+    the EXACT 2^n sign-assignment null
+    (:func:`~.tails.wilcoxon_exact_p2`; the R ``wilcox.test``
+    exact-eligibility conditions — zeros or ties change the null, so
+    either disqualifies, stated); otherwise the Pratt/Lehmann
+    tie-corrected normal (no continuity correction).
 
     Plan: one input scan to the distinct-|d| count table, one
     value-bucketed global prefix pass, one aggregate.  Output: ONE row
-    ``(n_pairs, n_nonzero, w_plus, z, p_value)`` (z/p null when every
-    pair ties or all |d| are equal-sign degenerate variance)."""
+    ``(n_pairs, n_nonzero, w_plus, z, p_value, method)`` (z/p null
+    when every pair ties or all |d| are equal-sign degenerate
+    variance)."""
     from .windows import global_cumsum
 
     spark = df.sparkSession
@@ -1769,7 +1794,8 @@ def wilcoxon_signed_rank(df: DataFrame, col_a: str,
             "CAST(0 AS BIGINT) AS n_nonzero, "
             "CAST(NULL AS DOUBLE) AS w_plus, "
             "CAST(NULL AS DOUBLE) AS z, "
-            "CAST(NULL AS DOUBLE) AS p_value")
+            "CAST(NULL AS DOUBLE) AS p_value, "
+            "CAST(NULL AS STRING) AS method")
     cums = global_cumsum(counts, "__ad", "__c", "__cum")
     row = cums.agg(
         F.sum("__c").alias("n"),
@@ -1780,21 +1806,29 @@ def wilcoxon_signed_rank(df: DataFrame, col_a: str,
     n = int(row["n"])
     w2, t = int(row["w2"]), int(row["ties"])
     var48 = 2 * n * (n + 1) * (2 * n + 1) - t  # 48*sigma^2, exact
+    method = None
     if var48 <= 0:
         z = p = None
     else:
         z = (2 * w2 - n * (n + 1)) / (4.0 * math.sqrt(var48 / 48.0))
-        p = _normal_sf2(z)
+        if (t == 0 and n_pairs == n
+                and n <= _RANK_EXACT_MAX_N):
+            p = _wilcoxon_exact_p2(w2, n)
+            method = "exact"
+        else:
+            p = _normal_sf2(z)
+            method = "normal_approx"
 
     def _d(x):
         return ("CAST(NULL AS DOUBLE)" if x is None
                 else f"round(CAST({x!r} AS DOUBLE), 6)")
 
+    ms = "CAST(NULL AS STRING)" if method is None else f"'{method}'"
     return spark.sql(
         f"SELECT CAST({n_pairs} AS BIGINT) AS n_pairs, "
         f"CAST({n} AS BIGINT) AS n_nonzero, "
         f"round(CAST({w2 / 2.0!r} AS DOUBLE), 6) AS w_plus, "
-        f"{_d(z)} AS z, {_d(p)} AS p_value")
+        f"{_d(z)} AS z, {_d(p)} AS p_value, {ms} AS method")
 
 
 def paired_t_test(df: DataFrame, col_a: str, col_b: str) -> DataFrame:

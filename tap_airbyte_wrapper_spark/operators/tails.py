@@ -48,9 +48,12 @@ rounding noise, not CF convergence, because the symmetry switch keeps
 the fraction in its geometric-convergence region and b <= 50 here
 (t: b = 1/2; F: b = (k-1)/2, validated to df1 = 199).  Where the normal
 approximation is RETAINED, and why: `mann_whitney_u` and
-`wilcoxon_signed_rank` (their null is genuinely asymptotic — the
-exact rank distributions are combinatorial objects, and the
-tie-corrected z IS the published large-sample test),
+`wilcoxon_signed_rank` for TIED data or n beyond RANK_EXACT_MAX_N
+(the tie-corrected z IS the published large-sample test there; since
+round 13 the NO-TIES small-n case — where the classical critical
+tables live — uses the exact combinatorial null, :func:`mw_u_exact_p2`
+/ :func:`wilcoxon_exact_p2`, with the switch stated in a `method`
+column), the sliced rank sweeps (column-only contract),
 `proportion_z_test` (the z formulation is the test's definition),
 chi-square tails ABOVE dof = 1000 (Wilson-Hilferty, see
 CHI2_EXACT_MAX_DOF — below it :func:`igamma_q`, the incomplete-GAMMA
@@ -75,7 +78,8 @@ __all__ = ["M_ITER", "IG_ITER", "CHI2_EXACT_MAX_DOF",
            "igamma_q", "chi2_sf", "lgamma_sql", "ibeta_layer_exprs",
            "ibeta_chain_sql", "apply_ibeta_layers",
            "igamma_chain_sql", "ptukey_sf", "ptukey_sql",
-           "ptukey_node_columns", "norm_cdf_gl"]
+           "ptukey_node_columns", "norm_cdf_gl", "RANK_EXACT_MAX_N",
+           "mw_u_exact_p2", "wilcoxon_exact_p2"]
 
 # Fixed Lentz iteration count — identical in all three spellings (no
 # early exit anywhere, or the op ORDER would diverge between engines).
@@ -716,3 +720,83 @@ def ptukey_sql(q: str, k: str, dof: str) -> str:
             f"WHEN NOT (({q}) > 0.0) THEN 1.0 "
             f"ELSE least(1.0, greatest(0.0, "
             f"1.0 - {hu} * ({outer}))) END)")
+
+
+# =====================================================================
+# Exact small-n rank-test nulls (round 13)
+# =====================================================================
+# The no-ties exact null distributions of Mann-Whitney U and the
+# Wilcoxon signed-rank W+ via the classic partial-sum DP — integer
+# counting, one float division at the end.  The r12 argument for the
+# exact t tails applies verbatim: the sliced sweeps invite exactly
+# the small-slice regime where the tie-corrected normal is materially
+# off (n1 = n2 = 5: exact two-sided p at U = 2 is 0.0317; the normal
+# reads 0.028 — and at the table boundary the DECISION flips).
+# Driver-side only (one-row ops; the DP is a sequential recurrence
+# with no fixed-depth column spelling — stated), gated by
+# RANK_EXACT_MAX_N; the tie-corrected normal is RETAINED for ties or
+# larger n (for ties it is the published test — see the module
+# docstring's retained-approximations note, which this section
+# narrows to "ties or n beyond the exact gate").
+
+# Exact-null ceiling: both ops switch to the DP when every count is
+# untied and the relevant sizes are all <= this.  25 covers the
+# classical critical-value tables (n <= 20-25) and the annotator-
+# study regime; the MW DP costs n * na * (na*nb) integer adds —
+# ~1.5M at the cap, milliseconds — and grows too fast to raise the
+# gate much further (stated).
+RANK_EXACT_MAX_N = 25
+
+
+def _rank_sum_ways(n: int, m: int) -> list:
+    """ways[j][s] = number of j-subsets of ranks {1..n} with sum s —
+    the bounded-subset partial-sum DP (items descending so each rank
+    is used at most once)."""
+    smax = n * (n + 1) // 2
+    ways = [[0] * (smax + 1) for _ in range(m + 1)]
+    ways[0][0] = 1
+    for i in range(1, n + 1):
+        for j in range(min(i, m), 0, -1):
+            wj, wj1 = ways[j], ways[j - 1]
+            for s in range(smax, i - 1, -1):
+                c = wj1[s - i]
+                if c:
+                    wj[s] += c
+    return ways
+
+
+def mw_u_exact_p2(u_times2: int, na: int, nb: int) -> float:
+    """Two-sided EXACT Mann-Whitney p under the no-ties null:
+    P-weight of each U value = (number of na-subsets of ranks
+    {1..na+nb} with rank sum W = U + na(na+1)/2) / C(na+nb, na);
+    two-sided p = min(1, 2 * min(P(U <= u), P(U >= u))) — the R
+    ``wilcox.test`` exact convention (U is symmetric about
+    na*nb/2, so the doubling never hides an asymmetry).
+    ``u_times2`` is the integer 2*U the op's exact core produces
+    (even whenever there are no ties)."""
+    u = u_times2 // 2
+    off = na * (na + 1) // 2
+    ways = _rank_sum_ways(na + nb, na)[na]
+    lo = sum(ways[off + v] for v in range(0, u + 1))
+    hi = sum(ways[off + v] for v in range(u, na * nb + 1))
+    total = sum(ways[off:off + na * nb + 1])
+    return min(1.0, 2.0 * min(lo, hi) / total)
+
+
+def wilcoxon_exact_p2(w_times2: int, n: int) -> float:
+    """Two-sided EXACT Wilcoxon signed-rank p under the
+    no-ties/no-zeros null: ways[s] = number of subsets of {1..n}
+    with sum s (the generating product (1+x)(1+x^2)..(1+x^n)),
+    total 2^n; p = min(1, 2 * min(P(W+ <= w), P(W+ >= w)))."""
+    w = w_times2 // 2
+    smax = n * (n + 1) // 2
+    ways = [0] * (smax + 1)
+    ways[0] = 1
+    for i in range(1, n + 1):
+        for s in range(smax, i - 1, -1):
+            c = ways[s - i]
+            if c:
+                ways[s] += c
+    lo = sum(ways[: w + 1])
+    hi = sum(ways[w:])
+    return min(1.0, 2.0 * min(lo, hi) / (1 << n))

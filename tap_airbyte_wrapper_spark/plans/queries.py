@@ -7202,7 +7202,9 @@ ORACLES = {
                  (ra2 - na * (na + 1) - na * nb)
                  / (2.0 * sqrt(na * nb / 12.0
                     * ((na + nb + 1)
-                       - ties / ((na + nb) * (na + nb - 1.0))))) AS z
+                       - ties / ((na + nb) * (na + nb - 1.0))))) AS z,
+                 CASE WHEN ties = 0 AND greatest(na, nb) <= 25
+                      THEN 'exact' ELSE 'normal_approx' END AS method
           FROM agg),
         p AS (
           SELECT z.z,
@@ -7217,7 +7219,8 @@ ORACLES = {
                  p.tt * (0.254829592 + p.tt * (-0.284496736
                    + p.tt * (1.421413741 + p.tt * (-1.453152027
                    + p.tt * 1.061405429)))) * exp(-p.x * p.x))), 6)
-                 AS p_value
+                 AS p_value,
+               z.method
         FROM z, p""",
     "welch_events": _t2_tail_oracle(
         _WELCH_EVENTS_PREP,
@@ -7879,7 +7882,7 @@ ORACLES = {
                 FROM c),
         np AS (SELECT count(*) AS n_pairs FROM t),
         z AS (
-          SELECT agg.n, agg.w2,
+          SELECT agg.n, agg.w2, agg.ties,
                  (2 * agg.w2 - agg.n * (agg.n + 1))
                  / (4.0 * sqrt((2 * agg.n * (agg.n + 1)
                     * (2 * agg.n + 1) - agg.ties) / 48.0)) AS z
@@ -7896,7 +7899,10 @@ ORACLES = {
                  p.tt * (0.254829592 + p.tt * (-0.284496736
                    + p.tt * (1.421413741 + p.tt * (-1.453152027
                    + p.tt * 1.061405429)))) * exp(-p.x * p.x))), 6)
-                 AS p_value
+                 AS p_value,
+               CASE WHEN p.ties = 0 AND np.n_pairs = p.n
+                         AND p.n <= 25
+                    THEN 'exact' ELSE 'normal_approx' END AS method
         FROM np, p""",
     "paired_t_docs": _t2_tail_oracle(
         _PAIRED_T_PREP,

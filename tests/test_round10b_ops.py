@@ -84,13 +84,17 @@ def test_ks_empty_group_nulls(spark):
 
 def test_mann_whitney_disjoint_hand_values(spark):
     """[1..5] vs [6..10]: Ra = 15, U = 0; z = -12.5/sqrt(275/12)
-    = -2.611165; two-sided normal p = 0.009024."""
+    = -2.611165.  No ties at n = 5 per group -> the r13 EXACT null
+    fires: p = 2 * 1/C(10,5) = 2/252 (U = 0 is the single most
+    extreme arrangement), where the old normal approximation read
+    0.009024."""
     row = mann_whitney_u(_two_group_df(spark, [1, 2, 3, 4, 5],
                                        [6, 7, 8, 9, 10]),
                          "v", "g", "a", "b").first()
     assert row["u_stat"] == 0.0
     assert row["z"] == pytest.approx(-2.611165, abs=1e-6)
-    assert row["p_value"] == pytest.approx(0.009024, abs=1e-5)
+    assert row["method"] == "exact"
+    assert row["p_value"] == pytest.approx(2.0 / 252.0, abs=1e-6)
 
 
 def test_mann_whitney_tied_hand_values(spark):
