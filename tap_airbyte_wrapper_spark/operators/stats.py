@@ -951,6 +951,218 @@ def fisher_exact_2x2(df: DataFrame, col_x: str, col_y: str,
         f"{_fmt(p_le)} AS p_less")
 
 
+def _fisher2x2_logp_sql(k_expr: str) -> str:
+    """Log hypergeometric point probability of cell-a value ``k_expr``
+    over per-row DOUBLE margin columns ``__fr1``/``__fr2``/``__fc1``
+    and the precomputed ``__flden`` — token-for-token the scalar
+    :func:`fisher_exact_2x2`'s ``logp`` (same Lanczos text, same term
+    order), shared by the Spark sweep layers and the DuckDB oracle."""
+    from .tails import lgamma_sql as _lgs
+
+    return (f"({_lgs('__fr1 + 1.0')} - {_lgs(f'{k_expr} + 1.0')}"
+            f" - {_lgs(f'__fr1 - {k_expr} + 1.0')}"
+            f" + {_lgs('__fr2 + 1.0')}"
+            f" - {_lgs(f'__fc1 - {k_expr} + 1.0')}"
+            f" - {_lgs(f'__fr2 - __fc1 + {k_expr} + 1.0')}"
+            f" - __flden)")
+
+
+# Wilson-Hilferty chi-square upper tail as expression text over
+# chi2/dof columns — token-for-token tails.chi2_sf's WH branch (the
+# sliced sweep's stated approximation above CHI2_SLICED_EXACT_MAX_DOF;
+# same A&S erf polynomial both engines).
+def _chi2_wh_sql(chi2: str, dof: str) -> str:
+    c2 = f"(2.0 / (9.0 * {dof}))"
+    z = (f"((pow({chi2} / {dof}, 0.3333333333333333)"
+         f" - (1.0 - {c2})) / sqrt({c2}))")
+    xx = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {xx}))"
+    poly = (f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * ("
+            f"1.421413741 + {t} * (-1.453152027 + {t}"
+            f" * 1.061405429)))))")
+    sf2 = (f"least(1.0, greatest(0.0, {poly}"
+           f" * exp(-{xx} * {xx})))")
+    return (f"(CASE WHEN {z} >= 0.0 THEN {sf2} / 2.0 "
+            f"ELSE 1.0 - {sf2} / 2.0 END)")
+
+
+def chi_square_sliced(df: DataFrame, x_col: str, y_col: str,
+                      slice_col: str,
+                      fisher_max_support: int = 10_000) -> DataFrame:
+    """:func:`chi_square_independence` per SLICE — the CATEGORICAL
+    member of the sweep family (round 13; KS: shape, Welch: mean,
+    Mann-Whitney: dominance, TOST: equivalence, this: "did the
+    label x source association shift in any shard/language?"): one
+    row per slice, each an independent r x c independence test over
+    that slice's own label grid, with small-expected-cell slices
+    falling back to FISHER'S EXACT 2x2 — the regime where the
+    chi-square null collapses is exactly the rare-flag x rare-flag
+    audit a per-slice drill-down hits.
+
+    Plan: ONE input scan to per-(slice, x, y) counts; marginals and
+    the full per-slice grid (zero observed cells with positive
+    expectation INCLUDED — the left join from the marginal product
+    supplies them, as in the scalar) via slice-keyed joins, every
+    intermediate bounded by labels^2 per slice (never a global
+    single task — the million-slice contract); then pure projections:
+
+    * ``method = 'chi2_exact'``: exact ``Q(dof/2, chi2/2)`` as ~75
+      incomplete-gamma COLUMN layers
+      (:func:`~.tails.apply_igamma_layers` at IG_SLICED_ITER = 70 —
+      exact to 1.1e-13 for dof <= CHI2_SLICED_EXACT_MAX_DOF = 150,
+      measured; the reduced depth keeps one kernel under the JVM
+      codegen ceiling, stated).
+    * ``method = 'chi2_wh'``: Wilson-Hilferty above dof 150 (a
+      13 x 14-label grid before it engages — stated approximation,
+      same spelling both engines).
+    * ``method = 'fisher_exact'``: for 2 x 2 slices with
+      ``min_expected < 5`` and hypergeometric support <=
+      ``fisher_max_support``: the exact conditional two-sided p
+      (R convention, point probabilities <= observed * (1 + 1e-7)),
+      evaluated as ONE ``aggregate(sequence(kmin, kmax), ...)``
+      column fold in ascending k — the same doubles in the same
+      order as the scalar :func:`fisher_exact_2x2` driver loop and
+      the DuckDB oracle's ``list_sum`` (support stays bounded by the
+      smaller margin; a slice over the cap keeps the chi-square p
+      with its ``min_expected`` visible instead of killing the sweep
+      — the sweep analogue of the scalar's ``max_support`` refusal,
+      stated).
+
+    Cell layout for the Fisher fallback: rows/columns ordered by the
+    slice's SORTED labels (a = (min_x, min_y)); the two-sided p is
+    invariant under any relabeling, so it equals the scalar op's
+    ``p_two_sided`` regardless of which level is "positive" (pinned).
+
+    Output: ``(<slice_col>, n, n_rows, n_cols, chi2, dof,
+    cramers_v, min_expected, method, p_value)``; one-label slices
+    keep their row with null statistics; feed ``p_value`` to
+    :func:`bh_fdr`."""
+    from .tails import CHI2_SLICED_EXACT_MAX_DOF, IG_SLICED_ITER, \
+        apply_igamma_layers
+
+    obs = (df.filter(F.col(x_col).isNotNull()
+                     & F.col(y_col).isNotNull()
+                     & F.col(slice_col).isNotNull())
+           .groupBy(F.col(slice_col).alias("__sl"),
+                    F.col(x_col).cast("string").alias("__x"),
+                    F.col(y_col).cast("string").alias("__y"))
+           .agg(F.count(F.lit(1)).alias("__o"))
+           # eager checkpoint, as in the scalar op: the count table is
+           # the BOUNDED intermediate (labels^2 per slice) consumed
+           # four times below — one materialization beats four input
+           # scans AND cuts the self-join lineage ambiguity
+           .localCheckpoint(eager=True))
+    mx = obs.groupBy("__sl", "__x").agg(F.sum("__o").alias("__nx"))
+    my = obs.groupBy("__sl", "__y").agg(F.sum("__o").alias("__ny"))
+    tot = obs.groupBy("__sl").agg(
+        F.sum("__o").alias("__n"),
+        F.countDistinct("__x").alias("__r"),
+        F.countDistinct("__y").alias("__c"),
+        F.min("__x").alias("__x1"), F.max("__x").alias("__x2"),
+        F.min("__y").alias("__y1"), F.max("__y").alias("__y2"))
+    grid = (mx.join(my, "__sl")
+            .join(obs, ["__sl", "__x", "__y"], "left")
+            .join(tot, "__sl"))
+    e = F.col("__nx") * F.col("__ny") / F.col("__n")
+    o0 = F.coalesce(F.col("__o"), F.lit(0))
+    diff = o0 - e
+    cell = diff * diff / e  # x*x, not pow: same form as the scalar
+    is_cell = [
+        ((F.col("__x") == F.col("__x1"))
+         & (F.col("__y") == F.col("__y1"))),
+        ((F.col("__x") == F.col("__x1"))
+         & (F.col("__y") == F.col("__y2"))),
+        ((F.col("__x") == F.col("__x2"))
+         & (F.col("__y") == F.col("__y1"))),
+        ((F.col("__x") == F.col("__x2"))
+         & (F.col("__y") == F.col("__y2")))]
+    per = (grid.groupBy("__sl")
+           .agg(F.first("__n").alias("n"),
+                F.first("__r").alias("r"),
+                F.first("__c").alias("c"),
+                F.sum(cell).alias("chi2"),
+                F.min(e).alias("min_e"),
+                *[F.sum(F.when(cond, o0).otherwise(0)).alias(nm)
+                  for nm, cond in zip(("fa", "fb", "fc", "fd"),
+                                      is_cell)]))
+    stats = per.select(
+        "__sl", "n", "r", "c", "chi2", "min_e",
+        "fa", "fb", "fc", "fd",
+        ((F.col("r") - 1) * (F.col("c") - 1))
+        .cast("double").alias("dof"))
+    keep = ("__sl", "n", "r", "c", "chi2", "min_e",
+            "fa", "fb", "fc", "fd", "dof")
+    tailed = apply_igamma_layers(
+        stats, "0.5 * dof", "0.5 * chi2", keep=keep, out="__q",
+        iters=IG_SLICED_ITER)
+    lpk = _fisher2x2_logp_sql("CAST(kk AS DOUBLE)")
+    lpa = _fisher2x2_logp_sql("CAST(fa AS DOUBLE)")
+    from .tails import lgamma_sql as _lgs
+    fisher = (
+        tailed
+        .selectExpr(
+            *keep, "__q",
+            "CAST(fa + fb AS DOUBLE) AS __fr1",
+            "CAST(fc + fd AS DOUBLE) AS __fr2",
+            "CAST(fa + fc AS DOUBLE) AS __fc1")
+        .selectExpr(
+            *keep, "__q", "__fr1", "__fr2", "__fc1",
+            "greatest(0.0, __fc1 - __fr2) AS __fkmin",
+            "least(__fr1, __fc1) AS __fkmax",
+            # the 2x2 CASE guard is load-bearing: on non-2x2 slices
+            # the min/max pseudo-cells make a lgamma argument
+            # negative, which DuckDB's ln REFUSES (error, not NULL)
+            # — both engines must skip the branch lazily
+            "(CASE WHEN r = 2 AND c = 2 THEN "
+            f"({_lgs('CAST(n AS DOUBLE) + 1.0')}"
+            f" - {_lgs('__fc1 + 1.0')}"
+            f" - {_lgs('CAST(n AS DOUBLE) - __fc1 + 1.0')})"
+            " ELSE NULL END) AS __flden")
+        .selectExpr(
+            *keep, "__q", "__fr1", "__fr2", "__fc1", "__fkmin",
+            "__fkmax", "__flden",
+            "(r = 2 AND c = 2 AND min_e < 5.0 AND"
+            f" (__fkmax - __fkmin + 1.0)"
+            f" <= {float(fisher_max_support)!r}) AS __fok",
+            "(CASE WHEN r = 2 AND c = 2 THEN "
+            f"(exp({lpa}) * (1.0 + 1e-07)) ELSE NULL END) AS __fth")
+        .selectExpr(
+            *keep, "__q", "__fok",
+            "(CASE WHEN __fok THEN least(1.0, aggregate("
+            "sequence(CAST(__fkmin AS BIGINT),"
+            " CAST(__fkmax AS BIGINT)),"
+            " CAST(0.0 AS DOUBLE),"
+            f" (acc, kk) -> acc + (CASE WHEN exp({lpk}) <= __fth"
+            f" THEN exp({lpk}) ELSE 0.0 END)))"
+            " ELSE NULL END) AS __fp")
+        .selectExpr(
+            *keep, "__q", "__fok", "__fp",
+            f"(CASE WHEN chi2 IS NULL OR dof <= 0.0 THEN NULL"
+            f" WHEN __fok THEN 'fisher_exact'"
+            f" WHEN dof <= {CHI2_SLICED_EXACT_MAX_DOF!r}"
+            f" THEN 'chi2_exact'"
+            f" ELSE 'chi2_wh' END) AS method",
+            f"(CASE WHEN chi2 IS NULL OR dof <= 0.0 THEN NULL"
+            f" WHEN __fok THEN __fp"
+            f" WHEN dof <= {CHI2_SLICED_EXACT_MAX_DOF!r} THEN __q"
+            f" ELSE {_chi2_wh_sql('chi2', 'dof')} END) AS __p"))
+    return fisher.select(
+        F.col("__sl").alias(slice_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("n_rows"),
+        F.col("c").cast("long").alias("n_cols"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.col("dof").cast("long").alias("dof"),
+        F.round(F.when((F.least("r", "c") > 1) & (F.col("n") > 0),
+                       F.sqrt(F.col("chi2")
+                              / (F.col("n")
+                                 * (F.least("r", "c") - F.lit(1))))),
+                6).alias("cramers_v"),
+        F.round(F.col("min_e"), 6).alias("min_expected"),
+        F.col("method"),
+        F.round(F.col("__p"), 6).alias("p_value"))
+
+
 # Poisson(1) inverse-CDF thresholds: cumulative exp(-1)/k! for k=0..8
 # (mass beyond 9 is < 1.1e-7); a 48-bit md5 uniform >= threshold[k]
 # adds 1 to the weight, so w = sum of 9 comparisons — pure integer

@@ -188,6 +188,16 @@ def f_sf(f_stat: float, df1: float, df2: float) -> float:
 # away from it).
 IG_ITER = 150
 
+# Sliced-sweep igamma depth/ceiling (round 13): the sliced chi-square
+# sweep runs the SAME kernel at a reduced fixed depth so one kernel's
+# projection-layer count (~75) stays under the JVM whole-stage-codegen
+# ceiling (~112 layers, measured r12).  Convergence study (pinned in
+# tests): worst |Q_70 - Q_4000| = 1.05e-13 over dof <= 150 on a fine
+# x/dof grid; Wilson-Hilferty is RETAINED above CHI2_SLICED_EXACT_MAX
+# (a 13x14-label grid before that engages — stated in the op).
+IG_SLICED_ITER = 70
+CHI2_SLICED_EXACT_MAX_DOF = 150.0
+
 # Exact-tail ceiling for chi-square dof: above this the
 # Wilson-Hilferty cube-root normal approximation is RETAINED — a
 # STATED approximation whose measured worst error (vs a 4000-term
@@ -257,44 +267,54 @@ def chi2_sf(x: float, dof: float) -> float:
     return sf2 / 2.0 if z >= 0 else 1.0 - sf2 / 2.0
 
 
-def igamma_chain_sql(inner: str, a: str, x: str, keep: tuple,
-                     out: str = "__q", prefix: str = "__ig") -> str:
-    """``Q(a, x)`` as a WITH-chain over relation text ``inner`` — the
-    DuckDB-oracle spelling of :func:`igamma_q` (one CTE per
-    iteration, both branches computed side by side as columns on
-    CLAMPED arguments and the final CASE selecting by ``x < a+1``;
-    the unused branch's value is discarded, so its clamped-argument
-    garbage never reaches the output).  Used by the chi-square-tail
-    oracles (kruskal, chi2 independence); there is no sliced
-    chi-square op, so no Spark-layer spelling is needed."""
-    k = ", ".join(keep) + (", " if keep else "")
+def igamma_layer_exprs(a: str, x: str, keep: tuple,
+                       out: str = "__q", iters: int = IG_ITER) -> list:
+    """``Q(a, x)`` as projection LAYERS (the :func:`ibeta_layer_exprs`
+    shape) — the single spec behind BOTH the DuckDB WITH chain
+    (:func:`igamma_chain_sql`) and the Spark per-layer application
+    (:func:`apply_igamma_layers`, round 13 — the sliced chi-square
+    sweep made the Spark spelling necessary).  Both branches (series
+    and Lentz CF) compute side by side as columns on CLAMPED
+    arguments with the final CASE selecting by ``x < a + 1``; the
+    unused branch's clamped-argument garbage never reaches the
+    output.  ``iters`` parameterizes the fixed depth: IG_ITER (150)
+    is the dof <= 1000 scalar/oracle contract; the sliced sweep runs
+    IG_SLICED_ITER (70, exact to 1.1e-13 for dof <= 150, measured)
+    to keep one kernel's layer count under the JVM codegen ceiling."""
+    kp = list(keep)
+    reserved = {"__ga", "__gx0", "__gx", "__fr", "__ser", "__xs",
+                "__tm", "__s", "__b", "__c", "__d", "__h", out}
+    clash = reserved.intersection(kp)
+    if clash:
+        raise ValueError(
+            f"igamma_layer_exprs: keep columns {sorted(clash)} "
+            "collide with the kernel's internal column names "
+            f"({sorted(reserved)}); rename them upstream")
     lg = lgamma_sql("__ga")
     xg = f"(CASE WHEN ({x}) <= 0.0 THEN 1.0 ELSE ({x}) END)"
-    # series x clamped into its convergence branch when unused
-    ctes = [
-        (f"{prefix}000",
-         f"SELECT {k}({a}) AS __ga, ({x}) AS __gx0, {xg} AS __gx "
-         f"FROM {inner}"),
-        (f"{prefix}001",
-         f"SELECT {k}__ga, __gx0, __gx, "
-         f"exp(-__gx + __ga * ln(__gx) - {lg}) AS __fr, "
-         f"(__gx < __ga + 1.0) AS __ser, "
-         f"(CASE WHEN __gx < __ga + 1.0 THEN __gx ELSE 1.0 END) "
-         f"AS __xs FROM {prefix}000"),
-        (f"{prefix}002",
-         f"SELECT {k}__ga, __gx0, __gx, __fr, __ser, __xs, "
-         f"(1.0 / __ga) AS __tm, (1.0 / __ga) AS __s, "
-         f"(__gx + 1.0 - __ga) AS __b, (1.0 / 1e-300) AS __c, "
-         f"(1.0 / (CASE WHEN abs(__gx + 1.0 - __ga) < 1e-300 "
-         f"THEN 1e-300 ELSE __gx + 1.0 - __ga END)) AS __d "
-         f"FROM {prefix}001"),
-        (f"{prefix}003",
-         f"SELECT {k}__ga, __gx0, __fr, __ser, __xs, __tm, __s, "
-         f"__b, __c, __d, __d AS __h FROM {prefix}002"),
+    # a is CLAMPED like x: a <= 0 rows (dof = 0 slices in the sliced
+    # sweep) would hit 1.0/__ga — an ANSI-mode error in Spark even
+    # for doubles — and their kernel value is discarded anyway
+    # (callers CASE those rows to NULL; the x0 <= 0 boundary CASE
+    # here returns 1.0).  No-op for every a > 0 caller.
+    ag = f"(CASE WHEN ({a}) <= 0.0 THEN 1.0 ELSE ({a}) END)"
+    layers = [
+        kp + [f"{ag} AS __ga", f"({x}) AS __gx0", f"{xg} AS __gx"],
+        kp + ["__ga", "__gx0", "__gx",
+              f"exp(-__gx + __ga * ln(__gx) - {lg}) AS __fr",
+              "(__gx < __ga + 1.0) AS __ser",
+              "(CASE WHEN __gx < __ga + 1.0 THEN __gx ELSE 1.0 END) "
+              "AS __xs"],
+        kp + ["__ga", "__gx0", "__gx", "__fr", "__ser", "__xs",
+              "(1.0 / __ga) AS __tm", "(1.0 / __ga) AS __s",
+              "(__gx + 1.0 - __ga) AS __b", "(1.0 / 1e-300) AS __c",
+              "(1.0 / (CASE WHEN abs(__gx + 1.0 - __ga) < 1e-300 "
+              "THEN 1e-300 ELSE __gx + 1.0 - __ga END)) AS __d"],
+        kp + ["__ga", "__gx0", "__fr", "__ser", "__xs", "__tm",
+              "__s", "__b", "__c", "__d", "__d AS __h"],
     ]
-    base = (f"{k}__ga, __gx0, __fr, __ser, __xs")
-    prev = f"{prefix}003"
-    for i in range(1, IG_ITER + 1):
+    base = kp + ["__ga", "__gx0", "__fr", "__ser", "__xs"]
+    for i in range(1, iters + 1):
         fi = f"{float(i)!r}"
         an = f"(-{fi} * ({fi} - __ga))"
         t1 = f"({an} * __d + (__b + 2.0))"
@@ -303,15 +323,11 @@ def igamma_chain_sql(inner: str, a: str, x: str, keep: tuple,
               f"ELSE {t1} END))")
         ce = (f"(CASE WHEN abs({t2}) < 1e-300 THEN 1e-300 "
               f"ELSE {t2} END)")
-        name = f"{prefix}{3 + i:03d}"
-        ctes.append(
-            (name,
-             f"SELECT {base}, "
-             f"(__tm * __xs / (__ga + {fi})) AS __tm, "
-             f"(__s + __tm * __xs / (__ga + {fi})) AS __s, "
-             f"(__b + 2.0) AS __b, {ce} AS __c, {de} AS __d, "
-             f"(__h * {de} * {ce}) AS __h FROM {prev}"))
-        prev = name
+        layers.append(base + [
+            f"(__tm * __xs / (__ga + {fi})) AS __tm",
+            f"(__s + __tm * __xs / (__ga + {fi})) AS __s",
+            f"(__b + 2.0) AS __b", f"{ce} AS __c", f"{de} AS __d",
+            f"(__h * {de} * {ce}) AS __h"])
     # __h is NOT lagged in this kernel (each layer folds its own d, c
     # via inline duplication — one state update per iteration keeps
     # the ibeta-style lag unnecessary), so the final value is __h
@@ -319,9 +335,45 @@ def igamma_chain_sql(inner: str, a: str, x: str, keep: tuple,
     res = ("(CASE WHEN __gx0 <= 0.0 THEN 1.0 "
            "WHEN __ser THEN 1.0 - __fr * __s "
            "ELSE __fr * __h END)")
-    body = ",\n".join(f"{n} AS ({sql})" for n, sql in ctes)
+    layers.append(kp + [f"{res} AS {out}"])
+    return layers
+
+
+def igamma_chain_sql(inner: str, a: str, x: str, keep: tuple,
+                     out: str = "__q", prefix: str = "__ig",
+                     iters: int = IG_ITER) -> str:
+    """:func:`igamma_layer_exprs` joined into ONE WITH-chain over
+    relation text ``inner`` — the DuckDB-oracle spelling of
+    :func:`igamma_q` (used by the chi-square-tail oracles: kruskal,
+    chi2 independence, and since round 13 the sliced chi-square
+    sweep at ``iters=IG_SLICED_ITER``)."""
+    layers = igamma_layer_exprs(a, x, keep, out=out, iters=iters)
+    ctes = []
+    prev = inner
+    for i, layer in enumerate(layers[:-1]):
+        name = f"{prefix}{i:03d}"
+        ctes.append(f"{name} AS (SELECT {', '.join(layer)} "
+                    f"FROM {prev})")
+        prev = name
+    body = ",\n".join(ctes)
     return (f"WITH {body}\n"
-            f"SELECT {k}{res} AS {out} FROM {prev}")
+            f"SELECT {', '.join(layers[-1])} FROM {prev}")
+
+
+def apply_igamma_layers(df, a: str, x: str, keep: tuple,
+                        out: str = "__q",
+                        iters: int = IG_ITER):
+    """:func:`igamma_layer_exprs` applied to a Spark DataFrame as
+    incremental ``selectExpr`` layers — the Spark spelling the sliced
+    chi-square sweep needs (same contract as
+    :func:`apply_ibeta_layers`: the exact tail stays a COLUMN
+    computation, nothing reaches the driver).  At the sweep's
+    IG_SLICED_ITER=70 one kernel is ~75 layers — under the measured
+    ~112-layer whole-stage-codegen ceiling, no staging checkpoint
+    needed."""
+    for layer in igamma_layer_exprs(a, x, keep, out=out, iters=iters):
+        df = df.selectExpr(*layer)
+    return df
 
 
 def lgamma_sql(z: str) -> str:

@@ -4058,6 +4058,29 @@ def q_embedding_mmd(spark, sf_dir):
                          emb.filter(F.col("label") % 2 == 1))
 
 
+def q_chi2_sliced(spark, sf_dir):
+    """Categorical-drift sweep per order priority (r13) — TWO grids
+    through one plan so the driver row exercises BOTH tails: status x
+    orderkey-bucket (3 x 4 -> exact sliced igamma chi-square) and
+    rare-key x high-price (2 x 2 with min_expected < 5 -> the Fisher
+    exact fallback, real hypergeometric sums of ~30 terms per
+    slice)."""
+    from ..operators import chi_square_sliced
+
+    o = _t(spark, sf_dir, "orders")
+    d1 = o.select(F.col("o_orderpriority").alias("priority"),
+                  F.col("o_orderstatus").alias("x"),
+                  (F.col("o_orderkey") % 4).cast("string").alias("y"))
+    d2 = o.select(F.col("o_orderpriority").alias("priority"),
+                  (F.col("o_orderkey") % 97 == 0).alias("x"),
+                  (F.col("o_totalprice") > 450000).alias("y"))
+    r1 = (chi_square_sliced(d1, "x", "y", "priority")
+          .withColumn("grid", F.lit("status_x_bucket")))
+    r2 = (chi_square_sliced(d2, "x", "y", "priority")
+          .withColumn("grid", F.lit("rare_x_price")))
+    return r1.unionByName(r2).orderBy("grid", "priority")
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -4107,6 +4130,7 @@ QUERIES = {
     "welch_events": q_welch,
     "tost_events": q_tost,
     "chi2_orders": q_chi2,
+    "chi2_sliced_orders": q_chi2_sliced,
     "bootstrap_docs": q_bootstrap,
     "acf_events": q_acf,
     "jarque_bera_orders": q_jarque_bera,
@@ -4896,6 +4920,122 @@ def _chi2_tail_oracle(prep: str, keep: tuple, final: str,
     chain = _igamma_chain(
         prep, f"0.5 * {dof}", f"0.5 * {chi2}", keep=keep, out="p2")
     return f"SELECT {final} FROM ({chain}) z"
+
+
+def _chi2_sliced_oracle_block(src: str, tag: str) -> str:
+    """One chi_square_sliced grid as oracle SQL: per-slice contingency
+    prep (zero-expectation cells included via the marginal-product
+    left join, as in the op), the sliced igamma chain at
+    IG_SLICED_ITER, then the SAME Fisher-fallback expression texts
+    the Spark op emits (``stats._fisher2x2_logp_sql`` /
+    ``stats._chi2_wh_sql`` — only the fold spelling differs:
+    DuckDB ``list_sum(list_transform(generate_series))`` for Spark's
+    ``aggregate(sequence)``, both ascending k)."""
+    from ..operators.stats import _chi2_wh_sql, _fisher2x2_logp_sql
+    from ..operators.tails import (CHI2_SLICED_EXACT_MAX_DOF,
+                                   IG_SLICED_ITER)
+
+    prep = f"""(
+        WITH obs AS (
+          SELECT sl, x, y, count(*) AS o FROM {src} GROUP BY 1, 2, 3),
+        mx AS (SELECT sl, x, sum(o) AS nx FROM obs GROUP BY 1, 2),
+        my AS (SELECT sl, y, sum(o) AS ny FROM obs GROUP BY 1, 2),
+        tot AS (SELECT sl, sum(o) AS n,
+                       count(DISTINCT x) AS r, count(DISTINCT y) AS c,
+                       min(x) AS x1, max(x) AS x2,
+                       min(y) AS y1, max(y) AS y2
+                FROM obs GROUP BY 1),
+        grid AS (
+          SELECT mx.sl, mx.x, my.y, mx.nx, my.ny, obs.o,
+                 tot.n, tot.r, tot.c, tot.x1, tot.x2, tot.y1, tot.y2
+          FROM mx JOIN my USING (sl)
+          LEFT JOIN obs ON obs.sl = mx.sl AND obs.x = mx.x
+                       AND obs.y = my.y
+          JOIN tot ON tot.sl = mx.sl),
+        per AS (
+          SELECT sl, first(n) AS n, first(r) AS r, first(c) AS c,
+                 sum((coalesce(o, 0) - nx * ny / n)
+                     * (coalesce(o, 0) - nx * ny / n)
+                     / (nx * ny / n)) AS chi2,
+                 min(nx * ny / n) AS min_e,
+                 sum(CASE WHEN x = x1 AND y = y1
+                          THEN coalesce(o, 0) ELSE 0 END) AS fa,
+                 sum(CASE WHEN x = x1 AND y = y2
+                          THEN coalesce(o, 0) ELSE 0 END) AS fb,
+                 sum(CASE WHEN x = x2 AND y = y1
+                          THEN coalesce(o, 0) ELSE 0 END) AS fc,
+                 sum(CASE WHEN x = x2 AND y = y2
+                          THEN coalesce(o, 0) ELSE 0 END) AS fd
+          FROM grid GROUP BY sl)
+        SELECT sl, n, r, c, chi2, min_e, fa, fb, fc, fd,
+               CAST((r - 1) * (c - 1) AS DOUBLE) AS dof
+        FROM per)"""
+    chain = _igamma_chain(
+        prep, "0.5 * dof", "0.5 * chi2",
+        keep=("sl", "n", "r", "c", "chi2", "min_e",
+              "fa", "fb", "fc", "fd", "dof"),
+        out="__q", iters=IG_SLICED_ITER)
+    lpk = _fisher2x2_logp_sql("CAST(kk AS DOUBLE)")
+    lpa = _fisher2x2_logp_sql("CAST(fa AS DOUBLE)")
+    la = (f"SELECT z.*, CAST(fa + fb AS DOUBLE) AS __fr1, "
+          f"CAST(fc + fd AS DOUBLE) AS __fr2, "
+          f"CAST(fa + fc AS DOUBLE) AS __fc1 FROM ({chain}) z")
+    lb = (f"SELECT *, greatest(0.0, __fc1 - __fr2) AS __fkmin, "
+          f"least(__fr1, __fc1) AS __fkmax, "
+          f"(CASE WHEN r = 2 AND c = 2 THEN "
+          f"({_lgamma_sql('CAST(n AS DOUBLE) + 1.0')}"
+          f" - {_lgamma_sql('__fc1 + 1.0')}"
+          f" - {_lgamma_sql('CAST(n AS DOUBLE) - __fc1 + 1.0')})"
+          f" ELSE NULL END) AS __flden FROM ({la})")
+    lc = (f"SELECT *, (r = 2 AND c = 2 AND min_e < 5.0 AND"
+          f" (__fkmax - __fkmin + 1.0) <= 10000.0) AS __fok, "
+          f"(CASE WHEN r = 2 AND c = 2 THEN "
+          f"(exp({lpa}) * (1.0 + 1e-07)) ELSE NULL END) AS __fth "
+          f"FROM ({lb})")
+    ld = (f"SELECT *, (CASE WHEN __fok THEN least(1.0, list_sum("
+          f"list_transform(generate_series(CAST(__fkmin AS BIGINT),"
+          f" CAST(__fkmax AS BIGINT)),"
+          f" kk -> (CASE WHEN exp({lpk}) <= __fth THEN exp({lpk})"
+          f" ELSE 0.0 END)))) ELSE NULL END) AS __fp FROM ({lc})")
+    le = (f"SELECT *, "
+          f"(CASE WHEN chi2 IS NULL OR dof <= 0.0 THEN NULL"
+          f" WHEN __fok THEN 'fisher_exact'"
+          f" WHEN dof <= {CHI2_SLICED_EXACT_MAX_DOF!r}"
+          f" THEN 'chi2_exact'"
+          f" ELSE 'chi2_wh' END) AS method, "
+          f"(CASE WHEN chi2 IS NULL OR dof <= 0.0 THEN NULL"
+          f" WHEN __fok THEN __fp"
+          f" WHEN dof <= {CHI2_SLICED_EXACT_MAX_DOF!r} THEN __q"
+          f" ELSE {_chi2_wh_sql('chi2', 'dof')} END) AS __p "
+          f"FROM ({ld})")
+    return (
+        f"SELECT sl AS priority, CAST(n AS BIGINT) AS n, "
+        f"CAST(r AS BIGINT) AS n_rows, CAST(c AS BIGINT) AS n_cols, "
+        f"round(chi2, 6) AS chi2, CAST(dof AS BIGINT) AS dof, "
+        f"round(CASE WHEN least(r, c) > 1 AND n > 0 THEN "
+        f"sqrt(chi2 / (n * (least(r, c) - 1))) END, 6) AS cramers_v, "
+        f"round(min_e, 6) AS min_expected, method, "
+        f"round(__p, 6) AS p_value, '{tag}' AS grid FROM ({le})")
+
+
+def _chi2_sliced_oracle_sql() -> str:
+    b1 = _chi2_sliced_oracle_block(
+        """(SELECT o_orderpriority AS sl, o_orderstatus AS x,
+                   CAST(o_orderkey % 4 AS VARCHAR) AS y
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND o_orderstatus IS NOT NULL
+              AND o_orderkey IS NOT NULL)""", "status_x_bucket")
+    b2 = _chi2_sliced_oracle_block(
+        """(SELECT o_orderpriority AS sl,
+                   CAST(o_orderkey % 97 = 0 AS VARCHAR) AS x,
+                   CAST(o_totalprice > 450000 AS VARCHAR) AS y
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND o_orderkey IS NOT NULL
+              AND o_totalprice IS NOT NULL)""", "rare_x_price")
+    return (f"SELECT * FROM (({b1}) UNION ALL ({b2})) u "
+            f"ORDER BY grid, priority")
 
 
 _KRUSKAL_PREP = """(
@@ -7837,6 +7977,7 @@ ORACLES = {
         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
                round(s / (na * nb), 6) AS w1
         FROM s""",
+    "chi2_sliced_orders": _chi2_sliced_oracle_sql(),
     "kruskal_orders": _chi2_tail_oracle(
         _KRUSKAL_PREP,
         keep=("n", "k", "h", "hc", "dfree"),

