@@ -40,9 +40,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query.  Keys absent here
-    (minhash_pairs, simhash_pairs, knn_lsh, knn_ivf,
-    approx_distinct_users, pca_project_embeddings) use
-    xxhash64/LSH/k-means/HLL/eigendecomposition internals that SQL
+    (minhash_pairs, simhash_pairs, knn_lsh, knn_ivf, knn_pq,
+    kmeans_clusters, pca_project_embeddings) use
+    xxhash64/LSH/k-means/eigendecomposition internals that SQL
     cannot reproduce -> driver records rows-only checks; each has an
-    oracle-backed verified twin (e.g. embedding_covariance for PCA)."""
+    oracle-backed verified twin (e.g. embedding_covariance for PCA).
+    approx_distinct_users carries a BOUNDS oracle since r13 (exact
+    counts verified + the HLL estimate's 3-sigma envelope)."""
     return dict(ORACLES)

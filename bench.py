@@ -117,10 +117,24 @@ def main() -> int:
         pass
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # CANONICAL fleet order (round-13 verdict ask #5): frozen group
+    # sequence, lexicographic within each group — independent of the
+    # registry's insertion order, which the per-round driver-window
+    # rotation reshuffles.  The round-11/12 A/B studies attributed the
+    # biggest per-query deltas to FLEET POSITION (a query moving
+    # earlier/later inherits different JVM/GC/code-cache state), so a
+    # frozen order makes cross-round per-query diffs compare
+    # position-like-for-like; a NEW query perturbs only its own
+    # lexicographic neighborhood, not the whole fleet.
+    group_order = [g for g, _ in _GROUPS] + ["relational"]
+    run_order = sorted(
+        queries,
+        key=lambda n: (group_order.index(_group_of(n)), n))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     total = 0.0
-    for name, fn in queries.items():
+    for name in run_order:
+        fn = queries[name]
         runs: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()

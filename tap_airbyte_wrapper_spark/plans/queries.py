@@ -797,11 +797,26 @@ def q_salted_brand_revenue(spark, sf_dir):
 
 
 def q_approx_distinct_users(spark, sf_dir):
-    """HLL sketch distinct (approx_count_distinct): mergeable map-side
-    state, the 100 TB path for cardinality; rows-only check (sketch
-    estimates are engine-specific)."""
-    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"))
+    """HLL sketch distinct (approx_count_distinct) with a BOUNDS
+    oracle (r13, retiring the round-3 rows-only exception): per
+    event_type, the EXACT distinct count (hash-verified against
+    DuckDB's COUNT(DISTINCT)) plus ``within_bounds`` = |estimate -
+    exact| <= 3 * rsd * exact.  The estimate itself stays
+    engine-specific (stated — no oracle can replay Spark's HLL
+    registers), but the 3-sigma envelope of the sketch's configured
+    rsd = 0.02 is its published guarantee, so a broken HLL path
+    (wrong column/grouping/rsd plumbing) now FAILS the driver row
+    instead of passing a rows-only check.  Production callers use
+    the approx aggregate alone — the exact count here is the
+    verification anchor, not the 100 TB path."""
+    per = _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("__est"),
+        F.countDistinct("user_id").alias("n_users_exact"))
+    return per.select(
+        "event_type", "n_users_exact",
+        (F.abs(F.col("__est") - F.col("n_users_exact"))
+         <= 0.06 * F.col("n_users_exact")).alias("within_bounds")
+    ).orderBy("event_type")
 
 
 def q_orders_sorted(spark, sf_dir):
@@ -5647,6 +5662,15 @@ ORACLES = {
     "distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type""",
+    # bounds oracle (r13): the exact counts are verified
+    # value-for-value; within_bounds must be TRUE — i.e. Spark's HLL
+    # estimate sits inside the 3-sigma envelope of its configured
+    # rsd around the (independently verified) exact count.
+    "approx_distinct_users": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users_exact,
+               TRUE AS within_bounds
+        FROM events GROUP BY event_type ORDER BY event_type""",
     "clickers_not_purchasers": """
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         EXCEPT
