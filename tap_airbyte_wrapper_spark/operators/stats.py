@@ -358,9 +358,12 @@ def mann_whitney_sliced(df: DataFrame, value_col: str,
     never a single-task global sort; the million-slice contract), and
     ``2*Ra``/ties stay exact longs per slice so the oracle
     hash-matches bit-for-bit.  z and the two-sided p (A&S erf — the
-    tie-corrected normal IS the published large-sample test; the rank
-    null is genuinely asymptotic, see tails.py on retained
-    approximations) evaluate as projections.  Per-slice 2^53 envelope
+    tie-corrected normal IS the published large-sample test for tied
+    data; the SWEEP keeps it even at small per-slice n because the
+    exact combinatorial null is a driver-side DP with no column
+    spelling — drill into a flagged small slice with the scalar
+    :func:`mann_whitney_u`, which since r13 reports the EXACT no-ties
+    p there, ``method`` column) evaluate as projections.  Per-slice 2^53 envelope
     NULLs the slice out rather than killing the sweep (the
     ks_test_sliced convention).  Row inventory matches the other
     sweeps (isin pre-filter).  Output: ``(<slice_col>, n_a, n_b,

@@ -473,3 +473,16 @@ def test_mw_sliced_partitioned_prefix_no_global_sort(plans):
     # plan names each exchange twice (tree + operator detail)
     assert p.count("Exchange") <= 4
     assert "Window" in p
+
+
+def test_chi2_sliced_no_single_task_no_python(plans):
+    """The sliced chi-square/Fisher sweep stays relational end to end:
+    slice-keyed joins over the checkpointed bounded count table (no
+    broadcast of a per-slice-unbounded side needed, no cartesian), the
+    ~75 igamma layers and the Fisher fold are pure projections (no
+    Python eval), and nothing funnels through a single-task exchange
+    except the fleet query's own final presentation orderBy."""
+    p = plans("chi2_sliced_orders")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Cartesian" not in p
+    assert "Exchange SinglePartition" not in p
