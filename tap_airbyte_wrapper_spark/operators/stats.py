@@ -1093,11 +1093,26 @@ def chi_square_sliced(df: DataFrame, x_col: str, y_col: str,
         "fa", "fb", "fc", "fd",
         ((F.col("r") - 1) * (F.col("c") - 1))
         .cast("double").alias("dof"))
+    # eager checkpoint of the BOUNDED per-slice row table (one row per
+    # slice) before the tail layers: each selectExpr layer re-analyzes
+    # its whole child tree, and 75 layers stacked on the live
+    # join/aggregate subtree cost ~10 s of pure analyzer time per
+    # sweep (measured) vs ~1 s on a checkpointed leaf — the same
+    # staging discipline as tost_sliced's two chains
+    stats = stats.localCheckpoint(eager=True)
     keep = ("__sl", "n", "r", "c", "chi2", "min_e",
             "fa", "fb", "fc", "fd", "dof")
-    tailed = apply_igamma_layers(
-        stats, "0.5 * dof", "0.5 * chi2", keep=keep, out="__q",
-        iters=IG_SLICED_ITER)
+    # NARROW chain: only (__sl, chi2, dof) thread the 75 layers (the
+    # analyzer cost scales with columns x layers — measured ~35 ms per
+    # selectExpr at full width); the other per-slice columns rejoin
+    # from the checkpointed stats table via a broadcast hash join on
+    # the slice key afterwards.
+    tailed_q = apply_igamma_layers(
+        stats.select("__sl", "chi2", "dof"),
+        "0.5 * dof", "0.5 * chi2", keep=("__sl",), out="__q",
+        iters=IG_SLICED_ITER, checkpoint_every=25)
+    tailed = stats.join(F.broadcast(tailed_q.select("__sl", "__q")),
+                        "__sl")
     lpk = _fisher2x2_logp_sql("CAST(kk AS DOUBLE)")
     lpa = _fisher2x2_logp_sql("CAST(fa AS DOUBLE)")
     from .tails import lgamma_sql as _lgs

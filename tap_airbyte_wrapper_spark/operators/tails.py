@@ -362,16 +362,34 @@ def igamma_chain_sql(inner: str, a: str, x: str, keep: tuple,
 
 def apply_igamma_layers(df, a: str, x: str, keep: tuple,
                         out: str = "__q",
-                        iters: int = IG_ITER):
+                        iters: int = IG_ITER,
+                        checkpoint_every: int | None = None):
     """:func:`igamma_layer_exprs` applied to a Spark DataFrame as
     incremental ``selectExpr`` layers — the Spark spelling the sliced
     chi-square sweep needs (same contract as
     :func:`apply_ibeta_layers`: the exact tail stays a COLUMN
     computation, nothing reaches the driver).  At the sweep's
     IG_SLICED_ITER=70 one kernel is ~75 layers — under the measured
-    ~112-layer whole-stage-codegen ceiling, no staging checkpoint
-    needed."""
-    for layer in igamma_layer_exprs(a, x, keep, out=out, iters=iters):
+    ~112-layer whole-stage-codegen ceiling.  ``checkpoint_every``
+    inserts an eager localCheckpoint between chain chunks: the caller
+    must guarantee the frame is BOUNDED (per-slice rows); splitting
+    caps the optimizer's superlinear CollapseProject cost over one
+    long Project stack (measured: ~2 s off the sweep's plan
+    constant).
+
+    Application strategy (round-13 plan-constant study, all measured
+    on the 79-layer sweep): per-layer ``selectExpr`` costs ~35 ms of
+    Py4J + analysis per layer (~2.8 s build) but keeps execution fast
+    once the mid-chain checkpoint bounds CollapseProject; ONE giant
+    ``spark.sql`` WITH chain trips the analyzer's 100-iteration
+    Resolution cap at ~79 CTEs; CHUNKED WITH chains (26/8 CTEs per
+    ``spark.sql``) re-pay the fixed-point pass per CTE per iteration
+    and measured no better (5.5 s / 3.7 s build).  Per-layer +
+    checkpoint is the winner and matches apply_ibeta_layers."""
+    for i, layer in enumerate(
+            igamma_layer_exprs(a, x, keep, out=out, iters=iters)):
+        if checkpoint_every and i and i % checkpoint_every == 0:
+            df = df.localCheckpoint(eager=True)
         df = df.selectExpr(*layer)
     return df
 
