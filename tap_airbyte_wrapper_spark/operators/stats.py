@@ -2407,6 +2407,119 @@ def proportion_z_test(df: DataFrame, success_col: str, group_col: str,
         f"{_d(z)} AS z, {_d(p)} AS p_value")
 
 
+def binom_test_exact(df: DataFrame, success_col: str,
+                     p0: float) -> DataFrame:
+    """EXACT one-sample binomial test (round 13): is the observed
+    flag RATE consistent with a target ``p0``?  The one-sample,
+    exact complement of :func:`proportion_z_test` — "did the
+    quality-flag rate leave its contract?" lives at exactly the
+    small-k / rare-flag margin where the normal approximation
+    collapses, and the binomial tail IS the regularized incomplete
+    beta the repo's fixed-depth kernel already computes exactly:
+
+    ``P(X >= k) = I_{p0}(k, n-k+1)`` and ``P(X <= k) = 1 -
+    I_{p0}(k+1, n-k)`` (boundary k = 0 / k = n tails are exactly 1).
+    ``p_two_sided`` uses the DOUBLED-TAIL convention ``min(1, 2 *
+    min(p_less, p_greater))`` — stated: R's ``binom.test`` instead
+    sums all outcomes with pmf <= observed (the "minlike"
+    convention); the doubled tail is the standard conservative
+    alternative and, unlike the pmf-threshold sum, is a fixed pair of
+    incomplete-beta evaluations, so the oracle replays it exactly.
+
+    Plan: ONE aggregate scan to (k, n); tails driver-side on the
+    shared :func:`~.tails.ibeta` kernel (libm).  Output: ONE row
+    ``(n, k, p_hat, p0, p_greater, p_less, p_two_sided)``."""
+    if not 0.0 < p0 < 1.0:
+        raise ValueError(f"binom_test_exact needs 0 < p0 < 1, "
+                         f"got {p0}")
+    from .tails import ibeta as _ib
+
+    spark = df.sparkSession
+    s = F.col(success_col).cast("boolean")
+    row = (df.filter(s.isNotNull())
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(s.cast("int")).alias("k")).first())
+    n = int(row["n"] or 0)
+    if n == 0:
+        return spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS k, "
+            "CAST(NULL AS DOUBLE) AS p_hat, "
+            f"round(CAST({float(p0)!r} AS DOUBLE), 6) AS p0, "
+            "CAST(NULL AS DOUBLE) AS p_greater, "
+            "CAST(NULL AS DOUBLE) AS p_less, "
+            "CAST(NULL AS DOUBLE) AS p_two_sided")
+    k = int(row["k"])
+    p_ge = 1.0 if k == 0 else _ib(float(k), float(n - k + 1), p0)
+    p_le = 1.0 if k == n else 1.0 - _ib(float(k + 1), float(n - k),
+                                        p0)
+    p2 = min(1.0, 2.0 * min(p_ge, p_le))
+    return spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n, "
+        f"CAST({k} AS BIGINT) AS k, "
+        f"round(CAST({k / n!r} AS DOUBLE), 6) AS p_hat, "
+        f"round(CAST({float(p0)!r} AS DOUBLE), 6) AS p0, "
+        f"round(CAST({p_ge!r} AS DOUBLE), 6) AS p_greater, "
+        f"round(CAST({p_le!r} AS DOUBLE), 6) AS p_less, "
+        f"round(CAST({p2!r} AS DOUBLE), 6) AS p_two_sided")
+
+
+def binom_test_sliced(df: DataFrame, success_col: str,
+                      slice_col: str, p0: float) -> DataFrame:
+    """:func:`binom_test_exact` per SLICE — "did the flag rate leave
+    its contract ``p0`` in ANY source/language/shard?": the
+    rate-contract member of the sweep family, and its tails stay
+    EXACT at any slice size because the binomial tail is the
+    incomplete beta (two specs riding the existing fixed-depth
+    layers; no normal approximation anywhere).
+
+    Plan: ONE conditional-aggregate scan to per-slice (k, n); the two
+    tails ride TWO STAGED incomplete-beta chains with an eager
+    localCheckpoint of the BOUNDED per-slice table between them (the
+    tost_sliced staging — two kernels in one codegen stage exceed the
+    JVM method ceiling, stated); the k = 0 / k = n boundaries CASE to
+    exact 1.0 around clamped kernel arguments (the clamp keeps
+    lgamma's argument positive on rows the CASE discards — same
+    convention as the chi-square sweep's dof clamp).  ``p_two_sided``
+    = doubled tail as in the scalar (stated); feed it to
+    :func:`bh_fdr`.  Output: ``(<slice_col>, n, k, p_hat,
+    p_two_sided, p_greater, p_less)``."""
+    if not 0.0 < p0 < 1.0:
+        raise ValueError(f"binom_test_sliced needs 0 < p0 < 1, "
+                         f"got {p0}")
+    s = F.col(success_col).cast("boolean")
+    per = (df.filter(s.isNotNull() & F.col(slice_col).isNotNull())
+           .groupBy(F.col(slice_col).alias("__sl"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(s.cast("int")).alias("k"))
+           .localCheckpoint(eager=True))
+    p0r = f"{float(p0)!r}"
+    ge = apply_ibeta_layers(
+        per,
+        [("greatest(CAST(k AS DOUBLE), 1.0)",
+          "CAST(n - k AS DOUBLE) + 1.0", p0r, "__ge")],
+        keep=("__sl", "n", "k"))
+    ge = ge.localCheckpoint(eager=True)
+    le = apply_ibeta_layers(
+        ge,
+        [("CAST(k AS DOUBLE) + 1.0",
+          "greatest(CAST(n - k AS DOUBLE), 1.0)", p0r, "__le1")],
+        keep=("__sl", "n", "k", "__ge"))
+    out = le.selectExpr(
+        "__sl", "n", "k",
+        "(CASE WHEN k = 0 THEN 1.0 ELSE __ge END) AS __pge",
+        "(CASE WHEN k = n THEN 1.0 ELSE 1.0 - __le1 END) AS __ple")
+    return out.select(
+        F.col("__sl").alias(slice_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("k") / F.col("n"), 6).alias("p_hat"),
+        F.round(F.least(F.lit(1.0),
+                        2.0 * F.least("__pge", "__ple")), 6)
+        .alias("p_two_sided"),
+        F.round(F.col("__pge"), 6).alias("p_greater"),
+        F.round(F.col("__ple"), 6).alias("p_less"))
+
+
 def seasonal_decompose(df: DataFrame, time_col: str, value_col: str,
                        period: int,
                        max_rows: int = 200_000) -> DataFrame:

@@ -4110,6 +4110,32 @@ def q_chi2_sliced(spark, sf_dir):
         .orderBy("grid", "priority"))
 
 
+def q_binom(spark, sf_dir):
+    """Exact one-sample binomial rate test (r13): is the 'P'
+    order-status rate still the synthetic generator's 1/3 contract?
+    One aggregate scan; both tails exact via the shared incomplete
+    beta."""
+    from ..operators import binom_test_exact
+
+    d = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "P").alias("flag"))
+    return binom_test_exact(d, "flag", 1.0 / 3.0)
+
+
+def q_binom_sliced(spark, sf_dir):
+    """Exact binomial rate-contract sweep per priority (r13): did the
+    'P' status rate leave 1/3 in ANY priority slice?  Two staged
+    incomplete-beta chains over one conditional-agg scan — exact at
+    any slice size."""
+    from ..operators import binom_test_sliced
+
+    d = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_orderstatus") == "P").alias("flag"))
+    return binom_test_sliced(d, "flag", "priority",
+                             1.0 / 3.0).orderBy("priority")
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -4160,6 +4186,8 @@ QUERIES = {
     "tost_events": q_tost,
     "chi2_orders": q_chi2,
     "chi2_sliced_orders": q_chi2_sliced,
+    "binom_orders": q_binom,
+    "binom_sliced_orders": q_binom_sliced,
     "bootstrap_docs": q_bootstrap,
     "acf_events": q_acf,
     "jarque_bera_orders": q_jarque_bera,
@@ -4369,9 +4397,11 @@ QUERIES = {
 # chi2_sliced_orders (NEW categorical sweep, both tail branches in one
 # plan), and approx_distinct_users (NEW bounds oracle — the r03
 # rows-only exception retired; the round-3 gate now admits it), and
-# (d) the 6 alphabetically-first r09 rows.  After this window nothing
-# is older than r09; the stalest rows are the 41 remaining r09
-# entries — the r14 rotation seed.
+# (d) the 4 alphabetically-first r09 rows (two fewer than first
+# planned: the late-round binom_orders / binom_sliced_orders additions
+# take their slots under the same-round rule).  After this window
+# nothing is older than r09; the stalest rows are the 43 remaining
+# r09 entries — the r14 rotation seed.
 _R13_WINDOW = [
     # (a) all 37 r08-stale rows
     "corpus_curation", "corr_lineitem", "cube_event_day",
@@ -4393,9 +4423,10 @@ _R13_WINDOW = [
     # (c) new/changed-oracle r13 entries
     "pairwise_welch_orders", "mann_whitney_orders", "wilcoxon_docs",
     "chi2_sliced_orders", "approx_distinct_users",
-    # (d) the 6 alphabetically-first r09 rows
+    "binom_orders", "binom_sliced_orders",
+    # (d) the 4 alphabetically-first r09 rows
     "audio_meta_docs", "benford_orders", "bitext_mine_emb",
-    "code_blocks_docs", "cohen_kappa_docs", "confusable_fold_docs",
+    "code_blocks_docs",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R13_WINDOW},
@@ -4935,6 +4966,31 @@ def _chi2_tail_oracle(prep: str, keep: tuple, final: str,
     chain = _igamma_chain(
         prep, f"0.5 * {dof}", f"0.5 * {chi2}", keep=keep, out="p2")
     return f"SELECT {final} FROM ({chain}) z"
+
+
+def _binom_tail_oracle(prep: str, keep: tuple, final: str,
+                       p0: str) -> str:
+    """Exact binomial tails over ``prep`` exposing per-row ``(n, k)``:
+    BOTH tails as two incomplete-beta specs riding one chain (DuckDB
+    has no codegen ceiling — the Spark sliced op stages them instead,
+    values identical): ``ge0 = I_p0(max(k,1), n-k+1)``, ``le0 =
+    I_p0(k+1, max(n-k,1))``; the k = 0 / k = n boundary CASEs (exact
+    1.0 tails) and the doubled-tail p_two live in ``final``.  The
+    clamps keep lgamma's argument positive on rows the CASE
+    discards — the same convention as the op."""
+    chain = _ibeta_chain(
+        prep,
+        [("greatest(CAST(k AS DOUBLE), 1.0)",
+          "CAST(n - k AS DOUBLE) + 1.0", p0, "ge0"),
+         ("CAST(k AS DOUBLE) + 1.0",
+          "greatest(CAST(n - k AS DOUBLE), 1.0)", p0, "le0")],
+        keep=keep)
+    return f"SELECT {final} FROM ({chain}) z"
+
+
+_BINOM_FINAL_TAILS = (
+    "(CASE WHEN k = 0 THEN 1.0 ELSE ge0 END)",
+    "(CASE WHEN k = n THEN 1.0 ELSE 1.0 - le0 END)")
 
 
 def _chi2_sliced_oracle_block(src: str, tag: str) -> str:
@@ -8002,6 +8058,39 @@ ORACLES = {
                round(s / (na * nb), 6) AS w1
         FROM s""",
     "chi2_sliced_orders": _chi2_sliced_oracle_sql(),
+    "binom_orders": _binom_tail_oracle(
+        """(SELECT count(*) AS n,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0
+                       END) AS k
+            FROM orders WHERE o_orderstatus IS NOT NULL)""",
+        keep=("n", "k"),
+        final=(
+            "CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, "
+            "round(k / n, 6) AS p_hat, "
+            "round(0.3333333333333333, 6) AS p0, "
+            f"round({_BINOM_FINAL_TAILS[0]}, 6) AS p_greater, "
+            f"round({_BINOM_FINAL_TAILS[1]}, 6) AS p_less, "
+            f"round(least(1.0, 2.0 * least({_BINOM_FINAL_TAILS[0]}, "
+            f"{_BINOM_FINAL_TAILS[1]})), 6) AS p_two_sided"),
+        p0="0.3333333333333333"),
+    "binom_sliced_orders": _binom_tail_oracle(
+        """(SELECT o_orderpriority AS sl, count(*) AS n,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0
+                       END) AS k
+            FROM orders
+            WHERE o_orderstatus IS NOT NULL
+              AND o_orderpriority IS NOT NULL
+            GROUP BY 1)""",
+        keep=("sl", "n", "k"),
+        final=(
+            "sl AS priority, "
+            "CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, "
+            "round(k / n, 6) AS p_hat, "
+            f"round(least(1.0, 2.0 * least({_BINOM_FINAL_TAILS[0]}, "
+            f"{_BINOM_FINAL_TAILS[1]})), 6) AS p_two_sided, "
+            f"round({_BINOM_FINAL_TAILS[0]}, 6) AS p_greater, "
+            f"round({_BINOM_FINAL_TAILS[1]}, 6) AS p_less"),
+        p0="0.3333333333333333") + " ORDER BY priority",
     "kruskal_orders": _chi2_tail_oracle(
         _KRUSKAL_PREP,
         keep=("n", "k", "h", "hc", "dfree"),

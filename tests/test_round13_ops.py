@@ -505,3 +505,82 @@ def test_igamma_sliced_depth_convergence():
                         abs(igq(a, x, IG_SLICED_ITER)
                             - igq(a, x, 4000)))
     assert worst < 2e-13, worst
+
+
+# ---------------------------------------------------------------------
+# Exact one-sample binomial test (r13 beyond-ask addition)
+# ---------------------------------------------------------------------
+
+def test_binom_exact_matches_direct_sum(spark):
+    """The incomplete-beta tails equal the direct binomial sums
+    (independent math.comb cross-check) and the textbook pin
+    P(X >= 8 | n=10, p=.5) = 56/1024 lands exactly."""
+    import math
+
+    from tap_airbyte_wrapper_spark.operators import binom_test_exact
+
+    def direct_ge(k, n, p):
+        return sum(math.comb(n, j) * p ** j * (1 - p) ** (n - j)
+                   for j in range(k, n + 1))
+
+    def run(k, n, p0):
+        rows = [(True,)] * k + [(False,)] * (n - k)
+        return binom_test_exact(
+            spark.createDataFrame(rows, "flag boolean"),
+            "flag", p0).first()
+
+    r = run(8, 10, 0.5)
+    # outputs round to 6 decimals -> compare on that grid
+    assert r["p_greater"] == pytest.approx(56.0 / 1024.0, abs=6e-7)
+    assert r["p_two_sided"] == pytest.approx(112.0 / 1024.0, abs=6e-7)
+    for k, n, p0 in [(5, 20, 0.1), (3, 50, 0.02), (12, 40, 0.5),
+                     (1, 7, 0.3)]:
+        r = run(k, n, p0)
+        assert r["p_greater"] == pytest.approx(direct_ge(k, n, p0),
+                                               abs=6e-7), (k, n, p0)
+        assert r["p_less"] == pytest.approx(
+            1.0 - direct_ge(k + 1, n, p0), abs=6e-7), (k, n, p0)
+
+
+def test_binom_exact_boundaries_and_guard(spark):
+    """k = 0 / k = n tails are exactly 1.0 on their own side and the
+    closed forms (1-p0)^n / p0^n on the other; p0 out of (0,1)
+    refuses."""
+    from tap_airbyte_wrapper_spark.operators import binom_test_exact
+
+    d0 = spark.createDataFrame([(False,)] * 12, "flag boolean")
+    r = binom_test_exact(d0, "flag", 0.25).first()
+    assert r["p_greater"] == 1.0
+    assert r["p_less"] == pytest.approx(0.75 ** 12, abs=6e-7)
+    dn = spark.createDataFrame([(True,)] * 9, "flag boolean")
+    r = binom_test_exact(dn, "flag", 0.25).first()
+    assert r["p_less"] == 1.0
+    assert r["p_greater"] == pytest.approx(0.25 ** 9, abs=6e-7)
+    with pytest.raises(ValueError, match="p0"):
+        binom_test_exact(d0, "flag", 1.0)
+
+
+def test_binom_sliced_row_equals_scalar(spark):
+    """Each slice row == binom_test_exact on that slice alone,
+    including a k = 0 slice and a k = n slice (the boundary CASEs
+    around the clamped kernel arguments)."""
+    from tap_airbyte_wrapper_spark.operators import (
+        binom_test_exact, binom_test_sliced)
+
+    rows = ([("s1", i % 4 == 0) for i in range(40)]
+            + [("s2", i % 7 == 0) for i in range(35)]
+            + [("zero", False) for _ in range(11)]
+            + [("full", True) for _ in range(6)])
+    df = spark.createDataFrame(rows, "s string, flag boolean")
+    out = {r["s"]: r for r in
+           binom_test_sliced(df, "flag", "s", 0.2).collect()}
+    assert set(out) == {"s1", "s2", "zero", "full"}
+    for s in out:
+        ref = binom_test_exact(
+            df.filter(F.col("s") == s), "flag", 0.2).first()
+        row = out[s]
+        assert (row["n"], row["k"]) == (ref["n"], ref["k"])
+        for c in ("p_hat", "p_two_sided", "p_greater", "p_less"):
+            assert row[c] == pytest.approx(ref[c], abs=2e-6), (s, c)
+    assert out["zero"]["p_greater"] == 1.0
+    assert out["full"]["p_less"] == 1.0
