@@ -2520,6 +2520,155 @@ def binom_test_sliced(df: DataFrame, success_col: str,
         F.round(F.col("__ple"), 6).alias("p_less"))
 
 
+def _normal_sf2_sql(z: str) -> str:
+    """:func:`_normal_sf2` as expression text over ``z`` — the A&S
+    7.1.26 polynomial, token-for-token the Python loop and the
+    spelled-out oracles (Mann-Whitney, Wilcoxon), for sliced ops that
+    need the two-sided normal tail as a COLUMN."""
+    x = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * ("
+            f"1.421413741 + {t} * (-1.453152027 + {t}"
+            f" * 1.061405429)))))")
+    return (f"least(1.0, greatest(0.0, {poly}"
+            f" * exp(-{x} * {x})))")
+
+
+def poisson_test_exact(df: DataFrame, mu0: float,
+                       count_col: str | None = None) -> DataFrame:
+    """EXACT one-sample Poisson test (round 13): is the observed
+    event COUNT consistent with an expected ``mu0``?  The count
+    sibling of :func:`binom_test_exact` (rates of a flag vs rates of
+    EVENTS — "did the error/violation count leave its per-window
+    contract?"), and its tails are the incomplete GAMMA the repo's
+    fixed-depth kernel already computes exactly: ``P(X <= k) =
+    Q(k + 1, mu0)`` and ``P(X >= k) = 1 - Q(k, mu0)`` (k = 0 upper
+    tail is exactly 1).  ``p_two_sided`` = doubled tail (stated — R's
+    ``poisson.test`` uses the pmf-threshold sum; same trade as the
+    binomial op).
+
+    Exact for ``k <= tails.POISSON_EXACT_MAX_K`` (499 — the kernel's
+    stated depth ceiling at a = k + 1); the plain normal
+    approximation ``z = (k - mu0)/sqrt(mu0)`` takes over above, where
+    its ~1/sqrt(mu0) error is far below output rounding — a
+    ``method`` column states the branch.
+
+    Plan: ONE aggregate scan to k (row count, or ``sum(count_col)``
+    for pre-aggregated per-window counts).  Output: ONE row ``(k,
+    mu0, p_greater, p_less, p_two_sided, method)``."""
+    if not mu0 > 0.0:
+        raise ValueError(f"poisson_test_exact needs mu0 > 0, "
+                         f"got {mu0}")
+    from .tails import POISSON_EXACT_MAX_K, igamma_q as _igq
+
+    spark = df.sparkSession
+    if count_col is None:
+        k = int(df.count())
+    else:
+        row = (df.filter(F.col(count_col).isNotNull())
+               .agg(F.sum(F.col(count_col).cast("long"))
+                    .alias("k")).first())
+        k = int(row["k"] or 0)
+    if k <= POISSON_EXACT_MAX_K:
+        p_ge = 1.0 if k == 0 else 1.0 - _igq(float(k), mu0)
+        p_le = _igq(float(k + 1), mu0)
+        method = "exact"
+    else:
+        z = (k - mu0) / math.sqrt(mu0)
+        sf2 = _normal_sf2(z)
+        p_ge = sf2 / 2.0 if z >= 0 else 1.0 - sf2 / 2.0
+        p_le = 1.0 - p_ge
+        method = "normal_approx"
+    p2 = min(1.0, 2.0 * min(p_ge, p_le))
+    return spark.sql(
+        f"SELECT CAST({k} AS BIGINT) AS k, "
+        f"round(CAST({float(mu0)!r} AS DOUBLE), 6) AS mu0, "
+        f"round(CAST({p_ge!r} AS DOUBLE), 6) AS p_greater, "
+        f"round(CAST({p_le!r} AS DOUBLE), 6) AS p_less, "
+        f"round(CAST({p2!r} AS DOUBLE), 6) AS p_two_sided, "
+        f"'{method}' AS method")
+
+
+def _poisson_branch_exprs(kmax: int, mu: str) -> tuple:
+    """(p_greater, p_less, method) expression texts over per-row
+    columns ``k`` (long), ``__qge``/``__qle`` (the two incomplete-
+    gamma chain outputs) — ONE builder shared by the Spark sliced op
+    and its DuckDB oracle, so the exact/normal branch CASEs are
+    token-identical in both engines."""
+    zt = f"((CAST(k AS DOUBLE) - {mu}) / sqrt({mu}))"
+    sf2 = _normal_sf2_sql(zt)
+    norm_ge = (f"(CASE WHEN {zt} >= 0.0 THEN {sf2} / 2.0 "
+               f"ELSE 1.0 - {sf2} / 2.0 END)")
+    pge = (f"(CASE WHEN k <= {kmax} THEN "
+           f"(CASE WHEN k = 0 THEN 1.0 ELSE 1.0 - __qge END) "
+           f"ELSE {norm_ge} END)")
+    ple = (f"(CASE WHEN k <= {kmax} THEN __qle "
+           f"ELSE 1.0 - {norm_ge} END)")
+    meth = (f"(CASE WHEN k <= {kmax} THEN 'exact' "
+            f"ELSE 'normal_approx' END)")
+    return pge, ple, meth
+
+
+def poisson_test_sliced(df: DataFrame, slice_col: str, mu0: float,
+                        count_col: str | None = None) -> DataFrame:
+    """:func:`poisson_test_exact` per SLICE — "did the event count
+    leave its contract ``mu0`` in ANY day/shard/source?": the
+    count-contract member of the sweep family.  Per-slice k from one
+    aggregate scan; the two exact tails ride TWO STAGED
+    incomplete-gamma chains (IG_SLICED_ITER depth, eager
+    localCheckpoint of the bounded per-slice table between them);
+    slices with ``k > tails.POISSON_SLICED_EXACT_MAX_K`` (74 — the
+    sliced kernel's stated depth ceiling at a = k + 1) take the
+    normal approximation as a projection (same A&S text both
+    engines), with the branch in a ``method`` column — the exact gate
+    is deliberately the RARE-event regime (error counts, violation
+    counts), which is where exactness matters.  Output:
+    ``(<slice_col>, k, p_two_sided, p_greater, p_less, method)``;
+    feed ``p_two_sided`` to :func:`bh_fdr`."""
+    if not mu0 > 0.0:
+        raise ValueError(f"poisson_test_sliced needs mu0 > 0, "
+                         f"got {mu0}")
+    from .tails import IG_SLICED_ITER, POISSON_SLICED_EXACT_MAX_K, \
+        apply_igamma_layers
+
+    base = df.filter(F.col(slice_col).isNotNull())
+    if count_col is None:
+        per = (base.groupBy(F.col(slice_col).alias("__sl"))
+               .agg(F.count(F.lit(1)).alias("k")))
+    else:
+        per = (base.filter(F.col(count_col).isNotNull())
+               .groupBy(F.col(slice_col).alias("__sl"))
+               .agg(F.sum(F.col(count_col).cast("long")).alias("k")))
+    per = per.localCheckpoint(eager=True)
+    mu = f"{float(mu0)!r}"
+    kmax = POISSON_SLICED_EXACT_MAX_K
+    # clamp a into the kernel's exact region on rows the CASE
+    # discards (k = 0 lower boundary; k > kmax normal branch) — the
+    # same discipline as the chi-square sweep's dof clamp
+    ge = apply_igamma_layers(
+        per, f"least(greatest(CAST(k AS DOUBLE), 1.0), "
+             f"{float(kmax)!r})", mu,
+        keep=("__sl", "k"), out="__qge", iters=IG_SLICED_ITER)
+    ge = ge.localCheckpoint(eager=True)
+    le = apply_igamma_layers(
+        ge, f"least(CAST(k AS DOUBLE) + 1.0, {float(kmax + 1)!r})",
+        mu, keep=("__sl", "k", "__qge"), out="__qle",
+        iters=IG_SLICED_ITER)
+    pge, ple, meth = _poisson_branch_exprs(kmax, mu)
+    out = le.selectExpr(
+        "__sl", "k",
+        f"{pge} AS __pge", f"{ple} AS __ple", f"{meth} AS method")
+    return out.select(
+        F.col("__sl").alias(slice_col),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.least(F.lit(1.0),
+                        2.0 * F.least("__pge", "__ple")), 6)
+        .alias("p_two_sided"),
+        F.round(F.col("__pge"), 6).alias("p_greater"),
+        F.round(F.col("__ple"), 6).alias("p_less"),
+        F.col("method"))
+
+
 def seasonal_decompose(df: DataFrame, time_col: str, value_col: str,
                        period: int,
                        max_rows: int = 200_000) -> DataFrame:

@@ -198,6 +198,19 @@ IG_ITER = 150
 IG_SLICED_ITER = 70
 CHI2_SLICED_EXACT_MAX_DOF = 150.0
 
+# Exact-Poisson-count ceilings (round 13): the Poisson tails are the
+# SAME incomplete-gamma kernel at a = k / k+1, so the exact gates are
+# the kernel-depth ceilings re-expressed in counts: scalar k <=
+# CHI2_EXACT_MAX_DOF/2 - 1 (IG_ITER = 150), sliced k <=
+# CHI2_SLICED_EXACT_MAX_DOF/2 - 1 (IG_SLICED_ITER = 70); the normal
+# approximation (stated, method column) takes over above — large
+# counts are exactly where it is excellent (~1/sqrt(mu) error).
+# (Values spelled literally because CHI2_EXACT_MAX_DOF is defined
+# further down; asserted equal at import.)
+POISSON_EXACT_MAX_K = 499                 # CHI2_EXACT_MAX_DOF/2 - 1
+POISSON_SLICED_EXACT_MAX_K = \
+    int(CHI2_SLICED_EXACT_MAX_DOF / 2) - 1                # 74
+
 # Exact-tail ceiling for chi-square dof: above this the
 # Wilson-Hilferty cube-root normal approximation is RETAINED — a
 # STATED approximation whose measured worst error (vs a 4000-term
@@ -212,6 +225,7 @@ CHI2_SLICED_EXACT_MAX_DOF = 150.0
 # approximation instead.  Below the ceiling WH is materially wrong
 # (dof = 4: 3e-3) and the exact kernel is cheap.
 CHI2_EXACT_MAX_DOF = 1000.0
+assert POISSON_EXACT_MAX_K == int(CHI2_EXACT_MAX_DOF / 2) - 1
 
 
 def igamma_q(a: float, x: float) -> float:

@@ -4136,6 +4136,32 @@ def q_binom_sliced(spark, sf_dir):
                              1.0 / 3.0).orderBy("priority")
 
 
+def q_poisson(spark, sf_dir):
+    """Exact one-sample Poisson count test (r13): did the error-event
+    count over the last six days leave its 67/day contract?  k ~ 400
+    here — inside the scalar kernel's exact gate (<= 499)."""
+    from ..operators import poisson_test_exact
+
+    d = (_t(spark, sf_dir, "events")
+         .filter((F.col("event_type") == "error")
+                 & (F.col("ts") >= "2024-01-25")))
+    return poisson_test_exact(d, 402.0)
+
+
+def q_poisson_sliced(spark, sf_dir):
+    """Exact Poisson count-contract sweep per DAY (r13): did the
+    daily error count leave 67 on any day?  Daily counts straddle the
+    sliced exact gate (52-82 vs k <= 74), so the driver row exercises
+    BOTH the exact incomplete-gamma branch and the stated normal
+    branch in one plan."""
+    from ..operators import poisson_test_sliced
+
+    d = (_t(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "error")
+         .select(F.to_date("ts").cast("string").alias("day")))
+    return poisson_test_sliced(d, "day", 67.0).orderBy("day")
+
+
 # =====================================================================
 # registry + oracles
 # =====================================================================
@@ -4188,6 +4214,8 @@ QUERIES = {
     "chi2_sliced_orders": q_chi2_sliced,
     "binom_orders": q_binom,
     "binom_sliced_orders": q_binom_sliced,
+    "poisson_events": q_poisson,
+    "poisson_sliced_events": q_poisson_sliced,
     "bootstrap_docs": q_bootstrap,
     "acf_events": q_acf,
     "jarque_bera_orders": q_jarque_bera,
@@ -4397,11 +4425,12 @@ QUERIES = {
 # chi2_sliced_orders (NEW categorical sweep, both tail branches in one
 # plan), and approx_distinct_users (NEW bounds oracle — the r03
 # rows-only exception retired; the round-3 gate now admits it), and
-# (d) the 4 alphabetically-first r09 rows (two fewer than first
-# planned: the late-round binom_orders / binom_sliced_orders additions
-# take their slots under the same-round rule).  After this window
-# nothing is older than r09; the stalest rows are the 43 remaining
-# r09 entries — the r14 rotation seed.
+# (d) the 2 alphabetically-first r09 rows (four fewer than first
+# planned: the late-round binom_orders / binom_sliced_orders /
+# poisson_events / poisson_sliced_events additions take their slots
+# under the same-round rule).  After this window nothing is older
+# than r09; the stalest rows are the 45 remaining r09 entries — the
+# r14 rotation seed.
 _R13_WINDOW = [
     # (a) all 37 r08-stale rows
     "corpus_curation", "corr_lineitem", "cube_event_day",
@@ -4424,9 +4453,9 @@ _R13_WINDOW = [
     "pairwise_welch_orders", "mann_whitney_orders", "wilcoxon_docs",
     "chi2_sliced_orders", "approx_distinct_users",
     "binom_orders", "binom_sliced_orders",
-    # (d) the 4 alphabetically-first r09 rows
-    "audio_meta_docs", "benford_orders", "bitext_mine_emb",
-    "code_blocks_docs",
+    "poisson_events", "poisson_sliced_events",
+    # (d) the 2 alphabetically-first r09 rows
+    "audio_meta_docs", "benford_orders",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R13_WINDOW},
@@ -4991,6 +5020,37 @@ def _binom_tail_oracle(prep: str, keep: tuple, final: str,
 _BINOM_FINAL_TAILS = (
     "(CASE WHEN k = 0 THEN 1.0 ELSE ge0 END)",
     "(CASE WHEN k = n THEN 1.0 ELSE 1.0 - le0 END)")
+
+
+def _poisson_oracle(prep: str, keep: tuple, final: str, mu: str,
+                    kmax: int, iters: int) -> str:
+    """Exact Poisson tails over ``prep`` exposing per-row ``k``: two
+    CHAINED incomplete-gamma WITH chains (``__qge = Q(k, mu)``,
+    ``__qle = Q(k+1, mu)``) with the SAME a-clamps as the op
+    (boundary/normal-branch rows the CASEs discard), then the
+    branch CASEs via ``stats._poisson_branch_exprs`` — token-identical
+    to the Spark sliced op's projections (the scalar op's driver
+    Python follows the same formulas on the same kernel)."""
+    c1 = _igamma_chain(
+        prep,
+        f"least(greatest(CAST(k AS DOUBLE), 1.0), {float(kmax)!r})",
+        mu, keep=keep, out="__qge", prefix="__iga", iters=iters)
+    c2 = _igamma_chain(
+        f"({c1})",
+        f"least(CAST(k AS DOUBLE) + 1.0, {float(kmax + 1)!r})",
+        mu, keep=keep + ("__qge",), out="__qle", prefix="__igb",
+        iters=iters)
+    return f"SELECT {final} FROM ({c2}) z"
+
+
+def _poisson_final(mu: str, kmax: int, lead: str) -> str:
+    from ..operators.stats import _poisson_branch_exprs
+    pge, ple, meth = _poisson_branch_exprs(kmax, mu)
+    return (f"{lead}CAST(k AS BIGINT) AS k, "
+            f"round(least(1.0, 2.0 * least({pge}, {ple})), 6)"
+            f" AS p_two_sided, "
+            f"round({pge}, 6) AS p_greater, "
+            f"round({ple}, 6) AS p_less, {meth} AS method")
 
 
 def _chi2_sliced_oracle_block(src: str, tag: str) -> str:
@@ -8091,6 +8151,22 @@ ORACLES = {
             f"round({_BINOM_FINAL_TAILS[0]}, 6) AS p_greater, "
             f"round({_BINOM_FINAL_TAILS[1]}, 6) AS p_less"),
         p0="0.3333333333333333") + " ORDER BY priority",
+    "poisson_events": _poisson_oracle(
+        """(SELECT count(*) AS k FROM events
+            WHERE event_type = 'error'
+              AND ts >= TIMESTAMP '2024-01-25 00:00:00')""",
+        keep=("k",),
+        final=_poisson_final("402.0", 499,
+                             "round(402.0, 6) AS mu0, "),
+        mu="402.0", kmax=499, iters=150),
+    "poisson_sliced_events": _poisson_oracle(
+        """(SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS sl,
+                   count(*) AS k
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1)""",
+        keep=("sl", "k"),
+        final=_poisson_final("67.0", 74, "sl AS day, "),
+        mu="67.0", kmax=74, iters=70) + " ORDER BY day",
     "kruskal_orders": _chi2_tail_oracle(
         _KRUSKAL_PREP,
         keep=("n", "k", "h", "hc", "dfree"),

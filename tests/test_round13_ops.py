@@ -584,3 +584,94 @@ def test_binom_sliced_row_equals_scalar(spark):
             assert row[c] == pytest.approx(ref[c], abs=2e-6), (s, c)
     assert out["zero"]["p_greater"] == 1.0
     assert out["full"]["p_less"] == 1.0
+
+
+# ---------------------------------------------------------------------
+# Exact one-sample Poisson test (r13 beyond-ask addition)
+# ---------------------------------------------------------------------
+
+def test_poisson_exact_matches_direct_sum(spark):
+    """The incomplete-gamma tails equal direct Poisson pmf sums
+    (independent math cross-check) and the classic pin
+    P(X >= 5 | mu=2) = 1 - 7e^-2 = 0.052653 lands on the rounding
+    grid."""
+    import math
+
+    from tap_airbyte_wrapper_spark.operators import poisson_test_exact
+
+    def direct_le(k, mu):
+        return sum(math.exp(-mu) * mu ** j / math.factorial(j)
+                   for j in range(0, k + 1))
+
+    def run(k, mu0):
+        df = (spark.range(k).selectExpr("1 AS one") if k > 0
+              else spark.range(1).selectExpr("1 AS one").limit(0))
+        return poisson_test_exact(df, mu0).first()
+
+    r = run(5, 2.0)
+    assert r["method"] == "exact"
+    assert r["p_greater"] == pytest.approx(1.0 - 7.0 * math.exp(-2),
+                                           abs=6e-7)
+    for k, mu in [(3, 8.5), (12, 7.0), (40, 30.0), (1, 0.2)]:
+        r = run(k, mu)
+        assert r["p_less"] == pytest.approx(direct_le(k, mu),
+                                            abs=6e-7), (k, mu)
+        assert r["p_greater"] == pytest.approx(
+            1.0 - direct_le(k - 1, mu), abs=6e-7), (k, mu)
+    # boundaries: k = 0
+    r = run(0, 3.0)
+    assert r["p_greater"] == 1.0
+    assert r["p_less"] == pytest.approx(math.exp(-3.0), abs=6e-7)
+    with pytest.raises(ValueError, match="mu0"):
+        poisson_test_exact(spark.range(3), 0.0)
+
+
+def test_poisson_exact_normal_switch_and_agreement(spark):
+    """Above the scalar gate (k > 499) the op reports
+    method='normal_approx'; at the gate the exact and normal tails
+    agree to ~2e-2 relative-of-p (the documented justification for
+    the switch — the error keeps shrinking ~1/sqrt(mu))."""
+    from tap_airbyte_wrapper_spark.operators import poisson_test_exact
+    from tap_airbyte_wrapper_spark.operators.stats import _normal_sf2
+    import math
+
+    r = poisson_test_exact(spark.range(600), 580.0).first()
+    assert r["method"] == "normal_approx"
+    r = poisson_test_exact(spark.range(499), 520.0).first()
+    assert r["method"] == "exact"
+    z = (499 - 520.0) / math.sqrt(520.0)
+    pn = _normal_sf2(z)
+    assert abs(r["p_two_sided"] - pn) < 0.02
+
+
+def test_poisson_sliced_row_equals_scalar_and_branches(spark):
+    """Slices inside the sliced exact gate (k <= 74) match
+    poisson_test_exact exactly; a k > 74 slice takes the stated
+    normal branch (pinned against the A&S formula) with
+    method='normal_approx'."""
+    import math
+
+    from tap_airbyte_wrapper_spark.operators import (
+        poisson_test_exact, poisson_test_sliced)
+    from tap_airbyte_wrapper_spark.operators.stats import _normal_sf2
+
+    rows = ([("low",)] * 12 + [("mid",)] * 70 + [("high",)] * 120)
+    df = spark.createDataFrame(rows, "s string")
+    out = {r["s"]: r for r in
+           poisson_test_sliced(df, "s", 60.0).collect()}
+    for s in ("low", "mid"):
+        ref = poisson_test_exact(
+            df.filter(F.col("s") == s), 60.0).first()
+        row = out[s]
+        assert row["method"] == "exact"
+        for c in ("p_two_sided", "p_greater", "p_less"):
+            assert row[c] == pytest.approx(ref[c], abs=2e-6), (s, c)
+    hi = out["high"]
+    assert hi["method"] == "normal_approx"
+    z = (120 - 60.0) / math.sqrt(60.0)
+    sf2 = _normal_sf2(z)
+    pge = sf2 / 2.0  # z > 0
+    assert hi["p_greater"] == pytest.approx(pge, abs=2e-6)
+    assert hi["p_less"] == pytest.approx(1.0 - pge, abs=2e-6)
+    assert hi["p_two_sided"] == pytest.approx(
+        min(1.0, 2.0 * min(pge, 1.0 - pge)), abs=4e-6)
