@@ -2520,6 +2520,50 @@ def binom_test_sliced(df: DataFrame, success_col: str,
         F.round(F.col("__ple"), 6).alias("p_less"))
 
 
+def paired_t_sliced(df: DataFrame, col_a: str, col_b: str,
+                    slice_col: str) -> DataFrame:
+    """:func:`paired_t_test` per SLICE — the PAIRED member the sweep
+    family lacked (round 13): "did rescoring the SAME documents shift
+    them in any language/source/shard?"  The paired design is where
+    small per-slice n is routine (annotator studies), i.e. exactly
+    the exact-tail regime.
+
+    Plan: ONE aggregate scan over the difference column grouped by
+    slice (count/avg/var_samp — three partials), then the t / dof
+    closed forms and the EXACT Student-t p as the same fixed-depth
+    incomplete-beta layers as :func:`welch_t_sliced` — pure
+    projections, nothing reaches the driver (the million-slice
+    contract; feed ``p_value`` to :func:`bh_fdr`).  Slices with n < 2
+    or zero variance keep their row with null statistics.  Output:
+    ``(<slice_col>, n, mean_diff, t_stat, dof, p_value)``."""
+    d = F.col(col_a).cast("double") - F.col(col_b).cast("double")
+    per = (df.filter(F.col(col_a).isNotNull()
+                     & F.col(col_b).isNotNull()
+                     & F.col(slice_col).isNotNull())
+           .groupBy(F.col(slice_col).alias("__sl"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.avg(d).alias("md"),
+                F.var_samp(d).alias("vd")))
+    ok = (F.col("n") >= 2) & (F.col("vd") > 0)
+    t = F.col("md") / F.sqrt(F.col("vd") / F.col("n"))
+    stats = per.select(
+        "__sl", "n", "md",
+        F.when(ok, t).alias("__t"),
+        F.when(ok, (F.col("n") - 1).cast("double")).alias("__dof"))
+    tailed = apply_ibeta_layers(
+        stats,
+        [("0.5 * __dof", "0.5", "__dof / (__dof + __t * __t)",
+          "__p")],
+        keep=("__sl", "n", "md", "__t", "__dof"))
+    return tailed.select(
+        F.col("__sl").alias(slice_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("md"), 6).alias("mean_diff"),
+        F.round(F.col("__t"), 6).alias("t_stat"),
+        F.round(F.col("__dof"), 6).alias("dof"),
+        F.round(F.col("__p"), 6).alias("p_value"))
+
+
 def _normal_sf2_sql(z: str) -> str:
     """:func:`_normal_sf2` as expression text over ``z`` — the A&S
     7.1.26 polynomial, token-for-token the Python loop and the
@@ -2648,12 +2692,13 @@ def poisson_test_sliced(df: DataFrame, slice_col: str, mu0: float,
     ge = apply_igamma_layers(
         per, f"least(greatest(CAST(k AS DOUBLE), 1.0), "
              f"{float(kmax)!r})", mu,
-        keep=("__sl", "k"), out="__qge", iters=IG_SLICED_ITER)
+        keep=("__sl", "k"), out="__qge", iters=IG_SLICED_ITER,
+        checkpoint_every=25)
     ge = ge.localCheckpoint(eager=True)
     le = apply_igamma_layers(
         ge, f"least(CAST(k AS DOUBLE) + 1.0, {float(kmax + 1)!r})",
         mu, keep=("__sl", "k", "__qge"), out="__qle",
-        iters=IG_SLICED_ITER)
+        iters=IG_SLICED_ITER, checkpoint_every=25)
     pge, ple, meth = _poisson_branch_exprs(kmax, mu)
     out = le.selectExpr(
         "__sl", "k",

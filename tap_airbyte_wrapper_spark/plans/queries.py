@@ -4136,6 +4136,23 @@ def q_binom_sliced(spark, sf_dir):
                              1.0 / 3.0).orderBy("priority")
 
 
+def q_paired_t_sliced(spark, sf_dir):
+    """Per-source paired t sweep on the rescored pair (r13): the
+    PAIRED member of the sweep family — "did the rescore shift the
+    same docs in any source?" (sign-balanced planted multiplier, so
+    no source should flag); exact t tail per slice."""
+    from ..operators import paired_t_sliced
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.col("n_chars").cast("double").alias("score_a"),
+        (F.col("n_chars").cast("double")
+         * (F.lit(1.0) + (F.col("doc_id") % 5 - 2).cast("double")
+            / F.lit(20.0))).alias("score_b"))
+    return paired_t_sliced(d, "score_a", "score_b",
+                           "source").orderBy("source")
+
+
 def q_poisson(spark, sf_dir):
     """Exact one-sample Poisson count test (r13): did the error-event
     count over the last six days leave its 67/day contract?  k ~ 400
@@ -4216,6 +4233,7 @@ QUERIES = {
     "binom_sliced_orders": q_binom_sliced,
     "poisson_events": q_poisson,
     "poisson_sliced_events": q_poisson_sliced,
+    "paired_t_sliced_docs": q_paired_t_sliced,
     "bootstrap_docs": q_bootstrap,
     "acf_events": q_acf,
     "jarque_bera_orders": q_jarque_bera,
@@ -4425,12 +4443,11 @@ QUERIES = {
 # chi2_sliced_orders (NEW categorical sweep, both tail branches in one
 # plan), and approx_distinct_users (NEW bounds oracle — the r03
 # rows-only exception retired; the round-3 gate now admits it), and
-# (d) the 2 alphabetically-first r09 rows (four fewer than first
-# planned: the late-round binom_orders / binom_sliced_orders /
-# poisson_events / poisson_sliced_events additions take their slots
-# under the same-round rule).  After this window nothing is older
-# than r09; the stalest rows are the 45 remaining r09 entries — the
-# r14 rotation seed.
+# (d) the single alphabetically-first r09 row (five fewer than first
+# planned: the late-round binom / poisson / paired_t_sliced additions
+# take their slots under the same-round rule).  After this window
+# nothing is older than r09; the stalest rows are the 46 remaining
+# r09 entries — the r14 rotation seed.
 _R13_WINDOW = [
     # (a) all 37 r08-stale rows
     "corpus_curation", "corr_lineitem", "cube_event_day",
@@ -4454,8 +4471,9 @@ _R13_WINDOW = [
     "chi2_sliced_orders", "approx_distinct_users",
     "binom_orders", "binom_sliced_orders",
     "poisson_events", "poisson_sliced_events",
-    # (d) the 2 alphabetically-first r09 rows
-    "audio_meta_docs", "benford_orders",
+    "paired_t_sliced_docs",
+    # (d) the alphabetically-first r09 row
+    "audio_meta_docs",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _R13_WINDOW},
@@ -8241,6 +8259,30 @@ ORACLES = {
             "CAST(n AS BIGINT) AS n, round(md, 6) AS mean_diff, "
             "round(t_stat, 6) AS t_stat, round(dof, 6) AS dof, "
             "round(p2, 6) AS p_value")),
+    "paired_t_sliced_docs": _t2_tail_oracle(
+        """(
+        WITH t AS (
+          SELECT source AS src,
+                 CAST(n_chars AS DOUBLE)
+                 - CAST(n_chars AS DOUBLE)
+                   * (1.0 + (doc_id % 5 - 2) / 20.0) AS d
+          FROM documents
+          WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        agg AS (SELECT src, count(*) AS n, avg(d) AS md,
+                       var_samp(d) AS vd
+                FROM t GROUP BY src)
+        SELECT src, n, md,
+               CASE WHEN n >= 2 AND vd > 0
+                    THEN md / sqrt(vd / n) END AS t_stat,
+               CASE WHEN n >= 2 AND vd > 0
+                    THEN CAST(n - 1 AS DOUBLE) END AS dof
+        FROM agg)""",
+        keep=("src", "n", "md", "t_stat", "dof"),
+        final=(
+            "src AS source, CAST(n AS BIGINT) AS n, "
+            "round(md, 6) AS mean_diff, "
+            "round(t_stat, 6) AS t_stat, round(dof, 6) AS dof, "
+            "round(p2, 6) AS p_value")) + " ORDER BY source",
     "bh_fdr_docs": """
         WITH t AS (
           SELECT doc_id,

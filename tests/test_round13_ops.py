@@ -675,3 +675,41 @@ def test_poisson_sliced_row_equals_scalar_and_branches(spark):
     assert hi["p_less"] == pytest.approx(1.0 - pge, abs=2e-6)
     assert hi["p_two_sided"] == pytest.approx(
         min(1.0, 2.0 * min(pge, 1.0 - pge)), abs=4e-6)
+
+
+# ---------------------------------------------------------------------
+# Paired t sweep (r13: the paired member of the sweep family)
+# ---------------------------------------------------------------------
+
+def test_paired_t_sliced_row_equals_scalar(spark):
+    """Each slice row == paired_t_test on that slice alone (exact
+    tail included); a constant-difference slice and an n = 1 slice
+    keep their rows with null statistics."""
+    import random
+
+    from tap_airbyte_wrapper_spark.operators import (
+        paired_t_sliced, paired_t_test)
+
+    random.seed(41)
+    rows = []
+    for s, shift in [("s1", 0.0), ("s2", 1.5)]:
+        for _ in range(25):
+            a = random.gauss(50.0, 5.0)
+            rows.append((s, a, a + shift + random.gauss(0, 2.0)))
+    rows += [("const", 3.0, 5.0)] * 8     # d = -2 everywhere
+    rows += [("solo", 1.0, 4.0)]          # n = 1
+    df = spark.createDataFrame(rows, "s string, a double, b double")
+    out = {r["s"]: r for r in
+           paired_t_sliced(df, "a", "b", "s").collect()}
+    assert set(out) == {"s1", "s2", "const", "solo"}
+    for s in ("s1", "s2"):
+        ref = paired_t_test(
+            df.filter(F.col("s") == s), "a", "b").first()
+        row = out[s]
+        assert row["n"] == ref["n"]
+        for c in ("mean_diff", "t_stat", "dof", "p_value"):
+            assert row[c] == pytest.approx(ref[c], abs=2e-6), (s, c)
+    assert out["s2"]["p_value"] < 0.05 < out["s1"]["p_value"]
+    assert out["const"]["t_stat"] is None \
+        and out["const"]["mean_diff"] == -2.0
+    assert out["solo"]["t_stat"] is None and out["solo"]["n"] == 1
