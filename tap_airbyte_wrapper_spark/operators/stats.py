@@ -2426,13 +2426,21 @@ def binom_test_exact(df: DataFrame, success_col: str,
     alternative and, unlike the pmf-threshold sum, is a fixed pair of
     incomplete-beta evaluations, so the oracle replays it exactly.
 
+    EXACT for ``n <= tails.BINOM_EXACT_MAX_N`` (400): the binomial
+    arguments sit far outside the region the fixed-depth kernel was
+    validated for, and its truncation error GROWS with n near the
+    distribution's center (measured bounds in the constant's
+    comment); the plain normal ``z = (k - n p0)/sqrt(n p0 (1-p0))``
+    takes over above, with the branch stated in a ``method`` column.
+
     Plan: ONE aggregate scan to (k, n); tails driver-side on the
     shared :func:`~.tails.ibeta` kernel (libm).  Output: ONE row
-    ``(n, k, p_hat, p0, p_greater, p_less, p_two_sided)``."""
+    ``(n, k, p_hat, p0, p_greater, p_less, p_two_sided, method)``."""
     if not 0.0 < p0 < 1.0:
         raise ValueError(f"binom_test_exact needs 0 < p0 < 1, "
                          f"got {p0}")
-    from .tails import ibeta as _ib
+    from .tails import BINOM_EXACT_MAX_N as _BINOM_EXACT_MAX_N, \
+        ibeta as _ib
 
     spark = df.sparkSession
     s = F.col(success_col).cast("boolean")
@@ -2447,11 +2455,20 @@ def binom_test_exact(df: DataFrame, success_col: str,
             f"round(CAST({float(p0)!r} AS DOUBLE), 6) AS p0, "
             "CAST(NULL AS DOUBLE) AS p_greater, "
             "CAST(NULL AS DOUBLE) AS p_less, "
-            "CAST(NULL AS DOUBLE) AS p_two_sided")
+            "CAST(NULL AS DOUBLE) AS p_two_sided, "
+            "CAST(NULL AS STRING) AS method")
     k = int(row["k"])
-    p_ge = 1.0 if k == 0 else _ib(float(k), float(n - k + 1), p0)
-    p_le = 1.0 if k == n else 1.0 - _ib(float(k + 1), float(n - k),
-                                        p0)
+    if n <= _BINOM_EXACT_MAX_N:
+        p_ge = 1.0 if k == 0 else _ib(float(k), float(n - k + 1), p0)
+        p_le = 1.0 if k == n else 1.0 - _ib(float(k + 1),
+                                            float(n - k), p0)
+        method = "exact"
+    else:
+        z = (k - n * p0) / math.sqrt(n * p0 * (1.0 - p0))
+        sf2 = _normal_sf2(z)
+        p_ge = sf2 / 2.0 if z >= 0 else 1.0 - sf2 / 2.0
+        p_le = 1.0 - p_ge
+        method = "normal_approx"
     p2 = min(1.0, 2.0 * min(p_ge, p_le))
     return spark.sql(
         f"SELECT CAST({n} AS BIGINT) AS n, "
@@ -2460,32 +2477,35 @@ def binom_test_exact(df: DataFrame, success_col: str,
         f"round(CAST({float(p0)!r} AS DOUBLE), 6) AS p0, "
         f"round(CAST({p_ge!r} AS DOUBLE), 6) AS p_greater, "
         f"round(CAST({p_le!r} AS DOUBLE), 6) AS p_less, "
-        f"round(CAST({p2!r} AS DOUBLE), 6) AS p_two_sided")
+        f"round(CAST({p2!r} AS DOUBLE), 6) AS p_two_sided, "
+        f"'{method}' AS method")
 
 
 def binom_test_sliced(df: DataFrame, success_col: str,
                       slice_col: str, p0: float) -> DataFrame:
     """:func:`binom_test_exact` per SLICE — "did the flag rate leave
     its contract ``p0`` in ANY source/language/shard?": the
-    rate-contract member of the sweep family, and its tails stay
-    EXACT at any slice size because the binomial tail is the
-    incomplete beta (two specs riding the existing fixed-depth
-    layers; no normal approximation anywhere).
+    rate-contract member of the sweep family; EXACT for slices with
+    ``n <= tails.BINOM_EXACT_MAX_N`` (400 — the kernel-validation
+    boundary, see the constant's measured-error comment), the plain
+    normal above with the branch in a ``method`` column (token-
+    identical CASE text both engines via ``_binom_branch_exprs``).
 
     Plan: ONE conditional-aggregate scan to per-slice (k, n); the two
-    tails ride TWO STAGED incomplete-beta chains with an eager
+    exact tails ride TWO STAGED incomplete-beta chains with an eager
     localCheckpoint of the BOUNDED per-slice table between them (the
     tost_sliced staging — two kernels in one codegen stage exceed the
     JVM method ceiling, stated); the k = 0 / k = n boundaries CASE to
-    exact 1.0 around clamped kernel arguments (the clamp keeps
-    lgamma's argument positive on rows the CASE discards — same
-    convention as the chi-square sweep's dof clamp).  ``p_two_sided``
-    = doubled tail as in the scalar (stated); feed it to
+    exact 1.0, and every chain argument is CLAMPED into the validated
+    region on rows the branch CASE discards.  ``p_two_sided`` =
+    doubled tail as in the scalar (stated); feed it to
     :func:`bh_fdr`.  Output: ``(<slice_col>, n, k, p_hat,
-    p_two_sided, p_greater, p_less)``."""
+    p_two_sided, p_greater, p_less, method)``."""
     if not 0.0 < p0 < 1.0:
         raise ValueError(f"binom_test_sliced needs 0 < p0 < 1, "
                          f"got {p0}")
+    from .tails import BINOM_EXACT_MAX_N as _NMAX
+
     s = F.col(success_col).cast("boolean")
     per = (df.filter(s.isNotNull() & F.col(slice_col).isNotNull())
            .groupBy(F.col(slice_col).alias("__sl"))
@@ -2493,21 +2513,27 @@ def binom_test_sliced(df: DataFrame, success_col: str,
                 F.sum(s.cast("int")).alias("k"))
            .localCheckpoint(eager=True))
     p0r = f"{float(p0)!r}"
+    # chain args CLAMPED into the kernel's validated region (n <= 400)
+    # on rows the branch CASE discards — same discipline as the
+    # chi-square/Poisson sweeps
+    nmx, nmx1 = f"{float(_NMAX)!r}", f"{float(_NMAX + 1)!r}"
     ge = apply_ibeta_layers(
         per,
-        [("greatest(CAST(k AS DOUBLE), 1.0)",
-          "CAST(n - k AS DOUBLE) + 1.0", p0r, "__ge")],
+        [(f"least(greatest(CAST(k AS DOUBLE), 1.0), {nmx})",
+          f"least(CAST(n - k AS DOUBLE) + 1.0, {nmx1})", p0r,
+          "__ge")],
         keep=("__sl", "n", "k"))
     ge = ge.localCheckpoint(eager=True)
     le = apply_ibeta_layers(
         ge,
-        [("CAST(k AS DOUBLE) + 1.0",
-          "greatest(CAST(n - k AS DOUBLE), 1.0)", p0r, "__le1")],
+        [(f"least(CAST(k AS DOUBLE) + 1.0, {nmx1})",
+          f"least(greatest(CAST(n - k AS DOUBLE), 1.0), {nmx})",
+          p0r, "__le1")],
         keep=("__sl", "n", "k", "__ge"))
+    pge, ple, meth = _binom_branch_exprs(_NMAX, p0r)
     out = le.selectExpr(
         "__sl", "n", "k",
-        "(CASE WHEN k = 0 THEN 1.0 ELSE __ge END) AS __pge",
-        "(CASE WHEN k = n THEN 1.0 ELSE 1.0 - __le1 END) AS __ple")
+        f"{pge} AS __pge", f"{ple} AS __ple", f"{meth} AS method")
     return out.select(
         F.col("__sl").alias(slice_col),
         F.col("n").cast("long").alias("n"),
@@ -2517,7 +2543,8 @@ def binom_test_sliced(df: DataFrame, success_col: str,
                         2.0 * F.least("__pge", "__ple")), 6)
         .alias("p_two_sided"),
         F.round(F.col("__pge"), 6).alias("p_greater"),
-        F.round(F.col("__ple"), 6).alias("p_less"))
+        F.round(F.col("__ple"), 6).alias("p_less"),
+        F.col("method"))
 
 
 def paired_t_sliced(df: DataFrame, col_a: str, col_b: str,
@@ -2631,6 +2658,28 @@ def poisson_test_exact(df: DataFrame, mu0: float,
         f"round(CAST({p_le!r} AS DOUBLE), 6) AS p_less, "
         f"round(CAST({p2!r} AS DOUBLE), 6) AS p_two_sided, "
         f"'{method}' AS method")
+
+
+def _binom_branch_exprs(nmax: int, p0: str) -> tuple:
+    """(p_greater, p_less, method) expression texts over per-row
+    columns ``n``/``k`` (longs) and the two beta-chain outputs
+    ``__ge``/``__le1`` — ONE builder shared by the Spark sliced op
+    and its DuckDB oracle (the scalar op's driver Python follows the
+    same formulas on the same kernel)."""
+    zt = (f"((CAST(k AS DOUBLE) - CAST(n AS DOUBLE) * {p0})"
+          f" / sqrt(CAST(n AS DOUBLE) * {p0} * (1.0 - {p0})))")
+    sf2 = _normal_sf2_sql(zt)
+    norm_ge = (f"(CASE WHEN {zt} >= 0.0 THEN {sf2} / 2.0 "
+               f"ELSE 1.0 - {sf2} / 2.0 END)")
+    pge = (f"(CASE WHEN n <= {nmax} THEN "
+           f"(CASE WHEN k = 0 THEN 1.0 ELSE __ge END) "
+           f"ELSE {norm_ge} END)")
+    ple = (f"(CASE WHEN n <= {nmax} THEN "
+           f"(CASE WHEN k = n THEN 1.0 ELSE 1.0 - __le1 END) "
+           f"ELSE 1.0 - {norm_ge} END)")
+    meth = (f"(CASE WHEN n <= {nmax} THEN 'exact' "
+            f"ELSE 'normal_approx' END)")
+    return pge, ple, meth
 
 
 def _poisson_branch_exprs(kmax: int, mu: str) -> tuple:

@@ -211,6 +211,18 @@ POISSON_EXACT_MAX_K = 499                 # CHI2_EXACT_MAX_DOF/2 - 1
 POISSON_SLICED_EXACT_MAX_K = \
     int(CHI2_SLICED_EXACT_MAX_DOF / 2) - 1                # 74
 
+# Exact-binomial ceiling (round 13): the binomial tails evaluate the
+# ibeta kernel at a ~ k, b ~ n - k — far outside the b <= 50 region
+# the t/F validation covered, and the M_ITER = 25 Lentz fraction
+# DEGRADES near the distribution's center as n grows (measured, worst
+# over p in [.05,.9] x k within +-3 sd of n*p: 2.8e-12 at n = 400,
+# 6.3e-9 at 800, 1.6e-6 at 1500 — crossing the 1e-6 output grid —
+# 1.5e-2 at 15000).  Exact for n <= 400; the plain normal
+# z = (k - n p0)/sqrt(n p0 (1-p0)) takes over above (its ~1e-3-class
+# error is honest and STATED via the method column, where the
+# silently-unconverged kernel was not).
+BINOM_EXACT_MAX_N = 400
+
 # Exact-tail ceiling for chi-square dof: above this the
 # Wilson-Hilferty cube-root normal approximation is RETAINED — a
 # STATED approximation whose measured worst error (vs a 4000-term

@@ -4111,29 +4111,33 @@ def q_chi2_sliced(spark, sf_dir):
 
 
 def q_binom(spark, sf_dir):
-    """Exact one-sample binomial rate test (r13): is the 'P'
-    order-status rate still the synthetic generator's 1/3 contract?
-    One aggregate scan; both tails exact via the shared incomplete
-    beta."""
+    """Exact one-sample binomial rate test (r13): on the 1-in-43
+    orderkey audit sample (~350 rows — inside the exact gate), is the
+    'P' order-status rate still the synthetic generator's 1/3
+    contract?  One aggregate scan; both tails exact via the shared
+    incomplete beta."""
     from ..operators import binom_test_exact
 
-    d = _t(spark, sf_dir, "orders").select(
-        (F.col("o_orderstatus") == "P").alias("flag"))
+    d = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 43 == 0)
+         .select((F.col("o_orderstatus") == "P").alias("flag")))
     return binom_test_exact(d, "flag", 1.0 / 3.0)
 
 
 def q_binom_sliced(spark, sf_dir):
-    """Exact binomial rate-contract sweep per priority (r13): did the
-    'P' status rate leave 1/3 in ANY priority slice?  Two staged
-    incomplete-beta chains over one conditional-agg scan — exact at
-    any slice size."""
+    """Binomial rate-contract sweep (r13) over two deliberately
+    size-heterogeneous slices — the 1-in-50 audit sample (n ~ 300,
+    EXACT branch) and the rest of the corpus (n ~ 14700, stated
+    normal branch) — so ONE driver row exercises both tails of the
+    method CASE, the chi2/poisson precedent."""
     from ..operators import binom_test_sliced
 
     d = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("priority"),
+        F.when(F.col("o_orderkey") % 50 == 0, "sampled")
+        .otherwise("rest").alias("cohort"),
         (F.col("o_orderstatus") == "P").alias("flag"))
-    return binom_test_sliced(d, "flag", "priority",
-                             1.0 / 3.0).orderBy("priority")
+    return binom_test_sliced(d, "flag", "cohort",
+                             1.0 / 3.0).orderBy("cohort")
 
 
 def q_paired_t_sliced(spark, sf_dir):
@@ -5017,27 +5021,38 @@ def _chi2_tail_oracle(prep: str, keep: tuple, final: str,
 
 def _binom_tail_oracle(prep: str, keep: tuple, final: str,
                        p0: str) -> str:
-    """Exact binomial tails over ``prep`` exposing per-row ``(n, k)``:
-    BOTH tails as two incomplete-beta specs riding one chain (DuckDB
+    """Binomial tails over ``prep`` exposing per-row ``(n, k)``: BOTH
+    exact tails as two incomplete-beta specs riding one chain (DuckDB
     has no codegen ceiling — the Spark sliced op stages them instead,
-    values identical): ``ge0 = I_p0(max(k,1), n-k+1)``, ``le0 =
-    I_p0(k+1, max(n-k,1))``; the k = 0 / k = n boundary CASEs (exact
-    1.0 tails) and the doubled-tail p_two live in ``final``.  The
-    clamps keep lgamma's argument positive on rows the CASE
-    discards — the same convention as the op."""
+    values identical), every argument CLAMPED into the kernel's
+    validated region (n <= tails.BINOM_EXACT_MAX_N) on rows the
+    branch CASE discards; the k = 0 / k = n boundaries, the
+    normal-branch fallback and the doubled-tail p_two live in
+    ``final`` via the same ``stats._binom_branch_exprs`` texts the
+    Spark op projects."""
+    from ..operators.tails import BINOM_EXACT_MAX_N as _NM
+    nmx, nmx1 = f"{float(_NM)!r}", f"{float(_NM + 1)!r}"
     chain = _ibeta_chain(
         prep,
-        [("greatest(CAST(k AS DOUBLE), 1.0)",
-          "CAST(n - k AS DOUBLE) + 1.0", p0, "ge0"),
-         ("CAST(k AS DOUBLE) + 1.0",
-          "greatest(CAST(n - k AS DOUBLE), 1.0)", p0, "le0")],
+        [(f"least(greatest(CAST(k AS DOUBLE), 1.0), {nmx})",
+          f"least(CAST(n - k AS DOUBLE) + 1.0, {nmx1})", p0, "__ge"),
+         (f"least(CAST(k AS DOUBLE) + 1.0, {nmx1})",
+          f"least(greatest(CAST(n - k AS DOUBLE), 1.0), {nmx})",
+          p0, "__le1")],
         keep=keep)
     return f"SELECT {final} FROM ({chain}) z"
 
 
-_BINOM_FINAL_TAILS = (
-    "(CASE WHEN k = 0 THEN 1.0 ELSE ge0 END)",
-    "(CASE WHEN k = n THEN 1.0 ELSE 1.0 - le0 END)")
+def _binom_final(p0: str, lead: str) -> str:
+    from ..operators.stats import _binom_branch_exprs
+    from ..operators.tails import BINOM_EXACT_MAX_N as _NM
+    pge, ple, meth = _binom_branch_exprs(_NM, p0)
+    return (f"{lead}CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, "
+            f"round(k / n, 6) AS p_hat, "
+            f"round(least(1.0, 2.0 * least({pge}, {ple})), 6)"
+            f" AS p_two_sided, "
+            f"round({pge}, 6) AS p_greater, "
+            f"round({ple}, 6) AS p_less, {meth} AS method")
 
 
 def _poisson_oracle(prep: str, keep: tuple, final: str, mu: str,
@@ -8140,35 +8155,25 @@ ORACLES = {
         """(SELECT count(*) AS n,
                    sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0
                        END) AS k
-            FROM orders WHERE o_orderstatus IS NOT NULL)""",
+            FROM orders
+            WHERE o_orderstatus IS NOT NULL
+              AND o_orderkey % 43 = 0)""",
         keep=("n", "k"),
-        final=(
-            "CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, "
-            "round(k / n, 6) AS p_hat, "
-            "round(0.3333333333333333, 6) AS p0, "
-            f"round({_BINOM_FINAL_TAILS[0]}, 6) AS p_greater, "
-            f"round({_BINOM_FINAL_TAILS[1]}, 6) AS p_less, "
-            f"round(least(1.0, 2.0 * least({_BINOM_FINAL_TAILS[0]}, "
-            f"{_BINOM_FINAL_TAILS[1]})), 6) AS p_two_sided"),
+        final=_binom_final("0.3333333333333333",
+                           "round(0.3333333333333333, 6) AS p0, "),
         p0="0.3333333333333333"),
     "binom_sliced_orders": _binom_tail_oracle(
-        """(SELECT o_orderpriority AS sl, count(*) AS n,
+        """(SELECT CASE WHEN o_orderkey % 50 = 0 THEN 'sampled'
+                        ELSE 'rest' END AS sl,
+                   count(*) AS n,
                    sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0
                        END) AS k
             FROM orders
             WHERE o_orderstatus IS NOT NULL
-              AND o_orderpriority IS NOT NULL
             GROUP BY 1)""",
         keep=("sl", "n", "k"),
-        final=(
-            "sl AS priority, "
-            "CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, "
-            "round(k / n, 6) AS p_hat, "
-            f"round(least(1.0, 2.0 * least({_BINOM_FINAL_TAILS[0]}, "
-            f"{_BINOM_FINAL_TAILS[1]})), 6) AS p_two_sided, "
-            f"round({_BINOM_FINAL_TAILS[0]}, 6) AS p_greater, "
-            f"round({_BINOM_FINAL_TAILS[1]}, 6) AS p_less"),
-        p0="0.3333333333333333") + " ORDER BY priority",
+        final=_binom_final("0.3333333333333333", "sl AS cohort, "),
+        p0="0.3333333333333333") + " ORDER BY cohort",
     "poisson_events": _poisson_oracle(
         """(SELECT count(*) AS k FROM events
             WHERE event_type = 'error'

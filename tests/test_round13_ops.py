@@ -570,20 +570,25 @@ def test_binom_sliced_row_equals_scalar(spark):
     rows = ([("s1", i % 4 == 0) for i in range(40)]
             + [("s2", i % 7 == 0) for i in range(35)]
             + [("zero", False) for _ in range(11)]
-            + [("full", True) for _ in range(6)])
+            + [("full", True) for _ in range(6)]
+            + [("big", i % 5 == 0) for i in range(900)])
     df = spark.createDataFrame(rows, "s string, flag boolean")
     out = {r["s"]: r for r in
            binom_test_sliced(df, "flag", "s", 0.2).collect()}
-    assert set(out) == {"s1", "s2", "zero", "full"}
+    assert set(out) == {"s1", "s2", "zero", "full", "big"}
     for s in out:
         ref = binom_test_exact(
             df.filter(F.col("s") == s), "flag", 0.2).first()
         row = out[s]
         assert (row["n"], row["k"]) == (ref["n"], ref["k"])
+        assert row["method"] == ref["method"], s
         for c in ("p_hat", "p_two_sided", "p_greater", "p_less"):
             assert row[c] == pytest.approx(ref[c], abs=2e-6), (s, c)
     assert out["zero"]["p_greater"] == 1.0
     assert out["full"]["p_less"] == 1.0
+    # the 900-row slice is past the exact gate -> stated normal branch
+    assert out["big"]["method"] == "normal_approx"
+    assert out["s1"]["method"] == "exact"
 
 
 # ---------------------------------------------------------------------
@@ -713,3 +718,45 @@ def test_paired_t_sliced_row_equals_scalar(spark):
     assert out["const"]["t_stat"] is None \
         and out["const"]["mean_diff"] == -2.0
     assert out["solo"]["t_stat"] is None and out["solo"]["n"] == 1
+
+
+def test_binom_exact_gate_boundary_and_kernel_validity():
+    """The exact gate exists because the fixed-depth ibeta DEGRADES
+    at large binomial arguments: at the gate (n = 400) the kernel
+    matches a direct lgamma pmf sum to < 1e-11 across the
+    distribution; well past it (n = 3000, center) the truncation
+    error exceeds 1e-5 — the measured cliff the method switch
+    states."""
+    import math
+
+    from tap_airbyte_wrapper_spark.operators.tails import (
+        BINOM_EXACT_MAX_N, ibeta)
+
+    def direct_ge(k, n, p):
+        lp, l1p = math.log(p), math.log(1 - p)
+        total = 0.0
+        for j in range(k, n + 1):
+            lt = (math.lgamma(n + 1) - math.lgamma(j + 1)
+                  - math.lgamma(n - j + 1) + j * lp
+                  + (n - j) * l1p)
+            t = math.exp(lt)
+            total += t
+            if j > k + 10 and t < 1e-19 * total:
+                break
+        return total
+
+    n = BINOM_EXACT_MAX_N
+    worst = 0.0
+    for p in (0.1, 1.0 / 3.0, 0.5, 0.8):
+        mu, sd = n * p, math.sqrt(n * p * (1 - p))
+        for off in (-3, -1, 0, 1, 3):
+            k = int(mu + off * sd)
+            if 1 <= k <= n - 1:
+                worst = max(worst, abs(
+                    ibeta(float(k), float(n - k + 1), p)
+                    - direct_ge(k, n, p)))
+    assert worst < 1e-11, worst
+    # the cliff: n = 3000 at the center is off by > 1e-5
+    bad = abs(ibeta(1000.0, 2001.0, 1.0 / 3.0)
+              - direct_ge(1000, 3000, 1.0 / 3.0))
+    assert bad > 1e-5, bad
