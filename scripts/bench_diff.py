@@ -55,16 +55,34 @@ def main() -> int:
     new = json.load(open(args.new))
     qo, qn = flat_queries(old), flat_queries(new)
 
-    # box-drift anchor: the code-frozen TPC-H group subtotal
+    # box-drift anchor.  Prefer the WARM end-of-run anchor (r13+ —
+    # the frozen order runs tpch FIRST, so its in-fleet subtotal
+    # carries a cold-JVM position penalty and measures position, not
+    # box); fall back to the tpch group subtotal when either file
+    # predates the field.
     anchor = 1.0
-    ao = sum(old["groups"].get("tpch", {}).get("queries", {}).values())
-    an = sum(new["groups"].get("tpch", {}).get("queries", {}).values())
-    if ao > 0 and an > 0:
+    wo = old.get("headline", {}).get("anchor_warm", {})
+    wn = new.get("headline", {}).get("anchor_warm", {})
+    if wo and wn and set(wo) == set(wn):
+        ao, an = sum(wo.values()), sum(wn.values())
         anchor = an / ao
-        print(f"tpch anchor: {ao:.2f}s -> {an:.2f}s "
-              f"(box drift {anchor:.2f}x; 'norm' columns divide by it)")
+        print(f"warm anchor: {ao:.2f}s -> {an:.2f}s "
+              f"(box drift {anchor:.2f}x; 'norm' columns divide by "
+              f"it)")
     else:
-        print("tpch anchor missing in one file — norm == raw")
+        ao = sum(old["groups"].get("tpch", {})
+                 .get("queries", {}).values())
+        an = sum(new["groups"].get("tpch", {})
+                 .get("queries", {}).values())
+        if ao > 0 and an > 0:
+            anchor = an / ao
+            print(f"tpch anchor: {ao:.2f}s -> {an:.2f}s "
+                  f"(box drift {anchor:.2f}x; 'norm' columns divide "
+                  f"by it) [in-fleet subtotal — cold-position-biased "
+                  f"under the r13+ frozen order; prefer files with "
+                  f"anchor_warm]")
+        else:
+            print("anchor missing in one file — norm == raw")
 
     added = sorted(set(qn) - set(qo))
     removed = sorted(set(qo) - set(qn))
