@@ -169,8 +169,15 @@ def main() -> int:
     # of the run (fully warm session) and publish them separately;
     # bench_diff prefers this field for normalization when both
     # files carry it.
+    # Three anchors since r14 (verdict ask #4): the two TPC-H anchors
+    # share the same scan/agg shape and JVM code paths, so a third
+    # anchor from a DIFFERENT family (text_corpus: token_stats — mid-
+    # fleet position, regex+explode+agg, Python-free) separates
+    # JVM-warmth effects from genuine box drift; bench_diff
+    # cross-checks all three.
     anchor_warm: dict[str, float] = {}
-    for name in ("q1_pricing_summary", "q6_forecast_revenue"):
+    for name in ("q1_pricing_summary", "q6_forecast_revenue",
+                 "token_stats"):
         if name not in queries:
             continue
         runs = []
@@ -180,7 +187,12 @@ def main() -> int:
                 queries[name](spark, sf_dir).write.format("noop") \
                     .mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
-            except Exception:
+            except Exception as e:
+                # r14 ADVICE fix: a silently-dropped anchor made a
+                # missing anchor_warm field unattributable — log like
+                # the main loop does.
+                print(f"# warm-anchor error {name}: {e}",
+                      file=sys.stderr)
                 break
         spark.catalog.clearCache()
         if runs:

