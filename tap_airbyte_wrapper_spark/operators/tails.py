@@ -72,6 +72,7 @@ public literature only.
 from __future__ import annotations
 
 import math
+import re
 
 __all__ = ["M_ITER", "IG_ITER", "CHI2_EXACT_MAX_DOF",
            "lgamma_lanczos", "ibeta", "t_sf2", "t_sf1", "f_sf",
@@ -79,7 +80,12 @@ __all__ = ["M_ITER", "IG_ITER", "CHI2_EXACT_MAX_DOF",
            "ibeta_chain_sql", "apply_ibeta_layers",
            "igamma_chain_sql", "ptukey_sf", "ptukey_sql",
            "ptukey_node_columns", "norm_cdf_gl", "RANK_EXACT_MAX_N",
-           "mw_u_exact_p2", "wilcoxon_exact_p2"]
+           "mw_u_exact_p2", "wilcoxon_exact_p2",
+           "pack_projection_layers", "igamma_layer_exprs_multi",
+           "apply_igamma_layers_multi",
+           "binom_sf_direct", "binom_cdf_direct",
+           "poisson_cdf_direct", "poisson_sf_direct",
+           "BINOM_SCALAR_EXACT_MAX_N", "POISSON_SCALAR_EXACT_MAX_K"]
 
 # Fixed Lentz iteration count — identical in all three spellings (no
 # early exit anywhere, or the op ORDER would diverge between engines).
@@ -222,6 +228,88 @@ POISSON_SLICED_EXACT_MAX_K = \
 # error is honest and STATED via the method column, where the
 # silently-unconverged kernel was not).
 BINOM_EXACT_MAX_N = 400
+
+# Round-14 SCALAR exact gates (verdict ask #5): the SCALAR binomial /
+# Poisson ops compute their tails DRIVER-SIDE, where an O(n) (resp.
+# O(k)) log-space direct summation (:func:`binom_cdf_direct` /
+# :func:`poisson_cdf_direct`) is exact to ~1e-14 relative far beyond
+# the fixed-depth kernels' validated regions, at microsecond cost —
+# so the scalar ``method`` switch moves out to these boundaries
+# (100k: ~30 ms of driver arithmetic at the gate, and the DuckDB
+# oracle mirrors the identical ascending summation via
+# ``list_sum(list_transform(generate_series(..)))`` — beyond it the
+# oracle-side list materialization stops being "free", so the gate
+# is an oracle-cost ceiling, not an accuracy one; the normal
+# z takes over above with ~1/sqrt(n)-class error where it is
+# excellent).  The SLICED gates (BINOM_EXACT_MAX_N /
+# POISSON_SLICED_EXACT_MAX_K) are kernel-depth ceilings for the
+# COLUMN chains and deliberately stay where the validity studies put
+# them — a per-slice direct sum would be a per-row O(n) explode, not
+# a column expression.  Cross-check pins (tests): direct sums agree
+# with the ibeta/igamma kernels to < 5e-12 everywhere inside the OLD
+# gates, with math.comb exact rational sums at moderate n, and with
+# R's published binom.test/poisson.test examples.
+BINOM_SCALAR_EXACT_MAX_N = 100_000
+POISSON_SCALAR_EXACT_MAX_K = 100_000
+
+
+def binom_cdf_direct(k: int, n: int, p: float) -> float:
+    """``P(X <= k)``, X ~ Binomial(n, p): ascending log-space direct
+    summation ``sum_{i=0..k} exp(lgamma(n+1) - lgamma(i+1) -
+    lgamma(n-i+1) + i ln p + (n-i) ln(1-p))`` — plain sequential sum
+    (NOT fsum) so the DuckDB oracle's ``list_sum`` over the same
+    ascending ``generate_series`` replays the identical operation
+    order; per-term exp/lgamma may differ in the last ulp between
+    libm builds (same stated caveat as the module's kernels — six
+    orders below the 6-decimal output rounding).  Terms whose
+    exponent underflows contribute exact 0.0 in both engines."""
+    if k < 0:
+        return 0.0
+    if k >= n:
+        return 1.0
+    # ln(1.0 - p), NOT log1p(-p): the DuckDB oracle spells
+    # ``ln(1.0 - p0)`` and the shared-spelling discipline wants the
+    # identical operation (p0 is never near 1 enough for the log1p
+    # difference to matter at the 6-decimal output rounding anyway).
+    lp, lq = math.log(p), math.log(1.0 - p)
+    lgn = math.lgamma(n + 1.0)
+    s = 0.0
+    for i in range(0, k + 1):
+        s += math.exp(lgn - math.lgamma(i + 1.0)
+                      - math.lgamma(n - i + 1.0)
+                      + i * lp + (n - i) * lq)
+    return min(s, 1.0)
+
+
+def binom_sf_direct(k: int, n: int, p: float) -> float:
+    """``P(X >= k)`` = ``1 - P(X <= k-1)`` (exact at k = 0).  The
+    complement spelling is shared with the oracle; when the upper
+    tail is below ~1e-16 the subtraction returns exact 0.0 in both
+    engines — invisible at the 6-decimal output rounding."""
+    if k <= 0:
+        return 1.0
+    return max(0.0, 1.0 - binom_cdf_direct(k - 1, n, p))
+
+
+def poisson_cdf_direct(k: int, mu: float) -> float:
+    """``P(X <= k)``, X ~ Poisson(mu): ascending log-space direct
+    summation ``sum_{i=0..k} exp(-mu + i ln mu - lgamma(i+1))`` —
+    same sequential-order / oracle-mirror contract as
+    :func:`binom_cdf_direct`."""
+    if k < 0:
+        return 0.0
+    lmu = math.log(mu)
+    s = 0.0
+    for i in range(0, k + 1):
+        s += math.exp(-mu + i * lmu - math.lgamma(i + 1.0))
+    return min(s, 1.0)
+
+
+def poisson_sf_direct(k: int, mu: float) -> float:
+    """``P(X >= k)`` = ``1 - P(X <= k-1)`` (exact at k = 0)."""
+    if k <= 0:
+        return 1.0
+    return max(0.0, 1.0 - poisson_cdf_direct(k - 1, mu))
 
 # Exact-tail ceiling for chi-square dof: above this the
 # Wilson-Hilferty cube-root normal approximation is RETAINED — a
@@ -386,10 +474,110 @@ def igamma_chain_sql(inner: str, a: str, x: str, keep: tuple,
             f"SELECT {', '.join(layers[-1])} FROM {prev}")
 
 
+def igamma_layer_exprs_multi(specs, keep: tuple,
+                             iters: int = IG_ITER) -> list:
+    """SEVERAL ``Q(a, x)`` kernels riding the SAME projection layers
+    side by side (round 14 — the Poisson sweep's two tails and the
+    sweep-suite's fused members).  ``specs`` is a sequence of ``(a,
+    x, out)`` expression-text tuples; internal state columns are
+    prefixed per spec (``__g0…``, ``__g1…``), and the per-spec
+    arithmetic TEXT is token-identical (modulo the name prefix) to
+    :func:`igamma_layer_exprs` — column names never enter the
+    floating-point values, so each spec's result is bit-identical to
+    its own single-spec chain (pinned in tests).  The oracle side
+    keeps the single-spec :func:`igamma_chain_sql` texts byte-frozen
+    (two stacked WITH chains), which is fine: same values.  The layer
+    COUNT stays 4 + iters + 1 regardless of spec count — the whole
+    point: one analyzer pass carries every member (per-layer analysis
+    cost is in depth, not width, until expressions pass ~2 KB)."""
+    kp = list(keep)
+    pres = [f"__g{i}" for i in range(len(specs))]
+    reserved = {f"{p}{s}" for p in pres
+                for s in ("a", "x0", "x", "fr", "ser", "xs",
+                          "tm", "s", "b", "c", "d", "h")}
+    reserved |= {out for _, _, out in specs}
+    clash = reserved.intersection(kp)
+    if clash:
+        raise ValueError(
+            f"igamma_layer_exprs_multi: keep columns {sorted(clash)} "
+            "collide with kernel-internal column names; rename them "
+            "upstream")
+    l0, l1, l2, l3 = [], [], [], []
+    finals = []
+    base_cols = []
+    for p, (a, x, out) in zip(pres, specs):
+        lg = lgamma_sql(f"{p}a")
+        xg = f"(CASE WHEN ({x}) <= 0.0 THEN 1.0 ELSE ({x}) END)"
+        ag = f"(CASE WHEN ({a}) <= 0.0 THEN 1.0 ELSE ({a}) END)"
+        l0 += [f"{ag} AS {p}a", f"({x}) AS {p}x0", f"{xg} AS {p}x"]
+        l1 += [f"{p}a", f"{p}x0", f"{p}x",
+               f"exp(-{p}x + {p}a * ln({p}x) - {lg}) AS {p}fr",
+               f"({p}x < {p}a + 1.0) AS {p}ser",
+               f"(CASE WHEN {p}x < {p}a + 1.0 THEN {p}x ELSE 1.0 "
+               f"END) AS {p}xs"]
+        l2 += [f"{p}a", f"{p}x0", f"{p}x", f"{p}fr", f"{p}ser",
+               f"{p}xs",
+               f"(1.0 / {p}a) AS {p}tm", f"(1.0 / {p}a) AS {p}s",
+               f"({p}x + 1.0 - {p}a) AS {p}b",
+               f"(1.0 / 1e-300) AS {p}c",
+               f"(1.0 / (CASE WHEN abs({p}x + 1.0 - {p}a) < 1e-300 "
+               f"THEN 1e-300 ELSE {p}x + 1.0 - {p}a END)) AS {p}d"]
+        l3 += [f"{p}a", f"{p}x0", f"{p}fr", f"{p}ser", f"{p}xs",
+               f"{p}tm", f"{p}s", f"{p}b", f"{p}c", f"{p}d",
+               f"{p}d AS {p}h"]
+        base_cols += [f"{p}a", f"{p}x0", f"{p}fr", f"{p}ser",
+                      f"{p}xs"]
+        finals.append(
+            f"(CASE WHEN {p}x0 <= 0.0 THEN 1.0 "
+            f"WHEN {p}ser THEN 1.0 - {p}fr * {p}s "
+            f"ELSE {p}fr * {p}h END) AS {out}")
+    layers = [kp + l0, kp + l1, kp + l2, kp + l3]
+    base = kp + base_cols
+    for i in range(1, iters + 1):
+        fi = f"{float(i)!r}"
+        step = []
+        for p in pres:
+            an = f"(-{fi} * ({fi} - {p}a))"
+            t1 = f"({an} * {p}d + ({p}b + 2.0))"
+            t2 = f"(({p}b + 2.0) + {an} / {p}c)"
+            de = (f"(1.0 / (CASE WHEN abs({t1}) < 1e-300 THEN 1e-300 "
+                  f"ELSE {t1} END))")
+            ce = (f"(CASE WHEN abs({t2}) < 1e-300 THEN 1e-300 "
+                  f"ELSE {t2} END)")
+            step += [
+                f"({p}tm * {p}xs / ({p}a + {fi})) AS {p}tm",
+                f"({p}s + {p}tm * {p}xs / ({p}a + {fi})) AS {p}s",
+                f"({p}b + 2.0) AS {p}b", f"{ce} AS {p}c",
+                f"{de} AS {p}d",
+                f"({p}h * {de} * {ce}) AS {p}h"]
+        layers.append(base + step)
+    layers.append(kp + finals)
+    return layers
+
+
+def apply_igamma_layers_multi(df, specs, keep: tuple,
+                              iters: int = IG_ITER,
+                              checkpoint_every: int | None = 15,
+                              pack: int = 2):
+    """:func:`igamma_layer_exprs_multi` applied as packed incremental
+    ``selectExpr`` layers — the Spark spelling for several
+    incomplete-gamma tails in ONE chain (same packing/checkpoint
+    contract as :func:`apply_ibeta_layers`; caller guarantees the
+    frame is bounded)."""
+    layers = pack_projection_layers(
+        igamma_layer_exprs_multi(specs, keep, iters=iters), pack)
+    for i, layer in enumerate(layers):
+        if checkpoint_every and i and i % checkpoint_every == 0:
+            df = df.localCheckpoint(eager=True)
+        df = df.selectExpr(*layer)
+    return df
+
+
 def apply_igamma_layers(df, a: str, x: str, keep: tuple,
                         out: str = "__q",
                         iters: int = IG_ITER,
-                        checkpoint_every: int | None = None):
+                        checkpoint_every: int | None = None,
+                        pack: int = 2):
     """:func:`igamma_layer_exprs` applied to a Spark DataFrame as
     incremental ``selectExpr`` layers — the Spark spelling the sliced
     chi-square sweep needs (same contract as
@@ -411,9 +599,14 @@ def apply_igamma_layers(df, a: str, x: str, keep: tuple,
     Resolution cap at ~79 CTEs; CHUNKED WITH chains (26/8 CTEs per
     ``spark.sql``) re-pay the fixed-point pass per CTE per iteration
     and measured no better (5.5 s / 3.7 s build).  Per-layer +
-    checkpoint is the winner and matches apply_ibeta_layers."""
-    for i, layer in enumerate(
-            igamma_layer_exprs(a, x, keep, out=out, iters=iters)):
+    checkpoint is the winner and matches apply_ibeta_layers.
+
+    Round 14 adds ``pack`` (:func:`pack_projection_layers`,
+    bit-identical — default 2 halves the layer count; the oracle's
+    :func:`igamma_chain_sql` text stays unpacked and byte-frozen)."""
+    layers = pack_projection_layers(
+        igamma_layer_exprs(a, x, keep, out=out, iters=iters), pack)
+    for i, layer in enumerate(layers):
         if checkpoint_every and i and i % checkpoint_every == 0:
             df = df.localCheckpoint(eager=True)
         df = df.selectExpr(*layer)
@@ -568,15 +761,106 @@ def ibeta_chain_sql(inner: str, specs, keep: tuple,
             f"SELECT {', '.join(layers[-1])} FROM {prev}")
 
 
-def apply_ibeta_layers(df, specs, keep: tuple):
+def _split_proj_item(item: str):
+    """Split one projection item into ``(expr_text | None, name)`` —
+    ``None`` expr means a bare passthrough column reference."""
+    m = re.match(r"^(.*)\s+AS\s+(\w+)\s*$", item,
+                 re.DOTALL | re.IGNORECASE)
+    if m:
+        return m.group(1).strip(), m.group(2)
+    return None, item.strip()
+
+
+def _merge_two_layers(l1: list, l2: list) -> list:
+    """Merge projection layer ``l2`` OVER ``l1`` by textual
+    substitution: every reference in l2 to a column l1 DEFINES (a
+    non-passthrough item) is replaced by l1's parenthesized
+    expression text.  The substituted reference roots the identical
+    expression subtree where the column reference stood, so the
+    merged single projection computes bit-for-bit the values the
+    two-step pipeline did — parentheses only pin precedence, they
+    never reorder the floating-point operation sequence."""
+    defs = {}
+    for item in l1:
+        e, n = _split_proj_item(item)
+        if e is not None and e != n:
+            defs[n] = f"({e})"
+    if not defs:
+        return list(l2)
+    pat = re.compile(r"\b(" + "|".join(map(re.escape, defs)) + r")\b")
+    out = []
+    for item in l2:
+        e, n = _split_proj_item(item)
+        src = e if e is not None else n
+        src = pat.sub(lambda m: defs[m.group(1)], src)
+        out.append(n if src == n else f"{src} AS {n}")
+    return out
+
+
+def pack_projection_layers(layers: list, factor: int = 2) -> list:
+    """Pack consecutive projection layers ``factor`` at a time via
+    :func:`_merge_two_layers` — the round-14 plan-constant cut.  The
+    per-layer cost of the Spark chain application is ~35 ms of Py4J +
+    incremental analysis PER LAYER (measured, round 13), so halving
+    the layer count halves the plan constant; values stay
+    BIT-IDENTICAL (pinned in tests).  factor=2 measured optimal on
+    this box (55 -> 28 layers, binom sweep chain 4.3 -> 2.1 s);
+    factor=4 LOSES (15 layers but ~6 KB expressions — analysis cost
+    scales with text size past ~2 KB, measured 6.7 s).  The first
+    layer is never merged into (it references the caller's input
+    relation, which may be arbitrary expressions over raw columns).
+
+    The DuckDB oracle chains (:func:`ibeta_chain_sql` /
+    :func:`igamma_chain_sql`) deliberately do NOT pack — their CTE
+    text stays byte-identical to rounds 12/13 (parser cost is
+    trivial there and frozen text keeps oracle diffs empty)."""
+    if factor <= 1:
+        return layers
+    packed = [layers[0]]
+    i = 1
+    while i < len(layers):
+        cur = layers[i]
+        j = i + 1
+        used = 1
+        while used < factor and j < len(layers):
+            cur = _merge_two_layers(cur, layers[j])
+            j += 1
+            used += 1
+        packed.append(cur)
+        i = j
+    return packed
+
+
+def apply_ibeta_layers(df, specs, keep: tuple,
+                       checkpoint_every: int | None = 15,
+                       pack: int = 2):
     """:func:`ibeta_layer_exprs` applied to a Spark DataFrame as
     incremental ``selectExpr`` layers (each resolves against an
     already-analyzed child, so no analyzer fixed-point blowup) —
     the exact tail stays a COLUMN computation: per-slice sweeps keep
     the million-slice contract, nothing reaches the driver.  Cost is
-    per-PLAN (~2 s analyzer + codegen on this box, measured), not
-    per-row — amortized to nothing over a million slices."""
-    for layer in ibeta_layer_exprs(specs, keep):
+    per-PLAN (~35 ms Py4J + analysis per layer, measured), not
+    per-row — amortized to nothing over a million slices.
+
+    Round 14: layers are PACKED (:func:`pack_projection_layers`,
+    bit-identical, 55 -> 28 at the default factor 2) and
+    ``checkpoint_every`` inserts an eager ``localCheckpoint`` between
+    chain chunks — callers guarantee the frame is BOUNDED (the
+    per-slice table).  The checkpoint serves two measured purposes:
+    it caps the optimizer's superlinear CollapseProject cost over one
+    long Project stack, and it keeps each whole-stage-codegen method
+    under the JVM limit, which is what let MULTIPLE kernels ride ONE
+    chain side by side (an UNPACKED un-checkpointed 2-spec chain
+    fails Janino compilation and runs SLOWER than two staged chains;
+    packed + checkpointed it is 2x faster — the r14 sweep
+    consolidation: binom's two tails 4.3 -> 2.1 s, a welch + tost +
+    binom + mcnemar 4-spec suite chain ~3.2 s where four separate
+    chains cost ~8 s)."""
+    layers = pack_projection_layers(ibeta_layer_exprs(specs, keep),
+                                    pack)
+    for i, layer in enumerate(layers):
+        if checkpoint_every and i and i % checkpoint_every == 0:
+            df = df.localCheckpoint(eager=True)
         df = df.selectExpr(*layer)
     return df
 

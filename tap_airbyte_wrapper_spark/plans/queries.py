@@ -5087,6 +5087,96 @@ def _poisson_oracle(prep: str, keep: tuple, final: str, mu: str,
     return f"SELECT {final} FROM ({c2}) z"
 
 
+def _binom_direct_cdf_sql(j: str, p0: str) -> str:
+    """DuckDB spelling of :func:`~operators.tails.binom_cdf_direct`
+    over per-row ``(n, k)``: ascending log-space direct summation via
+    ``list_sum(list_transform(generate_series(0, j)))`` — the SAME
+    sequential operation order as the driver Python loop (r14 scalar
+    gate extension; per-term exp/lgamma may differ in the last ulp,
+    six orders below the 6-decimal rounding).  Empty series (j < 0)
+    coalesces to 0.0 like Python's empty loop."""
+    nf = "CAST(n AS DOUBLE)"
+    i = "CAST(i AS DOUBLE)"
+    return (
+        f"least(coalesce(list_sum(list_transform("
+        f"generate_series(CAST(0 AS BIGINT), CAST({j} AS BIGINT)), "
+        f"i -> exp(lgamma({nf} + 1.0) - lgamma({i} + 1.0) "
+        f"- lgamma({nf} - {i} + 1.0) + {i} * ln({p0}) "
+        f"+ ({nf} - {i}) * ln(1.0 - {p0})))), 0.0), 1.0)")
+
+
+def _binom_scalar_oracle(prep: str, lead: str, p0: str) -> str:
+    """SCALAR binomial oracle (r14): exact tails by the direct-sum
+    spelling up to BINOM_SCALAR_EXACT_MAX_N (the r14 widened scalar
+    gate — the op computes the identical ascending sums driver-side),
+    the token-identical normal branch above; replaces the r13
+    ibeta-chain spelling, identical values at 6 decimals everywhere
+    both are exact (pinned in tests)."""
+    from ..operators.stats import _normal_sf2_sql
+    from ..operators.tails import BINOM_SCALAR_EXACT_MAX_N as _NM
+    zt = (f"((CAST(k AS DOUBLE) - CAST(n AS DOUBLE) * {p0})"
+          f" / sqrt(CAST(n AS DOUBLE) * {p0} * (1.0 - {p0})))")
+    sf2 = _normal_sf2_sql(zt)
+    norm_ge = (f"(CASE WHEN {zt} >= 0.0 THEN {sf2} / 2.0 "
+               f"ELSE 1.0 - {sf2} / 2.0 END)")
+    pge = (f"(CASE WHEN n <= {_NM} THEN "
+           f"(CASE WHEN k <= 0 THEN 1.0 ELSE greatest(0.0, 1.0 - "
+           f"{_binom_direct_cdf_sql('k - 1', p0)}) END) "
+           f"ELSE {norm_ge} END)")
+    ple = (f"(CASE WHEN n <= {_NM} THEN "
+           f"{_binom_direct_cdf_sql('k', p0)} "
+           f"ELSE 1.0 - {norm_ge} END)")
+    meth = (f"(CASE WHEN n <= {_NM} THEN 'exact' "
+            f"ELSE 'normal_approx' END)")
+    return (
+        f"SELECT {lead}CAST(n AS BIGINT) AS n, "
+        f"CAST(k AS BIGINT) AS k, round(k / n, 6) AS p_hat, "
+        f"round(least(1.0, 2.0 * least({pge}, {ple})), 6) "
+        f"AS p_two_sided, round({pge}, 6) AS p_greater, "
+        f"round({ple}, 6) AS p_less, {meth} AS method "
+        f"FROM {prep} z")
+
+
+def _poisson_direct_cdf_sql(j: str, mu: str) -> str:
+    """DuckDB spelling of :func:`~operators.tails.poisson_cdf_direct`
+    — same ascending direct-sum contract as
+    :func:`_binom_direct_cdf_sql`."""
+    i = "CAST(i AS DOUBLE)"
+    return (
+        f"least(coalesce(list_sum(list_transform("
+        f"generate_series(CAST(0 AS BIGINT), CAST({j} AS BIGINT)), "
+        f"i -> exp(-{mu} + {i} * ln({mu}) "
+        f"- lgamma({i} + 1.0)))), 0.0), 1.0)")
+
+
+def _poisson_scalar_oracle(prep: str, lead: str, mu: str) -> str:
+    """SCALAR Poisson oracle (r14): direct-sum exact tails up to
+    POISSON_SCALAR_EXACT_MAX_K (the widened scalar gate), normal
+    above — replaces the r13 igamma-chain spelling (identical values
+    at 6 decimals everywhere both are exact, pinned)."""
+    from ..operators.stats import _normal_sf2_sql
+    from ..operators.tails import POISSON_SCALAR_EXACT_MAX_K as _KM
+    zt = f"((CAST(k AS DOUBLE) - {mu}) / sqrt({mu}))"
+    sf2 = _normal_sf2_sql(zt)
+    norm_ge = (f"(CASE WHEN {zt} >= 0.0 THEN {sf2} / 2.0 "
+               f"ELSE 1.0 - {sf2} / 2.0 END)")
+    pge = (f"(CASE WHEN k <= {_KM} THEN "
+           f"(CASE WHEN k <= 0 THEN 1.0 ELSE greatest(0.0, 1.0 - "
+           f"{_poisson_direct_cdf_sql('k - 1', mu)}) END) "
+           f"ELSE {norm_ge} END)")
+    ple = (f"(CASE WHEN k <= {_KM} THEN "
+           f"{_poisson_direct_cdf_sql('k', mu)} "
+           f"ELSE 1.0 - {norm_ge} END)")
+    meth = (f"(CASE WHEN k <= {_KM} THEN 'exact' "
+            f"ELSE 'normal_approx' END)")
+    return (
+        f"SELECT {lead}CAST(k AS BIGINT) AS k, "
+        f"round(least(1.0, 2.0 * least({pge}, {ple})), 6) "
+        f"AS p_two_sided, round({pge}, 6) AS p_greater, "
+        f"round({ple}, 6) AS p_less, {meth} AS method "
+        f"FROM {prep} z")
+
+
 def _poisson_final(mu: str, kmax: int, lead: str) -> str:
     from ..operators.stats import _poisson_branch_exprs
     pge, ple, meth = _poisson_branch_exprs(kmax, mu)
@@ -8172,16 +8262,14 @@ ORACLES = {
                round(s / (na * nb), 6) AS w1
         FROM s""",
     "chi2_sliced_orders": _chi2_sliced_oracle_sql(),
-    "binom_orders": _binom_tail_oracle(
+    "binom_orders": _binom_scalar_oracle(
         """(SELECT count(*) AS n,
                    sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0
                        END) AS k
             FROM orders
             WHERE o_orderstatus IS NOT NULL
               AND o_orderkey % 43 = 0)""",
-        keep=("n", "k"),
-        final=_binom_final("0.3333333333333333",
-                           "round(0.3333333333333333, 6) AS p0, "),
+        lead="round(0.3333333333333333, 6) AS p0, ",
         p0="0.3333333333333333"),
     "binom_sliced_orders": _binom_tail_oracle(
         """(SELECT CASE WHEN o_orderkey % 50 = 0 THEN 'sampled'
@@ -8195,14 +8283,12 @@ ORACLES = {
         keep=("sl", "n", "k"),
         final=_binom_final("0.3333333333333333", "sl AS cohort, "),
         p0="0.3333333333333333") + " ORDER BY cohort",
-    "poisson_events": _poisson_oracle(
+    "poisson_events": _poisson_scalar_oracle(
         """(SELECT count(*) AS k FROM events
             WHERE event_type = 'error'
               AND ts >= TIMESTAMP '2024-01-25 00:00:00')""",
-        keep=("k",),
-        final=_poisson_final("402.0", 499,
-                             "round(402.0, 6) AS mu0, "),
-        mu="402.0", kmax=499, iters=150),
+        lead="round(402.0, 6) AS mu0, ",
+        mu="402.0"),
     "poisson_sliced_events": _poisson_oracle(
         """(SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS sl,
                    count(*) AS k

@@ -561,11 +561,20 @@ def test_binom_exact_boundaries_and_guard(spark):
 
 
 def test_binom_sliced_row_equals_scalar(spark):
-    """Each slice row == binom_test_exact on that slice alone,
-    including a k = 0 slice and a k = n slice (the boundary CASEs
-    around the clamped kernel arguments)."""
+    """Each slice row inside the SLICED chain gate (n <= 400) ==
+    binom_test_exact on that slice alone, including a k = 0 slice and
+    a k = n slice (the boundary CASEs around the clamped kernel
+    arguments).  Since r14 the SCALAR gate is wider
+    (BINOM_SCALAR_EXACT_MAX_N, driver-side direct summation), so a
+    slice past the CHAIN gate legitimately diverges: the sliced op
+    states 'normal_approx' where the scalar op is now exact — the
+    n = 900 slice pins BOTH that divergence and the normal branch's
+    value against the A&S formula."""
+    import math as _m
+
     from tap_airbyte_wrapper_spark.operators import (
         binom_test_exact, binom_test_sliced)
+    from tap_airbyte_wrapper_spark.operators.stats import _normal_sf2
 
     rows = ([("s1", i % 4 == 0) for i in range(40)]
             + [("s2", i % 7 == 0) for i in range(35)]
@@ -576,18 +585,31 @@ def test_binom_sliced_row_equals_scalar(spark):
     out = {r["s"]: r for r in
            binom_test_sliced(df, "flag", "s", 0.2).collect()}
     assert set(out) == {"s1", "s2", "zero", "full", "big"}
-    for s in out:
+    for s in ("s1", "s2", "zero", "full"):
         ref = binom_test_exact(
             df.filter(F.col("s") == s), "flag", 0.2).first()
         row = out[s]
         assert (row["n"], row["k"]) == (ref["n"], ref["k"])
-        assert row["method"] == ref["method"], s
+        assert row["method"] == ref["method"] == "exact", s
         for c in ("p_hat", "p_two_sided", "p_greater", "p_less"):
             assert row[c] == pytest.approx(ref[c], abs=2e-6), (s, c)
     assert out["zero"]["p_greater"] == 1.0
     assert out["full"]["p_less"] == 1.0
-    # the 900-row slice is past the exact gate -> stated normal branch
-    assert out["big"]["method"] == "normal_approx"
+    # the 900-row slice is past the CHAIN gate -> stated normal
+    # branch in the sweep, while the scalar op (r14 wide gate) stays
+    # exact; the normal value pins against A&S and sits within the
+    # approximation's honest error of the exact one
+    big = out["big"]
+    assert big["method"] == "normal_approx"
+    ref = binom_test_exact(
+        df.filter(F.col("s") == "big"), "flag", 0.2).first()
+    assert ref["method"] == "exact"
+    z = (big["k"] - big["n"] * 0.2) / _m.sqrt(big["n"] * 0.2 * 0.8)
+    sf2 = _normal_sf2(z)
+    pge = sf2 / 2.0 if z >= 0 else 1.0 - sf2 / 2.0
+    assert big["p_greater"] == pytest.approx(pge, abs=2e-6)
+    assert big["p_greater"] == pytest.approx(ref["p_greater"],
+                                             abs=0.05)
     assert out["s1"]["method"] == "exact"
 
 
@@ -632,21 +654,39 @@ def test_poisson_exact_matches_direct_sum(spark):
 
 
 def test_poisson_exact_normal_switch_and_agreement(spark):
-    """Above the scalar gate (k > 499) the op reports
-    method='normal_approx'; at the gate the exact and normal tails
-    agree to ~2e-2 relative-of-p (the documented justification for
-    the switch — the error keeps shrinking ~1/sqrt(mu))."""
+    """r14 scalar gate: the direct-sum exact branch now runs to
+    k <= POISSON_SCALAR_EXACT_MAX_K (100 000 — the r13 kernel-depth
+    499 only gates the SLICED chains); above it the op reports
+    method='normal_approx', and at k far past the OLD gate the
+    exact and normal tails agree to ~2e-2 (the error keeps
+    shrinking ~1/sqrt(mu) — the documented switch justification)."""
     from tap_airbyte_wrapper_spark.operators import poisson_test_exact
     from tap_airbyte_wrapper_spark.operators.stats import _normal_sf2
+    from tap_airbyte_wrapper_spark.operators.tails import (
+        POISSON_SCALAR_EXACT_MAX_K, poisson_cdf_direct,
+        poisson_sf_direct)
     import math
 
+    # k = 600 sat in the normal branch in r13; now exact, and the
+    # value equals the direct sum computed independently here
     r = poisson_test_exact(spark.range(600), 580.0).first()
-    assert r["method"] == "normal_approx"
-    r = poisson_test_exact(spark.range(499), 520.0).first()
     assert r["method"] == "exact"
-    z = (499 - 520.0) / math.sqrt(520.0)
+    assert r["p_greater"] == pytest.approx(
+        poisson_sf_direct(600, 580.0), abs=2e-6)
+    assert r["p_less"] == pytest.approx(
+        poisson_cdf_direct(600, 580.0), abs=2e-6)
+    # above the r14 gate: stated normal branch
+    r = poisson_test_exact(
+        spark.range(POISSON_SCALAR_EXACT_MAX_K + 1), 100500.0).first()
+    assert r["method"] == "normal_approx"
+    z = (POISSON_SCALAR_EXACT_MAX_K + 1 - 100500.0) \
+        / math.sqrt(100500.0)
     pn = _normal_sf2(z)
-    assert abs(r["p_two_sided"] - pn) < 0.02
+    assert abs(r["p_two_sided"] - pn) < 2e-6
+    # normal-vs-exact agreement at the gate boundary scale
+    pe = 2.0 * min(poisson_sf_direct(100001, 100500.0),
+                   poisson_cdf_direct(100001, 100500.0))
+    assert abs(min(1.0, pe) - pn) < 0.02
 
 
 def test_poisson_sliced_row_equals_scalar_and_branches(spark):
