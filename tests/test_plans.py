@@ -436,16 +436,36 @@ def test_round7b_plan_shapes(plans):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_welch_sliced_exact_tail_plan_one_exchange(plans):
+def test_welch_sliced_exact_tail_plan_one_exchange(plans, spark, sf_dir):
     """The sliced Welch sweep with the exact-tail layers must still be
-    ONE conditional-aggregate scan: exactly the aggregation's own
-    exchange pair (partial -> final), no joins, no extra shuffles —
-    the ~56 incomplete-beta layers are pure projections Catalyst
-    keeps in one stage."""
+    ONE conditional-aggregate scan, and everything after the per-slice
+    aggregate must be pure projection.  Since round 14 the packed tail
+    chain rides a mid-chain ``localCheckpoint`` (measured faster:
+    2.0 s vs 2.2 s isolated; the checkpoint caps CollapseProject and
+    Janino method growth), so the final visible plan is projections
+    over the checkpoint scan — no shuffles, no joins AT ALL — while
+    the one-scan aggregate contract is asserted on the UNCHECKPOINTED
+    chain (checkpoint_every=None yields the full single plan)."""
     p = plans("welch_sliced_orders")
-    assert p.count("Exchange") <= 2
+    assert p.count("Exchange") == 0
     assert "Join" not in p and "Cartesian" not in p
-    assert "HashAggregate" in p
+    # one-conditional-aggregate-scan contract, full plan visible with
+    # the mid-chain checkpoint disabled
+    from unittest import mock
+
+    from tap_airbyte_wrapper_spark.operators import stats as stats_mod
+    from tap_airbyte_wrapper_spark.operators.tails import \
+        apply_ibeta_layers as real_layers
+
+    def no_ckpt(df, specs, keep, checkpoint_every=15, pack=2):
+        return real_layers(df, specs, keep, checkpoint_every=None,
+                           pack=pack)
+
+    with mock.patch.object(stats_mod, "apply_ibeta_layers", no_ckpt):
+        full = plan_of(QUERIES["welch_sliced_orders"](spark, sf_dir))
+    assert full.count("Exchange") <= 2
+    assert "Join" not in full and "Cartesian" not in full
+    assert "HashAggregate" in full
 
 
 def test_tost_sliced_bounded_exchanges(plans):
