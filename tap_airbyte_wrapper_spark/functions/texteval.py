@@ -75,11 +75,11 @@ def bleu_rouge_corpus(
                     words(F.col(cand_col)).alias("__wc"),
                     words(F.col(ref_col)).alias("__wr"))
             .localCheckpoint(eager=True))
-    lens = base.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.size("__wc")).alias("c_len"),
-        F.sum(F.size("__wr")).alias("r_len")).first()
-    n_pairs = int(lens["n_pairs"])
+    # plain count on the checkpointed base — c_len/r_len are exactly
+    # the unigram totals ct[1]/rt[1] the merged gram aggregate below
+    # already produces (sum of per-doc token counts, the same
+    # integers), so the old 3-column agg pass is redundant (round 14)
+    n_pairs = base.count()
     if n_pairs == 0:
         cols = ", ".join(
             f"CAST(NULL AS DOUBLE) AS p{n}" for n in range(1, max_n + 1))
@@ -89,7 +89,6 @@ def bleu_rouge_corpus(
             "CAST(NULL AS DOUBLE) AS rouge2_r, "
             "CAST(NULL AS DOUBLE) AS bp, "
             "CAST(NULL AS DOUBLE) AS bleu")
-    c_len, r_len = int(lens["c_len"] or 0), int(lens["r_len"] or 0)
 
     # ALL orders in one tagged-gram pass (an (n, gram) struct per
     # gram, flattened) instead of per-order job chains: 3 jobs total
@@ -116,25 +115,38 @@ def bleu_rouge_corpus(
           .select("__id", F.col("b.n").alias("n"),
                   F.xxhash64("b.g").alias("gh"))
           .groupBy("__id", "n", "gh")
-          .agg(F.count(F.lit(1)).alias("cc"))
-          .localCheckpoint(eager=True))  # join side + totals
+          .agg(F.count(F.lit(1)).alias("cc")))
     rg = (base.select("__id", tagged("__wr"))
           .select("__id", F.col("b.n").alias("n"),
                   F.xxhash64("b.g").alias("gh"))
           .groupBy("__id", "n", "gh")
-          .agg(F.count(F.lit(1)).alias("rc"))
-          .localCheckpoint(eager=True))
-    clip = {int(r["n"]): int(r["clip"] or 0) for r in
-            cg.join(rg, ["__id", "n", "gh"])
-            .groupBy("n").agg(F.sum(F.least("cc", "rc")).alias("clip"))
-            .collect()}
-    ct = {int(r["n"]): int(r["ct"] or 0) for r in
-          cg.groupBy("n").agg(F.sum("cc").alias("ct")).collect()}
-    rt = {int(r["n"]): int(r["rt"] or 0) for r in
-          rg.groupBy("n").agg(F.sum("rc").alias("rt")).collect()}
+          .agg(F.count(F.lit(1)).alias("rc")))
+    # ONE full-outer-join aggregate yields clip + both totals in a
+    # single job (round 14; previously an inner-join clip pass plus
+    # two per-side total passes = 3 collects over 2 checkpointed gram
+    # tables — the per-doc op already used this shape).  Sums are over
+    # the identical integers (one-sided rows contribute 0 to clip via
+    # the coalesce — least() alone would skip the null side, see the
+    # per-doc note), so the collected stats are bit-identical and the
+    # frozen SQL oracle is untouched.  cg/rg now feed exactly one
+    # consumer each, so their lineage cuts are gone with them.
+    tot = (cg.join(rg, ["__id", "n", "gh"], "full_outer")
+           .groupBy("n")
+           .agg(F.sum(F.least(F.coalesce("cc", F.lit(0)),
+                              F.coalesce("rc", F.lit(0))))
+                .alias("clip"),
+                F.sum("cc").alias("ct"),
+                F.sum("rc").alias("rt"))
+           .collect())
+    clip = {int(r["n"]): int(r["clip"] or 0) for r in tot}
+    ct = {int(r["n"]): int(r["ct"] or 0) for r in tot}
+    rt = {int(r["n"]): int(r["rt"] or 0) for r in tot}
     stats: dict[int, tuple[int, int, int]] = {
         n: (clip.get(n, 0), ct.get(n, 0), rt.get(n, 0))
         for n in range(1, max_n + 1)}
+    # summed token lengths ARE the unigram totals (identical integers
+    # to the old sum(size(..)) pass — every token is one unigram)
+    c_len, r_len = ct.get(1, 0), rt.get(1, 0)
     ps = {n: (stats[n][0] / stats[n][1] if stats[n][1] > 0 else None)
           for n in stats}
     bp = (math.exp(min(0.0, 1.0 - r_len / c_len))
