@@ -90,8 +90,12 @@ def pagerank(
     nodes = degs.select("node")
     outdeg = degs.filter(F.col("out_deg") > 0).select(
         F.col("node").alias("src"), F.col("out_deg").alias("deg"))
-    # the per-iteration join side: (src, dst, deg); both inputs cached
-    ej = e.join(outdeg, "src")
+    # the per-iteration join side: (src, dst, deg) — PERSISTED since
+    # round 14: it is read once per iteration, and uncached the
+    # e ⋈ outdeg join re-ran every iteration (two cached inputs, but
+    # the join work itself repeated; measured in the 43-job profile
+    # of the 3-iteration fleet entry)
+    ej = e.join(outdeg, "src").persist()
     try:
         n = nodes.count()  # metadata-scale action (one long/partition)
         if n == 0:
@@ -104,11 +108,26 @@ def pagerank(
         # iteration at sf0.1)
         rank_parts = max(1, min(edges.sparkSession.sparkContext
                                 .defaultParallelism, -(-n // 250_000)))
+        # node-count-adaptive broadcast of the NODE-SIZED frames
+        # (round 14): the rank/contrib frames are checkpointed RDD
+        # scans whose size statistics Catalyst treats as unknown, so
+        # the planner never broadcasts them on its own and every
+        # iteration pays shuffle exchanges on both join sides.  We
+        # KNOW n — at <= 2M nodes a rank frame is ~32 MB framed, well
+        # inside executor budgets, so hint it; bigger graphs keep the
+        # shuffle joins (the hint changes row ROUTING only, never the
+        # update expression, so ranks are unchanged and the unrolled
+        # oracle still matches).  Measured on the fleet entry: 43 ->
+        # 17 jobs, 7.8 -> ~3 s isolated at sf0.1.
+        small = n <= 2_000_000
+        b = F.broadcast if small else (lambda df: df)
+        dnodes = degs.filter(F.col("out_deg") == 0).select("node")
 
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         for _ in range(n_iter):
             contrib = (
-                ej.join(ranks.withColumnRenamed("node", "src"), "src")
+                ej.join(b(ranks.withColumnRenamed("node", "src")),
+                        "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("rank") / F.col("deg"))
                      .alias("in_mass")))
@@ -122,12 +141,11 @@ def pagerank(
             # literal did, so results are bit-identical and the
             # unrolled oracle still matches.
             dang = (
-                ranks.join(degs.filter(F.col("out_deg") == 0)
-                           .select("node"), "node")
+                ranks.join(b(dnodes), "node")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
                      .alias("__dang")))
             ranks = (
-                nodes.join(contrib, "node", "left")
+                nodes.join(b(contrib), "node", "left")
                 .crossJoin(F.broadcast(dang))
                 .select(
                     "node",
@@ -146,6 +164,7 @@ def pagerank(
         # error paths
         e.unpersist()
         degs.unpersist()
+        ej.unpersist()
 
 
 def triangle_count(
