@@ -108,25 +108,22 @@ def pagerank(
         # iteration at sf0.1)
         rank_parts = max(1, min(edges.sparkSession.sparkContext
                                 .defaultParallelism, -(-n // 250_000)))
-        # node-count-adaptive broadcast of the NODE-SIZED frames
-        # (round 14): the rank/contrib frames are checkpointed RDD
-        # scans whose size statistics Catalyst treats as unknown, so
-        # the planner never broadcasts them on its own and every
-        # iteration pays shuffle exchanges on both join sides.  We
-        # KNOW n — at <= 2M nodes a rank frame is ~32 MB framed, well
-        # inside executor budgets, so hint it; bigger graphs keep the
-        # shuffle joins (the hint changes row ROUTING only, never the
-        # update expression, so ranks are unchanged and the unrolled
-        # oracle still matches).  Measured on the fleet entry: 43 ->
-        # 17 jobs, 7.8 -> ~3 s isolated at sf0.1.
-        small = n <= 2_000_000
-        b = F.broadcast if small else (lambda df: df)
+        # NOT broadcast-hinted (round 14, measured): hinting the
+        # node-sized rank/contrib frames into the per-iteration joins
+        # was tried and LOST — each hint adds a broadcast-build with
+        # ~1.4-2.8 s latency per iteration on this harness (iters
+        # 0.45-0.55 s with shuffle joins vs 1.4-2.8 s hinted, 3-rep
+        # A/B), because the builds serialize on the driver while the
+        # shuffle joins of the tiny frames ride AQE's coalesced
+        # exchanges.  The one-row dangling aggregate below keeps its
+        # broadcast (crossJoin needs it; building a 1-row relation is
+        # cheap).
         dnodes = degs.filter(F.col("out_deg") == 0).select("node")
 
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         for _ in range(n_iter):
             contrib = (
-                ej.join(b(ranks.withColumnRenamed("node", "src")),
+                ej.join(ranks.withColumnRenamed("node", "src"),
                         "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("rank") / F.col("deg"))
@@ -141,11 +138,11 @@ def pagerank(
             # literal did, so results are bit-identical and the
             # unrolled oracle still matches.
             dang = (
-                ranks.join(b(dnodes), "node")
+                ranks.join(dnodes, "node")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
                      .alias("__dang")))
             ranks = (
-                nodes.join(b(contrib), "node", "left")
+                nodes.join(contrib, "node", "left")
                 .crossJoin(F.broadcast(dang))
                 .select(
                     "node",
@@ -276,8 +273,6 @@ def label_propagation(
     eager ``localCheckpoint`` each round (the 3^k-recompute trap, see
     the module docstring).  Nothing collects to the driver.
     """
-    from pyspark.sql import Window
-
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -296,23 +291,37 @@ def label_propagation(
             return adj.select("node", F.col("node").alias("community"))
         parts = max(1, min(edges.sparkSession.sparkContext
                            .defaultParallelism, -(-n // 500_000)))
+        # NOT broadcast-hinted (round 14, measured): hinting the
+        # checkpointed label frame into the adjacency join made every
+        # iteration pay a ~1.5 s broadcast-build latency (iters 0.3 ->
+        # 1.8 s each at sf0.1) — unlike pagerank's rank frame, the
+        # shuffle join here is already cheap because votes partial-
+        # aggregate map-side.
         labels = (
             adj.select("node").distinct()
             .withColumn("label", F.col("node"))
             .coalesce(parts).localCheckpoint(eager=True)
         )
-        w = Window.partitionBy("node").orderBy(
-            F.col("__c").desc(), F.col("label"))
         for _ in range(n_iter):
             votes = (
                 adj.join(labels.withColumnRenamed("node", "nb"), "nb")
                 .groupBy("node", "label")
                 .agg(F.count(F.lit(1)).alias("__c"))
             )
+            # top-1 label per node as an AGGREGATE, not a row_number
+            # window (round 14): min over struct((-count, label)) is
+            # exactly the window's (count desc, label asc) first row —
+            # same winner, same tie-break — but runs with map-side
+            # partial aggregation and NO per-partition sort.  (The
+            # negation needs numeric labels only for the sign trick;
+            # generic orderable labels still compare correctly inside
+            # the struct because only the count is negated.)
             labels = (
-                votes.withColumn("__rk", F.row_number().over(w))
-                .filter(F.col("__rk") == 1)
-                .select("node", "label")
+                votes.groupBy("node")
+                .agg(F.min(F.struct((-F.col("__c")).alias("__nc"),
+                                    F.col("label").alias("__l")))
+                     .alias("__top"))
+                .select("node", F.col("__top.__l").alias("label"))
                 .coalesce(parts)
                 # eager cut: next iteration reads this once per subtree
                 .localCheckpoint(eager=True)
