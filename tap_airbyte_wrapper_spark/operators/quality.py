@@ -1453,23 +1453,78 @@ def _exact_median_bucketed(vals: DataFrame, col: str,
     return sum(got) / len(got), m
 
 
+def _order_stats_probe(vals: DataFrame, col: str, ks, m: int,
+                       max_collect: int = 4_000_000):
+    """Probe-window selection (see :func:`_exact_order_stats`): bracket
+    ranks ``[min(ks), max(ks)]`` with percentile_approx values, verify
+    the bracket EXACTLY with one count aggregate, collect only the
+    bracket.  Returns None when the bracket misses a wanted rank or
+    holds more than ``max_collect`` rows (heavy tie) — caller falls
+    back to the bucket machinery.  3 cheap jobs; the collect is
+    ~(rank span + 2 * sketch error) rows on any distribution shape."""
+    import numpy as np
+
+    k_lo, k_hi = min(ks), max(ks)
+    # rank error of the sketch is m/accuracy; pad the probe quantiles
+    # by 4x that so the bracket almost always verifies first try
+    acc = 10_000
+    err = max(1, m // acc)
+    p_lo = max(0.0, (k_lo - 4 * err) / m)
+    p_hi = min(1.0, (k_hi + 4 * err) / m)
+    a, b_ = vals.agg(
+        F.percentile_approx(col, F.lit(p_lo), F.lit(acc)),
+        F.percentile_approx(col, F.lit(p_hi), F.lit(acc))).first()
+    if a is None or b_ is None:
+        return None
+    c = F.col(col)
+    below, inwin = vals.agg(
+        F.count(F.when(c < a, 1)),
+        F.count(F.when(c.between(a, b_), 1))).first()
+    below, inwin = int(below), int(inwin)
+    # the bracket must contain every wanted rank: ranks below+1 ..
+    # below+inwin are exactly the rows in [a, b]
+    if not (below < k_lo and k_hi <= below + inwin):
+        return None
+    if inwin > max_collect:
+        return None
+    arr = np.sort(np.array(
+        [r[0] for r in vals.filter(c.between(a, b_)).select(col)
+         .collect()], dtype="float64"))
+    return [float(arr[k - below - 1]) for k in ks]
+
+
 def _exact_order_stats(vals: DataFrame, col: str, ks, n_buckets: int,
                        depth: int = 0):
     """Values at the 1-based sorted positions ``ks`` (assumed close
-    together, as a median's are).  Equi-width ``width_bucket`` ranges
-    over (min, max) — codegen-friendly, unlike an interpreted
-    boundary-array HOF, and balance only affects SPEED: the bucket
-    counts locate the bucket(s) containing every k exactly, only those
-    rows are collected, and past ~8M rows (value skew or a heavy tie)
-    the selection recurses into the target range with the order
-    statistics shifted by the rows before it."""
+    together, as a median's are).
+
+    Round-14 fast path — QUANTILE-SKETCH PROBE WINDOW: equi-width
+    buckets are blind to heavy tails (measured on the sen-slope pair
+    frame at sf0.1: outliers stretch (min, max) so far that ONE bucket
+    held 98% of 1.2M rows and the "straddling bucket" collect shipped
+    1.17M rows to the driver, 4.2 s of a 4.5 s query).  Instead, two
+    ``percentile_approx`` probes bracket the wanted ranks (the sketch
+    returns REAL data values with a bounded rank error), one aggregate
+    EXACTLY counts rows below/inside the bracket, and only the
+    bracket's rows collect.  The count pass VERIFIES the bracket
+    contains every k — sketch accuracy only gates the fast path, never
+    the result — and any miss (or an over-fat bracket, e.g. a heavy
+    tie at the median value) falls back to the equi-width bucket
+    machinery below, which stays exact for every distribution shape.
+    Selected values are the same doubles either way."""
     import numpy as np
 
-    lo, hi = vals.agg(F.min(col), F.max(col)).first()
+    m_max = max(ks)
+    cnt, lo, hi = vals.agg(F.count(F.lit(1)), F.min(col),
+                           F.max(col)).first()
     if lo is None:
         return []
     if lo == hi:  # all identical — every order statistic is lo
         return [float(lo) for _ in ks]
+    if depth == 0 and cnt >= m_max:
+        got = _order_stats_probe(vals, col, ks, int(cnt))
+        if got is not None:
+            return got
     bexp = F.width_bucket(F.col(col), F.lit(float(lo)),
                           F.lit(float(hi)), F.lit(n_buckets))
     counts = {r["__b"]: r["count"] for r in

@@ -1,0 +1,85 @@
+"""Round-14 optimization-internals tests: changed operator internals
+keep their exact contracts (probe-window order statistics, LPA
+struct-min top-1, corpus-BLEU merged stat pass)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_order_stats_probe_matches_bucket_machinery(spark):
+    """The round-14 quantile-sketch probe path must select the SAME
+    doubles as the equi-width bucket machinery on the shapes that
+    motivated it (heavy tail) and the shapes that defeat it (heavy
+    tie at the median — probe declines, fallback answers)."""
+    from tap_airbyte_wrapper_spark.operators.quality import (
+        _exact_order_stats, _order_stats_probe)
+
+    # heavy tail: 10k values ~ tight core, a few enormous outliers —
+    # the exact case where ONE equi-width bucket swallows the median
+    core = spark.range(10_000).select(
+        (F.col("id") % 997 / 997.0).alias("v"))
+    tail = spark.range(5).select(
+        (F.lit(1.0e12) * (F.col("id") + 1)).alias("v"))
+    vals = core.unionByName(tail).localCheckpoint(eager=True)
+    m = vals.count()
+    mid = (m + 1) // 2
+    ks = [mid, mid + 1] if m % 2 == 0 else [mid]
+    probe = _order_stats_probe(vals, "v", ks, m)
+    assert probe is not None, "probe should hit on a heavy tail"
+    full = _exact_order_stats(vals.withColumn(
+        "v", F.col("v")), "v", ks, 64, depth=1)  # depth=1 skips probe
+    assert probe == full
+
+    # heavy tie AT the median: probe must either answer exactly or
+    # decline; _exact_order_stats must answer exactly either way
+    tied = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 8, 5.0)
+        .otherwise(F.col("id").cast("double")).alias("v")) \
+        .localCheckpoint(eager=True)
+    m2 = tied.count()
+    ks2 = [(m2 + 1) // 2, (m2 + 1) // 2 + 1]
+    got = _exact_order_stats(tied, "v", ks2, 64)
+    assert got == [5.0, 5.0]
+
+
+def test_sen_slope_value_unchanged_by_probe(spark):
+    """sen_slope's published slope is identical with the probe path in
+    play (same doubles selected)."""
+    from tap_airbyte_wrapper_spark.operators import sen_slope
+
+    df = spark.range(200).select(
+        F.col("id").alias("id"),
+        F.col("id").cast("double").alias("t"),
+        (3.0 * F.col("id") + F.when(F.col("id") % 7 == 0, 1e9)
+         .otherwise(0.0)).cast("double").alias("v"))
+    row = sen_slope(df, "t", "v", "id").first()
+    # brute force in python
+    rows = [(float(i), 3.0 * i + (1e9 if i % 7 == 0 else 0.0))
+            for i in range(200)]
+    slopes = sorted(
+        (vb - va) / (tb - ta)
+        for i, (ta, va) in enumerate(rows)
+        for tb, vb in rows[i + 1:] if tb != ta)
+    mm = len(slopes)
+    med = (slopes[(mm - 1) // 2] if mm % 2 == 1 else
+           (slopes[mm // 2 - 1] + slopes[mm // 2]) / 2)
+    assert row["n_pairs"] == mm
+    assert row["slope"] == pytest.approx(round(med, 6), abs=1e-12)
+
+
+def test_lpa_agg_top1_matches_window_semantics(spark):
+    """label_propagation's struct-min top-1 must pick (max count, then
+    min label) — pinned on a vote pattern with a deliberate tie."""
+    from tap_airbyte_wrapper_spark.operators import label_propagation
+
+    # star around node 1 plus a 2-3 edge: after one round node 1
+    # adopts the smallest most-frequent neighbor label
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 1)], ["s", "d"])
+    out = {r["node"]: r["community"]
+           for r in label_propagation(edges, "s", "d",
+                                      n_iter=1).collect()}
+    # node 1 neighbors {2,3,4}: labels 2,3,4 once each -> tie, min=2
+    assert out[1] == 2
+    # node 4 neighbor {1}: label 1
+    assert out[4] == 1
