@@ -950,8 +950,12 @@ def media_timing_near_dup_pairs(
     blocked = (
         df.select(
             F.col(id_col),
-            probe_media_meta(F.col(media_col)).alias("__m"),
-            media_timing_sig(F.col(media_col)).alias("sh"))
+            _probe_and_sig(F.col(media_col), "timing", 64, 64, 4096)
+            .alias("__ps"))
+        .select(
+            F.col(id_col),
+            F.col("__ps.m").alias("__m"),
+            F.col("__ps.sh").alias("sh"))
         .withColumn("__kind", m.getItem("container"))
         .filter(F.col("__kind").isNotNull() & F.col("sh").isNotNull())
         .withColumn(
@@ -974,6 +978,97 @@ def media_timing_near_dup_pairs(
         .localCheckpoint(eager=True))
     return hamming_near_dup_pairs(
         blocked, id_col, "sh", max_hamming, block_cols=("__blk",))
+
+
+def _probe_and_sig(col: Column, sig_kind: str, n_windows: int,
+                   window: int, stride: int,
+                   window_samples: int = TIMING_SIG_WINDOW_SAMPLES
+                   ) -> Column:
+    """Header probe AND hamming signature in ONE Arrow pass (round 14):
+    :func:`probe_media_meta` + :func:`media_window_sig` (or
+    :func:`media_timing_sig`) were separate pandas UDFs over the same
+    payload column, so every asset's bytes crossed the JVM↔Python
+    boundary into two UDF evaluations and the container dispatch ran
+    twice.  This struct-returning UDF runs the IDENTICAL helper
+    functions once per payload (same probe dict, same bit
+    construction — the per-field values are the same by construction)
+    and returns ``struct<m: map<string,string>, sh: long>``.  Guide
+    §4: pass the payload across the boundary once, amortize the
+    dispatch."""
+
+    from . import audio_meta as _audio
+    from . import video as _video
+    from .exif import exif_metadata as _exif
+
+    cap = 64 * window_samples
+    timing_containers = ("mp4", "mkv", "audio")
+
+    @pandas_udf("struct<m: map<string,string>, sh: bigint>")
+    def ps(payloads: pd.Series) -> pd.DataFrame:
+        metas, sigs = [], []
+        for p in payloads:
+            b = bytes(p) if p is not None else None
+            # --- probe (token-identical logic to probe_media_meta)
+            entries: dict[str, str] = {}
+            got = None
+            dims = None
+            if b:
+                got = _video.video_metadata(b)
+                if got is None:
+                    dims = _codecs.image_dimensions(b)
+                if got is None and dims is None:
+                    got = _audio.audio_metadata(b)
+            if got is not None:
+                entries = {k: str(v) for k, v in got.items()
+                           if v is not None}
+            elif dims is not None:
+                entries = {"width": str(dims[0]),
+                           "height": str(dims[1])}
+                exif = _exif(b)
+                if exif:
+                    entries.update({k: str(v)
+                                    for k, v in exif.items()})
+            metas.append(entries)
+            # --- signature (token-identical to media_window_sig /
+            # _windowed_timing_sig)
+            if not b:
+                sigs.append(None)
+                continue
+            if sig_kind == "window":
+                anchor = 0
+                for marker in _ESSENCE_MARKERS:
+                    at = b.find(marker)
+                    if at >= 0:
+                        anchor = at + len(marker)
+                        break
+                v = 0
+                for i in range(n_windows):
+                    off = anchor + i * stride
+                    win = b[off:off + window]
+                    if win and (hashlib.md5(win).digest()[-1] & 1):
+                        v |= 1 << i
+                sigs.append(v if v < (1 << 63) else v - (1 << 64))
+            else:
+                deltas = _timing_deltas_us(b, cap, timing_containers)
+                if not deltas:
+                    sigs.append(None)
+                    continue
+                v = 0
+                for i in range(64):
+                    win = deltas[i * window_samples:
+                                 (i + 1) * window_samples]
+                    if not win:
+                        break
+                    blob = b"".join(d.to_bytes(8, "big", signed=False)
+                                    for d in win)
+                    if hashlib.md5(blob).digest()[-1] & 1:
+                        v |= 1 << i
+                sigs.append(v if v < (1 << 63) else v - (1 << 64))
+        return pd.DataFrame({
+            "m": metas,
+            "sh": pd.Series(sigs, dtype="object").astype("Int64")})
+
+    return ps(col)
 
 
 def _media_blocked_sigs(
@@ -1002,16 +1097,16 @@ def _media_blocked_sigs(
     if sig_kind not in ("window", "timing"):
         raise ValueError(
             f"sig_kind must be 'window' or 'timing', got {sig_kind!r}")
-    sig = (media_window_sig(F.col(media_col), n_windows=n_windows,
-                            window=window, stride=stride)
-           if sig_kind == "window"
-           else media_timing_sig(F.col(media_col)))
     m = F.col("__m")
     probed = (
         df.select(
             F.col(id_col),
-            probe_media_meta(F.col(media_col)).alias("__m"),
-            sig.alias("sh"))
+            _probe_and_sig(F.col(media_col), sig_kind, n_windows,
+                           window, stride).alias("__ps"))
+        .select(
+            F.col(id_col),
+            F.col("__ps.m").alias("__m"),
+            F.col("__ps.sh").alias("sh"))
         .withColumn(
             "__kind",
             F.coalesce(m.getItem("container"),
