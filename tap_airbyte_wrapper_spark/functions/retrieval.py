@@ -79,22 +79,43 @@ def bm25_topk(
     it the returned row set — is reproducible across engines and runs
     (raw float sums are partition-order-dependent in the last ulp).
     """
-    # deliberately UNCACHED: the scoring core reads tf from three
-    # subtrees, but two of them are term-filtered (cheap) and a
-    # persist forces materializing the FULL postings table — measured
-    # 1.17 s (re-derive) vs 1.83 s (persist) at sf0.1.  On a standing
-    # corpus pass tf_table/dl_table (or the persisted BM25 index),
-    # which is the real scale path.
-    tf = tf_table if tf_table is not None else \
-        doc_term_freq(df, id_col, text_col)
-    dl = dl_table if dl_table is not None else \
-        tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     qterms = queries.select(
         F.col(query_id_col),
         F.explode(F.array_distinct(words(F.col(query_text_col))))
         .alias("term"))
-    return _bm25_from_terms(tf, dl, qterms, id_col, query_id_col,
-                            k, k1, b, prune_term_scan=prune_term_scan)
+    if tf_table is not None:
+        tf = tf_table
+        dl = dl_table if dl_table is not None else \
+            tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        return _bm25_from_terms(tf, dl, qterms, id_col, query_id_col,
+                                k, k1, b,
+                                prune_term_scan=prune_term_scan)
+    # Text path (round 14, guide §2.3/§2.4): the old shape aggregated
+    # the FULL vocabulary into (id, term, tf) — a corpus-token shuffle
+    # — then rolled doc lengths out of it with a second id-keyed
+    # shuffle, only to immediately prune postings down to query terms.
+    # Both full-corpus shuffles are removable: tokens are filtered to
+    # query terms BEFORE the (id, term) aggregation (the broadcast
+    # join runs map-side, so the aggregation shuffle carries only
+    # query-matching tokens), the doc length is ``size(words(text))``
+    # carried through the group key (identical integer: dl was the sum
+    # of ALL the doc's tf, i.e. its token count), and N/avgdl come
+    # from a one-row token-length aggregate (docs with zero tokens
+    # were absent from the old tf-derived dl — the ``> 0`` filter
+    # reproduces that).  Scores are bit-identical; the corpus now pays
+    # two tokenize passes and ZERO full-vocabulary shuffles.
+    ws = df.select(F.col(id_col), words(F.col(text_col)).alias("__ws"))
+    toks = ws.select(F.col(id_col), F.size("__ws").alias("__dl"),
+                     F.explode("__ws").alias("term"))
+    tf = (toks.join(F.broadcast(qterms.select("term").distinct()), "term")
+          .groupBy(id_col, "__dl", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    totals = (ws.select(F.size("__ws").alias("__dl"))
+              .filter(F.col("__dl") > 0)
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("__dl").alias("avgdl")))
+    return _bm25_from_terms(tf, None, qterms, id_col, query_id_col,
+                            k, k1, b, dl_col="__dl", totals=totals)
 
 
 def _bm25_from_terms(
@@ -108,6 +129,8 @@ def _bm25_from_terms(
     b: float,
     prune_term_scan: bool = False,
     max_pruned_terms: int = 10_000,
+    dl_col: str | None = None,
+    totals: DataFrame | None = None,
 ) -> DataFrame:
     """Scoring core shared by text-query BM25 and the PRF-expanded
     second pass: ``qterms`` is a small (query_id, term) frame (distinct
@@ -125,16 +148,24 @@ def _bm25_from_terms(
     ``max_pruned_terms``: past the cap the literal would bloat the
     plan, so it falls back to the full-scan broadcast join.  Scores
     are identical either way (the filter removes only rows that could
-    never join)."""
+    never join).
+
+    ``dl_col`` (round 14): the text path carries each doc's length as
+    a column of ``tf`` itself (it is constant per id), so the id-keyed
+    length join disappears; ``totals`` then supplies the (n_docs,
+    avgdl) one-row frame the caller computed without a doc-length
+    table."""
     if prune_term_scan:
         terms = [r[0] for r in qterms.select("term").distinct()
                  .limit(max_pruned_terms + 1).collect()]
         if len(terms) <= max_pruned_terms:
             tf = tf.filter(F.col("term").isin(terms))
-    totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.avg("dl").alias("avgdl"))
+    if totals is None:
+        totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.avg("dl").alias("avgdl"))
     # document frequency for QUERY terms only: the semi-join prunes the
-    # vocabulary-sized aggregate down to |query terms| rows
+    # vocabulary-sized aggregate down to |query terms| rows (a no-op
+    # when the caller already term-filtered tf, as the text path does)
     dfreq = (
         tf.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
@@ -142,7 +173,11 @@ def _bm25_from_terms(
     scored = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
+    )
+    scored = scored if dl_col is not None else scored.join(dl, id_col)
+    scored = (
+        scored.withColumn(
+            "dl", F.col(dl_col) if dl_col is not None else F.col("dl"))
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "idf",
@@ -620,13 +655,16 @@ def prf_expand_topk(
     # the term-filtered tf subtrees across both passes, and persisting
     # forces materializing the FULL postings table — measured 3.4 s
     # cached vs 1.4 s uncached median (11.6 vs 3.6 s cold) at
-    # sf0.1/local[32] in the bench harness.  The round-7 number that
-    # justified the cache (5.9 -> 3.5 s) was taken with a
-    # createDataFrame queries frame whose plan identity changed every
-    # call, defeating both ReusedExchange and rep-level cache reuse —
-    # fixed at the fleet entry by building queries via SQL VALUES.
-    # On a standing corpus pass tf_table/dl_table (or the persisted
-    # BM25 index), which is the real scale path.
+    # sf0.1/local[32] in the bench harness.  (Round 14: the
+    # filter-before-aggregate restructure that replaced bm25_topk's
+    # text path was measured HERE too and reverted — PRF reads the
+    # postings under THREE different term sets (pass 1, the
+    # expansion-mass join, pass 2), so per-term-set token re-scans
+    # cost three tokenize+explode passes where the one full
+    # (id, term) aggregate is shared by every subtree via
+    # ReusedExchange: 1.59 s -> 2.10 s median at sf0.1.  On a
+    # standing corpus pass tf_table/dl_table or the persisted BM25
+    # index, which is the real scale path.)
     tf = tf_table if tf_table is not None else \
         doc_term_freq(df, id_col, text_col)
     dl = dl_table if dl_table is not None else \
