@@ -31,6 +31,29 @@ __all__ = ["bleu_rouge_corpus", "bleu_rouge_per_doc",
            "rouge_l_per_doc"]
 
 
+def _tagged_sided(cand_col: str, cand_side: int,
+                  ref_col: str, ref_side: int, max_n: int):
+    """One explode of BOTH texts' grams at every order, each element a
+    ``(n, g, s)`` struct tagging its order and side — the single-pass
+    feed for the side-conditional gram aggregate (round 14).  The
+    order/side tags are closed over via a factory: a two-param lambda
+    (the ``lambda g, n=n`` idiom) makes PySpark pass the ARRAY INDEX
+    as the second argument, silently shadowing the closed-over
+    value."""
+    def _tag(order, side):
+        return lambda g: F.struct(F.lit(order).alias("n"),
+                                  g.alias("g"),
+                                  F.lit(side).alias("s"))
+
+    parts = [
+        F.transform(word_ngrams(F.col(col_name), n), _tag(n, side))
+        for col_name, side in ((cand_col, cand_side),
+                               (ref_col, ref_side))
+        for n in range(1, max_n + 1)
+    ]
+    return F.explode(F.flatten(F.array(*parts))).alias("b")
+
+
 def bleu_rouge_corpus(
     df: DataFrame,
     cand_col: str,
@@ -93,44 +116,28 @@ def bleu_rouge_corpus(
     # ALL orders in one tagged-gram pass (an (n, gram) struct per
     # gram, flattened) instead of per-order job chains: 3 jobs total
     # rather than ~3 per order (measured 8.2 -> ~2 s at sf0.1)
-    def _tag(order):
-        # single-parameter lambda, closure via factory: a two-param
-        # lambda (the `lambda g, n=n` idiom) makes PySpark pass the
-        # ARRAY INDEX as the second argument, silently shadowing the
-        # closed-over order
-        return lambda g: F.struct(F.lit(order).alias("n"),
-                                  g.alias("g"))
-
-    def tagged(col_name):
-        c = F.col(col_name)
-        parts = [F.transform(word_ngrams(c, n), _tag(n))
-                 for n in range(1, max_n + 1)]
-        return F.explode(F.flatten(F.array(*parts))).alias("b")
-
     # grams travel as xxhash64 longs, not strings (the contamination
     # idiom: 8 bytes/gram through the shuffle and an integer join;
     # a within-(pair, order) collision merges two gram counts with
-    # probability ~ grams^2/2^64 per document — vanishing)
-    cg = (base.select("__id", tagged("__wc"))
-          .select("__id", F.col("b.n").alias("n"),
-                  F.xxhash64("b.g").alias("gh"))
-          .groupBy("__id", "n", "gh")
-          .agg(F.count(F.lit(1)).alias("cc")))
-    rg = (base.select("__id", tagged("__wr"))
-          .select("__id", F.col("b.n").alias("n"),
-                  F.xxhash64("b.g").alias("gh"))
-          .groupBy("__id", "n", "gh")
-          .agg(F.count(F.lit(1)).alias("rc")))
-    # ONE full-outer-join aggregate yields clip + both totals in a
-    # single job (round 14; previously an inner-join clip pass plus
-    # two per-side total passes = 3 collects over 2 checkpointed gram
-    # tables — the per-doc op already used this shape).  Sums are over
-    # the identical integers (one-sided rows contribute 0 to clip via
-    # the coalesce — least() alone would skip the null side, see the
-    # per-doc note), so the collected stats are bit-identical and the
-    # frozen SQL oracle is untouched.  cg/rg now feed exactly one
-    # consumer each, so their lineage cuts are gone with them.
-    tot = (cg.join(rg, ["__id", "n", "gh"], "full_outer")
+    # probability ~ grams^2/2^64 per document — vanishing).
+    # ONE side-tagged gram pass and ONE aggregate chain (round 14,
+    # second step; the first step had already fused the old
+    # clip-join + two total passes into a full-outer-join aggregate):
+    # per (pair, order, gram) the side-conditional sums reproduce the
+    # outer join's rows exactly — one-sided grams carry a NULL for the
+    # absent side (sum over an empty WHEN set), so the clip coalesce
+    # and the ct/rt sums see the identical integers — with one
+    # gram-scale exchange instead of two plus a co-partitioned
+    # sort-merge join, and one scan of the checkpointed base instead
+    # of two.  The frozen SQL oracle is untouched.
+    allg = (base.select("__id",
+                        _tagged_sided("__wc", 0, "__wr", 1, max_n))
+            .select("__id", F.col("b.n").alias("n"),
+                    F.xxhash64("b.g").alias("gh"),
+                    F.col("b.s").alias("s")))
+    tot = (allg.groupBy("__id", "n", "gh")
+           .agg(F.sum(F.when(F.col("s") == 0, 1)).alias("cc"),
+                F.sum(F.when(F.col("s") == 1, 1)).alias("rc"))
            .groupBy("n")
            .agg(F.sum(F.least(F.coalesce("cc", F.lit(0)),
                               F.coalesce("rc", F.lit(0))))
@@ -218,33 +225,25 @@ def bleu_rouge_per_doc(
                     words(F.col(ref_col)).alias("__wr"))
             .localCheckpoint(eager=True))
 
-    def _tag(order):
-        return lambda g: F.struct(F.lit(order).alias("n"),
-                                  g.alias("g"))
-
-    def tagged(col_name):
-        c = F.col(col_name)
-        parts = [F.transform(word_ngrams(c, n), _tag(n))
-                 for n in range(1, max_n + 1)]
-        return F.explode(F.flatten(F.array(*parts))).alias("b")
-
-    cg = (base.select("__id", tagged("__wc"))
-          .select("__id", F.col("b.n").alias("n"),
-                  F.xxhash64("b.g").alias("gh"))
-          .groupBy("__id", "n", "gh")
-          .agg(F.count(F.lit(1)).alias("cc")))
-    rg = (base.select("__id", tagged("__wr"))
-          .select("__id", F.col("b.n").alias("n"),
-                  F.xxhash64("b.g").alias("gh"))
-          .groupBy("__id", "n", "gh")
-          .agg(F.count(F.lit(1)).alias("rc")))
-    # one (doc, order) stats table from a full outer join of the two
-    # gram-count sides: cand-only grams carry ct, ref-only carry rt,
-    # shared carry the clip min — no doc ever drops for lack of
-    # overlap.  least() SKIPS nulls (it returns the smallest non-null
-    # argument), so one-sided rows must coalesce to 0 first or every
-    # cand-only gram would count itself as clipped
-    per_ng = (cg.join(rg, ["__id", "n", "gh"], "full_outer")
+    # BOTH sides in ONE side-tagged gram pass and ONE aggregate
+    # (round 14): per (doc, order, gram) the conditional sums produce
+    # exactly the rows the old cand-side/ref-side aggregate pair fed
+    # through a full-outer join — a gram present only in the candidate
+    # yields (cc, rc=NULL) just as the outer join did (sum over an
+    # empty WHEN set is NULL), so clip/ct/rt below are the identical
+    # integers with one gram-scale exchange instead of two plus a
+    # co-partitioned sort-merge join.  least() SKIPS nulls (it returns
+    # the smallest non-null argument), so one-sided rows must coalesce
+    # to 0 first or every cand-only gram would count itself as clipped.
+    allg = (base.select("__id",
+                        _tagged_sided("__wc", 0, "__wr", 1, max_n))
+            .select("__id", F.col("b.n").alias("n"),
+                    F.xxhash64("b.g").alias("gh"),
+                    F.col("b.s").alias("s")))
+    cnt = (allg.groupBy("__id", "n", "gh")
+           .agg(F.sum(F.when(F.col("s") == 0, 1)).alias("cc"),
+                F.sum(F.when(F.col("s") == 1, 1)).alias("rc")))
+    per_ng = (cnt
               .groupBy("__id", "n")
               .agg(F.sum(F.least(F.coalesce("cc", F.lit(0)),
                                  F.coalesce("rc", F.lit(0))))
