@@ -748,6 +748,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     blocking_cols: list[str] | None = None,
     prefix_filter: bool = False,
+    sh_table: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs via shingle postings.
 
@@ -775,15 +776,22 @@ def ngram_jaccard_pairs(
     stays off."""
     blocking_cols = blocking_cols or []
     # canonical-order hash arrays feed every stage — bounded-pool
-    # persist: built once, plan-matched reuse, finite cache (_cache.py)
-    sh = cache_bounded(df.select(
-        F.col(id_col), *[F.col(c) for c in blocking_cols],
-        F.array_sort(
-            F.array_distinct(
-                F.transform(shingles(F.col(text_col), n),
-                            lambda s: F.xxhash64(s)))
-        ).alias("hs"),
-    ).withColumn("sh_size", F.size("hs")))
+    # persist: built once, plan-matched reuse, finite cache (_cache.py).
+    # ``sh_table`` (no blocking cols only): a caller-shared
+    # :func:`_shingle_hash_table` build, so verified-family callers
+    # pay the tokenize+shingle+hash pass once across generator and
+    # verifier.
+    if sh_table is not None and not blocking_cols:
+        sh = sh_table
+    else:
+        sh = cache_bounded(df.select(
+            F.col(id_col), *[F.col(c) for c in blocking_cols],
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(shingles(F.col(text_col), n),
+                                lambda s: F.xxhash64(s)))
+            ).alias("hs"),
+        ).withColumn("sh_size", F.size("hs")))
 
     if not prefix_filter:
         posting = sh.select(
@@ -1085,6 +1093,28 @@ def containment_pairs(
     )
 
 
+def _shingle_hash_table(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Canonical per-doc shingle-hash table ``(id, hs, sh_size)`` —
+    ``hs`` is the SORTED distinct xxhash64 array of the doc's word
+    ``n``-grams.  One bounded-pool-cached build shared by the exact
+    postings generator and the pair verifier (round 14: they used to
+    build two near-identical tables from the same text — one
+    tokenize+shingle+hash pass each — that the plan-keyed cache could
+    never unify because one sorted and one didn't; sorting is
+    irrelevant to both consumers' counts, so one spelling serves
+    both)."""
+    return cache_bounded(df.select(
+        F.col(id_col),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), n),
+                            lambda s: F.xxhash64(s)))
+        ).alias("hs"),
+    ).withColumn("sh_size", F.size("hs")))
+
+
 def exact_jaccard_on_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -1093,6 +1123,7 @@ def exact_jaccard_on_pairs(
     n: int = 3,
     threshold: float = 0.5,
     broadcast_arrays: bool = True,
+    sh_table: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard, computed only for the given candidate pairs.
 
@@ -1116,13 +1147,17 @@ def exact_jaccard_on_pairs(
     # both join sides read this — bounded-pool persist so the
     # shingle+hash pass runs once, not once per broadcast build
     # (aliasing defeats ReuseExchange; measured ~2x the verify cost
-    # without the cache), with eviction bounding the session cache
-    sh = cache_bounded(df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col), n),
-                        lambda s: F.xxhash64(s))).alias("__hs"),
-    ))
+    # without the cache), with eviction bounding the session cache.
+    # ``sh_table``: callers that already built the canonical table
+    # (:func:`_shingle_hash_table`) pass it in so the pass is shared
+    # (sorted arrays — array_intersect and size are order-blind).
+    sh = sh_table.select(F.col(id_col), F.col("hs").alias("__hs")) \
+        if sh_table is not None else cache_bounded(df.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), n),
+                            lambda s: F.xxhash64(s))).alias("__hs"),
+        ))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__hs_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hs_b"))
     if broadcast_arrays:
@@ -1174,7 +1209,7 @@ def minhash_verified_pairs(
     :func:`exact_jaccard_on_pairs`.
     """
 
-    def cands_of(reps: DataFrame) -> DataFrame:
+    def verified_of(reps: DataFrame) -> DataFrame:
         # both band-join sides read the signatures — bounded-pool
         # persist or the pandas-UDF signature pass runs twice
         # (measured 5s -> 2s for this stage); eviction bounds the cache
@@ -1186,16 +1221,18 @@ def minhash_verified_pairs(
             F.posexplode("band_hashes").alias("band", "band_hash"))
         a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
         b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-        return (
+        cands = (
             a.join(b, on=["band", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
         )
+        return exact_jaccard_on_pairs(
+            reps, cands, id_col, text_col, shingle_len, threshold,
+            broadcast_arrays=broadcast_verify)
 
     return _collapse_expand_verified(
-        df, id_col, text_col, cands_of, shingle_len, threshold,
-        broadcast_verify)
+        df, id_col, text_col, verified_of, threshold)
 
 
 def simhash_verified_pairs(
@@ -1240,38 +1277,64 @@ def simhash_verified_pairs(
     broadcast map-side (:func:`exact_jaccard_on_pairs`).  Measured
     14s -> ~2s at sf0.1 for the sketch path.
     """
-    def cands_of(reps: DataFrame) -> DataFrame:
+    def verified_of(reps: DataFrame) -> DataFrame:
+        sh = _shingle_hash_table(reps, id_col, text_col, shingle_len)
         sketch = simhash_near_dup_pairs(
             reps, id_col, text_col,
             max_hamming=max_hamming, chunks=chunks).select("id_a", "id_b")
         if not guarantee_recall:
-            return sketch
+            return exact_jaccard_on_pairs(
+                reps, sketch, id_col, text_col, shingle_len, threshold,
+                broadcast_arrays=broadcast_verify, sh_table=sh)
         if guarantee_via_prefix:
-            exact = prefix_filter_candidates(
-                reps, id_col, text_col, n=shingle_len, threshold=threshold)
-        else:
-            exact = ngram_jaccard_pairs(
-                reps, id_col, text_col, n=shingle_len, threshold=threshold,
-            ).select("id_a", "id_b")
-        return sketch.unionByName(exact).distinct()
+            cands = sketch.unionByName(prefix_filter_candidates(
+                reps, id_col, text_col, n=shingle_len,
+                threshold=threshold))
+            return exact_jaccard_on_pairs(
+                reps, cands, id_col, text_col, shingle_len, threshold,
+                broadcast_arrays=broadcast_verify, sh_table=sh)
+        # Round 14: the grouped-count generator's output IS already the
+        # verified >= threshold pair set WITH its exact jaccard (same
+        # distinct-hash sets, same |A∩B|/(|A|+|B|-|A∩B|) double), so
+        # re-scoring those pairs through the verify join was pure
+        # duplicate work — as was the union's own pre-verify
+        # ``distinct`` shuffle.  Only sketch candidates NOT in the
+        # exact set still go through the verifier (output-exact by
+        # construction, not by the subset argument: any such pair that
+        # scored >= threshold would still be emitted), and both sides
+        # read ONE shared shingle table instead of building two.
+        # pair-table persist: ``exact`` feeds both a union leg and the
+        # anti-join build side — without it the whole postings DAG
+        # runs twice (it is a threshold-filtered PAIR table, tiny next
+        # to the corpus, so the bounded-pool cache holds rows, not
+        # text)
+        exact = cache_bounded(ngram_jaccard_pairs(
+            reps, id_col, text_col, n=shingle_len, threshold=threshold,
+            sh_table=sh))
+        extras = sketch.join(exact.select("id_a", "id_b"),
+                             ["id_a", "id_b"], "left_anti")
+        return exact.unionByName(exact_jaccard_on_pairs(
+            reps, extras, id_col, text_col, shingle_len, threshold,
+            broadcast_arrays=broadcast_verify, sh_table=sh))
 
     return _collapse_expand_verified(
-        df, id_col, text_col, cands_of,
-        shingle_len, threshold, broadcast_verify)
+        df, id_col, text_col, verified_of, threshold)
 
 
 def _collapse_expand_verified(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    candidate_fn,
-    shingle_len: int,
+    verified_fn,
     threshold: float,
-    broadcast_verify: bool,
 ) -> DataFrame:
     """Dedup-then-expand: run sketch + exact verification on ONE
     representative per exact-duplicate text group, then expand verified
-    representative pairs back to all member pairs.
+    representative pairs back to all member pairs.  ``verified_fn``
+    maps the representative frame to its VERIFIED ``(id_a, id_b,
+    jaccard)`` pairs (round 14: callers own the verify so the
+    guaranteed-recall path can reuse its generator's exact scores
+    instead of re-deriving them).
 
     On replica-heavy corpora (the common case dedup exists for) this is
     the difference between quadratic and linear candidate work: k exact
@@ -1294,9 +1357,7 @@ def _collapse_expand_verified(
     rep_df = df.join(
         reps.select(F.col("__rid").alias(id_col)), on=id_col, how="semi")
 
-    rep_pairs = exact_jaccard_on_pairs(
-        rep_df, candidate_fn(rep_df), id_col, text_col, shingle_len,
-        threshold, broadcast_arrays=broadcast_verify)
+    rep_pairs = verified_fn(rep_df)
 
     # intra-group: every pair inside an exact-dup group, jaccard 1.0
     m2 = members.join(reps, on="__fp")

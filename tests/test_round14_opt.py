@@ -83,3 +83,47 @@ def test_lpa_agg_top1_matches_window_semantics(spark):
     assert out[1] == 2
     # node 4 neighbor {1}: label 1
     assert out[4] == 1
+
+
+def test_simhash_verified_guaranteed_path_equals_brute_force(spark):
+    """Round-14 restructure: the guaranteed-recall path reuses the
+    exact generator's jaccard for its own pairs and verifies only
+    sketch-minus-exact extras — output must still equal the brute-force
+    all-pairs >= threshold set, values included."""
+    from pyspark.sql import functions as F
+
+    from tap_airbyte_wrapper_spark.functions.dedup import (
+        exact_jaccard_on_pairs,
+        simhash_verified_pairs,
+    )
+
+    rows = []
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight").split()
+    for i in range(30):
+        toks = list(base)
+        # perturb a few tokens per doc so near-dup pairs straddle 0.5
+        for j in range(i % 7):
+            toks[(3 * j) % len(toks)] = f"tok{i}_{j}"
+        rows.append((i, " ".join(toks)))
+    # exact replicas exercise the collapse/expand machinery
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[3][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sorted(
+        tuple(r) for r in simhash_verified_pairs(
+            df, "doc_id", "text", max_hamming=7, chunks=8,
+            threshold=0.5, guarantee_recall=True).collect())
+
+    ids = [r[0] for r in rows]
+    all_pairs = spark.createDataFrame(
+        [(a, b) for ai, a in enumerate(ids) for b in ids[ai + 1:]],
+        "id_a long, id_b long")
+    want = sorted(
+        tuple(r) for r in exact_jaccard_on_pairs(
+            df, all_pairs.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b")),
+            "doc_id", "text", n=3, threshold=0.5).collect())
+    assert got == want and len(want) > 0
