@@ -374,7 +374,16 @@ def bm25_index_write(
     (tf.write.bucketBy(n_buckets, "term").sortBy("term")
        .option("path", _os.path.join(path, "postings"))
        .mode("overwrite").saveAsTable(f"{table_name}_postings"))
-    (tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # doc length per ROW (round 14, guide §2.4): dl was
+    # ``tf.groupBy(id).sum(tf)`` — but the sum of a doc's term
+    # frequencies IS its token count, a per-row expression.  The old
+    # spelling re-ran the whole postings subtree (tokenize + explode +
+    # (id, term) aggregate, two exchanges) for this second write
+    # action; this one tokenizes only.  The ``> 0`` filter reproduces
+    # "docs with no terms have no dl row" exactly.
+    (df.select(F.col(id_col),
+               F.size(words(F.col(text_col))).cast("long").alias("dl"))
+       .filter(F.col("dl") > 0)
        .withColumn("__ver", F.lit(0).cast("long"))
        .write.bucketBy(n_buckets, id_col).sortBy(id_col)
        .option("path", _os.path.join(path, "doclen"))
@@ -413,14 +422,20 @@ def bm25_index_append(
     from ._maint import stamp_version, tombstone_counts_table
 
     spark = delta.sparkSession
+    tombs = tombstone_counts_table(spark, table_name, id_col)
     tf = stamp_version(doc_term_freq(delta, id_col, text_col),
-                       tombstone_counts_table(spark, table_name, id_col),
-                       id_col)
+                       tombs, id_col)
     tf.select(id_col, "term", "tf", "__ver") \
         .write.mode("append").insertInto(f"{table_name}_postings")
-    (tf.groupBy(id_col).agg(F.sum("tf").alias("dl"),
-                            # constant within an id's group
-                            F.max("__ver").alias("__ver"))
+    # per-row dl, same equivalence as bm25_index_write: sum of a doc's
+    # tf IS its token count, and the old groupBy re-ran the delta's
+    # postings subtree for this second action.  __ver stamps the same
+    # per-id tombstone count the postings rows got.
+    (stamp_version(
+        delta.select(F.col(id_col),
+                     F.size(words(F.col(text_col))).cast("long")
+                     .alias("dl"))
+        .filter(F.col("dl") > 0), tombs, id_col)
        .select(id_col, "dl", "__ver")
        .write.mode("append").insertInto(f"{table_name}_doclen"))
 

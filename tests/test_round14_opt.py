@@ -127,3 +127,44 @@ def test_simhash_verified_guaranteed_path_equals_brute_force(spark):
                 F.greatest("id_a", "id_b").alias("id_b")),
             "doc_id", "text", n=3, threshold=0.5).collect())
     assert got == want and len(want) > 0
+
+
+def test_bm25_doclen_table_equals_tf_rollup(spark, tmp_path):
+    """The round-14 per-row doclen spelling (size(words(text))) must
+    write EXACTLY the rows the tf-derived groupBy(id).sum(tf) rollup
+    wrote — including the "docs with no terms have no dl row" rule —
+    through both the build and the versioned append path."""
+    from tap_airbyte_wrapper_spark.functions.retrieval import (
+        bm25_index_append,
+        bm25_index_write,
+        doc_term_freq,
+    )
+
+    rows = [
+        (1, "alpha beta beta gamma"),
+        (2, "  Alpha   ALPHA  "),          # case + padding
+        (3, ""),                            # no tokens -> no dl row
+        (4, "   "),                         # whitespace only -> none
+        (5, "delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tbl = "t14_dl_eq"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_postings")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_doclen")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_tombstones")
+    bm25_index_write(df.filter(F.col("doc_id") <= 3),
+                     tbl, str(tmp_path / "idx"), "doc_id", "text")
+    bm25_index_append(df.filter(F.col("doc_id") > 3),
+                      tbl, "doc_id", "text")
+
+    got = sorted(tuple(r) for r in spark.table(f"{tbl}_doclen")
+                 .select("doc_id", "dl", "__ver").collect())
+    want = sorted(
+        tuple(r) + (0,) for r in
+        doc_term_freq(df, "doc_id", "text")
+        .groupBy("doc_id").agg(F.sum("tf").alias("dl")).collect())
+    assert got == want
+    assert (1, 4, 0) in got and (2, 2, 0) in got
+    assert all(r[0] not in (3, 4) for r in got)
+    for suffix in ("postings", "doclen", "tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_{suffix}")
