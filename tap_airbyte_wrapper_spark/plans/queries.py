@@ -3043,9 +3043,14 @@ def q_knn_ivf_append_verified(spark, sf_dir):
         f"spark_ivf_append_{sf_tag}_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     atexit.register(shutil.rmtree, path, ignore_errors=True)
-    ivf_build(emb.filter(F.col("vec_id") % 2 == 0),
-              n_clusters=16, path=path)
-    index = ivf_append(spark, path, emb.filter(F.col("vec_id") % 2 == 1))
+    built = ivf_build(emb.filter(F.col("vec_id") % 2 == 0),
+                      n_clusters=16, path=path)
+    # the append re-assigns against the index's OWN centroids — pass
+    # the array ivf_build just returned (== what it persisted; the
+    # param exists for exactly this streaming-gate shape) instead of
+    # paying a centroid read+collect job per append
+    index = ivf_append(spark, path, emb.filter(F.col("vec_id") % 2 == 1),
+                       centroids=built.centroids)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_search(index, queries, k=5, n_probe=16).select(
         "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_r"))
