@@ -1082,20 +1082,61 @@ def kendall_tau(
     bucket-keyed repartitions of a 4-column projection, never pairs.
     Tie pairs (the tau-b denominators) come from exact value group-bys.
     """
+    row = _tau_core(df, col_a, col_b, n_buckets)
+    spark = df.sparkSession
+    if row is None:
+        return spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS n_items, "
+            "CAST(0 AS BIGINT) AS c_minus_d, "
+            "CAST(NULL AS DOUBLE) AS tau")
+    n, cmd, n1, n2 = row["n"], row["cmd"], row["n1"], row["n2"]
     import numpy as np
 
-    spark = df.sparkSession
+    n0 = n * (n - 1) // 2
+    denom = float(np.sqrt(float(n0 - n1) * float(n0 - n2)))
+    tau = round(cmd / denom, 6) if denom > 0 else None
+    return spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n_items, "
+        f"CAST({cmd} AS BIGINT) AS c_minus_d, "
+        f"CAST({'NULL' if tau is None else tau} AS DOUBLE) AS tau")
+
+
+def _tau_core(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_buckets: int,
+    mk_ties: bool = False,
+) -> "dict | None":
+    """The grid-decomposed exact tau computation shared by
+    :func:`kendall_tau` and :func:`mann_kendall_trend` — returns the
+    driver-side scalars (n, c_minus_d, tie-pair counts, and with
+    ``mk_ties`` the Mann-Kendall tie-group sums) or None for an empty
+    input.  Round-14 action-count consolidation, every value
+    bit-identical to the separate-action spelling: ONE multi-column
+    ``approxQuantile`` call (per-column Greenwald-Khanna sketches —
+    identical boundaries to two calls; exactness never depended on
+    them), the same-x / same-y pair-sum frames UNIONED into one
+    action, and all per-column tie aggregates tagged and unioned into
+    one two-row action (the MK T1/T2/T3 sums ride the same group-by
+    that the tau tie-pair counts already paid for)."""
+    import numpy as np
+
     base = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
             .select(F.col(col_a).cast("double").alias("__x"),
                     F.col(col_b).cast("double").alias("__y"))
-            .localCheckpoint(eager=True))  # read by 2 boundary probes,
-    # the cell counts, both group passes, and both tie aggregates
+            .localCheckpoint(eager=True))  # read by the boundary probe,
+    # the cell counts, both group passes, and the tie aggregate
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    if probs:
+        bx_bounds, by_bounds = base.approxQuantile(
+            ["__x", "__y"], probs, 0.001)
+    else:
+        bx_bounds, by_bounds = [], []
 
-    def bucket_expr(colname: str) -> F.Column:
-        bounds = sorted(set(base.approxQuantile(colname, probs, 0.001))) \
-            if probs else []
+    def bucket_expr(colname: str, bounds) -> F.Column:
+        bounds = sorted(set(bounds))
         if not bounds:
             return F.lit(0)
         barr = F.array(*[F.lit(float(v)) for v in bounds])
@@ -1104,14 +1145,11 @@ def kendall_tau(
             lambda acc, v: acc + F.when(F.col(colname) >= v, 1)
             .otherwise(0))
 
-    bucketed = base.withColumn("__bx", bucket_expr("__x")) \
-                   .withColumn("__by", bucket_expr("__y"))
+    bucketed = base.withColumn("__bx", bucket_expr("__x", bx_bounds)) \
+                   .withColumn("__by", bucket_expr("__y", by_bounds))
     cells = bucketed.groupBy("__bx", "__by").count().collect()
     if not cells:
-        return spark.sql(
-            "SELECT CAST(0 AS BIGINT) AS n_items, "
-            "CAST(0 AS BIGINT) AS c_minus_d, "
-            "CAST(NULL AS DOUBLE) AS tau")
+        return None
     bx_n = max(r["__bx"] for r in cells) + 1
     by_n = max(r["__by"] for r in cells) + 1
     grid = np.zeros((bx_n, by_n), dtype=np.int64)
@@ -1162,26 +1200,39 @@ def kendall_tau(
     def samey(key, pdf):
         return pd.DataFrame({"s": [_pair_sum(pdf, True)]})
 
-    s_samex = bucketed.groupBy("__bx").applyInPandas(
-        samex, "s long").agg(F.sum("s")).first()[0] or 0
-    s_samey = bucketed.groupBy("__by").applyInPandas(
-        samey, "s long").agg(F.sum("s")).first()[0] or 0
+    # one action for both in-bucket pair sums (the two frames are
+    # independent subtrees of one union; only their TOTAL enters cmd)
+    s_same = (bucketed.groupBy("__bx").applyInPandas(samex, "s long")
+              .unionByName(
+                  bucketed.groupBy("__by").applyInPandas(samey, "s long"))
+              .agg(F.sum("s")).first()[0] or 0)
 
-    def tie_pairs(colname: str) -> int:
-        got = (base.groupBy(colname).count()
-               .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
-               .first()[0])
-        return int(got or 0)
+    # one tagged two-row action for every per-column tie aggregate —
+    # expressions identical to the separate tie_pairs / tie_terms
+    # spellings (incl. the /2 double division of the pair count)
+    g = F.col("count")
 
-    n1, n2 = tie_pairs("__x"), tie_pairs("__y")
-    cmd = c_cross - d_cross + int(s_samex) + int(s_samey)
-    n0 = n * (n - 1) // 2
-    denom = float(np.sqrt(float(n0 - n1) * float(n0 - n2)))
-    tau = round(cmd / denom, 6) if denom > 0 else None
-    return spark.sql(
-        f"SELECT CAST({n} AS BIGINT) AS n_items, "
-        f"CAST({cmd} AS BIGINT) AS c_minus_d, "
-        f"CAST({'NULL' if tau is None else tau} AS DOUBLE) AS tau")
+    def tie_agg(colname: str, tag: str):
+        aggs = [F.sum(g * (g - 1) / 2).alias("pairs")]
+        if mk_ties:
+            aggs += [F.sum(g * (g - 1) * (2 * g + 5)).alias("t1"),
+                     F.sum(g * (g - 1) * (g - 2)).alias("t2"),
+                     F.sum(g * (g - 1)).alias("t3")]
+        return (base.groupBy(colname).count()
+                .agg(*aggs).select(F.lit(tag).alias("__tag"), "*"))
+
+    tie_rows = {r["__tag"]: r for r in
+                tie_agg("__x", "x").unionByName(tie_agg("__y", "y"))
+                .collect()}
+    n1 = int(tie_rows["x"]["pairs"] or 0)
+    n2 = int(tie_rows["y"]["pairs"] or 0)
+    cmd = c_cross - d_cross + int(s_same)
+    out = {"n": n, "cmd": cmd, "n1": n1, "n2": n2}
+    if mk_ties:
+        for side, tag in (("t", "x"), ("u", "y")):
+            for term in ("t1", "t2", "t3"):
+                out[f"{term}{side}"] = float(tie_rows[tag][term] or 0)
+    return out
 
 
 def mann_kendall_trend(
@@ -1216,25 +1267,19 @@ def mann_kendall_trend(
     autocorrelated series need pre-whitening upstream."""
     import math
 
-    tau_row = kendall_tau(df, time_col, value_col,
-                          n_buckets=n_buckets).first()
-    n, s = int(tau_row["n_items"]), int(tau_row["c_minus_d"])
+    # one shared core run (round 14): the tau grid work AND the MK
+    # tie-group sums — the old spelling ran kendall_tau, then re-read
+    # the source twice more for two separate tie_terms aggregates
+    # (identical group-bys the tau tie counts had already paid for)
+    core = _tau_core(df, time_col, value_col, n_buckets, mk_ties=True)
     spark = df.sparkSession
-    base = (df.filter(F.col(time_col).isNotNull()
-                      & F.col(value_col).isNotNull())
-            .select(F.col(time_col).cast("double").alias("__t"),
-                    F.col(value_col).cast("double").alias("__v")))
-
-    def tie_terms(colname: str) -> tuple[float, float, float]:
-        g = F.col("count")
-        row = (base.groupBy(colname).count().agg(
-            F.sum(g * (g - 1) * (2 * g + 5)),
-            F.sum(g * (g - 1) * (g - 2)),
-            F.sum(g * (g - 1))).first())
-        return tuple(float(v or 0) for v in row)
-
-    t1t, t2t, t3t = tie_terms("__t")
-    t1u, t2u, t3u = tie_terms("__v")
+    if core is None:
+        n, s = 0, 0
+        t1t = t2t = t3t = t1u = t2u = t3u = 0.0
+    else:
+        n, s = core["n"], core["cmd"]
+        t1t, t2t, t3t = core["t1t"], core["t2t"], core["t3t"]
+        t1u, t2u, t3u = core["t1u"], core["t2u"], core["t3u"]
     var_s = (n * (n - 1) * (2 * n + 5) - t1t - t1u) / 18.0
     if n > 2:
         var_s += t2t * t2u / (9.0 * n * (n - 1) * (n - 2))
