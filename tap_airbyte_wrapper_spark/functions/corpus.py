@@ -1243,19 +1243,21 @@ def char_ngram_entropy(
     per-gram probability column.
 
     Scale shape: text normalizes (casefold, whitespace collapse)
-    per-row, grams explode to ``(id, gram)`` rows and aggregate with
-    map-side combine on ``(id, gram)`` — the shuffle carries one row
-    per distinct gram per doc (grams are ``n`` chars; n=3 rows are
-    smaller than the 8-byte hashes :func:`dup_span_stats` ships), then
-    a second ``id``-keyed partial agg folds counts into the entropy
-    sums.  Zero Python, no window, no all-pairs; both shuffles are
-    linear in corpus grams.
+    per-row, then the DOCS are hash-repartitioned by ``id`` BEFORE the
+    gram explode — every aggregation key below is ``id``-prefixed, so
+    one text-sized exchange satisfies both groupBys and the exploded
+    ``(id, gram)`` rows never cross the wire (round 14: the previous
+    shape shuffled one row per distinct gram per doc, ~L rows carrying
+    ~30 bytes each vs the doc's L text bytes shipped once; both gram
+    exchanges vanish from the plan).  Zero Python, no window, no
+    all-pairs; cost stays linear in corpus grams.
     """
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     L = F.length(norm)
     grams = (
         df.select(F.col(id_col), norm.alias("__t"), L.alias("__l"))
         .filter(F.col("__l") >= n)
+        .repartition(F.col(id_col))
         .select(
             F.col(id_col),
             F.explode(F.sequence(F.lit(1), F.col("__l") - (n - 1)))
