@@ -258,7 +258,9 @@ def winnow_fingerprints(
         mins = grams[:span].copy()
         for off in range(1, min(window, m)):
             np.minimum(mins, grams[off:off + span], out=mins)
-        return sorted(set(mins.tolist()))
+        if mins.dtype == object:  # md5 hex path: no vectorized unique
+            return sorted(set(mins.tolist()))
+        return np.unique(mins).tolist()
 
     @pandas_udf("array<string>")
     def _fps_md5(texts: pd.Series) -> pd.Series:
@@ -297,9 +299,15 @@ def winnow_fingerprints(
             n_grams = n - gram_len + 1
             acc = np.zeros(n_grams, dtype=np.int64)
             for k in range(gram_len):
-                # term < 2^53: codepoint (<= 0x10FFFF) * pow (< 2^32)
+                # term < 2^53: codepoint (<= 0x10FFFF) * pow (< 2^32);
+                # up to 512 unreduced terms stay < 2^62, so one
+                # reduction per 512 steps replaces the per-step
+                # `%= MOD` array pass (MOD is 2^32: the mod is a mask,
+                # identical to the stepwise mod for nonnegative ints)
                 acc += codes[k:k + n_grams] * pows[k]
-                acc %= MOD
+                if k % 512 == 511:
+                    acc &= MOD - 1
+            acc &= MOD - 1
             out.append(_window_min_dedup(acc, window))
         return pd.Series(out)
 
