@@ -328,11 +328,15 @@ def fuzzy_self_join(
     output-driven cost that the string form avoids entirely (the
     member-id sets remain recoverable by two equi-joins when needed).
     """
+    # vocabulary-sized and consumed by three branches (gram postings
+    # twice via a/b, the short-string block twice): persist so the
+    # scan+distinct doesn't replan per consumer (query-scoped cache)
     strs = (
         df.select(F.col(str_col).alias("__s"))
         .filter(F.col("__s").isNotNull())
         .distinct()
         .withColumn("__len", F.length("__s"))
+        .persist()
     )
     min_guaranteed = q * (max_dist + 1)
 
