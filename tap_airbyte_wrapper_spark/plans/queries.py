@@ -3387,19 +3387,26 @@ def q_gopher_rules_docs(spark, sf_dir):
                F.lit("\n- bullet item one\n- bullet item two\n- third"))
         .when(d % 4 == 1, F.lit("\nto be continued..."))
         .otherwise(F.lit("")))
-    g = gopher_rules(aug)
-    return docs.select(
+    # materialize the struct ONCE and extract fields in a second
+    # select: inlining g[field] per column embeds the whole rule tree
+    # 11x BEFORE analysis (35 regexp_extract_all nodes in one Project,
+    # ~2.5 s of per-rep DataFrame-build time at sf0.1 — round 14); the
+    # optimizer's SimplifyExtractValueOps still reduces each output
+    # column to its own field expression, so the executed plan — and
+    # the result — is unchanged
+    base = docs.select("doc_id", gopher_rules(aug).alias("__g"))
+    return base.select(
         "doc_id",
-        g["n_words"].alias("n_words"),
-        g["mean_word_len"].alias("mean_word_len"),
-        g["words_ok"].alias("words_ok"),
-        g["mean_word_ok"].alias("mean_word_ok"),
-        g["symbol_ok"].alias("symbol_ok"),
-        g["bullet_ok"].alias("bullet_ok"),
-        g["ellipsis_ok"].alias("ellipsis_ok"),
-        g["alpha_ok"].alias("alpha_ok"),
-        g["stopword_ok"].alias("stopword_ok"),
-        g["pass"].alias("pass_all"),
+        F.col("__g.n_words").alias("n_words"),
+        F.col("__g.mean_word_len").alias("mean_word_len"),
+        F.col("__g.words_ok").alias("words_ok"),
+        F.col("__g.mean_word_ok").alias("mean_word_ok"),
+        F.col("__g.symbol_ok").alias("symbol_ok"),
+        F.col("__g.bullet_ok").alias("bullet_ok"),
+        F.col("__g.ellipsis_ok").alias("ellipsis_ok"),
+        F.col("__g.alpha_ok").alias("alpha_ok"),
+        F.col("__g.stopword_ok").alias("stopword_ok"),
+        F.col("__g.pass").alias("pass_all"),
     )
 
 
