@@ -3426,13 +3426,16 @@ def q_c4_clean_docs(spark, sf_dir):
         .when(d % 5 == 1, F.lit("\nlorem ipsum dolor sit amet."))
         .when(d % 5 == 2, F.lit("\nvar cfg = { a: 1 };"))
         .otherwise(F.lit("")))
-    c = c4_clean(aug)
-    return docs.select(
+    # one struct projection + field extraction (same analyzer-cost fix
+    # as q_gopher_rules_docs: inlining c[field] per column embeds the
+    # cleaner's whole expression tree 4x before analysis)
+    base = docs.select("doc_id", c4_clean(aug).alias("__c"))
+    return base.select(
         "doc_id",
-        c["clean_text"].alias("clean_text"),
-        c["n_lines_kept"].alias("n_lines_kept"),
-        c["n_sentences"].alias("n_sentences"),
-        c["dropped"].alias("dropped"),
+        F.col("__c.clean_text").alias("clean_text"),
+        F.col("__c.n_lines_kept").alias("n_lines_kept"),
+        F.col("__c.n_sentences").alias("n_sentences"),
+        F.col("__c.dropped").alias("dropped"),
     )
 
 
