@@ -958,17 +958,35 @@ def cosine_topk_lsh(
     # Band postings carry only (query_id, band, band_val); the query
     # vectors live in a separate broadcast joined AFTER candidate dedup,
     # so no vector payload rides the band join or the dedup shuffle.
-    q_bands = F.broadcast(spark.createDataFrame(
-        [(_pyid(i), band, int(val))
-         for i in range(len(qpdf))
-         for band, val in enumerate(qsigs[i])],
-        f"{query_id_col} {qid_type}, band int, band_val long",
-    ))
-    q_vecs = F.broadcast(spark.createDataFrame(
-        [(_pyid(i), [float(x) for x in qpdf[vec_col].iloc[i]])
-         for i in range(len(qpdf))],
-        f"{query_id_col} {qid_type}, __qvec {qvec_type}",
-    ))
+    # Both tiny frames are JVM-literal (range + lit arrays, the
+    # _centroid_df discipline) — spark.createDataFrame backs them with
+    # a Python RDD whose evaluation costs seconds per action on
+    # local[32] regardless of data size (round 14: the lifecycle entry
+    # read ~3.4 s at sf0.001, i.e. data-independent overhead).
+    nq = len(qpdf)
+    if nq:
+        qid_arr = F.array(*[F.lit(_pyid(i)) for i in range(nq)])
+        sig_arr = F.array(*[F.lit(int(v)).cast("long")
+                            for i in range(nq) for v in qsigs[i]])
+        q_bands = F.broadcast(spark.range(nq * bands).select(
+            F.element_at(qid_arr, (F.col("id") / bands).cast("int") + 1)
+            .cast(qid_type).alias(query_id_col),
+            (F.col("id") % bands).cast("int").alias("band"),
+            F.element_at(sig_arr, F.col("id").cast("int") + 1)
+            .alias("band_val")))
+        vec_arrs = F.array(*[
+            F.array(*[F.lit(float(x)) for x in qpdf[vec_col].iloc[i]])
+            for i in range(nq)])
+        q_vecs = F.broadcast(spark.range(nq).select(
+            F.element_at(qid_arr, F.col("id").cast("int") + 1)
+            .cast(qid_type).alias(query_id_col),
+            F.element_at(vec_arrs, F.col("id").cast("int") + 1)
+            .cast(qvec_type).alias("__qvec")))
+    else:
+        q_bands = F.broadcast(spark.createDataFrame(
+            [], f"{query_id_col} {qid_type}, band int, band_val long"))
+        q_vecs = F.broadcast(spark.createDataFrame(
+            [], f"{query_id_col} {qid_type}, __qvec {qvec_type}"))
 
     c_bands = c.select(
         id_col, F.posexplode("__sig").alias("band", "band_val")
