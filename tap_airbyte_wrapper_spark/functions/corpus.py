@@ -993,26 +993,29 @@ def dup_span_stats(
 
     Plan shape: ONE tokenize+hash pass (grams travel as 8-byte
     xxhash64 values, never strings) exploded to distinct (doc, gram)
-    pairs, then the gram's corpus doc-count rides a count window over
-    the gram hash — same single shuffle a groupBy would cost, but the
-    expensive shingling is never re-evaluated for a join-back (the
-    naive agg-then-rejoin form tokenizes three times; measured ~3x
-    this plan's wall at sf0.1).  The per-doc rollup is the second and
-    last shuffle; docs with no grams rejoin via the pruned (id) side.
-    No all-pairs comparison anywhere: cost is linear in corpus token
-    count, the heaviest shuffle carries (doc_id, gram_h) longs.
+    pairs and PERSISTED; the gram's corpus doc-count is a hash
+    aggregate over the persisted pairs joined back onto them — the
+    bare agg-then-rejoin form tokenizes three times (measured ~3x this
+    plan's wall at sf0.1), and the earlier count-window form avoided
+    that but paid a full per-partition SORT of every (doc, gram) pair
+    (round 14: windows sort, hash aggregates don't — sf0.1 medians
+    2.9 s window vs 1.3 s persisted agg+join).  The persisted pair
+    table is linear in corpus tokens and spills to disk; the per-doc
+    rollup is the last shuffle; docs with no grams rejoin via the
+    pruned (id) side.  No all-pairs comparison anywhere, no sort:
+    cost is linear in corpus token count, the heaviest shuffle
+    carries (doc_id, gram_h) longs.
     """
-    from pyspark.sql import Window
-
     grams = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(
                 F.transform(word_ngrams(words(F.col(text_col)), n),
                             lambda g: F.xxhash64(g)))).alias("gram_h"),
-    )
-    flagged = grams.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("gram_h")))
+    ).persist()
+    counts = grams.groupBy("gram_h").agg(
+        F.count(F.lit(1)).alias("__df"))
+    flagged = grams.join(counts, "gram_h")
     per_doc = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.count(F.when(F.col("__df") >= 2, 1)).alias("n_dup_grams"),
@@ -1051,31 +1054,38 @@ def remove_dup_spans(
     untouched; a fully-covered doc keeps its row with empty text, so
     the caller decides whether to drop empties).
 
-    Plan shape: the corpus-frequency side is ONE tokenize+hash pass —
-    distinct (doc, gram-xxhash64) pairs, doc-frequency via a count
-    window on the hash (identical shuffle to :func:`dup_span_stats`) —
-    reduced to a per-doc array of its OWN duplicated gram start-able
-    hashes, joined back on the id.  The rewrite is then pure Catalyst
-    array algebra per row: token i survives unless some gram starting
-    in ``[i-n+1, i]`` is in the doc's dup set.  Membership tests are
-    linear in the per-doc dup-set size — bounded by doc length, never
-    corpus size; nothing all-pairs, both shuffles carry 8-byte hashes
-    plus ids.
+    Plan shape: the tokenized base (words + gram hashes) is ONE
+    tokenize+hash pass, PERSISTED — it feeds both the frequency side
+    and the rewrite join-back, which otherwise re-tokenizes the corpus
+    (round 14; the cache is query-scoped and linear in corpus tokens).
+    Doc-frequency is a hash aggregate over the exploded distinct
+    (doc, gram-xxhash64) pairs joined back onto them (the earlier
+    count-window spelling paid a full per-partition sort of every
+    pair — same finding as :func:`dup_span_stats`; the join keeps only
+    grams at or above ``min_docs``, so it carries the DUPLICATED gram
+    set, not the corpus), reduced to a per-doc array of its OWN
+    duplicated gram start-able hashes, joined back on the id.  The
+    rewrite is then pure Catalyst array algebra per row: token i
+    survives unless some gram starting in ``[i-n+1, i]`` is in the
+    doc's dup set.  Membership tests are linear in the per-doc
+    dup-set size — bounded by doc length, never corpus size; nothing
+    all-pairs, no sort, shuffles carry 8-byte hashes plus ids.
     """
-    from pyspark.sql import Window
-
     base = df.select(
         F.col(id_col), words(F.col(text_col)).alias("__ws")
     ).withColumn(
         "__gh",
         F.transform(word_ngrams(F.col("__ws"), n), lambda g: F.xxhash64(g)),
-    )
+    ).persist()
     pairs = base.select(
         F.col(id_col), F.explode(F.array_distinct("__gh")).alias("__h"))
-    dup_sets = (
-        pairs.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("__h")))
+    dup_grams = (
+        pairs.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= min_docs)
+        .select("__h")
+    )
+    dup_sets = (
+        pairs.join(dup_grams, "__h")
         .groupBy(id_col)
         .agg(F.collect_set("__h").alias("__dup"))
     )
