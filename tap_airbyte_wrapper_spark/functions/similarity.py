@@ -174,16 +174,16 @@ def truncation_recall(
     return out
 
 
-def _cosine_topk_many_queries(
+def _cosine_score_queries(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str,
     vec_col: str,
     query_id_col: str,
-    k: int,
     max_query_cells: int = 25_000_000,
 ) -> DataFrame:
-    """Exact cosine top-k for a MANY-query batch (hundreds+): the
+    """ALL cosine scores for a MANY-query batch (hundreds+):
+    ``(query_id_col, id_col, cos_sim)``, |Q| x |corpus| rows.  The
     per-pair ``cosine()`` expression is an interpreted HOF, so at
     |Q| x |corpus| pairs it dominates wall time — here each Arrow
     batch scores against the whole query matrix in ONE numpy matmul
@@ -196,9 +196,7 @@ def _cosine_topk_many_queries(
     doubles) instead of silently OOMing the driver with a corpus-sized
     "query" frame.  For corpus x corpus scale use
     :func:`bitext_mine` ``method="ivf"`` / :func:`cosine_topk_ivf`,
-    which broadcast nothing corpus-sized.  Output contract matches
-    :func:`cosine_topk` with ``include_self=True``:
-    (query_id, id, cos_sim), ties on id."""
+    which broadcast nothing corpus-sized."""
     qstats = queries.agg(
         F.count(F.lit(1)).alias("n"),
         F.first(F.size(F.col(vec_col))).alias("dim")).first()
@@ -224,13 +222,30 @@ def _cosine_topk_many_queries(
         return pd.Series(list(m @ qm.T))
 
     qid_map = F.array(*[F.lit(i) for i in q_ids])
-    scored = (
+    return (
         corpus.select(F.col(id_col), cos_all(F.col(vec_col)).alias("__cs"))
         .select(F.col(id_col), F.posexplode("__cs").alias("__qi", "cos_sim"))
         .select(F.element_at(qid_map, F.col("__qi") + 1)
                 .alias(query_id_col),
                 F.col(id_col), F.col("cos_sim"))
     )
+
+
+def _cosine_topk_many_queries(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+    max_query_cells: int = 25_000_000,
+) -> DataFrame:
+    """Exact cosine top-k for a MANY-query batch — the per-query-id
+    top ``k`` of :func:`_cosine_score_queries` (see there for the
+    scoring/guard contract).  Output matches :func:`cosine_topk` with
+    ``include_self=True``: (query_id, id, cos_sim), ties on id."""
+    scored = _cosine_score_queries(corpus, queries, id_col, vec_col,
+                                   query_id_col, max_query_cells)
     return topk_per_group(
         scored, [query_id_col],
         [F.col("cos_sim").desc(), F.col(id_col)], k,
@@ -262,12 +277,16 @@ def bitext_mine(
     parallel training data.  Output: ``(src_id, tgt_id, cos_sim,
     margin)``, one row per mutual-best pair.
 
-    Plan shape, ``method="exact"`` (default): two brute-force
-    :func:`cosine_topk` passes (each broadcasts one side), two
-    k-bounded per-id average rollups, margin joins on id, and two
-    per-side argmax windows over k-bounded lists.  Deterministic:
-    ties break on the partner id, same contract as the knn fleet
-    oracles.
+    Plan shape, ``method="exact"`` (default): ONE brute-force scoring
+    pass (:func:`_cosine_score_queries`: src rides the closure, tgt is
+    scanned once — round 14; the former second pass re-scored the
+    identical pair matrix with the roles swapped, paying a second
+    driver collect and a second corpus scan for values the first pass
+    already held), the persisted pair matrix feeds BOTH directions'
+    top-k, two k-bounded per-id average rollups, margin joins on id,
+    and two per-side argmax windows over k-bounded lists.
+    Deterministic: ties break on the partner id, same contract as the
+    knn fleet oracles.
 
     ``method="ivf"`` is the corpus-x-corpus path: NEITHER side is
     driver-collected — each direction builds an IVF index over one
@@ -283,21 +302,36 @@ def bitext_mine(
     if method not in ("exact", "ivf"):
         raise ValueError(f"method must be exact|ivf, got {method!r}")
     if method == "ivf":
+        # k-bounded per side, two consumers each (avg rollup + margin
+        # leg) — persisted so the IVF probe join doesn't re-run per
+        # consumer
         fwd = cosine_topk_ivf(
             tgt, src, id_col, vec_col, "__src", k=k,
             n_clusters=n_clusters, n_probe=n_probe,
-            seed=seed).withColumnRenamed(id_col, "__tgt")
+            seed=seed).withColumnRenamed(id_col, "__tgt").persist()
         bwd = cosine_topk_ivf(
             src, tgt, id_col, vec_col, "__tgt", k=k,
             n_clusters=n_clusters, n_probe=n_probe,
-            seed=seed).withColumnRenamed(id_col, "__src")
+            seed=seed).withColumnRenamed(id_col, "__src").persist()
     else:
-        fwd = _cosine_topk_many_queries(
-            tgt, src, id_col, vec_col, "__src", k).withColumnRenamed(
-            id_col, "__tgt")
-        bwd = _cosine_topk_many_queries(
-            src, tgt, id_col, vec_col, "__tgt", k).withColumnRenamed(
-            id_col, "__src")
+        # ONE scored pass serves both directions: the |src| x |tgt|
+        # pair matrix is direction-free, so the per-__src and per-__tgt
+        # top-k read the SAME persisted rows (pair-count-bounded here:
+        # the exact path is for eval-sized sides by the guard's own
+        # contract).  fwd/bwd are k-bounded and each feed two
+        # consumers (the avg rollup and the margin/argmax leg) — the
+        # persists stop the scoring subtree re-running per consumer.
+        scored = _cosine_score_queries(
+            tgt, src, id_col, vec_col, "__src").withColumnRenamed(
+            id_col, "__tgt").persist()
+        fwd = topk_per_group(
+            scored, ["__src"],
+            [F.col("cos_sim").desc(), F.col("__tgt")], k,
+        ).drop("rk").persist()
+        bwd = topk_per_group(
+            scored, ["__tgt"],
+            [F.col("cos_sim").desc(), F.col("__src")], k,
+        ).drop("rk").persist()
     a_src = fwd.groupBy("__src").agg(F.avg("cos_sim").alias("__asrc"))
     a_tgt = bwd.groupBy("__tgt").agg(F.avg("cos_sim").alias("__atgt"))
 
