@@ -997,15 +997,23 @@ def spearman_correlation(
     distinct (the continuous-score case), one window cheaper when you
     know there are no ties.  Output: ONE row ``(n_items, rho)``.
 
-    Plan: the (id, a, b) projection is eagerly checkpointed — the two
-    rank passes each run a boundary-sample job plus a ranking job, so
-    without materialization the raw input would be scanned ~6x; then
-    one id-keyed join of the two (id, rank) projections and one
-    ``corr`` aggregate.  The checkpoint holds three narrow columns,
-    not the corpus width.  Tie averaging is a value-partitioned
+    Plan: the (id, a, b) projection is eagerly checkpointed; when BOTH
+    columns are numeric (the scoring-system case) the two rank passes
+    fuse (round 14): ONE multi-column ``approxQuantile`` boundary
+    probe (the per-column GK sketches are identical to two
+    single-column calls — the _tau_core precedent), ONE union-tagged
+    bucket-count action, and both ordinal ranks as value-bucketed
+    windows over the SAME frame — which also deletes the id-keyed
+    rank join (each row already carries both ranks).  Rank values are
+    identical to the two-pass :func:`~.windows.global_distribution_ranks`
+    spelling by construction (same boundaries, same bucket expression,
+    same within-bucket order, same offsets); non-numeric columns keep
+    the two-pass fallback.  Tie averaging is a value-partitioned
     window over the already-computed ordinal ranks (ordinal ranks in a
     tie group are contiguous, so the partition mean IS the average
     rank); value-partitioned, never single-task."""
+    from pyspark.sql.types import NumericType
+
     from .windows import global_distribution_ranks
 
     if ties not in ("average", "id"):
@@ -1014,25 +1022,88 @@ def spearman_correlation(
                       & F.col(col_b).isNotNull())
             .select(id_col, col_a, col_b)
             .localCheckpoint(eager=True))
-    ra = global_distribution_ranks(
-        base.select(id_col, col_a),
-        [F.col(col_a), F.col(id_col)], rank_col="__ra"
-    ).select(id_col, col_a, "__ra")
-    rb = global_distribution_ranks(
-        base.select(id_col, col_b),
-        [F.col(col_b), F.col(id_col)], rank_col="__rb"
-    ).select(id_col, col_b, "__rb")
-    if ties == "average":
-        ra = ra.withColumn("__ra", F.avg(F.col("__ra").cast("double"))
-                           .over(Window.partitionBy(col_a)))
-        rb = rb.withColumn("__rb", F.avg(F.col("__rb").cast("double"))
-                           .over(Window.partitionBy(col_b)))
+    spark = df.sparkSession
+    both_numeric = all(
+        isinstance(base.schema[c].dataType, NumericType)
+        for c in (col_a, col_b))
+    if both_numeric:
+        num_ranges = spark.sparkContext.defaultParallelism
+        probs = [i / num_ranges for i in range(1, num_ranges)]
+        if probs:
+            qa, qb = base.approxQuantile([col_a, col_b], probs, 0.001)
+        else:
+            qa, qb = [], []
+
+        def _bucket(col_name, qs):
+            bounds = sorted(set(qs))
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            return (F.aggregate(
+                barr, F.lit(0),
+                lambda acc, b: acc + F.when(
+                    F.col(col_name).cast("double") >= b, 1).otherwise(0))
+                if bounds else F.lit(0))
+
+        keyed = (base.withColumn("__pa", _bucket(col_a, qa))
+                 .withColumn("__pb", _bucket(col_b, qb)))
+        counts = {(int(r["__t"]), int(r["__p"])): r["count"]
+                  for r in keyed.select(F.lit(0).alias("__t"),
+                                        F.col("__pa").alias("__p"))
+                  .unionByName(keyed.select(F.lit(1).alias("__t"),
+                                            F.col("__pb").alias("__p")))
+                  .groupBy("__t", "__p").count().collect()}
+
+        def _offsets(tag):
+            tagged = {p: c for (t, p), c in counts.items() if t == tag}
+            offs, acc = [], 0
+            for pid in range(max(tagged) + 1 if tagged else 0):
+                offs.append(acc)
+                acc += tagged.get(pid, 0)
+            return F.element_at(
+                F.array(*[F.lit(o) for o in (offs or [0])]),
+                F.col("__pa" if tag == 0 else "__pb") + 1)
+
+        wa = Window.partitionBy("__pa").orderBy(
+            F.col(col_a), F.col(id_col))
+        wb = Window.partitionBy("__pb").orderBy(
+            F.col(col_b), F.col(id_col))
+        joined = keyed.select(
+            F.col(col_a), F.col(col_b),
+            (F.row_number().over(wa) + _offsets(0)).cast("long")
+            .alias("__ra"),
+            (F.row_number().over(wb) + _offsets(1)).cast("long")
+            .alias("__rb"))
+        if ties == "average":
+            joined = (joined.withColumn(
+                "__ra", F.avg(F.col("__ra").cast("double"))
+                .over(Window.partitionBy(col_a)))
+                .withColumn(
+                "__rb", F.avg(F.col("__rb").cast("double"))
+                .over(Window.partitionBy(col_b))))
+        joined = joined.select("__ra", "__rb")
+    else:
+        ra = global_distribution_ranks(
+            base.select(id_col, col_a),
+            [F.col(col_a), F.col(id_col)], rank_col="__ra"
+        ).select(id_col, col_a, "__ra")
+        rb = global_distribution_ranks(
+            base.select(id_col, col_b),
+            [F.col(col_b), F.col(id_col)], rank_col="__rb"
+        ).select(id_col, col_b, "__rb")
+        if ties == "average":
+            ra = ra.withColumn("__ra",
+                               F.avg(F.col("__ra").cast("double"))
+                               .over(Window.partitionBy(col_a)))
+            rb = rb.withColumn("__rb",
+                               F.avg(F.col("__rb").cast("double"))
+                               .over(Window.partitionBy(col_b)))
+        joined = (ra.select(id_col, "__ra")
+                  .join(rb.select(id_col, "__rb"), id_col))
     # corr spelled out via try_divide: ANSI mode turns the zero-variance
     # case (a constant column -> all ranks tied) into DIVIDE_BY_ZERO
     # inside F.corr; the statistic's answer there is "undefined" (null)
     va, vb = F.col("__ra").cast("double"), F.col("__rb").cast("double")
     return (
-        ra.select(id_col, "__ra").join(rb.select(id_col, "__rb"), id_col)
+        joined
         .agg(F.count(F.lit(1)).alias("n_items"),
              F.covar_pop(va, vb).alias("__cov"),
              F.stddev_pop(va).alias("__sa"),

@@ -1286,11 +1286,20 @@ def icc_2_1(df: DataFrame, item_col: str, rater_col: str,
                        & F.col(score_col).isNotNull())
              .groupBy(F.col(item_col).alias("__it"),
                       F.col(rater_col).alias("__r"))
-             .agg(F.avg(F.col(score_col).cast("double")).alias("__x")))
+             .agg(F.avg(F.col(score_col).cast("double")).alias("__x"))
+             # item x rater-bounded; the k/item-count aggregate and the
+             # completeness window BOTH consume it — unmaterialized,
+             # each action re-ran the input scan + union + cell
+             # aggregate (round 14: 3 input scans -> 1)
+             .localCheckpoint(eager=True))
     # duplicates per (item, rater) collapse to their mean, so the
-    # completeness window-count below counts RATERS, not rows
-    k_row = cells.agg(F.countDistinct("__r").alias("k")).first()
-    k = int(k_row["k"] or 0)
+    # completeness window-count below counts RATERS, not rows; the
+    # total distinct-item count rides the same action (it only feeds
+    # n_dropped, and saves the third scan the standalone count paid)
+    card = cells.agg(F.countDistinct("__r").alias("k"),
+                     F.countDistinct("__it").alias("it")).first()
+    k = int(card["k"] or 0)
+    total_items = int(card["it"] or 0)
     kept = (cells
             .withColumn("__cnt", F.count(F.lit(1)).over(
                 Window.partitionBy("__it")))
@@ -1300,8 +1309,7 @@ def icc_2_1(df: DataFrame, item_col: str, rater_col: str,
                    F.avg("__x").alias("m"),
                    F.countDistinct("__it").alias("n")).first()
     n = int(tot["n"] or 0)
-    dropped = (int(cells.select("__it").distinct().count()) - n
-               if k > 0 else 0)
+    dropped = total_items - n if k > 0 else 0
     null_row = (
         f"SELECT CAST({n} AS BIGINT) AS n_items, "
         f"CAST({k} AS BIGINT) AS k_raters, "
@@ -1333,22 +1341,33 @@ def _icc_mean_squares(kept: DataFrame, n: int, k: int,
     (item __it, rater __r, score __x) cells: between-item BMS,
     between-rater JMS, two-way residual EMS, and the one-way
     within-item WMS — everything all three single-rater ICC forms
-    consume.  SST and the two marginal sums of squares each
-    partial-aggregate (item-count / k rows); only scalars reach the
-    driver."""
-    sst = float(kept.agg(F.sum((F.col("__x") - F.lit(m))
-                               * (F.col("__x") - F.lit(m)))
-                         .alias("s")).first()["s"])
-    ssr = float(kept.groupBy("__it")
-                .agg(F.avg("__x").alias("mi"))
-                .agg(F.sum((F.col("mi") - F.lit(m))
-                           * (F.col("mi") - F.lit(m))) * k)
-                .first()[0])
-    ssc = float(kept.groupBy("__r")
-                .agg(F.avg("__x").alias("mj"))
-                .agg(F.sum((F.col("mj") - F.lit(m))
-                           * (F.col("mj") - F.lit(m))) * n)
-                .first()[0])
+    consume.  SST and the two marginal sums of squares ride ONE
+    union-tagged aggregate action over the checkpointed grid (round
+    14 — the three separate actions each paid a driver round trip;
+    the per-term squared-deviation arithmetic is unchanged and the
+    trailing *k / *n products multiply the same summed double);
+    only scalars reach the driver."""
+    lm = F.lit(m)
+    tagged = (
+        kept.select(F.lit(0).alias("__t"),
+                    ((F.col("__x") - lm) * (F.col("__x") - lm))
+                    .alias("__s"))
+        .unionByName(
+            kept.groupBy("__it").agg(F.avg("__x").alias("mi"))
+            .select(F.lit(1).alias("__t"),
+                    ((F.col("mi") - lm) * (F.col("mi") - lm))
+                    .alias("__s")))
+        .unionByName(
+            kept.groupBy("__r").agg(F.avg("__x").alias("mj"))
+            .select(F.lit(2).alias("__t"),
+                    ((F.col("mj") - lm) * (F.col("mj") - lm))
+                    .alias("__s"))))
+    by = {int(r["__t"]): float(r["s"])
+          for r in tagged.groupBy("__t").agg(F.sum("__s").alias("s"))
+          .collect()}
+    sst = by[0]
+    ssr = by[1] * k
+    ssc = by[2] * n
     bms = ssr / (n - 1)
     jms = ssc / (k - 1)
     ems = (sst - ssr - ssc) / ((n - 1) * (k - 1))
@@ -1414,9 +1433,13 @@ def _icc_form(df: DataFrame, item_col: str, rater_col: str,
                        & F.col(score_col).isNotNull())
              .groupBy(F.col(item_col).alias("__it"),
                       F.col(rater_col).alias("__r"))
-             .agg(F.avg(F.col(score_col).cast("double")).alias("__x")))
-    k_row = cells.agg(F.countDistinct("__r").alias("k")).first()
-    k = int(k_row["k"] or 0)
+             .agg(F.avg(F.col(score_col).cast("double")).alias("__x"))
+             # see icc_2_1: one materialization, three consumers
+             .localCheckpoint(eager=True))
+    card = cells.agg(F.countDistinct("__r").alias("k"),
+                     F.countDistinct("__it").alias("it")).first()
+    k = int(card["k"] or 0)
+    total_items = int(card["it"] or 0)
     kept = (cells
             .withColumn("__cnt", F.count(F.lit(1)).over(
                 Window.partitionBy("__it")))
@@ -1425,8 +1448,7 @@ def _icc_form(df: DataFrame, item_col: str, rater_col: str,
     tot = kept.agg(F.avg("__x").alias("m"),
                    F.countDistinct("__it").alias("n")).first()
     n = int(tot["n"] or 0)
-    dropped = (int(cells.select("__it").distinct().count()) - n
-               if k > 0 else 0)
+    dropped = total_items - n if k > 0 else 0
     head = (f"SELECT CAST({n} AS BIGINT) AS n_items, "
             f"CAST({k} AS BIGINT) AS k_raters, "
             f"CAST({dropped} AS BIGINT) AS n_dropped, ")
@@ -1591,24 +1613,38 @@ def kruskal_wallis(df: DataFrame, value_col: str,
                    F.col(group_col).cast("string").alias("__g"))
           .agg(F.count(F.lit(1)).alias("__cnt"))
           .localCheckpoint(eager=True))
-    n_groups = vg.agg(F.countDistinct("__g")).first()[0] or 0
-    if n_groups > max_groups:
-        raise ValueError(
-            f"kruskal_wallis collects one (ng, 2*Rg) row per group to "
-            f"the driver; got {n_groups} distinct groups > max_groups="
-            f"{max_groups} — that group column looks like an id, not a "
-            "category. Bucket it upstream or raise max_groups "
-            "consciously.")
     totals = vg.groupBy("__v").agg(F.sum("__cnt").alias("__c"))
     cums = global_cumsum(totals, "__v", "__c", "__cum")
-    per_group = (vg.join(cums, "__v")
-                 .groupBy("__g")
-                 .agg(F.sum("__cnt").alias("ng"),
-                      F.sum(F.col("__cnt")
-                            * (2 * F.col("__cum") - F.col("__c") + 1))
-                      .alias("r2")).collect())
-    ties = cums.agg(F.sum(F.col("__c") * F.col("__c") * F.col("__c")
-                          - F.col("__c")).alias("t")).first()
+    # ONE union-tagged action (round 14, the _tau_core discipline)
+    # returns the k-row group table AND the tie sum together; the old
+    # standalone countDistinct guard action is replaced by a LIMIT on
+    # the collect — the driver never holds more than max_groups + 2
+    # rows either way, and the job count drops from 3 driver actions
+    # (guard, groups, ties) to 1 on the same checkpointed base.
+    contrib = vg.join(cums, "__v").select(
+        F.lit(0).alias("__t"), F.col("__g"),
+        F.col("__cnt").alias("__a"),
+        (F.col("__cnt")
+         * (2 * F.col("__cum") - F.col("__c") + 1)).alias("__b"))
+    tie_rows = cums.select(
+        F.lit(1).alias("__t"), F.lit(None).cast("string").alias("__g"),
+        (F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c"))
+        .alias("__a"),
+        F.lit(None).cast("long").alias("__b"))
+    rows = (contrib.unionByName(tie_rows)
+            .groupBy("__t", "__g")
+            .agg(F.sum("__a").alias("ng"), F.sum("__b").alias("r2"))
+            .limit(max_groups + 2).collect())
+    per_group = [r for r in rows if r["__t"] == 0]
+    if len(per_group) > max_groups:
+        raise ValueError(
+            f"kruskal_wallis collects one (ng, 2*Rg) row per group to "
+            f"the driver; got more than max_groups={max_groups} "
+            "distinct groups — that group column looks like an id, "
+            "not a category. Bucket it upstream or raise max_groups "
+            "consciously.")
+    tie_sum = [r for r in rows if r["__t"] == 1]
+    ties = {"t": tie_sum[0]["ng"] if tie_sum else 0}
     k = len(per_group)
     n = sum(int(r["ng"]) for r in per_group)
     null_row = (
