@@ -168,3 +168,35 @@ def test_bm25_doclen_table_equals_tf_rollup(spark, tmp_path):
     assert all(r[0] not in (3, 4) for r in got)
     for suffix in ("postings", "doclen", "tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_{suffix}")
+
+
+def test_spearman_fused_dual_rank_equals_two_pass_fallback(spark):
+    """The round-14 fused dual-rank path (one multi-column quantile
+    probe, both ranks as windows on one frame, no id join) must give
+    the SAME rho as the two-pass global_distribution_ranks fallback —
+    proven by casting one column to string (which forces the fallback)
+    on data with heavy ties in both columns."""
+    from tap_airbyte_wrapper_spark.operators import spearman_correlation
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("double").alias("a"),
+        ((F.col("id") % 7) * 3 + F.col("id") % 2).cast("double")
+        .alias("b"))
+    fused = spearman_correlation(df, "a", "b", "doc_id").collect()[0]
+    # string-typed col_a defeats the numeric fast path -> two-pass
+    # fallback; values 0..6 are single digits so the STRING sort order
+    # equals the numeric order and ranks are identical
+    fb = spearman_correlation(
+        df.withColumn("a", F.col("a").cast("int").cast("string")),
+        "a", "b", "doc_id").collect()[0]
+    assert fused["n_items"] == fb["n_items"] == 2_000
+    assert fused["rho"] == fb["rho"]
+
+    # ties='id' mode rides the same fused path
+    fused_id = spearman_correlation(
+        df, "a", "b", "doc_id", ties="id").collect()[0]
+    fb_id = spearman_correlation(
+        df.withColumn("a", F.col("a").cast("int").cast("string")),
+        "a", "b", "doc_id", ties="id").collect()[0]
+    assert fused_id["rho"] == fb_id["rho"]
