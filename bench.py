@@ -234,6 +234,24 @@ def main() -> int:
             seen = [int(m.group(1)) for f in os.listdir(here)
                     if (m := re.match(r"BENCH_r(\d+)\.json$", f))]
             rnd = f"{max(seen, default=0) + 1:02d}"
+            # r14 postmortem: the driver benches TWICE per round (full
+            # cores, then a low-core scaling companion) and writes
+            # BENCH_r{n}.json between them, so the companion's
+            # max(seen)+1 overshot into the NEXT round's slot
+            # (BENCH_detail_r15.json held round-14 8-CPU data).  A run
+            # below the box's core count is the scaling companion: pin
+            # it to the newest round that already has a main detail
+            # file and tag it with its core count instead.
+            try:
+                n_box = os.cpu_count() or int(cpus)
+            except Exception:
+                n_box = int(cpus)
+            if int(cpus) < n_box:
+                main_seen = [
+                    int(m.group(1)) for f in os.listdir(here)
+                    if (m := re.match(r"BENCH_detail_r(\d+)\.json$", f))]
+                if main_seen:
+                    rnd = f"{max(main_seen):02d}"
         detail = {
             "headline": headline,
             "groups": {
@@ -243,8 +261,14 @@ def main() -> int:
                 for g in sorted(groups)
             },
         }
-        with open(os.path.join(here, f"BENCH_detail_r{int(rnd):02d}.json"),
-                  "w") as fh:
+        name = f"BENCH_detail_r{int(rnd):02d}.json"
+        try:
+            n_box = os.cpu_count() or int(cpus)
+        except Exception:
+            n_box = int(cpus)
+        if int(cpus) < n_box:
+            name = f"BENCH_detail_r{int(rnd):02d}_c{int(cpus)}.json"
+        with open(os.path.join(here, name), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except Exception as e:  # detail file is best-effort, never fail bench
         print(f"# bench detail write failed: {e}", file=sys.stderr)

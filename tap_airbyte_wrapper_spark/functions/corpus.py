@@ -1006,13 +1006,15 @@ def dup_span_stats(
     cost is linear in corpus token count, the heaviest shuffle
     carries (doc_id, gram_h) longs.
     """
-    grams = df.select(
+    from ._cache import cache_bounded
+
+    grams = cache_bounded(df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(
                 F.transform(word_ngrams(words(F.col(text_col)), n),
                             lambda g: F.xxhash64(g)))).alias("gram_h"),
-    ).persist()
+    ))
     counts = grams.groupBy("gram_h").agg(
         F.count(F.lit(1)).alias("__df"))
     flagged = grams.join(counts, "gram_h")
@@ -1071,12 +1073,14 @@ def remove_dup_spans(
     dup-set size — bounded by doc length, never corpus size; nothing
     all-pairs, no sort, shuffles carry 8-byte hashes plus ids.
     """
-    base = df.select(
+    from ._cache import cache_bounded
+
+    base = cache_bounded(df.select(
         F.col(id_col), words(F.col(text_col)).alias("__ws")
     ).withColumn(
         "__gh",
         F.transform(word_ngrams(F.col("__ws"), n), lambda g: F.xxhash64(g)),
-    ).persist()
+    ))
     pairs = base.select(
         F.col(id_col), F.explode(F.array_distinct("__gh")).alias("__h"))
     dup_grams = (

@@ -301,18 +301,20 @@ def bitext_mine(
     (IVF search drops same-id pairs as self-matches)."""
     if method not in ("exact", "ivf"):
         raise ValueError(f"method must be exact|ivf, got {method!r}")
+    from ._cache import cache_bounded
+
     if method == "ivf":
         # k-bounded per side, two consumers each (avg rollup + margin
         # leg) — persisted so the IVF probe join doesn't re-run per
-        # consumer
-        fwd = cosine_topk_ivf(
+        # consumer.  Lazy return: the bounded pool owns the lifetime.
+        fwd = cache_bounded(cosine_topk_ivf(
             tgt, src, id_col, vec_col, "__src", k=k,
             n_clusters=n_clusters, n_probe=n_probe,
-            seed=seed).withColumnRenamed(id_col, "__tgt").persist()
-        bwd = cosine_topk_ivf(
+            seed=seed).withColumnRenamed(id_col, "__tgt"))
+        bwd = cache_bounded(cosine_topk_ivf(
             src, tgt, id_col, vec_col, "__tgt", k=k,
             n_clusters=n_clusters, n_probe=n_probe,
-            seed=seed).withColumnRenamed(id_col, "__src").persist()
+            seed=seed).withColumnRenamed(id_col, "__src"))
     else:
         # ONE scored pass serves both directions: the |src| x |tgt|
         # pair matrix is direction-free, so the per-__src and per-__tgt
@@ -321,17 +323,17 @@ def bitext_mine(
         # contract).  fwd/bwd are k-bounded and each feed two
         # consumers (the avg rollup and the margin/argmax leg) — the
         # persists stop the scoring subtree re-running per consumer.
-        scored = _cosine_score_queries(
+        scored = cache_bounded(_cosine_score_queries(
             tgt, src, id_col, vec_col, "__src").withColumnRenamed(
-            id_col, "__tgt").persist()
-        fwd = topk_per_group(
+            id_col, "__tgt"))
+        fwd = cache_bounded(topk_per_group(
             scored, ["__src"],
             [F.col("cos_sim").desc(), F.col("__tgt")], k,
-        ).drop("rk").persist()
-        bwd = topk_per_group(
+        ).drop("rk"))
+        bwd = cache_bounded(topk_per_group(
             scored, ["__tgt"],
             [F.col("cos_sim").desc(), F.col("__src")], k,
-        ).drop("rk").persist()
+        ).drop("rk"))
     a_src = fwd.groupBy("__src").agg(F.avg("cos_sim").alias("__asrc"))
     a_tgt = bwd.groupBy("__tgt").agg(F.avg("cos_sim").alias("__atgt"))
 

@@ -203,32 +203,33 @@ def triangle_count(
     # re-plans the WHOLE upstream per consumer (measured on the
     # co-supply entry: 40 parquet scans / 38 joins / 0 ReusedExchange
     # in one plan).  All three are edge- or node-sized — never larger
-    # than the input — and the caches are query-scoped (the bench
-    # clears them between queries).
-    e = (
+    # than the input.  This function returns a LAZY frame, so there is
+    # no in-function unpersist point — the bounded pool keeps a long
+    # session's accumulation finite (round-14 verdict ask).
+    from ..functions._cache import cache_bounded
+
+    e = cache_bounded(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
     )
-    deg = (
+    deg = cache_bounded(
         e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
-        .persist()
     )
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
     ranked = e.join(da, "a").join(db, "b")
     lower_first = (F.col("__da") < F.col("__db")) | (
         (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b")))
-    er = ranked.select(
+    er = cache_bounded(ranked.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("__db")).otherwise(F.col("__da"))
         .alias("__dv"),
-    ).persist()
+    ))
     w1 = er.select(F.col("u"), F.col("v").alias("x"), F.col("__dv").alias("__dx"))
     w2 = er.select(F.col("u"), F.col("v").alias("y"), F.col("__dv").alias("__dy"))
     wedges = w1.join(w2, "u").filter(

@@ -330,13 +330,15 @@ def fuzzy_self_join(
     """
     # vocabulary-sized and consumed by three branches (gram postings
     # twice via a/b, the short-string block twice): persist so the
-    # scan+distinct doesn't replan per consumer (query-scoped cache)
-    strs = (
+    # scan+distinct doesn't replan per consumer.  Lazy return, so the
+    # bounded pool (not a bare persist) owns the cache lifetime.
+    from ..functions._cache import cache_bounded
+
+    strs = cache_bounded(
         df.select(F.col(str_col).alias("__s"))
         .filter(F.col("__s").isNotNull())
         .distinct()
         .withColumn("__len", F.length("__s"))
-        .persist()
     )
     min_guaranteed = q * (max_dist + 1)
 
