@@ -73,7 +73,8 @@ def main() -> int:
             path = os.path.join(
                 os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__))),
-                "plans", "r14", f"{name}_{tag}.txt")
+                "plans", os.environ.get("QPROF_DIR", "r15"),
+                f"{name}_{tag}.txt")
             with open(path, "w") as fh:
                 fh.write(f"-- qprof: {t_total:.3f}s wall "
                          f"({t_build:.3f}s plan build), "

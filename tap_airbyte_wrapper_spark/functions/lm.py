@@ -104,9 +104,18 @@ def train_bigram_lm(
     corpus totals — capping narrows the stored counts (everything else
     falls back to the smoothed floor), not the probability space.
     """
+    from ._cache import cache_bounded
+
     ws = df.select(words(F.col(text_col)).alias("__ws"))
     toks = ws.select(F.explode("__ws").alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+    # vocab-sized and consumed repeatedly: the totals collect right
+    # below, then (uncapped) both unigram joins of every scoring pass,
+    # or (capped) the top-k cut — cache so the train corpus tokenizes
+    # ONCE for all unigram consumers instead of once per consumer
+    # (round 15, guide §5.3; the bigram table stays uncached — it has
+    # exactly one consumer per scoring materialization).
+    uni = cache_bounded(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni")))
     totals = uni.agg(
         F.sum("c_uni").alias("t"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
