@@ -27,6 +27,9 @@ from tap_airbyte_wrapper_spark.functions import (
 from tap_airbyte_wrapper_spark.sinks import read_merge_snapshot
 from tap_airbyte_wrapper_spark.sync import Engine
 
+# excluded from the driver's budgeted run (see pytest.ini): multi-minute tier
+pytestmark = pytest.mark.slow
+
 
 def _write_jsonl(path, rows):
     os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -12,6 +12,9 @@ import pytest
 from tap_airbyte_wrapper_spark.schema import json_schema_to_struct
 from tap_airbyte_wrapper_spark.singer_io import write_singer_stdout
 
+# excluded from the driver's budgeted run (see pytest.ini): multi-minute tier
+pytestmark = pytest.mark.slow
+
 FIXTURE = "/root/reference/tests/fixtures/KPHX.singer"
 CSV = "/root/reference/tests/fixtures/KPHX.csv"
 

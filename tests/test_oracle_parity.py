@@ -13,6 +13,9 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
+# excluded from the driver's budgeted run (see pytest.ini): multi-minute tier
+pytestmark = pytest.mark.slow
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 

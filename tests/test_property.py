@@ -27,6 +27,9 @@ from tap_airbyte_wrapper_spark.schema import (
 )
 from tap_airbyte_wrapper_spark.state import BookmarkStore, StateDialect
 
+# excluded from the driver's budgeted run (see pytest.ini): multi-minute tier
+pytestmark = pytest.mark.slow
+
 # ---------------------------------------------------------------- schemas
 
 _names = st.text(string.ascii_lowercase + "_", min_size=1, max_size=8)

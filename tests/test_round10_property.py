@@ -16,6 +16,10 @@ from tap_airbyte_wrapper_spark.operators.stats import (
     _normal_sf2,
 )
 
+import pytest
+# excluded from the driver's budgeted run (see pytest.ini): multi-minute tier
+pytestmark = pytest.mark.slow
+
 
 # ------------------------------------------------ normal tail kernel
 

@@ -5,6 +5,9 @@ import math
 import pytest
 from hypothesis import given, settings, strategies as st
 
+# excluded from the driver's budgeted run (see pytest.ini): multi-minute tier
+pytestmark = pytest.mark.slow
+
 
 def _lcs_bitparallel(a, b):
     """Mirror of the rouge_l_per_doc kernel (Allison-Dix)."""

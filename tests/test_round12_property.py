@@ -20,6 +20,9 @@ from tap_airbyte_wrapper_spark.operators.tails import (
     t_sf2,
 )
 
+# excluded from the driver's budgeted run (see pytest.ini): multi-minute tier
+pytestmark = pytest.mark.slow
+
 
 @settings(max_examples=200, deadline=None)
 @given(a=st.floats(0.5, 300.0), b=st.floats(0.5, 100.0),

@@ -11,6 +11,10 @@ import math
 
 from hypothesis import given, settings, strategies as st
 
+import pytest
+# excluded from the driver's budgeted run (see pytest.ini): multi-minute tier
+pytestmark = pytest.mark.slow
+
 
 # ------------------------------------------------ probes never crash
 
